@@ -1,0 +1,71 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+Each query is materialized through the `noop` sink (full execution, no
+driver-side collect overhead). One warm-up pass of the flagship query
+amortizes JVM/codegen warmup out of the measurements.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from luxo_rs_spark.engine import Engine
+from luxo_rs_spark.plans.queries import QUERIES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+#: queries excluded from the bench (none currently)
+SKIP: set[str] = set()
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    engine = Engine(
+        app_name="luxo-bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=int(CPUS),
+        extra_confs={"spark.ui.enabled": "false"},
+    )
+    spark = engine.spark
+
+    # warm-up: JVM, codegen, parquet footers
+    materialize(QUERIES["q01_pricing_summary"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        if name in SKIP:
+            continue
+        df = QUERIES[name](spark, SF_DIR)
+        t0 = time.perf_counter()
+        materialize(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,120 @@
+"""Engine: session bootstrap, catalog veneer, and query observability.
+
+The reference's sole working behavior is its entry point: install a
+structured-logging subscriber with file/line context and start up
+(reference src/main.rs:12-22, "a database engine that sheds light on any
+query", src/main.rs:3). The Spark-first equivalent of that intent:
+
+- session bootstrap with scale-sane defaults (AQE on, skew-join handling,
+  Arrow for pandas UDFs, pinned UTC timezone for deterministic time math)
+- a catalog veneer that registers the fixture tables as views
+- first-class explainability: ``explain()`` / ``light()`` log the
+  optimized plan and per-query wall time, standing in for the
+  reference's per-event file:line tracing (src/main.rs:14-19)
+
+Scale notes (100 TB / 1000 executors): the configs below are expressed as
+ratios, not absolutes — ``shuffle.partitions`` is sized for local[32] test
+runs but AQE coalescing makes the number a ceiling, not a constant; on a
+real cluster you raise it to ~2-3x total cores and let AQE coalesce.
+Nothing in the engine holds driver-side data.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from luxo_rs_spark.functions.fnv1a import register_fnv1a64
+from luxo_rs_spark.sources.registry import (
+    TABLES,
+    ensure_session_confs,
+    load_table,
+    register_views,
+)
+
+logger = logging.getLogger("luxo_rs_spark")
+
+
+#: defaults applied at session build time. Runtime-settable subset is also
+#: re-applied to foreign sessions via `ensure_session_confs`.
+DEFAULT_CONFS = {
+    # adaptive execution: runtime re-plan, partition coalescing, skew joins
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs (fnv1a64 etc.)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # deterministic time semantics (matches DuckDB naive-as-UTC)
+    "spark.sql.session.timeZone": "UTC",
+    # fixture events.ts is parquet TIMESTAMP(NANOS)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+class Engine:
+    """Thin veneer over a SparkSession: catalog + sql + observability."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        app_name: str = "luxo_rs_spark",
+        master: str | None = None,
+        shuffle_partitions: int | None = None,
+        extra_confs: dict[str, str] | None = None,
+    ) -> None:
+        if spark is None:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+            builder = SparkSession.builder.appName(app_name).master(
+                master or f"local[{cpus}]"
+            )
+            confs = dict(DEFAULT_CONFS)
+            confs["spark.sql.shuffle.partitions"] = str(
+                shuffle_partitions or int(cpus)
+            )
+            if extra_confs:
+                confs.update(extra_confs)
+            for k, v in confs.items():
+                builder = builder.config(k, v)
+            spark = builder.getOrCreate()
+        ensure_session_confs(spark)
+        self.spark = spark
+        register_fnv1a64(spark)
+
+    # -- catalog ------------------------------------------------------------
+
+    def register_dir(self, sf_dir: str, tables=TABLES) -> "Engine":
+        """Register every fixture table under `sf_dir` as a temp view."""
+        register_views(self.spark, sf_dir, tables)
+        return self
+
+    def table(self, name: str) -> DataFrame:
+        """Fluent entry point (SURVEY.md §3.2 entry 2)."""
+        return self.spark.table(name)
+
+    def load(self, sf_dir: str, name: str) -> DataFrame:
+        return load_table(self.spark, sf_dir, name)
+
+    # -- query --------------------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL entry point (SURVEY.md §3.2 entry 1)."""
+        return self.spark.sql(query)
+
+    # -- observability: "sheds light on any query" ---------------------------
+
+    def explain_str(self, df: DataFrame, mode: str = "formatted") -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), mode
+        )
+
+    def light(self, df: DataFrame, label: str = "query") -> DataFrame:
+        """Log optimized plan + wall time on materialization (R5 analogue)."""
+        plan = self.explain_str(df)
+        t0 = time.perf_counter()
+        n = df.count()
+        dt = time.perf_counter() - t0
+        logger.info("[%s] rows=%d wall=%.3fs\n%s", label, n, dt, plan)
+        return df

@@ -1,0 +1,62 @@
+"""Differential oracle: every QUERIES entry vs its DuckDB ORACLE_SQL.
+
+Replicates the driver's t2 comparison locally (at sf0.001 for speed):
+run the Spark DataFrame and the DuckDB SQL, sort columns by name, sort
+rows, compare values exactly. Catches alias/typing/rounding drift before
+the driver does.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from luxo_rs_spark.plans.oracle import ORACLE_SQL
+from luxo_rs_spark.plans.queries import QUERIES
+
+from conftest import SF_DIR
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return (
+        df.sort_values(by=list(df.columns))
+        .reset_index(drop=True)
+    )
+
+
+def assert_matches_oracle(spark, oracle, name: str):
+    spark_pdf = QUERIES[name](spark, SF_DIR).toPandas()
+    duck_pdf = oracle.sql(ORACLE_SQL[name]).df()
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    assert list(a.columns) == list(b.columns), f"{name}: column names differ"
+    assert len(a) == len(b), f"{name}: row counts differ {len(a)} vs {len(b)}"
+    for col in a.columns:
+        av, bv = a[col].tolist(), b[col].tolist()
+        for i, (x, y) in enumerate(zip(av, bv)):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert x == pytest.approx(y, abs=1e-9), (
+                    f"{name}.{col}[{i}]: {x!r} != {y!r}"
+                )
+            else:
+                assert str(x) == str(y), f"{name}.{col}[{i}]: {x!r} != {y!r}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(spark, oracle, name):
+    assert name in QUERIES, f"oracle entry {name} has no QUERIES entry"
+    assert_matches_oracle(spark, oracle, name)
+
+
+def test_every_query_has_oracle_or_is_documented():
+    from luxo_rs_spark.plans.queries import NO_ORACLE  # noqa: PLC0415
+
+    missing = set(QUERIES) - set(ORACLE_SQL) - set(NO_ORACLE)
+    assert not missing, f"queries lacking oracle or NO_ORACLE note: {missing}"
