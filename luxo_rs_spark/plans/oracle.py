@@ -19,12 +19,356 @@ SELECT l_returnflag, l_linestatus,
        round(sum(l_extendedprice), 2)                                       AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-       round(avg(l_quantity), 2)                                            AS avg_qty,
-       round(avg(l_extendedprice), 2)                                       AS avg_price,
-       round(avg(l_discount), 2)                                            AS avg_disc,
+       round(sum(l_quantity), 2) / count(l_quantity)                        AS avg_qty,
+       round(sum(l_extendedprice), 2) / count(l_extendedprice)              AS avg_price,
+       round(sum(l_discount), 2) / count(l_discount)                        AS avg_disc,
        count(*)                                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLE_SQL["q02_join_chain"] = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+ORACLE_SQL["q03_anti_join"] = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["q04_semi_join"] = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["q05_range_join"] = """
+WITH buckets(bucket_name, lo, hi) AS (
+  VALUES ('small', 1, 17), ('medium', 17, 34), ('large', 34, 51)
+)
+SELECT bucket_name, count(*) AS n_parts, round(sum(p_retailprice), 2) / count(p_retailprice) AS avg_price
+FROM part JOIN buckets ON p_size >= lo AND p_size < hi
+GROUP BY bucket_name
+ORDER BY bucket_name
+"""
+
+ORACLE_SQL["q06_asof_join"] = """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       (SELECT max(epoch_us(o_orderdate)) FROM orders o
+         WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS asof_order_date_us
+FROM events e
+ORDER BY event_id
+"""
+
+ORACLE_SQL["q07_rollup"] = """
+SELECT cast(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+       cast(grouping(o_orderstatus) AS BIGINT)   AS g_st,
+       o_orderpriority, o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+ORACLE_SQL["q08_count_distinct"] = """
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS n_supp,
+       count(DISTINCT l_partkey) AS n_part,
+       count(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q09_topk_per_group"] = """
+SELECT o_custkey, o_orderkey, total_price, rn FROM (
+  SELECT o_custkey, o_orderkey,
+         round(o_totalprice, 2) AS total_price,
+         cast(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+ORACLE_SQL["q10_window_frames"] = """
+WITH daily AS (
+  SELECT cast(o_orderdate AS DATE) AS d, sum(o_totalprice) AS total
+  FROM orders GROUP BY 1
+)
+SELECT cast(d AS VARCHAR) AS day,
+       round(sum(total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+             / count(total) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS mov_avg_7d,
+       round(sum(total) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 2) AS run_sum,
+       round(lag(total, 1) OVER (ORDER BY d), 2) AS prev_total
+FROM daily
+ORDER BY day
+"""
+
+ORACLE_SQL["q11_set_ops"] = """
+SELECT 'both' AS tag, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT 'cust_only' AS tag, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT s_nationkey FROM supplier
+)
+ORDER BY tag, nationkey
+"""
+
+ORACLE_SQL["q12_string_battery"] = """
+SELECT p_partkey,
+       upper(p_name)                                   AS up,
+       lower(p_brand)                                  AS lo,
+       cast(length(p_name) AS BIGINT)                  AS len,
+       substring(p_type, 1, 4)                         AS sub4,
+       concat_ws('|', p_brand, p_type)                 AS joined,
+       replace(p_name, ' ', '_')                       AS underscored,
+       lpad(p_brand, 12, '.')                          AS lpadded,
+       rpad(p_type, 10, '.')                           AS rpadded,
+       trim('  ' || p_name || '  ')                    AS trimmed,
+       cast(strpos(p_name, 'e') AS BIGINT)             AS pos_e,
+       string_split(p_name, ' ')[1]                    AS first_word,
+       regexp_extract(p_name, '([a-z]+)', 1)           AS first_token,
+       cast(p_name LIKE '%ring%' AS INT)               AS has_ring,
+       cast(regexp_matches(p_name, '^(red|blue)') AS INT) AS rb_prefix,
+       cast(contains(p_name, 'bolt') AS INT)           AS has_bolt
+FROM part
+WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+ORACLE_SQL["q13_math_battery"] = """
+SELECT p_partkey,
+       round(sqrt(p_retailprice), 2)                    AS sqrt_price,
+       round(power(p_size, 2), 2)                       AS size_sq,
+       cast(abs(p_size - 25) AS BIGINT)                 AS abs_off,
+       cast(floor(p_retailprice) AS BIGINT)             AS floor_price,
+       cast(ceil(p_retailprice) AS BIGINT)              AS ceil_price,
+       round(ln(p_retailprice), 2)                      AS ln_price,
+       round(log10(p_retailprice), 2)                   AS log10_price,
+       cast(sign(p_size - 25) AS BIGINT)                AS sign_off,
+       cast(p_partkey % 7 AS BIGINT)                    AS mod7,
+       cast(greatest(p_size, 25) AS BIGINT)             AS gst,
+       cast(least(p_size, 25) AS BIGINT)                AS lst,
+       round(round(p_retailprice / 1000, 1), 2)         AS br
+FROM part
+WHERE p_partkey < 200
+ORDER BY p_partkey
+"""
+
+ORACLE_SQL["q14_date_battery"] = """
+SELECT o_orderkey,
+       cast(year(o_orderdate) AS BIGINT)                       AS y,
+       cast(month(o_orderdate) AS BIGINT)                      AS m,
+       cast(day(o_orderdate) AS BIGINT)                        AS dom,
+       cast(isodow(o_orderdate) AS BIGINT)                     AS dow_iso,
+       cast(cast(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)::VARCHAR  AS plus30,
+       cast(cast(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)::VARCHAR AS plus2mo,
+       cast(datediff('day', cast(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999,
+       cast(cast(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR) AS month_start,
+       epoch_us(o_orderdate)                                   AS date_us,
+       cast(quarter(o_orderdate) AS BIGINT)                    AS qtr
+FROM orders
+WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["q15_json_extract"] = """
+SELECT event_type,
+       round(avg(cast(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k,
+       max(cast(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
+       min(cast(json_extract_string(props, '$.k') AS BIGINT))           AS min_k,
+       count(*)                                                         AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLE_SQL["q16_array_ops"] = """
+SELECT vec_id,
+       cast(len(embedding) AS BIGINT)                                    AS dim,
+       round(list_aggregate(embedding::DOUBLE[], 'sum') / len(embedding), 4) AS mean_comp,
+       round(cast(embedding[1] AS DOUBLE), 4)                            AS first_comp,
+       round(cast(embedding[-1] AS DOUBLE), 4)                           AS last_comp,
+       round(cast(list_aggregate(embedding, 'max') AS DOUBLE), 4)        AS max_comp,
+       round(cast(list_aggregate(embedding, 'min') AS DOUBLE), 4)        AS min_comp,
+       round(cast(list_sort(embedding)[2] AS DOUBLE), 4)                 AS second_smallest,
+       cast(len(list_filter(embedding, x -> x > 0)) AS BIGINT)           AS n_pos
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+"""
+
+ORACLE_SQL["q17_pivot"] = """
+SELECT o_orderstatus,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT')        AS p1,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH')          AS p2,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM')        AS p3,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW')           AS p5
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+ORACLE_SQL["q18_topk_offset"] = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10 OFFSET 5
+"""
+
+ORACLE_SQL["q19_percentile_stats"] = """
+SELECT c_mktsegment,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+       round(stddev_samp(o_totalprice), 2)        AS sd_price,
+       round(var_pop(o_totalprice) / 1e9, 4)      AS varp_price_g,
+       round(sum(o_totalprice), 2) / count(o_totalprice) AS avg_price,
+       count(*)                                   AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["q20_tumbling_window"] = """
+SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+       event_type,
+       count(*)                         AS n,
+       round(sum(value), 2)             AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+ORACLE_SQL["q21_sliding_window"] = """
+WITH expanded AS (
+  SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts)) AS window_start_us, value FROM events
+  UNION ALL
+  SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'), value FROM events
+)
+SELECT window_start_us, count(*) AS n, round(sum(value), 2) / count(value) AS avg_value
+FROM expanded
+GROUP BY window_start_us
+ORDER BY window_start_us
+"""
+
+ORACLE_SQL["q22_session_window"] = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts))    AS session_start_us,
+       count(*)             AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
+"""
+
+ORACLE_SQL["q23_first_last_by"] = """
+SELECT o_orderpriority,
+       arg_max(o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS top_order,
+       arg_min(o_orderkey, cast(round(o_totalprice * 100) AS BIGINT) * 1000000 + o_orderkey) AS bottom_order,
+       round(max(o_totalprice), 2) AS max_price,
+       round(min(o_totalprice), 2) AS min_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["q24_collect_list"] = """
+SELECT l_orderkey,
+       array_to_string(list_sort(list(l_linenumber)), ',')                AS linenumbers,
+       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags
+FROM lineitem
+WHERE l_orderkey < 30
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+"""
+
+ORACLE_SQL["q25_grouping_sets"] = """
+SELECT cast(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+       cast(grouping(n_name) AS BIGINT)       AS g_nat,
+       c_mktsegment, n_name,
+       count(*)                               AS n,
+       round(sum(c_acctbal), 2)               AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((c_mktsegment), (n_name), (c_mktsegment, n_name), ())
+ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST
+"""
+
+ORACLE_SQL["q26_theta_join"] = """
+SELECT s_nationkey,
+       count(*) AS n_pairs,
+       round(sum(s_acctbal - c_acctbal), 2) / count(*) AS avg_gap
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+ORACLE_SQL["q27_case_coalesce"] = """
+SELECT l_returnflag,
+       cast(sum(CASE WHEN l_discount >= 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+       cast(sum(CASE WHEN l_discount >= 0.04 AND l_discount < 0.08 THEN 1 ELSE 0 END) AS BIGINT) AS n_mid,
+       round(sum(coalesce(nullif(l_discount, 0.0), 0.01) * l_extendedprice), 2) AS adj_disc_value,
+       cast(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_notax
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q28_event_dedup"] = """
+SELECT user_id, event_type,
+       first_event_id,
+       first_ts_us
+FROM (
+  SELECT user_id, event_type,
+         event_id AS first_event_id,
+         epoch_us(ts) AS first_ts_us,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+ORACLE_SQL["q29_predicates"] = """
+SELECT p_partkey, p_brand, p_size, round(p_retailprice, 2) AS price
+FROM part
+WHERE p_size BETWEEN 10 AND 20
+  AND p_brand IN ('Brand#1', 'Brand#7', 'Brand#13', 'Brand#19')
+  AND p_name LIKE '%e%'
+  AND p_retailprice IS NOT NULL
+  AND p_type <> 'PROMO'
+ORDER BY p_partkey
 """

@@ -28,6 +28,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from luxo_rs_spark.operators.asof import asof_join
+from luxo_rs_spark.operators.topk import top_k, top_k_per_group
 from luxo_rs_spark.sources.registry import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -50,6 +52,17 @@ def _r2(col) -> F.Column:
     return F.round(col, 2)
 
 
+def _avg4(col) -> F.Column:
+    """Deterministic cross-engine average: round the sum to cents first
+    (absorbing engine-specific summation-order ulps), then divide and DO
+    NOT round again — IEEE division of identical doubles is bit-identical
+    on every engine, while a final round() can flip on half-boundaries
+    because Spark (BigDecimal half-up on the shortest decimal string) and
+    DuckDB round the same double differently (SURVEY.md §7 float
+    determinism mitigation)."""
+    return _r2(F.sum(col)) / F.count(col)
+
+
 # ---------------------------------------------------------------------------
 # Q01 — pricing summary (TPC-H Q1 adapted): scan -> filter -> agg -> sort.
 # The filter is a range predicate on an ordered key — the job the
@@ -70,10 +83,691 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
             _r2(F.sum(disc_price)).alias("sum_disc_price"),
             _r2(F.sum(charge)).alias("sum_charge"),
-            _r2(F.avg("l_quantity")).alias("avg_qty"),
-            _r2(F.avg("l_extendedprice")).alias("avg_price"),
-            _r2(F.avg("l_discount")).alias("avg_disc"),
+            _avg4("l_quantity").alias("avg_qty"),
+            _avg4("l_extendedprice").alias("avg_price"),
+            _avg4("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q02 — inner equi-join chain over the dimension hierarchy.
+# region (5 rows) and nation (25 rows) are KB-sized: Catalyst broadcasts
+# them (AQE would anyway); the only shuffle is the final groupBy, and the
+# partial aggregation happens map-side.
+# ---------------------------------------------------------------------------
+@query("q02_join_chain")
+def q02_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.join(
+            F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _r2(F.sum("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q03 — anti join: customers with no orders, per market segment.
+# left_anti is the NOT EXISTS rewrite (SURVEY.md §2.2-C); at scale this
+# is a broadcast/shuffled hash anti-join on the distinct order keys.
+# ---------------------------------------------------------------------------
+@query("q03_anti_join")
+def q03_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q04 — semi join: orders having at least one heavy lineitem.
+# left_semi = IN/EXISTS subquery rewrite; the qty filter is pushed into
+# the lineitem parquet scan before the join.
+# ---------------------------------------------------------------------------
+@query("q04_semi_join")
+def q04_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    heavy = lineitem.filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q05 — range join against an in-memory bucket-bounds table (SURVEY.md
+# §2.2-A in-memory ctor + §2.2-C range join). The 3-row bounds side is
+# broadcast, so the non-equi predicate is evaluated as a broadcast
+# nested-loop join — the right plan when one side is tiny.
+# ---------------------------------------------------------------------------
+@query("q05_range_join")
+def q05_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    buckets = spark.createDataFrame(
+        [("small", 1, 17), ("medium", 17, 34), ("large", 34, 51)],
+        "bucket_name string, lo int, hi int",
+    )
+    return (
+        part.join(
+            F.broadcast(buckets),
+            (part.p_size >= buckets.lo) & (part.p_size < buckets.hi),
+        )
+        .groupBy("bucket_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            _avg4("p_retailprice").alias("avg_price"),
+        )
+        .orderBy("bucket_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q06 — as-of join (reference greatest_not_exceeding semantics,
+# src/algo/search.rs:51-80): for each event, the latest order date of
+# the same customer at-or-before the event time.
+# ---------------------------------------------------------------------------
+@query("q06_asof_join")
+def q06_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        probe_time="ts",
+        build_time="o_orderdate",
+        payload={"o_orderdate": "asof_date"},
+    )
+    return joined.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("asof_date").alias("asof_order_date_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q07 — ROLLUP with grouping flags (§2.2-D). HashAggregateExec expands
+# the grouping sets map-side; one shuffle.
+# ---------------------------------------------------------------------------
+@query("q07_rollup")
+def q07_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("bigint").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("bigint").alias("g_st"),
+            F.count(F.lit(1)).alias("n_orders"),
+            _r2(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .select(
+            "g_pri",
+            "g_st",
+            "o_orderpriority",
+            "o_orderstatus",
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy(
+            "g_pri",
+            "g_st",
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q08 — exact COUNT(DISTINCT) per group (§2.2-D). Catalyst plans this as
+# a two-phase expand + aggregate; both distincts share one pass.
+# ---------------------------------------------------------------------------
+@query("q08_count_distinct")
+def q08_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q09 — top-k per group via the window operator; Spark's rank-limit
+# pushdown (WindowGroupLimit) keeps only k rows per group per partition.
+# ---------------------------------------------------------------------------
+@query("q09_topk_per_group")
+def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        top_k_per_group(
+            orders,
+            group_by=["o_custkey"],
+            order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+            k=3,
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            _r2(F.col("o_totalprice")).alias("total_price"),
+            "rn",
+        )
+        .orderBy("o_custkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — window frames over daily order totals: 7-row moving average,
+# running sum, lag (§2.2-E). One shuffle for the daily agg, then a
+# single-partition ordered window over ~2.4k rows (days), which is fine
+# at any fact-table scale because the window input is already reduced.
+# ---------------------------------------------------------------------------
+@query("q10_window_frames")
+def q10_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum("o_totalprice").alias("total"))
+    w = Window.orderBy("d")
+    return daily.select(
+        F.col("d").cast("string").alias("day"),
+        (
+            _r2(F.sum("total").over(w.rowsBetween(-6, Window.currentRow)))
+            / F.count("total").over(w.rowsBetween(-6, Window.currentRow))
+        ).alias("mov_avg_7d"),
+        _r2(
+            F.sum("total").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        ).alias("run_sum"),
+        _r2(F.lag("total", 1).over(w)).alias("prev_total"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Q11 — set operations (§2.2-G): nations that have customers vs nations
+# that have suppliers.
+# ---------------------------------------------------------------------------
+@query("q11_set_ops")
+def q11_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = customer.select(F.col("c_nationkey").alias("nationkey"))
+    s = supplier.select(F.col("s_nationkey").alias("nationkey"))
+    both = c.intersect(s).select(F.lit("both").alias("tag"), "nationkey")
+    # subtract == EXCEPT DISTINCT (exceptAll keeps multiplicity, §2.2-G)
+    c_only = c.subtract(s).select(F.lit("cust_only").alias("tag"), "nationkey")
+    return both.unionByName(c_only).orderBy("tag", "nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Q12 — string-function battery (§2.2-H) over part.
+# Everything stays in whole-stage codegen: no UDFs.
+# ---------------------------------------------------------------------------
+@query("q12_string_battery")
+def q12_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.upper("p_name").alias("up"),
+            F.lower("p_brand").alias("lo"),
+            F.length("p_name").cast("bigint").alias("len"),
+            F.substring("p_type", 1, 4).alias("sub4"),
+            F.concat_ws("|", "p_brand", "p_type").alias("joined"),
+            F.regexp_replace("p_name", " ", "_").alias("underscored"),
+            F.lpad("p_brand", 12, ".").alias("lpadded"),
+            F.rpad("p_type", 10, ".").alias("rpadded"),
+            F.trim(F.concat(F.lit("  "), "p_name", F.lit("  "))).alias("trimmed"),
+            F.instr("p_name", "e").cast("bigint").alias("pos_e"),
+            F.split("p_name", " ").getItem(0).alias("first_word"),
+            F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_token"),
+            F.col("p_name").like("%ring%").cast("int").alias("has_ring"),
+            F.col("p_name").rlike("^(red|blue)").cast("int").alias("rb_prefix"),
+            F.col("p_name").contains("bolt").cast("int").alias("has_bolt"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — math-function battery (§2.2-H) over part.
+# ---------------------------------------------------------------------------
+@query("q13_math_battery")
+def q13_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            _r2(F.sqrt("p_retailprice")).alias("sqrt_price"),
+            _r2(F.pow(F.col("p_size"), F.lit(2))).alias("size_sq"),
+            F.abs(F.col("p_size") - 25).cast("bigint").alias("abs_off"),
+            F.floor(F.col("p_retailprice")).cast("bigint").alias("floor_price"),
+            F.ceil(F.col("p_retailprice")).cast("bigint").alias("ceil_price"),
+            _r2(F.log("p_retailprice")).alias("ln_price"),
+            _r2(F.log10("p_retailprice")).alias("log10_price"),
+            F.signum(F.col("p_size") - 25).cast("bigint").alias("sign_off"),
+            (F.col("p_partkey") % 7).cast("bigint").alias("mod7"),
+            F.greatest(F.col("p_size"), F.lit(25)).cast("bigint").alias("gst"),
+            F.least(F.col("p_size"), F.lit(25)).cast("bigint").alias("lst"),
+            _r2(F.bround(F.col("p_retailprice") / 1000, 1)).alias("br"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — date/time battery (§2.2-H) over orders. dow is emitted as ISO
+# (Mon=1..Sun=7) since engines disagree on week-start conventions.
+# ---------------------------------------------------------------------------
+@query("q14_date_battery")
+def q14_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return (
+        orders.filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.year(d).cast("bigint").alias("y"),
+            F.month(d).cast("bigint").alias("m"),
+            F.dayofmonth(d).cast("bigint").alias("dom"),
+            (F.weekday(d) + 1).cast("bigint").alias("dow_iso"),
+            F.date_add(d.cast("date"), 30).cast("string").alias("plus30"),
+            F.add_months(d.cast("date"), 2).cast("string").alias("plus2mo"),
+            F.datediff(F.lit("1999-01-01").cast("date"), d.cast("date"))
+            .cast("bigint")
+            .alias("days_to_1999"),
+            F.date_trunc("month", d).cast("date").cast("string").alias("month_start"),
+            F.unix_micros(d).alias("date_us"),
+            F.quarter(d).cast("bigint").alias("qtr"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — JSON extraction (§2.2-H) over events.props.
+# get_json_object stays JVM-side (Jackson), no UDF.
+# ---------------------------------------------------------------------------
+@query("q15_json_extract")
+def q15_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            _r2(F.avg(k)).alias("avg_k"),
+            F.max(k).alias("max_k"),
+            F.min(k).alias("min_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — array ops + higher-order functions (§2.2-H) over embeddings.
+# aggregate() with a DOUBLE accumulator folds sequentially — the same
+# left-to-right order DuckDB uses, so sums are bit-comparable.
+# ---------------------------------------------------------------------------
+@query("q16_array_ops")
+def q16_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vsum = F.aggregate(
+        "embedding",
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    return (
+        emb.filter(F.col("vec_id") < 100)
+        .select(
+            "vec_id",
+            F.size("embedding").cast("bigint").alias("dim"),
+            F.round(vsum / F.size("embedding"), 4).alias("mean_comp"),
+            F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_comp"),
+            F.round(F.element_at("embedding", -1).cast("double"), 4).alias("last_comp"),
+            F.round(F.array_max("embedding").cast("double"), 4).alias("max_comp"),
+            F.round(F.array_min("embedding").cast("double"), 4).alias("min_comp"),
+            F.round(
+                F.element_at(F.sort_array("embedding"), 2).cast("double"), 4
+            ).alias("second_smallest"),
+            F.size(F.filter("embedding", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — pivot (§2.2-D): order counts by status x priority. Pivot values
+# are enumerated explicitly so the plan is a single pass (no values-
+# discovery job) — required practice at 100 TB.
+# ---------------------------------------------------------------------------
+@query("q17_pivot")
+def q17_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    pivoted = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).cast("bigint").alias(f"p{i + 1}")
+            for i, p in enumerate(prios)
+        ],
+    ).orderBy("o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Q18 — global top-k + OFFSET pagination (§2.2-F). orderBy().limit()
+# compiles to TakeOrderedAndProject (per-partition heaps, no full sort).
+# ---------------------------------------------------------------------------
+@query("q18_topk_offset")
+def q18_topk_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(5)
+        .limit(10)
+        .select("o_orderkey", _r2(F.col("o_totalprice")).alias("total_price"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — exact percentiles / stddev / variance per segment (§2.2-D).
+# ---------------------------------------------------------------------------
+@query("q19_percentile_stats")
+def q19_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            # interpolated percentiles of 2-decimal values have <=3
+            # decimals; rounding at 4dp keeps a 0.00005 guard band vs
+            # formula-order ulps (2dp would sit ON the half-cent boundary)
+            F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+            _r2(F.stddev_samp("o_totalprice")).alias("sd_price"),
+            F.round(F.var_pop("o_totalprice") / 1e9, 4).alias("varp_price_g"),
+            _avg4("o_totalprice").alias("avg_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — tumbling window aggregation (§2.2-I), batch-equivalent form of
+# the streaming query (see luxo_rs_spark.streaming): uses the SAME
+# window() operator Structured Streaming uses.
+# ---------------------------------------------------------------------------
+@query("q20_tumbling_window")
+def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r2(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — sliding window aggregation (1h window, 30m slide): each event
+# lands in exactly two windows; window() expands rows before the agg.
+# ---------------------------------------------------------------------------
+@query("q21_sliding_window")
+def q21_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _avg4("value").alias("avg_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n",
+            "avg_value",
+        )
+        .orderBy("window_start_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — session windows per user, 5 minute gap (§2.2-I). Batch-mode
+# session_window — the identical operator Structured Streaming uses with
+# a watermark; sessions close when the gap to the next event is >= 5min.
+# ---------------------------------------------------------------------------
+@query("q22_session_window")
+def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "5 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _r2(F.sum("value")).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q23 — min_by / max_by (§2.2-D) with a deterministic composite ordering
+# key (price cents * 1e6 + orderkey, exact in BIGINT) so ties can't
+# produce engine-dependent winners.
+# ---------------------------------------------------------------------------
+@query("q23_first_last_by")
+def q23_first_last_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rank_key = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * 1000000
+        + F.col("o_orderkey")
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", rank_key).alias("top_order"),
+            F.min_by("o_orderkey", rank_key).alias("bottom_order"),
+            _r2(F.max("o_totalprice")).alias("max_price"),
+            _r2(F.min("o_totalprice")).alias("min_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q24 — collect_list / collect_set with canonical ordering (§2.2-D);
+# emitted as joined strings so the oracle hash is stable.
+# ---------------------------------------------------------------------------
+@query("q24_collect_list")
+def q24_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 30)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("l_linenumber")), ","
+            ).alias("linenumbers"),
+            F.array_join(
+                F.sort_array(F.collect_set("l_returnflag")), ","
+            ).alias("flags"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — GROUPING SETS via the SQL surface (engine.sql path, SURVEY.md
+# §3.2 entry 1).
+# ---------------------------------------------------------------------------
+@query("q25_grouping_sets")
+def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT cast(grouping(c_mktsegment) AS BIGINT) AS g_seg,
+               cast(grouping(n_name) AS BIGINT)       AS g_nat,
+               c_mktsegment, n_name,
+               count(*)                               AS n,
+               round(sum(c_acctbal), 2)               AS sum_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (n_name), (c_mktsegment, n_name), ())
+        ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q26 — theta join (§2.2-C): equi on nation + inequality on balance.
+# Catalyst plans the equi part as the join key and the inequality as a
+# post-join filter — NOT a cartesian product.
+# ---------------------------------------------------------------------------
+@query("q26_theta_join")
+def q26_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        supplier.join(
+            customer,
+            (supplier.s_nationkey == customer.c_nationkey)
+            & (supplier.s_acctbal > customer.c_acctbal),
+        )
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            _avg4(supplier.s_acctbal - customer.c_acctbal).alias("avg_gap"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q27 — CASE WHEN / COALESCE / NULLIF battery (§2.2-B) with 3VL.
+# ---------------------------------------------------------------------------
+@query("q27_case_coalesce")
+def q27_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_band = (
+        F.when(F.col("l_discount") >= 0.08, "high")
+        .when(F.col("l_discount") >= 0.04, "mid")
+        .otherwise("low")
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(disc_band == "high", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_high"),
+            F.sum(F.when(disc_band == "mid", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_mid"),
+            _r2(
+                F.sum(
+                    F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.lit(0.01))
+                    * F.col("l_extendedprice")
+                )
+            ).alias("adj_disc_value"),
+            F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_notax"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q28 — deterministic dedup (§2.2-I batch form of stateful dedup): first
+# event per (user_id, event_type) by (ts, event_id). The window form is
+# what dropDuplicates cannot give you: a *deterministic* survivor.
+# ---------------------------------------------------------------------------
+@query("q28_event_dedup")
+def q28_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.unix_micros("ts").alias("first_ts_us"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q29 — predicate battery (§2.2-B): BETWEEN / IN / LIKE / IS NULL / 3VL
+# combinators, all pushed to the parquet scan where possible.
+# ---------------------------------------------------------------------------
+@query("q29_predicates")
+def q29_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_size").between(10, 20)
+            & F.col("p_brand").isin("Brand#1", "Brand#7", "Brand#13", "Brand#19")
+            & F.col("p_name").like("%e%")
+            & F.col("p_retailprice").isNotNull()
+            & (F.col("p_type") != "PROMO")
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            _r2(F.col("p_retailprice")).alias("price"),
+        )
+        .orderBy("p_partkey")
     )
