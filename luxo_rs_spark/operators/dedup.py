@@ -1,0 +1,299 @@
+"""Deduplication operators (SURVEY.md §2.2-K): exact, n-gram Jaccard,
+MinHash-LSH, SimHash.
+
+All four tiers of the training-data dedup ladder, Spark-first:
+
+- **exact**: content-hash groupBy using the reference-exact ``fnv1a64``
+  (hashing text is FNV1a's classic job, reference src/algo.rs:3).
+- **n-gram Jaccard**: the exact near-dup ground truth — shingle-explode
+  + equi-join on shingle + per-pair intersection counts. This IS the
+  scalable formulation (one shuffle on shingle, one on pair); what makes
+  it expensive at 100 TB is the candidate-pair blowup on hot shingles,
+  which is exactly what MinHash-LSH fixes.
+- **MinHash-LSH**: 128 seeded permutations (seeded ``create_init``
+  construction, reference src/algo/fnv1a.rs:26-28) -> 32 bands x 4 rows
+  -> band-bucket equi-join for candidates -> exact Jaccard verify on
+  candidates only. With s=0.8, P(miss) = (1-0.8^4)^32 ~ 5e-8, so the
+  verified output equals the exact operator's with near-certainty while
+  doing ~|candidates| << N^2 work.
+- **SimHash**: 64-bit sign-aggregated fingerprint; near-dup pairs by
+  Hamming distance <= k via the pigeonhole band join (4 x 16-bit chunks:
+  any pair with Hamming <= 3 shares at least one chunk).
+
+Scale notes: every stage is joins/aggs on (doc_id | shingle | band)
+keys — AQE-skew-joinable shuffles, no driver-side state. The only
+Python is the vectorized hash UDFs (Arrow batches, numpy uint64).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from luxo_rs_spark.functions.fnv1a import (
+    FNV_OFFSET_BASIS,
+    FNV_PRIME,
+    fnv1a64_col,
+    fnv1a64_int_py,
+)
+from luxo_rs_spark.functions.text import shingles
+
+_U64_PRIME = np.uint64(FNV_PRIME)
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_stats(
+    df: DataFrame, text_col: str = "text", by: str | None = None
+) -> DataFrame:
+    """Per-group document counts vs distinct-content counts (content
+    identity = fnv1a64 of the text)."""
+    h = fnv1a64_col(text_col).alias("__h")
+    keys = [by] if by else []
+    return (
+        df.select(*keys, h)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("__h").alias("n_unique"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one deterministic survivor (min id) per distinct content."""
+    h = fnv1a64_col(text_col).alias("__h")
+    survivors = (
+        df.select(F.col(id_col), h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(survivors, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact near-dup ground truth)
+# ---------------------------------------------------------------------------
+
+
+def shingle_table(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(id, shingle) rows, distinct shingles per doc."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(text_col, n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (da < db, jac >= threshold).
+
+    When `candidates` (da, db) is given, the pair space is restricted to
+    it — the MinHash-LSH path; otherwise all pairs sharing >= 1 shingle
+    are scored (exact path).
+    Returns (da, db, jac DOUBLE) — jac is exact-rational int division,
+    bit-identical across engines.
+    """
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    pairs = a.join(b, ["shingle"]).filter(F.col("da") < F.col("db"))
+    if candidates is not None:
+        pairs = pairs.join(F.broadcast(candidates), ["da", "db"], "left_semi")
+    inter = pairs.groupBy("da", "db").agg(F.count(F.lit(1)).alias("n_inter"))
+    na = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("n_a"))
+    nb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(na, "da")
+        .join(nb, "db")
+        .withColumn(
+            "jac",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jac") >= threshold)
+        .select("da", "db", "jac")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 128
+LSH_BANDS = 32
+LSH_ROWS = NUM_PERM // LSH_BANDS  # 4
+
+#: permutation seeds: seed_i = fnv1a64(i as i64) — the seeded-hasher
+#: construction the reference exposes via create_init (fnv1a.rs:26-28)
+_PERM_SEEDS = np.array(
+    [fnv1a64_int_py(i, 8) for i in range(NUM_PERM)], dtype=np.uint64
+)
+
+
+from pyspark.sql.types import ArrayType, LongType
+
+
+@pandas_udf(ArrayType(LongType()))
+def _perm_hashes(base: pd.Series) -> pd.Series:
+    """For each base shingle hash, the NUM_PERM seeded FNV-1a re-hashes
+    of its LE bytes: h_i = fnv1a64(le_bytes(base), seed=seed_i)."""
+    v = base.to_numpy(dtype=np.int64).view(np.uint64)  # (n,)
+    n = len(v)
+    states = np.broadcast_to(_PERM_SEEDS, (n, NUM_PERM)).copy()  # (n, P)
+    for k in range(8):
+        byte = ((v >> np.uint64(8 * k)) & np.uint64(0xFF))[:, None]
+        states = (states ^ byte) * _U64_PRIME
+    signed = states.view(np.int64)
+    return pd.Series(list(signed))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, m0..m127): per-doc minimum of each permuted shingle hash.
+
+    Elementwise-min is expressed as 128 JVM-side MIN aggregates over
+    array slots — map-side partial aggregation collapses each partition
+    to one row per doc before the shuffle.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    base = sh.select("doc_id", fnv1a64_col("shingle").alias("h"))
+    sig = base.select("doc_id", _perm_hashes("h").alias("ph"))
+    mins = [
+        F.min(F.element_at("ph", i + 1)).alias(f"m{i}") for i in range(NUM_PERM)
+    ]
+    return sig.groupBy("doc_id").agg(*mins)
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Candidate (da, db) pairs sharing at least one LSH band bucket.
+
+    Band bucket = xxhash64 over the band's 4 signature slots (engine-
+    internal hashing may use Spark built-ins per SURVEY.md §2.1 R4 —
+    fnv1a is only required where the reference contract pins it).
+    """
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    exploded = signatures.select(
+        "doc_id", F.posexplode(bands).alias("band", "bucket")
+    )
+    a = exploded.select(F.col("doc_id").alias("da"), "band", "bucket")
+    b = exploded.select(F.col("doc_id").alias("db"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """LSH candidates -> exact-Jaccard verification (same output contract
+    as the exact operator; recall ~ 1 - (1-t^4)^32)."""
+    sig = minhash_signatures(df, id_col, text_col, n)
+    cands = lsh_candidate_pairs(sig)
+    return jaccard_pairs(
+        df, threshold, id_col, text_col, n, candidates=cands
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+_CHUNKS = 4  # 16-bit chunks -> catches Hamming <= 3 exactly (pigeonhole)
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, simhash BIGINT): sign-aggregate of shingle hash bits."""
+    sh = shingle_table(df, id_col, text_col, n)
+    base = sh.select("doc_id", fnv1a64_col("shingle").alias("h"))
+
+    def agg_sim(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        bits = (v[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        votes = np.where(bits == 1, 1, -1).sum(axis=0)
+        out = np.uint64(0)
+        for i in range(64):
+            if votes[i] > 0:
+                out |= np.uint64(1) << np.uint64(i)
+        return pd.DataFrame(
+            {"doc_id": [pdf["doc_id"].iloc[0]], "simhash": [np.int64(out)]}
+        )
+
+    return base.groupBy("doc_id").applyInPandas(
+        agg_sim, "doc_id long, simhash long"
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via chunk band join.
+
+    max_hamming must be < _CHUNKS for exact recall (pigeonhole).
+    Returns (da, db, hamming BIGINT).
+    """
+    if max_hamming >= _CHUNKS:
+        raise ValueError("max_hamming must be < number of chunks (4)")
+    sig = simhash(df, id_col, text_col, n)
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+            for c in range(_CHUNKS)
+        ]
+    )
+    exploded = sig.select(
+        "doc_id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("da"), F.col("simhash").alias("sa"), "chunk_idx", "chunk"
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("db"), F.col("simhash").alias("sb"), "chunk_idx", "chunk"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .select("da", "db", F.col("hamming").cast("bigint").alias("hamming"))
+    )

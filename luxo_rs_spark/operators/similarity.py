@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (SURVEY.md §2.2-K).
+
+- ``cosine_topk``: exact brute-force top-k — the correctness baseline.
+  One broadcast of the query vector, one map-side cosine per row, then
+  TakeOrderedAndProject. O(N) per query, embarrassingly parallel.
+- ``embedding_neardup_pairs``: exact all-pairs near-dup within a
+  blocking key (default: the label column). Blocking turns the O(N^2)
+  cross join into an equi-join + per-block pair scoring — the standard
+  scale move when a cheap partition key correlates with similarity.
+- ``ann_lsh_topk``: the sub-linear path — random-hyperplane LSH:
+  seeded numpy planes -> sign-bit signature per vector (one vectorized
+  pandas UDF) -> candidates share the signature bucket (probing the
+  query's bucket plus all 1-bit-flip neighbors) -> exact cosine re-rank
+  of candidates. Approximate: recall depends on n_planes/probes
+  (measured in tests/test_similarity.py), hence no DuckDB oracle entry.
+
+100 TB notes: brute-force top-k is one scan, no shuffle (query vector
+broadcast). The LSH variant turns that scan into a bucket-pruned probe:
+with b planes, ~N/2^b * (1+b) candidates per query. Signatures are
+computed once and persist as a column; at petabyte scale you'd bucket
+the table BY signature so probes become partition-pruned reads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from luxo_rs_spark.functions.vectors import cosine
+
+
+def cosine_topk(
+    emb: DataFrame,
+    target_id: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of `target_id` (excluded itself).
+
+    Returns (vec_id, sim DOUBLE) ordered by (-sim, vec_id).
+    """
+    target = emb.filter(F.col(id_col) == target_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    return (
+        emb.crossJoin(F.broadcast(target))
+        .filter(F.col(id_col) != target_id)
+        .select(
+            id_col,
+            cosine(F.col(vec_col), F.col("__q")).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact near-dup pairs (va < vb, sim >= threshold) within blocks.
+
+    The block equi-join bounds the pair space; emit (va, vb, sim).
+    """
+    a = emb.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("va"),
+        F.col(vec_col).alias("__ea"),
+    )
+    b = emb.select(
+        F.col(block_col).alias("__blk"),
+        F.col(id_col).alias("vb"),
+        F.col(vec_col).alias("__eb"),
+    )
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            cosine(F.col("__ea"), F.col("__eb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def _make_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def _signature_udf(planes: np.ndarray):
+    @pandas_udf("long")
+    def sig(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy())  # (n, dim) float
+        bits = mat.astype(np.float64) @ planes.T > 0  # (n, n_planes)
+        weights = (1 << np.arange(planes.shape[0], dtype=np.int64))
+        return pd.Series(bits @ weights)
+
+    return sig
+
+
+def add_lsh_signature(
+    emb: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    sig_col: str = "lsh_sig",
+) -> DataFrame:
+    """Attach the hyperplane sign-bit signature column (bucket id)."""
+    planes = _make_planes(dim, n_planes, seed)
+    return emb.withColumn(sig_col, _signature_udf(planes)(F.col(vec_col)))
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    target_id: int,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+    probe_radius: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: multiprobe the target's bucket and every
+    bucket within `probe_radius` bit flips, exact-cosine re-rank the
+    candidates. For random gaussian data, a plane agrees with a
+    cosine-s neighbor w.p. 1-acos(s)/pi; radius-2 multiprobe at 6
+    planes recalls ~2/3 of cosine-0.5 neighbors while scanning
+    ~22/64ths of the table's buckets."""
+    signed = add_lsh_signature(emb, dim, n_planes, seed, vec_col).cache()
+    target = signed.filter(F.col(id_col) == target_id).select(
+        F.col(vec_col).alias("__q"), F.col("lsh_sig").alias("__qsig")
+    )
+    flips = [0] + [1 << p for p in range(n_planes)]
+    if probe_radius >= 2:
+        flips += [
+            (1 << p) | (1 << q)
+            for p in range(n_planes)
+            for q in range(p + 1, n_planes)
+        ]
+    probes = F.array(
+        *[F.col("__qsig").bitwiseXOR(F.lit(m)) for m in flips]
+    )
+    return (
+        signed.crossJoin(F.broadcast(target))
+        .filter(
+            (F.col(id_col) != target_id)
+            & F.array_contains(probes, F.col("lsh_sig"))
+        )
+        .select(id_col, cosine(F.col(vec_col), F.col("__q")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

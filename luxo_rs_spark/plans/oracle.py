@@ -372,3 +372,127 @@ WHERE p_size BETWEEN 10 AND 20
   AND p_type <> 'PROMO'
 ORDER BY p_partkey
 """
+
+ORACLE_SQL["q30_dedup_exact"] = """
+SELECT source, count(*) AS n_docs, count(DISTINCT text) AS n_unique
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+_JACCARD_PAIRS_SQL = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+  FROM w WHERE len(words) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da, db,
+       round(n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter), 4) AS jac
+FROM inter JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.8
+ORDER BY da, db
+"""
+
+ORACLE_SQL["q31_ngram_jaccard_neardup"] = _JACCARD_PAIRS_SQL
+# the LSH path must reproduce the exact operator's output
+ORACLE_SQL["q32_minhash_lsh_neardup"] = _JACCARD_PAIRS_SQL
+
+ORACLE_SQL["q34_cosine_topk"] = """
+WITH t AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 1)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q::DOUBLE[])
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))), 4) AS sim
+FROM embeddings, t
+WHERE vec_id <> 1
+ORDER BY list_dot_product(embedding::DOUBLE[], q::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))) DESC, vec_id
+LIMIT 5
+"""
+
+ORACLE_SQL["q35_embedding_neardup"] = """
+SELECT a.vec_id AS va, b.vec_id AS vb,
+       round(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.45
+ORDER BY va, vb
+"""
+
+_STOP = {
+    "en": "['the','a','of','and','to','in','is','it']",
+    "de": "['der','die','das','und','ist','ein','nicht','mit']",
+    "es": "['el','la','de','que','y','en','un','es']",
+    "fr": "['le','la','de','et','un','est','que','pour']",
+}
+
+ORACLE_SQL["q37_lang_id"] = f"""
+WITH scored AS (
+  SELECT lang,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), {_STOP["en"]})) AS s_en,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), {_STOP["de"]})) AS s_de,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), {_STOP["es"]})) AS s_es,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), {_STOP["fr"]})) AS s_fr
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE
+           WHEN s_en > 0 AND s_en >= greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+           WHEN s_de > 0 AND s_de >= greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+           WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+           WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+           ELSE 'und'
+         END AS pred_lang
+  FROM scored
+)
+SELECT lang, pred_lang, count(*) AS n
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang
+"""
+
+ORACLE_SQL["q38_quality_score"] = f"""
+WITH m AS (
+  SELECT doc_id,
+         cast(length(text) AS BIGINT) AS n_chars_calc,
+         cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words,
+         cast(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS nonspace,
+         cast(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         cast(len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), {_STOP["en"]})) AS BIGINT) AS stop_hits
+  FROM documents
+  WHERE doc_id < 300
+)
+SELECT doc_id, n_chars_calc, n_words,
+       nonspace * 1.0 / n_words           AS avg_word_len,
+       stop_hits * 1.0 / n_words          AS stopword_ratio,
+       least(n_words / 100.0, 1.0) * 0.5
+         + least(stop_hits * 1.0 / n_words * 10, 1.0) * 0.3
+         + (1.0 - least(n_punct * 1.0 / n_chars_calc * 10, 1.0)) * 0.2 AS quality
+FROM m
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["q39_token_count"] = """
+SELECT source,
+       cast(sum(len(regexp_split_to_array(lower(trim(text)), '\\s+'))) AS BIGINT) AS sum_words,
+       cast(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))) AS BIGINT) AS sum_tokens,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

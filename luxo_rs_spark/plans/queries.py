@@ -771,3 +771,203 @@ def q29_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q30 — exact dedup stats per source (§2.2-K). Spark side counts
+# distinct fnv1a64(text); the oracle counts distinct raw text — equal
+# iff no 64-bit collisions (astronomically unlikely; both asserted).
+# ---------------------------------------------------------------------------
+@query("q30_dedup_exact")
+def q30_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import exact_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_dedup_stats(docs, text_col="text", by="source")
+        .select("source", "n_docs", "n_unique")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q31 — exact n-gram-Jaccard near-dup pairs (threshold 0.8). The
+# ground-truth operator the LSH path (q32) must reproduce.
+# ---------------------------------------------------------------------------
+@query("q31_ngram_jaccard_neardup")
+def q31_ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        jaccard_pairs(docs, threshold=0.8)
+        .select("da", "db", F.round("jac", 4).alias("jac"))
+        .orderBy("da", "db")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q32 — MinHash-LSH near-dup (128 perms, 32 bands x 4 rows) with exact
+# verification; same output contract (and same oracle) as Q31 — the
+# LSH stage only prunes the candidate space (P(miss)@0.8 ~ 5e-8).
+# ---------------------------------------------------------------------------
+@query("q32_minhash_lsh_neardup")
+def q32_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import minhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        minhash_neardup_pairs(docs, threshold=0.8)
+        .select("da", "db", F.round("jac", 4).alias("jac"))
+        .orderBy("da", "db")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q33 — SimHash near-dup pairs (Hamming <= 3). fnv1a64-derived bits are
+# not expressible in ANSI SQL -> rows-only check; semantics pinned by
+# tests/test_dedup.py.
+# ---------------------------------------------------------------------------
+@query("q33_simhash_neardup")
+def q33_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(docs, max_hamming=3).orderBy("da", "db")
+
+
+NO_ORACLE.add("q33_simhash_neardup")
+
+
+# ---------------------------------------------------------------------------
+# Q34 — exact brute-force cosine top-5 of vec_id=1 (§2.2-K similarity
+# baseline).
+# ---------------------------------------------------------------------------
+@query("q34_cosine_topk")
+def q34_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, target_id=1, k=5).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q35 — exact embedding near-dup pairs within label blocks (cosine >=
+# 0.45; fixtures top out ~0.51).
+# ---------------------------------------------------------------------------
+@query("q35_embedding_neardup")
+def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_neardup_pairs(emb, threshold=0.45, block_col="label")
+        .select("va", "vb", F.round("sim", 4).alias("sim"))
+        .orderBy("va", "vb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q36 — ANN via random-hyperplane LSH (approximate -> rows-only check;
+# recall vs the exact operator measured in tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+@query("q36_ann_lsh_topk")
+def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(emb, target_id=1, k=5).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
+NO_ORACLE.add("q36_ann_lsh_topk")
+
+
+# ---------------------------------------------------------------------------
+# Q37 — language-ID heuristic (stopword votes, fixed tiebreak) cross-
+# tabulated against the labeled lang column.
+# ---------------------------------------------------------------------------
+@query("q37_lang_id")
+def q37_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", lang_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q38 — quality scoring: length/punct/stopword ratios + composite
+# score. All ratios are exact-integer divisions -> bit-identical
+# doubles, no rounding needed.
+# ---------------------------------------------------------------------------
+@query("q38_quality_score")
+def q38_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import quality_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics("text")
+    return (
+        docs.filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            m["n_chars"].alias("n_chars_calc"),
+            m["n_words"].alias("n_words"),
+            m["avg_word_len"].alias("avg_word_len"),
+            m["stopword_ratio"].alias("stopword_ratio"),
+            m["quality"].alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q39 — token counting: whitespace words + BPE-ish regex tokens, per
+# source (§2.2-K).
+# ---------------------------------------------------------------------------
+@query("q39_token_count")
+def q39_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import token_count, word_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("source", word_count("text").alias("w"), token_count("text").alias("t"))
+        .groupBy("source")
+        .agg(
+            F.sum("w").alias("sum_words"),
+            F.sum("t").alias("sum_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q40 — document fingerprinting: min/max fnv1a64 over shingles (the
+# MinHash-1 "winnowing-lite" fingerprint). fnv1a64-based -> rows-only;
+# semantics pinned by tests/test_dedup.py golden values.
+# ---------------------------------------------------------------------------
+@query("q40_fingerprint")
+def q40_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import shingle_table
+
+    from luxo_rs_spark.functions.fnv1a import fnv1a64_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs)
+    return (
+        sh.select("doc_id", fnv1a64_col("shingle").alias("h"))
+        .groupBy("doc_id")
+        .agg(F.min("h").alias("fp_min"), F.max("h").alias("fp_max"))
+        .orderBy("doc_id")
+    )
+
+
+NO_ORACLE.add("q40_fingerprint")

@@ -1,0 +1,135 @@
+"""Semantics tests for dedup operators (exact/jaccard/minhash/simhash).
+
+Boundary-case style per the reference's tests (first/last/middle/
+absent/empty fixtures — reference src/algo/search.rs:126-373 pattern,
+FIXTURES.md §2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from luxo_rs_spark.functions.fnv1a import fnv1a64_bytes_py
+from luxo_rs_spark.operators.dedup import (
+    NUM_PERM,
+    exact_dedup,
+    exact_dedup_stats,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_neardup_pairs,
+    minhash_signatures,
+    shingle_table,
+    simhash,
+    simhash_neardup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (3, "completely different words entirely here now"),
+        (4, "xy"),  # fewer than 3 words -> zero shingles
+        (5, ""),  # empty text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_id(docs):
+    kept = {r.doc_id for r in exact_dedup(docs).collect()}
+    assert 0 in kept and 2 not in kept  # 2 is a dup of 0, min id survives
+    assert {1, 3, 4, 5} <= kept
+
+
+def test_exact_dedup_stats(docs):
+    row = exact_dedup_stats(docs).collect()[0]
+    assert row.n_docs == 6 and row.n_unique == 5
+
+
+def test_shingles_boundary_cases(docs, spark):
+    sh = shingle_table(docs).groupBy("doc_id").count().collect()
+    counts = {r.doc_id: r["count"] for r in sh}
+    # 9-word doc -> 7 shingles, all distinct
+    assert counts[0] == 7
+    # short and empty docs produce no shingle rows at all
+    assert 4 not in counts and 5 not in counts
+
+
+def test_jaccard_exact_pairs(docs):
+    pairs = {(r.da, r.db): r.jac for r in jaccard_pairs(docs, 0.0).collect()}
+    assert pairs[(0, 2)] == 1.0  # identical docs
+    # docs 0 and 1 share 6 of 8 distinct shingles -> 6/8
+    assert abs(pairs[(0, 1)] - 6 / 8) < 1e-12
+    assert (0, 3) not in pairs  # nothing shared
+
+
+def test_minhash_identical_signatures(docs):
+    sig = minhash_signatures(docs).collect()
+    by_id = {r.doc_id: [r[f"m{i}"] for i in range(NUM_PERM)] for r in sig}
+    assert by_id[0] == by_id[2]  # identical text -> identical signature
+    assert by_id[0] != by_id[3]
+
+
+def test_lsh_candidates_contain_neardups(docs):
+    cands = {
+        (r.da, r.db)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+    assert (0, 2) in cands
+    assert (0, 1) in cands  # jaccard 0.56 -> found w/ 32x4 bands virtually always
+
+
+def test_minhash_pipeline_matches_exact(docs):
+    exact = {
+        (r.da, r.db, round(r.jac, 6))
+        for r in jaccard_pairs(docs, 0.5).collect()
+    }
+    lsh = {
+        (r.da, r.db, round(r.jac, 6))
+        for r in minhash_neardup_pairs(docs, 0.5).collect()
+    }
+    assert exact == lsh
+
+
+def test_simhash_golden_and_pairs(docs):
+    sims = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert sims[0] == sims[2]  # identical docs -> identical fingerprint
+    # near-dup pair found at generous hamming threshold? 0 vs 1 share
+    # most shingles; their simhashes must be closer than 0 vs 3
+    ham = lambda a, b: bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(sims[0], sims[1]) < ham(sims[0], sims[3])
+    pairs = {
+        (r.da, r.db): r.hamming
+        for r in simhash_neardup_pairs(docs, max_hamming=3).collect()
+    }
+    assert pairs[(0, 2)] == 0
+
+
+def test_simhash_rejects_wide_hamming(docs):
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(docs, max_hamming=4)
+
+
+def test_fingerprint_golden(spark):
+    """q40's fp_min/fp_max are min/max fnv1a64 over 3-gram shingles —
+    pin one value against the scalar reference implementation."""
+    df = spark.createDataFrame(
+        [(0, "a b c d")], "doc_id long, text string"
+    )
+    sh = [b"a b c", b"b c d"]
+    expected = [fnv1a64_bytes_py(s) for s in sh]
+    to_signed = lambda u: u - (1 << 64) if u >= 1 << 63 else u
+    row = (
+        shingle_table(df)
+        .select(
+            F.min(
+                __import__(
+                    "luxo_rs_spark.functions.fnv1a", fromlist=["fnv1a64_col"]
+                ).fnv1a64_col("shingle")
+            ).alias("fp_min")
+        )
+        .collect()[0]
+    )
+    assert row.fp_min == min(to_signed(e) for e in expected)
