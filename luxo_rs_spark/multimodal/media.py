@@ -1,0 +1,215 @@
+"""Multimodal columns at scale (SURVEY.md §2.2-K): image/audio/video as
+opaque BINARY columns + typed metadata, processed via mapInPandas.
+
+The Spark-side plumbing is real and tested: schema, Arrow batch shapes,
+partition-parallel mapInPandas, feature-column production. The actual
+codec work is STUBBED deterministically (this container ships no
+image/audio libraries): media bytes carry a 16-byte fake header
+(kind, width, height, sample_rate) that ``decode_media`` parses, and
+"features" are a seeded hash-projection of the payload. Swapping the
+stub for Pillow/ffmpeg changes ONE function body (`_decode_payload`) —
+the distributed plumbing (schema, batching, partitioning) is identical.
+
+Scale notes (100 TB of media): BINARY columns ride Parquet like any
+other column; mapInPandas streams Arrow record batches through the
+Python worker so peak memory is one batch, not one partition — set
+``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound batch bytes
+for large blobs. Decode is map-side only: no shuffle enters the
+pipeline until a downstream agg/join, so media pipelines scale linearly
+with executors.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: magic prefix of the deterministic fake media container
+_MAGIC = b"LUXM"
+_HEADER_FMT = "<4sBxHHI"  # magic, kind, width, height, sample_rate
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+
+_KINDS = {0: "image", 1: "audio", 2: "video"}
+_KIND_IDS = {v: k for k, v in _KINDS.items()}
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, sample_rate int, "
+    "payload_bytes long, checksum long"
+)
+
+FEATURE_DIM = 16
+FEATURES_SCHEMA = f"media_id long, kind string, features array<float>"
+
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_offset long, frame_bytes long"
+
+
+def synth_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media derived from the documents fixture: the
+    doc text bytes become the payload behind a LUXM header. Exercises
+    BINARY columns + STRUCT metadata end-to-end without codec libs."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                payload = (text or "").encode("utf-8")
+                kind_id = int(doc_id) % 3
+                w, h = (int(doc_id) % 64 + 1) * 16, (int(doc_id) % 48 + 1) * 16
+                sr = 8000 * (int(doc_id) % 4 + 1)
+                header = struct.pack(_HEADER_FMT, _MAGIC, kind_id, w, h, sr)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "kind": _KINDS[kind_id],
+                        "content": header + payload,
+                        "meta": {
+                            "width": w,
+                            "height": h,
+                            "sample_rate": sr,
+                            "n_bytes": len(payload),
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
+
+
+def _decode_payload(content: bytes) -> dict:
+    """THE STUB: parse the fake container. A real build replaces this
+    body with Pillow / libav decode; everything around it is unchanged.
+    Raises on foreign bytes the way a real decoder raises on corrupt
+    input."""
+    if content[:4] != _MAGIC:
+        raise NotImplementedError(
+            "real media decoding is stubbed: only LUXM fake containers "
+            "are decodable in this environment"
+        )
+    magic, kind_id, w, h, sr = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
+    payload = content[_HEADER_SIZE:]
+    return {
+        "kind": _KINDS[kind_id],
+        "width": w,
+        "height": h,
+        "sample_rate": sr,
+        "payload": payload,
+    }
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """content BINARY -> typed decode columns, partition-parallel."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = _decode_payload(bytes(content))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": d["kind"],
+                        "width": d["width"],
+                        "height": d["height"],
+                        "sample_rate": d["sample_rate"],
+                        "payload_bytes": len(d["payload"]),
+                        "checksum": int(
+                            np.frombuffer(
+                                d["payload"].ljust(8, b"\0")[:8], dtype="<u8"
+                            )[0]
+                        )
+                        & 0x7FFFFFFFFFFFFFFF,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(run, DECODED_SCHEMA)
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Deterministic fake feature extraction: seeded random projection
+    of payload byte histograms -> array<float>. Stands in for a vision/
+    audio encoder; batch shape and schema are the real contract."""
+    rng = np.random.default_rng(1234)
+    proj = rng.standard_normal((256, dim)).astype(np.float32)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, mids, kinds = [], [], []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                payload = bytes(content)[_HEADER_SIZE:]
+                hist = np.bincount(
+                    np.frombuffer(payload, dtype=np.uint8), minlength=256
+                ).astype(np.float32)
+                denom = max(len(payload), 1)
+                feats.append((hist / denom) @ proj)
+                mids.append(int(mid))
+                kinds.append(kind)
+            yield pd.DataFrame(
+                {"media_id": mids, "kind": kinds, "features": [f.tolist() for f in feats]}
+            )
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, FEATURES_SCHEMA
+    )
+
+
+def sample_frames(
+    media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
+) -> DataFrame:
+    """Deterministic frame sampling over video payloads: fixed-stride
+    offsets, one row per sampled frame (the explode-shaped output a real
+    frame sampler produces)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, kind, content in zip(
+                pdf["media_id"], pdf["kind"], pdf["content"]
+            ):
+                if kind != "video":
+                    continue
+                payload_len = len(bytes(content)) - _HEADER_SIZE
+                for i in range(min(max_frames, payload_len // every_n_bytes)):
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": i,
+                            "frame_offset": _HEADER_SIZE + i * every_n_bytes,
+                            "frame_bytes": every_n_bytes,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "frame_offset", "frame_bytes"],
+            )
+
+    return media.select("media_id", "kind", "content").mapInPandas(
+        run, FRAMES_SCHEMA
+    )

@@ -1,0 +1,18 @@
+from luxo_rs_spark.streaming.windows import (
+    EVENTS_STREAM_SCHEMA,
+    read_event_stream,
+    session_stats,
+    sliding_stats,
+    tumbling_stats,
+)
+from luxo_rs_spark.streaming.stateful import dedup_stream, running_user_totals
+
+__all__ = [
+    "EVENTS_STREAM_SCHEMA",
+    "read_event_stream",
+    "session_stats",
+    "sliding_stats",
+    "tumbling_stats",
+    "dedup_stream",
+    "running_user_totals",
+]

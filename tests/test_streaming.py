@@ -1,0 +1,170 @@
+"""Stream-vs-batch equivalence (SURVEY.md §5.3 item 4).
+
+A file-source micro-batch run over the events fixture must produce the
+same result as the batch-equivalent query — Spark-vs-Spark, no DuckDB
+needed (streams aren't oracle-expressible)."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from luxo_rs_spark.sources.registry import load_table
+from luxo_rs_spark.streaming import (
+    dedup_stream,
+    read_event_stream,
+    running_user_totals,
+    session_stats,
+    sliding_stats,
+    tumbling_stats,
+)
+
+from conftest import SF_DIR
+
+TMP = Path("/root/repo/.tmp")
+
+
+@pytest.fixture(scope="module")
+def stream_dir():
+    d = TMP / f"stream_in_{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    shutil.copy(f"{SF_DIR}/events.parquet", d / "events.parquet")
+    yield str(d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def run_stream(spark, df, name: str, mode: str):
+    ckpt = TMP / f"ckpt_{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).toPandas()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def canon(pdf, cols):
+    return (
+        pdf[cols]
+        .sort_values(by=cols)
+        .reset_index(drop=True)
+        .astype(str)
+    )
+
+
+def test_stream_source_normalizes_ts(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    assert stream.isStreaming
+
+
+def test_tumbling_stream_equals_batch(spark, engine, stream_dir):
+    got = run_stream(
+        spark, tumbling_stats(read_event_stream(spark, stream_dir)),
+        "tumbling_t", "complete",
+    )
+    from luxo_rs_spark.plans.queries import QUERIES
+
+    want = QUERIES["q20_tumbling_window"](spark, SF_DIR).toPandas()
+    cols = ["window_start_us", "event_type", "n", "sum_value"]
+    assert canon(got, cols).equals(canon(want, cols))
+
+
+def test_sliding_stream_equals_batch(spark, stream_dir):
+    got = run_stream(
+        spark, sliding_stats(read_event_stream(spark, stream_dir)),
+        "sliding_t", "complete",
+    )
+    events = load_table(spark, SF_DIR, "events")
+    want = (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros("w.start").alias("window_start_us"), "n")
+        .toPandas()
+    )
+    cols = ["window_start_us", "n"]
+    assert canon(got, cols).equals(canon(want, cols))
+
+
+def test_session_stream_equals_batch(spark, stream_dir):
+    got = run_stream(
+        spark, session_stats(read_event_stream(spark, stream_dir)),
+        "session_t", "complete",
+    )
+    events = load_table(spark, SF_DIR, "events")
+    want = (
+        events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+        )
+        .toPandas()
+    )
+    cols = ["user_id", "session_start_us", "n_events"]
+    assert canon(got, cols).equals(canon(want, cols))
+
+
+def test_stream_dedup_bounded_state(spark, stream_dir):
+    events = read_event_stream(spark, stream_dir)
+    got = run_stream(
+        spark,
+        dedup_stream(events, ["user_id", "event_type"]).select(
+            "user_id", "event_type", "event_id"
+        ),
+        "dedup_t",
+        "append",
+    )
+    batch = load_table(spark, SF_DIR, "events")
+    # every (user, type, ts) key appears exactly once
+    n_keys = batch.select("user_id", "event_type", "ts").distinct().count()
+    assert len(got) == n_keys
+
+
+def test_stream_static_join(spark, stream_dir):
+    """Stream-static join (§2.2-I roadmap row): enrich the stream with
+    the customer dimension; the static side is re-read per micro-batch."""
+    events = read_event_stream(spark, stream_dir)
+    customer = load_table(spark, SF_DIR, "customer")
+    joined = events.join(
+        customer, events.user_id == customer.c_custkey, "inner"
+    ).select("event_id", "user_id", "c_mktsegment")
+    got = run_stream(spark, joined, "ssjoin_t", "append")
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .join(customer, F.col("user_id") == customer.c_custkey)
+        .count()
+    )
+    assert len(got) == want
+
+
+def test_running_user_totals_stateful(spark, stream_dir):
+    """applyInPandasWithState custom operator: final per-user totals
+    equal the batch aggregation."""
+    events = read_event_stream(spark, stream_dir).select("user_id", "value")
+    got = run_stream(
+        spark, running_user_totals(events), "totals_t", "update"
+    )
+    # update mode re-emits per micro-batch; keep the last row per user
+    got = got.groupby("user_id").last().reset_index()
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .toPandas()
+    )
+    g = got.sort_values("user_id").reset_index(drop=True)
+    w = want.sort_values("user_id").reset_index(drop=True)
+    assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
+    assert abs(g["sum_value"].to_numpy() - w["sum_value"].to_numpy()).max() < 1e-6
