@@ -76,8 +76,11 @@ def fnv1a64_bool_py(value: bool, seed: int = FNV_OFFSET_BASIS) -> int:
 def _hash_bytes_batch(states: np.ndarray, values, valid: np.ndarray) -> np.ndarray:
     """Fold a column of byte strings into per-row states.
 
-    Vectorized across rows: builds an (n, maxlen) uint8 matrix then does
-    one xor-mul step per byte *position* over all rows simultaneously.
+    Vectorized across rows, one xor-mul step per byte *position*. Rows
+    are sorted by length (desc) first so each position's update touches
+    only the still-active prefix: total work is sum(len) byte-ops —
+    linear in scanned bytes — instead of n_rows x max_len. Matters when
+    one long outlier row would otherwise stretch every row's loop.
     """
     n = len(values)
     lens = np.zeros(n, dtype=np.int64)
@@ -89,15 +92,21 @@ def _hash_bytes_batch(states: np.ndarray, values, valid: np.ndarray) -> np.ndarr
     maxlen = int(lens.max()) if n else 0
     if maxlen == 0:
         return states
+    order = np.argsort(-lens, kind="stable")
+    lens_s = lens[order]
     mat = np.zeros((n, maxlen), dtype=np.uint8)
-    for i, buf in enumerate(bufs):
-        if lens[i]:
-            mat[i, : lens[i]] = np.frombuffer(buf, dtype=np.uint8)
+    for row, src in enumerate(order):
+        if lens_s[row]:
+            mat[row, : lens_s[row]] = np.frombuffer(bufs[src], dtype=np.uint8)
+    st = states[order].copy()
     for pos in range(maxlen):
-        active = lens > pos
-        nxt = (states ^ mat[:, pos].astype(np.uint64)) * _U64_PRIME
-        states = np.where(active, nxt, states)
-    return states
+        k = int(np.searchsorted(-lens_s, -(pos + 1), side="right"))
+        if k == 0:
+            break
+        st[:k] = (st[:k] ^ mat[:k, pos].astype(np.uint64)) * _U64_PRIME
+    out = np.empty_like(states)
+    out[order] = st
+    return out
 
 
 def _hash_int_batch(

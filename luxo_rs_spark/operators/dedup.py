@@ -57,7 +57,8 @@ def exact_dedup_stats(
     h = fnv1a64_col(text_col).alias("__h")
     keys = [by] if by else []
     return (
-        df.select(*keys, h)
+        _spread(df)
+        .select(*keys, h)
         .groupBy(*keys)
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -72,7 +73,8 @@ def exact_dedup(
     """Keep one deterministic survivor (min id) per distinct content."""
     h = fnv1a64_col(text_col).alias("__h")
     survivors = (
-        df.select(F.col(id_col), h)
+        _spread(df)
+        .select(F.col(id_col), h)
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
@@ -85,13 +87,39 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism. The documents fixture arrives as
+    ONE parquet file -> one partition; without this every downstream
+    transform runs single-task. At 100 TB the scan has thousands of
+    splits and this becomes a no-op-sized shuffle of input rows."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(id, shingle) rows, distinct shingles per doc."""
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(text_col, n)).alias("shingle"),
+    """(id, shingle) rows, distinct shingles per doc.
+
+    The words array is materialized in its own projection BEFORE the
+    shingle transform references it: inlining ``split()`` into the
+    transform lambda would re-split the text once per element access
+    (measured ~10x slower). Catalyst's CollapseProject keeps the barrier
+    because split is not duplication-cheap.
+    """
+    from luxo_rs_spark.functions.text import words
+
+    w = F.col("__w")
+    # slice+array_join is ~14x faster than per-position element_at
+    # inside the transform lambda (measured at sf0.1)
+    idx = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+    gram = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+    sh = F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        _spread(df)
+        .select(F.col(id_col).alias("doc_id"), words(text_col).alias("__w"))
+        .select("doc_id", F.explode(sh).alias("shingle"))
     )
 
 
@@ -102,6 +130,7 @@ def jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     candidates: DataFrame | None = None,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (da < db, jac >= threshold).
 
@@ -111,13 +140,23 @@ def jaccard_pairs(
     Returns (da, db, jac DOUBLE) — jac is exact-rational int division,
     bit-identical across engines.
     """
-    sh = shingle_table(df, id_col, text_col, n).cache()
+    sh = shingles_df if shingles_df is not None else shingle_table(
+        df, id_col, text_col, n
+    ).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("da"), "shingle")
-    b = sh.select(F.col("doc_id").alias("db"), "shingle")
-    pairs = a.join(b, ["shingle"]).filter(F.col("da") < F.col("db"))
     if candidates is not None:
-        pairs = pairs.join(F.broadcast(candidates), ["da", "db"], "left_semi")
+        # candidate-DRIVEN intersection: expand each (da, db) pair by
+        # da's shingles, then probe db's shingle set — work is
+        # O(|candidates| * shingles/doc), NOT the all-pairs
+        # shared-shingle blowup. This is the whole point of LSH at
+        # scale: the exact verify must not recompute what LSH pruned.
+        a = sh.select(F.col("doc_id").alias("da"), "shingle")
+        b = sh.select(F.col("doc_id").alias("db"), "shingle")
+        pairs = candidates.join(a, "da").join(b, ["db", "shingle"])
+    else:
+        a = sh.select(F.col("doc_id").alias("da"), "shingle")
+        b = sh.select(F.col("doc_id").alias("db"), "shingle")
+        pairs = a.join(b, ["shingle"]).filter(F.col("da") < F.col("db"))
     inter = pairs.groupBy("da", "db").agg(F.count(F.lit(1)).alias("n_inter"))
     na = sizes.select(F.col("doc_id").alias("da"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("db"), F.col("n_sh").alias("n_b"))
@@ -151,36 +190,56 @@ _PERM_SEEDS = np.array(
 from pyspark.sql.types import ArrayType, LongType
 
 
-@pandas_udf(ArrayType(LongType()))
-def _perm_hashes(base: pd.Series) -> pd.Series:
-    """For each base shingle hash, the NUM_PERM seeded FNV-1a re-hashes
-    of its LE bytes: h_i = fnv1a64(le_bytes(base), seed=seed_i)."""
-    v = base.to_numpy(dtype=np.int64).view(np.uint64)  # (n,)
-    n = len(v)
-    states = np.broadcast_to(_PERM_SEEDS, (n, NUM_PERM)).copy()  # (n, P)
-    for k in range(8):
-        byte = ((v >> np.uint64(8 * k)) & np.uint64(0xFF))[:, None]
-        states = (states ^ byte) * _U64_PRIME
-    signed = states.view(np.int64)
-    return pd.Series(list(signed))
+def _perm_partial_mins(batches):
+    """mapInPandas hook: per Arrow batch, compute each doc's per-
+    permutation minimum in numpy (a map-side combine in Python). For
+    each base shingle hash h, the permuted family is the seeded FNV-1a
+    re-hash of h's LE bytes: h_i = fnv1a64(le_bytes(h), seed=seed_i).
+    Emits one partial row per (doc x batch) — ~50x fewer rows than one
+    per (shingle x 128 perms) — which the JVM then min-aggregates."""
+    for pdf in batches:
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        v = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        order = np.argsort(doc, kind="stable")
+        doc, v = doc[order], v[order]
+        states = np.broadcast_to(_PERM_SEEDS, (len(v), NUM_PERM)).copy()
+        for k in range(8):
+            byte = ((v >> np.uint64(8 * k)) & np.uint64(0xFF))[:, None]
+            states = (states ^ byte) * _U64_PRIME
+        signed = states.view(np.int64)
+        starts = np.flatnonzero(np.r_[True, doc[1:] != doc[:-1]])
+        mins = np.minimum.reduceat(signed, starts, axis=0)
+        out = pd.DataFrame(mins, columns=[f"m{i}" for i in range(NUM_PERM)])
+        out.insert(0, "doc_id", doc[starts])
+        yield out
+
+
+_SIG_SCHEMA = ", ".join(
+    ["doc_id long"] + [f"m{i} long" for i in range(NUM_PERM)]
+)
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    shingles_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, m0..m127): per-doc minimum of each permuted shingle hash.
 
-    Elementwise-min is expressed as 128 JVM-side MIN aggregates over
-    array slots — map-side partial aggregation collapses each partition
-    to one row per doc before the shuffle.
+    Two-phase min: numpy partial mins per Arrow batch (mapInPandas),
+    then 128 JVM MIN aggregates — the same partial/final split
+    HashAggregateExec uses, with the partial phase vectorized in numpy
+    because that's where the permuted hashes are materialized.
     """
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingles_df if shingles_df is not None else shingle_table(
+        df, id_col, text_col, n
+    )
     base = sh.select("doc_id", fnv1a64_col("shingle").alias("h"))
-    sig = base.select("doc_id", _perm_hashes("h").alias("ph"))
-    mins = [
-        F.min(F.element_at("ph", i + 1)).alias(f"m{i}") for i in range(NUM_PERM)
-    ]
-    return sig.groupBy("doc_id").agg(*mins)
+    partial = base.mapInPandas(_perm_partial_mins, _SIG_SCHEMA)
+    mins = [F.min(f"m{i}").alias(f"m{i}") for i in range(NUM_PERM)]
+    return partial.groupBy("doc_id").agg(*mins)
 
 
 def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
@@ -219,11 +278,16 @@ def minhash_neardup_pairs(
     n: int = 3,
 ) -> DataFrame:
     """LSH candidates -> exact-Jaccard verification (same output contract
-    as the exact operator; recall ~ 1 - (1-t^4)^32)."""
-    sig = minhash_signatures(df, id_col, text_col, n)
+    as the exact operator; recall ~ 1 - (1-t^4)^32).
+
+    The shingle table is computed ONCE and cached — the signature stage
+    and the verification stage both read it (at cluster scale this is a
+    persisted intermediate, not a recompute of the text scan)."""
+    sh = shingle_table(df, id_col, text_col, n).cache()
+    sig = minhash_signatures(df, id_col, text_col, n, shingles_df=sh)
     cands = lsh_candidate_pairs(sig)
     return jaccard_pairs(
-        df, threshold, id_col, text_col, n, candidates=cands
+        df, threshold, id_col, text_col, n, candidates=cands, shingles_df=sh
     )
 
 
@@ -238,25 +302,30 @@ _CHUNKS = 4  # 16-bit chunks -> catches Hamming <= 3 exactly (pigeonhole)
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
-    """(doc_id, simhash BIGINT): sign-aggregate of shingle hash bits."""
+    """(doc_id, simhash BIGINT): sign-aggregate of shingle hash bits.
+
+    Bit votes are 64 JVM-side conditional-SUM aggregates (one per bit)
+    assembled back into a BIGINT — all whole-stage codegen with map-side
+    partial aggregation; the only Python is the base shingle hash.
+    (An applyInPandas formulation pays one Arrow group per doc — measured
+    ~6x slower at 5k docs.)
+    """
     sh = shingle_table(df, id_col, text_col, n)
     base = sh.select("doc_id", fnv1a64_col("shingle").alias("h"))
-
-    def agg_sim(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf["h"].to_numpy(dtype=np.int64).view(np.uint64)
-        bits = (v[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        votes = np.where(bits == 1, 1, -1).sum(axis=0)
-        out = np.uint64(0)
-        for i in range(64):
-            if votes[i] > 0:
-                out |= np.uint64(1) << np.uint64(i)
-        return pd.DataFrame(
-            {"doc_id": [pdf["doc_id"].iloc[0]], "simhash": [np.int64(out)]}
-        )
-
-    return base.groupBy("doc_id").applyInPandas(
-        agg_sim, "doc_id long, simhash long"
+    bit = lambda i: F.shiftrightunsigned("h", i).bitwiseAND(F.lit(1))
+    votes = base.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(bit(i) == 1, 1).otherwise(-1)).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
     )
+    assembled = None
+    for i in range(SIMHASH_BITS):
+        # bit 63 of a signed long contributes -(2^63) (two's complement)
+        weight = F.lit(1 << i).cast("long") if i < 63 else F.lit(-(1 << 63)).cast("long")
+        term = F.when(F.col(f"v{i}") > 0, weight).otherwise(F.lit(0).cast("long"))
+        assembled = term if assembled is None else assembled + term
+    return votes.select("doc_id", assembled.alias("simhash"))
 
 
 def simhash_neardup_pairs(

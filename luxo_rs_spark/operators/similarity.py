@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from luxo_rs_spark.functions.vectors import cosine
+from luxo_rs_spark.functions.vectors import cosine, dot, norm
 
 
 def cosine_topk(
@@ -69,23 +69,37 @@ def embedding_neardup_pairs(
 
     The block equi-join bounds the pair space; emit (va, vb, sim).
     """
+    # Two plan-shape decisions for the quadratic stage:
+    # 1. each row's norm is computed ONCE before the join — the per-pair
+    #    expression is a single dot product, not three array folds;
+    # 2. the block join is SALTED: with a handful of labels the shuffle
+    #    would hydrate only |labels| reducers. Side a keeps salt =
+    #    va % S; side b explodes over all S salts (S-fold replication of
+    #    the small per-block side), so pair work spreads across
+    #    |labels| * S tasks while still producing every (va, vb) pair
+    #    exactly once.
+    n_salt = 16
     a = emb.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("va"),
         F.col(vec_col).alias("__ea"),
+        norm(F.col(vec_col)).alias("__na"),
+        (F.col(id_col) % n_salt).cast("int").alias("__salt"),
     )
     b = emb.select(
         F.col(block_col).alias("__blk"),
         F.col(id_col).alias("vb"),
         F.col(vec_col).alias("__eb"),
+        norm(F.col(vec_col)).alias("__nb"),
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("__salt"),
     )
     return (
-        a.join(b, "__blk")
+        a.join(b, ["__blk", "__salt"])
         .filter(F.col("va") < F.col("vb"))
         .select(
             "va",
             "vb",
-            cosine(F.col("__ea"), F.col("__eb")).alias("sim"),
+            (dot(F.col("__ea"), F.col("__eb")) / (F.col("__na") * F.col("__nb"))).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -1,0 +1,84 @@
+"""Physical-plan audits: the plan-quality invariants from
+plans/queries.py's module docstring, checked against the real optimizer
+output. A correct-but-badly-planned query is a perf regression at
+100 TB even when row counts match — these tests pin the plan shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from luxo_rs_spark.plans.queries import QUERIES
+
+from conftest import SF_DIR
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q01_column_pruned_scan(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    read = plan.split("ReadSchema")[1][:400]
+    # only the referenced columns reach the scan
+    assert "l_quantity" in read and "l_orderkey" not in read
+
+
+def test_q02_dimensions_broadcast(spark):
+    plan = plan_of(spark, "q02_join_chain")
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q04_semi_join_with_pushed_filter(spark):
+    plan = plan_of(spark, "q04_semi_join")
+    assert "LeftSemi" in plan
+    assert "l_quantity" in plan.split("PushedFilters")[-1][:200] or \
+        "GreaterThan(l_quantity" in plan
+
+
+def test_q05_range_join_broadcast_not_cartesian(spark):
+    plan = plan_of(spark, "q05_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q09_rank_limit_pushdown(spark):
+    plan = plan_of(spark, "q09_topk_per_group")
+    assert "WindowGroupLimit" in plan  # only k rows per group survive sort
+
+
+def test_q18_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "q18_topk_offset")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q26_theta_join_hashes_on_equi_key(spark):
+    plan = plan_of(spark, "q26_theta_join")
+    # the equality on nationkey is a hash-join key; the inequality is a
+    # post-join condition, NOT a nested-loop over the cross product
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_whole_stage_codegen_everywhere(spark):
+    """Scalar batteries must stay fully inside codegen (no Python eval
+    nodes in the plan)."""
+    for name in ("q12_string_battery", "q13_math_battery", "q14_date_battery",
+                 "q27_case_coalesce", "q29_predicates"):
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()  # AQE finalizes THIS df's plan only on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # '*(n)' is the WholeStageCodegen marker in plan toString()
+        assert "*(" in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_aqe_enabled(engine):
+    assert engine.spark.conf.get("spark.sql.adaptive.enabled") == "true"
