@@ -496,3 +496,108 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+ORACLE_SQL["q41_left_outer_join"] = """
+SELECT c_mktsegment,
+       count(*) AS n_rows,
+       cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+       round(sum(coalesce(o_totalprice, 0.0)), 2) AS sum_price
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["q42_full_outer_join"] = """
+WITH cn AS (SELECT c_nationkey AS ck, count(*) AS n_cust FROM customer GROUP BY 1),
+     sn AS (SELECT s_nationkey AS sk, count(*) AS n_supp FROM supplier GROUP BY 1)
+SELECT coalesce(ck, sk) AS nationkey,
+       CASE WHEN ck IS NULL THEN 'supp_only'
+            WHEN sk IS NULL THEN 'cust_only'
+            ELSE 'both' END AS tag,
+       coalesce(n_cust, 0) AS n_cust,
+       coalesce(n_supp, 0) AS n_supp
+FROM cn FULL OUTER JOIN sn ON ck = sk
+ORDER BY nationkey
+"""
+
+ORACLE_SQL["q43_cross_join"] = """
+SELECT r_name, o_orderstatus, n_orders
+FROM region
+CROSS JOIN (SELECT o_orderstatus, count(*) AS n_orders FROM orders GROUP BY 1)
+ORDER BY r_name, o_orderstatus
+"""
+
+ORACLE_SQL["q44_window_battery"] = """
+SELECT o_orderkey, o_orderpriority,
+       cast(dense_rank() OVER w AS BIGINT)   AS drank,
+       percent_rank() OVER w                 AS prank,
+       cume_dist() OVER w                    AS cdist,
+       cast(ntile(4) OVER w AS BIGINT)       AS quartile,
+       nth_value(o_orderkey, 2) OVER wf      AS second_key,
+       first_value(o_orderkey) OVER wf       AS top_key,
+       last_value(o_orderkey) OVER wf        AS bottom_key
+FROM orders
+WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey),
+       wf AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+ORACLE_SQL["q45_range_frame"] = """
+SELECT event_id, event_type,
+       epoch_us(ts) AS ts_us,
+       round(sum(value) OVER w, 2) AS trailing_1h_sum,
+       count(*) OVER w             AS trailing_1h_n
+FROM events
+WHERE user_id < 30
+WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+ORACLE_SQL["q46_map_from_json"] = """
+SELECT event_id,
+       array_to_string(json_keys(props), ',')                    AS keys_joined,
+       cast(json_extract_string(props, '$.k') AS BIGINT)         AS k_val,
+       cast(len(json_keys(props)) AS BIGINT)                     AS n_keys
+FROM events
+WHERE event_id < 500
+ORDER BY event_id
+"""
+
+ORACLE_SQL["q47_cast_battery"] = """
+SELECT l_orderkey, l_linenumber,
+       cast(l_quantity AS BIGINT)                         AS qty_int,
+       cast(cast(l_shipdate AS DATE) AS VARCHAR)          AS ship_str,
+       cast(l_orderkey AS VARCHAR)                        AS key_str,
+       cast(cast(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_dec,
+       cast(l_linenumber AS DOUBLE)                       AS line_dbl,
+       cast('42' AS BIGINT)                               AS answer
+FROM lineitem
+WHERE l_orderkey < 100
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLE_SQL["q48_dedup_survivors"] = """
+WITH survivors AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+SELECT d.source,
+       count(*)      AS n_kept,
+       min(d.doc_id) AS min_kept,
+       max(d.doc_id) AS max_kept
+FROM documents d JOIN survivors USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+ORACLE_SQL["q49_udtf_tokens"] = """
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+)
+WHERE length(token) > 0
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""

@@ -971,3 +971,241 @@ def q40_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE.add("q40_fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Q41 — left outer join with null handling (§2.2-C): every customer,
+# order stats where present.
+# ---------------------------------------------------------------------------
+@query("q41_left_outer_join")
+def q41_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unmatched"),
+            _r2(F.sum(F.coalesce("o_totalprice", F.lit(0.0)))).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q42 — full outer join (§2.2-C): per-nation customer vs supplier
+# presence classes.
+# ---------------------------------------------------------------------------
+@query("q42_full_outer_join")
+def q42_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    cn = customer.groupBy(F.col("c_nationkey").alias("ck")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    sn = supplier.groupBy(F.col("s_nationkey").alias("sk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    j = cn.join(sn, cn.ck == sn.sk, "full")
+    return j.select(
+        F.coalesce("ck", "sk").alias("nationkey"),
+        F.when(F.col("ck").isNull(), "supp_only")
+        .when(F.col("sk").isNull(), "cust_only")
+        .otherwise("both")
+        .alias("tag"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    ).orderBy("nationkey")
+
+
+# ---------------------------------------------------------------------------
+# Q43 — explicit cross join (§2.2-C): tiny-dimensional cartesian.
+# ---------------------------------------------------------------------------
+@query("q43_cross_join")
+def q43_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region")
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        region.select("r_name")
+        .crossJoin(per_status)
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q44 — ranking-function battery #2 (§2.2-E): dense_rank, percent_rank,
+# cume_dist, ntile, nth/first/last over full-partition frames.
+# percent_rank/cume_dist are exact integer ratios -> bit-identical.
+# ---------------------------------------------------------------------------
+@query("q44_window_battery")
+def q44_window_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.dense_rank().over(w).cast("bigint").alias("drank"),
+            F.percent_rank().over(w).alias("prank"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.nth_value("o_orderkey", 2).over(wf).alias("second_key"),
+            F.first_value("o_orderkey").over(wf).alias("top_key"),
+            F.last_value("o_orderkey").over(wf).alias("bottom_key"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q45 — RANGE frame on event time (§2.2-E driver row): per event, the
+# trailing-1-hour sum/count within its type. Range frames bound by
+# interval are expressed over epoch microseconds.
+# ---------------------------------------------------------------------------
+@query("q45_range_frame")
+def q45_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    hour_us = 3_600_000_000
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-hour_us, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            "event_type",
+            F.unix_micros("ts").alias("ts_us"),
+            _r2(F.sum("value").over(w)).alias("trailing_1h_sum"),
+            F.count(F.lit(1)).over(w).alias("trailing_1h_n"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q46 — map functions + from_json with schema (§2.2-H): parse props
+# into MAP<STRING,BIGINT>, inspect keys/values.
+# ---------------------------------------------------------------------------
+@query("q46_map_from_json")
+def q46_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        events.filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+            F.element_at(m, "k").alias("k_val"),
+            F.size(m).cast("bigint").alias("n_keys"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q47 — cast battery (§2.2-H). Only casts with identical cross-engine
+# semantics are declared (double->bigint of integral values; Spark
+# truncates, DuckDB rounds — equal iff integral, which l_quantity is).
+# ---------------------------------------------------------------------------
+@query("q47_cast_battery")
+def q47_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("bigint").alias("qty_int"),
+            F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+            F.col("l_orderkey").cast("string").alias("key_str"),
+            F.col("l_extendedprice").cast("decimal(12,2)").cast("string").alias("price_dec"),
+            F.col("l_linenumber").cast("double").alias("line_dbl"),
+            F.lit("42").cast("bigint").alias("answer"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q48 — exact-dedup survivors (§2.2-K): the dedup OPERATOR's output
+# (deterministic min-id survivor per distinct content), aggregated per
+# source so the oracle can reproduce it from raw text.
+# ---------------------------------------------------------------------------
+@query("q48_dedup_survivors")
+def q48_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_kept"),
+            F.max("doc_id").alias("max_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q49 — Python UDTF (§2.2-J): table function exploding text into tokens
+# (lateral join), aggregated to the top-20 tokens. The UDTF is the
+# row-generating escape hatch; note it runs in the Python worker — for
+# plain tokenization the built-in split/explode (q39) is the fast path.
+# ---------------------------------------------------------------------------
+@query("q49_udtf_tokens")
+def q49_udtf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token: string")
+    class Tokens:
+        def eval(self, text: str):
+            for tok in (text or "").lower().split():
+                yield (tok,)
+
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("documents",))
+    spark.udtf.register("luxo_tokens", Tokens)
+    return spark.sql(
+        """
+        SELECT t.token, count(*) AS n
+        FROM documents, LATERAL luxo_tokens(text) t
+        GROUP BY t.token
+        ORDER BY n DESC, t.token
+        LIMIT 20
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q50 — approximate sketches (§2.2-D T3): HLL count-distinct and
+# approx percentile. Engine-specific sketch internals -> rows-only
+# check; Spark-internal sanity pinned in tests.
+# ---------------------------------------------------------------------------
+@query("q50_approx_sketches")
+def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey").alias("approx_supp"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+NO_ORACLE.add("q50_approx_sketches")
