@@ -5,8 +5,13 @@ Prints ONE JSON line:
    "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
 Each query is materialized through the `noop` sink (full execution, no
-driver-side collect overhead). One warm-up pass of the flagship query
-amortizes JVM/codegen warmup out of the measurements.
+driver-side collect overhead). Methodology (BASELINE.md "engine
+self-reported numbers": warm runs): one untimed warm-up pass over every
+query amortizes one-time JVM codegen compilation and Python-worker
+spin-up, then a timed pass records steady-state wall time. The Spark
+cache is cleared before every timed query, so each timed run recomputes
+all of its own intermediates (query-internal .cache() calls count
+against that query; nothing is reused across queries or passes).
 """
 
 from __future__ import annotations
@@ -40,13 +45,15 @@ def main() -> None:
     )
     spark = engine.spark
 
-    # warm-up: JVM, codegen, parquet footers
-    materialize(QUERIES["q01_pricing_summary"](spark, SF_DIR))
+    names = [n for n in sorted(QUERIES) if n not in SKIP]
+
+    # warm-up pass: JVM codegen, Python workers, parquet footers
+    for name in names:
+        materialize(QUERIES[name](spark, SF_DIR))
 
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        if name in SKIP:
-            continue
+    for name in names:
+        spark.catalog.clearCache()
         df = QUERIES[name](spark, SF_DIR)
         t0 = time.perf_counter()
         materialize(df)

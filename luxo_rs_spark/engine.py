@@ -41,6 +41,10 @@ logger = logging.getLogger("luxo_rs_spark")
 #: defaults applied at session build time. Runtime-settable subset is also
 #: re-applied to foreign sessions via `ensure_session_confs`.
 DEFAULT_CONFS = {
+    # local-mode driver == the whole cluster: size the JVM heap to the
+    # machine (default 1g thrashes GC under a 32-thread battery). On a
+    # real cluster this is per-executor memory instead.
+    "spark.driver.memory": "48g",
     # adaptive execution: runtime re-plan, partition coalescing, skew joins
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
