@@ -601,3 +601,159 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT 20
 """
+
+ORACLE_SQL["q51_correlated_subqueries"] = """
+SELECT n_name,
+       count(*)                 AS n_rich,
+       round(sum(c_acctbal), 2) AS sum_bal
+FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+ORACLE_SQL["q52_right_outer_join"] = """
+SELECT n_name,
+       count(s_suppkey)                       AS n_suppliers,
+       coalesce(round(sum(s_acctbal), 2), 0.0) AS sum_bal
+FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+ORACLE_SQL["q53_multiset_ops"] = """
+WITH a AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey < 1000),
+     b AS (SELECT l_suppkey FROM lineitem WHERE l_orderkey >= 500 AND l_orderkey < 1500),
+     i AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b),
+     e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+SELECT 'intersect_all' AS tag, count(*) AS n_rows,
+       count(DISTINCT l_suppkey) AS n_distinct, CAST(sum(l_suppkey) AS BIGINT) AS sum_keys
+FROM i
+UNION ALL
+SELECT 'except_all' AS tag, count(*) AS n_rows,
+       count(DISTINCT l_suppkey) AS n_distinct, CAST(sum(l_suppkey) AS BIGINT) AS sum_keys
+FROM e
+ORDER BY tag
+"""
+
+ORACLE_SQL["q54_higher_order_lambdas"] = """
+SELECT a.vec_id AS va,
+       round((SELECT sum(CAST(t.x AS DOUBLE) * CAST(t.y AS DOUBLE))
+              FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) t), 4) AS dot_next,
+       round(sqrt(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)                        AS norm_a,
+       len(list_filter(a.embedding, x -> x > 0))                                      AS n_pos,
+       round(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * 2.0)), 4)  AS sum_scaled
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id < 200
+ORDER BY va
+"""
+
+ORACLE_SQL["q55_regexp_battery"] = """
+SELECT p_partkey,
+       regexp_extract(p_name, '^(\\w+)', 1)                   AS first_word,
+       regexp_replace(p_name, '[aeiou]', '_', 'g')            AS devoweled,
+       length(regexp_replace(p_name, '[^ ]', '', 'g'))        AS n_spaces
+FROM part
+WHERE regexp_matches(p_name, '^[a-f]')
+ORDER BY p_partkey
+LIMIT 300
+"""
+
+ORACLE_SQL["q56_date_interval_math"] = """
+SELECT o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')                        AS d,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d')      AS plus30d,
+       strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')     AS plus3m,
+       strftime(date_trunc('quarter', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS qtr_start,
+       strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')              AS month_end,
+       dayofyear(CAST(o_orderdate AS DATE))                                   AS doy,
+       datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01')          AS days_to_98
+FROM orders
+WHERE o_orderkey < 500
+ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["q57_decimal_agg"] = """
+SELECT l_returnflag,
+       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price_exact,
+       CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)                        AS min_price,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR)                        AS max_price,
+       count(*)                                                                            AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q58_corr_covar"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_discount), 4) AS covar_s,
+       round(covar_pop(l_quantity, l_discount), 4)  AS covar_p,
+       count(*)                                     AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q59_map_battery"] = """
+SELECT p_partkey,
+       p_brand       AS brand,
+       p_type        AS ptype,
+       2             AS n_keys,
+       'brand,ptype' AS keys_sorted
+FROM part
+WHERE p_partkey <= 300
+ORDER BY p_partkey
+"""
+
+ORACLE_SQL["q60_calendar_densify"] = """
+WITH spine AS (
+  SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31',
+                INTERVAL 1 DAY))::DATE AS day
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
+         round(sum(o_totalprice), 2) AS total
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+  GROUP BY 1
+)
+SELECT strftime(s.day, '%Y-%m-%d') AS day,
+       coalesce(d.n, 0)            AS n_orders,
+       coalesce(d.total, 0.0)      AS total
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+ORDER BY day
+"""
+
+ORACLE_SQL["q61_parquet_sink_roundtrip"] = """
+SELECT o_orderpriority,
+       count(*)                    AS n,
+       round(sum(o_totalprice), 2) AS total,
+       min(o_orderkey)             AS min_key
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["q62_csv_json_roundtrip"] = """
+SELECT c_mktsegment,
+       count(*)                 AS n_csv,
+       round(sum(c_acctbal), 2) AS bal_csv,
+       count(*)                 AS n_json,
+       round(sum(c_acctbal), 2) AS bal_json
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["q63_udaf_weighted_avg"] = """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity), 2) / sum(l_quantity) AS w_avg_price,
+       count(*)                                                      AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -1209,3 +1209,367 @@ def q50_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE.add("q50_approx_sketches")
+
+
+# ---------------------------------------------------------------------------
+# Q51 — correlated subqueries (§4.2 subquery decorrelation): a
+# correlated scalar subquery (per-nation average) AND a correlated
+# EXISTS, both left to Catalyst's RewriteCorrelatedScalarSubquery /
+# exists->semi-join rules — the declarative formulation decorrelates
+# into two joins, no per-row re-execution.
+# ---------------------------------------------------------------------------
+@query("q51_correlated_subqueries")
+def q51_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("customer", "nation", "orders"))
+    return spark.sql(
+        """
+        SELECT n_name,
+               count(*)                 AS n_rich,
+               round(sum(c_acctbal), 2) AS sum_bal
+        FROM customer c JOIN nation n ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+          AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q52 — right outer join (§2.2-C): every nation kept, suppliers
+# optional. The nation side is the small one; Spark plans the right
+# outer as a broadcast of nation with the join sides flipped.
+# ---------------------------------------------------------------------------
+@query("q52_right_outer_join")
+def q52_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    return (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey, "right")
+        .groupBy("n_name")
+        .agg(
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.coalesce(_r2(F.sum("s_acctbal")), F.lit(0.0)).alias("sum_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q53 — multiset set ops (§2.2-G): INTERSECT ALL / EXCEPT ALL keep
+# duplicates (bag semantics) — Spark plans both as a single aggregate
+# producing per-key min(count_l, count_r) / count_l - count_r
+# multiplicities, one shuffle each, no join blowup.
+# ---------------------------------------------------------------------------
+@query("q53_multiset_ops")
+def q53_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") < 1000).select("l_suppkey")
+    b = li.filter(
+        (F.col("l_orderkey") >= 500) & (F.col("l_orderkey") < 1500)
+    ).select("l_suppkey")
+    inter = a.intersectAll(b).select(F.lit("intersect_all").alias("tag"), "l_suppkey")
+    minus = a.exceptAll(b).select(F.lit("except_all").alias("tag"), "l_suppkey")
+    return (
+        inter.unionByName(minus)
+        .groupBy("tag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("l_suppkey").alias("n_distinct"),
+            F.sum("l_suppkey").alias("sum_keys"),
+        )
+        .orderBy("tag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q54 — higher-order lambdas (§2.2-H array): zip_with dot product of
+# consecutive embedding pairs + transform/filter folds. All JVM-side
+# codegen — the declarative alternative to a Python UDF for vector
+# math (same fold order as DuckDB lists, so results hash-match).
+# ---------------------------------------------------------------------------
+@query("q54_higher_order_lambdas")
+def q54_higher_order_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.vectors import dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("va"), F.col("embedding").alias("eb")
+    )
+    return (
+        a.join(b, "va")
+        .filter(F.col("va") < 200)
+        .select(
+            "va",
+            F.round(dot(F.col("ea"), F.col("eb")), 4).alias("dot_next"),
+            F.round(norm(F.col("ea")), 4).alias("norm_a"),
+            F.size(F.filter("ea", lambda x: x > 0)).cast("bigint").alias("n_pos"),
+            F.round(
+                F.aggregate(
+                    F.transform("ea", lambda x: x.cast("double") * 2.0),
+                    F.lit(0.0).cast("double"),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("sum_scaled"),
+        )
+        .orderBy("va")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q55 — regexp battery (§2.2-B/H): rlike filter, regexp_extract,
+# regexp_replace. Regexes run inside codegen (JVM regex engine); both
+# engines use leftmost-greedy semantics for these patterns.
+# ---------------------------------------------------------------------------
+@query("q55_regexp_battery")
+def q55_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").rlike("^[a-f]"))
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+            F.regexp_replace("p_name", r"[aeiou]", "_").alias("devoweled"),
+            F.length(F.regexp_replace("p_name", r"[^ ]", "")).cast("bigint").alias("n_spaces"),
+        )
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q56 — date/interval arithmetic battery (§2.2-H date/time): interval
+# addition with end-of-month clamping, quarter truncation, day deltas.
+# ---------------------------------------------------------------------------
+@query("q56_date_interval_math")
+def q56_date_interval_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        orders.filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.date_format(d, "yyyy-MM-dd").alias("d"),
+            F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("plus30d"),
+            F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
+            F.date_format(F.trunc(d, "quarter"), "yyyy-MM-dd").alias("qtr_start"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+            F.dayofyear(d).cast("bigint").alias("doy"),
+            F.datediff(F.lit("1998-01-01").cast("date"), d).cast("bigint").alias("days_to_98"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q57 — exact DECIMAL aggregation (§1.2 types / §2.2-H cast): money
+# math in DECIMAL(12,2) is exact and engine-independent — no float
+# rounding contract needed; the sums compare as strings digit-for-digit.
+# ---------------------------------------------------------------------------
+@query("q57_decimal_agg")
+def q57_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(12,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.sum(dec).cast("decimal(18,2)").cast("string").alias("sum_price_exact"),
+            F.min(dec).cast("string").alias("min_price"),
+            F.max(dec).cast("string").alias("max_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q58 — correlation / covariance (§2.2-D stats): co-moment aggregates
+# (single-pass, map-side partial like any HashAggregate).
+# ---------------------------------------------------------------------------
+@query("q58_corr_covar")
+def q58_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_discount"), 4).alias("covar_s"),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 4).alias("covar_p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q59 — map function battery (§2.2-H map): str_to_map round-trip of
+# typed columns, element_at lookups, sorted key list. The oracle
+# reproduces the same values from the raw columns — parity proves the
+# map ops are lossless.
+# ---------------------------------------------------------------------------
+@query("q59_map_battery")
+def q59_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    m = F.str_to_map(
+        F.concat_ws(
+            ",",
+            F.concat(F.lit("brand="), F.col("p_brand")),
+            F.concat(F.lit("ptype="), F.col("p_type")),
+        ),
+        F.lit(","),
+        F.lit("="),
+    )
+    return (
+        part.filter(F.col("p_partkey") <= 300)
+        .select("p_partkey", m.alias("m"))
+        .select(
+            "p_partkey",
+            F.element_at("m", "brand").alias("brand"),
+            F.element_at("m", "ptype").alias("ptype"),
+            F.size("m").cast("bigint").alias("n_keys"),
+            F.array_join(F.sort_array(F.map_keys("m")), ",").alias("keys_sorted"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q60 — calendar densification (time-series gap fill): sequence() +
+# explode generates the date spine, left join + coalesce(0) fills the
+# gaps. The spine is a single-row explode — trivially broadcast; daily
+# counts aggregate BEFORE the join so the spine join is 1:1, not 1:N.
+# ---------------------------------------------------------------------------
+@query("q60_calendar_densify")
+def q60_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("date"),
+                F.lit("1995-03-31").cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        orders.select(F.to_date("o_orderdate").alias("day"), "o_totalprice")
+        .filter((F.col("day") >= "1995-01-01") & (F.col("day") <= "1995-03-31"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"), _r2(F.sum("o_totalprice")).alias("total"))
+    )
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.coalesce("total", F.lit(0.0)).alias("total"),
+        )
+        .orderBy("day")
+    )
+
+
+_SINK_ROOT = "/tmp/luxo_rs_spark_sink"
+
+
+# ---------------------------------------------------------------------------
+# Q61 — partitioned parquet sink round-trip (§2.2-A sink): write a
+# projection partitioned by priority, read it back, aggregate. The
+# partitioned layout is the scale story: a downstream filter on
+# o_orderpriority prunes whole directories before any IO.
+# ---------------------------------------------------------------------------
+@query("q61_parquet_sink_roundtrip")
+def q61_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from luxo_rs_spark.sources.io import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(_SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "orders_by_prio")
+    write_parquet(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        path,
+        partition_by=["o_orderpriority"],
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r2(F.sum("o_totalprice")).alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q62 — CSV and JSON sink/scan round-trip (§2.2-A): write both text
+# formats, read back with explicit schemas (STRICT §1.2 — no
+# inference pass), and prove both round-trips are lossless against
+# the same aggregate.
+# ---------------------------------------------------------------------------
+@query("q62_csv_json_roundtrip")
+def q62_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql import types as T
+
+    from luxo_rs_spark.sources.io import read_csv, read_json
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    base = os.path.join(_SINK_ROOT, os.path.basename(sf_dir.rstrip("/")))
+    csv_path, json_path = base + "/cust_csv", base + "/cust_json"
+    cust.write.mode("overwrite").option("header", "true").csv(csv_path)
+    cust.write.mode("overwrite").json(json_path)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    agg = lambda df, n: df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias(f"n_{n}"), _r2(F.sum("c_acctbal")).alias(f"bal_{n}")
+    )
+    return (
+        agg(read_csv(spark, csv_path, schema), "csv")
+        .join(agg(read_json(spark, json_path, schema), "json"), "c_mktsegment")
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q63 — grouped-map UDAF (§2.2-J): quantity-weighted average price per
+# return flag via applyInPandas. The pandas path is the UDAF escape
+# hatch; the sum is rounded to cents BEFORE the divide (same float
+# determinism contract as _avg4).
+# ---------------------------------------------------------------------------
+@query("q63_udaf_weighted_avg")
+def q63_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def weighted(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        w = pdf["l_quantity"].to_numpy()
+        p = pdf["l_extendedprice"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "w_avg_price": [round(float((p * w).sum()), 2) / float(w.sum())],
+                "n": [len(pdf)],
+            }
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_quantity", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(weighted, "l_returnflag string, w_avg_price double, n long")
+        .orderBy("l_returnflag")
+    )
