@@ -381,3 +381,87 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("da", "db", F.col("hamming").cast("bigint").alias("hamming"))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering (connected components) + survivor selection
+# ---------------------------------------------------------------------------
+
+
+def neardup_clusters(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    pairs: DataFrame | None = None,
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the near-dup pair
+    graph; cluster_id = min doc_id in the component, singletons are
+    their own cluster. This is the step that turns PAIRS into the
+    actual dedup decision (keep one representative per component).
+
+    Distributed fixpoint: iterative min-label propagation — each round
+    every node takes the min of its own label and its neighbors'
+    labels (one equi-join + one agg per round), terminating when no
+    label changes. Rounds needed = graph diameter; near-dup components
+    are tiny cliques (diameter 1-2), so this converges in 2-3 rounds.
+    At adversarial scale (long chains) you'd switch to the
+    large-star/small-star algorithm (O(log n) rounds of the same
+    join/agg pattern); the plan shape per round is identical.
+    """
+    if pairs is None:
+        pairs = minhash_neardup_pairs(df, threshold, id_col, text_col, n)
+    edges = (
+        pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
+        .unionByName(pairs.select(F.col("db").alias("a"), F.col("da").alias("b")))
+        .cache()
+    )
+    labels = _spread(df).select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).cache()
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def neardup_survivors(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Rows of `df` that survive near-dup dedup: the min-id
+    representative of each connected component."""
+    clusters = neardup_clusters(df, threshold, id_col, text_col, n)
+    keep = clusters.filter(F.col(id_col) == F.col("cluster_id")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
 
 from luxo_rs_spark.functions.vectors import cosine, dot, norm
 
@@ -179,4 +180,142 @@ def ann_lsh_topk(
         .select(id_col, cosine(F.col(vec_col), F.col("__q")).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: IVF (inverted-file index, FAISS-style train-on-sample)
+# ---------------------------------------------------------------------------
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    iters: int = 8,
+    sample_limit: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means centroids trained on a deterministic driver
+    sample (ordered by id — reproducible across runs and partitionings).
+
+    Train-on-sample is the standard IVF recipe: at 100 TB the sample is
+    still a driver-sized matrix (centroid count x dim dominates, not
+    corpus size), and only the assignment scan is distributed.
+    Returns (n_centroids, dim) float64, L2-normalized rows.
+    """
+    sample = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).toPandas()
+    )
+    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.sum(axis=0)
+        cent /= np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
+    return cent
+
+
+def _assign_udf(centroids: np.ndarray):
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(mat @ centroids.T, axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    cluster_col: str = "ivf_cluster",
+) -> DataFrame:
+    """Attach the nearest-centroid cluster id (the IVF posting list
+    key). At scale this column is what you PARTITION/bucket the table
+    by, so a probe reads only its clusters' files."""
+    return emb.withColumn(cluster_col, _assign_udf(centroids)(F.col(vec_col)))
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    target_id: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF: train centroids on a sample, assign
+    every vector to its nearest centroid, scan only the `n_probe`
+    clusters nearest the query, exact-cosine re-rank those candidates.
+    Scans ~n_probe/n_centroids of the corpus; recall measured in
+    tests/test_similarity.py. Deterministic for a fixed seed, but
+    engine-specific (kmeans) -> rows-only driver check, no SQL oracle.
+    """
+    cent = kmeans_centroids(emb, n_centroids, seed, id_col=id_col, vec_col=vec_col)
+    target_vec = (
+        emb.filter(F.col(id_col) == target_id).select(vec_col).head()[0]
+    )
+    q = np.asarray(target_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(cent @ q))[:n_probe]]
+    assigned = ivf_assign(emb, cent, vec_col)
+    target = emb.filter(F.col(id_col) == target_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    return (
+        assigned.filter(
+            F.col("ivf_cluster").isin(probes) & (F.col(id_col) != target_id)
+        )
+        .crossJoin(F.broadcast(target))
+        .select(id_col, cosine(F.col(vec_col), F.col("__q")).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-NN join (top-k neighbors for EVERY query vector, one pass)
+# ---------------------------------------------------------------------------
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For every query vector, its exact top-k cosine neighbors in the
+    corpus (self-matches excluded). Returns (qid, nbr, sim, rn).
+
+    Plan shape: broadcast the query side (queries are the small side by
+    construction), score pairs map-side in codegen, then one window
+    per-query top-k — a single shuffle on qid. The window's unrounded
+    sim ordering with an id tiebreaker keeps ranks engine-deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("__qe")
+    )
+    w = (
+        F.row_number()
+        .over(Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col)))
+        .cast("bigint")
+    )
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("qid"))
+        .select("qid", F.col(id_col), cosine(F.col(vec_col), F.col("__qe")).alias("sim"))
+        .withColumn("rn", w)
+        .filter(F.col("rn") <= k)
+        .select("qid", F.col(id_col).alias("nbr"), "sim", "rn")
     )

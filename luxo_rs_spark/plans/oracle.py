@@ -757,3 +757,66 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+ORACLE_SQL["q65_neardup_clusters"] = """
+WITH RECURSIVE w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+  FROM w WHERE len(words) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT da, db FROM inter
+  JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+  WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.8
+), edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION ALL
+  SELECT db, da FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), clust AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT d.source,
+       count(*)                                                     AS n_docs,
+       count(DISTINCT c.cluster_id)                                 AS n_clusters,
+       CAST(sum(CASE WHEN d.doc_id = c.cluster_id THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors
+FROM documents d JOIN clust c ON d.doc_id = c.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+ORACLE_SQL["q66_knn_join"] = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20
+), scored AS (
+  SELECT q.qid, e.vec_id AS nbr,
+         list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
+           / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+              * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+), ranked AS (
+  SELECT qid, nbr, sim,
+         CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr) AS BIGINT) AS rn
+  FROM scored
+)
+SELECT qid, nbr, round(sim, 4) AS sim, rn
+FROM ranked
+WHERE rn <= 3
+ORDER BY qid, rn
+"""

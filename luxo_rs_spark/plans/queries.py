@@ -1573,3 +1573,66 @@ def q63_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(weighted, "l_returnflag string, w_avg_price double, n long")
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q64 — IVF approximate nearest neighbors (§2.2-K similarity, the
+# second scale path next to LSH q36): train-on-sample centroids,
+# cluster-pruned probe, exact re-rank. Engine-specific kmeans ->
+# rows-only check; recall vs the exact operator pinned in
+# tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+@query("q64_ann_ivf_topk")
+def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_topk(emb, target_id=1, k=5).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )
+
+
+NO_ORACLE.add("q64_ann_ivf_topk")
+
+
+# ---------------------------------------------------------------------------
+# Q65 — near-dup clustering + survivor stats (§2.2-K): connected
+# components over the near-dup pair graph (min-label propagation),
+# then per-source survivor counts — the end-to-end dedup decision,
+# not just the pair list. Oracle: recursive-CTE transitive closure.
+# ---------------------------------------------------------------------------
+@query("q65_neardup_clusters")
+def q65_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = neardup_clusters(docs, threshold=0.8)
+    return (
+        docs.join(clusters, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.sum(
+                F.when(F.col("doc_id") == F.col("cluster_id"), 1).otherwise(0)
+            ).alias("n_survivors"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q66 — k-NN join (§2.2-K similarity): exact top-3 neighbors for every
+# query vector in one pass — broadcast queries, map-side scoring, one
+# windowed top-k shuffle on qid.
+# ---------------------------------------------------------------------------
+@query("q66_knn_join")
+def q66_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        knn_join(emb, emb.filter(F.col("vec_id") < 20), k=3)
+        .select("qid", "nbr", F.round("sim", 4).alias("sim"), "rn")
+        .orderBy("qid", "rn")
+    )

@@ -133,3 +133,42 @@ def test_fingerprint_golden(spark):
         .collect()[0]
     )
     assert row.fp_min == min(to_signed(e) for e in expected)
+
+
+def test_neardup_clusters_connected_components(docs):
+    """0-1 near-dup, 0-2 exact dup -> one component {0,1,2} labeled by
+    min id 0; everything else is its own singleton cluster."""
+    from luxo_rs_spark.operators.dedup import neardup_clusters, neardup_survivors
+
+    by_id = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(docs, threshold=0.5).collect()
+    }
+    assert by_id[0] == by_id[1] == by_id[2] == 0
+    assert by_id[3] == 3 and by_id[4] == 4 and by_id[5] == 5
+    kept = {r.doc_id for r in neardup_survivors(docs, threshold=0.5).collect()}
+    assert kept == {0, 3, 4, 5}
+
+
+def test_neardup_clusters_chain_converges(spark):
+    """A transitive CHAIN a~b~c (a and c NOT directly similar) must end
+    up in one component — the fixpoint iteration, not a single join."""
+    from luxo_rs_spark.operators.dedup import neardup_clusters
+
+    rows = [
+        (10, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11, "alpha beta gamma delta epsilon zeta eta iota"),
+        (12, "alpha beta gamma delta epsilon zeta kappa iota"),
+        (13, "totally unrelated content lives in this row"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # exact pairs isolate the clustering fixpoint from LSH recall
+    # (at jaccard ~0.5 the 32x4 band config misses a pair w.p. ~0.13)
+    by_id = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(
+            docs, pairs=jaccard_pairs(docs, threshold=0.45)
+        ).collect()
+    }
+    assert by_id[10] == by_id[11] == by_id[12] == 10
+    assert by_id[13] == 13

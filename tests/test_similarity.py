@@ -75,3 +75,43 @@ def test_neardup_blocking_restricts_pairs(spark, emb):
     pairs = embedding_neardup_pairs(emb, 0.3, block_col="label").collect()
     assert pairs, "expected at least one pair at threshold 0.3"
     assert all(labels[r.va] == labels[r.vb] for r in pairs)
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    """IVF with 4/16 probes must recover most of the exact top-5; with
+    all clusters probed it must equal the exact operator."""
+    from luxo_rs_spark.operators.similarity import ann_ivf_topk
+
+    exact = [r.vec_id for r in cosine_topk(emb, 1, 5).collect()]
+    approx = [
+        r.vec_id
+        for r in ann_ivf_topk(emb, 1, 5, n_centroids=16, n_probe=4).collect()
+    ]
+    assert len(set(exact) & set(approx)) >= 2  # recall floor on random data
+    full = [
+        r.vec_id
+        for r in ann_ivf_topk(emb, 1, 5, n_centroids=16, n_probe=16).collect()
+    ]
+    assert full == exact  # probing everything == exact scan
+
+
+def test_ivf_deterministic(spark, emb):
+    from luxo_rs_spark.operators.similarity import ann_ivf_topk
+
+    a = [(r.vec_id, round(r.sim, 6)) for r in ann_ivf_topk(emb, 1, 5).collect()]
+    b = [(r.vec_id, round(r.sim, 6)) for r in ann_ivf_topk(emb, 1, 5).collect()]
+    assert a == b
+
+
+def test_knn_join_matches_single_query_topk(spark, emb):
+    from luxo_rs_spark.operators.similarity import knn_join
+
+    got = (
+        knn_join(emb, emb.filter(F.col("vec_id") == 1), k=5)
+        .orderBy("rn")
+        .collect()
+    )
+    single = cosine_topk(emb, 1, 5).collect()
+    assert [r.nbr for r in got] == [r.vec_id for r in single]
+    for g, s in zip(got, single):
+        assert abs(g.sim - s.sim) < 1e-12
