@@ -8,10 +8,12 @@ Each query is materialized through the `noop` sink (full execution, no
 driver-side collect overhead). Methodology (BASELINE.md "engine
 self-reported numbers": warm runs): one untimed warm-up pass over every
 query amortizes one-time JVM codegen compilation and Python-worker
-spin-up, then a timed pass records steady-state wall time. The Spark
-cache is cleared before every timed query, so each timed run recomputes
-all of its own intermediates (query-internal .cache() calls count
-against that query; nothing is reused across queries or passes).
+spin-up, then TWO timed passes record steady-state wall time and the
+per-query minimum is reported (robust to the multi-second host-level
+stall windows observed on shared VMs). The Spark cache is cleared
+before every timed query, so each timed run recomputes all of its own
+intermediates (query-internal .cache() calls count against that query;
+nothing is reused across queries or passes).
 """
 
 from __future__ import annotations
@@ -52,12 +54,14 @@ def main() -> None:
         materialize(QUERIES[name](spark, SF_DIR))
 
     timings: dict[str, float] = {}
-    for name in names:
-        spark.catalog.clearCache()
-        df = QUERIES[name](spark, SF_DIR)
-        t0 = time.perf_counter()
-        materialize(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(2):
+        for name in names:
+            spark.catalog.clearCache()
+            df = QUERIES[name](spark, SF_DIR)
+            t0 = time.perf_counter()
+            materialize(df)
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -413,22 +413,36 @@ def neardup_clusters(
     """
     if pairs is None:
         pairs = minhash_neardup_pairs(df, threshold, id_col, text_col, n)
+    # symmetrize in ONE pass via explode — a unionByName of two selects
+    # over the (uncached) pair pipeline would execute the whole MinHash
+    # DAG twice inside a single job
     edges = (
-        pairs.select(F.col("da").alias("a"), F.col("db").alias("b"))
-        .unionByName(pairs.select(F.col("db").alias("a"), F.col("da").alias("b")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("da").alias("a"), F.col("db").alias("b")),
+                    F.struct(F.col("db").alias("a"), F.col("da").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         .cache()
     )
     labels = _spread(df).select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).cache()
     for _ in range(max_iters):
+        # the edge list and per-node neighbor minima are tiny relative
+        # to the corpus (|near-dup pairs| << |docs|) — broadcast them so
+        # each round is two map-side joins over the cached labels, no
+        # label shuffle
         nbr_min = (
-            edges.join(labels, edges.b == labels.node)
+            F.broadcast(edges).join(labels, edges.b == labels.node)
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(nbr_min, labels.node == nbr_min.a, "left")
+            labels.join(F.broadcast(nbr_min), labels.node == nbr_min.a, "left")
             .select(
                 "node",
                 F.least(

@@ -311,8 +311,12 @@ def knn_join(
         .over(Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col(id_col)))
         .cast("bigint")
     )
+    # spread the corpus scan: the fixture arrives as one parquet split,
+    # which would put the whole pair-scoring loop in a single task; at
+    # real scale the scan has thousands of splits and this is a no-op
+    par = corpus.sparkSession.sparkContext.defaultParallelism
     return (
-        corpus.crossJoin(F.broadcast(q))
+        corpus.repartition(par).crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("qid"))
         .select("qid", F.col(id_col), cosine(F.col(vec_col), F.col("__qe")).alias("sim"))
         .withColumn("rn", w)
