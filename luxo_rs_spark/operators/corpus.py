@@ -1,0 +1,308 @@
+"""Corpus-management operators for training-data pipelines (SURVEY.md
+§2.2-K extension): deterministic splits, stratified sampling,
+incremental dedup, benchmark-contamination checks, and vocabulary /
+TF-IDF / inverted-index construction.
+
+Everything is declarative DataFrame composition (joins / aggs / windows
+— Catalyst plans them with partial aggregation and AQE); the only
+Python is the reference-exact ``fnv1a64`` hash (vectorized pandas UDF,
+reference src/algo/fnv1a.rs:4-95) used where the contract wants a
+content-stable hash.
+
+Scale notes (100 TB):
+- ``hash_split`` is a pure map-side projection — no shuffle, stable
+  under re-runs and resharding, which is the whole point of hash
+  splits over ``rand()``.
+- ``stratified_sample`` shuffles once on the stratum key; the
+  deterministic rank key avoids ``rand()``'s re-run instability.
+- ``contamination_pairs`` joins on n-gram shingles; the hot-shingle
+  guard (drop shingles above a document-frequency ceiling) bounds the
+  join fan-out exactly like the LSH band trick bounds near-dup — a
+  boilerplate 8-gram appearing in half the corpus must not produce a
+  |corpus| x |eval| blowup.
+- ``incremental_dedup`` is one anti-join (new vs corpus) + one
+  group-min (within-batch) — the streaming-friendly formulation of
+  exact dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from luxo_rs_spark.functions.fnv1a import fnv1a64_col
+from luxo_rs_spark.functions.text import words
+
+#: 2^64 as a decimal literal — for reinterpreting the signed fnv1a64
+#: LongType output as its unsigned value (SURVEY.md §7 u64 note)
+_TWO64 = "18446744073709551616"
+
+
+def unsigned_hash(col) -> F.Column:
+    """The u64 value of a signed fnv1a64 LongType as DECIMAL(21,0)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(
+        c < 0, c.cast("decimal(20,0)") + F.lit(_TWO64).cast("decimal(21,0)")
+    ).otherwise(c.cast("decimal(21,0)"))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_buckets: int = 8,
+    val_buckets: int = 1,
+    n_buckets: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign a deterministic train/val/test split by content-stable
+    hash: bucket = fnv1a64(id) as u64 mod n_buckets.
+
+    Hash-based (not ``rand()``) so the assignment is reproducible
+    across runs, engines, and repartitioning — any row's split can be
+    recomputed from its id alone. Reference-exact hash semantics
+    (little-endian i64 bytes, src/algo/fnv1a.rs:68-95).
+    """
+    h = fnv1a64_col(F.col(id_col), kinds=("bigint",))
+    bucket = F.pmod(unsigned_hash(h), F.lit(n_buckets)).cast("int")
+    split = (
+        F.when(bucket < train_buckets, "train")
+        .when(bucket < train_buckets + val_buckets, "val")
+        .otherwise("test")
+    )
+    return df.withColumn(out_col, split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic top-k-per-stratum sample.
+
+    Rank key is a fixed LCG scramble of the id ((id * 48271) mod 65536
+    — Park-Miller multiplier), NOT ``rand()``: the sample is stable
+    across runs and engines, and is SQL-expressible for the oracle.
+    One shuffle on the stratum key; the window top-k avoids a global
+    sort.
+    """
+    rank_key = (F.col(id_col) * F.lit(48271)) % F.lit(65536)
+    w = Window.partitionBy(strata_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rows of `new_batch` that survive exact dedup against an existing
+    corpus AND within the batch itself (min-id survivor per content).
+
+    Plan shape: one left-anti join on the text key (new vs corpus),
+    then one group-min + semi-join for within-batch winners. At scale
+    both joins key on the content hash, and the corpus side is a
+    bucketed/Bloom-indexed table rather than a full scan.
+    """
+    fresh = new_batch.join(
+        corpus.select(F.col(text_col)).distinct(), text_col, "left_anti"
+    )
+    winners = (
+        fresh.groupBy(text_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return new_batch.join(winners, id_col, "left_semi")
+
+
+def contamination_pairs(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    max_shingle_df: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(corpus_id, eval_id, n_shared): corpus documents sharing at
+    least one rare word n-gram with an eval/benchmark document — the
+    standard decontamination primitive for training corpora.
+
+    ``max_shingle_df`` drops shingles whose corpus-wide document
+    frequency exceeds the ceiling BEFORE the pair join: boilerplate
+    n-grams otherwise fan out to |corpus| x |eval| pairs. That guard is
+    what makes the operator viable at 100 TB (same role as LSH
+    banding in near-dup).
+    """
+    def _sh(df: DataFrame, out_id: str) -> DataFrame:
+        w = F.col("__w")
+        idx = F.sequence(F.lit(1), F.size(w) - F.lit(n - 1))
+        gram = F.transform(idx, lambda i: F.array_join(F.slice(w, i, n), " "))
+        sh = F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
+            F.array().cast("array<string>")
+        )
+        return df.select(
+            F.col(id_col).alias(out_id), words(text_col).alias("__w")
+        ).select(out_id, F.explode(sh).alias("shingle"))
+
+    corpus_sh = _sh(corpus, "corpus_id")
+    hot = (
+        corpus_sh.groupBy("shingle")
+        .agg(F.countDistinct("corpus_id").alias("__df"))
+        .filter(F.col("__df") > max_shingle_df)
+        .select("shingle")
+    )
+    cold = corpus_sh.join(hot, "shingle", "left_anti")
+    eval_sh = _sh(eval_set, "eval_id")
+    return (
+        cold.join(eval_sh, "shingle")
+        .filter(F.col("corpus_id") != F.col("eval_id"))
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.countDistinct("shingle").alias("n_shared"))
+    )
+
+
+def token_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, token) whitespace tokens, lowercased, empties dropped."""
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(words(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+
+
+def vocabulary(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(token, doc_freq, total_count): corpus vocabulary statistics.
+
+    One explode + one groupBy — partial aggregation map-side; at scale
+    this is the canonical word-count shuffle keyed by token (AQE skew
+    handling covers stopword-scale hot keys).
+    """
+    return token_table(df, id_col, text_col).groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("total_count"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, token, tfidf, rn): top-k tokens per document by
+    smoothed TF-IDF: tf = count/doc_len, idf = ln((N+1)/(df+1)).
+
+    N (corpus size) joins in as a broadcast single-row aggregate — no
+    driver-side collect, the plan stays fully lazy.
+    """
+    toks = token_table(df, id_col, text_col)
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    dfreq = toks.select("doc_id", "token").distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            (F.col("cnt") / F.col("doc_len"))
+            * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "token", "tfidf", "rn")
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    min_df_frac: float = 0.04,
+    max_df_frac: float = 0.79,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, doc_freq, postings): posting lists for mid-frequency
+    tokens, ids sorted ascending and comma-joined.
+
+    The df band is FRACTIONAL (default 4%..79% of corpus size) so the
+    retrieval window scales with the corpus — near-singletons are
+    noise, near-universal tokens are scanned not indexed. The corpus
+    size joins in as a broadcast single-row aggregate (no driver
+    collect). At scale postings become ARRAY<BIGINT> bucketed by
+    token; the string join here is for the oracle contract.
+    """
+    toks = token_table(df, id_col, text_col).select("doc_id", "token").distinct()
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        toks.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("doc_freq") >= F.col("n_docs") * min_df_frac)
+            & (F.col("doc_freq") <= F.col("n_docs") * max_df_frac)
+        )
+        .select("token", "doc_freq", "postings")
+    )
+
+
+def pmi_pairs(
+    df: DataFrame,
+    min_df: int = 30,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(ta, tb, n_pair, pmi): pointwise mutual information of token
+    pairs co-occurring in documents, restricted to tokens with
+    document frequency >= min_df (bounds the per-doc pair fan-out,
+    same scale guard as contamination's hot-shingle ceiling — but
+    inverted: PMI wants informative COMMON tokens, so the floor drops
+    the long singleton tail instead).
+
+    pmi = ln(n_pair * N / (df_a * df_b)) over document incidence.
+    """
+    toks = token_table(df, id_col, text_col).select("doc_id", "token").distinct()
+    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    kept = toks.join(F.broadcast(dfreq), "token")
+    a = kept.select("doc_id", F.col("token").alias("ta"), F.col("df").alias("dfa"))
+    b = kept.select("doc_id", F.col("token").alias("tb"), F.col("df").alias("dfb"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb", "dfa", "dfb")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "pmi",
+            F.log(
+                F.col("n_pair") * F.col("n_docs") / (F.col("dfa") * F.col("dfb"))
+            ),
+        )
+        .select("ta", "tb", "n_pair", "pmi")
+    )

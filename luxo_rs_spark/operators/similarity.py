@@ -323,3 +323,53 @@ def knn_join(
         .filter(F.col("rn") <= k)
         .select("qid", F.col(id_col).alias("nbr"), "sim", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-label centroids + member coherence
+# ---------------------------------------------------------------------------
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(label, n_vectors, dims, centroid_norm, avg_cos): per-label mean
+    vector plus the members' average cosine to it — the cluster-quality
+    summary a curation pipeline uses to spot incoherent buckets.
+
+    Plan shape: posexplode to (label, pos, x) -> per-dim avg (ONE
+    shuffle on (label, pos), partial agg map-side) -> per-member dot
+    with the broadcast centroid components -> per-label roll-up.
+    Components stay rows (never re-collected to arrays), so every stage
+    is a plain hash aggregate at any dimensionality.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.col(vec_col)).alias("pos", "x"),
+    ).withColumn("x", F.col("x").cast("double"))
+    cent = ex.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cstats = cent.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dims"),
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cnorm"),
+    )
+    mem = (
+        ex.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("label", "vid")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dotc"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("xnorm"),
+        )
+    )
+    return (
+        mem.join(F.broadcast(cstats), "label")
+        .groupBy("label", "dims", "cnorm")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.avg(F.col("dotc") / (F.col("xnorm") * F.col("cnorm"))).alias("avg_cos"),
+        )
+        .select("label", "n_vectors", "dims", "cnorm", "avg_cos")
+    )

@@ -820,3 +820,184 @@ FROM ranked
 WHERE rn <= 3
 ORDER BY qid, rn
 """
+
+# q67: reference-exact FNV-1a over the 8 LE bytes of doc_id, folded with
+# a recursive CTE in HUGEINT arithmetic (mod 2^64 after each multiply);
+# bucket = u64 state mod 10 -> train(<8) / val(8) / test(9).
+ORACLE_SQL["q67_hash_split"] = """
+WITH RECURSIVE f(doc_id, n_chars, k, state) AS (
+  SELECT doc_id, n_chars, 0, CAST(14695981039346656037 AS HUGEINT) FROM documents
+  UNION ALL
+  SELECT doc_id, n_chars, k + 1,
+         (xor(state, (CAST(doc_id AS HUGEINT) >> (8 * k)) & 255) * 1099511628211)
+           % 18446744073709551616
+  FROM f WHERE k < 8
+), split_of AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN state % 10 < 8 THEN 'train'
+              WHEN state % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f WHERE k = 8
+)
+SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM split_of
+GROUP BY split
+ORDER BY split
+"""
+
+ORACLE_SQL["q68_vocabulary"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+)
+SELECT token, count(DISTINCT doc_id) AS doc_freq, count(*) AS total_count
+FROM toks WHERE token <> ''
+GROUP BY token
+ORDER BY doc_freq DESC, total_count DESC, token
+LIMIT 30
+"""
+
+ORACLE_SQL["q69_tfidf_topk"] = """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 50),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM docs
+), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, count(*) AS cnt FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM toks2 GROUP BY 1),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         (cnt * 1.0 / doc_len) * ln((n_docs + 1.0) / (df + 1.0)) AS tfidf
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, token, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+  FROM scored
+)
+SELECT doc_id, token, round(tfidf, 4) AS tfidf, rn
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+ORACLE_SQL["q70_inverted_index"] = """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT token, count(*) AS doc_freq,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+FROM toks2 CROSS JOIN n
+GROUP BY token, n_docs
+HAVING count(*) >= n_docs * 0.04 AND count(*) <= n_docs * 0.79
+ORDER BY doc_freq DESC, token
+LIMIT 100
+"""
+
+ORACLE_SQL["q71_contamination"] = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(words) - 7),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+                words[i+3] || ' ' || words[i+4] || ' ' || words[i+5] || ' ' ||
+                words[i+6] || ' ' || words[i+7]))) AS shingle
+  FROM w WHERE len(words) >= 8
+), corpus_sh AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+eval_sh AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+cold AS (
+  SELECT * FROM corpus_sh
+  WHERE shingle NOT IN (
+    SELECT shingle FROM corpus_sh GROUP BY shingle
+    HAVING count(DISTINCT doc_id) > 100)
+)
+SELECT e.doc_id AS eval_id, c.doc_id AS corpus_id,
+       CAST(count(DISTINCT c.shingle) AS BIGINT) AS n_shared
+FROM cold c JOIN eval_sh e ON c.shingle = e.shingle
+WHERE c.doc_id <> e.doc_id
+GROUP BY 1, 2
+ORDER BY eval_id, corpus_id
+"""
+
+ORACLE_SQL["q72_incremental_dedup"] = """
+WITH corpus AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+newb AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+fresh AS (
+  SELECT * FROM newb n
+  WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)
+), kept AS (
+  SELECT min(doc_id) AS doc_id FROM fresh GROUP BY text
+)
+SELECT source, count(*) AS n_new,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM kept) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN doc_id IN (SELECT doc_id FROM kept) THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM newb
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLE_SQL["q73_stratified_sample"] = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY lang ORDER BY (doc_id * 48271) % 65536, doc_id) AS rn
+  FROM documents
+)
+SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_id, max(doc_id) AS max_id,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM ranked WHERE rn <= 20
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLE_SQL["q74_label_centroids"] = """
+WITH ex AS (
+  SELECT label, vec_id,
+         unnest(embedding::DOUBLE[]) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, pos, avg(x) AS c FROM ex GROUP BY 1, 2
+), cstats AS (
+  SELECT label, count(*) AS dims, sqrt(sum(c * c)) AS cnorm FROM cent GROUP BY 1
+), mem AS (
+  SELECT e.label, e.vec_id, sum(e.x * c.c) AS dotc, sqrt(sum(e.x * e.x)) AS xnorm
+  FROM ex e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+  GROUP BY 1, 2
+)
+SELECT m.label, count(*) AS n_vectors, any_value(s.dims) AS dims,
+       round(any_value(s.cnorm), 4) AS centroid_norm,
+       round(avg(m.dotc / (m.xnorm * s.cnorm)), 4) AS avg_cos
+FROM mem m JOIN cstats s ON m.label = s.label
+GROUP BY m.label
+ORDER BY m.label
+"""
+
+ORACLE_SQL["q75_pmi_pairs"] = """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 500),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM docs
+), toks2 AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+dfreq AS (
+  SELECT token, count(*) AS df FROM toks2 GROUP BY token HAVING count(*) >= 30
+), kept AS (
+  SELECT t.doc_id, t.token, d.df FROM toks2 t JOIN dfreq d USING (token)
+), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+pairs AS (
+  SELECT a.token AS ta, b.token AS tb, a.df AS dfa, b.df AS dfb,
+         count(*) AS n_pair
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2, 3, 4
+)
+SELECT ta, tb, n_pair, round(ln(n_pair * n_docs * 1.0 / (dfa * dfb)), 4) AS pmi
+FROM pairs CROSS JOIN n
+ORDER BY ln(n_pair * n_docs * 1.0 / (dfa * dfb)) DESC, ta, tb
+LIMIT 20
+"""

@@ -1636,3 +1636,183 @@ def q66_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "nbr", F.round("sim", 4).alias("sim"), "rn")
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q67 — deterministic train/val/test hash split (§2.2-K corpus ops):
+# bucket = fnv1a64(doc_id) as u64 mod 10 (reference-exact LE-byte hash,
+# src/algo/fnv1a.rs:68-95). Oracle reproduces the hash with a
+# recursive-CTE HUGEINT fold, so this is a full bit-parity check of
+# the split assignment, not just the counts.
+# ---------------------------------------------------------------------------
+@query("q67_hash_split")
+def q67_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, id_col="doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q68 — vocabulary construction (§2.2-K text analysis): corpus token
+# statistics, top-30 by document frequency.
+# ---------------------------------------------------------------------------
+@query("q68_vocabulary")
+def q68_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import vocabulary
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        vocabulary(docs)
+        .orderBy(F.col("doc_freq").desc(), F.col("total_count").desc(), "token")
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q69 — TF-IDF top terms per document (§2.2-K text analysis) over a
+# fixed doc subset; smoothed idf, token tiebreak for determinism.
+# ---------------------------------------------------------------------------
+@query("q69_tfidf_topk")
+def q69_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import tfidf_topk
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        tfidf_topk(docs, k=3)
+        .select("doc_id", "token", F.round("tfidf", 4).alias("tfidf"), "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q70 — inverted index for mid-frequency tokens (§2.2-K): sorted
+# posting lists, fractional df band (4%..79% of corpus size) so the
+# window scales with the corpus.
+# ---------------------------------------------------------------------------
+@query("q70_inverted_index")
+def q70_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        inverted_index(docs)
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q71 — benchmark-contamination check (§2.2-K): corpus docs sharing a
+# rare 8-gram with the held-out eval slice (doc_id % 10 == 0), hot
+# shingles excluded before the pair join (the 100 TB guard).
+# ---------------------------------------------------------------------------
+@query("q71_contamination")
+def q71_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import contamination_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    return (
+        contamination_pairs(corpus, eval_set, n=8, max_shingle_df=100)
+        .orderBy("eval_id", "corpus_id")
+        .select("eval_id", "corpus_id", F.col("n_shared").cast("bigint").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q72 — incremental dedup (§2.2-K): odd doc_ids arrive as the new
+# batch, even ids are the existing corpus; survivors = not-in-corpus
+# AND first-in-batch (min id per content).
+# ---------------------------------------------------------------------------
+@query("q72_incremental_dedup")
+def q72_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import incremental_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    new_batch = docs.filter(F.col("doc_id") % 2 == 1)
+    kept = incremental_dedup(new_batch, corpus)
+    return (
+        new_batch.join(
+            kept.select("doc_id", F.lit(1).alias("__kept")), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum(F.coalesce("__kept", F.lit(0))).cast("bigint").alias("n_kept"),
+        )
+        .withColumn("n_dropped", (F.col("n_new") - F.col("n_kept")).cast("bigint"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q73 — deterministic stratified sample (§2.2-K): 20 docs per language
+# by LCG-scrambled id order — reproducible across engines, unlike
+# rand()-based sampling.
+# ---------------------------------------------------------------------------
+@query("q73_stratified_sample")
+def q73_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, strata_col="lang", k=20)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q74 — per-label embedding centroids + coherence (§2.2-K similarity):
+# component rows all the way (posexplode -> per-dim avg -> member
+# cosine), so the plan is hash-aggregate-only at any dimensionality.
+# ---------------------------------------------------------------------------
+@query("q74_label_centroids")
+def q74_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb).select(
+        "label",
+        "n_vectors",
+        "dims",
+        F.round("cnorm", 4).alias("centroid_norm"),
+        F.round("avg_cos", 4).alias("avg_cos"),
+    ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# Q75 — token-pair PMI (§2.2-K text analysis): co-occurrence mutual
+# information over document incidence, df floor bounds the pair
+# fan-out. Fixed doc subset keeps the cost flat across SFs.
+# ---------------------------------------------------------------------------
+@query("q75_pmi_pairs")
+def q75_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import pmi_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    return (
+        pmi_pairs(docs, min_df=30)
+        .select("ta", "tb", "n_pair", F.round("pmi", 4).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "ta", "tb")
+        .limit(20)
+    )

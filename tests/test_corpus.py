@@ -1,0 +1,177 @@
+"""Semantics tests for corpus-management operators (hash split,
+stratified sampling, incremental dedup, contamination, vocabulary /
+TF-IDF / inverted index / PMI).
+
+Boundary-case style per the reference's tests (small hand-built
+fixtures, exact expected values — reference src/algo/search.rs:126-373
+pattern)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from luxo_rs_spark.functions.fnv1a import fnv1a64_int_py
+from luxo_rs_spark.operators.corpus import (
+    contamination_pairs,
+    hash_split,
+    incremental_dedup,
+    inverted_index,
+    pmi_pairs,
+    stratified_sample,
+    tfidf_topk,
+    token_table,
+    vocabulary,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "alpha beta gamma", "en", "w1", 16),
+        (1, "alpha beta gamma", "en", "w1", 16),  # exact dup of 0
+        (2, "alpha beta delta", "en", "w2", 16),
+        (3, "epsilon zeta", "de", "w2", 12),
+        (4, "alpha alpha alpha", "de", "w1", 17),
+        (5, "", "de", "w2", 0),  # empty text
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars int"
+    )
+
+
+# -- hash split -------------------------------------------------------------
+
+
+def test_hash_split_matches_reference_hash(docs):
+    out = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    for doc_id in range(6):
+        bucket = fnv1a64_int_py(doc_id, 8) % 10
+        want = "train" if bucket < 8 else ("val" if bucket == 8 else "test")
+        assert out[doc_id] == want, (doc_id, bucket)
+
+
+def test_hash_split_is_stable_under_repartition(docs):
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs.repartition(7)).collect()}
+    assert a == b
+
+
+# -- stratified sample ------------------------------------------------------
+
+
+def test_stratified_sample_k_per_stratum(docs):
+    out = stratified_sample(docs, "lang", k=2).groupBy("lang").count().collect()
+    counts = {r.lang: r["count"] for r in out}
+    assert counts == {"en": 2, "de": 2}
+
+
+def test_stratified_sample_deterministic_order(docs):
+    # rank key (id*48271) % 65536: en ids 0,1,2 -> 0, 48271, 31006
+    ids = {r.doc_id for r in stratified_sample(docs, "lang", k=2).collect() if r.lang == "en"}
+    assert ids == {0, 2}
+
+
+# -- incremental dedup ------------------------------------------------------
+
+
+def test_incremental_dedup_against_corpus_and_batch(docs):
+    corpus = docs.filter(F.col("doc_id") == 0)  # "alpha beta gamma"
+    batch = docs.filter(F.col("doc_id") > 0)
+    kept = {r.doc_id for r in incremental_dedup(batch, corpus).collect()}
+    # 1 dups corpus text; 2/3/4/5 are fresh and unique within batch
+    assert kept == {2, 3, 4, 5}
+
+
+def test_incremental_dedup_within_batch_min_id(spark):
+    corpus = spark.createDataFrame([(100, "old")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(7, "x"), (3, "x"), (9, "old")], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in incremental_dedup(batch, corpus).collect()}
+    assert kept == {3}  # min-id wins within batch; corpus text dropped
+
+
+# -- contamination ----------------------------------------------------------
+
+
+def test_contamination_shared_ngrams(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "totally unrelated words that share no long grams at all"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(10, "one two three four five six seven eight different tail")],
+        "doc_id long, text string",
+    )
+    out = contamination_pairs(corpus, eval_set, n=8, max_shingle_df=100).collect()
+    assert len(out) == 1
+    row = out[0]
+    # exactly one shared 8-gram: words 1..8
+    assert (row.corpus_id, row.eval_id, row.n_shared) == (1, 10, 1)
+
+
+def test_contamination_hot_shingle_guard(spark):
+    text = "a b c d e f g h"
+    corpus = spark.createDataFrame(
+        [(i, text) for i in range(5)], "doc_id long, text string"
+    )
+    eval_set = spark.createDataFrame([(99, text)], "doc_id long, text string")
+    # the single shared shingle has corpus df=5 > ceiling=3 -> dropped
+    assert contamination_pairs(corpus, eval_set, n=8, max_shingle_df=3).count() == 0
+    assert contamination_pairs(corpus, eval_set, n=8, max_shingle_df=10).count() == 5
+
+
+# -- vocabulary / tfidf / inverted index / pmi ------------------------------
+
+
+def test_vocabulary_counts(docs):
+    out = {r.token: (r.doc_freq, r.total_count) for r in vocabulary(docs).collect()}
+    assert out["alpha"] == (4, 6)  # docs 0,1,2,4; doc 4 has it 3x
+    assert out["beta"] == (3, 3)
+    assert out["zeta"] == (1, 1)
+    assert "" not in out  # empty doc contributes nothing
+
+
+def test_tfidf_idf_and_ranking(docs):
+    out = tfidf_topk(docs, k=1).collect()
+    best = {r.doc_id: (r.token, r.tfidf) for r in out}
+    # doc 3: epsilon/zeta tie on tf*idf -> token asc tiebreak
+    assert best[3][0] == "epsilon"
+    n_docs, df_eps = 6, 1
+    want = (1 / 2) * math.log((n_docs + 1) / (df_eps + 1))
+    assert best[3][1] == pytest.approx(want)
+    # doc 4 is all alpha (high tf, low idf beats nothing else present)
+    assert best[4][0] == "alpha"
+
+
+def test_inverted_index_band_and_postings(docs):
+    # n_docs=6; band 0.34..0.67 -> df in {3,4} with 6 docs -> beta(3), alpha(4)
+    out = {
+        r.token: (r.doc_freq, r.postings)
+        for r in inverted_index(docs, 0.34, 0.67).collect()
+    }
+    assert out["beta"] == (3, "0,1,2")
+    assert out["alpha"] == (4, "0,1,2,4")
+    assert "gamma" not in out  # df=2 below band
+
+
+def test_pmi_positive_for_perfect_cooccurrence(spark):
+    rows = [(i, "x y") for i in range(4)] + [(10, "x z"), (11, "w z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.ta, r.tb): (r.n_pair, r.pmi) for r in pmi_pairs(df, min_df=1).collect()}
+    n_pair, pmi = out[("x", "y")]
+    assert n_pair == 4
+    # pmi = ln(4*6/(5*4)) = ln(1.2)
+    assert pmi == pytest.approx(math.log(4 * 6 / (5 * 4)))
+
+
+def test_token_table_drops_empties(docs):
+    toks = token_table(docs)
+    assert toks.filter(F.col("token") == "").count() == 0
+    assert toks.filter(F.col("doc_id") == 5).count() == 0

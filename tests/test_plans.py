@@ -82,3 +82,25 @@ def test_whole_stage_codegen_everywhere(spark):
 
 def test_aqe_enabled(engine):
     assert engine.spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_q67_hash_split_no_shuffle(spark):
+    # hash split is a pure map-side projection: scan -> project (pandas
+    # UDF hash) -> agg. The ONLY exchange is the final stats groupBy;
+    # the split assignment itself adds none.
+    plan = plan_of(spark, "q67_hash_split")
+    assert plan.count("Exchange") <= 2  # partial/final agg pair only
+
+
+def test_q71_contamination_aggregates_before_pair_join(spark):
+    # the hot-shingle guard must be an aggregate feeding an anti join,
+    # not a cartesian anything
+    plan = plan_of(spark, "q71_contamination")
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_q74_centroids_broadcast_join(spark):
+    # per-dim centroid components are tiny (labels x dims) -> broadcast
+    plan = plan_of(spark, "q74_label_centroids")
+    assert "BroadcastHashJoin" in plan

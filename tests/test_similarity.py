@@ -115,3 +115,22 @@ def test_knn_join_matches_single_query_topk(spark, emb):
     assert [r.nbr for r in got] == [r.vec_id for r in single]
     for g, s in zip(got, single):
         assert abs(g.sim - s.sim) < 1e-12
+
+
+def test_label_centroids_two_point_cluster(spark):
+    from luxo_rs_spark.operators.similarity import label_centroids
+
+    rows = [
+        (1, [1.0, 0.0], "a"),
+        (2, [0.0, 1.0], "a"),
+        (3, [2.0, 0.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label string")
+    out = {r.label: r for r in label_centroids(df).collect()}
+    # label a: centroid (0.5, 0.5), norm sqrt(0.5); members' cos = cos(45deg)
+    assert out["a"].n_vectors == 2 and out["a"].dims == 2
+    assert out["a"].cnorm == pytest.approx(0.5**0.5)
+    assert out["a"].avg_cos == pytest.approx(2**-0.5)
+    # label b: singleton cluster -> centroid is the member, cos = 1
+    assert out["b"].cnorm == pytest.approx(2.0)
+    assert out["b"].avg_cos == pytest.approx(1.0)
