@@ -1001,3 +1001,72 @@ FROM pairs CROSS JOIN n
 ORDER BY ln(n_pair * n_docs * 1.0 / (dfa * dfb)) DESC, ta, tb
 LIMIT 20
 """
+
+ORACLE_SQL["q76_binary_battery"] = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
+       md5(text)                                AS md5_hex,
+       sha256(text)                             AS sha_hex,
+       substring(hex(text::BLOB), 1, 16)        AS head_hex
+FROM documents
+WHERE doc_id < 100
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["q77_struct_battery"] = """
+SELECT lang,
+       {'n': count(*), 'chars': sum(n_chars)}.n                    AS n,
+       CAST({'n': count(*), 'chars': sum(n_chars)}.chars AS BIGINT) AS chars,
+       min_by(doc_id, CAST(n_chars AS BIGINT) * 1000000 + doc_id)  AS smallest_doc,
+       list_sort(list({'nc': CAST(n_chars AS BIGINT), 'id': doc_id}))[1].id
+                                                                   AS first_sorted_doc
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+ORACLE_SQL["q78_disjunctive_filter"] = """
+SELECT l_returnflag, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20
+       AND p_type LIKE '%ECO%')
+   OR (p_size BETWEEN 11 AND 30 AND l_quantity BETWEEN 10 AND 35
+       AND p_type LIKE '%STANDARD%')
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# q79/q80: the fake media container is a pure function of (doc_id, text)
+# (multimodal/media.py synth_media_table): kind = doc_id % 3 -> {0: image,
+# 1: audio, 2: video}; width/height/sample_rate are modular functions of
+# doc_id; the payload is the utf-8 text.
+ORACLE_SQL["q79_media_decode"] = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST((doc_id % 64 + 1) * 16 AS INT)  AS width,
+       CAST((doc_id % 48 + 1) * 16 AS INT)  AS height,
+       CAST(8000 * (doc_id % 4 + 1) AS INT) AS sample_rate,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS payload_bytes
+FROM documents
+WHERE doc_id < 200
+ORDER BY media_id
+"""
+
+ORACLE_SQL["q80_frame_sample"] = """
+WITH vids AS (
+  SELECT doc_id AS media_id, octet_length(text::BLOB) AS payload_bytes
+  FROM documents
+  WHERE doc_id < 200 AND doc_id % 3 = 2
+), frames AS (
+  SELECT media_id, CAST(unnest(generate_series(0,
+           CAST(least(8, payload_bytes // 64) AS INT) - 1)) AS INT) AS frame_idx
+  FROM vids
+  WHERE payload_bytes // 64 >= 1
+)
+SELECT media_id, frame_idx,
+       CAST(14 + frame_idx * 64 AS BIGINT) AS frame_offset,
+       CAST(64 AS BIGINT) AS frame_bytes
+FROM frames
+ORDER BY media_id, frame_idx
+"""

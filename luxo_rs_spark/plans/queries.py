@@ -1816,3 +1816,125 @@ def q75_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "ta", "tb")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q76 — BINARY-type battery (§1.2 types / §2.2-H): encode text to
+# bytes, then byte-length, MD5, SHA-256, and a hex prefix — the
+# multimodal story's typed-binary plumbing exercised end-to-end with
+# full oracle parity (multimodal/media.py uses the same column type
+# for image/audio payloads).
+# ---------------------------------------------------------------------------
+@query("q76_binary_battery")
+def q76_binary_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    b = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(b).cast("bigint").alias("n_bytes"),
+        F.md5(b).alias("md5_hex"),
+        F.sha2(b, 256).alias("sha_hex"),
+        F.substring(F.hex(b), 1, 16).alias("head_hex"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q77 — STRUCT-type battery (§1.2 nested types): struct construction,
+# field extraction, composite-key min_by, and lexicographic sorting of
+# an array<struct> — the nested-type surface with oracle parity.
+# ---------------------------------------------------------------------------
+@query("q77_struct_battery")
+def q77_struct_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = F.struct(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").cast("bigint").alias("chars")
+    )
+    composite = F.col("n_chars").cast("bigint") * 1000000 + F.col("doc_id")
+    pair = F.struct(
+        F.col("n_chars").cast("bigint").alias("nc"), F.col("doc_id").alias("id")
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            stats.alias("s"),
+            F.min_by("doc_id", composite).alias("smallest_doc"),
+            F.sort_array(F.collect_list(pair)).getItem(0).alias("first_pair"),
+        )
+        .select(
+            "lang",
+            F.col("s.n").alias("n"),
+            F.col("s.chars").alias("chars"),
+            "smallest_doc",
+            F.col("first_pair.id").alias("first_sorted_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q78 — disjunctive predicate pushdown (TPC-H Q19 shape, §2.2-B /
+# §4.2): OR of conjunctive brackets over a join — Catalyst must push
+# the common l_quantity bounds into the scan and keep the equi-join;
+# plan pinned in tests/test_plans.py.
+# ---------------------------------------------------------------------------
+@query("q78_disjunctive_filter")
+def q78_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    bracket1 = (
+        (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(1, 20))
+        & (F.col("p_type").contains("ECO"))
+    )
+    bracket2 = (
+        (F.col("p_size").between(11, 30))
+        & (F.col("l_quantity").between(10, 35))
+        & (F.col("p_type").contains("STANDARD"))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.filter(bracket1 | bracket2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _r2(F.sum(revenue)).alias("revenue"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q79 — multimodal decode pipeline (§2.2-K): documents -> synthetic
+# LUXM media containers (BINARY + STRUCT metadata) -> mapInPandas
+# decode -> typed columns. The decode stub is deterministic, so the
+# whole Arrow-batched BINARY pipeline is oracle-checkable (checksum
+# column excluded: byte-level LE reinterpretation isn't ANSI SQL).
+# ---------------------------------------------------------------------------
+@query("q79_media_decode")
+def q79_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import decode_media, synth_media_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synth_media_table(docs)
+    return (
+        decode_media(media)
+        .select(
+            "media_id", "kind", "width", "height", "sample_rate", "payload_bytes"
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q80 — multimodal frame sampling (§2.2-K): fixed-stride frame offsets
+# over video payloads via mapInPandas — explode-shaped output, fully
+# deterministic, oracle-checked.
+# ---------------------------------------------------------------------------
+@query("q80_frame_sample")
+def q80_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import sample_frames, synth_media_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = synth_media_table(docs)
+    return sample_frames(media).orderBy("media_id", "frame_idx")

@@ -6,6 +6,10 @@ from luxo_rs_spark.streaming.windows import (
     tumbling_stats,
 )
 from luxo_rs_spark.streaming.stateful import dedup_stream, running_user_totals
+from luxo_rs_spark.streaming.joins import (
+    click_view_attribution,
+    interval_join_streams,
+)
 
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
@@ -15,4 +19,6 @@ __all__ = [
     "tumbling_stats",
     "dedup_stream",
     "running_user_totals",
+    "click_view_attribution",
+    "interval_join_streams",
 ]

@@ -104,3 +104,12 @@ def test_q74_centroids_broadcast_join(spark):
     # per-dim centroid components are tiny (labels x dims) -> broadcast
     plan = plan_of(spark, "q74_label_centroids")
     assert "BroadcastHashJoin" in plan
+
+
+def test_q78_disjunction_pushed_and_equijoin_kept(spark):
+    plan = plan_of(spark, "q78_disjunctive_filter")
+    # the OR brackets must not degrade the equi-join to a nested loop
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    # per-side disjunction components are pushed to the scans
+    assert "PushedFilters" in plan and "Or(" in plan

@@ -168,3 +168,41 @@ def test_running_user_totals_stateful(spark, stream_dir):
     w = want.sort_values("user_id").reset_index(drop=True)
     assert (g["n_events"].to_numpy() == w["n_events"].to_numpy()).all()
     assert abs(g["sum_value"].to_numpy() - w["sum_value"].to_numpy()).max() < 1e-6
+
+
+def test_stream_stream_interval_join(spark, stream_dir):
+    """Stream-stream interval join (§2.2-I): click->view attribution
+    within 30 minutes must equal the batch interval join."""
+    from luxo_rs_spark.streaming import click_view_attribution
+
+    events = read_event_stream(spark, stream_dir)
+    got = run_stream(
+        spark, click_view_attribution(events), "attrib_t", "append"
+    )
+    batch = load_table(spark, SF_DIR, "events")
+    clicks = batch.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    views = batch.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    want = (
+        clicks.join(
+            views,
+            (clicks.user_id == views.r_user_id)
+            & (views.r_ts <= clicks.l_ts)
+            & (views.r_ts >= clicks.l_ts - F.expr("INTERVAL 30 minutes")),
+        )
+        .select(
+            "click_id",
+            "view_id",
+            "user_id",
+            (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
+        )
+        .toPandas()
+    )
+    cols = ["click_id", "view_id", "user_id", "gap_us"]
+    assert len(got) > 0
+    assert canon(got, cols).equals(canon(want, cols))
