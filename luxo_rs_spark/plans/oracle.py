@@ -1070,3 +1070,22 @@ SELECT media_id, frame_idx,
 FROM frames
 ORDER BY media_id, frame_idx
 """
+
+ORACLE_SQL["q81_merge_upsert"] = """
+WITH upd AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice + 100.0 AS o_totalprice,
+         (o_orderkey % 11 = 0) AS is_del
+  FROM orders
+  WHERE o_orderkey % 7 = 0 OR o_orderkey % 11 = 0
+), merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT is_del
+)
+SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+       min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""

@@ -1938,3 +1938,35 @@ def q80_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = synth_media_table(docs)
     return sample_frames(media).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Q81 — MERGE / upsert (§2.2-A): copy-on-write merge of an updates
+# batch (price bumps on key % 7, deletes on key % 11, delete wins on
+# overlap) into orders; verified via the post-merge aggregate.
+# ---------------------------------------------------------------------------
+@query("q81_merge_upsert")
+def q81_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter(
+            (F.col("o_orderkey") % 7 == 0) | (F.col("o_orderkey") % 11 == 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("__del", F.col("o_orderkey") % 11 == 0)
+    )
+    merged = merge_upsert(orders, updates, key="o_orderkey", delete_col="__del")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r2(F.sum("o_totalprice")).alias("total"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -175,3 +175,30 @@ def test_token_table_drops_empties(docs):
     toks = token_table(docs)
     assert toks.filter(F.col("token") == "").count() == 0
     assert toks.filter(F.col("doc_id") == 5).count() == 0
+
+
+# -- merge / upsert ---------------------------------------------------------
+
+
+def test_merge_upsert_semantics(spark):
+    from luxo_rs_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", False), (3, "x", True), (4, "d", False)],
+        "k long, v string, del boolean",
+    )
+    out = {r.k: r.v for r in merge_upsert(base, updates, "k", "del").collect()}
+    # 1 untouched, 2 updated, 3 deleted, 4 inserted
+    assert out == {1: "a", 2: "B", 4: "d"}
+
+
+def test_merge_upsert_without_deletes(spark):
+    from luxo_rs_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k long, v string")
+    updates = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
+    out = {r.k: r.v for r in merge_upsert(base, updates, "k").collect()}
+    assert out == {1: "A", 2: "b"}
