@@ -306,3 +306,113 @@ def pmi_pairs(
         )
         .select("ta", "tb", "n_pair", "pmi")
     )
+
+
+def sequence_packing(
+    df: DataFrame,
+    budget: int = 2048,
+    by: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign each document to a fixed-token-budget training sequence:
+    docs are laid out in id order (optionally within `by` groups) and
+    seq_id = which budget-sized bin the document's FIRST token lands in
+    (standard contiguous packing — documents may straddle bins, exactly
+    like real sequence packing splits documents across context windows).
+
+    One window running-sum per group — a single shuffle on the group
+    key (or one global ordered window over the per-group pre-aggregated
+    stream when `by` is None; at 100 TB you always pack within shards,
+    i.e. `by` = shard key, keeping every window partition-local).
+    Returns (id, n_tokens, tok_offset, seq_id).
+    """
+    from luxo_rs_spark.functions.text import token_count
+
+    part = [by] if by else []
+    w = (
+        Window.partitionBy(*part).orderBy(id_col)
+        if part
+        else Window.orderBy(id_col)
+    )
+    toks = df.select(
+        *part, F.col(id_col), token_count(text_col).alias("n_tokens")
+    )
+    return (
+        toks.withColumn(
+            "tok_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+        )
+        .withColumn(
+            "seq_id", F.floor(F.col("tok_offset") / F.lit(budget)).cast("bigint")
+        )
+        .select(*part, id_col, "n_tokens", "tok_offset", "seq_id")
+    )
+
+
+def filter_funnel(
+    df: DataFrame,
+    min_chars: int = 200,
+    min_quality: float = 0.5,
+    langs: tuple[str, ...] = ("en", "de", "es", "fr"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Curation-funnel summary: how many documents survive each stage
+    of the standard quality-filter chain (length -> language -> quality
+    score). One conditional-aggregation pass — the funnel is computed
+    in a single scan, not one job per stage.
+
+    Returns one row: (n_total, n_len_ok, n_lang_ok, n_quality_ok) where
+    each stage counts docs passing it AND all previous stages.
+    """
+    from luxo_rs_spark.functions.text import lang_id, quality_metrics
+
+    q = quality_metrics(text_col)
+    len_ok = F.length(text_col) >= min_chars
+    lang_ok = len_ok & lang_id(text_col).isin(*langs)
+    qual_ok = lang_ok & (q["quality"] >= min_quality)
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        flag(len_ok).alias("n_len_ok"),
+        flag(lang_ok).alias("n_lang_ok"),
+        flag(qual_ok).alias("n_quality_ok"),
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    targets: dict[str, float],
+    by: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture reweighting: per-domain sampling factor that
+    reshapes the corpus's actual domain distribution into `targets`
+    (fractions summing to 1): factor = target_frac / actual_frac.
+
+    factor > 1 means upsample (repeat docs ~factor times), < 1 means
+    downsample. One aggregation + a broadcast of the (tiny) targets
+    table; the corpus-total scalar joins in as a broadcast single-row
+    aggregate — the plan stays lazy, nothing collects.
+    Returns (domain, n_docs, actual_frac, target_frac, factor).
+    """
+    spark = df.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()],
+        f"{by} string, target_frac double",
+    )
+    counts = df.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = df.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(tgt), by, "left")
+        .withColumn("target_frac", F.coalesce("target_frac", F.lit(0.0)))
+        .withColumn("actual_frac", F.col("n_docs") / F.col("n_total"))
+        .withColumn("factor", F.col("target_frac") / F.col("actual_frac"))
+        .select(
+            F.col(by).alias("domain"),
+            "n_docs",
+            "actual_frac",
+            "target_frac",
+            "factor",
+        )
+    )

@@ -1089,3 +1089,65 @@ FROM merged
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+ORACLE_SQL["q82_sequence_packing"] = """
+WITH toks AS (
+  SELECT lang, doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT lang, doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS BIGINT) AS tok_offset
+  FROM toks
+)
+SELECT lang, doc_id, n_tokens, tok_offset,
+       CAST(floor(tok_offset / 2048) AS BIGINT) AS seq_id
+FROM packed
+ORDER BY lang, doc_id
+"""
+
+ORACLE_SQL["q83_filter_funnel"] = f"""
+WITH m AS (
+  SELECT length(text) >= 200 AS len_ok,
+         cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_words,
+         cast(length(text) AS BIGINT) AS n_chars_calc,
+         cast(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), {_STOP["en"]})) AS s_en,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), {_STOP["de"]})) AS s_de,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), {_STOP["es"]})) AS s_es,
+         len(list_intersect(list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')), {_STOP["fr"]})) AS s_fr
+  FROM documents
+), staged AS (
+  SELECT len_ok,
+         len_ok AND (CASE
+           WHEN s_en > 0 AND s_en >= greatest(s_en, s_de, s_es, s_fr) THEN 'en'
+           WHEN s_de > 0 AND s_de >= greatest(s_en, s_de, s_es, s_fr) THEN 'de'
+           WHEN s_es > 0 AND s_es >= greatest(s_en, s_de, s_es, s_fr) THEN 'es'
+           WHEN s_fr > 0 AND s_fr >= greatest(s_en, s_de, s_es, s_fr) THEN 'fr'
+           ELSE 'und'
+         END IN ('en', 'de', 'es', 'fr')) AS lang_ok,
+         (least(n_words / 100.0, 1.0) * 0.5
+           + least(s_en * 1.0 / n_words * 10, 1.0) * 0.3
+           + (1.0 - least(n_punct * 1.0 / n_chars_calc * 10, 1.0)) * 0.2) AS quality
+  FROM m
+)
+SELECT count(*) AS n_total,
+       CAST(sum(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len_ok,
+       CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       CAST(sum(CASE WHEN lang_ok AND quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok
+FROM staged
+"""
+
+ORACLE_SQL["q84_mixture_weights"] = """
+WITH tgt(source, target_frac) AS (
+  VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.1)
+), counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), total AS (SELECT count(*) AS n_total FROM documents)
+SELECT counts.source AS domain, n_docs,
+       round(n_docs * 1.0 / n_total, 6)               AS actual_frac,
+       round(coalesce(target_frac, 0.0), 6)            AS target_frac,
+       round(coalesce(target_frac, 0.0) / (n_docs * 1.0 / n_total), 6) AS factor
+FROM counts CROSS JOIN total LEFT JOIN tgt ON counts.source = tgt.source
+ORDER BY domain
+"""

@@ -1970,3 +1970,56 @@ def q81_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q82 — sequence packing (§2.2-K corpus ops): fixed-token-budget
+# training-sequence assignment via per-lang running token sums — one
+# window shuffle, contiguous packing semantics.
+# ---------------------------------------------------------------------------
+@query("q82_sequence_packing")
+def q82_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import sequence_packing
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sequence_packing(docs, budget=2048, by="lang")
+        .orderBy("lang", "doc_id")
+        .select("lang", "doc_id", "n_tokens", "tok_offset", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q83 — quality-filter funnel (§2.2-K): stage-by-stage survivor counts
+# of the standard curation chain (length -> language -> quality) in ONE
+# conditional-aggregation scan.
+# ---------------------------------------------------------------------------
+@query("q83_filter_funnel")
+def q83_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import filter_funnel
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_funnel(docs, min_chars=200, min_quality=0.5)
+
+
+# ---------------------------------------------------------------------------
+# Q84 — domain-mixture reweighting (§2.2-K): per-source sampling factor
+# reshaping the corpus into a declared target mixture.
+# ---------------------------------------------------------------------------
+@query("q84_mixture_weights")
+def q84_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import mixture_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    targets = {"src0": 0.3, "src1": 0.2, "src2": 0.1}
+    return (
+        mixture_weights(docs, targets, by="source")
+        .select(
+            "domain",
+            "n_docs",
+            F.round("actual_frac", 6).alias("actual_frac"),
+            F.round("target_frac", 6).alias("target_frac"),
+            F.round("factor", 6).alias("factor"),
+        )
+        .orderBy("domain")
+    )

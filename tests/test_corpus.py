@@ -202,3 +202,37 @@ def test_merge_upsert_without_deletes(spark):
     updates = spark.createDataFrame([(1, "A"), (2, "b")], "k long, v string")
     out = {r.k: r.v for r in merge_upsert(base, updates, "k").collect()}
     assert out == {1: "A", 2: "b"}
+
+
+# -- sequence packing / filter funnel / mixture weights ---------------------
+
+
+def test_sequence_packing_contiguous(spark):
+    from luxo_rs_spark.operators.corpus import sequence_packing
+
+    rows = [(i, "w " * 100, "en") for i in range(5)]  # 100 tokens each
+    df = spark.createDataFrame(
+        [(i, t.strip(), l) for i, t, l in rows], "doc_id long, text string, lang string"
+    )
+    out = {r.doc_id: (r.tok_offset, r.seq_id) for r in
+           sequence_packing(df, budget=250, by="lang").collect()}
+    # offsets 0,100,200,300,400 -> seqs 0,0,0,1,1
+    assert out == {0: (0, 0), 1: (100, 0), 2: (200, 0), 3: (300, 1), 4: (400, 1)}
+
+
+def test_filter_funnel_monotonic(docs):
+    from luxo_rs_spark.operators.corpus import filter_funnel
+
+    row = filter_funnel(docs, min_chars=5, min_quality=0.0).collect()[0]
+    assert row.n_total >= row.n_len_ok >= row.n_lang_ok >= row.n_quality_ok
+    assert row.n_total == 6
+
+
+def test_mixture_weights_math(docs):
+    from luxo_rs_spark.operators.corpus import mixture_weights
+
+    out = {r.domain: r for r in mixture_weights(docs, {"w1": 0.75}, by="source").collect()}
+    # w1 has 3 of 6 docs -> actual 0.5, factor 1.5; w2 untargeted -> 0
+    assert out["w1"].actual_frac == pytest.approx(0.5)
+    assert out["w1"].factor == pytest.approx(1.5)
+    assert out["w2"].target_frac == 0.0 and out["w2"].factor == 0.0
