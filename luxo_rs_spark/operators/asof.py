@@ -90,10 +90,14 @@ def asof_join(
         )
         picker = [F.last(c, ignorenulls=True).over(w).alias(c) for c in out_cols]
     else:
-        # probes before builds at equal t => strict successor (>)
+        # builds BEFORE probes at equal t, so an equal-t build falls
+        # outside the probe's [current, following) frame => strict
+        # successor (>), matching the reference's next_largest
+        # (src/algo/search.rs:96-124: first element > needle, None when
+        # needle >= max)
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.col("__t").asc(), F.col("__probe").desc())
+            .orderBy(F.col("__t").asc(), F.col("__probe").asc())
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         picker = [F.first(c, ignorenulls=True).over(w).alias(c) for c in out_cols]

@@ -1151,3 +1151,46 @@ SELECT counts.source AS domain, n_docs,
 FROM counts CROSS JOIN total LEFT JOIN tgt ON counts.source = tgt.source
 ORDER BY domain
 """
+
+ORACLE_SQL["q85_asof_forward"] = """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       (SELECT min(epoch_us(o_orderdate)) FROM orders o
+         WHERE o.o_custkey = e.user_id AND o.o_orderdate > e.ts) AS next_order_date_us
+FROM events e
+ORDER BY event_id
+"""
+
+ORACLE_SQL["q86_rollup_hierarchy"] = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, event_type,
+         count(*) AS n, sum(value) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT epoch_us(date_trunc('day', h)) AS day_us, event_type,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(sv), 2)      AS sum_value,
+       CAST(count(*) AS BIGINT) AS n_hours
+FROM hourly
+GROUP BY 1, 2
+ORDER BY day_us, event_type
+"""
+
+ORACLE_SQL["q87_order_streaks"] = """
+WITH days AS (
+  SELECT DISTINCT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders
+), islands AS (
+  SELECT o_custkey, d,
+         d - CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY d) AS INT) AS grp
+  FROM days
+), streaks AS (
+  SELECT o_custkey, grp, count(*) AS streak_days, min(d) AS start_d, max(d) AS end_d
+  FROM islands GROUP BY 1, 2
+)
+SELECT o_custkey, CAST(streak_days AS BIGINT) AS streak_days,
+       CAST(start_d AS VARCHAR) AS start_day,
+       CAST(end_d AS VARCHAR)   AS end_day
+FROM streaks
+WHERE streak_days >= 2
+ORDER BY streak_days DESC, o_custkey, start_day
+"""

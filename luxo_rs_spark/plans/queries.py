@@ -2023,3 +2023,96 @@ def q84_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("domain")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q85 — FORWARD as-of join (reference next_largest successor semantics,
+# src/algo/search.rs:96-124): for each event, the EARLIEST order date of
+# the same customer strictly after the event — completing the R2/R3
+# pair (q06 is the floor direction).
+# ---------------------------------------------------------------------------
+@query("q85_asof_forward")
+def q85_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("ts"), F.col("event_id")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        probe_time="ts",
+        build_time="o_orderdate",
+        payload={"o_orderdate": "next_date"},
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("next_date").alias("next_order_date_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q86 — rollup hierarchy (hypertable-style continuous aggregates): the
+# day rollup is computed FROM the hour rollup, not by rescanning raw
+# events — the materialized-rollup reuse pattern; correctness asserted
+# against the direct day aggregation by construction (sums re-aggregate
+# losslessly).
+# ---------------------------------------------------------------------------
+@query("q86_rollup_hierarchy")
+def q86_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    daily = (
+        hourly.groupBy(F.date_trunc("day", "h").alias("d"), "event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            _r2(F.sum("sv")).alias("sum_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        )
+    )
+    return daily.select(
+        F.unix_micros("d").alias("day_us"), "event_type", "n_events",
+        "sum_value", "n_hours",
+    ).orderBy("day_us", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q87 — gap-and-islands (§2.2-E windows): consecutive-day order streaks
+# per customer via the classic date - row_number grouping trick; top
+# streaks with full ordering.
+# ---------------------------------------------------------------------------
+@query("q87_order_streaks")
+def q87_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    days = (
+        orders.select(
+            "o_custkey", F.to_date("o_orderdate").alias("d")
+        ).distinct()
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d")
+    islands = days.withColumn(
+        "grp", F.date_sub("d", F.row_number().over(w))
+    )
+    streaks = (
+        islands.groupBy("o_custkey", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+            F.min("d").alias("start_d"),
+            F.max("d").alias("end_d"),
+        )
+        .filter(F.col("streak_days") >= 2)
+    )
+    return streaks.select(
+        "o_custkey",
+        "streak_days",
+        F.col("start_d").cast("string").alias("start_day"),
+        F.col("end_d").cast("string").alias("end_day"),
+    ).orderBy(F.col("streak_days").desc(), "o_custkey", "start_day")
