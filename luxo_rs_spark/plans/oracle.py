@@ -1194,3 +1194,81 @@ FROM streaks
 WHERE streak_days >= 2
 ORDER BY streak_days DESC, o_custkey, start_day
 """
+
+ORACLE_SQL["q88_null_semantics"] = """
+WITH t AS (
+  SELECT nullif(o_orderstatus, 'O') AS nkey, o_totalprice,
+         nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS nsafe_f,
+         nullif(o_orderstatus, 'O') = 'F' AS plain_f
+  FROM orders
+)
+SELECT nkey, count(*) AS n_rows,
+       CAST(count(nkey) AS BIGINT) AS n_nonnull,
+       CAST(sum(CASE WHEN nsafe_f THEN 1 ELSE 0 END) AS BIGINT) AS n_nsafe_f,
+       CAST(sum(CASE WHEN plain_f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
+       round(sum(o_totalprice), 2) AS total
+FROM t
+GROUP BY nkey
+ORDER BY nkey NULLS FIRST
+"""
+
+ORACLE_SQL["q89_curation_pipeline"] = """
+WITH RECURSIVE ded AS (
+  SELECT d.* FROM documents d
+  JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text) k
+    ON d.doc_id = k.doc_id
+), w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM ded
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+  FROM w WHERE len(words) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT da, db FROM inter
+  JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+  WHERE n_inter * 1.0 / (x.n_sh + y.n_sh - n_inter) >= 0.8
+), edges AS (
+  SELECT da AS a, db AS b FROM pairs
+  UNION ALL
+  SELECT db, da FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), clust AS (
+  SELECT d.doc_id,
+         least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS cluster_id
+  FROM ded d LEFT JOIN reach r ON r.a = d.doc_id
+  GROUP BY d.doc_id
+), kept AS (
+  SELECT d.* FROM ded d JOIN clust c ON d.doc_id = c.doc_id
+  WHERE d.doc_id = c.cluster_id AND d.n_chars >= 200
+), f(doc_id, n_chars, k, state) AS (
+  SELECT doc_id, n_chars, 0, CAST(14695981039346656037 AS HUGEINT) FROM kept
+  UNION ALL
+  SELECT doc_id, n_chars, k + 1,
+         (xor(state, (CAST(doc_id AS HUGEINT) >> (8 * k)) & 255) * 1099511628211)
+           % 18446744073709551616
+  FROM f WHERE k < 8
+), split_of AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN state % 10 < 8 THEN 'train'
+              WHEN state % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f WHERE k = 8
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       min(doc_id) AS min_id
+FROM split_of
+GROUP BY split
+ORDER BY split
+"""

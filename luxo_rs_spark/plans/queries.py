@@ -2116,3 +2116,65 @@ def q87_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start_d").cast("string").alias("start_day"),
         F.col("end_d").cast("string").alias("end_day"),
     ).orderBy(F.col("streak_days").desc(), "o_custkey", "start_day")
+
+
+# ---------------------------------------------------------------------------
+# Q88 — NULL-semantics battery (§2.2-B 3VL / §1.2): nullable derived
+# keys, count(col) vs count(*), null-safe equality, grouping by NULL,
+# NULLS FIRST ordering — the SQL three-valued-logic contract.
+# ---------------------------------------------------------------------------
+@query("q88_null_semantics")
+def q88_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # nullable derived key: status 'O' -> NULL
+    n1 = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return (
+        orders.select(
+            n1.alias("nkey"),
+            F.col("o_totalprice"),
+            n1.eqNullSafe(F.lit("F")).alias("nsafe_f"),
+            (n1 == F.lit("F")).alias("plain_f"),  # NULL for the O rows
+        )
+        .groupBy("nkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("nkey").cast("bigint").alias("n_nonnull"),
+            F.sum(F.when(F.col("nsafe_f"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_nsafe_f"),
+            F.sum(F.when(F.col("plain_f").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unknown"),
+            _r2(F.sum("o_totalprice")).alias("total"),
+        )
+        .orderBy(F.col("nkey").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q89 — END-TO-END curation pipeline (§2.2-K headline): exact dedup ->
+# near-dup survivor selection (MinHash-LSH + connected components) ->
+# quality floor -> deterministic hash split, reported per split. One
+# lazy plan; every stage is the already-verified operator (q30, q65,
+# q67). Oracle: the same chain in one SQL statement with two recursive
+# CTEs (transitive closure + FNV-1a fold).
+# ---------------------------------------------------------------------------
+@query("q89_curation_pipeline")
+def q89_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import hash_split
+    from luxo_rs_spark.operators.dedup import exact_dedup, neardup_survivors
+
+    docs = load_table(spark, sf_dir, "documents")
+    ded = exact_dedup(docs)
+    reps = neardup_survivors(ded, threshold=0.8)
+    kept = reps.filter(F.col("n_chars") >= 200)
+    return (
+        hash_split(kept, id_col="doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+        )
+        .orderBy("split")
+    )
