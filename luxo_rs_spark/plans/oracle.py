@@ -1272,3 +1272,39 @@ FROM split_of
 GROUP BY split
 ORDER BY split
 """
+
+ORACLE_SQL["q90_date_battery2"] = """
+SELECT o_orderkey,
+       CAST(make_date(2024, CAST(month(o_orderdate) AS INT), 1) AS VARCHAR) AS m1,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS ld,
+       CAST(quarter(o_orderdate) AS BIGINT)    AS q,
+       CAST(dayofyear(o_orderdate) AS BIGINT)  AS doy,
+       CAST(weekofyear(o_orderdate) AS BIGINT) AS woy
+FROM orders WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["q91_array_set_ops"] = """
+SELECT p_partkey,
+       array_to_string(list_sort(list_distinct([p_size, p_size + 1, p_size + 2] || [p_size + 2, p_size + 4])), ',') AS uni,
+       array_to_string(list_sort(list_intersect([p_size, p_size + 1, p_size + 2], [p_size + 2, p_size + 4])), ',') AS inter,
+       array_to_string(list_sort(list_filter([p_size, p_size + 1, p_size + 2],
+                 x -> NOT list_contains([p_size + 2, p_size + 4], x))), ',') AS exc,
+       CAST(list_position([p_size, p_size + 1, p_size + 2], p_size + 1) AS BIGINT) AS pos,
+       array_to_string([p_size, p_size + 1, p_size + 2] || [p_size + 2, p_size + 4], ',') AS flat
+FROM part WHERE p_partkey < 300
+ORDER BY p_partkey
+"""
+
+ORACLE_SQL["q92_bitwise_battery"] = """
+SELECT o_orderkey,
+       CAST(o_orderkey & 255 AS BIGINT)    AS band,
+       CAST(o_orderkey | 256 AS BIGINT)    AS bor,
+       CAST(xor(o_orderkey, 170) AS BIGINT) AS bxor,
+       CAST(o_orderkey << 3 AS BIGINT)     AS shl,
+       CAST(o_orderkey >> 2 AS BIGINT)     AS shr,
+       CAST(~o_orderkey AS BIGINT)         AS bnot,
+       CAST(bit_count(o_orderkey) AS BIGINT) AS pop
+FROM orders WHERE o_orderkey < 300
+ORDER BY o_orderkey
+"""

@@ -2178,3 +2178,60 @@ def q89_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q90 — date battery 2 (§2.2-H): make_date, last_day, quarter,
+# dayofyear, ISO week — completing the declared calendar surface.
+# ---------------------------------------------------------------------------
+@query("q90_date_battery2")
+def q90_date_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    d = F.to_date("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.make_date(F.lit(2024), F.month(d), F.lit(1)).cast("string").alias("m1"),
+        F.last_day(d).cast("string").alias("ld"),
+        F.quarter(d).cast("bigint").alias("q"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.weekofyear(d).cast("bigint").alias("woy"),
+    ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q91 — array set-operation battery (§2.2-H): union/intersect/except
+# over per-row arrays, canonically sorted for the oracle.
+# ---------------------------------------------------------------------------
+@query("q91_array_set_ops")
+def q91_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    a = F.array(F.col("p_size"), F.col("p_size") + 1, F.col("p_size") + 2)
+    b = F.array(F.col("p_size") + 2, F.col("p_size") + 4)
+    return part.select(
+        "p_partkey",
+        F.array_join(F.sort_array(F.array_union(a, b)), ",").alias("uni"),
+        F.array_join(F.sort_array(F.array_intersect(a, b)), ",").alias("inter"),
+        F.array_join(F.sort_array(F.array_except(a, b)), ",").alias("exc"),
+        F.array_position(a, F.col("p_size") + 1).cast("bigint").alias("pos"),
+        F.array_join(F.flatten(F.array(a, b)), ",").alias("flat"),
+    ).orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Q92 — bitwise battery (§2.2-H): AND/OR/XOR/shifts/NOT/popcount over
+# integer keys — the bit-manipulation surface SimHash (q33) builds on.
+# ---------------------------------------------------------------------------
+@query("q92_bitwise_battery")
+def q92_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(0xFF)).cast("bigint").alias("band"),
+        k.bitwiseOR(F.lit(0x100)).cast("bigint").alias("bor"),
+        k.bitwiseXOR(F.lit(0xAA)).cast("bigint").alias("bxor"),
+        F.shiftleft(k, 3).cast("bigint").alias("shl"),
+        F.shiftright(k, 2).cast("bigint").alias("shr"),
+        F.bitwise_not(k).cast("bigint").alias("bnot"),
+        F.bit_count(k).cast("bigint").alias("pop"),
+    ).orderBy("o_orderkey")
