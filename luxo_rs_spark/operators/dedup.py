@@ -1,6 +1,15 @@
 """Deduplication operators (SURVEY.md §2.2-K): exact, n-gram Jaccard,
 MinHash-LSH, SimHash.
 
+Algorithms follow the published formulations: MinHash resemblance
+sketches (Broder, "On the resemblance and containment of documents",
+1997) with banded LSH (Indyk & Motwani 1998; banding analysis as in
+Rajaraman & Ullman, "Mining of Massive Datasets" ch. 3), and SimHash
+random-projection fingerprints (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002) with the pigeonhole
+Hamming-band join (Manku, Jain & Sarma, "Detecting near-duplicates for
+web crawling", WWW 2007).
+
 All four tiers of the training-data dedup ladder, Spark-first:
 
 - **exact**: content-hash groupBy using the reference-exact ``fnv1a64``

@@ -1,5 +1,11 @@
 """Similarity search over embedding columns (SURVEY.md §2.2-K).
 
+ANN structure follows the published designs: random-hyperplane LSH
+(Charikar, STOC 2002; multiprobe as in Lv et al., VLDB 2007) and
+IVF/coarse-quantization probing (Jegou, Douze & Schmid, "Product
+quantization for nearest neighbor search", TPAMI 2011 — the inverted-
+file stage, without PQ compression).
+
 - ``cosine_topk``: exact brute-force top-k — the correctness baseline.
   One broadcast of the query vector, one map-side cosine per row, then
   TakeOrderedAndProject. O(N) per query, embarrassingly parallel.

@@ -1308,3 +1308,26 @@ SELECT o_orderkey,
 FROM orders WHERE o_orderkey < 300
 ORDER BY o_orderkey
 """
+
+ORACLE_SQL["q93_sole_last_shipper"] = """
+WITH fin AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS mx, count(DISTINCT l_suppkey) AS nsupp
+  FROM fin GROUP BY 1
+), last AS (
+  SELECT DISTINCT f.l_orderkey, f.l_suppkey
+  FROM fin f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+  WHERE f.l_shipdate = p.mx AND p.nsupp >= 2
+), sole AS (
+  SELECT l_orderkey FROM last GROUP BY 1 HAVING count(*) = 1
+)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM last
+WHERE l_orderkey IN (SELECT l_orderkey FROM sole)
+GROUP BY l_suppkey
+ORDER BY numwait DESC, l_suppkey
+LIMIT 20
+"""

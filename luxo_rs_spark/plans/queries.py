@@ -2235,3 +2235,43 @@ def q92_bitwise_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitwise_not(k).cast("bigint").alias("bnot"),
         F.bit_count(k).cast("bigint").alias("pop"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q93 — TPC-H Q21-shape multi-correlated self-join (§2.2-C): suppliers
+# who were the SOLE last shipper on a multi-supplier finished order —
+# an EXISTS (another supplier on the order) + NOT EXISTS (another
+# supplier shipping at the same final date) pair, expressed as
+# aggregate-derived semi-join frames.
+# ---------------------------------------------------------------------------
+@query("q93_sole_last_shipper")
+def q93_sole_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    fin = li.join(
+        orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_suppkey", "l_shipdate")
+    per_order = fin.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("mx"),
+        F.countDistinct("l_suppkey").alias("nsupp"),
+    )
+    last = (
+        fin.join(per_order, "l_orderkey")
+        .filter((F.col("l_shipdate") == F.col("mx")) & (F.col("nsupp") >= 2))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        last.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_last"))
+        .filter(F.col("n_last") == 1)
+        .select("l_orderkey")
+    )
+    return (
+        last.join(sole, "l_orderkey", "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "l_suppkey")
+        .limit(20)
+    )
