@@ -172,3 +172,30 @@ def test_neardup_clusters_chain_converges(spark):
     }
     assert by_id[10] == by_id[11] == by_id[12] == 10
     assert by_id[13] == 13
+
+
+def test_approx_sketches_error_bounds(spark):
+    """q50's sketches are engine-specific (rows-only at the driver), so
+    pin their accuracy Spark-internally: HLL++ within its default 5%
+    rsd of the exact count-distinct, approx median within the exact
+    p40-p60 band."""
+    from luxo_rs_spark.sources.registry import load_table
+    from conftest import SF_DIR_01
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_DIR_01, "lineitem")
+    got = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_suppkey").alias("approx_supp"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+            F.countDistinct("l_suppkey").alias("exact_supp"),
+            F.expr("percentile(l_extendedprice, 0.4)").alias("p40"),
+            F.expr("percentile(l_extendedprice, 0.6)").alias("p60"),
+        )
+        .collect()
+    )
+    assert len(got) > 0
+    for r in got:
+        assert abs(r.approx_supp - r.exact_supp) <= 0.05 * r.exact_supp + 2
+        assert r.p40 <= r.approx_median <= r.p60
