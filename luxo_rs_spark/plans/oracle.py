@@ -1331,3 +1331,144 @@ GROUP BY l_suppkey
 ORDER BY numwait DESC, l_suppkey
 LIMIT 20
 """
+
+ORACLE_SQL["q94_order_count_distribution"] = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLE_SQL["q95_wealthy_inactive"] = """
+SELECT cast(c_custkey % 10 AS BIGINT) AS cntrycode,
+       count(*) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer c
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY 1
+ORDER BY cntrycode
+"""
+
+ORACLE_SQL["q96_repetition_quality"] = """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 40),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token,
+         generate_subscripts(regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+  FROM docs
+), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+cnts AS (SELECT doc_id, token, count(*) AS c FROM toks2 GROUP BY 1, 2),
+top AS (
+  SELECT doc_id, max(c) AS top_cnt, cast(sum(c) AS BIGINT) AS n_tokens
+  FROM cnts GROUP BY 1
+),
+grams AS (
+  SELECT doc_id,
+         token || ' ' || lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS gram
+  FROM toks2
+),
+g2 AS (
+  SELECT doc_id, count(gram) AS total_2g, count(DISTINCT gram) AS dist_2g
+  FROM grams GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       top_cnt * 1.0 / n_tokens AS top_tok_ratio,
+       1.0 - dist_2g * 1.0 / total_2g AS dup_2gram_frac
+FROM top JOIN g2 USING (doc_id)
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["q97_unigram_entropy"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents WHERE doc_id < 40
+), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+cnts AS (SELECT doc_id, token, count(*) AS c FROM toks2 GROUP BY 1, 2),
+withn AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM cnts
+)
+SELECT doc_id, cast(max(n) AS BIGINT) AS n_tokens,
+       round(sum(-(c * 1.0 / n) * log2(c * 1.0 / n)), 4) AS entropy
+FROM withn
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["q98_bm25_topk"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), toks2 AS (SELECT * FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT sum(dl) * 1.0 / count(*) AS avgdl, count(*) AS n_docs FROM dl),
+dfreq AS (
+  SELECT token, count(*) AS df FROM tf
+  WHERE token IN ('spark', 'hash', 'join') GROUP BY 1
+),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf.tf * (1.2 + 1))
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl)) AS s
+  FROM tf
+  JOIN dfreq USING (token)
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.token IN ('spark', 'hash', 'join')
+)
+SELECT doc_id, round(sum(s), 4) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+"""
+
+ORACLE_SQL["q99_embedding_quantize"] = """
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), mm AS (
+  SELECT vec_id, e,
+         list_min(e) AS mn,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM base
+), q AS (
+  SELECT vec_id, scale,
+         list_transform(
+           list_zip(e,
+                    list_transform(e, x -> mn + floor((x - mn) / scale + 0.5) * scale)),
+           p -> abs(p[1] - p[2])) AS err
+  FROM mm
+)
+SELECT vec_id,
+       round(scale, 6) AS scale_6,
+       round(list_max(err), 6) AS max_abs_err,
+       round(list_reduce(err, (acc, x) -> acc + x) / len(err), 6) AS mean_abs_err
+FROM q
+ORDER BY vec_id
+"""
+
+ORACLE_SQL["q100_top_revenue_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""

@@ -2275,3 +2275,275 @@ def q93_sole_last_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "l_suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q94 — order-count distribution (TPC-H Q13 shape): left outer join with an
+# extra predicate INSIDE the join condition (not a post-join filter — the
+# difference is visible on unmatched rows), then a two-level aggregation
+# (count per customer, then count-of-counts). The outer join shuffles on
+# the key once; both aggregations are partial+final hash aggs.
+# ---------------------------------------------------------------------------
+@query("q94_order_count_distribution")
+def q94_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q95 — wealthy inactive customers (TPC-H Q22 shape): uncorrelated scalar
+# subquery (global average of positive balances) used as a filter
+# threshold, anti join against orders, grouped by a derived country code.
+# The scalar aggregate is a 1-row broadcast, not a driver-side collect.
+# ---------------------------------------------------------------------------
+@query("q95_wealthy_inactive")
+def q95_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avgbal"))
+    )
+    wealthy = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avgbal")
+    )
+    inactive = wealthy.join(
+        orders, wealthy.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        inactive.withColumn(
+            "cntrycode", (F.col("c_custkey") % 10).cast("bigint")
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _r2(F.sum("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q96 — repetition-based quality signals (Gopher-style repetition rules:
+# Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1 — fraction
+# of duplicated n-grams and dominance of the most frequent token are the
+# standard signals for filtering repetitive machine-generated text).
+# Per document: top-token ratio (count of most frequent token / total
+# tokens) and duplicate-2-gram fraction (1 - distinct/total 2-grams).
+# All ratios are exact-integer divisions -> bit-identical cross-engine,
+# no rounding needed. Map-side only except the per-doc token counting.
+# ---------------------------------------------------------------------------
+@query("q96_repetition_quality")
+def q96_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    base = docs.select("doc_id", words("text").alias("w"))
+    toks = base.select(
+        "doc_id", F.explode("w").alias("tok")
+    ).filter(F.col("tok") != "")
+    top = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+        )
+    )
+    idx = F.sequence(F.lit(1), F.size("w") - 1)
+    gram = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.element_at("w", i), F.element_at("w", i + 1)
+        ),
+    )
+    grams = base.select(
+        "doc_id",
+        F.when(F.size("w") >= 2, gram)
+        .otherwise(F.array().cast("array<string>"))
+        .alias("g"),
+    ).select(
+        "doc_id",
+        F.size("g").alias("total_2g"),
+        F.size(F.array_distinct("g")).alias("dist_2g"),
+    )
+    return (
+        top.join(grams, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("top_cnt") / F.col("n_tokens")).alias("top_tok_ratio"),
+            (
+                F.lit(1.0) - F.col("dist_2g") / F.col("total_2g")
+            ).alias("dup_2gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q97 — unigram entropy per document (Shannon entropy over the token
+# distribution, the classic gibberish/boilerplate detector). H =
+# -sum(p*log2(p)). log2 may differ in the last ulp across libm
+# implementations, so the output is rounded to 4 decimals per the
+# determinism contract.
+# ---------------------------------------------------------------------------
+@query("q97_unigram_entropy")
+def q97_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = docs.select(
+        "doc_id", F.explode(words("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    cnts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w)
+    return (
+        cnts.withColumn("term", -p * F.log2(p))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("term"), 4).alias("entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q98 — BM25 keyword retrieval (Robertson & Zaragoza 2009, "The
+# Probabilistic Relevance Framework: BM25 and Beyond"; idf in the
+# Lucene form ln(1 + (N - df + 0.5)/(df + 0.5))). Query terms are fixed
+# ('spark', 'hash', 'join'), k1=1.2, b=0.75; top-10 documents by score.
+# The document-frequency and corpus-stats sides are tiny aggregates that
+# broadcast; the per-doc side stays partitioned — at 100 TB this is one
+# shuffle (term counting) plus broadcast joins.
+# ---------------------------------------------------------------------------
+@query("q98_bm25_topk")
+def q98_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words  # noqa: PLC0415
+
+    k1, b = 1.2, 0.75
+    terms = ["spark", "hash", "join"]
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(words("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dfreq = (
+        tf.filter(F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    scored = (
+        tf.filter(F.col("tok").isin(terms))
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q99 — int8 scalar quantization of embeddings + reconstruction error
+# (the standard vector-compression baseline; cf. Jégou et al. 2011 §II.A
+# uniform scalar quantizer). Per vector: scale = (max-min)/255, code =
+# floor((x-min)/scale + 0.5) — floor(+0.5) instead of round() because
+# banker's/half-up rounding differs across engines while floor is exact.
+# Entirely higher-order array functions: zero shuffle, map-side only.
+# ---------------------------------------------------------------------------
+@query("q99_embedding_quantize")
+def q99_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    mn, mx = F.array_min(e), F.array_max(e)
+    scale = (mx - mn) / F.lit(255.0)
+    code = F.transform(e, lambda x: F.floor((x - mn) / scale + F.lit(0.5)))
+    recon = F.transform(code, lambda q: mn + q.cast("double") * scale)
+    err = F.zip_with(e, recon, lambda x, r: F.abs(x - r))
+    return (
+        emb.select(
+            "vec_id",
+            F.round(scale, 6).alias("scale_6"),
+            F.round(F.array_max(err), 6).alias("max_abs_err"),
+            F.round(
+                F.aggregate(
+                    err, F.lit(0.0), lambda acc, x: acc + x
+                )
+                / F.size(err),
+                6,
+            ).alias("mean_abs_err"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q100 — top-revenue supplier (TPC-H Q15 shape): aggregate a revenue CTE,
+# then keep the rows equal to its maximum (max-over-aggregate via a
+# 1-row broadcast, the decorrelated form of Q15's scalar subquery).
+# Revenue is rounded to cents BEFORE the equality compare so both
+# engines compare identical doubles.
+# ---------------------------------------------------------------------------
+@query("q100_top_revenue_supplier")
+def q100_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mxrev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mxrev"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
