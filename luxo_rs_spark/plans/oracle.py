@@ -1472,3 +1472,117 @@ FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 ORDER BY s_suppkey
 """
+
+ORACLE_SQL["q101_conversion_funnel"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN v USING (user_id)
+  WHERE event_type = 'click' AND ts > t1 GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN c USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1
+)
+SELECT '1_view' AS stage, count(*) AS n_users FROM v
+UNION ALL SELECT '2_click', count(*) FROM c
+UNION ALL SELECT '3_purchase', count(*) FROM p
+ORDER BY stage
+"""
+
+ORACLE_SQL["q102_cohort_retention"] = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1
+), act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events
+)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       cast(date_diff('day', cw::DATE, aw::DATE) / 7 AS BIGINT) AS week_offset,
+       count(*) AS n_users
+FROM act JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+ORACLE_SQL["q103_locf_gapfill"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
+         round(sum(value), 2) / count(*) AS v
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', min(ts))::TIMESTAMP AS h0,
+         date_trunc('hour', max(ts))::TIMESTAMP AS h1
+  FROM events
+), spine AS (
+  SELECT t.event_type, s.h
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN bounds
+  CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+  ) s
+), j AS (
+  SELECT spine.event_type, spine.h, hourly.v
+  FROM spine LEFT JOIN hourly
+    ON spine.event_type = hourly.event_type AND spine.h = hourly.h
+)
+SELECT event_type, epoch_us(h) AS hour_us,
+       coalesce(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS value_locf,
+       cast(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS was_gap
+FROM j
+ORDER BY event_type, hour_us
+"""
+
+ORACLE_SQL["q104_histogram_cdf"] = """
+WITH b AS (
+  -- this duckdb build has no width_bucket(); spell out its arithmetic
+  SELECT cast(CASE WHEN o_totalprice < 0 THEN 0
+                   WHEN o_totalprice >= 500000.0 THEN 21
+                   ELSE floor(o_totalprice * 20 / 500000.0) + 1 END AS BIGINT) AS bucket,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_price
+  FROM orders GROUP BY 1
+), t AS (SELECT count(*) AS total FROM orders)
+SELECT bucket, n_orders, sum_price,
+       cast(sum(n_orders) OVER w AS BIGINT) AS cum_orders,
+       sum(n_orders) OVER w * 1.0 / total AS cdf
+FROM b CROSS JOIN t
+WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY bucket
+"""
+
+ORACLE_SQL["q105_skew_profile"] = """
+WITH per_key AS (
+  SELECT l_suppkey, count(*) AS cnt FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_keys, sum(cnt) AS total FROM per_key
+), ranked AS (
+  SELECT l_suppkey, cnt,
+         row_number() OVER (ORDER BY cnt DESC, l_suppkey) AS rank
+  FROM per_key
+)
+SELECT cast(rank AS BIGINT) AS rank, l_suppkey, cast(cnt AS BIGINT) AS cnt,
+       cnt * 1.0 / total AS share,
+       cnt * 1.0 * n_keys / total AS skew_factor
+FROM ranked CROSS JOIN stats
+WHERE rank <= 5
+ORDER BY rank
+"""
+
+ORACLE_SQL["q106_scd2_intervals"] = """
+WITH ev AS (SELECT * FROM events WHERE user_id < 10),
+marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM ev
+), changes AS (
+  SELECT user_id, event_type, ts, event_id FROM marked
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type,
+       epoch_us(ts) AS valid_from_us,
+       coalesce(epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), -1) AS valid_to_us
+FROM changes
+ORDER BY user_id, valid_from_us
+"""

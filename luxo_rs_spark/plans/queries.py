@@ -2547,3 +2547,237 @@ def q100_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q101 — ordered conversion funnel over the event stream: users who did
+# view -> (later) click -> (later) purchase, counted per stage. Each
+# stage is a min-timestamp aggregate joined to the previous stage with a
+# strict ts inequality — the classic behavioral-analytics funnel. Stages
+# shrink monotonically, so each successive join probes a smaller build
+# side (broadcast-eligible at any scale: stage outputs are per-user
+# 1-row aggregates of the converting population).
+# ---------------------------------------------------------------------------
+@query("q101_conversion_funnel")
+def q101_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = [
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("stage"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_click").alias("stage"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_purchase").alias("stage"), "n_users"
+        ),
+    ]
+    out = stages[0]
+    for s in stages[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# Q102 — weekly cohort retention: cohort = ISO week of a user's first
+# event; cell (cohort, offset) = users of that cohort active offset weeks
+# later. Two shuffles (per-user first-seen; per-cell count) — the
+# standard retention-triangle query.
+# ---------------------------------------------------------------------------
+@query("q102_cohort_retention")
+def q102_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cw")
+    )
+    act = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("aw")
+    ).distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.col("aw").cast("date"), F.col("cw").cast("date"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q103 — LOCF gap fill (last-observation-carried-forward, the timeseries
+# `locf()` pattern): hourly average value per event_type on a DENSE hour
+# spine; missing hours are filled from the most recent observed hour of
+# the same type. The spine is a broadcast sequence-explode; the fill is a
+# running `last(ignorenulls)` window with an O(1)-state frame
+# (UNBOUNDED PRECEDING .. CURRENT ROW), so state never grows with gap
+# length. Leading gaps (before a type's first observation) surface as
+# -1.0 with was_gap=1.
+# ---------------------------------------------------------------------------
+@query("q103_locf_gapfill")
+def q103_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg((_r2(F.sum("value")) / F.count(F.lit(1))).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.unix_micros("h").alias("hour_us"),
+            F.coalesce(
+                F.last("v", ignorenulls=True).over(w), F.lit(-1.0)
+            ).alias("value_locf"),
+            F.when(F.col("v").isNull(), 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("was_gap"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q104 — equi-width histogram + cumulative distribution of order totals:
+# width_bucket into 20 fixed [0, 500000) buckets, per-bucket counts and
+# a running cumulative share. One shuffle (bucket agg, 20 groups) plus a
+# single-partition window over 20 rows — histogramming at 100 TB is
+# map-side partial aggregation into a constant-size state.
+# ---------------------------------------------------------------------------
+@query("q104_histogram_cdf")
+def q104_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucketed = orders.groupBy(
+        F.width_bucket(
+            F.col("o_totalprice"), F.lit(0.0), F.lit(500000.0), F.lit(20)
+        )
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _r2(F.sum("o_totalprice")).alias("sum_price"),
+    )
+    # total as a lazy 1-row broadcast, not a driver-side count(): one job
+    total = orders.agg(F.count(F.lit(1)).alias("total"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        bucketed.crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            "n_orders",
+            "sum_price",
+            F.sum("n_orders").over(w).cast("bigint").alias("cum_orders"),
+            (F.sum("n_orders").over(w) / F.col("total")).alias("cdf"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q105 — join-key skew profiler: per-key counts on l_suppkey, global
+# shape stats, and the top-5 heavy hitters with their skew factor
+# (cnt * n_keys / total = how many times hotter than uniform). This is
+# the diagnostic you run BEFORE a 100 TB join to decide between AQE skew
+# handling and manual salting (SCALING.md relational-core notes).
+# ---------------------------------------------------------------------------
+@query("q105_skew_profile")
+def q105_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    stats = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("total"),
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "l_suppkey")
+    return (
+        per_key.crossJoin(F.broadcast(stats))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "rank",
+            "l_suppkey",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("cnt") / F.col("total")).alias("share"),
+            (F.col("cnt") * F.col("n_keys") / F.col("total")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q106 — SCD2 interval build (slowly-changing-dimension type 2): collapse
+# each user's event stream into [valid_from, valid_to) state intervals,
+# keeping only rows where the state (event_type) actually changed and
+# closing each interval with the next change's timestamp (open intervals
+# get valid_to = -1). Pure window machinery: one shuffle on user_id, two
+# O(1)-state window passes (lag to detect changes, lead to close).
+# ---------------------------------------------------------------------------
+@query("q106_scd2_intervals")
+def q106_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn(
+        "prev", F.lag("event_type").over(wo)
+    ).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("valid_from_us"),
+            F.coalesce(
+                F.unix_micros(F.lead("ts").over(wc)), F.lit(-1)
+            ).alias("valid_to_us"),
+        )
+        .orderBy("user_id", "valid_from_us")
+    )

@@ -1,0 +1,145 @@
+"""Boundary-case unit tests for the event-analytics queries (q101/q103/
+q106), in the reference's fixture style (SURVEY.md §5.2: hand-built
+5-ish-row fixtures probing first/last/interior/absent cases —
+/root/reference/src/algo/search.rs:126-373).
+
+The oracle tests pin these queries against DuckDB on the fixture
+tables; these tests pin the SEMANTICS on adversarial micro-fixtures the
+synthetic data may not contain (out-of-order funnel stages, leading
+gaps, single-event users).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def _funnel_counts(spark, rows):
+    """Re-implements q101's stage chain on an in-memory fixture."""
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts timestamp"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return v.count(), c.count(), p.count()
+
+
+def test_funnel_requires_strict_order(spark):
+    # user 1: proper view < click < purchase -> counts in all stages
+    # user 2: click BEFORE its only view -> stops at view stage
+    # user 3: purchase before click -> stops at click stage
+    rows = [
+        (1, "view", _ts("2024-01-01T00:00:00")),
+        (1, "click", _ts("2024-01-01T00:01:00")),
+        (1, "purchase", _ts("2024-01-01T00:02:00")),
+        (2, "click", _ts("2024-01-02T00:00:00")),
+        (2, "view", _ts("2024-01-02T00:01:00")),
+        (3, "view", _ts("2024-01-03T00:00:00")),
+        (3, "purchase", _ts("2024-01-03T00:00:30")),
+        (3, "click", _ts("2024-01-03T00:01:00")),
+    ]
+    assert _funnel_counts(spark, rows) == (3, 2, 1)
+
+
+def test_funnel_equal_timestamp_is_not_after(spark):
+    # strict > : a click at EXACTLY the view's timestamp does not convert
+    rows = [
+        (1, "view", _ts("2024-01-01T00:00:00")),
+        (1, "click", _ts("2024-01-01T00:00:00")),
+    ]
+    assert _funnel_counts(spark, rows) == (1, 0, 0)
+
+
+def test_locf_leading_gap_and_carry(spark):
+    """LOCF semantics on a 5-slot spine: leading nulls stay unfilled
+    (-1 sentinel), interior gaps carry the last observation forward,
+    and a new observation resets the carry."""
+    obs = spark.createDataFrame(
+        [("a", 2, 10.0), ("a", 4, 40.0)], "k string, slot int, v double"
+    )
+    spine = spark.range(6).select(
+        F.lit("a").alias("k"), F.col("id").cast("int").alias("slot")
+    )
+    w = Window.partitionBy("k").orderBy("slot").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        spine.join(obs, ["k", "slot"], "left")
+        .select(
+            "slot",
+            F.coalesce(
+                F.last("v", ignorenulls=True).over(w), F.lit(-1.0)
+            ).alias("filled"),
+        )
+        .orderBy("slot")
+    )
+    assert [r.filled for r in out.collect()] == [
+        -1.0,  # leading gap: nothing to carry
+        -1.0,
+        10.0,  # first observation
+        10.0,  # carried
+        40.0,  # reset by new observation
+        40.0,  # carried to the end
+    ]
+
+
+def test_scd2_single_event_user_open_interval(spark):
+    """A user with one event yields exactly one OPEN interval; repeated
+    equal states collapse; a state change closes the previous interval
+    at the change's timestamp."""
+    ev = spark.createDataFrame(
+        [
+            (1, 100, "x", _ts("2024-01-01T00:00:00")),
+            (2, 200, "x", _ts("2024-01-02T00:00:00")),
+            (2, 201, "x", _ts("2024-01-02T01:00:00")),  # same state: no row
+            (2, 202, "y", _ts("2024-01-02T02:00:00")),  # change: closes x
+        ],
+        "user_id bigint, event_id bigint, event_type string, ts timestamp",
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.withColumn("prev", F.lag("event_type").over(wo)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    out = (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("from_us"),
+            F.coalesce(
+                F.unix_micros(F.lead("ts").over(wo)), F.lit(-1)
+            ).alias("to_us"),
+        )
+        .orderBy("user_id", "from_us")
+        .collect()
+    )
+    assert [(r.user_id, r.event_type, r.to_us == -1) for r in out] == [
+        (1, "x", True),  # single event -> open interval
+        (2, "x", False),  # closed by the y change
+        (2, "y", True),
+    ]
+    # the x interval closes exactly at y's start
+    assert out[1].to_us == out[2].from_us

@@ -113,3 +113,35 @@ def test_q78_disjunction_pushed_and_equijoin_kept(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     # per-side disjunction components are pushed to the scans
     assert "PushedFilters" in plan and "Or(" in plan
+
+
+def test_q98_bm25_stats_broadcast(spark):
+    """Corpus stats and document frequencies are 1-row/3-row aggregates:
+    they must come back as broadcasts, leaving the term count as the only
+    wide shuffle."""
+    plan = plan_of(spark, "q98_bm25_topk")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q99_quantization_is_shuffle_free(spark):
+    """Scalar quantization is a pure map: no exchange besides the final
+    presentation sort, and no Python eval nodes."""
+    df = QUERIES["q99_embedding_quantize"](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only Exchange allowed is the rangepartitioning for ORDER BY
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_q103_locf_window_is_unbounded_preceding(spark):
+    """The LOCF fill must use a running frame (O(1) state per row), not a
+    re-scan of the whole partition per row."""
+    plan = plan_of(spark, "q103_locf_gapfill")
+    assert "unboundedpreceding" in plan.lower().replace(" ", "")
