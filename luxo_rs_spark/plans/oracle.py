@@ -1586,3 +1586,28 @@ SELECT user_id, event_type,
 FROM changes
 ORDER BY user_id, valid_from_us
 """
+
+ORACLE_SQL["q107_editdistance_neardup"] = """
+SELECT a.p_brand AS p_brand,
+       count(*) AS n_pairs,
+       cast(sum(CASE WHEN levenshtein(a.p_name, b.p_name) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+GROUP BY 1
+ORDER BY p_brand
+"""
+
+ORACLE_SQL["q108_small_quantity_revenue"] = """
+WITH per_part AS (
+  SELECT l_partkey AS pk,
+         round(sum(l_quantity), 2) / count(*) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#4'
+JOIN per_part ON l_partkey = pk
+WHERE l_quantity < 0.2 * avg_qty
+"""

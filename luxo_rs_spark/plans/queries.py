@@ -2781,3 +2781,66 @@ def q106_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q107 — edit-distance near-dup with blocking: part names within the
+# same brand whose Levenshtein distance <= 2. The brand key is the
+# blocking predicate (classic record-linkage blocking: Fellegi & Sunter
+# 1969): the quadratic pair space is confined to each block, turning an
+# O(n^2) cross join into a per-block self-join that shuffles once on the
+# block key. levenshtein() is a JVM built-in — no Python boundary.
+# ---------------------------------------------------------------------------
+@query("q107_editdistance_neardup")
+def q107_editdistance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand"
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        F.col("a.p_brand").alias("p_brand"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+    )
+    return (
+        pairs.filter(F.col("dist") <= 2)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(F.col("dist") == 0, 1).otherwise(0)
+            ).cast("bigint").alias("n_exact"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q108 — small-quantity revenue (TPC-H Q17 shape): revenue of lineitems
+# whose quantity is below 20% of their part's average quantity — a
+# correlated aggregate over the SAME fact table, decorrelated into a
+# per-part aggregate joined back to the fact. The per-part averages are
+# small (one row per part) and broadcast; the fact table is scanned
+# twice but shuffled only once.
+# ---------------------------------------------------------------------------
+@query("q108_small_quantity_revenue")
+def q108_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (_r2(F.sum("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+    )
+    brands = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
+    return (
+        li.join(F.broadcast(brands), li.l_partkey == brands.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            _r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
