@@ -1611,3 +1611,179 @@ JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#4'
 JOIN per_part ON l_partkey = pk
 WHERE l_quantity < 0.2 * avg_qty
 """
+
+ORACLE_SQL["q109_shipping_priority"] = """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+ORACLE_SQL["q110_local_supplier_volume"] = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+ORACLE_SQL["q111_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       cast(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+ORACLE_SQL["q112_market_share"] = """
+SELECT cast(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN sn.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
+         / round(sum(l_extendedprice * (1 - l_discount)), 2) AS mkt_share,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region ON cn.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE p_type = 'ECONOMY'
+  AND r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY o_year
+"""
+
+ORACLE_SQL["q113_returned_items"] = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1997-04-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+ORACLE_SQL["q114_promo_revenue"] = """
+SELECT 100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END), 2)
+         / round(sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+  AND l_shipdate < TIMESTAMP '1997-10-01'
+"""
+
+ORACLE_SQL["q115_large_volume_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING round(sum(l_quantity), 2) > 250.0
+)
+SELECT c_custkey, c_name,
+       l_orderkey AS o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+       o_totalprice, total_qty
+FROM big
+JOIN orders ON l_orderkey = orders.o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+ORACLE_SQL["q116_supplier_diversity"] = """
+SELECT p_brand, p_type, p_size,
+       cast(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLE_SQL["q117_majority_supplier"] = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2
+),
+per_p AS (
+  SELECT l_partkey, sum(sq) AS tq FROM per_ps GROUP BY 1
+)
+SELECT s_suppkey, s_name, count(*) AS n_parts_dominated
+FROM per_ps
+JOIN per_p USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE sq / tq > 0.5
+GROUP BY 1, 2
+ORDER BY n_parts_dominated DESC, s_suppkey
+"""
+
+ORACLE_SQL["q118_best_price_supplier"] = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+offers AS (
+  SELECT l_partkey, l_suppkey, s_name, s_acctbal,
+         min(l_extendedprice / l_quantity) AS supp_price
+  FROM lineitem
+  JOIN eu_supp ON l_suppkey = s_suppkey
+  GROUP BY 1, 2, 3, 4
+),
+best AS (
+  SELECT l_partkey, min(supp_price) AS best_price FROM offers GROUP BY 1
+)
+SELECT offers.l_partkey AS p_partkey,
+       l_suppkey AS s_suppkey,
+       s_name, s_acctbal,
+       round(supp_price, 2) AS best_unit_price
+FROM offers
+JOIN best ON offers.l_partkey = best.l_partkey
+         AND offers.supp_price = best.best_price
+ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+LIMIT 20
+"""

@@ -2844,3 +2844,402 @@ def q108_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q109 — shipping-priority top-10 (TPC-H Q3 shape): unshipped revenue of
+# BUILDING-segment customers. The customer filter survives only as a key
+# list (one narrow column) and broadcasts; orders⋈lineitem is the single
+# shuffle, on the join key both sides already share. Top-10 runs as
+# TakeOrderedAndProject (per-partition heap + driver merge), never a
+# global sort.
+# ---------------------------------------------------------------------------
+@query("q109_shipping_priority")
+def q109_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q110 — local-supplier volume (TPC-H Q5 shape): revenue in ASIA where
+# the supplier sits in the customer's own nation. region/nation/supplier
+# are KB-sized dims — all broadcast, so the only shuffles are the two
+# fact-side joins (orders⋈customer on custkey, lineitem⋈orders on
+# orderkey). The c_nationkey = s_nationkey equality is applied as a
+# post-join filter predicate, not a join key, so it adds no exchange.
+# ---------------------------------------------------------------------------
+@query("q110_local_supplier_volume")
+def q110_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(asia_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q111 — bilateral shipping volume (TPC-H Q7 shape): revenue between two
+# nations in both directions, by ship year. The disjunctive nation-pair
+# predicate is applied after broadcasting both tiny nation dims under
+# distinct aliases (supplier side / customer side).
+# ---------------------------------------------------------------------------
+@query("q111_volume_shipping")
+def q111_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (
+        F.col("cust_nation") == "NATION_2"
+    ) | (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q112 — national market share (TPC-H Q8 shape): NATION_1's share of
+# AMERICA-customer ECONOMY-part revenue per order year. Numerator and
+# denominator are rounded to cents independently before dividing (same
+# cross-engine determinism rule as _avg4) — IEEE division of identical
+# doubles is then bit-identical on both engines.
+# ---------------------------------------------------------------------------
+@query("q112_market_share")
+def q112_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    america = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("cust_nkey"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("nation")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(america), F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                _r2(
+                    F.sum(F.when(F.col("nation") == "NATION_1", volume).otherwise(0.0))
+                )
+                / _r2(F.sum(volume))
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q113 — returned-item losses (TPC-H Q10 shape): top-20 customers by
+# revenue of returned lineitems in 1997Q1. Customer attributes ride the
+# groupBy key (custkey is unique, so the extra key columns add no
+# cardinality); nation broadcasts.
+# ---------------------------------------------------------------------------
+@query("q113_returned_items")
+def q113_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _r2(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q114 — promo revenue share (TPC-H Q14 shape): percentage of September
+# 1997 revenue from PROMO-type parts. part broadcasts against the
+# date-pruned fact scan; single-row output, num/denom rounded
+# independently (cross-engine division rule).
+# ---------------------------------------------------------------------------
+@query("q114_promo_revenue")
+def q114_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                100.0
+                * _r2(F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0)))
+                / _r2(F.sum(volume))
+            ).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q115 — large-volume orders (TPC-H Q18 shape): orders whose total
+# quantity exceeds 250, with their customer. The HAVING subquery and the
+# final join both hash-partition on the order key, so the aggregation's
+# shuffle is reused by the join (one exchange, no re-partition).
+# ---------------------------------------------------------------------------
+@query("q115_large_volume_orders")
+def q115_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_r2(F.sum("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > 250.0)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q116 — supplier diversity (TPC-H Q16 shape, adapted: the fixture has
+# no partsupp, so the part↔supplier relation is derived from lineitem):
+# distinct suppliers per (brand, type, size) for small parts, excluding
+# one brand. COUNT(DISTINCT) expands to a two-level aggregate
+# (distinct-key partial agg, then count) — both levels map-side partial.
+# ---------------------------------------------------------------------------
+@query("q116_supplier_diversity")
+def q116_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q117 — majority supplier (TPC-H Q20 flavor, adapted to lineitem as the
+# part↔supplier relation): suppliers providing >50% of a part's 1997
+# shipped quantity, ranked by how many parts they dominate. l_quantity
+# is integral, so the unrounded share ratio is exact in FP on every
+# engine (no rounding needed before the threshold compare). Both
+# aggregation levels and the ratio join share hash-partitioning on
+# l_partkey — one fact scan and one fact shuffle total: the per-part
+# total is a window SUM over the already-aggregated (part, supp) set,
+# NOT a second aggregate branch (a naive self-join would make Catalyst
+# scan and shuffle the fact twice — audited in test_plans.py).
+# ---------------------------------------------------------------------------
+@query("q117_majority_supplier")
+def q117_majority_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_ps.withColumn(
+            "tq", F.sum("sq").over(Window.partitionBy("l_partkey"))
+        )
+        .filter(F.col("sq") / F.col("tq") > 0.5)
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_dominated"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .select("s_suppkey", "s_name", "n_parts_dominated")
+        .orderBy(F.desc("n_parts_dominated"), "s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q118 — best-price supplier per part (TPC-H Q2 shape, adapted: unit
+# price from lineitem replaces ps_supplycost): for each part, the
+# EUROPE supplier(s) whose minimum observed unit price equals the
+# part's overall EUROPE minimum. The correlated MIN subquery is
+# decorrelated into a per-part aggregate joined back on (key, price)
+# equality — exact because both engines compute the identical IEEE
+# division and MIN selects an identical bit pattern.
+# ---------------------------------------------------------------------------
+@query("q118_best_price_supplier")
+def q118_best_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    eu_keys = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey")
+    supplier = load_table(spark, sf_dir, "supplier")
+    eu_supp = supplier.join(
+        F.broadcast(eu_keys), supplier.s_nationkey == eu_keys.n_nationkey
+    ).select("s_suppkey", "s_name", "s_acctbal")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+    )
+    offers = (
+        li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal")
+        .agg(F.min("unit_price").alias("supp_price"))
+    )
+    best = offers.groupBy(F.col("l_partkey").alias("bp_key")).agg(
+        F.min("supp_price").alias("best_price")
+    )
+    return (
+        offers.join(
+            best,
+            (offers.l_partkey == best.bp_key)
+            & (offers.supp_price == best.best_price),
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+            _r2(F.col("supp_price")).alias("best_unit_price"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(20)
+    )

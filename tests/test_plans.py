@@ -145,3 +145,31 @@ def test_q103_locf_window_is_unbounded_preceding(spark):
     re-scan of the whole partition per row."""
     plan = plan_of(spark, "q103_locf_gapfill")
     assert "unboundedpreceding" in plan.lower().replace(" ", "")
+
+
+def test_q109_topk_and_customer_broadcast(spark):
+    plan = plan_of(spark, "q109_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # top-10 never global-sorts
+    assert "BroadcastHashJoin" in plan  # filtered customer key list
+
+
+def test_q110_all_dims_broadcast(spark):
+    plan = plan_of(spark, "q110_local_supplier_volume")
+    # supplier, nation(+region) broadcast; only fact-side joins shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q115_agg_shuffle_reused_by_join(spark):
+    plan = plan_of(spark, "q115_large_volume_orders")
+    # the HAVING aggregate and the orders join share one hash
+    # partitioning on the order key: exactly one exchange of lineitem
+    assert plan.count("hashpartitioning(l_orderkey") <= 2  # agg partial->final
+
+
+def test_q117_single_fact_scan_and_shuffle(spark):
+    plan = plan_of(spark, "q117_majority_supplier")
+    # the per-part total is a window over the aggregated set, so the
+    # fact is scanned once and exchanged once (map-side partial agg);
+    # a naive two-branch formulation scans lineitem twice
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("Exchange hashpartitioning(l_partkey") == 2  # agg + window
