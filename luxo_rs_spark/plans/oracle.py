@@ -1787,3 +1787,102 @@ JOIN best ON offers.l_partkey = best.l_partkey
 ORDER BY s_acctbal DESC, p_partkey, s_suppkey
 LIMIT 20
 """
+
+ORACLE_SQL["q119_pii_redaction"] = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com or admin' || doc_id
+              || '@mail.test from 10.' || (doc_id % 200) || '.0.' || (doc_id % 250)
+           AS a
+  FROM documents
+),
+red AS (
+  SELECT doc_id, a,
+         regexp_replace(
+           regexp_replace(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                          '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r
+  FROM aug
+)
+SELECT doc_id,
+       cast(len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+       cast(len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+       cast(length(r) AS BIGINT) AS redacted_len,
+       md5(r) AS redacted_md5
+FROM red
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["q120_text_normalization"] = """
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       cast(length(norm) AS BIGINT) AS norm_len,
+       cast(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+       string_split(norm, ' ')[1] AS first_tok,
+       md5(norm) AS norm_md5
+FROM n
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["q121_url_domains"] = """
+WITH u AS (
+  SELECT 'https://site' || (doc_id % 7) || '.example.org/docs/' || source
+           || '/' || doc_id AS url,
+         n_chars
+  FROM documents
+)
+SELECT regexp_extract(url, '://([^/]+)/', 1) AS host,
+       count(*) AS n_docs,
+       cast(sum(n_chars) AS BIGINT) AS total_chars
+FROM u
+GROUP BY 1
+ORDER BY host
+"""
+
+ORACLE_SQL["q122_bigram_topk"] = """
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(lower(trim(text)), '\\s+'), 1) AS pos
+  FROM documents
+),
+b AS (
+  SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+  FROM t
+)
+SELECT bigram, count(*) AS n
+FROM b
+WHERE bigram IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+ORACLE_SQL["q123_source_kl_divergence"] = """
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+f AS (SELECT source, tok FROM toks WHERE tok <> ''),
+st AS (SELECT source, tok, count(*) AS c_st FROM f GROUP BY 1, 2),
+corpus AS (SELECT tok, count(*) AS c_t FROM f GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM f),
+terms AS (
+  SELECT source, c_st,
+         (c_st * 1.0 / sum(c_st) OVER (PARTITION BY source))
+           * log2((c_st * 1.0 / sum(c_st) OVER (PARTITION BY source))
+                  / (c_t * 1.0 / n)) AS term
+  FROM st JOIN corpus USING (tok) CROSS JOIN tot
+)
+SELECT source,
+       cast(sum(c_st) AS BIGINT) AS n_tokens,
+       round(sum(term), 4) AS kl_bits
+FROM terms
+GROUP BY 1
+ORDER BY source
+"""

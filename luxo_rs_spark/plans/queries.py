@@ -3243,3 +3243,171 @@ def q118_best_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q119 — PII redaction: scrub emails and IPv4 addresses from documents.
+# The fixture corpus carries no PII, so deterministic synthetic PII
+# (derived from doc_id) is injected first — the redaction machinery
+# (regexp_count + global regexp_replace, patterns in the common
+# Java-regex/RE2 subset: char classes, \d, \b, {m,n} — no lookaround)
+# is what's under test. Narrow-row map-only pipeline: no shuffle except
+# the final presentation sort; at corpus scale this runs as a pure
+# whole-stage-codegen scan→project.
+# ---------------------------------------------------------------------------
+@query("q119_pii_redaction")
+def q119_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    email_pat = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_pat = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or admin"),
+        F.col("doc_id"),
+        F.lit("@mail.test from 10."),
+        F.col("doc_id") % 200,
+        F.lit(".0."),
+        F.col("doc_id") % 250,
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, email_pat, "<EMAIL>"), ip_pat, "<IP>"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(aug, F.lit(email_pat)).cast("bigint").alias("n_emails"),
+            F.regexp_count(aug, F.lit(ip_pat)).cast("bigint").alias("n_ips"),
+            F.length(redacted).cast("bigint").alias("redacted_len"),
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q120 — text normalization fingerprint: lowercase, strip non-alnum,
+# collapse whitespace, then token count + md5 fingerprint of the
+# canonical form — the preprocessing step every dedup ladder keys on
+# (the canonical text is what q30's content hash and q32's shingles
+# should consume). Map-only; fingerprint grouping downstream reuses
+# the exact-dedup path.
+# ---------------------------------------------------------------------------
+@query("q120_text_normalization")
+def q120_text_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.length(norm).cast("bigint").alias("norm_len"),
+            F.size(F.split(norm, " ")).cast("bigint").alias("n_tokens"),
+            F.substring_index(norm, " ", 1).alias("first_tok"),
+            F.md5(norm).alias("norm_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q121 — URL host extraction + per-domain histogram: synthesize a
+# deterministic URL per document, pull the host out with a capture
+# group, and histogram by domain — the source-attribution step of a
+# crawl-curation pipeline. regexp_extract stays in the common
+# Java/RE2 dialect; the histogram is one map-side-combined aggregate.
+# ---------------------------------------------------------------------------
+@query("q121_url_domains")
+def q121_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site"),
+        F.col("doc_id") % 7,
+        F.lit(".example.org/docs/"),
+        F.col("source"),
+        F.lit("/"),
+        F.col("doc_id"),
+    )
+    host = F.regexp_extract(url, r"://([^/]+)/", 1)
+    return (
+        docs.select(host.alias("host"), "n_chars")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q122 — corpus bigram top-20: adjacent-token pairs built WITHOUT a
+# per-token shuffle — zip_with over two shifted slices of the token
+# array keeps bigram construction inside whole-stage codegen; the only
+# shuffle is the final count aggregation (map-side combined). The
+# window-LEAD formulation the oracle uses would shuffle every token row
+# on (doc_id, pos) — at corpus scale that's the difference between one
+# small agg exchange and a full-corpus sort.
+# ---------------------------------------------------------------------------
+@query("q122_bigram_topk")
+def q122_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = words("text")
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q123 — per-source KL divergence from the corpus token distribution
+# (Kullback & Leibler 1951): the domain-mixture diagnostic that tells a
+# curation pipeline which sources deviate from the blend. The corpus
+# distribution is a tiny aggregate (vocab-sized) and broadcasts; the
+# per-source side shuffles once on (source, tok). Sum-of-terms rounded
+# to 4dp (same cross-engine float rule as q97's entropy).
+# ---------------------------------------------------------------------------
+@query("q123_source_kl_divergence")
+def q123_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words  # noqa: PLC0415
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(words("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    st = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c_st"))
+    corpus = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c_t"))
+    # corpus total via a window over the vocab-sized aggregate — stays
+    # lazy (no driver-side count action) and costs one pass over ~|V| rows
+    corpus = corpus.withColumn(
+        "n_total", F.sum("c_t").over(Window.partitionBy())
+    )
+    w = Window.partitionBy("source")
+    p_s = F.col("c_st") / F.sum("c_st").over(w)
+    p_c = F.col("c_t") / F.col("n_total")
+    return (
+        st.join(F.broadcast(corpus), "tok")
+        .withColumn("term", p_s * F.log2(p_s / p_c))
+        .groupBy("source")
+        .agg(
+            F.sum("c_st").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("term"), 4).alias("kl_bits"),
+        )
+        .orderBy("source")
+    )
