@@ -1886,3 +1886,94 @@ FROM terms
 GROUP BY 1
 ORDER BY source
 """
+
+ORACLE_SQL["q124_zorder_clustering"] = """
+WITH d AS (
+  SELECT cast(p_size AS BIGINT) AS sz,
+         cast(floor(p_retailprice / 100.0) AS BIGINT) AS pb
+  FROM part
+),
+z AS (
+  SELECT sz, pb, ((((sz >> 0) & 1) << 0) | (((pb >> 0) & 1) << 1) | (((sz >> 1) & 1) << 2) | (((pb >> 1) & 1) << 3) | (((sz >> 2) & 1) << 4) | (((pb >> 2) & 1) << 5) | (((sz >> 3) & 1) << 6) | (((pb >> 3) & 1) << 7) | (((sz >> 4) & 1) << 8) | (((pb >> 4) & 1) << 9) | (((sz >> 5) & 1) << 10) | (((pb >> 5) & 1) << 11) | (((sz >> 6) & 1) << 12) | (((pb >> 6) & 1) << 13) | (((sz >> 7) & 1) << 14) | (((pb >> 7) & 1) << 15)) >> 10 AS z_bucket FROM d
+)
+SELECT z_bucket, count(*) AS n_parts,
+       min(sz) AS min_size, max(sz) AS max_size,
+       min(pb) AS min_pricebucket, max(pb) AS max_pricebucket
+FROM z
+GROUP BY 1
+ORDER BY z_bucket
+"""
+
+ORACLE_SQL["q125_vector_normalize"] = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, e,
+         sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b)) AS l2r
+  FROM v
+)
+SELECT vec_id,
+       cast(len(e) AS BIGINT) AS dim,
+       round(l2r, 4) AS l2,
+       round(e[1] / l2r, 4) AS u0,
+       round(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b) / (l2r * l2r), 4) AS self_cos
+FROM n
+ORDER BY vec_id
+LIMIT 100
+"""
+
+ORACLE_SQL["q126_priority_exists"] = """
+SELECT o_orderpriority, cast(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY 1
+ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["q127_forecast_revenue"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       cast(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+ORACLE_SQL["q128_nation_year_profit"] = """
+SELECT n_name AS nation,
+       cast(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount) - 80.0 * l_quantity), 2) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%rod%'
+GROUP BY 1, 2
+ORDER BY nation, o_year DESC
+"""
+
+ORACLE_SQL["q129_important_parts"] = """
+WITH per_part AS (
+  SELECT cast(l_partkey AS BIGINT) AS partkey,
+         sum(l_extendedprice * (1 - l_discount)) AS raw_value
+  FROM lineitem GROUP BY 1
+),
+total AS (
+  SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_value
+  FROM lineitem
+)
+SELECT partkey, round(raw_value, 2) AS part_value
+FROM per_part, total
+WHERE round(raw_value, 2) > total_value * 0.001
+ORDER BY part_value DESC, partkey
+"""

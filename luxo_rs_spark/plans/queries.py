@@ -3411,3 +3411,183 @@ def q123_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q124 — z-order clustering audit: Morton-interleave (p_size, price
+# bucket) and show that every coarse z-prefix bucket bounds BOTH
+# dimensions — the property that makes parquet min-max stats prune on
+# either column after a z-ordered write (functions/zorder.py; the
+# layout behind Delta/Iceberg Z-ORDER data skipping). The spread
+# metrics per bucket are what a table-layout service would monitor.
+# ---------------------------------------------------------------------------
+@query("q124_zorder_clustering")
+def q124_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.zorder import z2  # noqa: PLC0415
+
+    part = load_table(spark, sf_dir, "part")
+    pb = F.floor(F.col("p_retailprice") / 100.0).cast("bigint")  # price bucket
+    z = z2(F.col("p_size").cast("bigint"), pb, bits=8)
+    return (
+        part.select(
+            F.shiftright(z, 10).alias("z_bucket"),
+            F.col("p_size").cast("bigint").alias("sz"),
+            pb.alias("pb"),
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("sz").alias("min_size"),
+            F.max("sz").alias("max_size"),
+            F.min("pb").alias("min_pricebucket"),
+            F.max("pb").alias("max_pricebucket"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q125 — vector normalization battery: L2 norm, unit-vector components,
+# and self-cosine ≡ 1 over the embeddings table. All higher-order
+# functions (zip_with/aggregate) with a sequential double fold — the
+# same left-to-right order DuckDB folds lists, keeping results
+# bit-comparable (functions/vectors.py). Map-only at any scale.
+# ---------------------------------------------------------------------------
+@query("q125_vector_normalize")
+def q125_vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.vectors import dot, norm  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = F.col("embedding")
+    n = norm(a)
+    return (
+        emb.select(
+            "vec_id",
+            F.size(a).cast("bigint").alias("dim"),
+            F.round(n, 4).alias("l2"),
+            F.round(F.element_at(a, 1).cast("double") / n, 4).alias("u0"),
+            F.round(dot(a, a) / (n * n), 4).alias("self_cos"),
+        )
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q126 — order priority check (TPC-H Q4 shape): correlated EXISTS whose
+# predicate mixes the equi-key with a theta date comparison
+# (l_shipdate > o_orderdate, "shipped after it was ordered" — the late-
+# line probe). Catalyst plans the equi part as the semi-join key and
+# keeps the theta part as a join-level residual, so the probe still
+# hash/merge-joins instead of falling back to BNLJ. Map-side partial
+# counts after the semi keep the final shuffle to |priorities| rows.
+# ---------------------------------------------------------------------------
+@query("q126_priority_exists")
+def q126_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q127 — forecast revenue change (TPC-H Q6 shape): a pure scan-side
+# query — triple range predicate, no join, no group key, one output row.
+# All three conjuncts reach the parquet reader as PushedFilters
+# (asserted in tests/test_plans.py), so at 100 TB the scan skips every
+# row group whose min-max stats miss the 1996 / discount / quantity
+# windows; what survives feeds a partial+final global agg (32 partial
+# rows total — the shuffle is a single record per partition).
+# ---------------------------------------------------------------------------
+@query("q127_forecast_revenue")
+def q127_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q128 — product-type profit (TPC-H Q9 shape): the widest join tree in
+# the gallery — lineitem ⋈ part(name-substring filter) ⋈ supplier ⋈
+# nation ⋈ orders, profit re-grouped by (nation, order year). The
+# fixture has no partsupp/supplycost, so unit cost is a fixed 80.0
+# proxy; the plan shape (one fact scan, three broadcast dims, one
+# fact-fact shuffle join with orders) is the point. The p_name LIKE
+# filter prunes part BEFORE its broadcast, shrinking both the broadcast
+# and — transitively — the fact rows that survive the first join.
+# ---------------------------------------------------------------------------
+@query("q128_nation_year_profit")
+def q128_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%rod%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        80.0
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(_r2(F.sum(amount)).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q129 — important-stock identification (TPC-H Q11 shape): per-part
+# value HAVING-filtered against an uncorrelated scalar subquery (a
+# fraction of the GLOBAL total). The global total is one row —
+# broadcast-joined onto the per-part aggregate, so the "compare every
+# group to the grand total" pattern costs one extra reduce, not a
+# second pass over the shuffled data. The total's agg is map-side
+# partial on its own scan of the same file set; at 100 TB, enabling
+# exchange reuse (on by default) collapses the two identical scans.
+# ---------------------------------------------------------------------------
+@query("q129_important_parts")
+def q129_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy(F.col("l_partkey").cast("bigint").alias("partkey")).agg(
+        F.sum(val).alias("raw_value")
+    )
+    total = li.agg(_r2(F.sum(val)).alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.round(F.col("raw_value"), 2) > F.col("total_value") * 0.001)
+        .select(
+            "partkey",
+            _r2(F.col("raw_value")).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "partkey")
+    )

@@ -173,3 +173,70 @@ def test_q117_single_fact_scan_and_shuffle(spark):
     # a naive two-branch formulation scans lineitem twice
     assert plan.count("lineitem.parquet") == 1
     assert plan.count("Exchange hashpartitioning(l_partkey") == 2  # agg + window
+
+
+def test_runtime_bloom_filter_semi_prunes_fact(spark):
+    """Catalyst's runtime bloom-filter join (SPARK-32268): a selective
+    dim-side filter materializes as a bloom filter applied to the fact
+    scan BEFORE the shuffle — the 100 TB lever for cutting shuffle
+    volume on selective fact-fact joins. Local fixture sizes sit under
+    the production thresholds, so the audit lowers them for the plan
+    check and restores afterwards."""
+    from pyspark.sql import functions as F
+    from luxo_rs_spark.sources.registry import load_table
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        orders = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "l_returnflag"
+        ).count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+def test_q127_triple_range_pushdown(spark):
+    """TPC-H Q6 shape: all three range conjuncts must reach the parquet
+    scan as PushedFilters — at 100 TB this is the difference between
+    reading every row group and skipping most of them on min-max stats."""
+    from luxo_rs_spark.plans.queries import QUERIES
+
+    df = QUERIES["q127_forecast_revenue"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = plan[plan.index("PushedFilters") :].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed to scan"
+
+
+def test_q126_semi_join_with_theta_residual(spark):
+    """TPC-H Q4 shape: the correlated EXISTS must plan as a LeftSemi
+    hash/merge join on the equi key with the date comparison kept as a
+    join residual — NOT a broadcast-nested-loop join."""
+    from luxo_rs_spark.plans.queries import QUERIES
+
+    df = QUERIES["q126_priority_exists"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
