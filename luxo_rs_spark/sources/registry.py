@@ -8,9 +8,11 @@ min-max row-group statistics + partition pruning — the same *jobs*
 Normalization handled here (and nowhere else, so every query sees one
 clean schema):
 
-- ``events.ts`` is physically parquet ``TIMESTAMP(NANOS)`` which Spark 4
-  refuses by default -> read with ``spark.sql.legacy.parquet.nanosAsLong``
-  and convert the int64 nanos to a microsecond ``TIMESTAMP``.
+- ``events.ts`` has shipped as either parquet ``TIMESTAMP(MICROS)``
+  (current fixtures) or ``TIMESTAMP(NANOS)`` (earlier fixture builds,
+  which Spark 4 refuses by default). We keep ``nanosAsLong`` pinned and
+  convert int64 nanos -> microsecond ``TIMESTAMP`` only when the column
+  actually lands as int64, so both physical layouts read identically.
 - pandas-written parquet ``TIMESTAMP(*, isAdjustedToUTC=false)`` columns
   surface as ``TIMESTAMP_NTZ`` in Spark 4 -> cast to ``TIMESTAMP`` under a
   pinned UTC session timezone so epoch math (``unix_micros``) agrees with

@@ -21,12 +21,12 @@ from pyspark.sql import types as T
 
 from luxo_rs_spark.sources.registry import ensure_session_confs
 
-#: explicit source schema (streams never infer): ts arrives as int64
-#: nanoseconds (the fixture's physical type under nanosAsLong).
+#: explicit source schema (streams never infer): the fixture stores ts
+#: as parquet TIMESTAMP(MICROS), which maps directly to Spark TIMESTAMP.
 EVENTS_STREAM_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -40,14 +40,13 @@ def read_event_stream(
     source_dir: str,
     max_files_per_trigger: int | None = None,
 ) -> DataFrame:
-    """File-source event stream with the same ts normalization as the
-    batch loader (nanos int64 -> microsecond TIMESTAMP)."""
+    """File-source event stream; ts lands as microsecond TIMESTAMP,
+    matching the batch loader's normalized schema."""
     ensure_session_confs(spark)
     reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(source_dir)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader.parquet(source_dir)
 
 
 def tumbling_stats(
