@@ -1977,3 +1977,103 @@ FROM per_part, total
 WHERE round(raw_value, 2) > total_value * 0.001
 ORDER BY part_value DESC, partkey
 """
+
+ORACLE_SQL["q130_status_priority"] = """
+SELECT l_linestatus,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+ORACLE_SQL["q131_domain_cap"] = """
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         cast(row_number() OVER (
+           PARTITION BY source
+           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id
+         ) AS BIGINT) AS pick_rank
+  FROM documents
+)
+SELECT source, pick_rank, doc_id, n_chars
+FROM ranked
+WHERE pick_rank <= 10
+ORDER BY source, pick_rank
+"""
+
+ORACLE_SQL["q132_doc_chunking"] = """
+WITH chunks AS (
+  SELECT doc_id,
+         cast(s.i / 150 AS BIGINT) AS chunk_id,
+         substring(text, s.i + 1, 200) AS chunk
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, greatest(n_chars - 1, 0), 150)) AS i) s
+)
+SELECT doc_id, chunk_id,
+       cast(length(chunk) AS BIGINT) AS chunk_len,
+       md5(chunk) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_id
+"""
+
+ORACLE_SQL["q133_running_distinct"] = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+         CASE WHEN row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) = 1 THEN 1 ELSE 0 END AS is_first
+  FROM events
+  WHERE user_id % 97 = 0
+)
+SELECT user_id, ts_us, event_id, event_type,
+       cast(sum(is_first) OVER (
+         PARTITION BY user_id ORDER BY ts_us, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_types_so_far
+FROM flagged
+ORDER BY user_id, ts_us, event_id
+"""
+
+ORACLE_SQL["q134_winsorize"] = """
+WITH bounds AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem
+)
+SELECT l_returnflag,
+       cast(count(*) AS BIGINT) AS n,
+       round(avg(l_extendedprice), 2) AS avg_raw,
+       round(avg(least(greatest(l_extendedprice, p01), p99)), 2) AS avg_winsorized,
+       cast(sum(CASE WHEN l_extendedprice < p01 OR l_extendedprice > p99
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+FROM lineitem, bounds
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q135_passage_dedup"] = """
+WITH grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), s.i, s.i + 7), ' ')
+           AS passage
+  FROM documents,
+       LATERAL (
+         SELECT unnest(generate_series(
+           1, greatest(length(string_split(text, ' ')) - 7, 0))) AS i
+       ) s
+)
+SELECT md5(passage) AS passage_md5,
+       cast(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       cast(count(*) AS BIGINT) AS n_occurrences
+FROM grams
+GROUP BY 1
+HAVING count(DISTINCT doc_id) > 1
+ORDER BY n_docs DESC, n_occurrences DESC, passage_md5
+LIMIT 100
+"""

@@ -3591,3 +3591,215 @@ def q129_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("part_value").desc(), "partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q130 — shipping status vs order priority (TPC-H Q12 shape, adapted:
+# the fixture lineitem has no l_shipmode/l_commitdate/l_receiptdate, so
+# the grouping key is l_linestatus and the year filter is on
+# l_shipdate). The canonical Q12 pattern is intact: one fact-fact join
+# whose PROBE side is pre-filtered by a pushed-down date range, then a
+# tiny conditional-count aggregate (sum-of-CASE pairs). At 100 TB the
+# shipdate filter prunes parquet row groups before the shuffle, and the
+# two CASE sums ride one HashAggregate — never two passes.
+# ---------------------------------------------------------------------------
+@query("q130_status_priority")
+def q130_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q131 — per-domain document cap (training-data curation: no single
+# source may contribute more than N docs). Deterministic "random" order
+# via a Knuth multiplicative hash of doc_id so both engines pick the
+# same survivors — this is how a real pipeline caps Common-Crawl
+# domains without a true RNG (reproducible sampling beats random:
+# reruns and backfills pick identical rows). One window over
+# (source) — a single hash-partition shuffle on the cap key; no join.
+# ---------------------------------------------------------------------------
+@query("q131_domain_cap")
+def q131_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cap = 10
+    shuffle_key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)
+    w = Window.partitionBy("source").orderBy(shuffle_key, "doc_id")
+    return (
+        docs.withColumn("pick_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("pick_rank") <= cap)
+        .select("source", "pick_rank", "doc_id", "n_chars")
+        .orderBy("source", "pick_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q132 — fixed-stride document chunking with overlap (the LLM-pretrain
+# "context window packing" precursor: every doc becomes ceil(n/stride)
+# chunks of up to `size` chars, consecutive chunks overlapping by
+# size-stride). Pure narrow ops — sequence() + explode + substring —
+# so chunking is embarrassingly parallel with NO shuffle: the explode
+# happens inside the scan stage. md5 of each chunk gives downstream
+# chunk-level dedup a join key. 100 TB note: explode grows rows ~2x
+# here; maxPartitionBytes should be sized for post-explode width.
+# ---------------------------------------------------------------------------
+@query("q132_doc_chunking")
+def q132_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    size, stride = 200, 150
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_chars") - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(starts).alias("chunk_id", "start"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.substring(F.col("text"), F.col("start") + 1, F.lit(size))
+            .alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.length("chunk").cast("bigint").alias("chunk_len"),
+            F.md5("chunk").alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q133 — running distinct-count over a window (per-user "how many
+# distinct event types seen so far", the classic funnels-breadth
+# signal). COUNT(DISTINCT) OVER is not directly available in Spark, so
+# it is rebuilt from portable pieces: flag each (user, type)'s FIRST
+# occurrence with one window, then a running SUM of flags over a
+# second window — two window passes over the SAME (user_id) hash
+# partitioning, so Catalyst reuses one shuffle (verified: a single
+# Exchange feeds both Window operators). Output thinned to a stable
+# user subset to keep driver-side compare bounded at any SF.
+# ---------------------------------------------------------------------------
+@query("q133_running_distinct")
+def q133_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    first_w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    run_w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.filter(F.col("user_id") % 97 == 0)
+        .withColumn(
+            "is_first",
+            F.when(F.row_number().over(first_w) == 1, 1).otherwise(0),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            "event_type",
+            F.sum("is_first").over(run_w).cast("bigint").alias(
+                "distinct_types_so_far"
+            ),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q134 — winsorization (outlier clipping at global p01/p99 — the
+# standard robust-statistics scrub before training-loss weighting or
+# revenue modeling). Exact percentiles come from ONE global agg (a
+# two-stage percentile over 1 row out), broadcast back onto the fact
+# scan as a 1-row cross join — the clip itself is then a pure map.
+# Both engines use linear interpolation (Spark percentile == DuckDB
+# quantile_cont), so the bounds hash-match exactly.
+# ---------------------------------------------------------------------------
+@query("q134_winsorize")
+def q134_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
+    return (
+        li.join(F.broadcast(bounds))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _r2(F.avg("l_extendedprice")).alias("avg_raw"),
+            _r2(F.avg(clipped)).alias("avg_winsorized"),
+            F.sum(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("p01"))
+                    | (F.col("l_extendedprice") > F.col("p99")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q135 — duplicated-passage mining (exact substring dedup at passage
+# granularity, the word-level complement to q31's character shingles:
+# find word-8-grams appearing in MORE than one document — boilerplate
+# detection in pretrain corpora). Shingle explosion is shuffle-free
+# (narrow transform+posexplode in the scan stage); the only shuffle is
+# the groupBy on the passage hash. At 100 TB the md5 group key keeps
+# shuffle rows narrow (16 bytes + counts) instead of carrying full
+# passage text; HAVING n_docs > 1 collapses the long unique tail
+# map-side via partial aggregation.
+# ---------------------------------------------------------------------------
+@query("q135_passage_dedup")
+def q135_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = 8
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
+        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+    )
+    return (
+        docs.select("doc_id", F.explode(grams).alias("passage"))
+        .groupBy(F.md5("passage").alias("passage_md5"))
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy(
+            F.col("n_docs").desc(),
+            F.col("n_occurrences").desc(),
+            "passage_md5",
+        )
+        .limit(100)
+    )
