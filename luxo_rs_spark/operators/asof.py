@@ -44,6 +44,7 @@ def asof_join(
     build_time: str,
     payload: dict[str, str] | None = None,
     direction: str = "backward",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
     """As-of join `probe` against `build`.
 
@@ -59,10 +60,20 @@ def asof_join(
                   reference floor-search semantics) or 'forward'
                   (least build_time > probe_time, the reference
                   successor search, src/algo/search.rs:96-124)
+    tolerance   : optional max staleness: an INTERVAL string (e.g.
+                  ``'30 days'``, for timestamp time columns) or a number
+                  (same units as the time columns). A match further than
+                  this from the probe time is discarded (payload
+                  nulled) — pandas ``merge_asof(tolerance=...)``
+                  semantics. Applied as a post-window mask, so it adds
+                  zero shuffles.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: bad direction {direction!r}")
     payload = payload or {build_time: "asof_time"}
+    if tolerance is not None:
+        # carry the matched build time so the staleness mask can see it
+        payload = {**payload, build_time: payload.get(build_time, "__mt")}
 
     out_cols = list(payload.values())
     b = build.select(
@@ -103,6 +114,26 @@ def asof_join(
         picker = [F.first(c, ignorenulls=True).over(w).alias(c) for c in out_cols]
 
     matched = u.select(
-        "__probe", *[c for c in probe.columns], *picker
+        "__probe", F.col("__t").alias("__pt"), *[c for c in probe.columns], *picker
     ).filter(F.col("__probe") == 1)
+
+    if tolerance is not None:
+        mt = payload[build_time]
+        gap = (
+            F.col("__pt") - F.col(mt)
+            if direction == "backward"
+            else F.col(mt) - F.col("__pt")
+        )
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
+        in_tol = F.col(mt).isNotNull() & (gap <= tol)
+        user_cols = [c for c in out_cols if c != "__mt"]
+        matched = matched.select(
+            *probe.columns,
+            *[F.when(in_tol, F.col(c)).alias(c) for c in user_cols],
+        )
+        return matched
     return matched.select(*probe.columns, *out_cols)

@@ -2077,3 +2077,115 @@ HAVING count(DISTINCT doc_id) > 1
 ORDER BY n_docs DESC, n_occurrences DESC, passage_md5
 LIMIT 100
 """
+
+ORACLE_SQL["q136_asof_tolerance"] = """
+WITH matched AS (
+  SELECT e.event_type, e.ts,
+         CASE WHEN e.ts - x.asof <= INTERVAL 30 DAY THEN x.asof END AS asof_date
+  FROM events e
+  LEFT JOIN LATERAL (
+    SELECT max(o.o_orderdate) AS asof
+    FROM orders o
+    WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ) x ON true
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n,
+       cast(count(asof_date) AS BIGINT) AS n_matched,
+       round(avg((epoch_us(ts) - epoch_us(asof_date)) / 86400000000.0), 2)
+         AS avg_gap_days
+FROM matched
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLE_SQL["q137_profile_stats"] = """
+WITH prepared AS (
+  SELECT 'l_quantity' AS col_name, cast(l_quantity AS VARCHAR) AS val FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', cast(l_extendedprice AS VARCHAR) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', l_returnflag FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate', strftime(l_shipdate, '%Y-%m-%d') FROM lineitem
+)
+SELECT col_name,
+       cast(count(*) AS BIGINT) AS n_rows,
+       cast(count(*) - count(val) AS BIGINT) AS n_null,
+       cast(count(DISTINCT val) AS BIGINT) AS n_distinct,
+       min(val) AS min_val,
+       max(val) AS max_val
+FROM prepared
+GROUP BY col_name
+ORDER BY col_name
+"""
+
+ORACLE_SQL["q138_zscore_outliers"] = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(CASE WHEN abs((value - mu) / sigma) > 3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(min((value - mu) / sigma), 2) AS min_z,
+       round(max((value - mu) / sigma), 2) AS max_z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+ORACLE_SQL["q139_session_islands"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 30 * 60 * 1000000
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WHERE user_id % 7 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id,
+         cast(count(*) AS BIGINT) AS n_events,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) / 60000000.0 AS dur_min
+  FROM numbered
+  GROUP BY user_id, session_id
+)
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_sessions,
+       round(avg(n_events), 2) AS avg_events_per_session,
+       round(max(dur_min), 2) AS max_session_min
+FROM sessions
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLE_SQL["q140_customer_deciles"] = """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS spend
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, spend,
+         cast(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+  FROM spend
+)
+SELECT decile,
+       cast(count(*) AS BIGINT) AS n_customers,
+       round(sum(spend), 2) AS decile_spend,
+       round(min(spend), 2) AS min_spend,
+       round(max(spend), 2) AS max_spend
+FROM tiled
+GROUP BY decile
+ORDER BY decile
+"""

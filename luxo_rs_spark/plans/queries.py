@@ -3803,3 +3803,185 @@ def q135_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q136 — as-of join with tolerance (pandas merge_asof(tolerance=...)
+# semantics, the market-data "quote must be fresher than N" rule): the
+# floor match is DISCARDED when staler than 30 days. The staleness mask
+# is a post-window map, so the plan is identical to q06's one-shuffle
+# union-window as-of — tolerance costs nothing extra. Output is a
+# per-type match-rate + mean-staleness summary (bounded at any SF).
+# ---------------------------------------------------------------------------
+@query("q136_asof_tolerance")
+def q136_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+    )
+    joined = asof_join(
+        events,
+        orders,
+        on="user_id",
+        probe_time="ts",
+        build_time="o_orderdate",
+        payload={"o_orderdate": "asof_date"},
+        tolerance="30 days",
+    )
+    gap_days = (
+        F.unix_micros("ts") - F.unix_micros("asof_date")
+    ) / F.lit(86400000000.0)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.count("asof_date").cast("bigint").alias("n_matched"),
+            _r2(F.avg(gap_days)).alias("avg_gap_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q137 — table profiler (the ANALYZE/data-quality pass every ingest
+# pipeline runs first): per column — row count, nulls, exact distinct,
+# lexicographic min/max over a canonical string form. Implemented with
+# stack() (unpivot) so ALL columns profile in ONE scan + one shuffle,
+# instead of C scans with C aggs; at 100 TB that difference is the
+# whole game. String canonicalization makes one agg kernel serve every
+# input type (profilers don't need typed min/max).
+# ---------------------------------------------------------------------------
+@query("q137_profile_stats")
+def q137_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = {
+        "l_quantity": F.col("l_quantity").cast("string"),
+        "l_extendedprice": F.col("l_extendedprice").cast("string"),
+        "l_returnflag": F.col("l_returnflag"),
+        "l_shipdate": F.date_format("l_shipdate", "yyyy-MM-dd"),
+    }
+    prepared = li.select(
+        *[expr.alias(f"__c_{i}") for i, expr in enumerate(cols.values())]
+    ).select(
+        F.expr(
+            "stack({n}, {args}) AS (col_name, val)".format(
+                n=len(cols),
+                args=", ".join(f"'{name}', __c_{i}" for i, name in enumerate(cols)),
+            )
+        )
+    )
+    return (
+        prepared.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_null"),
+            F.countDistinct("val").cast("bigint").alias("n_distinct"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+        .orderBy("col_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q138 — z-score outlier scan (robust-pipeline anomaly gate on the
+# event stream's value column): per-type mean/stddev from one agg pass,
+# broadcast back (tiny: one row per type) onto the fact scan, flag
+# |z| > 3. Two passes over events but the second join side is
+# KB-sized → broadcast hash join, no fact shuffle.
+# ---------------------------------------------------------------------------
+@query("q138_zscore_outliers")
+def q138_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    stats = events.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        events.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.abs(z) > 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            _r2(F.min(z)).alias("min_z"),
+            _r2(F.max(z)).alias("max_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q139 — gap-based sessionization with per-session stats (the islands
+# form of q22's session_window: a new session starts when the gap to
+# the previous event exceeds 30 min; sessions then aggregate to
+# per-user summaries). Three stages over ONE (user_id) partitioning —
+# lag-flag window, running-sum window, session groupBy — Catalyst
+# reuses a single Exchange for all three, then one final per-user agg.
+# ---------------------------------------------------------------------------
+@query("q139_session_islands")
+def q139_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 7 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    sessions = (
+        events.withColumn(
+            "new_session",
+            F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1000000), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (
+                (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+                / F.lit(60000000.0)
+            ).alias("dur_min"),
+        )
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            _r2(F.avg("n_events")).alias("avg_events_per_session"),
+            _r2(F.max("dur_min")).alias("max_session_min"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q140 — customer revenue deciles (the marketing-analytics "value
+# segmentation" query): total spend per customer, NTILE(10) over the
+# spend ordering, then per-decile population/min/max/sum. The ntile
+# window is a single-partition total order — the classic scale hazard.
+# Here the windowed relation is ALREADY one row per customer (the
+# pre-agg collapsed the fact table), so the single-reducer sort sees
+# |customers| rows, not |orders|; at true 100 TB scale swap ntile for
+# a percentile-bound join (q134's pattern) to stay parallel.
+# ---------------------------------------------------------------------------
+@query("q140_customer_deciles")
+def q140_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w).cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            _r2(F.sum("spend")).alias("decile_spend"),
+            _r2(F.min("spend")).alias("min_spend"),
+            _r2(F.max("spend")).alias("max_spend"),
+        )
+        .orderBy("decile")
+    )

@@ -68,3 +68,38 @@ def test_keys_do_not_leak_across_partitions(frames):
         payload={"bt": "match_t"},
     )
     assert all(r.match_t is None for r in out.collect())
+
+
+def test_tolerance_masks_stale_matches(frames):
+    probe, build = frames
+    out = asof_join(
+        probe,
+        build,
+        on="k",
+        probe_time="pt",
+        build_time="bt",
+        payload={"bt": "match_t"},
+        tolerance=1,
+    )
+    got = {r.pid: r.match_t for r in out.collect()}
+    # floor matches: p3->3 (gap 0), p6->5 (gap 1) survive; p9->9 (gap 0)
+    # survives; p12->9 (gap 3) is masked; p0 never matched.
+    assert got == {"p0": None, "p3": 3, "p6": 5, "p9": 9, "p12": None}
+
+
+def test_tolerance_forward_direction(frames):
+    probe, build = frames
+    out = asof_join(
+        probe,
+        build,
+        on="k",
+        probe_time="pt",
+        build_time="bt",
+        payload={"bt": "match_t"},
+        direction="forward",
+        tolerance=1,
+    )
+    got = {r.pid: r.match_t for r in out.collect()}
+    # strict successor with gap <= 1: p0->1, p6->7; p3->5 (gap 2) masked,
+    # p9->None (no successor), p12->None.
+    assert got == {"p0": 1, "p3": None, "p6": 7, "p9": None, "p12": None}
