@@ -2189,3 +2189,103 @@ FROM tiled
 GROUP BY decile
 ORDER BY decile
 """
+
+ORACLE_SQL["q141_string_battery2"] = """
+SELECT cast(p_partkey AS BIGINT) AS p_partkey,
+       translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+       split_part(p_name, ' ', 1) AS first_word,
+       split_part(p_name, ' ', -1) AS last_word,
+       left(p_name, 5) AS left5,
+       right(p_name, 5) AS right5,
+       cast(ascii(p_name) AS BIGINT) AS first_code,
+       chr(ascii(p_name)) AS first_chr,
+       repeat('ab', 3) AS rep,
+       reverse(p_name) AS rev,
+       cast(strpos(p_name, 'a') AS BIGINT) AS a_pos
+FROM part
+WHERE p_partkey <= 200
+ORDER BY p_partkey
+"""
+
+ORACLE_SQL["q142_twap"] = """
+WITH obs AS (
+  SELECT user_id,
+         date_trunc('day', ts) AS day,
+         ts, event_id, value,
+         coalesce(
+           lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id, date_trunc('day', ts)
+             ORDER BY ts, event_id
+           ),
+           epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)
+         ) - epoch_us(ts) AS w_us
+  FROM events
+  WHERE user_id % 11 = 0
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       round(sum(value * w_us) / sum(w_us), 2) AS twap,
+       cast(count(*) AS BIGINT) AS n_obs
+FROM obs
+GROUP BY user_id, day
+ORDER BY user_id, day
+"""
+
+ORACLE_SQL["q143_ohlc_bars"] = """
+WITH ranked AS (
+  SELECT date_trunc('hour', ts) AS bar, value,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_asc,
+         row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_desc
+  FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT epoch_us(bar) AS bar_us,
+       round(max(CASE WHEN rn_asc = 1 THEN value END), 2) AS open,
+       round(max(value), 2) AS high,
+       round(min(value), 2) AS low,
+       round(max(CASE WHEN rn_desc = 1 THEN value END), 2) AS close,
+       cast(count(*) AS BIGINT) AS n_trades
+FROM ranked
+GROUP BY bar
+ORDER BY bar_us
+"""
+
+ORACLE_SQL["q144_salted_heavy_hitters"] = """
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLE_SQL["q145_last_touch"] = """
+WITH touches AS (
+  SELECT user_id, ts AS touch_ts, max(event_type) AS touch_type
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, ts
+),
+attributed AS (
+  SELECT e.value,
+         CASE WHEN e.ts - x.touch_ts <= INTERVAL 7 DAY
+              THEN x.touch_type END AS matched_type
+  FROM events e
+  LEFT JOIN LATERAL (
+    SELECT t.touch_ts, t.touch_type
+    FROM touches t
+    WHERE t.user_id = e.user_id AND t.touch_ts <= e.ts
+    ORDER BY t.touch_ts DESC
+    LIMIT 1
+  ) x ON true
+  WHERE e.event_type = 'purchase'
+)
+SELECT coalesce(matched_type, 'unattributed') AS channel,
+       cast(count(*) AS BIGINT) AS n_purchases,
+       round(sum(value), 2) AS attributed_value
+FROM attributed
+GROUP BY 1
+ORDER BY channel
+"""

@@ -3985,3 +3985,163 @@ def q140_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q141 — string battery 2 (SURVEY §2.2-H widening): translate/overlay-
+# class edits, split_part field extraction, left/right slicing,
+# ascii/chr codec round-trip, repeat/reverse. All whole-stage-codegen
+# JVM expressions — zero Python in the row path.
+# ---------------------------------------------------------------------------
+@query("q141_string_battery2")
+def q141_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") <= 200)
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            F.translate("p_name", "aeiou", "AEIOU").alias("vowels_up"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("first_word"),
+            F.split_part(F.col("p_name"), F.lit(" "), F.lit(-1)).alias("last_word"),
+            F.expr("left(p_name, 5)").alias("left5"),
+            F.expr("right(p_name, 5)").alias("right5"),
+            F.ascii("p_name").cast("bigint").alias("first_code"),
+            F.chr(F.ascii("p_name")).alias("first_chr"),
+            F.repeat(F.lit("ab"), 3).alias("rep"),
+            F.reverse("p_name").alias("rev"),
+            F.instr("p_name", "a").cast("bigint").alias("a_pos"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q142 — time-weighted average (TWAP: each observation weighted by how
+# long it was "current", i.e. the gap to the NEXT observation — the
+# standard irregular-timeseries average). lead() closes each interval;
+# the last observation of a day is weighted to the day boundary. One
+# (user, day) shuffle for the window + the agg.
+# ---------------------------------------------------------------------------
+@query("q142_twap")
+def q142_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 11 == 0
+    )
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    next_us = F.lead(F.unix_micros("ts")).over(w)
+    day_end_us = F.unix_micros(day + F.expr("INTERVAL 1 DAY"))
+    weight_us = F.coalesce(next_us, day_end_us) - F.unix_micros("ts")
+    weighted = (
+        events.withColumn("day", day)
+        .withColumn("w_us", weight_us)
+        .groupBy("user_id", "day")
+        .agg(
+            (F.sum(F.col("value") * F.col("w_us")) / F.sum("w_us")).alias("twap_raw"),
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        )
+    )
+    return weighted.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        _r2(F.col("twap_raw")).alias("twap"),
+        "n_obs",
+    ).orderBy("user_id", "day")
+
+
+# ---------------------------------------------------------------------------
+# Q143 — OHLC bars (hourly open/high/low/close from the event stream —
+# the canonical market-data downsample). Open/close via min_by/max_by
+# on a (ts, event_id) struct key: ONE hash aggregate, no window, no
+# self-join — at 100 TB this is a single shuffle on (user-less) bucket
+# keys, each group reduced map-side first.
+# ---------------------------------------------------------------------------
+@query("q143_ohlc_bars")
+def q143_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(hour.alias("bar"))
+        .agg(
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+        )
+        .select(
+            F.unix_micros("bar").alias("bar_us"),
+            _r2(F.col("open")).alias("open"),
+            _r2(F.col("high")).alias("high"),
+            _r2(F.col("low")).alias("low"),
+            _r2(F.col("close")).alias("close"),
+            "n_trades",
+        )
+        .orderBy("bar_us")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q144 — salted heavy-hitter aggregation (operators/skew.py): the
+# event_type key has ~5 values over the whole table — a pathological
+# low-cardinality/hot-key shuffle. The salted two-stage agg spreads
+# each hot key over 8 reducer buckets; stage-2 re-aggregation restores
+# EXACT counts/sums (algebraic aggregates compose), which is what the
+# oracle verifies. This is the declarative fallback to AQE skew
+# handling (SCALING.md).
+# ---------------------------------------------------------------------------
+@query("q144_salted_heavy_hitters")
+def q144_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.skew import salted_agg_count
+
+    events = load_table(spark, sf_dir, "events")
+    out = salted_agg_count(
+        events, key="event_type", entropy=F.col("event_id"), buckets=8,
+        value="value",
+    )
+    return out.select(
+        "event_type", "n", _r2(F.col("sum_value")).alias("sum_value")
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Q145 — last-touch attribution (marketing analytics over the event
+# stream): every purchase attributes to the user's most recent
+# click/view within the preceding 7 days. Exactly an as-of join with
+# tolerance (operators/asof.py) — purchase stream probes the touch
+# stream; one union-window shuffle on user_id, zero self-joins.
+# ---------------------------------------------------------------------------
+@query("q145_last_touch")
+def q145_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    # dedupe to one touch per (user, ts) with a deterministic winner so
+    # the as-of pick is engine-independent under timestamp ties
+    touches = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy(F.col("user_id"), F.col("ts").alias("touch_ts"))
+        .agg(F.max("event_type").alias("touch_type"))
+    )
+    attributed = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        probe_time="ts",
+        build_time="touch_ts",
+        payload={"touch_ts": "touch_ts", "touch_type": "touch_type"},
+        tolerance="7 days",
+    )
+    return (
+        attributed.groupBy(
+            F.coalesce("touch_type", F.lit("unattributed")).alias("channel")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            _r2(F.sum("value")).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

@@ -1,57 +1,57 @@
-"""AQE skew-join audit (SURVEY.md §4.2 skew handling / SCALING.md):
-a join with one pathologically hot key must be split by AQE at runtime
-— the finalized adaptive plan carries `skew=true` on the join node.
-This is the knob that stands in for manual salting on 100 TB hot keys.
-"""
+"""Salted join / salted agg (operators/skew.py): result equivalence
+with the unsalted plan, and actual spreading of a hot key."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
+from luxo_rs_spark.operators.skew import salted_agg_count, salted_join, with_salt
 
-@pytest.fixture()
-def skew_confs(spark):
-    # thresholds scaled down so a local-sized join exhibits skew
-    saved = {}
-    tuned = {
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "100KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "100KB",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
+
+def test_salted_join_matches_plain_join(spark):
+    # hot key: 90% of big-side rows share key 1
+    big = spark.createDataFrame(
+        [(1 if i % 10 else 2, i) for i in range(1000)], "k long, rid long"
+    )
+    small = spark.createDataFrame([(1, "hot"), (2, "cold")], "k long, tag string")
+    got = salted_join(big, small, on="k", entropy=F.col("rid"), buckets=8)
+    want = big.join(small, "k")
+    assert sorted(r.rid for r in got.collect()) == sorted(
+        r.rid for r in want.collect()
+    )
+    assert got.columns == want.columns
+
+
+def test_salted_join_left_outer_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, 1), (9, 2)], "k long, rid long")
+    small = spark.createDataFrame([(1, "t")], "k long, tag string")
+    got = salted_join(big, small, on="k", entropy=F.col("rid"), buckets=4, how="left")
+    rows = {r.rid: r.tag for r in got.collect()}
+    assert rows == {1: "t", 2: None}
+
+
+def test_salt_actually_spreads_hot_key(spark):
+    big = spark.createDataFrame([(1, i) for i in range(500)], "k long, rid long")
+    salted = with_salt(big, F.col("rid"), 8)
+    n_buckets = salted.select("__salt").distinct().count()
+    assert n_buckets == 8  # hot key now occupies 8 shuffle buckets
+
+
+def test_salted_agg_exact_counts_and_sums(spark):
+    df = spark.createDataFrame(
+        [("a" if i % 20 else "b", i, float(i)) for i in range(400)],
+        "k string, rid long, v double",
+    )
+    got = {
+        r.k: (r.n, r.sum_v)
+        for r in salted_agg_count(
+            df, key="k", entropy=F.col("rid"), buckets=8, value="v"
+        ).collect()
     }
-    for k, v in tuned.items():
-        try:
-            saved[k] = spark.conf.get(k)
-        except Exception:
-            saved[k] = None
-        spark.conf.set(k, v)
-    yield
-    for k, v in saved.items():
-        if v is None:
-            spark.conf.unset(k)
-        else:
-            spark.conf.set(k, v)
-
-
-def test_aqe_splits_skewed_join(spark, skew_confs):
-    # key 0 holds ~83% of all rows; keys 1..99 are uniform
-    left = spark.range(600_000).select(
-        F.when(F.col("id") < 500_000, 0)
-        .otherwise((F.col("id") % 99) + 1)
-        .alias("k"),
-        F.col("id").alias("v"),
-    )
-    right = spark.range(100).select(
-        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
-    )
-    j = left.join(right, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
-    [row] = j.collect()  # AQE decides at runtime -> must materialize first
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "skew=true" in plan
-    # and the answer is still exact
-    want = sum(
-        (v + (0 if v < 500_000 else ((v % 99) + 1) * 10))
-        for v in range(600_000)
-    )
-    assert row.s == want
+    want = {
+        r.k: (r.n, r.sum_v)
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
