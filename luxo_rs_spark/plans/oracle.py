@@ -2289,3 +2289,93 @@ FROM attributed
 GROUP BY 1
 ORDER BY channel
 """
+
+ORACLE_SQL["q146_math_battery2"] = """
+SELECT cast(n_nationkey AS BIGINT) AS n_nationkey,
+       round(sin(n_nationkey / 7.0), 6) AS sin_x,
+       round(cos(n_nationkey / 7.0), 6) AS cos_x,
+       round(tan(n_nationkey / 7.0), 6) AS tan_x,
+       round(atan2(n_nationkey / 7.0, 2.0), 6) AS atan2_x,
+       round(degrees(n_nationkey / 7.0), 6) AS deg_x,
+       round(radians(cast(n_nationkey AS DOUBLE)), 6) AS rad_k,
+       round(cbrt(cast(n_nationkey AS DOUBLE)), 6) AS cbrt_k,
+       round(log2(n_nationkey + 1.0), 6) AS log2_k1,
+       cast(factorial(cast(n_nationkey % 10 AS INT)) AS BIGINT) AS fact_mod
+FROM nation
+ORDER BY n_nationkey
+"""
+
+ORACLE_SQL["q147_weighted_median"] = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity,
+         sum(l_quantity) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cumw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(l_extendedprice), 2) AS weighted_median_price,
+       round(max(totw), 2) AS total_weight
+FROM cum
+WHERE cumw >= totw / 2
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q148_wow_movers"] = """
+WITH weekly AS (
+  SELECT cast(l_partkey AS BIGINT) AS partkey,
+         date_trunc('week', l_shipdate) AS week,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  GROUP BY 1, 2
+),
+moved AS (
+  SELECT partkey,
+         strftime(week, '%Y-%m-%d') AS week,
+         round(rev, 2) AS rev,
+         round(prev_rev, 2) AS prev_rev,
+         round((rev - prev_rev) / prev_rev * 100, 2) AS pct_change
+  FROM (
+    SELECT *, lag(rev) OVER (PARTITION BY partkey ORDER BY week) AS prev_rev
+    FROM weekly
+  )
+  WHERE prev_rev IS NOT NULL AND prev_rev > 0
+)
+SELECT * FROM moved
+ORDER BY abs(pct_change) DESC, partkey, week
+LIMIT 50
+"""
+
+ORACLE_SQL["q149_null_safe_join"] = """
+WITH a AS (
+  SELECT nullif(l_returnflag, 'N') AS k,
+         cast(count(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+),
+b AS (
+  SELECT nullif(CASE o_orderstatus WHEN 'F' THEN 'A'
+                                   WHEN 'O' THEN 'N'
+                                   ELSE 'R' END, 'N') AS k,
+         cast(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT coalesce(a.k, '<null>') AS key, n_lines, n_orders
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+ORDER BY key
+"""
+
+ORACLE_SQL["q150_multi_distinct"] = """
+SELECT l_returnflag,
+       cast(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       cast(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       cast(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+       cast(sum(l_quantity) AS BIGINT) AS sum_qty,
+       cast(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""

@@ -4145,3 +4145,167 @@ def q145_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q146 — math battery 2 (trig/hyperbolic/log2/cbrt/atan2/factorial —
+# §2.2-H widening). All JVM intrinsics; rounded to 6dp so cross-libm
+# last-ulp differences can't flip the hash.
+# ---------------------------------------------------------------------------
+@query("q146_math_battery2")
+def q146_math_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    x = F.col("n_nationkey").cast("double") / 7.0
+    return (
+        nation.select(
+            F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+            F.round(F.sin(x), 6).alias("sin_x"),
+            F.round(F.cos(x), 6).alias("cos_x"),
+            F.round(F.tan(x), 6).alias("tan_x"),
+            F.round(F.atan2(x, F.lit(2.0)), 6).alias("atan2_x"),
+            F.round(F.degrees(x), 6).alias("deg_x"),
+            F.round(F.radians(F.col("n_nationkey").cast("double")), 6).alias(
+                "rad_k"
+            ),
+            F.round(F.cbrt(F.col("n_nationkey").cast("double")), 6).alias(
+                "cbrt_k"
+            ),
+            F.round(F.log2(F.col("n_nationkey") + 1.0), 6).alias("log2_k1"),
+            F.factorial(F.pmod(F.col("n_nationkey"), F.lit(10)).cast("int"))
+            .cast("bigint")
+            .alias("fact_mod"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q147 — weighted median (each price weighted by its quantity — the
+# "median dollar" not the "median line"). No engine-native weighted
+# quantile is portable, so it's built from order statistics: cumulative
+# weight over a (flag, price-ordered) window, then the first row whose
+# cumulative weight reaches half the total. Same single-shuffle window
+# + agg shape on both engines, so results hash-match exactly.
+# ---------------------------------------------------------------------------
+@query("q147_weighted_median")
+def q147_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    order_cols = [
+        F.col("l_extendedprice"),
+        F.col("l_orderkey"),
+        F.col("l_linenumber"),
+    ]
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    cum = (
+        li.select("l_returnflag", "l_extendedprice", "l_quantity",
+                  "l_orderkey", "l_linenumber")
+        .withColumn("cumw", F.sum("l_quantity").over(w))
+        .withColumn("totw", F.sum("l_quantity").over(tot_w))
+    )
+    return (
+        cum.filter(F.col("cumw") >= F.col("totw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            _r2(F.min("l_extendedprice")).alias("weighted_median_price"),
+            _r2(F.max("totw")).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q148 — week-over-week top movers (ops dashboards: parts whose weekly
+# revenue changed most vs the prior week). Three-stage composition on
+# ONE (partkey) partitioning after the weekly pre-agg: agg → lag window
+# → ratio/top-k. The weekly agg collapses the fact table first, so the
+# window sees |parts × weeks| rows, not |lineitem|.
+# ---------------------------------------------------------------------------
+@query("q148_wow_movers")
+def q148_wow_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = (
+        li.groupBy(
+            F.col("l_partkey").cast("bigint").alias("partkey"),
+            F.date_trunc("week", F.col("l_shipdate")).alias("week"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = Window.partitionBy("partkey").orderBy("week")
+    moved = (
+        weekly.withColumn("prev_rev", F.lag("rev").over(w))
+        .filter(F.col("prev_rev").isNotNull() & (F.col("prev_rev") > 0))
+        .select(
+            "partkey",
+            F.date_format("week", "yyyy-MM-dd").alias("week"),
+            _r2(F.col("rev")).alias("rev"),
+            _r2(F.col("prev_rev")).alias("prev_rev"),
+            _r2((F.col("rev") - F.col("prev_rev")) / F.col("prev_rev") * 100).alias(
+                "pct_change"
+            ),
+        )
+    )
+    return moved.orderBy(
+        F.abs(F.col("pct_change")).desc(), "partkey", "week"
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Q149 — null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+# SQL-standard way to make NULL keys match each other (normal equi-join
+# drops them — 3VL). Spark plans <=> as a hash join (null-safe keys
+# hash like values), NOT a nested loop — this query pins that both the
+# semantics and the hashable-plan shape survive.
+# ---------------------------------------------------------------------------
+@query("q149_null_safe_join")
+def q149_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    # N ('none') → NULL on both sides: NULL<=>NULL must match
+    a = li.groupBy(
+        F.nullif(F.col("l_returnflag"), F.lit("N")).alias("k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    b = orders.groupBy(
+        F.nullif(
+            F.when(F.col("o_orderstatus") == "F", "A")
+            .when(F.col("o_orderstatus") == "O", "N")
+            .otherwise("R"),
+            F.lit("N"),
+        ).alias("k")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    return (
+        a.join(b, a.k.eqNullSafe(b.k), "inner")
+        .select(
+            F.coalesce(a.k, F.lit("<null>")).alias("key"),
+            "n_lines",
+            "n_orders",
+        )
+        .orderBy("key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q150 — multiple DISTINCT aggregates in one GROUP BY (count distinct
+# orders AND parts AND suppliers per flag, plus plain aggs). Spark
+# plans multi-distinct with an Expand (one duplicate of each input row
+# per distinct clause) feeding a two-level aggregate — one logical
+# pass over the fact table instead of three self-joined subqueries.
+# ---------------------------------------------------------------------------
+@query("q150_multi_distinct")
+def q150_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+            F.countDistinct("l_partkey").cast("bigint").alias("n_parts"),
+            F.countDistinct("l_suppkey").cast("bigint").alias("n_supps"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )
