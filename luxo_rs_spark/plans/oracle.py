@@ -2379,3 +2379,99 @@ FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
 """
+
+ORACLE_SQL["q151_explode_outer"] = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), t -> length(t) > 6) AS arr
+  FROM documents
+  WHERE doc_id < 120
+),
+exploded AS (
+  SELECT t.doc_id,
+         u.pos - 1 AS pos,
+         u.token
+  FROM toks t
+  LEFT JOIN LATERAL (
+    SELECT unnest(arr) AS token,
+           generate_subscripts(arr, 1) AS pos
+  ) u ON true
+)
+SELECT doc_id,
+       cast(coalesce(pos, -1) AS BIGINT) AS pos,
+       coalesce(token, '<none>') AS token
+FROM exploded
+ORDER BY doc_id, pos
+"""
+
+ORACLE_SQL["q152_percent_of_total"] = """
+WITH rev AS (
+  SELECT r_name, n_name,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+)
+SELECT r_name, n_name,
+       round(rev, 2) AS nation_rev,
+       round(rev / sum(rev) OVER (PARTITION BY r_name) * 100, 2)
+         AS pct_of_region
+FROM rev
+ORDER BY r_name, n_name
+"""
+
+ORACLE_SQL["q153_dense_grid"] = """
+WITH years AS (
+  SELECT unnest(generate_series(1995, 2002)) AS year
+),
+spine AS (
+  SELECT year, r_regionkey, r_name FROM years CROSS JOIN region
+),
+actual AS (
+  SELECT year(l_shipdate) AS year, n_regionkey AS r_regionkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+)
+SELECT cast(s.year AS BIGINT) AS year, s.r_name,
+       round(coalesce(a.rev, 0.0), 2) AS revenue
+FROM spine s
+LEFT JOIN actual a ON s.year = a.year AND s.r_regionkey = a.r_regionkey
+ORDER BY year, r_name
+"""
+
+ORACLE_SQL["q154_group_concat"] = """
+SELECT p_type,
+       string_agg(DISTINCT p_brand, ',' ORDER BY p_brand) AS brands,
+       cast(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+FROM part
+GROUP BY p_type
+ORDER BY p_type
+"""
+
+ORACLE_SQL["q155_pareto_curve"] = """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY rev DESC, l_partkey) AS rnk,
+         sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           / sum(rev) OVER () AS cum_share
+  FROM per_part
+),
+thresholds AS (
+  SELECT unnest([0.5, 0.8, 0.9, 0.95]) AS threshold
+)
+SELECT round(cast(threshold AS DOUBLE), 2) AS threshold,
+       cast(min(rnk) AS BIGINT) AS parts_needed
+FROM thresholds
+JOIN ranked ON cum_share >= threshold
+GROUP BY threshold
+ORDER BY threshold
+"""

@@ -4309,3 +4309,156 @@ def q150_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q151 — explode_outer / posexplode_outer (lateral-view-outer): rows
+# whose array is EMPTY must survive with NULL element — the 3VL edge
+# the plain explode drops. Arrays here are higher-order-filtered token
+# lists (words > 6 chars), empty for many docs. Narrow op, no shuffle
+# until the final order.
+# ---------------------------------------------------------------------------
+@query("q151_explode_outer")
+def q151_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    long_toks = F.expr("filter(split(text, ' '), t -> length(t) > 6)")
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode_outer(long_toks).alias("pos", "token"),
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("pos").cast("bigint"), F.lit(-1)).alias("pos"),
+            F.coalesce("token", F.lit("<none>")).alias("token"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q152 — ratio-to-report (percent-of-total window): each nation's share
+# of its region's revenue — sum OVER (PARTITION BY region) beside the
+# grouped row. One agg + one window on the agg output (|nations| rows),
+# never a second scan of the fact.
+# ---------------------------------------------------------------------------
+@query("q152_percent_of_total")
+def q152_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = Window.partitionBy("r_name")
+    return rev.select(
+        "r_name",
+        "n_name",
+        _r2(F.col("rev")).alias("nation_rev"),
+        _r2(F.col("rev") / F.sum("rev").over(w) * 100).alias("pct_of_region"),
+    ).orderBy("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# Q153 — sparse-to-dense reporting grid: (year × region) spine built
+# from sequence()+explode crossed with the region dim, LEFT-joined
+# against actual revenue so empty cells surface as 0.00 — the BI
+# "show zero rows" contract. The spine is KB-sized (built from
+# literals + a broadcast dim), so the only real work is the fact agg.
+# ---------------------------------------------------------------------------
+@query("q153_dense_grid")
+def q153_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    years = spark.range(1).select(
+        F.explode(F.sequence(F.lit(1995), F.lit(2002))).alias("year")
+    )
+    spine = years.crossJoin(region.select("r_regionkey", "r_name"))
+    actual = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.year("l_shipdate").alias("year"),
+            F.col("n_regionkey").alias("r_regionkey"),
+        )
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    return (
+        spine.join(actual, ["year", "r_regionkey"], "left")
+        .select(
+            F.col("year").cast("bigint").alias("year"),
+            "r_name",
+            _r2(F.coalesce(F.col("rev"), F.lit(0.0))).alias("revenue"),
+        )
+        .orderBy("year", "r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q154 — ordered group concatenation (LISTAGG/string_agg): the report-
+# friendly "all brands per manufacturer, comma-joined, sorted". Spark
+# side sorts a collected array (collect_set → array_sort → concat_ws)
+# — deterministic by construction; DuckDB side uses
+# string_agg(... ORDER BY ...). At scale collect_set state is bounded
+# by per-group distinct count — fine for catalog-sized groups, wrong
+# tool for billions-per-group.
+# ---------------------------------------------------------------------------
+@query("q154_group_concat")
+def q154_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_type")
+        .agg(
+            F.concat_ws(
+                ",", F.array_sort(F.collect_set("p_brand"))
+            ).alias("brands"),
+            F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+        )
+        .orderBy("p_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q155 — Pareto / concentration curve (the 80-20 revenue question:
+# how many top parts cover T% of revenue). Parts ranked by revenue
+# desc, running share over the PRE-AGGREGATED ranking (|parts| rows —
+# the q140 caveat applies), then one row per threshold via a tiny
+# threshold spine joined on the crossing condition.
+# ---------------------------------------------------------------------------
+@query("q155_pareto_curve")
+def q155_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_part.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("rev").desc(), F.col("l_partkey")))
+        .alias("rnk"),
+        (F.sum("rev").over(w) / F.sum("rev").over(glob)).alias("cum_share"),
+    )
+    thresholds = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.8), F.lit(0.9), F.lit(0.95))).alias(
+            "threshold"
+        )
+    )
+    return (
+        thresholds.join(ranked, F.col("cum_share") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(F.min("rnk").cast("bigint").alias("parts_needed"))
+        .select(_r2(F.col("threshold")).alias("threshold"), "parts_needed")
+        .orderBy("threshold")
+    )
