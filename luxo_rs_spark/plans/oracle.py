@@ -2475,3 +2475,105 @@ JOIN ranked ON cum_share >= threshold
 GROUP BY threshold
 ORDER BY threshold
 """
+
+ORACLE_SQL["q156_mode_per_group"] = """
+WITH counts AS (
+  SELECT lang, token, cast(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+  )
+  WHERE length(token) >= 4
+  GROUP BY lang, token
+),
+ranked AS (
+  SELECT lang, token, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) AS rn
+  FROM counts
+)
+SELECT lang, token AS mode_token, n
+FROM ranked WHERE rn = 1
+ORDER BY lang
+"""
+
+ORACLE_SQL["q157_trailing_collect"] = """
+SELECT user_id,
+       epoch_us(ts) AS ts_us,
+       event_id,
+       concat_ws(',',
+         cast(round(lag(value, 2) OVER w, 2) AS VARCHAR),
+         cast(round(lag(value, 1) OVER w, 2) AS VARCHAR),
+         cast(round(value, 2) AS VARCHAR)) AS last3
+FROM events
+WHERE user_id % 23 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts_us, event_id
+"""
+
+ORACLE_SQL["q158_vocab_overlap"] = """
+WITH vocab AS (
+  SELECT DISTINCT source, token
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE length(token) >= 4
+),
+sizes AS (
+  SELECT source, count(*) AS v_size FROM vocab GROUP BY source
+),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         cast(count(*) AS BIGINT) AS n_common
+  FROM vocab a JOIN vocab b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, n_common,
+       round(n_common / (sa.v_size + sb.v_size - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+"""
+
+ORACLE_SQL["q159_mad"] = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       round(max(m), 4) AS median_value,
+       round(quantile_cont(abs(value - m), 0.5), 4) AS mad,
+       cast(count(*) AS BIGINT) AS n
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+ORACLE_SQL["q160_vocab_growth"] = """
+WITH first_seen AS (
+  SELECT first_doc, count(*) AS new_tokens
+  FROM (
+    SELECT token, min(doc_id) AS first_doc
+    FROM (
+      SELECT doc_id,
+             array_to_string(list_slice(string_split(text, ' '), s.i, s.i + 1), ' ')
+               AS token
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(
+             1, greatest(length(string_split(text, ' ')) - 1, 0))) AS i) s
+    )
+    GROUP BY token
+  )
+  GROUP BY first_doc
+),
+curve AS (
+  SELECT first_doc, new_tokens,
+         cast(sum(new_tokens) OVER (ORDER BY first_doc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS vocab_size
+  FROM first_seen
+)
+SELECT cast(first_doc AS BIGINT) AS first_doc,
+       cast(new_tokens AS BIGINT) AS new_tokens,
+       vocab_size
+FROM curve
+WHERE first_doc % 20 = 0
+ORDER BY first_doc
+"""

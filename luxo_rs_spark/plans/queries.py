@@ -4462,3 +4462,170 @@ def q155_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(_r2(F.col("threshold")).alias("threshold"), "parts_needed")
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q156 — deterministic MODE per group (most frequent >=4-char token per
+# lang): count per (group, value), then row_number over (count DESC,
+# token ASC) — explicit tie-break because engine-native mode() leaves
+# ties unspecified. The ranking window partitions by lang over the
+# already-collapsed counts, so its sort input is |vocab|, not |tokens|.
+# ---------------------------------------------------------------------------
+@query("q156_mode_per_group")
+def q156_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") >= 4)
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("token").alias("mode_token"), "n")
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q157 — trailing-window feature string (the "last 3 readings" ML
+# feature): three bounded lags concat-joined oldest→newest. Bounded
+# frame state (O(3) per row); concat_ws drops the leading NULLs of a
+# partition's first rows on both engines.
+# ---------------------------------------------------------------------------
+@query("q157_trailing_collect")
+def q157_trailing_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 23 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def s(col):
+        return F.round(col, 2).cast("string")
+
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.concat_ws(
+                ",",
+                s(F.lag("value", 2).over(w)),
+                s(F.lag("value", 1).over(w)),
+                s(F.col("value")),
+            ).alias("last3"),
+        )
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q158 — cross-source vocabulary overlap matrix (corpus drift check:
+# Jaccard between each source-pair's >=4-char vocabularies). Distinct
+# (source, token) postings, self-joined on token with src_a < src_b —
+# the postings are |vocab × sources| AFTER dedup, so the pair blowup
+# is bounded by vocabulary, not corpus, size. Union sizes come from a
+# broadcast per-source vocab count.
+# ---------------------------------------------------------------------------
+@query("q158_vocab_overlap")
+def q158_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.length("token") >= 4)
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("v_size"))
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), "token")
+    inter = (
+        a.join(b, "token")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("v_size").alias("size_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("v_size").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("size_a") + F.col("size_b") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q159 — median absolute deviation (MAD, the robust spread statistic):
+# per-type median from pass 1 broadcast onto the fact, then the median
+# of |x - m| in pass 2. Both medians are exact interpolated
+# percentiles; the per-type stats rows stay KB-sized.
+# ---------------------------------------------------------------------------
+@query("q159_mad")
+def q159_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    return (
+        events.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("m"), 4).alias("median_value"),
+            F.round(
+                F.expr("percentile(abs(value - m), 0.5)"), 4
+            ).alias("mad"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q160 — vocabulary growth curve (Heaps-law audit for a growing
+# corpus): each token's FIRST document (min doc_id over the postings),
+# then the cumulative count of first-appearances by doc — "how many
+# distinct tokens after N documents". The curve is thinned to every
+# 50th doc for a bounded result. Postings collapse map-side; the
+# running sum windows over |docs| rows.
+# ---------------------------------------------------------------------------
+@query("q160_vocab_growth")
+def q160_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+        " i -> concat(element_at(split(text, ' '), i), ' ',"
+        "             element_at(split(text, ' '), i + 1)))"
+    )
+    first_seen = (
+        docs.select("doc_id", F.explode(bigrams).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy("first_doc")
+        .agg(F.count(F.lit(1)).alias("new_tokens"))
+    )
+    w = Window.orderBy("first_doc").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        first_seen.withColumn(
+            "vocab_size", F.sum("new_tokens").over(w).cast("bigint")
+        )
+        .filter(F.col("first_doc") % 20 == 0)
+        .select(
+            F.col("first_doc").cast("bigint").alias("first_doc"),
+            F.col("new_tokens").cast("bigint").alias("new_tokens"),
+            "vocab_size",
+        )
+        .orderBy("first_doc")
+    )
