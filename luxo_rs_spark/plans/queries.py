@@ -2493,27 +2493,40 @@ def q98_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q99_embedding_quantize")
 def q99_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    e = F.col("embedding").cast("array<double>")
-    mn, mx = F.array_min(e), F.array_max(e)
-    scale = (mx - mn) / F.lit(255.0)
-    code = F.transform(e, lambda x: F.floor((x - mn) / scale + F.lit(0.5)))
-    recon = F.transform(code, lambda q: mn + q.cast("double") * scale)
-    err = F.zip_with(e, recon, lambda x, r: F.abs(x - r))
-    return (
-        emb.select(
-            "vec_id",
-            F.round(scale, 6).alias("scale_6"),
-            F.round(F.array_max(err), 6).alias("max_abs_err"),
-            F.round(
-                F.aggregate(
-                    err, F.lit(0.0), lambda acc, x: acc + x
-                )
-                / F.size(err),
-                6,
-            ).alias("mean_abs_err"),
+    # stage min/scale/err as real columns: the three output stats then
+    # share ONE evaluation of each intermediate instead of re-expanding
+    # the whole quantize->reconstruct->error tree per column (measured
+    # 6x on sf0.1; HOF lambdas defeat codegen subexpression elimination
+    # across select-list items).
+    staged = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("mn", F.array_min("e"))
+        .withColumn("scale", (F.array_max("e") - F.col("mn")) / F.lit(255.0))
+        .withColumn(
+            "err",
+            F.transform(
+                "e",
+                lambda x: F.abs(
+                    x
+                    - (
+                        F.col("mn")
+                        + F.floor((x - F.col("mn")) / F.col("scale") + F.lit(0.5))
+                        * F.col("scale")
+                    )
+                ),
+            ),
         )
-        .orderBy("vec_id")
     )
+    return staged.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale_6"),
+        F.round(F.array_max("err"), 6).alias("max_abs_err"),
+        F.round(
+            F.aggregate("err", F.lit(0.0), lambda acc, x: acc + x)
+            / F.size("err"),
+            6,
+        ).alias("mean_abs_err"),
+    ).orderBy("vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -2794,20 +2807,26 @@ def q106_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q107_editdistance_neardup")
 def q107_editdistance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand"
+        "p_partkey", "p_name", "p_brand", F.length("p_name").alias("nlen")
     )
     a = part.alias("a")
     b = part.alias("b")
+    # two semantics-preserving prunes for dist <= 2: (1) a length gap
+    # > 2 already implies dist > 2, and the int compare is ~100x
+    # cheaper than an edit-distance; (2) the banded threshold form
+    # levenshtein(l, r, 2) stops at distance 3 (returns -1), turning
+    # the O(|l|*|r|) DP into O(2*max(|l|,|r|)) per surviving pair.
     pairs = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (F.abs(F.col("a.nlen") - F.col("b.nlen")) <= 2),
     ).select(
         F.col("a.p_brand").alias("p_brand"),
-        F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 2).alias("dist"),
     )
     return (
-        pairs.filter(F.col("dist") <= 2)
+        pairs.filter(F.col("dist") >= 0)
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
