@@ -2577,3 +2577,212 @@ FROM curve
 WHERE first_doc % 20 = 0
 ORDER BY first_doc
 """
+
+ORACLE_SQL["q161_bpe_tokenize"] = """
+WITH per_doc AS (
+  SELECT doc_id, source,
+         cast(length(regexp_extract_all(text,
+           '(''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+)',
+           1)) AS BIGINT) AS n_tokens,
+         cast(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(n_tokens), 2) AS avg_tokens_per_doc,
+       round(sum(n_chars) / sum(n_tokens), 2) AS chars_per_token
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLE_SQL["q162_decayed_score"] = """
+SELECT user_id,
+       round(sum(value * exp(-((epoch_us(TIMESTAMP '2024-04-01 00:00:00')
+                                - epoch_us(ts)) / 86400000000.0) * 0.0231)), 2)
+         AS decayed_value,
+       cast(count(*) AS BIGINT) AS n_events
+FROM events
+WHERE user_id % 13 = 0
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLE_SQL["q163_benford"] = """
+WITH counts AS (
+  SELECT cast(substring(cast(o_totalprice AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         cast(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1
+)
+SELECT digit, n,
+       round(n / sum(n) OVER () * 100, 2) AS pct,
+       round(log10(1 + 1 / cast(digit AS DOUBLE)) * 100, 2) AS benford_pct,
+       round(abs(round(n / sum(n) OVER () * 100, 2)
+                 - round(log10(1 + 1 / cast(digit AS DOUBLE)) * 100, 2)), 2)
+         AS abs_dev
+FROM counts
+ORDER BY digit
+"""
+
+ORACLE_SQL["q164_transition_matrix"] = """
+WITH trans AS (
+  SELECT prev_type, event_type AS next_type,
+         cast(count(*) AS BIGINT) AS n
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+FROM trans
+ORDER BY prev_type, next_type
+"""
+
+ORACLE_SQL["q165_sql_cte_window"] = """
+WITH cust_rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev, count(*) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c_nationkey, c_name, rev, n_orders,
+         row_number() OVER (PARTITION BY c_nationkey
+                            ORDER BY rev DESC, c_name) AS rn
+  FROM cust_rev JOIN customer ON o_custkey = c_custkey
+)
+SELECT n_name, c_name,
+       round(rev, 2) AS rev,
+       cast(n_orders AS BIGINT) AS n_orders
+FROM ranked JOIN nation ON c_nationkey = n_nationkey
+WHERE rn <= 3
+ORDER BY n_name, rev DESC, c_name
+"""
+
+ORACLE_SQL["q166_rfm_segmentation"] = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS freq,
+         sum(o_totalprice) AS monetary
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, monetary,
+         ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM per_cust
+)
+SELECT concat_ws('-', r, f, m) AS segment,
+       cast(count(*) AS BIGINT) AS n_customers,
+       round(sum(monetary), 2) AS segment_value
+FROM scored
+GROUP BY 1
+ORDER BY segment
+"""
+
+ORACLE_SQL["q167_market_basket"] = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+basket_total AS (
+  SELECT cast(count(DISTINCT ok) AS DOUBLE) AS n_baskets FROM items
+),
+per_part AS (
+  SELECT pk, count(*) AS n_p FROM items GROUP BY pk
+),
+pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, cast(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+)
+SELECT cast(pa AS BIGINT) AS pa, cast(pb AS BIGINT) AS pb, n_ab,
+       round(n_ab / n_baskets * 1000, 4) AS support_pm,
+       round(n_ab / na.n_p, 4) AS confidence,
+       round(n_ab * n_baskets / (na.n_p * nb.n_p), 4) AS lift
+FROM pairs, basket_total
+JOIN per_part na ON na.pk = pa
+JOIN per_part nb ON nb.pk = pb
+ORDER BY lift DESC, pa, pb
+LIMIT 50
+"""
+
+ORACLE_SQL["q168_gap_histogram"] = """
+WITH gaps AS (
+  SELECT (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id)) / 1000000.0 AS gap_s
+  FROM events
+)
+-- width_bucket(v, 0, 7, 14) spelled out (duckdb build lacks it);
+-- v = log10(clamped gap) >= 0 = lo, so only the upper edge needs a cap
+SELECT cast(least(floor(log10(greatest(gap_s, 1.0)) / 0.5) + 1, 15) AS BIGINT)
+         AS bucket,
+       cast(count(*) AS BIGINT) AS n
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY 1
+ORDER BY bucket
+"""
+
+ORACLE_SQL["q169_orphan_audit"] = """
+SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+       cast(count(*) AS BIGINT) AS n_orphans
+FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       cast(count(*) AS BIGINT)
+FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part)
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       cast(count(*) AS BIGINT)
+FROM lineitem WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       cast(count(*) AS BIGINT)
+FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       cast(count(*) AS BIGINT)
+FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       cast(count(*) AS BIGINT)
+FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation)
+ORDER BY fk_edge
+"""
+
+ORACLE_SQL["q170_max_drawdown"] = """
+WITH signed AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type IN ('purchase', 'signup') THEN value
+              ELSE -value END AS sv
+  FROM events
+  WHERE user_id % 17 = 0
+),
+cumser AS (
+  SELECT user_id, ts, event_id, sv,
+         sum(sv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM signed
+),
+dd AS (
+  SELECT user_id, sv, cum,
+         max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM cumser
+)
+SELECT user_id,
+       round(max(peak - cum), 2) AS max_drawdown,
+       round(max(peak), 2) AS max_peak,
+       round(sum(sv), 2) AS final_position,
+       cast(count(*) AS BIGINT) AS n_events
+FROM dd
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -3891,12 +3891,22 @@ def q137_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # two-stage: collapse to (col, value, count) FIRST — the map-side
+    # partial agg reduces the shuffle to |distinct values| rows, and the
+    # second stage gets every profile stat (incl. exact distinct) from
+    # the collapsed relation without an Expand (measured ~3x vs the
+    # single-stage countDistinct form at sf0.1).
+    collapsed = prepared.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
     return (
-        prepared.groupBy("col_name")
+        collapsed.groupBy("col_name")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            (F.count(F.lit(1)) - F.count("val")).cast("bigint").alias("n_null"),
-            F.countDistinct("val").cast("bigint").alias("n_distinct"),
+            F.sum("cnt").cast("bigint").alias("n_rows"),
+            F.sum(F.when(F.col("val").isNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.count("val").cast("bigint").alias("n_distinct"),
             F.min("val").alias("min_val"),
             F.max("val").alias("max_val"),
         )
@@ -4647,4 +4657,346 @@ def q160_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
         )
         .orderBy("first_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q161 — BPE-style regex tokenization (the GPT-2 pre-tokenizer family:
+# contraction suffixes, letter runs, digit runs, punctuation runs —
+# SURVEY §2.2-K "token counting, BPE-ish regex"): regexp_extract_all
+# inside the scan stage (JVM regex, no Python), then per-source token
+# economics (tokens/doc, chars/token — the pretrain budget numbers).
+# ---------------------------------------------------------------------------
+@query("q161_bpe_tokenize")
+def q161_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pat = "('s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+)"
+    toks = F.expr(f"regexp_extract_all(text, \"{pat}\", 1)")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            _r2(F.avg("n_tokens")).alias("avg_tokens_per_doc"),
+            _r2(F.sum("n_chars") / F.sum("n_tokens")).alias("chars_per_token"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q162 — exponential time-decay score (recency-weighted engagement:
+# sum of value * exp(-age_days * ln2 / half_life)) per user against a
+# fixed anchor — the feature-store "decayed counter" with a 30-day
+# half-life. Pure map + one agg; exp() is deterministic IEEE on both
+# engines, rounded at 2dp after the sum.
+# ---------------------------------------------------------------------------
+@query("q162_decayed_score")
+def q162_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    anchor = F.lit("2024-04-01 00:00:00").cast("timestamp")
+    age_days = (F.unix_micros(anchor) - F.unix_micros("ts")) / F.lit(
+        86400000000.0
+    )
+    decay = F.exp(-age_days * F.lit(0.0231))  # ln2 / 30-day half-life
+    return (
+        events.filter(F.col("user_id") % 13 == 0)
+        .groupBy("user_id")
+        .agg(
+            _r2(F.sum(F.col("value") * decay)).alias("decayed_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q163 — Benford first-digit audit (fraud/data-quality screen on
+# o_totalprice): observed leading-digit distribution vs log10(1+1/d)
+# expectation. One tiny agg; the digit comes from a string head, never
+# float math (log-of-value binning would reintroduce float edges).
+# ---------------------------------------------------------------------------
+@query("q163_benford")
+def q163_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(F.col("o_totalprice").cast("string"), 1, 1).cast("bigint")
+    total = Window.partitionBy()
+    out = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "pct", F.round(F.col("n") / F.sum("n").over(total) * 100, 2)
+        )
+        .withColumn(
+            "benford_pct",
+            F.round(F.log10(1 + 1 / F.col("digit").cast("double")) * 100, 2),
+        )
+    )
+    return out.select(
+        "digit",
+        "n",
+        "pct",
+        "benford_pct",
+        F.round(F.abs(F.col("pct") - F.col("benford_pct")), 2).alias("abs_dev"),
+    ).orderBy("digit")
+
+
+# ---------------------------------------------------------------------------
+# Q164 — event-transition matrix (first-order Markov mining over the
+# stream: which event type follows which, per-user sequences): lag
+# window on one (user) shuffle, then a transition count + row-
+# normalized probability. The sequence-mining primitive behind
+# session-flow dashboards and next-action models.
+# ---------------------------------------------------------------------------
+@query("q164_transition_matrix")
+def q164_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    row_tot = Window.partitionBy("prev_type")
+    return (
+        trans.withColumn(
+            "p", F.round(F.col("n") / F.sum("n").over(row_tot), 4)
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q165 — SQL front-end parity (the spark.sql surface with multi-CTE +
+# window inside ONE SQL string — §3.2's "SQL strings are a veneer on
+# the same Catalyst plans"): registered temp views + a CTE chain that
+# mixes an agg CTE, a window over it, and a dim join. Identical SQL
+# runs on DuckDB: the contract is that our SQL dialect subset is
+# portable ANSI.
+# ---------------------------------------------------------------------------
+@query("q165_sql_cte_window")
+def q165_sql_cte_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH cust_rev AS (
+          SELECT o_custkey, sum(o_totalprice) AS rev, count(*) AS n_orders
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT c_nationkey, c_name, rev, n_orders,
+                 row_number() OVER (PARTITION BY c_nationkey
+                                    ORDER BY rev DESC, c_name) AS rn
+          FROM cust_rev JOIN customer ON o_custkey = c_custkey
+        )
+        SELECT n_name, c_name,
+               round(rev, 2) AS rev,
+               cast(n_orders AS BIGINT) AS n_orders
+        FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        WHERE rn <= 3
+        ORDER BY n_name, rev DESC, c_name
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q166 — RFM segmentation (recency / frequency / monetary quartiles —
+# the canonical CRM segmentation): one orders agg per customer, three
+# ntile(4) windows over the SAME pre-aggregated relation, segment =
+# concatenated scores, then segment population stats. The windows are
+# single-partition total orders — safe on |customers| rows (q140
+# caveat); at 100 TB-of-customers switch to percentile-bound joins.
+# ---------------------------------------------------------------------------
+@query("q166_rfm_segmentation")
+def q166_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    # deterministic quartiles: unique tie-break on the key
+    r_w = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    f_w = Window.orderBy(F.col("freq").desc(), F.col("o_custkey"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(4).over(r_w).alias("r"),
+        F.ntile(4).over(f_w).alias("f"),
+        F.ntile(4).over(m_w).alias("m"),
+        "monetary",
+    )
+    return (
+        scored.groupBy(
+            F.concat_ws("-", "r", "f", "m").alias("segment")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            _r2(F.sum("monetary")).alias("segment_value"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q167 — market-basket association rules (support / confidence / lift
+# over order baskets): part-pairs co-occurring in an order via a
+# self-join on the orderkey (small per-basket fanout: ~k² pairs per
+# k-line order), joined against per-part basket counts (broadcast) for
+# the lift denominator. Top rules by lift with a minimum support.
+# ---------------------------------------------------------------------------
+@query("q167_market_basket")
+def q167_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # distinct (order, part) — a part twice in one order is one basket hit
+    items = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    # scalar as a 1-row broadcast, not a driver-side .count() — keeps
+    # the whole thing one lazy plan
+    basket_total = items.agg(
+        F.countDistinct("ok").cast("double").alias("n_baskets")
+    )
+    per_part = items.groupBy("pk").agg(F.count(F.lit(1)).alias("n_p"))
+    a = items.select(F.col("ok"), F.col("pk").alias("pa"))
+    b = items.select(F.col("ok"), F.col("pk").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    na = per_part.select(F.col("pk").alias("pa"), F.col("n_p").alias("n_a"))
+    nb = per_part.select(F.col("pk").alias("pb"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "pa")
+        .join(F.broadcast(nb), "pb")
+        .join(F.broadcast(basket_total))
+        .select(
+            F.col("pa").cast("bigint").alias("pa"),
+            F.col("pb").cast("bigint").alias("pb"),
+            "n_ab",
+            F.round(F.col("n_ab") / F.col("n_baskets") * 1000, 4).alias(
+                "support_pm"
+            ),
+            F.round(F.col("n_ab") / F.col("n_a"), 4).alias("confidence"),
+            F.round(
+                F.col("n_ab") * F.col("n_baskets")
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q168 — inter-event gap distribution on a log scale (dwell-time
+# telemetry: how long between consecutive user actions): lag window on
+# the (user) shuffle, log10 seconds bucketed with width_bucket. The
+# histogram of a DERIVED windowed quantity — composition q104 (plain
+# histogram) can't express in one pass.
+# ---------------------------------------------------------------------------
+@query("q168_gap_histogram")
+def q168_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = (
+        F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    ) / F.lit(1000000.0)
+    return (
+        events.select(gap_s.alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+        .select(
+            F.width_bucket(
+                F.log10(F.greatest(F.col("gap_s"), F.lit(1.0))),
+                F.lit(0.0),
+                F.lit(7.0),
+                F.lit(14),
+            ).cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q169 — referential-integrity audit (warehouse data-quality gate):
+# orphan counts across every FK edge of the star schema, one row per
+# edge, via left-anti joins unioned. Anti joins ship only the FK
+# column; the tiny result unions driver-free.
+# ---------------------------------------------------------------------------
+@query("q169_orphan_audit")
+def q169_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, key, parent, pkey):
+        return (
+            child.join(parent, child[key] == parent[pkey], "left_anti")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(F.lit(name).alias("fk_edge"), "n_orphans")
+        )
+
+    audits = [
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", sup, "s_suppkey"),
+        edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        edge("supplier.s_nationkey->nation", sup, "s_nationkey", nation, "n_nationkey"),
+    ]
+    out = audits[0]
+    for a in audits[1:]:
+        out = out.unionByName(a)
+    return out.orderBy("fk_edge")
+
+
+# ---------------------------------------------------------------------------
+# Q170 — maximum drawdown (the risk metric: largest peak-to-trough drop
+# of a cumulative series): per user, running sum of signed value,
+# running max of that, drawdown = running_max - running_sum, answer =
+# max drawdown. Three windows on ONE (user) partitioning — a single
+# Exchange feeds the whole chain.
+# ---------------------------------------------------------------------------
+@query("q170_max_drawdown")
+def q170_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 17 == 0
+    )
+    signed = F.when(
+        F.col("event_type").isin("purchase", "signup"), F.col("value")
+    ).otherwise(-F.col("value"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = (
+        events.withColumn("cum", F.sum(signed).over(run))
+        .withColumn("peak", F.max("cum").over(run))
+        .withColumn("dd", F.col("peak") - F.col("cum"))
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            _r2(F.max("dd")).alias("max_drawdown"),
+            _r2(F.max("peak")).alias("max_peak"),
+            _r2(F.sum(signed)).alias("final_position"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
     )
