@@ -2786,3 +2786,89 @@ FROM dd
 GROUP BY user_id
 ORDER BY user_id
 """
+
+ORACLE_SQL["q171_python_udtf"] = """
+SELECT o_orderkey,
+       cast(g.k AS BIGINT) AS offset_years,
+       cast(year(o_orderdate) + g.k AS BIGINT) AS milestone_year
+FROM orders,
+     LATERAL (SELECT unnest(generate_series(1, 3)) AS k) g
+WHERE o_orderkey % 1000 = 0
+ORDER BY o_orderkey, offset_years
+"""
+
+ORACLE_SQL["q172_grouped_map_norm"] = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events
+  WHERE user_id % 29 = 0
+  GROUP BY event_type
+)
+SELECT e.event_type, e.event_id,
+       round((e.value - s.mu) / s.sd, 4) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE e.user_id % 29 = 0 AND e.event_id % 10 = 0
+ORDER BY e.event_type, e.event_id
+"""
+
+ORACLE_SQL["q173_quartile_bands"] = """
+WITH bounds AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS p25,
+         quantile_cont(l_extendedprice, 0.50) AS p50,
+         quantile_cont(l_extendedprice, 0.75) AS p75
+  FROM lineitem
+)
+SELECT CASE WHEN l_extendedprice <= p25 THEN 'Q1'
+            WHEN l_extendedprice <= p50 THEN 'Q2'
+            WHEN l_extendedprice <= p75 THEN 'Q3'
+            ELSE 'Q4' END AS band,
+       cast(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice), 2) AS band_value,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem, bounds
+GROUP BY 1
+ORDER BY band
+"""
+
+ORACLE_SQL["q174_ignore_nulls_nav"] = """
+SELECT user_id,
+       epoch_us(ts) AS ts_us,
+       event_id,
+       round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                        IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS last_purchase,
+       round(first_value(CASE WHEN event_type = 'purchase' THEN value END
+                         IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2)
+         AS first_purchase_ever
+FROM events
+WHERE user_id % 31 = 0
+QUALIFY event_id % 5 = 0
+ORDER BY user_id, ts_us, event_id
+"""
+
+ORACLE_SQL["q175_reset_running_sum"] = """
+WITH staged AS (
+  SELECT user_id, ts, event_id, value,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+  FROM events
+  WHERE user_id % 19 = 0
+)
+SELECT user_id,
+       epoch_us(ts) AS ts_us,
+       event_id,
+       cast(seg AS BIGINT) AS seg,
+       round(sum(value) OVER (
+         PARTITION BY user_id, seg ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS spend_since_signup
+FROM staged
+QUALIFY event_id % 7 = 0
+ORDER BY user_id, ts_us, event_id
+"""

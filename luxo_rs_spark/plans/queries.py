@@ -5000,3 +5000,177 @@ def q170_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q171 — Python UDTF (SURVEY §2.2-J, the Spark ≥3.5 table-function API):
+# a real @udtf class expanding each order row into per-year anniversary
+# rows via LATERAL join — the "generate rows in Python" escape hatch.
+# The expansion itself is deterministic arithmetic, so the oracle
+# reproduces it with a generate_series lateral. Arrow-batched; keep the
+# Python path for ROW GENERATION only, never row-at-a-time filtering.
+# ---------------------------------------------------------------------------
+@query("q171_python_udtf")
+def q171_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="offset_years: int, milestone_year: int")
+    class Anniversaries:
+        def eval(self, order_year: int, n: int):
+            for k in range(1, n + 1):
+                yield k, order_year + k
+
+    spark.udtf.register("anniversaries", Anniversaries)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 1000 == 0).select(
+        F.col("o_orderkey"), F.year("o_orderdate").alias("oy")
+    ).createOrReplaceTempView("udtf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               cast(offset_years AS BIGINT) AS offset_years,
+               cast(milestone_year AS BIGINT) AS milestone_year
+        FROM udtf_orders,
+             LATERAL anniversaries(oy, 3)
+        ORDER BY o_orderkey, offset_years
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q172 — applyInPandas grouped-map (SURVEY §2.2-J): per-group
+# normalization where the WHOLE group must be visible at once (subtract
+# group mean, divide by group std) — the grouped-map contract that a
+# plain window could also express, chosen here to pin the Arrow
+# grouped-map path with an oracle. Output thinned per group to bound
+# the compare.
+# ---------------------------------------------------------------------------
+@query("q172_grouped_map_norm")
+def q172_grouped_map_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd  # noqa: PLC0415
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 29 == 0
+    )
+
+    def norm(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        out = pdf[["event_type", "event_id"]].copy()
+        out["z"] = ((pdf["value"] - mu) / sd).round(4)
+        return out
+
+    return (
+        events.groupBy("event_type")
+        .applyInPandas(norm, "event_type string, event_id long, z double")
+        .filter(F.col("event_id") % 10 == 0)
+        .orderBy("event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q173 — percentile-band join (the SCALABLE alternative to ntile for
+# billion-row segmentation, per SCALING.md: global quartile bounds from
+# one agg, broadcast back, each row labeled by comparison — fully
+# parallel, no single-partition window anywhere). Per-band stats out.
+# ---------------------------------------------------------------------------
+@query("q173_quartile_bands")
+def q173_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+    )
+    band = (
+        F.when(F.col("l_extendedprice") <= F.col("p25"), "Q1")
+        .when(F.col("l_extendedprice") <= F.col("p50"), "Q2")
+        .when(F.col("l_extendedprice") <= F.col("p75"), "Q3")
+        .otherwise("Q4")
+    )
+    return (
+        li.join(F.broadcast(bounds))
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _r2(F.sum("l_extendedprice")).alias("band_value"),
+            _r2(F.min("l_extendedprice")).alias("min_price"),
+            _r2(F.max("l_extendedprice")).alias("max_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q174 — IGNORE NULLS window navigation (first/last/lag over a SPARSE
+# column): only purchases carry a price; every event row asks "the last
+# purchase price seen so far" — LOCF on a derived-sparse column, the
+# ignore-nulls contract q103 uses on a dense spine. Output thinned.
+# ---------------------------------------------------------------------------
+@query("q174_ignore_nulls_nav")
+def q174_ignore_nulls_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 31 == 0
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        events.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.round(F.last(sparse, ignorenulls=True).over(w), 2).alias(
+                "last_purchase"
+            ),
+            F.round(F.first(sparse, ignorenulls=True).over(wf), 2).alias(
+                "first_purchase_ever"
+            ),
+        )
+        .filter(F.col("event_id") % 5 == 0)
+        .orderBy("user_id", "ts_us", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q175 — running sum with conditional reset (the "counter reset"
+# pattern: cumulative spend since the user's latest signup): segment id
+# = running count of reset events, then a running sum within (user,
+# segment) — two windows, ONE (user) exchange, no joins. The islands
+# trick generalized to stateful-reset semantics.
+# ---------------------------------------------------------------------------
+@query("q175_reset_running_sum")
+def q175_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 19 == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seg = F.sum(
+        F.when(F.col("event_type") == "signup", 1).otherwise(0)
+    ).over(run)
+    staged = events.withColumn("seg", seg)
+    seg_w = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        staged.select(
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_id",
+            F.col("seg").cast("bigint").alias("seg"),
+            _r2(F.sum("value").over(seg_w)).alias("spend_since_signup"),
+        )
+        .filter(F.col("event_id") % 7 == 0)
+        .orderBy("user_id", "ts_us", "event_id")
+    )
