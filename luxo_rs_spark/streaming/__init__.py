@@ -9,6 +9,7 @@ from luxo_rs_spark.streaming.stateful import dedup_stream, running_user_totals
 from luxo_rs_spark.streaming.joins import (
     click_view_attribution,
     interval_join_streams,
+    stream_static_enrich,
 )
 
 __all__ = [
@@ -21,4 +22,5 @@ __all__ = [
     "running_user_totals",
     "click_view_attribution",
     "interval_join_streams",
+    "stream_static_enrich",
 ]

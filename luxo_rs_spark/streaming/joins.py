@@ -73,3 +73,22 @@ def click_view_attribution(
         "user_id",
         (F.unix_micros("l_ts") - F.unix_micros("r_ts")).alias("gap_us"),
     )
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    static: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join (SURVEY.md §2.2-I): enrich a live stream with
+    a batch dimension table.
+
+    The static side is re-read per micro-batch by Structured Streaming
+    (no watermark needed — static rows never expire) and Spark plans it
+    as a broadcast hash join when the dim is small, so the stream side
+    never shuffles. This is the streaming analogue of the batch
+    dim-broadcast pattern (q02): at 100 TB/day of stream, the only
+    state is the in-flight micro-batch.
+    """
+    return stream.join(F.broadcast(static), on, how)

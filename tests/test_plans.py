@@ -240,3 +240,48 @@ def test_q126_semi_join_with_theta_residual(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q107_editdistance_joins_on_brand_hash_key(spark):
+    """The blocked edit-distance self-join must hash/merge on the brand
+    equi key (length prefilter + levenshtein as residuals), never fall
+    to a nested loop over all part pairs."""
+    plan = plan_of(spark, "q107_editdistance_neardup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q144_salted_agg_is_two_stage(spark):
+    """Salted heavy-hitter agg: stage 1 on (key, salt), stage 2 on key —
+    four HashAggregate nodes (partial+final per stage), zero joins."""
+    plan = plan_of(spark, "q144_salted_heavy_hitters")
+    assert plan.count("HashAggregate") >= 4
+    assert "Join" not in plan
+
+
+def test_q167_basket_lift_broadcasts_counts(spark):
+    """Market-basket: the per-part counts and the 1-row basket total
+    must broadcast onto the pair counts — the only shuffled join is the
+    items self-join on the basket key."""
+    plan = plan_of(spark, "q167_market_basket")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q173_bands_broadcast_single_fact_shuffle(spark):
+    """Percentile-band segmentation: the bounds row joins the fact scan
+    via broadcast (nested-loop on ONE build row is fine); the fact table
+    itself must not be exchanged before the band groupBy's own shuffle."""
+    plan = plan_of(spark, "q173_quartile_bands")
+    assert "Broadcast" in plan
+    # the only Exchange on the fact path feeds the final band agg
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q152_percent_of_total_reuses_agg_partitioning(spark):
+    """Ratio-to-report: the window over (r_name) must run on the agg
+    output (|nations| rows) — the plan has exactly one fact aggregation
+    and a Window above it, not a second fact scan."""
+    plan = plan_of(spark, "q152_percent_of_total")
+    assert "Window" in plan
+    assert plan.count("Scan parquet") <= 4  # li + 3 dims, no re-scan

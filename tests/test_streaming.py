@@ -206,3 +206,24 @@ def test_stream_stream_interval_join(spark, stream_dir):
     cols = ["click_id", "view_id", "user_id", "gap_us"]
     assert len(got) > 0
     assert canon(got, cols).equals(canon(want, cols))
+
+
+def test_stream_static_join_equals_batch(spark, stream_dir):
+    from luxo_rs_spark.streaming.joins import stream_static_enrich
+
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(
+        read_event_stream(spark, stream_dir), cust, on="user_id"
+    ).groupBy("c_mktsegment").count()
+    got = run_stream(spark, enriched, "ss_join_t", "complete")
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .join(cust, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .count()
+        .toPandas()
+    )
+    cols = ["c_mktsegment", "count"]
+    assert canon(got, cols).equals(canon(want, cols))
