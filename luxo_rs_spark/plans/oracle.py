@@ -2872,3 +2872,76 @@ FROM staged
 QUALIFY event_id % 7 = 0
 ORDER BY user_id, ts_us, event_id
 """
+
+ORACLE_SQL["q176_orc_roundtrip"] = """
+SELECT cast(year(o_orderdate) AS BIGINT) AS o_year,
+       cast(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderstatus = 'F'
+GROUP BY 1
+ORDER BY o_year
+"""
+
+ORACLE_SQL["q177_schema_evolution"] = """
+WITH merged AS (
+  SELECT o_orderkey, o_totalprice, NULL AS priority
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT coalesce(priority, '<pre-evolution>') AS priority,
+       cast(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS total
+FROM merged
+GROUP BY 1
+ORDER BY priority
+"""
+
+ORACLE_SQL["q178_snapshot_diff"] = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS price
+  FROM orders WHERE o_orderkey % 10 < 8
+),
+new AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS price
+  FROM orders WHERE o_orderkey % 10 > 1
+)
+SELECT CASE WHEN o.price IS NULL THEN 'added'
+            WHEN n.price IS NULL THEN 'removed'
+            WHEN o.price <> n.price THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       cast(count(*) AS BIGINT) AS n_keys
+FROM old o FULL JOIN new n USING (o_orderkey)
+GROUP BY 1
+ORDER BY status
+"""
+
+ORACLE_SQL["q179_heatmap_2d"] = """
+SELECT cast(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+       cast(floor(l_discount * 20) AS BIGINT) AS disc_bucket,
+       cast(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY qty_bucket, disc_bucket
+"""
+
+ORACLE_SQL["q180_percentile_disc"] = """
+WITH staged AS (
+  SELECT c_mktsegment, o_totalprice,
+         cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice)
+           AS cd
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       round(min(CASE WHEN cd >= 0.5 THEN o_totalprice END), 2) AS p50_disc,
+       round(min(CASE WHEN cd >= 0.9 THEN o_totalprice END), 2) AS p90_disc,
+       cast(count(*) AS BIGINT) AS n
+FROM staged
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""

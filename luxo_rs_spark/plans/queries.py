@@ -5174,3 +5174,170 @@ def q175_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") % 7 == 0)
         .orderBy("user_id", "ts_us", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q176 — ORC sink/scan round-trip (§2.2-A second columnar format
+# beside parquet: same predicate pushdown + column pruning machinery,
+# different at-rest encoding). Write a filtered projection to ORC with
+# zstd, read it back, aggregate — the oracle computes the same agg off
+# the parquet source, proving the round-trip is lossless.
+# ---------------------------------------------------------------------------
+@query("q176_orc_roundtrip")
+def q176_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = f"/root/repo/.tmp/luxo_orc_{abs(hash(sf_dir)) % 10**8}"
+    (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .orc(path)
+    )
+    back = spark.read.orc(path)
+    return (
+        back.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            _r2(F.sum("o_totalprice")).alias("total"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q177 — schema evolution on read (mergeSchema): two parquet batches
+# with DIFFERENT schemas (v2 adds a column) land in one directory; the
+# merged read surfaces the union schema with NULLs for the missing
+# column — the "new field rolled out mid-stream" ingest reality. At
+# 100 TB, mergeSchema costs a footer read per file; production pins the
+# evolved schema explicitly instead (read with .schema(...)).
+# ---------------------------------------------------------------------------
+@query("q177_schema_evolution")
+def q177_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = f"/root/repo/.tmp/luxo_evo_{abs(hash(sf_dir)) % 10**8}"
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("priority"),
+    )
+    v1.write.mode("overwrite").parquet(f"{base}/b=1")
+    v2.write.mode("overwrite").parquet(f"{base}/b=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/b=1", f"{base}/b=2"
+    )
+    return (
+        merged.groupBy(
+            F.coalesce(F.col("priority"), F.lit("<pre-evolution>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _r2(F.sum("o_totalprice")).alias("total"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q178 — snapshot reconciliation (the nightly "what changed" audit
+# between two table versions): full outer join on the key comparing
+# row fingerprints; every key classified added / removed / changed /
+# unchanged. Fingerprints (xxhash64 of the value tuple) keep the
+# shuffle narrow — the wide columns never cross the wire. Snapshots
+# here are two deterministic filters of orders standing in for t and
+# t+1 versions.
+# ---------------------------------------------------------------------------
+@query("q178_snapshot_diff")
+def q178_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # v_old: orders before the cutover; v_new: same keys minus a
+    # deleted slice, plus a mutated price on a stripe, plus new keys
+    old = orders.filter(F.col("o_orderkey") % 10 < 8).select(
+        "o_orderkey", F.col("o_totalprice").alias("price")
+    )
+    new = orders.filter(F.col("o_orderkey") % 10 > 1).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("price"),
+    )
+    o = old.select("o_orderkey", F.xxhash64("price").alias("h_old"))
+    n = new.select("o_orderkey", F.xxhash64("price").alias("h_new"))
+    cls = (
+        F.when(F.col("h_old").isNull(), "added")
+        .when(F.col("h_new").isNull(), "removed")
+        .when(F.col("h_old") != F.col("h_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, "o_orderkey", "full")
+        .select(cls.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q179 — 2D histogram grid (quantity-bucket × discount-bucket revenue
+# heatmap): both bin keys computed in the scan stage, ONE groupBy on
+# the composite bin — the standard OLAP heatmap feeding a UI. Bins are
+# integer arithmetic (no float-edge ambiguity across engines).
+# ---------------------------------------------------------------------------
+@query("q179_heatmap_2d")
+def q179_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_b = F.floor(F.col("l_quantity") / 10).cast("bigint")
+    disc_b = F.floor(F.col("l_discount") * 20).cast("bigint")  # 0.05 steps
+    return (
+        li.groupBy(qty_b.alias("qty_bucket"), disc_b.alias("disc_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("qty_bucket", "disc_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q180 — discrete percentile (percentile_disc semantics: the smallest
+# ACTUAL value whose cumulative share reaches p — no interpolation,
+# returns a member of the set). Built portably from cume_dist + a min
+# over qualifying rows, per mktsegment. Complements q19's continuous
+# (interpolated) percentiles.
+# ---------------------------------------------------------------------------
+@query("q180_percentile_disc")
+def q180_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("o_totalprice")
+    staged = j.select(
+        "c_mktsegment",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        staged.groupBy("c_mktsegment")
+        .agg(
+            _r2(
+                F.min(F.when(F.col("cd") >= 0.5, F.col("o_totalprice")))
+            ).alias("p50_disc"),
+            _r2(
+                F.min(F.when(F.col("cd") >= 0.9, F.col("o_totalprice")))
+            ).alias("p90_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
