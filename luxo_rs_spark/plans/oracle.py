@@ -2945,3 +2945,108 @@ FROM staged
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
 """
+
+ORACLE_SQL["q181_interval_attribution"] = """
+WITH epochs AS (
+  SELECT o_custkey AS user_id, o_orderkey,
+         o_orderdate AS valid_from,
+         coalesce(lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           TIMESTAMP '2100-01-01') AS valid_to
+  FROM orders
+)
+SELECT o_orderkey,
+       cast(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS epoch_value
+FROM events e
+JOIN epochs p ON e.user_id = p.user_id
+             AND e.ts >= p.valid_from AND e.ts < p.valid_to
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+"""
+
+ORACLE_SQL["q182_weighted_sample"] = """
+WITH mx AS (SELECT cast(max(n_chars) AS DOUBLE) AS max_chars FROM documents),
+kept AS (
+  SELECT source, n_chars
+  FROM documents, mx
+  WHERE cast((doc_id * 2654435761) % 1000000007 AS DOUBLE) / 1000000007.0
+        < n_chars / max_chars
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_kept,
+       round(avg(n_chars), 2) AS avg_len_kept
+FROM kept
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLE_SQL["q183_rollup_share"] = """
+WITH base AS (
+  SELECT r_name, n_name,
+         l_extendedprice * (1 - l_discount) AS amt
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+),
+nations AS (
+  SELECT r_name, n_name, sum(amt) AS nation_rev FROM base GROUP BY 1, 2
+),
+regions AS (
+  SELECT r_name, sum(amt) AS region_rev FROM base GROUP BY 1
+),
+total AS (SELECT sum(amt) AS total_rev FROM base)
+SELECT n.r_name, n.n_name,
+       round(nation_rev, 2) AS nation_rev,
+       round(nation_rev / region_rev * 100, 2) AS pct_of_region,
+       round(region_rev / total_rev * 100, 2) AS region_pct_of_total
+FROM nations n
+JOIN regions r ON n.r_name = r.r_name
+CROSS JOIN total
+ORDER BY n.r_name, n.n_name
+"""
+
+ORACLE_SQL["q184_revenue_anomalies"] = """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+),
+flagged AS (
+  SELECT day, rev,
+         avg(rev) OVER w AS base_mu,
+         stddev_samp(rev) OVER w AS base_sd
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(rev, 2) AS rev,
+       round(base_mu, 2) AS baseline,
+       round((rev - base_mu) / base_sd, 2) AS sigmas
+FROM flagged
+WHERE base_sd IS NOT NULL AND abs(rev - base_mu) > 3 * base_sd
+ORDER BY day
+"""
+
+ORACLE_SQL["q185_time_to_convert"] = """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+           AS first_view_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+           AS first_buy_us
+  FROM events GROUP BY user_id
+),
+gaps AS (
+  SELECT (first_buy_us - first_view_us) / 3600000000.0 AS hours
+  FROM per_user
+  WHERE first_view_us IS NOT NULL AND first_buy_us IS NOT NULL
+    AND first_buy_us > first_view_us
+)
+SELECT cast(count(*) AS BIGINT) AS n_converters,
+       round(quantile_cont(hours, 0.5), 4) AS median_hours,
+       round(quantile_cont(hours, 0.9), 4) AS p90_hours,
+       round(avg(hours), 2) AS mean_hours
+FROM gaps
+"""

@@ -5341,3 +5341,184 @@ def q180_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q181 — temporal interval attribution (fact-to-SCD join): each order
+# defines a validity epoch [orderdate, next orderdate) per customer
+# (lead window); events land in the epoch containing their timestamp —
+# a point-in-interval range join. The interval table is pre-collapsed
+# to |orders| rows; the range join keeps the user equi-key as the hash
+# key with the containment predicate as residual (never a cartesian).
+# ---------------------------------------------------------------------------
+@query("q181_interval_attribution")
+def q181_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    epochs = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("2100-01-01").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    hits = events.join(
+        epochs,
+        (events.user_id == epochs.user_id)
+        & (events.ts >= epochs.valid_from)
+        & (events.ts < epochs.valid_to),
+    )
+    return (
+        hits.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            _r2(F.sum("value")).alias("epoch_value"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q182 — deterministic weighted Bernoulli sample (longer docs kept with
+# proportionally higher probability — length-weighted corpus sampling
+# without an RNG): u = multiplicative-hash(doc_id) mapped to [0,1),
+# keep iff u < n_chars / max_chars. Rerun-stable, skew-free, pure map
+# (the max is a 1-row broadcast).
+# ---------------------------------------------------------------------------
+@query("q182_weighted_sample")
+def q182_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").cast("double").alias("max_chars"))
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)).cast(
+        "double"
+    ) / F.lit(1000000007.0)
+    kept = (
+        docs.join(F.broadcast(mx))
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("n_chars") / F.col("max_chars"))
+    )
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            _r2(F.avg("n_chars")).alias("avg_len_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q183 — share-of-parent in a ROLLUP hierarchy (each nation's share of
+# its region, each region's share of the grand total — on the SAME
+# rollup relation, navigated by grouping_id): one expand-aggregate,
+# then the parent levels broadcast back by key. The OLAP drill-down
+# contract: totals and shares must come from one consistent pass.
+# ---------------------------------------------------------------------------
+@query("q183_rollup_share")
+def q183_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    rolled = base.rollup("r_name", "n_name").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.grouping_id().alias("gid"),
+    )
+    nations = rolled.filter(F.col("gid") == 0).select(
+        "r_name", "n_name", F.col("rev").alias("nation_rev")
+    )
+    regions = rolled.filter(F.col("gid") == 1).select(
+        F.col("r_name").alias("rr"), F.col("rev").alias("region_rev")
+    )
+    total = rolled.filter(F.col("gid") == 3).select(
+        F.col("rev").alias("total_rev")
+    )
+    return (
+        nations.join(F.broadcast(regions), nations.r_name == F.col("rr"))
+        .join(F.broadcast(total))
+        .select(
+            "r_name",
+            "n_name",
+            _r2(F.col("nation_rev")).alias("nation_rev"),
+            F.round(F.col("nation_rev") / F.col("region_rev") * 100, 2).alias(
+                "pct_of_region"
+            ),
+            F.round(F.col("region_rev") / F.col("total_rev") * 100, 2).alias(
+                "region_pct_of_total"
+            ),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q184 — rolling-baseline anomaly flags (CUSUM-lite change detection on
+# the daily revenue series): daily agg, 7-day trailing mean/std via
+# ROWS frames (excluding the current day), flag days > 3σ off
+# baseline. Agg-then-window: the windowed relation is |days| rows.
+# ---------------------------------------------------------------------------
+@query("q184_revenue_anomalies")
+def q184_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("day")
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    flagged = (
+        daily.withColumn("base_mu", F.avg("rev").over(w))
+        .withColumn("base_sd", F.stddev_samp("rev").over(w))
+        .filter(
+            F.col("base_sd").isNotNull()
+            & (F.abs(F.col("rev") - F.col("base_mu")) > 3 * F.col("base_sd"))
+        )
+    )
+    return flagged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        _r2(F.col("rev")).alias("rev"),
+        _r2(F.col("base_mu")).alias("baseline"),
+        _r2((F.col("rev") - F.col("base_mu")) / F.col("base_sd")).alias("sigmas"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Q185 — time-to-convert funnel (median hours from a user's FIRST view
+# to their FIRST purchase): two conditional min aggs in ONE pass over
+# events, then percentile over the per-user gaps. The
+# min(CASE)-per-entity + distribution-over-entities shape is the
+# standard product-analytics latency funnel.
+# ---------------------------------------------------------------------------
+@query("q185_time_to_convert")
+def q185_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.unix_micros("ts"))
+        ).alias("first_view_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("first_buy_us"),
+    )
+    gaps = per_user.filter(
+        F.col("first_view_us").isNotNull()
+        & F.col("first_buy_us").isNotNull()
+        & (F.col("first_buy_us") > F.col("first_view_us"))
+    ).select(
+        (
+            (F.col("first_buy_us") - F.col("first_view_us"))
+            / F.lit(3600000000.0)
+        ).alias("hours")
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.round(F.expr("percentile(hours, 0.5)"), 4).alias("median_hours"),
+        F.round(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
+        _r2(F.avg("hours")).alias("mean_hours"),
+    )
