@@ -3050,3 +3050,74 @@ SELECT cast(count(*) AS BIGINT) AS n_converters,
        round(avg(hours), 2) AS mean_hours
 FROM gaps
 """
+
+ORACLE_SQL["q186_map_lambdas"] = """
+WITH mult(mk, mult) AS (VALUES ('key2', 2), ('key3', 3), ('key10', 10))
+SELECT cast(n_nationkey AS BIGINT) AS k,
+       mk,
+       cast(n_nationkey * mult * 2 AS BIGINT) AS doubled_v,
+       cast((CASE WHEN n_nationkey * 2 >= 30 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_nationkey * 3 >= 30 THEN 1 ELSE 0 END)
+          + (CASE WHEN n_nationkey * 10 >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_big
+FROM nation CROSS JOIN mult
+ORDER BY k, mk
+"""
+
+ORACLE_SQL["q187_zip_inline"] = """
+WITH toks AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS arr
+  FROM documents WHERE doc_id < 60
+)
+SELECT doc_id,
+       cast(s.i - 1 AS BIGINT) AS pos,
+       arr[s.i] AS tok,
+       cast(length(arr[s.i]) AS BIGINT) AS tok_len
+FROM toks,
+     LATERAL (SELECT unnest(generate_series(1, length(arr))) AS i) s
+ORDER BY doc_id, pos
+"""
+
+ORACLE_SQL["q188_try_ops"] = """
+SELECT cast(l_orderkey AS BIGINT) AS l_orderkey,
+       cast(l_linenumber AS BIGINT) AS l_linenumber,
+       CASE WHEN l_quantity - l_quantity = 0 THEN NULL
+            ELSE l_extendedprice / (l_quantity - l_quantity) END AS div0,
+       floor(l_extendedprice / l_quantity * 100) / 100 AS unit_price,
+       try_cast(l_returnflag AS DOUBLE) AS flag_num,
+       try_cast(concat(l_returnflag, cast(l_quantity AS VARCHAR)) AS DOUBLE)
+         AS messy_num,
+       round(try_cast(cast(l_quantity AS VARCHAR) AS DOUBLE), 2) AS good_num
+FROM lineitem
+WHERE l_orderkey <= 2000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+ORACLE_SQL["q189_encoding_battery"] = """
+SELECT cast(p_partkey AS BIGINT) AS p_partkey,
+       base64(encode(p_name)) AS b64,
+       sha256(p_name) AS sha256_hex,
+       cast(octet_length(encode(p_name)) AS BIGINT) AS n_bytes,
+       decode(from_base64(base64(encode(p_name)))) = p_name AS roundtrip_ok,
+       substring(hex(encode(p_name)), 1, 16) AS hex16
+FROM part
+WHERE p_partkey <= 150
+ORDER BY p_partkey
+"""
+
+ORACLE_SQL["q190_regex_battery2"] = """
+SELECT doc_id,
+       cast(length(regexp_extract_all(text, '[aeiou]{2}')) AS BIGINT)
+         AS double_vowels,
+       cast(CASE WHEN m = '' THEN 0 ELSE strpos(text, m) END AS BIGINT)
+         AS first_kw_pos,
+       substring(regexp_replace(text, '^(\\w+) (\\w+)', '\\2 \\1'), 1, 30)
+         AS swapped_head
+FROM (
+  SELECT doc_id, text,
+         regexp_extract(text, 'data|table|query', 0) AS m
+  FROM documents
+  WHERE doc_id < 80
+)
+ORDER BY doc_id
+"""

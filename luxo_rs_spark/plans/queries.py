@@ -5522,3 +5522,168 @@ def q185_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(hours, 0.9)"), 4).alias("p90_hours"),
         _r2(F.avg("hours")).alias("mean_hours"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q186 — higher-order MAP lambdas (§2.2-H map battery 2):
+# transform_values / map_filter / map_zip_with over a map built from
+# the row — the map-typed counterparts of q54's array lambdas. Output
+# flattened to sorted entries for engine-portable comparison.
+# ---------------------------------------------------------------------------
+@query("q186_map_lambdas")
+def q186_map_lambdas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    base = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        F.create_map(
+            F.lit("key2"), F.col("n_nationkey") * 2,
+            F.lit("key3"), F.col("n_nationkey") * 3,
+            F.lit("key10"), F.col("n_nationkey") * 10,
+        ).alias("m"),
+    )
+    doubled = F.transform_values("m", lambda _, v: v * 2)
+    big_only = F.map_filter("m", lambda _, v: v >= 30)
+    return (
+        base.select(
+            "k",
+            F.explode(doubled).alias("mk", "doubled_v"),
+        )
+        .join(
+            base.select(
+                "k", F.size(big_only).cast("bigint").alias("n_big")
+            ),
+            "k",
+        )
+        .select(
+            "k",
+            "mk",
+            F.col("doubled_v").cast("bigint").alias("doubled_v"),
+            "n_big",
+        )
+        .orderBy("k", "mk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q187 — arrays_zip + inline (array-of-struct explode to columns): zip
+# two parallel derived arrays positionally and flatten each pair to a
+# row — the "columns from parallel arrays" reshape (§2.2-H). All
+# narrow ops in the scan stage.
+# ---------------------------------------------------------------------------
+@query("q187_zip_inline")
+def q187_zip_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = F.slice(F.split("text", " "), 1, 5)
+    lens = F.transform(toks, lambda t: F.length(t))
+    zipped = F.arrays_zip(toks.alias("tok"), lens.alias("len"))
+    return (
+        docs.select("doc_id", F.posexplode(zipped).alias("pos", "entry"))
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("entry.tok").alias("tok"),
+            F.col("entry.len").cast("bigint").alias("tok_len"),
+        )
+        .orderBy("doc_id", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q188 — error-safe arithmetic & casts (try_divide / try_cast /
+# nan-handling): division by a zero-able denominator and casts of
+# malformed strings must yield NULL, not runtime errors — the ANSI-safe
+# ingestion contract (§1.2 cast battery's failure half).
+# ---------------------------------------------------------------------------
+@query("q188_try_ops")
+def q188_try_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") <= 2000
+    )
+    qty0 = F.col("l_quantity") - F.col("l_quantity")  # always 0
+    messy = F.concat(
+        F.col("l_returnflag"), F.col("l_quantity").cast("string")
+    )  # e.g. 'A17.0' — never a valid number
+    return (
+        li.select(
+            F.col("l_orderkey").cast("bigint").alias("l_orderkey"),
+            F.col("l_linenumber").cast("bigint").alias("l_linenumber"),
+            F.try_divide(F.col("l_extendedprice"), qty0).alias("div0"),
+            F.try_divide(
+                F.col("l_extendedprice"), F.col("l_quantity")
+            ).alias("unit_price_raw"),
+            F.expr("try_cast(l_returnflag AS DOUBLE)").alias("flag_num"),
+            F.expr(f"try_cast(concat(l_returnflag, cast(l_quantity AS STRING)) AS DOUBLE)").alias("messy_num"),
+            F.expr("try_cast(cast(l_quantity AS STRING) AS DOUBLE)").alias(
+                "good_num"
+            ),
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "div0",
+            # floor-truncate, not round: IEEE division of identical
+            # doubles is bit-identical cross-engine, and floor has no
+            # half-boundary ambiguity (round() can flip at .xx5)
+            (F.floor(F.col("unit_price_raw") * 100) / 100).alias("unit_price"),
+            "flag_num",
+            "messy_num",
+            _r2(F.col("good_num")).alias("good_num"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q189 — binary encodings battery (base64 / unbase64 round-trip, hex,
+# utf-8 encode/decode — §2.2-H BINARY conversions beyond q76's
+# digests): every codec is a JVM intrinsic; the round-trip equality
+# column proves losslessness inside the query itself.
+# ---------------------------------------------------------------------------
+@query("q189_encoding_battery")
+def q189_encoding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 150)
+    b = F.encode(F.col("p_name"), "UTF-8")
+    return (
+        part.select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            F.base64(b).alias("b64"),
+            F.sha2(b, 256).alias("sha256_hex"),
+            F.length(b).cast("bigint").alias("n_bytes"),
+            (
+                F.decode(F.unbase64(F.base64(b)), "UTF-8") == F.col("p_name")
+            ).alias("roundtrip_ok"),
+            F.substring(F.hex(b), 1, 16).alias("hex16"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q190 — regex battery 2 (count / position / capture-group replace —
+# beyond q55's extract battery): regexp_count, regexp_instr, and a
+# backreference swap rewriting "word1 word2" -> "word2 word1". Both
+# engines compile to their native regex engines; the pattern subset
+# used is common to Java regex and RE2.
+# ---------------------------------------------------------------------------
+@query("q190_regex_battery2")
+def q190_regex_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    return (
+        docs.select(
+            "doc_id",
+            F.regexp_count(F.col("text"), F.lit("[aeiou]{2}"))
+            .cast("bigint")
+            .alias("double_vowels"),
+            F.regexp_instr(F.col("text"), F.lit("data|table|query"))
+            .cast("bigint")
+            .alias("first_kw_pos"),
+            F.substring(
+                F.regexp_replace(
+                    F.col("text"), "^(\\w+) (\\w+)", "$2 $1"
+                ),
+                1,
+                30,
+            ).alias("swapped_head"),
+        )
+        .orderBy("doc_id")
+    )
