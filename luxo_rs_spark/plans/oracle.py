@@ -3121,3 +3121,140 @@ FROM (
 )
 ORDER BY doc_id
 """
+
+ORACLE_SQL["q191_pagerank_transitions"] = """
+WITH trans AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM (
+    SELECT event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_type
+    FROM events
+  )
+  WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT prev_type, next_type,
+         n * 1.0 / sum(n) OVER (PARTITION BY prev_type) AS p
+  FROM trans
+),
+nodes AS (SELECT DISTINCT prev_type AS node FROM edges),
+nn AS (SELECT cast(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+c1 AS (
+  SELECT next_type AS node, sum(p * r) AS inflow
+  FROM edges JOIN r0 ON edges.prev_type = r0.node GROUP BY 1
+),
+r1 AS (
+  SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(inflow, 0.0) AS r
+  FROM nodes LEFT JOIN c1 ON nodes.node = c1.node CROSS JOIN nn
+),
+c2 AS (
+  SELECT next_type AS node, sum(p * r) AS inflow
+  FROM edges JOIN r1 ON edges.prev_type = r1.node GROUP BY 1
+),
+r2 AS (
+  SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(inflow, 0.0) AS r
+  FROM nodes LEFT JOIN c2 ON nodes.node = c2.node CROSS JOIN nn
+),
+c3 AS (
+  SELECT next_type AS node, sum(p * r) AS inflow
+  FROM edges JOIN r2 ON edges.prev_type = r2.node GROUP BY 1
+),
+r3 AS (
+  SELECT nodes.node, (1 - 0.85) / nn.n + 0.85 * coalesce(inflow, 0.0) AS r
+  FROM nodes LEFT JOIN c3 ON nodes.node = c3.node CROSS JOIN nn
+)
+SELECT node, round(r, 6) AS pagerank
+FROM r3
+ORDER BY pagerank DESC, node
+"""
+
+ORACLE_SQL["q192_linreg_trend"] = """
+WITH daily AS (
+  SELECT l_returnflag,
+         cast(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate) AS DOUBLE)
+           AS x,
+         sum(l_extendedprice * (1 - l_discount)) AS y
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT l_returnflag,
+       round(covar_pop(x, y) / var_pop(x), 4) AS slope,
+       round(avg(y) - covar_pop(x, y) / var_pop(x) * avg(x), 2) AS intercept,
+       round(pow(corr(x, y), 2), 6) AS r2,
+       cast(count(*) AS BIGINT) AS n_days
+FROM daily
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q193_leaderboard_churn"] = """
+WITH monthly AS (
+  SELECT date_trunc('month', l_shipdate) AS month, l_partkey AS pk,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1, 2
+),
+top AS (
+  SELECT month, pk
+  FROM (
+    SELECT month, pk,
+           row_number() OVER (PARTITION BY month ORDER BY rev DESC, pk) AS rnk
+    FROM monthly
+  )
+  WHERE rnk <= 10
+)
+SELECT strftime(t.month, '%Y-%m') AS month,
+       cast(count(*) AS BIGINT) AS n_new_entrants
+FROM top t
+LEFT JOIN top p ON p.month + INTERVAL 1 MONTH = t.month AND p.pk = t.pk
+WHERE p.pk IS NULL
+GROUP BY 1
+ORDER BY month
+"""
+
+ORACLE_SQL["q194_vector_stats"] = """
+WITH s1 AS (
+  SELECT vec_id,
+         cast(embedding AS DOUBLE[]) AS e,
+         cast(len(embedding) AS DOUBLE) AS n
+  FROM embeddings
+),
+s2 AS (
+  SELECT vec_id, e, n, list_sum(e) / n AS mean FROM s1
+)
+SELECT vec_id,
+       cast(n AS BIGINT) AS dim,
+       round(mean, 6) AS mean,
+       round(list_sum(list_transform(e, x -> (x - mean) * (x - mean))) / n, 6)
+         AS var_pop,
+       round(list_min(e), 6) AS vmin,
+       round(list_max(e), 6) AS vmax
+FROM s2
+ORDER BY vec_id
+LIMIT 200
+"""
+
+ORACLE_SQL["q195_linear_attribution"] = """
+WITH joined AS (
+  SELECT t.event_type AS channel, p.event_id AS pid, p.value
+  FROM events p
+  JOIN events t ON p.user_id = t.user_id
+               AND t.event_type IN ('click', 'view')
+               AND t.ts <= p.ts
+               AND t.ts > p.ts - INTERVAL 7 DAY
+  WHERE p.event_type = 'purchase'
+),
+credited AS (
+  SELECT channel,
+         value / count(*) OVER (PARTITION BY pid) AS credit
+  FROM joined
+)
+SELECT channel,
+       round(sum(credit), 2) AS credited_value,
+       cast(count(*) AS BIGINT) AS n_touch_credits
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""

@@ -5687,3 +5687,208 @@ def q190_regex_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q191 — PageRank over the event-transition graph (iterative algorithm
+# on DataFrames): nodes = event types (5), edges = q164's transition
+# probabilities, 3 damped power iterations expressed as join+agg per
+# step. Fixed iteration count => deterministic => fully oracle-checked
+# (the oracle unrolls the same 3 steps as CTEs). At scale each
+# iteration is one shuffle of the rank vector against the edge list —
+# the standard Pregel-free formulation; cache() the edge RDD-free
+# DataFrame between steps.
+# ---------------------------------------------------------------------------
+@query("q191_pagerank_transitions")
+def q191_pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        events.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    edges = trans.select(
+        "prev_type",
+        "next_type",
+        (F.col("n") / F.sum("n").over(tot)).alias("p"),
+    )
+    nodes = edges.select(F.col("prev_type").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    d = 0.85
+    rank = nodes.join(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(rank, edges.prev_type == rank.node)
+            .groupBy(F.col("next_type").alias("node"))
+            .agg(F.sum(F.col("p") * F.col("r")).alias("inflow"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .join(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (1 - d) / F.col("n")
+                    + F.lit(d) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return rank.select(
+        "node", F.round("r", 6).alias("pagerank")
+    ).orderBy(F.col("pagerank").desc(), "node")
+
+
+# ---------------------------------------------------------------------------
+# Q192 — per-group simple linear regression (OLS slope/intercept/R² of
+# daily revenue against day index, per returnflag): the regr_* family
+# built from covar_pop/var_pop/corr — one agg over the daily pre-agg.
+# The classic "trend per segment" analytics primitive.
+# ---------------------------------------------------------------------------
+@query("q192_linreg_trend")
+def q192_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        "l_returnflag",
+        F.datediff(F.col("l_shipdate"), F.lit("1995-01-01").cast("timestamp"))
+        .cast("double")
+        .alias("x"),
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"))
+    return (
+        daily.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.covar_pop("x", "y") / F.var_pop("x"), 4
+            ).alias("slope"),
+            F.round(
+                F.avg("y")
+                - F.covar_pop("x", "y") / F.var_pop("x") * F.avg("x"),
+                2,
+            ).alias("intercept"),
+            F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q193 — leaderboard churn (new entrants to each month's revenue
+# top-10): rank parts within month, anti-join each month's top set
+# against the previous month's — the "what's new in the top N" compare
+# that needs rank + self-anti-join on the RANKED relation (small), not
+# the fact.
+# ---------------------------------------------------------------------------
+@query("q193_leaderboard_churn")
+def q193_leaderboard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("month"),
+        F.col("l_partkey").alias("pk"),
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    w = Window.partitionBy("month").orderBy(F.col("rev").desc(), F.col("pk"))
+    top = monthly.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 10
+    )
+    prev = top.select(
+        F.add_months(F.col("month"), 1).alias("month"),
+        F.col("pk").alias("prev_pk"),
+    )
+    entrants = top.join(
+        prev,
+        (top.month == prev.month) & (top.pk == prev.prev_pk),
+        "left_anti",
+    )
+    return (
+        entrants.groupBy(F.date_format("month", "yyyy-MM").alias("month"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_entrants"))
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q194 — per-vector array statistics via HOF aggregate lambdas (mean /
+# variance / min / max of each embedding, no explode): the single-pass
+# fold pattern for array-typed columns — explode+groupBy would shuffle
+# |rows × dim|; the lambda folds in the scan stage, shuffling nothing.
+# ---------------------------------------------------------------------------
+@query("q194_vector_stats")
+def q194_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+        .withColumn("n", F.size("e").cast("double"))
+        .withColumn(
+            "mean",
+            F.aggregate("e", F.lit(0.0), lambda a, x: a + x) / F.col("n"),
+        )
+        .withColumn(
+            "var",
+            F.aggregate(
+                "e",
+                F.lit(0.0),
+                lambda a, x: a + (x - F.col("mean")) * (x - F.col("mean")),
+            )
+            / F.col("n"),
+        )
+    )
+    return (
+        staged.select(
+            "vec_id",
+            F.col("n").cast("bigint").alias("dim"),
+            F.round("mean", 6).alias("mean"),
+            F.round("var", 6).alias("var_pop"),
+            F.round(F.array_min("e"), 6).alias("vmin"),
+            F.round(F.array_max("e"), 6).alias("vmax"),
+        )
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q195 — linear multi-touch attribution (split each purchase's value
+# EQUALLY across all click/view touches in the 7-day lookback — the
+# fair-share complement of q145's last-touch): a windowed range join
+# (user equi-key + time-bound residual), per-purchase touch count, then
+# value/count credited per channel.
+# ---------------------------------------------------------------------------
+@query("q195_linear_attribution")
+def q195_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+        "value",
+    )
+    touches = events.filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("pu") == F.col("tu"))
+        & (F.col("tts") <= F.col("pts"))
+        & (F.col("tts") > F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    per_purchase = Window.partitionBy("pid")
+    credited = joined.select(
+        "channel",
+        (F.col("value") / F.count(F.lit(1)).over(per_purchase)).alias("credit"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            _r2(F.sum("credit")).alias("credited_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_touch_credits"),
+        )
+        .orderBy("channel")
+    )
