@@ -3258,3 +3258,113 @@ FROM credited
 GROUP BY channel
 ORDER BY channel
 """
+
+ORACLE_SQL["q196_skyline"] = """
+SELECT cast(a.p_partkey AS BIGINT) AS p_partkey,
+       round(a.p_retailprice, 2) AS price,
+       cast(a.p_size AS BIGINT) AS size
+FROM part a
+WHERE a.p_partkey <= 2000
+  AND NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_partkey <= 2000
+      AND b.p_retailprice <= a.p_retailprice
+      AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+  )
+ORDER BY p_partkey
+"""
+
+ORACLE_SQL["q197_seat_allocation"] = """
+WITH rev AS (
+  SELECT r_name, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name
+),
+staged AS (
+  SELECT r_name,
+         rev / sum(rev) OVER () * 100 AS quota,
+         cast(floor(rev / sum(rev) OVER () * 100) AS BIGINT) AS floor_seats,
+         rev / sum(rev) OVER () * 100
+           - floor(rev / sum(rev) OVER () * 100) AS frac
+  FROM rev
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (ORDER BY frac DESC, r_name) AS extra_rank,
+         100 - sum(floor_seats) OVER () AS short
+  FROM staged
+)
+SELECT r_name,
+       round(quota, 4) AS exact_quota,
+       cast(floor_seats + CASE WHEN extra_rank <= short THEN 1 ELSE 0 END
+            AS BIGINT) AS seats
+FROM ranked
+ORDER BY r_name
+"""
+
+ORACLE_SQL["q198_ytd_running"] = """
+WITH monthly AS (
+  SELECT cast(year(l_shipdate) AS BIGINT) AS yr,
+         cast(month(l_shipdate) AS BIGINT) AS mo,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT yr, mo,
+       round(rev, 2) AS month_rev,
+       round(sum(rev) OVER (PARTITION BY yr ORDER BY mo
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ytd_rev,
+       round(rev / sum(rev) OVER (PARTITION BY yr) * 100, 2) AS pct_of_year
+FROM monthly
+ORDER BY yr, mo
+"""
+
+ORACLE_SQL["q199_json_export"] = """
+SELECT cast(n_nationkey AS BIGINT) AS n_nationkey,
+       to_json(struct_pack(
+         id := cast(n_nationkey AS BIGINT),
+         nation := n_name,
+         region := r_name)) AS doc
+FROM nation JOIN region ON n_regionkey = r_regionkey
+ORDER BY n_nationkey
+"""
+
+ORACLE_SQL["q200_ops_dashboard"] = """
+WITH base AS (
+  SELECT date_trunc('month', l_shipdate) AS month, n_name,
+         l_extendedprice * (1 - l_discount) AS amt,
+         l_orderkey
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+),
+by_nation AS (
+  SELECT month, n_name, sum(amt) AS nrev FROM base GROUP BY 1, 2
+),
+top_nation AS (
+  SELECT month, n_name AS top_nation
+  FROM (
+    SELECT month, n_name,
+           row_number() OVER (PARTITION BY month
+                              ORDER BY nrev DESC, n_name DESC) AS rn
+    FROM by_nation
+  )
+  WHERE rn = 1
+),
+monthly AS (
+  SELECT month, sum(amt) AS rev, count(DISTINCT l_orderkey) AS n_orders
+  FROM base GROUP BY 1
+)
+SELECT strftime(m.month, '%Y-%m') AS month,
+       round(rev, 2) AS revenue,
+       cast(n_orders AS BIGINT) AS n_orders,
+       round(rev / n_orders, 2) AS rev_per_order,
+       top_nation,
+       round((rev - lag(rev) OVER (ORDER BY m.month))
+             / lag(rev) OVER (ORDER BY m.month) * 100, 2) AS mom_pct
+FROM monthly m JOIN top_nation t ON m.month = t.month
+ORDER BY month
+"""

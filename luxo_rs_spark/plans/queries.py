@@ -5892,3 +5892,198 @@ def q195_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q196 — skyline / Pareto front (parts not dominated on (cheap price,
+# large size)): p is OUT if some q has price <= p's AND size >= p's
+# with at least one strict — the classic multi-criteria shortlist, via
+# a left-anti self-join on the dominance predicate. Quadratic in the
+# candidate set, so the candidate pool is pre-filtered; at scale,
+# pre-sort by one axis and keep the running max of the other (the
+# sort-filter skyline) to avoid the pair blowup.
+# ---------------------------------------------------------------------------
+@query("q196_skyline")
+def q196_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") <= 2000
+    ).select("p_partkey", "p_retailprice", "p_size")
+    a = part.alias("a")
+    b = part.alias("b")
+    dominated = (
+        (F.col("b.p_retailprice") <= F.col("a.p_retailprice"))
+        & (F.col("b.p_size") >= F.col("a.p_size"))
+        & (
+            (F.col("b.p_retailprice") < F.col("a.p_retailprice"))
+            | (F.col("b.p_size") > F.col("a.p_size"))
+        )
+    )
+    return (
+        a.join(b, dominated, "left_anti")
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            _r2(F.col("p_retailprice")).alias("price"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q197 — largest-remainder seat allocation (Hamilton method: divide 100
+# slots across regions proportionally to revenue, integer floors first,
+# leftovers to the largest fractional parts): floors + rank window over
+# the 5-row share table. The "integerize a proportional split
+# deterministically" primitive behind budget and quota allocators.
+# ---------------------------------------------------------------------------
+@query("q197_seat_allocation")
+def q197_seat_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    seats = 100
+    rev = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    tot = Window.partitionBy()
+    quota = (F.col("rev") / F.sum("rev").over(tot)) * seats
+    staged = rev.select(
+        "r_name",
+        quota.alias("quota"),
+        F.floor(quota).cast("bigint").alias("floor_seats"),
+        (quota - F.floor(quota)).alias("frac"),
+    )
+    short = F.lit(seats) - F.sum("floor_seats").over(tot)
+    ranked = staged.withColumn(
+        "extra_rank",
+        F.row_number().over(
+            Window.orderBy(F.col("frac").desc(), F.col("r_name"))
+        ),
+    ).withColumn("short", short)
+    return (
+        ranked.select(
+            "r_name",
+            F.round("quota", 4).alias("exact_quota"),
+            (
+                F.col("floor_seats")
+                + F.when(F.col("extra_rank") <= F.col("short"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("seats"),
+        )
+        .orderBy("r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q198 — YTD running totals by month (the fiscal dashboard staple):
+# month agg, then a running sum partitioned by year — window over the
+# |months| pre-agg, plus each month's share of its year via a second
+# frame on the SAME partitioning (one Exchange).
+# ---------------------------------------------------------------------------
+@query("q198_ytd_running")
+def q198_ytd_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.month("l_shipdate").cast("bigint").alias("mo"),
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    run = (
+        Window.partitionBy("yr")
+        .orderBy("mo")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = Window.partitionBy("yr")
+    return monthly.select(
+        "yr",
+        "mo",
+        _r2(F.col("rev")).alias("month_rev"),
+        _r2(F.sum("rev").over(run)).alias("ytd_rev"),
+        F.round(F.col("rev") / F.sum("rev").over(full) * 100, 2).alias(
+            "pct_of_year"
+        ),
+    ).orderBy("yr", "mo")
+
+
+# ---------------------------------------------------------------------------
+# Q199 — JSON-line export projection (to_json of a struct — the sink
+# format for event buses and LLM training manifests): serialize a
+# joined dim row to a canonical JSON string; integer/string fields only
+# so the text form is engine-portable. The reverse direction
+# (from_json) is q46; together they close the JSON round-trip.
+# ---------------------------------------------------------------------------
+@query("q199_json_export")
+def q199_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(
+            F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+            F.to_json(
+                F.struct(
+                    F.col("n_nationkey").cast("long").alias("id"),
+                    F.col("n_name").alias("nation"),
+                    F.col("r_name").alias("region"),
+                )
+            ).alias("doc"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q200 — monthly ops dashboard (capstone composition: revenue, volume,
+# AOV, top nation by revenue, MoM growth — four aggregate families
+# stitched over ONE month grain): fact agg -> max_by for the top
+# dimension -> lag for growth. Every piece reuses the (month) grain so
+# the whole dashboard is two shuffles end to end.
+# ---------------------------------------------------------------------------
+@query("q200_ops_dashboard")
+def q200_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    base = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .select(
+            F.date_trunc("month", "l_shipdate").alias("month"),
+            "n_name",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amt"),
+            "l_orderkey",
+        )
+    )
+    by_nation = base.groupBy("month", "n_name").agg(F.sum("amt").alias("nrev"))
+    top_nation = by_nation.groupBy("month").agg(
+        F.max_by("n_name", F.struct(F.col("nrev"), F.col("n_name"))).alias(
+            "top_nation"
+        )
+    )
+    monthly = base.groupBy("month").agg(
+        F.sum("amt").alias("rev"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.join(top_nation, "month")
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            _r2(F.col("rev")).alias("revenue"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            _r2(F.col("rev") / F.col("n_orders")).alias("rev_per_order"),
+            "top_nation",
+            F.round(
+                (F.col("rev") - F.lag("rev").over(w))
+                / F.lag("rev").over(w)
+                * 100,
+                2,
+            ).alias("mom_pct"),
+        )
+        .orderBy("month")
+    )
