@@ -3335,7 +3335,7 @@ ORDER BY n_nationkey
 ORACLE_SQL["q200_ops_dashboard"] = """
 WITH base AS (
   SELECT date_trunc('month', l_shipdate) AS month, n_name,
-         l_extendedprice * (1 - l_discount) AS amt,
+         cast(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)) AS amt,
          l_orderkey
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
@@ -3359,12 +3359,13 @@ monthly AS (
   FROM base GROUP BY 1
 )
 SELECT strftime(m.month, '%Y-%m') AS month,
-       round(rev, 2) AS revenue,
+       cast(round(rev, 2) AS DOUBLE) AS revenue,
        cast(n_orders AS BIGINT) AS n_orders,
-       round(rev / n_orders, 2) AS rev_per_order,
+       round(cast(rev AS DOUBLE) / n_orders, 2) AS rev_per_order,
        top_nation,
-       round((rev - lag(rev) OVER (ORDER BY m.month))
-             / lag(rev) OVER (ORDER BY m.month) * 100, 2) AS mom_pct
+       round(cast(rev - lag(rev) OVER (ORDER BY m.month) AS DOUBLE)
+             / cast(lag(rev) OVER (ORDER BY m.month) AS DOUBLE) * 100, 2)
+         AS mom_pct
 FROM monthly m JOIN top_nation t ON m.month = t.month
 ORDER BY month
 """

@@ -6049,13 +6049,20 @@ def q200_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
+    # amt is mathematically a 4-decimal value (2dp price x 2dp factor);
+    # casting the double back to DECIMAL(18,4) recovers it exactly, so
+    # the month sums are EXACT decimal arithmetic on both engines — no
+    # summation-order ulp can flip the final cent (the half-boundary
+    # failure rounding a double sum is exposed to).
     base = (
         li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .select(
             F.date_trunc("month", "l_shipdate").alias("month"),
             "n_name",
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amt"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("decimal(18,4)")
+            .alias("amt"),
             "l_orderkey",
         )
     )
@@ -6074,13 +6081,15 @@ def q200_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         monthly.join(top_nation, "month")
         .select(
             F.date_format("month", "yyyy-MM").alias("month"),
-            _r2(F.col("rev")).alias("revenue"),
+            F.round("rev", 2).cast("double").alias("revenue"),
             F.col("n_orders").cast("bigint").alias("n_orders"),
-            _r2(F.col("rev") / F.col("n_orders")).alias("rev_per_order"),
+            _r2(F.col("rev").cast("double") / F.col("n_orders")).alias(
+                "rev_per_order"
+            ),
             "top_nation",
             F.round(
-                (F.col("rev") - F.lag("rev").over(w))
-                / F.lag("rev").over(w)
+                (F.col("rev") - F.lag("rev").over(w)).cast("double")
+                / F.lag("rev").over(w).cast("double")
                 * 100,
                 2,
             ).alias("mom_pct"),
