@@ -3369,3 +3369,142 @@ SELECT strftime(m.month, '%Y-%m') AS month,
 FROM monthly m JOIN top_nation t ON m.month = t.month
 ORDER BY month
 """
+
+ORACLE_SQL["q201_cross_entropy"] = """
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+toks_f AS (SELECT * FROM toks WHERE length(token) > 0),
+lm AS (SELECT token, count(*) AS tf FROM toks_f GROUP BY token),
+totals AS (
+  SELECT cast(sum(tf) AS DOUBLE) AS n_tokens,
+         cast(count(*) AS DOUBLE) AS vocab
+  FROM lm
+),
+per_doc AS (
+  SELECT doc_id, source,
+         -avg(ln((tf + 1.0) / (n_tokens + vocab))) AS ce_raw,
+         cast(count(*) AS BIGINT) AS n_toks
+  FROM toks_f JOIN lm USING (token) CROSS JOIN totals
+  GROUP BY doc_id, source
+)
+SELECT source,
+       round(avg(ce_raw), 4) AS mean_ce,
+       round(min(ce_raw), 4) AS min_ce,
+       round(max(ce_raw), 4) AS max_ce,
+       cast(sum(n_toks) AS BIGINT) AS total_tokens
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLE_SQL["q202_pq_grid"] = """
+WITH staged AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS e, len(embedding) AS dim
+  FROM embeddings
+),
+bounds AS (
+  SELECT min(list_min(e)) AS lo, max(list_max(e)) AS hi, max(dim) AS d
+  FROM staged
+),
+exploded AS (
+  SELECT vec_id, lo, hi, d,
+         s.i AS pos,
+         e[s.i] AS x
+  FROM staged CROSS JOIN bounds,
+       LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) s
+),
+coded AS (
+  SELECT cast(floor((pos - 1) * 4 / d) AS BIGINT) AS subspace,
+         cast(least(15, floor((x - lo) / (hi - lo) * 16)) AS BIGINT) AS code,
+         abs(x - (lo + (least(15, floor((x - lo) / (hi - lo) * 16)) + 0.5)
+                  * (hi - lo) / 16)) AS err
+  FROM exploded
+)
+SELECT subspace,
+       cast(count(DISTINCT code) AS BIGINT) AS codes_used,
+       round(avg(err), 6) AS mean_abs_err,
+       round(max(err), 6) AS max_abs_err,
+       cast(count(*) AS BIGINT) AS n_components
+FROM coded
+GROUP BY subspace
+ORDER BY subspace
+"""
+
+ORACLE_SQL["q203_wordlist_screen"] = """
+WITH hits AS (
+  SELECT doc_id, source, count(*) AS n_hits
+  FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+        FROM documents)
+  WHERE t IN ('slow', 'error', 'bad', 'crash')
+  GROUP BY doc_id, source
+),
+per_doc AS (
+  SELECT d.source, coalesce(h.n_hits, 0) AS n_hits
+  FROM documents d LEFT JOIN hits h USING (doc_id, source)
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged,
+       round(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) * 100.0 / count(*),
+             2) AS flag_pct,
+       cast(sum(n_hits) AS BIGINT) AS total_hits
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLE_SQL["q204_length_drift"] = """
+WITH grid AS (SELECT unnest(generate_series(50, 550, 50)) AS thr),
+src AS (
+  SELECT source, thr,
+         sum(CASE WHEN n_chars <= thr THEN 1 ELSE 0 END) * 1.0 / count(*)
+           AS cdf_src
+  FROM documents CROSS JOIN grid
+  GROUP BY source, thr
+),
+corpus AS (
+  SELECT thr,
+         sum(CASE WHEN n_chars <= thr THEN 1 ELSE 0 END) * 1.0 / count(*)
+           AS cdf_all
+  FROM documents CROSS JOIN grid
+  GROUP BY thr
+)
+SELECT source,
+       round(max(abs(cdf_src - cdf_all)), 4) AS ks_stat
+FROM src JOIN corpus USING (thr)
+GROUP BY source
+ORDER BY source
+"""
+
+ORACLE_SQL["q205_best_snippet"] = """
+WITH windows AS (
+  SELECT doc_id,
+         s.i - 1 AS wpos,
+         list_slice(string_split(text, ' '), s.i, s.i + 9) AS win
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(
+         1, greatest(length(string_split(text, ' ')) - 9, 1))) AS i) s
+  WHERE doc_id < 100
+),
+scored AS (
+  SELECT doc_id,
+         cast(wpos AS BIGINT) AS wpos,
+         cast(length(list_filter(win,
+           t -> t IN ('data', 'query', 'table', 'index'))) AS BIGINT)
+           AS score,
+         array_to_string(win, ' ') AS snippet
+  FROM windows
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, wpos) AS rn
+  FROM scored
+)
+SELECT doc_id, wpos, score, snippet
+FROM ranked
+WHERE rn = 1 AND score > 0
+ORDER BY doc_id
+"""

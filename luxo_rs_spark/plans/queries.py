@@ -3763,8 +3763,10 @@ def q133_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q134_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     bounds = li.agg(
-        F.expr("percentile(l_extendedprice, 0.01)").alias("p01"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("ps")
+    ).select(
+        F.element_at("ps", 1).alias("p01"),
+        F.element_at("ps", 2).alias("p99"),
     )
     clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("p01")), F.col("p99"))
     return (
@@ -5077,10 +5079,16 @@ def q172_grouped_map_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q173_quartile_bands")
 def q173_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE percentile accumulator for all three quantiles — the scalar
+    # form builds a fresh 600k-entry count-map per quantile (3x work)
     bounds = li.agg(
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
-        F.expr("percentile(l_extendedprice, 0.50)").alias("p50"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("p75"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.25, 0.50, 0.75))"
+        ).alias("ps")
+    ).select(
+        F.element_at("ps", 1).alias("p25"),
+        F.element_at("ps", 2).alias("p50"),
+        F.element_at("ps", 3).alias("p75"),
     )
     band = (
         F.when(F.col("l_extendedprice") <= F.col("p25"), "Q1")
@@ -6095,4 +6103,225 @@ def q200_ops_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mom_pct"),
         )
         .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q201 — unigram cross-entropy quality score (language-model filtering
+# without an external LM: score each doc against the corpus's own
+# unigram distribution; abnormally LOW cross-entropy = repetitive/
+# boilerplate, HIGH = noise/garbled — both ends are curation cuts).
+# Corpus LM = one token agg (broadcast); per-doc score = explode +
+# broadcast-join + agg. Laplace smoothing keeps unseen-token mass
+# defined; natural-log bits.
+# ---------------------------------------------------------------------------
+@query("q201_cross_entropy")
+def q201_cross_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.length("token") > 0)
+    lm = toks.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    totals = lm.agg(
+        F.sum("tf").cast("double").alias("n_tokens"),
+        F.count(F.lit(1)).cast("double").alias("vocab"),
+    )
+    # p(token) with add-1 smoothing over the corpus vocabulary
+    p = (F.col("tf") + 1.0) / (F.col("n_tokens") + F.col("vocab"))
+    per_doc = (
+        toks.join(F.broadcast(lm), "token")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id", "source")
+        .agg(
+            (-F.avg(F.log(p))).alias("ce_raw"),
+            F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.round(F.avg("ce_raw"), 4).alias("mean_ce"),
+            F.round(F.min("ce_raw"), 4).alias("min_ce"),
+            F.round(F.max("ce_raw"), 4).alias("max_ce"),
+            F.sum("n_toks").alias("total_tokens"),
+        )
+        .select(
+            "source", "mean_ce", "min_ce", "max_ce",
+            F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q202 — product quantization with a deterministic grid codebook (the
+# IVF-PQ memory-compression path without kmeans nondeterminism): split
+# each embedding into 4 sub-vectors, quantize each sub-vector's
+# components to a fixed uniform grid over the GLOBAL per-position
+# min/max (one tiny agg, broadcast), report per-subspace code entropy
+# and reconstruction error. Complements q99 (full-vector scalar
+# quantization) with the subspace decomposition PQ actually uses.
+# ---------------------------------------------------------------------------
+@query("q202_pq_grid")
+def q202_pq_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    staged = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("dim", F.size("e"))
+    bounds = staged.agg(
+        F.min(F.array_min("e")).alias("lo"),
+        F.max(F.array_max("e")).alias("hi"),
+        F.max("dim").alias("d"),
+    )
+    sub = F.floor((F.col("pos") - 1) * 4 / F.col("d")).cast("bigint")
+    code = F.least(
+        F.lit(15),
+        F.floor((F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 16),
+    ).cast("bigint")
+    recon = F.col("lo") + (F.col("code") + 0.5) * (F.col("hi") - F.col("lo")) / 16
+    exploded = (
+        staged.join(F.broadcast(bounds))
+        .select(
+            "vec_id", "lo", "hi", "d",
+            F.posexplode("e").alias("pos0", "x"),
+        )
+        .withColumn("pos", F.col("pos0") + 1)
+        .withColumn("subspace", sub)
+        .withColumn("code", code)
+        .withColumn("err", F.abs(F.col("x") - recon))
+    )
+    return (
+        exploded.groupBy("subspace")
+        .agg(
+            F.countDistinct("code").cast("bigint").alias("codes_used"),
+            F.round(F.avg("err"), 6).alias("mean_abs_err"),
+            F.round(F.max("err"), 6).alias("max_abs_err"),
+            F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        )
+        .orderBy("subspace")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q203 — wordlist policy screen (the blocklist-flagging curation gate:
+# per-doc hit count against a policy lexicon via explode + broadcast
+# semi-ish join, per-source violation rate). The lexicon is a literal
+# dim (always broadcast); rates aggregate map-side.
+# ---------------------------------------------------------------------------
+@query("q203_wordlist_screen")
+def q203_wordlist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    lexicon = ["slow", "error", "bad", "crash"]
+    hits = (
+        docs.select("doc_id", "source", F.explode(F.split("text", " ")).alias("t"))
+        .filter(F.col("t").isin(lexicon))
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per_doc = docs.select("doc_id", "source").join(
+        hits, ["doc_id", "source"], "left"
+    ).select(
+        "source",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_flagged"),
+            F.round(
+                F.sum(F.when(F.col("n_hits") > 0, 1).otherwise(0))
+                / F.count(F.lit(1))
+                * 100,
+                2,
+            ).alias("flag_pct"),
+            F.sum("n_hits").cast("bigint").alias("total_hits"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q204 — length-distribution drift between sources (two-sample KS-lite:
+# each source's empirical CDF of n_chars evaluated on a fixed threshold
+# grid vs the corpus CDF; drift = max abs gap). The distribution-shift
+# monitor for incoming corpus shards, built from conditional counts on
+# a literal grid — one pass per side, grid cross join is KB-sized.
+# ---------------------------------------------------------------------------
+@query("q204_length_drift")
+def q204_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grid = spark.range(1).select(
+        F.explode(F.sequence(F.lit(50), F.lit(550), F.lit(50))).alias("thr")
+    )
+    src = (
+        docs.crossJoin(F.broadcast(grid))
+        .groupBy("source", "thr")
+        .agg(
+            (
+                F.sum(F.when(F.col("n_chars") <= F.col("thr"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("cdf_src")
+        )
+    )
+    corpus = (
+        docs.crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            (
+                F.sum(F.when(F.col("n_chars") <= F.col("thr"), 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("cdf_all")
+        )
+    )
+    return (
+        src.join(F.broadcast(corpus), "thr")
+        .groupBy("source")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("cdf_src") - F.col("cdf_all"))), 4
+            ).alias("ks_stat")
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q205 — best-window snippet extraction (retrieval-display primitive:
+# the 10-token window of each doc with the highest keyword density):
+# token windows via sequence+transform (narrow, in-scan), score =
+# matches in window, argmax per doc with deterministic tie-break
+# (earliest window).
+# ---------------------------------------------------------------------------
+@query("q205_best_snippet")
+def q205_best_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    kw = "('data','query','table','index')"
+    windows = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(text,' ')) - 9, 1)),"
+                " i -> slice(split(text,' '), i, 10))"
+            )
+        ).alias("wpos", "win"),
+    )
+    scored = windows.select(
+        "doc_id",
+        F.col("wpos").cast("bigint").alias("wpos"),
+        F.expr(f"size(filter(win, t -> t IN {kw}))").cast("bigint").alias(
+            "score"
+        ),
+        F.array_join("win", " ").alias("snippet"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("wpos")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("score") > 0))
+        .select("doc_id", "wpos", "score", "snippet")
+        .orderBy("doc_id")
     )
