@@ -3508,3 +3508,83 @@ FROM ranked
 WHERE rn = 1 AND score > 0
 ORDER BY doc_id
 """
+
+ORACLE_SQL["q206_autocorrelation"] = """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem GROUP BY 1
+),
+paired AS (
+  SELECT rev,
+         lag(rev, 1) OVER (ORDER BY day) AS rev_l1,
+         lag(rev, 7) OVER (ORDER BY day) AS rev_l7
+  FROM daily
+)
+SELECT round(corr(rev, rev_l1), 6) AS acf_1,
+       round(corr(rev, rev_l7), 6) AS acf_7,
+       cast(count(*) AS BIGINT) AS n_days
+FROM paired
+"""
+
+ORACLE_SQL["q207_seasonality_index"] = """
+WITH cells AS (
+  SELECT cast(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         cast(hour(ts) AS BIGINT) AS hod,
+         cast(count(*) AS BIGINT) AS n,
+         avg(value) AS avg_v
+  FROM events GROUP BY 1, 2
+),
+overall AS (SELECT avg(value) AS g_avg FROM events)
+SELECT dow, hod, n,
+       round(avg_v / g_avg * 100, 2) AS seasonal_index
+FROM cells CROSS JOIN overall
+ORDER BY dow, hod
+"""
+
+ORACLE_SQL["q208_rolling_wau"] = """
+WITH user_days AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+covered AS (
+  SELECT user_id, day + to_days(cast(o.k AS INTEGER)) AS window_end
+  FROM user_days,
+       LATERAL (SELECT unnest(generate_series(0, 6)) AS k) o
+)
+SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+       cast(count(DISTINCT user_id) AS BIGINT) AS wau
+FROM covered
+GROUP BY window_end
+ORDER BY window_end
+"""
+
+ORACLE_SQL["q209_json_nested"] = """
+WITH entries AS (
+  SELECT cast(n_regionkey AS BIGINT) AS region_key,
+         cast(n_nationkey AS BIGINT) AS id,
+         n_name AS name
+  FROM nation
+  UNION ALL
+  SELECT cast(n_regionkey AS BIGINT),
+         cast(n_nationkey + 100 AS BIGINT),
+         upper(n_name)
+  FROM nation
+)
+SELECT region_key, id, name
+FROM entries
+ORDER BY id, name
+"""
+
+ORACLE_SQL["q210_quantile_contour"] = """
+WITH per AS (
+  SELECT event_type,
+         quantile_cont(value, [0.10, 0.25, 0.50, 0.75, 0.90]) AS vals
+  FROM events GROUP BY event_type
+),
+labels(quantile, idx) AS (
+  VALUES ('p10', 1), ('p25', 2), ('p50', 3), ('p75', 4), ('p90', 5)
+)
+SELECT event_type, quantile, round(vals[idx], 4) AS value
+FROM per CROSS JOIN labels
+ORDER BY event_type, quantile
+"""

@@ -6325,3 +6325,164 @@ def q205_best_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "wpos", "score", "snippet")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q206 — lag-k autocorrelation of the daily revenue series (k=1 and
+# k=7; the seasonality/trend diagnostic): daily agg, lag windows to
+# pair x_t with x_{t-k}, then corr() per k. Composition: agg → window
+# → corr over the |days| relation.
+# ---------------------------------------------------------------------------
+@query("q206_autocorrelation")
+def q206_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.date_trunc("day", "l_shipdate").alias("day")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    w = Window.orderBy("day")
+    paired = daily.select(
+        "rev",
+        F.lag("rev", 1).over(w).alias("rev_l1"),
+        F.lag("rev", 7).over(w).alias("rev_l7"),
+    )
+    return paired.agg(
+        F.round(F.corr("rev", "rev_l1"), 6).alias("acf_1"),
+        F.round(F.corr("rev", "rev_l7"), 6).alias("acf_7"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q207 — day-of-week × hour seasonality index (the staffing heatmap:
+# each cell's event value vs the global mean, as an index where 100 =
+# average): one (dow, hour) agg + a 1-row broadcast global mean.
+# ---------------------------------------------------------------------------
+@query("q207_seasonality_index")
+def q207_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.avg("value").alias("avg_v"),
+    )
+    overall = events.agg(F.avg("value").alias("g_avg"))
+    return (
+        cells.join(F.broadcast(overall))
+        .select(
+            "dow",
+            "hod",
+            "n",
+            F.round(F.col("avg_v") / F.col("g_avg") * 100, 2).alias(
+                "seasonal_index"
+            ),
+        )
+        .orderBy("dow", "hod")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q208 — rolling 7-day distinct active users (the DAU/WAU rollup whose
+# naive form needs a distinct per sliding window): each (user, day)
+# pair EXPLODES into the 7 window-end days it contributes to, then one
+# distinct count per day — turning a sliding distinct into a plain
+# groupBy. Shuffle volume = 7x the deduped user-day pairs (not raw
+# events), the standard scalable WAU formulation.
+# ---------------------------------------------------------------------------
+@query("q208_rolling_wau")
+def q208_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    user_days = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    covered = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("window_end"),
+    )
+    return (
+        covered.groupBy("window_end")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(
+            F.date_format("window_end", "yyyy-MM-dd").alias("window_end"),
+            "wau",
+        )
+        .orderBy("window_end")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q209 — nested JSON array parsing (from_json with array<struct> +
+# explode — the event-payload unnesting q15/q46 don't cover): a
+# composite JSON document is assembled from row fields, then parsed
+# back through the full schema'd path. At scale from_json is JVM-side
+# Jackson with schema pruning — no Python.
+# ---------------------------------------------------------------------------
+@query("q209_json_nested")
+def q209_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    doc = F.concat(
+        F.lit('{"region_key":'),
+        F.col("n_regionkey").cast("string"),
+        F.lit(',"entries":[{"id":'),
+        F.col("n_nationkey").cast("string"),
+        F.lit(',"name":"'),
+        F.col("n_name"),
+        F.lit('"},{"id":'),
+        (F.col("n_nationkey") + 100).cast("string"),
+        F.lit(',"name":"'),
+        F.upper(F.col("n_name")),
+        F.lit('"}]}'),
+    )
+    schema = "region_key BIGINT, entries ARRAY<STRUCT<id: BIGINT, name: STRING>>"
+    parsed = nation.select(F.from_json(doc, schema).alias("j"))
+    return (
+        parsed.select(
+            F.col("j.region_key").alias("region_key"),
+            F.explode("j.entries").alias("e"),
+        )
+        .select(
+            "region_key",
+            F.col("e.id").alias("id"),
+            F.col("e.name").alias("name"),
+        )
+        .orderBy("id", "name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q210 — grouped quantile contour (p10/p25/p50/p75/p90 per event type
+# from ONE array-percentile accumulator per group, exploded to
+# (type, quantile, value) rows): the profile-distribution report shape,
+# using the single-accumulator pattern q134/q173 adopted.
+# ---------------------------------------------------------------------------
+@query("q210_quantile_contour")
+def q210_quantile_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    qs = "array(0.10, 0.25, 0.50, 0.75, 0.90)"
+    contoured = events.groupBy("event_type").agg(
+        F.expr(f"percentile(value, {qs})").alias("vals")
+    )
+    labels = F.array(
+        *[F.lit(x) for x in ("p10", "p25", "p50", "p75", "p90")]
+    )
+    return (
+        contoured.select(
+            "event_type",
+            F.explode(F.arrays_zip(labels.alias("q"), F.col("vals").alias("v"))).alias(
+                "e"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("e.q").alias("quantile"),
+            F.round(F.col("e.v"), 4).alias("value"),
+        )
+        .orderBy("event_type", "quantile")
+    )
