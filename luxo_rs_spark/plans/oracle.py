@@ -3588,3 +3588,130 @@ SELECT event_type, quantile, round(vals[idx], 4) AS value
 FROM per CROSS JOIN labels
 ORDER BY event_type, quantile
 """
+
+ORACLE_SQL["q211_es_weighted_sample"] = """
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         pow((cast((doc_id * 2654435761) % 1000000007 AS DOUBLE) + 1)
+             / 1000000008.0, 1.0 / n_chars) AS es_key
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id) AS rnk
+  FROM keyed
+)
+SELECT source, cast(rnk AS BIGINT) AS rnk, doc_id,
+       cast(n_chars AS BIGINT) AS n_chars,
+       round(es_key, 6) AS es_key
+FROM ranked
+WHERE rnk <= 5
+ORDER BY source, rnk
+"""
+
+ORACLE_SQL["q212_path_mining"] = """
+WITH grams AS (
+  SELECT lag(event_type, 2) OVER w AS s1,
+         lag(event_type, 1) OVER w AS s2,
+         event_type AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT concat_ws('>', s1, s2, s3) AS path,
+       cast(count(*) AS BIGINT) AS n
+FROM grams
+WHERE s1 IS NOT NULL
+GROUP BY s1, s2, s3
+ORDER BY n DESC, path
+LIMIT 20
+"""
+
+ORACLE_SQL["q213_revenue_bridge"] = """
+WITH a AS (
+  SELECT l_partkey AS pk, sum(l_quantity) AS qty_a,
+         sum(l_extendedprice * (1 - l_discount)) / sum(l_quantity) AS price_a
+  FROM lineitem WHERE year(l_shipdate) = 1996 GROUP BY 1
+),
+b AS (
+  SELECT l_partkey AS pk, sum(l_quantity) AS qty_b,
+         sum(l_extendedprice * (1 - l_discount)) / sum(l_quantity) AS price_b
+  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1
+),
+j AS (SELECT * FROM a FULL JOIN b USING (pk))
+SELECT
+  round(sum(CASE WHEN qty_a IS NOT NULL AND qty_b IS NOT NULL
+                 THEN (qty_b - qty_a) * price_a ELSE 0.0 END), 2)
+    AS volume_effect,
+  round(sum(CASE WHEN qty_a IS NOT NULL AND qty_b IS NOT NULL
+                 THEN (price_b - price_a) * qty_b ELSE 0.0 END), 2)
+    AS price_effect,
+  round(sum(CASE WHEN qty_a IS NULL THEN qty_b * price_b ELSE 0.0 END), 2)
+    AS new_parts_effect,
+  round(sum(CASE WHEN qty_b IS NULL THEN -qty_a * price_a ELSE 0.0 END), 2)
+    AS lost_parts_effect,
+  cast(count(*) AS BIGINT) AS n_parts
+FROM j
+"""
+
+ORACLE_SQL["q214_try_overflow"] = """
+WITH h AS (
+  SELECT cast(n_nationkey AS BIGINT) AS k,
+         cast(9223372036854775807 AS HUGEINT) AS mx
+  FROM nation
+)
+SELECT k,
+       cast(mx - k + k AS BIGINT) AS edge_ok,
+       CASE WHEN (mx - k) + k * 2 > mx THEN NULL
+            ELSE cast((mx - k) + k * 2 AS BIGINT) END AS overflow_add,
+       CASE WHEN (cast(3037000499 AS HUGEINT) + k) * 3037000499 > mx
+            THEN NULL
+            ELSE cast((cast(3037000499 AS HUGEINT) + k) * 3037000499
+                      AS BIGINT) END AS overflow_mul,
+       cast(k * k AS BIGINT) AS small_mul
+FROM h
+ORDER BY k
+"""
+
+ORACLE_SQL["q215_survival_curve"] = """
+WITH horizon AS (SELECT max(epoch_us(ts)) AS h_us FROM events),
+per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t0,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t1
+  FROM events GROUP BY user_id
+),
+durations AS (
+  SELECT CASE WHEN t1 IS NOT NULL AND t1 >= t0
+              THEN (t1 - t0) / 3600000000.0 END AS event_t,
+         CASE WHEN t1 IS NULL OR t1 < t0
+              THEN (h_us - t0) / 3600000000.0 END AS censor_t
+  FROM per_user CROSS JOIN horizon
+  WHERE t0 IS NOT NULL
+),
+n_total AS (SELECT cast(count(*) AS DOUBLE) AS n0 FROM durations),
+events_t AS (
+  SELECT round(event_t, 6) AS t, cast(count(*) AS DOUBLE) AS d
+  FROM durations WHERE event_t IS NOT NULL GROUP BY 1
+),
+at_risk AS (
+  SELECT e.t, e.d,
+         n0 - (SELECT cast(count(*) AS DOUBLE) FROM durations x
+               WHERE coalesce(x.event_t, x.censor_t) < e.t) AS n_risk
+  FROM events_t e CROSS JOIN n_total
+),
+curve AS (
+  SELECT t, d, n_risk,
+         exp(sum(ln(1 - d / n_risk)) OVER (
+           ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS surv
+  FROM at_risk
+)
+SELECT round(t, 2) AS t_hours,
+       cast(d AS BIGINT) AS n_events,
+       cast(n_risk AS BIGINT) AS n_at_risk,
+       round(surv, 6) AS survival
+FROM curve
+ORDER BY t_hours
+LIMIT 100
+"""

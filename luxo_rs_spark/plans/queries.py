@@ -6486,3 +6486,216 @@ def q210_quantile_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "quantile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q211 — weighted top-k sample without replacement (Efraimidis-Spirakis
+# A-ES keys: key = u^(1/w); the k largest keys are a weighted sample
+# without replacement). u comes from the deterministic multiplicative
+# hash, so the sample is rerun-stable; the rank window runs per source
+# over doc counts, not corpus size. The published A-ES algorithm
+# (Efraimidis & Spirakis 2006), exactly as used for distributed
+# weighted reservoir sampling.
+# ---------------------------------------------------------------------------
+@query("q211_es_weighted_sample")
+def q211_es_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000000007)) + 1
+    ).cast("double") / F.lit(1000000008.0)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("es_key").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("es_key", key)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "source",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.round("es_key", 6).alias("es_key"),
+        )
+        .orderBy("source", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q212 — frequent path mining (top event-type 3-step paths across user
+# histories): two lag windows on one (user) partitioning build the
+# 3-gram, then count+rank. The n-gram-over-sequences primitive behind
+# "common user journeys" dashboards.
+# ---------------------------------------------------------------------------
+@query("q212_path_mining")
+def q212_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        events.select(
+            F.lag("event_type", 2).over(w).alias("s1"),
+            F.lag("event_type", 1).over(w).alias("s2"),
+            F.col("event_type").alias("s3"),
+        )
+        .filter(F.col("s1").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return (
+        paths.select(
+            F.concat_ws(">", "s1", "s2", "s3").alias("path"), "n"
+        )
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q213 — revenue bridge (FP&A price/volume decomposition between two
+# years): for parts sold in both, Δrevenue splits into volume effect
+# (Δqty x old price) + price effect (Δprice x new qty); plus new/lost
+# part effects from the outer join's unmatched sides. One full-outer
+# join of two year aggregates of the SAME fact scan (exchange reuse).
+# ---------------------------------------------------------------------------
+@query("q213_revenue_bridge")
+def q213_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def year_agg(y):
+        return (
+            li.filter(F.year("l_shipdate") == y)
+            .groupBy(F.col("l_partkey").alias("pk"))
+            .agg(
+                F.sum("l_quantity").alias("qty"),
+                (
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    / F.sum("l_quantity")
+                ).alias("price"),
+            )
+        )
+    a = year_agg(1996).select(
+        "pk", F.col("qty").alias("qty_a"), F.col("price").alias("price_a")
+    )
+    b = year_agg(1997).select(
+        "pk", F.col("qty").alias("qty_b"), F.col("price").alias("price_b")
+    )
+    j = a.join(b, "pk", "full")
+    both = F.col("qty_a").isNotNull() & F.col("qty_b").isNotNull()
+    volume_effect = F.when(
+        both, (F.col("qty_b") - F.col("qty_a")) * F.col("price_a")
+    ).otherwise(0.0)
+    price_effect = F.when(
+        both, (F.col("price_b") - F.col("price_a")) * F.col("qty_b")
+    ).otherwise(0.0)
+    new_effect = F.when(
+        F.col("qty_a").isNull(), F.col("qty_b") * F.col("price_b")
+    ).otherwise(0.0)
+    lost_effect = F.when(
+        F.col("qty_b").isNull(), -F.col("qty_a") * F.col("price_a")
+    ).otherwise(0.0)
+    return j.agg(
+        _r2(F.sum(volume_effect)).alias("volume_effect"),
+        _r2(F.sum(price_effect)).alias("price_effect"),
+        _r2(F.sum(new_effect)).alias("new_parts_effect"),
+        _r2(F.sum(lost_effect)).alias("lost_parts_effect"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q214 — overflow-safe arithmetic (try_add/try_multiply near
+# BIGINT.MAX): engine must yield NULL, not wraparound or crash — the
+# other half of q188's error-safe contract. The oracle checks the same
+# bounds via HUGEINT range tests.
+# ---------------------------------------------------------------------------
+@query("q214_try_overflow")
+def q214_try_overflow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    big = F.lit(9223372036854775807).cast("long")  # BIGINT max
+    k = F.col("n_nationkey").cast("long")
+    return (
+        nation.select(
+            k.cast("bigint").alias("k"),
+            F.try_add(big - k, k).alias("edge_ok"),       # == MAX, fits
+            F.try_add(big - k, k * 2).alias("overflow_add"),  # NULL for k>0
+            F.try_multiply(F.lit(3037000499).cast("long") + k, F.lit(3037000499).cast("long")).alias(
+                "overflow_mul"
+            ),
+            F.try_multiply(k, k).alias("small_mul"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q215 — Kaplan-Meier survival curve (time from first signup to first
+# purchase, right-censored at the corpus horizon): per-user durations
+# via conditional mins, then the KM product-limit estimator as
+# exp(cumsum(ln(1 - d/n))) — the survival product expressed with pure
+# windows (no UDAF). Survival analysis as a first-class engine op.
+# ---------------------------------------------------------------------------
+@query("q215_survival_curve")
+def q215_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    horizon = events.agg(F.max(F.unix_micros("ts")).alias("h_us"))
+    per_user = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.unix_micros("ts"))
+            ).alias("t0"),
+            F.min(
+                F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+            ).alias("t1"),
+        )
+        .filter(F.col("t0").isNotNull())
+    )
+    durations = per_user.join(F.broadcast(horizon)).select(
+        F.when(
+            F.col("t1").isNotNull() & (F.col("t1") >= F.col("t0")),
+            (F.col("t1") - F.col("t0")) / F.lit(3600000000.0),
+        ).alias("event_t"),
+        F.when(
+            F.col("t1").isNull() | (F.col("t1") < F.col("t0")),
+            (F.col("h_us") - F.col("t0")) / F.lit(3600000000.0),
+        ).alias("censor_t"),
+    )
+    n_total = durations.agg(F.count(F.lit(1)).cast("double").alias("n0"))
+    events_t = (
+        durations.filter(F.col("event_t").isNotNull())
+        .groupBy(F.round("event_t", 6).alias("t"))
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    censored_t = durations.filter(F.col("censor_t").isNotNull()).select(
+        F.col("censor_t").alias("ct")
+    )
+    # at-risk at t: everyone whose event/censor time >= t
+    at_risk = (
+        events_t.join(F.broadcast(n_total))
+        .join(
+            durations.select(
+                F.coalesce("event_t", "censor_t").alias("any_t")
+            ),
+            F.col("any_t") < F.col("t"),
+            "left",
+        )
+        .groupBy("t", "d", "n0")
+        .agg(F.count("any_t").cast("double").alias("gone"))
+        .select("t", "d", (F.col("n0") - F.col("gone")).alias("n_risk"))
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        at_risk.withColumn(
+            "surv",
+            F.exp(F.sum(F.log(1 - F.col("d") / F.col("n_risk"))).over(w)),
+        )
+        .select(
+            F.round("t", 2).alias("t_hours"),
+            F.col("d").cast("bigint").alias("n_events"),
+            F.col("n_risk").cast("bigint").alias("n_at_risk"),
+            F.round("surv", 6).alias("survival"),
+        )
+        .orderBy("t_hours")
+        .limit(100)
+    )
