@@ -3715,3 +3715,112 @@ FROM curve
 ORDER BY t_hours
 LIMIT 100
 """
+
+ORACLE_SQL["q216_activity_bitmaps"] = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       cast(bit_or(cast(1 AS BIGINT) << cast(user_id % 63 AS INTEGER))
+            AS BIGINT) AS bitmap,
+       cast(bit_count(bit_or(cast(1 AS BIGINT)
+                             << cast(user_id % 63 AS INTEGER))) AS BIGINT)
+         AS slots_active
+FROM events
+GROUP BY date_trunc('day', ts)
+ORDER BY day
+"""
+
+ORACLE_SQL["q217_time_hierarchy"] = """
+WITH staged AS (
+  SELECT cast(year(l_shipdate) AS BIGINT) AS yr,
+         cast(quarter(l_shipdate) AS BIGINT) AS qtr,
+         cast(month(l_shipdate) AS BIGINT) AS mo,
+         l_extendedprice * (1 - l_discount) AS amt
+  FROM lineitem
+),
+rolled AS (
+  SELECT yr, qtr, mo,
+         round(sum(amt), 2) AS rev,
+         cast(count(*) AS BIGINT) AS n_lines,
+         grouping(yr) * 4 + grouping(qtr) * 2 + grouping(mo) AS gid
+  FROM staged
+  GROUP BY ROLLUP (yr, qtr, mo)
+)
+SELECT CASE gid WHEN 7 THEN 'total' WHEN 3 THEN 'year'
+                WHEN 1 THEN 'quarter' ELSE 'month' END AS level,
+       coalesce(yr, -1) AS yr,
+       coalesce(qtr, -1) AS qtr,
+       coalesce(mo, -1) AS mo,
+       rev, n_lines
+FROM rolled
+ORDER BY yr, qtr, mo, level
+"""
+
+ORACLE_SQL["q218_gini"] = """
+WITH spend AS (
+  SELECT o_custkey, sum(o_totalprice) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x,
+         cast(row_number() OVER (ORDER BY x, o_custkey) AS DOUBLE) AS i
+  FROM spend
+)
+SELECT round(2 * sum(i * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini,
+       cast(count(*) AS BIGINT) AS n_customers,
+       round(sum(x), 2) AS total_spend
+FROM ranked
+"""
+
+ORACLE_SQL["q219_equidepth_histogram"] = """
+WITH bounds AS (
+  SELECT quantile_cont(o_totalprice,
+           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+  FROM orders
+)
+SELECT cast(list_sum(list_transform(bs,
+         b -> CASE WHEN o_totalprice > b THEN 1 ELSE 0 END)) AS BIGINT)
+         AS bucket,
+       cast(count(*) AS BIGINT) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders CROSS JOIN bounds
+GROUP BY 1
+ORDER BY bucket
+"""
+
+ORACLE_SQL["q220_interval_union"] = """
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) - 15 * 60 * 1000000 AS s,
+         epoch_us(ts) + 15 * 60 * 1000000 AS e,
+         event_id
+  FROM events
+  WHERE user_id % 37 = 0
+),
+staged AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_period,
+         event_id
+  FROM iv
+),
+numbered AS (
+  SELECT user_id, s, e,
+         sum(new_period) OVER (PARTITION BY user_id ORDER BY s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS period_id
+  FROM staged
+),
+periods AS (
+  SELECT user_id, period_id, min(s) AS ps, max(e) AS pe
+  FROM numbered GROUP BY user_id, period_id
+)
+SELECT user_id,
+       cast(count(*) AS BIGINT) AS n_periods,
+       round(sum((pe - ps) / 60000000.0), 2) AS covered_minutes
+FROM periods
+GROUP BY user_id
+ORDER BY user_id
+"""

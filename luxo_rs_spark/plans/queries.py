@@ -6699,3 +6699,171 @@ def q215_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t_hours")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q216 — daily activity bitmaps (roaring-bitmap-style presence encoding
+# on a 63-slot grid (bit 63 is the BIGINT sign bit — engines disagree
+# on shifting into it): bit k set iff some user with user_id%63==k was
+# active that day): bit_or aggregation packs presence into ONE BIGINT
+# per day — the bitmap-index building block; popcount reads the
+# distinct-slot count back out. Bitmaps OR-combine associatively, so
+# partial aggregation works map-side like any algebraic agg.
+# ---------------------------------------------------------------------------
+@query("q216_activity_bitmaps")
+def q216_activity_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    slot_bit = F.expr(
+        "shiftleft(cast(1 AS BIGINT), cast(user_id % 63 AS INT))"
+    )
+    return (
+        events.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.bit_or(slot_bit).alias("bitmap"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("bitmap").cast("bigint").alias("bitmap"),
+            F.bit_count("bitmap").cast("bigint").alias("slots_active"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q217 — time-hierarchy rollup (year → quarter → month GROUPING SETS
+# with level labels): the canonical OLAP drill-down report — one
+# expand-aggregate produces all three grains consistently; grouping()
+# flags pick the level label.
+# ---------------------------------------------------------------------------
+@query("q217_time_hierarchy")
+def q217_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    staged = li.select(
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.quarter("l_shipdate").cast("bigint").alias("qtr"),
+        F.month("l_shipdate").cast("bigint").alias("mo"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amt"),
+    )
+    rolled = staged.rollup("yr", "qtr", "mo").agg(
+        _r2(F.sum("amt")).alias("rev"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.grouping_id().alias("gid"),
+    )
+    level = (
+        F.when(F.col("gid") == 7, "total")
+        .when(F.col("gid") == 3, "year")
+        .when(F.col("gid") == 1, "quarter")
+        .otherwise("month")
+    )
+    return (
+        rolled.select(
+            level.alias("level"),
+            F.coalesce(F.col("yr"), F.lit(-1)).alias("yr"),
+            F.coalesce(F.col("qtr"), F.lit(-1)).alias("qtr"),
+            F.coalesce(F.col("mo"), F.lit(-1)).alias("mo"),
+            "rev",
+            "n_lines",
+        )
+        .orderBy("yr", "qtr", "mo", "level")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q218 — Gini coefficient of customer spend (the inequality metric:
+# G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending-sorted spend):
+# rank window over the per-customer pre-agg + one closed-form agg.
+# ---------------------------------------------------------------------------
+@query("q218_gini")
+def q218_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum("o_totalprice").alias("x")
+    )
+    w = Window.orderBy(F.col("x"), F.col("o_custkey"))
+    ranked = spend.withColumn("i", F.row_number().over(w).cast("double"))
+    return ranked.agg(
+        F.round(
+            2 * F.sum(F.col("i") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6,
+        ).alias("gini"),
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        _r2(F.sum("x")).alias("total_spend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q219 — equi-DEPTH histogram (equal-population buckets, the complement
+# of q104's equal-width): decile bounds from ONE array-percentile agg
+# broadcast onto the scan, bucket = count of bounds strictly below the
+# value (fully parallel — no ntile single-partition sort), then
+# per-bucket population and range.
+# ---------------------------------------------------------------------------
+@query("q219_equidepth_histogram")
+def q219_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    qs = ", ".join(str(i / 10) for i in range(1, 10))
+    bounds = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({qs}))").alias("bs")
+    )
+    bucket = F.aggregate(
+        "bs",
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(F.col("o_totalprice") > b, 1).otherwise(0),
+    )
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(bucket.cast("bigint").alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _r2(F.min("o_totalprice")).alias("lo"),
+            _r2(F.max("o_totalprice")).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q220 — interval union / merge overlapping activity windows (each
+# event opens a ±15-minute presence window; overlapping windows merge
+# into covered periods): the islands trick on intervals — a window
+# starts a new covered period when its start exceeds the running max
+# of previous ends. Output per-user period count + covered minutes —
+# the "time actually active" metric ad-fraud and billing both need.
+# ---------------------------------------------------------------------------
+@query("q220_interval_union")
+def q220_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 37 == 0
+    )
+    iv = events.select(
+        "user_id",
+        (F.unix_micros("ts") - 15 * 60 * 1000000).alias("s"),
+        (F.unix_micros("ts") + 15 * 60 * 1000000).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged = iv.withColumn(
+        "new_period",
+        F.when(
+            prev_max_e.isNull() | (F.col("s") > prev_max_e), 1
+        ).otherwise(0),
+    ).withColumn("period_id", F.sum("new_period").over(run))
+    periods = staged.groupBy("user_id", "period_id").agg(
+        F.min("s").alias("ps"), F.max("e").alias("pe")
+    )
+    return (
+        periods.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_periods"),
+            F.round(
+                F.sum((F.col("pe") - F.col("ps")) / F.lit(60000000.0)), 2
+            ).alias("covered_minutes"),
+        )
+        .orderBy("user_id")
+    )
