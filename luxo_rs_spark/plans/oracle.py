@@ -3824,3 +3824,106 @@ FROM periods
 GROUP BY user_id
 ORDER BY user_id
 """
+
+ORACLE_SQL["q221_unpivot_melt"] = """
+WITH long AS (
+  SELECT l_orderkey, 'quantity' AS measure,
+         cast(l_quantity AS DOUBLE) AS val FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'discount', cast(l_discount AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, 'tax', cast(l_tax AS DOUBLE) FROM lineitem
+)
+SELECT measure,
+       cast(count(*) AS BIGINT) AS n,
+       round(avg(val), 2) AS mean_val,
+       round(max(val), 2) AS max_val
+FROM long
+GROUP BY measure
+ORDER BY measure
+"""
+
+ORACLE_SQL["q222_random_projection"] = """
+WITH staged AS (
+  SELECT vec_id,
+         cast(embedding AS DOUBLE[]) AS e
+  FROM embeddings
+),
+proj AS (
+  SELECT vec_id,
+         list_transform(range(0, 8), j ->
+           list_sum(list_transform(e, (x, i) ->
+             x * (cast(((i - 1) * 2654435761 + j * 40503) % 1000003
+                       AS DOUBLE) / 1000003.0 - 0.5)))) AS y
+  FROM staged
+)
+SELECT vec_id,
+       round(y[1], 6) AS y0,
+       round(y[2], 6) AS y1,
+       round(y[3], 6) AS y2,
+       round(sqrt(list_sum(list_transform(y, v -> v * v))), 6) AS y_norm
+FROM proj
+ORDER BY vec_id
+LIMIT 300
+"""
+
+ORACLE_SQL["q223_decile_migration"] = """
+WITH a AS (
+  SELECT o_custkey,
+         cast(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT)
+           AS from_decile
+  FROM (SELECT o_custkey, sum(o_totalprice) AS spend
+        FROM orders WHERE year(o_orderdate) = 1996 GROUP BY 1)
+),
+b AS (
+  SELECT o_custkey,
+         cast(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT)
+           AS to_decile
+  FROM (SELECT o_custkey, sum(o_totalprice) AS spend
+        FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1)
+)
+SELECT coalesce(from_decile, 0) AS from_decile,
+       coalesce(to_decile, 0) AS to_decile,
+       cast(count(*) AS BIGINT) AS n_customers
+FROM a FULL JOIN b USING (o_custkey)
+GROUP BY 1, 2
+ORDER BY from_decile, to_decile
+"""
+
+ORACLE_SQL["q224_higher_moments"] = """
+-- Spark's skewness/kurtosis are POPULATION moments; duckdb's named
+-- aggregates are sample-corrected -> kurtosis_pop + manual m3/m2^1.5
+WITH staged AS (
+  SELECT l_returnflag, l_extendedprice AS x,
+         avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mu
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(avg(pow(x - mu, 3)) / pow(avg(pow(x - mu, 2)), 1.5), 4)
+         AS skew_price,
+       round(kurtosis_pop(x), 4) AS kurt_price,
+       round(stddev_samp(x), 2) AS sd_price,
+       cast(count(*) AS BIGINT) AS n
+FROM staged
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q225_corr_matrix"] = """
+WITH wide AS (
+  SELECT round(corr(l_quantity, l_extendedprice), 6) AS q_e,
+         round(corr(l_quantity, l_discount), 6) AS q_d,
+         round(corr(l_quantity, l_tax), 6) AS q_t,
+         round(corr(l_extendedprice, l_discount), 6) AS e_d,
+         round(corr(l_extendedprice, l_tax), 6) AS e_t,
+         round(corr(l_discount, l_tax), 6) AS d_t
+  FROM lineitem
+)
+SELECT 'quantity' AS measure_a, 'extendedprice' AS measure_b, q_e AS corr FROM wide
+UNION ALL SELECT 'quantity', 'discount', q_d FROM wide
+UNION ALL SELECT 'quantity', 'tax', q_t FROM wide
+UNION ALL SELECT 'extendedprice', 'discount', e_d FROM wide
+UNION ALL SELECT 'extendedprice', 'tax', e_t FROM wide
+UNION ALL SELECT 'discount', 'tax', d_t FROM wide
+ORDER BY measure_a, measure_b
+"""

@@ -6867,3 +6867,165 @@ def q220_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q221 — official unpivot/melt API (df.unpivot, Spark ≥3.4 — the typed
+# counterpart of q137's stack()): wide per-order measures to long
+# (measure, value) rows, then per-measure stats. ids/values/names are
+# schema-checked by the API, unlike stack's stringly form.
+# ---------------------------------------------------------------------------
+@query("q221_unpivot_melt")
+def q221_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    long = wide.unpivot(
+        ids=["l_orderkey"],
+        values=["quantity", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("measure")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            _r2(F.avg("val")).alias("mean_val"),
+            _r2(F.max("val")).alias("max_val"),
+        )
+        .orderBy("measure")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q222 — random projection (Johnson-Lindenstrauss dim reduction with a
+# DETERMINISTIC hash-derived projection matrix — no RNG, rerun-stable):
+# y_j = Σ_i x_i * P(i,j), P from a multiplicative hash of (i,j), all
+# computed by nested HOF lambdas inside the scan stage — a 128→8
+# matrix-vector product per row with ZERO shuffle and zero Python.
+# ---------------------------------------------------------------------------
+@query("q222_random_projection")
+def q222_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # P(i,j) in [-0.5, 0.5): ((i*2654435761 + j*40503) % 1000003)/1000003 - 0.5
+    proj = (
+        "transform(sequence(0, 7), j -> "
+        " aggregate(zip_with(e, sequence(0, size(e) - 1), (x, i) -> "
+        "   x * (cast((i * 2654435761 + j * 40503) % 1000003 AS DOUBLE)"
+        "        / 1000003.0 - 0.5)),"
+        "  cast(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    staged = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("y", F.expr(proj))
+    return (
+        staged.select(
+            "vec_id",
+            F.round(F.element_at("y", 1), 6).alias("y0"),
+            F.round(F.element_at("y", 2), 6).alias("y1"),
+            F.round(F.element_at("y", 3), 6).alias("y2"),
+            F.round(
+                F.sqrt(
+                    F.aggregate(
+                        "y", F.lit(0.0), lambda a, v: a + v * v
+                    )
+                ),
+                6,
+            ).alias("y_norm"),
+        )
+        .orderBy("vec_id")
+        .limit(300)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q223 — segment migration matrix (each customer's spend decile in 1996
+# vs 1997, counted per (from, to) cell — the churn/upsell movement
+# report): two year-scoped decile rankings of the SAME pre-agg shape,
+# full-outer joined on the customer, with entries/exits as decile 0.
+# ---------------------------------------------------------------------------
+@query("q223_decile_migration")
+def q223_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def deciles(y):
+        spend = (
+            orders.filter(F.year("o_orderdate") == y)
+            .groupBy("o_custkey")
+            .agg(F.sum("o_totalprice").alias("spend"))
+        )
+        w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+        return spend.select(
+            "o_custkey", F.ntile(10).over(w).cast("bigint").alias("decile")
+        )
+    a = deciles(1996).withColumnRenamed("decile", "from_decile")
+    b = deciles(1997).withColumnRenamed("decile", "to_decile")
+    return (
+        a.join(b, "o_custkey", "full")
+        .groupBy(
+            F.coalesce("from_decile", F.lit(0)).alias("from_decile"),
+            F.coalesce("to_decile", F.lit(0)).alias("to_decile"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("from_decile", "to_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q224 — higher-moment statistics battery (skewness + kurtosis beside
+# the q19/q58 variance family): per returnflag over the price column.
+# Both engines compute the same sample-moment formulas; rounded at 4dp.
+# ---------------------------------------------------------------------------
+@query("q224_higher_moments")
+def q224_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.skewness("l_extendedprice"), 4).alias("skew_price"),
+            F.round(F.kurtosis("l_extendedprice"), 4).alias("kurt_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q225 — correlation matrix (all measure pairs of lineitem in one agg
+# pass — the numeric-profiling heatmap input): six corr() aggregates
+# share one HashAggregate over one scan; emitted long-form
+# (measure_a, measure_b, corr).
+# ---------------------------------------------------------------------------
+@query("q225_corr_matrix")
+def q225_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = [
+        ("quantity", "extendedprice"),
+        ("quantity", "discount"),
+        ("quantity", "tax"),
+        ("extendedprice", "discount"),
+        ("extendedprice", "tax"),
+        ("discount", "tax"),
+    ]
+    wide = li.agg(
+        *[
+            F.round(F.corr(f"l_{a}", f"l_{b}"), 6).alias(f"{a}__{b}")
+            for a, b in pairs
+        ]
+    )
+    stacked = wide.select(
+        F.expr(
+            "stack({n}, {args}) AS (measure_a, measure_b, corr)".format(
+                n=len(pairs),
+                args=", ".join(
+                    f"'{a}', '{b}', {a}__{b}" for a, b in pairs
+                ),
+            )
+        )
+    )
+    return stacked.orderBy("measure_a", "measure_b")
