@@ -3927,3 +3927,105 @@ UNION ALL SELECT 'extendedprice', 'tax', e_t FROM wide
 UNION ALL SELECT 'discount', 'tax', d_t FROM wide
 ORDER BY measure_a, measure_b
 """
+
+ORACLE_SQL["q226_cv_folds"] = """
+SELECT cast(((vec_id * 2654435761) % 1000000007) % 5 AS BIGINT) AS fold,
+       label,
+       cast(count(*) AS BIGINT) AS n
+FROM embeddings
+GROUP BY 1, 2
+ORDER BY fold, label
+"""
+
+ORACLE_SQL["q227_chi_square"] = """
+WITH obs AS (
+  SELECT event_type, dayofweek(ts) AS dow,
+         cast(count(*) AS DOUBLE) AS o
+  FROM events GROUP BY 1, 2
+),
+row_m AS (SELECT event_type, sum(o) AS row_t FROM obs GROUP BY 1),
+col_m AS (SELECT dow, sum(o) AS col_t FROM obs GROUP BY 1),
+grand AS (SELECT sum(o) AS g FROM obs),
+cells AS (
+  SELECT o, row_t * col_t / g AS e
+  FROM obs
+  JOIN row_m USING (event_type)
+  JOIN col_m USING (dow)
+  CROSS JOIN grand
+)
+SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+       cast(count(*) AS BIGINT) AS n_cells,
+       cast((SELECT count(DISTINCT event_type) - 1 FROM obs) AS BIGINT)
+         AS df_rows,
+       cast((SELECT count(DISTINCT dow) - 1 FROM obs) AS BIGINT) AS df_cols
+FROM cells
+"""
+
+ORACLE_SQL["q228_rolling_slope"] = """
+WITH daily AS (
+  SELECT date_trunc('day', l_shipdate) AS day,
+         sum(l_extendedprice * (1 - l_discount)) AS y
+  FROM lineitem GROUP BY 1
+),
+staged AS (
+  SELECT day, y,
+         cast(date_diff('day', TIMESTAMP '1995-01-01', day) AS DOUBLE) AS x
+  FROM daily
+),
+rolled AS (
+  SELECT day,
+         (avg(x * y) OVER w - avg(x) OVER w * avg(y) OVER w)
+           / (avg(x * x) OVER w - avg(x) OVER w * avg(x) OVER w) AS slope,
+         count(*) OVER w AS n_win
+  FROM staged
+  WINDOW w AS (ORDER BY x ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT strftime(day, '%Y-%m-%d') AS day,
+       round(slope, 2) AS slope_14d
+FROM rolled
+WHERE n_win = 14
+ORDER BY day
+LIMIT 200
+"""
+
+ORACLE_SQL["q229_hhi"] = """
+WITH per_sup AS (
+  SELECT n_name, s_suppkey,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT n_name, sum(rev) AS nation_rev FROM per_sup GROUP BY 1)
+SELECT n_name,
+       round(sum(pow(rev / nation_rev, 2)) * 10000, 2) AS hhi,
+       cast(count(*) AS BIGINT) AS n_suppliers
+FROM per_sup JOIN tot USING (n_name)
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+ORACLE_SQL["q230_auc"] = """
+WITH labeled AS (
+  SELECT round(value, 2) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS pos
+  FROM events
+),
+by_score AS (
+  SELECT score, cast(count(*) AS DOUBLE) AS n, sum(pos) AS n_pos
+  FROM labeled GROUP BY score
+),
+ranked AS (
+  SELECT *,
+         coalesce(sum(n) OVER (ORDER BY score
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+           + (n + 1) / 2 AS avg_rank
+  FROM by_score
+)
+SELECT round((sum(avg_rank * n_pos) - sum(n_pos) * (sum(n_pos) + 1) / 2)
+             / (sum(n_pos) * (sum(n) - sum(n_pos))), 6) AS auc,
+       cast(sum(n_pos) AS BIGINT) AS n_positive,
+       cast(sum(n) - sum(n_pos) AS BIGINT) AS n_negative
+FROM ranked
+"""

@@ -7029,3 +7029,170 @@ def q225_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked.orderBy("measure_a", "measure_b")
+
+
+# ---------------------------------------------------------------------------
+# Q226 — deterministic k-fold cross-validation assignment (ML-pipeline
+# prerequisite: hash-fold the embedding corpus into 5 folds and verify
+# label balance per fold): fold = multiplicative-hash(vec_id) % k, the
+# same rerun-stable idiom as q67's train/val/test split. Output is the
+# per-(fold, label) census a leakage audit reads.
+# ---------------------------------------------------------------------------
+@query("q226_cv_folds")
+def q226_cv_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    fold = ((F.col("vec_id") * F.lit(2654435761)) % F.lit(1000000007)) % 5
+    return (
+        emb.groupBy(fold.cast("bigint").alias("fold"), "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("fold", "label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q227 — chi-square independence test (event_type × weekday: does
+# activity mix shift across the week?): observed counts from one agg;
+# expected = row_total * col_total / grand_total via two broadcast
+# margins; X² = Σ (o-e)²/e. The categorical-drift test statistic,
+# entirely as joins+aggs.
+# ---------------------------------------------------------------------------
+@query("q227_chi_square")
+def q227_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    obs = events.groupBy(
+        F.col("event_type"), F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    row_m = obs.groupBy("event_type").agg(F.sum("o").alias("row_t"))
+    col_m = obs.groupBy("dow").agg(F.sum("o").alias("col_t"))
+    grand = obs.agg(F.sum("o").alias("g"))
+    cells = (
+        obs.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "dow")
+        .join(F.broadcast(grand))
+        .withColumn("e", F.col("row_t") * F.col("col_t") / F.col("g"))
+    )
+    return cells.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chi2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        (F.countDistinct("event_type") - 1).cast("bigint").alias("df_rows"),
+        (F.countDistinct("dow") - 1).cast("bigint").alias("df_cols"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q228 — rolling regression slope (14-day trailing trend of daily
+# revenue): slope over a ROWS frame from the closed-form moment ratio
+# (avg(xy)-avg(x)avg(y)) / (avg(xx)-avg(x)²) — five frame aggregates on
+# ONE ordering, no self-joins. The trend-detector that feeds q184's
+# anomaly flags.
+# ---------------------------------------------------------------------------
+@query("q228_rolling_slope")
+def q228_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    daily = li.groupBy(
+        F.date_trunc("day", "l_shipdate").alias("day")
+    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("y"))
+    staged = daily.withColumn(
+        "x",
+        F.datediff(
+            F.col("day"), F.lit("1995-01-01").cast("timestamp")
+        ).cast("double"),
+    )
+    w = Window.orderBy("x").rowsBetween(-13, Window.currentRow)
+    # nullif-guard: short leading frames have zero x-variance and the
+    # slope expression evaluates BEFORE the n_win filter (ANSI div/0)
+    slope = (
+        F.avg(F.col("x") * F.col("y")).over(w)
+        - F.avg("x").over(w) * F.avg("y").over(w)
+    ) / F.nullif(
+        F.avg(F.col("x") * F.col("x")).over(w)
+        - F.avg("x").over(w) * F.avg("x").over(w),
+        F.lit(0.0),
+    )
+    out = (
+        staged.withColumn("slope", slope)  # BEFORE the filter: the frame
+        .withColumn("n_win", F.count(F.lit(1)).over(w))  # must see all days
+        .filter(F.col("n_win") == 14)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round("slope", 2).alias("slope_14d"),
+        )
+    )
+    return out.orderBy("day").limit(200)
+
+
+# ---------------------------------------------------------------------------
+# Q229 — Herfindahl-Hirschman concentration index (how concentrated is
+# each nation's supplier market): per-supplier revenue shares within
+# nation, HHI = Σ share² (x10000, antitrust convention). Two aggs on
+# one (nation) grain + a broadcast margin join.
+# ---------------------------------------------------------------------------
+@query("q229_hhi")
+def q229_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_sup = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    tot = per_sup.groupBy("n_name").agg(F.sum("rev").alias("nation_rev"))
+    return (
+        per_sup.join(F.broadcast(tot), "n_name")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.pow(F.col("rev") / F.col("nation_rev"), 2)
+                )
+                * 10000,
+                2,
+            ).alias("hhi"),
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q230 — AUC via the Mann-Whitney U statistic (rank-sum form: does the
+# value column separate purchases from other events?): average ranks
+# per tied score from a cumulative-count window, U from the positive
+# rank sum, AUC = U / (n_pos * n_neg). The standard large-scale AUC
+# formulation — one sort-window over the DISTINCT score relation, no
+# pairwise comparisons.
+# ---------------------------------------------------------------------------
+@query("q230_auc")
+def q230_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    labeled = events.select(
+        F.round("value", 2).alias("score"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias(
+            "pos"
+        ),
+    )
+    by_score = labeled.groupBy("score").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pos").alias("n_pos"),
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_score.withColumn(
+        "cum_before", F.coalesce(F.sum("n").over(w), F.lit(0.0))
+    ).withColumn("avg_rank", F.col("cum_before") + (F.col("n") + 1) / 2)
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("avg_rank") * F.col("n_pos"))
+                - F.sum("n_pos") * (F.sum("n_pos") + 1) / 2
+            )
+            / (F.sum("n_pos") * (F.sum("n") - F.sum("n_pos"))),
+            6,
+        ).alias("auc"),
+        F.sum("n_pos").cast("bigint").alias("n_positive"),
+        (F.sum("n") - F.sum("n_pos")).cast("bigint").alias("n_negative"),
+    )
