@@ -4029,3 +4029,38 @@ SELECT round((sum(avg_rank * n_pos) - sum(n_pos) * (sum(n_pos) + 1) / 2)
        cast(sum(n) - sum(n_pos) AS BIGINT) AS n_negative
 FROM ranked
 """
+
+ORACLE_SQL["q231_csv_malformed"] = """
+SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
+       cast(count(*) AS BIGINT) AS n_rows,
+       round(sum(CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                      ELSE o_totalprice END), 2) AS sum_price
+FROM orders
+GROUP BY 1
+ORDER BY status
+"""
+
+ORACLE_SQL["q232_format_battery"] = """
+SELECT cast(n_nationkey AS BIGINT) AS k,
+       printf('N-%05d', n_nationkey) AS padded_id,
+       printf('%s/%02d', n_name, n_regionkey) AS composed,
+       printf('%08.3f', n_nationkey * 1.5) AS fixed_float
+FROM nation
+ORDER BY k
+"""
+
+ORACLE_SQL["q233_array_index_semantics"] = """
+WITH staged AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 4) AS a
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id,
+       a[1] AS first_el,
+       a[-1] AS last_el,
+       a[99] AS oob_null,
+       cast(coalesce(list_position(a, 'the'), 0) AS BIGINT) AS pos_the,
+       a[100] AS get_oob,
+       cast(length(a) AS BIGINT) AS n
+FROM staged
+ORDER BY doc_id
+"""

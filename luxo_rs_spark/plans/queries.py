@@ -7196,3 +7196,113 @@ def q230_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_pos").cast("bigint").alias("n_positive"),
         (F.sum("n") - F.sum("n_pos")).cast("bigint").alias("n_negative"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q231 — malformed-record CSV ingest (PERMISSIVE mode + corrupt-record
+# column): rows missing a field land in _corrupt_record instead of
+# failing the job — the quarantine contract real ingest needs. The CSV
+# is generated from orders (every o_orderkey%10==0 row deliberately
+# truncated), read back with an explicit schema, and audited. The
+# oracle reproduces the good/bad split relationally.
+# ---------------------------------------------------------------------------
+@query("q231_csv_malformed")
+def q231_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # corrupt rows carry an unparsable DOUBLE field (a merely-truncated
+    # row would be null-filled by PERMISSIVE, not flagged)
+    line = F.when(
+        F.col("o_orderkey") % 10 == 0,
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.lit("not_a_number"),
+        ),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    path = f"/root/repo/.tmp/luxo_csv_{abs(hash(sf_dir)) % 10**8}"
+    orders.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = (
+        "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,"
+        " _corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), "corrupt")
+            .otherwise("ok")
+            .alias("status"),
+            "o_totalprice",
+        )
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            _r2(F.sum("o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q232 — printf/format battery (format_string with C-style specs —
+# report-ready key formatting): zero-padded ids, fixed-width floats,
+# composed labels. JVM-side formatting, identical %-spec semantics on
+# both engines.
+# ---------------------------------------------------------------------------
+@query("q232_format_battery")
+def q232_format_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            F.col("n_nationkey").cast("bigint").alias("k"),
+            F.format_string(
+                "N-%05d", F.col("n_nationkey")
+            ).alias("padded_id"),
+            F.format_string(
+                "%s/%02d", F.col("n_name"), F.col("n_regionkey")
+            ).alias("composed"),
+            F.format_string(
+                "%08.3f", F.col("n_nationkey") * 1.5
+            ).alias("fixed_float"),
+        )
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q233 — array index semantics battery (element_at negative indexing,
+# out-of-bounds → NULL via try_element_at, array_position's 0-for-
+# missing, get()'s NULL-on-OOB): the indexing edge cases §2.2-H's
+# array battery (q16) leaves implicit.
+# ---------------------------------------------------------------------------
+@query("q233_array_index_semantics")
+def q233_array_index_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    toks = F.slice(F.split("text", " "), 1, 4)
+    staged = docs.select("doc_id", toks.alias("a"))
+    return (
+        staged.select(
+            "doc_id",
+            F.element_at("a", 1).alias("first_el"),
+            F.element_at("a", -1).alias("last_el"),
+            F.expr("try_element_at(a, 99)").alias("oob_null"),
+            F.array_position(F.col("a"), "the").cast("bigint").alias(
+                "pos_the"
+            ),
+            F.get(F.col("a"), 99).alias("get_oob"),
+            F.size("a").cast("bigint").alias("n"),
+        )
+        .orderBy("doc_id")
+    )
