@@ -4064,3 +4064,72 @@ SELECT doc_id,
 FROM staged
 ORDER BY doc_id
 """
+
+ORACLE_SQL["q234_behavior_entropy"] = """
+WITH mix AS (
+  SELECT user_id, event_type, cast(count(*) AS DOUBLE) AS n
+  FROM events
+  WHERE user_id % 5 = 0
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT user_id, event_type, n,
+         n / sum(n) OVER (PARTITION BY user_id) AS p
+  FROM mix
+)
+SELECT user_id,
+       round(sum(-p * ln(p)), 6) AS entropy_nats,
+       cast(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       cast(sum(n) AS BIGINT) AS n_events
+FROM p
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+ORACLE_SQL["q235_welch_t"] = """
+WITH agg AS (
+  SELECT avg(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+         var_samp(CASE WHEN event_type = 'purchase' THEN value END) AS v1,
+         cast(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+           AS n1,
+         avg(CASE WHEN event_type = 'view' THEN value END) AS m2,
+         var_samp(CASE WHEN event_type = 'view' THEN value END) AS v2,
+         cast(count(CASE WHEN event_type = 'view' THEN 1 END) AS DOUBLE) AS n2
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+)
+SELECT round((m1 - m2) / sqrt(v1 / n1 + v2 / n2), 4) AS t_stat,
+       round(pow(v1 / n1 + v2 / n2, 2)
+             / (pow(v1 / n1, 2) / (n1 - 1) + pow(v2 / n2, 2) / (n2 - 1)), 2)
+         AS df_welch,
+       cast(n1 AS BIGINT) AS n_purchase,
+       cast(n2 AS BIGINT) AS n_view
+FROM agg
+"""
+
+ORACLE_SQL["q236_haversine"] = """
+WITH pts AS (
+  SELECT cast(n_nationkey AS BIGINT) AS k,
+         cast((n_nationkey * 37) % 140 - 70 AS DOUBLE) AS lat,
+         cast((n_nationkey * 73) % 340 - 170 AS DOUBLE) AS lon
+  FROM nation
+),
+pairs AS (
+  SELECT a.k AS ka, b.k AS kb,
+         2 * 6371.0 * asin(sqrt(
+           pow(sin(radians(b.lat - a.lat) / 2), 2)
+           + cos(radians(a.lat)) * cos(radians(b.lat))
+             * pow(sin(radians(b.lon - a.lon) / 2), 2))) AS km
+  FROM pts a CROSS JOIN pts b
+  WHERE a.k <> b.k
+),
+ranked AS (
+  SELECT ka, kb, km,
+         row_number() OVER (PARTITION BY ka ORDER BY km, kb) AS rn
+  FROM pairs
+)
+SELECT ka, kb AS nearest, round(km, 2) AS km
+FROM ranked
+WHERE rn = 1
+ORDER BY ka
+"""

@@ -7306,3 +7306,106 @@ def q233_array_index_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q234 — behavioral entropy per user (Shannon entropy of each user's
+# event-type mix — the diversity feature behind bot/power-user
+# detection; the per-entity counterpart of q97's corpus entropy): two
+# aggs on one (user) grain, p·ln p folded without a join back.
+# ---------------------------------------------------------------------------
+@query("q234_behavior_entropy")
+def q234_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 5 == 0
+    )
+    mix = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = Window.partitionBy("user_id")
+    p = F.col("n") / F.sum("n").over(tot)
+    return (
+        mix.withColumn("plogp", -p * F.log(p))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("plogp"), 6).alias("entropy_nats"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.sum("n").cast("bigint").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q235 — Welch's t statistic (do purchases carry different values than
+# views? unequal-variance two-sample test): conditional moment aggs in
+# ONE pass, then the closed form t = (m1-m2)/sqrt(s1²/n1 + s2²/n2)
+# with the Welch-Satterthwaite df. Complements q227's categorical test
+# with the numeric one.
+# ---------------------------------------------------------------------------
+@query("q235_welch_t")
+def q235_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    g1 = F.col("event_type") == "purchase"
+    g2 = F.col("event_type") == "view"
+    agg = events.filter(g1 | g2).agg(
+        F.avg(F.when(g1, F.col("value"))).alias("m1"),
+        F.var_samp(F.when(g1, F.col("value"))).alias("v1"),
+        F.count(F.when(g1, 1)).cast("double").alias("n1"),
+        F.avg(F.when(g2, F.col("value"))).alias("m2"),
+        F.var_samp(F.when(g2, F.col("value"))).alias("v2"),
+        F.count(F.when(g2, 1)).cast("double").alias("n2"),
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    df_ws = (se2 * se2) / (
+        F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+        + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+    )
+    return agg.select(
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 4).alias("t_stat"),
+        F.round(df_ws, 2).alias("df_welch"),
+        F.col("n1").cast("bigint").alias("n_purchase"),
+        F.col("n2").cast("bigint").alias("n_view"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q236 — haversine distance matrix (great-circle km between nation
+# "capitals" on deterministically derived coordinates): the full
+# geo-distance battery (radians/sin/cos/asin/sqrt) over a 25×25
+# self-cross of a broadcast dim. Closest-neighbor per nation out.
+# ---------------------------------------------------------------------------
+@query("q236_haversine")
+def q236_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    pts = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("k"),
+        ((F.col("n_nationkey") * 37) % 140 - 70).cast("double").alias("lat"),
+        ((F.col("n_nationkey") * 73) % 340 - 170).cast("double").alias("lon"),
+    )
+    a = pts.select(
+        F.col("k").alias("ka"), F.col("lat").alias("la"), F.col("lon").alias("lo_a")
+    )
+    b = pts.select(
+        F.col("k").alias("kb"), F.col("lat").alias("lb"), F.col("lon").alias("lo_b")
+    )
+    dlat = F.radians(F.col("lb") - F.col("la")) / 2
+    dlon = F.radians(F.col("lo_b") - F.col("lo_a")) / 2
+    h = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians("la"))
+        * F.cos(F.radians("lb"))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    dist = 2 * 6371.0 * F.asin(F.sqrt(h))
+    pairs = a.crossJoin(b).filter(F.col("ka") != F.col("kb")).select(
+        "ka", "kb", dist.alias("km")
+    )
+    w = Window.partitionBy("ka").orderBy(F.col("km"), F.col("kb"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("ka", F.col("kb").alias("nearest"), F.round("km", 2).alias("km"))
+        .orderBy("ka")
+    )
