@@ -2,4 +2,11 @@ from luxo_rs_spark.operators.asof import asof_join
 from luxo_rs_spark.operators.skew import salted_agg_count, salted_join, with_salt
 from luxo_rs_spark.operators.topk import top_k, top_k_per_group
 
-__all__ = ["asof_join", "top_k", "top_k_per_group"]
+__all__ = [
+    "asof_join",
+    "salted_agg_count",
+    "salted_join",
+    "top_k",
+    "top_k_per_group",
+    "with_salt",
+]

@@ -51,7 +51,19 @@ def salted_join(
 
     entropy: a big-side column expression with per-row entropy (a row
     id, event id, line number) used to derive the deterministic salt.
+
+    Supported join types: inner / left / left_semi / left_anti (big
+    side preserved). right / full outer are rejected: the small side is
+    replicated `buckets` times, so every small-side row UNMATCHED by
+    the big side would surface once per replica — `buckets` duplicate
+    null-padded rows.
     """
+    if how.replace("_", "") in {"right", "rightouter", "full", "fullouter", "outer"}:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "small side would emit each unmatched row `buckets` times. "
+            "Use inner/left/left_semi/left_anti, or salt the other side."
+        )
     b = with_salt(big, entropy, buckets)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -3805,9 +3805,13 @@ def q134_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q135_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = 8
+    # Guard short docs: sequence(1, 0) in Spark is the DESCENDING [1, 0]
+    # (not empty like the oracle's generate_series), and slice(.., 0, ..)
+    # then throws — so docs with < n words must yield an empty array.
     grams = F.expr(
-        f"transform(sequence(1, greatest(size(split(text, ' ')) - {n - 1}, 0)),"
-        f" i -> array_join(slice(split(text, ' '), i, {n}), ' '))"
+        f"case when size(split(text, ' ')) < {n} then array() else"
+        f" transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+        f" i -> array_join(slice(split(text, ' '), i, {n}), ' ')) end"
     )
     return (
         docs.select("doc_id", F.explode(grams).alias("passage"))
@@ -4633,10 +4637,13 @@ def q159_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q160_vocab_growth")
 def q160_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Short-doc guard (see q135): Spark's sequence(1, 0) is [1, 0], so a
+    # one-word doc would hit element_at(.., 0) and throw; emit array().
     bigrams = F.expr(
-        "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+        "case when size(split(text, ' ')) < 2 then array() else"
+        " transform(sequence(1, size(split(text, ' ')) - 1),"
         " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1)))"
+        "             element_at(split(text, ' '), i + 1))) end"
     )
     first_seen = (
         docs.select("doc_id", F.explode(bigrams).alias("token"))
@@ -7227,7 +7234,17 @@ def q231_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_totalprice").cast("string"),
         )
     )
-    path = f"/root/repo/.tmp/luxo_csv_{abs(hash(sf_dir)) % 10**8}"
+    # Stable scratch path: md5 (not str hash — PYTHONHASHSEED-salted,
+    # differs per process) of sf_dir, under the system tmpdir so the
+    # query works from any checkout location.
+    import hashlib
+    import os as _os
+    import tempfile as _tempfile
+
+    path = _os.path.join(
+        _tempfile.gettempdir(),
+        f"luxo_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
     orders.select(line.alias("value")).write.mode("overwrite").text(path)
     schema = (
         "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE,"
@@ -7409,3 +7426,25 @@ def q236_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ka", F.col("kb").alias("nearest"), F.round("km", 2).alias("km"))
         .orderBy("ka")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q237 — banded-LSH embedding near-dup (the sub-quadratic scale path
+# for q35's contract: candidate pairs share >= 1 band of hyperplane
+# sign bits, then exact-cosine verify). Approximate (recall < 1 by
+# construction) -> rows-only driver check; recall vs the exact operator
+# is pinned in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+@query("q237_embedding_neardup_lsh")
+def q237_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import embedding_neardup_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        embedding_neardup_lsh(emb, threshold=0.45, n_bands=16, band_bits=4)
+        .select("va", "vb", F.round("sim", 4).alias("sim"))
+        .orderBy("va", "vb")
+    )
+
+
+NO_ORACLE.add("q237_embedding_neardup_lsh")

@@ -80,15 +80,20 @@ def stream_static_enrich(
     static: DataFrame,
     on: str | list[str],
     how: str = "left",
+    broadcast: bool = False,
 ) -> DataFrame:
     """Stream-static join (SURVEY.md §2.2-I): enrich a live stream with
     a batch dimension table.
 
     The static side is re-read per micro-batch by Structured Streaming
-    (no watermark needed — static rows never expire) and Spark plans it
-    as a broadcast hash join when the dim is small, so the stream side
-    never shuffles. This is the streaming analogue of the batch
-    dim-broadcast pattern (q02): at 100 TB/day of stream, the only
-    state is the in-flight micro-batch.
+    (no watermark needed — static rows never expire). By default the
+    join strategy is left to Catalyst/AQE, which broadcasts the static
+    side when it is under the autoBroadcastJoinThreshold; pass
+    ``broadcast=True`` to force the hint ONLY when the caller knows the
+    dim fits in executor memory (a forced broadcast of a large static
+    side OOMs the driver/executors). This is the streaming analogue of
+    the batch dim-broadcast pattern (q02): at 100 TB/day of stream, the
+    only state is the in-flight micro-batch.
     """
-    return stream.join(F.broadcast(static), on, how)
+    right = F.broadcast(static) if broadcast else static
+    return stream.join(right, on, how)

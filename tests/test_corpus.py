@@ -236,3 +236,29 @@ def test_mixture_weights_math(docs):
     assert out["w1"].actual_frac == pytest.approx(0.5)
     assert out["w1"].factor == pytest.approx(1.5)
     assert out["w2"].target_frac == 0.0 and out["w2"].factor == 0.0
+
+
+def test_passage_grams_short_doc_guard(spark, tmp_path):
+    # Regression (round-2 ADVICE): q135/q160's gram expressions used
+    # sequence(1, greatest(size-k, 0)) — Spark's sequence(1, 0) yields
+    # the DESCENDING [1, 0], so a doc with < k+1 words crashed at
+    # slice/element_at(.., 0). The queries must now treat short docs
+    # as zero-gram, matching DuckDB's empty generate_series(1, 0).
+    from luxo_rs_spark.plans.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one", "en", "web", 3),
+            (2, "", "en", "web", 0),
+            (3, "a b c d e f g h i j", "en", "web", 19),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    # q135: only doc 3 has >= 8 words -> its 3 passages are unique ->
+    # no passage crosses docs -> empty result, but NO runtime error.
+    assert QUERIES["q135_passage_dedup"](spark, sf_dir).count() == 0
+    # q160: docs 1 and 2 contribute no bigrams; doc 3 contributes 9.
+    rows = QUERIES["q160_vocab_growth"](spark, sf_dir).collect()
+    assert all(r.first_doc != 1 and r.first_doc != 2 for r in rows)

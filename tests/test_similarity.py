@@ -134,3 +134,77 @@ def test_label_centroids_two_point_cluster(spark):
     # label b: singleton cluster -> centroid is the member, cos = 1
     assert out["b"].cnorm == pytest.approx(2.0)
     assert out["b"].avg_cos == pytest.approx(1.0)
+
+
+def test_neardup_lsh_recall_on_planted_dups(spark):
+    """Banded-LSH near-dup (the q35 scale path) must recall planted
+    near-duplicates (sim ~0.98) at high rate, and every emitted pair
+    must exactly verify (sim from the exact operator, same contract)."""
+    from luxo_rs_spark.operators.similarity import embedding_neardup_lsh
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((120, 64)).astype(np.float32)
+    rows = [(i, base[i].tolist(), 0) for i in range(120)]
+    # plant 20 near-dups: id 1000+i ~ id i with small noise
+    planted = set()
+    for i in range(20):
+        noisy = base[i] + 0.08 * rng.standard_normal(64).astype(np.float32)
+        rows.append((1000 + i, noisy.tolist(), 0))
+        planted.add((i, 1000 + i))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    got = embedding_neardup_lsh(df, threshold=0.9, dim=64).collect()
+    got_pairs = {(r.va, r.vb) for r in got}
+    # every emitted pair really is >= threshold (exact verify step)
+    assert all(r.sim >= 0.9 for r in got)
+    # recall of the planted pairs: 8 bands x 8 bits at sim~0.98 ->
+    # expected ~0.98; demand >= 0.8 to stay flake-proof
+    assert len(got_pairs & planted) >= 16
+
+
+def test_neardup_lsh_subset_of_exact(spark, emb):
+    """On the fixture, LSH pairs must be a subset of the exact
+    corpus-wide pairs with identical sims (the verify step is exact)."""
+    from luxo_rs_spark.operators.similarity import embedding_neardup_lsh
+
+    one_block = emb.withColumn("label", F.lit(0))
+    exact = {
+        (r.va, r.vb): r.sim
+        for r in embedding_neardup_pairs(one_block, 0.4, block_col="label").collect()
+    }
+    lsh = embedding_neardup_lsh(emb, 0.4, n_bands=16, band_bits=4).collect()
+    assert lsh, "expected candidates at threshold 0.4"
+    for r in lsh:
+        assert (r.va, r.vb) in exact
+        assert abs(r.sim - exact[(r.va, r.vb)]) < 1e-9
+
+
+def test_neardup_pairs_matches_bruteforce_numpy(spark, emb):
+    """The grid/BLAS rewrite of embedding_neardup_pairs must equal a
+    driver-side numpy brute force within each label block."""
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(
+            (r.vec_id, np.array(r.embedding, dtype=np.float64))
+        )
+    want = {}
+    for members in by_label.values():
+        for i in range(len(members)):
+            for j in range(len(members)):
+                va, ea = members[i]
+                vb, eb = members[j]
+                if va >= vb:
+                    continue
+                sim = float(
+                    ea @ eb / (np.linalg.norm(ea) * np.linalg.norm(eb))
+                )
+                if sim >= 0.3:
+                    want[(va, vb)] = sim
+    got = {
+        (r.va, r.vb): r.sim
+        for r in embedding_neardup_pairs(emb, 0.3, block_col="label").collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9)

@@ -30,6 +30,18 @@ def test_salted_join_left_outer_keeps_unmatched(spark):
     assert rows == {1: "t", 2: None}
 
 
+def test_salted_join_rejects_right_and_full(spark):
+    # right/full would emit each unmatched small-side row once per salt
+    # replica — the function must refuse rather than silently duplicate.
+    import pytest
+
+    big = spark.createDataFrame([(1, 1)], "k long, rid long")
+    small = spark.createDataFrame([(1, "t"), (2, "u")], "k long, tag string")
+    for how in ["right", "right_outer", "full", "full_outer", "outer"]:
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(big, small, on="k", entropy=F.col("rid"), how=how)
+
+
 def test_salt_actually_spreads_hot_key(spark):
     big = spark.createDataFrame([(1, i) for i in range(500)], "k long, rid long")
     salted = with_salt(big, F.col("rid"), 8)
