@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (headline q01-q20 queries only, so the
+driver's bounded stdout capture can always parse it):
   {"metric": "total_wall_sec", "value": N, "unit": "sec",
    "queries": {"q01_...": sec, ...}, "sf": 0.1}
+The total covers the FULL battery; the complete per-query map is
+written to bench_full.json alongside this script.
 
 Each query is materialized through the `noop` sink (full execution, no
 driver-side collect overhead). Methodology (BASELINE.md "engine
@@ -33,6 +36,10 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 #: queries excluded from the bench (none currently)
 SKIP: set[str] = set()
+
+#: the ≤20 headline queries reported inline on stdout (q01–q20 contract);
+#: the full per-query map goes to bench_full.json next to this script.
+HEADLINE_PREFIXES = {f"q{i:02d}" for i in range(1, 21)}
 
 
 def materialize(df) -> None:
@@ -87,13 +94,35 @@ def main() -> None:
             timings[name] = min(timings[name], timed_run(name))
 
     total = round(sum(timings.values()), 3)
+
+    # Driver contract: ONE compact JSON line (the driver captures a bounded
+    # tail of stdout — round 1's full 236-query map blew past it and left
+    # BENCH "parsed": null). Print only the headline q01–q20 contract
+    # queries inline; persist the complete per-query map to a sidecar.
+    headline = {
+        n: t for n, t in timings.items()
+        if n.split("_", 1)[0] in HEADLINE_PREFIXES
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_full.json"), "w") as fh:
+        json.dump(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": headline,
                 "sf": sf,
             }
         )

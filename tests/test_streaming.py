@@ -227,3 +227,70 @@ def test_stream_static_join_equals_batch(spark, stream_dir):
     )
     cols = ["c_mktsegment", "count"]
     assert canon(got, cols).equals(canon(want, cols))
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """Checkpoint/restart recovery (round-2 verdict item): kill a
+    micro-batch query mid-stream, restart from the same checkpoint into
+    the same file sink, then grow the source and restart again — every
+    event must land in the sink EXACTLY once (no loss from the kill, no
+    reprocessing of committed batches). The parquet sink's _spark_metadata
+    transaction log is what makes the killed batch's partial files
+    invisible to readers; the file source's seen-files log is what makes
+    the restart resume instead of replay."""
+    import time
+
+    base = TMP / f"ckpt_restart_{uuid.uuid4().hex[:8]}"
+    src, out, ckpt = str(base / "src"), str(base / "out"), str(base / "ckpt")
+    events = load_table(spark, SF_DIR, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    half1.repartition(6).write.parquet(src)
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    def start(trigger_available_now: bool):
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        writer = (
+            stream.select(*cols)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            writer = writer.trigger(processingTime="0 seconds")
+        return writer.start()
+
+    # phase 1: continuous trigger, one file per batch; kill after the
+    # first batch commits but (typically) before the remaining 5 drain.
+    q = start(trigger_available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        p = q.lastProgress
+        if p is not None and p["batchId"] >= 1:
+            break
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: restart from the SAME checkpoint; availableNow drains
+    # whatever the killed run left behind.
+    q2 = start(trigger_available_now=True)
+    q2.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_half1 = half1.count()
+    assert got.count() == n_half1
+    assert got.select("event_id").distinct().count() == n_half1
+
+    # phase 3: new files arrive; a third restart must process ONLY them.
+    half2.repartition(6).write.mode("append").parquet(src)
+    q3 = start(trigger_available_now=True)
+    q3.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_all = events.count()
+    assert got.count() == n_all
+    assert got.select("event_id").distinct().count() == n_all
+    shutil.rmtree(base, ignore_errors=True)
