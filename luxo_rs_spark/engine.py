@@ -115,8 +115,13 @@ class Engine:
         )
 
     def light(self, df: DataFrame, label: str = "query") -> DataFrame:
-        """Log optimized plan + wall time on materialization (R5 analogue)."""
+        """Log optimized plan + wall time on materialization (R5
+        analogue). The frame is cached before the counting action so a
+        caller that then writes/collects the result reads the cached
+        blocks instead of paying a second full execution; callers
+        holding very large results can `.unpersist()` when done."""
         plan = self.explain_str(df)
+        df = df.cache()
         t0 = time.perf_counter()
         n = df.count()
         dt = time.perf_counter() - t0

@@ -3238,20 +3238,24 @@ def q118_best_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
     )
+    # ONE exchange for the whole tail: partition by l_partkey up front —
+    # hashpartitioning on a subset of the grouping keys satisfies the
+    # aggregate's clustered-distribution requirement, and the window's
+    # partitionBy(l_partkey) reuses the same exchange
     offers = (
         li.join(F.broadcast(eu_supp), li.l_suppkey == eu_supp.s_suppkey)
+        .repartition("l_partkey")
         .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal")
         .agg(F.min("unit_price").alias("supp_price"))
     )
-    best = offers.groupBy(F.col("l_partkey").alias("bp_key")).agg(
-        F.min("supp_price").alias("best_price")
-    )
+    # per-part best price as a WINDOW over the aggregated offers: the
+    # fact is scanned once and shuffled once — the groupBy-then-self-
+    # join formulation scanned lineitem twice and sort-merge-joined the
+    # two aggregate branches (round-2 plan-audit fix)
+    w_best = Window.partitionBy("l_partkey")
     return (
-        offers.join(
-            best,
-            (offers.l_partkey == best.bp_key)
-            & (offers.supp_price == best.best_price),
-        )
+        offers.withColumn("best_price", F.min("supp_price").over(w_best))
+        .filter(F.col("supp_price") == F.col("best_price"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
             F.col("l_suppkey").alias("s_suppkey"),

@@ -285,3 +285,58 @@ def test_q152_percent_of_total_reuses_agg_partitioning(spark):
     plan = plan_of(spark, "q152_percent_of_total")
     assert "Window" in plan
     assert plan.count("Scan parquet") <= 4  # li + 3 dims, no re-scan
+
+
+# -- round-2: pin broadcast-vs-SMJ for the remaining TPC-H gallery joins
+# (a conf/AQE drift must not silently introduce a full dim shuffle) ----------
+
+
+def test_q111_dims_broadcast_no_smj(spark):
+    plan = plan_of(spark, "q111_volume_shipping")
+    assert plan.count("BroadcastHashJoin") >= 4  # cust+supp nations, dims
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q112_market_share_single_fact_scan(spark):
+    plan = plan_of(spark, "q112_market_share")
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q113_returned_items_dims_broadcast(spark):
+    plan = plan_of(spark, "q113_returned_items")
+    assert plan.count("BroadcastHashJoin") >= 2  # customer+nation onto agg
+    assert "SortMergeJoin" not in plan
+
+
+def test_q114_promo_part_broadcast(spark):
+    plan = plan_of(spark, "q114_promo_revenue")
+    assert "BroadcastHashJoin" in plan  # part dim onto lineitem
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q116_supplier_dim_broadcast(spark):
+    plan = plan_of(spark, "q116_supplier_diversity")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q118_window_best_price_single_scan(spark):
+    """The best-price-per-part step is a window over the aggregated
+    offers, NOT a self-join of two aggregates: one lineitem scan, no
+    sort-merge join, window reuses the aggregate's partitioning."""
+    plan = plan_of(spark, "q118_best_price_supplier")
+    assert plan.count("lineitem.parquet") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert plan.count("Exchange hashpartitioning(l_partkey") <= 1
+
+
+def test_q128_profit_dims_broadcast_single_scan(spark):
+    plan = plan_of(spark, "q128_nation_year_profit")
+    assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem.parquet") == 1
