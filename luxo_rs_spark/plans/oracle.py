@@ -4133,3 +4133,122 @@ FROM ranked
 WHERE rn = 1
 ORDER BY ka
 """
+
+ORACLE_SQL["q238_regr_battery"] = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+       cast(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+# DuckDB's skewness/kurtosis are SAMPLE-adjusted; derive the
+# population forms (Spark's definition) from explicit central moments.
+ORACLE_SQL["q239_moment_stats"] = """
+WITH mu AS (
+  SELECT o_orderstatus, avg(o_totalprice) AS m
+  FROM orders GROUP BY o_orderstatus
+),
+mom AS (
+  SELECT o.o_orderstatus,
+         avg(pow(o_totalprice - m, 2)) AS m2,
+         avg(pow(o_totalprice - m, 3)) AS m3,
+         avg(pow(o_totalprice - m, 4)) AS m4,
+         count(*) AS n
+  FROM orders o JOIN mu USING (o_orderstatus)
+  GROUP BY o.o_orderstatus
+)
+SELECT o_orderstatus,
+       round(m3 / pow(m2, 1.5), 4) AS skew,
+       round(m4 / pow(m2, 2) - 3, 4) AS kurt,
+       cast(n AS BIGINT) AS n
+FROM mom
+ORDER BY o_orderstatus
+"""
+
+ORACLE_SQL["q240_price_histogram"] = """
+SELECT least(cast(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+       cast(count(*) AS BIGINT) AS n_orders,
+       round(cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 2) AS avg_price,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+"""
+
+ORACLE_SQL["q241_bit_bool_aggs"] = """
+SELECT o_orderpriority,
+       bit_and(o_orderkey) AS key_and,
+       bit_or(o_orderkey) AS key_or,
+       bit_xor(o_orderkey) AS key_xor,
+       bool_and(o_totalprice > 1000) AS all_over_1k,
+       bool_or(o_totalprice > 450000) AS any_over_450k,
+       cast(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["q242_cohort_retention"] = """
+WITH cohorts AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_w
+  FROM events GROUP BY user_id
+)
+SELECT strftime(c.cohort_w, '%Y-%m-%d') AS cohort,
+       cast(date_diff('day', c.cohort_w, date_trunc('week', e.ts)) / 7
+            AS BIGINT) AS weeks_since,
+       cast(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN cohorts c USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort, weeks_since
+"""
+
+ORACLE_SQL["q243_zscore_anomaly"] = """
+WITH scored AS (
+  SELECT event_type,
+         (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_anomalies,
+       round(max(abs(z)), 3) AS max_abs_z
+FROM scored
+WHERE abs(z) > 2.5
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLE_SQL["q244_funnel_stages"] = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+    AND e.ts <= v.t_view + INTERVAL 24 HOUR
+  GROUP BY e.user_id, v.t_view
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+    AND e.ts <= c.t_click + INTERVAL 24 HOUR
+  GROUP BY e.user_id
+)
+SELECT CASE WHEN p.t_purchase IS NOT NULL THEN 3
+            WHEN c.t_click IS NOT NULL THEN 2
+            ELSE 1 END AS stage_reached,
+       cast(count(*) AS BIGINT) AS n_users
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+GROUP BY 1
+ORDER BY stage_reached
+"""

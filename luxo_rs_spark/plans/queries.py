@@ -7452,3 +7452,199 @@ def q237_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE.add("q237_embedding_neardup_lsh")
+
+
+# ---------------------------------------------------------------------------
+# Q238 — linear-regression aggregate battery (regr_slope/intercept/r2/
+# count): price-vs-quantity fit per return flag. One hash aggregate,
+# partial map-side; the regr_* family is single-pass streaming moments,
+# so this is a plain codegen agg at any scale.
+# ---------------------------------------------------------------------------
+@query("q238_regr_battery")
+def q238_regr_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q239 — higher-moment stats (population skewness / excess kurtosis)
+# of order totals per status. Spark's skewness/kurtosis ARE the
+# population forms; the oracle derives them from explicit central
+# moments (DuckDB's builtins are sample-adjusted — cross-engine
+# definition trap pinned here).
+# ---------------------------------------------------------------------------
+@query("q239_moment_stats")
+def q239_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.skewness("o_totalprice"), 4).alias("skew"),
+            F.round(F.kurtosis("o_totalprice"), 4).alias("kurt"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q240 — fixed-width price histogram: floor bucketing (50k-wide, capped
+# at bucket 9). The per-bucket mean divides an EXACT decimal sum by the
+# count (both engines derive the same double), sidestepping the
+# summation-order cent-flip documented in SCALING.md.
+# ---------------------------------------------------------------------------
+@query("q240_price_histogram")
+def q240_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9).cast("bigint")
+    )
+    exact = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    return (
+        orders.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(exact.cast("double") / F.count(F.lit(1)), 2).alias("avg_price"),
+            _r2(F.min("o_totalprice")).alias("min_price"),
+            _r2(F.max("o_totalprice")).alias("max_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q241 — bitwise / boolean aggregate battery: bit_and/bit_or/bit_xor
+# over order keys and bool_and/bool_or predicates per priority bucket.
+# ---------------------------------------------------------------------------
+@query("q241_bit_bool_aggs")
+def q241_bit_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.bit_and(k).alias("key_and"),
+            F.bit_or(k).alias("key_or"),
+            F.bit_xor(k).alias("key_xor"),
+            F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+            F.bool_or(F.col("o_totalprice") > 450000).alias("any_over_450k"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q242 — weekly cohort retention matrix: users bucketed by first-seen
+# week, distinct actives per (cohort, weeks-since). Two shuffles
+# (per-user min, then the matrix agg); the per-user stage partial-aggs
+# map-side, and at 100 TB the cohort key is low-cardinality so the
+# matrix agg is tiny.
+# ---------------------------------------------------------------------------
+@query("q242_cohort_retention")
+def q242_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    ev = events.select("user_id", F.date_trunc("week", F.col("ts")).alias("w"))
+    return (
+        ev.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort"),
+            (F.datediff(F.col("w"), F.col("cohort_w")) / 7)
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("cohort", "weeks_since")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q243 — trailing-window z-score anomalies: each event scored against
+# the mean/stddev of its 20 predecessors within the event type
+# (ROWS frame, deterministic (ts, event_id) order); |z| > 2.5 flags.
+# One shuffle on event_type; the window is a bounded rolling frame.
+# ---------------------------------------------------------------------------
+@query("q243_zscore_anomaly")
+def q243_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    z = (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w)
+    return (
+        events.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > 2.5)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_anomalies"),
+            F.round(F.max(F.abs(F.col("z"))), 3).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q244 — ordered funnel (view -> click -> purchase, each step within
+# 24 h of the previous): per user, the earliest view, the earliest
+# click AFTER it, the earliest purchase after THAT; report stage-reach
+# counts. Conditional aggregation in three chained per-user passes —
+# each is one agg on the same user_id partitioning (shuffle reused),
+# no self-join explosion.
+# ---------------------------------------------------------------------------
+@query("q244_funnel_stages")
+def q244_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    horizon = F.expr("INTERVAL 24 HOURS")
+    v = events.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + horizon)
+        )
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + horizon)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        v.join(c.select("user_id", "t_click"), "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            F.when(F.col("t_purchase").isNotNull(), 3)
+            .when(F.col("t_click").isNotNull(), 2)
+            .otherwise(1)
+            .alias("stage_reached")
+        )
+    )
+    return (
+        stage.groupBy("stage_reached")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("stage_reached")
+    )
