@@ -4252,3 +4252,153 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 GROUP BY 1
 ORDER BY stage_reached
 """
+
+ORACLE_SQL["q245_range_similarity"] = """
+WITH t AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 1),
+s AS (
+  SELECT vec_id,
+         list_dot_product(embedding::DOUBLE[], q::DOUBLE[])
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q::DOUBLE[], q::DOUBLE[]))) AS s
+  FROM embeddings, t
+  WHERE vec_id <> 1
+)
+SELECT vec_id, round(s, 4) AS sim
+FROM s
+WHERE s >= 0.30 AND s < 0.42
+ORDER BY sim DESC, vec_id
+"""
+
+ORACLE_SQL["q246_scd2_intervals"] = """
+WITH iv AS (
+  SELECT event_type,
+         epoch_us(ts) AS from_us,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) AS to_us
+  FROM events
+)
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n_intervals,
+       cast(sum(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       round(sum(to_us - from_us) / count(to_us - from_us) / 1e6, 2)
+         AS avg_closed_sec
+FROM iv
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLE_SQL["q247_sessionization"] = """
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 30 * 60 * 1000000
+                   OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, sess_no, count(*) AS n_events,
+         max(us) - min(us) AS dur_us
+  FROM numbered GROUP BY user_id, sess_no
+)
+SELECT cast(count(*) AS BIGINT) AS n_sessions,
+       round(sum(n_events) / count(*), 4) AS avg_events,
+       round(sum(dur_us) / count(*) / 6e7, 4) AS avg_minutes,
+       cast(max(n_events) AS BIGINT) AS max_events
+FROM sessions
+"""
+
+ORACLE_SQL["q248_benford_digits"] = """
+WITH d AS (
+  SELECT cast(floor(o_totalprice / pow(10, floor(log10(o_totalprice))))
+              AS BIGINT) AS digit
+  FROM orders
+),
+g AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+SELECT digit, cast(n AS BIGINT) AS n,
+       round(n / (SELECT sum(n) FROM g), 4) AS observed,
+       round(log10(1 + 1 / digit::DOUBLE), 4) AS benford,
+       round(abs(round(n / (SELECT sum(n) FROM g), 4)
+                 - round(log10(1 + 1 / digit::DOUBLE), 4)), 4) AS abs_dev
+FROM g
+ORDER BY digit
+"""
+
+ORACLE_SQL["q249_interevent_percentiles"] = """
+WITH gaps AS (
+  SELECT event_type,
+         (epoch_us(ts) - lag(epoch_us(ts))
+            OVER (PARTITION BY event_type ORDER BY ts, event_id)) / 1e6 AS gap_s
+  FROM events
+)
+SELECT event_type,
+       round(quantile_cont(gap_s, 0.5), 3) AS p50_s,
+       round(quantile_cont(gap_s, 0.9), 3) AS p90_s,
+       round(quantile_cont(gap_s, 0.99), 3) AS p99_s,
+       cast(count(gap_s) AS BIGINT) AS n_gaps
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+ORACLE_SQL["q250_url_battery"] = """
+WITH u AS (
+  SELECT 'https://' || source || '.example.org/docs/' || doc_id
+         || '?page=' || (doc_id % 7) || '&lang=' || lang AS url
+  FROM documents
+),
+x AS (
+  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+         cast(regexp_extract(url, '[?&]page=(\\d+)', 1) AS BIGINT) AS page,
+         regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS doc_path
+  FROM u
+)
+SELECT host,
+       cast(count(*) AS BIGINT) AS n_urls,
+       cast(count(DISTINCT doc_path) AS BIGINT) AS n_paths,
+       round(sum(page) / count(*), 4) AS avg_page
+FROM x
+GROUP BY host
+ORDER BY host
+"""
+
+ORACLE_SQL["q251_decile_lift"] = """
+WITH ranked AS (
+  SELECT ntile(10) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS decile,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv
+  FROM orders
+),
+by_dec AS (
+  SELECT decile, count(*) AS n, sum(conv) AS conversions
+  FROM ranked GROUP BY decile
+)
+SELECT decile, cast(n AS BIGINT) AS n,
+       cast(conversions AS BIGINT) AS conversions,
+       round(conversions / n, 4) AS rate,
+       cast(sum(conversions) OVER (ORDER BY decile
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS cum_conversions
+FROM by_dec
+ORDER BY decile
+"""
+
+ORACLE_SQL["q252_mad"] = """
+WITH med AS (
+  SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       round(any_value(m.med), 2) AS median_price,
+       round(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 2) AS mad,
+       cast(count(*) AS BIGINT) AS n
+FROM orders o JOIN med m USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""

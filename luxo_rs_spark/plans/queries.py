@@ -7648,3 +7648,251 @@ def q244_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("stage_reached")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q245 — range similarity search: all vectors whose cosine to a query
+# vector falls in a band [0.30, 0.42). The dual of top-k (radius query,
+# the shape used for near-dup mining at a fixed threshold): one scan,
+# broadcast query vector, map-side cosine, no shuffle until the sort.
+# ---------------------------------------------------------------------------
+@query("q245_range_similarity")
+def q245_range_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    target = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("__q"))
+    sim = cosine(F.col("embedding"), F.col("__q"))
+    return (
+        emb.crossJoin(F.broadcast(target))
+        .filter(F.col("vec_id") != 1)
+        .select("vec_id", F.round(sim, 4).alias("sim"), sim.alias("__s"))
+        .filter((F.col("__s") >= 0.30) & (F.col("__s") < 0.42))
+        .select("vec_id", "sim")
+        .orderBy(F.col("sim").desc(), "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q246 — SCD2-style validity intervals from an event log: per user,
+# each event is effective until the user's next event (lead; NULL =
+# still current). Interval statistics per event type; durations are
+# aggregated as exact BIGINT microsecond sums so both engines derive
+# the identical double at the end (sum-order-proof).
+# ---------------------------------------------------------------------------
+@query("q246_scd2_intervals")
+def q246_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("from_us"),
+        F.unix_micros(F.lead("ts").over(w)).alias("to_us"),
+    )
+    closed_us = F.when(
+        F.col("to_us").isNotNull(), F.col("to_us") - F.col("from_us")
+    )
+    return (
+        iv.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.when(F.col("to_us").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_open"),
+            F.round(
+                F.sum(closed_us) / F.count(closed_us) / 1e6, 2
+            ).alias("avg_closed_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q247 — batch sessionization by inactivity gap (30 min): the classic
+# islands pattern — lag to flag session starts, running sum to number
+# sessions, then session- and global-level rollups. Two windows over
+# ONE user_id partitioning (shuffle reused), exact integer duration
+# sums.
+# ---------------------------------------------------------------------------
+@query("q247_sessionization")
+def q247_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    numbered = events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("sess_no"),
+    )
+    sessions = numbered.groupBy("user_id", "sess_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).alias("dur_us"),
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 4).alias("avg_events"),
+        F.round(F.sum("dur_us") / F.count(F.lit(1)) / 6e7, 4).alias("avg_minutes"),
+        F.max("n_events").cast("bigint").alias("max_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q248 — Benford first-significant-digit audit of order totals:
+# observed digit shares vs the Benford expectation log10(1 + 1/d).
+# Pure map-side digit extraction + one 9-row aggregate.
+# ---------------------------------------------------------------------------
+@query("q248_benford_digits")
+def q248_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    digit = F.floor(p / F.pow(10, F.floor(F.log10(p)))).cast("bigint")
+    total = Window.partitionBy()
+    return (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "observed", F.round(F.col("n") / F.sum("n").over(total), 4)
+        )
+        .withColumn(
+            "benford",
+            F.round(F.log10(1 + 1 / F.col("digit").cast("double")), 4),
+        )
+        .withColumn(
+            "abs_dev", F.round(F.abs(F.col("observed") - F.col("benford")), 4)
+        )
+        .orderBy("digit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q249 — inter-event gap percentiles per event type: lag to compute
+# within-type arrival gaps, exact interpolated percentiles (p50/90/99).
+# One shuffle for the window, one percentile agg (sort-based per
+# group; t-digest q50 is the declared approximate alternative).
+# ---------------------------------------------------------------------------
+@query("q249_interevent_percentiles")
+def q249_interevent_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap_s = (
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1e6
+    )
+    gaps = events.select("event_type", gap_s.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("gap_s", F.lit(0.5)), 3).alias("p50_s"),
+            F.round(F.percentile("gap_s", F.lit(0.9)), 3).alias("p90_s"),
+            F.round(F.percentile("gap_s", F.lit(0.99)), 3).alias("p99_s"),
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q250 — URL parse battery over synthesized doc URLs: host / path /
+# query-param extraction with the same regexes in both engines
+# (regexp_extract is in the common Java/RE2 subset). Map-only until
+# the per-host rollup.
+# ---------------------------------------------------------------------------
+@query("q250_url_battery")
+def q250_url_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?page="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&lang="),
+        F.col("lang"),
+    )
+    host = F.regexp_extract(F.col("url"), r"^https://([^/]+)/", 1)
+    page = F.regexp_extract(F.col("url"), r"[?&]page=(\d+)", 1).cast("bigint")
+    doc_path = F.regexp_extract(F.col("url"), r"^https://[^/]+(/[^?]*)", 1)
+    return (
+        docs.select(url.alias("url"))
+        .select(
+            host.alias("host"), page.alias("page"), doc_path.alias("doc_path")
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+            F.countDistinct("doc_path").cast("bigint").alias("n_paths"),
+            F.round(F.sum("page") / F.count(F.lit(1)), 4).alias("avg_page"),
+        )
+        .orderBy("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q251 — decile lift table: orders ranked into 10 price deciles
+# (deterministic ntile tiebreak on the key), per-decile conversion
+# (status F) rate plus cumulative conversions — the model-eval lift
+# shape. ntile needs a global sort; at 100 TB you'd swap in
+# approx-quantile boundaries (q50's sketch family) and keep the rest.
+# ---------------------------------------------------------------------------
+@query("q251_decile_lift")
+def q251_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    by_dec = (
+        orders.select(
+            F.ntile(10).over(w).alias("decile"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("conv").cast("bigint").alias("conversions"),
+        )
+    )
+    cum = (
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        by_dec.withColumn(
+            "rate", F.round(F.col("conversions") / F.col("n"), 4)
+        )
+        .withColumn(
+            "cum_conversions", F.sum("conversions").over(cum).cast("bigint")
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q252 — median absolute deviation of order totals per priority:
+# med = interpolated median, MAD = median(|x - med|). Two grouped
+# percentile passes joined on the (broadcast-small) per-group medians.
+# ---------------------------------------------------------------------------
+@query("q252_mad")
+def q252_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    return (
+        orders.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            _r2(F.first("med")).alias("median_price"),
+            _r2(
+                F.percentile(
+                    F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)
+                )
+            ).alias("mad"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
