@@ -7435,9 +7435,12 @@ def q236_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q237 — banded-LSH embedding near-dup (the sub-quadratic scale path
 # for q35's contract: candidate pairs share >= 1 band of hyperplane
-# sign bits, then exact-cosine verify). Approximate (recall < 1 by
-# construction) -> rows-only driver check; recall vs the exact operator
-# is pinned in tests/test_similarity.py.
+# sign bits, then exact-cosine verify). Runs the SCALE config (8 bands
+# x 8 bits: ~3% of unrelated pairs become candidates, near-total recall
+# for true near-dups at sim >= 0.9 — fixture sims top out ~0.5, so this
+# deliberately samples only the strongest pairs). Approximate ->
+# rows-only driver check; recall on planted near-dups is pinned in
+# tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 @query("q237_embedding_neardup_lsh")
 def q237_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7445,7 +7448,7 @@ def q237_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (
-        embedding_neardup_lsh(emb, threshold=0.45, n_bands=16, band_bits=4)
+        embedding_neardup_lsh(emb, threshold=0.45)
         .select("va", "vb", F.round("sim", 4).alias("sim"))
         .orderBy("va", "vb")
     )
