@@ -4402,3 +4402,120 @@ FROM orders o JOIN med m USING (o_orderpriority)
 GROUP BY o.o_orderpriority
 ORDER BY o.o_orderpriority
 """
+
+ORACLE_SQL["q253_mode_tiebreak"] = """
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS n
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY n DESC, o_orderpriority) AS rn
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cast(n AS BIGINT) AS n
+FROM ranked WHERE rn = 1
+ORDER BY o_orderstatus
+"""
+
+ORACLE_SQL["q254_mom_revenue"] = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         sum(cast(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT month,
+       cast(rev AS DOUBLE) AS revenue,
+       round(cast(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE), 2) AS delta,
+       round(cast(rev - lag(rev) OVER (ORDER BY month) AS DOUBLE)
+             / cast(lag(rev) OVER (ORDER BY month) AS DOUBLE), 4) AS pct_change
+FROM monthly
+ORDER BY month
+"""
+
+ORACLE_SQL["q255_share_excl_self"] = """
+WITH per_supp AS (
+  SELECT s.s_nationkey, s.s_suppkey,
+         sum(cast(l_extendedprice AS DECIMAL(18,2))) AS rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, s.s_suppkey
+)
+, shares AS (
+  SELECT cast(s_nationkey AS BIGINT) AS nation,
+         cast(s_suppkey AS BIGINT) AS supplier,
+         cast(rev AS DOUBLE) AS revenue,
+         sum(rev) OVER (PARTITION BY s_nationkey) - rev AS rest
+  FROM per_supp
+)
+SELECT nation, supplier, revenue,
+       round(revenue / cast(rest AS DOUBLE), 6) AS share_vs_rest
+FROM shares
+WHERE rest > 0
+ORDER BY share_vs_rest DESC, nation, supplier
+LIMIT 25
+"""
+
+ORACLE_SQL["q256_readability"] = """
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(text, '[aeiouAEIOU]+')) AS v
+  FROM documents
+),
+agg AS (
+  SELECT source,
+         cast(sum(w) AS BIGINT) AS total_words,
+         cast(sum(s) AS BIGINT) AS total_sentences,
+         cast(sum(v) AS BIGINT) AS total_syllables,
+         cast(count(*) AS BIGINT) AS n_docs
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, total_words,
+       round(206.835
+             - 1.015 * (total_words / total_sentences)
+             - 84.6 * (total_syllables / total_words), 3) AS flesch_score
+FROM agg
+ORDER BY source
+"""
+
+ORACLE_SQL["q257_hash_battery"] = """
+WITH h AS (
+  SELECT substring(md5(c_name), 1, 1) AS md5_nibble,
+         substring(sha256(c_name), 1, 8) AS sha_prefix
+  FROM customer
+)
+SELECT md5_nibble,
+       cast(count(*) AS BIGINT) AS n,
+       min(sha_prefix) AS min_sha_prefix,
+       max(sha_prefix) AS max_sha_prefix
+FROM h
+GROUP BY md5_nibble
+ORDER BY md5_nibble
+"""
+
+ORACLE_SQL["q258_key_gaps"] = """
+WITH k AS (
+  SELECT o_orderkey AS k,
+         lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+  FROM orders
+  WHERE o_orderstatus = 'F'
+)
+SELECT cast(k + 1 AS BIGINT) AS gap_start,
+       cast(nxt - 1 AS BIGINT) AS gap_end,
+       cast(nxt - k - 1 AS BIGINT) AS gap_len
+FROM k
+WHERE nxt > k + 1
+ORDER BY gap_start
+LIMIT 20
+"""
+
+ORACLE_SQL["q259_dow_hour_heatmap"] = """
+SELECT cast(isodow(ts) AS BIGINT) AS isodow,
+       cast(hour(ts) AS BIGINT) AS hour,
+       cast(count(*) AS BIGINT) AS n,
+       round(sum(value) / count(*), 3) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY isodow, hour
+"""

@@ -7899,3 +7899,215 @@ def q252_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q253 — deterministic mode per group: the most frequent order priority
+# per status, ties broken by the smaller value (built-in `mode` is
+# tie-arbitrary in BOTH engines, so the portable form is count +
+# row_number — pinned here as the battery).
+# ---------------------------------------------------------------------------
+@query("q253_mode_tiebreak")
+def q253_mode_tiebreak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q254 — month-over-month revenue: exact decimal month sums, then lag
+# for the delta and pct change. One narrow agg + one tiny window over
+# |months| rows.
+# ---------------------------------------------------------------------------
+@query("q254_mom_revenue")
+def q254_mom_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("rev").over(w)
+    return monthly.select(
+        "month",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round((F.col("rev") - prev).cast("double"), 2).alias("delta"),
+        F.round(
+            (F.col("rev") - prev).cast("double") / prev.cast("double"), 4
+        ).alias("pct_change"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Q255 — share-of-group excluding self: each supplier's revenue as a
+# share of its nation total MINUS its own contribution (the
+# self-excluding benchmark comparison). Exact decimal sums; the nation
+# total is a window over the per-supplier aggregate (tiny), so the
+# fact shuffles once.
+# ---------------------------------------------------------------------------
+@query("q255_share_excl_self")
+def q255_share_excl_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    per_supp = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = Window.partitionBy("s_nationkey")
+    total = F.sum("rev").over(w)
+    return (
+        per_supp.select(
+            F.col("s_nationkey").cast("bigint").alias("nation"),
+            F.col("s_suppkey").cast("bigint").alias("supplier"),
+            F.col("rev").cast("double").alias("revenue"),
+            (total - F.col("rev")).alias("rest"),
+        )
+        # a nation's sole supplier has no "rest" to compare against
+        .filter(F.col("rest") > 0)
+        .select(
+            "nation",
+            "supplier",
+            "revenue",
+            F.round(
+                F.col("revenue") / F.col("rest").cast("double"), 6
+            ).alias("share_vs_rest"),
+        )
+        .orderBy(F.col("share_vs_rest").desc(), "nation", "supplier")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q256 — Flesch-style readability per source: words / sentences /
+# vowel-group "syllables" counted with engine-portable regexes, summed
+# as exact BIGINTs per source, formula applied once on the aggregated
+# totals (order-free, no floating accumulation).
+# ---------------------------------------------------------------------------
+@query("q256_readability")
+def q256_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+"), 0))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    )
+    vowels = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[aeiouAEIOU]+"), 0))
+    agg = (
+        docs.select(
+            "source",
+            words.alias("w"),
+            sentences.alias("s"),
+            vowels.alias("v"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("w").cast("bigint").alias("total_words"),
+            F.sum("s").cast("bigint").alias("total_sentences"),
+            F.sum("v").cast("bigint").alias("total_syllables"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (F.col("total_words") / F.col("total_sentences"))
+        - 84.6 * (F.col("total_syllables") / F.col("total_words"))
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_words",
+        F.round(flesch, 3).alias("flesch_score"),
+    ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# Q257 — cryptographic hash battery (md5 / sha-256): hex digests must
+# be byte-identical across engines; bucketing by the first md5 nibble
+# also exercises digest-as-partition-key (the shard-by-hash idiom).
+# ---------------------------------------------------------------------------
+@query("q257_hash_battery")
+def q257_hash_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.substring(F.md5("c_name"), 1, 1).alias("md5_nibble"),
+            F.substring(F.sha2(F.col("c_name"), 256), 1, 8).alias("sha_prefix"),
+        )
+        .groupBy("md5_nibble")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("sha_prefix").alias("min_sha_prefix"),
+            F.max("sha_prefix").alias("max_sha_prefix"),
+        )
+        .orderBy("md5_nibble")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q258 — key-gap mining (gaps-and-islands on the key axis): ranges of
+# o_orderkey missing from the finished-order ledger via lead over the
+# sorted keys (the fixture's full key space is dense, so the F-status
+# subset is the sparse sequence under audit). The global sort is
+# |distinct keys|; at 100 TB the same lead runs per partition-range
+# with boundary stitching (documented pattern).
+# ---------------------------------------------------------------------------
+@query("q258_key_gaps")
+def q258_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    w = Window.orderBy("o_orderkey")
+    nxt = F.lead("o_orderkey").over(w)
+    return (
+        orders.select(F.col("o_orderkey").alias("k"), nxt.alias("nxt"))
+        .filter(F.col("nxt") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).cast("bigint").alias("gap_start"),
+            (F.col("nxt") - 1).cast("bigint").alias("gap_end"),
+            (F.col("nxt") - F.col("k") - 1).cast("bigint").alias("gap_len"),
+        )
+        .orderBy("gap_start")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q259 — day-of-week x hour activity heatmap: ISO weekday (engine-
+# portable: Spark weekday()+1 == DuckDB isodow) by hour, count + mean
+# value. Low-cardinality key (168 cells) -> partial agg collapses
+# map-side; one tiny shuffle.
+# ---------------------------------------------------------------------------
+@query("q259_dow_hour_heatmap")
+def q259_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            (F.weekday("ts") + 1).cast("bigint").alias("isodow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum("value") / F.count(F.lit(1)), 3).alias("avg_value"),
+        )
+        .orderBy("isodow", "hour")
+    )
