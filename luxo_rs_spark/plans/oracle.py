@@ -4519,3 +4519,178 @@ FROM events
 GROUP BY 1, 2
 ORDER BY isodow, hour
 """
+
+ORACLE_SQL["q260_weighted_median"] = """
+WITH rows_ AS (
+  SELECT l_returnflag,
+         l_extendedprice / l_quantity AS unit_price,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice / l_quantity,
+                                        l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cumw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(unit_price), 4) AS weighted_median_price
+FROM rows_
+WHERE 2 * cumw >= totw
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q261_gini_concentration"] = """
+WITH rev AS (
+  SELECT s.s_nationkey, s.s_suppkey,
+         sum(cast(l_extendedprice AS DECIMAL(18,2))) AS x
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, s.s_suppkey
+),
+ranked AS (
+  SELECT s_nationkey, x,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY x, s_suppkey) AS i
+  FROM rev
+)
+SELECT cast(s_nationkey AS BIGINT) AS nation,
+       cast(count(*) AS BIGINT) AS n_suppliers,
+       round(2 * cast(sum(i * x) AS DOUBLE)
+               / (count(*) * cast(sum(x) AS DOUBLE))
+             - (count(*) + 1) / cast(count(*) AS DOUBLE), 6) AS gini
+FROM ranked
+GROUP BY s_nationkey
+ORDER BY nation
+"""
+
+ORACLE_SQL["q262_pareto_80"] = """
+WITH rev AS (
+  SELECT s.s_nationkey, s.s_suppkey,
+         sum(cast(l_extendedprice AS DECIMAL(18,2))) AS x
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, s.s_suppkey
+),
+ranked AS (
+  SELECT s_nationkey,
+         row_number() OVER (PARTITION BY s_nationkey
+                            ORDER BY x DESC, s_suppkey) AS rn,
+         sum(x) OVER (PARTITION BY s_nationkey
+                      ORDER BY x DESC, s_suppkey
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(x) OVER (PARTITION BY s_nationkey) AS tot,
+         count(*) OVER (PARTITION BY s_nationkey) AS n
+  FROM rev
+)
+SELECT cast(s_nationkey AS BIGINT) AS nation,
+       cast(min(rn) AS BIGINT) AS suppliers_to_80pct,
+       cast(any_value(n) AS BIGINT) AS n_suppliers,
+       round(min(rn) / cast(any_value(n) AS DOUBLE), 4) AS concentration
+FROM ranked
+WHERE 5 * cum >= 4 * tot
+GROUP BY s_nationkey
+ORDER BY nation
+"""
+
+ORACLE_SQL["q263_autocorr_lag1"] = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY o_orderdate
+),
+pairs AS (
+  SELECT rev, lag(rev) OVER (ORDER BY d) AS prev FROM daily
+)
+SELECT round(corr(rev, prev), 4) AS lag1_autocorr,
+       cast(count(*) AS BIGINT) AS n_days
+FROM pairs
+WHERE prev IS NOT NULL
+"""
+
+ORACLE_SQL["q264_seasonal_index"] = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum(cast(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_orderdate
+),
+m AS (
+  SELECT month(d) AS month_of_year, sum(rev) AS msum, count(*) AS mdays
+  FROM daily GROUP BY month(d)
+)
+SELECT cast(month_of_year AS BIGINT) AS month_of_year,
+       cast(mdays AS BIGINT) AS n_days,
+       round((cast(msum AS DOUBLE) / mdays)
+             / (cast((SELECT sum(msum) FROM m) AS DOUBLE)
+                / (SELECT sum(mdays) FROM m)), 4) AS seasonal_index
+FROM m
+ORDER BY month_of_year
+"""
+
+ORACLE_SQL["q265_rfm_segments"] = """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         min(date_diff('day', o_orderdate, mx)) AS recency_d,
+         count(*) AS frequency,
+         sum(cast(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders, anchor
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT ntile(5) OVER (ORDER BY recency_d, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM per_cust
+)
+SELECT r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment,
+       cast(count(*) AS BIGINT) AS n_customers
+FROM scored
+GROUP BY 1
+ORDER BY n_customers DESC, segment
+LIMIT 15
+"""
+
+ORACLE_SQL["q266_cusum_changepoint"] = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum(cast(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_orderdate
+),
+dev AS (
+  SELECT d,
+         cast(rev AS DOUBLE)
+           - cast((SELECT sum(rev) FROM daily) AS DOUBLE)
+             / (SELECT count(*) FROM daily) AS dev
+  FROM daily
+),
+cs AS (
+  SELECT d, sum(dev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM dev
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY abs(cusum) DESC, d) AS rn FROM cs
+)
+SELECT strftime(d, '%Y-%m-%d') AS changepoint_date,
+       round(cusum, 2) AS peak_cusum
+FROM ranked WHERE rn = 1
+"""
+
+ORACLE_SQL["q267_max_drawdown"] = """
+WITH daily AS (
+  SELECT o_orderdate AS d,
+         sum(cast(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY o_orderdate
+),
+dd AS (
+  SELECT d,
+         (cast(max(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+          - cast(rev AS DOUBLE))
+         / cast(max(rev) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           AS drawdown
+  FROM daily
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY drawdown DESC, d) AS rn FROM dd
+)
+SELECT strftime(d, '%Y-%m-%d') AS worst_date,
+       round(drawdown, 6) AS max_drawdown
+FROM ranked WHERE rn = 1
+"""

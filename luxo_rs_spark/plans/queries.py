@@ -8111,3 +8111,280 @@ def q259_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("isodow", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q260 — weighted median (no built-in in either engine; the portable
+# cumulative-weight formulation): unit price weighted by quantity per
+# return flag — first value whose running weight reaches half the
+# total. Deterministic via the (value, key) sort tiebreak.
+# ---------------------------------------------------------------------------
+@query("q260_weighted_median")
+def q260_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    up = (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "unit_price", "l_orderkey", "l_linenumber"
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    rows = li.select(
+        "l_returnflag", up, F.col("l_quantity").alias("qty"),
+        "l_orderkey", "l_linenumber",
+    ).select(
+        "l_returnflag",
+        "unit_price",
+        F.sum("qty").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cumw"),
+        F.sum("qty").over(wtot).alias("totw"),
+    )
+    return (
+        rows.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(F.round(F.min("unit_price"), 4).alias("weighted_median_price"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q261 — Gini coefficient of supplier revenue per nation (rank
+# formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over ascending x):
+# revenue sums are exact decimals, rank-weighted products stay decimal,
+# one double division at the end.
+# ---------------------------------------------------------------------------
+@query("q261_gini_concentration")
+def q261_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy("x", "s_suppkey")
+    ranked = rev.select(
+        "s_nationkey", "x", F.row_number().over(w).alias("i")
+    )
+    return (
+        ranked.groupBy(F.col("s_nationkey").cast("bigint").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.sum(F.col("i") * F.col("x")).alias("ix"),
+            F.sum("x").alias("sx"),
+        )
+        .select(
+            "nation",
+            "n_suppliers",
+            F.round(
+                2 * F.col("ix").cast("double")
+                / (F.col("n_suppliers") * F.col("sx").cast("double"))
+                - (F.col("n_suppliers") + 1) / F.col("n_suppliers"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q262 — Pareto concentration: how many TOP suppliers cover >= 80% of
+# each nation's revenue. The 80% comparison is 5*cum >= 4*total in
+# exact decimals — no fractional literal, no cross-engine decimal
+# promotion drift.
+# ---------------------------------------------------------------------------
+@query("q262_pareto_80")
+def q262_pareto_80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("x"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.col("x").desc(), "s_suppkey"
+    )
+    wtot = Window.partitionBy("s_nationkey")
+    ranked = rev.select(
+        "s_nationkey",
+        F.row_number().over(w).alias("rn"),
+        F.sum("x").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("x").over(wtot).alias("tot"),
+        F.count(F.lit(1)).over(wtot).alias("n"),
+    )
+    return (
+        ranked.filter(5 * F.col("cum") >= 4 * F.col("tot"))
+        .groupBy(F.col("s_nationkey").cast("bigint").alias("nation"))
+        .agg(
+            F.min("rn").cast("bigint").alias("suppliers_to_80pct"),
+            F.first("n").cast("bigint").alias("n_suppliers"),
+        )
+        .withColumn(
+            "concentration",
+            F.round(
+                F.col("suppliers_to_80pct") / F.col("n_suppliers"), 4
+            ),
+        )
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q263 — lag-1 autocorrelation of the daily revenue series: exact
+# decimal daily sums -> double series -> Pearson corr of (x_t, x_{t-1})
+# (sample corr, identical formula both engines).
+# ---------------------------------------------------------------------------
+@query("q263_autocorr_lag1")
+def q263_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("d")
+    pairs = daily.select(
+        "rev", F.lag("rev").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    return pairs.agg(
+        F.round(F.corr("rev", "prev"), 4).alias("lag1_autocorr"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q264 — seasonal index per calendar month: month-of-year mean daily
+# revenue over the global mean, everything derived from exact decimal
+# sums and integer day counts (single double division per output row).
+# ---------------------------------------------------------------------------
+@query("q264_seasonal_index")
+def q264_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = Window.partitionBy()
+    return (
+        daily.groupBy(F.month("d").cast("bigint").alias("month_of_year"))
+        .agg(
+            F.sum("rev").alias("msum"),
+            F.count(F.lit(1)).alias("mdays"),
+        )
+        .select(
+            "month_of_year",
+            F.col("mdays").cast("bigint").alias("n_days"),
+            F.round(
+                (F.col("msum").cast("double") / F.col("mdays"))
+                / (
+                    F.sum("msum").over(tot).cast("double")
+                    / F.sum("mdays").over(tot)
+                ),
+                4,
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month_of_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q265 — RFM segmentation: recency/frequency/monetary quintiles
+# (deterministic ntile tiebreak on the customer key), top segments by
+# population. The per-customer pass is one shuffle; ntile's global
+# sort is |customers| — at 100 TB swap in approx-quantile boundaries.
+# ---------------------------------------------------------------------------
+@query("q265_rfm_segments")
+def q265_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("mx"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.min(F.datediff(F.col("mx"), F.col("o_orderdate"))).alias("recency_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+        )
+    )
+    r = F.ntile(5).over(Window.orderBy("recency_d", "o_custkey"))
+    f_ = F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+    m = F.ntile(5).over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+    return (
+        per_cust.select(
+            F.concat(r.cast("string"), f_.cast("string"), m.cast("string")).alias(
+                "segment"
+            )
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), "segment")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q266 — CUSUM change-point scan: running sum of deviations of daily
+# revenue from the series mean; the date where |CUSUM| peaks is the
+# level-shift candidate. Sequential window accumulation is order-fixed,
+# so the double math is engine-deterministic.
+# ---------------------------------------------------------------------------
+@query("q266_cusum_changepoint")
+def q266_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    tot = Window.partitionBy()
+    w = Window.orderBy("d")
+    scored = daily.select(
+        "d",
+        (
+            F.col("rev").cast("double")
+            - F.sum("rev").over(tot).cast("double") / F.count(F.lit(1)).over(tot)
+        ).alias("dev"),
+    ).select(
+        "d",
+        F.sum("dev").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cusum"),
+    )
+    peak = Window.orderBy(F.abs(F.col("cusum")).desc(), "d")
+    return (
+        scored.withColumn("rn", F.row_number().over(peak))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("changepoint_date"),
+            _r2(F.col("cusum")).alias("peak_cusum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q267 — max drawdown of the daily revenue series: running peak and
+# the largest relative drop from it (argmax with date tiebreak).
+# ---------------------------------------------------------------------------
+@query("q267_max_drawdown")
+def q267_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "d",
+        F.col("rev").cast("double").alias("rev"),
+        F.max("rev").over(w).cast("double").alias("peak"),
+    ).select(
+        "d",
+        ((F.col("peak") - F.col("rev")) / F.col("peak")).alias("drawdown"),
+    )
+    top = Window.orderBy(F.col("drawdown").desc(), "d")
+    return (
+        dd.withColumn("rn", F.row_number().over(top))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("worst_date"),
+            F.round("drawdown", 6).alias("max_drawdown"),
+        )
+    )
