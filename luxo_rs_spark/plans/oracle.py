@@ -4694,3 +4694,14 @@ SELECT strftime(d, '%Y-%m-%d') AS worst_date,
        round(drawdown, 6) AS max_drawdown
 FROM ranked WHERE rn = 1
 """
+
+ORACLE_SQL["q268_bloom_semi_prune"] = """
+SELECT o_orderpriority,
+       cast(count(*) AS BIGINT) AS n_orders,
+       cast(sum(cast(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

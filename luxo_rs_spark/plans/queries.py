@@ -8388,3 +8388,41 @@ def q267_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("drawdown", 6).alias("max_drawdown"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q268 — bloom-pruned semi-join: revenue of orders from
+# BUILDING-segment customers, where the fact side is first pruned
+# MAP-SIDE by a reusable Bloom filter over the key set and then
+# exact-verified with the real semi-join (the bloom prunes, the join
+# proves — output is EXACT, so the oracle is the plain semi-join).
+# At 100 TB the filter table (m/63 rows) persists once and prunes
+# every downstream scan before any shuffle.
+# ---------------------------------------------------------------------------
+@query("q268_bloom_semi_prune")
+def q268_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.bloom import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    keys = cust.select(F.col("c_custkey").alias("k"))
+    bloom = bloom_build(keys, "k")
+    candidates = bloom_probe(
+        orders.withColumn("k", F.col("o_custkey")), "k", bloom, "o_orderkey"
+    )
+    verify_keys = keys.select(F.col("k").alias("ck"))
+    exact = candidates.join(
+        F.broadcast(verify_keys), F.col("o_custkey") == F.col("ck"), "left_semi"
+    )
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
