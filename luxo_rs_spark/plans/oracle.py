@@ -4705,3 +4705,166 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+ORACLE_SQL["q269_expectation_suite"] = """
+WITH m AS (
+  SELECT count(*) AS n,
+         count(o_custkey) AS nn_cust,
+         count(DISTINCT o_orderkey) AS uniq_key,
+         sum(CASE WHEN o_totalprice > 0 AND o_totalprice < 1000000
+                  THEN 1 ELSE 0 END) AS in_range,
+         sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS in_set,
+         sum(CASE WHEN o_orderdate <= TIMESTAMP '1998-12-31 00:00:00'
+                  THEN 1 ELSE 0 END) AS fresh
+  FROM orders
+), u AS (
+  SELECT 'completeness_custkey' AS check_name,
+         CAST(nn_cust AS DOUBLE) / n AS metric FROM m
+  UNION ALL SELECT 'uniqueness_orderkey', CAST(uniq_key AS DOUBLE) / n FROM m
+  UNION ALL SELECT 'range_totalprice', CAST(in_range AS DOUBLE) / n FROM m
+  UNION ALL SELECT 'set_orderstatus', CAST(in_set AS DOUBLE) / n FROM m
+  UNION ALL SELECT 'freshness_orderdate', CAST(fresh AS DOUBLE) / n FROM m
+)
+SELECT check_name, round(metric, 6) AS metric,
+       round(metric, 6) >= 1.0 AS passed
+FROM u ORDER BY check_name
+"""
+
+ORACLE_SQL["q270_setsim_prefix_join"] = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])) AS shingle
+  FROM w WHERE len(words) >= 3
+), sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+isect AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM isect JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+ORACLE_SQL["q271_tfidf_cosine_topk"] = """
+WITH docs AS (SELECT * FROM documents WHERE doc_id < 200),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM docs
+), t2 AS (SELECT * FROM toks WHERE token <> ''),
+tf AS (SELECT doc_id, token, count(*) AS cnt FROM t2 GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS doc_len FROM t2 GROUP BY 1),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM t2 GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+post AS (
+  SELECT tf.doc_id, tf.token,
+         CAST(round((cnt * 1.0 / doc_len)
+              * ln((n_docs + 1.0) / (df + 1.0)) * 1000000.0) AS BIGINT) AS w
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (token) CROSS JOIN n
+  WHERE df <= 0.6 * n_docs
+), norms AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM post GROUP BY 1
+), dots AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, sum(a.w * b.w) AS dot
+  FROM post a JOIN post b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), sims AS (
+  SELECT da, db, dot / (na.nrm * nb.nrm) AS sim
+  FROM dots JOIN norms na ON na.doc_id = da JOIN norms nb ON nb.doc_id = db
+), sym AS (
+  SELECT da AS doc_id, db AS nbr, sim FROM sims
+  UNION ALL
+  SELECT db AS doc_id, da AS nbr, sim FROM sims
+), ranked AS (
+  SELECT doc_id, nbr, sim,
+         row_number() OVER (PARTITION BY doc_id ORDER BY sim DESC, nbr) AS rn
+  FROM sym
+)
+SELECT doc_id, nbr, round(sim, 6) AS sim, rn
+FROM ranked WHERE rn <= 3
+ORDER BY doc_id, rn
+"""
+
+ORACLE_SQL["q272_kmv_sketch"] = """
+WITH hashed AS (
+  SELECT DISTINCT l_returnflag,
+         ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem
+), ranked AS (
+  SELECT l_returnflag, h,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn
+  FROM hashed
+), kth AS (
+  SELECT l_returnflag, count(*) AS n_hashes,
+         max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+  FROM ranked GROUP BY 1
+), exact AS (
+  SELECT l_returnflag, count(DISTINCT l_suppkey) AS exact_ndv
+  FROM lineitem GROUP BY 1
+)
+SELECT k.l_returnflag, e.exact_ndv,
+       coalesce(k.kth_hash, -1) AS kth_hash,
+       round(CASE WHEN k.n_hashes < 64 THEN k.n_hashes * 1.0
+                  ELSE 63.0 / (k.kth_hash / 1152921504606846976.0)
+             END, 2) AS est_ndv
+FROM kth k JOIN exact e USING (l_returnflag)
+ORDER BY l_returnflag
+"""
+
+ORACLE_SQL["q273_cdc_compaction"] = """
+WITH log AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events
+), ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM log
+)
+SELECT user_id, epoch_us(ts) AS ts_us, event_id, round(value, 2) AS value
+FROM ranked WHERE rn = 1 AND op = 'U'
+ORDER BY user_id
+"""
+
+ORACLE_SQL["q274_seasonal_backtest"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT d, rev, lag(rev, 7) OVER (ORDER BY d) AS fcst FROM daily
+), scored AS (
+  SELECT d, abs(rev - fcst)::DOUBLE / rev::DOUBLE AS ape
+  FROM lagged WHERE fcst IS NOT NULL
+)
+SELECT strftime(d, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(round(sum(ape), 6) / count(*), 6) AS mape
+FROM scored GROUP BY 1 ORDER BY month
+"""
+
+ORACLE_SQL["q275_triangle_count"] = """
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM op x JOIN op y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+), tri AS (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.b = e2.a
+  JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b
+), nodes AS (
+  SELECT unnest([a, b, c]) AS node FROM tri
+)
+SELECT CAST(count(*) / 3 AS BIGINT) AS n_triangles,
+       CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
+FROM nodes
+"""

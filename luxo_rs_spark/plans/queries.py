@@ -8426,3 +8426,409 @@ def q268_bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q269 — data-quality expectation suite (Deequ-style, one scan): five
+# declared expectations over `orders` — completeness, key uniqueness,
+# range compliance, set membership, freshness — computed in a SINGLE
+# aggregation pass and unpivoted to one row per check. At 100 TB this
+# is the validation gate you run before every pipeline stage: one scan,
+# one (tiny) shuffle for the global agg, constant-size output.
+# ---------------------------------------------------------------------------
+@query("q269_expectation_suite")
+def q269_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nn_cust"),
+        F.countDistinct("o_orderkey").alias("uniq_key"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") > 0) & (F.col("o_totalprice") < 1000000),
+                1,
+            ).otherwise(0)
+        ).alias("in_range"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("in_set"),
+        F.sum(
+            F.when(
+                F.col("o_orderdate")
+                <= F.lit("1998-12-31").cast("timestamp"),
+                1,
+            ).otherwise(0)
+        ).alias("fresh"),
+    )
+    checks = m.select(
+        F.expr(
+            """stack(5,
+              'completeness_custkey', cast(nn_cust as double) / n,
+              'uniqueness_orderkey', cast(uniq_key as double) / n,
+              'range_totalprice', cast(in_range as double) / n,
+              'set_orderstatus', cast(in_set as double) / n,
+              'freshness_orderdate', cast(fresh as double) / n
+            ) as (check_name, metric)"""
+        )
+    )
+    return (
+        checks.select("check_name", F.round("metric", 6).alias("metric"))
+        .withColumn("passed", F.col("metric") >= 1.0)
+        .orderBy("check_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q270 — prefix-filtered set-similarity join (PPJoin-lite) on word
+# 3-gram shingle sets, Jaccard >= 0.7. The published scale recipe for
+# exact set-similarity joins WITHOUT LSH's approximation: order each
+# set's elements by ascending global frequency, keep only the first
+# |s| - ceil(t*|s|) + 1 elements (any pair meeting t MUST share a
+# prefix element), equi-join on prefix elements for candidates, then
+# exact-verify Jaccard on candidates only. Rare-element prefixes keep
+# candidate fan-out tiny; the verify join touches candidates, never the
+# all-pairs space. Output is EXACT, so the oracle is plain all-pairs.
+# ---------------------------------------------------------------------------
+@query("q270_setsim_prefix_join")
+def q270_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words
+
+    t = 0.7
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", words("text").alias("w"))
+    sh = (
+        ws.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("w", i),
+                        F.element_at("w", i + 1),
+                        F.element_at("w", i + 2),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("pos", F.row_number().over(pos_w))
+        .join(F.broadcast(sizes), "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    isect = (
+        cand.join(sh.alias("ta"), F.col("ta.doc_id") == F.col("da"))
+        .join(
+            sh.alias("tb"),
+            (F.col("tb.doc_id") == F.col("db"))
+            & (F.col("tb.shingle") == F.col("ta.shingle")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
+    return (
+        isect.join(F.broadcast(sa), "da")
+        .join(F.broadcast(sb), "db")
+        .withColumn(
+            "jaccard", F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
+        )
+        .filter(F.col("jaccard") >= t)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q271 — sparse TF-IDF cosine top-k neighbors via inverted-index
+# postings join (document-at-a-time retrieval). The scale-correct
+# sparse-vector similarity: weights live in a postings table
+# (token -> (doc, weight)); the self-join on token materializes ONLY
+# pairs sharing a term, and a document-frequency ceiling caps the
+# per-token fan-out (same hot-key guard as q71). Weights are quantized
+# to 1e-6 integers so dot products and norms are exact integer math —
+# bit-identical across engines — and only the final cosine division is
+# floating point.
+# ---------------------------------------------------------------------------
+@query("q271_tfidf_cosine_topk")
+def q271_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = (
+        docs.select("doc_id", F.explode(words("text")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tok.cache()
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    dfreq = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = docs.select(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    post = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        # hot-token guard: drop tokens in > 60% of docs (stopword-like,
+        # near-zero idf anyway) BEFORE the pair join
+        .filter(F.col("df") <= 0.6 * F.col("n_docs"))
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                (F.col("cnt") / F.col("doc_len"))
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+                * 1000000.0
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    post.cache()
+    norms = post.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    dots = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("nrm").alias("nb"))
+    sims = (
+        dots.join(F.broadcast(na), "da")
+        .join(F.broadcast(nb), "db")
+        .withColumn("sim", F.col("dot") / (F.col("na") * F.col("nb")))
+    )
+    # symmetrize so every doc ranks all its neighbors
+    sym = sims.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("nbr"), "sim"
+    ).unionAll(
+        sims.select(
+            F.col("db").alias("doc_id"), F.col("da").alias("nbr"), "sim"
+        )
+    )
+    rk = Window.partitionBy("doc_id").orderBy(F.col("sim").desc(), "nbr")
+    return (
+        sym.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc_id", "nbr", F.round("sim", 6).alias("sim"), "rn"
+        )
+        .orderBy("doc_id", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q272 — KMV (k-minimum-values) distinct sketch, fully deterministic:
+# hash every value with md5, keep each group's k=64 smallest distinct
+# 60-bit hash values, estimate NDV = (k-1) / (h_(k) / 2^60). Unlike
+# HLL (engine-specific, T3-only) this sketch is exactly reproducible
+# on any engine that has md5 — so the ESTIMATE itself is
+# oracle-checked. KMV sketches are mergeable (union = merge k-min
+# sets), making this the scale recipe for distributed distinct
+# estimation with portable, auditable semantics.
+# ---------------------------------------------------------------------------
+@query("q272_kmv_sketch")
+def q272_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 64
+    two60 = 1152921504606846976.0  # 2^60 as double
+    li = load_table(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        "l_returnflag",
+        F.conv(
+            F.substring(F.md5(F.col("l_suppkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    ).distinct()
+    w = Window.partitionBy("l_returnflag").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_hashes"),
+            F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth_hash"),
+        )
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("exact_ndv")
+    )
+    return (
+        kth.join(exact, "l_returnflag")
+        .withColumn(
+            "est_ndv",
+            F.when(
+                F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+            ).otherwise((k - 1) / (F.col("kth_hash") / F.lit(two60))),
+        )
+        .select(
+            "l_returnflag",
+            "exact_ndv",
+            F.coalesce("kth_hash", F.lit(-1)).alias("kth_hash"),
+            F.round("est_ndv", 2).alias("est_ndv"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q273 — CDC log compaction (latest-version-wins + tombstone removal):
+# treat `events` as a change-data-capture stream keyed by user_id where
+# 'error' events are delete tombstones and everything else upserts.
+# Compaction = one window pass picking each key's latest record by
+# (ts, event_id), then dropping keys whose latest op is a delete. This
+# is the snapshot-build step of every incremental ingestion pipeline;
+# at 100 TB it is one shuffle on the key — the minimum possible — and
+# pairs with q81's MERGE for the write side.
+# ---------------------------------------------------------------------------
+@query("q273_cdc_compaction")
+def q273_cdc_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(F.col("op") == "U")
+    )
+    return latest.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.round("value", 2).alias("value"),
+    ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# Q274 — seasonal-naive forecast backtest: forecast each day's revenue
+# as the revenue 7 rows back (same weekday, dense daily series), score
+# absolute percentage error, report per-month MAPE. The windows run
+# over the PRE-AGGREGATED daily table (bounded rows at any fact scale)
+# so the fact shuffle happens once in the groupBy — the same shape as
+# q10/q148. Revenue sums are exact DECIMAL so the lag values are
+# bit-identical across engines.
+# ---------------------------------------------------------------------------
+@query("q274_seasonal_backtest")
+def q274_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = Window.orderBy("d")
+    scored = (
+        daily.withColumn("fcst", F.lag("rev", 7).over(w))
+        .filter(F.col("fcst").isNotNull())
+        .withColumn(
+            "ape",
+            F.abs(F.col("rev") - F.col("fcst")).cast("double")
+            / F.col("rev").cast("double"),
+        )
+    )
+    return (
+        scored.groupBy(F.date_format("d", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (F.round(F.sum("ape"), 6) / F.count(F.lit(1))).alias("mape"),
+        )
+        .select("month", "n_days", F.round("mape", 6).alias("mape"))
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q275 — triangle census on the part co-purchase graph: undirected
+# edges connect parts appearing in the same order; triangles are
+# counted with the canonical a<b<c two-hop join. Edge building is
+# bounded by per-order part counts (small everywhere); the triangle
+# join's fan-out is bounded by max node degree — the standard
+# distributed triangle-count formulation (node-iterator join). Output:
+# one row (triangle count + distinct participating nodes), fully
+# oracle-checkable.
+# ---------------------------------------------------------------------------
+@query("q275_triangle_count")
+def q275_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    edges = (
+        op.alias("x")
+        .join(
+            op.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    edges.cache()
+    tri = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .join(
+            edges.alias("e3"),
+            (F.col("e1.a") == F.col("e3.a"))
+            & (F.col("e2.b") == F.col("e3.b")),
+        )
+        .select(
+            F.col("e1.a").alias("a"),
+            F.col("e1.b").alias("b"),
+            F.col("e2.b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .agg(
+            (F.count(F.lit(1)) / 3).cast("bigint").alias("n_triangles"),
+            F.countDistinct("node").cast("bigint").alias("n_nodes"),
+        )
+        .select("n_triangles", "n_nodes")
+    )
