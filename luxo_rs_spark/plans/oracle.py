@@ -4868,3 +4868,44 @@ SELECT CAST(count(*) / 3 AS BIGINT) AS n_triangles,
        CAST(count(DISTINCT node) AS BIGINT) AS n_nodes
 FROM nodes
 """
+
+ORACLE_SQL["q276_media_resize"] = """
+SELECT doc_id AS media_id,
+       CAST((doc_id % 8 + 1) * 4 AS INTEGER) AS orig_w,
+       CAST((doc_id % 6 + 1) * 4 AS INTEGER) AS orig_h,
+       CAST(8 AS INTEGER) AS width,
+       CAST(8 AS INTEGER) AS height,
+       CAST(192 AS BIGINT) AS payload_bytes
+FROM documents WHERE doc_id < 200
+ORDER BY media_id
+"""
+
+ORACLE_SQL["q277_audio_features"] = """
+WITH c AS (
+  SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS clean
+  FROM documents WHERE doc_id < 200
+), c2 AS (SELECT * FROM c WHERE length(clean) >= 2),
+chars AS (
+  SELECT doc_id, unnest(generate_series(1, length(clean))) AS i, clean
+  FROM c2
+), samples AS (
+  SELECT doc_id, i,
+         (unicode(substr(clean, i, 1)) - 64) * 256 AS s
+  FROM chars
+), sb AS (
+  SELECT doc_id, i, s,
+         CASE WHEN s < 0 THEN 1 ELSE 0 END AS neg
+  FROM samples
+), zc AS (
+  SELECT doc_id, i, s, neg,
+         abs(neg - lag(neg) OVER (PARTITION BY doc_id ORDER BY i)) AS flip
+  FROM sb
+)
+SELECT doc_id AS media_id,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       round(sqrt(avg(pow(s / 32768.0, 2))), 6) AS rms,
+       round(coalesce(avg(flip), 0), 6) AS zcr,
+       CAST(max(abs(s)) AS INTEGER) AS peak
+FROM zc GROUP BY doc_id
+ORDER BY media_id
+"""

@@ -8832,3 +8832,74 @@ def q275_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_triangles", "n_nodes")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q276 — GENUINE image-resize pipeline over BINARY columns: synthesize
+# real 24-bit BMPs from the documents fixture (dims derived from
+# doc_id, real encoder layout), nearest-neighbor-resize every image to
+# 8x8 with numpy (multimodal/media.py resize_images), decode the
+# RESIZED bytes back through the standard decode path, and report the
+# byte accounting. The oracle reproduces the id/dim/byte arithmetic
+# from `documents` — checking id propagation, dim formulas, and the
+# BMP stride math end-to-end across the encode->resize->decode chain.
+# ---------------------------------------------------------------------------
+@query("q276_media_resize")
+def q276_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media,
+        resize_images,
+        synth_bmp_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    bmps = synth_bmp_table(docs)
+    resized = resize_images(bmps, out_w=8, out_h=8)
+    dims = bmps.select("media_id", "orig_w", "orig_h")
+    dec = decode_media(resized)
+    return (
+        dec.join(dims, "media_id")
+        .select(
+            "media_id",
+            "orig_w",
+            "orig_h",
+            "width",
+            "height",
+            "payload_bytes",
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q277 — GENUINE audio-feature pipeline, oracle-checked: synthesize
+# real PCM WAVs whose int16 samples derive from the text's printable
+# ASCII codes (sample = (code-64)*256), extract RMS / zero-crossing
+# rate / peak with numpy over the decoded samples, and compare against
+# DuckDB recomputing the SAME features from the text with pure SQL
+# (unicode() + window lag). The FFT band energies are the one
+# SQL-inexpressible feature — they're pinned by unit tests instead
+# (tests/test_sources_multimodal.py sine/stereo cases).
+# ---------------------------------------------------------------------------
+@query("q277_audio_features")
+def q277_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import audio_features, synth_wav_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.regexp_replace("text", r"[^ -~]", "").alias("clean"),
+        )
+        .filter(F.length("clean") >= 2)
+    )
+    wavs = synth_wav_table(docs)
+    feats = audio_features(wavs)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        "peak",
+    ).orderBy("media_id")
