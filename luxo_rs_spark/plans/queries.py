@@ -8903,3 +8903,25 @@ def q277_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("zcr", 6).alias("zcr"),
         "peak",
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q278 — IVF-ADC approximate nearest neighbors (§2.2-K): coarse
+# inverted-file pruning + asymmetric distances against grid-quantized
+# codes + exact re-rank of the shortlist — the composition of q64's
+# IVF stage with q202's quantization stage into the full published
+# large-scale ANN pipeline. Engine-specific (kmeans coarse quantizer):
+# rows-only driver check; recall vs the exact top-k is pinned in
+# tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+NO_ORACLE.add("q278_ivf_adc_topk")
+
+
+@query("q278_ivf_adc_topk")
+def q278_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import ivf_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_adc_topk(emb, target_id=1, k=5).select(
+        "vec_id", F.round("sim", 4).alias("sim")
+    )

@@ -208,3 +208,17 @@ def test_neardup_pairs_matches_bruteforce_numpy(spark, emb):
     assert set(got) == set(want)
     for k in want:
         assert math.isclose(got[k], want[k], rel_tol=1e-9)
+
+
+def test_ivf_adc_recall_vs_exact(spark):
+    """IVF-ADC (coarse prune + quantized asymmetric distances + exact
+    re-rank) recalls most of the exact top-5 — and every similarity it
+    reports is a TRUE cosine (exact re-rank), so precision of the
+    returned sims is 1 by construction."""
+    from luxo_rs_spark.operators.similarity import cosine_topk, ivf_adc_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {r.vec_id for r in cosine_topk(emb, target_id=1, k=5).collect()}
+    approx = {r.vec_id for r in ivf_adc_topk(emb, target_id=1, k=5).collect()}
+    assert len(approx) == 5
+    assert len(exact & approx) >= 3  # recall@5 >= 0.6 on the fixture
