@@ -4852,10 +4852,13 @@ FROM scored GROUP BY 1 ORDER BY month
 
 ORACLE_SQL["q275_triangle_count"] = """
 WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-edges AS (
-  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s
   FROM op x JOIN op y
     ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT a, b FROM pairs WHERE s >= 2
 ), tri AS (
   SELECT e1.a, e1.b, e2.b AS c
   FROM edges e1

@@ -8496,6 +8496,10 @@ def q270_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = 0.7
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", words("text").alias("w"))
+    # shingle strings are hashed to 8-byte ints ONCE (xxhash64): every
+    # downstream join/groupBy keys on fixed-width ints instead of ~25-
+    # byte strings — the same payload-narrowing move as q30's content
+    # hash. (64-bit collisions are ~1e-13 at this cardinality.)
     sh = (
         ws.filter(F.size("w") >= 3)
         .select(
@@ -8512,25 +8516,26 @@ def q270_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("shingle"),
         )
+        .select("doc_id", F.xxhash64("shingle").alias("sid"))
         .distinct()
     )
     sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    pos_w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    dfreq = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    pos_w = Window.partitionBy("doc_id").orderBy("df", "sid")
     ranked = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq, "sid")
         .withColumn("pos", F.row_number().over(pos_w))
         .join(F.broadcast(sizes), "doc_id")
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("sz") - F.ceil(F.lit(t) * F.col("sz")) + 1
-    ).select("doc_id", "shingle")
+    ).select("doc_id", "sid")
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
-            (F.col("a.shingle") == F.col("b.shingle"))
+            (F.col("a.sid") == F.col("b.sid"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
@@ -8538,22 +8543,37 @@ def q270_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # PPJoin length filter: jaccard >= t forces t*max(|a|,|b|) <= min(|a|,|b|);
+    # size-incompatible candidates die BEFORE the (more expensive) exact
+    # intersection verify. Sizes attach here ONCE and ride the pair rows
+    # through the verify — no post-aggregation re-join.
+    szs = sizes.select("doc_id", "sz")
+    cand = (
+        cand.join(
+            F.broadcast(szs.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))),
+            "da",
+        )
+        .join(
+            F.broadcast(szs.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))),
+            "db",
+        )
+        .filter(
+            F.least("sza", "szb")
+            >= F.lit(t) * F.greatest("sza", "szb")
+        )
+    )
     isect = (
         cand.join(sh.alias("ta"), F.col("ta.doc_id") == F.col("da"))
         .join(
             sh.alias("tb"),
             (F.col("tb.doc_id") == F.col("db"))
-            & (F.col("tb.shingle") == F.col("ta.shingle")),
+            & (F.col("tb.sid") == F.col("ta.sid")),
         )
-        .groupBy("da", "db")
+        .groupBy("da", "db", "sza", "szb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
-    sa = sizes.select(F.col("doc_id").alias("da"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("db"), F.col("sz").alias("szb"))
     return (
-        isect.join(F.broadcast(sa), "da")
-        .join(F.broadcast(sb), "db")
-        .withColumn(
+        isect.withColumn(
             "jaccard", F.col("i") / (F.col("sza") + F.col("szb") - F.col("i"))
         )
         .filter(F.col("jaccard") >= t)
@@ -8797,6 +8817,10 @@ def q274_seasonal_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q275_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
+    # support-thresholded co-purchase edges (>= 2 co-orders): raw
+    # co-occurrence graphs are hairballs of support-1 noise — every
+    # production co-purchase analysis thresholds first, and the
+    # threshold is ALSO what keeps the wedge space sparse at scale
     edges = (
         op.alias("x")
         .join(
@@ -8804,26 +8828,58 @@ def q275_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
             & (F.col("x.l_partkey") < F.col("y.l_partkey")),
         )
-        .select(
+        .groupBy(
             F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .filter(F.col("__s") >= 2)
+        .select("a", "b")
     )
     edges.cache()
-    tri = (
-        edges.alias("e1")
-        .join(edges.alias("e2"), F.col("e1.b") == F.col("e2.a"))
-        .join(
-            edges.alias("e3"),
-            (F.col("e1.a") == F.col("e3.a"))
-            & (F.col("e2.b") == F.col("e3.b")),
-        )
+    # degree orientation (the distributed triangle-count trick): point
+    # every edge from its lower-(degree, id) endpoint to the higher one.
+    # Each triangle then has EXACTLY one node with two out-edges, and
+    # the wedge fan-out is bounded by sum-of-C(outdeg,2) with
+    # outdeg <= O(sqrt(m)) — the quadratic hot-node blowup of the naive
+    # a<b orientation cannot happen.
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionAll(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da_"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db_"))
+    lower_first = (F.col("da_") < F.col("db_")) | (
+        (F.col("da_") == F.col("db_")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        edges.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
         .select(
-            F.col("e1.a").alias("a"),
-            F.col("e1.b").alias("b"),
-            F.col("e2.b").alias("c"),
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     )
+    oriented.cache()
+    wedges = (
+        oriented.alias("e1")
+        .join(
+            oriented.alias("e2"),
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") < F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    # close the wedge against the UNDIRECTED edge set keyed (lo, hi):
+    # the b-c edge's orientation depends on degrees, the id-canonical
+    # key does not
+    closing = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    tri = wedges.join(closing, ["b", "c"], "inner").select("a", "b", "c")
     return (
         tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
         .agg(

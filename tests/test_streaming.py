@@ -294,3 +294,90 @@ def test_checkpoint_restart_exactly_once(spark):
     assert got.count() == n_all
     assert got.select("event_id").distinct().count() == n_all
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_watermark_drops_late_data(spark):
+    """Watermark guarantee a pipeline user relies on (append mode):
+    once the watermark passes a window's end and the window is emitted,
+    a later event falling into that window is DROPPED — the window is
+    never re-emitted and the late row never counts. (Spark only
+    guarantees dropping after state eviction: a late row arriving while
+    its window's state is still open may legally aggregate, so this
+    test advances the watermark far past the window, lets it finalize,
+    and THEN replays a late event.)"""
+    import os
+    import time
+
+    import pandas as pd
+
+    d = TMP / f"late_{uuid.uuid4().hex[:8]}"
+    out_ck = TMP / f"late_ck_{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def write_batch(path, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"event_id": "int64", "user_id": "int64"}).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    mins = pd.Timedelta
+    write_batch(d / "b1.parquet", [(1, t0, 1, "click", 1.0, "{}")])
+    # two watermark-advancing batches: the watermark the late-row
+    # filter applies lags one batch behind the one used for state
+    # eviction, so [t0, t0+10) is emitted AND the filter watermark has
+    # passed it only after BOTH these batches commit
+    write_batch(
+        d / "b2.parquet", [(2, t0 + mins(minutes=180), 1, "click", 1.0, "{}")]
+    )
+    write_batch(
+        d / "b3.parquet", [(3, t0 + mins(minutes=360), 1, "click", 1.0, "{}")]
+    )
+    # hopelessly late: lands in the ALREADY-EMITTED window
+    write_batch(
+        d / "b4.parquet", [(4, t0 + mins(minutes=6), 1, "click", 1.0, "{}")]
+    )
+    # flush every live window
+    write_batch(
+        d / "b5.parquet", [(5, t0 + mins(minutes=720), 1, "click", 1.0, "{}")]
+    )
+    now = time.time()
+    for i, f in enumerate(["b1", "b2", "b3", "b4", "b5"]):
+        os.utime(d / f"{f}.parquet", (now - 60 + 10 * i, now - 60 + 10 * i))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    name = f"late_{uuid.uuid4().hex[:6]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(out_ck))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [(str(r.ws), int(r.n)) for r in spark.table(name).collect()]
+    t0_rows = [r for r in rows if r[0] == str(t0)]
+    # exactly one emission of the finalized window, and the late event
+    # (batch 3) never counted into it
+    assert t0_rows == [(str(t0), 1)]
+    # the watermark-advancing batches flushed their own windows too
+    assert (str(t0 + mins(minutes=180)), 1) in rows
+
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(out_ck, ignore_errors=True)
