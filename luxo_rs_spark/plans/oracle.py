@@ -4912,3 +4912,114 @@ SELECT doc_id AS media_id,
 FROM zc GROUP BY doc_id
 ORDER BY media_id
 """
+
+ORACLE_SQL["q279_lexical_richness"] = """
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), t2 AS (SELECT * FROM tok WHERE token <> ''),
+per_tok AS (
+  SELECT source, token, count(*) AS cnt, sum(length(token)) AS len_sum
+  FROM t2 GROUP BY 1, 2
+)
+SELECT source,
+       CAST(sum(cnt) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS ttr,
+       round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS hapax_ratio,
+       round(CAST(sum(len_sum) AS DOUBLE) / sum(cnt), 6) AS mean_tok_len
+FROM per_tok GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["q280_bigram_lm_ce"] = """
+WITH ws AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), ws2 AS (SELECT * FROM ws WHERE len(w) >= 2),
+big AS (
+  SELECT doc_id, source,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS bg
+  FROM ws2
+), big2 AS (
+  SELECT doc_id, source, bg.w1 AS w1, bg.w2 AS w2 FROM big
+), train AS (SELECT * FROM big2 WHERE doc_id % 10 <> 0),
+held AS (SELECT * FROM big2 WHERE doc_id % 10 = 0),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM train GROUP BY 1),
+vocab AS (SELECT count(DISTINCT w2) AS v FROM train),
+scored AS (
+  SELECT h.source,
+         -ln((coalesce(c2.c2, 0) + 1.0)
+             / (coalesce(c1.c1, 0) + vocab.v)) AS nll
+  FROM held h
+  LEFT JOIN c2 ON h.w1 = c2.w1 AND h.w2 = c2.w2
+  LEFT JOIN c1 ON h.w1 = c1.w1
+  CROSS JOIN vocab
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(round(sum(nll), 6) / count(*), 6) AS ce
+FROM scored GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["q281_cuped_adjustment"] = """
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN value ELSE 0 END) AS x,
+         sum(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN value ELSE 0 END) AS y,
+         CAST(user_id % 2 AS INTEGER) AS arm
+  FROM events GROUP BY user_id
+), mom AS (
+  SELECT avg(x) AS mx, covar_pop(x, y) AS cxy, var_pop(x) AS vx
+  FROM per_user
+), adj AS (
+  SELECT arm, y, y - (cxy / vx) * (x - mx) AS y_adj
+  FROM per_user CROSS JOIN mom
+)
+SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+       round(round(sum(y), 6) / count(*), 6) AS mean_raw,
+       round(round(sum(y_adj), 6) / count(*), 6) AS mean_cuped
+FROM adj GROUP BY arm ORDER BY arm
+"""
+
+ORACLE_SQL["q282_cohort_ltv"] = """
+WITH first AS (
+  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+  FROM orders GROUP BY 1
+), aged AS (
+  SELECT strftime(f.cohort, '%Y-%m') AS cohort_month,
+         CAST(datediff('month', f.cohort,
+                       date_trunc('month', o.o_orderdate)) AS INTEGER) AS age,
+         CAST(o.o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+  WHERE datediff('month', f.cohort, date_trunc('month', o.o_orderdate)) <= 5
+), grid AS (
+  SELECT cohort_month, age, sum(p) AS rev FROM aged GROUP BY 1, 2
+)
+SELECT cohort_month, age,
+       CAST(rev AS DOUBLE) AS rev,
+       CAST(sum(rev) OVER (PARTITION BY cohort_month ORDER BY age
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+FROM grid ORDER BY cohort_month, age
+"""
+
+ORACLE_SQL["q283_consistent_sampling"] = """
+WITH flagged AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000)
+           AS bucket
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN bucket < 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_2pct,
+       CAST(sum(CASE WHEN bucket < 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_5pct,
+       CAST(sum(CASE WHEN bucket < 20 AND bucket >= 50 THEN 1 ELSE 0 END)
+            AS BIGINT) AS subset_violations
+FROM flagged
+"""

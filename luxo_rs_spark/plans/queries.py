@@ -8981,3 +8981,225 @@ def q278_ivf_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_adc_topk(emb, target_id=1, k=5).select(
         "vec_id", F.round("sim", 4).alias("sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q279 — lexical-richness audit per source (§2.2-K text analysis):
+# type-token ratio, hapax-legomena ratio (tokens seen exactly once in
+# the source), and mean token length — the classic corpus-health
+# triple for spotting boilerplate/TEMPLATED sources before training.
+# One explode + two aggs; the token table shuffles once on
+# (source, token).
+# ---------------------------------------------------------------------------
+@query("q279_lexical_richness")
+def q279_lexical_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(words("text")).alias("token")
+    ).filter(F.col("token") != "")
+    per_tok = tok.groupBy("source", "token").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.length("token")).alias("len_sum"),
+    )
+    return (
+        per_tok.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+            (F.count(F.lit(1)) / F.sum("cnt")).alias("ttr"),
+            (
+                F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("hapax_ratio"),
+            (F.sum("len_sum") / F.sum("cnt")).alias("mean_tok_len"),
+        )
+        .select(
+            "source", "n_tokens", "n_types", "n_hapax",
+            F.round("ttr", 6).alias("ttr"),
+            F.round("hapax_ratio", 6).alias("hapax_ratio"),
+            F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q280 — bigram language-model cross-entropy with add-1 smoothing
+# (extends q201's unigram LM to conditional bigram probabilities):
+# train counts on the doc_id%10!=0 slice, score the held-out slice.
+# P(w2|w1) = (c(w1 w2)+1) / (c(w1)+V). The bigram table shuffles on
+# the (w1, w2) key; scoring is a broadcast-friendly join of the
+# held-out bigrams against the count tables.
+# ---------------------------------------------------------------------------
+@query("q280_bigram_lm_ce")
+def q280_bigram_lm_ce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", "source", words("text").alias("w")
+    ).filter(F.size("w") >= 2)
+    big = ws.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    train = big.filter(F.col("doc_id") % 10 != 0)
+    held = big.filter(F.col("doc_id") % 10 == 0)
+    c2 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = train.select(
+        F.countDistinct("w2").alias("v")
+    )
+    scored = (
+        held.join(c2, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (F.round(F.sum("nll"), 6) / F.count(F.lit(1))).alias("ce"),
+        )
+        .select("source", "n_bigrams", F.round("ce", 6).alias("ce"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q281 — CUPED variance reduction (the industry-standard experiment
+# readout): for each user take a pre-period covariate (event value
+# before the split date) and the experiment metric (value after),
+# compute theta = cov(x,y)/var(x) over all users, and report per-arm
+# adjusted means y - theta*(x - mean(x)). Everything is one pass of
+# conditional aggregation + one tiny broadcast of the global moments.
+# ---------------------------------------------------------------------------
+@query("q281_cuped_adjustment")
+def q281_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= split, F.col("value")).otherwise(0.0)).alias("y"),
+    ).withColumn("arm", (F.col("user_id") % 2).cast("int"))
+    mom = per_user.agg(
+        F.avg("x").alias("mx"),
+        F.covar_pop("x", "y").alias("cxy"),
+        F.var_pop("x").alias("vx"),
+    )
+    adj = per_user.crossJoin(F.broadcast(mom)).withColumn(
+        "y_adj",
+        F.col("y") - (F.col("cxy") / F.col("vx")) * (F.col("x") - F.col("mx")),
+    )
+    return (
+        adj.groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            (F.round(F.sum("y"), 6) / F.count(F.lit(1))).alias("mean_raw"),
+            (F.round(F.sum("y_adj"), 6) / F.count(F.lit(1))).alias("mean_cuped"),
+        )
+        .select(
+            "arm", "n_users",
+            F.round("mean_raw", 6).alias("mean_raw"),
+            F.round("mean_cuped", 6).alias("mean_cuped"),
+        )
+        .orderBy("arm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q282 — cohort LTV curve: customers cohorted by first-order month;
+# cumulative revenue per cohort at ages 0..5 months (months since
+# first order). The running cumulative uses one window over the
+# pre-aggregated (cohort, age) grid — bounded rows at any fact scale.
+# ---------------------------------------------------------------------------
+@query("q282_cohort_ltv")
+def q282_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort")
+    )
+    aged = (
+        o.join(first, "o_custkey")
+        .withColumn(
+            "age",
+            F.months_between(
+                F.date_trunc("month", "o_orderdate"), F.col("cohort")
+            ).cast("int"),
+        )
+        .filter(F.col("age") <= 5)
+    )
+    grid = aged.groupBy(
+        F.date_format("cohort", "yyyy-MM").alias("cohort_month"), "age"
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("cum_rev", F.sum("rev").over(w))
+        .select(
+            "cohort_month",
+            "age",
+            F.col("rev").cast("double").alias("rev"),
+            F.col("cum_rev").cast("double").alias("cum_rev"),
+        )
+        .orderBy("cohort_month", "age")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q283 — consistent-hash sampling stability: the property that makes
+# hash sampling the ONLY sane sampling at 100 TB — the 5% sample is a
+# strict superset of the 2% sample (membership depends only on the
+# key's hash, not on the sampling run), so downsampled pipelines can
+# be grown without resampling churn. Output: per-rate counts plus the
+# subset-violation count (always 0), all oracle-checked.
+# ---------------------------------------------------------------------------
+@query("q283_consistent_sampling")
+def q283_consistent_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # md5-derived bucket (not Spark's internal hash): the SAME bucket is
+    # computable on any engine, which is what "consistent" promises
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint"),
+        F.lit(1000),
+    )
+    flagged = docs.select(
+        "doc_id",
+        (bucket < 20).alias("in2"),
+        (bucket < 50).alias("in5"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("in2"), 1).otherwise(0)).cast("bigint").alias("n_2pct"),
+        F.sum(F.when(F.col("in5"), 1).otherwise(0)).cast("bigint").alias("n_5pct"),
+        F.sum(F.when(F.col("in2") & ~F.col("in5"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("subset_violations"),
+    )
