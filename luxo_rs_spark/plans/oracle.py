@@ -5023,3 +5023,35 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
             AS BIGINT) AS subset_violations
 FROM flagged
 """
+
+ORACLE_SQL["q284_partition_checksum"] = """
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       bit_xor(('0x' || substr(md5(
+           CAST(o_orderkey AS VARCHAR) || '|' ||
+           CAST(o_custkey AS VARCHAR) || '|' ||
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+           o_orderstatus), 1, 15))::BIGINT) AS xor_fp
+FROM orders
+GROUP BY 1 ORDER BY day
+"""
+
+ORACLE_SQL["q285_catalog_audit"] = """
+WITH u AS (
+  SELECT 'region' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(2 AS BIGINT) AS n_cols,
+         CAST(count(DISTINCT r_regionkey) AS BIGINT) AS n_keys FROM region
+  UNION ALL
+  SELECT 'nation', count(*), 3, count(DISTINCT n_nationkey) FROM nation
+  UNION ALL
+  SELECT 'customer', count(*), 5, count(DISTINCT c_custkey) FROM customer
+  UNION ALL
+  SELECT 'supplier', count(*), 4, count(DISTINCT s_suppkey) FROM supplier
+  UNION ALL
+  SELECT 'part', count(*), 6, count(DISTINCT p_partkey) FROM part
+  UNION ALL
+  SELECT 'orders', count(*), 6, count(DISTINCT o_orderkey) FROM orders
+)
+SELECT table_name, n_rows, n_cols, n_keys, n_rows = n_keys AS key_unique
+FROM u ORDER BY table_name
+"""

@@ -9203,3 +9203,78 @@ def q283_consistent_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("subset_violations"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q284 — anti-entropy table checksum: per-day XOR-fold of an
+# engine-portable row fingerprint (md5 of the key columns) + row
+# count. XOR is order-insensitive and mergeable, so two replicas of a
+# 100 TB table compare with one tiny exchange per partition — the
+# replica-reconciliation primitive behind every cross-cluster copy
+# audit (q178 diffs rows; this diffs WHOLE partitions in O(1) output).
+# ---------------------------------------------------------------------------
+@query("q284_partition_checksum")
+def q284_partition_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    row_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+                    F.col("o_orderstatus"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        o.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.bit_xor(row_fp).alias("xor_fp"),
+        )
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "n_rows", "xor_fp")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q285 — catalog audit (information-schema surface): per registered
+# table its row count, column count, and distinct-key count for the
+# declared primary key — the ANALYZE-style census an engine catalog
+# keeps. Each count is one scan-side agg; the union is a constant-size
+# driver plan.
+# ---------------------------------------------------------------------------
+@query("q285_catalog_audit")
+def q285_catalog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = {
+        "region": "r_regionkey",
+        "nation": "n_nationkey",
+        "customer": "c_custkey",
+        "supplier": "s_suppkey",
+        "part": "p_partkey",
+        "orders": "o_orderkey",
+    }
+    parts = []
+    for tname, key in keys.items():
+        t = load_table(spark, sf_dir, tname)
+        parts.append(
+            t.agg(
+                F.lit(tname).alias("table_name"),
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.lit(len(t.columns)).cast("bigint").alias("n_cols"),
+                F.countDistinct(key).cast("bigint").alias("n_keys"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.withColumn(
+        "key_unique", F.col("n_rows") == F.col("n_keys")
+    ).orderBy("table_name")
