@@ -45,3 +45,40 @@ def merge_upsert(
     else:
         survivors = updates
     return untouched.unionByName(survivors)
+
+
+def merge_agg_states(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Merge two partial-aggregate states (the incremental
+    materialized-view maintenance primitive): each input carries, per
+    key, the mergeable accumulators ``n`` (count), ``s`` (sum),
+    ``mn``/``mx`` (min/max). The merged state is exact for the union of
+    the underlying rows — averages and other derived metrics recompute
+    from (s, n) at read time.
+
+    At 100 TB this is the difference between re-scanning a year of
+    history and aggregating ONLY today's partition: the snapshot is
+    bounded by key cardinality, so the merge is a key-sized join, not
+    a fact-sized scan. The same algebra is why Spark's own
+    HashAggregate can split partial/final across a shuffle.
+    """
+    both = snapshot.unionByName(delta)
+    return both.groupBy(*keys).agg(
+        F.sum("n").alias("n"),
+        F.sum("s").alias("s"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+    )
+
+
+def agg_state(df: DataFrame, keys: list[str], value: str) -> DataFrame:
+    """Build the mergeable accumulator state for `value` per key."""
+    return df.groupBy(*keys).agg(
+        F.count(value).alias("n"),
+        F.sum(value).alias("s"),
+        F.min(value).alias("mn"),
+        F.max(value).alias("mx"),
+    )

@@ -5055,3 +5055,16 @@ WITH u AS (
 SELECT table_name, n_rows, n_cols, n_keys, n_rows = n_keys AS key_unique
 FROM u ORDER BY table_name
 """
+
+ORACLE_SQL["q286_incremental_rollup"] = """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+            / count(*) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

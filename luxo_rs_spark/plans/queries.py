@@ -9278,3 +9278,36 @@ def q285_catalog_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "key_unique", F.col("n_rows") == F.col("n_keys")
     ).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Q286 — incremental materialized-view maintenance: the orders rollup
+# is maintained as a mergeable accumulator state (count/sum/min/max
+# per priority); history (orders < 1997-01-01) is aggregated ONCE into
+# a snapshot, the delta re-aggregates only the tail, and the merge is
+# a key-cardinality-sized union+agg — never a history rescan. The
+# oracle recomputes the same rollup over the full table: the merged
+# state must be EXACTLY the full recompute (the partial-aggregation
+# algebra Spark itself relies on across every shuffle).
+# ---------------------------------------------------------------------------
+@query("q286_incremental_rollup")
+def q286_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.merge import agg_state, merge_agg_states
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "price", F.col("o_totalprice").cast("decimal(18,2)")
+    )
+    cut = F.lit("1997-01-01").cast("timestamp")
+    hist = o.filter(F.col("o_orderdate") < cut)
+    delta = o.filter(F.col("o_orderdate") >= cut)
+    snapshot = agg_state(hist, ["o_orderpriority"], "price")
+    delta_state = agg_state(delta, ["o_orderpriority"], "price")
+    merged = merge_agg_states(snapshot, delta_state, ["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("s").cast("double").alias("total"),
+        F.col("mn").cast("double").alias("min_price"),
+        F.col("mx").cast("double").alias("max_price"),
+        (F.round(F.col("s"), 2).cast("double") / F.col("n")).alias("avg_price"),
+    ).orderBy("o_orderpriority")

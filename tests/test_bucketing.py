@@ -89,3 +89,44 @@ def test_bucketed_equals_plain_join(spark, bucketed):
         .count()
     )
     assert got == want > 0
+
+
+def test_repartition_by_range_writes_disjoint_files(spark, tmp_path):
+    """repartitionByRange + sortWithinPartitions produces files with
+    DISJOINT key ranges — the layout that makes parquet row-group
+    min/max skipping effective for range predicates (the job the
+    reference's B+Tree range scans did, SURVEY §1.1)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from luxo_rs_spark.sources.registry import load_table
+
+    out = str(tmp_path / "orders_ranged")
+    (
+        load_table(spark, SF_DIR, "orders")
+        .repartitionByRange(4, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        mins, maxs = [], []
+        for rg in range(pf.metadata.num_row_groups):
+            col = next(
+                pf.metadata.row_group(rg).column(i)
+                for i in range(pf.metadata.num_columns)
+                if pf.metadata.row_group(rg).column(i).path_in_schema
+                == "o_custkey"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # files cover disjoint key ranges
