@@ -5068,3 +5068,43 @@ FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+ORACLE_SQL["q287_kmv_set_ops"] = """
+WITH pop AS (
+  SELECT l_returnflag, l_suppkey,
+         ('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM lineitem WHERE l_returnflag IN ('A', 'R')
+), ka AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM pop WHERE l_returnflag = 'A')
+  ) WHERE rn <= 64
+), kr AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM pop WHERE l_returnflag = 'R')
+  ) WHERE rn <= 64
+), ku AS (
+  SELECT h FROM (
+    SELECT h, row_number() OVER (ORDER BY h) AS rn
+    FROM (SELECT h FROM ka UNION SELECT h FROM kr)
+  ) WHERE rn <= 64
+), ests AS (
+  SELECT (SELECT 63.0 / (max(h) / 1152921504606846976.0) FROM ka) AS est_a,
+         (SELECT 63.0 / (max(h) / 1152921504606846976.0) FROM kr) AS est_r,
+         (SELECT 63.0 / (max(h) / 1152921504606846976.0) FROM ku) AS est_union
+), exact AS (
+  SELECT count(DISTINCT l_suppkey) AS exact_union,
+         count(DISTINCT CASE WHEN l_returnflag = 'A' THEN l_suppkey END) AS exact_a,
+         count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS exact_r
+  FROM pop
+)
+SELECT CAST(exact_a AS BIGINT) AS exact_a,
+       CAST(exact_r AS BIGINT) AS exact_r,
+       CAST(exact_union AS BIGINT) AS exact_union,
+       round(est_a, 2) AS est_a,
+       round(est_r, 2) AS est_r,
+       round(est_union, 2) AS est_union,
+       round(est_a + est_r - est_union, 2) AS est_intersection
+FROM exact CROSS JOIN ests
+"""

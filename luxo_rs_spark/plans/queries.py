@@ -9311,3 +9311,82 @@ def q286_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mx").cast("double").alias("max_price"),
         (F.round(F.col("s"), 2).cast("double") / F.col("n")).alias("avg_price"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Q287 — KMV sketch SET OPERATIONS (the property that makes sketches a
+# scale primitive, q272's sequel): union the k-minimum-value states of
+# two supplier populations (returnflag 'A' vs 'R') WITHOUT touching
+# the raw rows again — |A ∪ B| estimates from the merged k-min set,
+# |A ∩ B| from inclusion-exclusion, Jaccard from their ratio, each
+# against the exact answer. Merging k-min sets is a k-row union + a
+# rank trim — state-sized work, never corpus-sized; the same md5-hash
+# determinism as q272 makes every estimate oracle-checkable.
+# ---------------------------------------------------------------------------
+@query("q287_kmv_set_ops")
+def q287_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 64
+    two60 = 1152921504606846976.0
+    li = load_table(spark, sf_dir, "lineitem")
+    h = (
+        F.conv(F.substring(F.md5(F.col("l_suppkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    pop = li.filter(F.col("l_returnflag").isin("A", "R")).select(
+        "l_returnflag", "l_suppkey", h
+    )
+
+    def kmin(flag):
+        hashed = pop.filter(F.col("l_returnflag") == flag).select("h").distinct()
+        w = Window.orderBy("h")
+        return (
+            hashed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("h")
+        )
+
+    ka, kr = kmin("A"), kmin("R")
+    # merged union state: k smallest of the union of the two k-min sets
+    w = Window.orderBy("h")
+    ku = (
+        ka.unionAll(kr)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    est = lambda kth: (k - 1) / (kth / two60)  # noqa: E731
+    kth_u = ku.agg(F.max("h").alias("kth")).select(
+        est(F.col("kth")).alias("est_union")
+    )
+    kth_a = ka.agg(F.max("h").alias("kth")).select(
+        est(F.col("kth")).alias("est_a")
+    )
+    kth_r = kr.agg(F.max("h").alias("kth")).select(
+        est(F.col("kth")).alias("est_r")
+    )
+    exact = pop.agg(
+        F.countDistinct("l_suppkey").alias("exact_union"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "A", F.col("l_suppkey"))
+        ).alias("exact_a"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("exact_r"),
+    )
+    return (
+        exact.crossJoin(F.broadcast(kth_a))
+        .crossJoin(F.broadcast(kth_r))
+        .crossJoin(F.broadcast(kth_u))
+        .select(
+            "exact_a",
+            "exact_r",
+            "exact_union",
+            F.round("est_a", 2).alias("est_a"),
+            F.round("est_r", 2).alias("est_r"),
+            F.round("est_union", 2).alias("est_union"),
+            F.round(
+                F.col("est_a") + F.col("est_r") - F.col("est_union"), 2
+            ).alias("est_intersection"),
+        )
+    )

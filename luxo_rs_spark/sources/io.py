@@ -49,3 +49,52 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> dict:
+    """Small-file compaction: rewrite a parquet directory into
+    ~target-sized files (copy-on-write via a staging directory +
+    atomic rename). The streaming-ingest pathology at scale: a
+    minutely micro-batch sink leaves thousands of KB-sized files per
+    partition, and every downstream scan pays per-file open/footer
+    costs plus scheduler pressure — compaction restores scan
+    efficiency. Optional ``sort_cols`` re-sorts while rewriting so
+    row-group min-max stats become selective again (q124's z-order
+    pairs with this).
+
+    Returns {"files_before", "files_after", "rows"} for audit logs.
+    """
+    import glob
+    import os
+    import shutil
+
+    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    df = spark.read.parquet(path)
+    rows = df.count()
+    total_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+    staged = path.rstrip("/") + ".compact_tmp"
+    out = df.repartition(n_out)
+    if sort_cols:
+        out = out.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    out.write.mode("overwrite").parquet(staged)
+    # atomic-ish swap (single-filesystem rename)
+    backup = path.rstrip("/") + ".compact_old"
+    os.rename(path, backup)
+    os.rename(staged, path)
+    shutil.rmtree(backup)
+    files_after = len(glob.glob(os.path.join(path, "*.parquet")))
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }

@@ -345,3 +345,28 @@ def test_audio_features_stereo_mixdown(spark):
     r = audio_features(src).collect()[0]
     assert r.n_samples == 4
     assert r.rms == 0.0 and r.peak == 0
+
+
+def test_compact_parquet_small_files(spark, tmpdir):
+    """Compaction folds a many-small-files directory into few
+    target-sized files with identical content (count + checksum)."""
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+    from luxo_rs_spark.sources.io import compact_parquet
+    from luxo_rs_spark.sources.registry import load_table
+
+    path = f"{tmpdir}/frag"
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.repartition(40).write.mode("overwrite").parquet(path)
+    before = spark.read.parquet(path)
+    want_n = before.count()
+    want_sum = before.agg(F.sum("o_orderkey")).head()[0]
+
+    rep = compact_parquet(spark, path, target_file_bytes=64 * 1024 * 1024,
+                          sort_cols=["o_custkey"])
+    assert rep["files_before"] == 40
+    assert rep["files_after"] < 10
+    after = spark.read.parquet(path)
+    assert after.count() == want_n
+    assert after.agg(F.sum("o_orderkey")).head()[0] == want_sum
