@@ -595,3 +595,59 @@ def ivf_adc_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): coarse-cluster the embeddings (kmeans), compare
+    pairs ONLY within a cluster, and drop every vector whose cosine to
+    a LOWER-id cluster-mate exceeds `threshold` (min-id survivor, the
+    same deterministic survivor rule as exact dedup q30).
+
+    Returns (id, cluster, is_dup, keep) for every input row.
+
+    Scale shape: the all-pairs work is confined to within-cluster
+    blocks — with C balanced clusters the pair space drops by ~1/C,
+    and clusters are the unit of shuffle (one repartition on cluster
+    id). The published recipe runs exactly this way on web-scale
+    corpora; cluster count scales with corpus so block sizes stay
+    bounded. kmeans makes it engine-specific -> rows-only driver
+    check; semantics pinned by unit tests.
+    """
+    cent = kmeans_centroids(emb, n_clusters, seed, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, cent, vec_col).select(
+        F.col(id_col).alias("id"), F.col("ivf_cluster").alias("cluster"),
+        F.col(vec_col).alias("__e"),
+    )
+    a = assigned.select(
+        F.col("id").alias("ia"), F.col("cluster"), F.col("__e").alias("__ea")
+    )
+    b = assigned.select(
+        F.col("id").alias("ib"), F.col("cluster"), F.col("__e").alias("__eb")
+    )
+    dup_ids = (
+        a.join(b, "cluster")
+        .filter(F.col("ib") < F.col("ia"))
+        .withColumn("sim", cosine(F.col("__ea"), F.col("__eb")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("ia").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(
+            dup_ids.withColumn("__dup", F.lit(True)), "id", "left"
+        )
+        .select(
+            "id",
+            "cluster",
+            F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+            (~F.coalesce("__dup", F.lit(False))).alias("keep"),
+        )
+    )

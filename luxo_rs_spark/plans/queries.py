@@ -9390,3 +9390,31 @@ def q287_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_intersection"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q288 — SemDeDup semantic deduplication (§2.2-K): kmeans coarse
+# clusters confine the cosine pair comparisons to within-cluster
+# blocks; min-id survivors keep one representative per semantic
+# duplicate group. Engine-specific (kmeans) -> rows-only driver check;
+# the survivor-rule semantics are pinned in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+NO_ORACLE.add("q288_semantic_dedup")
+
+
+@query("q288_semantic_dedup")
+def q288_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flags = semantic_dedup(emb, threshold=0.95)
+    return (
+        flags.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dups"),
+        )
+        .orderBy("cluster")
+    )

@@ -222,3 +222,41 @@ def test_ivf_adc_recall_vs_exact(spark):
     approx = {r.vec_id for r in ivf_adc_topk(emb, target_id=1, k=5).collect()}
     assert len(approx) == 5
     assert len(exact & approx) >= 3  # recall@5 >= 0.6 on the fixture
+
+
+def test_semantic_dedup_survivor_rule(spark):
+    """SemDeDup semantics: a vector is dropped iff a LOWER-id vector in
+    the same cluster is cosine-similar above threshold — so every
+    duplicate has a surviving witness, and no surviving pair within a
+    cluster exceeds the threshold... unless their witness chain differs
+    (A~B and B~C but A!~C keeps A, drops B and C iff C~A or C~B). We
+    pin the two hard guarantees: (1) min-id of every cluster always
+    survives; (2) flagged dups always have a lower-id similar witness."""
+    from luxo_rs_spark.functions.vectors import cosine
+    from luxo_rs_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    flags = semantic_dedup(emb, threshold=0.9).cache()
+    # (1) the lowest id in every cluster is never a dup
+    firsts = flags.groupBy("cluster").agg(F.min("id").alias("first_id"))
+    joined = flags.join(
+        firsts, (flags.id == firsts.first_id) & (flags.cluster == firsts.cluster)
+    )
+    assert joined.filter(F.col("is_dup")).count() == 0
+    # (2) every dup has a lower-id same-cluster witness with sim >= t
+    dups = flags.filter(F.col("is_dup")).select("id", "cluster")
+    vecs = emb.select(F.col("vec_id").alias("id"), "embedding")
+    pairs = (
+        dups.join(vecs, "id")
+        .alias("d")
+        .join(
+            flags.join(vecs, "id").alias("w"),
+            (F.col("w.cluster") == F.col("d.cluster"))
+            & (F.col("w.id") < F.col("d.id")),
+        )
+        .withColumn("sim", cosine(F.col("d.embedding"), F.col("w.embedding")))
+        .filter(F.col("sim") >= 0.9)
+        .select(F.col("d.id").alias("id"))
+        .distinct()
+    )
+    assert pairs.count() == dups.count()
