@@ -9407,7 +9407,7 @@ def q288_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    flags = semantic_dedup(emb, threshold=0.95)
+    flags = semantic_dedup(emb, threshold=0.45)
     return (
         flags.groupBy("cluster")
         .agg(
