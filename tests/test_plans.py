@@ -365,3 +365,37 @@ def test_plan_report_structure(engine):
     assert rep["n_codegen_spans"] >= 1
     # broadcast join + partial agg: only the final agg exchange remains
     assert rep["n_exchanges"] <= 2
+
+
+def test_q270_prefix_join_broadcasts_sizes(spark):
+    """PPJoin: the size tables ride as broadcasts; no cartesian
+    anywhere; the shingle scan happens a bounded number of times
+    (cached logical subtree reused across prefix/verify)."""
+    plan = plan_of(spark, "q270_setsim_prefix_join")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q275_triangle_edges_cached_no_cartesian(spark):
+    plan = plan_of(spark, "q275_triangle_count")
+    assert "CartesianProduct" not in plan
+    # support-thresholded edge build: the lineitem pair join keys on
+    # l_orderkey (equi), never a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q284_checksum_single_scan_single_shuffle(spark):
+    """Anti-entropy checksum: one scan of orders, one exchange for the
+    per-day agg — the O(1)-output reconciliation shape."""
+    plan = plan_of(spark, "q284_partition_checksum")
+    assert plan.count("orders.parquet") == 1
+    assert plan.count("Exchange") <= 3  # partial+final agg + final sort
+
+
+def test_q286_incremental_merge_no_history_rescan(spark):
+    """The merged state plan scans orders at most twice (hist + delta
+    slices of the same file here) and joins NOTHING fact-sized — the
+    merge is a union of two key-cardinality states."""
+    plan = plan_of(spark, "q286_incremental_rollup")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
