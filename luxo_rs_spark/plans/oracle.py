@@ -5108,3 +5108,63 @@ SELECT CAST(exact_a AS BIGINT) AS exact_a,
        round(est_a + est_r - est_union, 2) AS est_intersection
 FROM exact CROSS JOIN ests
 """
+
+ORACLE_SQL["q289_max_concurrency"] = """
+WITH iv AS (
+  SELECT ts AS start, ts + INTERVAL 5 MINUTE AS "end"
+  FROM events
+  WHERE CAST(ts AS DATE) = CAST(ts + INTERVAL 5 MINUTE AS DATE)
+), points AS (
+  SELECT start AS t, 1 AS delta FROM iv
+  UNION ALL
+  SELECT "end" AS t, -1 AS delta FROM iv
+), running AS (
+  SELECT CAST(t AS DATE) AS d,
+         sum(delta) OVER (PARTITION BY CAST(t AS DATE)
+                          ORDER BY t, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS conc
+  FROM points
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(max(conc) AS BIGINT) AS peak_concurrency
+FROM running GROUP BY d ORDER BY day
+"""
+
+ORACLE_SQL["q290_padding_waste"] = """
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+), t2 AS (SELECT doc_id, n_tok FROM toks WHERE n_tok > 0),
+binned AS (
+  SELECT doc_id, n_tok,
+         CAST(pow(2.0, ceil(log2(n_tok))) AS BIGINT) AS bin
+  FROM t2
+)
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(max(n_tok) AS BIGINT) AS max_len,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(count(*) * bin - sum(n_tok) AS BIGINT) AS padding_waste,
+       round((count(*) * bin - sum(n_tok)) * 1.0
+             / (count(*) * bin) * 100, 4) AS waste_pct
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+ORACLE_SQL["q291_dataset_card"] = """
+WITH base AS (
+  SELECT doc_id, lang, source, length(text) AS n_chars, md5(text) AS fp
+  FROM documents
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_texts,
+       round((count(*) - count(DISTINCT fp)) * 1.0 / count(*) * 100, 4)
+         AS dup_pct,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       round(median(n_chars), 2) AS median_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(round(sum(n_chars), 2) / count(*), 2) AS mean_chars
+FROM base
+"""

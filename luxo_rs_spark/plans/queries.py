@@ -9418,3 +9418,116 @@ def q288_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q289 — maximum concurrency via the sweep-line pattern: each event
+# opens a 5-minute presence interval; +1/-1 boundary points, a running
+# sum ordered by time, and a per-day max give peak concurrent users —
+# the capacity-planning query every ops team runs. The running sum
+# partitions BY DAY (intervals are clipped to day boundaries by
+# construction here), so no single-partition global window exists at
+# scale.
+# ---------------------------------------------------------------------------
+@query("q289_max_concurrency")
+def q289_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 5 minutes")).alias("end"),
+    ).filter(F.to_date("start") == F.to_date("end"))
+    points = iv.select(
+        F.col("start").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(iv.select(F.col("end").alias("t"), F.lit(-1).alias("delta")))
+    # ties: starts before ends at the same instant (inclusive overlap)
+    w = Window.partitionBy(F.to_date("t")).orderBy(
+        F.col("t"), F.col("delta").desc()
+    )
+    running = points.withColumn("conc", F.sum("delta").over(w))
+    return (
+        running.groupBy(F.to_date("t").alias("d"))
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+        .select(F.date_format("d", "yyyy-MM-dd").alias("day"), "peak_concurrency")
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q290 — dynamic-batching economics (§2.2-K): bucket documents by
+# token count into power-of-2 length bins and report per-bin padding
+# waste (n_docs * bin_max_len - total_tokens) — the planning query
+# behind length-bucketed batch samplers (q82 packs sequences; this
+# quantifies WHY: cross-bin padding is the GPU-hours leak). Map-side
+# binning + one agg.
+# ---------------------------------------------------------------------------
+@query("q290_padding_waste")
+def q290_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(words("text")).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    binned = toks.withColumn(
+        "bin", F.pow(F.lit(2.0), F.ceil(F.log2("n_tok"))).cast("bigint")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("n_tok").cast("bigint").alias("max_len"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            (F.col("n_docs") * F.col("bin") - F.col("total_tokens")).cast("bigint"),
+        )
+        .withColumn(
+            "waste_pct",
+            F.round(
+                (F.col("n_docs") * F.col("bin") - F.col("total_tokens"))
+                / (F.col("n_docs") * F.col("bin")) * 100,
+                4,
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q291 — dataset card (the datasheet every released training corpus
+# ships): ONE wide row of corpus-level facts — doc/source/lang counts,
+# length quantiles, exact-dup rate by content hash, mean quality
+# proxies — composed from the same primitives as q30/q37/q38 in a
+# single lazy plan. Constant-size output from two scans (docs + token
+# stats), each with partial aggregation.
+# ---------------------------------------------------------------------------
+@query("q291_dataset_card")
+def q291_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("fp"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique_texts"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp"))
+            / F.count(F.lit(1)) * 100,
+            4,
+        ).alias("dup_pct"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+        (F.round(F.sum("n_chars"), 2) / F.count(F.lit(1))).alias("mean_chars"),
+    ).select(
+        "n_docs", "n_sources", "n_langs", "n_unique_texts", "dup_pct",
+        "min_chars", F.round("median_chars", 2).alias("median_chars"),
+        "max_chars", F.round("mean_chars", 2).alias("mean_chars"),
+    )
