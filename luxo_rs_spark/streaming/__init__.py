@@ -9,6 +9,7 @@ from luxo_rs_spark.streaming.stateful import dedup_stream, running_user_totals
 from luxo_rs_spark.streaming.joins import (
     click_view_attribution,
     interval_join_streams,
+    interval_join_streams_outer,
     stream_static_enrich,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "running_user_totals",
     "click_view_attribution",
     "interval_join_streams",
+    "interval_join_streams_outer",
     "stream_static_enrich",
 ]

@@ -45,6 +45,36 @@ def interval_join_streams(
     return lw.join(rw, cond, "inner")
 
 
+def interval_join_streams_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """LEFT OUTER watermarked interval join: like
+    :func:`interval_join_streams`, but an unmatched left row is emitted
+    with nulls ONCE THE WATERMARK PROVES no match can still arrive
+    (left_ts + max_gap falls behind the right-side watermark). That
+    deferred-null emission is the semantic difference from a batch
+    outer join, and the reason both time bounds are mandatory: they
+    define when "no match" becomes a fact rather than a maybe.
+
+    Use for attribution-with-fallback: every click row appears exactly
+    once, matched or not.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[f"r_{on}"])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return lw.join(rw, cond, "left_outer")
+
+
 def click_view_attribution(
     events: DataFrame, max_gap: str = "30 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

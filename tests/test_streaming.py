@@ -460,3 +460,88 @@ def test_foreachbatch_streaming_upsert(spark, stream_dir):
 
     shutil.rmtree(snap_dir, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark):
+    """Left-outer watermarked interval join: a click with NO matching
+    view must surface with null view columns once the watermark proves
+    no match can arrive — the deferred-null emission unique to
+    streaming outer joins. Synthetic two-file stream: user 1 clicks
+    with a view 5 min before (match), user 2 clicks with no view ever
+    (null after watermark passes)."""
+    import pandas as pd
+
+    from luxo_rs_spark.streaming.joins import interval_join_streams_outer
+
+    d = TMP / f"ssoj_{uuid.uuid4().hex[:8]}"
+    ckpt = TMP / f"ssoj_ck_{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    mins = pd.Timedelta
+
+    def wb(path, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"event_id": "int64", "user_id": "int64"}).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    wb(
+        d / "b1.parquet",
+        [
+            (1, t0 - mins(minutes=5), 1, "view", 1.0, "{}"),   # matching view
+            (2, t0, 1, "click", 1.0, "{}"),                    # matched click
+            (3, t0, 2, "click", 1.0, "{}"),                    # never-matched click
+        ],
+    )
+    # watermark pusher: far-future events on both sides close the state
+    wb(
+        d / "b2.parquet",
+        [
+            (4, t0 + mins(hours=6), 9, "click", 1.0, "{}"),
+            (5, t0 + mins(hours=6), 9, "view", 1.0, "{}"),
+        ],
+    )
+    import os
+    import time
+
+    now = time.time()
+    os.utime(d / "b1.parquet", (now - 20, now - 20))
+    os.utime(d / "b2.parquet", (now, now))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = interval_join_streams_outer(
+        clicks, views, on="user_id", max_gap="30 minutes", watermark="10 minutes"
+    ).select("click_id", "view_id")
+    name = f"ssoj_{uuid.uuid4().hex[:6]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.click_id, r.view_id) for r in spark.table(name).collect()}
+    assert (2, 1) in rows          # matched pair
+    assert (3, None) in rows       # deferred null for the unmatched click
+
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
