@@ -5,7 +5,11 @@ from luxo_rs_spark.streaming.windows import (
     sliding_stats,
     tumbling_stats,
 )
-from luxo_rs_spark.streaming.stateful import dedup_stream, running_user_totals
+from luxo_rs_spark.streaming.stateful import (
+    dedup_stream,
+    running_user_totals,
+    timeout_sessions,
+)
 from luxo_rs_spark.streaming.joins import (
     click_view_attribution,
     interval_join_streams,
@@ -21,6 +25,7 @@ __all__ = [
     "tumbling_stats",
     "dedup_stream",
     "running_user_totals",
+    "timeout_sessions",
     "click_view_attribution",
     "interval_join_streams",
     "interval_join_streams_outer",

@@ -545,3 +545,75 @@ def test_stream_stream_left_outer_join_emits_nulls(spark):
 
     shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_timeout_sessions_close_reasons(spark):
+    """EventTimeTimeout sessionization: an in-batch gap closes a
+    session with reason 'gap'; an idle key's final session closes via
+    the state TIMEOUT when the watermark advances past last+gap."""
+    import pandas as pd
+
+    from luxo_rs_spark.streaming.stateful import timeout_sessions
+
+    d = TMP / f"tsess_{uuid.uuid4().hex[:8]}"
+    ckpt = TMP / f"tsess_ck_{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    t0 = pd.Timestamp("2024-01-01 09:00:00")
+    mins = pd.Timedelta
+
+    def wb(path, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"event_id": "int64", "user_id": "int64"}).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    # user 1: two events 1 min apart, then a 20-min gap, then one more
+    # -> first session closes "gap" in-batch; second stays open
+    wb(
+        d / "b1.parquet",
+        [
+            (1, t0, 1, "click", 1.0, "{}"),
+            (2, t0 + mins(minutes=1), 1, "click", 1.0, "{}"),
+            (3, t0 + mins(minutes=21), 1, "click", 1.0, "{}"),
+        ],
+    )
+    # watermark pusher on ANOTHER user: advances event-time watermark
+    # far past user 1's last+gap -> user 1's open session times out
+    wb(d / "b2.parquet", [(4, t0 + mins(hours=3), 2, "click", 1.0, "{}")])
+    # a third batch gives the engine a trigger in which the timeout fires
+    wb(d / "b3.parquet", [(5, t0 + mins(hours=4), 2, "click", 1.0, "{}")])
+    import os
+    import time
+
+    now = time.time()
+    for i, f in enumerate(["b1", "b2", "b3"]):
+        os.utime(d / f"{f}.parquet", (now - 30 + 10 * i, now - 30 + 10 * i))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    sessions = timeout_sessions(stream, gap="5 minutes", watermark="1 minute")
+    name = f"tsess_{uuid.uuid4().hex[:6]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.table(name).filter(F.col("user_id") == 1).collect()
+    reasons = {(r.n_events, r.closed_by) for r in rows}
+    assert (2, "gap") in reasons       # first session: 2 events, gap-closed
+    assert (1, "timeout") in reasons   # second session closed by timeout
+
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
