@@ -5168,3 +5168,66 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        round(round(sum(n_chars), 2) / count(*), 2) AS mean_chars
 FROM base
 """
+
+ORACLE_SQL["q292_seasonal_decompose"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), win AS (
+  SELECT d, rev,
+         count(*) OVER w AS n_win,
+         round(sum(rev) OVER w, 6) / count(*) OVER w AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), dec AS (
+  SELECT rev - trend AS detrended,
+         CAST(isodow(d) AS INTEGER) AS dow
+  FROM win WHERE n_win = 7
+)
+SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+       round(round(sum(detrended), 6) / count(*), 2) AS seasonal,
+       round(stddev_samp(detrended), 2) AS resid_sd
+FROM dec GROUP BY dow ORDER BY dow
+"""
+
+ORACLE_SQL["q293_fulfillment_sla"] = """
+WITH last_ship AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+), lat AS (
+  SELECT o.o_orderpriority,
+         datediff('day', CAST(o.o_orderdate AS DATE), ls.last_ship) AS lat_days
+  FROM orders o JOIN last_ship ls ON o.o_orderkey = ls.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(quantile_cont(lat_days, 0.5), 2) AS p50,
+       round(quantile_cont(lat_days, 0.9), 2) AS p90,
+       CAST(max(lat_days) AS BIGINT) AS max_days,
+       round(sum(CASE WHEN lat_days <= 60 THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 100, 4) AS within_60d_pct
+FROM lat GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["q294_mahalanobis_outliers"] = """
+WITH per_order AS (
+  SELECT o.o_orderkey, o.o_totalprice AS price,
+         CAST(count(*) AS DOUBLE) AS n_items,
+         CAST(sum(l.l_quantity) AS DOUBLE) AS qty
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey, o.o_totalprice
+), mom AS (
+  SELECT avg(price) AS mp, var_pop(price) AS vp,
+         avg(n_items) AS mi, var_pop(n_items) AS vi,
+         avg(qty) AS mq, var_pop(qty) AS vq
+  FROM per_order
+)
+SELECT o_orderkey,
+       round(sqrt(pow(price - mp, 2) / vp
+                + pow(n_items - mi, 2) / vi
+                + pow(qty - mq, 2) / vq), 6) AS mdist
+FROM per_order CROSS JOIN mom
+ORDER BY mdist DESC, o_orderkey
+LIMIT 20
+"""

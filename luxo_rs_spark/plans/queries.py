@@ -9531,3 +9531,131 @@ def q291_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_chars", F.round("median_chars", 2).alias("median_chars"),
         "max_chars", F.round("mean_chars", 2).alias("mean_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q292 — seasonal decomposition (STL-lite): daily revenue = trend
+# (centered 7-day moving average) + day-of-week seasonal factor (mean
+# of detrended values per weekday) + residual; report the 7 seasonal
+# factors and residual spread. Windows over the PRE-AGGREGATED daily
+# series (the q10/q274 shape) — the fact shuffle happens once.
+# ---------------------------------------------------------------------------
+@query("q292_seasonal_decompose")
+def q292_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    dec = (
+        daily.withColumn("n_win", F.count(F.lit(1)).over(w))
+        .withColumn("trend", F.round(F.sum("rev").over(w), 6) / F.col("n_win"))
+        .filter(F.col("n_win") == 7)  # full centered windows only
+        .withColumn("detrended", F.col("rev") - F.col("trend"))
+        # ISO weekday 1..7 (Mon..Sun) — portable across engines
+        .withColumn(
+            "dow", F.expr("((dayofweek(d) + 5) % 7) + 1").cast("int")
+        )
+    )
+    return (
+        dec.groupBy("dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            (F.round(F.sum("detrended"), 6) / F.count(F.lit(1))).alias(
+                "seasonal"
+            ),
+            F.round(F.stddev_samp("detrended"), 2).alias("resid_sd"),
+        )
+        .select(
+            "dow", "n_days",
+            F.round("seasonal", 2).alias("seasonal"), "resid_sd",
+        )
+        .orderBy("dow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q293 — order-fulfillment SLA: per order the latest lineitem
+# shipdate; latency = days(ship - order); per-priority latency
+# distribution (p50/p90/max, pct shipped within 60/90 days). One
+# fact-fact join pre-aggregated to order grain BEFORE joining (the
+# shuffle-narrowing move: join carries one row per order, not one per
+# lineitem).
+# ---------------------------------------------------------------------------
+@query("q293_fulfillment_sla")
+def q293_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    lat = o.join(
+        last_ship, o.o_orderkey == last_ship.l_orderkey
+    ).select(
+        "o_orderpriority",
+        F.datediff("last_ship", F.to_date("o_orderdate")).alias("lat_days"),
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr("percentile(lat_days, 0.5)").alias("p50"),
+            F.expr("percentile(lat_days, 0.9)").alias("p90"),
+            F.max("lat_days").cast("bigint").alias("max_days"),
+            F.round(
+                F.sum(F.when(F.col("lat_days") <= 60, 1).otherwise(0))
+                / F.count(F.lit(1)) * 100,
+                4,
+            ).alias("within_60d_pct"),
+        )
+        .select(
+            "o_orderpriority", "n_orders",
+            F.round("p50", 2).alias("p50"), F.round("p90", 2).alias("p90"),
+            "max_days", "within_60d_pct",
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q294 — multivariate outlier scan (diagonal Mahalanobis): per order a
+# combined z-distance over (totalprice, lineitem count, total qty)
+# against global moments; top-20 most anomalous orders. One fact agg,
+# one 1-row moment broadcast, one TakeOrdered — no full sort.
+# ---------------------------------------------------------------------------
+@query("q294_mahalanobis_outliers")
+def q294_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("qty"),
+        )
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .select(
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+            F.col("n_items").cast("double").alias("n_items"),
+            F.col("qty").cast("double").alias("qty"),
+        )
+    )
+    mom = per_order.agg(
+        F.avg("price").alias("mp"), F.var_pop("price").alias("vp"),
+        F.avg("n_items").alias("mi"), F.var_pop("n_items").alias("vi"),
+        F.avg("qty").alias("mq"), F.var_pop("qty").alias("vq"),
+    )
+    scored = per_order.crossJoin(F.broadcast(mom)).withColumn(
+        "m2",
+        F.pow(F.col("price") - F.col("mp"), 2) / F.col("vp")
+        + F.pow(F.col("n_items") - F.col("mi"), 2) / F.col("vi")
+        + F.pow(F.col("qty") - F.col("mq"), 2) / F.col("vq"),
+    )
+    return (
+        scored.select("o_orderkey", F.round(F.sqrt("m2"), 6).alias("mdist"))
+        .orderBy(F.col("mdist").desc(), "o_orderkey")
+        .limit(20)
+    )
