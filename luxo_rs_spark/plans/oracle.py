@@ -5231,3 +5231,53 @@ FROM per_order CROSS JOIN mom
 ORDER BY mdist DESC, o_orderkey
 LIMIT 20
 """
+
+ORACLE_SQL["q295_sprt_monitor"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events WHERE user_id % 2 = 1
+  GROUP BY 1
+), scored AS (
+  SELECT d, n, conv,
+         conv * ln(0.25 / 0.20)
+           + (n - conv) * ln(0.75 / 0.80) AS llr_day
+  FROM daily
+), cum AS (
+  SELECT d, n, conv,
+         round(sum(llr_day) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 6)
+           AS llr
+  FROM scored
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(n AS BIGINT) AS n, CAST(conv AS BIGINT) AS conv, llr,
+       CASE WHEN llr >= ln(19.0) THEN 'accept_h1'
+            WHEN llr <= -ln(19.0) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum ORDER BY day
+"""
+
+ORACLE_SQL["q296_record_linkage"] = """
+WITH cust AS (
+  SELECT c_custkey, c_nationkey,
+         regexp_extract(c_name, '([0-9]+)', 1) AS c_digits,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS c_band
+  FROM customer
+), supp AS (
+  SELECT s_suppkey, s_nationkey,
+         regexp_extract(s_name, '([0-9]+)', 1) AS s_digits,
+         CAST(floor(s_acctbal / 1000) AS BIGINT) AS s_band
+  FROM supplier
+), pairs AS (
+  SELECT c_custkey, s_suppkey,
+         (CASE WHEN right(lpad(c_digits, 2, '0'), 2)
+                  = right(lpad(s_digits, 2, '0'), 2)
+               THEN 2.0 ELSE -0.5 END
+          + CASE WHEN c_band = s_band THEN 1.5 ELSE -0.3 END) AS score
+  FROM cust JOIN supp ON c_nationkey = s_nationkey
+)
+SELECT c_custkey, s_suppkey, round(score, 1) AS score
+FROM pairs WHERE score >= 3.0
+ORDER BY c_custkey, s_suppkey
+"""

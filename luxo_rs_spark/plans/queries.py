@@ -9659,3 +9659,89 @@ def q294_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mdist").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q295 — SPRT sequential experiment monitor: daily purchase-conversion
+# counts per arm (user parity), cumulative Bernoulli log-likelihood
+# ratio testing H1: p1 = 1.25*p0 against H0: p0 (constants pinned for
+# determinism), with Wald boundaries ln(19)/-ln(19) (alpha=beta=0.05).
+# The decision column shows WHEN the experiment could have stopped —
+# the always-valid sequential readout, as one cumulative window over
+# the daily pre-agg.
+# ---------------------------------------------------------------------------
+@query("q295_sprt_monitor")
+def q295_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    p0, p1 = 0.20, 0.25
+    la, lb = math.log((1 - p1) / (1 - p0)), math.log(p1 / p0)
+    bound = math.log(19.0)
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("user_id") % 2 == 1)  # treatment arm
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    scored = daily.withColumn(
+        "llr_day",
+        F.col("conv") * F.lit(lb) + (F.col("n") - F.col("conv")) * F.lit(la),
+    ).withColumn("llr", F.round(F.sum("llr_day").over(w), 6))
+    return scored.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("conv").cast("bigint").alias("conv"),
+        "llr",
+        F.when(F.col("llr") >= bound, F.lit("accept_h1"))
+        .when(F.col("llr") <= -bound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Q296 — record-linkage scoring (Fellegi-Sunter lite): candidate
+# customer-supplier pairs blocked by nation, scored by field
+# agreements (shared name digits, same-account-balance band) with
+# fixed log-odds weights; pairs above a declared threshold rank as
+# link candidates. The blocking join is the scale guard (no cross
+# join); agreement predicates are pure map-side expressions.
+# ---------------------------------------------------------------------------
+@query("q296_record_linkage")
+def q296_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.regexp_extract("c_name", r"(\d+)", 1).alias("c_digits"),
+        F.floor(F.col("c_acctbal") / 1000).alias("c_band"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_nationkey",
+        F.regexp_extract("s_name", r"(\d+)", 1).alias("s_digits"),
+        F.floor(F.col("s_acctbal") / 1000).alias("s_band"),
+    )
+    pairs = cust.join(
+        supp, cust.c_nationkey == supp.s_nationkey
+    ).withColumn(
+        "score",
+        F.when(
+            F.expr("right(lpad(c_digits, 2, '0'), 2)")
+            == F.expr("right(lpad(s_digits, 2, '0'), 2)"),
+            2.0,
+        ).otherwise(-0.5)
+        + F.when(F.col("c_band") == F.col("s_band"), 1.5).otherwise(-0.3),
+    )
+    return (
+        pairs.filter(F.col("score") >= 3.0)
+        .select(
+            "c_custkey", "s_suppkey", F.round("score", 1).alias("score")
+        )
+        .orderBy("c_custkey", "s_suppkey")
+    )
