@@ -5281,3 +5281,37 @@ SELECT c_custkey, s_suppkey, round(score, 1) AS score
 FROM pairs WHERE score >= 3.0
 ORDER BY c_custkey, s_suppkey
 """
+
+ORACLE_SQL["q297_rolling_kmv_distinct"] = """
+WITH day_hash AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM events
+), days AS (
+  SELECT DISTINCT d FROM day_hash
+), eligible AS (
+  SELECT d FROM (
+    SELECT d, row_number() OVER (ORDER BY d) AS rn FROM days
+  ) WHERE rn >= 7
+), win AS (
+  SELECT e.d, dh.h
+  FROM eligible e
+  JOIN day_hash dh
+    ON dh.d BETWEEN e.d - INTERVAL 6 DAY AND e.d
+  GROUP BY e.d, dh.h
+), ranked AS (
+  SELECT d, h, row_number() OVER (PARTITION BY d ORDER BY h) AS rn
+  FROM win
+), kth AS (
+  SELECT d, count(*) FILTER (rn <= 64) AS state_size,
+         count(*) AS n_hashes,
+         max(CASE WHEN rn = 64 THEN h END) AS kth_hash
+  FROM ranked GROUP BY d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(state_size AS BIGINT) AS state_size,
+       round(CASE WHEN n_hashes < 64 THEN n_hashes * 1.0
+                  ELSE 63.0 / (kth_hash / 1152921504606846976.0) END, 2)
+         AS est_users_7d
+FROM kth ORDER BY day
+"""

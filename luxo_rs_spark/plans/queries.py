@@ -9745,3 +9745,57 @@ def q296_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey", "s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q297 — rolling 7-day distinct users from STORED daily KMV sketches:
+# each day keeps only its k=64 smallest md5 hashes (an array-typed
+# sketch state); the trailing-window estimate merges 7 such states
+# with pure array HOFs (flatten -> distinct -> sort -> k-th element) —
+# the raw events are scanned ONCE to build the daily states, and every
+# window after that touches k-sized arrays. This is how rolling
+# distinct metrics actually run at 100 TB (contrast q208, which
+# re-expands raw rows per window); k-min-of-union == union-of-k-mins
+# makes the estimate EXACTLY equal to a from-scratch computation, so
+# the oracle recomputes it from raw rows and must agree bit-for-bit.
+# ---------------------------------------------------------------------------
+@query("q297_rolling_kmv_distinct")
+def q297_rolling_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = 64
+    two60 = 1152921504606846976.0
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    day_hash = ev.select(F.to_date("ts").alias("d"), h).distinct()
+    daily_sketch = day_hash.groupBy("d").agg(
+        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("kmin")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    merged = (
+        daily_sketch.withColumn(
+            "win_union",
+            F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list("kmin").over(w)))
+            ),
+        )
+        .withColumn("n_win", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_win") == 7)
+        .withColumn("n_hashes", F.size("win_union"))
+        .withColumn(
+            "est",
+            F.when(
+                F.col("n_hashes") < k, F.col("n_hashes").cast("double")
+            ).otherwise(
+                (k - 1)
+                / (F.element_at("win_union", k) / F.lit(two60))
+            ),
+        )
+    )
+    return merged.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.least(F.col("n_hashes"), F.lit(k)).cast("bigint").alias("state_size"),
+        F.round("est", 2).alias("est_users_7d"),
+    ).orderBy("day")
