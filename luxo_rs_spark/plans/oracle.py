@@ -5315,3 +5315,63 @@ SELECT strftime(d, '%Y-%m-%d') AS day,
          AS est_users_7d
 FROM kth ORDER BY day
 """
+
+ORACLE_SQL["q298_abc_classification"] = """
+WITH per_part AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                  AS BIGINT)) AS rev
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(rev) AS tot FROM per_part),
+classed AS (
+  SELECT rev, tot,
+         CASE WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) * 100 <= tot * 80
+              THEN 'A'
+              WHEN sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) * 100 <= tot * 95
+              THEN 'B' ELSE 'C' END AS cls
+  FROM per_part CROSS JOIN tot
+)
+SELECT cls, CAST(count(*) AS BIGINT) AS n_parts,
+       round(CAST(sum(rev) AS DOUBLE) / max(tot) * 100, 4) AS rev_share_pct,
+       (CAST(sum(rev) AS DOUBLE) / 10000) / count(*) AS avg_rev
+FROM classed GROUP BY cls ORDER BY cls
+"""
+
+ORACLE_SQL["q299_histogram_quantile"] = """
+WITH rng AS (
+  SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders
+), binned AS (
+  SELECT o_orderpriority, lo, hi,
+         CAST(least(99, floor((o_totalprice - lo) / (hi - lo) * 100))
+              AS BIGINT) AS bin
+  FROM orders CROSS JOIN rng
+), hist AS (
+  SELECT o_orderpriority, bin, lo, hi, count(*) AS c
+  FROM binned GROUP BY 1, 2, 3, 4
+), interp AS (
+  SELECT o_orderpriority, bin, lo, hi, c,
+         sum(c) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY o_orderpriority) AS tot
+  FROM hist
+), med AS (
+  SELECT o_orderpriority,
+         lo + (bin + (tot * 0.5 - (cum - c)) / c) * ((hi - lo) / 100)
+           AS est_median
+  FROM interp
+  WHERE (cum - c) < tot * 0.5 AND cum >= tot * 0.5
+), exact AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.5) AS exact_median
+  FROM orders GROUP BY 1
+)
+SELECT m.o_orderpriority,
+       round(m.est_median, 2) AS est_median,
+       round(e.exact_median, 2) AS exact_median,
+       round(abs(m.est_median - e.exact_median) / e.exact_median * 100, 4)
+         AS err_pct
+FROM med m JOIN exact e USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""

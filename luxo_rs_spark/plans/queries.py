@@ -9799,3 +9799,125 @@ def q297_rolling_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("n_hashes"), F.lit(k)).cast("bigint").alias("state_size"),
         F.round("est", 2).alias("est_users_7d"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Q298 — ABC inventory classification: parts ranked by revenue,
+# classified A/B/C at 80%/95% cumulative share; per-class census
+# (n_parts, revenue share, avg price). The cumulative-share window
+# runs over the per-part PRE-AGGREGATE (one row per part), and the
+# class boundaries are exact-decimal cumulative sums — deterministic
+# across engines.
+# ---------------------------------------------------------------------------
+@query("q298_abc_classification")
+def q298_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # revenue in EXACT integer 1e-4 units: extprice and discount carry
+    # <= 2 decimals each, so price*(1-disc)*10000 is integer-valued up
+    # to ulps and the round() is boundary-free on every engine. All
+    # ranking/threshold math below is pure BIGINT — no double or
+    # decimal-cast boundaries anywhere.
+    rev_i = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(F.sum(rev_i).alias("rev"))
+    w = Window.orderBy(F.col("rev").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_part.agg(F.sum("rev").alias("tot"))
+    classed = (
+        per_part.withColumn("cum", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cls",
+            F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+            .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.round(F.sum("rev") / F.max("tot") * 100, 4).alias(
+                "rev_share_pct"
+            ),
+            ((F.sum("rev") / 10000) / F.count(F.lit(1))).alias("avg_rev"),
+        )
+        .select("cls", "n_parts", "rev_share_pct", "avg_rev")
+        .orderBy("cls")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q299 — histogram-interpolated quantiles vs exact: the shuffle-light
+# quantile recipe for 100 TB — one aggregation builds a fixed-width
+# histogram (map-side combinable, state = n_bins counters), the
+# median interpolates within the straddling bin; the exact
+# (sort-based) percentile runs alongside for the error report. At
+# scale the histogram path replaces a full sort with one tiny agg —
+# this query quantifies what that buys and costs per order priority.
+# ---------------------------------------------------------------------------
+@query("q299_histogram_quantile")
+def q299_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_bins = 100
+    o = load_table(spark, sf_dir, "orders")
+    rng = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(rng)).withColumn(
+        "bin",
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * n_bins
+            ),
+        ).cast("bigint"),
+    )
+    hist = binned.groupBy("o_orderpriority", "bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_w = Window.partitionBy("o_orderpriority")
+    interp = (
+        hist.withColumn("cum", F.sum("c").over(w))
+        .withColumn("tot", F.sum("c").over(tot_w))
+        .withColumn("prev_cum", F.col("cum") - F.col("c"))
+        .filter(
+            (F.col("prev_cum") < F.col("tot") * 0.5)
+            & (F.col("cum") >= F.col("tot") * 0.5)
+        )
+        .withColumn("width", (F.col("hi") - F.col("lo")) / n_bins)
+        .withColumn(
+            "est_median",
+            F.col("lo")
+            + (
+                F.col("bin")
+                + (F.col("tot") * 0.5 - F.col("prev_cum")) / F.col("c")
+            )
+            * F.col("width"),
+        )
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_median")
+    )
+    return (
+        interp.select("o_orderpriority", "est_median")
+        .join(exact, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.round("est_median", 2).alias("est_median"),
+            F.round("exact_median", 2).alias("exact_median"),
+            F.round(
+                F.abs(F.col("est_median") - F.col("exact_median"))
+                / F.col("exact_median")
+                * 100,
+                4,
+            ).alias("err_pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
