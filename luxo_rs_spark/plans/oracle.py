@@ -5375,3 +5375,29 @@ SELECT m.o_orderpriority,
 FROM med m JOIN exact e USING (o_orderpriority)
 ORDER BY o_orderpriority
 """
+
+ORACLE_SQL["q300_one_big_table"] = """
+WITH wide AS (
+  SELECT l.l_orderkey, l.l_linenumber, c.c_name, n.n_name, r.r_name,
+         s.s_name, p.p_name, o.o_orderpriority
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT r_name) AS BIGINT) AS n_regions,
+       CAST(sum(CASE WHEN c_name IS NULL OR s_name IS NULL OR p_name IS NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS null_dim_rows,
+       bit_xor(('0x' || substr(md5(
+           CAST(l_orderkey AS VARCHAR) || '|' ||
+           CAST(l_linenumber AS VARCHAR) || '|' ||
+           c_name || '|' || n_name || '|' || r_name || '|' ||
+           s_name || '|' || p_name || '|' || o_orderpriority
+       ), 1, 15))::BIGINT) AS xor_fp
+FROM wide
+"""

@@ -9921,3 +9921,68 @@ def q299_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q300 — "one big table" denormalization capstone: the full star join
+# (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region ⋈ supplier ⋈ part)
+# flattened into the wide table analysts actually query, verified by
+# constant-size integrity aggregates (row count preservation, null-free
+# dim attributes, XOR checksum over the denormalized row). Every dim
+# side broadcasts; the fact shuffles once for the orders join — the
+# canonical ELT shape this engine exists to run at 100 TB.
+# ---------------------------------------------------------------------------
+@query("q300_one_big_table")
+def q300_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part")
+    wide = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    )
+    row_fp = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                    F.col("c_name"),
+                    F.col("n_name"),
+                    F.col("r_name"),
+                    F.col("s_name"),
+                    F.col("p_name"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return wide.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+        F.countDistinct("r_name").cast("bigint").alias("n_regions"),
+        F.sum(
+            F.when(
+                F.col("c_name").isNull()
+                | F.col("s_name").isNull()
+                | F.col("p_name").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("null_dim_rows"),
+        F.bit_xor(row_fp).alias("xor_fp"),
+    )
