@@ -584,7 +584,7 @@ def ivf_adc_topk(
         .select(id_col)
     )
     # exact re-rank: fetch full-precision vectors for the shortlist only
-    qdf = spark.createDataFrame([(q.tolist(),)], f"__q array<double>")
+    qdf = spark.createDataFrame([(q.tolist(),)], "__q array<double>")
     return (
         emb.join(F.broadcast(short), id_col)
         .crossJoin(F.broadcast(qdf))
