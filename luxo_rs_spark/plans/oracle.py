@@ -5401,3 +5401,85 @@ SELECT CAST(count(*) AS BIGINT) AS n_rows,
        ), 1, 15))::BIGINT) AS xor_fp
 FROM wide
 """
+
+ORACLE_SQL["q301_purge_audit"] = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+), to_delete AS (
+  SELECT user_id FROM ranked WHERE rn = 1 AND event_type = 'error'
+), kept AS (
+  SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM to_delete)
+), purged AS (
+  SELECT * FROM events WHERE user_id IN (SELECT user_id FROM to_delete)
+), daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS purged_rows
+  FROM purged GROUP BY 1
+), totals AS (
+  SELECT (SELECT count(*) FROM kept) AS kept_rows,
+         (SELECT count(DISTINCT user_id) FROM kept) AS kept_users,
+         (SELECT count(*) FROM kept
+          WHERE user_id IN (SELECT user_id FROM to_delete)) AS leaked_rows,
+         (SELECT count(*) FROM to_delete) AS deleted_users
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(purged_rows AS BIGINT) AS purged_rows,
+       CAST(kept_rows AS BIGINT) AS kept_rows,
+       CAST(kept_users AS BIGINT) AS kept_users,
+       CAST(deleted_users AS BIGINT) AS deleted_users,
+       CAST(leaked_rows AS BIGINT) AS leaked_rows
+FROM daily CROSS JOIN totals ORDER BY day
+"""
+
+ORACLE_SQL["q302_ewma_alerts"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), hist AS (
+  SELECT d, rev,
+         list(rev) OVER (ORDER BY d
+                         ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING) AS h
+  FROM daily
+), scored AS (
+  SELECT d, rev, len(h) AS n,
+         round(
+           list_sum(list_transform(generate_series(1, len(h)),
+                    i -> h[i] * pow(0.8, len(h) - i)))
+           / list_sum(list_transform(generate_series(1, len(h)),
+                      i -> pow(0.8, len(h) - i))), 6) AS ewma
+  FROM hist WHERE len(h) >= 7
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       round(rev, 2) AS rev,
+       round(ewma, 2) AS ewma,
+       round((rev - ewma) / ewma * 100, 4) AS dev_pct,
+       abs(round((rev - ewma) / ewma * 100, 4)) > 25.0 AS alert
+FROM scored ORDER BY day
+"""
+
+ORACLE_SQL["q303_business_day_sla"] = """
+WITH promised AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE isodow(CAST(o_orderdate AS DATE))
+           WHEN 6 THEN CAST(o_orderdate AS DATE) + 2
+           WHEN 7 THEN CAST(o_orderdate AS DATE) + 1
+           ELSE CAST(o_orderdate AS DATE) END + 7 AS promised
+  FROM orders
+), last_ship AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship
+  FROM lineitem GROUP BY 1
+), scored AS (
+  SELECT p.o_orderpriority, p.promised, ls.last_ship
+  FROM promised p JOIN last_ship ls ON p.o_orderkey = ls.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN last_ship <= promised THEN 1 ELSE 0 END)
+            AS BIGINT) AS on_time,
+       round(sum(CASE WHEN last_ship <= promised THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 100, 4) AS on_time_pct
+FROM scored GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

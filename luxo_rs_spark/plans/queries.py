@@ -9986,3 +9986,150 @@ def q300_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("null_dim_rows"),
         F.bit_xor(row_fp).alias("xor_fp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q301 — right-to-be-forgotten purge audit: given a deletion list
+# (users whose latest event is an 'error', as the fixture proxy),
+# produce the post-purge table stats AND the compliance proof — zero
+# remaining rows for listed users (anti-join), purged-row counts per
+# day. The anti-join ships only the key column of the deletion side;
+# at 100 TB the purge itself is a partition-rewrite (q81's MERGE
+# delete-wins path) and THIS query is its verification gate.
+# ---------------------------------------------------------------------------
+@query("q301_purge_audit")
+def q301_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    to_delete = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("event_type") == "error"))
+        .select("user_id")
+    )
+    kept = ev.join(to_delete, "user_id", "left_anti")
+    purged = ev.join(to_delete, "user_id", "left_semi")
+    leak = kept.join(to_delete, "user_id", "left_semi")
+    daily = (
+        purged.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("purged_rows"))
+    )
+    totals = kept.agg(
+        F.count(F.lit(1)).alias("kept_rows"),
+        F.countDistinct("user_id").alias("kept_users"),
+    ).crossJoin(
+        F.broadcast(
+            leak.agg(F.count(F.lit(1)).alias("leaked_rows"))
+        )
+    ).crossJoin(
+        F.broadcast(to_delete.agg(F.count(F.lit(1)).alias("deleted_users")))
+    )
+    return (
+        daily.crossJoin(F.broadcast(totals))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("purged_rows").cast("bigint").alias("purged_rows"),
+            F.col("kept_rows").cast("bigint").alias("kept_rows"),
+            F.col("kept_users").cast("bigint").alias("kept_users"),
+            F.col("deleted_users").cast("bigint").alias("deleted_users"),
+            F.col("leaked_rows").cast("bigint").alias("leaked_rows"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q302 — EWMA anomaly alerts with a truncated-decay window: the
+# exponentially-weighted mean over the trailing 14 days computed with
+# array HOFs (collect_list over the frame, zip with a decay sequence)
+# — recursion-free, so it runs identically on any engine and any
+# partitioning. Alerts flag days whose revenue deviates > 25% from
+# the EWMA of the PRECEDING days.
+# ---------------------------------------------------------------------------
+@query("q302_ewma_alerts")
+def q302_ewma_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alpha = 0.8  # decay per step back
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w = Window.orderBy("d").rowsBetween(-14, -1)
+    # vals = trailing revenues, OLDEST first; weight = alpha^(steps back)
+    with_hist = daily.withColumn("hist", F.collect_list("rev").over(w))
+    n = F.size("hist")
+    idx = F.sequence(F.lit(1), n)
+    weights = F.transform(idx, lambda i: F.pow(F.lit(alpha), n - i))
+    wsum = F.aggregate(weights, F.lit(0.0), lambda a, x: a + x)
+    wdot = F.aggregate(
+        F.zip_with(F.col("hist"), weights, lambda v, wt: v * wt),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored = (
+        with_hist.filter(n >= 7)
+        .withColumn("ewma", F.round(wdot / wsum, 6))
+        .withColumn(
+            "dev_pct", F.round((F.col("rev") - F.col("ewma")) / F.col("ewma") * 100, 4)
+        )
+    )
+    return scored.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round("rev", 2).alias("rev"),
+        F.round("ewma", 2).alias("ewma"),
+        "dev_pct",
+        (F.abs(F.col("dev_pct")) > 25.0).alias("alert"),
+    ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Q303 — business-day SLA: promised ship = order date + 5 BUSINESS
+# days (closed-form weekend-skipping arithmetic, no calendar table);
+# per-priority on-time rate against the actual last lineitem ship
+# date. The business-day addition is a pure column expression on both
+# engines — the formula-driven alternative to materializing a holiday
+# calendar dim (which q60's spine would handle when one exists).
+# ---------------------------------------------------------------------------
+@query("q303_business_day_sla")
+def q303_business_day_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # ISO weekday 1..7 of the order date
+    dow = F.expr("((dayofweek(to_date(o_orderdate)) + 5) % 7) + 1")
+    # shift a weekend start to Monday, then add 5 business days = 7
+    # calendar days (Mon..Fri all land in the same weekday after +7);
+    # for a weekend start the effective start is the next Monday
+    eff_start = F.when(
+        dow == 6, F.date_add(F.to_date("o_orderdate"), 2)
+    ).when(dow == 7, F.date_add(F.to_date("o_orderdate"), 1)).otherwise(
+        F.to_date("o_orderdate")
+    )
+    promised = F.date_add(eff_start, 7)
+    last_ship = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship")
+    )
+    scored = o.withColumn("promised", promised).join(
+        last_ship, o.o_orderkey == last_ship.l_orderkey
+    )
+    return (
+        scored.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(F.col("last_ship") <= F.col("promised"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("on_time"),
+            F.round(
+                F.sum(
+                    F.when(F.col("last_ship") <= F.col("promised"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+                * 100,
+                4,
+            ).alias("on_time_pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
