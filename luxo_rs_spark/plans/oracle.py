@@ -5483,3 +5483,40 @@ SELECT o_orderpriority,
              / count(*) * 100, 4) AS on_time_pct
 FROM scored GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+ORACLE_SQL["q304_embedding_drift"] = """
+WITH comp AS (
+  SELECT label, vec_id % 2 AS half,
+         unnest(embedding) AS x,
+         generate_subscripts(embedding, 1) - 1 AS pos
+  FROM embeddings
+), cent AS (
+  SELECT label, half, pos,
+         round(sum(CAST(x AS DOUBLE)), 6) / count(*) AS c
+  FROM comp GROUP BY 1, 2, 3
+), a AS (SELECT label, pos, c AS ca FROM cent WHERE half = 0),
+b AS (SELECT label, pos, c AS cb FROM cent WHERE half = 1)
+SELECT label,
+       round(sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))), 6)
+         AS centroid_cosine,
+       round(sqrt(sum(ca * ca)) / sqrt(sum(cb * cb)), 6) AS norm_ratio
+FROM a JOIN b USING (label, pos)
+GROUP BY label ORDER BY label
+"""
+
+ORACLE_SQL["q305_zipf_audit"] = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, count(*) AS f FROM toks WHERE token <> '' GROUP BY 1
+), ranked AS (
+  SELECT ln(row_number() OVER (ORDER BY f DESC, token)) AS lx,
+         ln(f) AS ly
+  FROM freq
+)
+SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+       round(regr_slope(ly, lx), 6) AS zipf_slope,
+       round(regr_r2(ly, lx), 6) AS r2
+FROM ranked
+"""

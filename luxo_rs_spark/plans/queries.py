@@ -10133,3 +10133,79 @@ def q303_business_day_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q304 — embedding drift monitor: split each label's vectors into two
+# halves (by vec_id parity — the deterministic stand-in for
+# before/after snapshots), compare half-centroids by cosine and norm
+# ratio. The production check that a re-embedded corpus or a new
+# model version hasn't shifted the space: centroids are one explode +
+# agg (partial-agg friendly), the compare is centroid-sized.
+# ---------------------------------------------------------------------------
+@query("q304_embedding_drift")
+def q304_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    )
+    cent = comp.groupBy("label", "half", "pos").agg(
+        (F.round(F.sum("x"), 6) / F.count(F.lit(1))).alias("c")
+    )
+    a = cent.filter(F.col("half") == 0).select(
+        "label", "pos", F.col("c").alias("ca")
+    )
+    b = cent.filter(F.col("half") == 1).select(
+        "label", "pos", F.col("c").alias("cb")
+    )
+    return (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+        .select(
+            "label",
+            F.round(
+                F.col("dot") / (F.col("na") * F.col("nb")), 6
+            ).alias("centroid_cosine"),
+            F.round(F.col("na") / F.col("nb"), 6).alias("norm_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q305 — Zipf-law audit: regress ln(frequency) on ln(rank) over the
+# token vocabulary; a healthy natural-language corpus shows slope near
+# -1, templated/synthetic text deviates — the complement of q160's
+# Heaps-law curve for corpus-health monitoring. One token agg + one
+# rank window over the vocabulary (vocab-sized, not corpus-sized) +
+# regr aggregates.
+# ---------------------------------------------------------------------------
+@query("q305_zipf_audit")
+def q305_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "token")
+    ranked = freq.withColumn("r", F.row_number().over(w)).select(
+        F.log("r").alias("lx"), F.log("f").alias("ly")
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.round(F.expr("regr_slope(ly, lx)"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
+    )
