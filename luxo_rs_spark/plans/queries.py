@@ -2816,6 +2816,11 @@ def q107_editdistance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cheaper than an edit-distance; (2) the banded threshold form
     # levenshtein(l, r, 2) stops at distance 3 (returns -1), turning
     # the O(|l|*|r|) DP into O(2*max(|l|,|r|)) per surviving pair.
+    # (The SymSpell deletion-neighborhood alternative exists as
+    # operators/dedup.py editdistance_candidate_pairs — measured SLOWER
+    # here because 7-12-char names from a dense namespace share
+    # deletion variants massively; it wins on long strings / huge
+    # blocks. See SCALING.md.)
     pairs = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))

@@ -245,3 +245,50 @@ def test_cc_star_equals_label_prop(spark):
     }
     assert star == prop
     assert star[99] == 99 and star[23] == 20 and star[3] == 1
+
+
+def test_deletion_neighborhood_recall(spark):
+    """SymSpell guarantee: every Levenshtein-distance<=2 pair shares a
+    depth-2 deletion variant, so candidate generation has 100% recall
+    — checked against brute-force distances on a crafted set covering
+    substitution / insertion / deletion / transposition / distance-3."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.operators.dedup import editdistance_candidate_pairs
+
+    rows = [
+        (1, "analytics"),
+        (2, "analytcs"),    # deletion (d=1)
+        (3, "analytixs"),   # substitution (d=1)
+        (4, "aanalytics"),  # insertion (d=1)
+        (5, "anaytlics"),   # transposition-ish (d=2)
+        (6, "анаlytic"),    # mixed, d=2 from "analytic"
+        (7, "zzzzzzzzz"),   # far from everything
+        (8, "analytic"),    # deletion (d=1)
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    cand = {
+        (r.ida, r.idb)
+        for r in editdistance_candidate_pairs(df, "id", "s").collect()
+    }
+    # brute-force truth
+    import itertools
+
+    def lev(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (cx != cy))
+                )
+            prev = cur
+        return prev[-1]
+
+    truth = {
+        (i, j)
+        for (i, x), (j, y) in itertools.combinations(rows, 2)
+        if lev(x, y) <= 2
+    }
+    assert truth <= cand          # 100% recall for d<=2
+    assert (1, 7) not in cand      # far pair not generated
