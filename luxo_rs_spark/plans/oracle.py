@@ -5520,3 +5520,74 @@ SELECT CAST(count(*) AS BIGINT) AS vocab_size,
        round(regr_r2(ly, lx), 6) AS r2
 FROM ranked
 """
+
+ORACLE_SQL["q306_repeat_buyers"] = """
+WITH cq AS (
+  SELECT DISTINCT o_custkey,
+         year(o_orderdate) * 4 + (quarter(o_orderdate) - 1) AS qi
+  FROM orders
+), islands AS (
+  SELECT o_custkey, qi,
+         qi - row_number() OVER (PARTITION BY o_custkey ORDER BY qi) AS grp
+  FROM cq
+), streaks AS (
+  SELECT o_custkey, grp, count(*) AS len,
+         min(qi) AS q_from, max(qi) AS q_to
+  FROM islands GROUP BY 1, 2
+), best AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY len DESC, q_from) AS rn
+  FROM streaks
+)
+SELECT o_custkey,
+       CAST(len AS BIGINT) AS streak_quarters,
+       CAST(q_from AS BIGINT) AS q_from,
+       CAST(q_to AS BIGINT) AS q_to
+FROM best WHERE rn = 1 AND len >= 3
+ORDER BY o_custkey
+"""
+
+ORACLE_SQL["q307_new_vs_returning"] = """
+WITH first AS (
+  SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS first_m
+  FROM orders GROUP BY 1
+), classed AS (
+  SELECT o.*, date_trunc('month', o.o_orderdate) = f.first_m AS is_new
+  FROM orders o JOIN first f USING (o_custkey)
+), agg AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         sum(CASE WHEN is_new
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS new_rev_d,
+         sum(CASE WHEN NOT is_new
+                  THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS ret_rev_d,
+         count(DISTINCT CASE WHEN is_new THEN o_custkey END) AS new_customers
+  FROM classed GROUP BY 1
+)
+SELECT month,
+       CAST(coalesce(new_rev_d, 0) AS DOUBLE) AS new_rev,
+       CAST(coalesce(ret_rev_d, 0) AS DOUBLE) AS ret_rev,
+       CAST(new_customers AS BIGINT) AS new_customers,
+       round(CAST(coalesce(new_rev_d, 0) AS DOUBLE) * 100
+             / CAST(coalesce(new_rev_d, 0) + coalesce(ret_rev_d, 0) AS DOUBLE),
+             4) AS new_share_pct
+FROM agg ORDER BY month
+"""
+
+ORACLE_SQL["q308_basket_poisson"] = """
+WITH sizes AS (
+  SELECT l_orderkey, count(*) AS k FROM lineitem GROUP BY 1
+), mom AS (
+  SELECT count(*) AS n,
+         round(sum(k), 6) / count(*) AS lam
+  FROM sizes
+), dist AS (
+  SELECT k, count(*) AS obs FROM sizes GROUP BY 1
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(obs AS BIGINT) AS obs,
+       round(n * exp(-lam) * pow(lam, k) / factorial(CAST(k AS INTEGER)), 4)
+         AS expected,
+       round(obs - round(n * exp(-lam) * pow(lam, k)
+             / factorial(CAST(k AS INTEGER)), 4), 4) AS excess
+FROM dist CROSS JOIN mom ORDER BY k
+"""

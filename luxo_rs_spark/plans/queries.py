@@ -10214,3 +10214,138 @@ def q305_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(ly, lx)"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_r2(ly, lx)"), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q306 — consecutive-quarter repeat buyers (gap-and-islands on the
+# QUARTER grain, the TPC-DS loyalty shape): customers whose purchase
+# quarters form a streak of >= 3 consecutive quarters, with streak
+# span. The islands trick (quarter_index - dense_rank) runs over the
+# per-customer-quarter pre-aggregate.
+# ---------------------------------------------------------------------------
+@query("q306_repeat_buyers")
+def q306_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cq = o.select(
+        "o_custkey",
+        (
+            F.year("o_orderdate") * 4 + (F.quarter("o_orderdate") - 1)
+        ).alias("qi"),
+    ).distinct()
+    w = Window.partitionBy("o_custkey").orderBy("qi")
+    islands = cq.withColumn(
+        "grp", F.col("qi") - F.row_number().over(w)
+    )
+    streaks = islands.groupBy("o_custkey", "grp").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("qi").alias("q_from"),
+        F.max("qi").alias("q_to"),
+    )
+    best = (
+        streaks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.col("len").desc(), F.col("q_from")
+                )
+            ),
+        )
+        .filter((F.col("rn") == 1) & (F.col("len") >= 3))
+    )
+    return best.select(
+        "o_custkey",
+        F.col("len").cast("bigint").alias("streak_quarters"),
+        F.col("q_from").cast("bigint").alias("q_from"),
+        F.col("q_to").cast("bigint").alias("q_to"),
+    ).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Q307 — new-vs-returning revenue mix per month: each order classified
+# by whether its customer has ordered before (first-order month via a
+# per-customer min), monthly revenue split and new-share. One
+# key-sized first-order dim joined back — the acquisition-vs-retention
+# readout every revenue dashboard leads with.
+# ---------------------------------------------------------------------------
+@query("q307_new_vs_returning")
+def q307_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("first_m")
+    )
+    classed = o.join(first, "o_custkey").withColumn(
+        "is_new",
+        F.date_trunc("month", "o_orderdate") == F.col("first_m"),
+    )
+    return (
+        classed.groupBy(
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("is_new"), F.col("o_totalprice").cast("decimal(18,2)"))
+            ).alias("new_rev_d"),
+            F.sum(
+                F.when(~F.col("is_new"), F.col("o_totalprice").cast("decimal(18,2)"))
+            ).alias("ret_rev_d"),
+            F.countDistinct(
+                F.when(F.col("is_new"), F.col("o_custkey"))
+            ).alias("new_customers"),
+        )
+        .select(
+            "month",
+            F.coalesce(F.col("new_rev_d"), F.lit(0)).cast("double").alias("new_rev"),
+            F.coalesce(F.col("ret_rev_d"), F.lit(0)).cast("double").alias("ret_rev"),
+            F.col("new_customers").cast("bigint").alias("new_customers"),
+            F.round(
+                F.coalesce(F.col("new_rev_d"), F.lit(0)).cast("double")
+                * 100
+                / (
+                    F.coalesce(F.col("new_rev_d"), F.lit(0))
+                    + F.coalesce(F.col("ret_rev_d"), F.lit(0))
+                ).cast("double"),
+                4,
+            ).alias("new_share_pct"),
+        )
+        .orderBy("month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q308 — basket-size Poisson goodness audit: observed distribution of
+# lineitems-per-order vs the Poisson pmf at the observed mean
+# (exp(-l) * l^k / k!) — the quick dispersion check before modeling
+# order behavior. The distribution is over the per-order pre-agg;
+# factorial/exp are engine built-ins on both sides.
+# ---------------------------------------------------------------------------
+@query("q308_basket_poisson")
+def q308_basket_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    mom = sizes.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("k"), 6) / F.count(F.lit(1))).alias("lam"),
+    )
+    dist = sizes.groupBy("k").agg(F.count(F.lit(1)).alias("obs"))
+    return (
+        dist.crossJoin(F.broadcast(mom))
+        .withColumn(
+            "expected",
+            F.round(
+                F.col("n")
+                * F.exp(-F.col("lam"))
+                * F.pow(F.col("lam"), F.col("k"))
+                / F.factorial(F.col("k").cast("int")),
+                4,
+            ),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            F.col("obs").cast("bigint").alias("obs"),
+            "expected",
+            F.round(F.col("obs") - F.col("expected"), 4).alias("excess"),
+        )
+        .orderBy("k")
+    )
