@@ -5591,3 +5591,76 @@ SELECT CAST(k AS BIGINT) AS k,
              / factorial(CAST(k AS INTEGER)), 4), 4) AS excess
 FROM dist CROSS JOIN mom ORDER BY k
 """
+
+ORACLE_SQL["q309_price_anomaly_iqr"] = """
+WITH q AS (
+  SELECT p_brand,
+         quantile_cont(p_retailprice, 0.25) AS q1,
+         quantile_cont(p_retailprice, 0.75) AS q3
+  FROM part GROUP BY 1
+)
+SELECT p.p_partkey, p.p_brand,
+       round(p.p_retailprice, 2) AS price,
+       round(q.q1, 4) AS q1, round(q.q3, 4) AS q3
+FROM part p JOIN q USING (p_brand)
+WHERE p.p_retailprice < q.q1 - 1.5 * (q.q3 - q.q1)
+   OR p.p_retailprice > q.q3 + 1.5 * (q.q3 - q.q1)
+ORDER BY p_partkey
+"""
+
+ORACLE_SQL["q310_waterfall_allocation"] = """
+WITH o2 AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+), alloc AS (
+  SELECT o_orderkey, d, price,
+         coalesce(sum(price) OVER (ORDER BY d, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS prior
+  FROM o2
+)
+SELECT o_orderkey,
+       CAST(price AS DOUBLE) AS price,
+       CAST(greatest(0, least(price, 10000000 - prior)) AS DOUBLE)
+         AS allocated,
+       greatest(0, least(price, 10000000 - prior)) < price AS partial
+FROM alloc
+WHERE greatest(0, least(price, 10000000 - prior)) > 0
+ORDER BY d, o_orderkey
+"""
+
+ORACLE_SQL["q311_duplicate_payments"] = """
+SELECT a.o_custkey,
+       a.o_orderkey AS order_a,
+       b.o_orderkey AS order_b,
+       CAST(CAST(a.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS amount,
+       CAST(abs(datediff('day', CAST(b.o_orderdate AS DATE),
+                CAST(a.o_orderdate AS DATE))) AS BIGINT) AS gap_days
+FROM orders a
+JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND CAST(a.o_totalprice AS DECIMAL(18,2)) = CAST(b.o_totalprice AS DECIMAL(18,2))
+ AND a.o_orderkey < b.o_orderkey
+WHERE abs(datediff('day', CAST(b.o_orderdate AS DATE),
+          CAST(a.o_orderdate AS DATE))) <= 3
+ORDER BY a.o_custkey, order_a, order_b
+"""
+
+ORACLE_SQL["q312_ar_aging"] = """
+WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+aged AS (
+  SELECT o_orderpriority, o_totalprice,
+         datediff('day', CAST(o_orderdate AS DATE), anchor) AS age
+  FROM orders CROSS JOIN anchor
+  WHERE o_orderstatus = 'O'
+)
+SELECT o_orderpriority,
+       CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 60 THEN '31-60'
+            WHEN age <= 90 THEN '61-90'
+            ELSE '90+' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS outstanding
+FROM aged GROUP BY 1, 2 ORDER BY o_orderpriority, bucket
+"""

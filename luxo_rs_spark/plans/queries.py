@@ -10349,3 +10349,158 @@ def q308_basket_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q309 — reference-based pricing anomaly (Tukey fences per brand):
+# parts whose retail price falls outside [Q1 - 1.5*IQR, Q3 + 1.5*IQR]
+# of their brand. Per-brand quartiles are a key-sized dim broadcast
+# back onto parts — the robust-stats alternative to q138's z-scores
+# (which assume normality).
+# ---------------------------------------------------------------------------
+@query("q309_price_anomaly_iqr")
+def q309_price_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    q = p.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.25)").alias("q1"),
+        F.expr("percentile(p_retailprice, 0.75)").alias("q3"),
+    )
+    fenced = p.join(F.broadcast(q), "p_brand").withColumn(
+        "iqr", F.col("q3") - F.col("q1")
+    )
+    return (
+        fenced.filter(
+            (F.col("p_retailprice") < F.col("q1") - 1.5 * F.col("iqr"))
+            | (F.col("p_retailprice") > F.col("q3") + 1.5 * F.col("iqr"))
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 2).alias("price"),
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q310 — greedy waterfall allocation: a fixed budget is filled by
+# orders in (priority, date, key) sequence; each order receives
+# min(order price, remaining budget). Greedy sequential allocation IS
+# a running-sum window: allocated_i = clamp(budget - cumsum_{<i}, 0,
+# price_i) — closed-form, no iteration, exact DECIMAL arithmetic.
+# ---------------------------------------------------------------------------
+@query("q310_waterfall_allocation")
+def q310_waterfall_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    budget = 10000000  # 1e7 in order-price units
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    o2 = o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    w2 = Window.orderBy("d", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    alloc = (
+        o2.withColumn(
+            "prior", F.coalesce(F.sum("price").over(w2), F.lit(0).cast("decimal(18,2)"))
+        )
+        .withColumn(
+            "allocated",
+            F.greatest(
+                F.lit(0).cast("decimal(18,2)"),
+                F.least(
+                    F.col("price"),
+                    F.lit(budget).cast("decimal(18,2)") - F.col("prior"),
+                ),
+            ),
+        )
+        .filter(F.col("allocated") > 0)
+    )
+    return alloc.select(
+        "o_orderkey",
+        F.col("price").cast("double").alias("price"),
+        F.col("allocated").cast("double").alias("allocated"),
+        (F.col("allocated") < F.col("price")).alias("partial"),
+    ).orderBy("d", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Q311 — duplicate-payment detection (audit heuristic): pairs of
+# orders by the SAME customer with the SAME total within 3 days of
+# each other — the classic double-billing sweep. The self-join blocks
+# on (custkey, exact amount): candidates are equal-amount pairs only,
+# then the ±3-day residual filters — linear in true-collision count,
+# never all-pairs.
+# ---------------------------------------------------------------------------
+@query("q311_duplicate_payments")
+def q311_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+        F.to_date("o_orderdate").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.amt") == F.col("b.amt"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(
+            F.abs(F.datediff(F.col("a.d"), F.col("b.d"))) <= 3
+        )
+        .select(
+            F.col("a.o_custkey").alias("o_custkey"),
+            F.col("a.o_orderkey").alias("order_a"),
+            F.col("b.o_orderkey").alias("order_b"),
+            F.col("a.amt").cast("double").alias("amount"),
+            F.abs(F.datediff(F.col("a.d"), F.col("b.d")))
+            .cast("bigint")
+            .alias("gap_days"),
+        )
+        .orderBy("o_custkey", "order_a", "order_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q312 — accounts-receivable aging report: open orders (status 'O')
+# bucketed by age against the corpus anchor date (max order date) into
+# 0-30 / 31-60 / 61-90 / 90+ days, exact DECIMAL totals per priority x
+# bucket. The finance-close report: one scan, one agg, deterministic
+# anchor (no current_date in the contract).
+# ---------------------------------------------------------------------------
+@query("q312_ar_aging")
+def q312_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    aged = (
+        o.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "age", F.datediff("anchor", F.to_date("o_orderdate"))
+        )
+        .withColumn(
+            "bucket",
+            F.when(F.col("age") <= 30, "0-30")
+            .when(F.col("age") <= 60, "31-60")
+            .when(F.col("age") <= 90, "61-90")
+            .otherwise("90+"),
+        )
+    )
+    return (
+        aged.groupBy("o_orderpriority", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("outstanding"),
+        )
+        .orderBy("o_orderpriority", "bucket")
+    )
