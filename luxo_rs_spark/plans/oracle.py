@@ -5664,3 +5664,93 @@ SELECT o_orderpriority,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS outstanding
 FROM aged GROUP BY 1, 2 ORDER BY o_orderpriority, bucket
 """
+
+ORACLE_SQL["q313_purchase_rhythm"] = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+), g2 AS (SELECT * FROM gaps WHERE gap IS NOT NULL),
+per_cust AS (
+  SELECT o_custkey, count(*) AS n_gaps,
+         round(sum(gap), 6) / count(*) AS mean_gap,
+         stddev_pop(gap) AS sd_gap
+  FROM g2 GROUP BY 1 HAVING count(*) >= 5
+), seg AS (
+  SELECT *, round(sd_gap / mean_gap, 6) AS cv,
+         CASE WHEN round(sd_gap / mean_gap, 6) < 0.6
+              THEN 'regular' ELSE 'irregular' END AS segment
+  FROM per_cust
+)
+SELECT segment, CAST(count(*) AS BIGINT) AS n_customers,
+       round(round(sum(mean_gap), 6) / count(*), 4) AS avg_mean_gap,
+       round(round(sum(cv), 6) / count(*), 4) AS avg_cv
+FROM seg GROUP BY segment ORDER BY segment
+"""
+
+ORACLE_SQL["q314_supplier_leadtime"] = """
+WITH lag_t AS (
+  SELECT l.l_suppkey,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS lead
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), stats AS (
+  SELECT l_suppkey, count(*) AS n,
+         round(sum(lead), 6) / count(*) AS mean_lead,
+         quantile_cont(lead, 0.9) AS p90_lead,
+         stddev_samp(lead) AS sd_lead
+  FROM lag_t GROUP BY 1 HAVING count(*) >= 20
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY sd_lead ASC, l_suppkey)
+           AS consistency_rank
+  FROM stats
+)
+SELECT consistency_rank, l_suppkey, CAST(n AS BIGINT) AS n,
+       round(mean_lead, 4) AS mean_lead,
+       round(p90_lead, 2) AS p90_lead,
+       round(sd_lead, 4) AS sd_lead
+FROM ranked WHERE consistency_rank <= 15
+ORDER BY consistency_rank
+"""
+
+ORACLE_SQL["q315_return_rate_wilson"] = """
+WITH base AS (
+  SELECT p.p_brand, count(*) AS n,
+         sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS r
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1
+)
+SELECT p_brand, CAST(n AS BIGINT) AS n, CAST(r AS BIGINT) AS n_returned,
+       round(r * 1.0 / n, 6) AS raw_rate,
+       round(((r * 1.0 / n) + 1.96 * 1.96 / (2 * n)
+              - 1.96 * sqrt(((r * 1.0 / n) * (1 - r * 1.0 / n)
+                             + 1.96 * 1.96 / (4 * n)) / n))
+             / (1 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+       round(((r * 1.0 / n) + 1.96 * 1.96 / (2 * n)
+              + 1.96 * sqrt(((r * 1.0 / n) * (1 - r * 1.0 / n)
+                             + 1.96 * 1.96 / (4 * n)) / n))
+             / (1 + 1.96 * 1.96 / n), 6) AS wilson_hi
+FROM base ORDER BY p_brand
+"""
+
+ORACLE_SQL["q316_discount_response"] = """
+WITH banded AS (
+  SELECT l_returnflag,
+         CAST(floor(l_discount * 100 / 2) AS BIGINT) * 2 AS band,
+         l_quantity
+  FROM lineitem
+), grid AS (
+  SELECT l_returnflag, band, count(*) AS n,
+         round(sum(l_quantity), 6) / count(*) AS avg_qty
+  FROM banded GROUP BY 1, 2
+)
+SELECT l_returnflag, band, CAST(n AS BIGINT) AS n,
+       round(avg_qty, 4) AS avg_qty,
+       round(avg_qty - lag(avg_qty) OVER (PARTITION BY l_returnflag
+                                          ORDER BY band), 4)
+         AS delta_vs_prev_band
+FROM grid ORDER BY l_returnflag, band
+"""

@@ -10504,3 +10504,156 @@ def q312_ar_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q313 — purchase-rhythm segmentation: per-customer inter-order gap
+# mean and coefficient of variation (lag over per-customer order
+# dates), segmented regular (cv < 0.6) / irregular. The behavioral
+# regularity signal subscription businesses watch; windows run over
+# per-customer order grains.
+# ---------------------------------------------------------------------------
+@query("q313_purchase_rhythm")
+def q313_purchase_rhythm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.select(
+            "o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey"
+        )
+        .withColumn("prev", F.lag("d").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "o_custkey", F.datediff("d", "prev").alias("gap")
+        )
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        (F.round(F.sum("gap"), 6) / F.count(F.lit(1))).alias("mean_gap"),
+        F.stddev_pop("gap").alias("sd_gap"),
+    ).filter(F.col("n_gaps") >= 5)
+    seg = per_cust.withColumn(
+        "cv", F.round(F.col("sd_gap") / F.col("mean_gap"), 6)
+    ).withColumn(
+        "segment", F.when(F.col("cv") < 0.6, "regular").otherwise("irregular")
+    )
+    return (
+        seg.groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            (F.round(F.sum("mean_gap"), 6) / F.count(F.lit(1))).alias(
+                "avg_mean_gap"
+            ),
+            (F.round(F.sum("cv"), 6) / F.count(F.lit(1))).alias("avg_cv"),
+        )
+        .select(
+            "segment", "n_customers",
+            F.round("avg_mean_gap", 4).alias("avg_mean_gap"),
+            F.round("avg_cv", 4).alias("avg_cv"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q314 — supplier lead-time league table: order-to-ship lag per
+# lineitem, per-supplier mean/p90/stddev, ranked by consistency
+# (stddev asc) among suppliers with enough volume. The operations
+# scorecard: one fact-fact join pre-narrowed to the two date columns.
+# ---------------------------------------------------------------------------
+@query("q314_supplier_leadtime")
+def q314_supplier_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.to_date("l_shipdate").alias("ship")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("od")
+    )
+    lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", F.datediff("ship", "od").alias("lead")
+    )
+    stats = lag.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("lead"), 6) / F.count(F.lit(1))).alias("mean_lead"),
+        F.expr("percentile(lead, 0.9)").alias("p90_lead"),
+        F.stddev_samp("lead").alias("sd_lead"),
+    ).filter(F.col("n") >= 20)
+    w = Window.orderBy(F.col("sd_lead").asc(), F.col("l_suppkey"))
+    return (
+        stats.withColumn("consistency_rank", F.row_number().over(w))
+        .filter(F.col("consistency_rank") <= 15)
+        .select(
+            "consistency_rank",
+            "l_suppkey",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mean_lead", 4).alias("mean_lead"),
+            F.round("p90_lead", 2).alias("p90_lead"),
+            F.round("sd_lead", 4).alias("sd_lead"),
+        )
+        .orderBy("consistency_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q315 — return-rate with Wilson confidence bounds per brand: the
+# shrinkage-aware ranking (raw return rates mislead at low volume;
+# the Wilson lower bound is the standard fix). Closed-form expression
+# on a per-brand aggregate — identical math on both engines.
+# ---------------------------------------------------------------------------
+@query("q315_return_rate_wilson")
+def q315_return_rate_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    z = 1.96
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).groupBy(
+        "p_brand"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("r"),
+    )
+    phat = F.col("r") / F.col("n")
+    denom = 1 + z * z / F.col("n")
+    center = phat + z * z / (2 * F.col("n"))
+    margin = z * F.sqrt(
+        (phat * (1 - phat) + z * z / (4 * F.col("n"))) / F.col("n")
+    )
+    return base.select(
+        "p_brand",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("r").cast("bigint").alias("n_returned"),
+        F.round(phat, 6).alias("raw_rate"),
+        F.round((center - margin) / denom, 6).alias("wilson_lo"),
+        F.round((center + margin) / denom, 6).alias("wilson_hi"),
+    ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Q316 — discount-response curve: quantity response by discount band
+# per returnflag (does a deeper discount move more units?), with the
+# band-over-band delta. Map-side banding + one agg + one lag over the
+# tiny band grid.
+# ---------------------------------------------------------------------------
+@query("q316_discount_response")
+def q316_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    banded = li.withColumn(
+        "band", F.floor(F.col("l_discount") * 100 / 2).cast("bigint") * 2
+    )
+    grid = banded.groupBy("l_returnflag", "band").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("l_quantity"), 6) / F.count(F.lit(1))).alias("avg_qty"),
+    )
+    w = Window.partitionBy("l_returnflag").orderBy("band")
+    return (
+        grid.withColumn("prev_qty", F.lag("avg_qty").over(w))
+        .select(
+            "l_returnflag",
+            "band",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("avg_qty", 4).alias("avg_qty"),
+            F.round(F.col("avg_qty") - F.col("prev_qty"), 4).alias(
+                "delta_vs_prev_band"
+            ),
+        )
+        .orderBy("l_returnflag", "band")
+    )
