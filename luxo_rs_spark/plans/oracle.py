@@ -5754,3 +5754,98 @@ SELECT l_returnflag, band, CAST(n AS BIGINT) AS n,
          AS delta_vs_prev_band
 FROM grid ORDER BY l_returnflag, band
 """
+
+ORACLE_SQL["q317_dead_stock"] = """
+WITH anchor AS (SELECT max(CAST(l_shipdate AS DATE)) AS anchor FROM lineitem),
+last_sale AS (
+  SELECT l_partkey, max(CAST(l_shipdate AS DATE)) AS last_sale
+  FROM lineitem GROUP BY 1
+), joined AS (
+  SELECT p.p_brand, p.p_retailprice, ls.last_sale,
+         datediff('day', ls.last_sale, a.anchor) AS days_idle
+  FROM part p
+  LEFT JOIN last_sale ls ON p.p_partkey = ls.l_partkey
+  CROSS JOIN anchor a
+)
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_dead_parts,
+       CAST(sum(CASE WHEN last_sale IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS never_sold,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS at_risk_value
+FROM joined
+WHERE last_sale IS NULL OR days_idle > 90
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+ORACLE_SQL["q318_wallet_share"] = """
+WITH mix AS (
+  SELECT o.o_custkey, p.p_brand,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) AS spend
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), top AS (
+  SELECT o_custkey, spend,
+         sum(spend) OVER (PARTITION BY o_custkey) AS tot,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY spend DESC, p_brand) AS rn
+  FROM mix
+), t1 AS (
+  SELECT o_custkey, spend * 1.0 / tot AS share FROM top WHERE rn = 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_customers,
+       round(round(sum(share), 6) / count(*), 6) AS avg_top_share,
+       CAST(sum(CASE WHEN share > 0.4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS loyal_over_40pct
+FROM t1
+"""
+
+ORACLE_SQL["q319_linenumber_audit"] = """
+WITH per_order AS (
+  SELECT l_orderkey, count(*) AS n, min(l_linenumber) AS mn,
+         max(l_linenumber) AS mx,
+         count(DISTINCT l_linenumber) AS nd
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN mn <> 1 OR mx <> n OR nd <> n
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+       CAST(max(mx) AS BIGINT) AS max_lines_per_order,
+       round(round(sum(n), 6) / count(*), 4) AS avg_lines_per_order
+FROM per_order
+"""
+
+ORACLE_SQL["q320_supplier_scorecard"] = """
+WITH base AS (
+  SELECT l.l_suppkey, count(*) AS vol,
+         round(sum(datediff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(l.l_shipdate AS DATE))), 6)
+           / count(*) AS lead,
+         sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) * 1.0
+           / count(*) AS ret
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1 HAVING count(*) >= 20
+), mom AS (
+  SELECT min(lead) AS lead_lo, max(lead) AS lead_hi,
+         min(ret) AS ret_lo, max(ret) AS ret_hi,
+         min(vol) AS vol_lo, max(vol) AS vol_hi
+  FROM base
+), scored AS (
+  SELECT b.l_suppkey, b.vol, b.lead, b.ret,
+         round(0.4 * (1 - (b.lead - m.lead_lo) / (m.lead_hi - m.lead_lo))
+             + 0.4 * (1 - (b.ret - m.ret_lo) / (m.ret_hi - m.ret_lo))
+             + 0.2 * ((b.vol - m.vol_lo) * 1.0 / (m.vol_hi - m.vol_lo)), 6)
+           AS score
+  FROM base b CROSS JOIN mom m
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY score DESC, l_suppkey) AS rank
+  FROM scored
+)
+SELECT rank, l_suppkey, CAST(vol AS BIGINT) AS vol,
+       round(lead, 4) AS mean_lead,
+       round(ret, 6) AS return_rate, score
+FROM ranked WHERE rank <= 10 ORDER BY rank
+"""

@@ -10657,3 +10657,194 @@ def q316_discount_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q317 — dead-stock report: parts with NO lineitem in the trailing 90
+# days of the corpus (anti-join against the recent fact slice), with
+# days-since-last-sale and at-risk retail value per brand. The
+# slow-mover sweep every inventory team runs; the anti-join probe side
+# carries only the partkey column.
+# ---------------------------------------------------------------------------
+@query("q317_dead_stock")
+def q317_dead_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    anchor = li.agg(F.max(F.to_date("l_shipdate")).alias("anchor"))
+    last_sale = li.groupBy("l_partkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_sale")
+    )
+    joined = (
+        p.join(last_sale, p.p_partkey == last_sale.l_partkey, "left")
+        .crossJoin(F.broadcast(anchor))
+        .withColumn(
+            "days_idle",
+            F.when(
+                F.col("last_sale").isNull(), F.lit(None).cast("int")
+            ).otherwise(F.datediff("anchor", "last_sale")),
+        )
+        .withColumn(
+            "dead",
+            F.col("last_sale").isNull() | (F.col("days_idle") > 90),
+        )
+    )
+    return (
+        joined.filter(F.col("dead"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dead_parts"),
+            F.sum(F.when(F.col("last_sale").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("never_sold"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("at_risk_value"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q318 — wallet-share concentration: each customer's top-brand share
+# of their lineitem spend; distribution of loyalty (how many customers
+# give one brand > 40% of wallet). Two stacked aggs over the
+# (customer, brand) grain, ranking window over the per-customer mix.
+# ---------------------------------------------------------------------------
+@query("q318_wallet_share")
+def q318_wallet_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    spend_i = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    mix = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.sum(spend_i).alias("spend"))
+    )
+    tot_w = Window.partitionBy("o_custkey")
+    rk = Window.partitionBy("o_custkey").orderBy(
+        F.col("spend").desc(), "p_brand"
+    )
+    top = (
+        mix.withColumn("tot", F.sum("spend").over(tot_w))
+        .withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .withColumn("share", F.col("spend") / F.col("tot"))
+    )
+    return top.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        (F.round(F.sum("share"), 6) / F.count(F.lit(1))).alias(
+            "avg_top_share_d"
+        ),
+        F.sum(F.when(F.col("share") > 0.4, 1).otherwise(0))
+        .cast("bigint")
+        .alias("loyal_over_40pct"),
+    ).select(
+        "n_customers",
+        F.round("avg_top_share_d", 6).alias("avg_top_share"),
+        "loyal_over_40pct",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q319 — lineitem contiguity audit: orders whose linenumbers are not
+# exactly 1..n (count != max or min != 1) — the referential-integrity
+# gap q169's FK sweep can't see. One agg over the order grain; zero
+# violations IS the expected answer, and the count columns prove the
+# check ran.
+# ---------------------------------------------------------------------------
+@query("q319_linenumber_audit")
+def q319_linenumber_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+        F.countDistinct("l_linenumber").alias("nd"),
+    )
+    flagged = per_order.withColumn(
+        "violation",
+        (F.col("mn") != 1) | (F.col("mx") != F.col("n")) | (F.col("nd") != F.col("n")),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("violation"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.max("mx").cast("bigint").alias("max_lines_per_order"),
+        (F.round(F.sum("n"), 6) / F.count(F.lit(1))).alias("avg_lines_d"),
+    ).select(
+        "n_orders", "n_violations", "max_lines_per_order",
+        F.round("avg_lines_d", 4).alias("avg_lines_per_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q320 — supplier scorecard (weighted composite rank): normalize three
+# metrics per supplier — mean lead time (lower better), return rate
+# (lower better), volume (higher better) — to [0,1] min-max scales,
+# combine 0.4/0.4/0.2, rank. The multi-metric ops capstone; global
+# min/max moments broadcast once.
+# ---------------------------------------------------------------------------
+@query("q320_supplier_scorecard")
+def q320_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("vol"),
+            (
+                F.round(
+                    F.sum(
+                        F.datediff(
+                            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+                        )
+                    ),
+                    6,
+                )
+                / F.count(F.lit(1))
+            ).alias("lead"),
+            (
+                F.sum(
+                    F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+            ).alias("ret"),
+        )
+        .filter(F.col("vol") >= 20)
+    )
+    mom = base.agg(
+        F.min("lead").alias("lead_lo"), F.max("lead").alias("lead_hi"),
+        F.min("ret").alias("ret_lo"), F.max("ret").alias("ret_hi"),
+        F.min("vol").alias("vol_lo"), F.max("vol").alias("vol_hi"),
+    )
+    scored = base.crossJoin(F.broadcast(mom)).withColumn(
+        "score",
+        F.round(
+            0.4 * (1 - (F.col("lead") - F.col("lead_lo"))
+                   / (F.col("lead_hi") - F.col("lead_lo")))
+            + 0.4 * (1 - (F.col("ret") - F.col("ret_lo"))
+                     / (F.col("ret_hi") - F.col("ret_lo")))
+            + 0.2 * ((F.col("vol") - F.col("vol_lo"))
+                     / (F.col("vol_hi") - F.col("vol_lo"))),
+            6,
+        ),
+    )
+    w = Window.orderBy(F.col("score").desc(), "l_suppkey")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "rank", "l_suppkey",
+            F.col("vol").cast("bigint").alias("vol"),
+            F.round("lead", 4).alias("mean_lead"),
+            F.round("ret", 6).alias("return_rate"),
+            "score",
+        )
+        .orderBy("rank")
+    )
