@@ -5849,3 +5849,56 @@ SELECT rank, l_suppkey, CAST(vol AS BIGINT) AS vol,
        round(ret, 6) AS return_rate, score
 FROM ranked WHERE rank <= 10 ORDER BY rank
 """
+
+ORACLE_SQL["q321_demand_correlation"] = """
+WITH top AS (
+  SELECT l_partkey FROM (
+    SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1
+    ORDER BY n DESC, l_partkey LIMIT 10
+  )
+), daily AS (
+  SELECT l.l_partkey, CAST(l.l_shipdate AS DATE) AS d,
+         sum(l.l_quantity) AS q
+  FROM lineitem l JOIN top t ON l.l_partkey = t.l_partkey
+  GROUP BY 1, 2
+)
+SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(a.q, b.q), 6) AS corr
+FROM daily a JOIN daily b ON a.d = b.d AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING count(*) >= 10
+ORDER BY pa, pb
+"""
+
+ORACLE_SQL["q322_calendar_coverage"] = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(count(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS days_seen,
+       CAST(day(last_day(min(CAST(o_orderdate AS DATE)))) AS BIGINT)
+         AS days_in_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(count(DISTINCT CAST(o_orderdate AS DATE)) * 1.0
+             / day(last_day(min(CAST(o_orderdate AS DATE)))) * 100, 4)
+         AS coverage_pct
+FROM orders GROUP BY 1 ORDER BY month
+"""
+
+ORACLE_SQL["q323_timezone_battery"] = """
+SELECT event_id,
+       epoch_us(ts) AS ts_us,
+       strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York',
+                '%Y-%m-%d %H:%M:%S') AS ny_wall,
+       CAST((epoch(ts AT TIME ZONE 'UTC' AT TIME ZONE 'America/New_York')
+             - epoch(ts)) / 3600 AS INTEGER) AS ny_offset_h,
+       strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin',
+                '%Y-%m-%d %H:%M:%S') AS berlin_wall,
+       CAST((epoch(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Europe/Berlin')
+             - epoch(ts)) / 3600 AS INTEGER) AS berlin_offset_h,
+       strftime(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo',
+                '%Y-%m-%d %H:%M:%S') AS tokyo_wall,
+       CAST((epoch(ts AT TIME ZONE 'UTC' AT TIME ZONE 'Asia/Tokyo')
+             - epoch(ts)) / 3600 AS INTEGER) AS tokyo_offset_h
+FROM events
+WHERE event_id % 97 = 0
+ORDER BY event_id
+"""

@@ -10848,3 +10848,112 @@ def q320_supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q321 — correlated-demand part pairs: daily demand series for the 10
+# highest-volume parts, Pearson correlation for every pair on the
+# JOINED daily grid (inner join on day: only co-observed days count).
+# Pairwise corr over top-k pre-aggregated series — the demand-planning
+# signal for bundling/substitution, bounded to k^2/2 pairs by the
+# top-k cut, never all-parts^2.
+# ---------------------------------------------------------------------------
+@query("q321_demand_correlation")
+def q321_demand_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l_partkey")
+        .limit(10)
+        .select("l_partkey")
+    )
+    daily = (
+        li.join(F.broadcast(top), "l_partkey")
+        .groupBy("l_partkey", F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    a = daily.select(
+        F.col("l_partkey").alias("pa"), "d", F.col("q").alias("qa")
+    )
+    b = daily.select(
+        F.col("l_partkey").alias("pb"), "d", F.col("q").alias("qb")
+    )
+    return (
+        a.join(b, "d")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.corr("qa", "qb"), 6).alias("corr"),
+        )
+        .filter(F.col("n_days") >= 10)
+        .orderBy("pa", "pb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q322 — calendar-coverage audit: per month, the fraction of calendar
+# days that have at least one order — the data-completeness check that
+# catches silently dropped ingestion days (q60 densifies; this
+# measures WHETHER densification is needed). Month spine derived from
+# the month itself (last_day), no calendar table.
+# ---------------------------------------------------------------------------
+@query("q322_calendar_coverage")
+def q322_calendar_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    per_month = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.countDistinct(F.to_date("o_orderdate")).alias("days_seen"),
+        F.dayofmonth(
+            F.last_day(F.min(F.to_date("o_orderdate")))
+        ).alias("days_in_month"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return per_month.select(
+        "month",
+        F.col("days_seen").cast("bigint").alias("days_seen"),
+        F.col("days_in_month").cast("bigint").alias("days_in_month"),
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.round(
+            F.col("days_seen") / F.col("days_in_month") * 100, 4
+        ).alias("coverage_pct"),
+    ).orderBy("month")
+
+
+# ---------------------------------------------------------------------------
+# Q323 — timezone conversion battery: UTC event times rendered in
+# three business timezones (NY / Berlin / Tokyo) with DST-aware wall
+# clocks + the UTC offset each event experienced — the cross-engine
+# parity exhibit for the trickiest date-time semantics (Spark
+# from_utc_timestamp vs DuckDB AT TIME ZONE, both DST-correct against
+# the IANA tzdb). Event sample keeps the output bounded.
+# ---------------------------------------------------------------------------
+@query("q323_timezone_battery")
+def q323_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 97 == 0
+    )
+    wall = lambda tz: F.date_format(  # noqa: E731
+        F.from_utc_timestamp("ts", tz), "yyyy-MM-dd HH:mm:ss"
+    )
+    offset_h = lambda tz: (  # noqa: E731
+        (
+            F.unix_micros(F.from_utc_timestamp("ts", tz))
+            - F.unix_micros("ts")
+        )
+        / 3600000000
+    ).cast("int")
+    return ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        wall("America/New_York").alias("ny_wall"),
+        offset_h("America/New_York").alias("ny_offset_h"),
+        wall("Europe/Berlin").alias("berlin_wall"),
+        offset_h("Europe/Berlin").alias("berlin_offset_h"),
+        wall("Asia/Tokyo").alias("tokyo_wall"),
+        offset_h("Asia/Tokyo").alias("tokyo_offset_h"),
+    ).orderBy("event_id")
