@@ -5902,3 +5902,94 @@ FROM events
 WHERE event_id % 97 = 0
 ORDER BY event_id
 """
+
+ORACLE_SQL["q324_label_silhouette"] = """
+WITH comp AS (
+  SELECT vec_id, label,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label AS clabel, pos, round(sum(x), 6) / count(*) AS c
+  FROM comp GROUP BY 1, 2
+), paired AS (
+  SELECT v.vec_id, v.label AS vlabel, ct.clabel, v.x, ct.c
+  FROM comp v JOIN cent ct USING (pos)
+), dists AS (
+  SELECT vec_id, vlabel, clabel,
+         1 - sum(x * c) / (sqrt(sum(x * x)) * sqrt(sum(c * c))) AS dist
+  FROM paired GROUP BY 1, 2, 3
+), own AS (
+  SELECT vec_id, vlabel, dist AS a FROM dists WHERE vlabel = clabel
+), other AS (
+  SELECT vec_id, min(dist) AS b FROM dists WHERE vlabel <> clabel GROUP BY 1
+), sil AS (
+  SELECT o.vlabel, (t.b - o.a) / greatest(o.a, t.b) AS s
+  FROM own o JOIN other t USING (vec_id)
+)
+SELECT vlabel AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(round(sum(s), 6) / count(*), 6) AS mean_silhouette,
+       CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misplaced
+FROM sil GROUP BY 1 ORDER BY label
+"""
+
+ORACLE_SQL["q325_vocab_coverage"] = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, count(*) AS f FROM toks WHERE token <> '' GROUP BY 1
+), ranked AS (
+  SELECT f,
+         row_number() OVER (ORDER BY f DESC, token) AS rnk,
+         sum(f) OVER (ORDER BY f DESC, token ROWS UNBOUNDED PRECEDING)
+           AS cum_f
+  FROM freq
+), tot AS (SELECT sum(f) AS tot FROM freq)
+SELECT CAST(rnk AS BIGINT) AS vocab_budget,
+       round(cum_f * 1.0 / tot * 100, 4) AS coverage_pct
+FROM ranked CROSS JOIN tot
+WHERE rnk IN (100, 500, 1000, 2000)
+ORDER BY vocab_budget
+"""
+
+ORACLE_SQL["q326_knn_loo_accuracy"] = """
+WITH emb2 AS (SELECT * FROM embeddings WHERE vec_id < 300),
+sims AS (
+  SELECT a.vec_id AS qid, a.label AS qlabel,
+         b.vec_id AS nid, b.label AS nlabel,
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+               i -> CAST(a.embedding[i] AS DOUBLE)
+                    * CAST(a.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+               i -> CAST(b.embedding[i] AS DOUBLE)
+                    * CAST(b.embedding[i] AS DOUBLE))))) AS sim
+  FROM emb2 a JOIN emb2 b ON a.vec_id <> b.vec_id
+), top3 AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, nid, nlabel,
+           row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+    FROM sims
+  ) WHERE rn <= 3
+), votes AS (
+  SELECT qid, qlabel, nlabel, count(*) AS v
+  FROM top3 GROUP BY 1, 2, 3
+), pred AS (
+  SELECT * FROM (
+    SELECT qid, qlabel, nlabel,
+           row_number() OVER (PARTITION BY qid ORDER BY v DESC, nlabel) AS rv
+    FROM votes
+  ) WHERE rv = 1
+)
+SELECT qlabel AS label,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(sum(CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 100, 4) AS accuracy_pct
+FROM pred GROUP BY 1 ORDER BY label
+"""

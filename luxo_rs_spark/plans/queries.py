@@ -10957,3 +10957,170 @@ def q323_timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         wall("Asia/Tokyo").alias("tokyo_wall"),
         offset_h("Asia/Tokyo").alias("tokyo_offset_h"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Q324 — label-cluster silhouette (quality of the labeled embedding
+# space): per vector, cosine distance to its OWN label centroid vs the
+# NEAREST other centroid; silhouette proxy = (b - a) / max(a, b),
+# averaged per label. Centroids are label-count-sized and broadcast —
+# the embedding-space health metric you compute before trusting labels
+# for SemDeDup (q288) or mixture weighting.
+# ---------------------------------------------------------------------------
+@query("q324_label_silhouette")
+def q324_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = comp.groupBy("label", "pos").agg(
+        (F.round(F.sum("x"), 6) / F.count(F.lit(1))).alias("c")
+    )
+    paired = comp.select(
+        "vec_id", F.col("label").alias("vlabel"), "pos", "x"
+    ).join(
+        cent.select(F.col("label").alias("clabel"), "pos", "c"), "pos"
+    )
+    dists = (
+        paired.groupBy("vec_id", "vlabel", "clabel")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nx"),
+            F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("nc"),
+        )
+        .withColumn(
+            "dist", 1 - F.col("dot") / (F.col("nx") * F.col("nc"))
+        )
+    )
+    own = dists.filter(F.col("vlabel") == F.col("clabel")).select(
+        "vec_id", "vlabel", F.col("dist").alias("a")
+    )
+    other = (
+        dists.filter(F.col("vlabel") != F.col("clabel"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("b"))
+    )
+    sil = own.join(other, "vec_id").withColumn(
+        "s", (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        sil.groupBy(F.col("vlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            (F.round(F.sum("s"), 6) / F.count(F.lit(1))).alias("sil_d"),
+            F.sum(F.when(F.col("s") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_misplaced"),
+        )
+        .select(
+            "label", "n_vectors",
+            F.round("sil_d", 6).alias("mean_silhouette"), "n_misplaced",
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q325 — vocabulary-budget coverage curve: for vocab sizes 100/500/
+# 1000/2000, the share of all token OCCURRENCES covered by the top-N
+# most frequent types — the tokenizer-budget planning curve (pairs
+# with q160's Heaps law and q305's Zipf slope). One token agg + one
+# rank window over the vocabulary + a tiny grid cross join.
+# ---------------------------------------------------------------------------
+@query("q325_vocab_coverage")
+def q325_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(words("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.col("f").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ranked = freq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.col("f").desc(), "token"))
+    ).withColumn("cum_f", F.sum("f").over(w))
+    tot = freq.agg(F.sum("f").alias("tot"))
+    budgets = [100, 500, 1000, 2000]
+    grid = (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("rnk").isin(budgets))
+        .select(
+            F.col("rnk").cast("bigint").alias("vocab_budget"),
+            F.round(
+                F.col("cum_f") / F.col("tot") * 100, 4
+            ).alias("coverage_pct"),
+        )
+    )
+    return grid.orderBy("vocab_budget")
+
+
+# ---------------------------------------------------------------------------
+# Q326 — leave-one-out k-NN label accuracy (exact, k=3): every labeled
+# embedding is classified by majority vote of its 3 nearest cosine
+# neighbors (self excluded); per-label accuracy. The standard
+# label-quality / embedding-quality harness — EXACT (no ANN), so fully
+# oracle-checkable; at 100 TB the same harness runs on q278's IVF-ADC
+# candidates instead of the brute-force pair space.
+# ---------------------------------------------------------------------------
+@query("q326_knn_loo_accuracy")
+def q326_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 300
+    )
+    a = emb.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("ne"),
+    )
+    sims = (
+        a.join(b, F.col("qid") != F.col("nid"))
+        .withColumn("sim", cosine(F.col("qe"), F.col("ne")))
+        .select("qid", "qlabel", "nid", "nlabel", "sim")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), "nid")
+    top3 = sims.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    votes = top3.groupBy("qid", "qlabel", "nlabel").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(
+        F.col("v").desc(), F.col("nlabel")
+    )
+    pred = votes.withColumn("rv", F.row_number().over(wv)).filter(
+        F.col("rv") == 1
+    )
+    return (
+        pred.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(F.col("nlabel") == F.col("qlabel"), 1).otherwise(0)
+                )
+                / F.count(F.lit(1))
+                * 100,
+                4,
+            ).alias("accuracy_pct"),
+        )
+        .orderBy("label")
+    )
