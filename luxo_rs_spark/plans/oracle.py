@@ -5993,3 +5993,117 @@ SELECT qlabel AS label,
              / count(*) * 100, 4) AS accuracy_pct
 FROM pred GROUP BY 1 ORDER BY label
 """
+
+ORACLE_SQL["q327_quantile_effects"] = """
+WITH armed AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm, value FROM events
+), q AS (
+  SELECT arm,
+         quantile_cont(value, 0.1) AS p1, quantile_cont(value, 0.2) AS p2,
+         quantile_cont(value, 0.3) AS p3, quantile_cont(value, 0.4) AS p4,
+         quantile_cont(value, 0.5) AS p5, quantile_cont(value, 0.6) AS p6,
+         quantile_cont(value, 0.7) AS p7, quantile_cont(value, 0.8) AS p8,
+         quantile_cont(value, 0.9) AS p9
+  FROM armed GROUP BY arm
+), piv AS (
+  SELECT u.pct,
+         max(CASE WHEN arm = 0 THEN u.v END) AS v0,
+         max(CASE WHEN arm = 1 THEN u.v END) AS v1
+  FROM (
+    SELECT arm, 10 AS pct, p1 AS v FROM q UNION ALL
+    SELECT arm, 20, p2 FROM q UNION ALL SELECT arm, 30, p3 FROM q
+    UNION ALL SELECT arm, 40, p4 FROM q UNION ALL SELECT arm, 50, p5 FROM q
+    UNION ALL SELECT arm, 60, p6 FROM q UNION ALL SELECT arm, 70, p7 FROM q
+    UNION ALL SELECT arm, 80, p8 FROM q UNION ALL SELECT arm, 90, p9 FROM q
+  ) u GROUP BY u.pct
+)
+SELECT CAST(pct AS BIGINT) AS pct,
+       round(v0, 6) AS control,
+       round(v1, 6) AS treatment,
+       round(v1 - v0, 6) AS effect
+FROM piv ORDER BY pct
+"""
+
+ORACLE_SQL["q328_churn_risk"] = """
+WITH anchor AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+gaps AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         datediff('day',
+           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+           CAST(o_orderdate AS DATE)) AS gap
+  FROM orders
+), per_cust AS (
+  SELECT o_custkey, max(d) AS last_order,
+         count(gap) AS n_gaps,
+         quantile_cont(gap, 0.5) AS med_gap
+  FROM gaps GROUP BY 1 HAVING count(gap) >= 5
+), risk AS (
+  SELECT o_custkey,
+         datediff('day', last_order, anchor) AS recency,
+         med_gap
+  FROM per_cust CROSS JOIN anchor
+  WHERE datediff('day', last_order, anchor) > 2 * med_gap
+)
+SELECT o_custkey,
+       CAST(recency AS BIGINT) AS recency_days,
+       round(med_gap, 2) AS med_gap,
+       round(recency / med_gap, 4) AS overdue_ratio
+FROM risk ORDER BY overdue_ratio DESC, o_custkey
+LIMIT 25
+"""
+
+ORACLE_SQL["q329_price_endings"] = """
+WITH grid AS (
+  SELECT p_brand,
+         CAST(round(p_retailprice * 100) AS BIGINT) % 100 AS ending,
+         count(*) AS n
+  FROM part GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand, ending, n,
+         sum(n) OVER (PARTITION BY p_brand) AS tot,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY n DESC, ending) AS rn
+  FROM grid
+)
+SELECT p_brand,
+       CAST(ending AS BIGINT) AS modal_ending,
+       CAST(n AS BIGINT) AS n_at_mode,
+       round(n * 1.0 / tot * 100, 4) AS mode_share_pct
+FROM ranked WHERE rn = 1 ORDER BY p_brand
+"""
+
+ORACLE_SQL["q330_dq_scorecard"] = """
+WITH o AS (
+  SELECT 'orders' AS table_name,
+         CAST(count(o_custkey) AS DOUBLE) / count(*) AS m1,
+         CAST(count(DISTINCT o_orderkey) AS DOUBLE) / count(*) AS m2,
+         CAST(sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*) AS m3
+  FROM orders
+), l AS (
+  SELECT 'lineitem',
+         CAST(count(l_orderkey) AS DOUBLE) / count(*),
+         CAST(sum(CASE WHEN l_discount >= 0 AND l_discount <= 1
+                       THEN 1 ELSE 0 END) AS DOUBLE) / count(*),
+         CAST(sum(CASE WHEN l_quantity > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+           / count(*)
+  FROM lineitem
+), c AS (
+  SELECT 'customer',
+         CAST(count(c_name) AS DOUBLE) / count(*),
+         CAST(count(DISTINCT c_custkey) AS DOUBLE) / count(*),
+         CAST(sum(CASE WHEN c_mktsegment IN ('AUTOMOBILE','BUILDING',
+              'FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END)
+              AS DOUBLE) / count(*)
+  FROM customer
+), u AS (
+  SELECT * FROM o UNION ALL SELECT * FROM l UNION ALL SELECT * FROM c
+)
+SELECT table_name,
+       round(m1, 6) AS completeness,
+       round(m2, 6) AS validity,
+       round(m3, 6) AS range_ok,
+       round((m1 + m2 + m3) / 3 * 100, 4) AS dq_score
+FROM u ORDER BY table_name
+"""

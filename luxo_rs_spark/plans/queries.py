@@ -11124,3 +11124,182 @@ def q326_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q327 — quantile treatment effects: the A/B readout BEYOND the mean
+# (q281 adjusts means; distributions can move where means don't) —
+# per-arm event-value deciles and their arm differences. Exact
+# percentiles over the two per-arm slices; output is the 9-row decile
+# grid.
+# ---------------------------------------------------------------------------
+@query("q327_quantile_effects")
+def q327_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    armed = ev.select(
+        (F.col("user_id") % 2).cast("int").alias("arm"), "value"
+    )
+    deciles = [i / 10 for i in range(1, 10)]
+    per_arm = armed.groupBy("arm").agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"p{int(q*10)}")
+            for q in deciles
+        ]
+    )
+    a0 = per_arm.filter(F.col("arm") == 0)
+    a1 = per_arm.filter(F.col("arm") == 1)
+    rows = None
+    for q in deciles:
+        c = f"p{int(q*10)}"
+        row = (
+            a0.select(F.lit(int(q * 100)).alias("pct"), F.col(c).alias("v0"))
+            .crossJoin(a1.select(F.col(c).alias("v1")))
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.select(
+        F.col("pct").cast("bigint").alias("pct"),
+        F.round("v0", 6).alias("control"),
+        F.round("v1", 6).alias("treatment"),
+        F.round(F.col("v1") - F.col("v0"), 6).alias("effect"),
+    ).orderBy("pct")
+
+
+# ---------------------------------------------------------------------------
+# Q328 — churn-risk list: customers whose recency (days since last
+# order, vs the corpus anchor) exceeds 2x their OWN median inter-order
+# gap — personalized churn thresholds instead of a global cutoff.
+# Builds on q313's gap machinery; output is the actionable top-25 most
+#-overdue list.
+# ---------------------------------------------------------------------------
+@query("q328_churn_risk")
+def q328_churn_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.to_date("o_orderdate")).alias("anchor"))
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    gaps = (
+        o.select("o_custkey", F.to_date("o_orderdate").alias("d"), "o_orderkey")
+        .withColumn("prev", F.lag("d").over(w))
+        .withColumn("gap", F.datediff("d", "prev"))
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        F.max("d").alias("last_order"),
+        F.count("gap").alias("n_gaps"),
+        F.expr("percentile(gap, 0.5)").alias("med_gap"),
+    ).filter(F.col("n_gaps") >= 5)
+    risk = (
+        per_cust.crossJoin(F.broadcast(anchor))
+        .withColumn("recency", F.datediff("anchor", "last_order"))
+        .filter(F.col("recency") > 2 * F.col("med_gap"))
+        .withColumn(
+            "overdue_ratio", F.round(F.col("recency") / F.col("med_gap"), 4)
+        )
+    )
+    return (
+        risk.select(
+            "o_custkey",
+            F.col("recency").cast("bigint").alias("recency_days"),
+            F.round("med_gap", 2).alias("med_gap"),
+            "overdue_ratio",
+        )
+        .orderBy(F.col("overdue_ratio").desc(), "o_custkey")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q329 — psychological-pricing audit: distribution of price cent-
+# endings per brand (the .99 / .00 ladder check) — dominant ending and
+# its share. Cent extraction is exact integer math on the DECIMAL
+# price; one agg + one rank window over the (brand, ending) grid.
+# ---------------------------------------------------------------------------
+@query("q329_price_endings")
+def q329_price_endings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    cents = (
+        F.round(F.col("p_retailprice") * 100)
+        .cast("bigint")
+        % 100
+    )
+    grid = p.withColumn("ending", cents).groupBy("p_brand", "ending").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot_w = Window.partitionBy("p_brand")
+    rk = Window.partitionBy("p_brand").orderBy(F.col("n").desc(), "ending")
+    return (
+        grid.withColumn("tot", F.sum("n").over(tot_w))
+        .withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("ending").cast("bigint").alias("modal_ending"),
+            F.col("n").cast("bigint").alias("n_at_mode"),
+            F.round(F.col("n") / F.col("tot") * 100, 4).alias("mode_share_pct"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q330 — cross-table data-quality scorecard: q269's expectation suite
+# generalized to three tables (orders / lineitem / customer), rolled
+# into one 0-100 score per table (mean of its check metrics x 100).
+# One constant-size agg per table; the union is the morning DQ
+# dashboard.
+# ---------------------------------------------------------------------------
+@query("q330_dq_scorecard")
+def q330_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    orders_m = o.agg(
+        F.lit("orders").alias("table_name"),
+        (F.count("o_custkey") / F.count(F.lit(1))).alias("m1"),
+        (F.countDistinct("o_orderkey") / F.count(F.lit(1))).alias("m2"),
+        (
+            F.sum(F.when(F.col("o_totalprice") > 0, 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("m3"),
+    )
+    lineitem_m = li.agg(
+        F.lit("lineitem").alias("table_name"),
+        (F.count("l_orderkey") / F.count(F.lit(1))).alias("m1"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("l_discount") >= 0) & (F.col("l_discount") <= 1), 1
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1))
+        ).alias("m2"),
+        (
+            F.sum(F.when(F.col("l_quantity") > 0, 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("m3"),
+    )
+    customer_m = c.agg(
+        F.lit("customer").alias("table_name"),
+        (F.count("c_name") / F.count(F.lit(1))).alias("m1"),
+        (F.countDistinct("c_custkey") / F.count(F.lit(1))).alias("m2"),
+        (
+            F.sum(
+                F.when(
+                    F.col("c_mktsegment").isin(
+                        "AUTOMOBILE", "BUILDING", "FURNITURE",
+                        "HOUSEHOLD", "MACHINERY",
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1))
+        ).alias("m3"),
+    )
+    u = orders_m.unionByName(lineitem_m).unionByName(customer_m)
+    return u.select(
+        "table_name",
+        F.round("m1", 6).alias("completeness"),
+        F.round("m2", 6).alias("validity"),
+        F.round("m3", 6).alias("range_ok"),
+        F.round(
+            (F.col("m1") + F.col("m2") + F.col("m3")) / 3 * 100, 4
+        ).alias("dq_score"),
+    ).orderBy("table_name")
