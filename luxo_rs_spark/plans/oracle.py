@@ -6107,3 +6107,83 @@ SELECT table_name,
        round((m1 + m2 + m3) / 3 * 100, 4) AS dq_score
 FROM u ORDER BY table_name
 """
+
+ORACLE_SQL["q331_brand_geo_mix"] = """
+WITH grid AS (
+  SELECT p.p_brand, n.n_name,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand, n_name, rev,
+         sum(rev) OVER (PARTITION BY p_brand) AS tot,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY rev DESC, n_name) AS rn
+  FROM grid
+)
+SELECT p_brand, n_name AS top_nation,
+       round(rev * 1.0 / tot * 100, 4) AS top_nation_share_pct
+FROM ranked WHERE rn = 1 ORDER BY p_brand
+"""
+
+ORACLE_SQL["q332_seasonal_peaks"] = """
+WITH grid AS (
+  SELECT p.p_brand, month(l.l_shipdate) AS m, sum(l.l_quantity) AS qty
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand, m, qty,
+         sum(qty) OVER (PARTITION BY p_brand) AS tot,
+         row_number() OVER (PARTITION BY p_brand ORDER BY qty DESC, m) AS rn
+  FROM grid
+)
+SELECT p_brand, CAST(m AS BIGINT) AS peak_month,
+       round(qty / tot * 100, 4) AS peak_share_pct
+FROM ranked WHERE rn = 1 ORDER BY p_brand
+"""
+
+ORACLE_SQL["q333_mtbf"] = """
+WITH err AS (SELECT * FROM events WHERE event_type = 'error'),
+gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id))) / 60000000.0 AS gap_min
+  FROM err
+), g2 AS (SELECT * FROM gaps WHERE gap_min IS NOT NULL)
+SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       round(round(sum(gap_min), 6) / count(*), 4) AS mtbf_min,
+       round(quantile_cont(gap_min, 0.5), 4) AS p50_min,
+       round(quantile_cont(gap_min, 0.9), 4) AS p90_min
+FROM g2
+"""
+
+ORACLE_SQL["q334_cannibalization"] = """
+WITH top AS (
+  SELECT l_partkey FROM (
+    SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1
+    ORDER BY n DESC, l_partkey LIMIT 40
+  )
+), daily AS (
+  SELECT p.p_brand, l.l_partkey, CAST(l.l_shipdate AS DATE) AS d,
+         sum(l.l_quantity) AS q
+  FROM lineitem l
+  JOIN top t ON l.l_partkey = t.l_partkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2, 3
+)
+SELECT a.p_brand, a.l_partkey AS pa, b.l_partkey AS pb,
+       CAST(count(*) AS BIGINT) AS n_days,
+       round(corr(a.q, b.q), 6) AS corr
+FROM daily a
+JOIN daily b ON a.d = b.d AND a.p_brand = b.p_brand
+            AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2, 3
+HAVING count(*) >= 10 AND round(corr(a.q, b.q), 6) < 0
+ORDER BY a.p_brand, pa, pb
+"""

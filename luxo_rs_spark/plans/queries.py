@@ -11303,3 +11303,159 @@ def q330_dq_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m1") + F.col("m2") + F.col("m3")) / 3 * 100, 4
         ).alias("dq_score"),
     ).orderBy("table_name")
+
+
+# ---------------------------------------------------------------------------
+# Q331 — brand geographic mix: revenue share by customer nation per
+# brand, reporting each brand's top nation and concentration. Star
+# join with all dims broadcast; share windows over the (brand, nation)
+# pre-agg.
+# ---------------------------------------------------------------------------
+@query("q331_brand_geo_mix")
+def q331_brand_geo_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev_i = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    grid = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "n_name")
+        .agg(F.sum(rev_i).alias("rev"))
+    )
+    tot_w = Window.partitionBy("p_brand")
+    rk = Window.partitionBy("p_brand").orderBy(F.col("rev").desc(), "n_name")
+    return (
+        grid.withColumn("tot", F.sum("rev").over(tot_w))
+        .withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("n_name").alias("top_nation"),
+            F.round(F.col("rev") / F.col("tot") * 100, 4).alias(
+                "top_nation_share_pct"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q332 — seasonal peak month per brand: each brand's highest-demand
+# calendar month (by shipped quantity) with its share of annualized
+# demand — the inventory-positioning readout; max_by over the
+# (brand, month) pre-agg.
+# ---------------------------------------------------------------------------
+@query("q332_seasonal_peaks")
+def q332_seasonal_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    grid = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", F.month("l_shipdate").alias("m"))
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot_w = Window.partitionBy("p_brand")
+    rk = Window.partitionBy("p_brand").orderBy(F.col("qty").desc(), "m")
+    return (
+        grid.withColumn("tot", F.sum("qty").over(tot_w))
+        .withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_brand",
+            F.col("m").cast("bigint").alias("peak_month"),
+            F.round(F.col("qty") / F.col("tot") * 100, 4).alias(
+                "peak_share_pct"
+            ),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q333 — mean time between errors (MTBF per user): gaps between
+# consecutive 'error' events per user, fleet-level distribution —
+# reliability engineering over the event stream; gap windows on the
+# filtered slice.
+# ---------------------------------------------------------------------------
+@query("q333_mtbf")
+def q333_mtbf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "user_id",
+            ((F.unix_micros("ts") - F.unix_micros("prev")) / 60000000.0).alias(
+                "gap_min"
+            ),
+        )
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        (F.round(F.sum("gap_min"), 6) / F.count(F.lit(1))).alias("mtbf_d"),
+        F.expr("percentile(gap_min, 0.5)").alias("p50_d"),
+        F.expr("percentile(gap_min, 0.9)").alias("p90_d"),
+    ).select(
+        "n_gaps", "n_users",
+        F.round("mtbf_d", 4).alias("mtbf_min"),
+        F.round("p50_d", 4).alias("p50_min"),
+        F.round("p90_d", 4).alias("p90_min"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q334 — cannibalization screen: NEGATIVELY correlated demand pairs
+# WITHIN the same brand (q321's top-k machinery, brand-restricted,
+# sign-filtered) — the substitution signal merchandisers act on.
+# ---------------------------------------------------------------------------
+@query("q334_cannibalization")
+def q334_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    top = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "l_partkey")
+        .limit(40)
+        .select("l_partkey")
+    )
+    daily = (
+        li.join(F.broadcast(top), "l_partkey")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey", F.to_date("l_shipdate").alias("d"))
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    a = daily.select(
+        F.col("p_brand").alias("ba"),
+        F.col("l_partkey").alias("pa"),
+        "d",
+        F.col("q").alias("qa"),
+    )
+    b = daily.select(
+        F.col("p_brand").alias("bb"),
+        F.col("l_partkey").alias("pb"),
+        "d",
+        F.col("q").alias("qb"),
+    )
+    return (
+        a.join(b, "d")
+        .filter((F.col("ba") == F.col("bb")) & (F.col("pa") < F.col("pb")))
+        .groupBy(F.col("ba").alias("p_brand"), "pa", "pb")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.round(F.corr("qa", "qb"), 6).alias("corr"),
+        )
+        .filter((F.col("n_days") >= 10) & (F.col("corr") < 0))
+        .orderBy("p_brand", "pa", "pb")
+    )
