@@ -6187,3 +6187,88 @@ GROUP BY 1, 2, 3
 HAVING count(*) >= 10 AND round(corr(a.q, b.q), 6) < 0
 ORDER BY a.p_brand, pa, pb
 """
+
+ORACLE_SQL["q335_replenishment_point"] = """
+WITH base AS (
+  SELECT p.p_brand, l.l_quantity, CAST(l.l_shipdate AS DATE) AS sd,
+         greatest(0, datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE))) AS lt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+), daily AS (
+  SELECT p_brand, sd, sum(l_quantity) AS q FROM base GROUP BY 1, 2
+), demand AS (
+  SELECT p_brand, round(sum(q), 6) / count(*) AS mean_d,
+         stddev_samp(q) AS sd_d
+  FROM daily GROUP BY 1
+), lead AS (
+  SELECT p_brand, round(sum(lt), 6) / count(*) AS mean_lt
+  FROM base GROUP BY 1
+)
+SELECT d.p_brand,
+       round(d.mean_d, 4) AS mean_daily_demand,
+       round(d.sd_d, 4) AS sd_daily_demand,
+       round(l.mean_lt, 4) AS mean_lead_days,
+       round(d.mean_d * l.mean_lt + 1.65 * d.sd_d * sqrt(l.mean_lt), 4)
+         AS reorder_point
+FROM demand d JOIN lead l USING (p_brand)
+ORDER BY p_brand
+"""
+
+ORACLE_SQL["q336_otif_score"] = """
+WITH promised AS (
+  SELECT o_orderkey, o_orderpriority,
+         CASE isodow(CAST(o_orderdate AS DATE))
+           WHEN 6 THEN CAST(o_orderdate AS DATE) + 2
+           WHEN 7 THEN CAST(o_orderdate AS DATE) + 1
+           ELSE CAST(o_orderdate AS DATE) END + 7 AS promised
+  FROM orders
+), per_order AS (
+  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS last_ship,
+         count(*) AS n_lines
+  FROM lineitem GROUP BY 1
+), scored AS (
+  SELECT p.o_orderpriority, po.n_lines,
+         po.last_ship <= p.promised AS otif
+  FROM promised p JOIN per_order po ON p.o_orderkey = po.l_orderkey
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN otif THEN 1 ELSE 0 END) AS BIGINT) AS n_otif,
+       round(sum(CASE WHEN otif THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 100, 4) AS otif_pct,
+       round(round(sum(n_lines), 6) / count(*), 4) AS avg_lines
+FROM scored GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+ORACLE_SQL["q337_share_shift"] = """
+WITH rng AS (
+  SELECT min(CAST(l_shipdate AS DATE)) AS lo,
+         max(CAST(l_shipdate AS DATE)) AS hi
+  FROM lineitem
+), mid AS (
+  SELECT lo + CAST(datediff('day', lo, hi) / 2 AS INTEGER) AS mid FROM rng
+), staged AS (
+  SELECT p.p_brand,
+         CASE WHEN CAST(l.l_shipdate AS DATE) <= m.mid
+              THEN 'h1' ELSE 'h2' END AS half,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  CROSS JOIN mid m
+  GROUP BY 1, 2
+), shares AS (
+  SELECT p_brand, half,
+         rev * 1.0 / sum(rev) OVER (PARTITION BY half) AS share
+  FROM staged
+), h1 AS (SELECT p_brand, share AS s1 FROM shares WHERE half = 'h1'),
+h2 AS (SELECT p_brand, share AS s2 FROM shares WHERE half = 'h2')
+SELECT coalesce(h1.p_brand, h2.p_brand) AS p_brand,
+       round(coalesce(s1, 0) * 100, 4) AS h1_share_pct,
+       round(coalesce(s2, 0) * 100, 4) AS h2_share_pct,
+       round((coalesce(s2, 0) - coalesce(s1, 0)) * 100, 4) AS shift_pct
+FROM h1 FULL JOIN h2 USING (p_brand)
+ORDER BY p_brand
+"""

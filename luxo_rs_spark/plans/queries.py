@@ -11459,3 +11459,159 @@ def q334_cannibalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_days") >= 10) & (F.col("corr") < 0))
         .orderBy("p_brand", "pa", "pb")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q335 — replenishment point per brand: reorder level = mean daily
+# demand x mean lead time + 1.65 x demand sd x sqrt(lead time) (the
+# classic safety-stock formula at 95% service). Demand and lead-time
+# moments are per-brand aggregates; the formula is closed-form —
+# deterministic across engines.
+# ---------------------------------------------------------------------------
+@query("q335_replenishment_point")
+def q335_replenishment_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).join(
+        F.broadcast(p), li.l_partkey == p.p_partkey
+    )
+    daily = base.groupBy("p_brand", F.to_date("l_shipdate").alias("d")).agg(
+        F.sum("l_quantity").alias("q")
+    )
+    demand = daily.groupBy("p_brand").agg(
+        (F.round(F.sum("q"), 6) / F.count(F.lit(1))).alias("mean_d"),
+        F.stddev_samp("q").alias("sd_d"),
+    )
+    # synthetic fixtures can ship before ordering; clamp per-row so the
+    # lead-time moment (and its sqrt) stays physical
+    lt = F.greatest(
+        F.lit(0),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")),
+    )
+    lead = base.groupBy("p_brand").agg(
+        (F.round(F.sum(lt), 6) / F.count(F.lit(1))).alias("mean_lt")
+    )
+    return (
+        demand.join(lead, "p_brand")
+        .withColumn(
+            "reorder_point",
+            F.round(
+                F.col("mean_d") * F.col("mean_lt")
+                + 1.65 * F.col("sd_d") * F.sqrt("mean_lt"),
+                4,
+            ),
+        )
+        .select(
+            "p_brand",
+            F.round("mean_d", 4).alias("mean_daily_demand"),
+            F.round("sd_d", 4).alias("sd_daily_demand"),
+            F.round("mean_lt", 4).alias("mean_lead_days"),
+            "reorder_point",
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q336 — OTIF (on-time-in-full) per priority: orders shipped fully
+# (every lineitem) within the q303 business-day promise — the ONE
+# fulfillment KPI contracts reference. Per-order full-shipment check
+# via a min over lineitems, then the priority rollup.
+# ---------------------------------------------------------------------------
+@query("q336_otif_score")
+def q336_otif_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dow = F.expr("((dayofweek(to_date(o_orderdate)) + 5) % 7) + 1")
+    eff = F.when(dow == 6, F.date_add(F.to_date("o_orderdate"), 2)).when(
+        dow == 7, F.date_add(F.to_date("o_orderdate"), 1)
+    ).otherwise(F.to_date("o_orderdate"))
+    promised = o.select(
+        "o_orderkey", "o_orderpriority", F.date_add(eff, 7).alias("promised")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    scored = promised.join(
+        per_order, promised.o_orderkey == per_order.l_orderkey
+    ).withColumn("otif", F.col("last_ship") <= F.col("promised"))
+    return (
+        scored.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(F.col("otif"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_otif"),
+            F.round(
+                F.sum(F.when(F.col("otif"), 1).otherwise(0))
+                / F.count(F.lit(1))
+                * 100,
+                4,
+            ).alias("otif_pct"),
+            (F.round(F.sum("n_lines"), 6) / F.count(F.lit(1))).alias("lines_d"),
+        )
+        .select(
+            "o_orderpriority", "n_orders", "n_otif", "otif_pct",
+            F.round("lines_d", 4).alias("avg_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q337 — brand share-shift between corpus halves: each brand's revenue
+# share in the first vs second half of the order-date range, ranked by
+# absolute share shift — the mix-shift diagnosis behind every "why did
+# revenue move" question. Midpoint derives from the data (no
+# current_date); integer-scaled revenue keeps shares exact.
+# ---------------------------------------------------------------------------
+@query("q337_share_shift")
+def q337_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rng = li.agg(
+        F.min(F.to_date("l_shipdate")).alias("lo"),
+        F.max(F.to_date("l_shipdate")).alias("hi"),
+    ).withColumn(
+        "mid", F.date_add("lo", (F.datediff("hi", "lo") / 2).cast("int"))
+    )
+    rev_i = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    staged = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(rng.select("mid")))
+        .withColumn(
+            "half",
+            F.when(F.to_date("l_shipdate") <= F.col("mid"), "h1").otherwise(
+                "h2"
+            ),
+        )
+        .groupBy("p_brand", "half")
+        .agg(F.sum(rev_i).alias("rev"))
+    )
+    tot_w = Window.partitionBy("half")
+    shares = staged.withColumn(
+        "share", F.col("rev") / F.sum("rev").over(tot_w)
+    )
+    h1 = shares.filter(F.col("half") == "h1").select(
+        "p_brand", F.col("share").alias("s1")
+    )
+    h2 = shares.filter(F.col("half") == "h2").select(
+        "p_brand", F.col("share").alias("s2")
+    )
+    return (
+        h1.join(h2, "p_brand", "full")
+        .select(
+            "p_brand",
+            F.round(F.coalesce("s1", F.lit(0)) * 100, 4).alias("h1_share_pct"),
+            F.round(F.coalesce("s2", F.lit(0)) * 100, 4).alias("h2_share_pct"),
+            F.round(
+                (F.coalesce("s2", F.lit(0)) - F.coalesce("s1", F.lit(0))) * 100,
+                4,
+            ).alias("shift_pct"),
+        )
+        .orderBy("p_brand")
+    )
