@@ -6272,3 +6272,51 @@ SELECT coalesce(h1.p_brand, h2.p_brand) AS p_brand,
 FROM h1 FULL JOIN h2 USING (p_brand)
 ORDER BY p_brand
 """
+
+ORACLE_SQL["q338_brand_acquisition"] = """
+WITH first_orders AS (
+  SELECT o_orderkey AS first_ok FROM (
+    SELECT o_orderkey,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS rn
+    FROM orders
+  ) WHERE rn = 1
+), flagged AS (
+  SELECT p.p_brand, o.o_custkey,
+         f.first_ok IS NOT NULL AS is_first
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  LEFT JOIN first_orders f ON l.l_orderkey = f.first_ok
+)
+SELECT p_brand,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+       CAST(count(DISTINCT CASE WHEN is_first THEN o_custkey END) AS BIGINT)
+         AS n_acquired,
+       round(count(DISTINCT CASE WHEN is_first THEN o_custkey END) * 1.0
+             / count(DISTINCT o_custkey) * 100, 4) AS acquisition_pct
+FROM flagged GROUP BY p_brand ORDER BY p_brand
+"""
+
+ORACLE_SQL["q339_dedup_yield_curve"] = """
+WITH clusters AS (
+  SELECT md5(text) AS fp, count(*) AS sz FROM documents GROUP BY 1
+)
+SELECT CAST(sz AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       CAST((sz - 1) * count(*) AS BIGINT) AS removable
+FROM clusters GROUP BY sz ORDER BY cluster_size
+"""
+
+ORACLE_SQL["q340_terminal_digit_audit"] = """
+WITH hist AS (
+  SELECT CAST(CAST(floor(o_totalprice) AS BIGINT) % 10 AS BIGINT) AS digit,
+         count(*) AS n
+  FROM orders GROUP BY 1
+), tot AS (SELECT sum(n) AS tot FROM hist)
+SELECT digit, CAST(n AS BIGINT) AS n,
+       round(tot / 10.0, 2) AS expected,
+       round(pow(n - tot / 10.0, 2) / (tot / 10.0), 6) AS chi2_term
+FROM hist CROSS JOIN tot ORDER BY digit
+"""

@@ -11615,3 +11615,114 @@ def q337_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q338 — brand acquisition power: share of each brand's buyers who
+# were FIRST-TIME customers when they bought it (their first-ever
+# order contains the brand) — which brands pull new customers vs serve
+# existing ones. First-order dim is key-sized; the flag join is one
+# broadcast.
+# ---------------------------------------------------------------------------
+@query("q338_brand_acquisition")
+def q338_brand_acquisition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    first_orders = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("o_orderkey").alias("first_ok"))
+    )
+    flagged = (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(first_orders),
+            F.col("l_orderkey") == F.col("first_ok"),
+            "left",
+        )
+        .select(
+            "p_brand",
+            "o_custkey",
+            F.col("first_ok").isNotNull().alias("is_first"),
+        )
+    )
+    return (
+        flagged.groupBy("p_brand")
+        .agg(
+            F.countDistinct("o_custkey").cast("bigint").alias("n_buyers"),
+            F.countDistinct(
+                F.when(F.col("is_first"), F.col("o_custkey"))
+            )
+            .cast("bigint")
+            .alias("n_acquired"),
+            F.round(
+                F.countDistinct(
+                    F.when(F.col("is_first"), F.col("o_custkey"))
+                )
+                / F.countDistinct("o_custkey")
+                * 100,
+                4,
+            ).alias("acquisition_pct"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q339 — dedup yield curve: distribution of exact-duplicate cluster
+# sizes (md5 groups over document text) — the histogram every dedup
+# paper reports, and the estimator for how much a second dedup pass
+# can still recover. Two stacked aggs, both partial-agg friendly.
+# ---------------------------------------------------------------------------
+@query("q339_dedup_yield_curve")
+def q339_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        clusters.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("sz").cast("bigint").alias("cluster_size"),
+            F.col("n_clusters").cast("bigint").alias("n_clusters"),
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            ((F.col("sz") - 1) * F.col("n_clusters"))
+            .cast("bigint")
+            .alias("removable"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q340 — terminal-digit forensics: the last integer digit of order
+# totals should be ~uniform (q248 checks FIRST digits against
+# Benford); humans fabricating numbers overuse 0/5 endings. Chi-square
+# against uniform over the digit histogram — one agg, closed form.
+# ---------------------------------------------------------------------------
+@query("q340_terminal_digit_audit")
+def q340_terminal_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    digit = (F.floor(F.col("o_totalprice")) % 10).cast("bigint")
+    hist = o.withColumn("digit", digit).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = hist.agg(F.sum("n").alias("tot"))
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn("expected", F.col("tot") / 10.0)
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("expected", 2).alias("expected"),
+            F.round(
+                F.pow(F.col("n") - F.col("expected"), 2) / F.col("expected"),
+                6,
+            ).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
