@@ -6320,3 +6320,88 @@ SELECT digit, CAST(n AS BIGINT) AS n,
        round(pow(n - tot / 10.0, 2) / (tot / 10.0), 6) AS chi2_term
 FROM hist CROSS JOIN tot ORDER BY digit
 """
+
+ORACLE_SQL["q341_burstiness"] = """
+WITH per_min AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_minutes,
+       round(round(sum(n), 6) / count(*), 6) AS mean_rate,
+       round(var_pop(n), 6) AS var_rate,
+       round(var_pop(n) / (round(sum(n), 6) / count(*)), 6) AS fano
+FROM per_min GROUP BY event_type ORDER BY event_type
+"""
+
+ORACLE_SQL["q342_retention_decay"] = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY 1
+), aged AS (
+  SELECT e.user_id, f.cohort,
+         CAST(floor((epoch_us(date_trunc('week', e.ts))
+               - epoch_us(f.cohort)) / (7 * 86400 * 1000000.0)) AS INTEGER)
+           AS age_w
+  FROM events e JOIN first f USING (user_id)
+), a2 AS (SELECT * FROM aged WHERE age_w >= 0),
+grid AS (
+  SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week, age_w,
+         count(DISTINCT user_id) AS active
+  FROM a2 GROUP BY 1, 2
+)
+SELECT cohort_week,
+       CAST(count(*) AS BIGINT) AS n_points,
+       round(regr_slope(ln(active), age_w), 6) AS decay_rate,
+       round(regr_r2(ln(active), age_w), 6) AS r2
+FROM grid GROUP BY cohort_week HAVING count(*) >= 3
+ORDER BY cohort_week
+"""
+
+ORACLE_SQL["q343_revenue_var"] = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+  FROM orders GROUP BY 1
+), v AS (SELECT quantile_cont(rev, 0.05) AS var5 FROM daily)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       round(rev, 2) AS rev,
+       round(var5, 2) AS var5,
+       round((var5 - rev) / var5 * 100, 4) AS breach_depth_pct
+FROM daily CROSS JOIN v
+WHERE rev < var5
+ORDER BY day
+"""
+
+ORACLE_SQL["q344_bounce_rate"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+), entry AS (
+  SELECT user_id, sess_id, event_type,
+         first_value(event_type) OVER (PARTITION BY user_id, sess_id
+                                       ORDER BY ts, event_id) AS entry
+  FROM sess
+), sessions AS (
+  SELECT user_id, sess_id, count(*) AS n_events,
+         max(entry) AS entry_type
+  FROM entry GROUP BY 1, 2
+)
+SELECT entry_type,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 100, 4) AS bounce_pct
+FROM sessions GROUP BY entry_type ORDER BY entry_type
+"""

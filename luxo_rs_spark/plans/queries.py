@@ -11726,3 +11726,165 @@ def q340_terminal_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q341 — burstiness (Fano factor) per event type: variance-to-mean of
+# per-minute event counts; 1 = Poisson, >1 = bursty. The
+# overdispersion diagnostic for capacity planning (pairs with q289's
+# concurrency peaks). Two stacked aggs over the minute grid.
+# ---------------------------------------------------------------------------
+@query("q341_burstiness")
+def q341_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_min.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+            (F.round(F.sum("n"), 6) / F.count(F.lit(1))).alias("mean_rate"),
+            F.var_pop("n").alias("var_rate"),
+        )
+        .withColumn(
+            "fano", F.round(F.col("var_rate") / F.col("mean_rate"), 6)
+        )
+        .select(
+            "event_type", "n_minutes",
+            F.round("mean_rate", 6).alias("mean_rate"),
+            F.round("var_rate", 6).alias("var_rate"), "fano",
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q342 — retention decay-rate fit: per signup-month cohort, regress
+# ln(active users) on weeks-since-signup — the exponential-decay
+# half-life readout that turns q242's retention matrix into ONE
+# comparable number per cohort. regr aggregates over the cohort-age
+# grid.
+# ---------------------------------------------------------------------------
+@query("q342_retention_decay")
+def q342_retention_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    aged = (
+        ev.join(first, "user_id")
+        .withColumn(
+            "age_w",
+            F.floor(
+                (
+                    F.unix_micros(F.date_trunc("week", "ts"))
+                    - F.unix_micros("cohort")
+                )
+                / (7 * 86400 * 1000000)
+            ).cast("int"),
+        )
+        .filter(F.col("age_w") >= 0)
+    )
+    grid = aged.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "age_w"
+    ).agg(F.countDistinct("user_id").alias("active"))
+    fit = grid.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.expr("regr_slope(ln(active), age_w)"), 6).alias(
+            "decay_rate"
+        ),
+        F.round(F.expr("regr_r2(ln(active), age_w)"), 6).alias("r2"),
+    ).filter(F.col("n_points") >= 3)
+    return fit.orderBy("cohort_week")
+
+
+# ---------------------------------------------------------------------------
+# Q343 — revenue VaR band: the p5 daily-revenue threshold (historical
+# value-at-risk) and which days breached it, with breach depth. Exact
+# percentile over the daily pre-agg + one broadcast re-join.
+# ---------------------------------------------------------------------------
+@query("q343_revenue_var")
+def q343_revenue_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    var = daily.agg(
+        F.expr("percentile(rev, 0.05)").alias("var5"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    breaches = (
+        daily.crossJoin(F.broadcast(var))
+        .filter(F.col("rev") < F.col("var5"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round("rev", 2).alias("rev"),
+            F.round("var5", 2).alias("var5"),
+            F.round(
+                (F.col("var5") - F.col("rev")) / F.col("var5") * 100, 4
+            ).alias("breach_depth_pct"),
+        )
+    )
+    return breaches.orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Q344 — bounce rate by entry event type: sessionize by 30-minute
+# inactivity gaps (q247's islands), call a session a bounce when it
+# has ONE event; bounce share grouped by the session's FIRST event
+# type — the engagement KPI. Windows over per-user event sequences.
+# ---------------------------------------------------------------------------
+@query("q344_bounce_rate")
+def q344_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev")
+                    > 30 * 60 * 1000000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    sw = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    sessions = (
+        marked.withColumn(
+            "entry", F.first("event_type").over(sw)
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("entry").alias("entry_type"),
+        )
+    )
+    return (
+        sessions.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_bounces"),
+            F.round(
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+                * 100,
+                4,
+            ).alias("bounce_pct"),
+        )
+        .orderBy("entry_type")
+    )
