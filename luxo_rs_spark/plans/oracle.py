@@ -6405,3 +6405,104 @@ SELECT entry_type,
              / count(*) * 100, 4) AS bounce_pct
 FROM sessions GROUP BY entry_type ORDER BY entry_type
 """
+
+ORACLE_SQL["q345_steps_to_purchase"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+), seq AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+                               ORDER BY ts, event_id) AS step
+  FROM sess
+), first_buy AS (
+  SELECT user_id, sess_id, min(step) AS steps_to_buy
+  FROM seq WHERE event_type = 'purchase' GROUP BY 1, 2
+), n_sessions AS (
+  SELECT user_id, sess_id FROM seq GROUP BY 1, 2
+), joined AS (
+  SELECT n.user_id, n.sess_id, f.steps_to_buy
+  FROM n_sessions n LEFT JOIN first_buy f USING (user_id, sess_id)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(count(steps_to_buy) AS BIGINT) AS n_converting,
+       round(count(steps_to_buy) * 1.0 / count(*) * 100, 4)
+         AS conversion_pct,
+       round(quantile_cont(steps_to_buy, 0.5), 2) AS median_steps,
+       round(quantile_cont(steps_to_buy, 0.9), 2) AS p90_steps
+FROM joined
+"""
+
+ORACLE_SQL["q346_brand_crossshop"] = """
+WITH buyers AS (
+  SELECT DISTINCT p.p_brand, o.o_custkey
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+), top AS (
+  SELECT p_brand FROM (
+    SELECT p_brand, count(*) AS nb FROM buyers GROUP BY 1
+    ORDER BY nb DESC, p_brand LIMIT 8
+  )
+), tb AS (
+  SELECT b.* FROM buyers b JOIN top t USING (p_brand)
+), inter AS (
+  SELECT a.p_brand AS ba, b.p_brand AS bb, count(*) AS i
+  FROM tb a JOIN tb b
+    ON a.o_custkey = b.o_custkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT p_brand, count(*) AS sz FROM tb GROUP BY 1
+)
+SELECT i.ba, i.bb,
+       CAST(i.i AS BIGINT) AS shared_buyers,
+       round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.p_brand = i.ba
+JOIN sizes sb ON sb.p_brand = i.bb
+ORDER BY ba, bb
+"""
+
+ORACLE_SQL["q347_second_order_latency"] = """
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), first AS (SELECT o_custkey, d AS d1 FROM ranked WHERE rn = 1),
+second AS (SELECT o_custkey, d AS d2 FROM ranked WHERE rn = 2),
+lat AS (
+  SELECT c.c_mktsegment, datediff('day', f.d1, s.d2) AS days
+  FROM first f JOIN second s USING (o_custkey)
+  JOIN customer c ON f.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_repeaters,
+       round(quantile_cont(days, 0.5), 2) AS median_days,
+       round(quantile_cont(days, 0.9), 2) AS p90_days
+FROM lat GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+ORACLE_SQL["q348_arpu_trend"] = """
+WITH monthly AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         count(DISTINCT o_custkey) AS active
+  FROM orders GROUP BY 1
+), a AS (
+  SELECT month, active,
+         round(CAST(rev AS DOUBLE) / active, 4) AS arpu
+  FROM monthly
+)
+SELECT month, CAST(active AS BIGINT) AS active_customers, arpu,
+       round(arpu - lag(arpu) OVER (ORDER BY month), 4) AS arpu_delta
+FROM a ORDER BY month
+"""

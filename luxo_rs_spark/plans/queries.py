@@ -11888,3 +11888,179 @@ def q344_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q345 — steps-to-purchase: within q344's sessions, the number of
+# events preceding the FIRST purchase; distribution (median/p90) of
+# steps for converting sessions plus conversion share — the funnel
+#-depth readout.
+# ---------------------------------------------------------------------------
+@query("q345_steps_to_purchase")
+def q345_steps_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev")
+                    > 30 * 60 * 1000000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    sw = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    seq = marked.withColumn("step", F.row_number().over(sw))
+    first_buy = (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("step").alias("steps_to_buy"))
+    )
+    n_sessions = seq.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    joined = n_sessions.join(first_buy, ["user_id", "sess_id"], "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count("steps_to_buy").cast("bigint").alias("n_converting"),
+        F.round(
+            F.count("steps_to_buy") / F.count(F.lit(1)) * 100, 4
+        ).alias("conversion_pct"),
+        F.round(F.expr("percentile(steps_to_buy, 0.5)"), 2).alias(
+            "median_steps"
+        ),
+        F.round(F.expr("percentile(steps_to_buy, 0.9)"), 2).alias(
+            "p90_steps"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q346 — brand cross-shopping matrix: Jaccard overlap of BUYER SETS
+# between the 8 highest-revenue brands — which brands share customers.
+# Buyer sets come from one star join; the pair grid is k^2/2 bounded
+# by the top-k cut (the q321 discipline on sets instead of series).
+# ---------------------------------------------------------------------------
+@query("q346_brand_crossshop")
+def q346_brand_crossshop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    buyers = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("p_brand", "o_custkey")
+        .distinct()
+    )
+    top = (
+        buyers.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .orderBy(F.col("nb").desc(), "p_brand")
+        .limit(8)
+        .select("p_brand")
+    )
+    tb = buyers.join(F.broadcast(top), "p_brand")
+    a = tb.select(F.col("p_brand").alias("ba"), "o_custkey")
+    b = tb.select(F.col("p_brand").alias("bb"), "o_custkey")
+    inter = (
+        a.join(b, "o_custkey")
+        .filter(F.col("ba") < F.col("bb"))
+        .groupBy("ba", "bb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = tb.groupBy("p_brand").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("p_brand").alias("ba"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("p_brand").alias("bb"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "ba")
+        .join(F.broadcast(sb), "bb")
+        .select(
+            "ba",
+            "bb",
+            F.col("i").cast("bigint").alias("shared_buyers"),
+            F.round(
+                F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("ba", "bb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q347 — time to second order: days between each customer's first and
+# second orders, distribution per market segment — THE repeat-purchase
+# health metric. One ranking window + one percentile agg per segment.
+# ---------------------------------------------------------------------------
+@query("q347_second_order_latency")
+def q347_second_order_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    first = ranked.filter(F.col("rn") == 1).select(
+        "o_custkey", F.to_date("o_orderdate").alias("d1")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        "o_custkey", F.to_date("o_orderdate").alias("d2")
+    )
+    lat = (
+        first.join(second, "o_custkey")
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .select("c_mktsegment", F.datediff("d2", "d1").alias("days"))
+    )
+    return (
+        lat.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_repeaters"),
+            F.round(F.expr("percentile(days, 0.5)"), 2).alias("median_days"),
+            F.round(F.expr("percentile(days, 0.9)"), 2).alias("p90_days"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q348 — ARPU trend: monthly revenue per active ordering customer +
+# its month-over-month delta — the one-line business health series.
+# Exact decimal sums; lag over the (bounded) monthly grid.
+# ---------------------------------------------------------------------------
+@query("q348_arpu_trend")
+def q348_arpu_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.countDistinct("o_custkey").alias("active"),
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn(
+            "arpu", F.round(F.col("rev").cast("double") / F.col("active"), 4)
+        )
+        .withColumn("prev", F.lag("arpu").over(w))
+        .select(
+            "month",
+            F.col("active").cast("bigint").alias("active_customers"),
+            "arpu",
+            F.round(F.col("arpu") - F.col("prev"), 4).alias("arpu_delta"),
+        )
+        .orderBy("month")
+    )
