@@ -6499,10 +6499,10 @@ WITH monthly AS (
   FROM orders GROUP BY 1
 ), a AS (
   SELECT month, active,
-         round(CAST(rev AS DOUBLE) / active, 4) AS arpu
+         CAST(rev AS DOUBLE) / active AS arpu
   FROM monthly
 )
 SELECT month, CAST(active AS BIGINT) AS active_customers, arpu,
-       round(arpu - lag(arpu) OVER (ORDER BY month), 4) AS arpu_delta
+       arpu - lag(arpu) OVER (ORDER BY month) AS arpu_delta
 FROM a ORDER BY month
 """

@@ -12052,15 +12052,19 @@ def q348_arpu_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("month")
     return (
+        # no rounding on the division or the delta: rev is an exact
+        # 2-dp DECIMAL, so the doubles are bit-identical across engines,
+        # while a 4-dp round sits exactly on half-boundaries (the
+        # _avg4 lesson)
         monthly.withColumn(
-            "arpu", F.round(F.col("rev").cast("double") / F.col("active"), 4)
+            "arpu", F.col("rev").cast("double") / F.col("active")
         )
         .withColumn("prev", F.lag("arpu").over(w))
         .select(
             "month",
             F.col("active").cast("bigint").alias("active_customers"),
             "arpu",
-            F.round(F.col("arpu") - F.col("prev"), 4).alias("arpu_delta"),
+            (F.col("arpu") - F.col("prev")).alias("arpu_delta"),
         )
         .orderBy("month")
     )
