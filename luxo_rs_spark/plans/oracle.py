@@ -6506,3 +6506,55 @@ SELECT month, CAST(active AS BIGINT) AS active_customers, arpu,
        arpu - lag(arpu) OVER (ORDER BY month) AS arpu_delta
 FROM a ORDER BY month
 """
+
+ORACLE_SQL["q349_supply_risk"] = """
+WITH grid AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+  FROM lineitem GROUP BY 1, 2
+), tops AS (
+  SELECT l_partkey, q,
+         sum(q) OVER (PARTITION BY l_partkey) AS tot,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY q DESC, l_suppkey) AS rn
+  FROM grid
+), t1 AS (
+  SELECT l_partkey, q / tot AS top_share FROM tops WHERE rn = 1
+)
+SELECT p.p_brand,
+       CAST(count(*) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN t.top_share > 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_concentrated,
+       round(sum(CASE WHEN t.top_share > 0.6 THEN 1 ELSE 0 END) * 1.0
+             / count(*) * 100, 4) AS concentrated_pct
+FROM t1 t JOIN part p ON t.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p_brand
+"""
+
+ORACLE_SQL["q350_executive_panel"] = """
+WITH core AS (
+  SELECT sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+         count(*) AS n_orders,
+         count(DISTINCT o_custkey) AS active
+  FROM orders
+), repeat AS (
+  SELECT sum(CASE WHEN k >= 2 THEN 1 ELSE 0 END) AS repeaters,
+         count(*) AS all_cust
+  FROM (SELECT o_custkey, count(*) AS k FROM orders GROUP BY 1)
+), top_brand AS (
+  SELECT p_brand AS top_brand FROM (
+    SELECT p.p_brand,
+           sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT)) AS brev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1 ORDER BY brev DESC, p_brand LIMIT 1
+  )
+)
+SELECT CAST(rev AS DOUBLE) AS revenue,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(round(rev, 2) AS DOUBLE) / n_orders AS aov,
+       CAST(active AS BIGINT) AS active_customers,
+       CAST(repeaters AS BIGINT) AS repeat_customers,
+       round(repeaters * 1.0 / all_cust * 100, 4) AS repeat_rate_pct,
+       top_brand
+FROM core CROSS JOIN repeat CROSS JOIN top_brand
+"""

@@ -12068,3 +12068,96 @@ def q348_arpu_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q349 — single-source supply risk: each part's top-supplier share of
+# its shipped volume; parts over 60% single-sourced rolled up per
+# brand — the supply-chain concentration sweep. Share windows over the
+# (part, supplier) pre-agg.
+# ---------------------------------------------------------------------------
+@query("q349_supply_risk")
+def q349_supply_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    grid = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    tot_w = Window.partitionBy("l_partkey")
+    rk = Window.partitionBy("l_partkey").orderBy(
+        F.col("q").desc(), "l_suppkey"
+    )
+    tops = (
+        grid.withColumn("tot", F.sum("q").over(tot_w))
+        .withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .withColumn("top_share", F.col("q") / F.col("tot"))
+    )
+    return (
+        tops.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum(F.when(F.col("top_share") > 0.6, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_concentrated"),
+            F.round(
+                F.sum(F.when(F.col("top_share") > 0.6, 1).otherwise(0))
+                / F.count(F.lit(1))
+                * 100,
+                4,
+            ).alias("concentrated_pct"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q350 — executive KPI panel (capstone): ONE row with the numbers a
+# monthly business review opens on — revenue, orders, AOV, active and
+# repeat customers, repeat rate, top brand by revenue — composed from
+# the same primitives as the whole gallery in a single lazy plan.
+# ---------------------------------------------------------------------------
+@query("q350_executive_panel")
+def q350_executive_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    core = o.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("active"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("k"))
+    repeat = per_cust.agg(
+        F.sum(F.when(F.col("k") >= 2, 1).otherwise(0)).alias("repeaters"),
+        F.count(F.lit(1)).alias("all_cust"),
+    )
+    rev_i = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    top_brand = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.sum(rev_i).alias("brev"))
+        .orderBy(F.col("brev").desc(), "p_brand")
+        .limit(1)
+        .select(F.col("p_brand").alias("top_brand"))
+    )
+    return (
+        core.crossJoin(F.broadcast(repeat))
+        .crossJoin(F.broadcast(top_brand))
+        .select(
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            (F.round(F.col("rev"), 2).cast("double") / F.col("n_orders")).alias(
+                "aov"
+            ),
+            F.col("active").cast("bigint").alias("active_customers"),
+            F.col("repeaters").cast("bigint").alias("repeat_customers"),
+            F.round(
+                F.col("repeaters").cast("double") / F.col("all_cust") * 100, 4
+            ).alias("repeat_rate_pct"),
+            "top_brand",
+        )
+    )
