@@ -6558,3 +6558,101 @@ SELECT CAST(rev AS DOUBLE) AS revenue,
        top_brand
 FROM core CROSS JOIN repeat CROSS JOIN top_brand
 """
+
+ORACLE_SQL["q351_discount_leakage"] = """
+WITH banded AS (
+  SELECT CAST(floor(l_discount * 100 / 2) * 2 AS BIGINT) AS band,
+         count(*) AS n,
+         sum(CAST(round(l_extendedprice * l_discount * 10000) AS BIGINT))
+           AS leak_i
+  FROM lineitem GROUP BY 1
+), tot AS (SELECT sum(leak_i) AS tot FROM banded)
+SELECT band, CAST(n AS BIGINT) AS n_lines,
+       CAST(leak_i / 10000.0 AS DOUBLE) AS foregone,
+       round(leak_i * 1.0 / tot * 100, 4) AS leak_share_pct
+FROM banded CROSS JOIN tot ORDER BY band
+"""
+
+ORACLE_SQL["q352_session_pmi"] = """
+WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess0 AS (
+  SELECT user_id, event_type,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM marked
+), sess AS (SELECT DISTINCT user_id, sess_id, event_type FROM sess0),
+ns AS (SELECT count(*) AS ns FROM (SELECT DISTINCT user_id, sess_id FROM sess)),
+singles AS (SELECT event_type, count(*) AS c1 FROM sess GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS c2
+  FROM sess a JOIN sess b
+    ON a.user_id = b.user_id AND a.sess_id = b.sess_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb,
+       CAST(p.c2 AS BIGINT) AS n_cooccur,
+       round(ln((p.c2 * CAST(ns.ns AS DOUBLE)) / (ca.c1 * cb.c1)), 6) AS pmi
+FROM pairs p
+JOIN singles ca ON ca.event_type = p.ta
+JOIN singles cb ON cb.event_type = p.tb
+CROSS JOIN ns
+ORDER BY ta, tb
+"""
+
+ORACLE_SQL["q353_rank_stability"] = """
+WITH rng AS (
+  SELECT min(CAST(l_shipdate AS DATE)) AS lo,
+         max(CAST(l_shipdate AS DATE)) AS hi
+  FROM lineitem
+), mid AS (
+  SELECT lo + CAST(datediff('day', lo, hi) / 2 AS INTEGER) AS mid FROM rng
+), staged AS (
+  SELECT p.p_brand,
+         CASE WHEN CAST(l.l_shipdate AS DATE) <= m.mid
+              THEN 'h1' ELSE 'h2' END AS half,
+         sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) AS rev
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  CROSS JOIN mid m
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT p_brand, half,
+         row_number() OVER (PARTITION BY half
+                            ORDER BY rev DESC, p_brand) AS r
+  FROM staged
+), r1 AS (SELECT p_brand, r AS r1 FROM ranked WHERE half = 'h1'),
+r2 AS (SELECT p_brand, r AS r2 FROM ranked WHERE half = 'h2'),
+d AS (
+  SELECT pow(r1.r1 - r2.r2, 2) AS d2 FROM r1 JOIN r2 USING (p_brand)
+)
+SELECT CAST(count(*) AS BIGINT) AS n_brands,
+       CAST(sum(d2) AS BIGINT) AS sum_d2,
+       round(1 - 6 * sum(d2) / (count(*) * (pow(count(*), 2) - 1)), 6)
+         AS spearman_rho
+FROM d
+"""
+
+ORACLE_SQL["q354_lifetime_span"] = """
+WITH span AS (
+  SELECT o_custkey, count(*) AS k,
+         datediff('day', min(CAST(o_orderdate AS DATE)),
+                  max(CAST(o_orderdate AS DATE))) AS span
+  FROM orders GROUP BY 1 HAVING count(*) >= 2
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(quantile_cont(span, 0.5), 2) AS median_span,
+       round(quantile_cont(span, 0.9), 2) AS p90_span,
+       CAST(max(span) AS BIGINT) AS max_span
+FROM span s JOIN customer c ON s.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c_mktsegment
+"""

@@ -12161,3 +12161,189 @@ def q350_executive_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_brand",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q351 — discount leakage report: revenue foregone to discounting
+# (extendedprice x discount) by discount band — where the margin
+# actually leaks. Integer-scaled exact totals; one scan, one agg.
+# ---------------------------------------------------------------------------
+@query("q351_discount_leakage")
+def q351_discount_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    leak_i = F.round(
+        F.col("l_extendedprice") * F.col("l_discount") * 10000
+    ).cast("bigint")
+    banded = li.withColumn(
+        "band", (F.floor(F.col("l_discount") * 100 / 2) * 2).cast("bigint")
+    ).groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(leak_i).alias("leak_i"),
+    )
+    tot = banded.agg(F.sum("leak_i").alias("tot"))
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .select(
+            "band",
+            F.col("n").cast("bigint").alias("n_lines"),
+            (F.col("leak_i") / 10000).cast("double").alias("foregone"),
+            F.round(F.col("leak_i") / F.col("tot") * 100, 4).alias(
+                "leak_share_pct"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q352 — within-session event-type affinity (PMI): which event types
+# co-occur in the same session beyond chance (q75's PMI machinery on
+# sessions instead of token windows). Session ids from the q344
+# islands; pair counting on the distinct (session, type) grid.
+# ---------------------------------------------------------------------------
+@query("q352_session_pmi")
+def q352_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.withColumn("prev", F.lag("ts").over(w))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev").isNull()
+                | (
+                    F.unix_micros("ts") - F.unix_micros("prev")
+                    > 30 * 60 * 1000000
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .select("user_id", "sess_id", "event_type")
+        .distinct()
+    )
+    # total session count rides as a broadcast 1-row frame — NO
+    # driver-side count() in the query path (plan discipline)
+    n_sess_df = (
+        sess.select("user_id", "sess_id").distinct().agg(
+            F.count(F.lit(1)).alias("ns")
+        )
+    )
+    singles = sess.groupBy("event_type").agg(F.count(F.lit(1)).alias("c1"))
+    a = sess.select("user_id", "sess_id", F.col("event_type").alias("ta"))
+    b = sess.select("user_id", "sess_id", F.col("event_type").alias("tb"))
+    pairs = (
+        a.join(b, ["user_id", "sess_id"])
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    ca = singles.select(F.col("event_type").alias("ta"), F.col("c1").alias("ca"))
+    cb = singles.select(F.col("event_type").alias("tb"), F.col("c1").alias("cb"))
+    return (
+        pairs.join(F.broadcast(ca), "ta")
+        .join(F.broadcast(cb), "tb")
+        .crossJoin(F.broadcast(n_sess_df))
+        .select(
+            "ta",
+            "tb",
+            F.col("c2").cast("bigint").alias("n_cooccur"),
+            F.round(
+                F.log(
+                    (F.col("c2") * F.col("ns").cast("double"))
+                    / (F.col("ca") * F.col("cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q353 — rank stability (Spearman) of brand revenue between corpus
+# halves: rho = 1 - 6*sum(d^2)/(n(n^2-1)) over the two rank vectors —
+# did the leaderboard actually move, or just wiggle? Exact integer
+# rank math on the brand-count-sized grid.
+# ---------------------------------------------------------------------------
+@query("q353_rank_stability")
+def q353_rank_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rng = li.agg(
+        F.min(F.to_date("l_shipdate")).alias("lo"),
+        F.max(F.to_date("l_shipdate")).alias("hi"),
+    ).withColumn(
+        "mid", F.date_add("lo", (F.datediff("hi", "lo") / 2).cast("int"))
+    )
+    rev_i = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    staged = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .crossJoin(F.broadcast(rng.select("mid")))
+        .withColumn(
+            "half",
+            F.when(F.to_date("l_shipdate") <= F.col("mid"), "h1").otherwise("h2"),
+        )
+        .groupBy("p_brand", "half")
+        .agg(F.sum(rev_i).alias("rev"))
+    )
+    rk = Window.partitionBy("half").orderBy(F.col("rev").desc(), "p_brand")
+    ranked = staged.withColumn("r", F.row_number().over(rk))
+    r1 = ranked.filter(F.col("half") == "h1").select(
+        "p_brand", F.col("r").alias("r1")
+    )
+    r2 = ranked.filter(F.col("half") == "h2").select(
+        "p_brand", F.col("r").alias("r2")
+    )
+    d = r1.join(r2, "p_brand").withColumn(
+        "d2", F.pow(F.col("r1") - F.col("r2"), 2)
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.sum("d2").cast("bigint").alias("sum_d2"),
+        F.round(
+            1
+            - 6 * F.sum("d2") / (
+                F.count(F.lit(1))
+                * (F.pow(F.count(F.lit(1)), 2) - 1)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q354 — customer lifetime span: days between first and last order per
+# customer (>= 2 orders), distribution per segment — the engagement-
+# duration complement to q347's time-to-second-order.
+# ---------------------------------------------------------------------------
+@query("q354_lifetime_span")
+def q354_lifetime_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    span = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.datediff(
+            F.max(F.to_date("o_orderdate")), F.min(F.to_date("o_orderdate"))
+        ).alias("span"),
+    ).filter(F.col("k") >= 2)
+    return (
+        span.join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.round(F.expr("percentile(span, 0.5)"), 2).alias("median_span"),
+            F.round(F.expr("percentile(span, 0.9)"), 2).alias("p90_span"),
+            F.max("span").cast("bigint").alias("max_span"),
+        )
+        .orderBy("c_mktsegment")
+    )
