@@ -6656,3 +6656,86 @@ SELECT c.c_mktsegment,
 FROM span s JOIN customer c ON s.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment ORDER BY c_mktsegment
 """
+
+ORACLE_SQL["q355_length_quality_corr"] = """
+WITH ws AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '') AS w0,
+         regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+), feats AS (
+  SELECT source,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         len(list_filter(w, t -> t IN ('the','a','of','and','to','in',
+             'is','it'))) * 1.0 / len(w) AS stop_share,
+         list_sum(list_transform(w, t -> length(t))) * 1.0 / len(w)
+           AS mean_wlen
+  FROM ws WHERE len(w) > 0
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(corr(n_words, stop_share), 6) AS corr_len_stop,
+       round(corr(n_words, mean_wlen), 6) AS corr_len_wlen
+FROM feats GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["q356_cross_source_dup"] = """
+WITH fp AS (
+  SELECT DISTINCT source, md5(text) AS fp FROM documents
+), shared AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.source <> b.source
+  GROUP BY 1, 2
+), sizes AS (SELECT source, count(*) AS n FROM fp GROUP BY 1)
+SELECT s.sa, s.sb,
+       CAST(s.n_shared AS BIGINT) AS n_shared,
+       round(s.n_shared * 1.0 / z.n * 100, 4) AS pct_of_a_in_b
+FROM shared s JOIN sizes z ON z.source = s.sa
+ORDER BY sa, sb
+"""
+
+ORACLE_SQL["q357_format_fingerprint"] = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0)
+             / sum(length(text)), 6) AS upper_share,
+       round(sum(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0)
+             / sum(length(text)), 6) AS digit_share,
+       round(sum(length(text)
+                 - length(regexp_replace(text, '[^A-Za-z0-9[:space:]]', '',
+                                          'g'))) * 1.0
+             / sum(length(text)), 6) AS punct_share,
+       round(sum(length(text)
+                 - length(regexp_replace(text, '[[:space:]]', '', 'g')))
+             * 1.0 / sum(length(text)), 6) AS space_share
+FROM documents WHERE length(text) > 0
+GROUP BY source ORDER BY source
+"""
+
+ORACLE_SQL["q358_vocab_drift"] = """
+WITH mid AS (SELECT quantile_cont(doc_id, 0.5) AS mid FROM documents),
+tok AS (
+  SELECT DISTINCT d.source,
+         CASE WHEN d.doc_id <= m.mid THEN 'h1' ELSE 'h2' END AS half,
+         t.token
+  FROM documents d
+  CROSS JOIN mid m
+  CROSS JOIN unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+    AS t(token)
+  WHERE t.token <> ''
+), h1 AS (SELECT source, token FROM tok WHERE half = 'h1'),
+h2 AS (SELECT source, token FROM tok WHERE half = 'h2'),
+inter AS (
+  SELECT h1.source, count(*) AS i
+  FROM h1 JOIN h2 ON h1.source = h2.source AND h1.token = h2.token
+  GROUP BY 1
+), s1 AS (SELECT source, count(*) AS n1 FROM h1 GROUP BY 1),
+s2 AS (SELECT source, count(*) AS n2 FROM h2 GROUP BY 1)
+SELECT i.source,
+       CAST(s1.n1 AS BIGINT) AS vocab_h1,
+       CAST(s2.n2 AS BIGINT) AS vocab_h2,
+       round(i.i * 1.0 / (s1.n1 + s2.n2 - i.i), 6) AS jaccard
+FROM inter i JOIN s1 USING (source) JOIN s2 USING (source)
+ORDER BY source
+"""

@@ -12347,3 +12347,165 @@ def q354_lifetime_span(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q355 — length-quality correlation per source: does document length
+# predict the q38-style quality proxies (stopword share, mean word
+# length)? Per-source Pearson correlations over per-doc features — the
+# curation-policy sanity check before length-based filtering.
+# ---------------------------------------------------------------------------
+@query("q355_length_quality_corr")
+def q355_length_quality_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import STOPWORDS, words
+
+    docs = load_table(spark, sf_dir, "documents")
+    en_stop = STOPWORDS["en"]
+    ws = docs.select("source", words("text").alias("w"))
+    feats = ws.select(
+        "source",
+        F.size("w").cast("double").alias("n_words"),
+        (
+            F.size(
+                F.filter("w", lambda t: t.isin(en_stop))
+            )
+            / F.size("w")
+        ).alias("stop_share"),
+        (
+            F.aggregate(
+                F.transform("w", lambda t: F.length(t)),
+                F.lit(0),
+                lambda a, x: a + x,
+            )
+            / F.size("w")
+        ).alias("mean_wlen"),
+    ).filter(F.col("n_words") > 0)
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.corr("n_words", "stop_share"), 6).alias(
+                "corr_len_stop"
+            ),
+            F.round(F.corr("n_words", "mean_wlen"), 6).alias(
+                "corr_len_wlen"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q356 — cross-source duplication matrix: share of source A's docs
+# whose EXACT text also appears in source B — the provenance-leak /
+# mirror-site audit (q71 checks eval contamination; this checks
+# source-to-source). Fingerprint equi-join on md5, never text-to-text.
+# ---------------------------------------------------------------------------
+@query("q356_cross_source_dup")
+def q356_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("source", F.md5("text").alias("fp")).distinct()
+    a = fp.select(F.col("source").alias("sa"), "fp")
+    b = fp.select(F.col("source").alias("sb"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        shared.join(
+            F.broadcast(
+                sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+            ),
+            "sa",
+        )
+        .select(
+            "sa",
+            "sb",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.round(F.col("n_shared") / F.col("na") * 100, 4).alias(
+                "pct_of_a_in_b"
+            ),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q357 — formatting fingerprint per source: uppercase / digit /
+# punctuation / whitespace character shares — the cheap style profile
+# that separates code-ish, scraped, and clean-prose sources before any
+# model-based classification. Pure regexp_count expressions, one agg.
+# ---------------------------------------------------------------------------
+@query("q357_format_fingerprint")
+def q357_format_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text").cast("double")
+    share = lambda pat: F.round(  # noqa: E731
+        F.sum(F.regexp_count("text", F.lit(pat)))
+        / F.sum(F.length("text")),
+        6,
+    )
+    return (
+        docs.filter(F.length("text") > 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            share(r"[A-Z]").alias("upper_share"),
+            share(r"[0-9]").alias("digit_share"),
+            share(r"[^A-Za-z0-9\s]").alias("punct_share"),
+            share(r"\s").alias("space_share"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q358 — vocabulary drift between corpus halves per source: Jaccard of
+# the half-1 vs half-2 token vocabularies — a corpus that drifts
+# mid-collection shows low overlap (q158 compares SOURCES; this
+# compares TIME within a source). Token sets stay hashed (xxhash64).
+# ---------------------------------------------------------------------------
+@query("q358_vocab_drift")
+def q358_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    mid = docs.agg(
+        F.expr("percentile(doc_id, 0.5)").alias("mid")
+    )
+    tok = (
+        docs.crossJoin(F.broadcast(mid))
+        .select(
+            "source",
+            F.when(F.col("doc_id") <= F.col("mid"), "h1")
+            .otherwise("h2")
+            .alias("half"),
+            F.explode(words("text")).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .select("source", "half", F.xxhash64("t").alias("tid"))
+        .distinct()
+    )
+    h1 = tok.filter(F.col("half") == "h1").select("source", "tid")
+    h2 = tok.filter(F.col("half") == "h2").select("source", "tid")
+    inter = h1.join(h2, ["source", "tid"]).groupBy("source").agg(
+        F.count(F.lit(1)).alias("i")
+    )
+    s1 = h1.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    s2 = h2.groupBy("source").agg(F.count(F.lit(1)).alias("n2"))
+    return (
+        inter.join(F.broadcast(s1), "source")
+        .join(F.broadcast(s2), "source")
+        .select(
+            "source",
+            F.col("n1").cast("bigint").alias("vocab_h1"),
+            F.col("n2").cast("bigint").alias("vocab_h2"),
+            F.round(
+                F.col("i") / (F.col("n1") + F.col("n2") - F.col("i")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("source")
+    )
