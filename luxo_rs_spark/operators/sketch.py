@@ -1,0 +1,156 @@
+"""Mergeable-sketch operators (SURVEY.md §2.2-D/K extension): HLL
+rollup tables and exact heavy hitters at scale.
+
+Why sketches matter at 100 TB: an exact COUNT(DISTINCT) re-shuffles the
+raw keys for every grouping granularity you ask for, but a *mergeable*
+sketch is computed once at the finest granularity and every coarser
+rollup is a cheap union of the stored binary sketches — the classic
+"hypertable rollup" pattern (store per-day sketches, answer per-month /
+per-year / all-time distinct questions without touching raw data
+again). Spark ≥3.5 ships Apache DataSketches HLL natively
+(``hll_sketch_agg`` / ``hll_union_agg`` / ``hll_sketch_estimate``), so
+the whole path stays JVM-side.
+
+Heavy hitters: the textbook scale answer is Misra–Gries summaries
+merged across partitions. The per-partition MG guarantee (any item with
+local frequency > n_p/k survives a size-k summary) lifts to the global
+corpus by pigeonhole: if an item's global count exceeds N/k, its local
+count must exceed n_p/k in at least one partition, so the union of
+per-partition candidate sets is a SUPERSET of the true heavy hitters.
+A second exact counting pass over that (tiny, broadcast) candidate set
+then yields EXACT counts — so the operator is oracle-checkable against
+plain ``GROUP BY ... HAVING`` SQL while doing only one wide shuffle of
+candidate rows instead of a full-vocabulary aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hll_sketch_table",
+    "hll_rollup",
+    "misra_gries_candidates",
+    "heavy_hitters",
+]
+
+
+def hll_sketch_table(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Finest-granularity sketch table: one binary HLL sketch of
+    ``col`` per ``keys`` group (the thing a rollup table persists).
+
+    ``lg_k=14`` -> 2^14 buckets, ~0.8% relative standard error, ~16 KB
+    per sketch — the standard accuracy/size point for rollup tables.
+    """
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("hll"),
+        F.count(F.lit(1)).alias("rows"),
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Roll a sketch table up to coarser ``keys`` by unioning the
+    stored sketches — no access to raw data. ``estimate`` is the
+    distinct-count estimate at the coarser grain; exact would need a
+    full re-shuffle of the raw keys, the union is a metadata-sized agg.
+    """
+    grouped = (
+        sketches.groupBy(*keys)
+        if keys
+        else sketches.groupBy()
+    )
+    return grouped.agg(
+        F.hll_union_agg("hll").alias("hll"),
+        F.sum("rows").alias("rows"),
+    ).select(
+        *keys,
+        F.hll_sketch_estimate("hll").cast("bigint").alias("estimate"),
+        F.col("rows").cast("bigint").alias("rows"),
+    )
+
+
+def _mg_summary(k: int, col: str):
+    """Per-batch Misra–Gries fold for mapInPandas: emits the ≤k
+    candidate items of each Arrow batch stream (one python worker per
+    input partition)."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                c = int(c)
+                if v in counters:
+                    counters[v] += c
+                elif len(counters) < k:
+                    counters[v] = c
+                else:
+                    # decrement-all by the largest amount that keeps the
+                    # MG invariant: min(incoming count, smallest counter)
+                    dec = min(c, min(counters.values()))
+                    c -= dec
+                    counters = {
+                        key: cnt - dec
+                        for key, cnt in counters.items()
+                        if cnt > dec
+                    }
+                    if c > 0 and len(counters) < k:
+                        counters[v] = c
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    return fold
+
+
+def misra_gries_candidates(
+    df: DataFrame,
+    col: str,
+    k: int,
+) -> DataFrame:
+    """Distinct candidate values from per-partition size-``k``
+    Misra–Gries summaries — a guaranteed superset of every value with
+    global frequency > N/k (pigeonhole over the per-partition MG
+    guarantee). Output size ≤ k × partitions, i.e. broadcastable.
+    """
+    schema = df.select(col).schema
+    return (
+        df.select(col)
+        .mapInPandas(_mg_summary(k, col), schema=schema)
+        .distinct()
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    k: int,
+) -> DataFrame:
+    """EXACT heavy hitters (count > N/k) at summary cost: MG candidate
+    superset -> broadcast semi-join -> exact count of candidates only.
+
+    Equivalent SQL: ``SELECT col, count(*) FROM t GROUP BY col HAVING
+    count(*) > N/k`` — but the wide aggregation here runs over only the
+    candidate-matching rows (the full-vocabulary groupBy never
+    happens), which is the difference between shuffling every distinct
+    token of a 100 TB corpus and shuffling the few hot ones.
+    """
+    total = df.count()
+    threshold = total / k
+    cands = misra_gries_candidates(df, col, k)
+    return (
+        df.join(F.broadcast(cands), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > F.lit(threshold))
+    )

@@ -6739,3 +6739,18 @@ SELECT i.source,
 FROM inter i JOIN s1 USING (source) JOIN s2 USING (source)
 ORDER BY source
 """
+
+ORACLE_SQL["q360_heavy_hitters"] = """
+WITH tok AS (
+  SELECT t.token AS term
+  FROM documents d
+  CROSS JOIN unnest(regexp_split_to_array(lower(trim(d.text)), '\\s+'))
+    AS t(token)
+  WHERE t.token <> ''
+)
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM tok
+GROUP BY term
+HAVING count(*) > (SELECT count(*) FROM tok) / 50.0
+ORDER BY cnt DESC, term
+"""

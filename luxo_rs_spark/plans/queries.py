@@ -12509,3 +12509,56 @@ def q358_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q359 — HLL sketch rollup table (§2.2-D approx sketches, scale path):
+# the "hypertable rollup" pattern — persist one DataSketches HLL sketch
+# of user_id per (event_type, day) at the finest grain, then answer the
+# per-type distinct-user question by UNIONING the stored sketches
+# (hll_union_agg), never re-touching raw events. At 100 TB this turns
+# every coarser-grain distinct query into a metadata-sized aggregation.
+# Engine-specific sketch binary -> NO_ORACLE; tests/test_sketch.py pins
+# the <2% error bound and the union-vs-direct merge identity.
+# ---------------------------------------------------------------------------
+@query("q359_hll_rollup")
+def q359_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.sketch import hll_rollup, hll_sketch_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_sketch_table(ev, ["event_type", "day"], "user_id", lg_k=14)
+    return (
+        hll_rollup(daily, ["event_type"])
+        .select("event_type", "estimate", "rows")
+        .orderBy("event_type")
+    )
+
+
+NO_ORACLE.add("q359_hll_rollup")
+
+
+# ---------------------------------------------------------------------------
+# Q360 — exact heavy hitters via merged Misra-Gries summaries
+# (§2.2-K text analysis, scale path): per-partition size-k MG summaries
+# (mapInPandas) give a guaranteed SUPERSET of every token with count >
+# N/k (pigeonhole), then one broadcast semi-join + exact count over
+# candidates only. Same answer as GROUP BY/HAVING — without shuffling
+# the full vocabulary of the corpus — so it stays oracle-checkable.
+# ---------------------------------------------------------------------------
+@query("q360_heavy_hitters")
+def q360_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import words
+    from luxo_rs_spark.operators.sketch import heavy_hitters
+
+    tok = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(words("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return (
+        heavy_hitters(tok, "term", k=50)
+        .select("term", F.col("cnt").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+    )

@@ -1,0 +1,102 @@
+"""Mergeable-sketch operators (operators/sketch.py): HLL rollup
+accuracy + merge identity, Misra-Gries superset guarantee, and exact
+heavy hitters vs a straight groupBy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from luxo_rs_spark.operators.sketch import (
+    heavy_hitters,
+    hll_rollup,
+    hll_sketch_table,
+    misra_gries_candidates,
+)
+from luxo_rs_spark.sources.registry import load_table
+from tests.conftest import SF_DIR_01
+
+
+def test_hll_estimate_error_bound(spark):
+    """lg_k=14 -> ~0.8% RSE; assert every per-type estimate is within
+    2% of the exact distinct count."""
+    ev = load_table(spark, SF_DIR_01, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_sketch_table(ev, ["event_type", "day"], "user_id")
+    est = {
+        r["event_type"]: r["estimate"]
+        for r in hll_rollup(daily, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["d"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for t, d in exact.items():
+        assert abs(est[t] - d) <= max(2, 0.02 * d), (t, est[t], d)
+
+
+def test_hll_union_matches_direct_sketch(spark):
+    """Merge identity: unioning per-day sketches must equal sketching
+    the whole table directly (HLL union = per-bucket max, associative)
+    — this is what makes the rollup table answer coarser grains without
+    raw data."""
+    ev = load_table(spark, SF_DIR_01, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_sketch_table(ev, ["event_type", "day"], "user_id")
+    merged = {
+        r["event_type"]: r["estimate"]
+        for r in hll_rollup(daily, ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: r["estimate"]
+        for r in hll_rollup(
+            hll_sketch_table(ev, ["event_type"], "user_id"), ["event_type"]
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_misra_gries_superset_guarantee(spark):
+    """Crafted skew: items with global count > N/k MUST appear in the
+    candidate set, even when scattered across partitions."""
+    n_hot, n_cold = 400, 600
+    rows = [("hot%d" % (i % 2),) for i in range(n_hot)] + [
+        ("cold%d" % i,) for i in range(n_cold)
+    ]
+    df = spark.createDataFrame(rows, "term string").repartition(8)
+    # N=1000, k=10 -> threshold 100; hot0/hot1 have 200 each
+    cands = {r["term"] for r in misra_gries_candidates(df, "term", 10).collect()}
+    assert {"hot0", "hot1"} <= cands
+    # summary stays small: <= k per partition
+    assert len(cands) <= 8 * 10
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """The candidate+verify path returns EXACTLY the groupBy/HAVING
+    answer on the documents fixture."""
+    from luxo_rs_spark.functions.text import words
+
+    tok = (
+        load_table(spark, SF_DIR_01, "documents")
+        .select(F.explode(words("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    k = 50
+    total = tok.count()
+    got = {
+        (r["term"], r["cnt"])
+        for r in heavy_hitters(tok, "term", k).collect()
+    }
+    want = {
+        (r["term"], r["cnt"])
+        for r in tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > total / k)
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 0  # fixture actually has heavy tokens
