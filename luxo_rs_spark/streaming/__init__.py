@@ -16,6 +16,10 @@ from luxo_rs_spark.streaming.joins import (
     interval_join_streams_outer,
     stream_static_enrich,
 )
+from luxo_rs_spark.streaming.sinks import (
+    VersionedParquetTable,
+    upsert_sink,
+)
 
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
@@ -30,4 +34,6 @@ __all__ = [
     "interval_join_streams",
     "interval_join_streams_outer",
     "stream_static_enrich",
+    "VersionedParquetTable",
+    "upsert_sink",
 ]

@@ -1,0 +1,108 @@
+"""Exactly-once streaming upsert sink (SURVEY.md §2.2-I sink adjunct):
+``foreachBatch`` merging micro-batches into a versioned parquet table.
+
+Structured Streaming's ``foreachBatch`` gives at-least-once delivery:
+after a crash the last in-flight micro-batch is REPLAYED with the same
+``batch_id``. Exactly-once therefore needs an idempotent sink — the
+standard recipe (Spark docs, Delta's own sink) is a transaction log
+keyed by batch id:
+
+1. compute the merged table (copy-on-write ``merge_upsert`` — the same
+   plan Delta/Iceberg run underneath),
+2. write it to a fresh immutable version directory ``v{N}``,
+3. atomically publish ``_latest.json`` = {version, batch_id} via
+   write-temp + ``os.replace`` (POSIX atomic rename),
+4. on replay, a batch id <= the committed one is SKIPPED.
+
+A crash between (2) and (3) leaves an orphaned, unpublished version dir
+— harmless, never read, and re-created deterministically by the replay.
+Readers always load exactly one published version, so they see either
+the pre-batch or post-batch table, never a torn write.
+
+Scale notes (100 TB): the log is O(1) metadata per commit; the merge is
+one anti-join keyed on the merge key (AQE-skew-joinable). The
+copy-on-write rewrite is full-table here because plain parquet has no
+file-level pruning — with a real table format the identical plan
+rewrites only the files containing touched keys. State never lives on
+the driver: versions are immutable directory snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from luxo_rs_spark.operators.merge import merge_upsert
+
+__all__ = ["VersionedParquetTable", "upsert_sink"]
+
+_META = "_latest.json"
+
+
+class VersionedParquetTable:
+    """A minimal ACID-ish parquet table: immutable version dirs + an
+    atomically-replaced pointer file recording (version, batch_id)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(path, exist_ok=True)
+
+    # -- log ----------------------------------------------------------------
+
+    def _meta(self) -> dict | None:
+        p = os.path.join(self.path, _META)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def current_version(self) -> int:
+        m = self._meta()
+        return -1 if m is None else int(m["version"])
+
+    def last_batch_id(self) -> int:
+        m = self._meta()
+        return -1 if m is None else int(m["batch_id"])
+
+    # -- read / commit ------------------------------------------------------
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        v = self.current_version()
+        if v < 0:
+            return None
+        return spark.read.parquet(os.path.join(self.path, f"v{v}"))
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        """Write ``df`` as the next version and publish it atomically."""
+        v = self.current_version() + 1
+        df.write.mode("overwrite").parquet(os.path.join(self.path, f"v{v}"))
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".json.tmp")
+        with os.fdopen(fd, "w") as fh:
+            json.dump({"version": v, "batch_id": int(batch_id)}, fh)
+        os.replace(tmp, os.path.join(self.path, _META))
+
+
+def upsert_sink(table: VersionedParquetTable, key: str):
+    """``foreachBatch`` hook: exactly-once keyed upsert into ``table``.
+
+    Replayed batches (id <= last committed) are no-ops, so crash/restart
+    from the streaming checkpoint cannot double-apply a batch. Within a
+    batch, duplicate keys are collapsed to an arbitrary-but-deterministic
+    winner (max by key order of arrival is NOT defined on a shuffled
+    batch, so callers needing last-write-wins must pre-aggregate).
+    """
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= table.last_batch_id():
+            return  # replayed after restart: already committed
+        updates = batch_df.dropDuplicates([key])
+        base = table.read(batch_df.sparkSession)
+        merged = updates if base is None else merge_upsert(base, updates, key)
+        # foreachBatch may lazily re-trigger the batch plan on each
+        # action; the version write is the single action here.
+        table.commit(merged, batch_id)
+
+    return write

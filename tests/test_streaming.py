@@ -617,3 +617,71 @@ def test_timeout_sessions_close_reasons(spark):
 
     shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_foreachbatch_upsert_sink_exactly_once(spark):
+    """Exactly-once keyed upsert sink (streaming/sinks.py): kill a
+    foreachBatch stream mid-run, restart from the checkpoint, and the
+    versioned table must hold every event exactly once; a simulated
+    batch REPLAY (stale batch_id) must be a no-op; a genuine update
+    batch must replace rows in place."""
+    import time
+
+    from luxo_rs_spark.streaming.sinks import VersionedParquetTable, upsert_sink
+
+    base = TMP / f"upsert_sink_{uuid.uuid4().hex[:8]}"
+    src, ckpt, tbl_dir = str(base / "src"), str(base / "ckpt"), str(base / "tbl")
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(6).write.parquet(src)
+
+    table = VersionedParquetTable(tbl_dir)
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    def start(available_now: bool):
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        writer = (
+            stream.select(*cols)
+            .writeStream.foreachBatch(upsert_sink(table, "event_id"))
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+        writer = (
+            writer.trigger(availableNow=True)
+            if available_now
+            else writer.trigger(processingTime="0 seconds")
+        )
+        return writer.start()
+
+    # phase 1: kill after the first committed batch
+    q = start(available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.lastProgress is not None and q.lastProgress["batchId"] >= 1:
+            break
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: restart from the same checkpoint, drain the rest
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+
+    got = table.read(spark)
+    n = events.count()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+
+    # phase 3: a replayed (stale) batch id must not create a version
+    v_before = table.current_version()
+    upsert_sink(table, "event_id")(events.limit(5).select(*cols), 0)
+    assert table.current_version() == v_before
+
+    # phase 4: a genuine update batch replaces rows, count unchanged
+    upd = events.limit(5).select(
+        "event_id", "user_id", "event_type", F.lit(-1.0).alias("value")
+    )
+    upsert_sink(table, "event_id")(upd, table.last_batch_id() + 1)
+    got = table.read(spark)
+    assert got.count() == n
+    assert got.filter(F.col("value") == -1.0).count() == 5
+    shutil.rmtree(base, ignore_errors=True)
