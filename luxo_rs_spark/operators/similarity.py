@@ -651,3 +651,39 @@ def semantic_dedup(
             (~F.coalesce("__dup", F.lit(False))).alias("keep"),
         )
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    in_dim: int,
+    out_dim: int,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_rp",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project vectors
+    onto ``out_dim`` seeded Gaussian directions, scaled by
+    1/sqrt(out_dim) so squared distances are preserved in expectation
+    (JL lemma). One vectorized Arrow-batch matmul per partition — a
+    pure map, no shuffle.
+
+    100 TB role: ANN over 1024-d embeddings pays 1024 floats of IO and
+    compute per row per candidate; projecting once to 64-128 dims cuts
+    both ~10x while the JL bound caps the distance distortion, and the
+    projected column is what the LSH/IVF stages then index. The same
+    seeded matrix projects query vectors at search time, so the
+    operator must be deterministic in (seed, in_dim, out_dim) — tests
+    pin that plus the empirical distortion envelope.
+    """
+    rng = np.random.default_rng(seed)
+    proj = (
+        rng.standard_normal((in_dim, out_dim)) / np.sqrt(out_dim)
+    ).astype(np.float64)
+
+    @pandas_udf("array<float>")
+    def rp(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, in_dim)
+        red = (mat @ proj).astype(np.float32)  # (n, out_dim)
+        return pd.Series(list(red))
+
+    return emb.withColumn(out_col, rp(F.col(vec_col)))

@@ -12562,3 +12562,27 @@ def q360_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", F.col("cnt").cast("bigint").alias("cnt"))
         .orderBy(F.desc("cnt"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q361 — JL random-projection ANN (§2.2-K similarity, scale path):
+# project 64-d embeddings onto 16 seeded Gaussian directions (one
+# Arrow-batch matmul, no shuffle), then exact top-k cosine in the
+# reduced space. At 100 TB the projection cuts per-candidate IO+compute
+# ~4x here (64->16) and ~10x for production 1024-d embeddings while the
+# JL lemma bounds distance distortion; recall vs full-dim exact top-k
+# is pinned in tests/test_similarity.py. Seeded-numpy semantics ->
+# NO_ORACLE (rows-only driver check).
+# ---------------------------------------------------------------------------
+@query("q361_random_projection_topk")
+def q361_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.similarity import cosine_topk, random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    red = random_projection(emb, in_dim=64, out_dim=16, seed=42)
+    return cosine_topk(
+        red, target_id=0, k=10, vec_col="embedding_rp"
+    ).select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+NO_ORACLE.add("q361_random_projection_topk")

@@ -15,7 +15,7 @@ from luxo_rs_spark.operators.similarity import (
 )
 from luxo_rs_spark.sources.registry import load_table
 
-from conftest import SF_DIR
+from conftest import SF_DIR, SF_DIR_01
 
 
 @pytest.fixture(scope="module")
@@ -260,3 +260,70 @@ def test_semantic_dedup_survivor_rule(spark):
         .distinct()
     )
     assert pairs.count() == dups.count()
+
+
+def test_random_projection_distortion_and_determinism(spark):
+    """JL projection (64->32): deterministic in the seed, and the
+    empirical squared-distance distortion stays inside the JL envelope
+    for the overwhelming majority of sampled pairs."""
+    import numpy as np
+
+    from luxo_rs_spark.operators.similarity import random_projection
+
+    emb = load_table(spark, SF_DIR_01, "embeddings").limit(100)
+    red1 = random_projection(emb, 64, 32).select("vec_id", "embedding_rp")
+    red2 = random_projection(emb, 64, 32).select("vec_id", "embedding_rp")
+    p1 = {r["vec_id"]: r["embedding_rp"] for r in red1.collect()}
+    p2 = {r["vec_id"]: r["embedding_rp"] for r in red2.collect()}
+    assert p1 == p2  # same seed -> bit-identical
+
+    orig = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    ids = sorted(orig)[:40]
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d0 = float(np.sum((orig[ids[i]] - orig[ids[j]]) ** 2))
+            dr = float(
+                np.sum(
+                    (np.array(p1[ids[i]]) - np.array(p1[ids[j]])) ** 2
+                )
+            )
+            if d0 > 0:
+                ratios.append(dr / d0)
+    ratios = np.array(ratios)
+    # mean ratio ~1 (unbiased), and >=95% of pairs within +/-60% at k=32
+    assert 0.8 < ratios.mean() < 1.2
+    assert (np.abs(ratios - 1) < 0.6).mean() >= 0.95
+
+
+def test_random_projection_topk_quality(spark):
+    """Effective quality of reduced-space top-k. The fixture embeddings
+    are near-orthogonal (best cosine ~0.37, top-50 packed within 0.2),
+    so exact ID recall after any 2x compression is weak BY CONSTRUCTION
+    — what JL guarantees is distance preservation, so the gate is (a)
+    overlap with the exact top-50 (near-equivalent neighbors) and (b)
+    the true-cosine quality of the approx picks staying far above the
+    corpus mean (~0). Both are deterministic (seeded projection)."""
+    from luxo_rs_spark.operators.similarity import (
+        cosine_topk,
+        random_projection,
+    )
+
+    emb = load_table(spark, SF_DIR_01, "embeddings")
+    exact50 = cosine_topk(emb, target_id=0, k=50).collect()
+    exact_ids = {r["vec_id"] for r in exact50}
+    sims = {
+        r["vec_id"]: r["sim"]
+        for r in cosine_topk(emb, target_id=0, k=499).collect()
+    }
+    red = random_projection(emb, 64, 32)
+    approx = [
+        r["vec_id"]
+        for r in cosine_topk(
+            red, target_id=0, k=10, vec_col="embedding_rp"
+        ).collect()
+    ]
+    overlap = len(set(approx) & exact_ids) / 10
+    quality = sum(sims[v] for v in approx) / 10
+    assert overlap >= 0.3, overlap  # measured 0.5 on the fixture
+    assert quality >= 0.10, quality  # measured 0.158; corpus mean ~0
