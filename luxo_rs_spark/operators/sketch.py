@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "hll_sketch_table",
     "hll_rollup",
+    "merge_hll_tables",
     "misra_gries_candidates",
     "heavy_hitters",
 ]
@@ -153,4 +154,24 @@ def heavy_hitters(
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > F.lit(threshold))
+    )
+
+
+def merge_hll_tables(
+    snapshot: DataFrame,
+    delta: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Merge two HLL sketch tables (same ``keys``/``hll``/``rows``
+    layout) into one — the incremental-maintenance primitive: a stored
+    per-key sketch snapshot absorbs each new micro-batch's sketches via
+    a key-sized union-agg, never re-reading history. Because HLL union
+    is per-bucket max (associative + idempotent-per-element), the
+    merged table is IDENTICAL to sketching the full union of the raw
+    rows directly (pinned by tests), so incremental and from-scratch
+    answers can never drift."""
+    both = snapshot.unionByName(delta)
+    return both.groupBy(*keys).agg(
+        F.hll_union_agg("hll").alias("hll"),
+        F.sum("rows").alias("rows"),
     )

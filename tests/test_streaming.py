@@ -685,3 +685,65 @@ def test_foreachbatch_upsert_sink_exactly_once(spark):
     assert got.count() == n
     assert got.filter(F.col("value") == -1.0).count() == 5
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_hll_sketch_maintenance(spark):
+    """Incremental sketch-table maintenance: a foreachBatch stream
+    folds each micro-batch's per-type HLL sketches into a stored
+    snapshot (merge_hll_tables into a VersionedParquetTable). Because
+    HLL union is associative and idempotent per element, the final
+    incremental estimates must EQUAL the from-scratch batch estimates
+    — not just approximate them."""
+    from luxo_rs_spark.operators.sketch import (
+        hll_rollup,
+        hll_sketch_table,
+        merge_hll_tables,
+    )
+    from luxo_rs_spark.streaming.sinks import VersionedParquetTable
+
+    base = TMP / f"hll_stream_{uuid.uuid4().hex[:8]}"
+    src, ckpt, tbl_dir = str(base / "src"), str(base / "ckpt"), str(base / "tbl")
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(5).write.parquet(src)
+
+    table = VersionedParquetTable(tbl_dir)
+
+    def fold_batch(batch_df, batch_id):
+        if batch_id <= table.last_batch_id():
+            return
+        delta = hll_sketch_table(
+            batch_df.select("event_type", "user_id"), ["event_type"], "user_id"
+        )
+        snap = table.read(batch_df.sparkSession)
+        merged = delta if snap is None else merge_hll_tables(
+            snap, delta, ["event_type"]
+        )
+        table.commit(merged, batch_id)
+
+    q = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .select("event_type", "user_id")
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    inc = {
+        r["event_type"]: (r["estimate"], r["rows"])
+        for r in hll_rollup(table.read(spark), ["event_type"]).collect()
+    }
+    direct = {
+        r["event_type"]: (r["estimate"], r["rows"])
+        for r in hll_rollup(
+            hll_sketch_table(
+                events.select("event_type", "user_id"), ["event_type"], "user_id"
+            ),
+            ["event_type"],
+        ).collect()
+    }
+    assert inc == direct
+    assert table.current_version() >= 1  # really was incremental
+    shutil.rmtree(base, ignore_errors=True)
