@@ -3,9 +3,11 @@ opaque BINARY columns + typed metadata, processed via mapInPandas.
 
 The Spark-side plumbing is real and tested: schema, Arrow batch shapes,
 partition-parallel mapInPandas, feature-column production. Decode is
-GENUINE for two containers that need no codec library — uncompressed
-BMP images and PCM RIFF/WAVE audio, parsed from real bytes with pure
-struct/bytes code — and deterministically FAKED for compressed formats
+GENUINE for three containers that need no codec library — uncompressed
+BMP images, PNG images (stdlib zlib inflate + full five-filter
+reconstruction), and PCM RIFF/WAVE audio, parsed from real bytes with
+pure struct/bytes code — and deterministically FAKED for formats whose
+decoders require external libraries
 (JPEG/MP3/MP4 need libraries absent in this container): those media
 bytes carry a 16-byte LUXM header (kind, width, height, sample_rate)
 that ``decode_media`` parses, and "features" are a seeded
@@ -134,6 +136,115 @@ def _decode_bmp(content: bytes) -> dict:
     }
 
 
+def _decode_png(content: bytes) -> dict:
+    """GENUINE decoder: PNG via stdlib ``zlib`` — no codec library.
+    Parses the chunk stream (IHDR geometry, concatenated IDAT deflate
+    stream), inflates, and inverts all five scanline filters (None /
+    Sub / Up / Average / Paeth, PNG spec §9). Supports the 8-bit
+    non-interlaced color types real encoders emit: greyscale (0),
+    RGB (2), grey+alpha (4), RGBA (6). Payload is the raw top-down
+    pixel array (width * channels bytes per row)."""
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        size, cid = struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "only 8-bit non-interlaced PNGs are supported"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    # invert per-scanline filters; `prev` is the reconstructed prior row
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at bit depth 8
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub: add left neighbor
+            cur = line
+            for x in range(bpp, stride):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 2:  # Up: add prior row
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ftype == 3:  # Average of left and up
+            cur = line
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                cur[x] = (int(cur[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            cur = line
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ftype}")
+        out[y] = cur
+        prev = cur
+    return {
+        "kind": "image",
+        "width": width,
+        "height": height,
+        "sample_rate": 0,
+        "payload": out.tobytes(),
+    }
+
+
+def _pixels_to_png(arr: "np.ndarray") -> bytes:
+    """Minimal PNG encoder (stdlib zlib, filter type 0 per row) for
+    (h, w, channels) uint8 arrays — lets sinks and tests produce real
+    PNG bytes without any imaging library."""
+    import zlib
+
+    h, w, ch = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + cid
+            + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_wav(content: bytes) -> dict:
     """GENUINE decoder: PCM RIFF/WAVE, pure struct/bytes. Walks the
     chunk list (fmt / data may be preceded by LIST etc.), validates
@@ -168,13 +279,14 @@ def _decode_wav(content: bytes) -> dict:
 
 
 def _decode_payload(content: bytes) -> dict:
-    """Container dispatch. Two GENUINE pure-Python decoders (no codec
-    libs needed): uncompressed BMP images and PCM WAV audio — real
-    bytes from real encoders decode end-to-end. The LUXM fake container
-    covers the formats whose decoders genuinely need external libraries
-    (JPEG/PNG/MP3/MP4): swapping in Pillow / libav changes only this
-    dispatch, the distributed plumbing is identical. Foreign bytes
-    raise, the way a real decoder raises on corrupt input."""
+    """Container dispatch. Three GENUINE pure-Python decoders (no codec
+    libs needed): uncompressed BMP images, zlib-inflated PNG images,
+    and PCM WAV audio — real bytes from real encoders decode
+    end-to-end. The LUXM fake container covers the formats whose
+    decoders genuinely need external libraries (JPEG/MP3/MP4): swapping
+    in Pillow / libav changes only this dispatch, the distributed
+    plumbing is identical. Foreign bytes raise, the way a real decoder
+    raises on corrupt input."""
     if content[:4] == _MAGIC:
         magic, kind_id, w, h, sr = struct.unpack(
             _HEADER_FMT, content[:_HEADER_SIZE]
@@ -188,11 +300,13 @@ def _decode_payload(content: bytes) -> dict:
         }
     if content[:2] == b"BM":
         return _decode_bmp(content)
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(content)
     if content[:4] == b"RIFF":
         return _decode_wav(content)
     raise NotImplementedError(
-        "undecodable media container: expected LUXM, BMP, or RIFF/WAVE "
-        "(compressed formats need codec libraries absent here)"
+        "undecodable media container: expected LUXM, BMP, PNG, or "
+        "RIFF/WAVE (JPEG/MP3/MP4 need codec libraries absent here)"
     )
 
 

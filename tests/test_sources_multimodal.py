@@ -370,3 +370,94 @@ def test_compact_parquet_small_files(spark, tmpdir):
     after = spark.read.parquet(path)
     assert after.count() == want_n
     assert after.agg(F.sum("o_orderkey")).head()[0] == want_sum
+
+
+def test_png_decode_roundtrip(spark):
+    """Real PNG bytes (encoded with the stdlib-zlib encoder) decode
+    end-to-end through the distributed decode path: geometry + raw
+    pixel payload must round-trip exactly."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        MEDIA_SCHEMA,
+        _pixels_to_png,
+        decode_media,
+    )
+
+    rng = np.random.default_rng(7)
+    imgs = {
+        1: rng.integers(0, 256, (5, 4, 3), dtype=np.uint8),   # RGB
+        2: rng.integers(0, 256, (3, 7, 4), dtype=np.uint8),   # RGBA
+        3: rng.integers(0, 256, (6, 6, 1), dtype=np.uint8),   # grey
+    }
+    rows = [
+        (mid, "image", bytearray(_pixels_to_png(arr)), (None, None, None, None))
+        for mid, arr in imgs.items()
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in decode_media(media).collect()}
+    for mid, arr in imgs.items():
+        h, w, ch = arr.shape
+        assert got[mid]["width"] == w and got[mid]["height"] == h
+        assert got[mid]["payload_bytes"] == h * w * ch
+
+
+def test_png_all_filter_types_invert():
+    """The decoder must invert every PNG scanline filter (spec §9):
+    apply Sub/Up/Average/Paeth FORWARD per spec to known pixels, build
+    a PNG by hand, and assert the reconstruction equals the original."""
+    import struct as st
+    import zlib
+
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_png
+
+    rng = np.random.default_rng(11)
+    h, w, ch = 5, 6, 3
+    px = rng.integers(0, 256, (h, w * ch), dtype=np.uint8).astype(np.int16)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = b""
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y, ftype in enumerate([0, 1, 2, 3, 4]):
+        line = px[y]
+        enc = np.zeros(w * ch, dtype=np.int16)
+        for x in range(w * ch):
+            left = int(line[x - ch]) if x >= ch else 0
+            up = int(prev[x])
+            ul = int(prev[x - ch]) if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = paeth(left, up, ul)
+            enc[x] = (int(line[x]) - pred) & 0xFF
+        raw += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(cid, body):
+        return (
+            st.pack(">I", len(body)) + cid + body
+            + st.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    dec = _decode_png(png)
+    assert dec["width"] == w and dec["height"] == h
+    got = np.frombuffer(dec["payload"], dtype=np.uint8).reshape(h, w * ch)
+    assert (got == px.astype(np.uint8)).all()
