@@ -628,3 +628,34 @@ def synth_wav_table(docs: DataFrame, clean_col: str = "clean") -> DataFrame:
     return docs.select("doc_id", clean_col).mapInPandas(
         gen, "media_id long, content binary"
     )
+
+
+def synth_png_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real-encoder PNG synthesis from the documents fixture: per doc a
+    genuine zlib-compressed RGB PNG whose dims derive from doc_id and
+    whose pixels tile the text bytes — so the PNG decode path (inflate
+    + filter reconstruction) runs on encoder-faithful bytes and its
+    geometry output stays oracle-expressible arithmetic."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                w = int(doc_id) % 13 + 3
+                h = int(doc_id) % 7 + 2
+                payload = (text or " ").encode("utf-8")
+                tiled = np.frombuffer(payload, dtype=np.uint8)
+                need = h * w * 3
+                reps = need // len(tiled) + 1
+                arr = np.tile(tiled, reps)[:need].reshape(h, w, 3)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": _pixels_to_png(arr),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )

@@ -6754,3 +6754,13 @@ GROUP BY term
 HAVING count(*) > (SELECT count(*) FROM tok) / 50.0
 ORDER BY cnt DESC, term
 """
+
+ORACLE_SQL["q362_png_decode"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 13 + 3 AS INTEGER) AS width,
+       CAST(doc_id % 7 + 2 AS INTEGER) AS height,
+       CAST((doc_id % 7 + 2) * (doc_id % 13 + 3) * 3 AS BIGINT) AS payload_bytes
+FROM documents
+WHERE doc_id < 150
+ORDER BY media_id
+"""
