@@ -399,3 +399,38 @@ def test_q286_incremental_merge_no_history_rescan(spark):
     plan = plan_of(spark, "q286_incremental_rollup")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q360_heavy_hitters_broadcast_semi_join(spark):
+    """The candidate verify pass must broadcast the (tiny) MG candidate
+    set into a semi-join — a shuffled semi-join here would defeat the
+    whole candidate+verify design at 100 TB."""
+    plan = plan_of(spark, "q360_heavy_hitters")
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q359_hll_rollup_partial_agg(spark):
+    """Sketch build must be a partial+final HashAggregate (map-side
+    sketch merge before the shuffle) — that is what makes the sketch
+    table cheaper than shipping raw user_ids."""
+    plan = plan_of(spark, "q359_hll_rollup")
+    assert "HashAggregate" in plan
+    assert plan.count("hll_sketch_agg") >= 2  # partial + final stages
+
+
+def test_q361_projection_is_pure_map(spark):
+    """JL projection adds no shuffle: the only exchanges in the plan
+    belong to the top-k sort and the broadcast of the query vector."""
+    plan = plan_of(spark, "q361_random_projection_topk")
+    assert "TakeOrderedAndProject" in plan
+    # one broadcast exchange (query vector); no repartition-by-column
+    assert "hashpartitioning" not in plan.lower()
+
+
+def test_q362_png_decode_map_side_only(spark):
+    """Real-PNG decode is map-side: the single wide exchange is the
+    final ORDER BY (rangepartitioning), never a join/agg shuffle."""
+    plan = plan_of(spark, "q362_png_decode")
+    assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
+    assert plan.lower().count("hashpartitioning") == 0
