@@ -12628,3 +12628,40 @@ def q362_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q363 — t-digest quantile rollup (§2.2-D approx sketches, scale path):
+# the quantile twin of q359 — build one mergeable t-digest of event
+# value per (event_type, day) (two-level: per-partition partial digests
+# via mapInPandas, so raw rows never shuffle; only delta-bounded
+# centroid lists do), then answer p50/p95/p99 per event_type by merging
+# the STORED daily digests. Approximate rank (<=1% pinned in
+# tests/test_tdigest.py) -> NO_ORACLE rows-only.
+# ---------------------------------------------------------------------------
+@query("q363_tdigest_rollup")
+def q363_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.tdigest import (
+        tdigest_quantiles,
+        tdigest_rollup,
+        tdigest_table,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "value"
+    )
+    daily = tdigest_table(ev, ["event_type", "day"], "value", delta=100)
+    per_type = tdigest_rollup(daily, ["event_type"])
+    return (
+        tdigest_quantiles(per_type, [0.5, 0.95, 0.99])
+        .select(
+            "event_type", "n",
+            F.round("p50", 3).alias("p50"),
+            F.round("p95", 3).alias("p95"),
+            F.round("p99", 3).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+NO_ORACLE.add("q363_tdigest_rollup")
