@@ -154,3 +154,73 @@ def test_salted_join_empty_sides(spark):
     big = spark.createDataFrame([], "k long, a long")
     small = spark.createDataFrame([(1, 2)], "k long, b long")
     assert salted_join(big, small, on="k", entropy=F.col("a"), buckets=4).count() == 0
+
+
+def test_heavy_hitters_empty(spark):
+    from luxo_rs_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([], "term string")
+    assert heavy_hitters(df, "term", 10).count() == 0
+
+
+def test_misra_gries_single_value(spark):
+    from luxo_rs_spark.operators.sketch import misra_gries_candidates
+
+    df = spark.createDataFrame([("x",)] * 7, "term string").repartition(3)
+    got = {r["term"] for r in misra_gries_candidates(df, "term", 2).collect()}
+    assert got == {"x"}
+
+
+def test_hll_rollup_single_group(spark):
+    from luxo_rs_spark.operators.sketch import hll_rollup, hll_sketch_table
+
+    df = spark.createDataFrame([(1, "a")], "uid long, g string")
+    tbl = hll_sketch_table(df, ["g"], "uid")
+    got = hll_rollup(tbl, ["g"]).collect()
+    assert len(got) == 1 and got[0]["estimate"] == 1
+
+
+def test_tdigest_empty_and_singleton(spark):
+    from luxo_rs_spark.operators.tdigest import (
+        tdigest_quantiles,
+        tdigest_table,
+    )
+
+    empty = spark.createDataFrame([], "g string, v double")
+    assert tdigest_table(empty, ["g"], "v").count() == 0
+
+    one = spark.createDataFrame([("a", 5.0)], "g string, v double")
+    got = tdigest_quantiles(
+        tdigest_table(one, ["g"], "v"), [0.5, 0.99]
+    ).collect()
+    assert got[0]["n"] == 1
+    assert got[0]["p50"] == 5.0 and got[0]["p99"] == 5.0
+
+
+def test_tdigest_all_null_group(spark):
+    from luxo_rs_spark.operators.tdigest import tdigest_quantiles, tdigest_table
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 1.0)], "g string, v double"
+    )
+    got = {
+        r["g"]: (r["n"], r["p50"])
+        for r in tdigest_quantiles(tdigest_table(df, ["g"], "v"), [0.5]).collect()
+    }
+    assert got["b"] == (1, 1.0)
+    assert got["a"][0] == 0 and got["a"][1] is None
+
+
+def test_random_projection_empty(spark):
+    from luxo_rs_spark.operators.similarity import random_projection
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert random_projection(empty, 64, 8).count() == 0
+
+
+def test_versioned_table_unwritten_reads_none(spark, tmp_path):
+    from luxo_rs_spark.streaming.sinks import VersionedParquetTable
+
+    t = VersionedParquetTable(str(tmp_path / "t"))
+    assert t.read(spark) is None
+    assert t.last_batch_id() == -1 and t.current_version() == -1
