@@ -9,6 +9,7 @@ from luxo_rs_spark.streaming.stateful import (
     dedup_stream,
     running_user_totals,
     timeout_sessions,
+    trending_items,
 )
 from luxo_rs_spark.streaming.joins import (
     click_view_attribution,
@@ -29,6 +30,7 @@ __all__ = [
     "tumbling_stats",
     "dedup_stream",
     "running_user_totals",
+    "trending_items",
     "timeout_sessions",
     "click_view_attribution",
     "interval_join_streams",

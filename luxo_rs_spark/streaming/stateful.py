@@ -20,6 +20,7 @@ from collections.abc import Iterable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
@@ -181,4 +182,99 @@ def timeout_sessions(
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+_TREND_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.IntegerType()),
+        T.StructField("item", T.StringType()),
+        T.StructField("est_count", T.LongType()),
+    ]
+)
+
+_TREND_STATE = T.StructType(
+    [
+        T.StructField("items", T.ArrayType(T.StringType())),
+        T.StructField("counts", T.ArrayType(T.LongType())),
+        T.StructField("seen", T.LongType()),
+    ]
+)
+
+
+def _trend_fold(k: int):
+    def fold(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (shard,) = key
+        if state.exists:
+            items, counts, seen = state.get
+            counters = dict(zip(items, counts))
+        else:
+            counters, seen = {}, 0
+        for pdf in pdfs:
+            for v, c in pdf["item"].value_counts().items():
+                c = int(c)
+                seen += c
+                if v in counters:
+                    counters[v] += c
+                elif len(counters) < k:
+                    counters[v] = c
+                else:
+                    dec = min(c, min(counters.values()))
+                    c -= dec
+                    counters = {
+                        it: ct - dec for it, ct in counters.items() if ct > dec
+                    }
+                    if c > 0 and len(counters) < k:
+                        counters[v] = c
+        state.update((list(counters), [counters[i] for i in counters], seen))
+        yield pd.DataFrame(
+            {
+                "shard": [int(shard)] * len(counters),
+                "item": list(counters),
+                "est_count": list(counters.values()),
+            }
+        )
+
+    return fold
+
+
+def trending_items(
+    events: DataFrame,
+    item_col: str,
+    k: int = 10,
+    shards: int = 8,
+) -> DataFrame:
+    """Streaming heavy hitters with BOUNDED state: items hash-route to
+    ``shards`` state groups, each maintaining a size-``k`` Misra-Gries
+    summary (the streaming twin of ``operators.sketch.heavy_hitters``).
+    Every micro-batch re-emits each shard's current candidate set with
+    its (under-)estimate.
+
+    Guarantees per shard (each item lives in exactly one shard): any
+    item with true count > N_shard/k is PRESENT; estimates never exceed
+    the true count and undercount by at most N_shard/(k+1) (total MG
+    decrement bound). State is O(k) per shard FOREVER — the property
+    that makes this runnable over an unbounded stream, where exact
+    per-item counts grow without limit.
+
+    100 TB/day note: shards bound parallelism as well as state; size
+    ``shards`` to cores. A skewed hot item costs one shard one counter
+    — no shuffle amplification.
+    """
+    routed = events.select(
+        (F.abs(F.xxhash64(F.col(item_col))) % shards)
+        .cast("int")
+        .alias("shard"),
+        F.col(item_col).cast("string").alias("item"),
+    )
+    return routed.groupBy("shard").applyInPandasWithState(
+        _trend_fold(k),
+        outputStructType=_TREND_SCHEMA,
+        stateStructType=_TREND_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
