@@ -682,6 +682,8 @@ def random_projection(
 
     @pandas_udf("array<float>")
     def rp(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, in_dim)
         red = (mat @ proj).astype(np.float32)  # (n, out_dim)
         return pd.Series(list(red))
