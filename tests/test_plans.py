@@ -434,3 +434,13 @@ def test_q362_png_decode_map_side_only(spark):
     plan = plan_of(spark, "q362_png_decode")
     assert "SortMergeJoin" not in plan and "HashAggregate" not in plan
     assert plan.lower().count("hashpartitioning") == 0
+
+
+def test_q09_window_group_limit_partial(spark):
+    """Per-group top-k must hit Spark's WindowGroupLimit rank-limit
+    pushdown in BOTH Partial (map-side, pre-shuffle) and Final stages —
+    the optimization that keeps per-group top-k from shuffling whole
+    groups at 100 TB."""
+    plan = plan_of(spark, "q09_topk_per_group")
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
