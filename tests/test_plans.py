@@ -444,3 +444,22 @@ def test_q09_window_group_limit_partial(spark):
     plan = plan_of(spark, "q09_topk_per_group")
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_all_queries_plan_hygiene(spark):
+    """Global sweep: EVERY registered query's physical plan must be
+    free of CartesianProduct (unbounded pair blowup at scale) and of
+    row-at-a-time Python evaluation (BatchEvalPython) — the two plan
+    shapes that silently stop scaling. UDTF queries are exempt from the
+    Python check (UDTFs are row-based by definition, §2.2-J); there is
+    deliberately NO Cartesian whitelist — even the cross-join queries
+    keep a broadcast side (BroadcastNestedLoopJoin)."""
+    py_ok = {"q49_udtf_tokens", "q171_python_udtf"}
+    bad = []
+    for name in sorted(QUERIES):
+        plan = plan_of(spark, name)
+        if "CartesianProduct" in plan:
+            bad.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan and name not in py_ok:
+            bad.append((name, "BatchEvalPython"))
+    assert not bad, bad
