@@ -69,11 +69,42 @@ class VersionedParquetTable:
 
     # -- read / commit ------------------------------------------------------
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        v = self.current_version()
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """Read the published snapshot — or, with ``version``, TIME
+        TRAVEL to any still-retained earlier version (immutable dirs
+        make every commit a queryable snapshot, Delta/Iceberg-style)."""
+        v = self.current_version() if version is None else version
         if v < 0:
             return None
-        return spark.read.parquet(os.path.join(self.path, f"v{v}"))
+        p = os.path.join(self.path, f"v{v}")
+        if version is not None and not os.path.isdir(p):
+            raise FileNotFoundError(
+                f"version {version} not retained (vacuumed or never written)"
+            )
+        return spark.read.parquet(p)
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop version dirs older than the newest ``keep_last``
+        (never the published one). Returns the dropped version numbers.
+        Readers of the published pointer are unaffected; time travel to
+        dropped versions stops working — the Delta VACUUM contract."""
+        import shutil as _shutil
+
+        cur = self.current_version()
+        dropped = []
+        for name in os.listdir(self.path):
+            if not name.startswith("v"):
+                continue
+            try:
+                v = int(name[1:])
+            except ValueError:
+                continue
+            if v <= cur - keep_last:
+                _shutil.rmtree(os.path.join(self.path, name))
+                dropped.append(v)
+        return sorted(dropped)
 
     def commit(self, df: DataFrame, batch_id: int) -> None:
         """Write ``df`` as the next version and publish it atomically."""

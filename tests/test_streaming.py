@@ -815,3 +815,27 @@ def test_trending_items_mg_guarantees(spark):
         assert e <= t, (s, it, e, t)
         assert t - e <= shard_totals[s] / (k + 1) + 1, (s, it, e, t)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_versioned_table_time_travel_and_vacuum(spark):
+    """Every commit is a queryable snapshot: time travel reads an old
+    version; vacuum drops all but the newest N and time travel to a
+    dropped version raises."""
+    import pytest as _pytest
+
+    from luxo_rs_spark.streaming.sinks import VersionedParquetTable
+
+    base = TMP / f"ttravel_{uuid.uuid4().hex[:8]}"
+    t = VersionedParquetTable(str(base))
+    df1 = spark.range(3).withColumnRenamed("id", "k")
+    df2 = spark.range(5).withColumnRenamed("id", "k")
+    t.commit(df1, 0)
+    t.commit(df2, 1)
+    assert t.read(spark).count() == 5
+    assert t.read(spark, version=0).count() == 3  # time travel
+    dropped = t.vacuum(keep_last=1)
+    assert dropped == [0]
+    assert t.read(spark).count() == 5  # published version untouched
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, version=0)
+    shutil.rmtree(base, ignore_errors=True)
