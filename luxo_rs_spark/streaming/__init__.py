@@ -14,6 +14,7 @@ from luxo_rs_spark.streaming.stateful import (
 from luxo_rs_spark.streaming.joins import (
     click_view_attribution,
     interval_join_streams,
+    interval_join_streams_full_outer,
     interval_join_streams_outer,
     stream_static_enrich,
 )
@@ -34,6 +35,7 @@ __all__ = [
     "timeout_sessions",
     "click_view_attribution",
     "interval_join_streams",
+    "interval_join_streams_full_outer",
     "interval_join_streams_outer",
     "stream_static_enrich",
     "VersionedParquetTable",

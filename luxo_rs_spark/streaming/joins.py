@@ -75,6 +75,37 @@ def interval_join_streams_outer(
     return lw.join(rw, cond, "left_outer")
 
 
+def interval_join_streams_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """FULL OUTER watermarked interval join — completes the streaming
+    join matrix (inner / left / full): unmatched rows from EITHER side
+    are emitted with nulls once the opposite side's watermark proves no
+    partner can still arrive. Both time bounds are mandatory for the
+    same reason as the left-outer form: they are what lets the state
+    store expire a row as definitively unmatched instead of holding it
+    forever. State stays bounded by (watermark + max_gap) per side.
+
+    Use for reconciliation streams: every record from both feeds
+    appears exactly once, matched or not — the streaming form of a
+    ledger diff.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[on] == rw[f"r_{on}"])
+        & (rw[right_ts] <= lw[left_ts])
+        & (rw[right_ts] >= lw[left_ts] - F.expr(f"INTERVAL {max_gap}"))
+    )
+    return lw.join(rw, cond, "full_outer")
+
+
 def click_view_attribution(
     events: DataFrame, max_gap: str = "30 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -839,3 +839,86 @@ def test_versioned_table_time_travel_and_vacuum(spark):
     with _pytest.raises(FileNotFoundError):
         t.read(spark, version=0)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_full_outer_join_both_sides(spark):
+    """Full-outer watermarked interval join: unmatched rows from BOTH
+    sides surface with nulls once the watermark proves no partner can
+    arrive — user 1 matches, user 2's click has no view, user 3's view
+    has no click."""
+    import os
+    import time
+
+    import pandas as pd
+
+    from luxo_rs_spark.streaming.joins import interval_join_streams_full_outer
+
+    d = TMP / f"ssfoj_{uuid.uuid4().hex[:8]}"
+    ckpt = TMP / f"ssfoj_ck_{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    mins = pd.Timedelta
+
+    def wb(path, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"event_id": "int64", "user_id": "int64"}).to_parquet(
+            path, coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    wb(
+        d / "b1.parquet",
+        [
+            (1, t0 - mins(minutes=5), 1, "view", 1.0, "{}"),   # matched view
+            (2, t0, 1, "click", 1.0, "{}"),                    # matched click
+            (3, t0, 2, "click", 1.0, "{}"),                    # click, no view
+            (4, t0 - mins(minutes=3), 3, "view", 1.0, "{}"),   # view, no click
+        ],
+    )
+    wb(
+        d / "b2.parquet",
+        [
+            (8, t0 + mins(hours=6), 9, "click", 1.0, "{}"),
+            (9, t0 + mins(hours=6), 9, "view", 1.0, "{}"),
+        ],
+    )
+    now = time.time()
+    os.utime(d / "b1.parquet", (now - 20, now - 20))
+    os.utime(d / "b2.parquet", (now, now))
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    clicks = stream.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("l_ts")
+    )
+    views = stream.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    joined = interval_join_streams_full_outer(
+        clicks, views, on="user_id", max_gap="30 minutes", watermark="10 minutes"
+    ).select("click_id", "view_id")
+    name = f"ssfoj_{uuid.uuid4().hex[:6]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {(r.click_id, r.view_id) for r in spark.table(name).collect()}
+    assert (2, 1) in rows          # matched pair
+    assert (3, None) in rows       # unmatched click -> null view
+    assert (None, 4) in rows       # unmatched view -> null click
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
