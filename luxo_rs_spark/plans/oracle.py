@@ -6764,3 +6764,40 @@ FROM documents
 WHERE doc_id < 150
 ORDER BY media_id
 """
+
+ORACLE_SQL["q364_lsh_calibration"] = """
+WITH cfg(bands, rows_per_band) AS (VALUES (8,16),(16,8),(32,4),(64,2)),
+grid AS (
+  SELECT bands, rows_per_band, t.i / 20.0 AS s
+  FROM cfg CROSS JOIN generate_series(1, 19) t(i)
+)
+SELECT CAST(bands AS INTEGER) AS bands,
+       CAST(rows_per_band AS INTEGER) AS rows_per_band,
+       round(s, 2) AS s,
+       round(1 - pow(1 - pow(s, rows_per_band), bands), 6) AS p_candidate,
+       round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS s50
+FROM grid
+ORDER BY bands, s
+"""
+
+ORACLE_SQL["q365_shingle_df_spectrum"] = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+  FROM w WHERE len(words) >= 3
+), dfreq AS (
+  SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY 1
+)
+SELECT CASE WHEN df = 1 THEN '1' WHEN df <= 2 THEN '2'
+            WHEN df <= 4 THEN '3-4' WHEN df <= 8 THEN '5-8'
+            WHEN df <= 16 THEN '9-16' ELSE '17+' END AS df_band,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(df * (df - 1) / 2) AS BIGINT) AS join_pairs
+FROM dfreq
+GROUP BY 1
+ORDER BY df_band
+"""

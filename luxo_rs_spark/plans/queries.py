@@ -12665,3 +12665,77 @@ def q363_tdigest_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE.add("q363_tdigest_rollup")
+
+
+# ---------------------------------------------------------------------------
+# Q364 — MinHash-LSH band calibration (§2.2-K design tool): for each
+# (bands, rows) split of 128 permutations, the candidate probability
+# S-curve P(s) = 1 - (1 - s^r)^b over a similarity grid, plus the
+# closed-form 50% threshold s50 = (1/b)^(1/r). This is the table an
+# engineer reads to pick q32's 32x4 banding for a target near-dup
+# threshold — pure closed-form arithmetic from an in-memory config
+# table (broadcast-sized), so it is fully oracle-checkable.
+# ---------------------------------------------------------------------------
+@query("q364_lsh_calibration")
+def q364_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configs = spark.createDataFrame(
+        [(8, 16), (16, 8), (32, 4), (64, 2)], "bands int, rows_per_band int"
+    )
+    grid = configs.select(
+        "bands",
+        "rows_per_band",
+        F.explode(F.sequence(F.lit(1), F.lit(19))).alias("step"),
+    ).withColumn("s", F.col("step") / 20.0)
+    return (
+        grid.select(
+            "bands",
+            "rows_per_band",
+            F.round("s", 2).alias("s"),
+            F.round(
+                1
+                - F.pow(1 - F.pow("s", F.col("rows_per_band")), F.col("bands")),
+                6,
+            ).alias("p_candidate"),
+            F.round(
+                F.pow(1.0 / F.col("bands"), 1.0 / F.col("rows_per_band")), 6
+            ).alias("s50"),
+        )
+        .orderBy("bands", "s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q365 — shingle document-frequency spectrum (§2.2-K scale audit): the
+# distribution that decides every shingle-join's fate. Per df band,
+# the number of distinct 3-gram shingles and the pair fan-out each band
+# would contribute to a shingle equi-join (sum of df*(df-1)/2) — the
+# quantitative case for q71's hot-shingle ceiling: the top band holds
+# few shingles but dominates fan-out. One explode + two aggs.
+# ---------------------------------------------------------------------------
+@query("q365_shingle_df_spectrum")
+def q365_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode_outer(shingles(F.col("text"), 3)).alias("sh")
+    ).filter(F.col("sh").isNotNull())
+    dfreq = sh.distinct().groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    band = (
+        F.when(F.col("df") == 1, "1")
+        .when(F.col("df") <= 2, "2")
+        .when(F.col("df") <= 4, "3-4")
+        .when(F.col("df") <= 8, "5-8")
+        .when(F.col("df") <= 16, "9-16")
+        .otherwise("17+")
+    )
+    return (
+        dfreq.groupBy(band.alias("df_band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.col("df") * (F.col("df") - 1) / 2)
+            .cast("bigint")
+            .alias("join_pairs"),
+        )
+        .orderBy("df_band")
+    )
