@@ -115,3 +115,30 @@ def quality_metrics(text: Column | str) -> dict[str, Column]:
             + (F.lit(1.0) - F.least(n_punct / n_chars * 10, F.lit(1.0))) * 0.2
         ),
     }
+
+
+def compression_ratio(text: Column | str) -> Column:
+    """zlib compression ratio of the UTF-8 bytes (compressed/raw) — the
+    cheap repetition/noise detector corpus filters pair with Gopher
+    rules: boilerplate compresses far below prose, random junk barely
+    compresses at all. The ONE text primitive here that needs Python
+    (DuckDB/Spark have no SQL zlib), so it is an Arrow-batched pandas
+    UDF, map-side only; output is deterministic (zlib level 6 bytes are
+    fully specified for a given input)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def zratio(texts):
+        import zlib
+
+        def ratio(t):
+            if not t:
+                return None
+            b = t.encode("utf-8")
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return texts.map(ratio)
+
+    c = F.col(text) if isinstance(text, str) else text
+    return zratio(c)

@@ -6801,3 +6801,24 @@ FROM dfreq
 GROUP BY 1
 ORDER BY df_band
 """
+
+ORACLE_SQL["q366_order_consistency"] = """
+WITH charges AS (
+  SELECT l_orderkey,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charge
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT o.o_orderstatus,
+         abs(o.o_totalprice - coalesce(c.charge, 0.0)) / o.o_totalprice AS rel
+  FROM orders o LEFT JOIN charges c ON o.o_orderkey = c.l_orderkey
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CASE WHEN rel <= 0.001 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reconciled,
+       round(sum(rel * 100), 2) / count(*) AS avg_rel_delta_pct,
+       round(max(rel * 100), 2) AS max_rel_delta_pct
+FROM j
+GROUP BY 1
+ORDER BY o_orderstatus
+"""

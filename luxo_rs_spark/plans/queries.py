@@ -12739,3 +12739,85 @@ def q365_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("df_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q366 — cross-table aggregate consistency audit (§2.2-D DQ shape,
+# complements q169's key-level orphan audit and q330's column-level
+# scorecard): per order-status, does o_totalprice reconcile with the
+# lineitem-level charge sum(extendedprice*(1-discount)*(1+tax))? Emits
+# the reconciliation delta distribution — the audit every warehouse
+# runs after a load. One fact-fact join keyed on orderkey (AQE/SMJ),
+# aggregated to status grain.
+# ---------------------------------------------------------------------------
+@query("q366_order_consistency")
+def q366_order_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    charges = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge")
+    )
+    j = orders.join(
+        charges, orders.o_orderkey == charges.l_orderkey, "left"
+    ).select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.coalesce("charge", F.lit(0.0)).alias("charge"),
+    )
+    rel = F.abs(F.col("o_totalprice") - F.col("charge")) / F.col("o_totalprice")
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.when(rel <= 0.001, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_reconciled"),
+            # round-sum-then-divide: IEEE division of identical doubles
+            # is engine-stable, a rounded avg of ulp-different sums isn't
+            (_r2(F.sum(rel * 100)) / F.count(F.lit(1))).alias(
+                "avg_rel_delta_pct"
+            ),
+            _r2(F.max(rel * 100)).alias("max_rel_delta_pct"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q367 — compressibility quality signal (§2.2-K curation): zlib
+# compression ratio of each document's UTF-8 bytes — the cheap
+# repetition detector production corpus filters use alongside Gopher
+# rules (q96): highly compressible text is boilerplate/spam, nearly
+# incompressible text is noise/binary junk; quality prose sits in the
+# middle band. Arrow-batched pandas UDF (stdlib zlib), map-side; the
+# aggregate is per-source band counts. DuckDB has no zlib ->
+# NO_ORACLE; determinism pinned by zlib's defined output for fixed
+# input+level.
+# ---------------------------------------------------------------------------
+@query("q367_compressibility")
+def q367_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    rated = docs.select("source", compression_ratio("text").alias("r"))
+    band = (
+        F.when(F.col("r") < 0.3, "high_repetition")
+        .when(F.col("r") < 0.7, "normal")
+        .otherwise("incompressible")
+    )
+    return (
+        rated.filter(F.col("r").isNotNull())
+        .groupBy("source", band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.avg("r"), 4).alias("avg_ratio"),
+        )
+        .orderBy("source", "band")
+    )
+
+
+NO_ORACLE.add("q367_compressibility")

@@ -262,3 +262,40 @@ def test_passage_grams_short_doc_guard(spark, tmp_path):
     # q160: docs 1 and 2 contribute no bigrams; doc 3 contributes 9.
     rows = QUERIES["q160_vocab_growth"](spark, sf_dir).collect()
     assert all(r.first_doc != 1 and r.first_doc != 2 for r in rows)
+
+
+def test_compression_ratio_bands(spark):
+    """zlib compressibility: repeated text compresses hard, random-ish
+    hex barely; None/empty yield null. Deterministic across calls."""
+    from luxo_rs_spark.functions.text import compression_ratio
+
+    import hashlib
+
+    junk = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam " * 100),
+            (2, junk),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", compression_ratio("text").alias("r")
+        ).collect()
+    }
+    assert got[1] < 0.1          # boilerplate: extreme compression
+    assert got[2] > 0.5          # hex noise: barely compresses
+    assert got[3] is None and got[4] is None
+    again = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", compression_ratio("text").alias("r")
+        ).collect()
+    }
+    assert got == again
