@@ -922,3 +922,71 @@ def test_stream_stream_full_outer_join_both_sides(spark):
     assert (None, 4) in rows       # unmatched view -> null click
     shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_tdigest_maintenance(spark):
+    """Incremental quantile rollup: foreachBatch folds each
+    micro-batch's per-type t-digests into a stored snapshot
+    (merge_tdigest_tables into a VersionedParquetTable). The final
+    incremental digests must answer p50/p95 within the same 1% rank
+    envelope as exact percentiles over the whole table."""
+    import numpy as np
+
+    from luxo_rs_spark.operators.tdigest import (
+        merge_tdigest_tables,
+        tdigest_quantiles,
+        tdigest_table,
+    )
+    from luxo_rs_spark.streaming.sinks import VersionedParquetTable
+
+    base = TMP / f"td_stream_{uuid.uuid4().hex[:8]}"
+    src, ckpt, tbl_dir = str(base / "src"), str(base / "ckpt"), str(base / "tbl")
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(4).write.parquet(src)
+
+    table = VersionedParquetTable(tbl_dir)
+
+    def fold_batch(batch_df, batch_id):
+        if batch_id <= table.last_batch_id():
+            return
+        delta = tdigest_table(
+            batch_df.select("event_type", "value"), ["event_type"], "value"
+        )
+        snap = table.read(batch_df.sparkSession)
+        merged = delta if snap is None else merge_tdigest_tables(
+            snap, delta, ["event_type"]
+        )
+        table.commit(merged, batch_id)
+
+    q = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .select("event_type", "value")
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = tdigest_quantiles(table.read(spark), [0.5, 0.95]).collect()
+    assert table.current_version() >= 1
+    for r in got:
+        t = r["event_type"]
+        vals = np.array([
+            x["value"]
+            for x in events.filter(F.col("event_type") == t).collect()
+        ])
+        for qq, est in [(0.5, r["p50"]), (0.95, r["p95"])]:
+            rank = (vals <= est).mean()
+            assert abs(rank - qq) <= 0.02, (t, qq, est, rank)
+    # row counts survive the incremental merge exactly
+    ns = {r["event_type"]: r["n"] for r in got}
+    exact = {
+        r["event_type"]: r["c"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert ns == exact
+    shutil.rmtree(base, ignore_errors=True)
