@@ -86,18 +86,32 @@ def _merge_centroids(
 
 
 def _digest_of(values: np.ndarray, delta: float) -> dict:
+    """Vectorized initial build: for SORTED unit-weight values the
+    merging pass reduces to clustering by floor(k(q)) — every value
+    lands in the chunk its cumulative quantile maps to under the scale
+    function, giving the same <=1 k-unit chunk-width guarantee as the
+    sequential sweep with zero Python-per-value cost (np.add.reduceat
+    over the chunk boundaries). The sequential ``_merge_centroids``
+    pass is still used where inputs are weighted centroid lists (the
+    merge path), whose size is O(delta), not O(n)."""
     values = values[~np.isnan(values)].astype(np.float64)
-    if len(values) == 0:
+    n = len(values)
+    if n == 0:
         return {
             "means": [], "weights": [], "mn": None, "mx": None, "total": 0.0
         }
-    m, w = _merge_centroids(values, np.ones(len(values)), delta)
+    values = np.sort(values)
+    q = (np.arange(n) + 0.5) / n
+    cl = np.floor(_k(q, delta)).astype(np.int64)
+    starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+    sums = np.add.reduceat(values, starts)
+    counts = np.diff(np.r_[starts, n]).astype(np.float64)
     return {
-        "means": list(m),
-        "weights": list(w),
-        "mn": float(values.min()),
-        "mx": float(values.max()),
-        "total": float(len(values)),
+        "means": list(sums / counts),
+        "weights": list(counts),
+        "mn": float(values[0]),
+        "mx": float(values[-1]),
+        "total": float(n),
     }
 
 

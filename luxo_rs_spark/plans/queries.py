@@ -12716,11 +12716,17 @@ def q364_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q365_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.functions.text import shingles
 
-    docs = load_table(spark, sf_dir, "documents")
+    from luxo_rs_spark.operators.dedup import _spread
+
+    # _spread first: the fixture is one parquet file -> one input
+    # partition, and the shingle explode is the expensive stage; fan it
+    # across cores before computing. Then hash shingle strings to
+    # 8-byte ints BEFORE the shuffle (q270's payload-narrowing move).
+    docs = _spread(load_table(spark, sf_dir, "documents"))
     sh = docs.select(
-        "doc_id", F.explode_outer(shingles(F.col("text"), 3)).alias("sh")
-    ).filter(F.col("sh").isNotNull())
-    dfreq = sh.distinct().groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
+    ).select("doc_id", F.xxhash64("sh").alias("sid"))
+    dfreq = sh.distinct().groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     band = (
         F.when(F.col("df") == 1, "1")
         .when(F.col("df") <= 2, "2")
