@@ -3812,15 +3812,22 @@ def q134_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q135_passage_dedup")
 def q135_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from luxo_rs_spark.operators.dedup import _spread
+
+    # _spread: one-row-group fixture -> single-partition scan, and the
+    # gram build is the expensive stage. Split ONCE into a column (the
+    # lambda below would otherwise re-split per element: O(words^2)).
+    docs = _spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "__w", F.split("text", " ")
+    )
     n = 8
     # Guard short docs: sequence(1, 0) in Spark is the DESCENDING [1, 0]
     # (not empty like the oracle's generate_series), and slice(.., 0, ..)
     # then throws — so docs with < n words must yield an empty array.
     grams = F.expr(
-        f"case when size(split(text, ' ')) < {n} then array() else"
-        f" transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
-        f" i -> array_join(slice(split(text, ' '), i, {n}), ' ')) end"
+        f"case when size(__w) < {n} then array() else"
+        f" transform(sequence(1, size(__w) - {n - 1}),"
+        f" i -> array_join(slice(__w, i, {n}), ' ')) end"
     )
     return (
         docs.select("doc_id", F.explode(grams).alias("passage"))
@@ -4645,14 +4652,20 @@ def q159_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q160_vocab_growth")
 def q160_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from luxo_rs_spark.operators.dedup import _spread
+
+    # _spread + split-once: see q135 — parallelize the single-partition
+    # scan and avoid re-splitting text per lambda element.
+    docs = _spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "__w", F.split("text", " ")
+    )
     # Short-doc guard (see q135): Spark's sequence(1, 0) is [1, 0], so a
     # one-word doc would hit element_at(.., 0) and throw; emit array().
     bigrams = F.expr(
-        "case when size(split(text, ' ')) < 2 then array() else"
-        " transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ',"
-        "             element_at(split(text, ' '), i + 1))) end"
+        "case when size(__w) < 2 then array() else"
+        " transform(sequence(1, size(__w) - 1),"
+        " i -> concat(element_at(__w, i), ' ',"
+        "             element_at(__w, i + 1))) end"
     )
     first_seen = (
         docs.select("doc_id", F.explode(bigrams).alias("token"))
