@@ -2806,10 +2806,16 @@ def q106_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q107_editdistance_neardup")
 def q107_editdistance_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import _spread
+
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", F.length("p_name").alias("nlen")
     )
-    a = part.alias("a")
+    # _spread the probe side: the one-row-group fixture scans as a
+    # single partition, and the banded levenshtein over the joined
+    # pairs is the dominant cost — without the spread every pair
+    # evaluates in ONE task while 31 cores idle.
+    a = _spread(part).alias("a")
     b = part.alias("b")
     # two semantics-preserving prunes for dist <= 2: (1) a length gap
     # > 2 already implies dist > 2, and the int compare is ~100x
@@ -8511,9 +8517,13 @@ def q269_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q270_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.functions.text import words
 
+    from luxo_rs_spark.operators.dedup import _spread
+
     t = 0.7
     docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select("doc_id", words("text").alias("w"))
+    # _spread: the one-row-group fixture scans single-partition and the
+    # gram build below is the heavy stage
+    ws = _spread(docs).select("doc_id", words("text").alias("w"))
     # shingle strings are hashed to 8-byte ints ONCE (xxhash64): every
     # downstream join/groupBy keys on fixed-width ints instead of ~25-
     # byte strings — the same payload-narrowing move as q30's content
@@ -12727,18 +12737,16 @@ def q364_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q365_shingle_df_spectrum")
 def q365_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from luxo_rs_spark.functions.text import shingles
+    from luxo_rs_spark.operators.dedup import shingle_table
 
-    from luxo_rs_spark.operators.dedup import _spread
-
-    # _spread first: the fixture is one parquet file -> one input
-    # partition, and the shingle explode is the expensive stage; fan it
-    # across cores before computing. Then hash shingle strings to
-    # 8-byte ints BEFORE the shuffle (q270's payload-narrowing move).
-    docs = _spread(load_table(spark, sf_dir, "documents"))
-    sh = docs.select(
-        "doc_id", F.explode(shingles(F.col("text"), 3)).alias("sh")
-    ).select("doc_id", F.xxhash64("sh").alias("sid"))
+    # shingle_table: spreads the one-row-group scan, materializes the
+    # words array once (no per-element re-split), slice+array_join
+    # grams. Hash shingle strings to 8-byte ints BEFORE the shuffle
+    # (q270's payload-narrowing move).
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, n=3).select(
+        "doc_id", F.xxhash64("shingle").alias("sid")
+    )
     dfreq = sh.distinct().groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     band = (
         F.when(F.col("df") == 1, "1")
