@@ -11096,10 +11096,14 @@ def q325_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q326_knn_loo_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.functions.vectors import cosine
 
+    from luxo_rs_spark.operators.dedup import _spread
+
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 300
     )
-    a = emb.select(
+    # _spread the query side: the single-file scan would otherwise run
+    # every pairwise cosine of the LOO sweep in one task
+    a = _spread(emb).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qe"),
