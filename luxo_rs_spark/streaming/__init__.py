@@ -8,6 +8,7 @@ from luxo_rs_spark.streaming.windows import (
 from luxo_rs_spark.streaming.stateful import (
     dedup_stream,
     running_user_totals,
+    streaming_quantiles,
     timeout_sessions,
     trending_items,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "tumbling_stats",
     "dedup_stream",
     "running_user_totals",
+    "streaming_quantiles",
     "trending_items",
     "timeout_sessions",
     "click_view_attribution",

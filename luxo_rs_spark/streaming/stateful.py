@@ -278,3 +278,106 @@ def trending_items(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_QUANT_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("p50", T.DoubleType()),
+        T.StructField("p95", T.DoubleType()),
+    ]
+)
+
+_QUANT_STATE = T.StructType(
+    [
+        T.StructField("means", T.ArrayType(T.DoubleType())),
+        T.StructField("weights", T.ArrayType(T.DoubleType())),
+        T.StructField("mn", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def _quantile_fold(delta: float):
+    import numpy as np
+
+    from luxo_rs_spark.operators.tdigest import _digest_of, _merge_centroids
+
+    def fold(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (k,) = key
+        vals = pd.concat([p["value"] for p in pdfs]).to_numpy(dtype=float)
+        d = _digest_of(vals, delta)
+        if state.exists:
+            means, weights, mn, mx, total = state.get
+            if total and d["total"]:
+                m, w = _merge_centroids(
+                    np.concatenate([means, d["means"]]),
+                    np.concatenate([weights, d["weights"]]),
+                    delta,
+                )
+                d = {
+                    "means": list(m), "weights": list(w),
+                    "mn": min(mn, d["mn"]), "mx": max(mx, d["mx"]),
+                    "total": total + d["total"],
+                }
+            elif total:
+                d = {"means": list(means), "weights": list(weights),
+                     "mn": mn, "mx": mx, "total": total}
+        # state must hold pure-Python floats: the JVM state encoder
+        # unpickles the tuple and rejects numpy scalar objects
+        state.update(
+            (
+                [float(x) for x in d["means"]],
+                [float(x) for x in d["weights"]],
+                float(d["mn"]),
+                float(d["mx"]),
+                float(d["total"]),
+            )
+        )
+        m = np.asarray(d["means"]); w = np.asarray(d["weights"])
+        cum = np.cumsum(w) - w / 2
+        xs = np.concatenate(([0.0], cum, [d["total"]]))
+        ys = np.concatenate(([d["mn"]], m, [d["mx"]]))
+        p50, p95 = np.interp(
+            [0.5 * d["total"], 0.95 * d["total"]], xs, ys
+        )
+        yield pd.DataFrame(
+            {"key": [k], "n": [int(d["total"])],
+             "p50": [float(p50)], "p95": [float(p95)]}
+        )
+
+    return fold
+
+
+def streaming_quantiles(
+    events: DataFrame,
+    key_col: str,
+    value_col: str = "value",
+    delta: float = 100.0,
+) -> DataFrame:
+    """Per-key streaming quantiles with BOUNDED state: a t-digest per
+    key lives in the state store (O(delta) doubles forever), each
+    micro-batch folds its values in (vectorized build + centroid
+    merge, operators/tdigest.py) and re-emits the current p50/p95.
+    The quantile member of the streaming sketch family: counts ->
+    ``trending_items``, distincts -> HLL foreachBatch, quantiles ->
+    this. The monitoring primitive for latency/value percentiles over
+    unbounded streams, where exact percentiles would need unbounded
+    buffering."""
+    routed = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return routed.groupBy("key").applyInPandasWithState(
+        _quantile_fold(delta),
+        outputStructType=_QUANT_SCHEMA,
+        stateStructType=_QUANT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

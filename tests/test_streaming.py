@@ -990,3 +990,63 @@ def test_streaming_tdigest_maintenance(spark):
     }
     assert ns == exact
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_quantiles_stateful(spark):
+    """Per-key t-digest in the state store: the LAST emission per key
+    must answer p50/p95 within the digest's rank envelope of exact
+    percentiles over the full table, with exact row counts."""
+    import numpy as np
+
+    from luxo_rs_spark.streaming.stateful import streaming_quantiles
+
+    base = TMP / f"squant_{uuid.uuid4().hex[:8]}"
+    src, ckpt, out = str(base / "src"), str(base / "ckpt"), str(base / "out")
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(4).write.parquet(src)
+
+    stream = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = (
+        streaming_quantiles(stream, "event_type")
+        .writeStream.foreachBatch(
+            lambda df, bid: df.withColumn("b", F.lit(bid))
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    emitted = spark.read.parquet(out)
+    from pyspark.sql.window import Window as W
+
+    last = (
+        emitted.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("key").orderBy(F.desc("b"))),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    )
+    exact_n = {
+        r["event_type"]: r["c"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    assert {r["key"] for r in last} == set(exact_n)
+    for r in last:
+        assert r["n"] == exact_n[r["key"]]
+        vals = np.array([
+            x["value"]
+            for x in events.filter(
+                F.col("event_type") == r["key"]
+            ).collect()
+        ])
+        for qq, est in [(0.5, r["p50"]), (0.95, r["p95"])]:
+            rank = (vals <= est).mean()
+            assert abs(rank - qq) <= 0.02, (r["key"], qq, est, rank)
+    shutil.rmtree(base, ignore_errors=True)
