@@ -6822,3 +6822,42 @@ FROM j
 GROUP BY 1
 ORDER BY o_orderstatus
 """
+
+ORACLE_SQL["q368_source_scorecard"] = f"""
+WITH m AS (
+  SELECT source, n_chars, md5(text) AS fp,
+         cast(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT)
+           AS n_words,
+         cast(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+           AS nonspace,
+         cast(length(text) -
+              length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g'))
+           AS BIGINT) AS n_punct,
+         cast(length(text) AS BIGINT) AS n_chars_calc,
+         cast(len(list_intersect(
+              list_distinct(regexp_split_to_array(lower(trim(text)), '\\s+')),
+              {_STOP["en"]})) AS BIGINT) AS stop_hits
+  FROM documents
+), q AS (
+  SELECT source, n_chars, fp,
+         least(n_words / 100.0, 1.0) * 0.5
+           + least(stop_hits * 1.0 / n_words * 10, 1.0) * 0.3
+           + (1.0 - least(n_punct * 1.0 / n_chars_calc * 10, 1.0)) * 0.2 AS qv
+  FROM m
+), agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         1 - count(DISTINCT fp) * 1.0 / count(*) AS dup_rate,
+         avg(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS short_frac,
+         round(sum(qv), 2) / count(*) AS mean_quality
+  FROM q GROUP BY 1
+)
+SELECT source, n_docs,
+       round(dup_rate, 4) AS dup_rate,
+       round(short_frac, 4) AS short_frac,
+       round(mean_quality, 4) AS mean_quality,
+       round(mean_quality * 0.6 + (1 - dup_rate) * 0.25
+             + (1 - short_frac) * 0.15, 4) AS admission_score
+FROM agg
+ORDER BY admission_score DESC, source
+"""

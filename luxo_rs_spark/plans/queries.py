@@ -12852,3 +12852,48 @@ def q367_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE.add("q367_compressibility")
+
+
+# ---------------------------------------------------------------------------
+# Q368 — source-level curation scorecard (§2.2-K): the per-SOURCE
+# go/no-go table a corpus curator reads before admitting a feed into
+# the training mix — volume, exact-dup rate (md5 content), short-doc
+# fraction, mean quality (q38's formula aggregated), and a composite
+# admission score ranking the sources. All built-ins over one scan +
+# one source-grain agg; complements q330 (column-level DQ) and q291
+# (dataset card).
+# ---------------------------------------------------------------------------
+@query("q368_source_scorecard")
+def q368_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.text import quality_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = quality_metrics("text")
+    per_doc = docs.select(
+        "source",
+        "n_chars",
+        F.md5("text").alias("fp"),
+        m["quality"].alias("q"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (1 - F.countDistinct("fp") / F.count(F.lit(1))).alias("dup_rate"),
+        F.avg((F.col("n_chars") < 100).cast("int")).alias("short_frac"),
+        (_r2(F.sum("q")) / F.count(F.lit(1))).alias("mean_quality"),
+    )
+    score = (
+        F.col("mean_quality") * 0.6
+        + (1 - F.col("dup_rate")) * 0.25
+        + (1 - F.col("short_frac")) * 0.15
+    )
+    return (
+        agg.select(
+            "source",
+            "n_docs",
+            F.round("dup_rate", 4).alias("dup_rate"),
+            F.round("short_frac", 4).alias("short_frac"),
+            F.round("mean_quality", 4).alias("mean_quality"),
+            F.round(score, 4).alias("admission_score"),
+        )
+        .orderBy(F.desc("admission_score"), "source")
+    )
