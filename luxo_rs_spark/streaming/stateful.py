@@ -265,8 +265,10 @@ def trending_items(
     ``shards`` to cores. A skewed hot item costs one shard one counter
     — no shuffle amplification.
     """
+    # pmod, not abs(...)%: abs(Long.MIN_VALUE) overflows back to
+    # negative and would mint a phantom negative shard
     routed = events.select(
-        (F.abs(F.xxhash64(F.col(item_col))) % shards)
+        F.pmod(F.xxhash64(F.col(item_col)), F.lit(shards))
         .cast("int")
         .alias("shard"),
         F.col(item_col).cast("string").alias("item"),
@@ -313,6 +315,8 @@ def _quantile_fold(delta: float):
         (k,) = key
         vals = pd.concat([p["value"] for p in pdfs]).to_numpy(dtype=float)
         d = _digest_of(vals, delta)
+        if not d["total"] and not state.exists:
+            return  # first batch for this key was all-null: no state yet
         if state.exists:
             means, weights, mn, mx, total = state.get
             if total and d["total"]:

@@ -793,7 +793,7 @@ def test_trending_items_mg_guarantees(spark):
 
     exact_rows = (
         events.select(
-            (F.abs(F.xxhash64(F.col("item"))) % shards)
+            F.pmod(F.xxhash64(F.col("item")), F.lit(shards))
             .cast("int")
             .alias("shard"),
             "item",
