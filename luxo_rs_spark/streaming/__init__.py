@@ -7,6 +7,7 @@ from luxo_rs_spark.streaming.windows import (
 )
 from luxo_rs_spark.streaming.stateful import (
     dedup_stream,
+    dedup_stream_within_watermark,
     running_user_totals,
     streaming_quantiles,
     timeout_sessions,
@@ -31,6 +32,7 @@ __all__ = [
     "sliding_stats",
     "tumbling_stats",
     "dedup_stream",
+    "dedup_stream_within_watermark",
     "running_user_totals",
     "streaming_quantiles",
     "trending_items",

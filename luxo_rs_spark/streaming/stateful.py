@@ -37,6 +37,32 @@ def dedup_stream(
     )
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    watermark_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming dedup on `keys` ALONE with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+).
+
+    Differs from :func:`dedup_stream` in the key set: classic
+    watermarked ``dropDuplicates`` must include the event-time column
+    in its keys for state expiry, so the same business key at two
+    different timestamps survives as two rows. This variant keeps ONE
+    row per business key among all events whose event times fall within
+    the watermark delay of each other — the semantics a real ingest
+    pipeline wants for at-least-once upstream producers (retries carry
+    a fresh timestamp but the same event id). State holds one entry per
+    key, evicted once the watermark passes the key's last-seen event
+    time, so it stays bounded at |distinct keys per watermark window|
+    regardless of stream length.
+    """
+    return events.withWatermark(
+        watermark_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+
+
 _TOTALS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),

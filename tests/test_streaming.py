@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from luxo_rs_spark.sources.registry import load_table
 from luxo_rs_spark.streaming import (
     dedup_stream,
+    dedup_stream_within_watermark,
     read_event_stream,
     running_user_totals,
     session_stats,
@@ -130,6 +131,61 @@ def test_stream_dedup_bounded_state(spark, stream_dir):
     # every (user, type, ts) key appears exactly once
     n_keys = batch.select("user_id", "event_type", "ts").distinct().count()
     assert len(got) == n_keys
+
+
+def test_stream_dedup_within_watermark_collapses_retries(spark):
+    """dropDuplicatesWithinWatermark (§2.2-I): an at-least-once producer
+    retries the same event_id with a FRESH timestamp — classic
+    watermarked dropDuplicates (which must key on ts) keeps both rows;
+    the within-watermark variant keys on event_id alone and collapses
+    them, holding one state entry per key until the watermark passes."""
+    d = TMP / f"retry_in_{uuid.uuid4().hex[:8]}"
+    d.mkdir(parents=True)
+    rows = [
+        ("e1", 100, "2024-03-01 10:00:00"),
+        ("e1", 100, "2024-03-01 10:00:30"),  # retry, fresh ts
+        ("e2", 200, "2024-03-01 10:00:05"),
+        ("e2", 200, "2024-03-01 10:03:05"),  # retry, fresh ts
+        ("e3", 300, "2024-03-01 10:01:00"),
+    ]
+    batch = spark.createDataFrame(
+        rows, "event_id string, user_id long, ts_s string"
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    # the file stream source lists plain FILES — a df.write.parquet
+    # output directory at the top level is invisible to it, so stage
+    # the write and copy the single part file in
+    import glob
+
+    stage = d / "stage"
+    batch.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    (d / "in").mkdir()
+    shutil.copy(
+        glob.glob(str(stage / "part-*.parquet"))[0],
+        d / "in" / "retries.parquet",
+    )
+    stream = spark.readStream.schema(
+        "event_id string, user_id long, ts timestamp"
+    ).parquet(str(d / "in"))
+    try:
+        got = run_stream(
+            spark,
+            dedup_stream_within_watermark(stream, ["event_id"]).select(
+                "event_id", "user_id"
+            ),
+            "dedup_wm_t",
+            "append",
+        )
+        assert sorted(got["event_id"]) == ["e1", "e2", "e3"]
+        # contrast: ts-keyed classic dedup keeps every retry
+        got_classic = run_stream(
+            spark,
+            dedup_stream(stream, ["event_id"]).select("event_id", "ts"),
+            "dedup_classic_t",
+            "append",
+        )
+        assert len(got_classic) == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def test_stream_static_join(spark, stream_dir):
