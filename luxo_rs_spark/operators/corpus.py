@@ -416,3 +416,72 @@ def mixture_weights(
             "factor",
         )
     )
+
+
+def _spread_corpus(df: DataFrame) -> DataFrame:
+    """Repartition to full parallelism before a compute-heavy stage (the
+    one-row-group fixture trap — see SCALING.md round-2 notes; at real
+    scale the scan already has thousands of splits)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def substring_dup_coverage(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the exact-substring
+    dedup DECISION from Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): for each doc, what fraction of its
+    word n-gram positions carries a gram that also appears in ANOTHER
+    document. A doc whose coverage exceeds a policy threshold is mostly
+    boilerplate/copy and gets dropped or trimmed; q135 surfaces the
+    shared passages themselves, this operator scores the documents.
+
+    Returns (id, n_grams, n_dup_grams, dup_bps) with
+    ``dup_bps = floor(10000 * n_dup_grams / n_grams)`` — integer basis
+    points, exact across engines (no float hashing hazard). Docs with
+    fewer than ``n`` words have no grams and are absent.
+
+    Scale shape (100 TB): gram rows are reduced map-side by the
+    (doc, gram) pre-aggregation before the per-gram window, so the
+    shuffled key space is |distinct grams per doc|, not positions; the
+    suffix-array formulation of the paper is replaced by the
+    shuffle-friendly fixed-n gram join, which is the standard
+    distributed approximation (it detects any duplicated span >= n
+    words, positionally, which is what the coverage score needs).
+    """
+    docs = _spread_corpus(df).withColumn("__w", F.split(text_col, " "))
+    grams = F.expr(
+        f"case when size(__w) < {n} then array() else"
+        f" transform(sequence(1, size(__w) - {n - 1}),"
+        f" i -> xxhash64(array_join(slice(__w, i, {n}), ' '))) end"
+    )
+    g = docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("gh"))
+    # partial map-side agg on (doc, gram) collapses within-doc repeats
+    per_doc_gram = g.groupBy("id", "gh").agg(
+        F.count(F.lit(1)).alias("n_pos")
+    )
+    # one row per (doc, gram) -> COUNT(*) over the gram partition IS the
+    # distinct-doc count; no second self-join over the gram table
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("gh"))
+    return (
+        per_doc_gram.withColumn("n_docs", n_docs)
+        .groupBy("id")
+        .agg(
+            F.sum("n_pos").cast("bigint").alias("n_grams"),
+            F.coalesce(
+                F.sum(F.when(F.col("n_docs") > 1, F.col("n_pos"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_bps",
+            F.floor(F.col("n_dup_grams") * 10000 / F.col("n_grams")).cast(
+                "bigint"
+            ),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -6861,3 +6861,35 @@ SELECT source, n_docs,
 FROM agg
 ORDER BY admission_score DESC, source
 """
+
+ORACLE_SQL["q369_substring_dup_coverage"] = """
+WITH grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(string_split(text, ' '), s.i, s.i + 7), ' ')
+           AS gram
+  FROM documents,
+       LATERAL (
+         SELECT unnest(generate_series(
+           1, greatest(length(string_split(text, ' ')) - 7, 0))) AS i
+       ) s
+), per_doc_gram AS (
+  SELECT doc_id, gram, count(*) AS n_pos
+  FROM grams GROUP BY doc_id, gram
+), with_docs AS (
+  SELECT doc_id, n_pos,
+         count(*) OVER (PARTITION BY gram) AS n_docs
+  FROM per_doc_gram
+), per_doc AS (
+  SELECT doc_id,
+         cast(sum(n_pos) AS BIGINT) AS n_grams,
+         cast(coalesce(sum(n_pos) FILTER (WHERE n_docs > 1), 0) AS BIGINT)
+           AS n_dup_grams
+  FROM with_docs GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_dup_grams,
+       cast((n_dup_grams * 10000) // n_grams AS BIGINT) AS dup_bps
+FROM per_doc
+WHERE n_dup_grams > 0
+ORDER BY dup_bps DESC, n_grams DESC, doc_id
+LIMIT 100
+"""

@@ -12897,3 +12897,25 @@ def q368_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("admission_score"), "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q369 — per-document duplicated-substring coverage (Lee et al. 2022
+# exact-substring dedup DECISION): fraction of each doc's word 8-gram
+# positions whose gram appears in ANOTHER document, in exact integer
+# basis points. q135 lists the shared passages; this scores and ranks
+# the documents a trainer would drop/trim. One (doc,gram) partial agg +
+# one gram-partition window + one doc agg — gram strings never shuffle
+# (xxhash64 keys), and within-doc repeats collapse map-side.
+# ---------------------------------------------------------------------------
+@query("q369_substring_dup_coverage")
+def q369_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import substring_dup_coverage
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        substring_dup_coverage(docs, n=8)
+        .filter(F.col("n_dup_grams") > 0)
+        .orderBy(F.desc("dup_bps"), F.desc("n_grams"), "doc_id")
+        .limit(100)
+    )

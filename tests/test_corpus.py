@@ -299,3 +299,31 @@ def test_compression_ratio_bands(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_substring_dup_coverage_semantics(spark):
+    """Hand-built corpus, n=3 grams: doc a and b share one 3-word span;
+    doc c repeats its own gram (within-doc repeat is NOT cross-doc dup);
+    doc d is shorter than n and must be absent."""
+    from luxo_rs_spark.operators.corpus import substring_dup_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # grams: tqb qbf bfj... 3 grams
+            (2, "a quick brown fox sat down"),  # shares "quick brown fox"
+            (3, "x y z w x y z w"),             # 6 grams, self-repeats only
+            (4, "too short"),                   # < 3 words -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_bps"])
+        for r in substring_dup_coverage(docs, n=3).collect()
+    }
+    # doc1: 3 grams, 1 shared ("quick brown fox") -> 3333 bps
+    assert got[1] == (3, 1, 3333)
+    # doc2: 4 grams, 1 shared -> 2500 bps
+    assert got[2] == (4, 1, 2500)
+    # doc3: 6 positions, zero cross-doc dup despite internal repeats
+    assert got[3] == (6, 0, 0)
+    assert 4 not in got
