@@ -24,6 +24,11 @@ from luxo_rs_spark.streaming.sinks import (
     VersionedParquetTable,
     upsert_sink,
 )
+from luxo_rs_spark.streaming.state import (
+    enable_rocksdb_state,
+    rocksdb_state,
+)
+from luxo_rs_spark.streaming.tws import running_user_profile
 
 __all__ = [
     "EVENTS_STREAM_SCHEMA",
@@ -44,4 +49,7 @@ __all__ = [
     "stream_static_enrich",
     "VersionedParquetTable",
     "upsert_sink",
+    "enable_rocksdb_state",
+    "rocksdb_state",
+    "running_user_profile",
 ]

@@ -1106,3 +1106,82 @@ def test_streaming_quantiles_stateful(spark):
             rank = (vals <= est).mean()
             assert abs(rank - qq) <= 0.02, (r["key"], qq, est, rank)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rocksdb_state_store_backend(spark, stream_dir):
+    """RocksDB state store (§2.2-I scale path): the same watermarked
+    dedup runs correctly with state spilled to local RocksDB instead of
+    executor heap, and the query's state-operator metrics prove the
+    provider was engaged (customMetrics carry rocksdb* keys)."""
+    from luxo_rs_spark.streaming import dedup_stream, rocksdb_state
+
+    events = read_event_stream(spark, stream_dir)
+    ckpt = TMP / f"ckpt_rocksdb_{uuid.uuid4().hex[:8]}"
+    with rocksdb_state(spark):
+        q = (
+            dedup_stream(events, ["user_id", "event_type"])
+            .select("user_id", "event_type", "event_id")
+            .writeStream.format("memory")
+            .queryName("rocksdb_t")
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        progress = q.lastProgress
+    got = spark.table("rocksdb_t").toPandas()
+    shutil.rmtree(ckpt, ignore_errors=True)
+    batch = load_table(spark, SF_DIR, "events")
+    n_keys = batch.select("user_id", "event_type", "ts").distinct().count()
+    assert len(got) == n_keys
+    ops = progress["stateOperators"]
+    assert ops, "no state operator in progress"
+    custom = ops[0].get("customMetrics", {})
+    assert any("rocksdb" in k.lower() for k in custom), sorted(custom)[:5]
+
+
+def test_transform_with_state_user_profile(spark, stream_dir):
+    """StatefulProcessor API (transformWithStateInPandas, Spark 4):
+    typed value + map state maintain a per-user profile. Plan-level
+    verification (analysis, output schema, stateful operator present)
+    always runs; execution equivalence vs the batch agg needs the TWS
+    runner's protobuf dependency, so it is gated like the codec-less
+    media decoders."""
+    from luxo_rs_spark.streaming import rocksdb_state, running_user_profile
+
+    events = read_event_stream(spark, stream_dir).select(
+        "user_id", "event_type", "value"
+    )
+    out = running_user_profile(events)
+    assert out.isStreaming
+    assert [f.name for f in out.schema.fields] == [
+        "user_id", "n_events", "sum_value", "n_types",
+    ]
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithStateInPySpark" in plan or "transformWithState" in plan.lower()
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("TWS runner needs protobuf (absent in this container)")
+    with rocksdb_state(spark):
+        got = run_stream(
+            spark, out, "tws_profile_t", "update"
+        )
+    got = got.groupby("user_id").last().reset_index()
+    want = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .toPandas()
+    )
+    g = got.sort_values("user_id").reset_index(drop=True)
+    w = want.sort_values("user_id").reset_index(drop=True)
+    assert list(g["user_id"]) == list(w["user_id"])
+    assert list(g["n_events"]) == list(w["n_events"])
+    assert list(g["n_types"]) == list(w["n_types"])
+    assert (g["sum_value"] - w["sum_value"]).abs().max() < 1e-6
