@@ -6893,3 +6893,27 @@ WHERE n_dup_grams > 0
 ORDER BY dup_bps DESC, n_grams DESC, doc_id
 LIMIT 100
 """
+
+ORACLE_SQL["q370_xml_roundtrip"] = """
+SELECT o_orderstatus,
+       cast(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_price,
+       cast(min(o_orderkey) AS BIGINT) AS min_key,
+       cast(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+ORACLE_SQL["q371_variant_props"] = """
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       cast(min(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+       cast(max(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       cast(count(DISTINCT cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS n_distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -12919,3 +12919,66 @@ def q369_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dup_bps"), F.desc("n_grams"), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q370 — XML battery (Spark 4 built-in XML, §2.2-H format surface):
+# serialize each order to an XML fragment with to_xml, parse it back
+# with from_xml under an explicit schema, and aggregate the PARSED
+# fields — the checked semantics is that the XML roundtrip preserves
+# every value exactly (Java shortest-repr doubles parse back
+# bit-identical). Both directions are JVM expressions inside
+# whole-stage codegen; no Python touches the rows.
+# ---------------------------------------------------------------------------
+@query("q370_xml_roundtrip")
+def q370_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    xml = orders.select(
+        F.to_xml(
+            F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+        ).alias("frag")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "frag",
+            "o_orderkey bigint, o_orderstatus string, o_totalprice double",
+        ).alias("r")
+    ).select("r.*")
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            _r2(F.sum("o_totalprice")).alias("sum_price"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q371 — VARIANT ingestion (Spark 4 semi-structured type, §2.2-H):
+# parse the raw JSON `props` column into VariantType once, then extract
+# typed paths with variant_get — the open-schema ingest pattern that
+# replaces rigid from_json schemas when upstream JSON drifts. Variant
+# parse + path extraction are JVM intrinsics over a binary encoding
+# (no per-row JSON re-parse per path, unlike get_json_object chains).
+# ---------------------------------------------------------------------------
+@query("q371_variant_props")
+def q371_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(k).cast("bigint").alias("sum_k"),
+            F.min(k).cast("bigint").alias("min_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+            F.countDistinct(k).cast("bigint").alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )

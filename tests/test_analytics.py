@@ -143,3 +143,26 @@ def test_scd2_single_event_user_open_interval(spark):
     ]
     # the x interval closes exactly at y's start
     assert out[1].to_us == out[2].from_us
+
+
+def test_variant_parquet_roundtrip(spark, tmp_path):
+    """VariantType survives a parquet write/read (Spark 4 shredded
+    variant storage) and path extraction still works on the read-back
+    column — the open-schema ingest pattern q371 relies on."""
+    df = spark.createDataFrame(
+        [(1, '{"k": 7, "tags": ["a", "b"]}'), (2, '{"k": -3}')],
+        "id long, j string",
+    ).select("id", F.parse_json("j").alias("v"))
+    path = str(tmp_path / "variant_rt")
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert back.schema["v"].dataType.typeName() == "variant"
+    got = {
+        r["id"]: (r["k"], r["t0"])
+        for r in back.select(
+            "id",
+            F.variant_get("v", "$.k", "bigint").alias("k"),
+            F.variant_get("v", "$.tags[0]", "string").alias("t0"),
+        ).collect()
+    }
+    assert got == {1: (7, "a"), 2: (-3, None)}
