@@ -6917,3 +6917,18 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+from luxo_rs_spark.plans.queries import _Q372_SQL
+
+ORACLE_SQL["q372_recursive_bfs"] = _Q372_SQL
+
+ORACLE_SQL["q373_pipe_syntax"] = """
+SELECT cast(count(*) AS BIGINT) AS n,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(avg(l_quantity), 2) AS avg_qty,
+       l_returnflag, l_linestatus
+FROM lineitem
+WHERE l_quantity > 5
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""

@@ -12982,3 +12982,71 @@ def q371_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q372 — recursive CTE (Spark 4.1 WITH RECURSIVE, §2.2-G set-op/CTE
+# surface): bounded-depth BFS over the support-thresholded co-purchase
+# graph — min hop distance from the smallest part id within 2 hops.
+# The SAME SQL text runs on DuckDB as the oracle, so the checked
+# semantics is the recursion itself (iteration-to-fixpoint with the
+# UNION ALL step relation), not a hand-matched re-implementation. The
+# depth guard bounds the step relation; each recursive step is one
+# equi-join Catalyst plans like any other (shuffle on the frontier,
+# broadcast-able edge side at this selectivity).
+# ---------------------------------------------------------------------------
+_Q372_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT a, b FROM (
+    SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS s
+    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+    JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+      ON x.l_orderkey = y.l_orderkey AND x.l_partkey <> y.l_partkey
+    GROUP BY x.l_partkey, y.l_partkey
+  ) WHERE s >= 2
+), seed AS (
+  SELECT min(a) AS root FROM edges
+), reach(node, depth) AS (
+  SELECT root, 0 FROM seed
+  UNION ALL
+  SELECT e.b, r.depth + 1
+  FROM reach r JOIN edges e ON e.a = r.node
+  WHERE r.depth < 2
+)
+SELECT node, cast(min(depth) AS BIGINT) AS dist
+FROM reach GROUP BY node ORDER BY dist, node LIMIT 50
+"""
+
+
+@query("q372_recursive_bfs")
+def q372_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q372_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Q373 — SQL pipe syntax (Spark 4 |> operators): the q01 pricing-
+# summary shape expressed as a linear pipeline — FROM |> WHERE |>
+# AGGREGATE ... GROUP BY |> ORDER BY. Pure parser surface: the plan is
+# identical to the classic SELECT (verified by the classic-SQL oracle),
+# so coverage here is "a user's pipe-syntax queries run unchanged".
+# ---------------------------------------------------------------------------
+@query("q373_pipe_syntax")
+def q373_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 5
+        |> AGGREGATE cast(count(*) AS BIGINT) AS n,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                     round(avg(l_quantity), 2) AS avg_qty
+           GROUP BY l_returnflag, l_linestatus
+        |> ORDER BY l_returnflag, l_linestatus
+        """
+    )
