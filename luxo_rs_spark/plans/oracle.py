@@ -6932,3 +6932,25 @@ WHERE l_quantity > 5
 GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus
 """
+
+ORACLE_SQL["q374_sql_udf"] = """
+SELECT l.l_returnflag,
+       cast(count(*) AS BIGINT) AS n,
+       round(sum(l.l_extendedprice * (1 - l.l_discount) * (1 + l.l_tax)), 2)
+         AS charged
+FROM lineitem l
+JOIN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F') o
+  ON l.l_orderkey = o.o_orderkey
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+ORACLE_SQL["q375_session_variables"] = """
+SELECT c_nationkey,
+       cast(count(*) AS BIGINT) AS n_rich,
+       round(avg(c_acctbal), 2) AS avg_bal
+FROM customer
+WHERE c_acctbal >= 1000.0 AND c_mktsegment = 'BUILDING'
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""

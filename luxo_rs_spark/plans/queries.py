@@ -13050,3 +13050,71 @@ def q373_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         |> ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q374 — SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN, §2.2-J):
+# scalar + table function declared in pure SQL — no Python worker, the
+# body INLINES into the calling plan (Catalyst substitutes it like a
+# view), so unlike external UDFs these are codegen-transparent and
+# optimizer-visible (pushdown through the UDF works). Scalar UDF
+# computes the discounted price; the SQL table UDF parameterizes a
+# status slice of orders joined against it.
+# ---------------------------------------------------------------------------
+@query("q374_sql_udf")
+def q374_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("lineitem", "orders"))
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION luxo_disc_price"
+        "(p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE"
+        " RETURN p * (1 - d) * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION luxo_status_orders"
+        "(st STRING) RETURNS TABLE(o_orderkey BIGINT, o_totalprice DOUBLE)"
+        " RETURN SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_orderstatus = st"
+    )
+    return spark.sql(
+        """
+        SELECT l.l_returnflag,
+               cast(count(*) AS BIGINT) AS n,
+               round(sum(luxo_disc_price(l.l_extendedprice, l.l_discount,
+                                         l.l_tax)), 2) AS charged
+        FROM lineitem l
+        JOIN luxo_status_orders('F') o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag
+        ORDER BY l.l_returnflag
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q375 — SQL session variables (Spark 4 DECLARE / SET VARIABLE):
+# a parameterized analysis where the thresholds live in typed session
+# variables rather than string-interpolated literals — the SQL-native
+# parameterization story (safe from injection, visible to the
+# optimizer as foldable constants once set).
+# ---------------------------------------------------------------------------
+@query("q375_session_variables")
+def q375_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("customer",))
+    spark.sql("DECLARE OR REPLACE VARIABLE luxo_min_bal DOUBLE DEFAULT 0.0")
+    spark.sql("DECLARE OR REPLACE VARIABLE luxo_segment STRING DEFAULT ''")
+    spark.sql("SET VARIABLE luxo_min_bal = 1000.0")
+    spark.sql("SET VARIABLE luxo_segment = 'BUILDING'")
+    return spark.sql(
+        """
+        SELECT c_nationkey,
+               cast(count(*) AS BIGINT) AS n_rich,
+               round(avg(c_acctbal), 2) AS avg_bal
+        FROM customer
+        WHERE c_acctbal >= luxo_min_bal AND c_mktsegment = luxo_segment
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+        """
+    )

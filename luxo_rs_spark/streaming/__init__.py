@@ -26,6 +26,7 @@ from luxo_rs_spark.streaming.sinks import (
 )
 from luxo_rs_spark.streaming.state import (
     enable_rocksdb_state,
+    read_state,
     rocksdb_state,
 )
 from luxo_rs_spark.streaming.tws import running_user_profile
@@ -50,6 +51,7 @@ __all__ = [
     "VersionedParquetTable",
     "upsert_sink",
     "enable_rocksdb_state",
+    "read_state",
     "rocksdb_state",
     "running_user_profile",
 ]

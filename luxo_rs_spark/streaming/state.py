@@ -65,3 +65,28 @@ def rocksdb_state(
                 spark.conf.unset(key)
             else:
                 spark.conf.set(key, prev)
+
+
+def read_state(
+    spark: SparkSession,
+    checkpoint: str,
+    operator_id: int = 0,
+    store_name: str | None = None,
+    batch_id: int | None = None,
+):
+    """Offline state inspection via the state-store data source (Spark
+    4 ``statestore`` format): read a stopped (or running) streaming
+    query's checkpointed state as a DataFrame of (key, value,
+    partition_id) structs — the ops answer to "what is this stateful
+    query actually holding?" without instrumenting the query itself.
+    Works against both HDFS-backed and RocksDB state, any operator in
+    the checkpoint (``operator_id``) and any committed micro-batch
+    (``batch_id``, default latest)."""
+    reader = spark.read.format("statestore").option(
+        "operatorId", operator_id
+    )
+    if store_name is not None:
+        reader = reader.option("storeName", store_name)
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    return reader.load(checkpoint)

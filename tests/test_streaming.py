@@ -1185,3 +1185,43 @@ def test_transform_with_state_user_profile(spark, stream_dir):
     assert list(g["n_events"]) == list(w["n_events"])
     assert list(g["n_types"]) == list(w["n_types"])
     assert (g["sum_value"] - w["sum_value"]).abs().max() < 1e-6
+
+
+def test_state_store_reader_inspects_dedup_state(spark):
+    """State-store data source (§2.2-I ops surface): after a dedup
+    stream drains, `read_state` over its checkpoint returns exactly the
+    distinct keys the operator is holding."""
+    from luxo_rs_spark.streaming.state import read_state
+
+    d = TMP / f"stinspect_{uuid.uuid4().hex[:8]}"
+    (d / "in").mkdir(parents=True)
+    import glob
+
+    batch = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, "b")], "k long, v string"
+    )
+    stage = d / "stage"
+    batch.coalesce(1).write.mode("overwrite").parquet(str(stage))
+    shutil.copy(
+        glob.glob(str(stage / "part-*.parquet"))[0], d / "in" / "f.parquet"
+    )
+    ckpt = str(d / "ck")
+    try:
+        q = (
+            spark.readStream.schema("k long, v string")
+            .parquet(str(d / "in"))
+            .dropDuplicates(["k"])
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        st = read_state(spark, ckpt)
+        keys = sorted(r["key"]["k"] for r in st.collect())
+        assert keys == [1, 2, 3]
+        assert {f.name for f in st.schema.fields} >= {
+            "key", "value", "partition_id",
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
