@@ -1,0 +1,97 @@
+"""Distributed graph operators beyond connected components (SURVEY.md
+§2.2-K analytics extension): PageRank by power iteration.
+
+Spark-first shape: ranks and out-degrees are DataFrames keyed by node;
+one iteration = one equi-join (contributions flow along edges) + one
+groupBy-sum (gather), both standard shuffles Catalyst plans with
+partial aggregation. Dangling mass (nodes with no out-edges) is
+collected as ONE scalar per round (a single-row agg — not a per-node
+driver loop) and redistributed uniformly, which keeps the total mass
+at exactly 1 so ranks are probabilities.
+
+Scale notes (100 TB): per round the shuffled volume is |edges| rows of
+two longs + a double — the join is on the edge src key, so a
+pre-partitioned/bucketed edge table makes every round's join
+co-located. Lineage is truncated per round with localCheckpoint
+(else the plan doubles each iteration); a durable checkpoint dir is
+the production fault-tolerance choice. Rounds are fixed-count
+(deterministic, no convergence-count job per round); 10-20 rounds is
+the standard envelope for web-scale graphs (Page et al. 1999).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def out_degrees(edges: DataFrame) -> DataFrame:
+    """(node, out_deg) from a directed edge list (src, dst)."""
+    return edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+) -> DataFrame:
+    """(node, rank) after ``iters`` power iterations over the directed
+    (src, dst) edge list; ranks sum to 1. Deterministic given the edge
+    set (fixed rounds, no RNG)."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    # degree folds into the edge table ONCE — per round the scatter is a
+    # single equi-join against this static frame, not join-then-join
+    edges_w = (
+        edges.join(
+            out_degrees(edges).withColumnRenamed("node", "src"), "src"
+        )
+        .select("src", "dst", "out_deg")
+        .localCheckpoint(eager=True)
+    )
+    # the dangling-node SET is static; only its mass changes per round
+    dangling_nodes = nodes.join(
+        edges.select(F.col("src").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.lit(float(n_nodes))).alias("rank")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        # dangling mass stays IN the plan: a single-row aggregate
+        # broadcast-cross-joined into the update, so each round costs
+        # exactly one action (the localCheckpoint) — no extra
+        # driver-side collect job per round
+        dangling = ranks.join(dangling_nodes, "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")
+        )
+        contribs = (
+            edges_w.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("gathered"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("gathered", F.lit(0.0))
+                        + F.col("__dm") / F.lit(float(n_nodes))
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -13118,3 +13118,55 @@ def q375_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_nationkey
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q376 — PageRank over the co-purchase graph (power iteration,
+# operators/graph.py): which parts are structurally central in the
+# bought-together network. Declared rows-only: 10 rounds of float
+# power iteration aren't SQL-expressible in DuckDB without replaying
+# engine-specific summation order; semantics are pinned against an
+# exact dense numpy power iteration in tests/test_graph.py (1e-12),
+# plus determinism across partitionings.
+# ---------------------------------------------------------------------------
+@query("q376_pagerank")
+def q376_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    # same support-thresholded undirected co-purchase edges as q275,
+    # materialized in both directions (PageRank wants a directed list)
+    pairs = (
+        op.alias("x")
+        .join(
+            op.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= 2)
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return (
+        pagerank(edges, damping=0.85, iters=6)
+        .select(
+            F.col("node").alias("part_id"),
+            F.round("rank", 8).alias("rank"),
+        )
+        .orderBy(F.desc("rank"), "part_id")
+        .limit(20)
+    )
+
+
+NO_ORACLE.add("q376_pagerank")

@@ -1,0 +1,55 @@
+"""PageRank semantics vs an exact dense numpy power iteration —
+the same cross-check style as the k-means / t-digest operators."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from luxo_rs_spark.operators.graph import out_degrees, pagerank
+
+
+def _numpy_pagerank(edge_list, damping, iters):
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in edge_list:
+        out[idx[s]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for s, d in edge_list:
+            nxt[idx[d]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (nxt + dangling / n)
+    return {u: r[idx[u]] for u in nodes}
+
+
+@pytest.mark.parametrize("iters", [1, 10])
+def test_pagerank_matches_numpy(spark, iters):
+    # 5-node graph with a cycle, a hub, and a DANGLING node (5)
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 1), (2, 5), (3, 5)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, 0.85, iters).collect()}
+    want = _numpy_pagerank(edge_list, 0.85, iters)
+    assert set(got) == set(want)
+    for u in want:
+        assert abs(got[u] - want[u]) < 1e-12, (u, got[u], want[u])
+    # ranks are a probability distribution
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_out_degrees(spark):
+    edges = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "src long, dst long")
+    got = {r["node"]: r["out_deg"] for r in out_degrees(edges).collect()}
+    assert got == {1: 2, 2: 1}
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    edge_list = [(i, (i * 7) % 23) for i in range(23)] + [(3, 11), (11, 3)]
+    e1 = spark.createDataFrame(edge_list, "src long, dst long").repartition(2)
+    e2 = spark.createDataFrame(edge_list, "src long, dst long").repartition(16)
+    r1 = sorted((r["node"], round(r["rank"], 12)) for r in pagerank(e1, 0.85, 5).collect())
+    r2 = sorted((r["node"], round(r["rank"], 12)) for r in pagerank(e2, 0.85, 5).collect())
+    assert r1 == r2
