@@ -6954,3 +6954,15 @@ WHERE c_acctbal >= 1000.0 AND c_mktsegment = 'BUILDING'
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+ORACLE_SQL["q377_arrow_doc_stats"] = """
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(length(text)) AS BIGINT) AS sum_chars,
+       cast(sum(octet_length(cast(text AS BLOB))) AS BIGINT) AS sum_bytes,
+       cast(sum(length(string_split(text, ' '))) AS BIGINT) AS sum_words,
+       cast(max(length(string_split(text, ' '))) AS BIGINT) AS max_words
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

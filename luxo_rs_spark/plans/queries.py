@@ -13170,3 +13170,31 @@ def q376_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE.add("q376_pagerank")
+
+
+# ---------------------------------------------------------------------------
+# Q377 — Arrow-native corpus profiling (mapInArrow, §2.2-J): per-source
+# aggregate of per-doc metrics computed by pyarrow.compute kernels with
+# NO pandas materialization — the zero-copy tier below pandas UDFs for
+# string-heavy profiling. The oracle recomputes the same metrics in
+# SQL, so the Arrow kernel semantics (codepoint vs byte length, split
+# word count) are value-checked, not just smoke-tested.
+# ---------------------------------------------------------------------------
+@query("q377_arrow_doc_stats")
+def q377_arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.arrow_ops import arrow_doc_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = arrow_doc_stats(docs)
+    return (
+        stats.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
+            F.sum("n_words").cast("bigint").alias("sum_words"),
+            F.max("n_words").cast("bigint").alias("max_words"),
+        )
+        .orderBy("source")
+    )
