@@ -29,6 +29,10 @@ from luxo_rs_spark.streaming.state import (
     read_state,
     rocksdb_state,
 )
+from luxo_rs_spark.streaming.neardup_ingest import (
+    NearDupIngest,
+    neardup_ingest_sink,
+)
 from luxo_rs_spark.streaming.tws import running_user_profile
 
 __all__ = [
@@ -51,6 +55,8 @@ __all__ = [
     "VersionedParquetTable",
     "upsert_sink",
     "enable_rocksdb_state",
+    "NearDupIngest",
+    "neardup_ingest_sink",
     "read_state",
     "rocksdb_state",
     "running_user_profile",

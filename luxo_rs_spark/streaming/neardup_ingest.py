@@ -1,0 +1,237 @@
+"""Streaming incremental near-dup ingest (SURVEY.md §2.2-K x §2.2-I):
+continuous corpus ingestion that drops documents near-duplicating
+ANYTHING already admitted — the production shape of MinHash-LSH dedup
+when the corpus arrives as a stream instead of a batch.
+
+Per micro-batch (foreachBatch):
+
+1. MinHash signatures for the batch docs (the same 128-perm
+   ``operators/dedup.minhash_signatures`` machinery as batch q32).
+2. Candidates = batch band buckets equi-joined against the ACCUMULATED
+   band store plus the within-batch band self-join — never all-pairs.
+3. Verify candidates on SIGNATURE agreement (fraction of equal minhash
+   components estimates jaccard, Broder 1997): a doc is dropped when
+   its estimated similarity to any earlier-admitted doc — store docs,
+   or batch docs with a smaller id — reaches the threshold.
+4. Survivors' rows, signatures, and band buckets are appended to the
+   store; dropped docs never enter it.
+
+The store keeps 128 longs + 32 bucket rows per admitted doc — bounded
+state that never re-reads raw text, which is what makes the pattern
+viable at 100 TB of history: the per-batch work is |batch| x (band
+collisions), and the band join against history is an equi-join on
+(band, bucket) a real deployment partitions the store by.
+
+Determinism: the drop rule is pure (no RNG, seeded permutations), so
+any arrival split of the same ordered corpus admits the same set —
+pinned in tests against a pure-numpy replay of the same rule.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from luxo_rs_spark.operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    NUM_PERM,
+    minhash_signatures,
+)
+
+_SIG_COLS = [f"m{i}" for i in range(NUM_PERM)]
+
+
+def band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id, band, bucket): one row per LSH band — the equi-join key
+    space for candidate generation (identical hashing to the batch
+    ``lsh_candidate_pairs``)."""
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(bands).alias("band", "bucket")
+    )
+
+
+def _sig_agreement() -> F.Column:
+    """Estimated jaccard between two aliased signature rows `a` and
+    `b`: fraction of agreeing minhash components."""
+    eq = sum(
+        F.when(F.col(f"a.{c}") == F.col(f"b.{c}"), 1).otherwise(0)
+        for c in _SIG_COLS
+    )
+    return eq / F.lit(float(NUM_PERM))
+
+
+class NearDupIngest:
+    """foreachBatch handler holding the admitted-doc store under
+    ``store_dir`` (parquet: docs/, sigs/, bands/)."""
+
+    def __init__(
+        self,
+        store_dir: str,
+        threshold: float = 0.7,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n: int = 3,
+    ) -> None:
+        self.store_dir = store_dir
+        self.threshold = threshold
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+
+    def _path(self, part: str) -> str:
+        return os.path.join(self.store_dir, part)
+
+    def _read_store(self, spark: SparkSession, part: str) -> DataFrame | None:
+        path = self._path(part)
+        if not os.path.isdir(path):
+            return None
+        return spark.read.parquet(path)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        idc = self.id_col
+        batch = batch.localCheckpoint(eager=True)
+        sigs = minhash_signatures(
+            batch, idc, self.text_col, self.n
+        ).localCheckpoint(eager=True)
+        bands = band_buckets(sigs, idc)
+
+        # phase 1 — against HISTORY: a doc matching any admitted store
+        # doc is dropped outright (store docs are all admitted)
+        store_bands = self._read_store(spark, "bands")
+        dropped_ids = None
+        if store_bands is not None:
+            store_sigs = self._read_store(spark, "sigs")
+            cand = (
+                bands.alias("nb")
+                .join(store_bands.alias("ob"), ["band", "bucket"])
+                .select(
+                    F.col(f"nb.{idc}").alias("new_id"),
+                    F.col(f"ob.{idc}").alias("old_id"),
+                )
+                .distinct()
+            )
+            dropped_ids = (
+                cand.join(sigs.alias("a"), cand.new_id == F.col(f"a.{idc}"))
+                .join(
+                    store_sigs.alias("b"),
+                    cand.old_id == F.col(f"b.{idc}"),
+                )
+                .filter(_sig_agreement() >= self.threshold)
+                .select(F.col("new_id").alias(idc))
+                .distinct()
+            )
+
+        undecided = sigs.select(idc)
+        if dropped_ids is not None:
+            undecided = undecided.join(dropped_ids, idc, "left_anti")
+
+        # phase 2 — WITHIN the batch: sequential-greedy admission
+        # (a doc is dropped only by an ADMITTED earlier doc), computed
+        # distributed as the iterative lexicographic greedy MIS: each
+        # round admits the docs with no surviving smaller-id match,
+        # then removes the docs those admissions kill; rounds = chain
+        # depth (near-dup chains are shallow; 32 bounds adversarial
+        # input). This makes admission INVARIANT to how the corpus is
+        # split into micro-batches — pinned in tests.
+        pairs = (
+            bands.alias("x")
+            .join(bands.alias("y"), ["band", "bucket"])
+            .filter(F.col(f"y.{idc}") < F.col(f"x.{idc}"))
+            .select(
+                F.col(f"x.{idc}").alias("new_id"),
+                F.col(f"y.{idc}").alias("old_id"),
+            )
+            .distinct()
+        )
+        pairs = (
+            pairs.join(sigs.alias("a"), pairs.new_id == F.col(f"a.{idc}"))
+            .join(sigs.alias("b"), pairs.old_id == F.col(f"b.{idc}"))
+            .filter(_sig_agreement() >= self.threshold)
+            .select("new_id", "old_id")
+            .join(
+                undecided.withColumnRenamed(idc, "new_id"), "new_id"
+            )
+            .join(
+                undecided.withColumnRenamed(idc, "old_id"), "old_id"
+            )
+            .localCheckpoint(eager=True)
+        )
+        admitted = None
+        undecided = undecided.localCheckpoint(eager=True)
+        for _ in range(32):
+            blocked = pairs.select(F.col("new_id").alias(idc)).distinct()
+            minimal = undecided.join(blocked, idc, "left_anti")
+            admitted = (
+                minimal
+                if admitted is None
+                else admitted.unionByName(minimal)
+            ).localCheckpoint(eager=True)
+            killed = (
+                pairs.join(
+                    minimal.withColumnRenamed(idc, "old_id"), "old_id"
+                )
+                .select(F.col("new_id").alias(idc))
+                .distinct()
+            )
+            undecided = (
+                undecided.join(minimal, idc, "left_anti")
+                .join(killed, idc, "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if undecided.isEmpty():
+                break
+            pairs = (
+                pairs.join(
+                    undecided.withColumnRenamed(idc, "new_id"), "new_id"
+                )
+                .join(
+                    undecided.withColumnRenamed(idc, "old_id"), "old_id"
+                )
+                .localCheckpoint(eager=True)
+            )
+        survivors = batch.join(admitted, idc, "left_semi")
+        surv_sigs = sigs.join(admitted, idc, "left_semi")
+
+        survivors.write.mode("append").parquet(self._path("docs"))
+        surv_sigs.write.mode("append").parquet(self._path("sigs"))
+        band_buckets(surv_sigs, idc).write.mode("append").parquet(
+            self._path("bands")
+        )
+
+    def admitted(self, spark: SparkSession) -> DataFrame:
+        """The admitted corpus so far."""
+        out = self._read_store(spark, "docs")
+        if out is None:
+            raise ValueError(f"no admitted docs yet under {self.store_dir}")
+        return out
+
+
+def neardup_ingest_sink(
+    docs_stream: DataFrame,
+    store_dir: str,
+    checkpoint: str,
+    threshold: float = 0.7,
+    **kwargs,
+):
+    """Wire a streaming docs source into the incremental near-dup
+    store; returns the started StreamingQuery."""
+    ingest = NearDupIngest(store_dir, threshold, **kwargs)
+    return (
+        docs_stream.writeStream.foreachBatch(ingest.process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
