@@ -6966,3 +6966,12 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+ORACLE_SQL["q378_polymorphic_udtf"] = """
+SELECT event_type,
+       cast(count(*) AS BIGINT) AS n,
+       cast(sum(cast(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -13198,3 +13198,60 @@ def q377_arrow_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q378 — polymorphic Python UDTF (§2.2-J): analyze()-time schema — the
+# output columns are computed FROM THE ARGUMENTS during analysis (one
+# column per key of the sample JSON), the Spark 4 mechanism for
+# schema-on-read splats that fixed-returnType UDTFs cannot express.
+# eval() re-derives the key list from the same literal, so executor
+# behavior matches the analyzed schema by construction.
+# ---------------------------------------------------------------------------
+@query("q378_polymorphic_udtf")
+def q378_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql import types as T
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    from luxo_rs_spark.sources.registry import register_views
+
+    @udtf
+    class JsonSplat:
+        @staticmethod
+        def analyze(
+            sample: AnalyzeArgument, col: AnalyzeArgument
+        ) -> AnalyzeResult:
+            keys = sorted(_json.loads(sample.value))
+            return AnalyzeResult(
+                T.StructType(
+                    [T.StructField(k, T.StringType()) for k in keys]
+                )
+            )
+
+        def __init__(self):
+            self._keys = None
+
+        def eval(self, sample: str, j: str):
+            if self._keys is None:
+                self._keys = sorted(_json.loads(sample))
+            d = _json.loads(j) if j else {}
+            yield tuple(
+                str(d[k]) if k in d and d[k] is not None else None
+                for k in self._keys
+            )
+
+    spark.udtf.register("luxo_json_splat", JsonSplat)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        """
+        SELECT e.event_type,
+               cast(count(*) AS BIGINT) AS n,
+               cast(sum(cast(s.k AS BIGINT)) AS BIGINT) AS sum_k
+        FROM events e, LATERAL luxo_json_splat('{"k": 0}', e.props) s
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+        """
+    )
