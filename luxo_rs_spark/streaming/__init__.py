@@ -21,7 +21,9 @@ from luxo_rs_spark.streaming.joins import (
     stream_static_enrich,
 )
 from luxo_rs_spark.streaming.sinks import (
+    RowAuditWriter,
     VersionedParquetTable,
+    row_audit_sink,
     upsert_sink,
 )
 from luxo_rs_spark.streaming.state import (
@@ -52,7 +54,9 @@ __all__ = [
     "interval_join_streams_full_outer",
     "interval_join_streams_outer",
     "stream_static_enrich",
+    "RowAuditWriter",
     "VersionedParquetTable",
+    "row_audit_sink",
     "upsert_sink",
     "enable_rocksdb_state",
     "NearDupIngest",

@@ -137,3 +137,53 @@ def upsert_sink(table: VersionedParquetTable, key: str):
         table.commit(merged, batch_id)
 
     return write
+
+
+class RowAuditWriter:
+    """Per-row ForeachWriter (§2.2-I sink surface): the row-at-a-time
+    escape hatch for sinks with no batch API (alerts, webhooks, legacy
+    stores). Each partition-epoch opens its own JSONL file under
+    ``out_dir`` so executor-side writes never contend; idempotent
+    replays overwrite the same (partition, epoch) file, which is what
+    makes the at-least-once contract safe to re-run. foreachBatch
+    (``upsert_sink``) remains the right tool when the target CAN absorb
+    batches — this writer exists for when it can't."""
+
+    def __init__(self, out_dir: str, columns: list[str]) -> None:
+        self.out_dir = out_dir
+        self.columns = columns
+
+    def open(self, partition_id: int, epoch_id: int) -> bool:
+        import os
+
+        os.makedirs(self.out_dir, exist_ok=True)
+        self._fh = open(
+            os.path.join(
+                self.out_dir, f"p{partition_id:05d}_e{epoch_id:010d}.jsonl"
+            ),
+            "w",
+        )
+        return True
+
+    def process(self, row) -> None:
+        import json
+
+        self._fh.write(
+            json.dumps({c: row[c] for c in self.columns}, default=str) + "\n"
+        )
+
+    def close(self, error) -> None:
+        self._fh.close()
+        if error is not None:
+            raise error
+
+
+def row_audit_sink(df, out_dir: str, checkpoint: str, columns: list[str]):
+    """Wire a stream into the per-row JSONL audit writer; returns the
+    started StreamingQuery."""
+    return (
+        df.writeStream.foreach(RowAuditWriter(out_dir, columns))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1317,3 +1317,36 @@ def test_neardup_ingest_matches_sequential_greedy(spark):
     assert got_b == admitted_ref, (got_b, admitted_ref)
     # sanity: the scenario actually exercises dropping
     assert len(admitted_ref) < 8
+
+
+def test_foreach_row_sink_writes_every_row(spark, stream_dir):
+    """Per-row ForeachWriter sink: the union of executor-written JSONL
+    files equals the source rows exactly."""
+    import json as _json
+
+    from luxo_rs_spark.streaming.sinks import row_audit_sink
+
+    d = TMP / f"rowsink_{uuid.uuid4().hex[:8]}"
+    events = read_event_stream(spark, stream_dir).select(
+        "event_id", "event_type"
+    )
+    try:
+        q = row_audit_sink(
+            events, str(d / "out"), str(d / "ck"),
+            ["event_id", "event_type"],
+        )
+        q.awaitTermination(120)
+        got = {}
+        for f in (d / "out").glob("*.jsonl"):
+            for line in f.read_text().splitlines():
+                r = _json.loads(line)
+                got[r["event_id"]] = r["event_type"]
+        want = {
+            r["event_id"]: r["event_type"]
+            for r in load_table(spark, SF_DIR, "events")
+            .select("event_id", "event_type")
+            .collect()
+        }
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
