@@ -202,7 +202,14 @@ class NearDupIngest:
                 )
                 .localCheckpoint(eager=True)
             )
-        survivors = batch.join(admitted, idc, "left_semi")
+        # docs too short to shingle have no signature and therefore no
+        # similarity evidence — they are ADMITTED (they carry no bands
+        # into the store either; an exact content-hash path would be
+        # the right extra guard for a production ingest)
+        no_sig = batch.join(sigs.select(idc), idc, "left_anti").select(idc)
+        survivors = batch.join(
+            admitted.unionByName(no_sig), idc, "left_semi"
+        )
         surv_sigs = sigs.join(admitted, idc, "left_semi")
 
         survivors.write.mode("append").parquet(self._path("docs"))

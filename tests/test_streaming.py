@@ -1253,6 +1253,7 @@ def test_neardup_ingest_matches_sequential_greedy(spark):
         (6, f"{base} {tail}"),                # exact dup of 1
         (7, "another standalone document entirely unlike the rest ok"),
         (8, f"{uniq} trailing marker"),       # near-dup of 4
+        (9, "two words"),                     # sub-shingle: no signature
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     t = 0.35
@@ -1267,11 +1268,16 @@ def test_neardup_ingest_matches_sequential_greedy(spark):
         minhash_signatures(docs)
     ).collect():
         buck.setdefault(r["doc_id"], set()).add((r["band"], r["bucket"]))
+    all_ids = [r[0] for r in rows]
     admitted_ref = []
-    for did in sorted(sig_rows):
+    for did in sorted(all_ids):
+        if did not in sig_rows:
+            # sub-shingle doc: no similarity evidence -> admitted
+            admitted_ref.append(did)
+            continue
         drop = False
         for prev in admitted_ref:
-            if buck[did] & buck[prev]:
+            if buck[did] & buck.get(prev, set()):
                 agree = sum(
                     a == b for a, b in zip(sig_rows[did], sig_rows[prev])
                 ) / 128.0
@@ -1311,12 +1317,13 @@ def test_neardup_ingest_matches_sequential_greedy(spark):
         shutil.rmtree(d, ignore_errors=True)
         return got
 
-    got_a = run_split([[1, 2, 3, 4], [5, 6, 7, 8]])
+    got_a = run_split([[1, 2, 3, 4], [5, 6, 7, 8, 9]])
     assert got_a == admitted_ref, (got_a, admitted_ref)
-    got_b = run_split([[1, 2, 3, 4, 5, 6], [7, 8]])
+    got_b = run_split([[1, 2, 3, 4, 5, 6], [7, 8, 9]])
     assert got_b == admitted_ref, (got_b, admitted_ref)
-    # sanity: the scenario actually exercises dropping
-    assert len(admitted_ref) < 8
+    # sanity: dropping happens AND the sub-shingle doc is admitted
+    assert len(admitted_ref) < 9
+    assert 9 in admitted_ref
 
 
 def test_foreach_row_sink_writes_every_row(spark, stream_dir):
