@@ -6975,3 +6975,49 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+ORACLE_SQL["q379_linear_interpolation"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         round(sum(value), 2) / count(*) AS v
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT e.event_type, gs.h
+  FROM (SELECT DISTINCT event_type FROM events) e,
+       bounds b,
+       LATERAL (
+         SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+       ) gs
+), joined AS (
+  SELECT s.event_type,
+         cast(epoch_us(s.h) AS BIGINT) AS t,
+         hourly.v
+  FROM spine s LEFT JOIN hourly
+    ON s.event_type = hourly.event_type AND s.h = hourly.h
+), ctx AS (
+  SELECT event_type, t, v,
+         last_value(v IGNORE NULLS) OVER w_back AS prev_v,
+         first_value(v IGNORE NULLS) OVER w_fwd AS next_v,
+         last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER w_back AS prev_t,
+         first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+           OVER w_fwd AS next_t
+  FROM joined
+  WINDOW
+    w_back AS (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_fwd AS (PARTITION BY event_type ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, t AS hour_us,
+       CASE WHEN v IS NOT NULL THEN v
+            ELSE prev_v + (next_v - prev_v)
+                 * ((t - prev_t) / cast(next_t - prev_t AS DOUBLE))
+       END AS v_interp,
+       v IS NULL AS was_gap
+FROM ctx
+ORDER BY event_type, hour_us
+"""

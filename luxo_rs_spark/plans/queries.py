@@ -13255,3 +13255,75 @@ def q378_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY e.event_type
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q379 — LINEAR-INTERPOLATION gap fill (timeseries resampling, the
+# two-sided sibling of q103's LOCF): missing hours on the dense spine
+# get prev + (next - prev) * elapsed/gap. Determinism: the hourly
+# means are rounded to cents BEFORE interpolation (absorbing
+# engine-specific summation order), so the interpolation itself is a
+# fixed IEEE expression over identical doubles — bit-identical across
+# engines and emitted UNROUNDED (a final round() can flip on half-
+# boundaries because the engines round doubles differently; identical
+# doubles stringify identically, which is what the gate hashes).
+# Edges (before first /
+# after last observation) stay NULL by contract. One window pass per
+# direction over the spine — no self-join against the observation set.
+# ---------------------------------------------------------------------------
+@query("q379_linear_interpolation")
+def q379_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg((_r2(F.sum("value")) / F.count(F.lit(1))).alias("v"))
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", F.unix_micros("h").alias("t"), "v"
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    prev_v = F.last("v", ignorenulls=True).over(back)
+    next_v = F.first("v", ignorenulls=True).over(fwd)
+    prev_t = F.last(
+        F.when(F.col("v").isNotNull(), F.col("t")), ignorenulls=True
+    ).over(back)
+    next_t = F.first(
+        F.when(F.col("v").isNotNull(), F.col("t")), ignorenulls=True
+    ).over(fwd)
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        prev_v
+        + (next_v - prev_v)
+        * ((F.col("t") - prev_t) / (next_t - prev_t))
+    )
+    return (
+        joined.select(
+            "event_type",
+            F.col("t").alias("hour_us"),
+            interp.alias("v_interp"),
+            F.col("v").isNull().alias("was_gap"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
