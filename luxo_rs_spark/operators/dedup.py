@@ -272,14 +272,13 @@ def minhash_signatures(
     return partial.groupBy("doc_id").agg(*mins)
 
 
-def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
-    """Candidate (da, db) pairs sharing at least one LSH band bucket.
-
-    Band bucket = xxhash64 over the band's 4 signature slots (engine-
-    internal hashing may use Spark built-ins per SURVEY.md §2.1 R4 —
-    fnv1a is only required where the reference contract pins it).
-    """
-    bands = F.array(
+def lsh_band_array() -> "F.Column":
+    """The 32-element band-bucket hash array over signature columns
+    m0..m127 — THE single definition of LSH banding, shared by the
+    batch candidate join below and the streaming ingest store
+    (streaming/neardup_ingest.py), so batch and incremental candidate
+    generation cannot drift apart."""
+    return F.array(
         *[
             F.xxhash64(
                 F.lit(b), *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -287,6 +286,16 @@ def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
             for b in range(LSH_BANDS)
         ]
     )
+
+
+def lsh_candidate_pairs(signatures: DataFrame) -> DataFrame:
+    """Candidate (da, db) pairs sharing at least one LSH band bucket.
+
+    Band bucket = xxhash64 over the band's 4 signature slots (engine-
+    internal hashing may use Spark built-ins per SURVEY.md §2.1 R4 —
+    fnv1a is only required where the reference contract pins it).
+    """
+    bands = lsh_band_array()
     exploded = signatures.select(
         "doc_id", F.posexplode(bands).alias("band", "bucket")
     )

@@ -47,6 +47,9 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
+    if n_nodes == 0:
+        # empty graph: empty (node, rank) result, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     # degree folds into the edge table ONCE — per round the scatter is a
     # single equi-join against this static frame, not join-then-join
     edges_w = (

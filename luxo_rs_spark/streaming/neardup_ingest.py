@@ -13,8 +13,12 @@ Per micro-batch (foreachBatch):
    components estimates jaccard, Broder 1997): a doc is dropped when
    its estimated similarity to any earlier-admitted doc — store docs,
    or batch docs with a smaller id — reaches the threshold.
-4. Survivors' rows, signatures, and band buckets are appended to the
-   store; dropped docs never enter it.
+4. Survivors' rows, signatures, and band buckets land in the store
+   under a per-batch ``ingest_batch=N`` subdirectory written with
+   overwrite — a foreachBatch REPLAY of the same batch rewrites the
+   same paths (and candidate reads exclude the replaying batch's own
+   attempt), so at-least-once delivery cannot duplicate or self-drop
+   docs. Dropped docs never enter the store.
 
 The store keeps 128 longs + 32 bucket rows per admitted doc — bounded
 state that never re-reads raw text, which is what makes the pattern
@@ -35,9 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from luxo_rs_spark.operators.dedup import (
-    LSH_BANDS,
-    LSH_ROWS,
     NUM_PERM,
+    lsh_band_array,
     minhash_signatures,
 )
 
@@ -46,19 +49,11 @@ _SIG_COLS = [f"m{i}" for i in range(NUM_PERM)]
 
 def band_buckets(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, band, bucket): one row per LSH band — the equi-join key
-    space for candidate generation (identical hashing to the batch
-    ``lsh_candidate_pairs``)."""
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"m{b * LSH_ROWS + r}") for r in range(LSH_ROWS)],
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
+    space for candidate generation. Uses the SAME band-array builder as
+    the batch ``lsh_candidate_pairs`` (operators/dedup.lsh_band_array),
+    so batch and incremental hashing cannot drift apart."""
     return signatures.select(
-        F.col(id_col), F.posexplode(bands).alias("band", "bucket")
+        F.col(id_col), F.posexplode(lsh_band_array()).alias("band", "bucket")
     )
 
 
@@ -93,11 +88,34 @@ class NearDupIngest:
     def _path(self, part: str) -> str:
         return os.path.join(self.store_dir, part)
 
-    def _read_store(self, spark: SparkSession, part: str) -> DataFrame | None:
+    def _read_store(
+        self,
+        spark: SparkSession,
+        part: str,
+        before_batch: int | None = None,
+    ) -> DataFrame | None:
+        """Store reads for candidate generation pass ``before_batch``
+        so a foreachBatch REPLAY of batch N never sees batch N's own
+        partially-written attempt (each batch writes into its own
+        ``ingest_batch=N`` subdirectory with overwrite — the idempotent
+        at-least-once layout, same convention as ``upsert_sink``)."""
         path = self._path(part)
         if not os.path.isdir(path):
             return None
-        return spark.read.parquet(path)
+        subdirs = [
+            d for d in os.listdir(path) if d.startswith("ingest_batch=")
+        ]
+        if before_batch is not None:
+            subdirs = [
+                d
+                for d in subdirs
+                if int(d.split("=", 1)[1]) < before_batch
+            ]
+        if not subdirs:
+            return None
+        return spark.read.option("basePath", path).parquet(
+            *[os.path.join(path, d) for d in subdirs]
+        ).drop("ingest_batch")
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -110,10 +128,10 @@ class NearDupIngest:
 
         # phase 1 — against HISTORY: a doc matching any admitted store
         # doc is dropped outright (store docs are all admitted)
-        store_bands = self._read_store(spark, "bands")
+        store_bands = self._read_store(spark, "bands", before_batch=batch_id)
         dropped_ids = None
         if store_bands is not None:
-            store_sigs = self._read_store(spark, "sigs")
+            store_sigs = self._read_store(spark, "sigs", before_batch=batch_id)
             cand = (
                 bands.alias("nb")
                 .join(store_bands.alias("ob"), ["band", "bucket"])
@@ -142,10 +160,12 @@ class NearDupIngest:
         # (a doc is dropped only by an ADMITTED earlier doc), computed
         # distributed as the iterative lexicographic greedy MIS: each
         # round admits the docs with no surviving smaller-id match,
-        # then removes the docs those admissions kill; rounds = chain
-        # depth (near-dup chains are shallow; 32 bounds adversarial
-        # input). This makes admission INVARIANT to how the corpus is
-        # split into micro-batches — pinned in tests.
+        # then removes the docs those admissions kill. Progress per
+        # round is guaranteed (the smallest undecided id never has a
+        # smaller partner), so the loop terminates in <= chain-depth
+        # rounds with EVERY doc decided. This makes admission INVARIANT
+        # to how the corpus is split into micro-batches — pinned in
+        # tests.
         pairs = (
             bands.alias("x")
             .join(bands.alias("y"), ["band", "bucket"])
@@ -171,7 +191,7 @@ class NearDupIngest:
         )
         admitted = None
         undecided = undecided.localCheckpoint(eager=True)
-        for _ in range(32):
+        while True:
             blocked = pairs.select(F.col("new_id").alias(idc)).distinct()
             minimal = undecided.join(blocked, idc, "left_anti")
             admitted = (
@@ -212,11 +232,15 @@ class NearDupIngest:
         )
         surv_sigs = sigs.join(admitted, idc, "left_semi")
 
-        survivors.write.mode("append").parquet(self._path("docs"))
-        surv_sigs.write.mode("append").parquet(self._path("sigs"))
-        band_buckets(surv_sigs, idc).write.mode("append").parquet(
-            self._path("bands")
-        )
+        surv_bands = bands.join(admitted, idc, "left_semi")
+        for frame, part in (
+            (survivors, "docs"),
+            (surv_sigs, "sigs"),
+            (surv_bands, "bands"),
+        ):
+            frame.write.mode("overwrite").parquet(
+                os.path.join(self._path(part), f"ingest_batch={batch_id}")
+            )
 
     def admitted(self, spark: SparkSession) -> DataFrame:
         """The admitted corpus so far."""

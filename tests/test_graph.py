@@ -53,3 +53,8 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = sorted((r["node"], round(r["rank"], 12)) for r in pagerank(e1, 0.85, 5).collect())
     r2 = sorted((r["node"], round(r["rank"], 12)) for r in pagerank(e2, 0.85, 5).collect())
     assert r1 == r2
+
+
+def test_pagerank_empty_graph(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edges, 0.85, 3).count() == 0

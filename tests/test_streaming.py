@@ -1357,3 +1357,39 @@ def test_foreach_row_sink_writes_every_row(spark, stream_dir):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_neardup_ingest_replay_is_idempotent(spark):
+    """At-least-once replay: re-running process_batch with the SAME
+    batch_id (a crash-restart replay) must leave the store identical —
+    no duplicate docs, no self-collision drops."""
+    from luxo_rs_spark.streaming.neardup_ingest import NearDupIngest
+
+    d = TMP / f"ndreplay_{uuid.uuid4().hex[:8]}"
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "unrelated words entirely here now ok")],
+        "doc_id long, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta"),  # dup of 1
+         (4, "fresh new content nothing shared at all")],
+        "doc_id long, text string",
+    )
+    try:
+        ingest = NearDupIngest(str(d / "store"), threshold=0.5)
+        ingest.process_batch(docs1, 0)
+        ingest.process_batch(docs2, 1)
+        want = sorted(
+            r["doc_id"] for r in ingest.admitted(spark).collect()
+        )
+        assert want == [1, 2, 4]
+        # replay BOTH batches (same ids) — store must not change
+        ingest.process_batch(docs2, 1)
+        got = sorted(r["doc_id"] for r in ingest.admitted(spark).collect())
+        assert got == want
+        ingest.process_batch(docs1, 0)
+        got = sorted(r["doc_id"] for r in ingest.admitted(spark).collect())
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
