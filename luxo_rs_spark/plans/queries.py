@@ -13327,3 +13327,40 @@ def q379_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q380 — real BPE subword tokenization (train + distributed apply,
+# functions/bpe.py): vocab learned driver-side from the lowest-id
+# sample (the IVF bounded-train recipe), applied corpus-wide via an
+# Arrow-batched pandas UDF with per-batch word memoization. Output is
+# the per-source token economics a tokenizer choice is judged by:
+# tokens per doc and chars-per-token compression. Declared rows-only
+# (DuckDB cannot replay the merge loop); semantics pinned by
+# hand-computed merges + greedy-apply equivalence in tests/test_bpe.py.
+# ---------------------------------------------------------------------------
+@query("q380_bpe_tokenize")
+def q380_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.bpe import train_bpe, bpe_tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, vocab_size=384, sample_rows=1024)
+    toks = bpe_tokenize(docs, merges).select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size("bpe_tokens").cast("bigint").alias("n_tokens"),
+    )
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            _r2(F.sum("n_chars") / F.sum("n_tokens")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+NO_ORACLE.add("q380_bpe_tokenize")
