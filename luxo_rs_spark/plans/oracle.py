@@ -7021,3 +7021,13 @@ SELECT event_type, t AS hour_us,
 FROM ctx
 ORDER BY event_type, hour_us
 """
+
+ORACLE_SQL["q381_parameterized_sql"] = """
+SELECT o_orderpriority,
+       cast(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice >= 50000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""

@@ -13364,3 +13364,29 @@ def q380_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NO_ORACLE.add("q380_bpe_tokenize")
+
+
+# ---------------------------------------------------------------------------
+# Q381 — parameterized SQL (named parameter markers, spark.sql(query,
+# args=...)): the injection-safe programmatic parameterization path —
+# values bind as typed literals at parse time (visible to Catalyst as
+# foldable constants, so partition pruning and constant folding still
+# fire), complementing q375's SQL-side session variables.
+# ---------------------------------------------------------------------------
+@query("q381_parameterized_sql")
+def q381_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               cast(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"status": "O", "floor": 50000.0},
+    )
