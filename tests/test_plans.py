@@ -454,7 +454,11 @@ def test_all_queries_plan_hygiene(spark):
     Python check (UDTFs are row-based by definition, §2.2-J); there is
     deliberately NO Cartesian whitelist — even the cross-join queries
     keep a broadcast side (BroadcastNestedLoopJoin)."""
-    py_ok = {"q49_udtf_tokens", "q171_python_udtf"}
+    py_ok = {
+        "q49_udtf_tokens",
+        "q171_python_udtf",
+        "q378_polymorphic_udtf",
+    }
     bad = []
     for name in sorted(QUERIES):
         plan = plan_of(spark, name)
