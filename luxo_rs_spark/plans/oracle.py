@@ -7031,3 +7031,12 @@ WHERE o_orderstatus = 'O' AND o_totalprice >= 50000.0
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+ORACLE_SQL["q382_group_by_all"] = """
+SELECT o_orderstatus, o_orderpriority,
+       cast(count(*) AS BIGINT) AS n,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority, n, sum_price
+"""

@@ -13406,3 +13406,27 @@ def q381_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "O", "floor": 50000.0},
     )
+
+
+# ---------------------------------------------------------------------------
+# Q382 — GROUP BY ALL / ORDER BY ALL (SQL inference surface): grouping
+# and ordering keys inferred from the select list — the notebook-speed
+# dialect convenience users expect from a modern engine. Resolves to
+# the identical HashAggregate plan as the explicit form (which is what
+# the oracle states).
+# ---------------------------------------------------------------------------
+@query("q382_group_by_all")
+def q382_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               cast(count(*) AS BIGINT) AS n,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
