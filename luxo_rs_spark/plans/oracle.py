@@ -7040,3 +7040,20 @@ FROM orders
 GROUP BY o_orderstatus, o_orderpriority
 ORDER BY o_orderstatus, o_orderpriority, n, sum_price
 """
+
+ORACLE_SQL["q383_json_key_profile"] = """
+WITH total AS (SELECT count(*) AS t FROM events), counts AS (
+  SELECT 'event_id' AS key, count(*) AS n_present FROM events
+  UNION ALL
+  SELECT 'value', count(*) FROM events WHERE value IS NOT NULL
+  UNION ALL
+  SELECT 'etype', count(*) FROM events WHERE value > 50
+  UNION ALL
+  SELECT 'buyer', count(*) FROM events WHERE event_type = 'purchase'
+)
+SELECT key, cast(n_present AS BIGINT) AS n_present,
+       cast((n_present * 10000) // t AS BIGINT) AS presence_pct
+FROM counts, total
+WHERE n_present > 0
+ORDER BY key
+"""

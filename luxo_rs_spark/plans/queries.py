@@ -13430,3 +13430,45 @@ def q382_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q383 — JSON key-presence profile (schema-drift audit, §2.2-H): which
+# keys appear in a semi-structured payload and how often — the first
+# question against an evolving upstream feed. The payload is built
+# with to_json (null fields OMITTED per Spark's default
+# ignoreNullFields, which is exactly what a sparse producer emits),
+# keys are extracted with json_object_keys and exploded; the oracle
+# recomputes each key's presence count from the generating conditions,
+# so the serialize->key-scan roundtrip semantics are value-checked.
+# ---------------------------------------------------------------------------
+@query("q383_json_key_profile")
+def q383_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    payload = events.select(
+        F.to_json(
+            F.struct(
+                "event_id",
+                "value",
+                F.when(F.col("value") > 50, F.col("event_type")).alias(
+                    "etype"
+                ),
+                F.when(
+                    F.col("event_type") == "purchase", F.col("user_id")
+                ).alias("buyer"),
+            )
+        ).alias("j")
+    )
+    total = events.count()
+    return (
+        payload.select(F.explode(F.json_object_keys("j")).alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_present"))
+        .withColumn(
+            "presence_pct",
+            F.floor(F.col("n_present") * 10000 / F.lit(total)).cast(
+                "bigint"
+            ),
+        )
+        .orderBy("key")
+    )
