@@ -7057,3 +7057,28 @@ FROM counts, total
 WHERE n_present > 0
 ORDER BY key
 """
+
+ORACLE_SQL["q384_entity_resolution"] = """
+WITH c AS (
+  SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+         cast(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+), pairs AS (
+  SELECT x.c_custkey AS cust_a, y.c_custkey AS cust_b,
+         cast(
+           (CASE WHEN x.c_mktsegment = y.c_mktsegment THEN 20 ELSE 0 END)
+           + (CASE WHEN abs(x.c_acctbal - y.c_acctbal) <= 50.0
+                   THEN 15 ELSE 0 END)
+           + (CASE WHEN substring(x.c_name, -1, 1) = substring(y.c_name, -1, 1)
+                   THEN 5 ELSE 0 END)
+         AS BIGINT) AS score_x10
+  FROM c x JOIN c y
+    ON x.c_nationkey = y.c_nationkey AND x.bal_band = y.bal_band
+   AND x.c_custkey < y.c_custkey
+)
+SELECT cust_a, cust_b, score_x10
+FROM pairs
+WHERE score_x10 >= 35
+ORDER BY score_x10 DESC, cust_a, cust_b
+LIMIT 200
+"""

@@ -13472,3 +13472,53 @@ def q383_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q384 — entity resolution over customers (operators/linkage.py):
+# blocked candidates (nation x coarse balance band — equi-join only,
+# never all-pairs) scored by additive field agreements (same segment
+# +20, balance within 50 +15, name last digit +5, all x10 integer
+# points). Pairs at score >= 35 are presented as link candidates. The
+# band-boundary recall miss is the standard blocking tradeoff and the
+# oracle replicates the identical blocking, so results are exact.
+# ---------------------------------------------------------------------------
+@query("q384_entity_resolution")
+def q384_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.linkage import agreement_score, blocked_pairs
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000)
+    )
+    pairs = blocked_pairs(
+        cust,
+        block_cols=["c_nationkey", "bal_band"],
+        id_col="c_custkey",
+        keep_cols=["c_mktsegment", "c_acctbal", "c_name"],
+    )
+    score = agreement_score(
+        [
+            (F.col("a_c_mktsegment") == F.col("b_c_mktsegment"), 20),
+            (
+                F.abs(F.col("a_c_acctbal") - F.col("b_c_acctbal"))
+                <= F.lit(50.0),
+                15,
+            ),
+            (
+                F.substring("a_c_name", -1, 1)
+                == F.substring("b_c_name", -1, 1),
+                5,
+            ),
+        ]
+    )
+    return (
+        pairs.withColumn("score_x10", score)
+        .filter(F.col("score_x10") >= 35)
+        .select(
+            F.col("a").alias("cust_a"),
+            F.col("b").alias("cust_b"),
+            "score_x10",
+        )
+        .orderBy(F.desc("score_x10"), "cust_a", "cust_b")
+        .limit(200)
+    )

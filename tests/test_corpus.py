@@ -327,3 +327,26 @@ def test_substring_dup_coverage_semantics(spark):
     # doc3: 6 positions, zero cross-doc dup despite internal repeats
     assert got[3] == (6, 0, 0)
     assert 4 not in got
+
+
+def test_linkage_blocked_pairs_and_score(spark):
+    from luxo_rs_spark.operators.linkage import agreement_score, blocked_pairs
+
+    df = spark.createDataFrame(
+        [(1, "x", "A", 10.0), (2, "x", "A", 30.0), (3, "x", "B", 10.0),
+         (4, "y", "A", 10.0)],
+        "id long, blk string, seg string, bal double",
+    )
+    pairs = blocked_pairs(df, ["blk"], "id", ["seg", "bal"])
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # only within-block pairs, a < b
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    scored = pairs.withColumn(
+        "s",
+        agreement_score(
+            [(F.col("a_seg") == F.col("b_seg"), 20),
+             (F.abs(F.col("a_bal") - F.col("b_bal")) <= 5.0, 15)]
+        ),
+    )
+    s = {(r["a"], r["b"]): r["s"] for r in scored.collect()}
+    assert s == {(1, 2): 20, (1, 3): 15, (2, 3): 0}
