@@ -7082,3 +7082,40 @@ WHERE score_x10 >= 35
 ORDER BY score_x10 DESC, cust_a, cust_b
 LIMIT 200
 """
+
+ORACLE_SQL["q385_data_contract"] = """
+WITH checks AS (
+  SELECT 'totalprice_positive' AS "check",
+         count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, false))
+           AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'status_in_domain',
+         count(*) FILTER (
+           WHERE NOT coalesce(o_orderstatus IN ('F', 'O', 'P'), false))
+  FROM orders
+  UNION ALL
+  SELECT 'orderdate_not_null',
+         count(*) FILTER (WHERE o_orderdate IS NULL)
+  FROM orders
+  UNION ALL
+  SELECT 'priority_prefix_digit',
+         count(*) FILTER (WHERE NOT coalesce(
+           substring(o_orderpriority, 1, 1) IN ('1','2','3','4','5'), false))
+  FROM orders
+  UNION ALL
+  SELECT 'orderkey_unique',
+         coalesce((SELECT sum(n - 1) FROM (
+           SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+         ) WHERE n > 1), 0)
+  UNION ALL
+  SELECT 'custkey_references_customer',
+         (SELECT count(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+                            WHERE c.c_custkey = o.o_custkey))
+)
+SELECT "check", cast(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS pass
+FROM checks
+ORDER BY "check"
+"""

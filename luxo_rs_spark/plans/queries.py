@@ -13522,3 +13522,40 @@ def q384_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_x10"), "cust_a", "cust_b")
         .limit(200)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q385 — data-contract validation report (operators/contracts.py): the
+# publish gate — not-null / range / set-membership checks compile into
+# ONE conditional-aggregate scan of orders, plus one groupBy for key
+# uniqueness and one left-anti join for referential integrity against
+# customer. Per-check violation counts are exact, so the oracle states
+# each expectation as plain SQL.
+# ---------------------------------------------------------------------------
+@query("q385_data_contract")
+def q385_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.contracts import check_report
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return check_report(
+        orders,
+        row_checks={
+            "totalprice_positive": F.col("o_totalprice") > 0,
+            "status_in_domain": F.col("o_orderstatus").isin(
+                "F", "O", "P"
+            ),
+            "orderdate_not_null": F.col("o_orderdate").isNotNull(),
+            "priority_prefix_digit": F.substring(
+                "o_orderpriority", 1, 1
+            ).isin("1", "2", "3", "4", "5"),
+        },
+        unique_keys={"orderkey_unique": ["o_orderkey"]},
+        foreign_keys={
+            "custkey_references_customer": (
+                customer,
+                ["o_custkey"],
+                ["c_custkey"],
+            )
+        },
+    ).orderBy("check")

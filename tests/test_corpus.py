@@ -350,3 +350,31 @@ def test_linkage_blocked_pairs_and_score(spark):
     )
     s = {(r["a"], r["b"]): r["s"] for r in scored.collect()}
     assert s == {(1, 2): 20, (1, 3): 15, (2, 3): 0}
+
+
+def test_check_report_counts_seeded_violations(spark):
+    from luxo_rs_spark.operators.contracts import check_report
+
+    child = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, -5.0, "A"), (2, None, "Z"), (4, 3.0, "B")],
+        "id long, amt double, code string",
+    )
+    parent = spark.createDataFrame([("A",), ("B",)], "code string")
+    got = {
+        r["check"]: (r["n_violations"], r["pass"])
+        for r in check_report(
+            child,
+            row_checks={
+                "amt_positive": F.col("amt") > 0,   # -5 and NULL violate
+                "code_not_null": F.col("code").isNotNull(),
+            },
+            unique_keys={"id_unique": ["id"]},       # id=2 twice -> 1
+            foreign_keys={"code_fk": (parent, ["code"], ["code"])},  # Z
+        ).collect()
+    }
+    assert got == {
+        "amt_positive": (2, False),
+        "code_not_null": (0, True),
+        "id_unique": (1, False),
+        "code_fk": (1, False),
+    }
