@@ -7119,3 +7119,33 @@ SELECT "check", cast(n_violations AS BIGINT) AS n_violations,
 FROM checks
 ORDER BY "check"
 """
+
+ORACLE_SQL["q386_bigram_perplexity"] = """
+WITH bigrams AS (
+  SELECT doc_id,
+         list_extract(string_split(text, ' '), s.i) AS w1,
+         list_extract(string_split(text, ' '), s.i + 1) AS w2
+  FROM documents,
+       LATERAL (
+         SELECT unnest(generate_series(
+           1, greatest(length(string_split(text, ' ')) - 1, 0))) AS i
+       ) s
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bigrams GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bigrams GROUP BY w1
+), v AS (
+  SELECT count(DISTINCT w1) AS vocab FROM bigrams
+)
+SELECT b.doc_id,
+       cast(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-log2((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.vocab))), 4)
+         AS cross_entropy
+FROM bigrams b
+JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+JOIN c1 ON b.w1 = c1.w1
+CROSS JOIN v
+GROUP BY b.doc_id
+ORDER BY cross_entropy DESC, doc_id
+LIMIT 30
+"""

@@ -13559,3 +13559,59 @@ def q385_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         },
     ).orderBy("check")
+
+
+# ---------------------------------------------------------------------------
+# Q386 — corpus bigram LM + per-doc cross-entropy (the CCNet/Gopher
+# quality-filter recipe with the LM trained ON the corpus itself):
+# add-k-smoothed p(w2|w1) from corpus-wide bigram/unigram counts, each
+# doc scored by -mean log2 p over its bigrams — outliers (boilerplate,
+# noise, wrong-language) surface at the top. All counts are exact
+# integer aggregates; only the final log-sum is floating point (q97
+# rounding convention). Train and score are the SAME two shuffles
+# (bigram groupBy + doc groupBy) — no per-doc model state.
+# ---------------------------------------------------------------------------
+@query("q386_bigram_perplexity")
+def q386_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import _spread
+
+    k = 0.5
+    docs = _spread(load_table(spark, sf_dir, "documents")).withColumn(
+        "__w", F.split("text", " ")
+    )
+    bigrams = docs.filter(F.size("__w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__w) - 1),"
+                " i -> struct(element_at(__w, i) AS w1,"
+                "             element_at(__w, i + 1) AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    bigrams.cache()
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = bigrams.select("w1").distinct().count()
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .withColumn(
+            "nll",
+            -F.log2(
+                (F.col("c12") + F.lit(k))
+                / (F.col("c1") + F.lit(k * vocab))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("cross_entropy"),
+        )
+        .orderBy(F.desc("cross_entropy"), "doc_id")
+        .limit(30)
+    )
