@@ -175,3 +175,39 @@ def merge_hll_tables(
         F.hll_union_agg("hll").alias("hll"),
         F.sum("rows").alias("rows"),
     )
+
+
+def hll_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Per-key estimated |A ∩ B| from two HLL sketch tables via
+    inclusion-exclusion: est(A) + est(B) - est(A ∪ B), with the union
+    term from the lossless per-bucket-max sketch union. HLL stores no
+    elements, so intersection has NO direct sketch operator — this is
+    the standard derived estimate (and its error grows with the
+    Jaccard DISsimilarity of the sets: subtracting two large union-side
+    estimates to get a small intersection amplifies relative error;
+    the audience-overlap use case tolerates this, a joinability TEST
+    should use MinHash instead). Clamped at >= 0 since the subtraction
+    can go slightly negative for near-disjoint sets."""
+    ua = a.select(
+        *keys, F.col("hll").alias("hll_a")
+    )
+    ub = b.select(*keys, F.col("hll").alias("hll_b"))
+    joined = ua.join(ub, keys)
+    est_a = F.hll_sketch_estimate("hll_a")
+    est_b = F.hll_sketch_estimate("hll_b")
+    est_union = F.hll_sketch_estimate(
+        F.hll_union("hll_a", "hll_b")
+    )
+    return joined.select(
+        *keys,
+        est_a.cast("bigint").alias("est_a"),
+        est_b.cast("bigint").alias("est_b"),
+        est_union.cast("bigint").alias("est_union"),
+        F.greatest(
+            (est_a + est_b - est_union).cast("bigint"), F.lit(0)
+        ).alias("est_intersect"),
+    )

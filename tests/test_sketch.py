@@ -100,3 +100,33 @@ def test_heavy_hitters_exact_vs_groupby(spark):
     }
     assert got == want
     assert len(want) > 0  # fixture actually has heavy tokens
+
+
+def test_hll_intersect_estimate_error_band(spark):
+    """Inclusion-exclusion intersection estimate: within a few percent
+    of exact for overlapping sets, clamped >= 0 for disjoint ones."""
+    from luxo_rs_spark.operators.sketch import (
+        hll_intersect_estimate,
+        hll_sketch_table,
+    )
+
+    # A = [0, 20000), B = [10000, 30000) -> |A ∩ B| = 10000
+    a = spark.range(0, 20000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    b = spark.range(10000, 30000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    sa = hll_sketch_table(a, ["g"], "v")
+    sb = hll_sketch_table(b, ["g"], "v")
+    row = hll_intersect_estimate(sa, sb, ["g"]).collect()[0]
+    assert abs(row["est_intersect"] - 10000) / 10000 < 0.05
+    assert abs(row["est_union"] - 30000) / 30000 < 0.02
+    # disjoint: clamp keeps the estimate non-negative
+    c = spark.range(50000, 70000).select(
+        F.lit("g").alias("g"), F.col("id").alias("v")
+    )
+    sc = hll_sketch_table(c, ["g"], "v")
+    row2 = hll_intersect_estimate(sa, sc, ["g"]).collect()[0]
+    assert row2["est_intersect"] >= 0
+    assert row2["est_intersect"] < 1500  # ~0 up to union-error noise
