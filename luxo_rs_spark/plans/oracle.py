@@ -7149,3 +7149,29 @@ GROUP BY b.doc_id
 ORDER BY cross_entropy DESC, doc_id
 LIMIT 30
 """
+
+ORACLE_SQL["q387_containment_pairs"] = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, len(words) - 2),
+           i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS shingle
+  FROM w WHERE len(words) >= 3
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT da AS doc_a, db AS doc_b,
+       cast(n_inter AS BIGINT) AS n_shared,
+       cast((n_inter * 10000) // least(x.n_sh, y.n_sh) AS BIGINT)
+         AS containment_pct
+FROM inter JOIN sizes x ON da = x.doc_id JOIN sizes y ON db = y.doc_id
+WHERE (n_inter * 10000) // least(x.n_sh, y.n_sh) >= 5000
+ORDER BY containment_pct DESC, doc_a, doc_b
+LIMIT 100
+"""

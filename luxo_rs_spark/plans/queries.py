@@ -13615,3 +13615,68 @@ def q386_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cross_entropy"), "doc_id")
         .limit(30)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q387 — set CONTAINMENT near-dup pairs (|A ∩ B| / min(|A|, |B|)):
+# catches truncation/subset duplicates — a doc fully contained in a
+# longer one scores ~1.0 here while its Jaccard (q31) stays low, which
+# is why dedup suites (e.g. Broder's original resemblance/containment
+# pair) track BOTH. Same shingle equi-join candidate shape as q31 —
+# the only change is the denominator.
+# ---------------------------------------------------------------------------
+@query("q387_containment_pairs")
+def q387_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_table(docs, "doc_id", "text", 3).select(
+        "doc_id", F.xxhash64("shingle").alias("sid")
+    )
+    sh.cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("da"), F.col("sz").alias("sza")
+                )
+            ),
+            "da",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("db"), F.col("sz").alias("szb")
+                )
+            ),
+            "db",
+        )
+        .withColumn(
+            "containment_pct",
+            F.floor(
+                F.col("i") * 10000 / F.least("sza", "szb")
+            ).cast("bigint"),
+        )
+        .filter(F.col("containment_pct") >= 5000)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("i").cast("bigint").alias("n_shared"),
+            "containment_pct",
+        )
+        .orderBy(F.desc("containment_pct"), "doc_a", "doc_b")
+        .limit(100)
+    )
