@@ -7175,3 +7175,23 @@ WHERE (n_inter * 10000) // least(x.n_sh, y.n_sh) >= 5000
 ORDER BY containment_pct DESC, doc_a, doc_b
 LIMIT 100
 """
+
+ORACLE_SQL["q388_weighted_sample"] = """
+WITH keyed AS (
+  SELECT source, doc_id, cast(n_chars AS BIGINT) AS weight,
+         pow(
+           cast(concat('0x', substring(md5(cast(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) / 4294967296.0,
+           1.0 / n_chars
+         ) AS es_key
+  FROM documents
+), ranked AS (
+  SELECT source, doc_id, weight,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT source, cast(rk AS BIGINT) AS rk, doc_id, weight
+FROM ranked WHERE rk <= 5
+ORDER BY source, rk
+"""

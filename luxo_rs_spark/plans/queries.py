@@ -13680,3 +13680,41 @@ def q387_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("containment_pct"), "doc_a", "doc_b")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q388 — deterministic weighted sampling (Efraimidis-Spirakis 2006:
+# key = u^(1/w), take top-k by key): the corpus-mixing primitive —
+# sample k docs per source with probability proportional to length —
+# made REPRODUCIBLE by deriving the uniform u from md5(doc_id) instead
+# of rand(), so re-runs, retries, and both engines draw the identical
+# sample (the same no-rand() discipline as stratified_sample/hash_split;
+# Spark conv(hex) and DuckDB cast('0x..') decode identical bits).
+# ---------------------------------------------------------------------------
+@query("q388_weighted_sample")
+def q388_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4294967296.0)
+    )
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(
+        F.desc("es_key"), "doc_id"
+    )
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            key.alias("es_key"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", F.col("rk").cast("bigint").alias("rk"), "doc_id", "weight")
+        .orderBy("source", "rk")
+    )
