@@ -7195,3 +7195,32 @@ SELECT source, cast(rk AS BIGINT) AS rk, doc_id, weight
 FROM ranked WHERE rk <= 5
 ORDER BY source, rk
 """
+
+ORACLE_SQL["q389_mix_shift"] = """
+WITH med AS (
+  SELECT quantile_cont(epoch(o_orderdate), 0.5) AS m FROM orders
+), per AS (
+  SELECT o_orderpriority,
+         CASE WHEN epoch(o_orderdate) <= med.m THEN 0 ELSE 1 END AS p,
+         count(*) AS n, round(sum(o_totalprice), 2) AS rev
+  FROM orders, med
+  GROUP BY 1, 2
+), piv AS (
+  SELECT o_orderpriority,
+         coalesce(sum(n) FILTER (WHERE p = 0), 0) AS n0,
+         coalesce(sum(n) FILTER (WHERE p = 1), 0) AS n1,
+         coalesce(sum(rev) FILTER (WHERE p = 0), 0) AS r0,
+         coalesce(sum(rev) FILTER (WHERE p = 1), 0) AS r1
+  FROM per GROUP BY 1
+)
+SELECT o_orderpriority,
+       cast(n0 AS BIGINT) AS n_before,
+       cast(n1 AS BIGINT) AS n_after,
+       round(r1 - r0, 2) AS delta_rev,
+       round((n1 - n0) * (r0 / n0), 2) AS volume_effect,
+       round(n1 * (r1 / n1 - r0 / n0), 2) AS rate_effect,
+       round((n1 - n0) * (r0 / n0) + n1 * (r1 / n1 - r0 / n0)
+             - (r1 - r0), 2) AS residual
+FROM piv
+ORDER BY o_orderpriority
+"""

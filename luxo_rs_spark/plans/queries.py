@@ -13718,3 +13718,50 @@ def q388_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.col("rk").cast("bigint").alias("rk"), "doc_id", "weight")
         .orderBy("source", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q389 — revenue mix-shift decomposition (Laspeyres): splits the
+# period-over-period revenue change per priority class into a VOLUME
+# effect (order-count change at old average ticket) and a RATE effect
+# (average-ticket change at new volume) — volume*Δ + rate*Δ sums
+# exactly to ΔR (the residual-free two-factor split: Δ(n·r) =
+# Δn·r0 + n1·Δr). Periods = orders before/after the corpus median
+# order date. All money is rounded to cents first, so the
+# decomposition is exact integer-cent arithmetic on both engines.
+# ---------------------------------------------------------------------------
+@query("q389_mix_shift")
+def q389_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    median_date = orders.agg(
+        F.expr("percentile(cast(o_orderdate AS DOUBLE), 0.5)")
+    ).collect()[0][0]
+    period = F.when(
+        F.col("o_orderdate").cast("double") <= F.lit(median_date), 0
+    ).otherwise(1)
+    per = (
+        orders.groupBy("o_orderpriority", period.alias("p"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _r2(F.sum("o_totalprice")).alias("rev"),
+        )
+        .groupBy("o_orderpriority")
+        .pivot("p", [0, 1])
+        .agg(F.first("n").alias("n"), F.first("rev").alias("rev"))
+    )
+    n0, n1 = F.coalesce("0_n", F.lit(0)), F.coalesce("1_n", F.lit(0))
+    r0 = F.coalesce("0_rev", F.lit(0.0))
+    r1 = F.coalesce("1_rev", F.lit(0.0))
+    avg0 = r0 / n0
+    avg1 = r1 / n1
+    volume_effect = (n1 - n0) * avg0
+    rate_effect = n1 * (avg1 - avg0)
+    return per.select(
+        "o_orderpriority",
+        n0.cast("bigint").alias("n_before"),
+        n1.cast("bigint").alias("n_after"),
+        _r2(r1 - r0).alias("delta_rev"),
+        _r2(volume_effect).alias("volume_effect"),
+        _r2(rate_effect).alias("rate_effect"),
+        _r2(volume_effect + rate_effect - (r1 - r0)).alias("residual"),
+    ).orderBy("o_orderpriority")
