@@ -7224,3 +7224,30 @@ SELECT o_orderpriority,
 FROM piv
 ORDER BY o_orderpriority
 """
+
+ORACLE_SQL["q390_rolling_mad_outliers"] = """
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS d,
+         round(sum(o_totalprice), 2) AS v
+  FROM orders GROUP BY 1
+), med AS (
+  SELECT d, v,
+         quantile_cont(v, 0.5) OVER
+           (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_med
+  FROM daily
+), mad AS (
+  SELECT d, v, roll_med,
+         quantile_cont(abs(v - roll_med), 0.5) OVER
+           (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS roll_mad
+  FROM med
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       v AS revenue,
+       round(roll_med, 2) AS roll_med,
+       round(roll_mad, 2) AS roll_mad,
+       cast(floor(abs(v - roll_med) * 100 /
+                  nullif(1.4826 * roll_mad, 0)) AS BIGINT) AS dev_ratio_pct,
+       abs(v - roll_med) > 3 * 1.4826 * roll_mad AS is_outlier
+FROM mad
+ORDER BY day
+"""

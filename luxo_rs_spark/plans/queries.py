@@ -13765,3 +13765,50 @@ def q389_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         _r2(rate_effect).alias("rate_effect"),
         _r2(volume_effect + rate_effect - (r1 - r0)).alias("residual"),
     ).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Q390 — rolling robust outlier detection (median/MAD): daily revenue
+# flagged where |x - rolling_median| > 3 * 1.4826 * rolling_MAD over a
+# trailing 7-day frame — the robust z-score that a mean/stddev control
+# chart gets wrong whenever the window itself contains the outlier.
+# Exact percentile as a WINDOW aggregate (both engines support it);
+# daily sums rounded to cents first so the medians are exact and the
+# MAD comparison is deterministic. Flag emitted as boolean plus the
+# integer-bps deviation ratio — no raw-double output.
+# ---------------------------------------------------------------------------
+@query("q390_rolling_mad_outliers")
+def q390_rolling_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT date_trunc('day', o_orderdate) AS d,
+                 round(sum(o_totalprice), 2) AS v
+          FROM orders GROUP BY 1
+        ), med AS (
+          SELECT d, v,
+                 percentile(v, 0.5) OVER w AS roll_med
+          FROM daily
+          WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        ), mad AS (
+          SELECT d, v, roll_med,
+                 percentile(abs(v - roll_med), 0.5) OVER
+                   (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS roll_mad
+          FROM med
+        )
+        SELECT cast(date_format(d, 'yyyy-MM-dd') AS STRING) AS day,
+               v AS revenue,
+               round(roll_med, 2) AS roll_med,
+               round(roll_mad, 2) AS roll_mad,
+               cast(floor(abs(v - roll_med) * 100 /
+                          nullif(1.4826 * roll_mad, 0)) AS BIGINT)
+                 AS dev_ratio_pct,
+               abs(v - roll_med) > 3 * 1.4826 * roll_mad AS is_outlier
+        FROM mad
+        ORDER BY day
+        """
+    )
