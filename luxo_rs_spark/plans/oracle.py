@@ -7251,3 +7251,14 @@ SELECT strftime(d, '%Y-%m-%d') AS day,
 FROM mad
 ORDER BY day
 """
+
+ORACLE_SQL["q391_regression_battery"] = """
+SELECT p_brand,
+       cast(regr_count(l_quantity, l_discount) AS BIGINT) AS n,
+       round(regr_slope(l_quantity, l_discount), 4) AS slope,
+       round(regr_intercept(l_quantity, l_discount), 4) AS intercept,
+       round(regr_r2(l_quantity, l_discount), 6) AS r2
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY p_brand
+"""

@@ -13812,3 +13812,34 @@ def q390_rolling_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q391 — linear-regression aggregate battery (regr_slope / intercept /
+# r2 / count, §2.2-D): per-brand OLS of quantity on discount — the
+# one-pass discount-elasticity read. Both engines implement the same
+# closed-form moments, so values match exactly after the cents/4dp
+# rounding convention.
+# ---------------------------------------------------------------------------
+@query("q391_regression_battery")
+def q391_regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.expr("cast(regr_count(l_quantity, l_discount) AS BIGINT)")
+            .alias("n"),
+            F.round(
+                F.expr("regr_slope(l_quantity, l_discount)"), 4
+            ).alias("slope"),
+            F.round(
+                F.expr("regr_intercept(l_quantity, l_discount)"), 4
+            ).alias("intercept"),
+            F.round(F.expr("regr_r2(l_quantity, l_discount)"), 6).alias(
+                "r2"
+            ),
+        )
+        .orderBy("p_brand")
+    )
