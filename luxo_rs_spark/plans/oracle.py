@@ -7262,3 +7262,21 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
 ORDER BY p_brand
 """
+
+ORACLE_SQL["q392_benford_audit"] = """
+WITH total AS (SELECT count(*) AS t FROM orders), digits AS (
+  SELECT cast(substring(regexp_replace(
+           format('{:.10f}', abs(o_totalprice)), '[0.,]', '', 'g'), 1, 1)
+         AS INT) AS digit
+  FROM orders WHERE o_totalprice <> 0
+)
+SELECT digit, cast(count(*) AS BIGINT) AS n,
+       cast((count(*) * 10000) // t AS BIGINT) AS observed_bps,
+       cast(floor(log10(1 + 1.0 / digit) * 10000) AS BIGINT) AS benford_bps,
+       cast((count(*) * 10000) // t
+            - floor(log10(1 + 1.0 / digit) * 10000) AS BIGINT)
+         AS deviation_bps
+FROM digits, total
+GROUP BY digit, t
+ORDER BY digit
+"""

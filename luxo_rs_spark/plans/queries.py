@@ -13843,3 +13843,44 @@ def q391_regression_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q392 — Benford first-digit audit (fraud/fabrication forensics,
+# complement of q340's terminal-digit uniformity test): observed
+# first-significant-digit frequencies of order totals vs the Benford
+# expectation log10(1 + 1/d), with per-digit deviation in integer bps.
+# Naturally-grown multiplicative quantities follow Benford; fabricated
+# or capped ones don't — the classic forensic screen.
+# ---------------------------------------------------------------------------
+@query("q392_benford_audit")
+def q392_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    first_digit = F.substring(
+        F.regexp_replace(
+            F.format_number(F.abs("o_totalprice"), 10), "[0.,]", ""
+        ),
+        1,
+        1,
+    ).cast("int")
+    total = orders.count()
+    return (
+        orders.filter(F.col("o_totalprice") != 0)
+        .groupBy(first_digit.alias("digit"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn(
+            "observed_bps",
+            F.floor(F.col("n") * 10000 / F.lit(total)).cast("bigint"),
+        )
+        .withColumn(
+            "benford_bps",
+            F.floor(
+                F.log10(1 + 1 / F.col("digit").cast("double")) * 10000
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "deviation_bps",
+            (F.col("observed_bps") - F.col("benford_bps")).cast("bigint"),
+        )
+        .orderBy("digit")
+    )
