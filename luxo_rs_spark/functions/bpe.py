@@ -27,15 +27,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-#: end-of-word marker (kept out of the raw char alphabet)
+#: end-of-word marker (kept out of the raw char alphabet).
+#: Corpus text that itself contains U+2581 would corrupt segmentation
+#: (merges could span the marker), so BOTH train and apply strip it
+#: from raw words first — the marker is reserved, by construction.
 EOW = "▁"
+
+
+def _clean_word(w: str) -> str:
+    """Reserve the EOW marker: strip any literal U+2581 from corpus
+    words before shingling (train and apply use the same rule, so the
+    learned merges and the applied segmentation agree)."""
+    return w.replace(EOW, "") if EOW in w else w
 
 
 def _word_freqs(texts) -> Counter:
     freqs: Counter = Counter()
     for t in texts:
         for w in (t or "").split():
-            freqs[w] += 1
+            w = _clean_word(w)
+            if w:
+                freqs[w] += 1
     return freqs
 
 
@@ -97,7 +109,91 @@ def train_bpe(
     return merges
 
 
+def train_bpe_distributed(
+    docs: DataFrame,
+    vocab_size: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_rows: int | None = None,
+) -> list[tuple[str, str]]:
+    """Scale-path BPE train: word frequencies are a distributed agg
+    over the WHOLE corpus (no driver doc collect), and each round's
+    pair counting is a Spark aggregation over the distinct-word table
+    — the driver only receives the single argmax row per round. This
+    removes both driver bottlenecks of :func:`train_bpe` (doc sample
+    collect, O(sample) per-round Python pair loop) and trains on 100k+
+    docs with bounded driver memory (the merge list itself).
+
+    Semantics are pinned identical to :func:`train_bpe` (same corpus →
+    same merge list; asserted in tests/test_bpe.py): the per-round
+    segmentation is re-derived by greedy lowest-rank apply of the
+    merges learned so far — equivalent to the training-loop's
+    iterative resegmentation, and re-deriving from the checkpointed
+    word table keeps the plan depth CONSTANT across rounds (the
+    PageRank lineage-truncation lesson).
+
+    Cost model: one Spark job per merge round over |distinct words|
+    rows. Use :func:`train_bpe` when the corpus fits a driver sample;
+    use this when it doesn't.
+    """
+    base = docs
+    if sample_rows is not None:
+        base = docs.orderBy(id_col).limit(sample_rows)
+    wf = (
+        base.select(
+            F.explode(F.split(F.col(text_col), r"\s+")).alias("w")
+        )
+        .select(F.regexp_replace("w", EOW, "").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .localCheckpoint(eager=True)
+    )
+    # alphabet = distinct chars across words + EOW (split('') yields a
+    # trailing '' element on some versions — filtered)
+    n_alpha = (
+        wf.select(F.explode(F.split("w", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .select("c")
+        .distinct()
+        .count()
+    ) + 1  # + EOW
+    merges: list[tuple[str, str]] = []
+    n_merges = max(0, vocab_size - n_alpha)
+    for _ in range(n_merges):
+        ranks = {pair: i for i, pair in enumerate(merges)}
+
+        @pandas_udf("array<struct<a:string,b:string>>")
+        def adj_pairs(ws: pd.Series) -> pd.Series:
+            def pairs_of(w):
+                seq = _encode_word(w, ranks)
+                return [
+                    {"a": seq[i], "b": seq[i + 1]}
+                    for i in range(len(seq) - 1)
+                ]
+
+            return ws.map(pairs_of)
+
+        best = (
+            wf.select("f", F.explode(adj_pairs("w")).alias("p"))
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("f").alias("c"))
+            # max count, ties broken lexicographically-FIRST — the
+            # exact tie rule of train_bpe's `max(sorted(...))`
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["c"] < 2:
+            break
+        merges.append((best[0]["a"], best[0]["b"]))
+    return merges
+
+
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    word = _clean_word(word)
+    if not word:
+        return []
     seq = list(word) + [EOW]
     while len(seq) > 1:
         best_rank = None

@@ -33,22 +33,36 @@ def check_report(
     ``unique_keys``: name -> key columns that must be globally unique.
     ``foreign_keys``: name -> (parent_df, child_cols, parent_cols).
     """
-    spark = df.sparkSession
+    if not row_checks and not unique_keys and not foreign_keys:
+        raise ValueError(
+            "check_report: at least one of row_checks / unique_keys / "
+            "foreign_keys must be non-empty"
+        )
     aggs = [
         F.sum(
             F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)
-        ).cast("bigint").alias(name)
-        for name, cond in row_checks.items()
+        ).cast("bigint").alias(f"__c{i}")
+        for i, cond in enumerate(row_checks.values())
     ]
     parts = []
     if aggs:
+        # Typed unpivot: build (check, n_violations) structs from literal
+        # names + the aggregate columns and explode — check names are
+        # carried as lit() values, never interpolated into SQL text, so
+        # quotes/backticks in user-supplied names are inert.
         row_counts = df.agg(*aggs)
-        stack = ", ".join(
-            f"'{n}', `{n}`" for n in row_checks
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("check"),
+                    F.col(f"__c{i}").alias("n_violations"),
+                )
+                for i, n in enumerate(row_checks)
+            ]
         )
         parts.append(
-            row_counts.selectExpr(
-                f"stack({len(row_checks)}, {stack}) AS (check, n_violations)"
+            row_counts.select(F.explode(pairs).alias("kv")).select(
+                "kv.check", "kv.n_violations"
             )
         )
     for name, keys in (unique_keys or {}).items():

@@ -7264,7 +7264,9 @@ ORDER BY p_brand
 """
 
 ORACLE_SQL["q392_benford_audit"] = """
-WITH total AS (SELECT count(*) AS t FROM orders), digits AS (
+WITH total AS (
+  SELECT count(*) AS t FROM orders WHERE o_totalprice <> 0
+), digits AS (
   SELECT cast(substring(regexp_replace(
            format('{:.10f}', abs(o_totalprice)), '[0.,]', '', 'g'), 1, 1)
          AS INT) AS digit

@@ -8547,7 +8547,12 @@ def q270_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("shingle").alias("sid"))
         .distinct()
     )
-    sh.cache()
+    # localCheckpoint (not cache): blocks are ContextCleaner-collected
+    # when the frame is GC'd, so a long shared session running the full
+    # suite doesn't accrete executor storage; cache() entries live in
+    # the CacheManager until an explicit unpersist nobody can issue
+    # after the result is returned to the driver.
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     pos_w = Window.partitionBy("doc_id").orderBy("df", "sid")
@@ -8634,7 +8639,7 @@ def q271_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(words("text")).alias("token"))
         .filter(F.col("token") != "")
     )
-    tok.cache()
+    tok = tok.localCheckpoint(eager=False)  # GC-cleaned, unlike cache()
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("cnt"))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
     dfreq = tok.groupBy("token").agg(
@@ -8662,7 +8667,7 @@ def q271_tfidf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("w"),
         )
     )
-    post.cache()
+    post = post.localCheckpoint(eager=False)
     norms = post.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
     )
@@ -8863,7 +8868,7 @@ def q275_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__s") >= 2)
         .select("a", "b")
     )
-    edges.cache()
+    edges = edges.localCheckpoint(eager=False)  # GC-cleaned, unlike cache()
     # degree orientation (the distributed triangle-count trick): point
     # every edge from its lower-(degree, id) endpoint to the higher one.
     # Each triangle then has EXACTLY one node with two out-edges, and
@@ -8889,7 +8894,7 @@ def q275_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
     )
-    oriented.cache()
+    oriented = oriented.localCheckpoint(eager=False)
     wedges = (
         oriented.alias("e1")
         .join(
@@ -13589,7 +13594,7 @@ def q386_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    bigrams.cache()
+    bigrams = bigrams.localCheckpoint(eager=False)  # GC-cleaned
     c12 = bigrams.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("c12")
     )
@@ -13633,7 +13638,7 @@ def q387_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_table(docs, "doc_id", "text", 3).select(
         "doc_id", F.xxhash64("shingle").alias("sid")
     )
-    sh.cache()
+    sh = sh.localCheckpoint(eager=False)  # GC-cleaned, unlike cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         sh.alias("a")
@@ -13863,9 +13868,12 @@ def q392_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         1,
         1,
     ).cast("int")
-    total = orders.count()
+    # Denominator from the SAME filtered population as the digit counts,
+    # so observed shares sum to ~10000 bps even with zero-price rows.
+    nonzero = orders.filter(F.col("o_totalprice") != 0)
+    total = nonzero.count()
     return (
-        orders.filter(F.col("o_totalprice") != 0)
+        nonzero
         .groupBy(first_digit.alias("digit"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .withColumn(

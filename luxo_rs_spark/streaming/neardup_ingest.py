@@ -33,7 +33,7 @@ pinned in tests against a pure-numpy replay of the same rule.
 
 from __future__ import annotations
 
-import os
+import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -86,7 +86,28 @@ class NearDupIngest:
         self.n = n
 
     def _path(self, part: str) -> str:
-        return os.path.join(self.store_dir, part)
+        return posixpath.join(self.store_dir, part)
+
+    @staticmethod
+    def _list_batch_dirs(spark: SparkSession, path: str) -> list[str]:
+        """List ``ingest_batch=N`` subdirectories of ``path`` through
+        the Hadoop FileSystem API, so the store can live on ANY
+        Spark-reachable filesystem (file://, hdfs://, s3a://, ...) —
+        a driver-local os.listdir would silently see nothing on a
+        remote store and skip history dedup entirely."""
+        jvm = spark._jvm
+        jsc = spark.sparkContext._jsc
+        hconf = jsc.hadoopConfiguration()
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(hconf)
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("ingest_batch="):
+                out.append(st.getPath().toString())
+        return out
 
     def _read_store(
         self,
@@ -100,21 +121,17 @@ class NearDupIngest:
         ``ingest_batch=N`` subdirectory with overwrite — the idempotent
         at-least-once layout, same convention as ``upsert_sink``)."""
         path = self._path(part)
-        if not os.path.isdir(path):
-            return None
-        subdirs = [
-            d for d in os.listdir(path) if d.startswith("ingest_batch=")
-        ]
+        subdirs = self._list_batch_dirs(spark, path)
         if before_batch is not None:
             subdirs = [
                 d
                 for d in subdirs
-                if int(d.split("=", 1)[1]) < before_batch
+                if int(d.rsplit("=", 1)[1]) < before_batch
             ]
         if not subdirs:
             return None
         return spark.read.option("basePath", path).parquet(
-            *[os.path.join(path, d) for d in subdirs]
+            *subdirs
         ).drop("ingest_batch")
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
@@ -239,7 +256,7 @@ class NearDupIngest:
             (surv_bands, "bands"),
         ):
             frame.write.mode("overwrite").parquet(
-                os.path.join(self._path(part), f"ingest_batch={batch_id}")
+                posixpath.join(self._path(part), f"ingest_batch={batch_id}")
             )
 
     def admitted(self, spark: SparkSession) -> DataFrame:

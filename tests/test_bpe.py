@@ -9,6 +9,7 @@ from luxo_rs_spark.functions.bpe import (
     _encode_word,
     bpe_tokenize,
     train_bpe,
+    train_bpe_distributed,
 )
 
 
@@ -52,6 +53,42 @@ def test_tokenize_distributed_matches_driver(spark):
     # round-trip: concatenated tokens minus EOW reproduce the text
     sample = "".join(got[0]).replace(EOW, " ").strip()
     assert sample == rows[0][1].strip()
+
+
+def test_distributed_train_identical_merges(spark):
+    # the scale path (Spark-agg pair counting, argmax-only driver) must
+    # learn the EXACT merge list of the driver path on the same corpus,
+    # including tie-breaks
+    rows = [
+        (i, "the cat sat on the mat " * (i % 3 + 1)) for i in range(20)
+    ] + [(100, "aa aa aa ab")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m_driver = train_bpe(docs, vocab_size=40)
+    m_dist = train_bpe_distributed(docs, vocab_size=40)
+    assert m_dist == m_driver and len(m_dist) > 0
+
+
+def test_distributed_train_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa ab")], "doc_id long, text string"
+    )
+    assert train_bpe_distributed(docs, vocab_size=5) == [
+        ("a", "a"),
+        ("aa", EOW),
+    ]
+
+
+def test_eow_marker_in_corpus_is_stripped(spark):
+    # U+2581 inside corpus text is reserved: stripped before shingling,
+    # so no merge can span it and round-trip stays coherent
+    docs = spark.createDataFrame(
+        [(1, f"aa{EOW}aa aa{EOW}aa aa xx")], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, vocab_size=6)
+    for a, b in merges:
+        assert EOW not in a  # marker only ever terminal via (x, EOW)
+    toks = bpe_tokenize(docs, merges).collect()[0]["bpe_tokens"]
+    assert "".join(toks).replace(EOW, " ").strip() == "aaaa aaaa aa xx"
 
 
 def test_train_deterministic(spark):

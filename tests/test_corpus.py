@@ -352,6 +352,21 @@ def test_linkage_blocked_pairs_and_score(spark):
     assert s == {(1, 2): 20, (1, 3): 15, (2, 3): 0}
 
 
+def test_check_report_hostile_names_and_empty(spark):
+    # names with quotes/backticks are inert (typed lit(), no SQL text);
+    # all-empty checks raise instead of IndexError
+    import pytest
+
+    from luxo_rs_spark.operators.contracts import check_report
+
+    df = spark.createDataFrame([(1,), (2,)], "v long")
+    hostile = "it's a `weird', name\" -- x"
+    rows = check_report(df, row_checks={hostile: F.col("v") > 0}).collect()
+    assert rows[0]["check"] == hostile and rows[0]["n_violations"] == 0
+    with pytest.raises(ValueError, match="at least one"):
+        check_report(df, row_checks={})
+
+
 def test_check_report_counts_seeded_violations(spark):
     from luxo_rs_spark.operators.contracts import check_report
 
