@@ -68,7 +68,16 @@ def train_bpe(
         .limit(sample_rows)
         .collect()
     ]
-    freqs = _word_freqs(sample)
+    return train_from_freqs(_word_freqs(sample), vocab_size)
+
+
+def train_from_freqs(
+    freqs: Counter, vocab_size: int
+) -> list[tuple[str, str]]:
+    """The sequential merge loop over a word->frequency table — pure
+    Python, no Spark: shared by :func:`train_bpe` and the DuckDB
+    oracle's independent driver-side recomputation (plans/oracle.py
+    q380), so both paths pin the same Sennrich Algorithm-1 semantics."""
     # symbol sequences per word: chars + end-of-word marker
     words = {w: tuple(w) + (EOW,) for w in freqs}
     alphabet = {s for seq in words.values() for s in seq}

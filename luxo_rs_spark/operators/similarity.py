@@ -155,6 +155,42 @@ def _band_signature_udf(planes: np.ndarray, n_bands: int, band_bits: int):
     return bands
 
 
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The candidate stage of :func:`embedding_neardup_lsh` — (va, vb)
+    pairs sharing at least one sign-bit band, va < vb, distinct.
+    Exposed separately so the scaling harness (tools/scale_bench.py)
+    can measure candidate-set growth against corpus size directly."""
+    planes = _make_planes(dim, n_bands * band_bits, seed)
+    sig = _band_signature_udf(planes, n_bands, band_bits)
+    banded = (
+        emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"))
+        .withColumn("__bands", sig(F.col("__e")))
+        .select(
+            "__id", F.posexplode("__bands").alias("__band", "__bsig")
+        )
+    )
+    lhs = banded.select(
+        F.col("__id").alias("va"), "__band", "__bsig"
+    )
+    rhs = banded.select(
+        F.col("__id").alias("vb"), "__band", "__bsig"
+    )
+    return (
+        lhs.join(rhs, ["__band", "__bsig"])
+        .filter(F.col("va") < F.col("vb"))
+        .select("va", "vb")
+        .distinct()
+    )
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float,
@@ -188,26 +224,8 @@ def embedding_neardup_lsh(
     coalesced; at petabyte scale you would additionally bucket the
     signature table so repeated probes become partition-pruned reads.
     """
-    planes = _make_planes(dim, n_bands * band_bits, seed)
-    sig = _band_signature_udf(planes, n_bands, band_bits)
-    banded = (
-        emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"))
-        .withColumn("__bands", sig(F.col("__e")))
-        .select(
-            "__id", F.posexplode("__bands").alias("__band", "__bsig")
-        )
-    )
-    lhs = banded.select(
-        F.col("__id").alias("va"), "__band", "__bsig"
-    )
-    rhs = banded.select(
-        F.col("__id").alias("vb"), "__band", "__bsig"
-    )
-    cand = (
-        lhs.join(rhs, ["__band", "__bsig"])
-        .filter(F.col("va") < F.col("vb"))
-        .select("va", "vb")
-        .distinct()
+    cand = embedding_lsh_candidates(
+        emb, dim, n_bands, band_bits, seed, id_col, vec_col
     )
     ea = emb.select(
         F.col(id_col).alias("va"),

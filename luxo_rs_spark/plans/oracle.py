@@ -7282,3 +7282,134 @@ FROM digits, total
 GROUP BY digit, t
 ORDER BY digit
 """
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-input oracles (round-2 verdict item: oracle-ify the
+# rows-only queries whose outputs are bit-deterministic).
+#
+# q367 (zlib compressibility) and q380 (BPE token counts) cannot be
+# expressed in DuckDB SQL alone (no zlib, no iterative merge loop), but
+# their PER-DOCUMENT values are pure deterministic functions of the
+# document text. So we recompute those values here driver-side in pure
+# Python — zlib level-6 bytes are fully specified; the BPE merge loop
+# is the same Sennrich Algorithm-1 reference loop — and embed them as a
+# VALUES table keyed by md5(text). The banding / joining / aggregation
+# under test then runs as genuine DuckDB SQL against the documents
+# view. Keying on md5(text) (not doc_id) makes one oracle string valid
+# for EVERY fixture scale at once: the per-doc value is a function of
+# the text, and each sf dir's texts are embedded (fixture texts are
+# globally distinct; an md5 collision across scales would be harmless
+# anyway because the value is text-determined).
+#
+# What this checks that rows-only did not: Spark's distributed
+# Arrow-batched UDF application, the banding boundaries, and the final
+# aggregation all hash-compare against an independent sequential
+# recomputation. If the fixture parquet is absent at import (foreign
+# environment), the entries are simply not installed and the driver
+# falls back to the declared rows-only check.
+# ---------------------------------------------------------------------------
+def _install_precomputed_oracles() -> None:
+    import hashlib
+    import os
+    import zlib
+
+    import duckdb
+
+    from luxo_rs_spark.functions.bpe import (
+        _encode_word,
+        _word_freqs,
+        train_from_freqs,
+    )
+
+    sf_dirs = [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ]
+    corpora = []
+    for d in sf_dirs:
+        p = os.path.join(d, "documents.parquet")
+        if not os.path.exists(p):
+            continue
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT doc_id, text FROM '{p}' ORDER BY doc_id"
+        ).fetchall()
+        con.close()
+        corpora.append(rows)
+    if not corpora:
+        return
+
+    # --- q367: zlib level-6 compression ratio per text --------------------
+    ratio_vals: dict[str, float] = {}
+    for rows in corpora:
+        for _id, t in rows:
+            if not t:
+                continue
+            h = hashlib.md5(t.encode("utf-8")).hexdigest()
+            if h not in ratio_vals:
+                b = t.encode("utf-8")
+                ratio_vals[h] = len(zlib.compress(b, 6)) / len(b)
+    values367 = ",\n  ".join(
+        f"('{h}', {r!r})" for h, r in sorted(ratio_vals.items())
+    )
+    ORACLE_SQL["q367_compressibility"] = f"""
+WITH ratio(h, r) AS (VALUES
+  {values367}
+), rated AS (
+  SELECT d.source, ratio.r
+  FROM documents d JOIN ratio ON md5(d.text) = ratio.h
+)
+SELECT source,
+       CASE WHEN r < 0.3 THEN 'high_repetition'
+            WHEN r < 0.7 THEN 'normal'
+            ELSE 'incompressible' END AS band,
+       cast(count(*) AS BIGINT) AS n_docs,
+       round(avg(r), 4) AS avg_ratio
+FROM rated
+GROUP BY source, band
+ORDER BY source, band
+"""
+
+    # --- q380: BPE token count per text (per-corpus merge table) ----------
+    tok_vals: dict[str, int] = {}
+    for rows in corpora:
+        sample = [t for _id, t in rows[:1024]]
+        merges = train_from_freqs(_word_freqs(sample), 384)
+        ranks = {p: i for i, p in enumerate(merges)}
+        word_cache: dict[str, int] = {}
+        for _id, t in rows:
+            h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            if h in tok_vals:
+                continue
+            n = 0
+            for w in (t or "").split():
+                c = word_cache.get(w)
+                if c is None:
+                    c = len(_encode_word(w, ranks))
+                    word_cache[w] = c
+                n += c
+            tok_vals[h] = n
+    values380 = ",\n  ".join(
+        f"('{h}', {n})" for h, n in sorted(tok_vals.items())
+    )
+    ORACLE_SQL["q380_bpe_tokenize"] = f"""
+WITH tok(h, n_tokens) AS (VALUES
+  {values380}
+), t AS (
+  SELECT d.source, d.n_chars, tok.n_tokens
+  FROM documents d JOIN tok ON md5(d.text) = tok.h
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       round(cast(sum(n_chars) AS DOUBLE) / sum(n_tokens), 2)
+         AS chars_per_token
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
+_install_precomputed_oracles()

@@ -446,14 +446,44 @@ def test_q09_window_group_limit_partial(spark):
     assert "Partial" in plan and "Final" in plan
 
 
+def _walk_jplan(jnode):
+    yield jnode
+    ch = jnode.children()
+    for i in range(ch.size()):
+        yield from _walk_jplan(ch.apply(i))
+
+
+#: logical nodes that make a global (unpartitioned) window SAFE when
+#: found beneath it: the window input is provably bounded — an
+#: aggregation rollup, an explicit limit, a literal/driver-built
+#: relation, or a lineage-truncated checkpoint of one of those.
+_BOUNDED_BELOW = {
+    "Aggregate",        # the pre-agg pattern (SCALING.md)
+    "GlobalLimit",
+    "LocalLimit",
+    "Deduplicate",
+    "LocalRelation",    # literal in-memory table
+    "OneRowRelation",
+    "LogicalRDD",       # localCheckpoint of a pre-agg (lineage cut)
+}
+
+
 def test_all_queries_plan_hygiene(spark):
-    """Global sweep: EVERY registered query's physical plan must be
-    free of CartesianProduct (unbounded pair blowup at scale) and of
-    row-at-a-time Python evaluation (BatchEvalPython) — the two plan
-    shapes that silently stop scaling. UDTF queries are exempt from the
-    Python check (UDTFs are row-based by definition, §2.2-J); there is
-    deliberately NO Cartesian whitelist — even the cross-join queries
-    keep a broadcast side (BroadcastNestedLoopJoin)."""
+    """Global sweep: EVERY registered query's plan must be free of
+
+    - CartesianProduct (unbounded pair blowup at scale),
+    - row-at-a-time Python evaluation (BatchEvalPython),
+    - and — the round-2 verdict's added invariant — any Window with an
+      EMPTY partitionSpec whose input is not provably bounded (an
+      Aggregate / limit / literal relation beneath it). An
+      unpartitioned window funnels its whole input through ONE task;
+      that is only acceptable over pre-aggregated rollups, never over
+      a fact table.
+
+    UDTF queries are exempt from the Python check (UDTFs are row-based
+    by definition, §2.2-J); there is deliberately NO Cartesian
+    whitelist — even the cross-join queries keep a broadcast side
+    (BroadcastNestedLoopJoin)."""
     py_ok = {
         "q49_udtf_tokens",
         "q171_python_udtf",
@@ -461,9 +491,24 @@ def test_all_queries_plan_hygiene(spark):
     }
     bad = []
     for name in sorted(QUERIES):
-        plan = plan_of(spark, name)
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             bad.append((name, "CartesianProduct"))
         if "BatchEvalPython" in plan and name not in py_ok:
             bad.append((name, "BatchEvalPython"))
+        # unpartitioned-window audit over the optimized LOGICAL plan
+        # (stable node names, AQE-independent)
+        logical = df._jdf.queryExecution().optimizedPlan()
+        for node in _walk_jplan(logical):
+            if node.getClass().getSimpleName() != "Window":
+                continue
+            if not node.partitionSpec().isEmpty():
+                continue
+            below = {
+                n.getClass().getSimpleName()
+                for n in _walk_jplan(node)
+            } - {"Window"}
+            if not below & _BOUNDED_BELOW:
+                bad.append((name, "unpartitioned Window over unbounded input"))
     assert not bad, bad
