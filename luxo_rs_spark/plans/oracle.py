@@ -7283,6 +7283,16 @@ GROUP BY digit, t
 ORDER BY digit
 """
 
+ORACLE_SQL["q393_jpeg_decode"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 11 + 6 AS INTEGER) AS width,
+       CAST(doc_id % 5 + 4 AS INTEGER) AS height,
+       CAST((doc_id % 5 + 4) * (doc_id % 11 + 6) * 3 AS BIGINT) AS payload_bytes
+FROM documents
+WHERE doc_id < 150
+ORDER BY media_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Precomputed-input oracles (round-2 verdict item: oracle-ify the

@@ -461,3 +461,127 @@ def test_png_all_filter_types_invert():
     assert dec["width"] == w and dec["height"] == h
     got = np.frombuffer(dec["payload"], dtype=np.uint8).reshape(h, w * ch)
     assert (got == px.astype(np.uint8)).all()
+
+
+def test_jpeg_roundtrip_within_quantization_error():
+    """Baseline JPEG encode->decode is lossy but bounded: smooth
+    content reconstructs within a few levels; solid blocks exactly."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_jpeg, _pixels_to_jpeg
+
+    solid = np.full((8, 8, 1), 128, dtype=np.uint8)
+    d = _decode_jpeg(_pixels_to_jpeg(solid, 85))
+    assert d["width"] == 8 and d["height"] == 8
+    assert (np.frombuffer(d["payload"], dtype=np.uint8) == 128).all()
+
+    h, w = 21, 37  # non-multiple-of-8 dims exercise edge padding/crop
+    y, x = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [x * 255 // (w - 1), y * 255 // (h - 1), (x + y) * 255 // (w + h - 2)],
+        axis=-1,
+    ).astype(np.uint8)
+    d = _decode_jpeg(_pixels_to_jpeg(grad, 85))
+    px = np.frombuffer(d["payload"], dtype=np.uint8).reshape(h, w, 3)
+    err = np.abs(px.astype(int) - grad.astype(int))
+    assert err.mean() < 3 and err.max() <= 12
+
+
+def test_jpeg_golden_spec_vector_decodes():
+    """Independent of our encoder: a HAND-ASSEMBLED minimal baseline
+    JPEG (all-grey 8x8, unit quant table) built directly from the T.81
+    spec — DC category 0 is code '00' and EOB is '1010' under the
+    Annex K books, so the whole scan is the single byte 0x2B. A
+    mirrored encoder/decoder bug (wrong zigzag, wrong code books)
+    cannot pass this."""
+    import struct as st
+
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _HUFF_AC_LUM,
+        _HUFF_DC_LUM,
+        _decode_jpeg,
+    )
+
+    def seg(m, body):
+        return st.pack(">HH", m, len(body) + 2) + body
+
+    gold = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        + seg(0xFFC0, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, b"\x00" + bytes(_HUFF_DC_LUM[0]) + bytes(_HUFF_DC_LUM[1]))
+        + seg(0xFFC4, b"\x10" + bytes(_HUFF_AC_LUM[0]) + bytes(_HUFF_AC_LUM[1]))
+        + seg(0xFFDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")
+        + bytes([0x2B])
+        + b"\xff\xd9"
+    )
+    d = _decode_jpeg(gold)
+    px = np.frombuffer(d["payload"], dtype=np.uint8)
+    assert d["width"] == 8 and d["height"] == 8
+    assert (px == 128).all()
+
+
+def test_jpeg_unsupported_shapes_raise():
+    """Progressive (SOF2) and chroma-subsampled streams raise
+    NotImplementedError — the honest decoder boundary."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import _decode_jpeg, _pixels_to_jpeg
+
+    def seg(m, body):
+        return st.pack(">HH", m, len(body) + 2) + body
+
+    progressive = (
+        b"\xff\xd8"
+        + seg(0xFFC2, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="baseline"):
+        _decode_jpeg(progressive)
+
+    subsampled = (
+        b"\xff\xd8"
+        + seg(0xFFC0, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x22, 0]))
+        + b"\xff\xd9"
+    )
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        _decode_jpeg(subsampled)
+
+    arr = np.zeros((4, 4, 2), dtype=np.uint8)
+    with pytest.raises(NotImplementedError, match="channels"):
+        _pixels_to_jpeg(arr)
+
+
+def test_jpeg_distributed_decode_through_media_path(spark):
+    """synth_jpeg_table emits real encoder bytes; decode_media parses
+    them partition-parallel with exact geometry."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.multimodal.media import decode_media, synth_jpeg_table
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} body text repeated " * (i + 1)) for i in range(12)],
+        "doc_id long, text string",
+    )
+    jpgs = synth_jpeg_table(docs)
+    media = jpgs.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "content",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    got = {r["media_id"]: r for r in decode_media(media).collect()}
+    for i in range(12):
+        w, h = i % 11 + 6, i % 5 + 4
+        assert got[i]["width"] == w and got[i]["height"] == h
+        assert got[i]["payload_bytes"] == h * w * 3

@@ -1,0 +1,228 @@
+"""Scale-stress harness for the near-dup / similarity family
+(round-2 verdict item #1): measure how q32 (MinHash-LSH), q237
+(embedding banded-LSH), q270 (PPJoin exact set-similarity) and q288
+(SemDeDup) actually scale — wall time AND candidate-pair counts vs
+corpus size — instead of arguing from plan shape.
+
+Corpus construction (documents + embeddings, derived from the sf0.1
+fixtures; written under .scaledata/, gitignored):
+
+- replica k of a document suffixes every word with "·rk" — identical
+  length/frequency structure to the original corpus, ZERO shingle
+  overlap across replicas, so the intra-corpus near-dup density stays
+  constant while distinct content scales linearly (the healthy-corpus
+  shape; replicating verbatim would instead grow quadratic near-dup
+  cliques and poison the measurement);
+- replica k of an embedding cyclically shifts the vector by 7k
+  dimensions — norms and within-replica geometry preserved, cross-
+  replica cosines near zero.
+
+For each scale we record wall seconds (median of `runs` timed passes
+after one warm-up), result rows, and the candidate-pair count of the
+stage that would blow up if the design were quadratic:
+`lsh_candidate_pairs` (q32), `embedding_lsh_candidates` (q237),
+`ppjoin_candidates` (q270). The fitted log-log slope
+(alpha in t ~ n^alpha) is reported per query; sub-quadratic means
+alpha well under 2 on candidates AND time.
+
+Usage:
+  PYTHONPATH=/root/repo python tools/scale_bench.py [--scales 1,2,4,8]
+      [--runs 2] [--out BENCH_SCALING.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+
+import duckdb
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = os.environ.get("SCALE_BASE_SF_DIR", "/root/testdata/sf0.1")
+OUT_BASE = os.path.join(REPO, ".scaledata")
+ID_STRIDE = 10_000_000
+
+
+def build_scale(r: int) -> str:
+    """Materialize the x{r} corpus (r replicas of the base tables);
+    idempotent."""
+    out = os.path.join(OUT_BASE, f"x{r}")
+    docs_p = os.path.join(out, "documents.parquet")
+    emb_p = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(docs_p) and os.path.exists(emb_p):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    doc_parts = []
+    emb_parts = []
+    for k in range(r):
+        if k == 0:
+            doc_parts.append(
+                f"SELECT doc_id, text, lang, source, n_chars "
+                f"FROM '{BASE}/documents.parquet'"
+            )
+            emb_parts.append(
+                f"SELECT vec_id, embedding, label "
+                f"FROM '{BASE}/embeddings.parquet'"
+            )
+        else:
+            # suffix every word: same token count/lengths, disjoint
+            # shingle space per replica
+            doc_parts.append(
+                f"SELECT doc_id + {k * ID_STRIDE} AS doc_id, "
+                f"regexp_replace(text, '(\\S+)', '\\1·r{k}', 'g') AS text, "
+                f"lang, source, n_chars "
+                f"FROM '{BASE}/documents.parquet'"
+            )
+            shift = (7 * k) % 64
+            emb_parts.append(
+                f"SELECT vec_id + {k * ID_STRIDE} AS vec_id, "
+                f"embedding[{shift + 1}:] || embedding[1:{shift}] AS embedding, "
+                f"label FROM '{BASE}/embeddings.parquet'"
+            )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(doc_parts)}) TO '{docs_p}' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY ({' UNION ALL '.join(emb_parts)}) TO '{emb_p}' (FORMAT PARQUET)"
+    )
+    con.close()
+    return out
+
+
+def fit_alpha(ns: list[int], ys: list[float]) -> float:
+    """Least-squares slope of log y vs log n."""
+    pts = [
+        (math.log(n), math.log(y)) for n, y in zip(ns, ys) if y and y > 0
+    ]
+    if len(pts) < 2:
+        return float("nan")
+    mx = sum(p[0] for p in pts) / len(pts)
+    my = sum(p[1] for p in pts) / len(pts)
+    denom = sum((x - mx) ** 2 for x, _ in pts)
+    if denom == 0:
+        return float("nan")
+    return sum((x - mx) * (y - my) for x, y in pts) / denom
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="1,2,4,8")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--out", default=os.path.join(REPO, "BENCH_SCALING.json")
+    )
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .appName("scale-bench")
+        .getOrCreate()
+    )
+
+    from luxo_rs_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ppjoin_candidates,
+        shingle_table,
+    )
+    from luxo_rs_spark.operators.similarity import (
+        embedding_lsh_candidates,
+    )
+    from luxo_rs_spark.plans.queries import QUERIES
+
+    QNAMES = [
+        "q32_minhash_lsh_neardup",
+        "q237_embedding_neardup_lsh",
+        "q270_setsim_prefix_join",
+        "q288_semantic_dedup",
+    ]
+
+    def candidates(name: str, sf_dir: str) -> int | None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        if name == "q32_minhash_lsh_neardup":
+            return lsh_candidate_pairs(
+                minhash_signatures(docs, "doc_id", "text", 3)
+            ).count()
+        if name == "q237_embedding_neardup_lsh":
+            return embedding_lsh_candidates(emb).count()
+        if name == "q270_setsim_prefix_join":
+            sh = shingle_table(docs, "doc_id", "text", 3).select(
+                "doc_id", F.xxhash64("shingle").alias("sid")
+            ).distinct().localCheckpoint(eager=True)
+            return ppjoin_candidates(sh, 0.7).count()
+        return None  # q288: blocked all-pairs is the algorithm itself
+
+    results = []
+    for r in scales:
+        sf_dir = build_scale(r)
+        n_docs = (
+            duckdb.sql(
+                f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+            ).fetchone()[0]
+        )
+        row = {"scale": r, "n_docs": n_docs, "queries": {}}
+        for name in QNAMES:
+            df = QUERIES[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()  # warm-up
+            times = []
+            for _ in range(args.runs):
+                spark.catalog.clearCache()
+                d = QUERIES[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                d.write.format("noop").mode("overwrite").save()
+                times.append(time.perf_counter() - t0)
+            n_out = QUERIES[name](spark, sf_dir).count()
+            n_cand = candidates(name, sf_dir)
+            row["queries"][name] = {
+                "sec": round(sorted(times)[len(times) // 2], 3),
+                "result_rows": n_out,
+                "candidate_pairs": n_cand,
+            }
+            print(
+                f"x{r} {name}: {row['queries'][name]}", flush=True
+            )
+        results.append(row)
+
+    ns = [row["n_docs"] for row in results]
+    exponents = {}
+    for name in QNAMES:
+        secs = [row["queries"][name]["sec"] for row in results]
+        cands = [
+            row["queries"][name]["candidate_pairs"] for row in results
+        ]
+        exponents[name] = {
+            "time_alpha": round(fit_alpha(ns, secs), 3),
+            "candidates_alpha": (
+                round(fit_alpha(ns, cands), 3)
+                if all(c is not None for c in cands)
+                else None
+            ),
+        }
+
+    out = {
+        "base": BASE,
+        "scales": scales,
+        "results": results,
+        "exponents": exponents,
+    }
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=2)
+    print(json.dumps(exponents))
+
+
+if __name__ == "__main__":
+    main()
