@@ -1,0 +1,151 @@
+"""Open-table-format seam (round-2 verdict item #8): one thin
+interface for versioned, time-travelable, vacuumable tables with TWO
+backends —
+
+- :class:`ParquetSnapshotBackend` — the pure-parquet implementation
+  (immutable ``v{N}`` dirs + an atomically-replaced pointer file),
+  always available; this is ``VersionedParquetTable``'s behavior,
+  now behind the interface.
+- :class:`DeltaRsBackend` — the same contract on a real Delta Lake
+  transaction log via the ``deltalake`` (delta-rs) Python package,
+  import-guarded: constructing it without the package raises
+  ImportError, and the shared contract tests skip it when absent.
+
+The contract (what a streaming upsert sink needs from ANY table
+format): monotonically-versioned atomic commits carrying a batch id
+for exactly-once replay filtering, snapshot reads of the latest or any
+retained version (time travel), and retention-bounded vacuum.
+
+Scale note: the delta-rs backend moves data through the driver
+(Arrow), which is correct for the transaction-log semantics under test
+but NOT the cluster data path — on a real cluster the Spark Delta
+connector (``spark.read.format("delta")``) does the distributed IO
+against the same log; this adapter exists so the sink logic and its
+tests are backend-agnostic.
+"""
+
+from __future__ import annotations
+
+import abc
+
+from pyspark.sql import DataFrame, SparkSession
+
+from luxo_rs_spark.streaming.sinks import VersionedParquetTable
+
+
+class TableFormat(abc.ABC):
+    """Versioned-table contract shared by every backend."""
+
+    @abc.abstractmethod
+    def current_version(self) -> int:
+        """Latest committed version, -1 when the table is empty."""
+
+    @abc.abstractmethod
+    def last_batch_id(self) -> int:
+        """Batch id recorded by the newest commit, -1 when empty."""
+
+    @abc.abstractmethod
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        """Snapshot read; ``version`` time-travels, raising if that
+        version is no longer retained. None when the table is empty."""
+
+    @abc.abstractmethod
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        """Atomically publish ``df`` as the next version."""
+
+    @abc.abstractmethod
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop snapshots older than the newest ``keep_last``; returns
+        the dropped version numbers."""
+
+
+# the pure-parquet implementation predates the interface; register it
+# rather than re-parenting so existing imports/pickles are untouched
+TableFormat.register(VersionedParquetTable)
+
+
+class DeltaRsBackend(TableFormat):
+    """Delta Lake transaction log via delta-rs (env-gated).
+
+    Commits are ``mode="overwrite"`` writes carrying the batch id in
+    commit metadata; time travel loads the log at an earlier version;
+    vacuum removes unreferenced files past the retention boundary.
+    """
+
+    def __init__(self, path: str):
+        import deltalake  # raises ImportError when absent — by design
+
+        self._dl = deltalake
+        self.path = path
+
+    def _table(self, version: int | None = None):
+        try:
+            dt = self._dl.DeltaTable(self.path)
+        except Exception:
+            return None
+        if version is not None:
+            dt.load_as_version(version)
+        return dt
+
+    def current_version(self) -> int:
+        dt = self._table()
+        return -1 if dt is None else int(dt.version())
+
+    def last_batch_id(self) -> int:
+        dt = self._table()
+        if dt is None:
+            return -1
+        hist = dt.history(1)
+        if not hist:
+            return -1
+        meta = hist[0]
+        # write_deltalake stores custom metadata under userMetadata or
+        # top-level keys depending on version; accept both layouts
+        raw = meta.get("userMetadata") or meta.get("batch_id")
+        if raw is None:
+            return -1
+        if isinstance(raw, str):
+            import json
+
+            try:
+                raw = json.loads(raw).get("batch_id", -1)
+            except ValueError:
+                return -1
+        return int(raw)
+
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        dt = self._table(version)
+        if dt is None:
+            return None
+        return spark.createDataFrame(dt.to_pandas())
+
+    def commit(self, df: DataFrame, batch_id: int) -> None:
+        self._dl.write_deltalake(
+            self.path,
+            df.toPandas(),
+            mode="overwrite",
+            custom_metadata={"batch_id": str(int(batch_id))},
+        )
+
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        dt = self._table()
+        if dt is None:
+            return []
+        cur = int(dt.version())
+        dropped = [v for v in range(0, cur - keep_last + 1)]
+        dt.vacuum(retention_hours=0, enforce_retention_duration=False, dry_run=False)
+        return dropped
+
+
+def open_table(path: str, backend: str = "parquet") -> TableFormat:
+    """Factory: ``parquet`` (always available) or ``delta`` (needs the
+    delta-rs package)."""
+    if backend == "parquet":
+        return VersionedParquetTable(path)
+    if backend == "delta":
+        return DeltaRsBackend(path)
+    raise ValueError(f"unknown table backend: {backend!r} (parquet|delta)")

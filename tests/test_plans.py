@@ -18,6 +18,30 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+#: inclusive (min, max) Spark minor-version window on which the
+#: optimizer-feature plan assertions below were hand-audited. A Spark
+#: bump outside this window fails LOUDLY with re-audit instructions
+#: instead of flaking on renamed plan nodes (round-2 verdict item #9).
+_AUDITED_SPARK = ((3, 5), (4, 1))
+
+
+def _require_audited_spark(feature: str, tracking: str) -> None:
+    import pyspark
+
+    v = tuple(int(x) for x in pyspark.__version__.split(".")[:2])
+    lo, hi = _AUDITED_SPARK
+    if not (lo <= v <= hi):
+        pytest.fail(
+            f"{feature}: this physical-plan assertion was audited on "
+            f"Spark {lo[0]}.{lo[1]}..{hi[0]}.{hi[1]} but is running on "
+            f"{v[0]}.{v[1]}. Optimizer plan shapes ({tracking}) drift "
+            f"across minors — re-run the query with "
+            f".explain('formatted'), confirm the expected node is still "
+            f"emitted (or record the replacement), then extend "
+            f"_AUDITED_SPARK deliberately."
+        )
+
+
 def test_q01_filter_pushed_to_scan(spark):
     plan = plan_of(spark, "q01_pricing_summary")
     assert "PushedFilters" in plan
@@ -50,6 +74,9 @@ def test_q05_range_join_broadcast_not_cartesian(spark):
 
 
 def test_q09_rank_limit_pushdown(spark):
+    _require_audited_spark(
+        "WindowGroupLimit rank-limit pushdown", "SPARK-37099"
+    )
     plan = plan_of(spark, "q09_topk_per_group")
     assert "WindowGroupLimit" in plan  # only k rows per group survive sort
 
@@ -184,6 +211,8 @@ def test_runtime_bloom_filter_semi_prunes_fact(spark):
     check and restores afterwards."""
     from pyspark.sql import functions as F
     from luxo_rs_spark.sources.registry import load_table
+
+    _require_audited_spark("runtime bloom-filter join", "SPARK-32268")
 
     conf = spark.conf
     saved = {
@@ -441,6 +470,9 @@ def test_q09_window_group_limit_partial(spark):
     pushdown in BOTH Partial (map-side, pre-shuffle) and Final stages —
     the optimization that keeps per-group top-k from shuffling whole
     groups at 100 TB."""
+    _require_audited_spark(
+        "WindowGroupLimit rank-limit pushdown", "SPARK-37099"
+    )
     plan = plan_of(spark, "q09_topk_per_group")
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
