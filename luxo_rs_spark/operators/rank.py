@@ -50,14 +50,16 @@ def range_ordered(df: DataFrame, order_cols: list[Column | str]) -> DataFrame:
         .sortWithinPartitions(*order_cols)
         .withColumn(PID, F.spark_partition_id())
     )
-    # Lazy checkpoint is safe HERE because every consumer joins the
-    # per-partition stats back via an explicit F.broadcast: the
-    # broadcast exchange runs as its own job first, materializing the
-    # checkpoint blocks, and the main stages then read those blocks —
-    # the range sampler never runs twice. (eager=True would also be
-    # correct but would execute at DataFrame-construction time, outside
-    # any caller's timing/laziness expectations.)
-    return ordered.localCheckpoint(eager=False)
+    # Eager checkpoint: materialize ONE concrete partitioning here, at
+    # construction time. Round-3 advice fix — the previous eager=False
+    # relied on the broadcast exchange's job running first to pin the
+    # blocks, which is true under today's execution order but
+    # incidental; eager=True makes "the range sampler never runs
+    # twice" structural (the stats pass and the main pass read the
+    # same materialized blocks by construction, regardless of job
+    # scheduling). The cost — running the range shuffle when the
+    # helper is called instead of at the first action — is the point.
+    return ordered.localCheckpoint(eager=True)
 
 
 def _with_offsets(
@@ -163,11 +165,15 @@ def global_running_sum(
     local = F.sum(v).over(
         _pid_window(order_cols).rowsBetween(Window.unboundedPreceding, upper)
     )
-    total = F.coalesce(local, F.lit(0)) + F.coalesce(
-        F.col(_SUM_OFF), F.lit(0)
+    # SQL window-sum semantics (round-3 advice fix): sum over a frame
+    # with NO non-null values is NULL, not 0 — so the stitched total is
+    # NULL only when BOTH the local frame and every preceding partition
+    # are all-NULL/empty; otherwise the NULL half contributes zero.
+    total = F.when(
+        local.isNull() & F.col(_SUM_OFF).isNull(), F.lit(None)
+    ).otherwise(
+        F.coalesce(local, F.lit(0)) + F.coalesce(F.col(_SUM_OFF), F.lit(0))
     )
-    # an all-NULL exclusive prefix must stay the additive zero of the
-    # value's own type (decimal stays decimal)
     return joined.withColumn(out, total).drop(
         PID, _ROW_OFF, _SUM_OFF, _N_TOTAL
     )

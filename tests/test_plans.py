@@ -487,8 +487,13 @@ def _walk_jplan(jnode):
 
 #: logical nodes that make a global (unpartitioned) window SAFE when
 #: found beneath it: the window input is provably bounded — an
-#: aggregation rollup, an explicit limit, a literal/driver-built
-#: relation, or a lineage-truncated checkpoint of one of those.
+#: aggregation rollup, an explicit limit, or a literal/driver-built
+#: relation. LogicalRDD is deliberately NOT here (round-3 advice fix):
+#: a localCheckpoint of a FULL fact table also lowers to LogicalRDD,
+#: so exempting it would let a future single-task window over
+#: checkpointed facts through silently. The scalable rank helpers
+#: satisfy the invariant without it — their one unpartitioned window
+#: sits above the per-partition stats Aggregate.
 _BOUNDED_BELOW = {
     "Aggregate",        # the pre-agg pattern (SCALING.md)
     "GlobalLimit",
@@ -496,7 +501,6 @@ _BOUNDED_BELOW = {
     "Deduplicate",
     "LocalRelation",    # literal in-memory table
     "OneRowRelation",
-    "LogicalRDD",       # localCheckpoint of a pre-agg (lineage cut)
 }
 
 

@@ -64,6 +64,10 @@ def test_global_ntile_matches_window(spark, n_tiles):
 
 @pytest.mark.parametrize("exclusive", [False, True])
 def test_global_running_sum_matches_window(spark, exclusive):
+    # TRUE SQL semantics, no coalesce on the reference side: the
+    # window sum of an empty/all-NULL frame is NULL (exclusive=True's
+    # first global row), and the helper must reproduce exactly that
+    # (round-3 advice fix — the old version coalesced NULL to 0)
     df = _df(spark).withColumn("dv", F.col("v").cast("decimal(18,2)"))
     got = {
         r["id"]: r["s"]
@@ -75,12 +79,37 @@ def test_global_running_sum_matches_window(spark, exclusive):
     w = Window.orderBy(*_order()).rowsBetween(Window.unboundedPreceding, upper)
     want = {
         r["id"]: r["s"]
-        for r in df.withColumn(
-            "s",
-            F.coalesce(F.sum("dv").over(w), F.lit(0).cast("decimal(18,2)")),
-        ).collect()
+        for r in df.withColumn("s", F.sum("dv").over(w)).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("exclusive", [False, True])
+def test_global_running_sum_nullable_values(spark, exclusive):
+    """A nullable value column, with an all-NULL leading run spanning
+    the first range partitions: rows whose whole frame is NULL must get
+    NULL (not 0), rows after the first non-null value get numbers —
+    bit-identical to sum(v) OVER (ORDER BY ...)."""
+    rows = [
+        (i, None if i < 60 or i % 5 == 0 else float(i % 9 - 4))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(11)
+    order = [F.col("id")]
+    got = {
+        r["id"]: r["s"]
+        for r in global_running_sum(
+            df, order, "v", out="s", exclusive=exclusive
+        ).collect()
+    }
+    upper = -1 if exclusive else 0
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, upper)
+    want = {
+        r["id"]: r["s"]
+        for r in df.withColumn("s", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+    assert want[0] is None  # the NULL-frame case is actually exercised
 
 
 def test_global_lead_matches_window_with_stitching(spark):

@@ -906,7 +906,29 @@ def test_versioned_table_time_travel_and_vacuum(spark, backend):
     if backend == "parquet":
         with _pytest.raises(FileNotFoundError):
             t.read(spark, version=0)
+    else:
+        # delta-rs retention is time-based, not version-count-based:
+        # keep_last > 1 must refuse loudly, not silently under-retain
+        with _pytest.raises(ValueError, match="keep_last=1"):
+            t.vacuum(keep_last=2)
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_delta_history_batch_id_layouts():
+    """parse_history_batch_id must accept every layout delta-rs has
+    shipped: userMetadata as a JSON dict string, batch_id merged
+    top-level as a bare string ('3' — json.loads yields an int, the
+    round-3 advice crash), as a bare int, plus garbage -> -1."""
+    from luxo_rs_spark.streaming.table_format import parse_history_batch_id
+
+    assert parse_history_batch_id({"userMetadata": '{"batch_id": "7"}'}) == 7
+    assert parse_history_batch_id({"userMetadata": '{"batch_id": 7}'}) == 7
+    assert parse_history_batch_id({"batch_id": "3"}) == 3  # bare string
+    assert parse_history_batch_id({"batch_id": 3}) == 3  # bare int
+    assert parse_history_batch_id({}) == -1
+    assert parse_history_batch_id({"userMetadata": "not json"}) == -1
+    assert parse_history_batch_id({"userMetadata": '{"other": 1}'}) == -1
+    assert parse_history_batch_id({"batch_id": "[1]"}) == -1
 
 
 def test_stream_stream_full_outer_join_both_sides(spark):
