@@ -15,7 +15,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from luxo_rs_spark.plans.oracle import ORACLE_SQL
+from luxo_rs_spark.plans.oracle import ORACLE_SQL, install_precomputed_oracles
 from luxo_rs_spark.plans.queries import QUERIES
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
@@ -33,4 +33,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per oracle-checkable query."""
+    install_precomputed_oracles()  # lazy: q367/q380 VALUES oracles
     return dict(ORACLE_SQL)

@@ -7293,6 +7293,16 @@ WHERE doc_id < 150
 ORDER BY media_id
 """
 
+ORACLE_SQL["q394_jpeg_420_restart_decode"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 23 + 14 AS INTEGER) AS width,
+       CAST(doc_id % 13 + 10 AS INTEGER) AS height,
+       CAST((doc_id % 13 + 10) * (doc_id % 23 + 14) * 3 AS BIGINT) AS payload_bytes
+FROM documents
+WHERE doc_id < 150
+ORDER BY media_id
+"""
+
 
 # ---------------------------------------------------------------------------
 # Precomputed-input oracles (round-2 verdict item: oracle-ify the
@@ -7315,11 +7325,31 @@ ORDER BY media_id
 # What this checks that rows-only did not: Spark's distributed
 # Arrow-batched UDF application, the banding boundaries, and the final
 # aggregation all hash-compare against an independent sequential
-# recomputation. If the fixture parquet is absent at import (foreign
+# recomputation. If the fixture parquet is absent (foreign
 # environment), the entries are simply not installed and the driver
 # falls back to the declared rows-only check.
+#
+# Installation is LAZY + memoized (round-3 advice fix: the old
+# module-import side effect cost multi-second zlib + BPE recompute for
+# every consumer of plans.oracle and hardcoded absolute fixture
+# paths): callers that actually serve oracles — __spark_entry__.
+# oracle_sql(), tools/replica_check.py, tests/test_oracle.py — invoke
+# install_precomputed_oracles() first; everyone else imports
+# ORACLE_SQL instantly. The fixture root derives from the same
+# SPARK_GRAFT_SF_DIR mechanism bench.py uses (parent dir of the
+# configured sf dir, scanning its sf* siblings) so the values cover
+# every fixture scale the driver might run at.
 # ---------------------------------------------------------------------------
-def _install_precomputed_oracles() -> None:
+_PRECOMPUTED_INSTALLED = False
+
+
+def install_precomputed_oracles() -> None:
+    global _PRECOMPUTED_INSTALLED
+    if _PRECOMPUTED_INSTALLED:
+        return
+    _PRECOMPUTED_INSTALLED = True
+
+    import glob
     import hashlib
     import os
     import zlib
@@ -7332,11 +7362,10 @@ def _install_precomputed_oracles() -> None:
         train_from_freqs,
     )
 
-    sf_dirs = [
-        "/root/testdata/sf0.001",
-        "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1",
-    ]
+    sf_root = os.path.dirname(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1").rstrip("/")
+    )
+    sf_dirs = sorted(glob.glob(os.path.join(sf_root, "sf*")))
     corpora = []
     for d in sf_dirs:
         p = os.path.join(d, "documents.parquet")
@@ -7421,5 +7450,171 @@ GROUP BY source
 ORDER BY source
 """
 
+    # --- q33 + q40: per-doc SimHash signature and fnv1a64 fingerprint -----
+    # (round-3 verdict item #5: these are fully deterministic functions
+    # of the text, so the per-doc value is recomputed here sequentially
+    # — same tokenize/shingle/fnv1a spec, independent of Spark's
+    # distributed execution — and the PAIRING/banding under test runs
+    # as genuine DuckDB SQL: q33's chunk-banded join is exact for
+    # hamming <= 3 by pigeonhole, so an all-pairs xor/bit_count in SQL
+    # is the same relation; q40's min/max runs over the embedded
+    # per-doc values.) Docs with < 3 words yield no shingles and are
+    # absent from both outputs — the inner join reproduces that.
+    import re
 
-_install_precomputed_oracles()
+    from luxo_rs_spark.functions.fnv1a import fnv1a64_bytes_py
+
+    def _doc_words(t: str) -> list[str]:
+        t = (t or "").strip().lower()
+        return re.split(r"\s+", t) if t else []
+
+    def _doc_shingles(t: str, n: int = 3) -> list[str]:
+        w = _doc_words(t)
+        if len(w) < n:
+            return []
+        return list(
+            dict.fromkeys(" ".join(w[i : i + n]) for i in range(len(w) - n + 1))
+        )
+
+    def _signed64(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    fp_vals: dict[str, tuple[int, int]] = {}
+    sim_vals: dict[str, int] = {}
+    for rows in corpora:
+        for _id, t in rows:
+            h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            if h in fp_vals:
+                continue
+            hs = [
+                fnv1a64_bytes_py(s.encode("utf-8"))
+                for s in _doc_shingles(t)
+            ]
+            if not hs:
+                continue
+            signed = [_signed64(x) for x in hs]
+            fp_vals[h] = (min(signed), max(signed))
+            sim_u = 0
+            for bit in range(64):
+                vote = sum(
+                    1 if (x >> bit) & 1 else -1 for x in hs
+                )
+                if vote > 0:
+                    sim_u |= 1 << bit
+            sim_vals[h] = _signed64(sim_u)
+
+    values40 = ",\n  ".join(
+        f"('{h}', {lo}, {hi})" for h, (lo, hi) in sorted(fp_vals.items())
+    )
+    ORACLE_SQL["q40_fingerprint"] = f"""
+WITH fp(h, lo, hi) AS (VALUES
+  {values40}
+)
+SELECT d.doc_id,
+       CAST(fp.lo AS BIGINT) AS fp_min,
+       CAST(fp.hi AS BIGINT) AS fp_max
+FROM documents d JOIN fp ON md5(d.text) = fp.h
+ORDER BY d.doc_id
+"""
+
+    values33 = ",\n  ".join(
+        f"('{h}', {s})" for h, s in sorted(sim_vals.items())
+    )
+    ORACLE_SQL["q33_simhash_neardup"] = f"""
+WITH sims(h, sh) AS (VALUES
+  {values33}
+), sd AS (
+  SELECT d.doc_id, CAST(sims.sh AS BIGINT) AS sh
+  FROM documents d JOIN sims ON md5(d.text) = sims.h
+)
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM sd a JOIN sd b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3
+ORDER BY da, db
+"""
+
+    # --- q361: JL-projected top-10 cosine of vec_id=0 ---------------------
+    # Whole-corpus result (not per-row), so the VALUES block is keyed by
+    # a corpus discriminator — (count, sum(vec_id)) of the embeddings
+    # view — and the oracle selects the block matching the corpus it
+    # runs against. The projection is the same seeded Gaussian matrix;
+    # the cosine is recomputed with the SAME sequential left-to-right
+    # double fold functions/vectors.py uses (and DuckDB would), over
+    # the float32-truncated projected components, so the raw sims are
+    # bit-comparable; the 4-decimal round happens in SQL like every
+    # other oracle.
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    proj = (rng.standard_normal((64, 16)) / np.sqrt(16)).astype(np.float64)
+
+    def _seq_dot(a, b) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    blocks = []
+    for d in sf_dirs:
+        p = os.path.join(d, "embeddings.parquet")
+        if not os.path.exists(p):
+            continue
+        con = duckdb.connect()
+        erows = con.execute(
+            f"SELECT vec_id, embedding FROM '{p}' ORDER BY vec_id"
+        ).fetchall()
+        con.close()
+        if not erows or erows[0][0] != 0:
+            continue
+        ids = [r[0] for r in erows]
+        mat = np.stack(
+            [np.asarray(r[1], dtype=np.float64) for r in erows]
+        )
+        red = (mat @ proj).astype(np.float32)
+        # (count, sum ids) alone COLLIDES across fixture scales —
+        # sf0.001 and sf0.01 both carry ids 0..499 with different
+        # vectors — so the key includes an exact content checksum the
+        # SQL side reproduces: sum of floor(first_component * 1e6)
+        # (integer arithmetic on the same float64 promotion both
+        # engines perform on the stored float32).
+        csum = sum(
+            int(math.floor(float(r[1][0]) * 1_000_000)) for r in erows
+        )
+        key = (len(ids), sum(ids), csum)
+        if any(b[0] == key for b in blocks):
+            continue
+        tgt = red[ids.index(0)]
+        ntgt = math.sqrt(_seq_dot(tgt, tgt))
+        scored = []
+        for i, vid in enumerate(ids):
+            if vid == 0:
+                continue
+            v = red[i]
+            sim = _seq_dot(v, tgt) / (math.sqrt(_seq_dot(v, v)) * ntgt)
+            scored.append((vid, sim))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        blocks.append((key, scored[:10]))
+    if blocks:
+        values361 = ",\n  ".join(
+            f"({n}, {s}, {c}, {vid}, {sim!r})"
+            for (n, s, c), top in blocks
+            for vid, sim in top
+        )
+        ORACLE_SQL["q361_random_projection_topk"] = f"""
+WITH corp AS (
+  SELECT count(*) AS n, sum(vec_id) AS s,
+         sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
+                  AS BIGINT)) AS c
+  FROM embeddings
+), vals(n, s, c, vec_id, sim) AS (VALUES
+  {values361}
+)
+SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       round(v.sim, 4) AS sim
+FROM vals v, corp x
+WHERE v.n = x.n AND v.s = x.s AND v.c = x.c
+ORDER BY sim DESC, vec_id
+"""

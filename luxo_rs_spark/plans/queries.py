@@ -824,8 +824,13 @@ def q32_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q33 — SimHash near-dup pairs (Hamming <= 3). fnv1a64-derived bits are
-# not expressible in ANSI SQL -> rows-only check; semantics pinned by
+# Q33 — SimHash near-dup pairs (Hamming <= 3). FULL oracle (round-4):
+# the per-doc SimHash is a deterministic function of the text, so
+# plans/oracle.py recomputes it sequentially and embeds it as a VALUES
+# table keyed by md5(text); the pairing itself (exact for hamming <= 3
+# by the 4-chunk pigeonhole) runs as genuine DuckDB xor/bit_count SQL.
+# Distributed bit-vote aggregation + chunk-band join hash-compare
+# against that independent recompute; unit semantics also pinned by
 # tests/test_dedup.py.
 # ---------------------------------------------------------------------------
 @query("q33_simhash_neardup")
@@ -834,9 +839,6 @@ def q33_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(docs, max_hamming=3).orderBy("da", "db")
-
-
-NO_ORACLE.add("q33_simhash_neardup")
 
 
 # ---------------------------------------------------------------------------
@@ -951,8 +953,11 @@ def q39_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q40 — document fingerprinting: min/max fnv1a64 over shingles (the
-# MinHash-1 "winnowing-lite" fingerprint). fnv1a64-based -> rows-only;
-# semantics pinned by tests/test_dedup.py golden values.
+# MinHash-1 "winnowing-lite" fingerprint). FULL oracle (round-4): the
+# per-doc (fp_min, fp_max) is deterministic in the text, recomputed
+# sequentially in plans/oracle.py and embedded as md5(text)-keyed
+# VALUES; min/max selection runs in SQL. Golden-value semantics also
+# pinned by tests/test_dedup.py.
 # ---------------------------------------------------------------------------
 @query("q40_fingerprint")
 def q40_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,9 +973,6 @@ def q40_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("h").alias("fp_min"), F.max("h").alias("fp_max"))
         .orderBy("doc_id")
     )
-
-
-NO_ORACLE.add("q40_fingerprint")
 
 
 # ---------------------------------------------------------------------------
@@ -12591,8 +12593,11 @@ def q360_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reduced space. At 100 TB the projection cuts per-candidate IO+compute
 # ~4x here (64->16) and ~10x for production 1024-d embeddings while the
 # JL lemma bounds distance distortion; recall vs full-dim exact top-k
-# is pinned in tests/test_similarity.py. Seeded-numpy semantics ->
-# NO_ORACLE (rows-only driver check).
+# is pinned in tests/test_similarity.py. FULL oracle (round-4): the
+# seeded projection + sequential-fold cosine is deterministic, so
+# plans/oracle.py recomputes the top-10 per fixture corpus and embeds
+# it as a VALUES block keyed by (count, sum(vec_id)) of the embeddings
+# view — the oracle selects the block matching the corpus it runs on.
 # ---------------------------------------------------------------------------
 @query("q361_random_projection_topk")
 def q361_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12603,9 +12608,6 @@ def q361_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(
         red, target_id=0, k=10, vec_col="embedding_rp"
     ).select("vec_id", F.round("sim", 4).alias("sim"))
-
-
-NO_ORACLE.add("q361_random_projection_topk")
 
 
 # ---------------------------------------------------------------------------
@@ -13902,6 +13904,50 @@ def q393_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     jpgs = synth_jpeg_table(docs)
+    media = jpgs.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "content",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return (
+        decode_media(media)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.col("payload_bytes").cast("bigint").alias("payload_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q394 — 4:2:0-with-restart-markers JPEG decode (§2.2-K multimodal,
+# round-3 verdict item #4): real corpora are overwhelmingly 4:2:0 with
+# DRI/RSTn, which q393's 4:4:4 streams never exercised. Per-doc JFIF
+# bytes carry 2x2/1x1/1x1 sampling factors, box-averaged chroma, and
+# an RSTn every 2 MCUs; dims (14..36 x 10..22) guarantee multi-MCU
+# scans with partial edge MCUs in both axes. The decoder's
+# MCU-structured entropy loop, restart-predictor resets, and chroma
+# upsampling must all be right for the geometry to survive — the
+# oracle stays pure arithmetic like q393; pixel values are pinned by
+# the 4:2:0 golden spec vector + bounded round-trips in
+# tests/test_sources_multimodal.py.
+# ---------------------------------------------------------------------------
+@query("q394_jpeg_420_restart_decode")
+def q394_jpeg_420_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import decode_media, synth_jpeg_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    jpgs = synth_jpeg_table(
+        docs, quality=90, subsampling="420", restart_interval=2, dims="mcu"
+    )
     media = jpgs.select(
         "media_id",
         F.lit("image").alias("kind"),

@@ -13,10 +13,14 @@ import math
 import pandas as pd
 import pytest
 
-from luxo_rs_spark.plans.oracle import ORACLE_SQL
+from luxo_rs_spark.plans.oracle import ORACLE_SQL, install_precomputed_oracles
 from luxo_rs_spark.plans.queries import QUERIES
 
 from conftest import SF_DIR
+
+# lazy (round-3 advice: no more import side effect in plans.oracle) —
+# the q367/q380 VALUES oracles must exist before parametrization below
+install_precomputed_oracles()
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:

@@ -33,8 +33,13 @@ def main() -> int:
         .getOrCreate()
     )
 
-    from luxo_rs_spark.plans.oracle import ORACLE_SQL  # noqa: PLC0415
+    from luxo_rs_spark.plans.oracle import (  # noqa: PLC0415
+        ORACLE_SQL,
+        install_precomputed_oracles,
+    )
     from luxo_rs_spark.plans.queries import QUERIES  # noqa: PLC0415
+
+    install_precomputed_oracles()  # lazy q367/q380 VALUES oracles
     from luxo_rs_spark.sources.registry import TABLES  # noqa: PLC0415
 
     con = duckdb.connect()
