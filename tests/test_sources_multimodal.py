@@ -524,8 +524,9 @@ def test_jpeg_golden_spec_vector_decodes():
 
 
 def test_jpeg_unsupported_shapes_raise():
-    """Progressive (SOF2) and chroma-subsampled streams raise
-    NotImplementedError — the honest decoder boundary."""
+    """Progressive (SOF2) and out-of-spec sampling factors raise
+    NotImplementedError — the honest decoder boundary (4:2:0/4:2:2
+    subsampling itself is SUPPORTED since round 4)."""
     import struct as st
 
     import numpy as np
@@ -544,17 +545,93 @@ def test_jpeg_unsupported_shapes_raise():
     with pytest.raises(NotImplementedError, match="baseline"):
         _decode_jpeg(progressive)
 
-    subsampled = (
+    bad_factors = (
         b"\xff\xd8"
-        + seg(0xFFC0, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x22, 0]))
+        + seg(0xFFC0, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x33, 0]))
         + b"\xff\xd9"
     )
-    with pytest.raises(NotImplementedError, match="subsampled"):
-        _decode_jpeg(subsampled)
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        _decode_jpeg(bad_factors)
 
     arr = np.zeros((4, 4, 2), dtype=np.uint8)
     with pytest.raises(NotImplementedError, match="channels"):
         _pixels_to_jpeg(arr)
+    with pytest.raises(NotImplementedError, match="444 or 420"):
+        _pixels_to_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsampling="422")
+
+
+def test_jpeg_420_restart_roundtrip_bounded():
+    """The real-corpus shape (round-3 verdict item #4): 4:2:0 chroma
+    subsampling with restart markers. Smooth content reconstructs
+    within a small bound across restart boundaries and partial MCUs;
+    the stream must actually carry DRI + RSTn."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_jpeg, _pixels_to_jpeg
+
+    h, w = 37, 29  # non-multiples of 16: partial MCUs in both axes
+    y, x = np.mgrid[0:h, 0:w]
+    grad = np.stack(
+        [x * 4 + 60, y * 3 + 80, (x + y) * 2 + 100], axis=-1
+    ).astype(np.uint8)
+    b = _pixels_to_jpeg(grad, quality=95, subsampling="420", restart_interval=2)
+    assert b"\xff\xdd" in b  # DRI segment
+    assert any(bytes([0xFF, 0xD0 + i]) in b for i in range(8))  # RSTn
+    d = _decode_jpeg(b)
+    assert d["width"] == w and d["height"] == h
+    px = np.frombuffer(d["payload"], dtype=np.uint8).reshape(h, w, 3)
+    err = np.abs(px.astype(int) - grad.astype(int))
+    assert err.mean() < 3 and err.max() <= 14
+
+    # restart predictors must RESET: same image with/without restarts
+    # decodes to the same pixels (a decoder that carries DC prediction
+    # across RSTn drifts after the first boundary)
+    d0 = _decode_jpeg(_pixels_to_jpeg(grad, 95, "420", 0))
+    assert d0["payload"] == d["payload"]
+
+
+def test_jpeg_420_golden_spec_vector_decodes():
+    """Hand-assembled 16x16 all-grey 4:2:0 JPEG straight from T.81:
+    one MCU = 4 Y blocks (2x2 factors) + Cb + Cr. Under the Annex K
+    books the scan is 4x('00'+'1010') + 2x('00'+'00') = 32 bits =
+    0x28 0xA2 0x8A 0x00. An MCU loop with the wrong block order or
+    chroma books cannot produce the all-128 image."""
+    import struct as st
+
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _HUFF_AC_CHR,
+        _HUFF_AC_LUM,
+        _HUFF_DC_CHR,
+        _HUFF_DC_LUM,
+        _decode_jpeg,
+    )
+
+    def seg(m, body):
+        return st.pack(">HH", m, len(body) + 2) + body
+
+    gold = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        + seg(0xFFDB, b"\x01" + bytes([1] * 64))
+        + seg(
+            0xFFC0,
+            st.pack(">BHHB", 8, 16, 16, 3)
+            + bytes([1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        )
+        + seg(0xFFC4, b"\x00" + bytes(_HUFF_DC_LUM[0]) + bytes(_HUFF_DC_LUM[1]))
+        + seg(0xFFC4, b"\x10" + bytes(_HUFF_AC_LUM[0]) + bytes(_HUFF_AC_LUM[1]))
+        + seg(0xFFC4, b"\x01" + bytes(_HUFF_DC_CHR[0]) + bytes(_HUFF_DC_CHR[1]))
+        + seg(0xFFC4, b"\x11" + bytes(_HUFF_AC_CHR[0]) + bytes(_HUFF_AC_CHR[1]))
+        + seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11]) + b"\x00\x3f\x00")
+        + bytes([0x28, 0xA2, 0x8A, 0x00])
+        + b"\xff\xd9"
+    )
+    d = _decode_jpeg(gold)
+    assert d["width"] == 16 and d["height"] == 16
+    px = np.frombuffer(d["payload"], dtype=np.uint8)
+    assert (px == 128).all()
 
 
 def test_jpeg_distributed_decode_through_media_path(spark):
