@@ -455,6 +455,19 @@ def kmeans_centroids(
         .toPandas()
     )
     X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
+    return kmeans_numpy(X, n_centroids, seed, iters)
+
+
+def kmeans_numpy(
+    X: np.ndarray, n_centroids: int, seed: int = 42, iters: int = 8
+) -> np.ndarray:
+    """The numpy core of :func:`kmeans_centroids` (rows = the id-ordered
+    sample): seeded init, argmax assignment, mean update, re-normalize.
+    Module-level so plans/oracle.py can recompute the identical
+    centroids driver-side when building the precomputed-input oracles
+    for the IVF-family queries (q64/q278/q288) — same precedent as the
+    BPE reference loop the q380 oracle imports."""
+    X = X.copy()
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]

@@ -7534,22 +7534,38 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 ORDER BY da, db
 """
 
-    # --- q361: JL-projected top-10 cosine of vec_id=0 ---------------------
-    # Whole-corpus result (not per-row), so the VALUES block is keyed by
-    # a corpus discriminator — (count, sum(vec_id)) of the embeddings
-    # view — and the oracle selects the block matching the corpus it
-    # runs against. The projection is the same seeded Gaussian matrix;
-    # the cosine is recomputed with the SAME sequential left-to-right
-    # double fold functions/vectors.py uses (and DuckDB would), over
-    # the float32-truncated projected components, so the raw sims are
-    # bit-comparable; the 4-decimal round happens in SQL like every
-    # other oracle.
+    # --- Embedding-corpus-keyed oracles: q361, q36, q64, q278, q237,
+    # q288 ------------------------------------------------------------------
+    # These six queries are WHOLE-CORPUS results of fully deterministic
+    # seeded machinery (JL projection, hyperplane LSH, driver-sample
+    # kmeans, grid-quantized ADC), so the per-corpus answer is
+    # recomputed here sequentially and embedded as a VALUES block keyed
+    # by a corpus discriminator of the embeddings view — (count,
+    # sum(vec_id), exact content checksum); count+ids alone collide
+    # across fixture scales that share id ranges. Output similarities
+    # are recomputed with the SAME sequential left-to-right double fold
+    # functions/vectors.py uses; threshold/selection decisions use a
+    # numpy prefilter with a 1e-6 margin and a seq-fold recheck inside
+    # the margin, so BLAS-vs-fold rounding can never flip a decision.
+    # Squares are products (x*x), never pow: JVM Math.pow(x,2) == x*x
+    # exactly, Python's **/math.pow is NOT. The 4-decimal round happens
+    # in SQL like every other oracle.
     import math
+    from collections import defaultdict
 
     import numpy as np
 
-    rng = np.random.default_rng(42)
-    proj = (rng.standard_normal((64, 16)) / np.sqrt(16)).astype(np.float64)
+    from luxo_rs_spark.operators.similarity import (
+        derive_lsh_bands,
+        kmeans_numpy,
+    )
+
+    proj = (
+        np.random.default_rng(42).standard_normal((64, 16)) / np.sqrt(16)
+    ).astype(np.float64)
+    planes6 = (
+        np.random.default_rng(42).standard_normal((6, 64)).astype(np.float64)
+    )
 
     def _seq_dot(a, b) -> float:
         acc = 0.0
@@ -7557,7 +7573,13 @@ ORDER BY da, db
             acc += float(x) * float(y)
         return acc
 
-    blocks = []
+    def _seq_cos(a, b) -> float:
+        return _seq_dot(a, b) / (
+            math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b))
+        )
+
+    b361, b36, b64, b278, b237, b288 = [], [], [], [], [], []
+    seen_keys: set = set()
     for d in sf_dirs:
         p = os.path.join(d, "embeddings.parquet")
         if not os.path.exists(p):
@@ -7570,51 +7592,215 @@ ORDER BY da, db
         if not erows or erows[0][0] != 0:
             continue
         ids = [r[0] for r in erows]
-        mat = np.stack(
-            [np.asarray(r[1], dtype=np.float64) for r in erows]
-        )
-        red = (mat @ proj).astype(np.float32)
-        # (count, sum ids) alone COLLIDES across fixture scales —
-        # sf0.001 and sf0.01 both carry ids 0..499 with different
-        # vectors — so the key includes an exact content checksum the
-        # SQL side reproduces: sum of floor(first_component * 1e6)
-        # (integer arithmetic on the same float64 promotion both
-        # engines perform on the stored float32).
+        vecs = [list(r[1]) for r in erows]
+        nvec = len(ids)
+        mat = np.array(vecs, dtype=np.float64)
         csum = sum(
-            int(math.floor(float(r[1][0]) * 1_000_000)) for r in erows
+            int(math.floor(float(v[0]) * 1_000_000)) for v in vecs
         )
-        key = (len(ids), sum(ids), csum)
-        if any(b[0] == key for b in blocks):
+        key = (nvec, sum(ids), csum)
+        if key in seen_keys:
             continue
-        tgt = red[ids.index(0)]
-        ntgt = math.sqrt(_seq_dot(tgt, tgt))
-        scored = []
-        for i, vid in enumerate(ids):
-            if vid == 0:
-                continue
-            v = red[i]
-            sim = _seq_dot(v, tgt) / (math.sqrt(_seq_dot(v, v)) * ntgt)
-            scored.append((vid, sim))
-        scored.sort(key=lambda kv: (-kv[1], kv[0]))
-        blocks.append((key, scored[:10]))
-    if blocks:
-        values361 = ",\n  ".join(
-            f"({n}, {s}, {c}, {vid}, {sim!r})"
-            for (n, s, c), top in blocks
-            for vid, sim in top
+        seen_keys.add(key)
+        idx_of = {v: i for i, v in enumerate(ids)}
+        norms = np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
         )
-        ORACLE_SQL["q361_random_projection_topk"] = f"""
+        mnorm = mat / norms
+
+        # q361 — JL-projected top-10 of vec 0 (float32-truncated space)
+        red = (mat @ proj).astype(np.float32)
+        tgt = red[idx_of[0]]
+        ntgt = math.sqrt(_seq_dot(tgt, tgt))
+        scored = [
+            (
+                vid,
+                _seq_dot(red[i], tgt)
+                / (math.sqrt(_seq_dot(red[i], red[i])) * ntgt),
+            )
+            for i, vid in enumerate(ids)
+            if vid != 0
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        b361.append((key, scored[:10]))
+
+        # q36 — hyperplane-LSH multiprobe (radius 2) top-5 of vec 1
+        sigs6 = (mat @ planes6.T > 0) @ (1 << np.arange(6, dtype=np.int64))
+        t1 = idx_of[1]
+        qsig = int(sigs6[t1])
+        qvec = vecs[t1]
+        scored = [
+            (ids[i], _seq_cos(vecs[i], qvec))
+            for i in range(nvec)
+            if ids[i] != 1 and bin(int(sigs6[i]) ^ qsig).count("1") <= 2
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        b36.append((key, scored[:5]))
+
+        # q64 — IVF top-5 of vec 1 (16 centroids, 4 probes). At fixture
+        # sizes the kmeans sample stride is 1, so the id-ordered corpus
+        # IS the training matrix.
+        cent = kmeans_numpy(mat, 16, 42, 8)
+        qn1 = mat[t1] / max(np.linalg.norm(mat[t1]), 1e-12)
+        probes = {int(c) for c in np.argsort(-(cent @ qn1))[:4]}
+        assign = np.argmax(mnorm @ cent.T, axis=1)
+        scored = [
+            (ids[i], _seq_cos(vecs[i], qvec))
+            for i in range(nvec)
+            if int(assign[i]) in probes and ids[i] != 1
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        b64.append((key, scored[:5]))
+
+        # q278 — IVF-ADC: same probes, ADC shortlist on the uniform
+        # grid (exact double arithmetic, same expression order as the
+        # Column fold), exact re-rank of the 32-id shortlist
+        lo = min(min(v) for v in vecs)
+        hi = max(max(v) for v in vecs)
+        width = (hi - lo) / 16
+        adcs = []
+        for i in range(nvec):
+            if int(assign[i]) not in probes or ids[i] == 1:
+                continue
+            acc = 0.0
+            for x, qi in zip(vecs[i], qvec):
+                code = min(15, math.floor((x - lo) / (hi - lo) * 16))
+                recon = lo + (code + 0.5) * width
+                dv = qi - recon
+                acc = acc + dv * dv
+            adcs.append((acc, ids[i]))
+        short_ids = {vid for _a, vid in sorted(adcs)[:32]}
+        scored = [
+            (ids[i], _seq_cos(vecs[i], qvec))
+            for i in range(nvec)
+            if ids[i] in short_ids
+        ]
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        b278.append((key, scored[:5]))
+
+        # q237 — banded-LSH near-dup pairs at threshold 0.45 with the
+        # corpus-adaptive band derivation (same formula, same seed)
+        nb_, bb_ = derive_lsh_bands(nvec, None, None)
+        planes_b = (
+            np.random.default_rng(42)
+            .standard_normal((nb_ * bb_, 64))
+            .astype(np.float64)
+        )
+        bbits = (mat @ planes_b.T > 0).reshape(nvec, nb_, bb_)
+        bsig = (bbits * (1 << np.arange(bb_, dtype=np.int64))).sum(axis=2)
+        buckets: dict = defaultdict(list)
+        for i in range(nvec):
+            for b in range(nb_):
+                buckets[(b, int(bsig[i, b]))].append(i)
+        cand_pairs: set = set()
+        for lst in buckets.values():
+            for a_ in range(len(lst)):
+                for c_ in range(a_ + 1, len(lst)):
+                    cand_pairs.add((lst[a_], lst[c_]))  # ids ascending
+        approx_all = mnorm @ mnorm.T
+        pairs = []
+        for i, j in cand_pairs:
+            if approx_all[i, j] < 0.45 - 1e-6:
+                continue
+            sim = _seq_cos(vecs[i], vecs[j])
+            if sim >= 0.45:
+                pairs.append((ids[i], ids[j], sim))
+        pairs.sort()
+        b237.append((key, pairs))
+
+        # q288 — SemDeDup rollup: derived cluster count, min-id
+        # survivor rule, numpy prefilter + seq-fold recheck at the
+        # threshold margin
+        ncl = max(16, math.ceil(nvec / 128))
+        cent288 = kmeans_numpy(mat, ncl, 42, 8)
+        assign288 = np.argmax(mnorm @ cent288.T, axis=1)
+        rows288 = []
+        for c in sorted({int(a) for a in assign288}):
+            members = np.where(assign288 == c)[0]
+            sims_c = mnorm[members] @ mnorm[members].T
+            ndup = 0
+            for a_ in range(1, len(members)):
+                over = np.where(sims_c[a_, :a_] >= 0.45 - 1e-6)[0]
+                if len(over) and any(
+                    _seq_cos(
+                        vecs[members[b_]], vecs[members[a_]]
+                    )
+                    >= 0.45
+                    for b_ in over
+                ):
+                    ndup += 1
+            rows288.append((c, len(members), ndup))
+        b288.append((key, rows288))
+
+    def _corpus_sql(cols: str, values: list[str], select: str) -> str:
+        # a sentinel row keeps the VALUES clause non-empty when every
+        # corpus produced zero result rows (impossible key -1)
+        body = ",\n  ".join(values) if values else ""
+        sentinel = "(-1, -1, -1" + ", 0" * (cols.count(",") - 2) + ")"
+        allvals = ",\n  ".join([sentinel] + ([body] if body else []))
+        return f"""
 WITH corp AS (
   SELECT count(*) AS n, sum(vec_id) AS s,
          sum(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000)
                   AS BIGINT)) AS c
   FROM embeddings
-), vals(n, s, c, vec_id, sim) AS (VALUES
-  {values361}
+), vals({cols}) AS (VALUES
+  {allvals}
 )
-SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+{select}
+"""
+
+    topk_select = """SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
        round(v.sim, 4) AS sim
 FROM vals v, corp x
 WHERE v.n = x.n AND v.s = x.s AND v.c = x.c
-ORDER BY sim DESC, vec_id
-"""
+ORDER BY sim DESC, vec_id"""
+    for qname, blocks_ in (
+        ("q361_random_projection_topk", b361),
+        ("q36_ann_lsh_topk", b36),
+        ("q64_ann_ivf_topk", b64),
+        ("q278_ivf_adc_topk", b278),
+    ):
+        if not blocks_:
+            continue
+        vals = [
+            f"({n}, {s}, {c}, {vid}, {sim!r})"
+            for (n, s, c), top in blocks_
+            for vid, sim in top
+        ]
+        ORACLE_SQL[qname] = _corpus_sql(
+            "n, s, c, vec_id, sim", vals, topk_select
+        )
+
+    if b237:
+        vals = [
+            f"({n}, {s}, {c}, {va}, {vb}, {sim!r})"
+            for (n, s, c), prs in b237
+            for va, vb, sim in prs
+        ]
+        ORACLE_SQL["q237_embedding_neardup_lsh"] = _corpus_sql(
+            "n, s, c, va, vb, sim",
+            vals,
+            """SELECT CAST(v.va AS BIGINT) AS va, CAST(v.vb AS BIGINT) AS vb,
+       round(v.sim, 4) AS sim
+FROM vals v, corp x
+WHERE v.n = x.n AND v.s = x.s AND v.c = x.c
+ORDER BY va, vb""",
+        )
+
+    if b288:
+        vals = [
+            f"({n}, {s}, {c}, {cl}, {nv}, {nd})"
+            for (n, s, c), rows_ in b288
+            for cl, nv, nd in rows_
+        ]
+        ORACLE_SQL["q288_semantic_dedup"] = _corpus_sql(
+            "n, s, c, cluster, n_vectors, n_dups",
+            vals,
+            """SELECT CAST(v.cluster AS INTEGER) AS cluster,
+       CAST(v.n_vectors AS BIGINT) AS n_vectors,
+       CAST(v.n_dups AS BIGINT) AS n_dups
+FROM vals v, corp x
+WHERE v.n = x.n AND v.s = x.s AND v.c = x.c
+ORDER BY cluster""",
+        )

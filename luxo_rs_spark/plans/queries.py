@@ -872,8 +872,12 @@ def q35_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q36 — ANN via random-hyperplane LSH (approximate -> rows-only check;
-# recall vs the exact operator measured in tests/test_similarity.py).
+# Q36 — ANN via random-hyperplane LSH. FULL oracle (round-4): the
+# seeded planes + multiprobe bucket set + fold cosine are
+# deterministic, so plans/oracle.py recomputes the top-5 sequentially
+# per fixture corpus and embeds it as a corpus-keyed VALUES block
+# (same recipe as q361); recall vs the exact operator is additionally
+# measured in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 @query("q36_ann_lsh_topk")
 def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,9 +887,6 @@ def q36_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, target_id=1, k=5).select(
         "vec_id", F.round("sim", 4).alias("sim")
     )
-
-
-NO_ORACLE.add("q36_ann_lsh_topk")
 
 
 # ---------------------------------------------------------------------------
@@ -1580,9 +1581,11 @@ def q63_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q64 — IVF approximate nearest neighbors (§2.2-K similarity, the
 # second scale path next to LSH q36): train-on-sample centroids,
-# cluster-pruned probe, exact re-rank. Engine-specific kmeans ->
-# rows-only check; recall vs the exact operator pinned in
-# tests/test_similarity.py.
+# cluster-pruned probe, exact re-rank. FULL oracle (round-4): the
+# driver-sample kmeans is seeded numpy (kmeans_numpy), so the oracle
+# recomputes centroids/probes/assignment sequentially and embeds the
+# top-5 as a corpus-keyed VALUES block; recall vs the exact operator
+# pinned in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 @query("q64_ann_ivf_topk")
 def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1592,9 +1595,6 @@ def q64_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, target_id=1, k=5).select(
         "vec_id", F.round("sim", 4).alias("sim")
     )
-
-
-NO_ORACLE.add("q64_ann_ivf_topk")
 
 
 # ---------------------------------------------------------------------------
@@ -7464,9 +7464,12 @@ def q236_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sign bits, then exact-cosine verify). Runs the SCALE config (8 bands
 # x 8 bits: ~3% of unrelated pairs become candidates, near-total recall
 # for true near-dups at sim >= 0.9 — fixture sims top out ~0.5, so this
-# deliberately samples only the strongest pairs). Approximate ->
-# rows-only driver check; recall on planted near-dups is pinned in
-# tests/test_similarity.py.
+# deliberately samples only the strongest pairs). FULL oracle
+# (round-4): seeded planes + set-deterministic band join + fold-cosine
+# verify — the oracle recomputes the admitted pairs sequentially
+# (numpy prefilter, seq-fold recheck at the threshold margin) into a
+# corpus-keyed VALUES block; recall on planted near-dups is pinned in
+# tests/test_similarity.py, candidate growth in BENCH_SCALING.json.
 # ---------------------------------------------------------------------------
 @query("q237_embedding_neardup_lsh")
 def q237_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7478,9 +7481,6 @@ def q237_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("va", "vb", F.round("sim", 4).alias("sim"))
         .orderBy("va", "vb")
     )
-
-
-NO_ORACLE.add("q237_embedding_neardup_lsh")
 
 
 # ---------------------------------------------------------------------------
@@ -8984,11 +8984,12 @@ def q277_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inverted-file pruning + asymmetric distances against grid-quantized
 # codes + exact re-rank of the shortlist — the composition of q64's
 # IVF stage with q202's quantization stage into the full published
-# large-scale ANN pipeline. Engine-specific (kmeans coarse quantizer):
-# rows-only driver check; recall vs the exact top-k is pinned in
-# tests/test_similarity.py.
+# large-scale ANN pipeline. FULL oracle (round-4): kmeans, grid codes,
+# ADC fold, shortlist, and re-rank are all deterministic — the oracle
+# recomputes them sequentially (exact double arithmetic, products not
+# pow) and embeds the top-5 as a corpus-keyed VALUES block; recall vs
+# the exact top-k is pinned in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
-NO_ORACLE.add("q278_ivf_adc_topk")
 
 
 @query("q278_ivf_adc_topk")
@@ -9414,12 +9415,12 @@ def q287_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Q288 — SemDeDup semantic deduplication (§2.2-K): kmeans coarse
 # clusters confine the cosine pair comparisons to within-cluster
 # blocks; min-id survivors keep one representative per semantic
-# duplicate group. Engine-specific (kmeans) -> rows-only driver check;
-# the survivor-rule semantics are pinned in tests/test_similarity.py.
+# duplicate group. FULL oracle (round-4): seeded kmeans_numpy +
+# deterministic assignment + margin-rechecked threshold decisions let
+# the oracle recompute the per-cluster rollup sequentially into a
+# corpus-keyed VALUES block; the survivor-rule semantics are pinned in
+# tests/test_similarity.py.
 # ---------------------------------------------------------------------------
-NO_ORACLE.add("q288_semantic_dedup")
-
-
 @query("q288_semantic_dedup")
 def q288_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.operators.similarity import semantic_dedup
