@@ -16,6 +16,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+import pytest
 
 def _ts(s: str) -> dt.datetime:
     return dt.datetime.fromisoformat(s)
@@ -48,6 +49,7 @@ def _funnel_counts(spark, rows):
     return v.count(), c.count(), p.count()
 
 
+@pytest.mark.slow
 def test_funnel_requires_strict_order(spark):
     # user 1: proper view < click < purchase -> counts in all stages
     # user 2: click BEFORE its only view -> stops at view stage
@@ -65,6 +67,7 @@ def test_funnel_requires_strict_order(spark):
     assert _funnel_counts(spark, rows) == (3, 2, 1)
 
 
+@pytest.mark.slow
 def test_funnel_equal_timestamp_is_not_after(spark):
     # strict > : a click at EXACTLY the view's timestamp does not convert
     rows = [

@@ -13,10 +13,13 @@ from __future__ import annotations
 
 import pandas as pd
 import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from luxo_rs_spark.operators.asof import asof_join
+
+pytestmark = pytest.mark.slow  # heavy suite: full-lane only
 
 keys = st.integers(min_value=0, max_value=3)
 times = st.integers(min_value=0, max_value=100)

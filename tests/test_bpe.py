@@ -4,6 +4,8 @@ determinism."""
 
 from __future__ import annotations
 
+import pytest
+
 from luxo_rs_spark.functions.bpe import (
     EOW,
     _encode_word,
@@ -55,6 +57,7 @@ def test_tokenize_distributed_matches_driver(spark):
     assert sample == rows[0][1].strip()
 
 
+@pytest.mark.slow
 def test_distributed_train_identical_merges(spark):
     # the scale path (Spark-agg pair counting, argmax-only driver) must
     # learn the EXACT merge list of the driver path on the same corpus,

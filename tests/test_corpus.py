@@ -97,6 +97,7 @@ def test_incremental_dedup_within_batch_min_id(spark):
 # -- contamination ----------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_contamination_shared_ngrams(spark):
     corpus = spark.createDataFrame(
         [
@@ -116,6 +117,7 @@ def test_contamination_shared_ngrams(spark):
     assert (row.corpus_id, row.eval_id, row.n_shared) == (1, 10, 1)
 
 
+@pytest.mark.slow
 def test_contamination_hot_shingle_guard(spark):
     text = "a b c d e f g h"
     corpus = spark.createDataFrame(

@@ -72,6 +72,7 @@ def test_minhash_identical_signatures(docs):
     assert by_id[0] != by_id[3]
 
 
+@pytest.mark.slow
 def test_lsh_candidates_contain_neardups(docs):
     cands = {
         (r.da, r.db)
@@ -81,6 +82,7 @@ def test_lsh_candidates_contain_neardups(docs):
     assert (0, 1) in cands  # jaccard 0.56 -> found w/ 32x4 bands virtually always
 
 
+@pytest.mark.slow
 def test_minhash_pipeline_matches_exact(docs):
     exact = {
         (r.da, r.db, round(r.jac, 6))
@@ -93,6 +95,7 @@ def test_minhash_pipeline_matches_exact(docs):
     assert exact == lsh
 
 
+@pytest.mark.slow
 def test_simhash_golden_and_pairs(docs):
     sims = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert sims[0] == sims[2]  # identical docs -> identical fingerprint
@@ -135,6 +138,7 @@ def test_fingerprint_golden(spark):
     assert row.fp_min == min(to_signed(e) for e in expected)
 
 
+@pytest.mark.slow
 def test_neardup_clusters_connected_components(docs):
     """0-1 near-dup, 0-2 exact dup -> one component {0,1,2} labeled by
     min id 0; everything else is its own singleton cluster."""
@@ -201,6 +205,7 @@ def test_approx_sketches_error_bounds(spark):
         assert r.p40 <= r.approx_median <= r.p60
 
 
+@pytest.mark.slow
 def test_cc_star_long_chain_converges_in_log_rounds(spark):
     """Round-2 verdict item: a 1,000-node CHAIN has diameter 999 —
     min-label propagation would need ~999 rounds, the large-star/
@@ -221,6 +226,7 @@ def test_cc_star_long_chain_converges_in_log_rounds(spark):
     assert set(labels.values()) == {0}
 
 
+@pytest.mark.slow
 def test_cc_star_equals_label_prop(spark):
     """Both CC algorithms must produce identical components on a mixed
     graph (two cliques, a chain, singletons)."""

@@ -26,7 +26,7 @@ def _numpy_pagerank(edge_list, damping, iters):
     return {u: r[idx[u]] for u in nodes}
 
 
-@pytest.mark.parametrize("iters", [1, 10])
+@pytest.mark.parametrize("iters", [1, pytest.param(10, marks=pytest.mark.slow)])
 def test_pagerank_matches_numpy(spark, iters):
     # 5-node graph with a cycle, a hub, and a DANGLING node (5)
     edge_list = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 1), (2, 5), (3, 5)]
@@ -46,6 +46,7 @@ def test_out_degrees(spark):
     assert got == {1: 2, 2: 1}
 
 
+@pytest.mark.slow
 def test_pagerank_deterministic_across_partitionings(spark):
     edge_list = [(i, (i * 7) % 23) for i in range(23)] + [(3, 11), (11, 3)]
     e1 = spark.createDataFrame(edge_list, "src long, dst long").repartition(2)

@@ -56,6 +56,7 @@ def test_minhash_empty(empty_docs):
     assert minhash_neardup_pairs(empty_docs, threshold=0.5).count() == 0
 
 
+@pytest.mark.slow
 def test_neardup_clusters_minimal(tiny_docs):
     from luxo_rs_spark.operators.dedup import neardup_clusters
 

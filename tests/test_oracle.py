@@ -53,7 +53,24 @@ def assert_matches_oracle(spark, oracle, name: str):
                 assert str(x) == str(y), f"{name}.{col}[{i}]: {x!r} != {y!r}"
 
 
-@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+# the handful of multi-second oracle comparisons move to the slow lane;
+# the other ~380 stay in the per-commit fast lane
+_SLOW_ORACLE = {
+    "q89_curation_pipeline",
+    "q35_embedding_neardup",
+    "q65_neardup_clusters",
+    "q33_simhash_neardup",
+    "q32_minhash_lsh_neardup",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLE else n
+        for n in sorted(ORACLE_SQL)
+    ],
+)
 def test_query_matches_oracle(spark, oracle, name):
     assert name in QUERIES, f"oracle entry {name} has no QUERIES entry"
     assert_matches_oracle(spark, oracle, name)

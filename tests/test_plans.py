@@ -504,6 +504,7 @@ _BOUNDED_BELOW = {
 }
 
 
+@pytest.mark.slow
 def test_all_queries_plan_hygiene(spark):
     """Global sweep: EVERY registered query's plan must be free of
 

@@ -11,6 +11,7 @@ from pathlib import Path
 from pyspark.sql import functions as F
 
 from luxo_rs_spark.sources.pysource import register
+import pytest
 
 TMP = Path("/root/repo/.tmp")
 
@@ -25,6 +26,7 @@ def _read(spark, rows, parts):
     )
 
 
+@pytest.mark.slow
 def test_batch_read_counts_and_schema(spark):
     df = _read(spark, 500, 8)
     assert df.columns == ["doc_id", "text", "n_words"]
@@ -34,6 +36,7 @@ def test_batch_read_counts_and_schema(spark):
     assert row.n_words == len(row.text.split(" "))
 
 
+@pytest.mark.slow
 def test_partition_count_is_respected(spark):
     df = _read(spark, 1000, 8)
     assert df.rdd.getNumPartitions() == 8
@@ -48,6 +51,7 @@ def test_deterministic_across_partitionings(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_stream_reader_matches_batch(spark):
     """availableNow micro-batch run over the streaming face of the
     source equals the batch corpus."""

@@ -17,9 +17,12 @@ import math
 
 import numpy as np
 import pytest
+
 from pyspark.sql import functions as F
 
 from luxo_rs_spark.operators.similarity import derive_lsh_bands
+
+pytestmark = pytest.mark.slow  # heavy suite: full-lane only
 
 
 def test_derive_lsh_bands_occupancy_and_recall():

@@ -64,12 +64,14 @@ def test_ann_lsh_shape_on_fixture(spark, emb):
     assert sims == sorted(sims, reverse=True)
 
 
+@pytest.mark.slow
 def test_neardup_pairs_symmetric_bound(spark, emb):
     pairs = embedding_neardup_pairs(emb, 0.3, block_col="label").collect()
     assert all(r.va < r.vb for r in pairs)
     assert all(r.sim >= 0.3 for r in pairs)
 
 
+@pytest.mark.slow
 def test_neardup_blocking_restricts_pairs(spark, emb):
     labels = {r.vec_id: r.label for r in emb.collect()}
     pairs = embedding_neardup_pairs(emb, 0.3, block_col="label").collect()
@@ -179,6 +181,7 @@ def test_neardup_lsh_subset_of_exact(spark, emb):
         assert abs(r.sim - exact[(r.va, r.vb)]) < 1e-9
 
 
+@pytest.mark.slow
 def test_neardup_pairs_matches_bruteforce_numpy(spark, emb):
     """The grid/BLAS rewrite of embedding_neardup_pairs must equal a
     driver-side numpy brute force within each label block."""

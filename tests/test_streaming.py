@@ -133,6 +133,7 @@ def test_stream_dedup_bounded_state(spark, stream_dir):
     assert len(got) == n_keys
 
 
+@pytest.mark.slow
 def test_stream_dedup_within_watermark_collapses_retries(spark):
     """dropDuplicatesWithinWatermark (§2.2-I): an at-least-once producer
     retries the same event_id with a FRESH timestamp — classic
@@ -226,6 +227,7 @@ def test_running_user_totals_stateful(spark, stream_dir):
     assert abs(g["sum_value"].to_numpy() - w["sum_value"].to_numpy()).max() < 1e-6
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join(spark, stream_dir):
     """Stream-stream interval join (§2.2-I): click->view attribution
     within 30 minutes must equal the batch interval join."""
@@ -285,6 +287,7 @@ def test_stream_static_join_equals_batch(spark, stream_dir):
     assert canon(got, cols).equals(canon(want, cols))
 
 
+@pytest.mark.slow
 def test_checkpoint_restart_exactly_once(spark):
     """Checkpoint/restart recovery (round-2 verdict item): kill a
     micro-batch query mid-stream, restart from the same checkpoint into
@@ -352,6 +355,7 @@ def test_checkpoint_restart_exactly_once(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_data(spark):
     """Watermark guarantee a pipeline user relies on (append mode):
     once the watermark passes a window's end and the window is emitted,
@@ -518,6 +522,7 @@ def test_foreachbatch_streaming_upsert(spark, stream_dir):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_join_emits_nulls(spark):
     """Left-outer watermarked interval join: a click with NO matching
     view must surface with null view columns once the watermark proves
@@ -603,6 +608,7 @@ def test_stream_stream_left_outer_join_emits_nulls(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_timeout_sessions_close_reasons(spark):
     """EventTimeTimeout sessionization: an in-batch gap closes a
     session with reason 'gap'; an idle key's final session closes via
@@ -675,6 +681,7 @@ def test_timeout_sessions_close_reasons(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_foreachbatch_upsert_sink_exactly_once(spark):
     """Exactly-once keyed upsert sink (streaming/sinks.py): kill a
     foreachBatch stream mid-run, restart from the checkpoint, and the
@@ -743,6 +750,7 @@ def test_foreachbatch_upsert_sink_exactly_once(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_hll_sketch_maintenance(spark):
     """Incremental sketch-table maintenance: a foreachBatch stream
     folds each micro-batch's per-type HLL sketches into a stored
@@ -805,6 +813,7 @@ def test_streaming_hll_sketch_maintenance(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_trending_items_mg_guarantees(spark):
     """Streaming bounded-state heavy hitters: run the stream to
     completion, take each shard's LAST emission, and check the
@@ -931,6 +940,7 @@ def test_delta_history_batch_id_layouts():
     assert parse_history_batch_id({"batch_id": "[1]"}) == -1
 
 
+@pytest.mark.slow
 def test_stream_stream_full_outer_join_both_sides(spark):
     """Full-outer watermarked interval join: unmatched rows from BOTH
     sides surface with nulls once the watermark proves no partner can
@@ -1014,6 +1024,7 @@ def test_stream_stream_full_outer_join_both_sides(spark):
     shutil.rmtree(ckpt, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_tdigest_maintenance(spark):
     """Incremental quantile rollup: foreachBatch folds each
     micro-batch's per-type t-digests into a stored snapshot
@@ -1082,6 +1093,7 @@ def test_streaming_tdigest_maintenance(spark):
     shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_streaming_quantiles_stateful(spark):
     """Per-key t-digest in the state store: the LAST emission per key
     must answer p50/p95 within the digest's rank envelope of exact
@@ -1261,6 +1273,7 @@ def test_state_store_reader_inspects_dedup_state(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_neardup_ingest_matches_sequential_greedy(spark):
     """Streaming incremental MinHash-LSH ingest (§2.2-K x §2.2-I): the
     admitted set must equal a pure-Python SEQUENTIAL-GREEDY replay of
@@ -1393,6 +1406,7 @@ def test_foreach_row_sink_writes_every_row(spark, stream_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_neardup_ingest_replay_is_idempotent(spark):
     """At-least-once replay: re-running process_batch with the SAME
     batch_id (a crash-restart replay) must leave the store identical —
