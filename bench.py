@@ -74,8 +74,15 @@ def main() -> None:
 
     def timed_run(name: str) -> float:
         spark.catalog.clearCache()
-        df = QUERIES[name](spark, SF_DIR)
+        # time CONSTRUCTION + execution: some queries legitimately do
+        # driver-side work at construction (q237/q288's sizing count +
+        # sample kmeans, the rank helpers' eager range checkpoint) —
+        # timing only the noop write would let that cost escape the
+        # measurement (round-4 honesty fix; round-3 and earlier numbers
+        # were construction-free for every query, so totals remain
+        # comparable except for those few queries)
         t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
         materialize(df)
         return round(time.perf_counter() - t0, 3)
 
