@@ -7293,6 +7293,16 @@ WHERE doc_id < 150
 ORDER BY media_id
 """
 
+ORACLE_SQL["q395_jpeg_progressive_decode"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 23 + 14 AS INTEGER) AS width,
+       CAST(doc_id % 13 + 10 AS INTEGER) AS height,
+       CAST((doc_id % 13 + 10) * (doc_id % 23 + 14) * 3 AS BIGINT) AS payload_bytes
+FROM documents
+WHERE doc_id < 150
+ORDER BY media_id
+"""
+
 ORACLE_SQL["q394_jpeg_420_restart_decode"] = """
 SELECT doc_id AS media_id,
        CAST(doc_id % 23 + 14 AS INTEGER) AS width,

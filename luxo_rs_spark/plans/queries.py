@@ -13970,3 +13970,49 @@ def q394_jpeg_420_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q395 — PROGRESSIVE JPEG decode (§2.2-K multimodal, round-4): the
+# web's other dominant JPEG shape next to q394's 4:2:0 baseline. Per-
+# doc SOF2 streams carry the full G.1.2 progression — interleaved DC
+# first scan at Al=1, DC refinement, per-component spectral-selection
+# AC bands (1-5, 6-63) at Al=1, and AC successive-approximation
+# refinement scans with buffered correction bits — over 4:2:0 geometry
+# with RSTn restarts in every scan. The decoder's multi-scan
+# coefficient accumulation must reproduce the exact coefficients the
+# baseline scan transmits directly (bit-identity pinned in
+# tests/test_sources_multimodal.py, plus a hand-built EOB-run golden);
+# here the distributed mapInPandas decode proves the geometry on every
+# doc, which keeps the oracle pure arithmetic like q393/q394.
+# ---------------------------------------------------------------------------
+@query("q395_jpeg_progressive_decode")
+def q395_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import decode_media, synth_jpeg_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    jpgs = synth_jpeg_table(
+        docs, quality=90, subsampling="420", restart_interval=2,
+        dims="mcu", progressive=True,
+    )
+    media = jpgs.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "content",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return (
+        decode_media(media)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.col("payload_bytes").cast("bigint").alias("payload_bytes"),
+        )
+        .orderBy("media_id")
+    )

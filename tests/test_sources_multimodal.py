@@ -524,9 +524,10 @@ def test_jpeg_golden_spec_vector_decodes():
 
 
 def test_jpeg_unsupported_shapes_raise():
-    """Progressive (SOF2) and out-of-spec sampling factors raise
-    NotImplementedError — the honest decoder boundary (4:2:0/4:2:2
-    subsampling itself is SUPPORTED since round 4)."""
+    """Arithmetic-coded (SOF9), lossless (SOF3) and out-of-spec
+    sampling factors raise NotImplementedError — the honest decoder
+    boundary (4:2:0/4:2:2 subsampling supported since round 4,
+    progressive SOF2 supported since round 4 as well)."""
     import struct as st
 
     import numpy as np
@@ -537,13 +538,14 @@ def test_jpeg_unsupported_shapes_raise():
     def seg(m, body):
         return st.pack(">HH", m, len(body) + 2) + body
 
-    progressive = (
-        b"\xff\xd8"
-        + seg(0xFFC2, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-        + b"\xff\xd9"
-    )
-    with pytest.raises(NotImplementedError, match="baseline"):
-        _decode_jpeg(progressive)
+    for sofm in (0xFFC9, 0xFFC3):  # arithmetic progressive, lossless
+        stream = (
+            b"\xff\xd8"
+            + seg(sofm, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + b"\xff\xd9"
+        )
+        with pytest.raises(NotImplementedError, match="SOF0/SOF1/SOF2"):
+            _decode_jpeg(stream)
 
     bad_factors = (
         b"\xff\xd8"
@@ -558,6 +560,77 @@ def test_jpeg_unsupported_shapes_raise():
         _pixels_to_jpeg(arr)
     with pytest.raises(NotImplementedError, match="444 or 420"):
         _pixels_to_jpeg(np.zeros((4, 4, 3), dtype=np.uint8), subsampling="422")
+
+
+def test_jpeg_progressive_equals_baseline_bitexact():
+    """The strongest cross-path check the container allows without an
+    external JPEG library: progressive (SOF2) and baseline transmission
+    of the SAME image carry the SAME quantized coefficients, so decoded
+    pixels must be BIT-IDENTICAL. Exercises DC successive approximation,
+    both spectral-selection bands, AC refinement with buffered
+    correction bits (including the ZRL window subtlety), restart
+    markers in every scan type, 4:2:0 geometry, and partial MCUs."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_jpeg, _pixels_to_jpeg
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (rng.integers(0, 256, (21, 37, 1)).astype(np.uint8), "444", 0, 85),
+        (rng.integers(0, 256, (37, 29, 3)).astype(np.uint8), "420", 2, 95),
+        (rng.integers(0, 256, (48, 33, 3)).astype(np.uint8), "420", 3, 85),
+        (rng.integers(0, 256, (16, 16, 3)).astype(np.uint8), "444", 1, 50),
+    ]
+    yy, xx = np.mgrid[0:40, 0:56]
+    smooth = np.stack([(yy * 2 + xx * 3) % 200 + 20] * 3, -1).astype(np.uint8)
+    cases.append((smooth, "420", 4, 70))  # long zero runs: ZRL/EOB paths
+    for arr, sub, ri, q in cases:
+        base = _decode_jpeg(_pixels_to_jpeg(arr, q, sub, ri, progressive=False))
+        prog = _decode_jpeg(_pixels_to_jpeg(arr, q, sub, ri, progressive=True))
+        assert base["payload"] == prog["payload"], (arr.shape, sub, ri, q)
+
+
+def test_jpeg_progressive_golden_eobrun_decodes():
+    """Hand-assembled progressive stream exercising an EOB RUN > 1 —
+    something our encoder never emits (it uses per-block EOBs so the
+    Annex K books suffice), so only a correct general G.1.2.2 decoder
+    passes. 8x24 all-grey: DC first scan is three '00' diffs, DC
+    refinement is three raw 0 bits, and ONE custom-Huffman AC scan
+    ends all three blocks with a single EOB1 symbol (run=1 -> eobrun =
+    2 + 1 extra bit); quant tables are all-ones."""
+    import struct as st
+
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _HUFF_DC_LUM, _decode_jpeg
+
+    def seg(m, body):
+        return st.pack(">HH", m, len(body) + 2) + body
+
+    # custom AC book: single 1-bit code '0' for symbol 0x10 (EOB1)
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x10]
+    gold = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + bytes([1] * 64))
+        + seg(0xFFC2, st.pack(">BHHB", 8, 8, 24, 1) + bytes([1, 0x11, 0]))
+        + seg(0xFFC4, b"\x00" + bytes(_HUFF_DC_LUM[0]) + bytes(_HUFF_DC_LUM[1]))
+        + seg(0xFFC4, b"\x10" + bytes(ac_bits) + bytes(ac_vals))
+        # DC first scan (Ss=0 Se=0 Ah=0 Al=1): 3x code '00' -> 000000 + pad
+        + seg(0xFFDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x01]))
+        + bytes([0x03])
+        # DC refinement (Ah=1 Al=0): 3 raw 0 bits + pad
+        + seg(0xFFDA, bytes([1, 1, 0x00]) + bytes([0, 0, 0x10]))
+        + bytes([0x1F])
+        # AC scan (Ss=1 Se=63): '0' (EOB1) + 1 extra bit '1' -> eobrun=3
+        + seg(0xFFDA, bytes([1, 1, 0x00]) + bytes([1, 63, 0x00]))
+        + bytes([0x7F])
+        + b"\xff\xd9"
+    )
+    d = _decode_jpeg(gold)
+    assert d["width"] == 24 and d["height"] == 8
+    px = np.frombuffer(d["payload"], dtype=np.uint8)
+    assert (px == 128).all()
 
 
 def test_jpeg_420_restart_roundtrip_bounded():
