@@ -804,6 +804,102 @@ def semantic_dedup(
     )
 
 
+def write_banded_signature_table(
+    emb: DataFrame,
+    path: str,
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the banded signature table (id, bsig) PARTITIONED BY
+    band, rows sorted by bsig inside each file — the layout that turns
+    repeated LSH probes into partition-pruned reads (the SCALING.md /
+    SURVEY §6 "LSH-band pushdown" candidate, realized as plain plan
+    construction instead of a Catalyst rule: directory pruning on the
+    band partition column + parquet min/max pushdown on the sorted
+    bsig column do the work Catalyst already knows how to do).
+
+    100 TB shape: the signature table is ~40 bytes/row x n_bands rows
+    per vector — a small fraction of the embedding table — written
+    once per corpus snapshot; every subsequent probe (dedup admission,
+    ANN query, incremental ingest) reads only its own (band, bsig)
+    slivers instead of rescanning the embeddings."""
+    planes = _make_planes(dim, n_bands * band_bits, seed)
+    sig = _band_signature_udf(planes, n_bands, band_bits)
+    banded = (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__e"))
+        .withColumn("__bands", sig(F.col("__e")))
+        .select("vec_id", F.posexplode("__bands").alias("band", "bsig"))
+    )
+    (
+        banded.repartition("band")
+        .sortWithinPartitions("bsig")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(path)
+    )
+
+
+def lsh_partition_pruned_probe(
+    spark,
+    sig_path: str,
+    emb: DataFrame,
+    target_id: int,
+    threshold: float,
+    dim: int = 64,
+    n_bands: int = 8,
+    band_bits: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the persisted banded signature table for `target_id`'s
+    near-dups: compute the target's n_bands signatures driver-side
+    (one row fetch + numpy), read ONLY the matching (band, bsig)
+    slivers of the signature table (directory pruning on band, parquet
+    min/max pushdown on bsig — asserted in tests/test_plans.py), then
+    exact-cosine verify the candidate ids against `threshold`.
+
+    Same candidate semantics as ``embedding_lsh_candidates`` restricted
+    to one probe vector — deterministic (seeded planes), so the q396
+    oracle recomputes it sequentially."""
+    planes = _make_planes(dim, n_bands * band_bits, seed)
+    row = emb.filter(F.col(id_col) == target_id).select(vec_col).head()
+    q = np.asarray(row[0], dtype=np.float64)
+    bits = (q @ planes.T > 0).reshape(n_bands, band_bits)
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
+    qsigs = (bits * weights).sum(axis=1).astype(np.int32)
+
+    sig_table = spark.read.parquet(sig_path)
+    probe_filter = None
+    for b, s in enumerate(qsigs):
+        clause = (F.col("band") == int(b)) & (F.col("bsig") == int(s))
+        probe_filter = clause if probe_filter is None else probe_filter | clause
+    cand = (
+        sig_table.filter(probe_filter)
+        .select("vec_id")
+        .distinct()
+        .filter(F.col("vec_id") != target_id)
+    )
+    target = emb.filter(F.col(id_col) == target_id).select(
+        F.col(vec_col).alias("__q")
+    )
+    return (
+        emb.join(F.broadcast(cand), emb[id_col] == cand["vec_id"])
+        .drop(cand["vec_id"])
+        .crossJoin(F.broadcast(target))
+        .select(
+            F.col(id_col),
+            cosine(F.col(vec_col), F.col("__q")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+    )
+
+
 def random_projection(
     emb: DataFrame,
     in_dim: int,

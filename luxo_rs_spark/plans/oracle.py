@@ -7588,7 +7588,7 @@ ORDER BY da, db
             math.sqrt(_seq_dot(a, a)) * math.sqrt(_seq_dot(b, b))
         )
 
-    b361, b36, b64, b278, b237, b288 = [], [], [], [], [], []
+    b361, b36, b64, b278, b237, b288, b396 = [], [], [], [], [], [], []
     seen_keys: set = set()
     for d in sf_dirs:
         p = os.path.join(d, "embeddings.parquet")
@@ -7718,6 +7718,32 @@ ORDER BY da, db
         pairs.sort()
         b237.append((key, pairs))
 
+        # q396 — partition-pruned LSH probe of vec 0 at the fixed
+        # 8x8 band config (sharing >= 1 band signature with the
+        # target), exact-cosine verified at 0.1 with margin recheck
+        planes96 = (
+            np.random.default_rng(42)
+            .standard_normal((64, 64))
+            .astype(np.float64)
+        )
+        bits96 = (mat @ planes96.T > 0).reshape(nvec, 8, 8)
+        sig96 = (bits96 * (1 << np.arange(8, dtype=np.int64))).sum(axis=2)
+        t0i = idx_of[0]
+        q0 = vecs[t0i]
+        probe_scored = []
+        for i in range(nvec):
+            if ids[i] == 0:
+                continue
+            if not any(sig96[i, b] == sig96[t0i, b] for b in range(8)):
+                continue
+            if float(mnorm[i] @ mnorm[t0i]) < 0.1 - 1e-6:
+                continue
+            sim = _seq_cos(vecs[i], q0)
+            if sim >= 0.1:
+                probe_scored.append((ids[i], sim))
+        probe_scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        b396.append((key, probe_scored))
+
         # q288 — SemDeDup rollup: derived cluster count, min-id
         # survivor rule, numpy prefilter + seq-fold recheck at the
         # threshold margin
@@ -7770,6 +7796,7 @@ ORDER BY sim DESC, vec_id"""
         ("q36_ann_lsh_topk", b36),
         ("q64_ann_ivf_topk", b64),
         ("q278_ivf_adc_topk", b278),
+        ("q396_lsh_bucketed_probe", b396),
     ):
         if not blocks_:
             continue

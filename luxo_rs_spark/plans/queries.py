@@ -14016,3 +14016,33 @@ def q395_jpeg_progressive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q396 — partition-pruned LSH probe over a persisted banded signature
+# table (§2.2-K similarity x §2.2-A layout; the SURVEY §6 "LSH-band
+# pushdown" candidate realized as plain plan construction): the
+# signature table is written once PARTITIONED BY band with bsig-sorted
+# files, and the probe for one vector reads only its n_bands
+# (band, bsig) slivers — directory pruning + parquet min/max pushdown,
+# asserted in tests/test_plans.py — then exact-cosine verifies the
+# candidates. Deterministic (seeded planes) -> corpus-keyed VALUES
+# oracle recomputed sequentially in plans/oracle.py.
+# ---------------------------------------------------------------------------
+@query("q396_lsh_bucketed_probe")
+def q396_lsh_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from luxo_rs_spark.operators.similarity import (
+        lsh_partition_pruned_probe,
+        write_banded_signature_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "lsh_sigs"
+    )
+    write_banded_signature_table(emb, path)
+    return lsh_partition_pruned_probe(
+        spark, path, emb, target_id=0, threshold=0.1
+    ).select("vec_id", F.round("sim", 4).alias("sim"))

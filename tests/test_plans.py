@@ -465,6 +465,36 @@ def test_q362_png_decode_map_side_only(spark):
     assert plan.lower().count("hashpartitioning") == 0
 
 
+def test_q394_q395_jpeg_decode_map_side_only(spark):
+    """4:2:0-with-restarts (q394) and progressive (q395) JPEG decode
+    are map-side like q362/q393: the single wide exchange is the final
+    ORDER BY (rangepartitioning), never a join/agg shuffle."""
+    for name in ("q394_jpeg_420_restart_decode", "q395_jpeg_progressive_decode"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan and "HashAggregate" not in plan, name
+        assert plan.lower().count("hashpartitioning") == 0, name
+
+
+def test_q396_probe_partition_pruned(spark):
+    """The LSH-probe read of the persisted signature table must reach
+    the scan as PartitionFilters on the band directory column AND
+    PushedFilters on the file-sorted bsig column — at 100 TB this is
+    what turns an ANN probe into a handful of row-group reads instead
+    of a signature-table scan (SURVEY §6 'LSH-band pushdown')."""
+    plan = plan_of(spark, "q396_lsh_bucketed_probe")
+    sig_scan = [
+        seg
+        for seg in plan.split("FileScan parquet")
+        if "lsh_sigs" in seg.split("ReadSchema")[0]
+    ]
+    assert sig_scan, "signature-table scan missing from plan"
+    seg = sig_scan[0]
+    part = seg.split("PartitionFilters: [")[1].split("ReadSchema")[0]
+    assert "band" in part and part.strip() != "],"
+    pushed = seg.split("PushedFilters: [")[1][:400]
+    assert "EqualTo(bsig" in pushed
+
+
 def test_q09_window_group_limit_partial(spark):
     """Per-group top-k must hit Spark's WindowGroupLimit rank-limit
     pushdown in BOTH Partial (map-side, pre-shuffle) and Final stages —
