@@ -753,3 +753,96 @@ def editdistance_candidate_pairs(
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# segment-level boilerplate dedup (CCNet / RefinedWeb "line-level"
+# dedup, generalized to fixed token windows because the fixture corpus
+# is single-line). Reference parity note: the reference engine has no
+# corpus operators at all (its surface is src/algo/{fnv1a,search}.rs);
+# this is part of the declared LLM-pipeline extension surface.
+# ---------------------------------------------------------------------------
+
+
+def segment_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 3,
+) -> DataFrame:
+    """Explode each document into NON-overlapping `seg_tokens`-token
+    segments: (id, seg_idx, seg). Single-space tokenization so the
+    DuckDB oracle (string_split on ' ') is bit-identical. Pure
+    map-side: one scan, one explode, no shuffle."""
+    toks = F.split(F.col(text_col), " ")
+    nseg = F.greatest(
+        F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int"), F.lit(1)
+    )
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - F.lit(1)),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
+        ),
+    )
+    return _spread(df).select(
+        F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
+    )
+
+
+def segment_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate profile: a segment is boilerplate when
+    it occurs in >= `min_docs` DISTINCT documents (the CCNet line-dedup
+    rule). Returns (id, n_seg, n_boiler, boiler_frac, clean_md5) where
+    clean_md5 fingerprints the document with boilerplate segments
+    REMOVED (order preserved) — the actual dedup rewrite, not just a
+    score.
+
+    100 TB shape: segments are md5-narrowed before the document-
+    frequency aggregate (map-side partial on a 32-byte key), the
+    boilerplate set joins back on that key (AQE broadcasts it when
+    small, shuffle-join otherwise — web-scale boilerplate sets are NOT
+    assumed driver-sized), and the per-doc rollup collects only one
+    doc's segments per group. No window, no cartesian."""
+    segs = segment_table(df, id_col, text_col, seg_tokens).withColumn(
+        "__h", F.md5("seg")
+    )
+    boiler = (
+        segs.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__h", F.lit(True).alias("__b"))
+    )
+    flagged = segs.join(boiler, "__h", "left").withColumn(
+        "__is_b", F.coalesce("__b", F.lit(False))
+    )
+    clean = F.concat_ws(
+        " ",
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(F.struct("seg_idx", "seg", "__is_b"))
+                ),
+                lambda s: ~s["__is_b"],
+            ),
+            lambda s: s["seg"],
+        ),
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_seg"),
+            F.sum(F.col("__is_b").cast("long")).alias("n_boiler"),
+            F.md5(clean).alias("clean_md5"),
+        )
+        .withColumn(
+            "boiler_frac",
+            F.round(F.col("n_boiler") / F.col("n_seg"), 4),
+        )
+        .select(id_col, "n_seg", "n_boiler", "boiler_frac", "clean_md5")
+    )

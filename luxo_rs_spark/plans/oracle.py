@@ -7313,6 +7313,61 @@ WHERE doc_id < 150
 ORDER BY media_id
 """
 
+ORACLE_SQL["q397_segment_boilerplate"] = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(range(GREATEST(CAST(ceil(len(t) / 3.0) AS BIGINT), 1))) AS i
+  FROM toks
+), segs AS (
+  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+         array_to_string(t[i*3+1 : i*3+3], ' ') AS seg
+  FROM idx
+), boiler AS (
+  SELECT md5(seg) AS h FROM segs
+  GROUP BY md5(seg) HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT s.doc_id, s.seg_idx, s.seg, (b.h IS NOT NULL) AS is_b
+  FROM segs s LEFT JOIN boiler b ON md5(s.seg) = b.h
+)
+SELECT doc_id,
+  count(*) AS n_seg,
+  CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+  round(CAST(sum(CASE WHEN is_b THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4)
+    AS boiler_frac,
+  md5(COALESCE(string_agg(seg, ' ' ORDER BY seg_idx)
+               FILTER (WHERE NOT is_b), '')) AS clean_md5
+FROM flagged
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["q398_url_normalize"] = """
+SELECT doc_id,
+  'WWW.' || source || '.Example.COM' AS host,
+  '/docs/' || doc_id AS path,
+  'sec-' || (doc_id % 7) AS frag,
+  CAST(doc_id AS VARCHAR) AS qid,
+  'example.com' AS reg_domain,
+  'https://' || lower(source) || '.example.com/docs/' || doc_id ||
+    '?id=' || doc_id || '&ref=' || lang AS norm_url
+FROM documents
+ORDER BY doc_id
+"""
+
+ORACLE_SQL["q399_k_anonymity_audit"] = """
+SELECT c_nationkey, c_mktsegment,
+  count(*) AS k_size,
+  count(DISTINCT floor(c_acctbal / 1000)) AS l_div,
+  round(CAST(1.0 AS DOUBLE) / count(*), 4) AS reid_risk,
+  count(*) >= 5 AS k_anon_5,
+  count(DISTINCT floor(c_acctbal / 1000)) >= 3 AS l_div_3
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
 
 # ---------------------------------------------------------------------------
 # Precomputed-input oracles (round-2 verdict item: oracle-ify the

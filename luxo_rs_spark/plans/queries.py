@@ -14046,3 +14046,107 @@ def q396_lsh_bucketed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_partition_pruned_probe(
         spark, path, emb, target_id=0, threshold=0.1
     ).select("vec_id", F.round("sim", 4).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# Q397 — segment-level boilerplate dedup (§2.2-K; CCNet/RefinedWeb
+# "line-level dedup" generalized to non-overlapping 3-token segments —
+# the fixture corpus is single-line): a segment occurring in >= 2
+# distinct documents is boilerplate; each document reports its segment
+# counts, boilerplate fraction, and the md5 of its text with those
+# segments REMOVED (the actual rewrite). Shape: one explode, one
+# md5-keyed doc-frequency agg (map-side partial), one key join back
+# (AQE-sized), one per-doc rollup — no window, no cartesian.
+# ---------------------------------------------------------------------------
+@query("q397_segment_boilerplate")
+def q397_segment_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import segment_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_boilerplate(
+        docs, seg_tokens=3, min_docs=2
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q398 — URL parse/normalize battery (§2.2-H/K): the fixture carries no
+# URLs, so a deterministic URL is synthesized per document (mixed-case
+# host from `source`, path from doc_id, tracking params, fragment) and
+# the machinery under test is Spark's parse_url (HOST/PATH/QUERY/REF +
+# keyed QUERY lookup) plus canonical normalization: lowercase host,
+# strip leading www., drop utm_* tracking params, drop the fragment,
+# extract the registered domain (last two host labels). Map-only
+# scan→project; the only exchange is the presentation sort.
+# ---------------------------------------------------------------------------
+@query("q398_url_normalize")
+def q398_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM/docs/"),
+        F.col("doc_id"),
+        F.lit("?utm_source=news&id="),
+        F.col("doc_id"),
+        F.lit("&ref="),
+        F.col("lang"),
+        F.lit("&utm_campaign=x#sec-"),
+        F.col("doc_id") % 7,
+    )
+    d = docs.select("doc_id", url.alias("__url"))
+    host = F.parse_url("__url", F.lit("HOST"))
+    lhost = F.lower(host)
+    bare = F.regexp_replace(lhost, r"^www\.", "")
+    # drop utm_* params, then tidy leftover separators
+    q = F.parse_url("__url", F.lit("QUERY"))
+    q_clean = F.regexp_replace(q, r"(^|&)utm_[^&]*", "")
+    q_clean = F.regexp_replace(q_clean, r"^&+", "")
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url("__url", F.lit("PATH")).alias("path"),
+        F.parse_url("__url", F.lit("REF")).alias("frag"),
+        F.parse_url("__url", F.lit("QUERY"), F.lit("id")).alias("qid"),
+        F.regexp_extract(bare, r"([^.]+\.[^.]+)$", 1).alias("reg_domain"),
+        F.concat(
+            F.lit("https://"),
+            bare,
+            F.parse_url("__url", F.lit("PATH")),
+            F.when(q_clean != "", F.concat(F.lit("?"), q_clean)).otherwise(
+                F.lit("")
+            ),
+        ).alias("norm_url"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q399 — k-anonymity / l-diversity audit (§2.2-K privacy): treat
+# (c_nationkey, c_mktsegment) as the quasi-identifier, the $1000
+# account-balance band as the sensitive attribute. Per equivalence
+# class: size k, distinct sensitive values l, re-identification risk
+# 1/k, and the k>=5 / l>=3 compliance flags a release gate would
+# enforce (suppress classes failing either). One hash-aggregate on the
+# QI key — the canonical scalable audit shape.
+# ---------------------------------------------------------------------------
+@query("q399_k_anonymity_audit")
+def q399_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / 1000).cast("long")
+    return (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("__band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("k_size"),
+            F.countDistinct("__band").alias("l_div"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k_size",
+            "l_div",
+            F.round(F.lit(1.0) / F.col("k_size"), 4).alias("reid_risk"),
+            (F.col("k_size") >= 5).alias("k_anon_5"),
+            (F.col("l_div") >= 3).alias("l_div_3"),
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

@@ -298,3 +298,35 @@ def test_deletion_neighborhood_recall(spark):
     }
     assert truth <= cand          # 100% recall for d<=2
     assert (1, 7) not in cand      # far pair not generated
+
+
+def test_segment_boilerplate_flags_shared_segments(spark):
+    """CCNet-style segment dedup: a 3-token segment shared by >=2 docs
+    is boilerplate; clean_md5 fingerprints the doc with those segments
+    removed, order preserved."""
+    import hashlib
+
+    from luxo_rs_spark.operators.dedup import segment_boilerplate
+
+    rows = [
+        (1, "subscribe to our newsletter real content one here now"),
+        (2, "subscribe to our newsletter other body text goes here"),
+        (3, "totally unique document body nothing shared at all ok"),
+        (4, "xy"),  # shorter than one segment -> single ragged segment
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in segment_boilerplate(df).collect()}
+
+    # docs 1 and 2 share segments "subscribe to our" and a ragged tail?
+    # tokens: doc1 = 9 tokens -> 3 segments; first segment shared.
+    assert out[1].n_seg == 3 and out[2].n_seg == 3
+    assert out[1].n_boiler == 1 and out[2].n_boiler == 1
+    assert out[1].boiler_frac == pytest.approx(0.3333, abs=1e-4)
+    # clean text = doc with the shared first segment removed
+    clean1 = "newsletter real content one here now"
+    assert out[1].clean_md5 == hashlib.md5(clean1.encode()).hexdigest()
+    # unique doc: nothing flagged, clean text == original
+    assert out[3].n_boiler == 0
+    assert out[3].clean_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
+    # sub-segment doc still yields exactly one segment
+    assert out[4].n_seg == 1 and out[4].n_boiler == 0

@@ -139,7 +139,10 @@ def main() -> None:
         shingle_table,
     )
     from luxo_rs_spark.operators.similarity import (
+        derive_lsh_bands,
         embedding_lsh_candidates,
+        lsh_partition_pruned_probe,
+        write_banded_signature_table,
     )
     from luxo_rs_spark.plans.queries import QUERIES
 
@@ -198,11 +201,55 @@ def main() -> None:
             print(
                 f"x{r} {name}: {row['queries'][name]}", flush=True
             )
+
+        # q396 probe: the signature table is written ONCE per corpus
+        # snapshot (its ~linear build cost reported separately); each
+        # timed pass is one single-vector probe at the ADAPTIVE band
+        # config a 100 TB deployment would use (derive_lsh_bands keeps
+        # expected bucket occupancy constant), so probe wall time
+        # should stay ~flat while the corpus grows — the point of the
+        # partitioned/sorted layout.
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        n_vec = emb.count()
+        nb, bb = derive_lsh_bands(n_vec, None, None)
+        sig_path = os.path.join(sf_dir, "lsh_sigs_bench")
+        t0 = time.perf_counter()
+        write_banded_signature_table(
+            emb, sig_path, n_bands=nb, band_bits=bb
+        )
+        build_sec = time.perf_counter() - t0
+
+        def probe() -> int:
+            return lsh_partition_pruned_probe(
+                spark, sig_path, emb, 0, 0.1, n_bands=nb, band_bits=bb
+            ).count()
+
+        probe()  # warm-up
+        ptimes = []
+        n_hits = 0
+        for _ in range(args.runs):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            n_hits = probe()
+            ptimes.append(time.perf_counter() - t0)
+        row["queries"]["q396_lsh_bucketed_probe"] = {
+            "sec": round(sorted(ptimes)[len(ptimes) // 2], 3),
+            "result_rows": n_hits,
+            "candidate_pairs": None,
+            "sig_build_sec": round(build_sec, 3),
+            "n_bands": nb,
+            "band_bits": bb,
+        }
+        print(
+            f"x{r} q396_lsh_bucketed_probe: "
+            f"{row['queries']['q396_lsh_bucketed_probe']}",
+            flush=True,
+        )
         results.append(row)
 
     ns = [row["n_docs"] for row in results]
     exponents = {}
-    for name in QNAMES:
+    for name in QNAMES + ["q396_lsh_bucketed_probe"]:
         secs = [row["queries"][name]["sec"] for row in results]
         cands = [
             row["queries"][name]["candidate_pairs"] for row in results
