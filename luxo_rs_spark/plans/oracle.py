@@ -7368,6 +7368,18 @@ GROUP BY c_nationkey, c_mktsegment
 ORDER BY c_nationkey, c_mktsegment
 """
 
+ORACLE_SQL["q400_warc_ingest"] = """
+SELECT doc_id,
+  200 AS status,
+  lang,
+  'Doc ' || doc_id AS title,
+  length(text) AS n_chars,
+  md5(text) AS text_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
 
 # ---------------------------------------------------------------------------
 # Precomputed-input oracles (round-2 verdict item: oracle-ify the

@@ -14150,3 +14150,62 @@ def q399_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q400 — WARC ingest round-trip (§2.2-A source format; the Common Crawl
+# container that web-scale LLM corpora ship in): the documents table is
+# rendered to spec-compliant .warc.gz files (warcinfo + one gzip-member
+# HTTP-response record per doc, written per-partition — never through
+# the driver), scanned back via binaryFile + executor-side record/HTTP
+# parsing, and the HTML payloads reduced to (title, text) by the
+# deterministic boilerplate extractor. Full oracle: extraction must
+# reproduce each document's exact text (md5) from inside the container.
+# 100 TB shape: ingest is scan -> parse -> extract with NO shuffle (one
+# map stage; parallelism = file count, a CC snapshot has ~90k files);
+# the only exchange here is the presentation sort.
+# ---------------------------------------------------------------------------
+@query("q400_warc_ingest")
+def q400_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import html as _html
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.warc import (
+        extract_warc_text,
+        read_warc,
+        write_warc_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "warc"
+    )
+    shutil.rmtree(out, ignore_errors=True)  # local-FS fixture hygiene
+    write_warc_files(
+        docs.repartition(4, "doc_id"),
+        out,
+        url_of=lambda r: (
+            f"https://{r['source']}.example.com/docs/{r['doc_id']}"
+        ),
+        html_of=lambda r: (
+            f"<html><head><title>Doc {r['doc_id']}</title>"
+            f"<style>p{{margin:0}}</style></head><body>"
+            f"<p>{_html.escape(r['text'])}</p>"
+            f"<script>track();</script></body></html>"
+        ),
+    )
+    ext = extract_warc_text(read_warc(spark, out))
+    return (
+        ext.select(
+            F.regexp_extract("target_uri", r"/docs/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("http_status").alias("status"),
+            F.col("content_language").alias("lang"),
+            "title",
+            F.length("text").alias("n_chars"),
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )

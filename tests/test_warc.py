@@ -1,0 +1,120 @@
+"""WARC source: writer/parser round-trips, Content-Length discipline,
+gzip member layouts, HTML extraction, and the distributed Spark lane."""
+
+import gzip
+
+import pytest
+
+from luxo_rs_spark.sources.warc import (
+    extract_warc_text,
+    html_to_text,
+    http_response_bytes,
+    iter_warc_records,
+    parse_http_response,
+    read_warc,
+    warc_record_bytes,
+    warcinfo_bytes,
+    write_warc_files,
+)
+
+
+def _resp_record(uri: str, body: bytes, gzip_member=True, **http_kw) -> bytes:
+    return warc_record_bytes(
+        record_type="response",
+        payload=http_response_bytes(body, **http_kw),
+        target_uri=uri,
+        gzip_member=gzip_member,
+    )
+
+
+def test_roundtrip_multi_member_gzip():
+    raw = warcinfo_bytes("f.warc.gz") + _resp_record(
+        "https://a.example.com/1", b"<html>one</html>"
+    ) + _resp_record("https://a.example.com/2", b"<html>two</html>")
+    recs = list(iter_warc_records(raw))
+    assert [r["headers"]["warc-type"] for r in recs] == [
+        "warcinfo", "response", "response",
+    ]
+    status, hdrs, body = parse_http_response(recs[1]["payload"])
+    assert status == 200 and body == b"<html>one</html>"
+    assert hdrs["content-type"].startswith("text/html")
+
+
+def test_roundtrip_plain_and_single_member():
+    plain = _resp_record("u:1", b"abc", gzip_member=False) + _resp_record(
+        "u:2", b"defg", gzip_member=False
+    )
+    assert [
+        parse_http_response(r["payload"])[2]
+        for r in iter_warc_records(plain)
+    ] == [b"abc", b"defg"]
+    # a SINGLE gzip member holding many records must also parse
+    one_member = gzip.compress(plain)
+    assert len(list(iter_warc_records(one_member))) == 2
+
+
+def test_content_length_governs_not_delimiters():
+    """A body containing CRLFCRLF (the header terminator) must survive:
+    payloads are sliced by Content-Length, never delimiter-scanned."""
+    evil = b"part1\r\n\r\nWARC/1.0\r\n\r\npart2"
+    raw = _resp_record("u:evil", evil) + _resp_record("u:after", b"ok")
+    recs = list(iter_warc_records(raw))
+    assert len(recs) == 2
+    assert parse_http_response(recs[0]["payload"])[2] == evil
+    assert parse_http_response(recs[1]["payload"])[2] == b"ok"
+
+
+def test_record_spanning_gzip_member_boundary():
+    """Non-CC layout: one record split across two gzip members —
+    the incremental parser must buffer across the boundary."""
+    rec = _resp_record("u:span", b"x" * 500, gzip_member=False)
+    cut = len(rec) // 2
+    raw = gzip.compress(rec[:cut]) + gzip.compress(rec[cut:])
+    recs = list(iter_warc_records(raw))
+    assert len(recs) == 1
+    assert parse_http_response(recs[0]["payload"])[2] == b"x" * 500
+
+
+def test_html_to_text_strips_boilerplate():
+    doc = (
+        "<html><head><title> My &amp; Title </title>"
+        "<style>p{color:red}</style></head>"
+        "<body><h1>Head</h1><!-- hidden --><p>alpha &lt;beta&gt;</p>"
+        "<script>var x='<p>not text</p>';</script>tail</body></html>"
+    )
+    title, text = html_to_text(doc)
+    assert title == "My & Title"
+    assert text == "Head alpha <beta> tail"
+
+
+def test_spark_warc_lane_roundtrip(spark, tmp_path):
+    """Distributed write (one warc.gz per partition) → binaryFile scan →
+    mapInPandas parse → HTML extraction; text round-trips exactly."""
+    rows = [(i, f"doc body number {i}", "en") for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).repartition(3)
+    out = str(tmp_path / "warc")
+    write_warc_files(
+        docs,
+        out,
+        url_of=lambda r: f"https://w.example.com/docs/{r['doc_id']}",
+        html_of=lambda r: (
+            f"<html><head><title>D{r['doc_id']}</title></head>"
+            f"<body><p>{r['text']}</p><script>x=1</script></body></html>"
+        ),
+    )
+    recs = read_warc(spark, out)
+    got = {
+        r.target_uri: r
+        for r in extract_warc_text(recs).collect()
+    }
+    assert len(got) == 20
+    r5 = got["https://w.example.com/docs/5"]
+    assert r5.text == "doc body number 5"
+    assert r5.title == "D5"
+    assert r5.http_status == 200 and r5.content_language == "en"
+    # warcinfo records exist in the raw frame but not the extracted one
+    assert (
+        recs.filter("record_type = 'warcinfo'").count() == 3
+    )  # one per non-empty partition
