@@ -881,7 +881,13 @@ def _decode_jpeg(content: bytes) -> dict:
     bits. Reconstruction (dequantize + IDCT + chroma replication +
     BT.601) runs once at EOI over the accumulated coefficients.
 
-    Arithmetic-coded, 12-bit, lossless and hierarchical streams raise
+    Lossless (SOF3, T.81 process 14) is also decoded: predictive DPCM
+    with all 7 predictors, point transform, 2-16-bit precision,
+    restart-marker prediction resets — no DCT, no color transform,
+    payload is the exact source samples (uint8, or little-endian
+    uint16 when precision > 8).
+
+    Arithmetic-coded, 12-bit-DCT and hierarchical streams raise
     NotImplementedError — the honest boundary, like the other decoders
     here. Payload is the raw interleaved pixel array ((h, w, channels)
     uint8, RGB for color)."""
@@ -892,6 +898,8 @@ def _decode_jpeg(content: bytes) -> dict:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     progressive = False
+    lossless = False
+    samples: np.ndarray | None = None  # (h, w, nf) for the lossless process
     restart_interval = 0
     coef: list[np.ndarray] | None = None  # per component (nbh, nbw, 64) zigzag
     geom: list[tuple[int, int, int, int]] | None = None  # hi, vi, nbh, nbw (MCU-padded)
@@ -925,11 +933,16 @@ def _decode_jpeg(content: bytes) -> dict:
                 vals = list(body[off + 17 : off + 17 + n])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # baseline/extended/progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
+            # baseline/extended/progressive DCT, or lossless (SOF3)
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             precision, h, w, nf = struct.unpack_from(">BHHB", body, 0)
-            if precision != 8:
-                raise NotImplementedError("only 8-bit JPEG samples")
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise ValueError("lossless JPEG precision out of range")
+            elif precision != 8:
+                raise NotImplementedError("only 8-bit DCT JPEG samples")
             comps = []
             for i in range(nf):
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * i)
@@ -939,6 +952,17 @@ def _decode_jpeg(content: bytes) -> dict:
                         f"JPEG sampling factors {hi}x{vi} out of range"
                     )
                 comps.append((cid, hi, vi, tq))
+            if lossless:
+                if any(c[1] != 1 or c[2] != 1 for c in comps):
+                    raise NotImplementedError(
+                        "lossless JPEG with subsampled components"
+                    )
+                sof = (h, w, comps, 1, 1)
+                samples = np.zeros((h, w, nf), dtype=np.int32)
+                geom, coef = [], []  # unused in the lossless process
+                continue_pos = pos + 2 + size
+                pos = continue_pos
+                continue
             hmax = max(c[1] for c in comps)
             vmax = max(c[2] for c in comps)
             for _cid, hi, vi, _tq in comps:
@@ -955,25 +979,45 @@ def _decode_jpeg(content: bytes) -> dict:
                 np.zeros((nbh, nbw, 64), dtype=np.int32)
                 for _hi, _vi, nbh, nbw in geom
             ]
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/progressive Huffman JPEG "
-                "(SOF0/SOF1/SOF2) is supported"
+                "only baseline/progressive/lossless Huffman JPEG "
+                "(SOF0/SOF1/SOF2/SOF3) is supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:  # SOS — one scan of entropy data follows
             if sof is None or coef is None or geom is None:
                 raise ValueError("JPEG SOS before SOF")
-            pos = _decode_jpeg_scan(
-                content, pos, size, body, sof, geom, coef, huff,
-                restart_interval, progressive,
-            )
+            if lossless:
+                pos = _decode_lossless_scan(
+                    content, pos, size, body, sof, samples, huff,
+                    restart_interval, precision,
+                )
+            else:
+                pos = _decode_jpeg_scan(
+                    content, pos, size, body, sof, geom, coef, huff,
+                    restart_interval, progressive,
+                )
             continue
         pos += 2 + size
     if sof is None or coef is None or geom is None:
         raise ValueError("JPEG had no frame")
+    if lossless:
+        h, w, comps, _hmax, _vmax = sof
+        arr = samples
+        if precision <= 8:
+            payload = arr.astype(np.uint8).tobytes()
+        else:
+            payload = arr.astype("<u2").tobytes()
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "sample_rate": None,
+            "payload": payload,
+        }
     return _reconstruct_jpeg(sof, geom, coef, qtabs)
 
 
@@ -1195,6 +1239,242 @@ def _reconstruct_jpeg(sof, geom, coef, qtabs) -> dict:
         "sample_rate": 0,
         "payload": px.tobytes(),
     }
+
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (SOF3, T.81 process 14 / Annex H): predictive DPCM, no
+# DCT and no color transform — the archival/medical-imaging JPEG
+# variant (and the base of DNG raws). The decoder below shares the
+# bit reader / Huffman machinery with the DCT path; differences are
+# coded exactly like DC coefficients (category + EXTEND bits), with
+# SSSS=16 meaning a difference of 32768 carried with no extra bits,
+# and all arithmetic modulo 2^16 (T.81 H.1.2.1).
+# ---------------------------------------------------------------------------
+
+_LL_PRED_DEFAULT = 0  # sentinel index; real default is 1 << (P - Pt - 1)
+
+
+def _ll_predict(
+    row: np.ndarray,
+    prev: np.ndarray | None,
+    x: int,
+    psel: int,
+    default: int,
+    fresh: bool,
+) -> int:
+    """One sample's prediction (T.81 H.1.1). `fresh` marks the first
+    sample after start-of-scan / restart: it takes the default; the
+    rest of that first line uses Ra; the first sample of later lines
+    uses Rb; everything else uses the selected predictor."""
+    if fresh:
+        return default
+    if prev is None:  # first line: Ra
+        return int(row[x - 1])
+    if x == 0:  # first column: Rb
+        return int(prev[0])
+    ra, rb, rc = int(row[x - 1]), int(prev[x]), int(prev[x - 1])
+    if psel == 1:
+        return ra
+    if psel == 2:
+        return rb
+    if psel == 3:
+        return rc
+    if psel == 4:
+        return ra + rb - rc
+    if psel == 5:
+        return ra + ((rb - rc) >> 1)
+    if psel == 6:
+        return rb + ((ra - rc) >> 1)
+    if psel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid lossless predictor {psel}")
+
+
+def _decode_lossless_scan(
+    content: bytes,
+    pos: int,
+    size: int,
+    body: bytes,
+    sof,
+    samples: np.ndarray,
+    huff,
+    restart_interval: int,
+    precision: int,
+) -> int:
+    """Decode one SOF3 scan into `samples` (h, w, nf). Interleaved when
+    Ns > 1 (MCU = one sample per component); returns the position after
+    the entropy-coded segment."""
+    h, w, comps, _hm, _vm = sof
+    ns = body[0]
+    members = []
+    for i in range(ns):
+        cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c[0] == cs)
+        members.append((ci, tdta >> 4))
+    psel = body[1 + 2 * ns]  # Ss = predictor selector
+    pt = body[3 + 2 * ns] & 0x0F  # Al = point transform
+    default = 1 << (precision - pt - 1)
+    mask = (1 << 16) - 1
+
+    reader = _BitReader(content, pos + 2 + size)
+    # decoded rows per member component (values AFTER the point
+    # transform; the shift back happens at the end)
+    rows: list[np.ndarray] = [np.zeros(w, dtype=np.int64) for _ in members]
+    prevs: list[np.ndarray | None] = [None] * len(members)
+    fresh = [True] * len(members)
+    since_restart = 0
+    rst_expect = 0
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and since_restart
+                and since_restart % restart_interval == 0
+            ):
+                reader.align()
+                p = reader.pos
+                if not (
+                    content[p] == 0xFF
+                    and content[p + 1] == 0xD0 + (rst_expect % 8)
+                ):
+                    raise ValueError("expected RSTn marker in lossless scan")
+                reader.pos = p + 2
+                rst_expect += 1
+                fresh = [True] * len(members)
+                prevs = [None] * len(members)
+                since_restart = 0
+            for m, (ci, td) in enumerate(members):
+                table = huff[(0, td)]
+                cat = _huff_read(reader, table)
+                if cat == 16:
+                    diff = 32768
+                elif cat == 0:
+                    diff = 0
+                else:
+                    diff = _extend(reader.bits(cat), cat)
+                pred = _ll_predict(
+                    rows[m], prevs[m], x, psel, default, fresh[m]
+                )
+                val = (pred + diff) & mask
+                rows[m][x] = val
+                fresh[m] = False
+            since_restart += 1
+        for m, (ci, _td) in enumerate(members):
+            samples[y, :, ci] = (rows[m] << pt) & ((1 << precision) - 1)
+            prevs[m] = rows[m].copy()
+    # skip to the next marker (EOI or the next segment)
+    p = reader.pos
+    while p + 1 < len(content) and not (
+        content[p] == 0xFF and content[p + 1] not in (0x00,)
+        and not 0xD0 <= content[p + 1] <= 0xD7
+    ):
+        p += 1
+    return p
+
+
+# a single canonical Huffman book over difference categories 0..16:
+# 15 five-bit codes (cats 0-14) + 2 six-bit codes (cats 15, 16).
+_HUFF_LL = ([0, 0, 0, 0, 15, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            list(range(17)))
+
+
+def _pixels_to_jpeg_lossless(
+    arr: np.ndarray,
+    predictor: int = 1,
+    pt: int = 0,
+    precision: int | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """GENUINE lossless-JPEG (SOF3) encoder for (h, w) or (h, w, c)
+    integer arrays: per-component DPCM with the selected predictor,
+    point transform `pt`, differences Huffman-coded as DC categories,
+    optional DRI/RSTn with prediction resets. Components are stored
+    directly (the lossless process has no color transform), so decode
+    returns the EXACT input samples — the property q401 oracles.
+
+    Restart convention (T.81 H.2.3): a restart reinitializes prediction
+    as at start of scan — the first sample after RSTn takes the
+    2^(P-Pt-1) default and the remainder of that row region predicts
+    with Ra; row context (Rb/Rc) rebuilds from the full previous row
+    once a new row completes. Encoder and decoder implement the same
+    convention and it is pinned by round-trip tests."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+    default = 1 << (precision - pt - 1)
+    mask = (1 << 16) - 1
+    codes = _huff_codes(*_HUFF_LL)
+    writer = _BitWriter()
+    scan = bytearray()
+    shifted = (arr.astype(np.int64) >> pt)
+    prevs: list[np.ndarray | None] = [None] * nc
+    rows = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+    fresh = [True] * nc
+    since_restart = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and since_restart
+                and since_restart % restart_interval == 0
+            ):
+                scan += writer.flush()
+                scan += bytes([0xFF, 0xD0 + (rst % 8)])
+                writer = _BitWriter()
+                rst += 1
+                fresh = [True] * nc
+                prevs = [None] * nc
+                since_restart = 0
+            for c in range(nc):
+                pred = _ll_predict(
+                    rows[c], prevs[c], x, predictor, default, fresh[c]
+                )
+                val = int(shifted[y, x, c])
+                rows[c][x] = val
+                fresh[c] = False
+                d = (val - pred) & mask
+                if d == 32768:
+                    cat = 16
+                    code, ln = codes[16]
+                    writer.write(code, ln)
+                else:
+                    sd = d - 65536 if d > 32768 else d
+                    cat = abs(sd).bit_length()
+                    code, ln = codes[cat]
+                    writer.write(code, ln)
+                    if cat:
+                        amp = sd if sd >= 0 else sd + (1 << cat) - 1
+                        writer.write(amp, cat)
+            since_restart += 1
+        for c in range(nc):
+            prevs[c] = rows[c].copy()
+    scan += writer.flush()
+
+    def seg(marker: int, b: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(b) + 2) + b
+
+    out = bytearray(b"\xff\xd8")
+    comps = b"".join(
+        struct.pack("BBB", c + 1, 0x11, 0) for c in range(nc)
+    )
+    out += seg(0xFFC3, struct.pack(">BHHB", precision, h, w, nc) + comps)
+    bits, vals = _HUFF_LL
+    out += seg(0xFFC4, b"\x00" + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc]) + b"".join(
+        bytes([c + 1, 0x00]) for c in range(nc)
+    ) + bytes([predictor, 0, pt])
+    out += seg(0xFFDA, sos)
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _decode_wav(content: bytes) -> dict:
@@ -1656,6 +1936,46 @@ def synth_png_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     {
                         "media_id": int(doc_id),
                         "content": _pixels_to_png(arr),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def synth_jpeg_lossless_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Lossless-JPEG (SOF3) synthesis from the documents fixture: per
+    doc a genuine DPCM stream whose pixels tile the ASCII md5 hex of
+    the text and whose predictor sweeps doc_id % 7 + 1 — so decode
+    must reproduce EVERY pixel bit-exactly (q401 oracles the md5 of
+    the full decoded payload, not just geometry: lossless means the
+    whole image is SQL-recomputable)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                w = int(doc_id) % 11 + 6
+                h = int(doc_id) % 5 + 4
+                hx = hashlib.md5(
+                    (text or " ").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                need = h * w * 3
+                arr = np.tile(
+                    np.frombuffer(hx, dtype=np.uint8), need // 32 + 1
+                )[:need].reshape(h, w, 3)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": _pixels_to_jpeg_lossless(
+                            arr, predictor=int(doc_id) % 7 + 1
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)

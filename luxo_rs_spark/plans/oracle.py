@@ -7379,6 +7379,20 @@ FROM documents
 ORDER BY doc_id
 """
 
+ORACLE_SQL["q401_jpeg_lossless_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  md5(substring(repeat(hx, CAST(h * w * 3 / 32 AS INTEGER) + 1),
+                1, h * w * 3)) AS pixel_md5
+FROM t ORDER BY media_id
+"""
+
+
 
 
 # ---------------------------------------------------------------------------

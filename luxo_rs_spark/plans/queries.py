@@ -14209,3 +14209,49 @@ def q400_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q401 — LOSSLESS JPEG decode (§2.2-K multimodal; SOF3, T.81 process
+# 14 — the archival / medical-imaging / DNG-raw JPEG variant): per-doc
+# streams carry the md5-hex of the text as pixels with the predictor
+# sweeping all seven T.81 predictors (doc_id % 7 + 1), and because the
+# process is LOSSLESS the oracle pins the md5 of the ENTIRE decoded
+# payload — every pixel of every image — as pure SQL over documents
+# (repeat/substring of md5(text)), not just geometry like q393-q395.
+# Distributed shape: synth and decode are both single map stages over
+# Arrow batches; the only exchange is the presentation sort.
+# ---------------------------------------------------------------------------
+@query("q401_jpeg_lossless_decode")
+def q401_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        synth_jpeg_lossless_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    jpgs = synth_jpeg_lossless_table(docs)
+
+    def dec(batches):
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = _decode_payload(bytes(content))
+                rows.append(
+                    (int(mid), d["width"], d["height"], d["payload"])
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload"]
+            )
+
+    out = jpgs.mapInPandas(
+        dec, "media_id long, width int, height int, payload binary"
+    )
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.md5("payload").alias("pixel_md5"),
+    ).orderBy("media_id")

@@ -524,10 +524,10 @@ def test_jpeg_golden_spec_vector_decodes():
 
 
 def test_jpeg_unsupported_shapes_raise():
-    """Arithmetic-coded (SOF9), lossless (SOF3) and out-of-spec
+    """Arithmetic-coded (SOF9), hierarchical (SOF5) and out-of-spec
     sampling factors raise NotImplementedError — the honest decoder
-    boundary (4:2:0/4:2:2 subsampling supported since round 4,
-    progressive SOF2 supported since round 4 as well)."""
+    boundary (4:2:0/4:2:2 + progressive SOF2 supported since round 4,
+    lossless SOF3 supported since round 4 as well)."""
     import struct as st
 
     import numpy as np
@@ -538,13 +538,13 @@ def test_jpeg_unsupported_shapes_raise():
     def seg(m, body):
         return st.pack(">HH", m, len(body) + 2) + body
 
-    for sofm in (0xFFC9, 0xFFC3):  # arithmetic progressive, lossless
+    for sofm in (0xFFC9, 0xFFC5):  # arithmetic, differential sequential
         stream = (
             b"\xff\xd8"
             + seg(sofm, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
             + b"\xff\xd9"
         )
-        with pytest.raises(NotImplementedError, match="SOF0/SOF1/SOF2"):
+        with pytest.raises(NotImplementedError, match="SOF0/SOF1/SOF2/SOF3"):
             _decode_jpeg(stream)
 
     bad_factors = (
@@ -735,3 +735,103 @@ def test_jpeg_distributed_decode_through_media_path(spark):
         w, h = i % 11 + 6, i % 5 + 4
         assert got[i]["width"] == w and got[i]["height"] == h
         assert got[i]["payload_bytes"] == h * w * 3
+
+
+def test_jpeg_lossless_roundtrip_all_predictors():
+    """SOF3 decode returns the EXACT source samples for every T.81
+    predictor (1..7), color and grayscale."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(42)
+    for pred in range(1, 8):
+        arr = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        d = _decode_jpeg(_pixels_to_jpeg_lossless(arr, predictor=pred))
+        got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(13, 17, 3)
+        assert np.array_equal(got, arr)
+    gray = rng.integers(0, 256, size=(5, 9), dtype=np.uint8)
+    d = _decode_jpeg(_pixels_to_jpeg_lossless(gray, predictor=4))
+    assert np.array_equal(
+        np.frombuffer(d["payload"], dtype=np.uint8).reshape(5, 9), gray
+    )
+
+
+def test_jpeg_lossless_16bit_pt_and_restarts():
+    """Precision > 8 round-trips via uint16 payloads; the point
+    transform drops exactly Pt low bits; restart markers reset
+    prediction without corrupting later samples."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(3)
+    a16 = rng.integers(0, 1 << 16, size=(8, 6), dtype=np.uint16)
+    d = _decode_jpeg(_pixels_to_jpeg_lossless(a16, predictor=4))
+    assert np.array_equal(
+        np.frombuffer(d["payload"], dtype="<u2").reshape(8, 6), a16
+    )
+
+    a = rng.integers(0, 256, size=(10, 10, 3), dtype=np.uint8)
+    d = _decode_jpeg(_pixels_to_jpeg_lossless(a, predictor=7, pt=2))
+    got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(10, 10, 3)
+    assert np.array_equal(got, (a >> 2) << 2)
+
+    d = _decode_jpeg(_pixels_to_jpeg_lossless(a, predictor=5,
+                                              restart_interval=4))
+    got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(10, 10, 3)
+    assert np.array_equal(got, a)
+
+
+def test_jpeg_lossless_golden_bitstream():
+    """Hand-derived golden vector: 1x4 grayscale [100,101,99,99],
+    predictor 1, Pt 0. Differences vs prediction: 100-128=-28 (cat 5),
+    +1 (cat 1), -2 (cat 2), 0 (cat 0). With the shipped Huffman book
+    (cats 0-14 are the 5-bit codes 0..14) the entropy bits are
+    00101|00011 (cat5, EXTEND(3,5)=-28), 00001|1 (cat1, +1),
+    00010|01 (cat2, -2), 00000 (cat0), then 1-padding:
+    00101000 11000011 00010010 00001111 = 0x28 0xC3 0x12 0x0F."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_lossless,
+    )
+
+    arr = np.array([[100, 101, 99, 99]], dtype=np.uint8)
+    enc = _pixels_to_jpeg_lossless(arr, predictor=1)
+    sos = enc.find(b"\xff\xda")
+    sos_len = int.from_bytes(enc[sos + 2 : sos + 4], "big")
+    entropy = enc[sos + 2 + sos_len : enc.rfind(b"\xff\xd9")]
+    assert entropy == bytes([0x28, 0xC3, 0x12, 0x0F])
+    d = _decode_jpeg(enc)
+    assert np.frombuffer(d["payload"], dtype=np.uint8).tolist() == [
+        100, 101, 99, 99,
+    ]
+
+
+def test_jpeg_lossless_boundaries_raise():
+    """Out-of-range predictors refuse to encode; remaining honest
+    codec boundary (hierarchical SOF) still raises."""
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_lossless,
+    )
+
+    a = np.zeros((2, 2), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        _pixels_to_jpeg_lossless(a, predictor=0)
+    enc = bytearray(_pixels_to_jpeg_lossless(a))
+    i = enc.find(b"\xff\xc3")
+    enc[i + 1] = 0xC7  # differential lossless (hierarchical)
+    with pytest.raises(NotImplementedError):
+        _decode_jpeg(bytes(enc))
