@@ -7392,6 +7392,26 @@ SELECT doc_id AS media_id, w AS width, h AS height,
 FROM t ORDER BY media_id
 """
 
+ORACLE_SQL["q402_deterministic_shuffle"] = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5('epoch7:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+  FROM documents
+), sharded AS (
+  SELECT doc_id, shuffle_key,
+         CAST(CAST('0x' || substring(shuffle_key, 1, 2) AS INTEGER) % 16
+              AS INTEGER) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key)
+            AS INTEGER) AS pos,
+       shuffle_key
+FROM sharded
+ORDER BY shard, pos
+"""
+
+
 
 
 

@@ -14255,3 +14255,32 @@ def q401_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.md5("payload").alias("pixel_md5"),
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q402 — reproducible corpus shuffle (§2.2-K; the training-data
+# permutation step): every epoch reader needs the SAME pseudo-random
+# document order on any cluster size. Order key = md5(seed || doc_id)
+# — deterministic, uniform, and seed-switchable; documents are first
+# hash-bucketed into 16 shards (the file-level parallelism a 100 TB
+# writer would emit) and position-numbered WITHIN their shard, so no
+# global single-task sort exists: each shard sorts independently and
+# (shard, pos) is the reproducible global address. One narrow project
+# + one bounded per-shard window.
+# ---------------------------------------------------------------------------
+@query("q402_deterministic_shuffle")
+def q402_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("epoch7:"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(key, 1, 2), 16, 10).cast("int") % 16
+    w = Window.partitionBy("shard").orderBy("shuffle_key")
+    return (
+        docs.select(
+            "doc_id", key.alias("shuffle_key"), shard.alias("shard")
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos", "shuffle_key")
+        .orderBy("shard", "pos")
+    )

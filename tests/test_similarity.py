@@ -330,3 +330,33 @@ def test_random_projection_topk_quality(spark):
     quality = sum(sims[v] for v in approx) / 10
     assert overlap >= 0.3, overlap  # measured 0.5 on the fixture
     assert quality >= 0.10, quality  # measured 0.158; corpus mean ~0
+
+
+def test_embedding_neardup_grid_independent(spark):
+    """The exact pair set must not depend on the grid decomposition:
+    forced grid=1, grid=5, and the adaptive default all agree (the
+    round-4 adaptive grid only changes task sizing, never results)."""
+    import numpy as np
+
+    from luxo_rs_spark.operators.similarity import embedding_neardup_pairs
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, int(i % 3), [float(x) for x in rng.normal(size=8)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+
+    def pairs(**kw):
+        return {
+            (r.va, r.vb, round(r.sim, 9))
+            for r in embedding_neardup_pairs(
+                emb, 0.2, block_col="label", **kw
+            ).collect()
+        }
+
+    p_auto, p1, p5 = pairs(), pairs(grid=1), pairs(grid=5)
+    assert p_auto == p1 == p5
+    assert p_auto  # non-degenerate
