@@ -1,0 +1,134 @@
+"""Property-based tests (hypothesis) for the round-4 codecs: the WARC
+record parser and the lossless-JPEG (SOF3) DPCM codec. Round-trip
+identity must hold for ALL inputs in the supported envelope, not just
+the hand-built goldens — adversarial payloads (0xFF runs, embedded
+CRLFCRLF / WARC magic), arbitrary gzip member splits, and the full
+predictor × point-transform × precision grid."""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from luxo_rs_spark.multimodal.media import (
+    _decode_jpeg,
+    _pixels_to_jpeg_lossless,
+)
+from luxo_rs_spark.sources.warc import (
+    http_response_bytes,
+    iter_warc_records,
+    parse_http_response,
+    warc_record_bytes,
+)
+
+# payloads biased toward parser-hostile bytes: 0xFF (JPEG/gzip magic),
+# CRLF pairs, and the WARC version string itself
+_HOSTILE = st.binary(min_size=0, max_size=300) | st.sampled_from(
+    [
+        b"\r\n\r\nWARC/1.0\r\n\r\n",
+        b"\xff" * 64,
+        b"Content-Length: 999\r\n\r\n",
+        b"\x1f\x8b\x08\x00fakegzip",
+    ]
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_HOSTILE, min_size=1, max_size=6), st.booleans())
+def test_warc_roundtrip_arbitrary_payloads(bodies, member_per_record):
+    """N records with arbitrary bodies -> serialize -> parse: the exact
+    bodies come back, in order, under both gzip layouts."""
+    raw = b"".join(
+        warc_record_bytes(
+            record_type="response",
+            payload=http_response_bytes(b),
+            target_uri=f"u:{i}",
+            gzip_member=member_per_record,
+        )
+        for i, b in enumerate(bodies)
+    )
+    if not member_per_record:
+        raw = gzip.compress(raw)  # single member holding all records
+    recs = list(iter_warc_records(raw))
+    assert len(recs) == len(bodies)
+    for rec, want in zip(recs, bodies):
+        status, _hdrs, got = parse_http_response(rec["payload"])
+        assert status == 200 and got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=4),
+    st.data(),
+)
+def test_warc_roundtrip_random_member_splits(bodies, data):
+    """The plain byte stream cut into gzip members at ARBITRARY
+    positions (records spanning member boundaries) must still parse."""
+    plain = b"".join(
+        warc_record_bytes(
+            record_type="response",
+            payload=http_response_bytes(b),
+            target_uri=f"u:{i}",
+            gzip_member=False,
+        )
+        for i, b in enumerate(bodies)
+    )
+    n_cuts = data.draw(st.integers(min_value=0, max_value=3))
+    cuts = sorted(
+        data.draw(
+            st.lists(
+                st.integers(min_value=1, max_value=max(1, len(plain) - 1)),
+                min_size=n_cuts,
+                max_size=n_cuts,
+            )
+        )
+    )
+    pieces, prev = [], 0
+    for c in cuts + [len(plain)]:
+        if c > prev:
+            pieces.append(plain[prev:c])
+            prev = c
+    raw = b"".join(gzip.compress(p) for p in pieces)
+    recs = list(iter_warc_records(raw))
+    assert [
+        parse_http_response(r["payload"])[2] for r in recs
+    ] == bodies
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=10),
+    st.integers(min_value=1, max_value=10),
+    st.sampled_from([1, 3]),
+    st.integers(min_value=1, max_value=7),
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from([8, 12, 16]),
+    st.sampled_from([0, 3]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_lossless_jpeg_roundtrip_grid(
+    h, w, nc, predictor, pt, precision, restart, seed
+):
+    """Decode(encode(x)) == x >> pt << pt over the full supported
+    envelope: any dims, 1/3 channels, all 7 predictors, Pt 0-3,
+    8/12/16-bit precision, with and without restart markers."""
+    rng = np.random.default_rng(seed)
+    hi = 1 << precision
+    dt = np.uint8 if precision <= 8 else np.uint16
+    arr = rng.integers(0, hi, size=(h, w, nc)).astype(dt)
+    enc = _pixels_to_jpeg_lossless(
+        arr,
+        predictor=predictor,
+        pt=pt,
+        precision=precision,
+        restart_interval=restart,
+    )
+    d = _decode_jpeg(enc)
+    out_dt = np.uint8 if precision <= 8 else "<u2"
+    got = np.frombuffer(d["payload"], dtype=out_dt).reshape(h, w, nc)
+    want = (arr.astype(np.int64) >> pt << pt).astype(arr.dtype)
+    assert d["width"] == w and d["height"] == h
+    assert np.array_equal(got, want)
