@@ -7411,6 +7411,18 @@ FROM sharded
 ORDER BY shard, pos
 """
 
+ORACLE_SQL["q403_observed_metrics"] = """
+SELECT
+  (SELECT count(*) FROM documents) AS rows_in,
+  (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS chars_in,
+  count(*) AS rows_kept,
+  CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+  max(doc_id) AS max_id_kept
+FROM documents
+WHERE n_chars >= 100 AND lang <> 'zh'
+"""
+
+
 
 
 

@@ -14284,3 +14284,54 @@ def q402_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "pos", "shuffle_key")
         .orderBy("shard", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q403 — observed pipeline metrics (§2.2 R5 observability; reference
+# parity: main.rs's "shed light on any query" logging mandate): a
+# quality gate over documents carries `DataFrame.observe` metrics —
+# rows in, rows kept, chars kept, languages seen — which Spark
+# accumulates ON THE SAME PASS as the action (no second scan, exact
+# even under AQE re-planning; the production way to monitor a 100 TB
+# pipeline run without re-reading it). The observation values become
+# the result frame; the oracle recomputes them relationally.
+# ---------------------------------------------------------------------------
+@query("q403_observed_metrics")
+def q403_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate_in = Observation("gate_in")
+    gate_out = Observation("gate_out")
+    kept = (
+        docs.observe(
+            gate_in,
+            F.count(F.lit(1)).alias("rows_in"),
+            # NOTE: DISTINCT aggregates are rejected inside observed
+            # metrics (Spark INVALID_OBSERVED_METRICS) — they cannot be
+            # accumulated in one pass. sum/count/min/max can.
+            F.sum("n_chars").alias("chars_in"),
+        )
+        .filter((F.col("n_chars") >= 100) & (F.col("lang") != "zh"))
+        .observe(
+            gate_out,
+            F.count(F.lit(1)).alias("rows_kept"),
+            F.sum("n_chars").alias("chars_kept"),
+            F.max("doc_id").alias("max_id_kept"),
+        )
+    )
+    kept.write.format("noop").mode("overwrite").save()  # one real pass
+    m = {**gate_in.get, **gate_out.get}
+    return spark.createDataFrame(
+        [
+            (
+                int(m["rows_in"]),
+                int(m["chars_in"]),
+                int(m["rows_kept"]),
+                int(m["chars_kept"]),
+                int(m["max_id_kept"]),
+            )
+        ],
+        "rows_in long, chars_in long, rows_kept long, chars_kept long,"
+        " max_id_kept long",
+    )
