@@ -350,7 +350,13 @@ def write_warc_files(
     """Distributed WARC sink: each partition writes one
     part-{pid}.warc.gz (warcinfo + one gzip-member response record per
     row) — the writer never funnels rows through the driver. `url_of` /
-    `html_of` are row → str callables."""
+    `html_of` are row → str callables.
+
+    Boundary: partitions write with plain `open()`, so the sink targets
+    a filesystem every executor can reach (local / NFS / FUSE mounts).
+    An object-store deployment would swap the two file operations for
+    the Hadoop FS API or fsspec — the partitioning, record layout, and
+    driver-free shape are unchanged."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
@@ -379,3 +385,60 @@ def write_warc_files(
         return iter(())
 
     docs.rdd.mapPartitionsWithIndex(_write).count()
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """Streaming WARC ingest: the binaryFile source is a Structured
+    Streaming FILE source, so a landing directory of .warc.gz files
+    becomes a micro-batch stream (exactly-once per file, checkpointed
+    offsets) and the SAME executor-side parse used by the batch lane
+    runs per batch — the live end of a Common Crawl pipeline, feeding
+    streaming near-dup ingest (streaming/neardup_ingest.py) directly.
+    maxFilesPerTrigger bounds batch size; no shuffle anywhere."""
+    import pandas as pd
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # streaming file sources require the schema up front; the
+        # binaryFile schema is fixed by the format
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.warc.gz")
+        .option("maxFilesPerTrigger", 4)
+        .load(path)
+    )
+
+    def _parse(batches):
+        for pdf in batches:
+            rows = []
+            for fname, content in zip(pdf["path"], pdf["content"]):
+                for rec in iter_warc_records(bytes(content)):
+                    h = rec["headers"]
+                    rtype = h.get("warc-type", "")
+                    status, hh, body = (None, {}, rec["payload"])
+                    if rtype == "response":
+                        status, hh, body = parse_http_response(rec["payload"])
+                    rows.append(
+                        (
+                            fname.rsplit("/", 1)[-1],
+                            rtype,
+                            h.get("warc-target-uri"),
+                            h.get("warc-date"),
+                            status,
+                            hh.get("content-type"),
+                            hh.get("content-language"),
+                            body,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "record_type", "target_uri", "warc_date",
+                    "http_status", "content_type", "content_language",
+                    "body",
+                ],
+            )
+
+    return files.select("path", "content").mapInPandas(_parse, _WARC_SCHEMA)

@@ -118,3 +118,43 @@ def test_spark_warc_lane_roundtrip(spark, tmp_path):
     assert (
         recs.filter("record_type = 'warcinfo'").count() == 3
     )  # one per non-empty partition
+
+
+def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
+    """T3: the streaming lane (binaryFile file-source micro-batches)
+    must surface exactly the records the batch lane reads — same
+    corpus, stream-vs-batch equality, one file per-ish trigger."""
+    rows = [(i, f"streamed body {i}", "en") for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).repartition(3)
+    out = str(tmp_path / "warc_in")
+    write_warc_files(
+        docs,
+        out,
+        url_of=lambda r: f"https://s.example.com/docs/{r['doc_id']}",
+        html_of=lambda r: f"<html><body><p>{r['text']}</p></body></html>",
+    )
+    from luxo_rs_spark.sources.warc import read_warc_stream
+
+    stream = read_warc_stream(spark, out)
+    assert stream.isStreaming
+    q = (
+        extract_warc_text(stream)
+        .writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.target_uri: r.text
+        for r in spark.sql("SELECT * FROM warc_stream_t").collect()
+    }
+    batch = {
+        r.target_uri: r.text
+        for r in extract_warc_text(read_warc(spark, out)).collect()
+    }
+    assert got == batch and len(got) == 12

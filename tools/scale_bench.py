@@ -151,6 +151,7 @@ def main() -> None:
         "q237_embedding_neardup_lsh",
         "q270_setsim_prefix_join",
         "q288_semantic_dedup",
+        "q397_segment_boilerplate",
     ]
 
     def candidates(name: str, sf_dir: str) -> int | None:
@@ -167,6 +168,19 @@ def main() -> None:
                 "doc_id", F.xxhash64("shingle").alias("sid")
             ).distinct().localCheckpoint(eager=True)
             return ppjoin_candidates(sh, 0.7).count()
+        if name == "q397_segment_boilerplate":
+            # candidate mass = flagged segment occurrences joining back
+            # (linear in corpus segments by construction: one DF agg on
+            # a 32-byte key, no pair enumeration)
+            from luxo_rs_spark.operators.dedup import segment_table
+
+            segs = segment_table(docs).withColumn("__h", F.md5("seg"))
+            boiler = (
+                segs.groupBy("__h")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .filter(F.col("df") >= 2)
+            )
+            return segs.join(boiler, "__h", "left_semi").count()
         return None  # q288: blocked all-pairs is the algorithm itself
 
     results = []
