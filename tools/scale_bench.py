@@ -115,8 +115,19 @@ def main() -> None:
     ap.add_argument(
         "--out", default=os.path.join(REPO, "BENCH_SCALING.json")
     )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated substrings: re-measure only matching "
+        "lanes and MERGE into --out (other lanes keep their recorded "
+        "numbers; exponents recomputed over the merged table)",
+    )
     args = ap.parse_args()
     scales = [int(s) for s in args.scales.split(",")]
+    only = args.queries.split(",") if args.queries else None
+
+    def lane_on(name: str) -> bool:
+        return only is None or any(sub in name for sub in only)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -193,6 +204,8 @@ def main() -> None:
         )
         row = {"scale": r, "n_docs": n_docs, "queries": {}}
         for name in QNAMES:
+            if not lane_on(name):
+                continue
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm-up
             times = []
@@ -223,6 +236,9 @@ def main() -> None:
         # expected bucket occupancy constant), so probe wall time
         # should stay ~flat while the corpus grows — the point of the
         # partitioned/sorted layout.
+        if not lane_on("q396_lsh_bucketed_probe"):
+            results.append(row)
+            continue
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         n_vec = emb.count()
         nb, bb = derive_lsh_bands(n_vec, None, None)
@@ -262,11 +278,24 @@ def main() -> None:
         results.append(row)
 
     ns = [row["n_docs"] for row in results]
+    if only is not None and os.path.exists(args.out):
+        # selective re-measurement: merge fresh lanes into the
+        # recorded table, keep everything else
+        with open(args.out) as fh:
+            prev = json.load(fh)
+        prev_by_scale = {r["scale"]: r["queries"] for r in prev["results"]}
+        for row in results:
+            merged = dict(prev_by_scale.get(row["scale"], {}))
+            merged.update(row["queries"])
+            row["queries"] = merged
+
     exponents = {}
     for name in QNAMES + ["q396_lsh_bucketed_probe"]:
+        if any(name not in row["queries"] for row in results):
+            continue
         secs = [row["queries"][name]["sec"] for row in results]
         cands = [
-            row["queries"][name]["candidate_pairs"] for row in results
+            row["queries"][name].get("candidate_pairs") for row in results
         ]
         exponents[name] = {
             "time_alpha": round(fit_alpha(ns, secs), 3),
