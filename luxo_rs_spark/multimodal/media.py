@@ -479,12 +479,31 @@ def _encode_component_block(
     return dc
 
 
+# 12-bit (extended sequential, SOF1) Huffman books: Annex K's books
+# only cover 8-bit category ranges, so the 12-bit path ships its own
+# canonical books — DC difference categories 0..15 (15 five-bit codes +
+# one six-bit), AC (run,size) for size 1..14 plus EOB/ZRL, all at eight
+# bits (226 symbols; max canonical code 225 < 255, so no all-ones code).
+_HUFF_DC_12 = (
+    [0, 0, 0, 0, 15, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+    list(range(16)),
+)
+_AC12_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 15)
+]
+_HUFF_AC_12 = (
+    [0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0],
+    _AC12_VALS,
+)
+
+
 def _pixels_to_jpeg(
     arr: np.ndarray,
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
 ) -> bytes:
     """Minimal GENUINE JPEG encoder for (h, w, 1|3) uint8 arrays:
     level shift, 8x8 orthonormal DCT, Annex-K quant tables at the IJG
@@ -509,11 +528,16 @@ def _pixels_to_jpeg(
         raise NotImplementedError("JPEG encoder: 1 or 3 channels only")
     if subsampling not in ("444", "420"):
         raise NotImplementedError("JPEG encoder: 444 or 420 only")
+    if precision not in (8, 12):
+        raise NotImplementedError("JPEG encoder: 8- or 12-bit precision")
+    if precision == 12 and progressive:
+        raise NotImplementedError("12-bit progressive JPEG")
+    half = float(1 << (precision - 1))
     if ch == 3:  # JFIF RGB -> YCbCr (BT.601)
         rgb = arr.astype(np.float64)
         y = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
-        cb = 128.0 - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
-        cr = 128.0 + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
+        cb = half - 0.168736 * rgb[..., 0] - 0.331264 * rgb[..., 1] + 0.5 * rgb[..., 2]
+        cr = half + 0.5 * rgb[..., 0] - 0.418688 * rgb[..., 1] - 0.081312 * rgb[..., 2]
         planes = [y, cb, cr]
         sampling = (
             [(2, 2), (1, 1), (1, 1)] if subsampling == "420" else [(1, 1)] * 3
@@ -525,6 +549,11 @@ def _pixels_to_jpeg(
     vmax = max(s[1] for s in sampling)
     q_lum = _quality_scaled(_QUANT_LUM, quality)
     q_chr = _quality_scaled(_QUANT_CHR, quality)
+    if precision == 12:
+        # scale the 8-bit Annex K tables by 16 (the sample range grew
+        # 16x); entries then exceed 255, which is what DQT Pq=1 is for
+        q_lum = np.clip(q_lum * 16, 1, 65535)
+        q_chr = np.clip(q_chr * 16, 1, 65535)
     qtabs = [q_lum] + ([q_chr, q_chr] if ch == 3 else [])
 
     # bring each component to its own resolution (box-average the
@@ -547,7 +576,7 @@ def _pixels_to_jpeg(
         store = np.zeros((nbh, nbw, 64), dtype=np.int64)
         for by in range(nbh):
             for bx in range(nbw):
-                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                block = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - half
                 coeffs = _DCT @ block @ _DCT.T
                 quant = np.round(
                     coeffs / qtabs[ci].reshape(8, 8)
@@ -555,10 +584,14 @@ def _pixels_to_jpeg(
                 store[by, bx] = quant.reshape(64)[_ZIGZAG]
         qblocks.append(store)
 
-    dc_lum = _huff_codes(*_HUFF_DC_LUM)
-    ac_lum = _huff_codes(*_HUFF_AC_LUM)
-    dc_chr = _huff_codes(*_HUFF_DC_CHR)
-    ac_chr = _huff_codes(*_HUFF_AC_CHR)
+    if precision == 12:
+        dc_lum = dc_chr = _huff_codes(*_HUFF_DC_12)
+        ac_lum = ac_chr = _huff_codes(*_HUFF_AC_12)
+    else:
+        dc_lum = _huff_codes(*_HUFF_DC_LUM)
+        ac_lum = _huff_codes(*_HUFF_AC_LUM)
+        dc_chr = _huff_codes(*_HUFF_DC_CHR)
+        ac_chr = _huff_codes(*_HUFF_AC_CHR)
     books = [(dc_lum, ac_lum)] + (
         [(dc_chr, ac_chr), (dc_chr, ac_chr)] if ch == 3 else []
     )
@@ -612,9 +645,18 @@ def _pixels_to_jpeg(
     out += seg(
         0xFFE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
     )
-    out += seg(0xFFDB, b"\x00" + bytes(q_lum[_ZIGZAG].astype(np.uint8)))
+    def dqt(tq: int, q: np.ndarray) -> bytes:
+        if precision == 12:  # Pq=1: 16-bit big-endian entries
+            return seg(
+                0xFFDB,
+                bytes([0x10 | tq])
+                + q[_ZIGZAG].astype(">u2").tobytes(),
+            )
+        return seg(0xFFDB, bytes([tq]) + bytes(q[_ZIGZAG].astype(np.uint8)))
+
+    out += dqt(0, q_lum)
     if ch == 3:
-        out += seg(0xFFDB, b"\x01" + bytes(q_chr[_ZIGZAG].astype(np.uint8)))
+        out += dqt(1, q_chr)
     comps = b"".join(
         struct.pack(
             "BBB",
@@ -624,12 +666,19 @@ def _pixels_to_jpeg(
         )
         for cid in range(ch)
     )
-    sof_marker = 0xFFC2 if progressive else 0xFFC0
-    out += seg(sof_marker, struct.pack(">BHHB", 8, h, w, ch) + comps)
-    for tc_th, (bits, vals) in (
-        [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)]
-        + ([(0x01, _HUFF_DC_CHR), (0x11, _HUFF_AC_CHR)] if ch == 3 else [])
-    ):
+    sof_marker = (
+        0xFFC2 if progressive else (0xFFC1 if precision == 12 else 0xFFC0)
+    )
+    out += seg(sof_marker, struct.pack(">BHHB", precision, h, w, ch) + comps)
+    if precision == 12:
+        dht_books = [(0x00, _HUFF_DC_12), (0x10, _HUFF_AC_12)] + (
+            [(0x01, _HUFF_DC_12), (0x11, _HUFF_AC_12)] if ch == 3 else []
+        )
+    else:
+        dht_books = [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)] + (
+            [(0x01, _HUFF_DC_CHR), (0x11, _HUFF_AC_CHR)] if ch == 3 else []
+        )
+    for tc_th, (bits, vals) in dht_books:
         out += seg(
             0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)
         )
@@ -915,15 +964,19 @@ def _decode_jpeg(content: bytes) -> dict:
             off = 0
             while off < len(body):
                 pq, tq = body[off] >> 4, body[off] & 0x0F
-                if pq != 0:
-                    raise NotImplementedError("16-bit quant tables")
-                zz = np.frombuffer(
-                    body, dtype=np.uint8, count=64, offset=off + 1
-                ).astype(np.int64)
+                if pq == 0:
+                    zz = np.frombuffer(
+                        body, dtype=np.uint8, count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 65
+                else:  # Pq=1: 16-bit big-endian entries (12-bit frames)
+                    zz = np.frombuffer(
+                        body, dtype=">u2", count=64, offset=off + 1
+                    ).astype(np.int64)
+                    off += 129
                 nat = np.empty(64, dtype=np.int64)
                 nat[_ZIGZAG] = zz  # stored zigzag -> natural order
                 qtabs[tq] = nat
-                off += 65
         elif marker == 0xC4:  # DHT
             off = 0
             while off < len(body):
@@ -941,8 +994,11 @@ def _decode_jpeg(content: bytes) -> dict:
             if lossless:
                 if not 2 <= precision <= 16:
                     raise ValueError("lossless JPEG precision out of range")
+            elif precision == 12:
+                if progressive:
+                    raise NotImplementedError("12-bit progressive JPEG")
             elif precision != 8:
-                raise NotImplementedError("only 8-bit DCT JPEG samples")
+                raise NotImplementedError("only 8- or 12-bit DCT samples")
             comps = []
             for i in range(nf):
                 cid, hv, tq = struct.unpack_from("BBB", body, 6 + 3 * i)
@@ -1018,7 +1074,7 @@ def _decode_jpeg(content: bytes) -> dict:
             "sample_rate": None,
             "payload": payload,
         }
-    return _reconstruct_jpeg(sof, geom, coef, qtabs)
+    return _reconstruct_jpeg(sof, geom, coef, qtabs, precision)
 
 
 def _decode_jpeg_scan(
@@ -1196,11 +1252,14 @@ def _decode_jpeg_scan(
     return p
 
 
-def _reconstruct_jpeg(sof, geom, coef, qtabs) -> dict:
+def _reconstruct_jpeg(sof, geom, coef, qtabs, precision: int = 8) -> dict:
     """Dequantize + IDCT the accumulated coefficient store, crop each
     component to its nominal dims (T.81 A.1.1), replicate chroma up to
-    full resolution, convert to RGB."""
+    full resolution, convert to RGB. 12-bit frames level-shift around
+    2048, clamp to [0, 4095], and emit little-endian uint16 payloads."""
     h, w, comps, hmax, vmax = sof
+    half = float(1 << (precision - 1))
+    top = (1 << precision) - 1
     planes = []
     for ci, ((_cid, hi, vi, tq), (_ghi, _gvi, nbh, nbw)) in enumerate(
         zip(comps, geom)
@@ -1214,7 +1273,7 @@ def _reconstruct_jpeg(sof, geom, coef, qtabs) -> dict:
                 natural[_ZIGZAG] = blocks[by, bx]
                 deq = (natural * q).reshape(8, 8)
                 plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT.T @ deq.astype(np.float64) @ _DCT + 128.0
+                    _DCT.T @ deq.astype(np.float64) @ _DCT + half
                 )
         ch_, cw_ = -(-h * vi // vmax), -(-w * hi // hmax)
         plane = plane[:ch_, :cw_]
@@ -1225,13 +1284,15 @@ def _reconstruct_jpeg(sof, geom, coef, qtabs) -> dict:
         planes.append(plane[:h, :w])
     if len(planes) == 3:
         y, cb, cr = planes
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        b = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - half)
+        g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+        b = y + 1.772 * (cb - half)
         px = np.stack([r, g, b], axis=-1)
     else:
         px = planes[0][..., None]
-    px = np.clip(np.round(px), 0, 255).astype(np.uint8)
+    px = np.clip(np.round(px), 0, top).astype(
+        np.uint8 if precision <= 8 else "<u2"
+    )
     return {
         "kind": "image",
         "width": w,
@@ -1872,6 +1933,7 @@ def synth_jpeg_table(
     restart_interval: int = 0,
     dims: str = "small",
     progressive: bool = False,
+    precision: int = 8,
 ) -> DataFrame:
     """Real-encoder JPEG synthesis from the documents fixture: per doc
     a genuine baseline-DCT JFIF file (our pure-Python encoder) whose
@@ -1898,12 +1960,14 @@ def synth_jpeg_table(
                 need = h * w * 3
                 reps = need // len(tiled) + 1
                 arr = np.tile(tiled, reps)[:need].reshape(h, w, 3)
+                if precision == 12:  # byte-derived 12-bit samples
+                    arr = (arr.astype(np.uint16) << 4)
                 rows.append(
                     {
                         "media_id": int(doc_id),
                         "content": _pixels_to_jpeg(
                             arr, quality, subsampling, restart_interval,
-                            progressive,
+                            progressive, precision,
                         ),
                     }
                 )

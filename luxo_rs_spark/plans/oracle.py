@@ -7422,6 +7422,18 @@ FROM documents
 WHERE n_chars >= 100 AND lang <> 'zh'
 """
 
+ORACLE_SQL["q404_jpeg12_decode"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 11 + 6 AS INTEGER) AS width,
+       CAST(doc_id % 5 + 4 AS INTEGER) AS height,
+       CAST((doc_id % 5 + 4) * (doc_id % 11 + 6) * 3 * 2 AS BIGINT)
+         AS payload_bytes
+FROM documents
+WHERE doc_id < 150
+ORDER BY media_id
+"""
+
+
 
 
 

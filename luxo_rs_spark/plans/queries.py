@@ -14335,3 +14335,43 @@ def q403_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_in long, chars_in long, rows_kept long, chars_kept long,"
         " max_id_kept long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q404 — 12-BIT extended-sequential JPEG decode (§2.2-K multimodal;
+# SOF1 + DQT Pq=1 — the medical/scientific-imaging DCT profile): per-
+# doc streams carry byte-derived 12-bit samples (<<4) with custom
+# 16-category DC / 226-symbol AC Huffman books (Annex K only covers
+# the 8-bit ranges), decoded through the SAME distributed decode_media
+# path; payload doubles to uint16 so the geometry oracle pins
+# h*w*3*2 bytes. Pixel fidelity is pinned by bounded round-trip tests
+# (lossy DCT — exact hashes are the lossless q401's job). Codec
+# boundary after this: arithmetic / hierarchical / 12-bit-progressive.
+# ---------------------------------------------------------------------------
+@query("q404_jpeg12_decode")
+def q404_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import decode_media, synth_jpeg_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    jpgs = synth_jpeg_table(docs, precision=12, quality=95)
+    media = jpgs.select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        "content",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return (
+        decode_media(media)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.col("payload_bytes").cast("bigint").alias("payload_bytes"),
+        )
+        .orderBy("media_id")
+    )

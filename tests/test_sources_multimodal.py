@@ -835,3 +835,58 @@ def test_jpeg_lossless_boundaries_raise():
     enc[i + 1] = 0xC7  # differential lossless (hierarchical)
     with pytest.raises(NotImplementedError):
         _decode_jpeg(bytes(enc))
+
+
+def test_jpeg_12bit_roundtrip_and_streams():
+    """Extended-sequential 12-bit (SOF1, DQT Pq=1): solid blocks decode
+    exactly, gradients within quantization error scaled to the 12-bit
+    range, 4:2:0 + restarts still work, and the uint16 payload carries
+    the full range."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_jpeg, _pixels_to_jpeg
+
+    solid = np.full((16, 16, 3), 3333, dtype=np.uint16)
+    d = _decode_jpeg(_pixels_to_jpeg(solid, quality=95, precision=12))
+    got = np.frombuffer(d["payload"], dtype="<u2").reshape(16, 16, 3)
+    # DC-only block: within DC-quantization rounding of the 12-bit value
+    assert np.abs(got.astype(int) - 3333).max() <= 2
+
+    grad = np.clip(
+        np.mgrid[0:16, 0:16][0] * 200 + 300, 0, 4095
+    ).astype(np.uint16)
+    g3 = np.stack([grad] * 3, axis=-1)
+    got = np.frombuffer(
+        _decode_jpeg(_pixels_to_jpeg(g3, quality=95, precision=12))[
+            "payload"
+        ],
+        dtype="<u2",
+    ).reshape(16, 16, 3)
+    assert np.abs(got.astype(int) - g3.astype(int)).max() <= 64  # ~16x8bit
+
+    got = np.frombuffer(
+        _decode_jpeg(
+            _pixels_to_jpeg(
+                g3, quality=95, subsampling="420",
+                restart_interval=2, precision=12,
+            )
+        )["payload"],
+        dtype="<u2",
+    ).reshape(16, 16, 3)
+    assert got.max() > 255  # genuinely beyond the 8-bit range
+    assert np.abs(got.astype(int) - g3.astype(int)).max() <= 256  # chroma avg
+
+
+def test_jpeg_12bit_boundaries():
+    """12-bit progressive stays an honest NotImplementedError; the
+    encoder rejects precisions it cannot write."""
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import _pixels_to_jpeg
+
+    a = np.zeros((8, 8, 3), dtype=np.uint16)
+    with pytest.raises(NotImplementedError, match="12-bit progressive"):
+        _pixels_to_jpeg(a, precision=12, progressive=True)
+    with pytest.raises(NotImplementedError, match="8- or 12-bit"):
+        _pixels_to_jpeg(a, precision=10)
