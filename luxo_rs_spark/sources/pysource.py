@@ -26,7 +26,12 @@ from __future__ import annotations
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
@@ -64,17 +69,56 @@ class _SynthDocsReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = int(options.get("partitions", 4))
+        self.lo = 0               # source-level pruned id range
+        self.hi = self.n_rows
 
     def partitions(self):
+        lo, hi = self.lo, max(self.lo, self.hi)
         step = max(1, -(-self.n_rows // self.n_parts))
         return [
-            _RangePartition(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
-        ]
+            _RangePartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ] or [_RangePartition(0, 0)]
 
     def read(self, partition: _RangePartition):
         for i in range(partition.start, partition.end):
             yield _doc_row(i)
+
+
+class _SynthDocsPushdownReader(_SynthDocsReader):
+    """Opt-in (`.option("pushdown", "true")`) because merely DEFINING
+    pushFilters makes Spark require
+    `spark.sql.python.filterPushdown.enabled=true` (it hard-fails
+    otherwise) — the default reader must stay usable in foreign
+    sessions that never set that conf."""
+
+    def pushFilters(self, filters):
+        """Spark 4 Python DataSource filter pushdown: doc_id range
+        predicates narrow the GENERATED range, so pruned partitions are
+        never scheduled and pruned rows never exist — the same contract
+        a parquet min/max or partition prune gives a file source.
+        Everything else is returned for Spark to re-apply above."""
+        for f in filters:
+            handled = False
+            if isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                    LessThan, LessThanOrEqual)
+            ) and f.attribute == ("doc_id",) and isinstance(f.value, int):
+                v = f.value
+                handled = True
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, v)
+                    self.hi = min(self.hi, v + 1)
+                elif isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, v + 1)
+                elif isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, v)
+                elif isinstance(f, LessThan):
+                    self.hi = min(self.hi, v)
+                else:  # LessThanOrEqual
+                    self.hi = min(self.hi, v + 1)
+            if not handled:
+                yield f  # unsupported: Spark keeps the Filter node
 
 
 class _SynthDocsStreamReader(SimpleDataSourceStreamReader):
@@ -115,6 +159,8 @@ class SynthDocsDataSource(DataSource):
         )
 
     def reader(self, schema):
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return _SynthDocsPushdownReader(self.options)
         return _SynthDocsReader(self.options)
 
     def simpleStreamReader(self, schema):

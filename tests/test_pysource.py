@@ -86,3 +86,58 @@ def test_stream_reader_matches_batch(spark):
     assert got == want
     shutil.rmtree(ckpt, ignore_errors=True)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_pushdown_reader_prunes_generated_range(spark):
+    """Spark 4 Python DataSource filter pushdown (opt-in): doc_id range
+    predicates reach pushFilters and narrow the GENERATED range — the
+    partition list shrinks to the surviving ids, results stay exact,
+    and unsupported predicates still apply above the source."""
+    from luxo_rs_spark.sources.pysource import (
+        SynthDocsDataSource,
+        _SynthDocsPushdownReader,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(SynthDocsDataSource)
+        df = (
+            spark.read.format("synthdocs")
+            .option("rows", 1000)
+            .option("pushdown", "true")
+            .load()
+        )
+        got = sorted(
+            r.doc_id
+            for r in df.filter(
+                "doc_id >= 990 AND doc_id < 995 AND n_words >= 0"
+            ).collect()
+        )
+        assert got == [990, 991, 992, 993, 994]
+        # equality prunes to a single row
+        assert df.filter("doc_id = 7").count() == 1
+
+        # unit-level: the reader's surviving partitions cover only the
+        # pruned range, and non-id filters are handed back to Spark
+        from pyspark.sql.datasource import (
+            GreaterThanOrEqual,
+            LessThan,
+            StringContains,
+        )
+
+        r = _SynthDocsPushdownReader({"rows": "1000", "partitions": "4"})
+        leftover = list(
+            r.pushFilters(
+                [
+                    GreaterThanOrEqual(("doc_id",), 990),
+                    LessThan(("doc_id",), 995),
+                    StringContains(("text",), "hash"),
+                ]
+            )
+        )
+        assert [type(f).__name__ for f in leftover] == ["StringContains"]
+        parts = r.partitions()
+        assert min(p.start for p in parts) == 990
+        assert max(p.end for p in parts) == 995
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")

@@ -158,3 +158,48 @@ def test_streaming_warc_ingest_matches_batch(spark, tmp_path):
         for r in extract_warc_text(read_warc(spark, out)).collect()
     }
     assert got == batch and len(got) == 12
+
+
+def test_warc_stream_feeds_neardup_ingest(spark, tmp_path):
+    """End-to-end live pipeline: WARC landing dir -> streaming ingest ->
+    HTML extraction -> incremental MinHash-LSH near-dup admission. The
+    near-duplicate page (same body, one token changed) must be dropped
+    against the already-admitted original; distinct pages survive."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.sources.warc import read_warc_stream
+    from luxo_rs_spark.streaming.neardup_ingest import NearDupIngest
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, "en"),
+        (2, base.replace("dog", "cat"), "en"),       # near-dup of 1
+        (3, "completely different page body with unrelated words here", "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1)
+    land = str(tmp_path / "land")
+    write_warc_files(
+        docs,
+        land,
+        url_of=lambda r: f"https://p.example.com/docs/{r['doc_id']}",
+        html_of=lambda r: f"<html><body><p>{r['text']}</p></body></html>",
+    )
+    parsed = extract_warc_text(read_warc_stream(spark, land)).select(
+        F.regexp_extract("target_uri", r"/docs/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "text",
+    )
+    ingest = NearDupIngest(str(tmp_path / "store"), threshold=0.5)
+    q = (
+        parsed.writeStream.foreachBatch(ingest.process_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    admitted = sorted(r["doc_id"] for r in ingest.admitted(spark).collect())
+    assert 1 in admitted and 3 in admitted
+    assert 2 not in admitted  # the near-dup was dropped on ingest
