@@ -211,3 +211,87 @@ def hll_intersect_estimate(
             (est_a + est_b - est_union).cast("bigint"), F.lit(0)
         ).alias("est_intersect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch as a RELATION (Cormode & Muthukrishnan 2005): the
+# sketch is a (depth, col, cnt) table — d*w rows — so it is mergeable
+# by plain groupBy-sum (the same rollup-table trick as hll_sketch_table
+# above), shippable as parquet, and every stage is a JVM hash
+# aggregate. Hashing is md5-derived so an external SQL engine can
+# recompute the sketch bit-identically (the DuckDB oracle does), and
+# estimates inherit the canonical one-sided guarantee: est >= true,
+# P(est > true + eps*N) <= delta with w = ceil(e/eps), d = ceil(ln(1/δ)).
+# ---------------------------------------------------------------------------
+
+
+def cms_hash(key_col: str | F.Column, depth: int, width: int) -> F.Column:
+    """Row h_depth(key) ∈ [0, width): first 8 md5 hex chars of
+    "<depth>:<key>" as an integer, mod width. md5 keeps the hash
+    SQL-recomputable in any engine."""
+    key = F.col(key_col) if isinstance(key_col, str) else key_col
+    hx = F.md5(F.concat(F.lit(f"{depth}:"), key.cast("string")))
+    return F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % width
+
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Build the sketch relation (depth, col, cnt). One explode to d
+    rows per input row, one hash aggregate — map-side partial combine
+    makes the shuffle d*w-bounded regardless of input size."""
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    cms_hash(key_col, d, width).alias("col"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("__cell")
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    return (
+        df.select(w.cast("long").alias("__w"), rows)
+        .select("__cell.depth", "__cell.col", "__w")
+        .groupBy("depth", "col")
+        .agg(F.sum("__w").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point estimates for `keys`: min over depths of the addressed
+    cell. The probe is a (depth, col) equi-join against the d*w-row
+    sketch — broadcast-sized by construction, never a scan of the
+    original stream."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("depth"),
+                        cms_hash(key_col, d, width).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("__p"),
+    ).select(key_col, "__p.depth", "__p.col")
+    return (
+        probes.join(F.broadcast(sketch), ["depth", "col"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("cms_est"))
+    )

