@@ -166,3 +166,48 @@ def test_cms_relation_merges_and_overestimates(spark):
     assert len(j) == 53
     assert all(e >= t for t, e in j.values())  # one-sided, no exception
     assert any(e > t for t, e in j.values())   # collisions are real at 4x32
+
+
+def test_cms_streaming_incremental_merge(spark, tmp_path):
+    """The relational CMS is a streaming rollup: foreachBatch merges
+    each micro-batch's sketch into a parquet store; after the stream
+    drains, the accumulated store equals the batch-built sketch of the
+    whole input (exactly-once via batch-id overwrite semantics)."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.operators.sketch import cms_table
+
+    rows = [(i, str(i % 41)) for i in range(600)]
+    src = spark.createDataFrame(rows, "i long, k string").repartition(3)
+    in_dir = str(tmp_path / "in")
+    src.write.parquet(in_dir)
+    store = str(tmp_path / "cms_store")
+    d, w = 4, 32
+
+    def upsert(batch_df, batch_id):
+        sk = cms_table(batch_df, "k", d, w).withColumn(
+            "ingest_batch", F.lit(batch_id)
+        )
+        sk.write.partitionBy("ingest_batch").mode("append").parquet(store)
+
+    stream = (
+        spark.readStream.schema("i long, k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    accumulated = (
+        spark.read.parquet(store)
+        .groupBy("depth", "col")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = cms_table(src, "k", d, w)
+    as_map = lambda df: {(r.depth, r.col): r.cnt for r in df.collect()}
+    assert as_map(accumulated) == as_map(direct)
