@@ -299,12 +299,11 @@ def pmi_pairs(
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
-            "pmi",
-            F.log(
-                F.col("n_pair") * F.col("n_docs") / (F.col("dfa") * F.col("dfb"))
-            ),
+            "__ratio",
+            F.col("n_pair") * F.col("n_docs") / (F.col("dfa") * F.col("dfb")),
         )
-        .select("ta", "tb", "n_pair", "pmi")
+        .withColumn("pmi", F.log("__ratio"))
+        .select("ta", "tb", "n_pair", "pmi", "__ratio")
     )
 
 

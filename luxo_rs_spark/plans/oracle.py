@@ -998,7 +998,7 @@ pairs AS (
 )
 SELECT ta, tb, n_pair, round(ln(n_pair * n_docs * 1.0 / (dfa * dfb)), 4) AS pmi
 FROM pairs CROSS JOIN n
-ORDER BY ln(n_pair * n_docs * 1.0 / (dfa * dfb)) DESC, ta, tb
+ORDER BY n_pair * n_docs * 1.0 / (dfa * dfb) DESC, ta, tb
 LIMIT 20
 """
 
@@ -1951,7 +1951,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
 ORACLE_SQL["q128_nation_year_profit"] = """
 SELECT n_name AS nation,
        cast(year(o_orderdate) AS BIGINT) AS o_year,
-       round(sum(l_extendedprice * (1 - l_discount) - 80.0 * l_quantity), 2) AS profit
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                              - 80.0 * l_quantity AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS profit
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -5358,20 +5360,21 @@ WITH rng AS (
   FROM hist
 ), med AS (
   SELECT o_orderpriority,
-         lo + (bin + (tot * 0.5 - (cum - c)) / c) * ((hi - lo) / 100)
-           AS est_median
+         lo + (bin + (tot * CAST(0.5 AS DOUBLE) - (cum - c)) / c)
+              * ((hi - lo) / 100) AS est_median
   FROM interp
-  WHERE (cum - c) < tot * 0.5 AND cum >= tot * 0.5
+  WHERE (cum - c) < tot * CAST(0.5 AS DOUBLE)
+    AND cum >= tot * CAST(0.5 AS DOUBLE)
 ), exact AS (
   SELECT o_orderpriority,
          quantile_cont(o_totalprice, 0.5) AS exact_median
   FROM orders GROUP BY 1
 )
 SELECT m.o_orderpriority,
-       round(m.est_median, 2) AS est_median,
-       round(e.exact_median, 2) AS exact_median,
-       round(abs(m.est_median - e.exact_median) / e.exact_median * 100, 4)
-         AS err_pct
+       floor(m.est_median * 100 + 0.5) / 100 AS est_median,
+       floor(e.exact_median * 100 + 0.5) / 100 AS exact_median,
+       floor(abs(m.est_median - e.exact_median) / e.exact_median * 100
+             * 10000 + 0.5) / 10000 AS err_pct
 FROM med m JOIN exact e USING (o_orderpriority)
 ORDER BY o_orderpriority
 """

@@ -1812,11 +1812,19 @@ def q75_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.operators.corpus import pmi_pairs
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    # ORDER BY the rational PMI argument, not ln(it): ln is monotonic
+    # so the ranking is identical, but ln() is not correctly-rounded
+    # and differs by 1 ulp between the JVM and libm — at sf0.1 that
+    # flipped inclusion at the LIMIT-20 boundary. Integer-derived IEEE
+    # division is bit-identical across engines.
     return (
         pmi_pairs(docs, min_df=30)
-        .select("ta", "tb", "n_pair", F.round("pmi", 4).alias("pmi"))
-        .orderBy(F.col("pmi").desc(), "ta", "tb")
+        .select(
+            "ta", "tb", "n_pair", F.round("pmi", 4).alias("pmi"), "__ratio"
+        )
+        .orderBy(F.col("__ratio").desc(), "ta", "tb")
         .limit(20)
+        .select("ta", "tb", "n_pair", "pmi")
     )
 
 
@@ -3583,9 +3591,14 @@ def q128_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nation = load_table(spark, sf_dir, "nation")
     orders = load_table(spark, sf_dir, "orders")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
-        80.0
-    ) * F.col("l_quantity")
+    # the per-row amount is computed in DOUBLE (bit-identical IEEE ops
+    # in both engines) then summed as DECIMAL(18,6): the double SUM's
+    # value depends on partition order and straddled a cent boundary at
+    # sf0.1 — exact decimal addition is order-independent
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(80.0) * F.col("l_quantity")
+    ).cast("decimal(18,6)")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
@@ -3595,7 +3608,7 @@ def q128_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(_r2(F.sum(amount)).alias("profit"))
+        .agg(_r2(F.sum(amount)).cast("double").alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -9929,13 +9942,27 @@ def q299_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "o_orderpriority")
         .select(
             "o_orderpriority",
-            F.round("est_median", 2).alias("est_median"),
-            F.round("exact_median", 2).alias("exact_median"),
-            F.round(
-                F.abs(F.col("est_median") - F.col("exact_median"))
-                / F.col("exact_median")
-                * 100,
-                4,
+            # floor(x*100 + 0.5)/100 instead of round(x, 2): both
+            # engines compute est_median as the IDENTICAL double, but
+            # round(double, 2) is implementation-defined on boundary
+            # stragglers (x.xx4999...: Spark said .54, DuckDB .55 at
+            # sf0.1) — floor/x100 is pure correctly-rounded IEEE, so
+            # the output is engine-independent by construction
+            (F.floor(F.col("est_median") * 100 + 0.5) / 100).alias(
+                "est_median"
+            ),
+            (F.floor(F.col("exact_median") * 100 + 0.5) / 100).alias(
+                "exact_median"
+            ),
+            (
+                F.floor(
+                    F.abs(F.col("est_median") - F.col("exact_median"))
+                    / F.col("exact_median")
+                    * 100
+                    * 10000
+                    + 0.5
+                )
+                / 10000
             ).alias("err_pct"),
         )
         .orderBy("o_orderpriority")
