@@ -7463,6 +7463,37 @@ SELECT k, true_cnt, cms_est, cms_est - true_cnt AS overcount
 FROM est ORDER BY true_cnt DESC, k LIMIT 30
 """
 
+ORACLE_SQL["q406_robots_filter"] = """
+WITH urls AS (
+  SELECT doc_id, source AS host,
+         '/docs/' || CASE WHEN doc_id % 7 = 0 THEN 'private/'
+                          WHEN doc_id % 7 = 1 THEN 'private/ok/'
+                          ELSE 'public/' END || doc_id AS path
+  FROM documents
+), rules(rhost, verdict, prefix) AS (
+  VALUES ('*', 'disallow', '/docs/private'),
+         ('*', 'allow', '/docs/private/ok'),
+         ('src0', 'disallow', '/docs')
+), expanded AS (
+  SELECT h.host, r.verdict, r.prefix
+  FROM (SELECT DISTINCT host FROM urls) h
+  JOIN rules r ON r.rhost = h.host OR r.rhost = '*'
+), matched AS (
+  SELECT u.doc_id,
+         max_by(e.verdict,
+                length(e.prefix) * 2
+                + CAST(e.verdict = 'allow' AS INTEGER)) AS verdict
+  FROM urls u JOIN expanded e
+    ON u.host = e.host AND starts_with(u.path, e.prefix)
+  GROUP BY u.doc_id
+)
+SELECT u.doc_id, u.host, u.path,
+       COALESCE(m.verdict = 'allow', TRUE) AS allowed
+FROM urls u LEFT JOIN matched m ON u.doc_id = m.doc_id
+ORDER BY u.doc_id
+"""
+
+
 
 
 

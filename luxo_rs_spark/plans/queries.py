@@ -14444,3 +14444,81 @@ def q405_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_cnt").desc(), "k"
     ).limit(30)
     return top.orderBy(F.col("true_cnt").desc(), "k")
+
+
+# ---------------------------------------------------------------------------
+# Q406 — robots.txt crawl gate (§2.2-K; RFC 9309 path-matching core):
+# the admission decision every crawl pipeline applies before a URL
+# enters the corpus. Rules (allow/disallow path prefixes per host) are
+# a TABLE, so the gate is pure relational algebra: prefix-match rules
+# to URLs, keep the LONGEST match per URL (RFC 9309 most-specific-
+# wins), break exact ties toward allow, default-allow when nothing
+# matches. No UDF anywhere — startswith + max_by(struct) — so the
+# same logic runs as the DuckDB oracle verbatim. Wildcard/$-anchor
+# patterns are the documented out-of-scope extension (they need a
+# regex compile per rule; the prefix subset is what CC's own fetcher
+# honors for the overwhelming majority of rules). 100 TB shape: the
+# rules table is host-keyed and broadcast; one map-side join + one
+# per-URL argmax, no shuffle of the URL stream beyond the agg.
+# ---------------------------------------------------------------------------
+@query("q406_robots_filter")
+def q406_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.lit("/docs/"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit("private/"))
+            .when(F.col("doc_id") % 7 == 1, F.lit("private/ok/"))
+            .otherwise(F.lit("public/")),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+    )
+    # per-host robots rules (what parse of each host's robots.txt
+    # would yield): disallow /docs/private, re-allow /docs/private/ok,
+    # and src0 additionally disallows everything under /docs
+    rules = spark.createDataFrame(
+        [
+            ("*", "disallow", "/docs/private"),
+            ("*", "allow", "/docs/private/ok"),
+            ("src0", "disallow", "/docs"),
+        ],
+        "rhost string, verdict string, prefix string",
+    )
+    hosts = urls.select(F.col("host").alias("h")).distinct()
+    expanded = (
+        hosts.join(
+            rules,
+            (F.col("rhost") == F.col("h")) | (F.col("rhost") == "*"),
+        )
+        .select(F.col("h").alias("host"), "verdict", "prefix")
+    )
+    matched = (
+        urls.join(F.broadcast(expanded), "host", "left")
+        .filter(F.col("path").startswith(F.col("prefix")))
+        .groupBy("doc_id", "host", "path")
+        .agg(
+            # longest prefix wins; exact-length tie -> allow. The
+            # ordering key is a single integer (len*2 + is_allow) so
+            # the identical max_by runs in DuckDB, which rejects
+            # struct ordering keys
+            F.max_by(
+                "verdict",
+                F.length("prefix") * 2
+                + (F.col("verdict") == "allow").cast("int"),
+            ).alias("verdict")
+        )
+    )
+    return (
+        urls.join(matched.select("doc_id", "verdict"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.coalesce(
+                F.col("verdict") == "allow", F.lit(True)
+            ).alias("allowed"),
+        )
+        .orderBy("doc_id")
+    )
