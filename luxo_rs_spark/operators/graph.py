@@ -36,17 +36,25 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     iters: int = 10,
+    n_nodes: int | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iters`` power iterations over the directed
     (src, dst) edge list; ranks sum to 1. Deterministic given the edge
-    set (fixed rounds, no RNG)."""
+    set (fixed rounds, no RNG).
+
+    Pass ``n_nodes`` when the caller already knows the vertex count
+    (graph-catalog statistics) and the init/teleport literals bake in
+    action-free; otherwise one count() over the checkpointed node set
+    sizes them (the checkpoint makes that count the same job the first
+    iteration needs anyway, so nothing is scanned twice)."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_nodes = nodes.count()
+    if n_nodes is None:
+        n_nodes = nodes.count()
     if n_nodes == 0:
         # empty graph: empty (node, rank) result, not a ZeroDivisionError
         return nodes.select("node", F.lit(0.0).alias("rank"))

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window
 
 from luxo_rs_spark.operators.asof import asof_join
 from luxo_rs_spark.operators.topk import top_k, top_k_per_group
-from luxo_rs_spark.sources.registry import load_table
+from luxo_rs_spark.sources.registry import load_table, table_num_rows
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -7489,8 +7489,12 @@ def q237_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.operators.similarity import embedding_neardup_lsh
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # N from parquet footer metadata — sizes the adaptive band derivation
+    # with zero Spark jobs at construction (round-4 verdict item 3)
     return (
-        embedding_neardup_lsh(emb, threshold=0.45)
+        embedding_neardup_lsh(
+            emb, threshold=0.45, n_rows=table_num_rows(sf_dir, "embeddings")
+        )
         .select("va", "vb", F.round("sim", 4).alias("sim"))
         .orderBy("va", "vb")
     )
@@ -9439,7 +9443,10 @@ def q288_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    flags = semantic_dedup(emb, threshold=0.45)
+    # N from parquet footer metadata — no construction-time count()
+    flags = semantic_dedup(
+        emb, threshold=0.45, n_rows=table_num_rows(sf_dir, "embeddings")
+    )
     return (
         flags.groupBy("cluster")
         .agg(
@@ -13485,7 +13492,9 @@ def q383_json_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("j")
     )
-    total = events.count()
+    # denominator from parquet footer metadata — exact, zero Spark jobs
+    # at plan construction (round-4 verdict item 3)
+    total = table_num_rows(sf_dir, "events")
     return (
         payload.select(F.explode(F.json_object_keys("j")).alias("key"))
         .groupBy("key")
@@ -13620,15 +13629,20 @@ def q386_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c12")
     )
     c1 = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = bigrams.select("w1").distinct().count()
+    # vocab size joins in as a broadcast single-row aggregate — the plan
+    # stays lazy end-to-end (no construction-time distinct().count())
+    vocab = bigrams.agg(
+        F.countDistinct("w1").cast("double").alias("__vocab")
+    )
     scored = (
         bigrams.join(c12, ["w1", "w2"])
         .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
         .withColumn(
             "nll",
             -F.log2(
                 (F.col("c12") + F.lit(k))
-                / (F.col("c1") + F.lit(k * vocab))
+                / (F.col("c1") + F.lit(k) * F.col("__vocab"))
             ),
         )
     )
@@ -13759,14 +13773,20 @@ def q388_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q389_mix_shift")
 def q389_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    median_date = orders.agg(
-        F.expr("percentile(cast(o_orderdate AS DOUBLE), 0.5)")
-    ).collect()[0][0]
+    # the median split date joins in as a broadcast single-row aggregate
+    # (q134/q95 pattern) — no collect(), the plan stays lazy end-to-end
+    # and costs no extra job at construction (round-4 verdict item 1)
+    med = orders.agg(
+        F.expr("percentile(cast(o_orderdate AS DOUBLE), 0.5)").alias(
+            "__median_date"
+        )
+    )
     period = F.when(
-        F.col("o_orderdate").cast("double") <= F.lit(median_date), 0
+        F.col("o_orderdate").cast("double") <= F.col("__median_date"), 0
     ).otherwise(1)
     per = (
-        orders.groupBy("o_orderpriority", period.alias("p"))
+        orders.crossJoin(F.broadcast(med))
+        .groupBy("o_orderpriority", period.alias("p"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             _r2(F.sum("o_totalprice")).alias("rev"),
@@ -13892,15 +13912,19 @@ def q392_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Denominator from the SAME filtered population as the digit counts,
     # so observed shares sum to ~10000 bps even with zero-price rows.
     nonzero = orders.filter(F.col("o_totalprice") != 0)
-    total = nonzero.count()
+    # population size joins in as a broadcast single-row aggregate —
+    # no construction-time count() (round-4 verdict item 3)
+    total = nonzero.agg(F.count(F.lit(1)).alias("__total"))
     return (
         nonzero
         .groupBy(first_digit.alias("digit"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .crossJoin(F.broadcast(total))
         .withColumn(
             "observed_bps",
-            F.floor(F.col("n") * 10000 / F.lit(total)).cast("bigint"),
+            F.floor(F.col("n") * 10000 / F.col("__total")).cast("bigint"),
         )
+        .drop("__total")
         .withColumn(
             "benford_bps",
             F.floor(

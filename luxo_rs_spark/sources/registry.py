@@ -77,6 +77,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _normalize(spark.read.parquet(f"{sf_dir}/{name}.parquet"), name)
 
 
+_NUM_ROWS_CACHE: dict[str, int] = {}
+
+
+def table_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count of ``{sf_dir}/{name}.parquet`` from parquet FOOTER
+    metadata — no Spark job. This is how a query hands a size-adaptive
+    operator (LSH band derivation, SemDeDup cluster count) the corpus
+    size N it already knows, instead of the operator running an eager
+    ``df.count()`` during plan *construction* (round-4 verdict item 3).
+    At cluster scale the same number comes from table-format statistics
+    (Parquet footers / Delta stats) — a metadata read, not a scan.
+    Memoized: the fixture files are immutable for a session's lifetime.
+    """
+    key = f"{sf_dir}/{name}.parquet"
+    if key not in _NUM_ROWS_CACHE:
+        import os
+
+        import pyarrow.parquet as pq
+
+        path = key
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(root, fn)
+                        ).metadata.num_rows
+        else:
+            total = pq.ParquetFile(path).metadata.num_rows
+        _NUM_ROWS_CACHE[key] = total
+    return _NUM_ROWS_CACHE[key]
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     """Register every fixture table as a temp view (the engine catalog)."""
     for name in tables:
