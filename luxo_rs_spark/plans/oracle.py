@@ -6958,6 +6958,57 @@ GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
 
+# q376: the fixed-point PageRank iterations UNROLLED (6 rounds, no
+# recursive CTE needed because the round count is fixed). Every value
+# is BIGINT, every division is floor division on nonnegative operands
+# (DuckDB `//` == Spark `div` there), every gather an exact integer
+# sum — so the hashes match bit-for-bit regardless of engine summation
+# order (the reason the former float version had to be rows-only).
+def _pagerank_fp_oracle(iters: int = 6) -> str:
+    scale, num, den = 10**15, 17, 20
+    prev = "pr0"
+    rounds = []
+    sep = ",\n"
+    for i in range(1, iters + 1):
+        rounds.append(
+            f"""pr{i} AS (
+  SELECT nd.node,
+         CAST(({den - num} * {scale}) // ({den} * (SELECT n FROM nn))
+              + ({num} * COALESCE(inb.g, 0)) // {den} AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, SUM(p.r // d.out_deg) AS g
+    FROM edges e
+    JOIN {prev} p ON p.node = e.src
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) inb ON inb.node = nd.node)"""
+        )
+        prev = f"pr{i}"
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT x.l_partkey AS a, y.l_partkey AS b
+  FROM op x JOIN op y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+        FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+pr0 AS (SELECT node,
+               CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r
+        FROM nodes),
+{sep.join(rounds)}
+SELECT node AS part_id, r AS rank_fp
+FROM {prev}
+ORDER BY rank_fp DESC, part_id
+LIMIT 20
+"""
+
+
+ORACLE_SQL["q376_pagerank"] = _pagerank_fp_oracle(6)
+
 ORACLE_SQL["q377_arrow_doc_stats"] = """
 SELECT source,
        cast(count(*) AS BIGINT) AS n_docs,

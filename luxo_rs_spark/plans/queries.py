@@ -13168,17 +13168,24 @@ def q375_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Q376 — PageRank over the co-purchase graph (power iteration,
-# operators/graph.py): which parts are structurally central in the
-# bought-together network. Declared rows-only: 10 rounds of float
-# power iteration aren't SQL-expressible in DuckDB without replaying
-# engine-specific summation order; semantics are pinned against an
-# exact dense numpy power iteration in tests/test_graph.py (1e-12),
-# plus determinism across partitionings.
+# Q376 — PageRank over the co-purchase graph in EXACT integer
+# fixed-point (operators/graph.py pagerank_fixedpoint): which parts
+# are structurally central in the bought-together network. Round-4
+# verdict item 8 (oracle-ify): ranks are BIGINTs in units of 1e-15,
+# contributions are floor divisions, gathers are exact integer sums —
+# summation order stops mattering, so the SAME six unrolled
+# iterations run as genuine DuckDB SQL and hash-compare (the former
+# float version was rows-only by nature). The co-purchase edges are
+# symmetric (materialized both directions), so every node has
+# out-degree >= 1 -> assume_no_dangling + checkpoint=False keeps the
+# entire 6-round computation ONE lazy Catalyst plan with zero
+# construction-time actions. Float semantics stay pinned against
+# dense numpy in tests/test_graph.py for the double-precision
+# operator; this fixed-point one gets the full oracle.
 # ---------------------------------------------------------------------------
 @query("q376_pagerank")
 def q376_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from luxo_rs_spark.operators.graph import pagerank
+    from luxo_rs_spark.operators.graph import pagerank_fixedpoint
 
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
@@ -13206,17 +13213,16 @@ def q376_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("e")
     ).select("e.src", "e.dst")
     return (
-        pagerank(edges, damping=0.85, iters=6)
+        pagerank_fixedpoint(
+            edges, iters=6, assume_no_dangling=True, checkpoint=False
+        )
         .select(
             F.col("node").alias("part_id"),
-            F.round("rank", 8).alias("rank"),
+            F.col("r").alias("rank_fp"),
         )
-        .orderBy(F.desc("rank"), "part_id")
+        .orderBy(F.desc("rank_fp"), "part_id")
         .limit(20)
     )
-
-
-NO_ORACLE.add("q376_pagerank")
 
 
 # ---------------------------------------------------------------------------

@@ -6,7 +6,33 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
-from luxo_rs_spark.operators.graph import out_degrees, pagerank
+from luxo_rs_spark.operators.graph import (
+    out_degrees,
+    pagerank,
+    pagerank_fixedpoint,
+)
+
+
+def _python_pagerank_fp(edge_list, iters, num=17, den=20, scale=10**15):
+    """Sequential reference for the fixed-point variant: the SAME
+    integer floor-division recurrence, so equality is exact."""
+    nodes = sorted({u for e in edge_list for u in e})
+    n = len(nodes)
+    out: dict[int, int] = {}
+    for s, _ in edge_list:
+        out[s] = out.get(s, 0) + 1
+    r = {u: scale // n for u in nodes}
+    for _ in range(iters):
+        g = {u: 0 for u in nodes}
+        for s, d in edge_list:
+            g[d] += r[s] // out[s]
+        dm = sum(r[u] for u in nodes if u not in out)
+        r = {
+            u: ((den - num) * scale) // (den * n)
+            + (num * (g[u] + dm // n)) // den
+            for u in nodes
+        }
+    return r
 
 
 def _numpy_pagerank(edge_list, damping, iters):
@@ -59,3 +85,46 @@ def test_pagerank_deterministic_across_partitionings(spark):
 def test_pagerank_empty_graph(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert pagerank(edges, 0.85, 3).count() == 0
+
+
+def test_pagerank_fixedpoint_exact_vs_python(spark):
+    # includes a dangling node (5) — exercises the __dm integer path
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 1), (2, 5), (3, 5)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r["node"]: r["r"]
+        for r in pagerank_fixedpoint(edges, iters=4).collect()
+    }
+    assert got == _python_pagerank_fp(edge_list, 4)
+
+
+def test_pagerank_fixedpoint_lazy_no_dangling_matches_checkpointed(spark):
+    # symmetric graph (no dangling): the fully-lazy single-plan form
+    # must equal the checkpointed general form EXACTLY (integers)
+    base = [(i, (i * 5) % 13) for i in range(13) if i != (i * 5) % 13]
+    edge_list = base + [(d, s) for s, d in base]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    lazy = pagerank_fixedpoint(
+        edges, iters=3, assume_no_dangling=True, checkpoint=False
+    )
+    chk = pagerank_fixedpoint(edges, iters=3)
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        map(tuple, chk.collect())
+    )
+    assert sorted(map(tuple, lazy.collect())) == sorted(
+        _python_pagerank_fp(edge_list, 3).items()
+    )
+
+
+def test_pagerank_fixedpoint_tracks_float_ranks(spark):
+    # quantization bound: fixed-point/scale within ~1e-12 of the float
+    # iteration (same rounds, same damping)
+    edge_list = [(1, 2), (2, 3), (3, 1), (1, 4), (4, 1), (2, 5), (3, 5)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    fp = {
+        r["node"]: r["r"] / 1e15
+        for r in pagerank_fixedpoint(edges, iters=5).collect()
+    }
+    fl = _numpy_pagerank(edge_list, 0.85, 5)
+    for u in fl:
+        assert abs(fp[u] - fl[u]) < 1e-9, (u, fp[u], fl[u])
