@@ -1,0 +1,83 @@
+"""robots.txt rule-path matching (RFC 9309 §2.2.2/§2.2.3) as data.
+
+Round-4 verdict item 4: q406 implements the prefix-only core of RFC
+9309; real robots files lean heavily on the two extensions the RFC
+standardizes from the de-facto Googlebot grammar — ``*`` (matches any
+run of octets, including none) and a trailing ``$`` (end-of-path
+anchor). Both stay *relational*: a rule path is translated ONCE, at
+rule-compile time, into an equivalent SQL ``LIKE`` pattern plus its
+specificity key, and the crawl gate remains a broadcast join + LIKE
+filter + per-URL ``max_by`` argmax. No per-row Python anywhere: the
+translation runs over the (tiny) rules table on the driver, and the
+identical translated literals are embedded in the DuckDB oracle, so
+both engines execute the same LIKE semantics.
+
+Longest-match key: RFC 9309 §2.2.2 picks "the most specific match ...
+the longest match" measured in octets OF THE RULE; Google's open-source
+matcher uses the raw pattern length (wildcards and anchor count as one
+octet each), and so do we. Exact ties break toward ``allow`` (§2.2.2:
+"the least restrictive rule").
+
+Scope note: LIKE's own metacharacters (``%``, ``_``) and backslash are
+rejected rather than escaped — Spark's LIKE treats ``\\`` as an escape
+by default while DuckDB's does not, so a silent translation would mean
+engine-dependent matches. Those octets are effectively absent from
+real-world rule paths (they'd be percent-encoded); the honest
+NotImplementedError is the same boundary policy as the JPEG codecs.
+"""
+
+from __future__ import annotations
+
+
+def robots_rule_to_like(pattern: str) -> tuple[str, int]:
+    """Translate one robots.txt rule path into ``(like_pattern,
+    specificity)``.
+
+    - ``*`` -> ``%`` (any octets, including none);
+    - a single trailing ``$`` anchors the match at end-of-path; without
+      it the rule is a prefix match, so ``%`` is appended;
+    - ``$`` anywhere else is a literal octet (Googlebot behavior);
+    - rules are always anchored at the START of the path (RFC 9309
+      matches from the first octet), which LIKE's full-string semantics
+      give for free once the suffix ``%`` is handled;
+    - specificity = octet length of the ORIGINAL rule text.
+
+    >>> robots_rule_to_like("/docs/private")
+    ('/docs/private%', 13)
+    >>> robots_rule_to_like("/*.php$")
+    ('/%.php', 7)
+    >>> robots_rule_to_like("/fish*.html$")
+    ('/fish%.html', 12)
+    """
+    if pattern == "" or pattern == "$":
+        # an empty rule path matches nothing; RFC-conformant parsers
+        # drop the line before it ever reaches the matcher
+        raise ValueError("empty robots rule path")
+    for bad in ("%", "_", "\\"):
+        if bad in pattern:
+            raise NotImplementedError(
+                f"robots rule contains LIKE metacharacter {bad!r}; "
+                "escaping differs between engines (see module docstring)"
+            )
+    spec = len(pattern)
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    like = body.replace("*", "%")
+    if not anchored:
+        like += "%"
+    # collapse runs ('/a**b', or a trailing-* rule meeting the suffix %)
+    while "%%" in like:
+        like = like.replace("%%", "%")
+    return like, spec
+
+
+def compile_rules(
+    rules: list[tuple[str, str, str]],
+) -> list[tuple[str, str, str, int]]:
+    """Compile (host, verdict, rule_path) rows into
+    (host, verdict, like_pattern, specificity) rows — the broadcastable
+    relational form of a parsed robots.txt corpus."""
+    return [
+        (host, verdict, *robots_rule_to_like(path))
+        for host, verdict, path in rules
+    ]

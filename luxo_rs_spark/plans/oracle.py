@@ -8079,3 +8079,48 @@ FROM vals v, corp x
 WHERE v.n = x.n AND v.s = x.s AND v.c = x.c
 ORDER BY cluster""",
         )
+
+
+# q407: the SAME compiled rule literals the Spark query broadcasts
+# (functions/robots.py translation, pinned by the RFC-example unit
+# battery in tests/test_robots.py) embedded as a VALUES block — both
+# engines then run identical column-pattern LIKE matching + max_by.
+from luxo_rs_spark.functions.robots import compile_rules as _compile_robots
+from luxo_rs_spark.plans.queries import _Q407_RULES
+
+_q407_values = ",\n         ".join(
+    f"('{h}', '{v}', '{lp}', {sp})"
+    for h, v, lp, sp in _compile_robots(_Q407_RULES)
+)
+ORACLE_SQL["q407_robots_wildcards"] = f"""
+WITH urls AS (
+  SELECT doc_id, source AS host,
+         '/site/' || CASE WHEN doc_id % 4 = 0 THEN 'tmp/'
+                          WHEN doc_id % 4 = 1 THEN 'pub/'
+                          WHEN doc_id % 4 = 2 THEN 'user/alice/'
+                          ELSE 'user/bob/' END
+                  || 'page' || doc_id
+                  || CASE WHEN doc_id % 3 = 0 THEN '.php'
+                          WHEN doc_id % 3 = 1 THEN '.html'
+                          ELSE '' END AS path
+  FROM documents
+), rules(rhost, verdict, like_pat, spec) AS (
+  VALUES {_q407_values}
+), expanded AS (
+  SELECT h.host, r.verdict, r.like_pat, r.spec
+  FROM (SELECT DISTINCT host FROM urls) h
+  JOIN rules r ON r.rhost = h.host OR r.rhost = '*'
+), matched AS (
+  SELECT u.doc_id,
+         max_by(e.verdict,
+                e.spec * 2 + CAST(e.verdict = 'allow' AS INTEGER))
+           AS verdict
+  FROM urls u JOIN expanded e
+    ON u.host = e.host AND u.path LIKE e.like_pat
+  GROUP BY u.doc_id
+)
+SELECT u.doc_id, u.host, u.path,
+       COALESCE(m.verdict = 'allow', TRUE) AS allowed
+FROM urls u LEFT JOIN matched m ON u.doc_id = m.doc_id
+ORDER BY u.doc_id
+"""
