@@ -8124,3 +8124,54 @@ SELECT u.doc_id, u.host, u.path,
 FROM urls u LEFT JOIN matched m ON u.doc_id = m.doc_id
 ORDER BY u.doc_id
 """
+
+
+ORACLE_SQL["q408_k_anon_generalize"] = """
+WITH recs AS (
+  SELECT cast(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|'
+           || cast(cast(floor(c_acctbal / 100) AS BIGINT) AS VARCHAR) AS qi0,
+         cast(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|'
+           || cast(cast(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR) AS qi1,
+         cast(c_nationkey AS VARCHAR) || '|' || c_mktsegment AS qi2,
+         cast(c_nationkey AS VARCHAR) AS qi3,
+         '*' AS qi4
+  FROM customer
+), lev AS (
+  SELECT 0 AS level, qi0 AS qi FROM recs
+  UNION ALL SELECT 1, qi1 FROM recs
+  UNION ALL SELECT 2, qi2 FROM recs
+  UNION ALL SELECT 3, qi3 FROM recs
+  UNION ALL SELECT 4, qi4 FROM recs
+), counts AS (
+  SELECT level, qi, cast(count(*) AS BIGINT) AS k
+  FROM lev GROUP BY level, qi
+), base AS (
+  SELECT qi0, qi1, qi2, qi3, qi4, cast(count(*) AS BIGINT) AS k0
+  FROM recs GROUP BY qi0, qi1, qi2, qi3, qi4
+), melted AS (
+  SELECT qi0, 0 AS level, qi0 AS qi FROM base
+  UNION ALL SELECT qi0, 1, qi1 FROM base
+  UNION ALL SELECT qi0, 2, qi2 FROM base
+  UNION ALL SELECT qi0, 3, qi3 FROM base
+  UNION ALL SELECT qi0, 4, qi4 FROM base
+), minlev AS (
+  SELECT m.qi0,
+         cast(min(CASE WHEN c.k >= 5 THEN m.level END) AS INTEGER)
+           AS min_level
+  FROM melted m JOIN counts c ON c.level = m.level AND c.qi = m.qi
+  GROUP BY m.qi0
+), gnode AS (
+  SELECT cast(max(min_level) AS INTEGER) AS global_level FROM minlev
+), published AS (
+  SELECT b.qi0, b.k0, l.min_level, g.global_level,
+         CASE g.global_level WHEN 0 THEN b.qi0 WHEN 1 THEN b.qi1
+              WHEN 2 THEN b.qi2 WHEN 3 THEN b.qi3 ELSE b.qi4 END
+           AS final_qi
+  FROM base b JOIN minlev l ON l.qi0 = b.qi0 CROSS JOIN gnode g
+)
+SELECT p.qi0, p.k0, p.min_level, p.global_level, p.final_qi,
+       c.k AS final_k, c.k >= 5 AS k_anon_5
+FROM published p
+JOIN counts c ON c.level = p.global_level AND c.qi = p.final_qi
+ORDER BY p.qi0
+"""

@@ -14641,3 +14641,107 @@ def q407_robots_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q408 — k-anonymity GENERALIZATION (round-4 verdict item 7: q399
+# audits, this one repairs). Full-domain generalization over a nested
+# 5-level lattice on the quasi-identifier (Samarati / Incognito
+# global-recoding model):
+#   L0 nation|segment|$100-band  ->  L1 nation|segment|$1000-band
+#   ->  L2 nation|segment  ->  L3 nation  ->  L4 '*'
+# Pure relational algebra: each record's five generalizations are
+# expressions, class sizes per (level, qi) come from ONE stacked
+# groupBy, each level-0 class gets its minimal level with k>=5
+# (min over a filtered join — monotone because the hierarchy nests,
+# so coarser levels only merge classes), and the published node is
+# the lattice minimum that makes the WHOLE table k-anonymous
+# (global_level = max of the per-class minima, joined in as a
+# broadcast single-row aggregate — construction stays action-free).
+# The re-audit is in the output contract: final_k at the published
+# level, k_anon_5 must be uniformly true. 100 TB shape: two
+# hash-aggregates over 5N stacked rows + broadcast scalars — no
+# window, no driver loop; the lattice height is the only constant.
+# ---------------------------------------------------------------------------
+@query("q408_k_anon_generalize")
+def q408_k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.col("c_nationkey").cast("string")
+    seg = F.col("c_mktsegment")
+    b100 = F.floor(F.col("c_acctbal") / 100).cast("string")
+    b1000 = F.floor(F.col("c_acctbal") / 1000).cast("string")
+    qi_levels = [
+        F.concat_ws("|", nation, seg, b100),
+        F.concat_ws("|", nation, seg, b1000),
+        F.concat_ws("|", nation, seg),
+        nation,
+        F.lit("*"),
+    ]
+    recs = cust.select(
+        *[q.alias(f"qi{i}") for i, q in enumerate(qi_levels)]
+    )
+    melt = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).cast("int").alias("level"),
+                    F.col(f"qi{i}").alias("qi"),
+                )
+                for i in range(5)
+            ]
+        )
+    ).alias("lq")
+    counts = (
+        recs.select(melt)
+        .select("lq.level", "lq.qi")
+        .groupBy("level", "qi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    )
+    base = recs.groupBy("qi0", "qi1", "qi2", "qi3", "qi4").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k0")
+    )
+    minlev = (
+        base.select("qi0", melt)
+        .select("qi0", "lq.level", "lq.qi")
+        .join(counts, ["level", "qi"])
+        .groupBy("qi0")
+        .agg(
+            F.min(F.when(F.col("k") >= 5, F.col("level")))
+            .cast("int")
+            .alias("min_level")
+        )
+    )
+    glob = minlev.agg(
+        F.max("min_level").cast("int").alias("global_level")
+    )
+    final_counts = counts.select(
+        F.col("level").alias("__fl"),
+        F.col("qi").alias("__fqi"),
+        F.col("k").alias("final_k"),
+    )
+    return (
+        base.join(minlev, "qi0")
+        .crossJoin(F.broadcast(glob))
+        .withColumn(
+            "final_qi",
+            F.expr(
+                "CASE global_level WHEN 0 THEN qi0 WHEN 1 THEN qi1"
+                " WHEN 2 THEN qi2 WHEN 3 THEN qi3 ELSE qi4 END"
+            ),
+        )
+        .join(
+            final_counts,
+            (F.col("__fl") == F.col("global_level"))
+            & (F.col("__fqi") == F.col("final_qi")),
+        )
+        .select(
+            "qi0",
+            "k0",
+            "min_level",
+            "global_level",
+            "final_qi",
+            "final_k",
+            (F.col("final_k") >= 5).alias("k_anon_5"),
+        )
+        .orderBy("qi0")
+    )

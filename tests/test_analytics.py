@@ -169,3 +169,24 @@ def test_variant_parquet_roundtrip(spark, tmp_path):
         ).collect()
     }
     assert got == {1: (7, "a"), 2: (-3, None)}
+
+
+def test_q408_generalization_minimal_and_reaudited(spark):
+    """The published lattice node (a) makes every class k>=5 (re-audit
+    green) and (b) is MINIMAL: one level lower, at least one class
+    still violates k — otherwise max(min_level) would have been lower."""
+    from luxo_rs_spark.plans.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = QUERIES["q408_k_anon_generalize"](spark, sf_dir).collect()
+    assert rows, "no equivalence classes"
+    g = rows[0]["global_level"]
+    assert all(r["global_level"] == g for r in rows)
+    # (a) re-audit: the published table is k-anonymous
+    assert all(r["k_anon_5"] and r["final_k"] >= 5 for r in rows)
+    # (b) minimality: some class's own minimum IS the global level
+    assert max(r["min_level"] for r in rows) == g
+    # classes already fine at L0 report min_level 0 and keep k0
+    for r in rows:
+        if r["k0"] >= 5:
+            assert r["min_level"] == 0
