@@ -8175,3 +8175,16 @@ FROM published p
 JOIN counts c ON c.level = p.global_level AND c.qi = p.final_qi
 ORDER BY p.qi0
 """
+
+
+ORACLE_SQL["q409_warc_cdx_probe"] = """
+SELECT doc_id,
+  200 AS status,
+  lang,
+  'Doc ' || doc_id AS title,
+  length(text) AS n_chars,
+  md5(text) AS text_md5
+FROM documents
+WHERE doc_id % 10 = 3
+ORDER BY doc_id
+"""

@@ -14745,3 +14745,71 @@ def q408_k_anon_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qi0")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q409 — WARC CDX offset index + RANGED-READ probe (round-4 verdict
+# item 6; closes sources/warc.py's documented boundary). Pipeline:
+# (1) render documents to per-record-gzip-member .warc.gz files
+# (q400's writer, own dir); (2) build the CDX index AS A QUERY — one
+# binaryFile map stage emitting (offset, length, seq, uri, digest,
+# file_bytes) per record, the cluster.idx job of a CC snapshot;
+# (3) prune the index relationally to the wanted URIs (doc_id ending
+# in 3 — a 1-in-10 probe); (4) fetch ONLY those byte spans with
+# seek + bounded read (read_warc_by_cdx) and run the same HTML→text
+# extraction. Full oracle: each probed doc's exact text md5
+# round-trips the container through the RANGED path — plus the probe
+# economics (bytes_read == sum of selected members ≪ file bytes) are
+# asserted in tests/test_warc.py. 100 TB shape: the index build is
+# the only full scan; every probe after it is pruned IO — offset
+# arithmetic identical for local seek / HDFS positioned read /
+# S3 ranged GET.
+# ---------------------------------------------------------------------------
+@query("q409_warc_cdx_probe")
+def q409_warc_cdx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import html as _html
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.warc import (
+        build_cdx_index,
+        extract_warc_text,
+        read_warc_by_cdx,
+        write_warc_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "warc_cdx"
+    )
+    shutil.rmtree(out, ignore_errors=True)  # local-FS fixture hygiene
+    write_warc_files(
+        docs.repartition(4, "doc_id"),
+        out,
+        url_of=lambda r: (
+            f"https://{r['source']}.example.com/docs/{r['doc_id']}"
+        ),
+        html_of=lambda r: (
+            f"<html><head><title>Doc {r['doc_id']}</title></head><body>"
+            f"<p>{_html.escape(r['text'])}</p></body></html>"
+        ),
+    )
+    cdx = build_cdx_index(spark, out)
+    probe = cdx.filter(
+        (F.col("record_type") == "response")
+        & F.col("target_uri").rlike("/docs/\\d*3$")
+    )
+    ext = extract_warc_text(read_warc_by_cdx(probe).drop("bytes_read"))
+    return (
+        ext.select(
+            F.regexp_extract("target_uri", r"/docs/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("http_status").alias("status"),
+            F.col("content_language").alias("lang"),
+            "title",
+            F.length("text").alias("n_chars"),
+            F.md5("text").alias("text_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -203,3 +203,156 @@ def test_warc_stream_feeds_neardup_ingest(spark, tmp_path):
     admitted = sorted(r["doc_id"] for r in ingest.admitted(spark).collect())
     assert 1 in admitted and 3 in admitted
     assert 2 not in admitted  # the near-dup was dropped on ingest
+
+
+# ---------------------------------------------------------------------------
+# CDX offset index + ranged reads (round-5)
+# ---------------------------------------------------------------------------
+
+
+def test_cdx_spans_tile_the_file(spark, tmp_path):
+    """Per file: the indexed (offset, length) member spans are disjoint,
+    monotone, and tile the ENTIRE file byte-for-byte — the property
+    ranged reads depend on."""
+    import os
+
+    from luxo_rs_spark.sources.warc import build_cdx_index
+
+    rows = [(i, f"tile body {i}", "en") for i in range(12)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).repartition(2)
+    out = str(tmp_path / "warc")
+    write_warc_files(
+        docs,
+        out,
+        url_of=lambda r: f"u:{r['doc_id']}",
+        html_of=lambda r: f"<html><body>{r['text']}</body></html>",
+    )
+    idx = build_cdx_index(spark, out).collect()
+    by_file = {}
+    for r in idx:
+        by_file.setdefault(r.warc_file, []).append(r)
+    assert len(by_file) == 2
+    for fname, rs in by_file.items():
+        spans = sorted({(r.offset, r.length) for r in rs})
+        pos = 0
+        for off, ln in spans:
+            assert off == pos, (fname, off, pos)
+            pos += ln
+        assert pos == os.path.getsize(os.path.join(out, fname))
+        assert pos == rs[0].file_bytes
+        # CC layout: one record per member -> every seq is 0
+        assert all(r.seq == 0 for r in rs)
+    # 12 responses + 2 warcinfo
+    assert sum(len(rs) for rs in by_file.values()) == 14
+
+
+def test_cdx_ranged_read_matches_full_scan_and_is_pruned(spark, tmp_path):
+    """The ranged probe returns byte-identical records to the full scan
+    for the selected URIs while reading a fraction of the bytes."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.sources.warc import build_cdx_index, read_warc_by_cdx
+
+    rows = [(i, f"probe body {i} " + "pad " * 50, "en") for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).repartition(2)
+    out = str(tmp_path / "warc")
+    write_warc_files(
+        docs,
+        out,
+        url_of=lambda r: f"https://x.example.com/d/{r['doc_id']}",
+        html_of=lambda r: f"<html><body><p>{r['text']}</p></body></html>",
+    )
+    cdx = build_cdx_index(spark, out)
+    # probe 4 of 40 documents
+    want = {f"https://x.example.com/d/{i}" for i in (3, 17, 25, 39)}
+    probe = cdx.filter(F.col("target_uri").isin(*want))
+    got = read_warc_by_cdx(probe).collect()
+    assert {r.target_uri for r in got} == want
+    full = {
+        r.target_uri: bytes(r.body)
+        for r in read_warc(spark, out).filter(
+            F.col("target_uri").isin(*want)
+        ).collect()
+    }
+    for r in got:
+        assert bytes(r.body) == full[r.target_uri]
+        assert r.http_status == 200
+    # economy: the probe touched only the selected members' bytes
+    total_file_bytes = (
+        cdx.select("warc_file", "file_bytes").distinct().groupBy().sum(
+            "file_bytes"
+        ).collect()[0][0]
+    )
+    bytes_read = sum(r.bytes_read for r in got)
+    assert bytes_read == sum(
+        r.length for r in probe.collect()
+    )
+    assert bytes_read < 0.5 * total_file_bytes, (
+        bytes_read, total_file_bytes,
+    )
+
+
+def test_cdx_multi_record_member_seq_addressing(spark, tmp_path):
+    """A single gzip member holding several records: every record is
+    indexed with the same span but distinct seq, and the ranged read
+    returns the seq-th record."""
+    import gzip as _gz
+
+    from luxo_rs_spark.sources.warc import build_cdx_index, read_warc_by_cdx
+
+    plain = (
+        _resp_record("u:a", b"alpha", gzip_member=False)
+        + _resp_record("u:b", b"bravo", gzip_member=False)
+        + _resp_record("u:c", b"charlie", gzip_member=False)
+    )
+    p = tmp_path / "one.warc.gz"
+    p.write_bytes(_gz.compress(plain, 6))
+    cdx = build_cdx_index(spark, str(tmp_path))
+    rows = sorted(cdx.collect(), key=lambda r: r.seq)
+    assert [r.seq for r in rows] == [0, 1, 2]
+    assert len({(r.offset, r.length) for r in rows}) == 1
+    got = {
+        r.target_uri: bytes(r.body)
+        for r in read_warc_by_cdx(cdx).collect()
+    }
+    assert got == {
+        "u:a": b"alpha",
+        "u:b": b"bravo",
+        "u:c": b"charlie",
+    }
+
+
+def test_cdx_rejects_member_spanning_records():
+    """Spanning records can't be addressed by one (offset, length) —
+    the indexer must refuse rather than emit a lying index."""
+    import gzip as _gz
+
+    from luxo_rs_spark.sources.warc import iter_warc_records_with_spans
+
+    rec = _resp_record("u:span", b"y" * 400, gzip_member=False)
+    cut = len(rec) // 2
+    raw = _gz.compress(rec[:cut]) + _gz.compress(rec[cut:])
+    with pytest.raises(NotImplementedError):
+        list(iter_warc_records_with_spans(raw))
+
+
+def test_cdx_plain_warc_spans():
+    """Uncompressed WARCs index by raw record byte spans."""
+    from luxo_rs_spark.sources.warc import iter_warc_records_with_spans
+
+    raw = _resp_record("u:1", b"one", gzip_member=False) + _resp_record(
+        "u:2", b"two", gzip_member=False
+    )
+    spans = list(iter_warc_records_with_spans(raw))
+    assert len(spans) == 2
+    (o1, l1, s1, r1), (o2, l2, s2, r2) = spans
+    assert o1 == 0 and o2 == o1 + l1 and o2 + l2 == len(raw)
+    # ranged slice reparses to the same record
+    from luxo_rs_spark.sources.warc import iter_warc_records
+
+    again = list(iter_warc_records(raw[o2 : o2 + l2]))
+    assert again[0]["payload"] == r2["payload"]
