@@ -392,7 +392,9 @@ def write_warc_files(
     docs.rdd.mapPartitionsWithIndex(_write).count()
 
 
-def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_warc_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """Streaming WARC ingest: the binaryFile source is a Structured
     Streaming FILE source, so a landing directory of .warc.gz files
     becomes a micro-batch stream (exactly-once per file, checkpointed
@@ -411,7 +413,7 @@ def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
             "length long, content binary"
         )
         .option("pathGlobFilter", "*.warc.gz")
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
     )
 

@@ -1441,3 +1441,93 @@ def test_neardup_ingest_replay_is_idempotent(spark):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_upsert_sink_crash_between_commit_and_checkpoint(spark):
+    """Failure injection for the exactly-once claim (round-4 verdict
+    item 5): the dangerous window is AFTER the sink publishes a
+    version for batch B but BEFORE Spark records B in the checkpoint
+    commit log. We crash the query exactly there (the foreachBatch
+    hook raises after the table commit), prove from the checkpoint's
+    own logs that B's offsets were planned but never committed, then
+    restart: Spark replays B with the same batch_id, the sink's
+    batch-id log makes the replay a no-op, and the table ends with
+    every event exactly once and exactly one version per batch —
+    no duplication, no loss."""
+    import os
+    import time
+
+    from luxo_rs_spark.streaming.sinks import (
+        VersionedParquetTable,
+        upsert_sink,
+    )
+
+    base = TMP / f"crash_window_{uuid.uuid4().hex[:8]}"
+    src, ckpt, tbl_dir = (
+        str(base / "src"),
+        str(base / "ckpt"),
+        str(base / "tbl"),
+    )
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(6).write.parquet(src)
+    n = events.count()
+
+    table = VersionedParquetTable(tbl_dir)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    crash_at = 2
+    inner = upsert_sink(table, "event_id")
+
+    def crashing(batch_df, batch_id):
+        inner(batch_df, batch_id)
+        if batch_id == crash_at:
+            raise RuntimeError(
+                "injected crash between sink commit and checkpoint commit"
+            )
+
+    def start(hook):
+        return (
+            read_event_stream(spark, src, max_files_per_trigger=1)
+            .select(*cols)
+            .writeStream.foreachBatch(hook)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    # phase 1: dies mid-run, after committing batch `crash_at`
+    q = start(crashing)
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(180)
+    deadline = time.time() + 30
+    while q.isActive and time.time() < deadline:
+        time.sleep(0.1)
+    assert table.last_batch_id() == crash_at  # table commit happened...
+    committed = {
+        int(f)
+        for f in os.listdir(os.path.join(ckpt, "commits"))
+        if f.isdigit()
+    }
+    planned = {
+        int(f)
+        for f in os.listdir(os.path.join(ckpt, "offsets"))
+        if f.isdigit()
+    }
+    # ...inside the window: offsets planned, checkpoint NOT committed
+    assert crash_at in planned and crash_at not in committed
+    v_after_crash = table.current_version()
+
+    # phase 2: restart with the normal sink; Spark replays `crash_at`
+    q2 = start(inner)
+    q2.awaitTermination(180)
+
+    got = table.read(spark)
+    assert got.count() == n  # no loss
+    assert got.select("event_id").distinct().count() == n  # no dup
+    # the replayed batch minted NO new version: every version after the
+    # crash corresponds to a strictly newer batch id
+    n_batches_after = table.last_batch_id() - crash_at
+    assert table.current_version() == v_after_crash + n_batches_after
+    # one version per committed batch overall (ids 0..last, no gaps)
+    assert table.current_version() == table.last_batch_id()
+    shutil.rmtree(base, ignore_errors=True)
