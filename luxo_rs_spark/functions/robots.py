@@ -81,3 +81,59 @@ def compile_rules(
         (host, verdict, *robots_rule_to_like(path))
         for host, verdict, path in rules
     ]
+
+
+def parse_robots_txt(
+    content: str, user_agent: str = "*"
+) -> list[tuple[str, str]]:
+    """Parse one robots.txt body into the (verdict, rule_path) rows the
+    selected crawler must obey — RFC 9309 §2.1/§2.2.1 group semantics:
+
+    - a GROUP is one or more consecutive ``User-agent`` lines followed
+      by its rules; blank lines and comments (``#`` to end of line) are
+      ignored and do NOT close a group;
+    - the crawler obeys the group(s) whose product token matches its
+      name CASE-INSENSITIVELY; if none match, the ``*`` group applies;
+      multiple groups with the same token are MERGED (§2.2.1 "combined
+      into one group");
+    - an EMPTY Disallow value means "nothing is disallowed" and is
+      dropped (it would match nothing anyway);
+    - rules appearing before any User-agent line are invalid per the
+      grammar and ignored;
+    - non-rule directives (Sitemap, Crawl-delay, ...) are ignored —
+      Sitemap is group-independent metadata, Crawl-delay is
+      non-standard.
+
+    The output feeds :func:`compile_rules` directly, completing the
+    raw-file -> rules-table -> relational-gate chain (q407/q410)."""
+    ua = user_agent.lower()
+    groups: dict[str, list[tuple[str, str]]] = {}
+    current: list[str] | None = None
+    last_was_ua = False
+    for raw_line in content.splitlines():
+        line = raw_line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if not last_was_ua:
+                current = []
+            current.append(value.lower())
+            for tok in (value.lower(),):
+                groups.setdefault(tok, [])
+            last_was_ua = True
+            continue
+        last_was_ua = False
+        if field not in ("allow", "disallow"):
+            continue
+        if current is None:
+            continue  # rule before any User-agent line: invalid, drop
+        if value == "":
+            continue  # empty pattern matches nothing
+        for tok in current:
+            groups.setdefault(tok, []).append((field, value))
+    if ua in groups:
+        return groups[ua]
+    return groups.get("*", [])

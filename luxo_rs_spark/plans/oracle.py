@@ -8188,3 +8188,53 @@ FROM documents
 WHERE doc_id % 10 = 3
 ORDER BY doc_id
 """
+
+
+# q410: compiled output of parse_robots_txt + robots_rule_to_like on
+# the two literal robots.txt bodies (parser pinned by the RFC group-
+# semantics battery in tests/test_robots.py), embedded as VALUES; the
+# own-file-replaces-default expansion and the gate run as genuine SQL.
+from luxo_rs_spark.plans.queries import _q410_rules
+
+_q410_values = ",\n         ".join(
+    f"('{h}', '{v}', '{lp}', {sp})" for h, v, lp, sp in _q410_rules()
+)
+ORACLE_SQL["q410_robots_end_to_end"] = f"""
+WITH urls AS (
+  SELECT doc_id, source AS host,
+         CASE doc_id % 7
+              WHEN 0 THEN '/internal/page'
+              WHEN 1 THEN '/draft/pub'
+              WHEN 2 THEN '/draft/secret'
+              WHEN 3 THEN '/docs/page'
+              WHEN 4 THEN '/files/page'
+              ELSE '/docs/page' END
+         || doc_id
+         || CASE doc_id % 7 WHEN 3 THEN '.html'
+                            WHEN 5 THEN '.php'
+                            ELSE '' END AS path
+  FROM documents
+), rules(rhost, verdict, like_pat, spec) AS (
+  VALUES {_q410_values}
+), hosts AS (SELECT DISTINCT source AS host FROM documents
+), expanded AS (
+  SELECT h.host, r.verdict, r.like_pat, r.spec
+  FROM hosts h JOIN rules r ON r.rhost = h.host
+  UNION ALL
+  SELECT h.host, r.verdict, r.like_pat, r.spec
+  FROM hosts h JOIN rules r ON r.rhost = '*'
+  WHERE h.host NOT IN (SELECT rhost FROM rules WHERE rhost <> '*')
+), matched AS (
+  SELECT u.doc_id,
+         max_by(e.verdict,
+                e.spec * 2 + CAST(e.verdict = 'allow' AS INTEGER))
+           AS verdict
+  FROM urls u JOIN expanded e
+    ON u.host = e.host AND u.path LIKE e.like_pat
+  GROUP BY u.doc_id
+)
+SELECT u.doc_id, u.host, u.path,
+       COALESCE(m.verdict = 'allow', TRUE) AS allowed
+FROM urls u LEFT JOIN matched m ON u.doc_id = m.doc_id
+ORDER BY u.doc_id
+"""

@@ -14813,3 +14813,121 @@ def q409_warc_cdx_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q410 — END-TO-END robots.txt: raw file bodies -> RFC 9309 parser ->
+# compiled rules -> relational crawl gate. Completes the q406/q407
+# chain with the missing first step: `parse_robots_txt`
+# (functions/robots.py) applies §2.1/§2.2.1 GROUP semantics — our
+# crawler token 'LuxoBot' selects its named group case-insensitively
+# (falling back to the '*' group where absent), merged groups
+# combine, empty Disallow is a no-op — and a host serving its OWN
+# robots.txt REPLACES the default entirely (a host has exactly one
+# robots file; q406/q407's '*'-plus-host union models layered rule
+# sets instead). Parsing + LIKE compilation happen once at
+# rule-compile time on the driver (the fetched robots corpus is tiny
+# and host-keyed); the gate is the same broadcast join + LIKE +
+# max_by as q407, so the oracle embeds the identical compiled
+# literals and the per-URL stream math is engine-shared.
+# ---------------------------------------------------------------------------
+
+_Q410_DEFAULT_ROBOTS = """\
+# default corpus policy
+User-agent: LuxoBot
+Disallow: /draft/
+Allow: /draft/pub*
+
+User-agent: *
+Disallow: /internal/
+"""
+
+#: src0 serves its own robots.txt: no LuxoBot group, so the crawler
+#: falls back to '*' — everything closed except published .html docs
+_Q410_SRC0_ROBOTS = """\
+User-agent: *
+Disallow: /
+Allow: /docs/*.html$
+"""
+
+
+def _q410_rules() -> list[tuple[str, str, str, int]]:
+    from luxo_rs_spark.functions.robots import (
+        compile_rules,
+        parse_robots_txt,
+    )
+
+    rows = [
+        ("*", v, p)
+        for v, p in parse_robots_txt(_Q410_DEFAULT_ROBOTS, "LuxoBot")
+    ]
+    rows += [
+        ("src0", v, p)
+        for v, p in parse_robots_txt(_Q410_SRC0_ROBOTS, "LuxoBot")
+    ]
+    return compile_rules(rows)
+
+
+@query("q410_robots_end_to_end")
+def q410_robots_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(
+            F.when(F.col("doc_id") % 7 == 0, F.lit("/internal/page"))
+            .when(F.col("doc_id") % 7 == 1, F.lit("/draft/pub"))
+            .when(F.col("doc_id") % 7 == 2, F.lit("/draft/secret"))
+            .when(F.col("doc_id") % 7 == 3, F.lit("/docs/page"))
+            .when(F.col("doc_id") % 7 == 4, F.lit("/files/page"))
+            .otherwise(F.lit("/docs/page")),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 3, F.lit(".html"))
+            .when(F.col("doc_id") % 7 == 5, F.lit(".php"))
+            .otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    rules = spark.createDataFrame(
+        _q410_rules(),
+        "rhost string, verdict string, like_pat string, spec int",
+    )
+    hosts = urls.select(F.col("host").alias("h")).distinct()
+    own_hosts = rules.filter(F.col("rhost") != "*").select(
+        F.col("rhost").alias("oh")
+    ).distinct()
+    # a host's own robots.txt REPLACES the default '*' file
+    expanded = (
+        hosts.join(rules, F.col("rhost") == F.col("h"))
+        .select(F.col("h").alias("host"), "verdict", "like_pat", "spec")
+        .unionByName(
+            hosts.join(own_hosts, F.col("h") == F.col("oh"), "left_anti")
+            .join(rules.filter(F.col("rhost") == "*"))
+            .select(
+                F.col("h").alias("host"), "verdict", "like_pat", "spec"
+            )
+        )
+    )
+    matched = (
+        urls.join(F.broadcast(expanded), "host", "left")
+        .filter(F.expr("path LIKE like_pat"))
+        .groupBy("doc_id")
+        .agg(
+            F.max_by(
+                "verdict",
+                F.col("spec") * 2
+                + (F.col("verdict") == "allow").cast("int"),
+            ).alias("verdict")
+        )
+    )
+    return (
+        urls.join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.coalesce(F.col("verdict") == "allow", F.lit(True)).alias(
+                "allowed"
+            ),
+        )
+        .orderBy("doc_id")
+    )

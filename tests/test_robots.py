@@ -112,3 +112,84 @@ def test_compile_rules_rows():
         ("*", "disallow", "/site/%.php", 12),
         ("h1", "allow", "/pub%", 5),
     ]
+
+
+# ---------------------------------------------------------------------------
+# parse_robots_txt — RFC 9309 group semantics
+# ---------------------------------------------------------------------------
+
+from luxo_rs_spark.functions.robots import parse_robots_txt
+
+ROBOTS = """\
+# global rules
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+
+User-agent: examplebot   # product token, case-insensitive
+User-agent: otherbot
+Disallow: /only-for-example/
+
+User-agent: ExampleBot
+Allow: /merged-group/
+
+User-agent: emptybot
+Disallow:
+
+Sitemap: https://x.example.com/sitemap.xml
+Crawl-delay: 10
+"""
+
+
+def test_parse_star_group():
+    assert parse_robots_txt(ROBOTS, "*") == [
+        ("disallow", "/private/"),
+        ("allow", "/private/ok"),
+    ]
+
+
+def test_parse_named_group_case_insensitive_and_merged():
+    # two groups name examplebot (different case) -> merged per §2.2.1
+    got = parse_robots_txt(ROBOTS, "ExampleBot")
+    assert got == [
+        ("disallow", "/only-for-example/"),
+        ("allow", "/merged-group/"),
+    ]
+    # a multi-UA group's rules apply to every named token
+    assert parse_robots_txt(ROBOTS, "otherbot") == [
+        ("disallow", "/only-for-example/")
+    ]
+
+
+def test_parse_unknown_agent_falls_back_to_star():
+    assert parse_robots_txt(ROBOTS, "nobody") == [
+        ("disallow", "/private/"),
+        ("allow", "/private/ok"),
+    ]
+
+
+def test_parse_empty_disallow_is_noop():
+    assert parse_robots_txt(ROBOTS, "emptybot") == []
+
+
+def test_parse_rule_before_any_group_ignored():
+    txt = "Disallow: /early\nUser-agent: *\nDisallow: /late"
+    assert parse_robots_txt(txt, "*") == [("disallow", "/late")]
+
+
+def test_parse_blank_lines_do_not_close_group():
+    txt = "User-agent: *\n\n# comment\nDisallow: /a\n\nAllow: /a/b\n"
+    assert parse_robots_txt(txt, "*") == [
+        ("disallow", "/a"),
+        ("allow", "/a/b"),
+    ]
+
+
+def test_parse_feeds_compile_rules():
+    rows = compile_rules(
+        [("h", v, p) for v, p in parse_robots_txt(ROBOTS, "*")]
+    )
+    assert rows == [
+        ("h", "disallow", "/private/%", 9),
+        ("h", "allow", "/private/ok%", 11),
+    ]

@@ -17,17 +17,24 @@ fixtures; written under .scaledata/, gitignored):
   dimensions — norms and within-replica geometry preserved, cross-
   replica cosines near zero.
 
-For each scale we record wall seconds (median of `runs` timed passes
-after one warm-up), result rows, and the candidate-pair count of the
-stage that would blow up if the design were quadratic:
+For each scale we record wall seconds (MIN of `runs` timed passes
+after one warm-up — the stall-robust estimator bench.py uses;
+BASELINE.md documents shared-VM stall windows up to ~35 s, and a
+median of 2 runs picks the max), result rows, and the candidate-pair
+count of the stage that would blow up if the design were quadratic:
 `lsh_candidate_pairs` (q32), `embedding_lsh_candidates` (q237),
-`ppjoin_candidates` (q270). The fitted log-log slope
-(alpha in t ~ n^alpha) is reported per query; sub-quadratic means
-alpha well under 2 on candidates AND time.
+`ppjoin_candidates` (q270). For those three lanes the candidate
+STAGE is additionally timed on its own (build + enumerate, min of
+`runs`), so `sec - candidates_sec` splits out the verify+agg tail —
+the round-4 verdict's x4->x8 time-curvature question is exactly
+"which stage curved". The fitted log-log slope (alpha in t ~
+n^alpha) is reported per query over the whole sweep AND for the
+LAST DOUBLING alone (the scale-trend detector; target <= 1.3).
+Sub-quadratic means alpha well under 2 on candidates AND time.
 
 Usage:
-  PYTHONPATH=/root/repo python tools/scale_bench.py [--scales 1,2,4,8]
-      [--runs 2] [--out BENCH_SCALING.json]
+  PYTHONPATH=/root/repo python tools/scale_bench.py
+      [--scales 1,2,4,8,16] [--runs 2] [--out BENCH_SCALING.json]
 """
 
 from __future__ import annotations
@@ -110,7 +117,7 @@ def fit_alpha(ns: list[int], ys: list[float]) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scales", default="1,2,4,8")
+    ap.add_argument("--scales", default="1,2,4,8,16")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
         "--out", default=os.path.join(REPO, "BENCH_SCALING.json")
@@ -165,20 +172,30 @@ def main() -> None:
         "q397_segment_boilerplate",
     ]
 
-    def candidates(name: str, sf_dir: str) -> int | None:
+    def candidate_frame(name: str, sf_dir: str):
+        """The candidate STAGE of each curvature-suspect lane as a
+        DataFrame — counted for the growth exponent and timed alone so
+        time curvature can be attributed to a stage."""
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         if name == "q32_minhash_lsh_neardup":
             return lsh_candidate_pairs(
                 minhash_signatures(docs, "doc_id", "text", 3)
-            ).count()
+            )
         if name == "q237_embedding_neardup_lsh":
-            return embedding_lsh_candidates(emb).count()
+            return embedding_lsh_candidates(emb)
         if name == "q270_setsim_prefix_join":
             sh = shingle_table(docs, "doc_id", "text", 3).select(
                 "doc_id", F.xxhash64("shingle").alias("sid")
             ).distinct().localCheckpoint(eager=True)
-            return ppjoin_candidates(sh, 0.7).count()
+            return ppjoin_candidates(sh, 0.7)
+        return None
+
+    def candidates(name: str, sf_dir: str) -> int | None:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        cf = candidate_frame(name, sf_dir)
+        if cf is not None:
+            return cf.count()
         if name == "q397_segment_boilerplate":
             # candidate mass = flagged segment occurrences joining back
             # (linear in corpus segments by construction: one DF agg on
@@ -220,11 +237,28 @@ def main() -> None:
                 times.append(time.perf_counter() - t0)
             n_out = QUERIES[name](spark, sf_dir).count()
             n_cand = candidates(name, sf_dir)
-            row["queries"][name] = {
-                "sec": round(sorted(times)[len(times) // 2], 3),
+            lane = {
+                "sec": round(min(times), 3),
                 "result_rows": n_out,
                 "candidate_pairs": n_cand,
             }
+            # per-stage split for the curvature-suspect lanes: time the
+            # candidate stage alone (build + enumerate), min of runs;
+            # the verify/agg tail is the remainder of the full pass
+            if candidate_frame(name, sf_dir) is not None:
+                ctimes = []
+                for _ in range(args.runs):
+                    spark.catalog.clearCache()
+                    t0 = time.perf_counter()
+                    candidate_frame(name, sf_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    ctimes.append(time.perf_counter() - t0)
+                lane["candidates_sec"] = round(min(ctimes), 3)
+                lane["verify_agg_sec"] = round(
+                    max(lane["sec"] - lane["candidates_sec"], 0.0), 3
+                )
+            row["queries"][name] = lane
             print(
                 f"x{r} {name}: {row['queries'][name]}", flush=True
             )
@@ -263,7 +297,7 @@ def main() -> None:
             n_hits = probe()
             ptimes.append(time.perf_counter() - t0)
         row["queries"]["q396_lsh_bucketed_probe"] = {
-            "sec": round(sorted(ptimes)[len(ptimes) // 2], 3),
+            "sec": round(min(ptimes), 3),
             "result_rows": n_hits,
             "candidate_pairs": None,
             "sig_build_sec": round(build_sec, 3),
@@ -289,22 +323,44 @@ def main() -> None:
             merged.update(row["queries"])
             row["queries"] = merged
 
+    def last_doubling_alpha(ys: list[float]) -> float | None:
+        if len(ns) < 2 or not ys[-1] or not ys[-2]:
+            return None
+        try:
+            return round(
+                math.log(ys[-1] / ys[-2]) / math.log(ns[-1] / ns[-2]), 3
+            )
+        except (ValueError, ZeroDivisionError):
+            return None
+
     exponents = {}
     for name in QNAMES + ["q396_lsh_bucketed_probe"]:
         if any(name not in row["queries"] for row in results):
             continue
-        secs = [row["queries"][name]["sec"] for row in results]
-        cands = [
-            row["queries"][name].get("candidate_pairs") for row in results
-        ]
+        lanes = [row["queries"][name] for row in results]
+        secs = [q["sec"] for q in lanes]
+        cands = [q.get("candidate_pairs") for q in lanes]
         exponents[name] = {
             "time_alpha": round(fit_alpha(ns, secs), 3),
+            "time_alpha_last_doubling": last_doubling_alpha(secs),
             "candidates_alpha": (
                 round(fit_alpha(ns, cands), 3)
                 if all(c is not None for c in cands)
                 else None
             ),
         }
+        if all("candidates_sec" in q for q in lanes):
+            cs = [q["candidates_sec"] for q in lanes]
+            vs = [q["verify_agg_sec"] for q in lanes]
+            exponents[name]["candidates_time_alpha"] = round(
+                fit_alpha(ns, cs), 3
+            )
+            exponents[name]["candidates_time_alpha_last_doubling"] = (
+                last_doubling_alpha(cs)
+            )
+            exponents[name]["verify_agg_time_alpha"] = round(
+                fit_alpha(ns, vs), 3
+            )
 
     out = {
         "base": BASE,
