@@ -22,11 +22,19 @@ from pyspark.sql import SparkSession
 def main() -> int:
     sf_dir = os.environ.get("REPLICA_SF_DIR", "/root/testdata/sf0.01")
     pats = sys.argv[1:]
+    # 8 threads matches the driver's t2 box at sf0.01; the sf1 gate
+    # (REPLICA_SF_DIR one decade up) overrides via REPLICA_CPUS
+    cpus = os.environ.get("REPLICA_CPUS", "8")
 
     spark = (
         SparkSession.builder.appName("replica")
-        .master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        # default 1g heap OOMs at sf1; a higher CAP is free at sf0.01
+        .config(
+            "spark.driver.memory",
+            os.environ.get("REPLICA_DRIVER_MEM", "8g"),
+        )
         .config("spark.driver.extraJavaOptions", "-Duser.timezone=America/New_York")
         .config("spark.sql.session.timeZone", "America/New_York")
         .config("spark.ui.enabled", "false")
