@@ -504,6 +504,7 @@ def _pixels_to_jpeg(
     restart_interval: int = 0,
     progressive: bool = False,
     precision: int = 8,
+    entropy: str = "huffman",
 ) -> bytes:
     """Minimal GENUINE JPEG encoder for (h, w, 1|3) uint8 arrays:
     level shift, 8x8 orthonormal DCT, Annex-K quant tables at the IJG
@@ -522,6 +523,12 @@ def _pixels_to_jpeg(
       blocks (plain per-block EOB is legal and keeps the Annex K books
       sufficient); the decoder still handles general EOB runs.
 
+    ``entropy="arith"`` swaps the entropy coder for the T.81 Annex D
+    QM arithmetic coder (SOF9, or SOF10 when progressive) with DAC
+    conditioning defaults — the QUANTIZED COEFFICIENTS are identical
+    to the Huffman stream's, which is what the cross-coder
+    bit-identity tests assert.
+
     Output decodes in any JPEG decoder."""
     h, w, ch = arr.shape
     if ch not in (1, 3):
@@ -532,6 +539,8 @@ def _pixels_to_jpeg(
         raise NotImplementedError("JPEG encoder: 8- or 12-bit precision")
     if precision == 12 and progressive:
         raise NotImplementedError("12-bit progressive JPEG")
+    if entropy not in ("huffman", "arith"):
+        raise NotImplementedError("JPEG encoder: huffman or arith entropy")
     half = float(1 << (precision - 1))
     if ch == 3:  # JFIF RGB -> YCbCr (BT.601)
         rgb = arr.astype(np.float64)
@@ -610,7 +619,12 @@ def _pixels_to_jpeg(
             b += bytes([ci + 1, td_ta])
         return b + bytes([ss2, se2, (ah2 << 4) | al2])
 
-    if not progressive:
+    if entropy == "arith":
+        scans = _arith_scans(
+            qblocks, sampling, mcuy, mcux, restart_interval,
+            progressive, sos_body, h, w, hmax, vmax,
+        )
+    elif not progressive:
         scan = bytearray()
         writer = _BitWriter()
         preds = [0] * len(planes)
@@ -666,22 +680,32 @@ def _pixels_to_jpeg(
         )
         for cid in range(ch)
     )
-    sof_marker = (
-        0xFFC2 if progressive else (0xFFC1 if precision == 12 else 0xFFC0)
-    )
+    if entropy == "arith":
+        sof_marker = 0xFFCA if progressive else 0xFFC9
+    else:
+        sof_marker = (
+            0xFFC2 if progressive else (0xFFC1 if precision == 12 else 0xFFC0)
+        )
     out += seg(sof_marker, struct.pack(">BHHB", precision, h, w, ch) + comps)
-    if precision == 12:
+    if entropy == "arith":  # DAC: declare the conditioning explicitly
+        dac = [
+            (0x00, (_ARITH_DC_U << 4) | _ARITH_DC_L),
+            (0x10, _ARITH_AC_KX),
+        ] + ([(0x01, (_ARITH_DC_U << 4) | _ARITH_DC_L),
+              (0x11, _ARITH_AC_KX)] if ch == 3 else [])
+        out += seg(0xFFCC, bytes(b for pair in dac for b in pair))
+    elif precision == 12:
         dht_books = [(0x00, _HUFF_DC_12), (0x10, _HUFF_AC_12)] + (
             [(0x01, _HUFF_DC_12), (0x11, _HUFF_AC_12)] if ch == 3 else []
         )
+        for tc_th, (bits, vals) in dht_books:
+            out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     else:
         dht_books = [(0x00, _HUFF_DC_LUM), (0x10, _HUFF_AC_LUM)] + (
             [(0x01, _HUFF_DC_CHR), (0x11, _HUFF_AC_CHR)] if ch == 3 else []
         )
-    for tc_th, (bits, vals) in dht_books:
-        out += seg(
-            0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)
-        )
+        for tc_th, (bits, vals) in dht_books:
+            out += seg(0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals))
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
     for sos, entropy in scans:
@@ -850,6 +874,561 @@ def _progressive_scans(
     return scans
 
 
+# ---------------------------------------------------------------------------
+# Arithmetic-coded JPEG (T.81 Annexes D, F.1.4/F.2.4, G.2): the QM
+# binary arithmetic coder with the Table D.3 probability-estimation
+# state machine, plus the DC/AC statistical models — SOF9 (extended
+# sequential) and SOF10 (progressive). Both the ENCODER and the DECODER
+# are implemented from the spec flowcharts, so every arithmetic stream
+# in the tests round-trips AND bit-matches the decode of the same
+# quantized coefficients through the completely independent Huffman
+# entropy path. Byte stuffing follows T.81 B.1.1.5 (0xFF in entropy
+# data is followed by 0x00), the convention every interoperable
+# implementation (IJG lineage) produces.
+# ---------------------------------------------------------------------------
+
+#: T.81 Table D.3 — (Qe, NMPS, NLPS, SWITCH) per estimation state;
+#: index 113 is the conventional non-adaptive "fixed 1/2" bin used for
+#: AC sign and refinement decisions (NMPS = NLPS = self, no switch).
+_ARITH_QE = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 110, 1), (0x50E7, 107, 111, 0), (0x4B85, 103, 110, 0),
+    (0x5597, 109, 112, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1), (0x5A1D, 113, 113, 0),
+)
+
+#: statistics-area sizes per T.81 Table F.4 (DC: S0..S19 + X1 chain +
+#: magnitude bits; AC: 3 bins per k + X2/X3 chains at 189/217 + bits)
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+_FIXED_STATE = 113 << 1  # index 113, MPS 0 — never adapts
+
+
+class _ArithEncoder:
+    """T.81 D.1 QM encoder. Registers per INITENC: A=0x10000, C=0,
+    CT=11; BYTEOUT emits C bits 19..26 with carry resolved by walking
+    the raw byte list (a carry turns a trailing 0xFF run into 0x00s
+    and increments the byte before it — a run can never reach the
+    stream head, since that would put the code point at >= 1.0).
+    ``flush`` performs the D.1.8 CLEARBITS termination, drops trailing
+    zero bytes, and applies 0xFF -> 0xFF 0x00 stuffing."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.ct = 11
+        self.raw: list[int] = []
+
+    def _byteout(self) -> None:
+        t = self.c >> 19
+        if t > 0xFF:
+            i = len(self.raw) - 1
+            while i >= 0 and self.raw[i] == 0xFF:
+                self.raw[i] = 0x00
+                i -= 1
+            if i < 0:
+                raise ValueError("arithmetic coder carry out of stream")
+            self.raw[i] += 1
+            t &= 0xFF
+        self.raw.append(t)
+        self.c &= 0x7FFFF
+
+    def _renorm(self) -> None:
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            self.ct -= 1
+            if self.ct == 0:
+                self._byteout()
+                self.ct = 8
+
+    def code(self, st: bytearray, i: int, bit: int) -> None:
+        state = st[i]
+        qe, nmps, nlps, switch = _ARITH_QE[state >> 1]
+        mps = state & 1
+        self.a -= qe
+        if bit != mps:  # LPS path (D.1.3, CODELPS)
+            if self.a >= qe:
+                self.c += self.a
+                self.a = qe
+            if switch:
+                mps ^= 1
+            st[i] = (nlps << 1) | mps
+            self._renorm()
+        else:  # MPS path (D.1.3, CODEMPS)
+            if self.a >= 0x8000:
+                return  # no renorm -> no estimation update
+            if self.a < qe:  # conditional exchange
+                self.c += self.a
+                self.a = qe
+            st[i] = (nmps << 1) | mps
+            self._renorm()
+
+    def flush(self) -> bytes:
+        # D.1.8: pick the code point in [C, C+A) with the most trailing
+        # zeros, push out the final bits, drop all-zero tail bytes
+        t = (self.a - 1 + self.c) & 0xFFFF0000
+        self.c = t + 0x8000 if t < self.c else t
+        self.c <<= self.ct
+        if self.c & 0xF8000000:
+            i = len(self.raw) - 1
+            while i >= 0 and self.raw[i] == 0xFF:
+                self.raw[i] = 0x00
+                i -= 1
+            if i < 0:
+                raise ValueError("arithmetic coder carry out of stream")
+            self.raw[i] += 1
+        if self.c & 0x7FFF800:
+            self.raw.append((self.c >> 19) & 0xFF)
+            if self.c & 0x7F800:
+                self.raw.append((self.c >> 11) & 0xFF)
+        out = bytearray()
+        for b in self.raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+class _ArithDecoder:
+    """T.81 D.2 QM decoder. INITDEC loads the first two entropy bytes
+    into C bits 16..31 with A = 0x10000 (the spec's 16-bit registers
+    treat the initial A = X'0000' as 2^16, and Chigh carries the next
+    16 un-decoded code-string bits in the same scale as A).
+    Entropy bytes are read with 0xFF 0x00 unstuffing; a
+    marker (0xFF followed by non-zero) ends the data — its position is
+    remembered and zero bytes are supplied from then on (the encoder's
+    flush dropped trailing zeros, so the tail regenerates exactly)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.bp = pos
+        self.marker_pos: int | None = None
+        self.c = self._next_byte() << 16
+        self._bytein()
+        self.c = (self.c << 8) & 0xFFFFFFFF
+        self.ct = 0
+        self.a = 0x10000
+
+    def _next_byte(self) -> int:
+        if self.marker_pos is not None:
+            return 0
+        d, p = self.data, self.bp
+        if p >= len(d):
+            self.marker_pos = len(d)
+            return 0
+        b = d[p]
+        if b == 0xFF:
+            if p + 1 < len(d) and d[p + 1] == 0x00:
+                self.bp = p + 2  # stuffed zero: literal 0xFF data byte
+                return 0xFF
+            self.marker_pos = p  # marker: stop consuming, feed zeros
+            return 0
+        self.bp = p + 1
+        return b
+
+    def _bytein(self) -> None:
+        self.c = (self.c + (self._next_byte() << 8)) & 0xFFFFFFFF
+        self.ct = 8
+
+    def decode(self, st: bytearray, i: int) -> int:
+        state = st[i]
+        qe, nmps, nlps, switch = _ARITH_QE[state >> 1]
+        mps = state & 1
+        self.a -= qe
+        if ((self.c >> 16) & 0xFFFF) < self.a:
+            if self.a & 0x8000:
+                return mps
+            # MPS_EXCHANGE (D.2.3): renorm needed, estimation updates
+            if self.a < qe:  # conditional exchange
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                st[i] = (nlps << 1) | mps
+            else:
+                d = mps
+                st[i] = (nmps << 1) | mps
+        else:
+            # LPS_EXCHANGE (D.2.4)
+            self.c = (self.c - (self.a << 16)) & 0xFFFFFFFF
+            if self.a < qe:  # conditional exchange
+                d = mps
+                st[i] = (nmps << 1) | mps
+            else:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                st[i] = (nlps << 1) | mps
+            self.a = qe
+        while self.a < 0x8000:  # RENORMD
+            if self.ct == 0:
+                self._bytein()
+            self.c = (self.c << 1) & 0xFFFFFFFF
+            self.a <<= 1
+            self.ct -= 1
+        return d
+
+
+#: conditioning defaults (T.81 F.1.4.4.1.4 / F.1.4.4.2.1): DC lower/
+#: upper difference thresholds and the AC low/high-spectrum split index
+_ARITH_DC_L, _ARITH_DC_U, _ARITH_AC_KX = 0, 1, 5
+
+
+def _arith_put_dc(enc, st: bytearray, c0: int, diff: int,
+                  l: int, u: int) -> int:
+    """Encode one DC difference per F.1.4.1 (decision tree Figures
+    F.5-F.9) and return the conditioning context for the next block."""
+    if diff == 0:
+        enc.code(st, c0, 0)
+        return 0
+    enc.code(st, c0, 1)
+    sign = 1 if diff < 0 else 0
+    enc.code(st, c0 + 1, sign)
+    pos = c0 + 2 + sign
+    v = abs(diff) - 1
+    m = 0
+    if v:
+        enc.code(st, pos, 1)
+        m = 1
+        pos = 20  # Table F.4: X1
+        v2 = v
+        while v2 >> 1:
+            enc.code(st, pos, 1)
+            m <<= 1
+            pos += 1
+            v2 >>= 1
+    enc.code(st, pos, 0)
+    if m < ((1 << l) >> 1):
+        ctx = 0
+    elif m > ((1 << u) >> 1):
+        ctx = 12 + 4 * sign
+    else:
+        ctx = 4 + 4 * sign
+    pos += 14  # magnitude bits share ONE bin per exponent (Table F.4)
+    mm = m >> 1
+    while mm:
+        enc.code(st, pos, 1 if v & mm else 0)
+        mm >>= 1
+    return ctx
+
+
+def _arith_get_dc(dec, st: bytearray, c0: int,
+                  l: int, u: int) -> tuple[int, int]:
+    """Decode one DC difference; returns (diff, next context)."""
+    if dec.decode(st, c0) == 0:
+        return 0, 0
+    sign = dec.decode(st, c0 + 1)
+    pos = c0 + 2 + sign
+    m = dec.decode(st, pos)
+    if m:
+        pos = 20
+        while dec.decode(st, pos):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic DC magnitude overflow")
+            pos += 1
+    if m < ((1 << l) >> 1):
+        ctx = 0
+    elif m > ((1 << u) >> 1):
+        ctx = 12 + 4 * sign
+    else:
+        ctx = 4 + 4 * sign
+    v = m
+    pos += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, pos):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return (-v if sign else v), ctx
+
+
+def _arith_put_ac(enc, st: bytearray, fixed: bytearray, k: int,
+                  val: int, kx: int) -> None:
+    """Encode one nonzero AC value per F.1.4.3 (sign on the fixed bin,
+    magnitude category on the per-k bins with the X2/X3 chains)."""
+    enc.code(fixed, 0, 1 if val < 0 else 0)
+    pos = 3 * (k - 1) + 2
+    v = abs(val) - 1
+    m = 0
+    if v:
+        enc.code(st, pos, 1)
+        m = 1
+        v2 = v >> 1
+        if v2:
+            enc.code(st, pos, 1)
+            m = 2
+            pos = 189 if k <= kx else 217  # Table F.4: X2 / X3
+            while v2 >> 1:
+                enc.code(st, pos, 1)
+                m <<= 1
+                pos += 1
+                v2 >>= 1
+    enc.code(st, pos, 0)
+    pos += 14
+    mm = m >> 1
+    while mm:
+        enc.code(st, pos, 1 if v & mm else 0)
+        mm >>= 1
+
+
+def _arith_get_ac(dec, st: bytearray, fixed: bytearray, k: int,
+                  kx: int) -> int:
+    """Decode one nonzero AC value (the significance decision has
+    already been consumed by the caller)."""
+    sign = dec.decode(fixed, 0)
+    pos = 3 * (k - 1) + 2
+    m = dec.decode(st, pos)
+    if m:
+        if dec.decode(st, pos):
+            m = 2
+            pos = 189 if k <= kx else 217
+            while dec.decode(st, pos):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arithmetic AC magnitude overflow")
+                pos += 1
+    v = m
+    pos += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, pos):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _arith_scans(
+    qblocks, sampling, mcuy, mcux, restart_interval,
+    progressive, sos_body, h, w, hmax, vmax,
+):
+    """Arithmetic twin of the Huffman scan emitters: one interleaved
+    sequential scan (SOF9), or the same G.1.2 progressive script the
+    Huffman path uses (SOF10) — DC first at Al=1, DC refinement,
+    per-component AC bands 1-5 / 6-63 at Al=1, AC refinement at Al=0.
+    Statistics areas, DC contexts and predictors reset at every
+    restart marker (F.1.4.x), with the coder flushed and re-primed."""
+    nch = len(sampling)
+    l, u, kx = _ARITH_DC_L, _ARITH_DC_U, _ARITH_AC_KX
+    scans: list[tuple[bytes, bytes]] = []
+
+    def fresh():
+        return {
+            "enc": _ArithEncoder(),
+            "dc": [bytearray(_DC_STAT_BINS) for _ in range(2)],
+            "ac": [bytearray(_AC_STAT_BINS) for _ in range(2)],
+            "fixed": bytearray([_FIXED_STATE]),
+            "preds": [0] * nch,
+            "ctx": [0] * nch,
+        }
+
+    def rst_flush(scan: bytearray, s: dict, rst: int) -> dict:
+        scan += s["enc"].flush()
+        scan += bytes([0xFF, 0xD0 + (rst % 8)])
+        return fresh()
+
+    def ac_first_block(s, tid, zz, ss, se, al):
+        """AC scan walk (F.1.4.3): sequential is the ss=1..63, al=0
+        special case; progressive shifts magnitudes toward zero."""
+        enc, st = s["enc"], s["ac"][tid]
+        band = {}
+        ke = ss - 1
+        for k in range(ss, se + 1):
+            vv = int(zz[k])
+            vt = (abs(vv) >> al) * (1 if vv >= 0 else -1)
+            band[k] = vt
+            if vt:
+                ke = k
+        k = ss
+        while k <= ke:
+            enc.code(st, 3 * (k - 1), 0)  # not end-of-block yet
+            while band[k] == 0:
+                enc.code(st, 3 * (k - 1) + 1, 0)
+                k += 1
+            enc.code(st, 3 * (k - 1) + 1, 1)
+            _arith_put_ac(enc, st, s["fixed"], k, band[k], kx)
+            k += 1
+        if k <= se:
+            enc.code(st, 3 * (k - 1), 1)  # end-of-block
+
+    def seq_block(s, ci, zz):
+        tid = 0 if ci == 0 else 1
+        dc = int(zz[0])
+        s["ctx"][ci] = _arith_put_dc(
+            s["enc"], s["dc"][tid], s["ctx"][ci], dc - s["preds"][ci], l, u
+        )
+        s["preds"][ci] = dc
+        ac_first_block(s, tid, zz, 1, 63, 0)
+
+    if not progressive:
+        scan = bytearray()
+        s = fresh()
+        mcu = rst = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    s = rst_flush(scan, s, rst)
+                    rst += 1
+                for ci, (hi, vi) in enumerate(sampling):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            seq_block(
+                                s, ci, qblocks[ci][my * vi + by, mx * hi + bx]
+                            )
+                mcu += 1
+        scan += s["enc"].flush()
+        scans.append((sos_body(list(range(nch)), 0, 63, 0, 0), bytes(scan)))
+        return scans
+
+    # --- progressive: DC first scan (interleaved, point transform >> 1)
+    scan = bytearray()
+    s = fresh()
+    mcu = rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                s = rst_flush(scan, s, rst)
+                rst += 1
+            for ci, (hi, vi) in enumerate(sampling):
+                tid = 0 if ci == 0 else 1
+                for by in range(vi):
+                    for bx in range(hi):
+                        dc = int(qblocks[ci][my * vi + by, mx * hi + bx][0]) >> 1
+                        s["ctx"][ci] = _arith_put_dc(
+                            s["enc"], s["dc"][tid], s["ctx"][ci],
+                            dc - s["preds"][ci], l, u,
+                        )
+                        s["preds"][ci] = dc
+            mcu += 1
+    scan += s["enc"].flush()
+    scans.append((sos_body(list(range(nch)), 0, 0, 0, 1), bytes(scan)))
+
+    # --- DC refinement: one fixed-probability bit per block ---------------
+    scan = bytearray()
+    s = fresh()
+    mcu = rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                s = rst_flush(scan, s, rst)
+                rst += 1
+            for ci, (hi, vi) in enumerate(sampling):
+                for by in range(vi):
+                    for bx in range(hi):
+                        s["enc"].code(
+                            s["fixed"], 0,
+                            int(qblocks[ci][my * vi + by, mx * hi + bx][0]) & 1,
+                        )
+            mcu += 1
+    scan += s["enc"].flush()
+    scans.append((sos_body(list(range(nch)), 0, 0, 1, 0), bytes(scan)))
+
+    def comp_blocks(ci):
+        hi, vi = sampling[ci]
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        for by in range(-(-chh // 8)):
+            for bx in range(-(-cw // 8)):
+                yield qblocks[ci][by, bx]
+
+    # --- AC first scans (Al=1): spectral bands 1-5 then 6-63 --------------
+    for ss2, se2 in ((1, 5), (6, 63)):
+        for ci in range(nch):
+            tid = 0 if ci == 0 else 1
+            scan = bytearray()
+            s = fresh()
+            blk_n = rst = 0
+            for zz in comp_blocks(ci):
+                if restart_interval and blk_n and blk_n % restart_interval == 0:
+                    s = rst_flush(scan, s, rst)
+                    rst += 1
+                ac_first_block(s, tid, zz, ss2, se2, 1)
+                blk_n += 1
+            scan += s["enc"].flush()
+            scans.append((sos_body([ci], ss2, se2, 0, 1), bytes(scan)))
+
+    # --- AC refinement scans (Ah=1, Al=0): G.2.2 walk ---------------------
+    # The EOB decision is only coded at positions past the previous
+    # scan's end-of-band (kex); zero-history slots consume a
+    # significance decision each, already-significant coefficients a
+    # correction bit on their third bin, signs ride the fixed bin.
+    for ci in range(nch):
+        tid = 0 if ci == 0 else 1
+        scan = bytearray()
+        s = fresh()
+        blk_n = rst = 0
+        for zz in comp_blocks(ci):
+            if restart_interval and blk_n and blk_n % restart_interval == 0:
+                s = rst_flush(scan, s, rst)
+                rst += 1
+            enc, st = s["enc"], s["ac"][tid]
+            band = [int(zz[k]) for k in range(64)]
+            ke = kex = 0
+            for k in range(1, 64):
+                if band[k]:
+                    ke = k
+                if abs(band[k]) >> 1:
+                    kex = k
+            k = 1
+            while k <= ke:
+                if k > kex:
+                    enc.code(st, 3 * (k - 1), 0)
+                while True:
+                    t = abs(band[k])
+                    if t >> 1:  # significant before this scan
+                        enc.code(st, 3 * (k - 1) + 2, t & 1)
+                        break
+                    if t:  # newly significant (magnitude 1)
+                        enc.code(st, 3 * (k - 1) + 1, 1)
+                        enc.code(s["fixed"], 0, 1 if band[k] < 0 else 0)
+                        break
+                    enc.code(st, 3 * (k - 1) + 1, 0)
+                    k += 1
+                k += 1
+            if k <= 63:
+                enc.code(st, 3 * (k - 1), 1)
+            blk_n += 1
+        scan += s["enc"].flush()
+        scans.append((sos_body([ci], 1, 63, 1, 0), bytes(scan)))
+    return scans
+
+
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
     non-stuffing marker (the caller inspects it)."""
@@ -936,10 +1515,12 @@ def _decode_jpeg(content: bytes) -> dict:
     payload is the exact source samples (uint8, or little-endian
     uint16 when precision > 8).
 
-    Arithmetic-coded, 12-bit-DCT and hierarchical streams raise
-    NotImplementedError — the honest boundary, like the other decoders
-    here. Payload is the raw interleaved pixel array ((h, w, channels)
-    uint8, RGB for color)."""
+    Arithmetic-coded frames (SOF9 extended sequential, SOF10
+    progressive) are decoded too: the T.81 Annex D QM coder with the
+    F.2.4/G.2 statistical models, DAC conditioning honored. Remaining
+    honest boundary: hierarchical frames, arithmetic lossless (SOF11),
+    and 12-bit progressive. Payload is the raw interleaved pixel array
+    ((h, w, channels) uint8, RGB for color)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -948,6 +1529,9 @@ def _decode_jpeg(content: bytes) -> dict:
     sof = None
     progressive = False
     lossless = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     samples: np.ndarray | None = None  # (h, w, nf) for the lossless process
     restart_interval = 0
     coef: list[np.ndarray] | None = None  # per component (nbh, nbw, 64) zigzag
@@ -986,9 +1570,11 @@ def _decode_jpeg(content: bytes) -> dict:
                 vals = list(body[off + 17 : off + 17 + n])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
-            # baseline/extended/progressive DCT, or lossless (SOF3)
-            progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # baseline/extended/progressive DCT (Huffman or, for
+            # SOF9/SOF10, arithmetic), or lossless (SOF3)
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             lossless = marker == 0xC3
             precision, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if lossless:
@@ -1035,12 +1621,21 @@ def _decode_jpeg(content: bytes) -> dict:
                 np.zeros((nbh, nbw, 64), dtype=np.int32)
                 for _hi, _vi, nbh, nbw in geom
             ]
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline/progressive/lossless Huffman JPEG "
-                "(SOF0/SOF1/SOF2/SOF3) is supported"
+                "hierarchical and arithmetic-lossless JPEG frames "
+                "are not supported"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            off = 0
+            while off + 1 < len(body):
+                tc, tb = body[off] >> 4, body[off] & 0x0F
+                val = body[off + 1]
+                if tc == 0:
+                    dc_cond[tb] = (val & 0x0F, val >> 4)  # (L, U)
+                else:
+                    ac_cond[tb] = val  # Kx
+                off += 2
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", body)[0]
         elif marker == 0xDA:  # SOS — one scan of entropy data follows
@@ -1050,6 +1645,11 @@ def _decode_jpeg(content: bytes) -> dict:
                 pos = _decode_lossless_scan(
                     content, pos, size, body, sof, samples, huff,
                     restart_interval, precision,
+                )
+            elif arith:
+                pos = _decode_jpeg_arith_scan(
+                    content, pos, size, body, sof, geom, coef,
+                    dc_cond, ac_cond, restart_interval, progressive,
                 )
             else:
                 pos = _decode_jpeg_scan(
@@ -1250,6 +1850,160 @@ def _decode_jpeg_scan(
     ):
         p += 1
     return p
+
+
+def _decode_jpeg_arith_scan(
+    content: bytes,
+    pos: int,
+    size: int,
+    body: bytes,
+    sof,
+    geom,
+    coef,
+    dc_cond: dict,
+    ac_cond: dict,
+    restart_interval: int,
+    progressive: bool,
+) -> int:
+    """Arithmetic twin of ``_decode_jpeg_scan``: decode ONE SOF9/SOF10
+    entropy-coded scan into the coefficient store and return the byte
+    position of the following marker. Statistical models per T.81
+    F.2.4 (sequential DC/AC) and G.2 (progressive first/refinement);
+    statistics areas, DC contexts and predictors reset per scan and at
+    every restart marker, where the QM decoder re-primes from the
+    bytes after RSTn."""
+    h, w, comps, hmax, vmax = sof
+    ns = body[0]
+    scan_sel = []
+    for i in range(ns):
+        cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+        scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+    ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if not progressive:
+        ss, se, ah, al = 0, 63, 0, 0
+    idx_by_id = {cid: i for i, (cid, _hi, _vi, _tq) in enumerate(comps)}
+    members = [(idx_by_id[cs], td, ta) for cs, td, ta in scan_sel]
+
+    state: dict = {}
+
+    def reset_state(at: int) -> None:
+        state["dec"] = _ArithDecoder(content, at)
+        state["dc"] = {td: bytearray(_DC_STAT_BINS) for _, td, _t in members}
+        state["ac"] = {ta: bytearray(_AC_STAT_BINS) for _, _t, ta in members}
+        state["fixed"] = bytearray([_FIXED_STATE])
+        state["preds"] = [0] * len(members)
+        state["ctx"] = [0] * len(members)
+
+    reset_state(pos + 2 + size)
+
+    def next_marker() -> int:
+        dec = state["dec"]
+        p = dec.marker_pos if dec.marker_pos is not None else dec.bp
+        while p + 1 < len(content) and not (
+            content[p] == 0xFF and content[p + 1] != 0x00
+        ):
+            p += 1
+        return p
+
+    def restart() -> None:
+        p = next_marker()
+        m = struct.unpack_from(">H", content, p)[0]
+        if not (0xFFD0 <= m <= 0xFFD7):
+            raise ValueError("expected RSTn marker")
+        reset_state(p + 2)
+
+    def ac_band(dec, st, fixed, blk, kx) -> None:
+        """F.2.4.2 / G.2.2.2: sequential AC is the ss=1, al=0 case."""
+        k = max(ss, 1)
+        while k <= se:
+            if dec.decode(st, 3 * (k - 1)):
+                break  # end-of-block
+            while dec.decode(st, 3 * (k - 1) + 1) == 0:
+                k += 1
+                if k > se:
+                    raise ValueError("arithmetic AC index overflow")
+            v = _arith_get_ac(dec, st, fixed, k, kx)
+            blk[k] = v << al
+            k += 1
+
+    def ac_refine(dec, st, fixed, blk) -> None:
+        """G.2.2.3: correction bits for known coefficients,
+        significance decisions for zero-history slots, EOB decisions
+        only past the previous scan's end-of-band."""
+        p1, m1 = 1 << al, -1 << al
+        kex = ss - 1
+        for i in range(se, ss - 1, -1):
+            if blk[i]:
+                kex = i
+                break
+        k = ss
+        while k <= se:
+            if k > kex and dec.decode(st, 3 * (k - 1)):
+                break
+            while True:
+                if blk[k]:
+                    if dec.decode(st, 3 * (k - 1) + 2):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                    break
+                if dec.decode(st, 3 * (k - 1) + 1):
+                    blk[k] = m1 if dec.decode(fixed, 0) else p1
+                    break
+                k += 1
+                if k > se:
+                    raise ValueError("arithmetic AC refine overflow")
+            k += 1
+
+    def decode_block(mi: int, ci: int, by: int, bx: int) -> None:
+        _ci, td, ta = members[mi]
+        dec, fixed = state["dec"], state["fixed"]
+        blk = coef[ci][by, bx]
+        if ss == 0:
+            if ah == 0:
+                l, u = dc_cond.get(td, (_ARITH_DC_L, _ARITH_DC_U))
+                diff, ctx = _arith_get_dc(
+                    dec, state["dc"][td], state["ctx"][mi], l, u
+                )
+                state["ctx"][mi] = ctx
+                state["preds"][mi] += diff
+                blk[0] = state["preds"][mi] << al
+            else:
+                if dec.decode(fixed, 0):
+                    blk[0] |= 1 << al
+            if progressive:
+                return
+        kx = ac_cond.get(ta, _ARITH_AC_KX)
+        if ah == 0:
+            ac_band(dec, state["ac"][ta], fixed, blk, kx)
+        else:
+            ac_refine(dec, state["ac"][ta], fixed, blk)
+
+    mcuy_b, mcux_b = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    if len(members) > 1:  # interleaved: MCU order
+        mcu = 0
+        for my in range(mcuy_b):
+            for mx in range(mcux_b):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    restart()
+                for mi, (ci, _td, _ta) in enumerate(members):
+                    hi, vi, _nbh, _nbw = geom[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            decode_block(mi, ci, my * vi + by, mx * hi + bx)
+                mcu += 1
+    else:  # non-interleaved: the component's own block raster
+        ci = members[0][0]
+        hi, vi, _nbh, _nbw = geom[ci]
+        cw = -(-w * hi // hmax)
+        chh = -(-h * vi // vmax)
+        blk_n = 0
+        for by in range(-(-chh // 8)):
+            for bx in range(-(-cw // 8)):
+                if restart_interval and blk_n and blk_n % restart_interval == 0:
+                    restart()
+                decode_block(0, ci, by, bx)
+                blk_n += 1
+    return next_marker()
 
 
 def _reconstruct_jpeg(sof, geom, coef, qtabs, precision: int = 8) -> dict:
@@ -1634,6 +2388,36 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.select("media_id", "content").mapInPandas(run, DECODED_SCHEMA)
 
 
+def decode_media_digest(media: DataFrame) -> DataFrame:
+    """media_id + geometry + md5 of the FULL decoded payload: the
+    cross-entropy-coder identity queries (q411/q412) decode the same
+    source through two independent entropy paths (Huffman vs QM
+    arithmetic) and assert the digests match pixel-for-pixel."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = _decode_payload(bytes(content))
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "payload_bytes": len(d["payload"]),
+                        "payload_md5": hashlib.md5(d["payload"]).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, width int, height int, payload_bytes long, "
+        "payload_md5 string",
+    )
+
+
 def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     """Deterministic fake feature extraction: seeded random projection
     of payload byte histograms -> array<float>. Stands in for a vision/
@@ -1934,6 +2718,7 @@ def synth_jpeg_table(
     dims: str = "small",
     progressive: bool = False,
     precision: int = 8,
+    entropy: str = "huffman",
 ) -> DataFrame:
     """Real-encoder JPEG synthesis from the documents fixture: per doc
     a genuine baseline-DCT JFIF file (our pure-Python encoder) whose
@@ -1967,7 +2752,7 @@ def synth_jpeg_table(
                         "media_id": int(doc_id),
                         "content": _pixels_to_jpeg(
                             arr, quality, subsampling, restart_interval,
-                            progressive, precision,
+                            progressive, precision, entropy,
                         ),
                     }
                 )

@@ -8238,3 +8238,33 @@ SELECT u.doc_id, u.host, u.path,
 FROM urls u LEFT JOIN matched m ON u.doc_id = m.doc_id
 ORDER BY u.doc_id
 """
+
+
+# q411/q412: geometry is doc_id arithmetic (the synth encoder derives
+# dims from doc_id; 8-bit RGB payload = h*w*3 bytes); matches_huffman
+# is the cross-entropy-coder pixel-identity invariant — TRUE for every
+# row, asserted by the oracle as a literal so a single diverging pixel
+# between the QM-arithmetic and Huffman decodes hash-mismatches.
+ORACLE_SQL["q411_jpeg_arith_decode"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 11 + 6 AS INTEGER) AS width,
+       CAST(doc_id % 5 + 4 AS INTEGER) AS height,
+       CAST((doc_id % 5 + 4) * (doc_id % 11 + 6) * 3 AS BIGINT)
+         AS payload_bytes,
+       TRUE AS matches_huffman
+FROM documents
+WHERE doc_id < 120
+ORDER BY media_id
+"""
+
+ORACLE_SQL["q412_jpeg_arith_progressive"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 11 + 6 AS INTEGER) AS width,
+       CAST(doc_id % 5 + 4 AS INTEGER) AS height,
+       CAST((doc_id % 5 + 4) * (doc_id % 11 + 6) * 3 AS BIGINT)
+         AS payload_bytes,
+       TRUE AS matches_huffman
+FROM documents
+WHERE doc_id < 100
+ORDER BY media_id
+"""

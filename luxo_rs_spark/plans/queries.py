@@ -14931,3 +14931,83 @@ def q410_robots_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q411 — ARITHMETIC-coded sequential JPEG (SOF9, T.81 Annex D QM coder
+# + F.2.4 DC/AC statistical models; closes the round-4 codec boundary).
+# Every document is encoded TWICE from the same quantized coefficients
+# — once through the Huffman entropy path, once through the arithmetic
+# path (4:2:0, restart markers every 2 MCUs, DAC conditioning) — and
+# both streams are decoded by their respective entropy decoders. The
+# oracle-checked claim is that the two decodes agree on the FULL pixel
+# payload md5 (matches_huffman), not just geometry: two independent
+# entropy coders over one coefficient store must reproduce identical
+# images. Scale shape: pure mapInPandas map stage + one broadcast-size
+# join on media_id; no shuffle before the final orderBy.
+# ---------------------------------------------------------------------------
+@query("q411_jpeg_arith_decode")
+def q411_jpeg_arith_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    kw = dict(quality=90, subsampling="420", restart_interval=2)
+    arith = decode_media_digest(synth_jpeg_table(docs, entropy="arith", **kw))
+    huff = decode_media_digest(
+        synth_jpeg_table(docs, entropy="huffman", **kw)
+    ).select(
+        "media_id", F.col("payload_md5").alias("huff_md5")
+    )
+    return (
+        arith.join(huff, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "payload_bytes",
+            (F.col("payload_md5") == F.col("huff_md5")).alias(
+                "matches_huffman"
+            ),
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q412 — ARITHMETIC-coded PROGRESSIVE JPEG (SOF10, T.81 G.2): the full
+# multi-scan progression (DC first/refine, AC spectral bands, AC
+# successive-approximation refinement) entropy-coded by the QM coder,
+# cross-checked against the Huffman-progressive decode of the same
+# coefficients exactly as q411 does for the sequential process.
+# ---------------------------------------------------------------------------
+@query("q412_jpeg_arith_progressive")
+def q412_jpeg_arith_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    kw = dict(quality=85, subsampling="444", progressive=True)
+    arith = decode_media_digest(synth_jpeg_table(docs, entropy="arith", **kw))
+    huff = decode_media_digest(
+        synth_jpeg_table(docs, entropy="huffman", **kw)
+    ).select("media_id", F.col("payload_md5").alias("huff_md5"))
+    return (
+        arith.join(huff, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "payload_bytes",
+            (F.col("payload_md5") == F.col("huff_md5")).alias(
+                "matches_huffman"
+            ),
+        )
+        .orderBy("media_id")
+    )

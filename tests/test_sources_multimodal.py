@@ -890,3 +890,125 @@ def test_jpeg_12bit_boundaries():
         _pixels_to_jpeg(a, precision=12, progressive=True)
     with pytest.raises(NotImplementedError, match="8- or 12-bit"):
         _pixels_to_jpeg(a, precision=10)
+
+
+def test_arith_qm_coder_roundtrip_random():
+    """The T.81 Annex D QM coder core: 200 random multi-context bit
+    sequences encode -> decode exactly, encoder and decoder estimation
+    state machines converge to identical states, and every 0xFF in the
+    output is followed by a stuffed 0x00 (B.1.1.5)."""
+    import random
+
+    from luxo_rs_spark.multimodal.media import (
+        _FIXED_STATE,
+        _ArithDecoder,
+        _ArithEncoder,
+    )
+
+    rnd = random.Random(20260815)
+    for _ in range(200):
+        n_ctx = rnd.randint(1, 8)
+        p = rnd.random()
+        bits = [
+            (rnd.randint(0, n_ctx - 1), int(rnd.random() < p))
+            for _ in range(rnd.randint(1, 1500))
+        ]
+        enc = _ArithEncoder()
+        st_e = bytearray(n_ctx)
+        for ctx, b in bits:
+            enc.code(st_e, ctx, b)
+        data = enc.flush()
+        assert all(
+            data[i + 1] == 0x00
+            for i in range(len(data) - 1)
+            if data[i] == 0xFF
+        )
+        dec = _ArithDecoder(data, 0)
+        st_d = bytearray(n_ctx)
+        assert [dec.decode(st_d, ctx) for ctx, _ in bits] == [
+            b for _, b in bits
+        ]
+        assert bytes(st_e) == bytes(st_d)
+    # the fixed 1/2 bin never adapts
+    enc = _ArithEncoder()
+    fb = bytearray([_FIXED_STATE])
+    seq = [rnd.randint(0, 1) for _ in range(400)]
+    for b in seq:
+        enc.code(fb, 0, b)
+    assert fb[0] == _FIXED_STATE
+    dec = _ArithDecoder(enc.flush(), 0)
+    fb2 = bytearray([_FIXED_STATE])
+    assert [dec.decode(fb2, 0) for _ in seq] == seq
+
+
+def test_jpeg_arith_sequential_matches_huffman():
+    """SOF9 arithmetic sequential: same quantized coefficients through
+    two INDEPENDENT entropy paths must decode to identical pixels —
+    gray/color, 4:4:4/4:2:0, with and without restart markers."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_jpeg, _pixels_to_jpeg
+
+    rng = np.random.RandomState(411)
+    for trial in range(12):
+        h, w = rng.randint(4, 40), rng.randint(4, 40)
+        ch = 3 if trial % 3 else 1
+        arr = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        sub = "420" if (ch == 3 and trial % 2) else "444"
+        ri = (0, 2, 5)[trial % 3]
+        q = (85, 50, 95)[trial % 3]
+        hs = _pixels_to_jpeg(arr, q, sub, ri, False, 8, "huffman")
+        as_ = _pixels_to_jpeg(arr, q, sub, ri, False, 8, "arith")
+        assert len(as_) < len(hs)  # arithmetic coding must compress better
+        dh, da = _decode_jpeg(hs), _decode_jpeg(as_)
+        assert (dh["width"], dh["height"]) == (da["width"], da["height"])
+        assert dh["payload"] == da["payload"], f"trial {trial}"
+
+
+def test_jpeg_arith_progressive_matches_huffman():
+    """SOF10 arithmetic progressive (G.2 DC first/refine + AC bands +
+    AC successive approximation) decodes bit-identically to the
+    Huffman-progressive stream of the same coefficients."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_jpeg, _pixels_to_jpeg
+
+    rng = np.random.RandomState(412)
+    for trial in range(8):
+        h, w = rng.randint(4, 40), rng.randint(4, 40)
+        ch = 3 if trial % 3 else 1
+        arr = rng.randint(0, 256, (h, w, ch)).astype(np.uint8)
+        sub = "420" if (ch == 3 and trial % 2) else "444"
+        ri = (0, 2, 7)[trial % 3]
+        hs = _pixels_to_jpeg(arr, 85, sub, ri, True, 8, "huffman")
+        as_ = _pixels_to_jpeg(arr, 85, sub, ri, True, 8, "arith")
+        dh, da = _decode_jpeg(hs), _decode_jpeg(as_)
+        assert dh["payload"] == da["payload"], f"trial {trial}"
+
+
+def test_jpeg_arith_12bit_and_boundaries():
+    """SOF9 carries 12-bit samples too; the remaining codec boundary
+    (arithmetic lossless SOF11, hierarchical SOF5) still raises."""
+    import struct as st
+
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import _decode_jpeg, _pixels_to_jpeg
+
+    rng = np.random.RandomState(413)
+    arr = rng.randint(0, 4096, (9, 13, 3)).astype(np.uint16)
+    hs = _pixels_to_jpeg(arr, 90, "444", 0, False, 12, "huffman")
+    as_ = _pixels_to_jpeg(arr, 90, "444", 0, False, 12, "arith")
+    assert _decode_jpeg(hs)["payload"] == _decode_jpeg(as_)["payload"]
+
+    # swap the SOF9 marker for SOF11/SOF5: decoder must refuse honestly
+    for bad in (0xCB, 0xC5):
+        seq = _pixels_to_jpeg(
+            np.zeros((8, 8, 1), np.uint8), 85, "444", 0, False, 8, "arith"
+        )
+        i = seq.find(st.pack(">H", 0xFFC9))
+        assert i > 0
+        mutated = seq[:i] + st.pack(">H", 0xFF00 | bad) + seq[i + 2:]
+        with pytest.raises(NotImplementedError):
+            _decode_jpeg(mutated)
