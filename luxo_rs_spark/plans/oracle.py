@@ -2165,8 +2165,8 @@ sessions AS (
 )
 SELECT user_id,
        cast(count(*) AS BIGINT) AS n_sessions,
-       round(avg(n_events), 2) AS avg_events_per_session,
-       round(max(dur_min), 2) AS max_session_min
+       floor(avg(n_events) * 100 + 0.5) / 100 AS avg_events_per_session,
+       floor(max(dur_min) * 100 + 0.5) / 100 AS max_session_min
 FROM sessions
 GROUP BY user_id
 ORDER BY user_id
@@ -2409,7 +2409,8 @@ ORDER BY doc_id, pos
 ORACLE_SQL["q152_percent_of_total"] = """
 WITH rev AS (
   SELECT r_name, n_name,
-         sum(l_extendedprice * (1 - l_discount)) AS rev
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS rev
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -2417,9 +2418,10 @@ WITH rev AS (
   GROUP BY r_name, n_name
 )
 SELECT r_name, n_name,
-       round(rev, 2) AS nation_rev,
-       round(rev / sum(rev) OVER (PARTITION BY r_name) * 100, 2)
-         AS pct_of_region
+       CAST(round(rev, 2) AS DOUBLE) AS nation_rev,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+             * 100, 2) AS pct_of_region
 FROM rev
 ORDER BY r_name, n_name
 """
@@ -3012,7 +3014,8 @@ ORDER BY n.r_name, n.n_name
 ORACLE_SQL["q184_revenue_anomalies"] = """
 WITH daily AS (
   SELECT date_trunc('day', l_shipdate) AS day,
-         sum(l_extendedprice * (1 - l_discount)) AS rev
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS rev
   FROM lineitem GROUP BY 1
 ),
 flagged AS (
@@ -3758,18 +3761,21 @@ ORDER BY yr, qtr, mo, level
 
 ORACLE_SQL["q218_gini"] = """
 WITH spend AS (
-  SELECT o_custkey, sum(o_totalprice) AS x
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS x
   FROM orders GROUP BY o_custkey
 ),
 ranked AS (
   SELECT x,
-         cast(row_number() OVER (ORDER BY x, o_custkey) AS DOUBLE) AS i
+         cast(row_number() OVER (ORDER BY x, o_custkey)
+              AS DECIMAL(12,0)) AS i
   FROM spend
 )
-SELECT round(2 * sum(i * x) / (count(*) * sum(x))
+SELECT round(2 * CAST(sum(i * x) AS DOUBLE)
+             / (count(*) * CAST(sum(x) AS DOUBLE))
              - (count(*) + 1.0) / count(*), 6) AS gini,
        cast(count(*) AS BIGINT) AS n_customers,
-       round(sum(x), 2) AS total_spend
+       CAST(round(sum(x), 2) AS DOUBLE) AS total_spend
 FROM ranked
 """
 
@@ -4213,7 +4219,10 @@ ORDER BY cohort, weeks_since
 ORACLE_SQL["q243_zscore_anomaly"] = """
 WITH scored AS (
   SELECT event_type,
-         (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
+         CASE WHEN stddev_samp(value) OVER w > 0
+              THEN (value - avg(value) OVER w)
+                   / stddev_samp(value) OVER w
+         END AS z
   FROM events
   WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
                ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)

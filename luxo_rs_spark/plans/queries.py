@@ -52,6 +52,16 @@ def _r2(col) -> F.Column:
     return F.round(col, 2)
 
 
+def _r2x(col) -> F.Column:
+    """Engine-independent 2-dp half-up for NONNEGATIVE doubles that
+    both engines computed bit-identically: floor(x*100 + 0.5)/100 is
+    pure correctly-rounded IEEE arithmetic, whereas round() tie
+    handling differs between Spark (BigDecimal half-up on the shortest
+    decimal string) and DuckDB (rounds the binary double) — the q299
+    recipe, promoted to a helper when the sf1 gate caught q139."""
+    return F.floor(col * 100 + F.lit(0.5)) / 100.0
+
+
 def _avg4(col) -> F.Column:
     """Deterministic cross-engine average: round the sum to cents first
     (absorbing engine-specific summation-order ulps), then divide and DO
@@ -4018,12 +4028,15 @@ def q139_session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dur_min"),
         )
     )
+    # _r2x, not round(): at sf1 avg(n_events) lands on an exact .xx5
+    # tie (e.g. 1.025) where Spark and DuckDB round() disagree even on
+    # bit-identical doubles
     return (
         sessions.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-            _r2(F.avg("n_events")).alias("avg_events_per_session"),
-            _r2(F.max("dur_min")).alias("max_session_min"),
+            _r2x(F.avg("n_events")).alias("avg_events_per_session"),
+            _r2x(F.max("dur_min")).alias("max_session_min"),
         )
         .orderBy("user_id")
     )
@@ -4425,14 +4438,26 @@ def q152_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        # DECIMAL(18,6) per-row, exact order-independent sum: the plain
+        # double sum straddled a cent boundary at sf1 (q128 recipe)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("rev")
+        )
     )
     w = Window.partitionBy("r_name")
     return rev.select(
         "r_name",
         "n_name",
-        _r2(F.col("rev")).alias("nation_rev"),
-        _r2(F.col("rev") / F.sum("rev").over(w) * 100).alias("pct_of_region"),
+        F.round("rev", 2).cast("double").alias("nation_rev"),
+        _r2(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double")
+            * 100
+        ).alias("pct_of_region"),
     ).orderBy("r_name", "n_name")
 
 
@@ -5526,9 +5551,21 @@ def q183_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q184_revenue_anomalies")
 def q184_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # daily revenue summed as DECIMAL(18,6) (exact, order-independent)
+    # then cast to double ONCE, so the downstream window stats operate
+    # on bit-identical doubles in both engines — the plain double sum
+    # drifted a penny at sf1 and moved the 7-day baseline
     daily = li.groupBy(
         F.date_trunc("day", "l_shipdate").alias("day")
-    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        )
+        .cast("double")
+        .alias("rev")
+    )
     w = Window.orderBy("day").rowsBetween(-7, -1)
     flagged = (
         daily.withColumn("base_mu", F.avg("rev").over(w))
@@ -6825,19 +6862,23 @@ def q217_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q218_gini")
 def q218_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # every sum is an exact DECIMAL (order-independent); ratios are
+    # taken on the double casts of identical exact values — the plain
+    # double total drifted past a cent tie at sf1
     spend = orders.groupBy("o_custkey").agg(
-        F.sum("o_totalprice").alias("x")
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("x")
     )
     w = Window.orderBy(F.col("x"), F.col("o_custkey"))
-    ranked = spend.withColumn("i", F.row_number().over(w).cast("double"))
+    ranked = spend.withColumn(
+        "i", F.row_number().over(w).cast("decimal(12,0)")
+    )
+    num = F.sum(F.col("i") * F.col("x")).cast("double")
+    den = F.sum("x").cast("double")
+    n = F.count(F.lit(1))
     return ranked.agg(
-        F.round(
-            2 * F.sum(F.col("i") * F.col("x")) / (F.count(F.lit(1)) * F.sum("x"))
-            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
-            6,
-        ).alias("gini"),
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        _r2(F.sum("x")).alias("total_spend"),
+        F.round(2 * num / (n * den) - (n + 1) / n, 6).alias("gini"),
+        n.cast("bigint").alias("n_customers"),
+        F.round(F.sum("x"), 2).cast("double").alias("total_spend"),
     )
 
 
@@ -7631,7 +7672,12 @@ def q243_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-20, -1)
     )
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev("value").over(w)
+    # a 20-row baseline CAN be constant (sf1 surfaces it): z is then
+    # undefined — guard sd > 0 explicitly so both engines emit NULL
+    # instead of Spark's ANSI divide-by-zero / a DuckDB infinity
+    mu = F.avg("value").over(w)
+    sd = F.stddev("value").over(w)
+    z = F.when(sd > 0, (F.col("value") - mu) / sd)
     return (
         events.withColumn("z", z)
         .filter(F.abs(F.col("z")) > 2.5)
