@@ -8277,3 +8277,52 @@ FROM documents
 WHERE doc_id < 100
 ORDER BY media_id
 """
+
+
+ORACLE_SQL["q413_ngram_lm_perplexity"] = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(len(toks), 1)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+           )) AS b
+    FROM tok
+  )
+), train_uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS w FROM tok WHERE doc_id % 5 <> 0)
+  GROUP BY w
+), n AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS n_tok FROM train_uni
+), train_bi AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+  FROM bg WHERE doc_id % 5 <> 0
+  GROUP BY w1, w2
+), scored AS (
+  SELECT s.doc_id,
+         CASE WHEN b.c IS NOT NULL
+              THEN b.c / CAST(u1.c AS DOUBLE)
+              ELSE 0.4 * COALESCE(u2.c, 1) / n.n_tok END AS p,
+         CASE WHEN b.c IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bg s
+  LEFT JOIN train_bi b ON s.w1 = b.w1 AND s.w2 = b.w2
+  LEFT JOIN train_uni u1 ON s.w1 = u1.w
+  LEFT JOIN train_uni u2 ON s.w2 = u2.w
+  CROSS JOIN n
+  WHERE s.doc_id % 5 = 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(oov) AS BIGINT) AS oov_bigrams,
+       round(avg(-ln(p)), 3) AS log_ppl
+FROM scored
+GROUP BY doc_id
+ORDER BY doc_id
+"""

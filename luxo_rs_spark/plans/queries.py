@@ -15057,3 +15057,29 @@ def q412_jpeg_arith_progressive(
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q413 — n-gram LM perplexity filter, CCNet-style (§2.2-K quality
+# battery; Wenzek et al. 2020 + Brants et al. 2007 stupid backoff).
+# Train a bigram LM on the held-in split (doc_id % 5 != 0): unigram
+# and bigram COUNT relations — two map-side-combinable shuffles, both
+# mergeable by groupBy-sum across corpus shards. Score the held-out
+# split: S(w2|w1) = c(w1w2)/c(w1) with 0.4*c(w2)/N backoff; output per
+# doc the EXACT bigram/backoff counters (they pin the joins and the
+# tokenizer bit-for-bit) plus the negative mean ln S, the
+# log-perplexity CCNet tertiles a crawl on. Scale shape: explode ->
+# two hash joins on token keys -> per-doc agg; no driver state, no
+# collect, the vocabulary rides the shuffle keys.
+# ---------------------------------------------------------------------------
+@query("q413_ngram_lm_perplexity")
+def q413_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.ngram_lm import (
+        score_bigram_perplexity,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
+    held_out = docs.filter(F.col("doc_id") % 5 == 0)
+    return score_bigram_perplexity(held_out, uni, bi).orderBy("doc_id")

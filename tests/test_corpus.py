@@ -395,3 +395,44 @@ def test_check_report_counts_seeded_violations(spark):
         "id_unique": (1, False),
         "code_fk": (1, False),
     }
+
+
+def test_bigram_lm_counts_and_backoff(spark):
+    """Hand-checkable stupid-backoff LM: train on two tiny docs, score
+    a third; every count and the backoff arithmetic verified exactly."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.functions.ngram_lm import (
+        score_bigram_perplexity,
+        train_bigram_lm,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    uni, bi = train_bigram_lm(train)
+    uc = {r["w"]: r["c"] for r in uni.collect()}
+    assert uc == {"the": 2, "cat": 2, "sat": 1, "ran": 1}
+    bc = {(r["w1"], r["w2"]): r["c"] for r in bi.collect()}
+    assert bc == {("the", "cat"): 2, ("cat", "sat"): 1, ("cat", "ran"): 1}
+
+    # "the cat sat" -> S(cat|the)=2/2=1, S(sat|cat)=1/2
+    # "dog the" -> backoff 0.4*1/6 (dog unseen), then S(the|dog) backoff
+    # 0.4*2/6; zero bigrams for a 1-token doc -> row absent
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "dog the"), (12, "x")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in score_bigram_perplexity(score, uni, bi).collect()
+    }
+    assert set(rows) == {10, 11}
+    assert rows[10]["n_bigrams"] == 2 and rows[10]["oov_bigrams"] == 0
+    import math
+
+    exp10 = round(-(math.log(1.0) + math.log(0.5)) / 2, 3)
+    assert rows[10]["log_ppl"] == exp10
+    assert rows[11]["n_bigrams"] == 1 and rows[11]["oov_bigrams"] == 1
+    exp11 = round(-math.log(0.4 * 2 / 6), 3)
+    assert rows[11]["log_ppl"] == exp11
