@@ -2325,6 +2325,272 @@ def _decode_wav(content: bytes) -> dict:
     }
 
 
+# ---------------------------------------------------------------------------
+# GIF (GIF87a/GIF89a): genuine from-scratch codec — variable-width LZW
+# with clear/EOI codes and 12-bit dictionary cap, interlace passes,
+# 89a extensions (GCE transparency/delay, NETSCAPE loop), multi-frame
+# compositing for animations. Encoder AND decoder, so every stream in
+# the tests round-trips and the q414 oracle can recompute the full
+# decoded payload md5 in SQL (lossless, q401-strength).
+# Width-growth convention (the classic off-by-one pair): the encoder
+# grows when the next free slot EXCEEDS 2^width (it may emit the entry
+# it just added — the KwKwK continuation); the decoder, whose table
+# lags one entry behind, grows when its next free slot REACHES
+# 2^width. The LZW unit battery drives both through dictionary
+# overflow, mid-stream clears, and the full 9->12-bit ladder.
+# ---------------------------------------------------------------------------
+
+
+def _lzw_compress(data: bytes, mcs: int) -> bytes:
+    """GIF LZW: ``data`` are palette indices < 2**mcs; returns the
+    code stream (caller sub-blocks it)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict, int, int]:
+        return (
+            {bytes([i]): i for i in range(1 << mcs)},
+            eoi + 1,
+            mcs + 1,
+        )
+
+    table, next_slot, width = fresh()
+    emit(clear, width)
+    cur = b""
+    for b in data:
+        nxt = cur + bytes([b])
+        if nxt in table:
+            cur = nxt
+            continue
+        emit(table[cur], width)
+        if next_slot == 4096:  # dictionary full: reset both sides
+            emit(clear, width)
+            table, next_slot, width = fresh()
+        else:
+            table[nxt] = next_slot
+            next_slot += 1
+            if next_slot - 1 >= (1 << width) and width < 12:
+                width += 1
+        cur = bytes([b])
+    if cur:
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(data: bytes, mcs: int) -> bytes:
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = nbits = acc = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, nbits, acc
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    next_slot, width = eoi + 1, mcs + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+            next_slot, width = eoi + 1, mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        elif code < next_slot:
+            entry = table[code]
+        elif code == next_slot:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        if prev is not None and next_slot < 4096:
+            table.append(prev + entry[:1])
+            next_slot += 1
+            if next_slot >= (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
+
+
+def _gif_row_order(h: int) -> list[int]:
+    return [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+
+
+def _pixels_to_gif(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    frames: list[tuple] | None = None,
+) -> bytes:
+    """Indexed (h, w) uint8 image + (n<=256, 3) palette -> GIF bytes.
+    ``frames`` switches to GIF89a animation: a list of
+    (idx, left, top, delay_cs, transparent_or_None) drawn over the
+    first image in order (disposal 1)."""
+    h, w = idx.shape
+    n = len(palette)
+    bits = max((n - 1).bit_length(), 1)
+    gct = np.zeros((1 << bits, 3), dtype=np.uint8)
+    gct[:n] = palette
+    mcs = max(bits, 2)  # LZW minimum code size must be >= 2
+
+    def image_block(
+        arr: np.ndarray, left: int, top: int, ilace: bool
+    ) -> bytes:
+        ih, iw = arr.shape
+        rows = _gif_row_order(ih) if ilace else range(ih)
+        seq = b"".join(arr[r].tobytes() for r in rows)
+        blk = struct.pack(
+            "<BHHHHB", 0x2C, left, top, iw, ih, 0x40 if ilace else 0x00
+        )
+        blk += bytes([mcs])
+        lzw = _lzw_compress(seq, mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            blk += bytes([len(chunk)]) + chunk
+        return blk + b"\x00"
+
+    animated = bool(frames)
+    out = bytearray(b"GIF89a" if animated else b"GIF87a")
+    out += struct.pack(
+        "<HHBBB", w, h, 0x80 | ((bits - 1) << 4) | (bits - 1), 0, 0
+    )
+    out += gct.tobytes()
+    if animated:
+        out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"  # loop forever
+        out += image_block(idx, 0, 0, interlace)
+        for farr, left, top, delay, transparent in frames:
+            tf = 0x01 if transparent is not None else 0x00
+            out += struct.pack(
+                "<BBBBHBB", 0x21, 0xF9, 4, (1 << 2) | tf, delay,
+                transparent or 0, 0,
+            )
+            out += image_block(farr, left, top, False)
+    else:
+        out += image_block(idx, 0, 0, interlace)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _decode_gif(content: bytes) -> dict:
+    """GIF87a/89a -> RGB payload: single images decode directly;
+    animations composite every frame over the canvas (disposal
+    draw-over, transparency honored) and return the FINAL canvas, with
+    frame count in sample_rate (frames stand in for the time axis the
+    schema's sample_rate carries for audio). Disposal-to-background /
+    restore-previous are the documented boundary."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        ncol = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            content, dtype=np.uint8, count=ncol * 3, offset=pos
+        ).reshape(ncol, 3)
+        pos += ncol * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    if gct is not None:
+        canvas[:, :] = gct[0]
+    n_frames = 0
+    transparent: int | None = None
+    while pos < len(content):
+        b0 = content[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            label = content[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                sz = content[pos]
+                packed = content[pos + 1]
+                disposal = (packed >> 2) & 0x07
+                if disposal > 1:
+                    raise NotImplementedError(
+                        "GIF disposal-to-background/restore-previous"
+                    )
+                transparent = (
+                    content[pos + 4] if packed & 0x01 else None
+                )
+                pos += sz + 1
+            while content[pos] != 0:  # remaining sub-blocks
+                pos += content[pos] + 1
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", content, pos + 1)
+        pos += 10
+        pal = gct
+        if iflags & 0x80:  # local color table
+            ncol = 2 << (iflags & 0x07)
+            pal = np.frombuffer(
+                content, dtype=np.uint8, count=ncol * 3, offset=pos
+            ).reshape(ncol, 3)
+            pos += ncol * 3
+        if pal is None:
+            raise ValueError("GIF image without any color table")
+        mcs = content[pos]
+        pos += 1
+        lzw = bytearray()
+        while content[pos] != 0:
+            ln = content[pos]
+            lzw += content[pos + 1 : pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        seq = _lzw_decompress(bytes(lzw), mcs)
+        if len(seq) < iw * ih:
+            raise ValueError("GIF frame pixel data short")
+        arr = np.frombuffer(seq[: iw * ih], dtype=np.uint8).reshape(ih, iw)
+        if iflags & 0x40:  # deinterlace
+            un = np.empty_like(arr)
+            un[_gif_row_order(ih)] = arr
+            arr = un
+        region = canvas[top : top + ih, left : left + iw]
+        if transparent is not None:
+            mask = arr != transparent
+            region[mask] = pal[arr[mask]]
+        else:
+            region[:, :] = pal[arr]
+        n_frames += 1
+        transparent = None
+    return {
+        "kind": "image" if n_frames <= 1 else "video",
+        "width": w,
+        "height": h,
+        "sample_rate": None if n_frames <= 1 else n_frames,
+        "payload": canvas.tobytes(),
+    }
+
+
 def _decode_payload(content: bytes) -> dict:
     """Container dispatch. Three GENUINE pure-Python decoders (no codec
     libs needed): uncompressed BMP images, zlib-inflated PNG images,
@@ -2353,9 +2619,11 @@ def _decode_payload(content: bytes) -> dict:
         return _decode_jpeg(content)
     if content[:4] == b"RIFF":
         return _decode_wav(content)
+    if content[:4] == b"GIF8":
+        return _decode_gif(content)
     raise NotImplementedError(
         "undecodable media container: expected LUXM, BMP, PNG, JPEG, "
-        "or RIFF/WAVE (MP3/MP4 need codec libraries absent here)"
+        "GIF, or RIFF/WAVE (MP3/MP4 need codec libraries absent here)"
     )
 
 
@@ -2753,6 +3021,44 @@ def synth_jpeg_table(
                         "content": _pixels_to_jpeg(
                             arr, quality, subsampling, restart_interval,
                             progressive, precision, entropy,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def synth_gif_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real-encoder GIF synthesis from the documents fixture: per doc a
+    genuine LZW-compressed GIF whose indices tile the md5 hex of the
+    text over a 256-gray palette, dims derived from doc_id (odd docs
+    interlaced). GIF is lossless, so the decoded payload md5 is
+    SQL-recomputable: each tiled hex char triples into (i, i, i)."""
+    import hashlib
+
+    pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                w = int(doc_id) % 11 + 6
+                h = int(doc_id) % 5 + 4
+                hx = hashlib.md5(
+                    (text or " ").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                need = h * w
+                idx = np.frombuffer(
+                    (hx * (need // 32 + 1))[:need], dtype=np.uint8
+                ).reshape(h, w)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": _pixels_to_gif(
+                            idx, pal, interlace=bool(int(doc_id) % 2)
                         ),
                     }
                 )

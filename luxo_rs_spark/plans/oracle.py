@@ -8326,3 +8326,29 @@ FROM scored
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# q414: GIF is lossless, so the oracle recomputes the FULL decoded RGB
+# payload md5 — indices tile the md5 hex of the text, the 256-gray
+# palette maps index i to (i, i, i), i.e. every tiled char appears
+# three times in the payload
+ORACLE_SQL["q414_gif_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h,
+         substring(repeat(hx, CAST(h * w / 32 AS INTEGER) + 1),
+                   1, h * w) AS s
+  FROM t
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(h * w * 3 AS BIGINT) AS payload_bytes,
+       md5(array_to_string(
+             list_transform(range(1, h * w + 1),
+               i -> repeat(substring(s, CAST(i AS INTEGER), 1), 3)),
+             '')) AS payload_md5
+FROM px ORDER BY media_id
+"""

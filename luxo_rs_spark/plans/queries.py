@@ -15083,3 +15083,27 @@ def q413_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     uni, bi = train_bigram_lm(docs.filter(F.col("doc_id") % 5 != 0))
     held_out = docs.filter(F.col("doc_id") % 5 == 0)
     return score_bigram_perplexity(held_out, uni, bi).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q414 — GIF decode (§2.2-K multimodal; GIF87a/89a, the web's other
+# ubiquitous legacy image container): genuine from-scratch codec —
+# variable-width LZW (clear/EOI, 12-bit dictionary cap), interlace
+# passes (odd doc_ids), palette mapping. GIF is LOSSLESS, so this is a
+# q401-strength oracle: md5 of the ENTIRE decoded RGB payload is
+# recomputed in SQL (indices tile the md5 hex of the text; the
+# grayscale palette triples each byte). Scale shape: map-side-only
+# mapInPandas decode, no shuffle until the final orderBy.
+# ---------------------------------------------------------------------------
+@query("q414_gif_decode")
+def q414_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_gif_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        decode_media_digest(synth_gif_table(docs))
+        .orderBy("media_id")
+    )

@@ -1012,3 +1012,70 @@ def test_jpeg_arith_12bit_and_boundaries():
         mutated = seq[:i] + st.pack(">H", 0xFF00 | bad) + seq[i + 2:]
         with pytest.raises(NotImplementedError):
             _decode_jpeg(mutated)
+
+
+def test_gif_lzw_roundtrip_torture():
+    """Variable-width LZW through the full 9->12-bit ladder,
+    dictionary overflow with mid-stream clears, and the KwKwK
+    continuation (highly repetitive input)."""
+    import random
+
+    from luxo_rs_spark.multimodal.media import _lzw_compress, _lzw_decompress
+
+    rnd = random.Random(414)
+    for mcs in (2, 4, 8):
+        for n in (0, 1, 10, 5000, 30000):
+            data = bytes(rnd.randrange(1 << mcs) for _ in range(n))
+            assert _lzw_decompress(_lzw_compress(data, mcs), mcs) == data
+        rep = (bytes(range(1 << mcs)) * 200)[:20000]
+        assert _lzw_decompress(_lzw_compress(rep, mcs), mcs) == rep
+
+
+def test_gif_roundtrip_and_interlace():
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_gif, _pixels_to_gif
+
+    rng = np.random.RandomState(9)
+    for trial in range(10):
+        h, w = rng.randint(1, 40), rng.randint(1, 40)
+        ncol = int(rng.choice([2, 16, 100, 256]))
+        pal = rng.randint(0, 256, (ncol, 3)).astype(np.uint8)
+        idx = rng.randint(0, ncol, (h, w)).astype(np.uint8)
+        d = _decode_gif(_pixels_to_gif(idx, pal, interlace=bool(trial % 2)))
+        assert (d["width"], d["height"], d["kind"]) == (w, h, "image")
+        assert d["payload"] == pal[idx].tobytes()
+
+
+def test_gif_animation_composites_frames():
+    """89a animation: frames draw over the canvas in order, GCE
+    transparency skips pixels, frame count rides sample_rate; the
+    unimplemented disposal modes raise honestly."""
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import _decode_gif, _pixels_to_gif
+
+    pal = np.arange(256, dtype=np.uint8).repeat(3).reshape(256, 3)
+    base = np.zeros((10, 12), np.uint8)
+    f1 = np.full((4, 5), 7, np.uint8)
+    f1[0, 0] = 3  # transparent index
+    f2 = np.full((2, 2), 200, np.uint8)
+    gif = _pixels_to_gif(
+        base, pal, frames=[(f1, 2, 3, 10, 3), (f2, 0, 0, 5, None)]
+    )
+    d = _decode_gif(gif)
+    canvas = pal[base].reshape(10, 12, 3).copy()
+    mask = f1 != 3
+    region = canvas[3:7, 2:7]
+    region[mask] = pal[f1[mask]]
+    canvas[0:2, 0:2] = pal[f2]
+    assert d["kind"] == "video" and d["sample_rate"] == 3
+    assert d["payload"] == canvas.tobytes()
+
+    # disposal mode 2 (restore to background) is a declared boundary
+    bad = bytearray(gif)
+    i = bad.find(b"\x21\xf9\x04")
+    bad[i + 3] = (bad[i + 3] & ~0x1C) | (2 << 2)
+    with pytest.raises(NotImplementedError):
+        _decode_gif(bytes(bad))
