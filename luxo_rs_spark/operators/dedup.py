@@ -846,3 +846,90 @@ def segment_boilerplate(
         )
         .select(id_col, "n_seg", "n_boiler", "boiler_frac", "clean_md5")
     )
+
+
+def substring_dup_spans(
+    docs: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT duplicated-substring span inventory (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    character k-gram occurring >= 2 times ANYWHERE in the corpus
+    (other documents or the same one) marks its span duplicated;
+    overlapping/adjacent marked positions merge into maximal spans.
+
+    The paper builds one giant suffix array; the Spark-native
+    equivalent is relational: explode each doc into its (pos, md5
+    k-gram) stream, count grams globally (one map-side-combinable
+    shuffle — the suffix array's "find repeats" collapses to
+    count >= 2), semi-join the duplicated grams back onto positions,
+    and merge positions into islands with a per-doc window (positions
+    <= k apart overlap). Per doc: span count, duplicated chars, and
+    the duplicated fraction — the statistics that drive the paper's
+    cut-or-keep rewrite. Every output but the ratio is an exact
+    integer; the window is partitioned by doc (bounded).
+
+    At 100 TB the gram stream is |corpus| rows of 16-byte hashes;
+    count + semi-join is the same shape as MinHash-LSH candidate
+    generation and shares its linear-scaling argument."""
+    n = F.greatest(F.length(text_col) - k + 1, F.lit(0))
+    grams = docs.select(
+        id_col,
+        F.explode(
+            F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("pos"),
+        text_col,
+    ).select(
+        id_col,
+        "pos",
+        F.md5(F.substr(F.col(text_col), F.col("pos"), F.lit(k))).alias("g"),
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    marked = grams.join(dup, "g", "semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (
+        marked.withColumn(
+            "new_span",
+            F.when(
+                F.lag("pos").over(w).isNull()
+                | (F.col("pos") - F.lag("pos").over(w) > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_span").over(run))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + k - 1).alias("e"),
+        )
+    )
+    per_doc = islands.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_chars"),
+    )
+    return (
+        docs.select(id_col, F.length(text_col).alias("n_chars"))
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias(
+                "dup_chars"
+            ),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 4
+            ).alias("dup_frac"),
+        )
+    )

@@ -8352,3 +8352,55 @@ SELECT doc_id AS media_id, w AS width, h AS height,
              '')) AS payload_md5
 FROM px ORDER BY media_id
 """
+
+
+ORACLE_SQL["q415_substring_dup_spans"] = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n_chars
+  FROM documents WHERE doc_id < 400
+), grams AS (
+  SELECT doc_id, g['pos'] AS pos, g['h'] AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             range(1, greatest(n_chars - 20 + 1, 0) + 1),
+             i -> struct_pack(pos := i,
+                              h := md5(substring(text, CAST(i AS INTEGER),
+                                                 20)))
+           )) AS g
+    FROM d
+  )
+), dup AS (
+  SELECT h FROM grams GROUP BY h HAVING count(*) >= 2
+), marked AS (
+  SELECT doc_id, pos FROM grams WHERE h IN (SELECT h FROM dup)
+), flagged AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                OR pos - lag(pos) OVER w > 20 THEN 1 ELSE 0 END AS ns
+  FROM marked
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), islands AS (
+  SELECT doc_id,
+         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island,
+         pos
+  FROM flagged
+), spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos) + 20 - 1 AS e
+  FROM islands GROUP BY doc_id, island
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(p.dup_chars, 0) AS dup_chars,
+       round(COALESCE(p.dup_chars, 0) / CAST(d.n_chars AS DOUBLE), 4)
+         AS dup_frac
+FROM d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id
+"""

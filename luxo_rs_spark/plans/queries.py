@@ -15107,3 +15107,22 @@ def q414_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media_digest(synth_gif_table(docs))
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q415 — exact duplicated-substring spans (§2.2-K dedup family; Lee et
+# al. 2022 suffix-array dedup re-expressed relationally): char k-grams
+# hashed and counted globally, count>=2 grams semi-joined back onto
+# their positions, positions merged into maximal spans by a per-doc
+# window. Per doc: exact span/char counters + duplicated fraction —
+# the statistics driving the paper's cut-or-keep rewrite. One
+# map-side-combinable shuffle on 16-byte gram hashes + one bounded
+# per-doc window; the same linear-scaling shape as MinHash-LSH
+# candidate generation.
+# ---------------------------------------------------------------------------
+@query("q415_substring_dup_spans")
+def q415_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.dedup import substring_dup_spans
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return substring_dup_spans(docs, k=20).orderBy("doc_id")

@@ -330,3 +330,34 @@ def test_segment_boilerplate_flags_shared_segments(spark):
     assert out[3].clean_md5 == hashlib.md5(rows[2][1].encode()).hexdigest()
     # sub-segment doc still yields exactly one segment
     assert out[4].n_seg == 1 and out[4].n_boiler == 0
+
+
+def test_substring_dup_spans_exact(spark):
+    """Crafted corpus: a 30-char string shared across two docs marks a
+    single maximal span in each; within-doc repetition marks both
+    occurrences; a clean doc reports zeros. k=10."""
+    from luxo_rs_spark.operators.dedup import substring_dup_spans
+
+    shared = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123"  # 30 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "xx" + shared + "yyyyyyyyyy"),
+            (2, "qqqqq" + shared + "ppp"),
+            (3, "zzz" + "R" * 25 + "www"),  # self-repeating run
+            (4, "entirely unique text with no repeats at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in substring_dup_spans(docs, k=10).collect()
+    }
+    # doc 1: shared occupies pos 3..32 -> grams at 3..23 dup -> span
+    # [3, 32], 30 chars
+    assert rows[1]["n_dup_spans"] == 1 and rows[1]["dup_chars"] == 30
+    # doc 2: span [6, 35]
+    assert rows[2]["n_dup_spans"] == 1 and rows[2]["dup_chars"] == 30
+    # doc 3: "R"*25 repeats its own 10-gram internally -> one span of 25
+    assert rows[3]["n_dup_spans"] == 1 and rows[3]["dup_chars"] == 25
+    assert rows[4]["n_dup_spans"] == 0 and rows[4]["dup_chars"] == 0
+    assert rows[4]["dup_frac"] == 0.0
