@@ -7707,6 +7707,52 @@ GROUP BY source
 ORDER BY source
 """
 
+    # --- q416: unigram-LM piece count per text (per-corpus model) ---------
+    from luxo_rs_spark.functions.unigram import (
+        text_word_freqs,
+        train_unigram,
+        viterbi,
+    )
+
+    piece_vals: dict[str, int] = {}
+    for rows in corpora:
+        train_texts = [t for _id, t in rows if _id < 512]
+        probs = train_unigram(
+            text_word_freqs(train_texts), seed_multi=384, target_multi=192
+        )
+        wcache: dict[str, int] = {}
+        for _id, t in rows:
+            h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            if h in piece_vals:
+                continue
+            n = 0
+            for w in (t or "").split():
+                c = wcache.get(w)
+                if c is None:
+                    c = len(viterbi(w, probs))
+                    wcache[w] = c
+                n += c
+            piece_vals[h] = n
+    values416 = ",\n  ".join(
+        f"('{h}', {n})" for h, n in sorted(piece_vals.items())
+    )
+    ORACLE_SQL["q416_unigram_tokenize"] = f"""
+WITH tok(h, n_pieces) AS (VALUES
+  {values416}
+), t AS (
+  SELECT d.source, d.n_chars, tok.n_pieces
+  FROM documents d JOIN tok ON md5(d.text) = tok.h
+)
+SELECT source,
+       cast(count(*) AS BIGINT) AS n_docs,
+       cast(sum(n_pieces) AS BIGINT) AS sum_pieces,
+       round(cast(sum(n_chars) AS DOUBLE) / sum(n_pieces), 2)
+         AS chars_per_piece
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
     # --- q33 + q40: per-doc SimHash signature and fnv1a64 fingerprint -----
     # (round-3 verdict item #5: these are fully deterministic functions
     # of the text, so the per-doc value is recomputed here sequentially

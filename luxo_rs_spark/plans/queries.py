@@ -15126,3 +15126,43 @@ def q415_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
     return substring_dup_spans(docs, k=20).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q416 — unigram-LM subword tokenizer, SentencePiece-style (§2.2-K
+# tokenizer family; Kudo 2018): distributed EM over the distinct-word
+# relation — seed substring counts with in-Spark top-k selection, two
+# E-steps + prune + final E-step, every statistic an exact integer
+# NANOCOUNT so the distributed sums are order-independent and the
+# trainer is bit-identical to the sequential reference (proved by the
+# identity test, the BPE contract). Training reads an explicit bounded
+# slice (doc_id < 512 — the documented bounded-sampler exception q380
+# also uses; only the few-hundred-row vocabulary ever reaches the
+# driver). Scoring Viterbi-segments the WHOLE corpus and aggregates
+# exact piece counts per source; the oracle recomputes train+segment
+# sequentially and embeds per-doc counts as VALUES.
+# ---------------------------------------------------------------------------
+@query("q416_unigram_tokenize")
+def q416_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.unigram import (
+        segment_counts,
+        train_unigram_distributed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    probs = train_unigram_distributed(
+        docs.filter(F.col("doc_id") < 512), seed_multi=384, target_multi=192
+    )
+    seg = segment_counts(docs, probs)
+    joined = docs.select("doc_id", "source", "n_chars").join(seg, "doc_id")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_pieces").cast("bigint").alias("sum_pieces"),
+            _r2(F.sum("n_chars") / F.sum("n_pieces")).alias(
+                "chars_per_piece"
+            ),
+        )
+        .orderBy("source")
+    )
