@@ -2312,9 +2312,16 @@ def _decode_wav(content: bytes) -> dict:
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _byte_rate, _align, bits = fmt
-    if audio_format != 1:
+    if audio_format in (6, 7):  # G.711 A-law / mu-law -> 16-bit linear
+        lut = _ALAW_LUT if audio_format == 6 else _ULAW_LUT
+        data = (
+            lut[np.frombuffer(data, dtype=np.uint8)].astype("<i2").tobytes()
+        )
+        bits = 16
+    elif audio_format != 1:
         raise NotImplementedError(
-            f"only PCM WAV is supported (format tag {audio_format})"
+            f"only PCM and G.711 WAV are supported (format tag "
+            f"{audio_format})"
         )
     return {
         "kind": "audio",
@@ -2323,6 +2330,31 @@ def _decode_wav(content: bytes) -> dict:
         "sample_rate": sample_rate,
         "payload": data,
     }
+
+
+def _ulaw2linear(u: int) -> int:
+    """ITU-T G.711 mu-law expansion (the CCITT reference formula)."""
+    u = ~u & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return 0x84 - t if u & 0x80 else t - 0x84
+
+
+def _alaw2linear(a: int) -> int:
+    """ITU-T G.711 A-law expansion (the CCITT reference formula)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_ULAW_LUT = np.array([_ulaw2linear(i) for i in range(256)], dtype=np.int16)
+_ALAW_LUT = np.array([_alaw2linear(i) for i in range(256)], dtype=np.int16)
 
 
 # ---------------------------------------------------------------------------
@@ -3066,6 +3098,74 @@ def synth_gif_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     return docs.select("doc_id", text_col).mapInPandas(
         gen, "media_id long, content binary"
+    )
+
+
+def synth_g711_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real-encoder G.711 WAV synthesis: per doc a RIFF/WAVE file whose
+    fmt tag is 7 (mu-law, even doc_ids) or 6 (A-law, odd), whose data
+    bytes tile the md5 hex of the text doc_id%4+1 times — 16 distinct
+    companded byte values whose linear expansions the oracle carries
+    as a 32-row VALUES lookup, making every decoded sample
+    SQL-checkable via exact integer sums."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                hx = hashlib.md5(
+                    (text or " ").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                data = hx * (int(doc_id) % 4 + 1)
+                tag = 7 if int(doc_id) % 2 == 0 else 6
+                fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+                wav = (
+                    b"RIFF"
+                    + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+                    + b"WAVE"
+                    + b"fmt "
+                    + struct.pack("<I", len(fmt))
+                    + fmt
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                    + data
+                )
+                rows.append({"media_id": int(doc_id), "content": wav})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def decode_media_pcm_stats(media: DataFrame) -> DataFrame:
+    """Decode audio and reduce the 16-bit PCM payload to exact integer
+    statistics (count/sum/min/max of samples) — the oracle-checkable
+    shape for lossy-free audio transforms like the G.711 expansion."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = _decode_payload(bytes(content))
+                pcm = np.frombuffer(d["payload"], dtype="<i2")
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "sample_rate": d["sample_rate"],
+                        "n_samples": len(pcm),
+                        "sample_sum": int(pcm.sum(dtype=np.int64)),
+                        "sample_min": int(pcm.min()),
+                        "sample_max": int(pcm.max()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, sample_rate int, n_samples long, "
+        "sample_sum long, sample_min int, sample_max int",
     )
 
 

@@ -8450,3 +8450,51 @@ SELECT d.doc_id,
 FROM d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# q417: the (law, companded hex char) -> 16-bit linear LUT is a
+# text-independent constant of the G.711 spec, embedded literally
+ORACLE_SQL["q417_g711_decode"] = """
+WITH lut(law, ch, lin) AS (VALUES
+  ('u', '0', -3900), ('a', '0', -11008),
+  ('u', '1', -3772), ('a', '1', -10496),
+  ('u', '2', -3644), ('a', '2', -12032),
+  ('u', '3', -3516), ('a', '3', -11520),
+  ('u', '4', -3388), ('a', '4', -8960),
+  ('u', '5', -3260), ('a', '5', -8448),
+  ('u', '6', -3132), ('a', '6', -9984),
+  ('u', '7', -3004), ('a', '7', -9472),
+  ('u', '8', -2876), ('a', '8', -15104),
+  ('u', '9', -2748), ('a', '9', -14592),
+  ('u', 'a', -356),  ('a', 'a', -1312),
+  ('u', 'b', -340),  ('a', 'b', -1504),
+  ('u', 'c', -324),  ('a', 'c', -1440),
+  ('u', 'd', -308),  ('a', 'd', -1120),
+  ('u', 'e', -292),  ('a', 'e', -1056),
+  ('u', 'f', -276),  ('a', 'f', -1248)
+), t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CASE WHEN doc_id % 2 = 0 THEN 'u' ELSE 'a' END AS law,
+         CAST(doc_id % 4 + 1 AS INTEGER) AS reps
+  FROM documents WHERE doc_id < 300
+), per_char AS (
+  SELECT doc_id, law, reps,
+         substring(hx, CAST(i AS INTEGER), 1) AS ch
+  FROM t, unnest(range(1, 33)) AS u(i)
+), agg AS (
+  SELECT p.doc_id,
+         any_value(p.reps) AS reps,
+         sum(l.lin) AS sum1,
+         min(l.lin) AS min1,
+         max(l.lin) AS max1
+  FROM per_char p JOIN lut l ON l.law = p.law AND l.ch = p.ch
+  GROUP BY p.doc_id
+)
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       CAST(32 * reps AS BIGINT) AS n_samples,
+       CAST(sum1 * reps AS BIGINT) AS sample_sum,
+       CAST(min1 AS INTEGER) AS sample_min,
+       CAST(max1 AS INTEGER) AS sample_max
+FROM agg ORDER BY media_id
+"""

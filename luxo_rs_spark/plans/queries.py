@@ -15166,3 +15166,23 @@ def q416_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q417 — G.711 companded audio decode (§2.2-K multimodal; ITU-T G.711
+# mu-law even docs / A-law odd docs, the telephony WAV formats): the
+# decoder expands each companded byte to 16-bit linear PCM with the
+# CCITT reference formulas. Every decoded sample is pinned by EXACT
+# integer statistics (count/sum/min/max) — the oracle carries the
+# 32-entry (law, companded byte) -> linear lookup as literal VALUES
+# and recomputes the sums over the same tiled bytes in SQL.
+# ---------------------------------------------------------------------------
+@query("q417_g711_decode")
+def q417_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_pcm_stats,
+        synth_g711_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_media_pcm_stats(synth_g711_table(docs)).orderBy("media_id")

@@ -1079,3 +1079,36 @@ def test_gif_animation_composites_frames():
     bad[i + 3] = (bad[i + 3] & ~0x1C) | (2 << 2)
     with pytest.raises(NotImplementedError):
         _decode_gif(bytes(bad))
+
+
+def test_g711_expansion_spec_anchors_and_wav_path():
+    """ITU-T G.711 textbook anchors (mu-law full-scale +-32124 and
+    positive zero at 0xFF; A-law full-scale +-32256 and minimum step
+    +-8 at 0xD5/0x55) plus end-to-end decode of format-tag-6/7 WAVs."""
+    import struct as st
+
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _alaw2linear,
+        _decode_payload,
+        _ulaw2linear,
+    )
+
+    assert (_ulaw2linear(0x80), _ulaw2linear(0x00)) == (32124, -32124)
+    assert _ulaw2linear(0xFF) == 0 and _ulaw2linear(0x7F) == 0
+    assert (_alaw2linear(0xAA), _alaw2linear(0x2A)) == (32256, -32256)
+    assert (_alaw2linear(0xD5), _alaw2linear(0x55)) == (8, -8)
+
+    data = bytes(range(256))
+    for tag, fn in ((7, _ulaw2linear), (6, _alaw2linear)):
+        fmt = st.pack("<HHIIHH", tag, 1, 8000, 8000, 1, 8)
+        wav = (
+            b"RIFF" + st.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data
+        )
+        d = _decode_payload(wav)
+        pcm = np.frombuffer(d["payload"], dtype="<i2")
+        assert d["height"] == 16 and d["sample_rate"] == 8000
+        assert list(pcm) == [fn(b) for b in range(256)]
