@@ -208,3 +208,69 @@ def pagerank_fixedpoint(
         if checkpoint:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """EXACT per-node triangle counts (node, n_triangles) from an
+    undirected edge list (src, dst; either orientation, self-loops and
+    duplicates tolerated).
+
+    The MapReduce-classic orientation trick (Suri & Vassilvitskii
+    2011, Cohen 2009): canonicalize each undirected edge once, then
+    orient every edge from its LOWER-(degree, id) endpoint to the
+    higher. Each triangle has exactly one vertex with two outgoing
+    oriented edges, so path join (u->v, u->w) + existence join on
+    (v, w) counts each triangle EXACTLY once, and the heavy-hitter
+    explosion of a naive path join is bounded: an oriented out-degree
+    is O(sqrt(|E|)) regardless of how skewed the raw degrees are —
+    that bound is the whole reason production systems orient by
+    degree, and it is what survives a 100x scale-up. Two shuffles
+    (path join + existence join), then one explode+groupBy for the
+    per-node attribution."""
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    oriented = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(F.struct(F.col("b").alias("u"), F.col("a").alias("v")))
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    paths = (
+        oriented.select(F.col("u"), F.col("v").alias("x"))
+        .join(
+            oriented.select(F.col("u"), F.col("v").alias("y")),
+            "u",
+        )
+        .filter(F.col("x") < F.col("y"))
+    )
+    closing = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tris = paths.join(closing, ["x", "y"])  # (u, x, y) = one triangle
+    return (
+        tris.select(
+            F.explode(F.array("u", "x", "y")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

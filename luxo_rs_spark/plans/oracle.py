@@ -8498,3 +8498,27 @@ SELECT doc_id AS media_id,
        CAST(max1 AS INTEGER) AS sample_max
 FROM agg ORDER BY media_id
 """
+
+
+ORACLE_SQL["q418_triangle_count"] = """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), e AS (
+  SELECT a.l_suppkey AS a, b.l_suppkey AS b
+  FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey
+                     AND a.l_suppkey < b.l_suppkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 3
+), tri AS (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (
+  SELECT unnest([u, v, w]) AS node FROM tri
+)
+GROUP BY node
+ORDER BY node
+"""

@@ -15186,3 +15186,35 @@ def q417_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return decode_media_pcm_stats(synth_g711_table(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q418 — exact triangle counting (§2.2-K graph analytics; Suri &
+# Vassilvitskii 2011 MR orientation): the supplier co-supply graph
+# (edge = two suppliers sharing >= 3 distinct parts) oriented by
+# (degree, id) so every triangle is generated exactly once and the
+# path-join fan-out is bounded O(sqrt(|E|)) per node no matter how
+# skewed the raw degrees — the property that survives a 100x
+# scale-up. The oracle counts the SAME relation with the
+# u<v<w canonical three-way join, a deliberately different algorithm.
+# ---------------------------------------------------------------------------
+@query("q418_triangle_count")
+def q418_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.graph import triangle_count
+
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    a = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sa"))
+    b = ps.select(F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "pk")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 3)
+        .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
+    )
+    return triangle_count(edges).orderBy("node")

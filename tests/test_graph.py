@@ -128,3 +128,25 @@ def test_pagerank_fixedpoint_tracks_float_ranks(spark):
     fl = _numpy_pagerank(edge_list, 0.85, 5)
     for u in fl:
         assert abs(fp[u] - fl[u]) < 1e-9, (u, fp[u], fl[u])
+
+
+def test_triangle_count_hand_graph(spark):
+    """K4 (every node in 3 triangles), a triangle with a pendant, a
+    4-cycle (none), a skewed star (none); dupes/self-loops/reversed
+    edges tolerated."""
+    from luxo_rs_spark.operators.graph import triangle_count
+
+    edges = [
+        # K4 on 1..4
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1), (3, 3),  # reversed dupe + self-loop: ignored
+        # triangle 10,11,12 with pendant 13
+        (10, 11), (11, 12), (12, 10), (12, 13),
+        # 4-cycle 20..23
+        (20, 21), (21, 22), (22, 23), (23, 20),
+        # star around 30
+        (30, 31), (30, 32), (30, 33), (30, 34),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
