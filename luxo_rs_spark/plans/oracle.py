@@ -15,13 +15,13 @@ ORACLE_SQL: dict[str, str] = {}
 
 ORACLE_SQL["q01_pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                            AS sum_qty,
-       round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)                                            AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)                                       AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)                    AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-       round(sum(l_quantity), 2) / count(l_quantity)                        AS avg_qty,
-       round(sum(l_extendedprice), 2) / count(l_extendedprice)              AS avg_price,
-       round(sum(l_discount), 2) / count(l_discount)                        AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) / count(l_quantity)                        AS avg_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) / count(l_extendedprice)              AS avg_price,
+       CAST(round(sum(CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) / count(l_discount)                        AS avg_disc,
        count(*)                                                             AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -30,7 +30,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 ORACLE_SQL["q02_join_chain"] = """
-SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_acctbal
+SELECT r_name, count(*) AS n_customers, CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_acctbal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -58,7 +58,7 @@ ORACLE_SQL["q05_range_join"] = """
 WITH buckets(bucket_name, lo, hi) AS (
   VALUES ('small', 1, 17), ('medium', 17, 34), ('large', 34, 51)
 )
-SELECT bucket_name, count(*) AS n_parts, round(sum(p_retailprice), 2) / count(p_retailprice) AS avg_price
+SELECT bucket_name, count(*) AS n_parts, CAST(round(sum(CAST(p_retailprice AS DECIMAL(18,6))), 2) AS DOUBLE) / count(p_retailprice) AS avg_price
 FROM part JOIN buckets ON p_size >= lo AND p_size < hi
 GROUP BY bucket_name
 ORDER BY bucket_name
@@ -78,7 +78,7 @@ SELECT cast(grouping(o_orderpriority) AS BIGINT) AS g_pri,
        cast(grouping(o_orderstatus) AS BIGINT)   AS g_st,
        o_orderpriority, o_orderstatus,
        count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 ORDER BY g_pri, g_st, o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
@@ -243,7 +243,7 @@ SELECT c_mktsegment,
        round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
        round(stddev_samp(o_totalprice), 2)        AS sd_price,
        round(var_pop(o_totalprice) / 1e9, 4)      AS varp_price_g,
-       round(sum(o_totalprice), 2) / count(o_totalprice) AS avg_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) / count(o_totalprice) AS avg_price,
        count(*)                                   AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
@@ -254,7 +254,7 @@ ORACLE_SQL["q20_tumbling_window"] = """
 SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
        event_type,
        count(*)                         AS n,
-       round(sum(value), 2)             AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)             AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -266,7 +266,7 @@ WITH expanded AS (
   UNION ALL
   SELECT epoch_us(time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'), value FROM events
 )
-SELECT window_start_us, count(*) AS n, round(sum(value), 2) / count(value) AS avg_value
+SELECT window_start_us, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) / count(value) AS avg_value
 FROM expanded
 GROUP BY window_start_us
 ORDER BY window_start_us
@@ -288,7 +288,7 @@ WITH marked AS (
 SELECT user_id,
        epoch_us(min(ts))    AS session_start_us,
        count(*)             AS n_events,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
 FROM sessions
 GROUP BY user_id, sid
 ORDER BY user_id, session_start_us
@@ -320,7 +320,7 @@ SELECT cast(grouping(c_mktsegment) AS BIGINT) AS g_seg,
        cast(grouping(n_name) AS BIGINT)       AS g_nat,
        c_mktsegment, n_name,
        count(*)                               AS n,
-       round(sum(c_acctbal), 2)               AS sum_bal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)               AS sum_bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((c_mktsegment), (n_name), (c_mktsegment, n_name), ())
 ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST
@@ -329,7 +329,7 @@ ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST
 ORACLE_SQL["q26_theta_join"] = """
 SELECT s_nationkey,
        count(*) AS n_pairs,
-       round(sum(s_acctbal - c_acctbal), 2) / count(*) AS avg_gap
+       CAST(round(sum(CAST(s_acctbal - c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*) AS avg_gap
 FROM supplier JOIN customer
   ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
 GROUP BY s_nationkey
@@ -501,7 +501,7 @@ ORACLE_SQL["q41_left_outer_join"] = """
 SELECT c_mktsegment,
        count(*) AS n_rows,
        cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
-       round(sum(coalesce(o_totalprice, 0.0)), 2) AS sum_price
+       CAST(round(sum(CAST(coalesce(o_totalprice, 0.0) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -605,7 +605,7 @@ LIMIT 20
 ORACLE_SQL["q51_correlated_subqueries"] = """
 SELECT n_name,
        count(*)                 AS n_rich,
-       round(sum(c_acctbal), 2) AS sum_bal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_bal
 FROM customer c JOIN nation n ON c_nationkey = n_nationkey
 WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                    WHERE c2.c_nationkey = c.c_nationkey)
@@ -617,7 +617,7 @@ ORDER BY n_name
 ORACLE_SQL["q52_right_outer_join"] = """
 SELECT n_name,
        count(s_suppkey)                       AS n_suppliers,
-       coalesce(round(sum(s_acctbal), 2), 0.0) AS sum_bal
+       coalesce(CAST(round(sum(CAST(s_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE), 0.0) AS sum_bal
 FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
 GROUP BY n_name
 ORDER BY n_name
@@ -716,7 +716,7 @@ WITH spine AS (
 ),
 daily AS (
   SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n,
-         round(sum(o_totalprice), 2) AS total
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
   FROM orders
   WHERE CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
   GROUP BY 1
@@ -731,7 +731,7 @@ ORDER BY day
 ORACLE_SQL["q61_parquet_sink_roundtrip"] = """
 SELECT o_orderpriority,
        count(*)                    AS n,
-       round(sum(o_totalprice), 2) AS total,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
        min(o_orderkey)             AS min_key
 FROM orders
 GROUP BY o_orderpriority
@@ -741,9 +741,9 @@ ORDER BY o_orderpriority
 ORACLE_SQL["q62_csv_json_roundtrip"] = """
 SELECT c_mktsegment,
        count(*)                 AS n_csv,
-       round(sum(c_acctbal), 2) AS bal_csv,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal_csv,
        count(*)                 AS n_json,
-       round(sum(c_acctbal), 2) AS bal_json
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS bal_json
 FROM customer
 GROUP BY c_mktsegment
 ORDER BY c_mktsegment
@@ -751,7 +751,7 @@ ORDER BY c_mktsegment
 
 ORACLE_SQL["q63_udaf_weighted_avg"] = """
 SELECT l_returnflag,
-       round(sum(l_extendedprice * l_quantity), 2) / sum(l_quantity) AS w_avg_price,
+       CAST(round(sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) / sum(l_quantity) AS w_avg_price,
        count(*)                                                      AS n
 FROM lineitem
 GROUP BY l_returnflag
@@ -1027,7 +1027,7 @@ ORDER BY lang
 
 ORACLE_SQL["q78_disjunctive_filter"] = """
 SELECT l_returnflag, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE (p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20
        AND p_type LIKE '%ECO%')
@@ -1083,7 +1083,7 @@ WITH upd AS (
   UNION ALL
   SELECT o_orderkey, o_orderstatus, o_totalprice FROM upd WHERE NOT is_del
 )
-SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total,
+SELECT o_orderstatus, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total,
        min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
 FROM merged
 GROUP BY o_orderstatus
@@ -1169,7 +1169,7 @@ WITH hourly AS (
 )
 SELECT epoch_us(date_trunc('day', h)) AS day_us, event_type,
        CAST(sum(n) AS BIGINT) AS n_events,
-       round(sum(sv), 2)      AS sum_value,
+       CAST(round(sum(CAST(sv AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_value,
        CAST(count(*) AS BIGINT) AS n_hours
 FROM hourly
 GROUP BY 1, 2
@@ -1206,7 +1206,7 @@ SELECT nkey, count(*) AS n_rows,
        CAST(count(nkey) AS BIGINT) AS n_nonnull,
        CAST(sum(CASE WHEN nsafe_f THEN 1 ELSE 0 END) AS BIGINT) AS n_nsafe_f,
        CAST(sum(CASE WHEN plain_f IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown,
-       round(sum(o_totalprice), 2) AS total
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
 FROM t
 GROUP BY nkey
 ORDER BY nkey NULLS FIRST
@@ -1347,7 +1347,7 @@ ORDER BY custdist DESC, c_count DESC
 ORACLE_SQL["q95_wealthy_inactive"] = """
 SELECT cast(c_custkey % 10 AS BIGINT) AS cntrycode,
        count(*) AS numcust,
-       round(sum(c_acctbal), 2) AS totacctbal
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
 FROM customer c
 WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -1461,7 +1461,7 @@ ORDER BY vec_id
 ORACLE_SQL["q100_top_revenue_supplier"] = """
 WITH rev AS (
   SELECT l_suppkey,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -1507,7 +1507,7 @@ ORDER BY cohort_week, week_offset
 ORACLE_SQL["q103_locf_gapfill"] = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts)::TIMESTAMP AS h,
-         round(sum(value), 2) / count(*) AS v
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*) AS v
   FROM events GROUP BY 1, 2
 ), bounds AS (
   SELECT date_trunc('hour', min(ts))::TIMESTAMP AS h0,
@@ -1541,7 +1541,7 @@ WITH b AS (
                    WHEN o_totalprice >= 500000.0 THEN 21
                    ELSE floor(o_totalprice * 20 / 500000.0) + 1 END AS BIGINT) AS bucket,
          count(*) AS n_orders,
-         round(sum(o_totalprice), 2) AS sum_price
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
   FROM orders GROUP BY 1
 ), t AS (SELECT count(*) AS total FROM orders)
 SELECT bucket, n_orders, sum_price,
@@ -1601,7 +1601,7 @@ ORDER BY p_brand
 ORACLE_SQL["q108_small_quantity_revenue"] = """
 WITH per_part AS (
   SELECT l_partkey AS pk,
-         round(sum(l_quantity), 2) / count(*) AS avg_qty
+         CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*) AS avg_qty
   FROM lineitem GROUP BY 1
 )
 SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
@@ -1614,7 +1614,7 @@ WHERE l_quantity < 0.2 * avg_qty
 
 ORACLE_SQL["q109_shipping_priority"] = """
 SELECT l_orderkey,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -1629,7 +1629,7 @@ LIMIT 10
 
 ORACLE_SQL["q110_local_supplier_volume"] = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1647,7 +1647,7 @@ ORACLE_SQL["q111_volume_shipping"] = """
 SELECT n1.n_name AS supp_nation,
        n2.n_name AS cust_nation,
        cast(year(l_shipdate) AS BIGINT) AS l_year,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1664,9 +1664,9 @@ ORDER BY supp_nation, cust_nation, l_year
 
 ORACLE_SQL["q112_market_share"] = """
 SELECT cast(year(o_orderdate) AS BIGINT) AS o_year,
-       round(sum(CASE WHEN sn.n_name = 'NATION_1'
-                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2)
-         / round(sum(l_extendedprice * (1 - l_discount)), 2) AS mkt_share,
+       CAST(round(sum(CAST(CASE WHEN sn.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(18,6))), 2) AS DOUBLE)
+         / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS mkt_share,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1686,7 +1686,7 @@ ORDER BY o_year
 
 ORACLE_SQL["q113_returned_items"] = """
 SELECT c_custkey, c_name, c_acctbal, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -1700,10 +1700,10 @@ LIMIT 20
 """
 
 ORACLE_SQL["q114_promo_revenue"] = """
-SELECT 100.0 * round(sum(CASE WHEN p_type = 'PROMO'
+SELECT 100.0 * CAST(round(sum(CAST(CASE WHEN p_type = 'PROMO'
                               THEN l_extendedprice * (1 - l_discount)
-                              ELSE 0.0 END), 2)
-         / round(sum(l_extendedprice * (1 - l_discount)), 2) AS promo_pct,
+                              ELSE 0.0 END AS DECIMAL(18,6))), 2) AS DOUBLE)
+         / CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS promo_pct,
        count(*) AS n_lineitems
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -1713,9 +1713,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01'
 
 ORACLE_SQL["q115_large_volume_orders"] = """
 WITH big AS (
-  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  SELECT l_orderkey, CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_qty
   FROM lineitem GROUP BY 1
-  HAVING round(sum(l_quantity), 2) > 250.0
+  HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) > 250.0
 )
 SELECT c_custkey, c_name,
        l_orderkey AS o_orderkey,
@@ -1939,7 +1939,7 @@ ORDER BY o_orderpriority
 """
 
 ORACLE_SQL["q127_forecast_revenue"] = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        cast(count(*) AS BIGINT) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -1971,7 +1971,7 @@ WITH per_part AS (
   FROM lineitem GROUP BY 1
 ),
 total AS (
-  SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_value
+  SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
   FROM lineitem
 )
 SELECT partkey, round(raw_value, 2) AS part_value
@@ -2184,7 +2184,7 @@ tiled AS (
 )
 SELECT decile,
        cast(count(*) AS BIGINT) AS n_customers,
-       round(sum(spend), 2) AS decile_spend,
+       CAST(round(sum(CAST(spend AS DECIMAL(18,6))), 2) AS DOUBLE) AS decile_spend,
        round(min(spend), 2) AS min_spend,
        round(max(spend), 2) AS max_spend
 FROM tiled
@@ -2257,7 +2257,7 @@ ORDER BY bar_us
 ORACLE_SQL["q144_salted_heavy_hitters"] = """
 SELECT event_type,
        cast(count(*) AS BIGINT) AS n,
-       round(sum(value), 2) AS sum_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -2286,7 +2286,7 @@ attributed AS (
 )
 SELECT coalesce(matched_type, 'unattributed') AS channel,
        cast(count(*) AS BIGINT) AS n_purchases,
-       round(sum(value), 2) AS attributed_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS attributed_value
 FROM attributed
 GROUP BY 1
 ORDER BY channel
@@ -2684,7 +2684,7 @@ scored AS (
 )
 SELECT concat_ws('-', r, f, m) AS segment,
        cast(count(*) AS BIGINT) AS n_customers,
-       round(sum(monetary), 2) AS segment_value
+       CAST(round(sum(CAST(monetary AS DECIMAL(18,6))), 2) AS DOUBLE) AS segment_value
 FROM scored
 GROUP BY 1
 ORDER BY segment
@@ -2784,7 +2784,7 @@ dd AS (
 SELECT user_id,
        round(max(peak - cum), 2) AS max_drawdown,
        round(max(peak), 2) AS max_peak,
-       round(sum(sv), 2) AS final_position,
+       CAST(round(sum(CAST(sv AS DECIMAL(18,6))), 2) AS DOUBLE) AS final_position,
        cast(count(*) AS BIGINT) AS n_events
 FROM dd
 GROUP BY user_id
@@ -2827,7 +2827,7 @@ SELECT CASE WHEN l_extendedprice <= p25 THEN 'Q1'
             WHEN l_extendedprice <= p75 THEN 'Q3'
             ELSE 'Q4' END AS band,
        cast(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice), 2) AS band_value,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS band_value,
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price
 FROM lineitem, bounds
@@ -2880,7 +2880,7 @@ ORDER BY user_id, ts_us, event_id
 ORACLE_SQL["q176_orc_roundtrip"] = """
 SELECT cast(year(o_orderdate) AS BIGINT) AS o_year,
        cast(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS total
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
 FROM orders
 WHERE o_orderstatus = 'F'
 GROUP BY 1
@@ -2897,7 +2897,7 @@ WITH merged AS (
 )
 SELECT coalesce(priority, '<pre-evolution>') AS priority,
        cast(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS total
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
 FROM merged
 GROUP BY 1
 ORDER BY priority
@@ -2928,7 +2928,7 @@ ORACLE_SQL["q179_heatmap_2d"] = """
 SELECT cast(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
        cast(floor(l_discount * 20) AS BIGINT) AS disc_bucket,
        cast(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 GROUP BY 1, 2
 ORDER BY qty_bucket, disc_bucket
@@ -2961,7 +2961,7 @@ WITH epochs AS (
 )
 SELECT o_orderkey,
        cast(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS epoch_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS epoch_value
 FROM events e
 JOIN epochs p ON e.user_id = p.user_id
              AND e.ts >= p.valid_from AND e.ts < p.valid_to
@@ -3257,7 +3257,7 @@ credited AS (
   FROM joined
 )
 SELECT channel,
-       round(sum(credit), 2) AS credited_value,
+       CAST(round(sum(CAST(credit AS DECIMAL(18,6))), 2) AS DOUBLE) AS credited_value,
        cast(count(*) AS BIGINT) AS n_touch_credits
 FROM credited
 GROUP BY channel
@@ -3315,14 +3315,18 @@ ORACLE_SQL["q198_ytd_running"] = """
 WITH monthly AS (
   SELECT cast(year(l_shipdate) AS BIGINT) AS yr,
          cast(month(l_shipdate) AS BIGINT) AS mo,
-         sum(l_extendedprice * (1 - l_discount)) AS rev
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+           AS rev
   FROM lineitem GROUP BY 1, 2
 )
 SELECT yr, mo,
-       round(rev, 2) AS month_rev,
-       round(sum(rev) OVER (PARTITION BY yr ORDER BY mo
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS ytd_rev,
-       round(rev / sum(rev) OVER (PARTITION BY yr) * 100, 2) AS pct_of_year
+       CAST(round(rev, 2) AS DOUBLE) AS month_rev,
+       CAST(round(sum(rev) OVER (PARTITION BY yr ORDER BY mo
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+         AS ytd_rev,
+       round(CAST(rev AS DOUBLE)
+             / CAST(sum(rev) OVER (PARTITION BY yr) AS DOUBLE) * 100, 2)
+         AS pct_of_year
 FROM monthly
 ORDER BY yr, mo
 """
@@ -3645,15 +3649,15 @@ b AS (
 ),
 j AS (SELECT * FROM a FULL JOIN b USING (pk))
 SELECT
-  round(sum(CASE WHEN qty_a IS NOT NULL AND qty_b IS NOT NULL
-                 THEN (qty_b - qty_a) * price_a ELSE 0.0 END), 2)
+  CAST(round(sum(CAST(CASE WHEN qty_a IS NOT NULL AND qty_b IS NOT NULL
+                 THEN (qty_b - qty_a) * price_a ELSE 0.0 END AS DECIMAL(18,6))), 2) AS DOUBLE)
     AS volume_effect,
-  round(sum(CASE WHEN qty_a IS NOT NULL AND qty_b IS NOT NULL
-                 THEN (price_b - price_a) * qty_b ELSE 0.0 END), 2)
+  CAST(round(sum(CAST(CASE WHEN qty_a IS NOT NULL AND qty_b IS NOT NULL
+                 THEN (price_b - price_a) * qty_b ELSE 0.0 END AS DECIMAL(18,6))), 2) AS DOUBLE)
     AS price_effect,
-  round(sum(CASE WHEN qty_a IS NULL THEN qty_b * price_b ELSE 0.0 END), 2)
+  CAST(round(sum(CAST(CASE WHEN qty_a IS NULL THEN qty_b * price_b ELSE 0.0 END AS DECIMAL(18,6))), 2) AS DOUBLE)
     AS new_parts_effect,
-  round(sum(CASE WHEN qty_b IS NULL THEN -qty_a * price_a ELSE 0.0 END), 2)
+  CAST(round(sum(CAST(CASE WHEN qty_b IS NULL THEN -qty_a * price_a ELSE 0.0 END AS DECIMAL(18,6))), 2) AS DOUBLE)
     AS lost_parts_effect,
   cast(count(*) AS BIGINT) AS n_parts
 FROM j
@@ -3743,7 +3747,7 @@ WITH staged AS (
 ),
 rolled AS (
   SELECT yr, qtr, mo,
-         round(sum(amt), 2) AS rev,
+         CAST(round(sum(CAST(amt AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev,
          cast(count(*) AS BIGINT) AS n_lines,
          grouping(yr) * 4 + grouping(qtr) * 2 + grouping(mo) AS gid
   FROM staged
@@ -3775,7 +3779,7 @@ SELECT round(2 * CAST(sum(i * x) AS DOUBLE)
              / (count(*) * CAST(sum(x) AS DOUBLE))
              - (count(*) + 1.0) / count(*), 6) AS gini,
        cast(count(*) AS BIGINT) AS n_customers,
-       CAST(round(sum(x), 2) AS DOUBLE) AS total_spend
+       CAST(CAST(round(sum(CAST(x AS DECIMAL(18,6))), 2) AS DOUBLE) AS DOUBLE) AS total_spend
 FROM ranked
 """
 
@@ -3827,7 +3831,7 @@ periods AS (
 )
 SELECT user_id,
        cast(count(*) AS BIGINT) AS n_periods,
-       round(sum((pe - ps) / 60000000.0), 2) AS covered_minutes
+       CAST(round(sum(CAST((pe - ps) / 60000000.0 AS DECIMAL(18,6))), 2) AS DOUBLE) AS covered_minutes
 FROM periods
 GROUP BY user_id
 ORDER BY user_id
@@ -4041,8 +4045,8 @@ FROM ranked
 ORACLE_SQL["q231_csv_malformed"] = """
 SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'corrupt' ELSE 'ok' END AS status,
        cast(count(*) AS BIGINT) AS n_rows,
-       round(sum(CASE WHEN o_orderkey % 10 = 0 THEN NULL
-                      ELSE o_totalprice END), 2) AS sum_price
+       CAST(round(sum(CAST(CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                      ELSE o_totalprice END AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY 1
 ORDER BY status
@@ -5176,7 +5180,7 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(n_chars) AS BIGINT) AS min_chars,
        round(median(n_chars), 2) AS median_chars,
        CAST(max(n_chars) AS BIGINT) AS max_chars,
-       round(round(sum(n_chars), 2) / count(*), 2) AS mean_chars
+       round(CAST(round(sum(CAST(n_chars AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*), 2) AS mean_chars
 FROM base
 """
 
@@ -6828,7 +6832,7 @@ SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CASE WHEN rel <= 0.001 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_reconciled,
-       round(sum(rel * 100), 2) / count(*) AS avg_rel_delta_pct,
+       CAST(round(sum(CAST(rel * 100 AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*) AS avg_rel_delta_pct,
        round(max(rel * 100), 2) AS max_rel_delta_pct
 FROM j
 GROUP BY 1
@@ -6861,7 +6865,7 @@ WITH m AS (
          CAST(count(*) AS BIGINT) AS n_docs,
          1 - count(DISTINCT fp) * 1.0 / count(*) AS dup_rate,
          avg(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS short_frac,
-         round(sum(qv), 2) / count(*) AS mean_quality
+         CAST(round(sum(CAST(qv AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*) AS mean_quality
   FROM q GROUP BY 1
 )
 SELECT source, n_docs,
@@ -6909,7 +6913,7 @@ LIMIT 100
 ORACLE_SQL["q370_xml_roundtrip"] = """
 SELECT o_orderstatus,
        cast(count(*) AS BIGINT) AS n_orders,
-       round(sum(o_totalprice), 2) AS sum_price,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
        cast(min(o_orderkey) AS BIGINT) AS min_key,
        cast(max(o_orderkey) AS BIGINT) AS max_key
 FROM orders
@@ -6936,7 +6940,7 @@ ORACLE_SQL["q372_recursive_bfs"] = _Q372_SQL
 
 ORACLE_SQL["q373_pipe_syntax"] = """
 SELECT cast(count(*) AS BIGINT) AS n,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
        round(avg(l_quantity), 2) AS avg_qty,
        l_returnflag, l_linestatus
 FROM lineitem
@@ -7042,7 +7046,7 @@ ORDER BY event_type
 ORACLE_SQL["q379_linear_interpolation"] = """
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS h,
-         round(sum(value), 2) / count(*) AS v
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) / count(*) AS v
   FROM events GROUP BY event_type, date_trunc('hour', ts)
 ), bounds AS (
   SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
@@ -7088,7 +7092,7 @@ ORDER BY event_type, hour_us
 ORACLE_SQL["q381_parameterized_sql"] = """
 SELECT o_orderpriority,
        cast(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS sum_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
 FROM orders
 WHERE o_orderstatus = 'O' AND o_totalprice >= 50000.0
 GROUP BY o_orderpriority
@@ -7098,7 +7102,7 @@ ORDER BY o_orderpriority
 ORACLE_SQL["q382_group_by_all"] = """
 SELECT o_orderstatus, o_orderpriority,
        cast(count(*) AS BIGINT) AS n,
-       round(sum(o_totalprice), 2) AS sum_price
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
 FROM orders
 GROUP BY o_orderstatus, o_orderpriority
 ORDER BY o_orderstatus, o_orderpriority, n, sum_price
@@ -7265,7 +7269,7 @@ WITH med AS (
 ), per AS (
   SELECT o_orderpriority,
          CASE WHEN epoch(o_orderdate) <= med.m THEN 0 ELSE 1 END AS p,
-         count(*) AS n, round(sum(o_totalprice), 2) AS rev
+         count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
   FROM orders, med
   GROUP BY 1, 2
 ), piv AS (
@@ -7291,7 +7295,7 @@ ORDER BY o_orderpriority
 ORACLE_SQL["q390_rolling_mad_outliers"] = """
 WITH daily AS (
   SELECT date_trunc('day', o_orderdate) AS d,
-         round(sum(o_totalprice), 2) AS v
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS v
   FROM orders GROUP BY 1
 ), med AS (
   SELECT d, v,
@@ -7858,6 +7862,7 @@ ORDER BY da, db
 
     import numpy as np
 
+    from luxo_rs_spark.functions.xxh64 import xxh64_long_signed
     from luxo_rs_spark.operators.similarity import (
         derive_lsh_bands,
         kmeans_numpy,
@@ -7940,10 +7945,23 @@ ORDER BY da, db
         scored.sort(key=lambda kv: (-kv[1], kv[0]))
         b36.append((key, scored[:5]))
 
-        # q64 — IVF top-5 of vec 1 (16 centroids, 4 probes). At fixture
-        # sizes the kmeans sample stride is 1, so the id-ordered corpus
-        # IS the training matrix.
-        cent = kmeans_numpy(mat, 16, 42, 8)
+        # q64 — IVF top-5 of vec 1 (16 centroids, 4 probes). The
+        # kmeans training matrix replicates kmeans_centroids'
+        # hash-STRIDED driver sample exactly: ids where
+        # pmod(xxhash64(id), ceil(N/4096)) == 0, id-ordered, first
+        # 4096 (stride 1 below 4096 rows — the sf1 gate caught q278
+        # diverging when the stride first exceeded 1).
+        stride = max(1, -(-nvec // 4096))
+        if stride == 1:
+            train = mat
+        else:
+            sel = [
+                i
+                for i in range(nvec)
+                if xxh64_long_signed(ids[i]) % stride == 0
+            ][:4096]
+            train = mat[sel]
+        cent = kmeans_numpy(train, 16, 42, 8)
         qn1 = mat[t1] / max(np.linalg.norm(mat[t1]), 1e-12)
         probes = {int(c) for c in np.argsort(-(cent @ qn1))[:4]}
         assign = np.argmax(mnorm @ cent.T, axis=1)
@@ -8041,7 +8059,7 @@ ORDER BY da, db
         # survivor rule, numpy prefilter + seq-fold recheck at the
         # threshold margin
         ncl = max(16, math.ceil(nvec / 128))
-        cent288 = kmeans_numpy(mat, ncl, 42, 8)
+        cent288 = kmeans_numpy(train, ncl, 42, 8)
         assign288 = np.argmax(mnorm @ cent288.T, axis=1)
         rows288 = []
         for c in sorted({int(a) for a in assign288}):

@@ -62,15 +62,27 @@ def _r2x(col) -> F.Column:
     return F.floor(col * 100 + F.lit(0.5)) / 100.0
 
 
+def _r2money(col) -> F.Column:
+    """round(SUM(x), 2) with the sum taken in exact DECIMAL(18,6):
+    per-row quantization to 1e-6 is identical on both engines (a
+    double is never exactly on a decimal tie), the sum is then
+    order-INDEPENDENT, and the rounded result casts back to double.
+    The sf1 gate showed every output-facing money sum needs this —
+    plain double sums drift past cent boundaries once groups reach
+    ~1e10 in magnitude (q128/q152/q198 recipe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(18,6)")), 2).cast("double")
+
+
 def _avg4(col) -> F.Column:
-    """Deterministic cross-engine average: round the sum to cents first
-    (absorbing engine-specific summation-order ulps), then divide and DO
-    NOT round again — IEEE division of identical doubles is bit-identical
-    on every engine, while a final round() can flip on half-boundaries
-    because Spark (BigDecimal half-up on the shortest decimal string) and
-    DuckDB round the same double differently (SURVEY.md §7 float
-    determinism mitigation)."""
-    return _r2(F.sum(col)) / F.count(col)
+    """Deterministic cross-engine average: round the EXACT decimal sum
+    to cents first, then divide and DO NOT round again — IEEE division
+    of identical doubles is bit-identical on every engine, while a
+    final round() can flip on half-boundaries because Spark
+    (BigDecimal half-up on the shortest decimal string) and DuckDB
+    round the same double differently (SURVEY.md §7 float determinism
+    mitigation)."""
+    return _r2money(col) / F.count(col)
 
 
 # ---------------------------------------------------------------------------
@@ -89,10 +101,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _r2(F.sum("l_quantity")).alias("sum_qty"),
-            _r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _r2(F.sum(disc_price)).alias("sum_disc_price"),
-            _r2(F.sum(charge)).alias("sum_charge"),
+            _r2money("l_quantity").alias("sum_qty"),
+            _r2money("l_extendedprice").alias("sum_base_price"),
+            _r2money(disc_price).alias("sum_disc_price"),
+            _r2money(charge).alias("sum_charge"),
             _avg4("l_quantity").alias("avg_qty"),
             _avg4("l_extendedprice").alias("avg_price"),
             _avg4("l_discount").alias("avg_disc"),
@@ -121,7 +133,7 @@ def q02_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            _r2(F.sum("c_acctbal")).alias("sum_acctbal"),
+            _r2money("c_acctbal").alias("sum_acctbal"),
         )
         .orderBy("r_name")
     )
@@ -230,7 +242,7 @@ def q07_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.grouping("o_orderpriority").cast("bigint").alias("g_pri"),
             F.grouping("o_orderstatus").cast("bigint").alias("g_st"),
             F.count(F.lit(1)).alias("n_orders"),
-            _r2(F.sum("o_totalprice")).alias("sum_price"),
+            _r2money(F.col("o_totalprice")).alias("sum_price"),
         )
         .select(
             "g_pri",
@@ -549,7 +561,7 @@ def q20_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r2(F.sum("value")).alias("sum_value"),
+            _r2money("value").alias("sum_value"),
         )
         .select(
             F.unix_micros(F.col("w.start")).alias("window_start_us"),
@@ -597,7 +609,7 @@ def q22_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            _r2(F.sum("value")).alias("sum_value"),
+            _r2money("value").alias("sum_value"),
         )
         .select(
             "user_id",
@@ -670,7 +682,7 @@ def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(grouping(n_name) AS BIGINT)       AS g_nat,
                c_mktsegment, n_name,
                count(*)                               AS n,
-               round(sum(c_acctbal), 2)               AS sum_bal
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE)               AS sum_bal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY GROUPING SETS ((c_mktsegment), (n_name), (c_mktsegment, n_name), ())
         ORDER BY g_seg, g_nat, c_mktsegment NULLS FIRST, n_name NULLS FIRST
@@ -722,12 +734,10 @@ def q27_case_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(disc_band == "mid", 1).otherwise(0))
             .cast("bigint")
             .alias("n_mid"),
-            _r2(
-                F.sum(
+            _r2money(
                     F.coalesce(F.nullif("l_discount", F.lit(0.0)), F.lit(0.01))
                     * F.col("l_extendedprice")
-                )
-            ).alias("adj_disc_value"),
+                ).alias("adj_disc_value"),
             F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0))
             .cast("bigint")
             .alias("n_notax"),
@@ -1002,7 +1012,7 @@ def q41_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_unmatched"),
-            _r2(F.sum(F.coalesce("o_totalprice", F.lit(0.0)))).alias("sum_price"),
+            _r2money(F.coalesce("o_totalprice", F.lit(0.0))).alias("sum_price"),
         )
         .orderBy("c_mktsegment")
     )
@@ -1240,7 +1250,7 @@ def q51_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT n_name,
                count(*)                 AS n_rich,
-               round(sum(c_acctbal), 2) AS sum_bal
+               CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_bal
         FROM customer c JOIN nation n ON c_nationkey = n_nationkey
         WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
                            WHERE c2.c_nationkey = c.c_nationkey)
@@ -1265,7 +1275,7 @@ def q52_right_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count("s_suppkey").alias("n_suppliers"),
-            F.coalesce(_r2(F.sum("s_acctbal")), F.lit(0.0)).alias("sum_bal"),
+            F.coalesce(_r2money("s_acctbal"), F.lit(0.0)).alias("sum_bal"),
         )
         .orderBy("n_name")
     )
@@ -1473,7 +1483,7 @@ def q60_calendar_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(F.to_date("o_orderdate").alias("day"), "o_totalprice")
         .filter((F.col("day") >= "1995-01-01") & (F.col("day") <= "1995-03-31"))
         .groupBy("day")
-        .agg(F.count(F.lit(1)).alias("n"), _r2(F.sum("o_totalprice")).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), _r2money(F.col("o_totalprice")).alias("total"))
     )
     return (
         spine.join(daily, "day", "left")
@@ -1513,7 +1523,7 @@ def q61_parquet_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r2(F.sum("o_totalprice")).alias("total"),
+            _r2money(F.col("o_totalprice")).alias("total"),
             F.min("o_orderkey").alias("min_key"),
         )
         .orderBy("o_orderpriority")
@@ -1549,7 +1559,7 @@ def q62_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     agg = lambda df, n: df.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias(f"n_{n}"), _r2(F.sum("c_acctbal")).alias(f"bal_{n}")
+        F.count(F.lit(1)).alias(f"n_{n}"), _r2money("c_acctbal").alias(f"bal_{n}")
     )
     return (
         agg(read_csv(spark, csv_path, schema), "csv")
@@ -1918,7 +1928,7 @@ def q78_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            _r2(F.sum(revenue)).alias("revenue"),
+            _r2money(revenue).alias("revenue"),
         )
         .orderBy("l_returnflag")
     )
@@ -1984,7 +1994,7 @@ def q81_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r2(F.sum("o_totalprice")).alias("total"),
+            _r2money(F.col("o_totalprice")).alias("total"),
             F.min("o_orderkey").alias("min_key"),
             F.max("o_orderkey").alias("max_key"),
         )
@@ -2094,7 +2104,7 @@ def q86_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly.groupBy(F.date_trunc("day", "h").alias("d"), "event_type")
         .agg(
             F.sum("n").cast("bigint").alias("n_events"),
-            _r2(F.sum("sv")).alias("sum_value"),
+            _r2money("sv").alias("sum_value"),
             F.count(F.lit(1)).cast("bigint").alias("n_hours"),
         )
     )
@@ -2165,7 +2175,7 @@ def q88_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("plain_f").isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_unknown"),
-            _r2(F.sum("o_totalprice")).alias("total"),
+            _r2money(F.col("o_totalprice")).alias("total"),
         )
         .orderBy(F.col("nkey").asc_nulls_first())
     )
@@ -2351,7 +2361,7 @@ def q95_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            _r2(F.sum("c_acctbal")).alias("totacctbal"),
+            _r2money("c_acctbal").alias("totacctbal"),
         )
         .orderBy("cntrycode")
     )
@@ -2567,8 +2577,8 @@ def q100_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_suppkey")
         .agg(
-            _r2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _r2money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("total_revenue")
         )
     )
@@ -2678,7 +2688,7 @@ def q103_locf_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg((_r2(F.sum("value")) / F.count(F.lit(1))).alias("v"))
+    ).agg((_r2money("value") / F.count(F.lit(1))).alias("v"))
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
@@ -2734,7 +2744,7 @@ def q104_histogram_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket")
     ).agg(
         F.count(F.lit(1)).alias("n_orders"),
-        _r2(F.sum("o_totalprice")).alias("sum_price"),
+        _r2money(F.col("o_totalprice")).alias("sum_price"),
     )
     # total as a lazy 1-row broadcast, not a driver-side count(): one job
     total = orders.agg(F.count(F.lit(1)).alias("total"))
@@ -2882,7 +2892,7 @@ def q108_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (_r2(F.sum("l_quantity")) / F.count(F.lit(1))).alias("avg_qty")
+        (_r2money("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
     )
     brands = part.filter(F.col("p_brand") == "Brand#4").select("p_partkey")
     return (
@@ -2922,8 +2932,8 @@ def q109_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            _r2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _r2money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select(
@@ -2973,8 +2983,8 @@ def q110_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            _r2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _r2money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -3021,8 +3031,8 @@ def q111_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            _r2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _r2money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -3075,10 +3085,8 @@ def q112_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
             (
-                _r2(
-                    F.sum(F.when(F.col("nation") == "NATION_1", volume).otherwise(0.0))
-                )
-                / _r2(F.sum(volume))
+                _r2money(F.when(F.col("nation") == "NATION_1", volume).otherwise(0.0))
+                / _r2money(volume)
             ).alias("mkt_share"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
@@ -3109,8 +3117,8 @@ def q113_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            _r2(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            _r2money(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -3137,8 +3145,8 @@ def q114_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 100.0
-                * _r2(F.sum(F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0)))
-                / _r2(F.sum(volume))
+                * _r2money(F.when(F.col("p_type") == "PROMO", volume).otherwise(0.0))
+                / _r2money(volume)
             ).alias("promo_pct"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
@@ -3156,7 +3164,7 @@ def q115_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(_r2(F.sum("l_quantity")).alias("total_qty"))
+        .agg(_r2money("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 250.0)
     )
     orders = load_table(spark, sf_dir, "orders")
@@ -3576,7 +3584,7 @@ def q127_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _r2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+            _r2money(F.col("l_extendedprice") * F.col("l_discount")).alias(
                 "revenue"
             ),
             F.count(F.lit(1)).cast("bigint").alias("n_lines"),
@@ -3618,7 +3626,7 @@ def q128_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("bigint").alias("o_year"),
         )
-        .agg(_r2(F.sum(amount)).cast("double").alias("profit"))
+        .agg(_r2money(amount).cast("double").alias("profit"))
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -3640,7 +3648,7 @@ def q129_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_part = li.groupBy(F.col("l_partkey").cast("bigint").alias("partkey")).agg(
         F.sum(val).alias("raw_value")
     )
-    total = li.agg(_r2(F.sum(val)).alias("total_value"))
+    total = li.agg(_r2money(val).alias("total_value"))
     return (
         per_part.join(F.broadcast(total))
         .filter(F.round(F.col("raw_value"), 2) > F.col("total_value") * 0.001)
@@ -4064,7 +4072,7 @@ def q140_customer_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            _r2(F.sum("spend")).alias("decile_spend"),
+            _r2money("spend").alias("decile_spend"),
             _r2(F.min("spend")).alias("min_spend"),
             _r2(F.max("spend")).alias("max_spend"),
         )
@@ -4226,7 +4234,7 @@ def q145_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
-            _r2(F.sum("value")).alias("attributed_value"),
+            _r2money("value").alias("attributed_value"),
         )
         .orderBy("channel")
     )
@@ -4786,7 +4794,7 @@ def q162_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("user_id") % 13 == 0)
         .groupBy("user_id")
         .agg(
-            _r2(F.sum(F.col("value") * decay)).alias("decayed_value"),
+            _r2money(F.col("value") * decay).alias("decayed_value"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
         .orderBy("user_id")
@@ -4918,7 +4926,7 @@ def q166_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-            _r2(F.sum("monetary")).alias("segment_value"),
+            _r2money("monetary").alias("segment_value"),
         )
         .orderBy("segment")
     )
@@ -5072,7 +5080,7 @@ def q170_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             _r2(F.max("dd")).alias("max_drawdown"),
             _r2(F.max("peak")).alias("max_peak"),
-            _r2(F.sum(signed)).alias("final_position"),
+            _r2money(signed).alias("final_position"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
         )
         .orderBy("user_id")
@@ -5176,7 +5184,7 @@ def q173_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(band.alias("band"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            _r2(F.sum("l_extendedprice")).alias("band_value"),
+            _r2money("l_extendedprice").alias("band_value"),
             _r2(F.min("l_extendedprice")).alias("min_price"),
             _r2(F.max("l_extendedprice")).alias("max_price"),
         )
@@ -5282,7 +5290,7 @@ def q176_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            _r2(F.sum("o_totalprice")).alias("total"),
+            _r2money(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("o_year")
     )
@@ -5321,7 +5329,7 @@ def q177_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            _r2(F.sum("o_totalprice")).alias("total"),
+            _r2money(F.col("o_totalprice")).alias("total"),
         )
         .orderBy("priority")
     )
@@ -5382,7 +5390,7 @@ def q179_heatmap_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(qty_b.alias("qty_bucket"), disc_b.alias("disc_bucket"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            _r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            _r2money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"
             ),
         )
@@ -5458,7 +5466,7 @@ def q181_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         hits.groupBy("o_orderkey")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            _r2(F.sum("value")).alias("epoch_value"),
+            _r2money("value").alias("epoch_value"),
         )
         .orderBy("o_orderkey")
     )
@@ -5982,7 +5990,7 @@ def q195_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         credited.groupBy("channel")
         .agg(
-            _r2(F.sum("credit")).alias("credited_value"),
+            _r2money("credit").alias("credited_value"),
             F.count(F.lit(1)).cast("bigint").alias("n_touch_credits"),
         )
         .orderBy("channel")
@@ -6084,10 +6092,20 @@ def q197_seat_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q198_ytd_running")
 def q198_ytd_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    # DECIMAL(18,6) per-row -> exact order-independent monthly sums
+    # (the sf1 gate caught the plain double sum straddling a cent);
+    # downstream window sums stay in exact decimal too, ratios on the
+    # double casts of identical exact values
     monthly = li.groupBy(
         F.year("l_shipdate").cast("bigint").alias("yr"),
         F.month("l_shipdate").cast("bigint").alias("mo"),
-    ).agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("rev")
+    )
     run = (
         Window.partitionBy("yr")
         .orderBy("mo")
@@ -6097,11 +6115,14 @@ def q198_ytd_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monthly.select(
         "yr",
         "mo",
-        _r2(F.col("rev")).alias("month_rev"),
-        _r2(F.sum("rev").over(run)).alias("ytd_rev"),
-        F.round(F.col("rev") / F.sum("rev").over(full) * 100, 2).alias(
-            "pct_of_year"
-        ),
+        F.round("rev", 2).cast("double").alias("month_rev"),
+        F.round(F.sum("rev").over(run), 2).cast("double").alias("ytd_rev"),
+        F.round(
+            F.col("rev").cast("double")
+            / F.sum("rev").over(full).cast("double")
+            * 100,
+            2,
+        ).alias("pct_of_year"),
     ).orderBy("yr", "mo")
 
 
@@ -6682,10 +6703,10 @@ def q213_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qty_b").isNull(), -F.col("qty_a") * F.col("price_a")
     ).otherwise(0.0)
     return j.agg(
-        _r2(F.sum(volume_effect)).alias("volume_effect"),
-        _r2(F.sum(price_effect)).alias("price_effect"),
-        _r2(F.sum(new_effect)).alias("new_parts_effect"),
-        _r2(F.sum(lost_effect)).alias("lost_parts_effect"),
+        _r2money(volume_effect).alias("volume_effect"),
+        _r2money(price_effect).alias("price_effect"),
+        _r2money(new_effect).alias("new_parts_effect"),
+        _r2money(lost_effect).alias("lost_parts_effect"),
         F.count(F.lit(1)).cast("bigint").alias("n_parts"),
     )
 
@@ -6831,7 +6852,7 @@ def q217_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("amt"),
     )
     rolled = staged.rollup("yr", "qtr", "mo").agg(
-        _r2(F.sum("amt")).alias("rev"),
+        _r2money("amt").alias("rev"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
         F.grouping_id().alias("gid"),
     )
@@ -7350,7 +7371,7 @@ def q231_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("status")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            _r2(F.sum("o_totalprice")).alias("sum_price"),
+            _r2money(F.col("o_totalprice")).alias("sum_price"),
         )
         .orderBy("status")
     )
@@ -12885,7 +12906,7 @@ def q366_order_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_reconciled"),
             # round-sum-then-divide: IEEE division of identical doubles
             # is engine-stable, a rounded avg of ulp-different sums isn't
-            (_r2(F.sum(rel * 100)) / F.count(F.lit(1))).alias(
+            (_r2money(rel * 100) / F.count(F.lit(1))).alias(
                 "avg_rel_delta_pct"
             ),
             _r2(F.max(rel * 100)).alias("max_rel_delta_pct"),
@@ -12956,7 +12977,7 @@ def q368_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         (1 - F.countDistinct("fp") / F.count(F.lit(1))).alias("dup_rate"),
         F.avg((F.col("n_chars") < 100).cast("int")).alias("short_frac"),
-        (_r2(F.sum("q")) / F.count(F.lit(1))).alias("mean_quality"),
+        (_r2money("q") / F.count(F.lit(1))).alias("mean_quality"),
     )
     score = (
         F.col("mean_quality") * 0.6
@@ -13025,7 +13046,7 @@ def q370_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            _r2(F.sum("o_totalprice")).alias("sum_price"),
+            _r2money(F.col("o_totalprice")).alias("sum_price"),
             F.min("o_orderkey").cast("bigint").alias("min_key"),
             F.max("o_orderkey").cast("bigint").alias("max_key"),
         )
@@ -13136,7 +13157,7 @@ def q373_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         |> WHERE l_quantity > 5
         |> AGGREGATE cast(count(*) AS BIGINT) AS n,
-                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)
                        AS revenue,
                      round(avg(l_quantity), 2) AS avg_qty
            GROUP BY l_returnflag, l_linestatus
@@ -13174,8 +13195,8 @@ def q374_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT l.l_returnflag,
                cast(count(*) AS BIGINT) AS n,
-               round(sum(luxo_disc_price(l.l_extendedprice, l.l_discount,
-                                         l.l_tax)), 2) AS charged
+               CAST(round(sum(CAST(luxo_disc_price(l.l_extendedprice, l.l_discount,
+                                         l.l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE) AS charged
         FROM lineitem l
         JOIN luxo_status_orders('F') o ON l.l_orderkey = o.o_orderkey
         GROUP BY l.l_returnflag
@@ -13375,7 +13396,7 @@ def q379_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("h")
-    ).agg((_r2(F.sum("value")) / F.count(F.lit(1))).alias("v"))
+    ).agg((_r2money("value") / F.count(F.lit(1))).alias("v"))
     bounds = ev.agg(
         F.date_trunc("hour", F.min("ts")).alias("h0"),
         F.date_trunc("hour", F.max("ts")).alias("h1"),
@@ -13483,7 +13504,7 @@ def q381_parameterized_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderpriority,
                cast(count(*) AS BIGINT) AS n,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
         FROM orders
         WHERE o_orderstatus = :status AND o_totalprice >= :floor
         GROUP BY o_orderpriority
@@ -13509,7 +13530,7 @@ def q382_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                cast(count(*) AS BIGINT) AS n,
-               round(sum(o_totalprice), 2) AS sum_price
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price
         FROM orders
         GROUP BY ALL
         ORDER BY ALL
@@ -13841,7 +13862,7 @@ def q389_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority", period.alias("p"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _r2(F.sum("o_totalprice")).alias("rev"),
+            _r2money(F.col("o_totalprice")).alias("rev"),
         )
         .groupBy("o_orderpriority")
         .pivot("p", [0, 1])
@@ -13884,7 +13905,7 @@ def q390_rolling_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         WITH daily AS (
           SELECT date_trunc('day', o_orderdate) AS d,
-                 round(sum(o_totalprice), 2) AS v
+                 CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS v
           FROM orders GROUP BY 1
         ), med AS (
           SELECT d, v,

@@ -360,3 +360,22 @@ def test_embedding_neardup_grid_independent(spark):
     p_auto, p1, p5 = pairs(), pairs(grid=1), pairs(grid=5)
     assert p_auto == p1 == p5
     assert p_auto  # non-degenerate
+
+
+def test_xxh64_long_matches_spark(spark):
+    """The pure-Python XXH64 the oracles use to replicate the strided
+    kmeans sample must equal Spark's xxhash64 bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.functions.xxh64 import xxh64_long_signed
+
+    vals = list(range(-300, 300, 7)) + [
+        2**62, -(2**62), 2**63 - 1, -(2**63), 12345678901234567,
+    ]
+    rows = (
+        spark.createDataFrame([(v,) for v in vals], "x long")
+        .select("x", F.xxhash64("x").alias("h"))
+        .collect()
+    )
+    for r in rows:
+        assert r["h"] == xxh64_long_signed(r["x"]), r["x"]
