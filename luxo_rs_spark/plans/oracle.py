@@ -8521,6 +8521,7 @@ FROM agg ORDER BY media_id
 ORACLE_SQL["q418_triangle_count"] = """
 WITH ps AS (
   SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_partkey % 50 = 0
 ), e AS (
   SELECT a.l_suppkey AS a, b.l_suppkey AS b
   FROM ps a JOIN ps b ON a.l_partkey = b.l_partkey

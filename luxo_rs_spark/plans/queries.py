@@ -15223,8 +15223,13 @@ def q417_g711_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q418_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.operators.graph import triangle_count
 
+    # the co-supply graph densifies with scale (shared-part counts grow
+    # linearly), so the edge definition restricts to a 1-in-50 part
+    # slice — keeping the graph sparse at EVERY sf the way a real
+    # co-occurrence graph is thinned before triangle counting
     ps = (
         load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 50 == 0)
         .select("l_partkey", "l_suppkey")
         .distinct()
     )

@@ -1531,3 +1531,62 @@ def test_upsert_sink_crash_between_commit_and_checkpoint(spark):
     # one version per committed batch overall (ids 0..last, no gaps)
     assert table.current_version() == table.last_batch_id()
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_bigram_lm_counts_match_batch(spark, tmp_path):
+    """The n-gram LM's training statistics are mergeable COUNT
+    relations (the whole reason q413 uses stupid backoff), so the LM
+    maintains incrementally: foreachBatch appends each micro-batch's
+    unigram/bigram counts partitioned by batch id; after the stream
+    drains, groupBy-sum over the store equals the batch-trained model
+    — and scoring with the accumulated counts is byte-identical."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.functions.ngram_lm import train_bigram_lm
+
+    texts = [
+        (i, ["the cat sat", "the dog ran fast", "a cat and a dog",
+             "fast cats run"][i % 4])
+        for i in range(40)
+    ]
+    src = spark.createDataFrame(texts, "doc_id long, text string").repartition(4)
+    in_dir = str(tmp_path / "docs")
+    src.write.parquet(in_dir)
+    uni_store = str(tmp_path / "uni")
+    bi_store = str(tmp_path / "bi")
+
+    def upsert(batch_df, batch_id):
+        uni, bi = train_bigram_lm(batch_df)
+        uni.withColumn("ingest_batch", F.lit(batch_id)).write.partitionBy(
+            "ingest_batch"
+        ).mode("append").parquet(uni_store)
+        bi.withColumn("ingest_batch", F.lit(batch_id)).write.partitionBy(
+            "ingest_batch"
+        ).mode("append").parquet(bi_store)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+        .writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    acc_uni = (
+        spark.read.parquet(uni_store).groupBy("w").agg(F.sum("c").alias("c"))
+    )
+    acc_bi = (
+        spark.read.parquet(bi_store)
+        .groupBy("w1", "w2")
+        .agg(F.sum("c").alias("c"))
+    )
+    uni, bi = train_bigram_lm(src)
+    assert {(r.w, r.c) for r in acc_uni.collect()} == {
+        (r.w, r.c) for r in uni.collect()
+    }
+    assert {(r.w1, r.w2, r.c) for r in acc_bi.collect()} == {
+        (r.w1, r.w2, r.c) for r in bi.collect()
+    }
