@@ -537,8 +537,6 @@ def _pixels_to_jpeg(
         raise NotImplementedError("JPEG encoder: 444 or 420 only")
     if precision not in (8, 12):
         raise NotImplementedError("JPEG encoder: 8- or 12-bit precision")
-    if precision == 12 and progressive:
-        raise NotImplementedError("12-bit progressive JPEG")
     if entropy not in ("huffman", "arith"):
         raise NotImplementedError("JPEG encoder: huffman or arith entropy")
     half = float(1 << (precision - 1))
@@ -1580,10 +1578,7 @@ def _decode_jpeg(content: bytes) -> dict:
             if lossless:
                 if not 2 <= precision <= 16:
                     raise ValueError("lossless JPEG precision out of range")
-            elif precision == 12:
-                if progressive:
-                    raise NotImplementedError("12-bit progressive JPEG")
-            elif precision != 8:
+            elif precision not in (8, 12):
                 raise NotImplementedError("only 8- or 12-bit DCT samples")
             comps = []
             for i in range(nf):

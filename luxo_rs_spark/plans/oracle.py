@@ -8541,3 +8541,17 @@ FROM (
 GROUP BY node
 ORDER BY node
 """
+
+
+ORACLE_SQL["q419_jpeg12_progressive"] = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 11 + 6 AS INTEGER) AS width,
+       CAST(doc_id % 5 + 4 AS INTEGER) AS height,
+       CAST((doc_id % 5 + 4) * (doc_id % 11 + 6) * 3 * 2 AS BIGINT)
+         AS payload_bytes,
+       TRUE AS matches_sequential,
+       TRUE AS matches_arith
+FROM documents
+WHERE doc_id < 100
+ORDER BY media_id
+"""

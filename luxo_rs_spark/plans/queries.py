@@ -15244,3 +15244,50 @@ def q418_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("sa").alias("src"), F.col("sb").alias("dst"))
     )
     return triangle_count(edges).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# Q419 — 12-BIT PROGRESSIVE JPEG (SOF2/SOF10 at 12-bit precision; the
+# last DCT profile on the codec boundary): the progressive scan
+# machinery is category-generic, so the 12-bit path composes the
+# SOF1 12-bit books / DAC conditioning with the G.1.2/G.2 scan
+# scripts. Every doc is decoded through THREE independent entropy
+# paths — sequential Huffman, progressive Huffman, progressive
+# arithmetic — and the oracle asserts the full-payload md5s agree
+# (matches_sequential / matches_arith), geometry pinned as in q404.
+# ---------------------------------------------------------------------------
+@query("q419_jpeg12_progressive")
+def q419_jpeg12_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    kw = dict(precision=12, quality=92)
+    seq = decode_media_digest(
+        synth_jpeg_table(docs, progressive=False, entropy="huffman", **kw)
+    ).select("media_id", F.col("payload_md5").alias("seq_md5"))
+    prog = decode_media_digest(
+        synth_jpeg_table(docs, progressive=True, entropy="huffman", **kw)
+    )
+    arith = decode_media_digest(
+        synth_jpeg_table(docs, progressive=True, entropy="arith", **kw)
+    ).select("media_id", F.col("payload_md5").alias("arith_md5"))
+    return (
+        prog.join(seq, "media_id")
+        .join(arith, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "payload_bytes",
+            (F.col("payload_md5") == F.col("seq_md5")).alias(
+                "matches_sequential"
+            ),
+            (F.col("payload_md5") == F.col("arith_md5")).alias(
+                "matches_arith"
+            ),
+        )
+        .orderBy("media_id")
+    )

@@ -1112,3 +1112,25 @@ def test_g711_expansion_spec_anchors_and_wav_path():
         pcm = np.frombuffer(d["payload"], dtype="<i2")
         assert d["height"] == 16 and d["sample_rate"] == 8000
         assert list(pcm) == [fn(b) for b in range(256)]
+
+
+def test_jpeg_12bit_progressive_all_entropy_paths():
+    """12-bit progressive decodes bit-identically through sequential
+    Huffman, progressive Huffman, and progressive arithmetic."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_jpeg, _pixels_to_jpeg
+
+    rng = np.random.RandomState(419)
+    for trial in range(6):
+        h, w = rng.randint(4, 36), rng.randint(4, 36)
+        ch = 3 if trial % 3 else 1
+        arr = rng.randint(0, 4096, (h, w, ch)).astype(np.uint16)
+        sub = "420" if (ch == 3 and trial % 2) else "444"
+        ri = (0, 2, 5)[trial % 3]
+        seq = _pixels_to_jpeg(arr, 90, sub, ri, False, 12, "huffman")
+        prog = _pixels_to_jpeg(arr, 90, sub, ri, True, 12, "huffman")
+        pa = _pixels_to_jpeg(arr, 90, sub, ri, True, 12, "arith")
+        ds = _decode_jpeg(seq)
+        assert ds["payload"] == _decode_jpeg(prog)["payload"]
+        assert ds["payload"] == _decode_jpeg(pa)["payload"]
