@@ -170,7 +170,21 @@ def main() -> None:
         "q270_setsim_prefix_join",
         "q288_semantic_dedup",
         "q397_segment_boilerplate",
+        "q413_ngram_lm_perplexity",
+        "q415_substring_dup_spans",
     ]
+
+    def lane_query(name: str, sf_dir: str):
+        """Most lanes are the QUERIES entries verbatim; q415's query
+        caps doc_id < 400 (fine against the fixtures, but the cap
+        would pin the lane to replica 0 here), so its lane runs the
+        operator over the WHOLE scaled corpus."""
+        if name == "q415_substring_dup_spans":
+            from luxo_rs_spark.operators.dedup import substring_dup_spans
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            return substring_dup_spans(docs, k=20)
+        return QUERIES[name](spark, sf_dir)
 
     def candidate_frame(name: str, sf_dir: str):
         """The candidate STAGE of each curvature-suspect lane as a
@@ -196,6 +210,44 @@ def main() -> None:
         cf = candidate_frame(name, sf_dir)
         if cf is not None:
             return cf.count()
+        if name == "q413_ngram_lm_perplexity":
+            # candidate mass = scored bigram occurrences of the
+            # held-out split (the explode the joins fan over) —
+            # linear in corpus tokens by construction
+            from luxo_rs_spark.functions.ngram_lm import bigrams, tokens
+
+            return (
+                docs.filter(F.col("doc_id") % 5 == 0)
+                .select(F.explode(bigrams(tokens(F.col("text")))))
+                .count()
+            )
+        if name == "q415_substring_dup_spans":
+            # candidate mass = positions whose k-gram is globally
+            # duplicated (the semi-join output feeding the island
+            # merge)
+            k = 20
+            n = F.greatest(F.length("text") - k + 1, F.lit(0))
+            grams = docs.select(
+                F.col("doc_id"),
+                F.explode(
+                    F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+                        F.array().cast("array<int>")
+                    )
+                ).alias("pos"),
+                "text",
+            ).select(
+                "doc_id",
+                F.md5(F.substr(F.col("text"), F.col("pos"), F.lit(k))).alias(
+                    "g"
+                ),
+            )
+            dup = (
+                grams.groupBy("g")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .filter(F.col("c") >= 2)
+                .select("g")
+            )
+            return grams.join(dup, "g", "semi").count()
         if name == "q397_segment_boilerplate":
             # candidate mass = flagged segment occurrences joining back
             # (linear in corpus segments by construction: one DF agg on
@@ -223,7 +275,7 @@ def main() -> None:
         for name in QNAMES:
             if not lane_on(name):
                 continue
-            df = QUERIES[name](spark, sf_dir)
+            df = lane_query(name, sf_dir)
             df.write.format("noop").mode("overwrite").save()  # warm-up
             times = []
             for _ in range(args.runs):
@@ -232,10 +284,10 @@ def main() -> None:
                 # sizing count + driver kmeans at construction, which is
                 # exactly the work whose scaling is under test
                 t0 = time.perf_counter()
-                d = QUERIES[name](spark, sf_dir)
+                d = lane_query(name, sf_dir)
                 d.write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
-            n_out = QUERIES[name](spark, sf_dir).count()
+            n_out = lane_query(name, sf_dir).count()
             n_cand = candidates(name, sf_dir)
             lane = {
                 "sec": round(min(times), 3),
