@@ -8555,3 +8555,49 @@ FROM documents
 WHERE doc_id < 100
 ORDER BY media_id
 """
+
+
+ORACLE_SQL["q420_geo_nearest_supplier"] = """
+WITH cust AS (
+  SELECT c_custkey,
+         (c_custkey % 120) - 60 + 0.5 AS lat,
+         (c_custkey * 7 % 360) - 180 + 0.5 AS lon,
+         CAST(floor(((c_custkey % 120) - 60 + 0.5) / 2.0) AS INTEGER) AS cy,
+         CAST(floor(((c_custkey * 7 % 360) - 180 + 0.5) / 2.0) AS INTEGER)
+           AS cx
+  FROM customer WHERE c_custkey % 17 = 0
+), supp AS (
+  SELECT s_suppkey,
+         (s_suppkey * 3 % 120) - 60 + 0.25 AS r_lat,
+         (s_suppkey * 11 % 360) - 180 + 0.25 AS r_lon,
+         CAST(floor(((s_suppkey * 3 % 120) - 60 + 0.25) / 2.0) AS INTEGER)
+           AS cy,
+         CAST(floor(((s_suppkey * 11 % 360) - 180 + 0.25) / 2.0) AS INTEGER)
+           AS cx
+  FROM supplier
+), cand AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         round(2 * 6371.0088 * asin(sqrt(
+           sin(radians(s.r_lat - c.lat) / 2) * sin(radians(s.r_lat - c.lat) / 2)
+           + cos(radians(c.lat)) * cos(radians(s.r_lat))
+             * sin(radians(s.r_lon - c.lon) / 2)
+             * sin(radians(s.r_lon - c.lon) / 2)
+         )), 6) AS d
+  FROM cust c
+  JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy ON TRUE
+  JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox ON TRUE
+  JOIN supp s ON s.cy = c.cy + oy.dy AND s.cx = c.cx + ox.dx
+)
+SELECT c_custkey, n_candidates, s_suppkey AS nearest_supplier,
+       d AS nearest_km
+FROM (
+  SELECT c_custkey, s_suppkey, d,
+         CAST(count(*) OVER (PARTITION BY c_custkey) AS BIGINT)
+           AS n_candidates,
+         row_number() OVER (PARTITION BY c_custkey
+                            ORDER BY d, s_suppkey) AS rn
+  FROM cand
+)
+WHERE rn = 1
+ORDER BY c_custkey
+"""

@@ -15291,3 +15291,53 @@ def q419_jpeg12_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q420 — grid-bucketed spatial join + haversine (§2.2-K geospatial):
+# customers and suppliers get deterministic synthetic coordinates
+# (key-derived arithmetic), every customer finds the suppliers in its
+# 3x3 neighborhood of 2-degree grid cells, and the NEAREST one by
+# great-circle distance wins. Candidate SELECTION is pure integer
+# cell adjacency — cross-engine trig ulps can only perturb the
+# reported distance (rounded), never which pairs compete (the q75
+# ln() lesson applied to geometry). Scale shape: x9 bounded explode +
+# one equi-join on the cell key; no all-pairs anywhere.
+# ---------------------------------------------------------------------------
+@query("q420_geo_nearest_supplier")
+def q420_geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.geo import grid_candidates, haversine_km
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 17 == 0)
+        .select(
+            "c_custkey",
+            ((F.col("c_custkey") % 120) - 60 + 0.5).alias("lat"),
+            ((F.col("c_custkey") * 7 % 360) - 180 + 0.5).alias("lon"),
+        )
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 3 % 120) - 60 + 0.25).alias("r_lat"),
+        ((F.col("s_suppkey") * 11 % 360) - 180 + 0.25).alias("r_lon"),
+    )
+    cand = grid_candidates(cust, supp, cell_deg=2.0)
+    dist = F.round(
+        haversine_km(
+            F.col("lat"), F.col("lon"), F.col("r_lat"), F.col("r_lon")
+        ),
+        6,
+    )
+    return (
+        cand.select("c_custkey", "s_suppkey", dist.alias("d"))
+        .groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.min_by(
+                "s_suppkey", F.struct(F.col("d"), F.col("s_suppkey"))
+            ).alias("nearest_supplier"),
+            F.min("d").alias("nearest_km"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -150,3 +150,40 @@ def test_triangle_count_hand_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+
+
+def test_geo_grid_candidates_and_haversine(spark):
+    """Hand-checkable geometry: the grid join surfaces exactly the
+    3x3-neighborhood pairs, and haversine hits textbook anchors
+    (quarter meridian ~10007.5 km, 1 degree of latitude ~111.19 km)."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.operators.geo import grid_candidates, haversine_km
+
+    left = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 50.5, 120.5)], "id long, lat double, lon double"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, 1.0, 1.0),     # neighbor cell of point 1
+            (11, 5.0, 5.0),     # far from both
+            (12, 49.5, 119.5),  # neighbor cell of point 2
+        ],
+        "rid long, r_lat double, r_lon double",
+    )
+    pairs = {
+        (r["id"], r["rid"])
+        for r in grid_candidates(left, right, cell_deg=2.0).collect()
+    }
+    assert pairs == {(1, 10), (2, 12)}
+
+    d = spark.range(1).select(
+        haversine_km(F.lit(0.0), F.lit(0.0), F.lit(90.0), F.lit(0.0)).alias(
+            "quarter"
+        ),
+        haversine_km(F.lit(0.0), F.lit(0.0), F.lit(1.0), F.lit(0.0)).alias(
+            "one_deg"
+        ),
+    ).head()
+    assert abs(d["quarter"] - 10007.5) < 1.0
+    assert abs(d["one_deg"] - 111.19) < 0.01
