@@ -484,3 +484,51 @@ def substring_dup_coverage(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking (the RAG / training-sequence
+    prep step): whitespace tokens packed into windows of
+    ``chunk_tokens`` advancing by ``chunk_tokens - overlap``, the last
+    window keeping its tail remainder. Pure row-local array algebra —
+    split once, slice per window index — so the operator is a map
+    stage with zero shuffle; chunk ids are (doc, window ordinal).
+
+    Returns (id, chunk_idx, n_tokens, chunk_text, chunk_md5); the md5
+    pins the exact reconstruction for the oracle."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    n = F.size(toks)
+    # window count: 1 + ceil(max(n - chunk, 0) / step); empty docs -> 0
+    n_win = F.when(n <= 0, F.lit(0)).otherwise(
+        1 + F.ceil((F.greatest(n - chunk_tokens, F.lit(0))) / F.lit(step))
+    )
+    win = F.explode(
+        F.when(
+            n_win > 0, F.sequence(F.lit(0), (n_win - 1).cast("int"))
+        ).otherwise(F.array().cast("array<int>"))
+    )
+    staged = docs.select(
+        id_col, toks.alias("__t"), win.alias("chunk_idx")
+    )
+    piece = F.slice(
+        F.col("__t"), F.col("chunk_idx") * step + 1, chunk_tokens
+    )
+    chunk = F.concat_ws(" ", piece)
+    return staged.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(piece).cast("bigint").alias("n_tokens"),
+        chunk.alias("chunk_text"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

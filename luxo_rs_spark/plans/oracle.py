@@ -8601,3 +8601,36 @@ FROM (
 WHERE rn = 1
 ORDER BY c_custkey
 """
+
+
+ORACLE_SQL["q421_doc_chunking"] = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+  FROM documents WHERE doc_id < 300
+), sized AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 0 THEN 0
+              ELSE 1 + CAST(ceil(greatest(len(t) - 64, 0) / 48.0) AS BIGINT)
+         END AS n_win
+  FROM d
+), chunks AS (
+  SELECT doc_id, w.i AS chunk_idx,
+         array_to_string(t[(w.i * 48 + 1):(w.i * 48 + 64)], ' ') AS chunk
+  FROM sized, unnest(range(0, n_win)) AS w(i)
+), digested AS (
+  SELECT doc_id, chunk_idx,
+         len(list_filter(string_split(chunk, ' '), x -> x <> ''))
+           AS n_tokens,
+         md5(chunk) AS chunk_md5
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       md5(string_agg(chunk_md5, '|' ORDER BY chunk_idx)) AS chunks_md5
+FROM digested
+GROUP BY doc_id
+ORDER BY doc_id
+"""

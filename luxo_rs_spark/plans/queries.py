@@ -15341,3 +15341,39 @@ def q420_geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q421 — sliding-window document chunking (§2.2-K corpus ops; the
+# RAG / training-sequence prep step): 64-token windows advancing by
+# 48 (16-token overlap), last window keeps the remainder. Pure
+# row-local array algebra — zero shuffle until the output orderBy;
+# the md5 column pins each chunk's exact text. Output aggregates per
+# doc keep the result bounded: chunk count, tokens covered, md5 of
+# the concatenated chunk digests (order-pinned by chunk_idx).
+# ---------------------------------------------------------------------------
+@query("q421_doc_chunking")
+def q421_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    ch = chunk_documents(docs, chunk_tokens=64, overlap=16)
+    return (
+        ch.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("chunk_idx", "chunk_md5")
+                        )
+                    ).getField("chunk_md5"),
+                )
+            ).alias("chunks_md5"),
+        )
+        .orderBy("doc_id")
+    )

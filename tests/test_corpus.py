@@ -436,3 +436,37 @@ def test_bigram_lm_counts_and_backoff(spark):
     assert rows[11]["n_bigrams"] == 1 and rows[11]["oov_bigrams"] == 1
     exp11 = round(-math.log(0.4 * 2 / 6), 3)
     assert rows[11]["log_ppl"] == exp11
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    """Window arithmetic pinned: exact multiples, remainders shorter
+    than the overlap, single-window docs, empty docs (absent)."""
+    from luxo_rs_spark.operators.corpus import chunk_documents
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [
+            (1, words(10, "a")),   # one window (n <= chunk)
+            (2, words(16, "b")),   # chunk=8, overlap=2 -> windows at 0,6,12
+            (3, words(8, "c")),    # exactly one full window
+            (4, ""),               # no tokens -> no rows
+        ],
+        "doc_id long, text string",
+    )
+    ch = chunk_documents(docs, chunk_tokens=8, overlap=2)
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"])
+        for r in ch.collect()
+    )
+    assert rows == [
+        (1, 0, 8), (1, 1, 4),          # 10 tokens: 8 + remainder 4 @ step 6
+        (2, 0, 8), (2, 1, 8), (2, 2, 4),
+        (3, 0, 8),
+    ]
+    texts = {
+        (r["doc_id"], r["chunk_idx"]): r["chunk_text"]
+        for r in ch.collect()
+    }
+    assert texts[(2, 1)].split() == [f"b{i}" for i in range(6, 14)]
