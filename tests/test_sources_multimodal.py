@@ -524,10 +524,10 @@ def test_jpeg_golden_spec_vector_decodes():
 
 
 def test_jpeg_unsupported_shapes_raise():
-    """Arithmetic-coded (SOF9), hierarchical (SOF5) and out-of-spec
-    sampling factors raise NotImplementedError — the honest decoder
-    boundary (4:2:0/4:2:2 + progressive SOF2 supported since round 4,
-    lossless SOF3 supported since round 4 as well)."""
+    """Hierarchical (SOF5) and arithmetic-lossless (SOF11) frames plus
+    out-of-spec sampling factors raise NotImplementedError — the
+    honest decoder boundary (arithmetic DCT SOF9/SOF10 supported since
+    round 5; progressive SOF2 + lossless SOF3 since round 4)."""
     import struct as st
 
     import numpy as np
@@ -538,13 +538,15 @@ def test_jpeg_unsupported_shapes_raise():
     def seg(m, body):
         return st.pack(">HH", m, len(body) + 2) + body
 
-    for sofm in (0xFFC9, 0xFFC5):  # arithmetic, differential sequential
+    for sofm in (0xFFCB, 0xFFC5):  # arithmetic lossless, differential seq
         stream = (
             b"\xff\xd8"
             + seg(sofm, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
             + b"\xff\xd9"
         )
-        with pytest.raises(NotImplementedError, match="SOF0/SOF1/SOF2/SOF3"):
+        with pytest.raises(
+            NotImplementedError, match="hierarchical and arithmetic"
+        ):
             _decode_jpeg(stream)
 
     bad_factors = (
@@ -878,16 +880,15 @@ def test_jpeg_12bit_roundtrip_and_streams():
 
 
 def test_jpeg_12bit_boundaries():
-    """12-bit progressive stays an honest NotImplementedError; the
-    encoder rejects precisions it cannot write."""
+    """The encoder rejects precisions it cannot write (12-bit
+    progressive graduated from this boundary in round 5 — see
+    test_jpeg_12bit_progressive_all_entropy_paths)."""
     import numpy as np
     import pytest
 
     from luxo_rs_spark.multimodal.media import _pixels_to_jpeg
 
     a = np.zeros((8, 8, 3), dtype=np.uint16)
-    with pytest.raises(NotImplementedError, match="12-bit progressive"):
-        _pixels_to_jpeg(a, precision=12, progressive=True)
     with pytest.raises(NotImplementedError, match="8- or 12-bit"):
         _pixels_to_jpeg(a, precision=10)
 
