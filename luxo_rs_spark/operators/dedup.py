@@ -928,8 +928,12 @@ def substring_dup_spans(
             F.coalesce("dup_chars", F.lit(0)).cast("bigint").alias(
                 "dup_chars"
             ),
-            F.round(
-                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 4
-            ).alias("dup_frac"),
+            F.when(F.col("n_chars") > 0,
+                   F.round(
+                       F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"),
+                       4,
+                   ))
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
         )
     )

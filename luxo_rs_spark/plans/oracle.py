@@ -8463,8 +8463,10 @@ WITH d AS (
 SELECT d.doc_id,
        COALESCE(p.n_dup_spans, 0) AS n_dup_spans,
        COALESCE(p.dup_chars, 0) AS dup_chars,
-       round(COALESCE(p.dup_chars, 0) / CAST(d.n_chars AS DOUBLE), 4)
-         AS dup_frac
+       CASE WHEN d.n_chars > 0
+            THEN round(COALESCE(p.dup_chars, 0)
+                       / CAST(d.n_chars AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_frac
 FROM d LEFT JOIN per_doc p USING (doc_id)
 ORDER BY d.doc_id
 """

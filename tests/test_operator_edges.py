@@ -225,3 +225,82 @@ def test_versioned_table_unwritten_reads_none(spark, tmp_path):
     t = VersionedParquetTable(str(tmp_path / "t"))
     assert t.read(spark) is None
     assert t.last_batch_id() == -1 and t.current_version() == -1
+
+
+def test_substring_dup_spans_edges(spark, empty_docs, tiny_docs):
+    """Docs shorter than k yield no grams (sequence guard), empty
+    corpus yields empty output with the right schema."""
+    from luxo_rs_spark.operators.dedup import substring_dup_spans
+
+    assert substring_dup_spans(empty_docs, k=10).count() == 0
+    rows = {r["doc_id"]: r for r in substring_dup_spans(tiny_docs, k=10).collect()}
+    assert all(r["n_dup_spans"] == 0 for r in rows.values())
+
+
+def test_bigram_lm_edges(spark, empty_docs, tiny_docs):
+    """Empty/one-token docs produce no bigrams; scoring against an
+    empty model backs off everywhere without dividing by zero."""
+    from luxo_rs_spark.functions.ngram_lm import (
+        score_bigram_perplexity,
+        train_bigram_lm,
+    )
+
+    uni, bi = train_bigram_lm(tiny_docs)
+    assert bi.filter(F.col("w1") == "a").count() == 0  # doc 1 has 1 token
+    scored = score_bigram_perplexity(tiny_docs, uni, bi)
+    assert all(r["oov_bigrams"] >= 0 for r in scored.collect())
+    uni0, bi0 = train_bigram_lm(empty_docs)
+    assert uni0.count() == 0 and bi0.count() == 0
+
+
+def test_triangle_count_edges(spark):
+    from luxo_rs_spark.operators.graph import triangle_count
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert triangle_count(empty).count() == 0
+    # two nodes, one edge: no triangles
+    one = spark.createDataFrame([(1, 2)], "src long, dst long")
+    assert triangle_count(one).count() == 0
+
+
+def test_chunk_documents_edges(spark, empty_docs, tiny_docs):
+    from luxo_rs_spark.operators.corpus import chunk_documents
+
+    assert chunk_documents(empty_docs, 8, 2).count() == 0
+    rows = chunk_documents(tiny_docs, 8, 2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc.get(1, [])) == 1      # one short chunk
+    assert 2 not in by_doc                  # empty text -> no chunks
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(tiny_docs, 8, 8)
+
+
+def test_unigram_edges(spark, empty_docs):
+    """Empty corpus: the distributed trainer has nothing to learn from
+    and the sequential reference agrees (empty model)."""
+    from luxo_rs_spark.functions.unigram import (
+        text_word_freqs,
+        train_unigram,
+        viterbi,
+    )
+
+    probs = train_unigram(text_word_freqs([]))
+    assert probs == {}
+    assert viterbi("abc", probs) == ["a", "b", "c"]  # fallback singles
+
+
+def test_gif_minimal_images():
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_gif, _pixels_to_gif
+
+    pal = np.array([[0, 0, 0], [255, 255, 255]], dtype=np.uint8)
+    for h, w in ((1, 1), (1, 40), (40, 1)):
+        idx = np.zeros((h, w), dtype=np.uint8)
+        d = _decode_gif(_pixels_to_gif(idx, pal, interlace=h > 1))
+        assert (d["height"], d["width"]) == (h, w)
+        assert d["payload"] == pal[idx].tobytes()
