@@ -2384,33 +2384,45 @@ def _lzw_compress(data: bytes, mcs: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
-    def fresh() -> tuple[dict, int, int]:
+    def fresh() -> tuple[dict, int, int, int]:
         return (
             {bytes([i]): i for i in range(1 << mcs)},
             eoi + 1,
             mcs + 1,
+            eoi + 1,
         )
 
-    table, next_slot, width = fresh()
+    # Width growth counts CODES, not table entries (the giflib-lineage
+    # convention): rc advances on every data code on BOTH sides, so
+    # encoder and decoder grow at identical stream positions even at
+    # the segment tail, where the final data code and the EOI follow
+    # an entry the decoder adds one code later than the encoder did.
+    table, next_slot, width, rc = fresh()
     emit(clear, width)
+
+    def emit_data(code: int) -> None:
+        nonlocal width, rc
+        emit(code, width)
+        rc += 1
+        if rc > (1 << width) and width < 12:
+            width += 1
+
     cur = b""
     for b in data:
         nxt = cur + bytes([b])
         if nxt in table:
             cur = nxt
             continue
-        emit(table[cur], width)
+        emit_data(table[cur])
         if next_slot == 4096:  # dictionary full: reset both sides
             emit(clear, width)
-            table, next_slot, width = fresh()
+            table, next_slot, width, rc = fresh()
         else:
             table[nxt] = next_slot
             next_slot += 1
-            if next_slot - 1 >= (1 << width) and width < 12:
-                width += 1
         cur = bytes([b])
     if cur:
-        emit(table[cur], width)
+        emit_data(table[cur])
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -2436,13 +2448,13 @@ def _lzw_decompress(data: bytes, mcs: int) -> bytes:
 
     out = bytearray()
     table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
-    next_slot, width = eoi + 1, mcs + 1
+    next_slot, width, rc = eoi + 1, mcs + 1, eoi + 1
     prev: bytes | None = None
     while True:
         code = read(width)
         if code == clear:
             table = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
-            next_slot, width = eoi + 1, mcs + 1
+            next_slot, width, rc = eoi + 1, mcs + 1, eoi + 1
             prev = None
             continue
         if code == eoi:
@@ -2459,8 +2471,10 @@ def _lzw_decompress(data: bytes, mcs: int) -> bytes:
         if prev is not None and next_slot < 4096:
             table.append(prev + entry[:1])
             next_slot += 1
-            if next_slot >= (1 << width) and width < 12:
-                width += 1
+        # code-counting growth — mirrors the encoder exactly
+        rc += 1
+        if rc > (1 << width) and width < 12:
+            width += 1
         prev = entry
 
 

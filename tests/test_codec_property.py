@@ -132,3 +132,45 @@ def test_lossless_jpeg_roundtrip_grid(
     want = (arr.astype(np.int64) >> pt << pt).astype(arr.dtype)
     assert d["width"] == w and d["height"] == h
     assert np.array_equal(got, want)
+
+
+@given(
+    bits=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 1)),
+        min_size=1,
+        max_size=3000,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_qm_coder_roundtrip_property(bits):
+    """T.81 QM arithmetic coder: any multi-context bit sequence
+    round-trips, the estimation state machines converge identically on
+    both sides, and the stream obeys B.1.1.5 byte stuffing."""
+    from luxo_rs_spark.multimodal.media import _ArithDecoder, _ArithEncoder
+
+    enc = _ArithEncoder()
+    st_e = bytearray(8)
+    for ctx, b in bits:
+        enc.code(st_e, ctx, b)
+    data = enc.flush()
+    assert all(
+        data[i + 1] == 0x00 for i in range(len(data) - 1) if data[i] == 0xFF
+    )
+    dec = _ArithDecoder(data, 0)
+    st_d = bytearray(8)
+    assert [dec.decode(st_d, ctx) for ctx, _ in bits] == [b for _, b in bits]
+    assert bytes(st_e) == bytes(st_d)
+
+
+@given(
+    data=st.binary(min_size=0, max_size=4000),
+    mcs=st.sampled_from([2, 4, 8]),
+)
+@settings(max_examples=100, deadline=None)
+def test_gif_lzw_roundtrip_property(data, mcs):
+    """GIF LZW round-trips arbitrary symbol streams across the full
+    width ladder and dictionary-overflow clears."""
+    from luxo_rs_spark.multimodal.media import _lzw_compress, _lzw_decompress
+
+    syms = bytes(b % (1 << mcs) for b in data)
+    assert _lzw_decompress(_lzw_compress(syms, mcs), mcs) == syms
