@@ -2988,7 +2988,7 @@ ORDER BY source
 ORACLE_SQL["q183_rollup_share"] = """
 WITH base AS (
   SELECT r_name, n_name,
-         l_extendedprice * (1 - l_discount) AS amt
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)) AS amt
   FROM lineitem
   JOIN supplier ON l_suppkey = s_suppkey
   JOIN nation ON s_nationkey = n_nationkey
@@ -3002,9 +3002,11 @@ regions AS (
 ),
 total AS (SELECT sum(amt) AS total_rev FROM base)
 SELECT n.r_name, n.n_name,
-       round(nation_rev, 2) AS nation_rev,
-       round(nation_rev / region_rev * 100, 2) AS pct_of_region,
-       round(region_rev / total_rev * 100, 2) AS region_pct_of_total
+       CAST(round(nation_rev, 2) AS DOUBLE) AS nation_rev,
+       round(CAST(nation_rev AS DOUBLE) / CAST(region_rev AS DOUBLE)
+             * 100, 2) AS pct_of_region,
+       round(CAST(region_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+             * 100, 2) AS region_pct_of_total
 FROM nations n
 JOIN regions r ON n.r_name = r.r_name
 CROSS JOIN total
@@ -5717,7 +5719,8 @@ WITH lag_t AS (
   SELECT l_suppkey, count(*) AS n,
          round(sum(lead), 6) / count(*) AS mean_lead,
          quantile_cont(lead, 0.9) AS p90_lead,
-         stddev_samp(lead) AS sd_lead
+         sqrt((sum(lead * lead) - sum(lead) * sum(lead) / count(*))
+              / (count(*) - 1)) AS sd_lead
   FROM lag_t GROUP BY 1 HAVING count(*) >= 20
 ), ranked AS (
   SELECT *, row_number() OVER (ORDER BY sd_lead ASC, l_suppkey)
@@ -6984,7 +6987,7 @@ def _pagerank_fp_oracle(iters: int = 6) -> str:
     sep = ",\n"
     for i in range(1, iters + 1):
         rounds.append(
-            f"""pr{i} AS (
+            f"""pr{i} AS MATERIALIZED (
   SELECT nd.node,
          CAST(({den - num} * {scale}) // ({den} * (SELECT n FROM nn))
               + ({num} * COALESCE(inb.g, 0)) // {den} AS BIGINT) AS r
@@ -6997,19 +7000,19 @@ def _pagerank_fp_oracle(iters: int = 6) -> str:
         )
         prev = f"pr{i}"
     return f"""
-WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-pairs AS (
+WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS MATERIALIZED (
   SELECT x.l_partkey AS a, y.l_partkey AS b
   FROM op x JOIN op y
     ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
   GROUP BY 1, 2 HAVING count(*) >= 2),
-edges AS (SELECT a AS src, b AS dst FROM pairs
+edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
           UNION ALL SELECT b AS src, a AS dst FROM pairs),
-nodes AS (SELECT DISTINCT src AS node FROM edges),
-deg AS (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
+nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS out_deg
         FROM edges GROUP BY src),
-nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
-pr0 AS (SELECT node,
+nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+pr0 AS MATERIALIZED (SELECT node,
                CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS r
         FROM nodes),
 {sep.join(rounds)}
@@ -7026,7 +7029,7 @@ ORACLE_SQL["q377_arrow_doc_stats"] = """
 SELECT source,
        cast(count(*) AS BIGINT) AS n_docs,
        cast(sum(length(text)) AS BIGINT) AS sum_chars,
-       cast(sum(octet_length(cast(text AS BLOB))) AS BIGINT) AS sum_bytes,
+       cast(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
        cast(sum(length(string_split(text, ' '))) AS BIGINT) AS sum_words,
        cast(max(length(string_split(text, ' '))) AS BIGINT) AS max_words
 FROM documents

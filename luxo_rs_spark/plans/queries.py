@@ -5519,8 +5519,14 @@ def q183_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
+    # exact DECIMAL rollup sums (sf1: the plain double nation sum
+    # straddled a cent, same class as q152)
     rolled = base.rollup("r_name", "n_name").agg(
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(18,6)"
+            )
+        ).alias("rev"),
         F.grouping_id().alias("gid"),
     )
     nations = rolled.filter(F.col("gid") == 0).select(
@@ -5538,13 +5544,19 @@ def q183_rollup_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "r_name",
             "n_name",
-            _r2(F.col("nation_rev")).alias("nation_rev"),
-            F.round(F.col("nation_rev") / F.col("region_rev") * 100, 2).alias(
-                "pct_of_region"
-            ),
-            F.round(F.col("region_rev") / F.col("total_rev") * 100, 2).alias(
-                "region_pct_of_total"
-            ),
+            F.round("nation_rev", 2).cast("double").alias("nation_rev"),
+            F.round(
+                F.col("nation_rev").cast("double")
+                / F.col("region_rev").cast("double")
+                * 100,
+                2,
+            ).alias("pct_of_region"),
+            F.round(
+                F.col("region_rev").cast("double")
+                / F.col("total_rev").cast("double")
+                * 100,
+                2,
+            ).alias("region_pct_of_total"),
         )
         .orderBy("r_name", "n_name")
     )
@@ -10692,12 +10704,30 @@ def q314_supplier_leadtime(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag = li.join(o, li.l_orderkey == o.o_orderkey).select(
         "l_suppkey", F.datediff("ship", "od").alias("lead")
     )
-    stats = lag.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).alias("n"),
-        (F.round(F.sum("lead"), 6) / F.count(F.lit(1))).alias("mean_lead"),
-        F.expr("percentile(lead, 0.9)").alias("p90_lead"),
-        F.stddev_samp("lead").alias("sd_lead"),
-    ).filter(F.col("n") >= 20)
+    # sd from EXACT integer sums (leads are whole days): stddev_samp's
+    # per-group double accumulation is partition-order dependent, and
+    # at sf1 the replicated fixture exposes it — two suppliers with
+    # IDENTICAL lead multisets ranked in opposite order across engines
+    # because their sds differed by one ulp within Spark. sum / sum-of-
+    # squares are exact longs, so the derived sd is bit-identical.
+    stats = (
+        lag.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("lead").alias("s1"),
+            F.sum(F.col("lead") * F.col("lead")).alias("s2"),
+            F.expr("percentile(lead, 0.9)").alias("p90_lead"),
+        )
+        .filter(F.col("n") >= 20)
+        .withColumn("mean_lead", F.round(F.col("s1"), 6) / F.col("n"))
+        .withColumn(
+            "sd_lead",
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - 1)
+            ),
+        )
+    )
     w = Window.orderBy(F.col("sd_lead").asc(), F.col("l_suppkey"))
     return (
         stats.withColumn("consistency_rank", F.row_number().over(w))
