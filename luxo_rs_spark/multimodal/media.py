@@ -3089,7 +3089,7 @@ def synth_gif_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 w = int(doc_id) % 11 + 6
                 h = int(doc_id) % 5 + 4
                 hx = hashlib.md5(
-                    (text or " ").encode("utf-8")
+                    (text or "").encode("utf-8")
                 ).hexdigest().encode("ascii")
                 need = h * w
                 idx = np.frombuffer(
@@ -3124,7 +3124,7 @@ def synth_g711_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 hx = hashlib.md5(
-                    (text or " ").encode("utf-8")
+                    (text or "").encode("utf-8")
                 ).hexdigest().encode("ascii")
                 data = hx * (int(doc_id) % 4 + 1)
                 tag = 7 if int(doc_id) % 2 == 0 else 6
@@ -3228,7 +3228,7 @@ def synth_jpeg_lossless_table(
                 w = int(doc_id) % 11 + 6
                 h = int(doc_id) % 5 + 4
                 hx = hashlib.md5(
-                    (text or " ").encode("utf-8")
+                    (text or "").encode("utf-8")
                 ).hexdigest().encode("ascii")
                 need = h * w * 3
                 arr = np.tile(

@@ -56,13 +56,31 @@ def grid_candidates(
     cell_deg: float,
     lat_col: str = "lat",
     lon_col: str = "lon",
+    r_lat_col: str | None = None,
+    r_lon_col: str | None = None,
 ) -> DataFrame:
     """Grid-bucketed candidate pairs: every LEFT row joins RIGHT rows
     in its own or any of the 8 neighboring cells. The LEFT side
     explodes x9 (a bounded constant); the join is a plain equi-join on
     the integer cell key, shuffled/broadcast by Catalyst like any
     other. Columns of both inputs survive with their names (callers
-    alias beforehand)."""
+    alias beforehand, so the two sides' names must not collide).
+
+    ``lat_col``/``lon_col`` name the LEFT coordinates. The RIGHT
+    coordinates default to ``f"r_{lat_col}"``/``f"r_{lon_col}"`` (the
+    alias convention q420 uses); pass ``r_lat_col``/``r_lon_col``
+    explicitly when the right side uses different names.
+
+    Semantics note: cell adjacency is computed on raw degree values —
+    there is NO antimeridian wraparound, so pairs straddling ±180°
+    longitude are never candidates (acceptable for the synthetic and
+    most terrestrial fixtures; a production caller covering the
+    antimeridian should shift longitudes or duplicate the seam cells).
+    """
+    if r_lat_col is None:
+        r_lat_col = f"r_{lat_col}"
+    if r_lon_col is None:
+        r_lon_col = f"r_{lon_col}"
     lcy, lcx = grid_cell(F.col(lat_col), F.col(lon_col), cell_deg)
     offsets = F.array(
         *[
@@ -76,7 +94,7 @@ def grid_candidates(
         (lcy + F.col("__o.dy")).alias("__cy"),
         (lcx + F.col("__o.dx")).alias("__cx"),
     ).drop("__o")
-    rcy, rcx = grid_cell(F.col(f"r_{lat_col}"), F.col(f"r_{lon_col}"), cell_deg)
+    rcy, rcx = grid_cell(F.col(r_lat_col), F.col(r_lon_col), cell_deg)
     rhs = right.select(
         "*", rcy.alias("__cy"), rcx.alias("__cx")
     )

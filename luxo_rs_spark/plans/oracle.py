@@ -18,7 +18,7 @@ SELECT l_returnflag, l_linestatus,
        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)                                            AS sum_qty,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)                                       AS sum_base_price,
        CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE)                    AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))), 2) AS DOUBLE)      AS sum_charge,
        CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) / count(l_quantity)                        AS avg_qty,
        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) / count(l_extendedprice)              AS avg_price,
        CAST(round(sum(CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) / count(l_discount)                        AS avg_disc,
@@ -7684,8 +7684,6 @@ ORDER BY source, band
         word_cache: dict[str, int] = {}
         for _id, t in rows:
             h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            if h in tok_vals:
-                continue
             n = 0
             for w in (t or "").split():
                 c = word_cache.get(w)
@@ -7693,6 +7691,16 @@ ORDER BY source, band
                     c = len(_encode_word(w, ranks))
                     word_cache[w] = c
                 n += c
+            # The SQL joins on md5(text) alone, so a text shared by two
+            # corpora must tokenize identically under both corpus models
+            # (the merge tables are trained per corpus). Assert instead
+            # of silently keeping first-wins (round-5 ADVICE).
+            if h in tok_vals and tok_vals[h] != n:
+                raise AssertionError(
+                    f"q380 oracle: md5 {h} tokenizes to {tok_vals[h]} and "
+                    f"{n} under different corpus models; the hash-keyed "
+                    "VALUES oracle cannot represent this corpus"
+                )
             tok_vals[h] = n
     values380 = ",\n  ".join(
         f"('{h}', {n})" for h, n in sorted(tok_vals.items())
@@ -7730,8 +7738,6 @@ ORDER BY source
         wcache: dict[str, int] = {}
         for _id, t in rows:
             h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            if h in piece_vals:
-                continue
             n = 0
             for w in (t or "").split():
                 c = wcache.get(w)
@@ -7739,6 +7745,17 @@ ORDER BY source
                     c = len(viterbi(w, probs))
                     wcache[w] = c
                 n += c
+            # Same cross-corpus consistency contract as q380 above: the
+            # unigram model is trained per corpus (doc_id < 512 slice),
+            # so a text repeated across corpora must piece-count equally
+            # under every model or the md5-keyed oracle is ambiguous.
+            if h in piece_vals and piece_vals[h] != n:
+                raise AssertionError(
+                    f"q416 oracle: md5 {h} piece-counts to "
+                    f"{piece_vals[h]} and {n} under different corpus "
+                    "models; the hash-keyed VALUES oracle cannot "
+                    "represent this corpus"
+                )
             piece_vals[h] = n
     values416 = ",\n  ".join(
         f"('{h}', {n})" for h, n in sorted(piece_vals.items())
