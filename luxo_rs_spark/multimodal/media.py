@@ -2662,9 +2662,14 @@ def _decode_payload(content: bytes) -> dict:
         return _decode_wav(content)
     if content[:4] == b"GIF8":
         return _decode_gif(content)
+    if content[:2] in (b"II", b"MM") and len(content) >= 4:
+        bo = "<" if content[:2] == b"II" else ">"
+        if struct.unpack_from(f"{bo}H", content, 2)[0] == 42:
+            return _decode_tiff(content)
     raise NotImplementedError(
         "undecodable media container: expected LUXM, BMP, PNG, JPEG, "
-        "GIF, or RIFF/WAVE (MP3/MP4 need codec libraries absent here)"
+        "GIF, TIFF, or RIFF/WAVE (MP3/MP4 need codec libraries absent "
+        "here)"
     )
 
 
@@ -3239,6 +3244,486 @@ def synth_jpeg_lossless_table(
                         "media_id": int(doc_id),
                         "content": _pixels_to_jpeg_lossless(
                             arr, predictor=int(doc_id) % 7 + 1
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TIFF 6.0 (baseline bilevel/gray/RGB subset) — encoder AND decoder,
+# from the public Adobe TIFF 6.0 specification (1992). Supported on
+# both sides: II/MM byte orders, multi-strip layout (RowsPerStrip),
+# Compression 1 (none) / 32773 (PackBits, spec §9) / 5 (LZW, spec §13
+# — MSB-first bit packing, 9-bit start, EARLY code-width change at
+# table size 2^w - 1, Clear at 4094: the convention that differs from
+# GIF's count-codes rule), Predictor 2 (horizontal differencing, spec
+# §14), PhotometricInterpretation 1 (BlackIsZero gray, expanded to RGB
+# on decode) and 2 (RGB). TIFF is lossless, so the decoded payload md5
+# is SQL-recomputable — the q401-strength oracle shape.
+# Boundary (raises NotImplementedError): tiled layout, palette color,
+# CCITT/JPEG-in-TIFF compression, planar configuration 2.
+# ---------------------------------------------------------------------------
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits (TIFF spec §9): literal runs n in [0,127] = n+1 raw
+    bytes; repeat runs n in [-127,-1] = 1-n copies of the next byte."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length of identical bytes at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 2:
+            out.append(257 - (j - i))
+            out.append(data[i])
+            i = j
+            continue
+        # literal: extend until a >=3 repeat starts (2-byte repeats are
+        # cheaper folded into the literal) or 128 bytes
+        j = i + 1
+        while j < n and j - i < 128:
+            if j + 2 < n and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out.extend(data[i:j])
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        b = data[i]
+        i += 1
+        if b < 128:
+            out.extend(data[i : i + b + 1])
+            i += b + 1
+        elif b > 128:
+            out.extend(data[i : i + 1] * (257 - b))
+            i += 1
+        # b == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError("PackBits strip decoded to wrong length")
+    return bytes(out)
+
+
+class _MsbBitWriter:
+    """MSB-first bit packer (TIFF LZW; GIF's is LSB-first)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc = (self.acc << width) | code
+        self.nbits += width
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def done(self) -> bytes:
+        if self.nbits:
+            self.buf.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc, self.nbits = 0, 0
+        return bytes(self.buf)
+
+
+_TIFF_CLEAR, _TIFF_EOI = 256, 257
+
+
+def _tiff_lzw_compress(data: bytes) -> bytes:
+    """TIFF spec §13 LZW. Width growth counts CODES on both sides (the
+    convention the GIF codec above proved against giflib goldens),
+    shifted one code EARLIER — that is exactly TIFF's famous
+    early-change rule ("the code width changes one code sooner than a
+    GIF-convention reader expects"). The encoder emits ClearCode when
+    the table reaches 4094 entries, keeping every code <= 12 bits."""
+    w = _MsbBitWriter()
+
+    def fresh() -> tuple[dict, int, int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9, 258
+
+    table, next_code, width, rc = fresh()
+    w.put(_TIFF_CLEAR, width)
+
+    def emit_data(code: int) -> None:
+        nonlocal width, rc
+        w.put(code, width)
+        rc += 1
+        if rc > (1 << width) - 1 and width < 12:
+            width += 1
+
+    prefix = b""
+    for ch in data:
+        cand = prefix + bytes([ch])
+        if cand in table:
+            prefix = cand
+            continue
+        emit_data(table[prefix])
+        if next_code >= 4094:  # table full: reset both sides
+            w.put(_TIFF_CLEAR, width)
+            table, next_code, width, rc = fresh()
+        else:
+            table[cand] = next_code
+            next_code += 1
+        prefix = bytes([ch])
+    if prefix:
+        emit_data(table[prefix])
+    w.put(_TIFF_EOI, width)
+    return w.done()
+
+
+def _tiff_lzw_decompress(data: bytes, expected: int) -> bytes:
+    """Decoder mirror: same code-counting early-change width rule, the
+    spec §13 pseudo-code's KwKwK handling, Clear resets."""
+    out = bytearray()
+    pos_bits, total_bits = 0, len(data) * 8
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, rc = 9, 258
+    old: bytes | None = None
+
+    def get() -> int:
+        nonlocal pos_bits
+        if pos_bits + width > total_bits:
+            return _TIFF_EOI
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | ((data[pos_bits >> 3] >> (7 - (pos_bits & 7))) & 1)
+            pos_bits += 1
+        return v
+
+    while len(out) < expected:
+        code = get()
+        if code == _TIFF_EOI:
+            break
+        if code == _TIFF_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, rc = 9, 258
+            old = None
+            continue
+        if old is None:
+            if code >= 256:
+                raise ValueError("LZW stream must open with a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4094:
+                table.append(old + entry[:1])
+        elif code == len(table):
+            entry = old + old[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW code")
+        out.extend(entry)
+        old = entry
+        rc += 1
+        if rc > (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise ValueError("LZW strip decoded to wrong length")
+    return bytes(out)
+
+
+def _tiff_predict2_encode(row: np.ndarray, spp: int) -> np.ndarray:
+    """Horizontal differencing (spec §14): per channel, left-to-right
+    deltas mod 256; first pixel kept verbatim."""
+    r = row.reshape(-1, spp).astype(np.int16)
+    d = r.copy()
+    d[1:] = (r[1:] - r[:-1]) & 0xFF
+    return d.astype(np.uint8).reshape(-1)
+
+
+def _tiff_predict2_decode(row: np.ndarray, spp: int) -> np.ndarray:
+    r = row.reshape(-1, spp).astype(np.uint16)
+    acc = np.cumsum(r, axis=0, dtype=np.uint64) & 0xFF
+    return acc.astype(np.uint8).reshape(-1)
+
+
+def _pixels_to_tiff(
+    arr: "np.ndarray",
+    byte_order: str = "II",
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int = 3,
+    gray: bool = False,
+) -> bytes:
+    """Encode HxWx3 uint8 RGB (or, with gray=True, HxW uint8) to a
+    baseline TIFF. Strips of rows_per_strip rows; IFD written after the
+    pixel data; inline IFD values are LEFT-justified in the file byte
+    order per spec §2 (the classic MM gotcha)."""
+    bo = "<" if byte_order == "II" else ">"
+    if gray:
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        h, w_ = arr.shape
+        spp, photometric = 1, 1
+        raw_rows = [arr[y].tobytes() for y in range(h)]
+    else:
+        h, w_, _ = arr.shape
+        spp, photometric = 3, 2
+        raw_rows = [arr[y].reshape(-1).tobytes() for y in range(h)]
+
+    strips: list[bytes] = []
+    for y0 in range(0, h, rows_per_strip):
+        rows = raw_rows[y0 : y0 + rows_per_strip]
+        if predictor == 2:
+            rows = [
+                _tiff_predict2_encode(
+                    np.frombuffer(r, dtype=np.uint8), spp
+                ).tobytes()
+                for r in rows
+            ]
+        strip = b"".join(rows)
+        if compression == 5:
+            strip = _tiff_lzw_compress(strip)
+        elif compression == 32773:
+            strip = _packbits_encode(strip)
+        elif compression != 1:
+            raise NotImplementedError(f"TIFF compression {compression}")
+        strips.append(strip)
+
+    out = bytearray()
+    out += struct.pack(f"{bo}2sHI", byte_order.encode(), 42, 0)  # patch ofs
+    strip_offsets: list[int] = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    if len(out) & 1:
+        out += b"\0"
+
+    # external value arrays (anything wider than the 4-byte slot)
+    extra: list[tuple[int, bytes]] = []
+
+    def _ext(payload: bytes) -> int:
+        extra.append((0, payload))
+        return len(extra) - 1
+
+    entries: list[tuple[int, int, int, bytes | int]] = []
+
+    def tag(t: int, typ: int, cnt: int, val) -> None:
+        entries.append((t, typ, cnt, val))
+
+    n_strips = len(strips)
+    tag(256, 4, 1, w_)  # ImageWidth LONG
+    tag(257, 4, 1, h)  # ImageLength LONG
+    if spp == 3:
+        bps = struct.pack(f"{bo}3H", 8, 8, 8)
+        tag(258, 3, 3, ("ext", _ext(bps)))
+    else:
+        tag(258, 3, 1, 8)
+    tag(259, 3, 1, compression)
+    tag(262, 3, 1, photometric)
+    if n_strips == 1:
+        tag(273, 4, 1, ("strip0",))
+    else:
+        tag(273, 4, n_strips, ("ext", _ext(b"")))  # patched below
+        _strip_ofs_ext = len(extra) - 1
+    tag(277, 3, 1, spp)
+    tag(278, 4, 1, rows_per_strip)
+    tag(284, 3, 1, 1)  # PlanarConfiguration: chunky
+    if n_strips == 1:
+        tag(279, 4, 1, len(strips[0]))
+    else:
+        counts = struct.pack(f"{bo}{n_strips}I", *[len(s) for s in strips])
+        tag(279, 4, n_strips, ("ext", _ext(counts)))
+    if predictor != 1:
+        tag(317, 3, 1, predictor)
+    entries.sort(key=lambda e: e[0])  # IFD entries must be tag-ordered
+
+    ifd_ofs = len(out)
+    struct.pack_into(f"{bo}I", out, 4, ifd_ofs)
+    ifd = bytearray(struct.pack(f"{bo}H", len(entries)))
+    ext_base = ifd_ofs + 2 + 12 * len(entries) + 4
+    # resolve external payload offsets (strip-offsets array last so it
+    # can reference the already-final strip positions)
+    ext_payloads: list[bytes] = []
+    ofs_cursor = ext_base
+    ext_offsets: list[int] = []
+    for i, (_z, payload) in enumerate(extra):
+        if n_strips > 1 and i == _strip_ofs_ext:
+            payload = struct.pack(f"{bo}{n_strips}I", *strip_offsets)
+        if len(payload) & 1:
+            payload += b"\0"
+        ext_offsets.append(ofs_cursor)
+        ext_payloads.append(payload)
+        ofs_cursor += len(payload)
+    type_size = {3: 2, 4: 4}
+    for t, typ, cnt, val in entries:
+        ifd += struct.pack(f"{bo}HHI", t, typ, cnt)
+        if isinstance(val, tuple) and val[0] == "ext":
+            ifd += struct.pack(f"{bo}I", ext_offsets[val[1]])
+        elif isinstance(val, tuple) and val[0] == "strip0":
+            ifd += struct.pack(f"{bo}I", strip_offsets[0])
+        else:
+            # inline values sit LEFT-justified in the file byte order
+            # (for MM the big-endian pack already left-justifies)
+            ifd += struct.pack(
+                f"{bo}{'H' if typ == 3 else 'I'}", int(val)
+            ).ljust(4, b"\0")
+        if typ not in type_size:
+            raise NotImplementedError("encoder emits SHORT/LONG only")
+    ifd += struct.pack(f"{bo}I", 0)  # next IFD
+    out += ifd
+    for p in ext_payloads:
+        out += p
+    return bytes(out)
+
+
+def _decode_tiff(content: bytes) -> dict:
+    """GENUINE decoder: baseline TIFF per the 6.0 spec. Returns RGB
+    payload (gray expanded x3), strip-reassembled, de-predicted,
+    decompressed. Raises NotImplementedError on the documented
+    boundary (tiles, palette, CCITT/JPEG compression, planar=2)."""
+    if len(content) < 8 or content[:2] not in (b"II", b"MM"):
+        raise ValueError("not a TIFF")
+    bo = "<" if content[:2] == b"II" else ">"
+    magic, ifd_ofs = struct.unpack_from(f"{bo}HI", content, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    (n_entries,) = struct.unpack_from(f"{bo}H", content, ifd_ofs)
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        t, typ, cnt, = struct.unpack_from(
+            f"{bo}HHI", content, ifd_ofs + 2 + 12 * i
+        )
+        slot_ofs = ifd_ofs + 2 + 12 * i + 8
+        if typ not in type_size:
+            continue  # RATIONAL etc: irrelevant to the baseline subset
+        width = type_size[typ]
+        total = width * cnt
+        if total <= 4:
+            base = slot_ofs  # inline, left-justified
+        else:
+            (base,) = struct.unpack_from(f"{bo}I", content, slot_ofs)
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[t] = list(
+            struct.unpack_from(f"{bo}{cnt}{fmt}", content, base)
+        )
+    w_ = tags[256][0]
+    h = tags[257][0]
+    compression = tags.get(259, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    spp = tags.get(277, [1])[0]
+    bps = tags.get(258, [1])
+    predictor = tags.get(317, [1])[0]
+    planar = tags.get(284, [1])[0]
+    rows_per_strip = tags.get(278, [h])[0]
+    if 322 in tags or 323 in tags:
+        raise NotImplementedError("tiled TIFF layout not supported")
+    if photometric == 3:
+        raise NotImplementedError("palette-color TIFF not supported")
+    if photometric not in (0, 1, 2):
+        raise NotImplementedError(f"TIFF photometric {photometric}")
+    if planar != 1:
+        raise NotImplementedError("planar configuration 2 not supported")
+    if any(b != 8 for b in bps):
+        raise NotImplementedError("only 8 bits per sample supported")
+    if compression not in (1, 5, 32773):
+        raise NotImplementedError(
+            f"TIFF compression {compression} (CCITT/JPEG need codecs)"
+        )
+    offsets = tags[273]
+    counts = tags.get(279)
+    if counts is None:
+        if compression != 1 or len(offsets) != 1:
+            raise ValueError("missing StripByteCounts")
+        counts = [h * w_ * spp]
+    raw = bytearray()
+    row_bytes = w_ * spp
+    for si, (ofs, cnt) in enumerate(zip(offsets, counts)):
+        strip = content[ofs : ofs + cnt]
+        n_rows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = n_rows * row_bytes
+        if compression == 5:
+            strip = _tiff_lzw_decompress(strip, expected)
+        elif compression == 32773:
+            strip = _packbits_decode(strip, expected)
+        elif len(strip) < expected:
+            raise ValueError("short uncompressed strip")
+        strip = strip[:expected]
+        if predictor == 2:
+            rows = [
+                _tiff_predict2_decode(
+                    np.frombuffer(
+                        strip[r * row_bytes : (r + 1) * row_bytes],
+                        dtype=np.uint8,
+                    ),
+                    spp,
+                ).tobytes()
+                for r in range(n_rows)
+            ]
+            strip = b"".join(rows)
+        raw += strip
+    arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+    if spp == 1:
+        if photometric == 0:  # WhiteIsZero: invert to BlackIsZero
+            arr = 255 - arr
+        rgb = np.repeat(arr, 3)
+    else:
+        rgb = arr
+    return {
+        "kind": "image",
+        "width": w_,
+        "height": h,
+        "sample_rate": 0,
+        "payload": rgb.tobytes(),
+    }
+
+
+def synth_tiff_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real-encoder TIFF synthesis: per doc a baseline TIFF whose dims
+    derive from doc_id and whose pixels tile the md5 hex of the text —
+    even doc_ids RGB (payload = the tiled hex bytes), odd grayscale
+    (payload = each tiled byte repeated x3), so the decoded payload md5
+    is recomputable in SQL exactly like q401/q414. Variant coverage
+    cycles by doc_id: compression none/PackBits/LZW (doc_id%3),
+    horizontal predictor on the doc_id%6==5 LZW lane, MM byte order on
+    doc_id%5==0, multi-strip layout throughout (rows_per_strip=3)."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 11 + 6
+                h = did % 5 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                gray = bool(did % 2)
+                need = h * w_ * (1 if gray else 3)
+                tiled = (hx * (need // 32 + 1))[:need]
+                arr = np.frombuffer(tiled, dtype=np.uint8)
+                arr = (
+                    arr.reshape(h, w_)
+                    if gray
+                    else arr.reshape(h, w_, 3)
+                )
+                compression = {0: 1, 1: 32773, 2: 5}[did % 3]
+                predictor = 2 if did % 6 == 5 else 1
+                byte_order = "MM" if did % 5 == 0 else "II"
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _pixels_to_tiff(
+                            arr,
+                            byte_order=byte_order,
+                            compression=compression,
+                            predictor=predictor,
+                            rows_per_strip=3,
+                            gray=gray,
                         ),
                     }
                 )

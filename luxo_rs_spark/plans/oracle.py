@@ -8656,3 +8656,36 @@ FROM digested
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# q422: TIFF is lossless, so the decoded payload md5 is recomputable
+# from the synthesis rule alone (q401/q414 strength): even doc_ids are
+# RGB whose payload IS the md5-hex tiling truncated at w*h*3; odd ids
+# are grayscale whose w*h tiled bytes expand x3 on decode. Compression
+# / byte order / predictor variants change the container bytes, never
+# the decoded payload — which is exactly what the oracle asserts.
+ORACLE_SQL["q422_tiff_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h,
+         CASE WHEN doc_id % 2 = 0
+              THEN substring(repeat(hx, CAST(w * h * 3 / 32 AS INTEGER) + 1),
+                             1, w * h * 3)
+              ELSE array_to_string(
+                     list_transform(range(1, w * h + 1),
+                       i -> repeat(substring(
+                              repeat(hx, CAST(w * h / 32 AS INTEGER) + 1),
+                              CAST(i AS INTEGER), 1), 3)),
+                     '')
+         END AS payload
+  FROM t
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(w * h * 3 AS BIGINT) AS payload_bytes,
+       md5(payload) AS payload_md5
+FROM px ORDER BY media_id
+"""

@@ -15407,3 +15407,27 @@ def q421_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q422 — TIFF decode (§2.2-K multimodal; baseline TIFF 6.0 from the
+# public Adobe spec, encoder AND decoder from scratch in
+# multimodal/media.py): II/MM byte orders, multi-strip layout,
+# Compression none / PackBits / LZW (MSB-first, EARLY code-width
+# change — the convention that differs from GIF), horizontal
+# Predictor 2, gray + RGB photometrics, all cycled across doc_id.
+# TIFF is lossless, so the oracle recomputes the FULL decoded payload
+# md5 in SQL (q401 strength): even ids RGB = the tiled md5-hex bytes
+# themselves; odd ids gray = each tiled byte expanded x3.
+# Scale shape: synth + decode are both mapInPandas over bounded Arrow
+# batches — map-side only, zero shuffle before the final orderBy.
+# ---------------------------------------------------------------------------
+@query("q422_tiff_decode")
+def q422_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_tiff_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_media_digest(synth_tiff_table(docs)).orderBy("media_id")

@@ -1135,3 +1135,259 @@ def test_jpeg_12bit_progressive_all_entropy_paths():
         ds = _decode_jpeg(seq)
         assert ds["payload"] == _decode_jpeg(prog)["payload"]
         assert ds["payload"] == _decode_jpeg(pa)["payload"]
+
+
+# ---------------------------------------------------------------------------
+# TIFF codec (baseline TIFF 6.0, q422)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_lzw_golden_bitstream():
+    """Hand-derived golden (pins MSB packing + the early-change width
+    convention at 9 bits). Input \\x07\\x07\\x07\\x08\\x08\\x07 encodes,
+    by the spec §13 algorithm worked by hand, to codes
+    [Clear=256, 7, 258, 8, 8, 7, EOI=257], all 9-bit:
+    100000000 000000111 100000010 000001000 000001000 000000111
+    100000001 + 1 pad bit -> 8001e04080401e02."""
+    from luxo_rs_spark.multimodal.media import (
+        _tiff_lzw_compress,
+        _tiff_lzw_decompress,
+    )
+
+    data = b"\x07\x07\x07\x08\x08\x07"
+    enc = _tiff_lzw_compress(data)
+    assert enc.hex() == "8001e04080401e02"
+    assert _tiff_lzw_decompress(enc, len(data)) == data
+
+
+def test_tiff_lzw_early_change_is_load_bearing():
+    """A GIF-convention reader (width grows one code LATER) must fail
+    on a TIFF stream that crosses the 9->10 bit boundary — proving the
+    early change isn't vacuous — while the TIFF reader round-trips."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _tiff_lzw_compress,
+        _tiff_lzw_decompress,
+    )
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, 2000, dtype=np.uint8).tobytes()
+    enc = _tiff_lzw_compress(data)
+    assert _tiff_lzw_decompress(enc, len(data)) == data
+
+    # late-convention reader: identical logic, threshold one code later
+    def late_decode(buf: bytes, expected: int) -> bytes:
+        out = bytearray()
+        pos, total = 0, len(buf) * 8
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width, rc = 9, 258
+        old = None
+        while len(out) < expected:
+            if pos + width > total:
+                raise ValueError("truncated")
+            v = 0
+            for _ in range(width):
+                v = (v << 1) | ((buf[pos >> 3] >> (7 - (pos & 7))) & 1)
+                pos += 1
+            if v == 257:
+                break
+            if v == 256:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width, rc, old = 9, 258, None
+                continue
+            if old is None:
+                entry = table[v]
+            elif v < len(table):
+                entry = table[v]
+                table.append(old + entry[:1])
+            elif v == len(table):
+                entry = old + old[:1]
+                table.append(entry)
+            else:
+                raise ValueError("corrupt code")
+            out.extend(entry)
+            old = entry
+            rc += 1
+            if rc > (1 << width) and width < 12:  # GIF (late) rule
+                width += 1
+        return bytes(out)
+
+    with pytest.raises(ValueError):
+        assert late_decode(enc, len(data)) != data
+
+
+def test_tiff_lzw_roundtrip_torture():
+    """Width ladder (9->10->11->12), table-full 4094 clear, KwKwK,
+    degenerate inputs."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _tiff_lzw_compress,
+        _tiff_lzw_decompress,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b"x",
+        b"aaaa",  # KwKwK shape
+        b"ab" * 3000,
+        bytes((i * 7 + j) & 0xFF for i in range(200) for j in range(40)),
+        rng.integers(0, 256, 30000, dtype=np.uint8).tobytes(),  # clears
+        bytes(rng.integers(0, 4, 60000, dtype=np.uint8)),
+    ]
+    for data in cases:
+        enc = _tiff_lzw_compress(data)
+        assert _tiff_lzw_decompress(enc, len(data)) == data
+
+
+def test_tiff_packbits_edges():
+    from luxo_rs_spark.multimodal.media import (
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    for data in (
+        b"",
+        b"a",
+        b"a" * 2,
+        b"a" * 128,
+        b"a" * 129,
+        b"a" * 300,
+        b"ab" * 70,
+        bytes(range(256)) * 2,
+        b"aab" + b"c" * 200 + b"de",
+    ):
+        assert _packbits_decode(_packbits_encode(data), len(data)) == data
+    # spec: n == 128 is a no-op byte
+    assert _packbits_decode(b"\x80\x00a", 1) == b"a"
+
+
+def test_tiff_roundtrip_matrix():
+    """Every (endian x compression x predictor x photometric) combo
+    round-trips bit-exactly, multi-strip layouts included."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_tiff,
+    )
+
+    rng = np.random.default_rng(5)
+    for gray in (False, True):
+        arr = rng.integers(
+            0, 256, (7, 13) if gray else (7, 13, 3), dtype=np.uint8
+        )
+        expected = (
+            np.repeat(arr.reshape(-1), 3) if gray else arr.reshape(-1)
+        ).tobytes()
+        for bo in ("II", "MM"):
+            for comp in (1, 32773, 5):
+                for pred in (1, 2):
+                    for rps in (1, 3, 7):
+                        t = _pixels_to_tiff(
+                            arr,
+                            byte_order=bo,
+                            compression=comp,
+                            predictor=pred,
+                            rows_per_strip=rps,
+                            gray=gray,
+                        )
+                        d = _decode_payload(t)
+                        assert d["kind"] == "image"
+                        assert (d["width"], d["height"]) == (13, 7)
+                        assert d["payload"] == expected
+
+
+def test_tiff_mm_inline_values_left_justified():
+    """The classic MM gotcha: inline SHORT IFD values occupy the FIRST
+    two bytes of the 4-byte slot. Corrupting the slot's tail must not
+    change the decode; corrupting its head must."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_tiff,
+    )
+
+    arr = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    t = bytearray(_pixels_to_tiff(arr, byte_order="MM", compression=1))
+    # find the Compression entry (tag 259) in the IFD
+    import struct as _s
+
+    (ifd_ofs,) = _s.unpack_from(">I", t, 4)
+    (n,) = _s.unpack_from(">H", t, ifd_ofs)
+    for i in range(n):
+        tag, typ, cnt = _s.unpack_from(">HHI", t, ifd_ofs + 2 + 12 * i)
+        if tag == 259:
+            slot = ifd_ofs + 2 + 12 * i + 8
+            assert t[slot : slot + 2] == b"\x00\x01"  # value 1, leading
+            assert t[slot + 2 : slot + 4] == b"\x00\x00"  # padding
+    assert _decode_payload(bytes(t))["payload"] == arr.tobytes()
+
+
+def test_tiff_boundary_raises():
+    """Documented boundary: tiles, palette color, planar 2, CCITT."""
+    import struct as _s
+
+    import numpy as np
+    import pytest as _pt
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_tiff,
+    )
+
+    arr = np.zeros((2, 2, 3), dtype=np.uint8)
+    base = _pixels_to_tiff(arr)
+
+    def patch_tag(buf: bytes, tag: int, val: int) -> bytes:
+        b = bytearray(buf)
+        (ifd_ofs,) = _s.unpack_from("<I", b, 4)
+        (n,) = _s.unpack_from("<H", b, ifd_ofs)
+        for i in range(n):
+            t, typ, cnt = _s.unpack_from("<HHI", b, ifd_ofs + 2 + 12 * i)
+            if t == tag:
+                _s.pack_into("<H", b, ifd_ofs + 2 + 12 * i + 8, val)
+                return bytes(b)
+        raise AssertionError(f"tag {tag} not present")
+
+    with _pt.raises(NotImplementedError):
+        _decode_payload(patch_tag(base, 262, 3))  # palette
+    with _pt.raises(NotImplementedError):
+        _decode_payload(patch_tag(base, 259, 2))  # CCITT G3
+    with _pt.raises(NotImplementedError):
+        _decode_payload(patch_tag(base, 284, 2))  # planar 2
+    with _pt.raises((NotImplementedError, ValueError)):
+        _pixels_to_tiff(arr, compression=7)  # JPEG-in-TIFF encode
+
+
+def test_tiff_synth_decode_spark(spark):
+    """The q422 pipeline end-to-end on a fixture slice: geometry and
+    payload md5 match the synthesis rule."""
+    import hashlib
+
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_tiff_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 12)
+    rows = {
+        r.media_id: r
+        for r in decode_media_digest(synth_tiff_table(docs)).collect()
+    }
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(rows) == len(texts) > 0
+    for did, text in texts.items():
+        r = rows[did]
+        w, h = did % 11 + 6, did % 5 + 4
+        assert (r.width, r.height) == (w, h)
+        hx = hashlib.md5(text.encode()).hexdigest().encode()
+        if did % 2 == 0:
+            payload = (hx * (w * h * 3 // 32 + 1))[: w * h * 3]
+        else:
+            gray = (hx * (w * h // 32 + 1))[: w * h]
+            payload = bytes(b for g in gray for b in (g, g, g))
+        assert r.payload_md5 == hashlib.md5(payload).hexdigest()
