@@ -2295,7 +2295,7 @@ def _decode_wav(content: bytes) -> dict:
     the audio geometry; documented in DECODED_SCHEMA users)."""
     if len(content) < 12 or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE container")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, fact_samples = 12, None, None, None
     while pos + 8 <= len(content):
         cid, size = struct.unpack_from("<4sI", content, pos)
         body = content[pos + 8 : pos + 8 + size]
@@ -2303,11 +2303,18 @@ def _decode_wav(content: bytes) -> dict:
             fmt = struct.unpack_from("<HHIIHH", body, 0)
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact_samples,) = struct.unpack_from("<I", body, 0)
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _byte_rate, _align, bits = fmt
-    if audio_format in (6, 7):  # G.711 A-law / mu-law -> 16-bit linear
+    if audio_format == 0x11:  # IMA/DVI ADPCM -> 16-bit linear
+        if channels != 1:
+            raise NotImplementedError("IMA ADPCM: mono only")
+        data = _ima_adpcm_decode(data, _align, fact_samples).tobytes()
+        bits = 16
+    elif audio_format in (6, 7):  # G.711 A-law / mu-law -> 16-bit linear
         lut = _ALAW_LUT if audio_format == 6 else _ULAW_LUT
         data = (
             lut[np.frombuffer(data, dtype=np.uint8)].astype("<i2").tobytes()
@@ -3728,6 +3735,166 @@ def synth_tiff_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     }
                 )
             yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IMA / DVI ADPCM (WAV format tag 0x11) — encoder AND decoder, from
+# the public IMA Digital Audio Focus Group algorithm (1992; also RFC
+# 3551 §4.5.1 and the Microsoft WAVE registry). 4-bit differential
+# coding over an 89-entry step table: genuinely compressed audio
+# (4:1 vs 16-bit PCM) with an EXACT integer decode — every sample is
+# integer arithmetic, so decoded-sample sums are oracle-checkable.
+# Mono, block-structured per the WAV spec: each block = 4-byte header
+# (predictor int16, step index uint8, reserved) + 2 samples/byte
+# low-nibble-first; the fact chunk carries the true sample count for
+# the padded final block.
+# ---------------------------------------------------------------------------
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibble(nib: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA ADPCM step: returns (new_pred, new_idx)."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    if nib & 8:
+        pred -= diff
+    else:
+        pred += diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nib]))
+    return pred, idx
+
+
+def _ima_encode_nibble(sample: int, pred: int, idx: int) -> int:
+    """Quantize (sample - pred) against step_table[idx] — the IMA
+    reference encoder's bit-building loop."""
+    step = _IMA_STEP_TABLE[idx]
+    delta = sample - pred
+    nib = 0
+    if delta < 0:
+        nib = 8
+        delta = -delta
+    if delta >= step:
+        nib |= 4
+        delta -= step
+    if delta >= step >> 1:
+        nib |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        nib |= 1
+    return nib
+
+
+def _ima_adpcm_encode(samples: "np.ndarray", block_align: int = 256) -> bytes:
+    """Mono int16 samples -> IMA ADPCM block stream. Each block stores
+    its first sample verbatim in the header (the standard WAV layout);
+    the step index persists across blocks. The final block's unused
+    nibbles encode a held last sample (decoder truncates via fact)."""
+    spb = (block_align - 4) * 2 + 1  # samples per block
+    out = bytearray()
+    idx = 0
+    n = len(samples)
+    for b0 in range(0, n, spb):
+        chunk = samples[b0 : b0 + spb]
+        pred = int(chunk[0])
+        out += struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        last = pred
+        for k in range(1, spb):
+            target = int(chunk[k]) if k < len(chunk) else last
+            nib = _ima_encode_nibble(target, pred, idx)
+            pred, idx = _ima_decode_nibble(nib, pred, idx)
+            nibbles.append(nib)
+            last = target
+        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
+            out.append(lo | (hi << 4))
+    return bytes(out)
+
+
+def _ima_adpcm_decode(
+    data: bytes, block_align: int, total_samples: int | None
+) -> "np.ndarray":
+    spb = (block_align - 4) * 2 + 1
+    out: list[int] = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0 : b0 + block_align]
+        if len(block) < 4:
+            raise ValueError("short ADPCM block header")
+        pred, idx, _rsv = struct.unpack_from("<hBB", block, 0)
+        if idx > 88:
+            raise ValueError("ADPCM step index out of range")
+        out.append(pred)
+        for byte in block[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_decode_nibble(nib, pred, idx)
+                out.append(pred)
+    if total_samples is not None:
+        out = out[:total_samples]
+    return np.array(out, dtype="<i2")
+
+
+def synth_adpcm_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real-encoder IMA ADPCM WAV synthesis: 16-bit samples derived
+    from the text bytes (sample_i = (byte_i - 100) * 231, a swing wide
+    enough to exercise the step-table ladder), ADPCM-encoded in
+    block_align=256 blocks with a fact chunk carrying the true sample
+    count. Lossy by design — the oracle recomputes the decode
+    sequentially (q33/q40 recipe), and the spec batteries in
+    tests/test_sources_multimodal.py pin the codec itself."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                b = (text or "x").encode("utf-8")[:1500]
+                samples = (
+                    (np.frombuffer(b, dtype=np.uint8).astype(np.int32) - 100)
+                    * 231
+                ).astype("<i2")
+                block_align = 256
+                adata = _ima_adpcm_encode(samples, block_align)
+                spb = (block_align - 4) * 2 + 1
+                fmt = struct.pack(
+                    "<HHIIHHHH",
+                    0x11, 1, 8000,
+                    8000 * block_align // spb,
+                    block_align, 4, 2, spb,
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"fact" + struct.pack("<II", 4, len(samples))
+                    + b"data" + struct.pack("<I", len(adata)) + adata
+                )
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": b"RIFF"
+                        + struct.pack("<I", len(body))
+                        + body,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     return docs.select("doc_id", text_col).mapInPandas(
         gen, "media_id long, content binary"

@@ -7777,6 +7777,87 @@ GROUP BY source
 ORDER BY source
 """
 
+    # --- q423: IMA ADPCM decode stats (sequential recompute) --------------
+    # The synth->encode path imports the media module's encoder (the
+    # q380 convention: the oracle re-runs it sequentially), but the
+    # DECODE is retyped here inline from the public IMA step tables so
+    # a decoder bug in media.py cannot self-certify.
+    from luxo_rs_spark.multimodal.media import _ima_adpcm_encode
+
+    _STEPS = [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ]
+    _IDX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
+
+    def _ref_adpcm_decode(data: bytes, align: int, total: int) -> list[int]:
+        import struct as _s
+
+        out: list[int] = []
+        for b0 in range(0, len(data), align):
+            block = data[b0 : b0 + align]
+            pred, idx, _r = _s.unpack_from("<hBB", block, 0)
+            out.append(pred)
+            for byte in block[4:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    step = _STEPS[idx]
+                    diff = step >> 3
+                    if nib & 1:
+                        diff += step >> 2
+                    if nib & 2:
+                        diff += step >> 1
+                    if nib & 4:
+                        diff += step
+                    pred = pred - diff if nib & 8 else pred + diff
+                    pred = max(-32768, min(32767, pred))
+                    idx = max(0, min(88, idx + _IDX[nib]))
+                    out.append(pred)
+        return out[:total]
+
+    import numpy as _np
+
+    adpcm_vals: dict[str, tuple[int, int, int, int]] = {}
+    for rows in corpora:
+        for _id, t in rows:
+            if _id >= 300:
+                continue
+            h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            if h in adpcm_vals:
+                continue
+            b = (t or "x").encode("utf-8")[:1500]
+            samples = (
+                (_np.frombuffer(b, dtype=_np.uint8).astype(_np.int32) - 100)
+                * 231
+            ).astype("<i2")
+            dec = _ref_adpcm_decode(
+                _ima_adpcm_encode(samples, 256), 256, len(samples)
+            )
+            adpcm_vals[h] = (len(dec), sum(dec), min(dec), max(dec))
+    values423 = ",\n  ".join(
+        f"('{h}', {n}, {s}, {mn}, {mx})"
+        for h, (n, s, mn, mx) in sorted(adpcm_vals.items())
+    )
+    ORACLE_SQL["q423_adpcm_decode"] = f"""
+WITH st(h, n_samples, sample_sum, sample_min, sample_max) AS (VALUES
+  {values423}
+)
+SELECT d.doc_id AS media_id,
+       8000 AS sample_rate,
+       CAST(st.n_samples AS BIGINT) AS n_samples,
+       CAST(st.sample_sum AS BIGINT) AS sample_sum,
+       CAST(st.sample_min AS INTEGER) AS sample_min,
+       CAST(st.sample_max AS INTEGER) AS sample_max
+FROM documents d JOIN st ON md5(d.text) = st.h
+WHERE d.doc_id < 300
+ORDER BY media_id
+"""
+
     # --- q33 + q40: per-doc SimHash signature and fnv1a64 fingerprint -----
     # (round-3 verdict item #5: these are fully deterministic functions
     # of the text, so the per-doc value is recomputed here sequentially

@@ -15431,3 +15431,27 @@ def q422_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return decode_media_digest(synth_tiff_table(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q423 — IMA ADPCM audio decode (§2.2-K multimodal; the public IMA
+# 1992 4-bit differential codec, WAV format tag 0x11): genuinely
+# COMPRESSED audio (4:1) whose decode is exact integer arithmetic —
+# per-media sample count/sum/min/max are precise integers. The oracle
+# recomputes synth -> encode -> decode sequentially at install time
+# with an independently-typed step-table decoder (q33/q40 recipe) and
+# embeds per-doc stats as VALUES; the codec itself is pinned by spec
+# batteries (step-table goldens, block-boundary index persistence,
+# fact-chunk truncation) in tests/test_sources_multimodal.py.
+# Scale shape: synth + decode are mapInPandas map stages, zero
+# shuffle before the final orderBy.
+# ---------------------------------------------------------------------------
+@query("q423_adpcm_decode")
+def q423_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_pcm_stats,
+        synth_adpcm_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_media_pcm_stats(synth_adpcm_table(docs)).orderBy("media_id")

@@ -1391,3 +1391,131 @@ def test_tiff_synth_decode_spark(spark):
             gray = (hx * (w * h // 32 + 1))[: w * h]
             payload = bytes(b for g in gray for b in (g, g, g))
         assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM codec (WAV tag 0x11, q423)
+# ---------------------------------------------------------------------------
+
+
+def test_adpcm_hand_derived_golden_block():
+    """Worked by hand from the IMA step/index tables: samples
+    [0, 100, -50] with block_align=8 (9 samples/block, tail held at
+    the last real sample).
+
+    header: pred=0 idx=0 -> 00 00 00 00
+    k=1 target 100:  step 7,  nib 7  -> pred 11,  idx 8
+    k=2 target -50:  step 16, nib 15 -> pred -19, idx 16
+    k=3 held  -50:   step 34, nib 11 -> pred -48, idx 15
+    k=4 held  -50:   step 31, nib 8  -> pred -51, idx 14
+    k=5 held  -50:   step 28, nib 0  -> pred -48, idx 13
+    k=6 held  -50:   step 25, nib 8  -> pred -51, idx 12
+    k=7 held  -50:   step 23, nib 0  -> pred -49, idx 11
+    k=8 held  -50:   step 21, nib 8  -> pred -51, idx 10
+    nibbles [7,15,11,8,0,8,0,8] low-first -> F7 8B 80 80."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+    )
+
+    enc = _ima_adpcm_encode(np.array([0, 100, -50], dtype="<i2"), 8)
+    assert enc.hex() == "00000000f78b8080"
+    dec = _ima_adpcm_decode(enc, 8, 3)
+    assert dec.tolist() == [0, 11, -19]
+    # full-block decode pins the held-tail reconstruction too
+    dec9 = _ima_adpcm_decode(enc, 8, None)
+    assert dec9.tolist() == [0, 11, -19, -48, -51, -48, -51, -49, -51]
+
+
+def test_adpcm_tracks_smooth_signal():
+    """4-bit differential coding reconstructs a smooth signal within a
+    small bounded error (the codec's fitness-for-purpose check)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+    )
+
+    t = np.arange(2000)
+    sig = (3000 * np.sin(t / 20)).astype("<i2")
+    dec = _ima_adpcm_decode(_ima_adpcm_encode(sig, 256), 256, len(sig))
+    err = np.abs(dec.astype(np.int32) - sig.astype(np.int32))
+    assert err.mean() < 20
+    # encode(decode(x)) reproduces decode(x) exactly for this signal:
+    # the decoded signal is reachable by the same greedy nibble choices
+    d2 = _ima_adpcm_decode(_ima_adpcm_encode(dec, 256), 256, len(dec))
+    assert (d2 == dec).all()
+
+
+def test_adpcm_block_boundary_and_clamps():
+    """Step index persists across blocks; predictor clamps at int16
+    extremes; fact-chunk truncation drops pad samples."""
+    import struct as _s
+
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+    )
+
+    rng = np.random.default_rng(1)
+    sig = rng.integers(-32768, 32768, 1200).astype("<i2")
+    for align in (12, 64, 256):
+        dec = _ima_adpcm_decode(_ima_adpcm_encode(sig, align), align, 1200)
+        assert len(dec) == 1200
+        assert int(dec.max()) <= 32767 and int(dec.min()) >= -32768
+    # container path with fact truncation
+    n = 700  # not a multiple of samples-per-block for align=256 (505)
+    adata = _ima_adpcm_encode(sig[:n], 256)
+    spb = (256 - 4) * 2 + 1
+    fmt = _s.pack("<HHIIHHHH", 0x11, 1, 8000, 8000 * 256 // spb, 256, 4, 2, spb)
+    body = (
+        b"WAVE"
+        + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+        + b"fact" + _s.pack("<II", 4, n)
+        + b"data" + _s.pack("<I", len(adata)) + adata
+    )
+    d = _decode_payload(b"RIFF" + _s.pack("<I", len(body)) + body)
+    import numpy as _np
+
+    assert len(_np.frombuffer(d["payload"], dtype="<i2")) == n
+    assert d["sample_rate"] == 8000 and d["height"] == 16
+
+
+def test_adpcm_synth_decode_spark(spark):
+    """q423 end-to-end on a fixture slice: stats are exact integers
+    reproduced by a sequential local recompute."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+        decode_media_pcm_stats,
+        synth_adpcm_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 10)
+    got = {
+        r.media_id: r
+        for r in decode_media_pcm_stats(synth_adpcm_table(docs)).collect()
+    }
+    for row in docs.collect():
+        b = (row.text or "x").encode("utf-8")[:1500]
+        samples = (
+            (np.frombuffer(b, dtype=np.uint8).astype(np.int32) - 100) * 231
+        ).astype("<i2")
+        dec = _ima_adpcm_decode(
+            _ima_adpcm_encode(samples, 256), 256, len(samples)
+        )
+        r = got[row.doc_id]
+        assert (r.n_samples, r.sample_sum, r.sample_min, r.sample_max) == (
+            len(dec),
+            int(dec.astype(np.int64).sum()),
+            int(dec.min()),
+            int(dec.max()),
+        )
