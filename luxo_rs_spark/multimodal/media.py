@@ -2666,6 +2666,8 @@ def _decode_payload(content: bytes) -> dict:
     if content[:2] == b"\xff\xd8":
         return _decode_jpeg(content)
     if content[:4] == b"RIFF":
+        if content[8:12] == b"AVI ":
+            return _decode_avi(content)
         return _decode_wav(content)
     if content[:4] == b"GIF8":
         return _decode_gif(content)
@@ -3895,6 +3897,202 @@ def synth_adpcm_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     }
                 )
             yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG video (RIFF 'AVI ' container, public Microsoft "AVI RIFF
+# File Reference" layout) — writer AND parser from scratch. MJPEG is
+# intra-only (every frame an independent JPEG), so the frame payloads
+# ride the genuine JPEG codec family above: the synth uses LOSSLESS
+# (SOF3) frames, making every sampled frame's decoded payload md5
+# SQL-recomputable (q401 strength); baseline-JPEG frames decode
+# through the same path (geometry-oracled in tests). This is the
+# "video frame-sample" operator of the LLM-pipeline north star:
+# container parse + stride sampling + per-frame decode, all inside one
+# mapInPandas map stage.
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + (b"\0" * (len(body) & 1))
+
+
+def _riff_list(kind: bytes, body: bytes) -> bytes:
+    return _riff_chunk(b"LIST", kind + body)
+
+
+def _frames_to_avi(frames: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
+    """Wrap pre-encoded JPEG frames as an MJPEG AVI ('00dc' chunks +
+    idx1 index), per the public AVI RIFF reference."""
+    uspf = 1_000_000 // fps
+    maxb = max(len(f) for f in frames) if frames else 0
+    avih = struct.pack(
+        "<14I", uspf, maxb * fps, 0, 0x10, len(frames), 0, 1, maxb, w, h,
+        0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, fps, 0, len(frames),
+                      maxb, -1, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<I2i2H4s5i", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+        ),
+    )
+    movi_items = [_riff_chunk(b"00dc", f) for f in frames]
+    movi = _riff_list(b"movi", b"".join(movi_items))
+    idx = bytearray()
+    ofs = 4  # offsets are relative to the start of the 'movi' list data
+    for f, item in zip(frames, movi_items):
+        idx += b"00dc" + struct.pack("<III", 0x10, ofs, len(f))
+        ofs += len(item)
+    body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames(content: bytes) -> tuple[list[bytes], int, int, int]:
+    """Parse an AVI: returns (jpeg frame chunks, width, height, fps).
+    Walks the RIFF tree; frames come from the movi list's 00dc/00db
+    chunks (the idx1 index is advisory and not required)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    w = h = 0
+    fps = 0
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal w, h, fps
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", buf, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                kind = buf[body_start : body_start + 4]
+                if kind in (b"hdrl", b"strl", b"movi"):
+                    walk(buf, body_start + 4, body_start + size)
+            elif cid == b"avih":
+                uspf, _mb, _pad, _fl, _tf, _if, _ns, _sb, aw, ah = (
+                    struct.unpack_from("<10I", buf, body_start)
+                )
+                w, h = aw, ah
+                fps = 1_000_000 // uspf if uspf else 0
+            elif cid in (b"00dc", b"00db"):
+                frames.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(content, 12, len(content))
+    if w == 0 or h == 0:
+        raise ValueError("AVI missing avih header")
+    return frames, w, h, fps
+
+
+def _decode_avi(content: bytes) -> dict:
+    """Container decode for the generic media pipeline: geometry from
+    the header, frame count in sample_rate (the GIF convention), and
+    the LAST frame's decoded pixels as the payload."""
+    frames, w, h, fps = _avi_frames(content)
+    if not frames:
+        raise ValueError("AVI has no video frames")
+    d = _decode_payload(frames[-1])
+    return {
+        "kind": "video",
+        "width": w,
+        "height": h,
+        "sample_rate": len(frames),
+        "payload": d["payload"],
+    }
+
+
+def sample_video_frames(
+    media: DataFrame, stride: int = 2
+) -> DataFrame:
+    """Video frame sampling: every stride-th frame of each container is
+    decoded to (media_id, frame_idx, width, height, payload_bytes,
+    payload_md5). Container parse + JPEG decode run map-side over
+    bounded Arrow batches; no shuffle is introduced."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames, w, h, _fps = _avi_frames(bytes(content))
+                for fi in range(0, len(frames), stride):
+                    d = _decode_payload(frames[fi])
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "payload_bytes": len(d["payload"]),
+                            "payload_md5": hashlib.md5(
+                                d["payload"]
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "payload_bytes", "payload_md5",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, frame_idx int, width int, height int, "
+        "payload_bytes long, payload_md5 string",
+    )
+
+
+def synth_avi_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real-encoder MJPEG AVI synthesis: per doc an AVI of
+    doc_id%4+2 lossless-JPEG (SOF3) frames; frame f tiles the md5 hex
+    of the text ROTATED by f characters, so each sampled frame's
+    decoded payload md5 is recomputable in SQL. Predictor sweeps
+    (doc_id+f)%7+1 across frames."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 11 + 6
+                h = did % 5 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                need = h * w_ * 3
+                frames = []
+                for f in range(did % 4 + 2):
+                    rot = hx[f:] + hx[:f]
+                    arr = np.frombuffer(
+                        (rot * (need // 32 + 1))[:need], dtype=np.uint8
+                    ).reshape(h, w_, 3)
+                    frames.append(
+                        _pixels_to_jpeg_lossless(
+                            arr, predictor=(did + f) % 7 + 1
+                        )
+                    )
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _frames_to_avi(frames, w_, h, fps=10),
+                    }
+                )
+            yield pd.DataFrame(rows)
 
     return docs.select("doc_id", text_col).mapInPandas(
         gen, "media_id long, content binary"

@@ -8770,3 +8770,28 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        md5(payload) AS payload_md5
 FROM px ORDER BY media_id
 """
+
+
+# q424: lossless frames make the WHOLE video pipeline SQL-checkable —
+# frame f of doc d tiles md5(text) rotated by f chars; stride-2
+# sampling keeps frames 0,2,... of doc_id%4+2 total.
+ORACLE_SQL["q424_video_frame_sample"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames
+  FROM documents WHERE doc_id < 200
+), fr AS (
+  SELECT doc_id, w, h,
+         CAST(u.f AS INTEGER) AS frame_idx,
+         substring(hx, CAST(u.f AS INTEGER) + 1)
+           || substring(hx, 1, CAST(u.f AS INTEGER)) AS rot
+  FROM t, unnest(range(0, n_frames, 2)) AS u(f)
+)
+SELECT doc_id AS media_id, frame_idx, w AS width, h AS height,
+       CAST(w * h * 3 AS BIGINT) AS payload_bytes,
+       md5(substring(repeat(rot, CAST(w * h * 3 / 32 AS INTEGER) + 1),
+                     1, w * h * 3)) AS payload_md5
+FROM fr ORDER BY media_id, frame_idx
+"""

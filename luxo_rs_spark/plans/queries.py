@@ -15455,3 +15455,27 @@ def q423_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return decode_media_pcm_stats(synth_adpcm_table(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q424 — video frame sampling over MJPEG AVI (§2.2-K multimodal; the
+# north star's "video frame-sample" operator made REAL): a from-
+# scratch RIFF/AVI writer+parser (multimodal/media.py) carrying
+# intra-only JPEG frames, sampled at stride 2 and decoded per frame.
+# The synth uses LOSSLESS (SOF3) frames whose pixels tile the text's
+# md5 hex rotated by the frame index, so every sampled frame's decoded
+# payload md5 is recomputable in SQL — the container, the index walk,
+# the stride arithmetic, and the per-frame DPCM decode are all under
+# the full oracle. Everything runs in one mapInPandas map stage.
+# ---------------------------------------------------------------------------
+@query("q424_video_frame_sample")
+def q424_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        sample_video_frames,
+        synth_avi_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return sample_video_frames(synth_avi_table(docs), stride=2).orderBy(
+        "media_id", "frame_idx"
+    )

@@ -1519,3 +1519,99 @@ def test_adpcm_synth_decode_spark(spark):
             int(dec.min()),
             int(dec.max()),
         )
+
+
+# ---------------------------------------------------------------------------
+# AVI / MJPEG video container (q424)
+# ---------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_lossless_frames():
+    """Writer -> parser round-trip: every SOF3 frame decodes to its
+    exact source pixels; header geometry and fps survive."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _avi_frames,
+        _decode_payload,
+        _frames_to_avi,
+        _pixels_to_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(2)
+    px = [rng.integers(0, 256, (8, 10, 3), dtype=np.uint8) for _ in range(5)]
+    frames = [
+        _pixels_to_jpeg_lossless(a, predictor=i % 7 + 1)
+        for i, a in enumerate(px)
+    ]
+    avi = _frames_to_avi(frames, 10, 8, fps=12)
+    fr, w, h, fps = _avi_frames(avi)
+    assert (len(fr), w, h, fps) == (5, 10, 8, 12)
+    for got, want in zip(fr, px):
+        assert _decode_payload(got)["payload"] == want.tobytes()
+    # container-level decode: video kind, frame count, last frame
+    d = _decode_payload(avi)
+    assert d["kind"] == "video" and d["sample_rate"] == 5
+    assert d["payload"] == px[-1].tobytes()
+
+
+def test_avi_baseline_mjpeg_frames_decode():
+    """True MJPEG (baseline lossy frames) rides the same path: frame
+    geometry is exact, payload is the decoder's reconstruction."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _avi_frames,
+        _decode_payload,
+        _frames_to_avi,
+        _pixels_to_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    px = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(3)]
+    avi = _frames_to_avi([_pixels_to_jpeg(a) for a in px], 16, 16)
+    fr, w, h, _fps = _avi_frames(avi)
+    assert len(fr) == 3
+    for f in fr:
+        d = _decode_payload(f)
+        assert (d["width"], d["height"]) == (16, 16)
+        assert len(d["payload"]) == 16 * 16 * 3
+
+
+def test_avi_rejects_foreign_bytes():
+    import pytest as _pt
+
+    from luxo_rs_spark.multimodal.media import _avi_frames
+
+    with _pt.raises(ValueError):
+        _avi_frames(b"RIFF\x04\x00\x00\x00WAVE")
+    with _pt.raises(ValueError):
+        _avi_frames(b"garbage")
+
+
+def test_video_frame_sampling_spark(spark):
+    """q424 end-to-end on a fixture slice: stride-2 sampling yields
+    ceil(n_frames/2) rows per media with the rotated-tiling digests."""
+    import hashlib
+
+    from luxo_rs_spark.multimodal.media import (
+        sample_video_frames,
+        synth_avi_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 8)
+    got = sample_video_frames(synth_avi_table(docs), stride=2).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_media: dict[int, list] = {}
+    for r in got:
+        by_media.setdefault(r.media_id, []).append(r)
+    for did, text in texts.items():
+        n_frames = did % 4 + 2
+        rows = sorted(by_media[did], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(0, n_frames, 2))
+        w, h = did % 11 + 6, did % 5 + 4
+        hx = hashlib.md5(text.encode()).hexdigest().encode()
+        for r in rows:
+            rot = hx[r.frame_idx :] + hx[: r.frame_idx]
+            payload = (rot * (w * h * 3 // 32 + 1))[: w * h * 3]
+            assert r.payload_md5 == hashlib.md5(payload).hexdigest()
