@@ -1534,6 +1534,28 @@ def _decode_jpeg(content: bytes) -> dict:
     restart_interval = 0
     coef: list[np.ndarray] | None = None  # per component (nbh, nbw, 64) zigzag
     geom: list[tuple[int, int, int, int]] | None = None  # hi, vi, nbh, nbw (MCU-padded)
+    # hierarchical (Annex J) state: DHP geometry, the reconstructed
+    # previous level, the EXP flags pending for the next frame, and the
+    # expanded reference the current differential frame codes against
+    hier: tuple[int, int, int] | None = None  # (P, Y, X)
+    pending_exp = (0, 0)
+    prev_recon: np.ndarray | None = None
+    differential = False
+    ref_arr: np.ndarray | None = None
+
+    def _finish_hier_level() -> None:
+        """Fold the just-decoded frame into the level reconstruction:
+        non-differential frames stand alone; differential ones add to
+        the expanded reference mod 2^16 (J.1.1.4), masked to P bits."""
+        nonlocal prev_recon
+        if samples is None:
+            return
+        if differential and ref_arr is not None:
+            lvl = (ref_arr.astype(np.int64) + samples) & 0xFFFF
+        else:
+            lvl = samples.astype(np.int64) & 0xFFFF
+        prev_recon = lvl & ((1 << precision) - 1)
+
     while pos < len(content):
         if content[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
@@ -1568,12 +1590,30 @@ def _decode_jpeg(content: bytes) -> dict:
                 vals = list(body[off + 17 : off + 17 + n])
                 huff[(tc, th)] = _huff_decode_table(bits, vals)
                 off += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+        elif marker == 0xDE:  # DHP: hierarchical progression (Annex J)
+            precision, hy, hx, _hnf = struct.unpack_from(">BHHB", body, 0)
+            hier = (precision, hy, hx)
+        elif marker == 0xDF:  # EXP: expand reference before next frame
+            if hier is None:
+                raise ValueError("EXP outside a hierarchical stream")
+            pending_exp = (body[0] >> 4, body[0] & 0x0F)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA):
             # baseline/extended/progressive DCT (Huffman or, for
-            # SOF9/SOF10, arithmetic), or lossless (SOF3)
+            # SOF9/SOF10, arithmetic), lossless (SOF3), or — inside a
+            # hierarchical stream — differential lossless (SOF7)
+            if hier is not None and marker not in (0xC3, 0xC7):
+                raise NotImplementedError(
+                    "hierarchical DCT frames are not supported "
+                    "(hierarchical lossless SOF3+SOF7 chains are)"
+                )
+            if marker == 0xC7 and hier is None:
+                raise ValueError("differential frame outside hierarchy")
+            if hier is not None:
+                _finish_hier_level()  # fold the previous frame, if any
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA)
-            lossless = marker == 0xC3
+            lossless = marker in (0xC3, 0xC7)
+            differential = marker == 0xC7
             precision, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if lossless:
                 if not 2 <= precision <= 16:
@@ -1595,6 +1635,14 @@ def _decode_jpeg(content: bytes) -> dict:
                         "lossless JPEG with subsampled components"
                     )
                 sof = (h, w, comps, 1, 1)
+                if differential:
+                    if prev_recon is None:
+                        raise ValueError("SOF7 with no reference frame")
+                    eh, ev = pending_exp
+                    pending_exp = (0, 0)
+                    ref_arr = _jpeg_expand(prev_recon, eh, ev, h, w)
+                else:
+                    ref_arr = None
                 samples = np.zeros((h, w, nf), dtype=np.int32)
                 geom, coef = [], []  # unused in the lossless process
                 continue_pos = pos + 2 + size
@@ -1616,10 +1664,10 @@ def _decode_jpeg(content: bytes) -> dict:
                 np.zeros((nbh, nbw, 64), dtype=np.int32)
                 for _hi, _vi, nbh, nbw in geom
             ]
-        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "hierarchical and arithmetic-lossless JPEG frames "
-                "are not supported"
+                "differential DCT / arithmetic-differential / "
+                "arithmetic-lossless JPEG frames are not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
@@ -1639,7 +1687,7 @@ def _decode_jpeg(content: bytes) -> dict:
             if lossless:
                 pos = _decode_lossless_scan(
                     content, pos, size, body, sof, samples, huff,
-                    restart_interval, precision,
+                    restart_interval, precision, differential,
                 )
             elif arith:
                 pos = _decode_jpeg_arith_scan(
@@ -1655,6 +1703,23 @@ def _decode_jpeg(content: bytes) -> dict:
         pos += 2 + size
     if sof is None or coef is None or geom is None:
         raise ValueError("JPEG had no frame")
+    if hier is not None:
+        _finish_hier_level()
+        h, w, comps, _hmax, _vmax = sof
+        if (hier[1], hier[2]) != (h, w):
+            raise ValueError("hierarchical final frame is not full size")
+        arr = prev_recon
+        if precision <= 8:
+            payload = arr.astype(np.uint8).tobytes()
+        else:
+            payload = arr.astype("<u2").tobytes()
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "sample_rate": None,
+            "payload": payload,
+        }
     if lossless:
         h, w, comps, _hmax, _vmax = sof
         arr = samples
@@ -2111,10 +2176,14 @@ def _decode_lossless_scan(
     huff,
     restart_interval: int,
     precision: int,
+    differential: bool = False,
 ) -> int:
     """Decode one SOF3 scan into `samples` (h, w, nf). Interleaved when
     Ns > 1 (MCU = one sample per component); returns the position after
-    the entropy-coded segment."""
+    the entropy-coded segment. In `differential` mode (SOF7, Annex J)
+    there is NO sample prediction — the coded values are mod-2^16
+    differences against the expanded reference, stored raw for the
+    caller to add."""
     h, w, comps, _hm, _vm = sof
     ns = body[0]
     members = []
@@ -2163,15 +2232,23 @@ def _decode_lossless_scan(
                     diff = 0
                 else:
                     diff = _extend(reader.bits(cat), cat)
-                pred = _ll_predict(
-                    rows[m], prevs[m], x, psel, default, fresh[m]
-                )
+                if differential:
+                    pred = 0
+                else:
+                    pred = _ll_predict(
+                        rows[m], prevs[m], x, psel, default, fresh[m]
+                    )
                 val = (pred + diff) & mask
                 rows[m][x] = val
                 fresh[m] = False
             since_restart += 1
         for m, (ci, _td) in enumerate(members):
-            samples[y, :, ci] = (rows[m] << pt) & ((1 << precision) - 1)
+            if differential:
+                # raw mod-2^16 differences; precision mask applies only
+                # after the caller adds the reference (J.1.1.4)
+                samples[y, :, ci] = (rows[m] << pt) & mask
+            else:
+                samples[y, :, ci] = (rows[m] << pt) & ((1 << precision) - 1)
             prevs[m] = rows[m].copy()
     # skip to the next marker (EOI or the next segment)
     p = reader.pos
@@ -4090,6 +4167,157 @@ def synth_avi_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     {
                         "media_id": did,
                         "content": _frames_to_avi(frames, w_, h, fps=10),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical JPEG (T.81 Annex J) — lossless pyramid: a DHP header,
+# a non-differential SOF3 frame at the smallest pyramid level, then
+# EXP + differential SOF7 frames, each coding the mod-2^16 difference
+# against the J.1.1.2-interpolated expansion of the previous level.
+# The final frame is full size, and because every frame is lossless
+# the decode reproduces the source bit-exactly (q401-strength oracle).
+# Remaining honest boundary: differential DCT frames (SOF5/6) and the
+# arithmetic lossless/differential processes (SOF11/13/14/15).
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_expand(
+    ref: np.ndarray, eh: int, ev: int, out_h: int, out_w: int
+) -> np.ndarray:
+    """T.81 J.1.1.2 reference expansion: output even samples copy the
+    input, odd samples are the rounded mean of the two neighbors
+    (edge-replicated); horizontal first, then vertical (the spec's
+    pseudo-code order), cropped to the next frame's dimensions."""
+    r = ref.astype(np.int64)
+    if eh:
+        nxt = np.concatenate([r[:, 1:], r[:, -1:]], axis=1)
+        out = np.empty((r.shape[0], 2 * r.shape[1], r.shape[2]), np.int64)
+        out[:, 0::2] = r
+        out[:, 1::2] = (r + nxt + 1) >> 1
+        r = out
+    if ev:
+        nxt = np.concatenate([r[1:], r[-1:]], axis=0)
+        out = np.empty((2 * r.shape[0], r.shape[1], r.shape[2]), np.int64)
+        out[0::2] = r
+        out[1::2] = (r + nxt + 1) >> 1
+        r = out
+    if r.shape[0] < out_h or r.shape[1] < out_w:
+        raise ValueError("EXP reference smaller than the next frame")
+    return r[:out_h, :out_w]
+
+
+def _ll_entropy_scan(d16: np.ndarray) -> bytes:
+    """Entropy-code an (h, w, nc) array of mod-2^16 difference values
+    in (y, x, component) order with the canonical lossless book —
+    shared by the hierarchical encoder's first and differential
+    frames."""
+    codes = _huff_codes(*_HUFF_LL)
+    writer = _BitWriter()
+    flat = d16.reshape(-1)
+    for d in flat:
+        d = int(d)
+        if d == 32768:
+            code, ln = codes[16]
+            writer.write(code, ln)
+            continue
+        sd = d - 65536 if d > 32768 else d
+        cat = abs(sd).bit_length()
+        code, ln = codes[cat]
+        writer.write(code, ln)
+        if cat:
+            amp = sd if sd >= 0 else sd + (1 << cat) - 1
+            writer.write(amp, cat)
+    return writer.flush()
+
+
+def _pixels_to_jpeg_hierarchical(
+    arr: np.ndarray, levels: int = 3, precision: int | None = None
+) -> bytes:
+    """GENUINE hierarchical-lossless encoder: decimated pyramid
+    (levels deep), smallest level as a plain SOF3 frame (predictor 1),
+    each larger level as EXP(1,1) + SOF7 differential frame."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if levels < 2:
+        raise ValueError("a hierarchy needs at least 2 levels")
+    pyr = [arr.astype(np.int64)]
+    for _ in range(levels - 1):
+        pyr.append(pyr[-1][::2, ::2])
+    pyr = pyr[::-1]  # smallest first
+
+    def seg(marker: int, b: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(b) + 2) + b
+
+    comps = b"".join(struct.pack("BBB", c + 1, 0x11, 0) for c in range(nc))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDE, struct.pack(">BHHB", precision, h, w, nc) + comps)
+    bits, vals = _HUFF_LL
+    out += seg(0xFFC4, b"\x00" + bytes(bits) + bytes(vals))
+    default = 1 << (precision - 1)
+    prev: np.ndarray | None = None
+    for li, lvl in enumerate(pyr):
+        lh, lw = lvl.shape[:2]
+        if li == 0:
+            d = np.zeros_like(lvl)
+            d[:, 1:] = lvl[:, 1:] - lvl[:, :-1]
+            d[1:, 0] = lvl[1:, 0] - lvl[:-1, 0]
+            d[0, 0] = lvl[0, 0] - default
+            sofm, psel = 0xFFC3, 1
+        else:
+            out += seg(0xFFDF, bytes([0x11]))  # EXP: 2x both directions
+            ref = _jpeg_expand(prev, 1, 1, lh, lw)
+            d = lvl - ref
+            sofm, psel = 0xFFC7, 0
+        out += seg(sofm, struct.pack(">BHHB", precision, lh, lw, nc) + comps)
+        sos = (
+            bytes([nc])
+            + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+            + bytes([psel, 0, 0])
+        )
+        out += seg(0xFFDA, sos)
+        out += _ll_entropy_scan(d & 0xFFFF)
+        prev = lvl
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_jpeg_hier_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Hierarchical-JPEG synthesis (q425): per doc a 2-4 level lossless
+    pyramid (levels = doc_id%3+2) whose full-size pixels tile the md5
+    hex of the text — the decoded payload md5 is SQL-recomputable
+    exactly as for q401."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 11 + 6
+                h = did % 5 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                need = h * w_ * 3
+                arr = np.frombuffer(
+                    (hx * (need // 32 + 1))[:need], dtype=np.uint8
+                ).reshape(h, w_, 3)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _pixels_to_jpeg_hierarchical(
+                            arr, levels=did % 3 + 2
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)

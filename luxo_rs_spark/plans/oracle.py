@@ -8795,3 +8795,21 @@ SELECT doc_id AS media_id, frame_idx, w AS width, h AS height,
                      1, w * h * 3)) AS payload_md5
 FROM fr ORDER BY media_id, frame_idx
 """
+
+
+# q425: hierarchical-lossless means the decode reproduces the tiled
+# md5-hex pixels bit-exactly regardless of pyramid depth — same oracle
+# shape as q401.
+ORACLE_SQL["q425_jpeg_hierarchical_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  CAST(w * h * 3 AS BIGINT) AS payload_bytes,
+  md5(substring(repeat(hx, CAST(h * w * 3 / 32 AS INTEGER) + 1),
+                1, h * w * 3)) AS payload_md5
+FROM t ORDER BY media_id
+"""

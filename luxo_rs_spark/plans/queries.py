@@ -15479,3 +15479,27 @@ def q424_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_video_frames(synth_avi_table(docs), stride=2).orderBy(
         "media_id", "frame_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q425 — HIERARCHICAL lossless JPEG (§2.2-K multimodal; T.81 Annex J,
+# closing the round-4/5 codec boundary's hierarchical item): DHP
+# header, non-differential SOF3 frame at the smallest pyramid level,
+# then EXP + differential SOF7 frames coding mod-2^16 differences
+# against the J.1.1.2-interpolated expansion of the previous level —
+# 2-4 levels cycling by doc_id. Every frame is lossless, so the full
+# decoded payload md5 is SQL-recomputable (q401 strength). Remaining
+# boundary after this round: differential DCT (SOF5/6) and arithmetic
+# lossless/differential (SOF11/13/14/15).
+# ---------------------------------------------------------------------------
+@query("q425_jpeg_hierarchical_decode")
+def q425_jpeg_hierarchical_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_hier_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_media_digest(synth_jpeg_hier_table(docs)).orderBy("media_id")

@@ -524,10 +524,11 @@ def test_jpeg_golden_spec_vector_decodes():
 
 
 def test_jpeg_unsupported_shapes_raise():
-    """Hierarchical (SOF5) and arithmetic-lossless (SOF11) frames plus
-    out-of-spec sampling factors raise NotImplementedError — the
-    honest decoder boundary (arithmetic DCT SOF9/SOF10 supported since
-    round 5; progressive SOF2 + lossless SOF3 since round 4)."""
+    """Differential-DCT (SOF5) and arithmetic-lossless (SOF11) frames
+    plus out-of-spec sampling factors raise NotImplementedError — the
+    honest decoder boundary (hierarchical LOSSLESS SOF3+SOF7 chains
+    supported since round 6; arithmetic DCT SOF9/SOF10 since round 5;
+    progressive SOF2 + lossless SOF3 since round 4)."""
     import struct as st
 
     import numpy as np
@@ -545,9 +546,17 @@ def test_jpeg_unsupported_shapes_raise():
             + b"\xff\xd9"
         )
         with pytest.raises(
-            NotImplementedError, match="hierarchical and arithmetic"
+            NotImplementedError, match="differential DCT / arithmetic"
         ):
             _decode_jpeg(stream)
+    # SOF7 outside a hierarchical stream is a stream error, not a gap
+    bad_diff = (
+        b"\xff\xd8"
+        + seg(0xFFC7, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="differential frame outside"):
+        _decode_jpeg(bad_diff)
 
     bad_factors = (
         b"\xff\xd8"
@@ -819,8 +828,8 @@ def test_jpeg_lossless_golden_bitstream():
 
 
 def test_jpeg_lossless_boundaries_raise():
-    """Out-of-range predictors refuse to encode; remaining honest
-    codec boundary (hierarchical SOF) still raises."""
+    """Out-of-range predictors refuse to encode; a differential
+    (SOF7) frame outside a hierarchical stream is a stream error."""
     import numpy as np
     import pytest
 
@@ -834,8 +843,8 @@ def test_jpeg_lossless_boundaries_raise():
         _pixels_to_jpeg_lossless(a, predictor=0)
     enc = bytearray(_pixels_to_jpeg_lossless(a))
     i = enc.find(b"\xff\xc3")
-    enc[i + 1] = 0xC7  # differential lossless (hierarchical)
-    with pytest.raises(NotImplementedError):
+    enc[i + 1] = 0xC7  # differential lossless without a DHP header
+    with pytest.raises(ValueError):
         _decode_jpeg(bytes(enc))
 
 
@@ -1615,3 +1624,133 @@ def test_video_frame_sampling_spark(spark):
             rot = hx[r.frame_idx :] + hx[: r.frame_idx]
             payload = (rot * (w * h * 3 // 32 + 1))[: w * h * 3]
             assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical lossless JPEG (T.81 Annex J, q425)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_hierarchical_roundtrip():
+    """2-4 level pyramids reproduce random gray and RGB sources
+    bit-exactly, odd dimensions included (EXP crop path)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(4)
+    for h, w, nc, levels in (
+        (1, 1, 1, 2),
+        (3, 5, 3, 2),
+        (7, 11, 3, 3),
+        (16, 16, 1, 4),
+        (13, 9, 3, 4),
+    ):
+        arr = rng.integers(0, 256, (h, w, nc), dtype=np.uint8)
+        d = _decode_payload(_pixels_to_jpeg_hierarchical(arr, levels=levels))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["payload"] == arr.tobytes()
+
+
+def test_jpeg_hierarchical_16bit_and_expand_filter():
+    """16-bit precision round-trips; the J.1.1.2 expansion filter is
+    pinned: even samples copy, odd samples are the rounded neighbor
+    mean with edge replication, horizontal before vertical."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _jpeg_expand,
+        _pixels_to_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(6)
+    arr = rng.integers(0, 65536, (9, 13, 3)).astype(np.uint16)
+    d = _decode_payload(
+        _pixels_to_jpeg_hierarchical(arr, levels=3, precision=16)
+    )
+    assert d["payload"] == arr.astype("<u2").tobytes()
+
+    ref = np.array([[1, 3], [7, 9]], dtype=np.int64)[:, :, None]
+    out = _jpeg_expand(ref, 1, 1, 4, 4)[:, :, 0]
+    # horizontal: [1,2,3,3] / [7,8,9,9]; vertical mean with +1 rounding
+    assert out.tolist() == [
+        [1, 2, 3, 3],
+        [4, 5, 6, 6],
+        [7, 8, 9, 9],
+        [7, 8, 9, 9],
+    ]
+
+
+def test_jpeg_hierarchical_differential_values_mod_2_16():
+    """A pathological source whose level differences swing the full
+    signed range still round-trips (mod-2^16 difference coding)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_hierarchical,
+    )
+
+    arr = np.zeros((8, 8, 1), dtype=np.uint16)
+    arr[0::2, 0::2, 0] = 0
+    arr[1::2, 1::2, 0] = 65535  # max positive diff vs interpolation
+    d = _decode_payload(
+        _pixels_to_jpeg_hierarchical(arr, levels=2, precision=16)
+    )
+    assert d["payload"] == arr.astype("<u2").tobytes()
+
+
+def test_jpeg_hierarchical_stream_errors():
+    """Structural checks: EXP before DHP is an error; a hierarchy whose
+    final frame is not full-size is rejected."""
+    import struct as st
+
+    import numpy as np
+    import pytest as _pt
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_hierarchical,
+    )
+
+    def seg(m, body):
+        return st.pack(">HH", m, len(body) + 2) + body
+
+    with _pt.raises(ValueError, match="EXP outside"):
+        _decode_jpeg(b"\xff\xd8" + seg(0xFFDF, b"\x11") + b"\xff\xd9")
+
+    arr = np.zeros((8, 8, 1), dtype=np.uint8)
+    enc = bytearray(_pixels_to_jpeg_hierarchical(arr, levels=2))
+    # enlarge the declared DHP size so the final frame is under-size
+    i = enc.find(b"\xff\xde")
+    st.pack_into(">H", enc, i + 5, 32)  # DHP Y := 32
+    with _pt.raises(ValueError, match="not full size"):
+        _decode_jpeg(bytes(enc))
+
+
+def test_jpeg_hierarchical_synth_decode_spark(spark):
+    """q425 end-to-end on a fixture slice."""
+    import hashlib
+
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_hier_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 10)
+    got = {
+        r.media_id: r
+        for r in decode_media_digest(synth_jpeg_hier_table(docs)).collect()
+    }
+    for row in docs.collect():
+        did, text = row.doc_id, row.text
+        w, h = did % 11 + 6, did % 5 + 4
+        hx = hashlib.md5(text.encode()).hexdigest().encode()
+        payload = (hx * (w * h * 3 // 32 + 1))[: w * h * 3]
+        r = got[did]
+        assert (r.width, r.height) == (w, h)
+        assert r.payload_md5 == hashlib.md5(payload).hexdigest()
