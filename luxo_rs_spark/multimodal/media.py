@@ -1515,9 +1515,11 @@ def _decode_jpeg(content: bytes) -> dict:
 
     Arithmetic-coded frames (SOF9 extended sequential, SOF10
     progressive) are decoded too: the T.81 Annex D QM coder with the
-    F.2.4/G.2 statistical models, DAC conditioning honored. Remaining
-    honest boundary: hierarchical frames, arithmetic lossless (SOF11),
-    and 12-bit progressive. Payload is the raw interleaved pixel array
+    F.2.4/G.2 statistical models, DAC conditioning honored. So are
+    arithmetic LOSSLESS frames (SOF11, Annex H.1.1 model) and
+    hierarchical lossless pyramids (Annex J: DHP/EXP + differential
+    SOF7/SOF15 frames). Remaining honest boundary: differential DCT
+    frames (SOF5/6/13/14). Payload is the raw interleaved pixel array
     ((h, w, channels) uint8, RGB for color)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -1597,23 +1599,25 @@ def _decode_jpeg(content: bytes) -> dict:
             if hier is None:
                 raise ValueError("EXP outside a hierarchical stream")
             pending_exp = (body[0] >> 4, body[0] & 0x0F)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA, 0xCB, 0xCF):
             # baseline/extended/progressive DCT (Huffman or, for
-            # SOF9/SOF10, arithmetic), lossless (SOF3), or — inside a
-            # hierarchical stream — differential lossless (SOF7)
-            if hier is not None and marker not in (0xC3, 0xC7):
+            # SOF9/SOF10, arithmetic), lossless (SOF3 Huffman / SOF11
+            # arithmetic), or — inside a hierarchical stream — their
+            # differential twins (SOF7 / SOF15)
+            if hier is not None and marker not in (0xC3, 0xC7, 0xCB, 0xCF):
                 raise NotImplementedError(
                     "hierarchical DCT frames are not supported "
-                    "(hierarchical lossless SOF3+SOF7 chains are)"
+                    "(hierarchical lossless SOF3+SOF7 / SOF11+SOF15 "
+                    "chains are)"
                 )
-            if marker == 0xC7 and hier is None:
+            if marker in (0xC7, 0xCF) and hier is None:
                 raise ValueError("differential frame outside hierarchy")
             if hier is not None:
                 _finish_hier_level()  # fold the previous frame, if any
             progressive = marker in (0xC2, 0xCA)
-            arith = marker in (0xC9, 0xCA)
-            lossless = marker in (0xC3, 0xC7)
-            differential = marker == 0xC7
+            arith = marker in (0xC9, 0xCA, 0xCB, 0xCF)
+            lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
+            differential = marker in (0xC7, 0xCF)
             precision, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if lossless:
                 if not 2 <= precision <= 16:
@@ -1664,10 +1668,10 @@ def _decode_jpeg(content: bytes) -> dict:
                 np.zeros((nbh, nbw, 64), dtype=np.int32)
                 for _hi, _vi, nbh, nbw in geom
             ]
-        elif marker in (0xC5, 0xC6, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
-                "differential DCT / arithmetic-differential / "
-                "arithmetic-lossless JPEG frames are not supported"
+                "differential DCT JPEG frames (SOF5/6/13/14) are "
+                "not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
@@ -1684,7 +1688,12 @@ def _decode_jpeg(content: bytes) -> dict:
         elif marker == 0xDA:  # SOS — one scan of entropy data follows
             if sof is None or coef is None or geom is None:
                 raise ValueError("JPEG SOS before SOF")
-            if lossless:
+            if lossless and arith:
+                pos = _decode_lossless_arith_scan(
+                    content, pos, size, body, sof, samples, dc_cond,
+                    restart_interval, precision, differential,
+                )
+            elif lossless:
                 pos = _decode_lossless_scan(
                     content, pos, size, body, sof, samples, huff,
                     restart_interval, precision, differential,
@@ -4320,6 +4329,395 @@ def synth_jpeg_hier_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                         ),
                     }
                 )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic LOSSLESS JPEG (SOF11, T.81 process: lossless arithmetic;
+# plus SOF15, its differential twin inside hierarchical streams) —
+# the Annex H.1.1 statistical model over the Annex D QM coder already
+# built for SOF9/SOF10: each difference is coded with the DC decision
+# tree conditioned on the 5x5 classification of (Da, Db) — the diffs
+# coded immediately left and above — giving 25 four-bin contexts plus
+# two X/M magnitude-chain sets (second set when Db classifies large):
+# 25*4 + 2*29 = 158 statistics bins, the spec's H.1.1 bank size.
+# ---------------------------------------------------------------------------
+
+_LL_STAT_BINS = 158
+
+
+def _arith_ll_classify(diff: int, l: int, u: int) -> int:
+    """5-way conditioning class of a previously-coded difference:
+    0 zero/near-zero, 1/2 small +/-, 3/4 large +/- (the same L/U
+    banding the SOF9 DC model uses, from the DAC segment)."""
+    if diff == 0:
+        return 0
+    sign = 1 if diff < 0 else 0
+    v = abs(diff) - 1
+    m = 0 if v == 0 else 1 << (v.bit_length() - 1)
+    if m < ((1 << l) >> 1):
+        return 0
+    if m > ((1 << u) >> 1):
+        return 3 + sign
+    return 1 + sign
+
+
+def _arith_put_ll(enc, st: bytearray, c0: int, sbase: int, sd: int) -> None:
+    """Code one signed difference on the 4-bin tree at c0 with the
+    X/M chain at sbase (H.1.1 tree = the F.1.4.1 DC tree)."""
+    if sd == 0:
+        enc.code(st, c0, 0)
+        return
+    enc.code(st, c0, 1)
+    sign = 1 if sd < 0 else 0
+    enc.code(st, c0 + 1, sign)
+    pos = c0 + 2 + sign
+    v = abs(sd) - 1
+    m = 0
+    if v:
+        enc.code(st, pos, 1)
+        m = 1
+        pos = sbase
+        v2 = v
+        while v2 >> 1:
+            enc.code(st, pos, 1)
+            m <<= 1
+            pos += 1
+            v2 >>= 1
+    enc.code(st, pos, 0)
+    pos += 14
+    mm = m >> 1
+    while mm:
+        enc.code(st, pos, 1 if v & mm else 0)
+        mm >>= 1
+
+
+def _arith_get_ll(dec, st: bytearray, c0: int, sbase: int) -> int:
+    if dec.decode(st, c0) == 0:
+        return 0
+    sign = dec.decode(st, c0 + 1)
+    pos = c0 + 2 + sign
+    m = dec.decode(st, pos)
+    if m:
+        pos = sbase
+        while dec.decode(st, pos):
+            m <<= 1
+            if m == 0x8000:
+                raise ValueError("arithmetic lossless magnitude overflow")
+            pos += 1
+    v = m
+    pos += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, pos):
+            v |= mm
+        mm >>= 1
+    v += 1
+    return -v if sign else v
+
+
+def _decode_lossless_arith_scan(
+    content: bytes,
+    pos: int,
+    size: int,
+    body: bytes,
+    sof,
+    samples: np.ndarray,
+    dc_cond: dict,
+    restart_interval: int,
+    precision: int,
+    differential: bool = False,
+) -> int:
+    """Decode one SOF11/SOF15 scan into `samples` — the QM twin of
+    _decode_lossless_scan with (Da, Db)-conditioned contexts. Restart
+    markers re-prime the coder and reset statistics, prediction, and
+    the difference history (mirroring the Huffman convention)."""
+    h, w, comps, _hm, _vm = sof
+    ns = body[0]
+    members = []
+    for i in range(ns):
+        cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c[0] == cs)
+        members.append((ci, tdta >> 4))
+    psel = body[1 + 2 * ns]
+    pt = body[3 + 2 * ns] & 0x0F
+    default = 1 << (precision - pt - 1)
+    mask = 0xFFFF
+
+    state: dict = {}
+
+    def reset_state(at: int) -> None:
+        state["dec"] = _ArithDecoder(content, at)
+        state["st"] = {td: bytearray(_LL_STAT_BINS) for _, td in members}
+        state["fresh"] = [True] * len(members)
+        state["prevs"] = [None] * len(members)
+        state["dprev"] = [
+            np.zeros(w, dtype=np.int64) for _ in members
+        ]
+        state["drow"] = [np.zeros(w, dtype=np.int64) for _ in members]
+
+    reset_state(pos + 2 + size)
+    rows = [np.zeros(w, dtype=np.int64) for _ in members]
+
+    def next_marker() -> int:
+        dec = state["dec"]
+        p = dec.marker_pos if dec.marker_pos is not None else dec.bp
+        while p + 1 < len(content) and not (
+            content[p] == 0xFF and content[p + 1] != 0x00
+        ):
+            p += 1
+        return p
+
+    since_restart = 0
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and since_restart
+                and since_restart % restart_interval == 0
+            ):
+                p = next_marker()
+                mk = struct.unpack_from(">H", content, p)[0]
+                if not 0xFFD0 <= mk <= 0xFFD7:
+                    raise ValueError("expected RSTn in arithmetic scan")
+                reset_state(p + 2)
+                since_restart = 0
+            dec = state["dec"]
+            for m, (ci, td) in enumerate(members):
+                l, u = dc_cond.get(td, (0, 1))
+                da = int(state["drow"][m][x - 1]) if x > 0 else 0
+                db = int(state["dprev"][m][x])
+                ca = _arith_ll_classify(da, l, u)
+                cb = _arith_ll_classify(db, l, u)
+                c0 = 4 * (5 * cb + ca)
+                sbase = 129 if cb >= 3 else 100
+                sd = _arith_get_ll(dec, state["st"][td], c0, sbase)
+                if differential:
+                    pred = 0
+                else:
+                    pred = _ll_predict(
+                        rows[m], state["prevs"][m], x, psel, default,
+                        state["fresh"][m],
+                    )
+                rows[m][x] = (pred + sd) & mask
+                state["drow"][m][x] = sd
+                state["fresh"][m] = False
+            since_restart += 1
+        for m, (ci, _td) in enumerate(members):
+            if differential:
+                samples[y, :, ci] = (rows[m] << pt) & mask
+            else:
+                samples[y, :, ci] = (rows[m] << pt) & ((1 << precision) - 1)
+            state["prevs"][m] = rows[m].copy()
+            state["dprev"][m] = state["drow"][m].copy()
+    return next_marker()
+
+
+def _ll_arith_entropy(
+    values: np.ndarray,
+    pred_mode: str,
+    psel: int,
+    precision: int,
+    pt: int,
+    restart_interval: int,
+    cond: tuple[int, int],
+) -> bytes:
+    """Entropy body for SOF11 ('predict' mode: values are samples,
+    predictor applied) or SOF15 ('diff' mode: values are mod-2^16
+    differences coded directly). Returns scan bytes incl. RSTn."""
+    h, w, nc = values.shape
+    default = 1 << (precision - pt - 1)
+    mask = 0xFFFF
+    l, u = cond
+    out = bytearray()
+
+    def fresh_state():
+        # ONE statistics bank: every component declares conditioning
+        # table 0, and the spec banks statistics per table destination
+        # (the decoder shares accordingly)
+        return (
+            _ArithEncoder(),
+            bytearray(_LL_STAT_BINS),
+            [True] * nc,
+            [None] * nc,
+            [np.zeros(w, dtype=np.int64) for _ in range(nc)],
+            [np.zeros(w, dtype=np.int64) for _ in range(nc)],
+        )
+
+    enc, st, fresh, prevs, dprev, drow = fresh_state()
+    rows = [np.zeros(w, dtype=np.int64) for _ in range(nc)]
+    shifted = values.astype(np.int64) >> pt if pred_mode == "predict" else values
+    since_restart = 0
+    rst = 0
+    for y in range(h):
+        for x in range(w):
+            if (
+                restart_interval
+                and since_restart
+                and since_restart % restart_interval == 0
+            ):
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                enc, st, fresh, prevs, dprev, drow = fresh_state()
+                since_restart = 0
+            for c in range(nc):
+                da = int(drow[c][x - 1]) if x > 0 else 0
+                db = int(dprev[c][x])
+                ca = _arith_ll_classify(da, l, u)
+                cb = _arith_ll_classify(db, l, u)
+                c0 = 4 * (5 * cb + ca)
+                sbase = 129 if cb >= 3 else 100
+                if pred_mode == "predict":
+                    pred = _ll_predict(
+                        rows[c], prevs[c], x, psel, default, fresh[c]
+                    )
+                    val = int(shifted[y, x, c])
+                    d16 = (val - pred) & mask
+                else:
+                    val = int(shifted[y, x, c]) & mask
+                    d16 = val
+                sd = d16 if d16 <= 32768 else d16 - 65536
+                _arith_put_ll(enc, st, c0, sbase, sd)
+                rows[c][x] = (0 + sd) & mask if pred_mode == "diff" else val
+                drow[c][x] = sd
+                fresh[c] = False
+            since_restart += 1
+        for c in range(nc):
+            prevs[c] = rows[c].copy()
+            dprev[c] = drow[c].copy()
+    out += enc.flush()
+    return bytes(out)
+
+
+def _pixels_to_jpeg_lossless_arith(
+    arr: np.ndarray,
+    predictor: int = 1,
+    pt: int = 0,
+    precision: int | None = None,
+    restart_interval: int = 0,
+    cond: tuple[int, int] = (0, 1),
+) -> bytes:
+    """GENUINE arithmetic-lossless (SOF11) encoder: the same DPCM
+    prediction as the Huffman SOF3 encoder, entropy-coded by the QM
+    coder under the H.1.1 model. A DAC segment carries the (L, U)
+    conditioning when it differs from the (0, 1) default."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1..7")
+
+    def seg(marker: int, b: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(b) + 2) + b
+
+    out = bytearray(b"\xff\xd8")
+    comps = b"".join(struct.pack("BBB", c + 1, 0x11, 0) for c in range(nc))
+    out += seg(0xFFCB, struct.pack(">BHHB", precision, h, w, nc) + comps)
+    if cond != (0, 1):
+        out += seg(0xFFCC, bytes([0x00, cond[0] | (cond[1] << 4)]))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc]) + b"".join(
+        bytes([c + 1, 0x00]) for c in range(nc)
+    ) + bytes([predictor, 0, pt])
+    out += seg(0xFFDA, sos)
+    out += _ll_arith_entropy(
+        arr, "predict", predictor, precision, pt, restart_interval, cond
+    )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _pixels_to_jpeg_hierarchical_arith(
+    arr: np.ndarray, levels: int = 3, precision: int | None = None
+) -> bytes:
+    """Hierarchical lossless pyramid with ARITHMETIC entropy coding:
+    SOF11 base frame + EXP + differential SOF15 frames (the QM twin of
+    _pixels_to_jpeg_hierarchical)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if precision is None:
+        precision = 8 if arr.dtype == np.uint8 else 16
+    if levels < 2:
+        raise ValueError("a hierarchy needs at least 2 levels")
+    pyr = [arr.astype(np.int64)]
+    for _ in range(levels - 1):
+        pyr.append(pyr[-1][::2, ::2])
+    pyr = pyr[::-1]
+
+    def seg(marker: int, b: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(b) + 2) + b
+
+    comps = b"".join(struct.pack("BBB", c + 1, 0x11, 0) for c in range(nc))
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDE, struct.pack(">BHHB", precision, h, w, nc) + comps)
+    prev: np.ndarray | None = None
+    for li, lvl in enumerate(pyr):
+        lh, lw = lvl.shape[:2]
+        if li == 0:
+            vals, mode, psel, sofm = lvl, "predict", 1, 0xFFCB
+        else:
+            out += seg(0xFFDF, bytes([0x11]))
+            ref = _jpeg_expand(prev, 1, 1, lh, lw)
+            vals, mode, psel, sofm = (lvl - ref) & 0xFFFF, "diff", 0, 0xFFCF
+        out += seg(sofm, struct.pack(">BHHB", precision, lh, lw, nc) + comps)
+        sos = (
+            bytes([nc])
+            + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+            + bytes([psel, 0, 0])
+        )
+        out += seg(0xFFDA, sos)
+        out += _ll_arith_entropy(
+            vals, mode, psel, precision, 0, 0, (0, 1)
+        )
+        prev = lvl
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_jpeg_arith_lossless_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Arithmetic-lossless synthesis (q426): even doc_ids a flat SOF11
+    frame (predictor sweeping doc_id%7+1, restarts on the doc_id%4==3
+    lane), odd doc_ids a hierarchical SOF11+SOF15 pyramid (levels
+    doc_id%3+2). Both are lossless, so the decoded payload md5 is the
+    tiled md5 hex — SQL-recomputable like q401/q425."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 11 + 6
+                h = did % 5 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                need = h * w_ * 3
+                arr = np.frombuffer(
+                    (hx * (need // 32 + 1))[:need], dtype=np.uint8
+                ).reshape(h, w_, 3)
+                if did % 2 == 0:
+                    content = _pixels_to_jpeg_lossless_arith(
+                        arr,
+                        predictor=did % 7 + 1,
+                        restart_interval=5 if did % 4 == 3 else 0,
+                    )
+                else:
+                    content = _pixels_to_jpeg_hierarchical_arith(
+                        arr, levels=did % 3 + 2
+                    )
+                rows.append({"media_id": did, "content": content})
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", text_col).mapInPandas(

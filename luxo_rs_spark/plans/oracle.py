@@ -8813,3 +8813,20 @@ SELECT doc_id AS media_id, w AS width, h AS height,
                 1, h * w * 3)) AS payload_md5
 FROM t ORDER BY media_id
 """
+
+
+# q426: arithmetic-lossless (SOF11/SOF15) — same lossless guarantee,
+# same oracle shape as q401/q425.
+ORACLE_SQL["q426_jpeg_arith_lossless_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+  CAST(w * h * 3 AS BIGINT) AS payload_bytes,
+  md5(substring(repeat(hx, CAST(h * w * 3 / 32 AS INTEGER) + 1),
+                1, h * w * 3)) AS payload_md5
+FROM t ORDER BY media_id
+"""

@@ -15503,3 +15503,30 @@ def q425_jpeg_hierarchical_decode(
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return decode_media_digest(synth_jpeg_hier_table(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q426 — ARITHMETIC lossless JPEG (§2.2-K multimodal; T.81 Annex H
+# statistical model over the Annex D QM coder — SOF11, plus its
+# hierarchical differential twin SOF15 — closing the round-4/5 codec
+# boundary's arithmetic-lossless item): (Da,Db) 5x5-classified
+# conditioning contexts, 158-bin statistics bank per table, DAC L/U
+# honored, DPCM predictors 1-7, restart re-priming. Even doc_ids are
+# flat SOF11 frames, odd ids hierarchical SOF11+SOF15 pyramids; both
+# lossless, so the full decoded payload md5 is SQL-recomputable.
+# Remaining codec boundary after this round: differential DCT frames
+# (SOF5/6/13/14) only.
+# ---------------------------------------------------------------------------
+@query("q426_jpeg_arith_lossless_decode")
+def q426_jpeg_arith_lossless_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_arith_lossless_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_media_digest(
+        synth_jpeg_arith_lossless_table(docs)
+    ).orderBy("media_id")

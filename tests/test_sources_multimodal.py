@@ -524,11 +524,11 @@ def test_jpeg_golden_spec_vector_decodes():
 
 
 def test_jpeg_unsupported_shapes_raise():
-    """Differential-DCT (SOF5) and arithmetic-lossless (SOF11) frames
-    plus out-of-spec sampling factors raise NotImplementedError — the
-    honest decoder boundary (hierarchical LOSSLESS SOF3+SOF7 chains
-    supported since round 6; arithmetic DCT SOF9/SOF10 since round 5;
-    progressive SOF2 + lossless SOF3 since round 4)."""
+    """Differential-DCT frames (SOF5/13) plus out-of-spec sampling
+    factors raise NotImplementedError — the honest decoder boundary
+    (hierarchical lossless SOF3+SOF7 / SOF11+SOF15 chains AND
+    arithmetic lossless supported since round 6; arithmetic DCT
+    SOF9/SOF10 since round 5; SOF2 + SOF3 since round 4)."""
     import struct as st
 
     import numpy as np
@@ -539,14 +539,14 @@ def test_jpeg_unsupported_shapes_raise():
     def seg(m, body):
         return st.pack(">HH", m, len(body) + 2) + body
 
-    for sofm in (0xFFCB, 0xFFC5):  # arithmetic lossless, differential seq
+    for sofm in (0xFFCD, 0xFFC5):  # differential DCT, arith + huffman
         stream = (
             b"\xff\xd8"
             + seg(sofm, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
             + b"\xff\xd9"
         )
         with pytest.raises(
-            NotImplementedError, match="differential DCT / arithmetic"
+            NotImplementedError, match="differential DCT"
         ):
             _decode_jpeg(stream)
     # SOF7 outside a hierarchical stream is a stream error, not a gap
@@ -998,7 +998,8 @@ def test_jpeg_arith_progressive_matches_huffman():
 
 def test_jpeg_arith_12bit_and_boundaries():
     """SOF9 carries 12-bit samples too; the remaining codec boundary
-    (arithmetic lossless SOF11, hierarchical SOF5) still raises."""
+    (differential DCT SOF5/SOF13) still raises. (Arithmetic lossless
+    SOF11 is SUPPORTED since round 6 — see the q426 battery.)"""
     import struct as st
 
     import numpy as np
@@ -1012,8 +1013,8 @@ def test_jpeg_arith_12bit_and_boundaries():
     as_ = _pixels_to_jpeg(arr, 90, "444", 0, False, 12, "arith")
     assert _decode_jpeg(hs)["payload"] == _decode_jpeg(as_)["payload"]
 
-    # swap the SOF9 marker for SOF11/SOF5: decoder must refuse honestly
-    for bad in (0xCB, 0xC5):
+    # swap the SOF9 marker for SOF5/SOF13: decoder must refuse honestly
+    for bad in (0xC5, 0xCD):
         seq = _pixels_to_jpeg(
             np.zeros((8, 8, 1), np.uint8), 85, "444", 0, False, 8, "arith"
         )
@@ -1754,3 +1755,144 @@ def test_jpeg_hierarchical_synth_decode_spark(spark):
         r = got[did]
         assert (r.width, r.height) == (w, h)
         assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic lossless JPEG (SOF11 / SOF15, q426)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_arith_lossless_roundtrip_all_predictors():
+    """SOF11 reproduces random sources bit-exactly under every
+    predictor, gray and RGB, 8- and 16-bit."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_lossless_arith,
+    )
+
+    rng = np.random.default_rng(9)
+    for pred in range(1, 8):
+        arr = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+        d = _decode_payload(_pixels_to_jpeg_lossless_arith(arr, predictor=pred))
+        assert d["payload"] == arr.tobytes()
+    arr16 = rng.integers(0, 65536, (5, 7, 1)).astype(np.uint16)
+    d = _decode_payload(
+        _pixels_to_jpeg_lossless_arith(arr16, predictor=4, precision=16)
+    )
+    assert d["payload"] == arr16.astype("<u2").tobytes()
+
+
+def test_jpeg_arith_lossless_matches_huffman_decode():
+    """The q411/q412 cross-entropy-path identity applied to lossless:
+    the SAME source through SOF3 (Huffman) and SOF11 (QM arithmetic)
+    must decode to the SAME payload — both equal to the source."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_lossless,
+        _pixels_to_jpeg_lossless_arith,
+    )
+
+    rng = np.random.default_rng(10)
+    arr = rng.integers(0, 256, (11, 14, 3), dtype=np.uint8)
+    dh = _decode_payload(_pixels_to_jpeg_lossless(arr, predictor=5))
+    da = _decode_payload(_pixels_to_jpeg_lossless_arith(arr, predictor=5))
+    assert dh["payload"] == da["payload"] == arr.tobytes()
+
+
+def test_jpeg_arith_lossless_conditioning_and_restarts():
+    """DAC (L,U) conditioning changes the stream but not the decode;
+    restart markers re-prime the coder and reset statistics; the point
+    transform drops trailing bits on both paths."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_lossless_arith,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, (9, 9, 1), dtype=np.uint8)
+    base = _pixels_to_jpeg_lossless_arith(arr, predictor=1)
+    cond = _pixels_to_jpeg_lossless_arith(arr, predictor=1, cond=(2, 4))
+    assert base != cond
+    assert (
+        _decode_payload(base)["payload"]
+        == _decode_payload(cond)["payload"]
+        == arr.tobytes()
+    )
+    rst = _pixels_to_jpeg_lossless_arith(arr, predictor=2, restart_interval=4)
+    assert b"\xff\xd0" in rst or b"\xff\xd1" in rst
+    assert _decode_payload(rst)["payload"] == arr.tobytes()
+    ptd = _decode_payload(_pixels_to_jpeg_lossless_arith(arr, predictor=1, pt=3))
+    want = ((arr.astype(np.int64) >> 3) << 3).astype(np.uint8)
+    assert ptd["payload"] == want.tobytes()
+
+
+def test_jpeg_arith_hierarchical_roundtrip():
+    """SOF11 base + EXP + differential SOF15 pyramids round-trip for
+    2-4 levels, 8- and 16-bit."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_hierarchical_arith,
+    )
+
+    rng = np.random.default_rng(12)
+    for levels in (2, 3, 4):
+        arr = rng.integers(0, 256, (13, 9, 3), dtype=np.uint8)
+        d = _decode_payload(
+            _pixels_to_jpeg_hierarchical_arith(arr, levels=levels)
+        )
+        assert d["payload"] == arr.tobytes()
+    arr16 = rng.integers(0, 65536, (10, 6, 1)).astype(np.uint16)
+    d = _decode_payload(
+        _pixels_to_jpeg_hierarchical_arith(arr16, levels=3, precision=16)
+    )
+    assert d["payload"] == arr16.astype("<u2").tobytes()
+
+
+def test_jpeg_arith_lossless_adapts():
+    """The QM estimation state machine must actually adapt: on a
+    smooth gradient the arithmetic stream is far smaller than the
+    Huffman stream (which spends >= 2 bits per sample)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _pixels_to_jpeg_lossless,
+        _pixels_to_jpeg_lossless_arith,
+    )
+
+    sm = np.tile(np.arange(64, dtype=np.uint8), (64, 1))[:, :, None]
+    la = len(_pixels_to_jpeg_lossless_arith(sm))
+    lh = len(_pixels_to_jpeg_lossless(sm))
+    assert la < lh / 10
+
+
+def test_jpeg_arith_lossless_synth_decode_spark(spark):
+    """q426 end-to-end on a fixture slice (both the flat-SOF11 and the
+    hierarchical-SOF15 lanes)."""
+    import hashlib
+
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_arith_lossless_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 10)
+    got = {
+        r.media_id: r
+        for r in decode_media_digest(
+            synth_jpeg_arith_lossless_table(docs)
+        ).collect()
+    }
+    for row in docs.collect():
+        did, text = row.doc_id, row.text
+        w, h = did % 11 + 6, did % 5 + 4
+        hx = hashlib.md5(text.encode()).hexdigest().encode()
+        payload = (hx * (w * h * 3 // 32 + 1))[: w * h * 3]
+        assert got[did].payload_md5 == hashlib.md5(payload).hexdigest()
