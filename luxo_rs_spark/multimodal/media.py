@@ -2757,6 +2757,8 @@ def _decode_payload(content: bytes) -> dict:
         return _decode_wav(content)
     if content[:4] == b"GIF8":
         return _decode_gif(content)
+    if content[:4] == b"fLaC":
+        return _decode_flac(content)
     if content[:2] in (b"II", b"MM") and len(content) >= 4:
         bo = "<" if content[:2] == b"II" else ">"
         if struct.unpack_from(f"{bo}H", content, 2)[0] == 42:
@@ -4718,6 +4720,474 @@ def synth_jpeg_arith_lossless_table(
                         arr, levels=did % 3 + 2
                     )
                 rows.append({"media_id": did, "content": content})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+# ---------------------------------------------------------------------------
+# FLAC (Free Lossless Audio Codec, public xiph.org format spec /
+# RFC 9639) — encoder AND decoder from scratch: fLaC + STREAMINFO
+# (incl. the raw-audio MD5), fixed-blocksize frames with UTF-8 frame
+# numbers and CRC-8 / CRC-16 integrity (both verified on decode),
+# subframe types CONSTANT / VERBATIM / FIXED order 0-4 (encoder picks
+# the cheapest order per block), LPC subframes on the DECODE side
+# (integer FIR + shift), rice residuals with partition orders and the
+# 5-bit escape, wasted-bits unary fields. Mono; 4-32 bit samples.
+# FLAC is lossless, so decoded samples EQUAL the source — the q417
+# LUT oracle recomputes their exact integer statistics in SQL.
+# Boundary (raises): multi-channel assignments (incl. stereo
+# decorrelation) and variable-blocksize streams.
+# ---------------------------------------------------------------------------
+
+
+def _crc8_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+    return crc
+
+
+def _crc16_flac(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = (
+                ((crc << 1) ^ 0x8005) & 0xFFFF
+                if crc & 0x8000
+                else (crc << 1) & 0xFFFF
+            )
+    return crc
+
+
+def _flac_utf8_number(n: int) -> bytes:
+    """FLAC's extended UTF-8 coding of frame/sample numbers."""
+    if n < 0x80:
+        return bytes([n])
+    out = []
+    nbytes = 2
+    while n >= (1 << (5 * nbytes + 1)):  # k-byte capacity = 5k+1 bits
+        nbytes += 1
+    first_prefix = (0xFF << (8 - nbytes)) & 0xFF
+    shift = 6 * (nbytes - 1)
+    out.append(first_prefix | (n >> shift))
+    for i in range(nbytes - 1):
+        shift -= 6
+        out.append(0x80 | ((n >> shift) & 0x3F))
+    return bytes(out)
+
+
+def _flac_read_utf8(data: bytes, pos: int) -> tuple[int, int]:
+    b0 = data[pos]
+    if b0 < 0x80:
+        return b0, pos + 1
+    nbytes = 0
+    m = b0
+    while m & 0x80:
+        nbytes += 1
+        m = (m << 1) & 0xFF
+    n = b0 & (0x7F >> nbytes)
+    for i in range(1, nbytes):
+        n = (n << 6) | (data[pos + i] & 0x3F)
+    return n, pos + nbytes
+
+
+_FLAC_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+def _flac_fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
+    r = x.astype(np.int64)
+    for _ in range(order):
+        r = np.diff(r)
+    return r
+
+
+class _FlacBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (v & ((1 << bits) - 1))
+        self.n += bits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def put_unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+class _FlacBitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos * 8
+
+    def get(self, bits: int) -> int:
+        v = 0
+        for _ in range(bits):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def get_unary(self) -> int:
+        q = 0
+        while self.get(1) == 0:
+            q += 1
+        return q
+
+    def get_signed(self, bits: int) -> int:
+        v = self.get(bits)
+        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+    def align(self) -> None:
+        if self.pos & 7:
+            self.pos += 8 - (self.pos & 7)
+
+    def byte_pos(self) -> int:
+        return self.pos >> 3
+
+
+def _flac_rice_cost(res: np.ndarray, p: int) -> int:
+    zz = np.where(res >= 0, res.astype(np.int64) * 2, -res.astype(np.int64) * 2 - 1)
+    return int((zz >> p).sum()) + len(res) * (p + 1)
+
+
+def _flac_write_residual(w: "_FlacBitWriter", res: np.ndarray) -> None:
+    """Rice method 0, partition order 0, parameter chosen by exhaustive
+    cost over 0..14 with the 5-bit verbatim escape as fallback."""
+    best_p, best_c = 0, None
+    for p in range(15):
+        c = _flac_rice_cost(res, p)
+        if best_c is None or c < best_c:
+            best_p, best_c = p, c
+    w.put(0, 2)  # coding method: rice 4-bit
+    w.put(0, 4)  # partition order 0
+    w.put(best_p, 4)
+    for v in res:
+        v = int(v)
+        zz = 2 * v if v >= 0 else -2 * v - 1
+        w.put_unary(zz >> best_p)
+        if best_p:
+            w.put(zz, best_p)
+
+
+def _flac_read_residual(
+    r: "_FlacBitReader", n: int, order: int
+) -> np.ndarray:
+    method = r.get(2)
+    if method not in (0, 1):
+        raise ValueError("reserved FLAC residual method")
+    pbits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
+    porder = r.get(4)
+    nparts = 1 << porder
+    out = np.zeros(n, dtype=np.int64)
+    idx = 0
+    for part in range(nparts):
+        cnt = (n + order) // nparts - (order if part == 0 else 0)
+        param = r.get(pbits)
+        if param == escape:
+            raw = r.get(5)
+            for i in range(cnt):
+                out[idx] = r.get_signed(raw) if raw else 0
+                idx += 1
+        else:
+            for i in range(cnt):
+                q = r.get_unary()
+                zz = (q << param) | (r.get(param) if param else 0)
+                out[idx] = (zz >> 1) ^ -(zz & 1)
+                idx += 1
+    return out
+
+
+def _pcm_to_flac(
+    samples: np.ndarray,
+    sample_rate: int = 8000,
+    bits: int = 16,
+    block_size: int = 4096,
+) -> bytes:
+    """Encode mono integer samples to a spec-conformant FLAC stream."""
+    import hashlib
+
+    x = samples.astype(np.int64)
+    n_total = len(x)
+    raw = samples.astype("<i2").tobytes() if bits == 16 else None
+    if raw is None:
+        raise NotImplementedError("encoder emits 16-bit streams")
+    md5 = hashlib.md5(raw).digest()
+
+    frames = bytearray()
+    fno = 0
+    min_fs = max_fs = None
+    for start in range(0, n_total, block_size):
+        blk = x[start : start + block_size]
+        nb = len(blk)
+        w = _FlacBitWriter()
+        w.put(0b11111111111110, 14)
+        w.put(0, 1)  # reserved
+        w.put(0, 1)  # fixed blocksize strategy
+        w.put(0b0111, 4)  # blocksize: 16-bit field follows
+        w.put(0b0000, 4)  # sample rate: from STREAMINFO
+        w.put(0, 4)  # channel assignment: mono
+        w.put(0b100, 3)  # sample size: 16 bit
+        w.put(0, 1)  # reserved
+        hdr = w  # continue writing into the same writer
+        for b in _flac_utf8_number(fno):
+            hdr.put(b, 8)
+        hdr.put(nb - 1, 16)
+        hdr.align()
+        header_bytes = hdr.bytes()
+        header_bytes += bytes([_crc8_flac(header_bytes)])
+
+        body = _FlacBitWriter()
+        if nb and np.all(blk == blk[0]):
+            body.put(0, 1)
+            body.put(0, 6)  # CONSTANT
+            body.put(0, 1)
+            body.put(int(blk[0]), bits)
+        else:
+            best_order, best_cost, best_res = 0, None, None
+            for order in range(0, min(5, nb)):
+                res = _flac_fixed_residual(blk, order)
+                cost = min(_flac_rice_cost(res, p) for p in range(15))
+                cost += order * bits
+                if best_cost is None or cost < best_cost:
+                    best_order, best_cost, best_res = order, cost, res
+            verb_cost = nb * bits
+            if best_cost is None or verb_cost < best_cost:
+                body.put(0, 1)
+                body.put(1, 6)  # VERBATIM
+                body.put(0, 1)
+                for v in blk:
+                    body.put(int(v), bits)
+            else:
+                body.put(0, 1)
+                body.put(8 + best_order, 6)  # FIXED, order
+                body.put(0, 1)  # no wasted bits
+                for v in blk[:best_order]:
+                    body.put(int(v), bits)
+                _flac_write_residual(body, best_res)
+        body.align()
+        frame = header_bytes + body.bytes()
+        frame += struct.pack(">H", _crc16_flac(frame))
+        frames += frame
+        fs = len(frame)
+        min_fs = fs if min_fs is None else min(min_fs, fs)
+        max_fs = fs if max_fs is None else max(max_fs, fs)
+        fno += 1
+
+    si = _FlacBitWriter()
+    si.put(min(block_size, n_total or block_size), 16)
+    si.put(block_size, 16)
+    si.put(min_fs or 0, 24)
+    si.put(max_fs or 0, 24)
+    si.put(sample_rate, 20)
+    si.put(0, 3)  # channels - 1
+    si.put(bits - 1, 5)
+    si.put(n_total, 36)
+    streaminfo = si.bytes() + md5
+    out = b"fLaC"
+    out += bytes([0x80]) + len(streaminfo).to_bytes(3, "big") + streaminfo
+    return out + bytes(frames)
+
+
+def _decode_flac(content: bytes) -> dict:
+    """GENUINE decoder with integrity verification: CRC-8 per frame
+    header, CRC-16 per frame, STREAMINFO MD5 over the decoded audio."""
+    import hashlib
+
+    if content[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    streaminfo = None
+    while True:
+        hdr = content[pos]
+        btype = hdr & 0x7F
+        last = bool(hdr & 0x80)
+        size = int.from_bytes(content[pos + 1 : pos + 4], "big")
+        body = content[pos + 4 : pos + 4 + size]
+        if btype == 0:
+            streaminfo = body
+        pos += 4 + size
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    r = _FlacBitReader(streaminfo, 0)
+    _min_bs = r.get(16)
+    _max_bs = r.get(16)
+    r.get(24), r.get(24)
+    sample_rate = r.get(20)
+    channels = r.get(3) + 1
+    bits = r.get(5) + 1
+    n_total = r.get(36)
+    want_md5 = streaminfo[18:34]
+    if channels != 1:
+        raise NotImplementedError(
+            "multi-channel FLAC (incl. stereo decorrelation) not supported"
+        )
+
+    out = np.zeros(n_total, dtype=np.int64)
+    idx = 0
+    while idx < n_total:
+        fr = _FlacBitReader(content, pos)
+        sync = fr.get(14)
+        if sync != 0b11111111111110:
+            raise ValueError("FLAC frame sync lost")
+        fr.get(1)
+        strategy = fr.get(1)
+        if strategy != 0:
+            raise NotImplementedError("variable-blocksize FLAC streams")
+        bs_code = fr.get(4)
+        sr_code = fr.get(4)
+        ch_code = fr.get(4)
+        ss_code = fr.get(3)
+        fr.get(1)
+        if ch_code != 0:
+            raise NotImplementedError("multi-channel FLAC frame")
+        fr.align()
+        _fno, bytepos = _flac_read_utf8(content, fr.byte_pos())
+        fr = _FlacBitReader(content, bytepos)
+        if bs_code == 0b0110:
+            nb = fr.get(8) + 1
+        elif bs_code == 0b0111:
+            nb = fr.get(16) + 1
+        else:
+            table = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                     13: 8192, 14: 16384, 15: 32768}
+            nb = table[bs_code]
+        if sr_code in (0b1100, 0b1101, 0b1110):
+            fr.get(8 if sr_code == 0b1100 else 16)
+        fr.align()
+        hdr_end = fr.byte_pos()
+        if _crc8_flac(content[pos:hdr_end]) != content[hdr_end]:
+            raise ValueError("FLAC frame header CRC-8 mismatch")
+        fr = _FlacBitReader(content, hdr_end + 1)
+
+        ss_bits = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code, bits)
+
+        if fr.get(1):
+            raise ValueError("invalid subframe padding bit")
+        stype = fr.get(6)
+        wasted = 0
+        if fr.get(1):
+            wasted = 1 + fr.get_unary()
+        eff_bits = ss_bits - wasted
+        if stype == 0:  # CONSTANT
+            blk = np.full(nb, fr.get_signed(eff_bits), dtype=np.int64)
+        elif stype == 1:  # VERBATIM
+            blk = np.array(
+                [fr.get_signed(eff_bits) for _ in range(nb)], dtype=np.int64
+            )
+        elif 8 <= stype <= 12:  # FIXED
+            order = stype - 8
+            warm = [fr.get_signed(eff_bits) for _ in range(order)]
+            res = _flac_read_residual(fr, nb - order, order)
+            blk = np.empty(nb, dtype=np.int64)
+            blk[:order] = warm
+            coefs = _FLAC_FIXED_COEFS[order]
+            for i in range(order, nb):
+                pred = sum(
+                    c * blk[i - 1 - j] for j, c in enumerate(coefs)
+                )
+                blk[i] = pred + res[i - order]
+        elif stype >= 32:  # LPC
+            order = stype - 31
+            warm = [fr.get_signed(eff_bits) for _ in range(order)]
+            prec = fr.get(4) + 1
+            if prec == 16:
+                raise ValueError("invalid LPC precision code")
+            shift = fr.get_signed(5)
+            coefs = [fr.get_signed(prec) for _ in range(order)]
+            res = _flac_read_residual(fr, nb - order, order)
+            blk = np.empty(nb, dtype=np.int64)
+            blk[:order] = warm
+            for i in range(order, nb):
+                pred = sum(
+                    c * blk[i - 1 - j] for j, c in enumerate(coefs)
+                ) >> shift
+                blk[i] = pred + res[i - order]
+        else:
+            raise ValueError(f"reserved FLAC subframe type {stype}")
+        if wasted:
+            blk = blk << wasted
+        fr.align()
+        crc_end = fr.byte_pos()
+        want = struct.unpack_from(">H", content, crc_end)[0]
+        if _crc16_flac(content[pos:crc_end]) != want:
+            raise ValueError("FLAC frame CRC-16 mismatch")
+        out[idx : idx + nb] = blk
+        idx += nb
+        pos = crc_end + 2
+
+    payload = out.astype("<i2").tobytes() if bits <= 16 else out.astype("<i4").tobytes()
+    if hashlib.md5(payload).digest() != want_md5:
+        raise ValueError("FLAC STREAMINFO MD5 mismatch")
+    return {
+        "kind": "audio",
+        "width": 1,
+        "height": bits,
+        "sample_rate": sample_rate,
+        "payload": payload,
+    }
+
+
+def synth_flac_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real-encoder FLAC synthesis (q427): 16-bit samples derived from
+    the md5 hex of the text ((byte-100)*231), tiled doc_id%5+2 times,
+    encoded with block_size=48 (multiple frames + a partial tail).
+    FLAC is lossless, so decoded samples EQUAL the derivation — the
+    oracle recomputes exact integer stats from a 16-row hex-char LUT
+    (the q417 recipe)."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                data = hx * (did % 5 + 2)
+                samples = (
+                    (np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+                     - 100) * 231
+                ).astype("<i2")
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _pcm_to_flac(
+                            samples, sample_rate=8000, block_size=48
+                        ),
+                    }
+                )
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id", text_col).mapInPandas(

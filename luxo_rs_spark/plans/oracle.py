@@ -8830,3 +8830,38 @@ SELECT doc_id AS media_id, w AS width, h AS height,
                 1, h * w * 3)) AS payload_md5
 FROM t ORDER BY media_id
 """
+
+
+# q427: FLAC is lossless, so the decoded samples equal the hex-derived
+# source exactly — stats recomputed in SQL from a 16-row LUT
+# (value = (ascii(ch) - 100) * 231), tiled doc_id%5+2 times.
+ORACLE_SQL["q427_flac_decode"] = """
+WITH lut(ch, v) AS (VALUES
+  ('0', -12012), ('1', -11781), ('2', -11550), ('3', -11319),
+  ('4', -11088), ('5', -10857), ('6', -10626), ('7', -10395),
+  ('8', -10164), ('9', -9933),  ('a', -693),   ('b', -462),
+  ('c', -231),   ('d', 0),      ('e', 231),    ('f', 462)
+), t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 5 + 2 AS INTEGER) AS reps
+  FROM documents WHERE doc_id < 300
+), per_char AS (
+  SELECT doc_id, reps, substring(hx, CAST(i AS INTEGER), 1) AS ch
+  FROM t, unnest(range(1, 33)) AS u(i)
+), agg AS (
+  SELECT p.doc_id,
+         max(p.reps) AS reps,
+         sum(lut.v) AS s,
+         min(lut.v) AS mn,
+         max(lut.v) AS mx
+  FROM per_char p JOIN lut ON p.ch = lut.ch
+  GROUP BY p.doc_id
+)
+SELECT doc_id AS media_id,
+       8000 AS sample_rate,
+       CAST(32 * reps AS BIGINT) AS n_samples,
+       CAST(s * reps AS BIGINT) AS sample_sum,
+       CAST(mn AS INTEGER) AS sample_min,
+       CAST(mx AS INTEGER) AS sample_max
+FROM agg ORDER BY media_id
+"""

@@ -15530,3 +15530,26 @@ def q426_jpeg_arith_lossless_decode(
     return decode_media_digest(
         synth_jpeg_arith_lossless_table(docs)
     ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q427 — FLAC audio decode (§2.2-K multimodal; the xiph.org / RFC 9639
+# lossless codec, encoder AND decoder from scratch in
+# multimodal/media.py): STREAMINFO with raw-audio MD5, fixed-blocksize
+# frames with UTF-8 numbers, CRC-8 + CRC-16 verified, CONSTANT /
+# VERBATIM / FIXED-order subframes, rice residuals (partitions +
+# escape), LPC + wasted-bits on the decode side. Lossless, so decoded
+# samples EQUAL the hex-derived source and the oracle recomputes their
+# exact integer stats from a 16-row LUT in pure SQL (q417 recipe).
+# Scale shape: synth + decode are mapInPandas map stages, zero shuffle
+# before the final orderBy.
+# ---------------------------------------------------------------------------
+@query("q427_flac_decode")
+def q427_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_pcm_stats,
+        synth_flac_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_media_pcm_stats(synth_flac_table(docs)).orderBy("media_id")

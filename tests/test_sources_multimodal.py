@@ -1896,3 +1896,248 @@ def test_jpeg_arith_lossless_synth_decode_spark(spark):
         hx = hashlib.md5(text.encode()).hexdigest().encode()
         payload = (hx * (w * h * 3 // 32 + 1))[: w * h * 3]
         assert got[did].payload_md5 == hashlib.md5(payload).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# FLAC codec (q427)
+# ---------------------------------------------------------------------------
+
+
+def test_flac_roundtrip_subframe_selection():
+    """Constant / smooth / linear / noisy blocks round-trip bit-exactly
+    and the encoder actually compresses the predictable ones."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_payload, _pcm_to_flac
+
+    rng = np.random.default_rng(21)
+    for x in (
+        np.zeros(100, dtype=np.int64),
+        rng.integers(-32768, 32768, 1000),
+        (3000 * np.sin(np.arange(5000) / 20)).astype(np.int64),
+        np.arange(300) * 7 - 1000,
+        rng.integers(-5, 5, 2000).cumsum(),
+        np.array([5]),
+    ):
+        enc = _pcm_to_flac(x.astype("<i2"), block_size=256)
+        d = _decode_payload(enc)
+        assert (
+            np.frombuffer(d["payload"], dtype="<i2") == x.astype("<i2")
+        ).all()
+        assert d["sample_rate"] == 8000 and d["height"] == 16
+    smooth = (3000 * np.sin(np.arange(5000) / 20)).astype("<i2")
+    assert len(_pcm_to_flac(smooth)) < len(smooth.tobytes()) // 3
+
+
+def test_flac_integrity_checks_fire():
+    """CRC-16, header CRC-8, and the STREAMINFO MD5 all catch
+    corruption."""
+    import numpy as np
+    import pytest as _pt
+
+    from luxo_rs_spark.multimodal.media import _decode_payload, _pcm_to_flac
+
+    rng = np.random.default_rng(22)
+    enc = _pcm_to_flac(rng.integers(-100, 100, 500).astype("<i2"), block_size=128)
+    bad = bytearray(enc)
+    bad[-1] ^= 0xFF  # last frame CRC-16
+    with _pt.raises(ValueError, match="CRC-16"):
+        _decode_payload(bytes(bad))
+    bad = bytearray(enc)
+    # STREAMINFO md5 bytes live at offset 4 + 4 + 18 .. +34
+    bad[4 + 4 + 20] ^= 0x01
+    with _pt.raises(ValueError, match="MD5"):
+        _decode_payload(bytes(bad))
+
+
+def test_flac_lpc_subframe_hand_built():
+    """The encoder never emits LPC; a hand-built order-2 LPC subframe
+    (coefs [3,-1], shift 1) decodes per x[i] = ((3*x[i-1] - x[i-2])
+    >> 1) + res[i]."""
+    import hashlib
+    import struct as _s
+
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _FlacBitWriter,
+        _crc8_flac,
+        _crc16_flac,
+        _decode_payload,
+    )
+
+    warm = [10, 20]
+    res = [1, -2, 0, 3]
+    x = list(warm)
+    for r in res:
+        x.append(((3 * x[-1] - x[-2]) >> 1) + r)
+    nb = len(x)
+
+    w = _FlacBitWriter()
+    w.put(0b11111111111110, 14)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(0b0111, 4)
+    w.put(0b0000, 4)
+    w.put(0, 4)
+    w.put(0b100, 3)
+    w.put(0, 1)
+    w.put(0, 8)  # frame number 0 (utf-8)
+    w.put(nb - 1, 16)
+    hdr = w.bytes() + bytes([_crc8_flac(w.bytes())])
+
+    b = _FlacBitWriter()
+    b.put(0, 1)
+    b.put(33, 6)  # LPC, order 2
+    b.put(0, 1)  # no wasted bits
+    for v in warm:
+        b.put(v, 16)
+    b.put(3, 4)  # precision - 1 = 3 -> 4-bit coefs
+    b.put(1, 5)  # shift = 1
+    b.put(3, 4)  # coef[0] = 3
+    b.put(-1, 4)  # coef[1] = -1 (two's complement)
+    b.put(0, 2)  # rice method 0
+    b.put(0, 4)  # partition order 0
+    b.put(1, 4)  # rice parameter 1
+    for r in res:
+        zz = 2 * r if r >= 0 else -2 * r - 1
+        b.put_unary(zz >> 1)
+        b.put(zz, 1)
+    b.align()
+    frame = hdr + b.bytes()
+    frame += _s.pack(">H", _crc16_flac(frame))
+
+    payload = np.array(x, dtype="<i2").tobytes()
+    si = _FlacBitWriter()
+    si.put(nb, 16)
+    si.put(nb, 16)
+    si.put(len(frame), 24)
+    si.put(len(frame), 24)
+    si.put(8000, 20)
+    si.put(0, 3)
+    si.put(15, 5)
+    si.put(nb, 36)
+    streaminfo = si.bytes() + hashlib.md5(payload).digest()
+    stream = (
+        b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo + frame
+    )
+    d = _decode_payload(stream)
+    assert np.frombuffer(d["payload"], dtype="<i2").tolist() == x
+
+
+def test_flac_rice_partitions_escape_and_wasted_bits():
+    """Hand-built FIXED-order-1 subframe with partition order 1, an
+    escaped (verbatim 5-bit) first partition, and 2 wasted bits."""
+    import hashlib
+    import struct as _s
+
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _FlacBitWriter,
+        _crc8_flac,
+        _crc16_flac,
+        _decode_payload,
+    )
+
+    nb = 8
+    # samples are all multiples of 4 (2 wasted bits); FIXED order 1
+    shifted = [3, 4, 2, 5, 5, 1, 0, -2]  # sample >> 2
+    res = [shifted[i] - shifted[i - 1] for i in range(1, nb)]  # order 1
+    x = [v << 2 for v in shifted]
+
+    w = _FlacBitWriter()
+    w.put(0b11111111111110, 14)
+    w.put(0, 1)
+    w.put(0, 1)
+    w.put(0b0111, 4)
+    w.put(0b0000, 4)
+    w.put(0, 4)
+    w.put(0b100, 3)
+    w.put(0, 1)
+    w.put(0, 8)
+    w.put(nb - 1, 16)
+    hdr = w.bytes() + bytes([_crc8_flac(w.bytes())])
+
+    b = _FlacBitWriter()
+    b.put(0, 1)
+    b.put(8 + 1, 6)  # FIXED order 1
+    b.put(1, 1)  # wasted-bits flag
+    b.put(0b01, 2)  # unary(1) -> wasted = 2
+    b.put(shifted[0], 14)  # warmup at 16-2 effective bits
+    b.put(0, 2)  # rice method 0
+    b.put(1, 4)  # partition order 1 -> 2 partitions
+    # partition 1: nb/2 - order = 3 residuals, ESCAPED raw 5-bit
+    b.put(0xF, 4)
+    b.put(5, 5)
+    for r in res[:3]:
+        b.put(r, 5)
+    # partition 2: nb/2 = 4 residuals, rice param 2
+    b.put(2, 4)
+    for r in res[3:]:
+        zz = 2 * r if r >= 0 else -2 * r - 1
+        b.put_unary(zz >> 2)
+        b.put(zz, 2)
+    b.align()
+    frame = hdr + b.bytes()
+    frame += _s.pack(">H", _crc16_flac(frame))
+
+    payload = np.array(x, dtype="<i2").tobytes()
+    si = _FlacBitWriter()
+    si.put(nb, 16)
+    si.put(nb, 16)
+    si.put(len(frame), 24)
+    si.put(len(frame), 24)
+    si.put(8000, 20)
+    si.put(0, 3)
+    si.put(15, 5)
+    si.put(nb, 36)
+    streaminfo = si.bytes() + hashlib.md5(payload).digest()
+    stream = (
+        b"fLaC" + bytes([0x80]) + len(streaminfo).to_bytes(3, "big")
+        + streaminfo + frame
+    )
+    d = _decode_payload(stream)
+    assert np.frombuffer(d["payload"], dtype="<i2").tolist() == x
+
+
+def test_flac_boundaries_raise():
+    import numpy as np
+    import pytest as _pt
+
+    from luxo_rs_spark.multimodal.media import _decode_flac, _pcm_to_flac
+
+    enc = bytearray(_pcm_to_flac(np.arange(50, dtype="<i2")))
+    # channels-1 field: STREAMINFO bit 100..102 -> byte 4+4+12, bits 4-6
+    enc[4 + 4 + 12] |= 0x02  # channels-1 = 1 -> stereo
+    with _pt.raises(NotImplementedError, match="multi-channel"):
+        _decode_flac(bytes(enc))
+    with _pt.raises(ValueError, match="not a FLAC"):
+        _decode_flac(b"fLaX" + b"\0" * 40)
+
+
+def test_flac_synth_decode_spark(spark):
+    """q427 end-to-end on a fixture slice: exact integer stats from
+    the hex-char derivation."""
+    import hashlib
+
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_pcm_stats,
+        synth_flac_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 10)
+    got = {
+        r.media_id: r
+        for r in decode_media_pcm_stats(synth_flac_table(docs)).collect()
+    }
+    for row in docs.collect():
+        did = row.doc_id
+        hx = hashlib.md5(row.text.encode()).hexdigest()
+        reps = did % 5 + 2
+        vals = [(ord(c) - 100) * 231 for c in hx]
+        r = got[did]
+        assert r.n_samples == 32 * reps
+        assert r.sample_sum == sum(vals) * reps
+        assert r.sample_min == min(vals) and r.sample_max == max(vals)
