@@ -8865,3 +8865,58 @@ SELECT doc_id AS media_id,
        CAST(mx AS INTEGER) AS sample_max
 FROM agg ORDER BY media_id
 """
+
+
+# q428: the flip decision is a pure md5 function, so DuckDB replays
+# the mechanism exactly; the debiased estimate is one exact-integer
+# expression divided by 2.0 (deterministic double on both engines).
+ORACLE_SQL["q428_dp_randomized_response"] = """
+WITH resp AS (
+  SELECT c_mktsegment,
+         abs(CAST(c_acctbal < 0 AS INTEGER)
+             - CAST(CAST(concat('0x', substring(
+                     md5(concat('rr', CAST(c_custkey AS VARCHAR))), 1, 8))
+                   AS BIGINT) % 4 = 0 AS INTEGER)) AS r
+  FROM customer
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_respondents,
+       CAST(sum(r) AS BIGINT) AS noisy_yes,
+       CAST(4 * sum(r) - count(*) AS DOUBLE) / 2.0 AS est_true_yes
+FROM resp
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# q429: same exact-integer 24ths-of-a-cent pipeline; one final
+# division of exact integers keeps the double deterministic.
+ORACLE_SQL["q429_seasonal_decomposition"] = """
+WITH monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS t,
+         month(o_orderdate) AS m,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS s
+  FROM orders GROUP BY 1, 2
+), win AS (
+  SELECT m,
+         s,
+         sum(s) OVER (ORDER BY t ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+           AS win_sum,
+         count(s) OVER (ORDER BY t ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+           AS win_cnt,
+         lag(s, 6) OVER (ORDER BY t) AS lag6,
+         lead(s, 6) OVER (ORDER BY t) AS lead6
+  FROM monthly
+), detr AS (
+  SELECT m, 24 * s - (24 * win_sum - 12 * lag6 - 12 * lead6) AS d24
+  FROM win WHERE win_cnt = 13
+)
+SELECT CAST(m AS INTEGER) AS month,
+       CAST(count(*) AS BIGINT) AS n_obs,
+       CAST(sum(d24) AS BIGINT) AS sum_detrended24,
+       CAST(sum(d24) AS DOUBLE)
+         / (24.0 * CAST(count(*) AS DOUBLE) * 100.0) AS seasonal_index
+FROM detr
+GROUP BY m
+ORDER BY month
+"""

@@ -15553,3 +15553,117 @@ def q427_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return decode_media_pcm_stats(synth_flac_table(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q428 — differential privacy: randomized-response release (§2.2-K
+# privacy family, joining the k-anonymity audit/repair q399/q408).
+# Warner's randomized response at epsilon = ln(3): each respondent
+# reports their sensitive bit (negative account balance) truthfully
+# with p = 3/4 and flipped with 1/4. The flip decision derives from an
+# md5 hash (mod 4 == 0), so the mechanism is deterministic for the
+# oracle while keeping the exact per-respondent DP shape. Per segment:
+# respondent count, noisy yes-count, and the unbiased debiased
+# estimate t = (y - n(1-p)) / (2p-1) = (4y - n)/2 — computed as one
+# exact-integer expression, so both engines emit identical doubles.
+# Scale shape: one map stage + one groupBy; the hash is JVM-side.
+# ---------------------------------------------------------------------------
+@query("q428_dp_randomized_response")
+def q428_dp_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    truth = (F.col("c_acctbal") < 0).cast("int")
+    flip = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("rr"), F.col("c_custkey").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long") % 4 == 0
+    ).cast("int")
+    reported = F.abs(truth - flip)  # truth XOR flip
+    return (
+        cust.select("c_mktsegment", reported.alias("r"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_respondents"),
+            F.sum("r").cast("bigint").alias("noisy_yes"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_respondents",
+            "noisy_yes",
+            (
+                (F.lit(4) * F.col("noisy_yes") - F.col("n_respondents"))
+                .cast("double") / F.lit(2.0)
+            ).alias("est_true_yes"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q429 — classical seasonal decomposition (§2.2-K/E time-series
+# family): monthly revenue -> centered 12-month moving-average trend
+# (half-weight endpoints) -> per-calendar-month seasonal index from
+# the detrended values. Exactness recipe: all arithmetic stays in
+# INTEGER 24ths-of-a-cent until one final division — trend*24 =
+# 12*s[t-6] + 24*sum(s[t-5..t+5]) + 12*s[t+6] is a BIGINT, the
+# detrended value 24*s - trend24 is a BIGINT, and the seasonal index
+# divides two exact integers once (deterministic IEEE double on both
+# engines; the q389/q57 sf1 lesson). The window runs over the monthly
+# Aggregate (bounded rollup — the plan-sweep-sanctioned shape); the
+# orders fixture's month series is gap-free, which the ROWS frame
+# assumes.
+# ---------------------------------------------------------------------------
+@query("q429_seasonal_decomposition")
+def q429_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    monthly = (
+        orders.select(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1)
+            .alias("t"),
+            F.month("o_orderdate").alias("m"),
+            cents.alias("c"),
+        )
+        .groupBy("t", "m")
+        .agg(F.sum("c").alias("s"))
+    )
+    w = Window.orderBy("t").rowsBetween(-6, 6)
+    wo = Window.orderBy("t")
+    detr = (
+        monthly.withColumn("win_sum", F.sum("s").over(w))
+        .withColumn("win_cnt", F.count("s").over(w))
+        .withColumn("lag6", F.lag("s", 6).over(wo))
+        .withColumn("lead6", F.lead("s", 6).over(wo))
+        .filter(F.col("win_cnt") == 13)
+        .select(
+            "m",
+            (
+                24 * F.col("s")
+                - (
+                    24 * F.col("win_sum")
+                    - 12 * F.col("lag6")
+                    - 12 * F.col("lead6")
+                )
+            ).alias("d24"),
+        )
+    )
+    return (
+        detr.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+            F.sum("d24").cast("bigint").alias("sum_detrended24"),
+        )
+        .select(
+            F.col("m").cast("int").alias("month"),
+            "n_obs",
+            "sum_detrended24",
+            (
+                F.col("sum_detrended24").cast("double")
+                / (F.lit(24.0) * F.col("n_obs").cast("double") * 100.0)
+            ).alias("seasonal_index"),
+        )
+        .orderBy("month")
+    )

@@ -190,3 +190,65 @@ def test_q408_generalization_minimal_and_reaudited(spark):
     for r in rows:
         if r["k0"] >= 5:
             assert r["min_level"] == 0
+
+
+def test_q428_randomized_response_mechanism(spark):
+    """The RR release replays exactly from a local recompute of the
+    md5 flip mechanism, and the debiased estimate is the Warner
+    closed form over the noisy count."""
+    import hashlib
+
+    from luxo_rs_spark.plans.queries import QUERIES
+    from luxo_rs_spark.sources.registry import load_table
+
+    from conftest import SF_DIR
+
+    got = {
+        r.c_mktsegment: r
+        for r in QUERIES["q428_dp_randomized_response"](spark, SF_DIR).collect()
+    }
+    cust = load_table(spark, SF_DIR, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    ).collect()
+    agg: dict[str, list[int]] = {}
+    for c in cust:
+        h = int(
+            hashlib.md5(f"rr{c.c_custkey}".encode()).hexdigest()[:8], 16
+        )
+        flip = 1 if h % 4 == 0 else 0
+        truth = 1 if c.c_acctbal < 0 else 0
+        agg.setdefault(c.c_mktsegment, [0, 0])
+        agg[c.c_mktsegment][0] += 1
+        agg[c.c_mktsegment][1] += truth ^ flip
+    for seg, (n, y) in agg.items():
+        r = got[seg]
+        assert (r.n_respondents, r.noisy_yes) == (n, y)
+        assert r.est_true_yes == (4 * y - n) / 2.0
+
+
+def test_q429_seasonal_decomposition_invariants(spark):
+    """Trend-window bookkeeping: exactly 12 edge months drop (6 each
+    side of the gap-free series), every calendar month appears, and
+    the seasonal index is the single-division readout of the exact
+    integer accumulator."""
+    from luxo_rs_spark.plans.queries import QUERIES
+    from luxo_rs_spark.sources.registry import load_table
+
+    from conftest import SF_DIR
+
+    rows = QUERIES["q429_seasonal_decomposition"](spark, SF_DIR).collect()
+    assert [r.month for r in rows] == list(range(1, 13))
+    n_months = (
+        load_table(spark, SF_DIR, "orders")
+        .select(F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_obs for r in rows) == n_months - 12
+    for r in rows:
+        assert r.seasonal_index == r.sum_detrended24 / (24.0 * r.n_obs * 100.0)
+    # detrending against a centered mean balances: the overall sum of
+    # detrended values is small relative to the series scale
+    total = sum(r.sum_detrended24 for r in rows)
+    gross = sum(abs(r.sum_detrended24) for r in rows)
+    assert gross == 0 or abs(total) <= gross
