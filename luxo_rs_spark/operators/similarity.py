@@ -961,3 +961,66 @@ def random_projection(
         return pd.Series(list(red))
 
     return emb.withColumn(out_col, rp(F.col(vec_col)))
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF index: (id, vector) rows PARTITIONED BY the
+    nearest-centroid cluster id — the posting-list layout. A probe
+    reads ONLY its n_probe clusters' directories (Catalyst partition
+    pruning), the q396 pattern applied to the IVF family.
+
+    100 TB shape: the index write is one assignment scan + one shuffle
+    on the cluster id; every subsequent ANN probe reads
+    ~n_probe/n_centroids of the corpus instead of all of it, and the
+    per-cluster files are self-contained for cache reuse."""
+    assigned = ivf_assign(emb, centroids, vec_col)
+    (
+        assigned.select(id_col, vec_col, "ivf_cluster")
+        .repartition("ivf_cluster")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(path)
+    )
+
+
+def ivf_partition_pruned_probe(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vec: np.ndarray,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k against the persisted IVF index: the query's n_probe
+    nearest centroids are computed driver-side (a centroid-count-sized
+    matrix), the scan filters ivf_cluster IN (probes) — directory
+    pruning, asserted in tests/test_plans.py — and candidates are
+    exact-cosine re-ranked. Same candidate semantics as ann_ivf_topk
+    with a pre-built index."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(centroids @ q))[:n_probe]]
+    idx = spark.read.parquet(index_path).filter(
+        F.col("ivf_cluster").isin(probes)
+    )
+    if exclude_id is not None:
+        idx = idx.filter(F.col(id_col) != exclude_id)
+    qlit = F.array(*[F.lit(float(v)) for v in np.asarray(query_vec, dtype=np.float64)])
+    return (
+        idx.select(
+            id_col,
+            F.col("ivf_cluster").cast("int").alias("ivf_cluster"),
+            cosine(F.col(vec_col), qlit).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

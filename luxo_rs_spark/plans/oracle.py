@@ -7988,6 +7988,7 @@ ORDER BY da, db
         )
 
     b361, b36, b64, b278, b237, b288, b396 = [], [], [], [], [], [], []
+    b430: list = []
     seen_keys: set = set()
     for d in sf_dirs:
         p = os.path.join(d, "embeddings.parquet")
@@ -8073,6 +8074,21 @@ ORDER BY da, db
         ]
         scored.sort(key=lambda kv: (-kv[1], kv[0]))
         b64.append((key, scored[:5]))
+
+        # q430 — persisted-IVF pruned probe of vec 2: SAME centroids
+        # as q64 (16, seed 42, strided train), 4 probe clusters for
+        # vec 2, top-8 exact cosines with the assigned cluster id
+        t2 = idx_of[2]
+        q2 = vecs[t2]
+        qn2 = mat[t2] / max(np.linalg.norm(mat[t2]), 1e-12)
+        probes2 = {int(c) for c in np.argsort(-(cent @ qn2))[:4]}
+        scored430 = [
+            (ids[i], int(assign[i]), _seq_cos(vecs[i], q2))
+            for i in range(nvec)
+            if int(assign[i]) in probes2 and ids[i] != 2
+        ]
+        scored430.sort(key=lambda kv: (-kv[2], kv[0]))
+        b430.append((key, scored430[:8]))
 
         # q278 — IVF-ADC: same probes, ADC shortlist on the uniform
         # grid (exact double arithmetic, same expression order as the
@@ -8219,6 +8235,23 @@ ORDER BY sim DESC, vec_id"""
         ]
         ORACLE_SQL[qname] = _corpus_sql(
             "n, s, c, vec_id, sim", vals, topk_select
+        )
+
+    if b430:
+        vals = [
+            f"({n}, {s}, {c}, {vid}, {cl}, {sim!r})"
+            for (n, s, c), top in b430
+            for vid, cl, sim in top
+        ]
+        ORACLE_SQL["q430_ivf_pruned_probe"] = _corpus_sql(
+            "n, s, c, vec_id, ivf_cluster, sim",
+            vals,
+            """SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       CAST(v.ivf_cluster AS INTEGER) AS ivf_cluster,
+       round(v.sim, 4) AS sim
+FROM vals v, corp x
+WHERE v.n = x.n AND v.s = x.s AND v.c = x.c
+ORDER BY sim DESC, vec_id""",
         )
 
     if b237:

@@ -15667,3 +15667,37 @@ def q429_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q430 — persisted IVF index + partition-pruned ANN probe (§2.2-K
+# similarity; the q396 "index as a partitioned table" pattern applied
+# to the IVF family): centroids trained with the deterministic
+# hash-strided sampler (the q64 recipe), the index written PARTITIONED
+# BY nearest-centroid cluster, and the probe reading ONLY its n_probe
+# clusters' directories (Catalyst partition pruning, plan-asserted in
+# tests/test_plans.py) before an exact-cosine re-rank. At 100 TB the
+# probe scans ~n_probe/n_centroids of the corpus. Oracle: sequential
+# recompute of centroids/assignment/probe embedded as corpus-keyed
+# VALUES (the q64/q278 machinery).
+# ---------------------------------------------------------------------------
+@query("q430_ivf_pruned_probe")
+def q430_ivf_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from luxo_rs_spark.operators.similarity import (
+        ivf_partition_pruned_probe,
+        kmeans_centroids,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, n_centroids=16, seed=42)
+    path = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "ivf_index"
+    )
+    write_ivf_index(emb, path, cent)
+    qvec = emb.filter(F.col("vec_id") == 2).select("embedding").head()[0]
+    return ivf_partition_pruned_probe(
+        spark, path, cent, qvec, n_probe=4, k=8, exclude_id=2
+    ).select("vec_id", "ivf_cluster", F.round("sim", 4).alias("sim"))

@@ -579,3 +579,19 @@ def test_all_queries_plan_hygiene(spark):
             if not below & _BOUNDED_BELOW:
                 bad.append((name, "unpartitioned Window over unbounded input"))
     assert not bad, bad
+
+
+def test_q430_ivf_probe_partition_pruned(spark):
+    """The persisted-IVF probe must reach its index scan with
+    PartitionFilters on the ivf_cluster directory column — the probe
+    reads ~n_probe/n_centroids of the corpus at 100 TB (the q396
+    pushdown story applied to the IVF posting-list layout)."""
+    plan = plan_of(spark, "q430_ivf_pruned_probe")
+    idx_scan = [
+        seg
+        for seg in plan.split("FileScan parquet")
+        if "ivf_index" in seg.split("ReadSchema")[0]
+    ]
+    assert idx_scan, "IVF index scan missing from plan"
+    part = idx_scan[0].split("PartitionFilters: [")[1].split("ReadSchema")[0]
+    assert "ivf_cluster" in part and part.strip() != "],"

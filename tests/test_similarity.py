@@ -379,3 +379,40 @@ def test_xxh64_long_matches_spark(spark):
     )
     for r in rows:
         assert r["h"] == xxh64_long_signed(r["x"]), r["x"]
+
+
+def test_ivf_pruned_probe_matches_inline_ivf(spark, tmp_path):
+    """The persisted-index probe returns exactly the inline
+    ann_ivf_topk result (same centroids, probes, tie-breaks) — the
+    index is a layout change, not a semantics change."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.operators.similarity import (
+        ann_ivf_topk,
+        ivf_partition_pruned_probe,
+        kmeans_centroids,
+        write_ivf_index,
+    )
+    from luxo_rs_spark.sources.registry import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent = kmeans_centroids(emb, n_centroids=16, seed=42)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, path, cent)
+    qvec = emb.filter(F.col("vec_id") == 2).select("embedding").head()[0]
+    got = ivf_partition_pruned_probe(
+        spark, path, cent, qvec, n_probe=4, k=5, exclude_id=2
+    ).collect()
+    want = ann_ivf_topk(emb, target_id=2, k=5, n_centroids=16, n_probe=4).collect()
+    assert [(r.vec_id, round(r.sim, 9)) for r in got] == [
+        (r.vec_id, round(r.sim, 9)) for r in want
+    ]
+    # the probe's clusters are a subset of the centroid space and every
+    # returned row carries its posting-list key
+    q = np.asarray(qvec, dtype=np.float64)
+    q /= max(np.linalg.norm(q), 1e-12)
+    probes = set(np.argsort(-(cent @ q))[:4].tolist())
+    assert {r.ivf_cluster for r in got} <= probes
