@@ -1546,17 +1546,46 @@ def _decode_jpeg(content: bytes) -> dict:
     ref_arr: np.ndarray | None = None
 
     def _finish_hier_level() -> None:
-        """Fold the just-decoded frame into the level reconstruction:
-        non-differential frames stand alone; differential ones add to
-        the expanded reference mod 2^16 (J.1.1.4), masked to P bits."""
+        """Fold the just-decoded frame into the level reconstruction.
+        Lossless frames: non-differential stand alone, differential add
+        to the expanded reference mod 2^16 (J.1.1.4), masked to P bits.
+        DCT frames (grayscale): dequant + IDCT — with the level shift
+        for non-differential frames, without it for differential ones
+        (J.1.5), rounded once together with the reference and clamped
+        to [0, 2^P-1]."""
         nonlocal prev_recon
-        if samples is None:
+        if lossless:
+            if samples is None:
+                return
+            if differential and ref_arr is not None:
+                lvl = (ref_arr.astype(np.int64) + samples) & 0xFFFF
+            else:
+                lvl = samples.astype(np.int64) & 0xFFFF
+            prev_recon = lvl & ((1 << precision) - 1)
             return
+        if not coef or geom is None or sof is None:
+            return
+        h_, w_, comps_, _hm, _vm = sof
+        q = qtabs[comps_[0][3]]
+        _ghi, _gvi, nbh, nbw = geom[0]
+        plane = np.zeros((nbh * 8, nbw * 8), dtype=np.float64)
+        for by in range(nbh):
+            for bx in range(nbw):
+                natural = np.empty(64, dtype=np.int64)
+                natural[_ZIGZAG] = coef[0][by, bx]
+                deq = (natural * q).reshape(8, 8)
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ deq.astype(np.float64) @ _DCT
+                )
+        plane = plane[:h_, :w_]
+        top = (1 << precision) - 1
         if differential and ref_arr is not None:
-            lvl = (ref_arr.astype(np.int64) + samples) & 0xFFFF
+            lvl = np.clip(
+                np.round(ref_arr[:, :, 0].astype(np.float64) + plane), 0, top
+            )
         else:
-            lvl = samples.astype(np.int64) & 0xFFFF
-        prev_recon = lvl & ((1 << precision) - 1)
+            lvl = np.clip(np.round(plane + (1 << (precision - 1))), 0, top)
+        prev_recon = lvl.astype(np.int64)[:, :, None]
 
     while pos < len(content):
         if content[pos] != 0xFF:
@@ -1599,26 +1628,31 @@ def _decode_jpeg(content: bytes) -> dict:
             if hier is None:
                 raise ValueError("EXP outside a hierarchical stream")
             pending_exp = (body[0] >> 4, body[0] & 0x0F)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC7, 0xC9, 0xCA, 0xCB, 0xCF):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCF):
             # baseline/extended/progressive DCT (Huffman or, for
             # SOF9/SOF10, arithmetic), lossless (SOF3 Huffman / SOF11
-            # arithmetic), or — inside a hierarchical stream — their
-            # differential twins (SOF7 / SOF15)
-            if hier is not None and marker not in (0xC3, 0xC7, 0xCB, 0xCF):
+            # arithmetic), or — inside a hierarchical stream — the
+            # differential twins (SOF5 sequential DCT, SOF7 / SOF15
+            # lossless)
+            if hier is not None and marker in (0xC2, 0xC9, 0xCA):
                 raise NotImplementedError(
-                    "hierarchical DCT frames are not supported "
-                    "(hierarchical lossless SOF3+SOF7 / SOF11+SOF15 "
-                    "chains are)"
+                    "hierarchical progressive/arithmetic DCT frames "
+                    "are not supported"
                 )
-            if marker in (0xC7, 0xCF) and hier is None:
+            if marker in (0xC5, 0xC7, 0xCF) and hier is None:
                 raise ValueError("differential frame outside hierarchy")
             if hier is not None:
                 _finish_hier_level()  # fold the previous frame, if any
             progressive = marker in (0xC2, 0xCA)
             arith = marker in (0xC9, 0xCA, 0xCB, 0xCF)
             lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
-            differential = marker in (0xC7, 0xCF)
+            differential = marker in (0xC5, 0xC7, 0xCF)
             precision, h, w, nf = struct.unpack_from(">BHHB", body, 0)
+            if hier is not None and not lossless and nf != 1:
+                raise NotImplementedError(
+                    "hierarchical DCT frames: grayscale only"
+                )
             if lossless:
                 if not 2 <= precision <= 16:
                     raise ValueError("lossless JPEG precision out of range")
@@ -1668,10 +1702,20 @@ def _decode_jpeg(content: bytes) -> dict:
                 np.zeros((nbh, nbw, 64), dtype=np.int32)
                 for _hi, _vi, nbh, nbw in geom
             ]
-        elif marker in (0xC5, 0xC6, 0xCD, 0xCE):
+            if hier is not None:
+                samples = None  # this frame is DCT, not lossless
+                if differential:
+                    if prev_recon is None:
+                        raise ValueError("SOF5 with no reference frame")
+                    eh, ev = pending_exp
+                    pending_exp = (0, 0)
+                    ref_arr = _jpeg_expand(prev_recon, eh, ev, h, w)
+                else:
+                    ref_arr = None
+        elif marker in (0xC6, 0xCD, 0xCE):
             raise NotImplementedError(
-                "differential DCT JPEG frames (SOF5/6/13/14) are "
-                "not supported"
+                "progressive/arithmetic differential DCT JPEG frames "
+                "(SOF6/13/14) are not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
@@ -1706,7 +1750,7 @@ def _decode_jpeg(content: bytes) -> dict:
             else:
                 pos = _decode_jpeg_scan(
                     content, pos, size, body, sof, geom, coef, huff,
-                    restart_interval, progressive,
+                    restart_interval, progressive, differential,
                 )
             continue
         pos += 2 + size
@@ -1757,11 +1801,14 @@ def _decode_jpeg_scan(
     huff,
     restart_interval: int,
     progressive: bool,
+    differential: bool = False,
 ) -> int:
     """Decode ONE entropy-coded scan into the coefficient store and
     return the byte position of the marker following it. Implements
     T.81 F.2 (sequential) and G.1.2 (progressive DC/AC first +
-    refinement, EOB runs, correction bits)."""
+    refinement, EOB runs, correction bits). In `differential` mode
+    (SOF5, Annex J) the DC coefficient has NO prediction — each block's
+    DC is the coded value itself."""
     h, w, comps, hmax, vmax = sof
     ns = body[0]
     scan_sel = []
@@ -1788,8 +1835,11 @@ def _decode_jpeg_scan(
             if ah == 0:
                 cat = _huff_read(reader, huff[(0, td)])
                 diff = _extend(reader.bits(cat), cat)
-                preds[mi] += diff
-                blk[0] = preds[mi] << al
+                if differential:
+                    blk[0] = diff << al
+                else:
+                    preds[mi] += diff
+                    blk[0] = preds[mi] << al
             else:
                 if reader.bit():
                     blk[0] |= 1 << al
@@ -5185,6 +5235,134 @@ def synth_flac_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                         "media_id": did,
                         "content": _pcm_to_flac(
                             samples, sample_rate=8000, block_size=48
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def _pixels_to_jpeg_hierarchical_dct(
+    arr: np.ndarray, levels: int = 3, quality: int = 85
+) -> bytes:
+    """Hierarchical DCT progression with a LOSSLESS finish (T.81
+    Annex J's flagship use): a lossy baseline (SOF0) frame at the
+    smallest pyramid level, EXP + differential sequential-DCT (SOF5)
+    refinements coding the quantized DCT of (level - expanded
+    reference) with no level shift and no DC prediction, and a final
+    same-size differential LOSSLESS (SOF7) frame that corrects the
+    lossy reconstruction to the exact source — so the decode is
+    bit-exact despite the DCT stages (grayscale, 8-bit). The encoder
+    mirrors the decoder's reconstruction arithmetic at every stage to
+    compute the next difference."""
+    if arr.ndim == 3:
+        arr = arr[:, :, 0]
+    if arr.dtype != np.uint8:
+        raise NotImplementedError("hierarchical DCT encoder: 8-bit gray")
+    h, w = arr.shape
+    if levels < 2:
+        raise ValueError("a hierarchy needs at least 2 levels")
+    pyr = [arr.astype(np.int64)]
+    for _ in range(levels - 1):
+        pyr.append(pyr[-1][::2, ::2])
+    pyr = pyr[::-1]
+
+    def seg(marker: int, b: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(b) + 2) + b
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDE, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+
+    # base frame: the plain sequential encoder's output minus SOI/EOI
+    base = _pixels_to_jpeg(pyr[0].astype(np.uint8)[:, :, None], quality, "444")
+    out += base[2:-2]
+    recon = np.frombuffer(
+        _decode_jpeg(base)["payload"], dtype=np.uint8
+    ).reshape(pyr[0].shape).astype(np.int64)
+
+    qt = _quality_scaled(_QUANT_LUM, quality)
+    dc_codes = _huff_codes(*_HUFF_DC_12)  # categories up to 15
+    ac_codes = _huff_codes(*_HUFF_AC_12)
+    for lvl in pyr[1:]:
+        lh, lw = lvl.shape
+        out += seg(0xFFDF, bytes([0x11]))  # EXP 2x both directions
+        ref = _jpeg_expand(recon[:, :, None], 1, 1, lh, lw)[:, :, 0]
+        d = (lvl - ref).astype(np.float64)
+        ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
+        d = np.pad(d, ((0, ph - lh), (0, pw - lw)))
+        out += seg(
+            0xFFDB, bytes([0]) + bytes(qt[_ZIGZAG].astype(np.uint8))
+        )
+        bits12, vals12 = _HUFF_DC_12
+        out += seg(0xFFC4, b"\x00" + bytes(bits12) + bytes(vals12))
+        abits12, avals12 = _HUFF_AC_12
+        out += seg(0xFFC4, b"\x10" + bytes(abits12) + bytes(avals12))
+        out += seg(0xFFC5, struct.pack(">BHHB", 8, lh, lw, 1) + bytes([1, 0x11, 0]))
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        writer = _BitWriter()
+        rec_plane = np.zeros((ph, pw), dtype=np.float64)
+        for by in range(ph // 8):
+            for bx in range(pw // 8):
+                block = d[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeffs = _DCT @ block @ _DCT.T  # NO level shift
+                quant = np.round(coeffs / qt.reshape(8, 8)).astype(np.int64)
+                _encode_component_block(
+                    writer, quant.reshape(64)[_ZIGZAG], 0, dc_codes, ac_codes
+                )
+                rec_plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ (quant * qt.reshape(8, 8)).astype(np.float64)
+                    @ _DCT
+                )
+        out += writer.flush()
+        # mirror the decoder's rounding exactly (round the SUM)
+        recon = np.clip(
+            np.round(ref.astype(np.float64) + rec_plane[:lh, :lw]), 0, 255
+        ).astype(np.int64)
+
+    # final lossless correction frame (same size, no EXP)
+    d16 = ((pyr[-1] - recon) & 0xFFFF)[:, :, None]
+    bits, vals = _HUFF_LL
+    out += seg(0xFFC4, b"\x00" + bytes(bits) + bytes(vals))
+    out += seg(0xFFC7, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    out += _ll_entropy_scan(d16)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_jpeg_hier_dct_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Hierarchical-DCT synthesis (q431): grayscale lossy SOF0 + SOF5
+    pyramid finished by a lossless SOF7 correction frame — decode is
+    bit-exact, so the payload md5 is the tiled md5 hex itself. Levels
+    cycle doc_id%3+2, quality cycles {50, 75, 92}."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 11 + 6
+                h = did % 5 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                need = h * w_
+                arr = np.frombuffer(
+                    (hx * (need // 32 + 1))[:need], dtype=np.uint8
+                ).reshape(h, w_)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _pixels_to_jpeg_hierarchical_dct(
+                            arr,
+                            levels=did % 3 + 2,
+                            quality={0: 50, 1: 75, 2: 92}[did % 3],
                         ),
                     }
                 )

