@@ -8970,3 +8970,56 @@ SELECT doc_id AS media_id, w AS width, h AS height,
                 1, h * w)) AS payload_md5
 FROM t ORDER BY media_id
 """
+
+
+# q432: the Roaring portable format is a deterministic function of the
+# value set, so SQL recomputes container types (runOptimize's rule:
+# run iff 2+4*n_runs < min(2*card bounded to array range, 8192)) and
+# the exact serialized size: 4-byte cookie header + ceil(n/8) run
+# bitset + 4n descriptors + 4n offsets + container bodies.
+ORACLE_SQL["q432_roaring_bitmaps"] = """
+WITH vals AS (
+  SELECT DISTINCT p.p_brand AS g,
+         (l.l_orderkey * 7 + l.l_linenumber) % 300000 AS v
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), marked AS (
+  SELECT g, v // 65536 AS high, v % 65536 AS lo,
+         CASE WHEN lag(v % 65536) OVER (
+                PARTITION BY g, v // 65536 ORDER BY v % 65536
+              ) = v % 65536 - 1 THEN 0 ELSE 1 END AS runstart
+  FROM vals
+), cont AS (
+  SELECT g, high, count(*) AS card, sum(runstart) AS n_runs
+  FROM marked GROUP BY g, high
+), typed AS (
+  SELECT g, card,
+         CASE WHEN 2 + 4 * n_runs <
+                   least(CASE WHEN card <= 4096
+                              THEN least(2 * card, 8192)
+                              ELSE 8192 END, 8192)
+              THEN 2
+              WHEN card <= 4096 THEN 0
+              ELSE 1 END AS ctype,
+         n_runs
+  FROM cont
+), sized AS (
+  SELECT g, card, ctype,
+         CASE ctype WHEN 2 THEN 2 + 4 * n_runs
+                    WHEN 0 THEN 2 * card
+                    ELSE 8192 END AS body_bytes
+  FROM typed
+)
+SELECT g AS brand,
+       CAST(sum(card) AS BIGINT) AS cardinality,
+       CAST(sum(CASE WHEN ctype = 0 THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_array,
+       CAST(sum(CASE WHEN ctype = 1 THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_bitmap,
+       CAST(sum(CASE WHEN ctype = 2 THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_run,
+       CAST(4 + (count(*) + 7) // 8 + 8 * count(*) + sum(body_bytes)
+            AS BIGINT) AS blob_bytes
+FROM sized
+GROUP BY g
+ORDER BY brand
+"""

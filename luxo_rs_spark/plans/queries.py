@@ -15727,3 +15727,44 @@ def q431_jpeg_hier_dct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media_digest(synth_jpeg_hier_dct_table(docs)).orderBy(
         "media_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q432 — Roaring bitmaps as a relation (§2.2-D sketch-relation family;
+# the EXACT-cardinality complement to HLL/KMV/t-digest/CMS): per-brand
+# compressed bitmaps of a derived uint32 key set in the public
+# RoaringFormatSpec portable layout (array / bitmap / run containers,
+# runOptimize's sizing rule), built with bounded per-(group, high16)
+# container state and assembled per group (operators/bitmap.py). The
+# oracle recomputes EVERYTHING in SQL — cardinality, the per-container
+# type decision, and even the serialized blob byte count — because the
+# format is a deterministic function of the value set. Blob algebra
+# (union/intersection without raw data) is pinned by unit tests.
+# ---------------------------------------------------------------------------
+@query("q432_roaring_bitmaps")
+def q432_roaring_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.bitmap import build_group_bitmaps
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    keyed = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        F.col("p_brand").alias("g"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 300000).alias(
+            "v"
+        ),
+    )
+    return (
+        build_group_bitmaps(keyed, "g", "v")
+        .select(
+            F.col("g").alias("brand"),
+            "cardinality",
+            "n_array",
+            "n_bitmap",
+            "n_run",
+            F.octet_length("rbm").cast("bigint").alias("blob_bytes"),
+        )
+        .orderBy("brand")
+    )
