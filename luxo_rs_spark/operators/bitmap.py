@@ -306,3 +306,43 @@ def _merge_same_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
             }
         ]
     )
+
+
+def merge_bitmap_tables(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union two (g, rbm, ...) bitmap tables group-wise: blobs merge
+    WITHOUT touching raw data (the mergeable-relation contract the
+    sketch family shares — here the merge is exact, not approximate).
+    Emits the same schema build_group_bitmaps produces."""
+
+    def union_blobs(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.unique(
+            np.concatenate(
+                [roaring_deserialize(bytes(b_)) for b_ in pdf["rbm"]]
+            )
+        )
+        blob = roaring_serialize(vals)
+        card, na, nb, nr = roaring_stats(blob)
+        return pd.DataFrame(
+            [
+                {
+                    "g": pdf["g"].iloc[0],
+                    "rbm": blob,
+                    "cardinality": card,
+                    "n_array": na,
+                    "n_bitmap": nb,
+                    "n_run": nr,
+                }
+            ]
+        )
+
+    cols = ["g", "rbm", "cardinality", "n_array", "n_bitmap", "n_run"]
+    return (
+        a.select(*cols)
+        .unionByName(b.select(*cols))
+        .groupBy("g")
+        .applyInPandas(
+            union_blobs,
+            "g string, rbm binary, cardinality long, "
+            "n_array int, n_bitmap int, n_run int",
+        )
+    )

@@ -1590,3 +1590,62 @@ def test_streaming_bigram_lm_counts_match_batch(spark, tmp_path):
     assert {(r.w1, r.w2, r.c) for r in acc_bi.collect()} == {
         (r.w1, r.w2, r.c) for r in bi.collect()
     }
+
+
+def test_streaming_roaring_bitmap_maintenance(spark):
+    """Incremental EXACT distinct-user maintenance: a foreachBatch
+    stream folds each micro-batch's per-type Roaring bitmaps into a
+    stored snapshot (merge_bitmap_tables into a VersionedParquetTable).
+    Roaring union is exact, so the final incremental cardinalities must
+    EQUAL the from-scratch COUNT(DISTINCT) — the exact-counterpart of
+    the HLL maintenance test above."""
+    from luxo_rs_spark.operators.bitmap import (
+        build_group_bitmaps,
+        merge_bitmap_tables,
+    )
+    from luxo_rs_spark.streaming.sinks import VersionedParquetTable
+
+    base = TMP / f"rbm_stream_{uuid.uuid4().hex[:8]}"
+    src, ckpt, tbl_dir = str(base / "src"), str(base / "ckpt"), str(base / "tbl")
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(5).write.parquet(src)
+
+    table = VersionedParquetTable(tbl_dir)
+
+    def fold_batch(batch_df, batch_id):
+        if batch_id <= table.last_batch_id():
+            return
+        delta = build_group_bitmaps(
+            batch_df.select(
+                F.col("event_type").alias("g"),
+                F.col("user_id").cast("long").alias("v"),
+            ),
+            "g",
+            "v",
+        )
+        snap = table.read(batch_df.sparkSession)
+        merged = delta if snap is None else merge_bitmap_tables(snap, delta)
+        table.commit(merged, batch_id)
+
+    q = (
+        read_event_stream(spark, src, max_files_per_trigger=1)
+        .select("event_type", "user_id")
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    inc = {
+        r["g"]: r["cardinality"]
+        for r in table.read(spark).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert inc == want
