@@ -9023,3 +9023,21 @@ FROM sized
 GROUP BY g
 ORDER BY brand
 """
+
+
+# q433: repair(mangle(x)) == x exactly, so the oracle recomputes only
+# the ORIGINAL text's md5; marker/bloat counts are the deterministic
+# byte arithmetic of the fixed non-ASCII suffix ('é' and 'ï' are the
+# 2-byte C3-led chars -> 2 markers each appearing as 'Ã'+1, the 3-byte
+# E280-led em-dash/ellipsis lead with 'â' -> 2 more markers, and the
+# mangled form gains one char per continuation byte: 2*1 + 2*2 = 6).
+ORACLE_SQL["q433_mojibake_repair"] = """
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS n_markers,
+       CAST(6 AS INTEGER) AS bloat,
+       md5(text || ' — café naïve…') AS repaired_md5,
+       TRUE AS roundtrip_ok
+FROM documents
+WHERE doc_id < 400
+ORDER BY doc_id
+"""

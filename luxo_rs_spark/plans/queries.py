@@ -15768,3 +15768,33 @@ def q432_roaring_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q433 — mojibake repair (§2.2-K curation family; the ftfy-style
+# double-encoding fix every web corpus needs): a document whose UTF-8
+# bytes were mis-read as Latin-1 ("cafÃ©") is repaired by the inverse
+# transform decode(encode(s, ISO-8859-1), UTF-8) — PURE JVM Column
+# functions, no UDF. The fixture text is extended with a non-ASCII
+# suffix, mangled (encode UTF-8 -> decode Latin-1), detected via the
+# 0xC3/0xE2 marker characters, and repaired; the oracle only needs
+# md5(original), because repair(mangle(x)) == x exactly — the
+# round-trip identity IS the correctness statement. Map-only.
+# ---------------------------------------------------------------------------
+@query("q433_mojibake_repair")
+def q433_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    original = F.concat(F.col("text"), F.lit(" — café naïve…"))
+    mangled = F.decode(F.encode(original, "UTF-8"), "ISO-8859-1")
+    repaired = F.decode(F.encode(mangled, "ISO-8859-1"), "UTF-8")
+    markers = (
+        F.length(mangled)
+        - F.length(F.regexp_replace(mangled, "[Ãâ]", ""))
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        markers.alias("n_markers"),
+        (F.length(mangled) - F.length(original)).cast("int").alias("bloat"),
+        F.md5(repaired).alias("repaired_md5"),
+        (F.md5(repaired) == F.md5(original)).alias("roundtrip_ok"),
+    ).orderBy("doc_id")
