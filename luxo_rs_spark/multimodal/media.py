@@ -5371,3 +5371,131 @@ def synth_jpeg_hier_dct_table(
     return docs.select("doc_id", text_col).mapInPandas(
         gen, "media_id long, content binary"
     )
+
+
+def sniff_media_format(content: bytes) -> str:
+    """Magic-byte format sniffing over the supported container set —
+    the dispatch _decode_payload uses, surfaced as a value."""
+    if content[:4] == _MAGIC:
+        return "luxm"
+    if content[:2] == b"BM":
+        return "bmp"
+    if content[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if content[:2] == b"\xff\xd8":
+        return "jpeg"
+    if content[:4] == b"RIFF":
+        return "avi" if content[8:12] == b"AVI " else "wav"
+    if content[:4] == b"GIF8":
+        return "gif"
+    if content[:4] == b"fLaC":
+        return "flac"
+    if content[:2] in (b"II", b"MM") and len(content) >= 4:
+        bo = "<" if content[:2] == b"II" else ">"
+        if struct.unpack_from(f"{bo}H", content, 2)[0] == 42:
+            return "tiff"
+    return "unknown"
+
+
+def synth_mixed_media_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Mixed-format corpus (q434): five container formats cycling by
+    doc_id%5, all built from the SAME md5-hex tiling with the SAME
+    geometry rule so one SQL oracle covers every lane —
+    0 TIFF (RGB, compression cycling), 1 GIF (palette, decoded pixels
+    = each char x3), 2 lossless JPEG (RGB), 3 hierarchical arithmetic
+    lossless JPEG (RGB), 4 MJPEG AVI (last frame = hex rotated by
+    n_frames-1)."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 11 + 6
+                h = did % 5 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                need = h * w_ * 3
+                rgb = np.frombuffer(
+                    (hx * (need // 32 + 1))[:need], dtype=np.uint8
+                ).reshape(h, w_, 3)
+                lane = did % 5
+                if lane == 0:
+                    content = _pixels_to_tiff(
+                        rgb,
+                        compression={0: 1, 1: 32773, 2: 5}[did % 3],
+                        byte_order="MM" if did % 2 else "II",
+                    )
+                elif lane == 1:
+                    gray = np.frombuffer(
+                        (hx * (h * w_ // 32 + 1))[: h * w_], dtype=np.uint8
+                    ).reshape(h, w_)
+                    idx = np.zeros((h, w_), dtype=np.uint8)
+                    pal = np.zeros((256, 3), dtype=np.uint8)
+                    uniq = np.unique(gray)
+                    for i, v in enumerate(uniq):
+                        pal[i] = (v, v, v)
+                        idx[gray == v] = i
+                    content = _pixels_to_gif(idx, pal, interlace=bool(did % 2))
+                elif lane == 2:
+                    content = _pixels_to_jpeg_lossless(
+                        rgb, predictor=did % 7 + 1
+                    )
+                elif lane == 3:
+                    content = _pixels_to_jpeg_hierarchical_arith(
+                        rgb, levels=did % 3 + 2
+                    )
+                else:
+                    frames = []
+                    for f in range(did % 4 + 2):
+                        rot = hx[f:] + hx[:f]
+                        arr = np.frombuffer(
+                            (rot * (need // 32 + 1))[:need], dtype=np.uint8
+                        ).reshape(h, w_, 3)
+                        frames.append(
+                            _pixels_to_jpeg_lossless(
+                                arr, predictor=(did + f) % 7 + 1
+                            )
+                        )
+                    content = _frames_to_avi(frames, w_, h)
+                rows.append({"media_id": did, "content": content})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def decode_mixed_media(media: DataFrame) -> DataFrame:
+    """Sniff + uniform decode of a mixed-format corpus: one map stage
+    per batch, format from the magic bytes, payload digest from the
+    format's own decoder."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content)
+                d = _decode_payload(b)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "format": sniff_media_format(b),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "payload_bytes": len(d["payload"]),
+                        "payload_md5": hashlib.md5(d["payload"]).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, format string, width int, height int, "
+        "payload_bytes long, payload_md5 string",
+    )

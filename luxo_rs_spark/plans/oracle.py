@@ -9041,3 +9041,43 @@ FROM documents
 WHERE doc_id < 400
 ORDER BY doc_id
 """
+
+
+# q434: all five lanes are lossless and share the geometry rule, so a
+# CASE over doc_id%5 recomputes every payload digest: lanes 0/2/3 are
+# the RGB tiling, lane 1 the char-x3 gray expansion, lane 4 the tiling
+# of the hex ROTATED by n_frames-1 (the AVI container decode's last
+# frame).
+ORACLE_SQL["q434_mixed_media_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h,
+         CAST(doc_id % 5 AS INTEGER) AS lane,
+         CAST(doc_id % 4 + 1 AS INTEGER) AS last_f
+  FROM documents WHERE doc_id < 300
+), px AS (
+  SELECT doc_id, w, h, lane,
+         CASE lane
+           WHEN 1 THEN array_to_string(
+             list_transform(range(1, w * h + 1),
+               i -> repeat(substring(
+                      repeat(hx, CAST(w * h / 32 AS INTEGER) + 1),
+                      CAST(i AS INTEGER), 1), 3)), '')
+           WHEN 4 THEN substring(
+             repeat(substring(hx, last_f + 1) || substring(hx, 1, last_f),
+                    CAST(w * h * 3 / 32 AS INTEGER) + 1), 1, w * h * 3)
+           ELSE substring(repeat(hx, CAST(w * h * 3 / 32 AS INTEGER) + 1),
+                          1, w * h * 3)
+         END AS payload
+  FROM t
+)
+SELECT doc_id AS media_id,
+       CASE lane WHEN 0 THEN 'tiff' WHEN 1 THEN 'gif'
+                 WHEN 2 THEN 'jpeg' WHEN 3 THEN 'jpeg'
+                 ELSE 'avi' END AS format,
+       w AS width, h AS height,
+       CAST(w * h * 3 AS BIGINT) AS payload_bytes,
+       md5(payload) AS payload_md5
+FROM px ORDER BY media_id
+"""

@@ -15798,3 +15798,28 @@ def q433_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(repaired).alias("repaired_md5"),
         (F.md5(repaired) == F.md5(original)).alias("roundtrip_ok"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q434 — mixed-format corpus capstone (§2.2-K multimodal): ONE binary
+# column carrying five container formats (TIFF / GIF / lossless JPEG /
+# hierarchical-arithmetic JPEG / MJPEG AVI, cycling by doc_id%5),
+# magic-sniffed and uniformly decoded in a single map stage — the
+# "opaque binary column + typed metadata" shape a real 100 TB
+# multimodal lake has. Every lane is lossless and built from the same
+# md5-hex tiling, so ONE SQL oracle recomputes every row's payload md5
+# with a CASE over the lane: RGB tiling for TIFF/JPEG lanes, the
+# char-x3 expansion for the GIF lane, and the (n_frames-1)-rotated
+# tiling for the AVI lane (container decode returns the LAST frame).
+# ---------------------------------------------------------------------------
+@query("q434_mixed_media_decode")
+def q434_mixed_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_mixed_media,
+        synth_mixed_media_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return decode_mixed_media(synth_mixed_media_table(docs)).orderBy(
+        "media_id"
+    )

@@ -2267,3 +2267,69 @@ def test_jpeg_hier_dct_synth_decode_spark(spark):
         r = got[did]
         assert (r.width, r.height, r.payload_bytes) == (w, h, w * h)
         assert r.payload_md5 == hashlib.md5(payload).hexdigest()
+
+
+def test_sniff_media_format_covers_every_container():
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _frames_to_avi,
+        _pcm_to_flac,
+        _pixels_to_bmp,
+        _pixels_to_gif,
+        _pixels_to_jpeg_lossless,
+        _pixels_to_png,
+        _pixels_to_tiff,
+        sniff_media_format,
+    )
+
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    jl = _pixels_to_jpeg_lossless(arr)
+    assert sniff_media_format(_pixels_to_tiff(arr)) == "tiff"
+    assert sniff_media_format(_pixels_to_tiff(arr, byte_order="MM")) == "tiff"
+    assert sniff_media_format(_pixels_to_bmp(arr)) == "bmp"
+    assert sniff_media_format(_pixels_to_png(arr)) == "png"
+    assert sniff_media_format(jl) == "jpeg"
+    idx = np.zeros((4, 4), dtype=np.uint8)
+    pal = np.zeros((256, 3), dtype=np.uint8)
+    assert sniff_media_format(_pixels_to_gif(idx, pal)) == "gif"
+    assert sniff_media_format(_frames_to_avi([jl], 4, 4)) == "avi"
+    assert (
+        sniff_media_format(_pcm_to_flac(np.zeros(10, dtype="<i2"))) == "flac"
+    )
+    assert sniff_media_format(b"garbage") == "unknown"
+
+
+def test_mixed_media_decode_spark(spark):
+    """q434 end-to-end: every lane sniffs to its format and decodes to
+    the lane's tiling digest."""
+    import hashlib
+
+    from luxo_rs_spark.multimodal.media import (
+        decode_mixed_media,
+        synth_mixed_media_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 15)
+    got = {
+        r.media_id: r
+        for r in decode_mixed_media(synth_mixed_media_table(docs)).collect()
+    }
+    fmt = {0: "tiff", 1: "gif", 2: "jpeg", 3: "jpeg", 4: "avi"}
+    for row in docs.collect():
+        did, text = row.doc_id, row.text
+        w, h = did % 11 + 6, did % 5 + 4
+        hx = hashlib.md5(text.encode()).hexdigest().encode()
+        lane = did % 5
+        if lane == 1:
+            gray = (hx * (w * h // 32 + 1))[: w * h]
+            payload = bytes(b for g in gray for b in (g, g, g))
+        elif lane == 4:
+            f = did % 4 + 1
+            rot = hx[f:] + hx[:f]
+            payload = (rot * (w * h * 3 // 32 + 1))[: w * h * 3]
+        else:
+            payload = (hx * (w * h * 3 // 32 + 1))[: w * h * 3]
+        r = got[did]
+        assert r.format == fmt[lane], did
+        assert r.payload_md5 == hashlib.md5(payload).hexdigest(), did
