@@ -9081,3 +9081,43 @@ SELECT doc_id AS media_id,
        md5(payload) AS payload_md5
 FROM px ORDER BY media_id
 """
+
+
+# q435: identical hash-split mechanism and IDENTICAL closed-form
+# expression tree over exact integer counts -> identical doubles.
+ORACLE_SQL["q435_ab_test_readout"] = """
+WITH per_user AS (
+  SELECT CAST(CAST(concat('0x', substring(
+             md5(concat('ab', CAST(user_id AS VARCHAR))), 1, 8))
+           AS BIGINT) % 2 AS INTEGER) AS variant,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              >= 14 AS INTEGER) AS converted
+  FROM events GROUP BY user_id
+), agg AS (
+  SELECT variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(converted) AS BIGINT) AS c
+  FROM per_user GROUP BY variant
+), j AS (
+  SELECT a.n AS n0, a.c AS c0, b.n AS n1, b.c AS c1
+  FROM agg a, agg b WHERE a.variant = 0 AND b.variant = 1
+)
+, stat AS (
+  SELECT n0, c0, n1, c1,
+         CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS p0,
+         CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS p1,
+         sqrt(
+           (CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+           * (1.0 - CAST(c0 + c1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+           * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))
+         ) AS denom
+  FROM j
+)
+SELECT n0, c0, n1, c1,
+  round(p0, 6) AS rate_a,
+  round(p1, 6) AS rate_b,
+  round(CASE WHEN denom > 0 THEN (p0 - p1) / denom END, 6) AS z_stat,
+  coalesce(abs(CASE WHEN denom > 0 THEN (p0 - p1) / denom END)
+           > 1.959964, FALSE) AS significant_95
+FROM stat
+"""

@@ -15823,3 +15823,79 @@ def q434_mixed_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_mixed_media(synth_mixed_media_table(docs)).orderBy(
         "media_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q435 — A/B experiment readout: two-proportion z-test (§2.2-D
+# statistics family, joining q391 OLS / q340 chi-square / q392
+# Benford): users hash-split 50/50 into variants (md5, the q388
+# mechanism), conversion = heavy buyer (>= 14 purchase events, the
+# fixture median — every user purchases at least once, so the naive
+# ever-purchased criterion would be degenerate). Per-variant
+# exact integer counts roll up first; the z statistic and the pooled
+# rate are then SINGLE closed-form expressions over those integers —
+# the deterministic-double recipe (identical IEEE expression trees on
+# both engines; the q57/q389 lesson). Two groupBys, no window.
+# ---------------------------------------------------------------------------
+@query("q435_ab_test_readout")
+def q435_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int")) >= 14
+            ).cast("int").alias("converted")
+        )
+        .select(
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit("ab"), F.col("user_id").cast("string")
+                            )
+                        ),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long") % 2
+            ).cast("int").alias("variant"),
+            "converted",
+        )
+    )
+    agg = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    a = agg.filter(F.col("variant") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converted").alias("c0")
+    )
+    b = agg.filter(F.col("variant") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converted").alias("c1")
+    )
+    j = a.crossJoin(F.broadcast(b))
+    p0 = F.col("c0").cast("double") / F.col("n0").cast("double")
+    p1 = F.col("c1").cast("double") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    denom = F.sqrt(
+        pp * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n0").cast("double")
+            + F.lit(1.0) / F.col("n1").cast("double")
+        )
+    )
+    # degenerate experiment (all-or-none conversion): z is undefined —
+    # emit NULL on both engines rather than an ANSI divide-by-zero
+    z = F.when(denom > 0, (p0 - p1) / denom)
+    return j.select(
+        "n0", "c0", "n1", "c1",
+        F.round(p0, 6).alias("rate_a"),
+        F.round(p1, 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        F.coalesce(F.abs(z) > 1.959964, F.lit(False)).alias(
+            "significant_95"
+        ),
+    )
