@@ -4996,21 +4996,64 @@ def _flac_read_residual(
     return out
 
 
+def _flac_encode_subframe(
+    body: "_FlacBitWriter", blk: np.ndarray, bits: int
+) -> None:
+    """Write one subframe: CONSTANT when flat, else the cheapest of
+    FIXED order 0-4 vs VERBATIM (the mono encoder's chooser, reused
+    per channel for stereo)."""
+    nb = len(blk)
+    if nb and np.all(blk == blk[0]):
+        body.put(0, 1)
+        body.put(0, 6)  # CONSTANT
+        body.put(0, 1)
+        body.put(int(blk[0]), bits)
+        return
+    best_order, best_cost, best_res = 0, None, None
+    for order in range(0, min(5, nb)):
+        res = _flac_fixed_residual(blk, order)
+        cost = min(_flac_rice_cost(res, p) for p in range(15))
+        cost += order * bits
+        if best_cost is None or cost < best_cost:
+            best_order, best_cost, best_res = order, cost, res
+    verb_cost = nb * bits
+    if best_cost is None or verb_cost < best_cost:
+        body.put(0, 1)
+        body.put(1, 6)  # VERBATIM
+        body.put(0, 1)
+        for v in blk:
+            body.put(int(v), bits)
+    else:
+        body.put(0, 1)
+        body.put(8 + best_order, 6)  # FIXED, order
+        body.put(0, 1)  # no wasted bits
+        for v in blk[:best_order]:
+            body.put(int(v), bits)
+        _flac_write_residual(body, best_res)
+
+
 def _pcm_to_flac(
     samples: np.ndarray,
     sample_rate: int = 8000,
     bits: int = 16,
     block_size: int = 4096,
+    force_assignment: int | None = None,
 ) -> bytes:
-    """Encode mono integer samples to a spec-conformant FLAC stream."""
+    """Encode integer samples to a spec-conformant FLAC stream: (n,)
+    mono, or (n, 2) stereo — stereo frames pick the cheapest channel
+    assignment per block among independent / left-side / right-side /
+    mid-side (the spec's inter-channel decorrelation; the side channel
+    carries bits+1). force_assignment pins one code for tests."""
     import hashlib
 
     x = samples.astype(np.int64)
-    n_total = len(x)
-    raw = samples.astype("<i2").tobytes() if bits == 16 else None
-    if raw is None:
+    stereo = x.ndim == 2
+    if stereo and x.shape[1] != 2:
+        raise NotImplementedError("FLAC encoder: mono or 2-channel only")
+    n_total = x.shape[0]
+    if bits != 16:
         raise NotImplementedError("encoder emits 16-bit streams")
-    md5 = hashlib.md5(raw).digest()
+    md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
 
     frames = bytearray()
     fno = 0
@@ -5018,51 +5061,56 @@ def _pcm_to_flac(
     for start in range(0, n_total, block_size):
         blk = x[start : start + block_size]
         nb = len(blk)
+
+        def _body_for(assignment: int) -> "_FlacBitWriter":
+            body = _FlacBitWriter()
+            if not stereo:
+                _flac_encode_subframe(body, blk, bits)
+                return body
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if assignment == 0b0001:
+                chans = [(left, bits), (right, bits)]
+            elif assignment == 0b1000:  # left/side
+                chans = [(left, bits), (side, bits + 1)]
+            elif assignment == 0b1001:  # right/side
+                chans = [(side, bits + 1), (right, bits)]
+            else:  # 0b1010 mid/side
+                chans = [((left + right) >> 1, bits), (side, bits + 1)]
+            for ch, chbits in chans:
+                _flac_encode_subframe(body, ch, chbits)
+            return body
+
+        if not stereo:
+            assignment = 0
+            body = _body_for(0)
+        elif force_assignment is not None:
+            assignment = force_assignment
+            body = _body_for(assignment)
+        else:
+            cands = [
+                (a, _body_for(a)) for a in (0b0001, 0b1000, 0b1001, 0b1010)
+            ]
+            assignment, body = min(
+                cands, key=lambda ab: (len(ab[1].buf), ab[0])
+            )
+
         w = _FlacBitWriter()
         w.put(0b11111111111110, 14)
         w.put(0, 1)  # reserved
         w.put(0, 1)  # fixed blocksize strategy
         w.put(0b0111, 4)  # blocksize: 16-bit field follows
         w.put(0b0000, 4)  # sample rate: from STREAMINFO
-        w.put(0, 4)  # channel assignment: mono
+        w.put(assignment, 4)  # channel assignment
         w.put(0b100, 3)  # sample size: 16 bit
         w.put(0, 1)  # reserved
-        hdr = w  # continue writing into the same writer
         for b in _flac_utf8_number(fno):
-            hdr.put(b, 8)
-        hdr.put(nb - 1, 16)
-        hdr.align()
-        header_bytes = hdr.bytes()
+            w.put(b, 8)
+        w.put(nb - 1, 16)
+        w.align()
+        header_bytes = w.bytes()
         header_bytes += bytes([_crc8_flac(header_bytes)])
 
-        body = _FlacBitWriter()
-        if nb and np.all(blk == blk[0]):
-            body.put(0, 1)
-            body.put(0, 6)  # CONSTANT
-            body.put(0, 1)
-            body.put(int(blk[0]), bits)
-        else:
-            best_order, best_cost, best_res = 0, None, None
-            for order in range(0, min(5, nb)):
-                res = _flac_fixed_residual(blk, order)
-                cost = min(_flac_rice_cost(res, p) for p in range(15))
-                cost += order * bits
-                if best_cost is None or cost < best_cost:
-                    best_order, best_cost, best_res = order, cost, res
-            verb_cost = nb * bits
-            if best_cost is None or verb_cost < best_cost:
-                body.put(0, 1)
-                body.put(1, 6)  # VERBATIM
-                body.put(0, 1)
-                for v in blk:
-                    body.put(int(v), bits)
-            else:
-                body.put(0, 1)
-                body.put(8 + best_order, 6)  # FIXED, order
-                body.put(0, 1)  # no wasted bits
-                for v in blk[:best_order]:
-                    body.put(int(v), bits)
-                _flac_write_residual(body, best_res)
         body.align()
         frame = header_bytes + body.bytes()
         frame += struct.pack(">H", _crc16_flac(frame))
@@ -5078,7 +5126,7 @@ def _pcm_to_flac(
     si.put(min_fs or 0, 24)
     si.put(max_fs or 0, 24)
     si.put(sample_rate, 20)
-    si.put(0, 3)  # channels - 1
+    si.put(1 if stereo else 0, 3)  # channels - 1
     si.put(bits - 1, 5)
     si.put(n_total, 36)
     streaminfo = si.bytes() + md5
@@ -5118,12 +5166,10 @@ def _decode_flac(content: bytes) -> dict:
     bits = r.get(5) + 1
     n_total = r.get(36)
     want_md5 = streaminfo[18:34]
-    if channels != 1:
-        raise NotImplementedError(
-            "multi-channel FLAC (incl. stereo decorrelation) not supported"
-        )
+    if channels > 2:
+        raise NotImplementedError(">2-channel FLAC not supported")
 
-    out = np.zeros(n_total, dtype=np.int64)
+    out = np.zeros((n_total, channels), dtype=np.int64)
     idx = 0
     while idx < n_total:
         fr = _FlacBitReader(content, pos)
@@ -5139,8 +5185,10 @@ def _decode_flac(content: bytes) -> dict:
         ch_code = fr.get(4)
         ss_code = fr.get(3)
         fr.get(1)
-        if ch_code != 0:
-            raise NotImplementedError("multi-channel FLAC frame")
+        if ch_code not in (0, 1, 8, 9, 10):
+            raise NotImplementedError(
+                f"FLAC channel assignment {ch_code} not supported"
+            )
         fr.align()
         _fno, bytepos = _flac_read_utf8(content, fr.byte_pos())
         fr = _FlacBitReader(content, bytepos)
@@ -5163,66 +5211,96 @@ def _decode_flac(content: bytes) -> dict:
 
         ss_bits = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}.get(ss_code, bits)
 
-        if fr.get(1):
-            raise ValueError("invalid subframe padding bit")
-        stype = fr.get(6)
-        wasted = 0
-        if fr.get(1):
-            wasted = 1 + fr.get_unary()
-        eff_bits = ss_bits - wasted
-        if stype == 0:  # CONSTANT
-            blk = np.full(nb, fr.get_signed(eff_bits), dtype=np.int64)
-        elif stype == 1:  # VERBATIM
-            blk = np.array(
-                [fr.get_signed(eff_bits) for _ in range(nb)], dtype=np.int64
-            )
-        elif 8 <= stype <= 12:  # FIXED
-            order = stype - 8
-            warm = [fr.get_signed(eff_bits) for _ in range(order)]
-            res = _flac_read_residual(fr, nb - order, order)
-            blk = np.empty(nb, dtype=np.int64)
-            blk[:order] = warm
-            coefs = _FLAC_FIXED_COEFS[order]
-            for i in range(order, nb):
-                pred = sum(
-                    c * blk[i - 1 - j] for j, c in enumerate(coefs)
+        def read_subframe(sub_bits: int) -> np.ndarray:
+            if fr.get(1):
+                raise ValueError("invalid subframe padding bit")
+            stype = fr.get(6)
+            wasted = 0
+            if fr.get(1):
+                wasted = 1 + fr.get_unary()
+            eff_bits = sub_bits - wasted
+            if stype == 0:  # CONSTANT
+                blk = np.full(nb, fr.get_signed(eff_bits), dtype=np.int64)
+            elif stype == 1:  # VERBATIM
+                blk = np.array(
+                    [fr.get_signed(eff_bits) for _ in range(nb)],
+                    dtype=np.int64,
                 )
-                blk[i] = pred + res[i - order]
-        elif stype >= 32:  # LPC
-            order = stype - 31
-            warm = [fr.get_signed(eff_bits) for _ in range(order)]
-            prec = fr.get(4) + 1
-            if prec == 16:
-                raise ValueError("invalid LPC precision code")
-            shift = fr.get_signed(5)
-            coefs = [fr.get_signed(prec) for _ in range(order)]
-            res = _flac_read_residual(fr, nb - order, order)
-            blk = np.empty(nb, dtype=np.int64)
-            blk[:order] = warm
-            for i in range(order, nb):
-                pred = sum(
-                    c * blk[i - 1 - j] for j, c in enumerate(coefs)
-                ) >> shift
-                blk[i] = pred + res[i - order]
-        else:
-            raise ValueError(f"reserved FLAC subframe type {stype}")
-        if wasted:
-            blk = blk << wasted
+            elif 8 <= stype <= 12:  # FIXED
+                order = stype - 8
+                warm = [fr.get_signed(eff_bits) for _ in range(order)]
+                res = _flac_read_residual(fr, nb - order, order)
+                blk = np.empty(nb, dtype=np.int64)
+                blk[:order] = warm
+                coefs = _FLAC_FIXED_COEFS[order]
+                for i in range(order, nb):
+                    pred = sum(
+                        c * blk[i - 1 - j] for j, c in enumerate(coefs)
+                    )
+                    blk[i] = pred + res[i - order]
+            elif stype >= 32:  # LPC
+                order = stype - 31
+                warm = [fr.get_signed(eff_bits) for _ in range(order)]
+                prec = fr.get(4) + 1
+                if prec == 16:
+                    raise ValueError("invalid LPC precision code")
+                shift = fr.get_signed(5)
+                coefs = [fr.get_signed(prec) for _ in range(order)]
+                res = _flac_read_residual(fr, nb - order, order)
+                blk = np.empty(nb, dtype=np.int64)
+                blk[:order] = warm
+                for i in range(order, nb):
+                    pred = sum(
+                        c * blk[i - 1 - j] for j, c in enumerate(coefs)
+                    ) >> shift
+                    blk[i] = pred + res[i - order]
+            else:
+                raise ValueError(f"reserved FLAC subframe type {stype}")
+            if wasted:
+                blk = blk << wasted
+            return blk
+
+        if ch_code == 0:
+            chans = [read_subframe(ss_bits)]
+        elif ch_code == 1:
+            chans = [read_subframe(ss_bits), read_subframe(ss_bits)]
+        elif ch_code == 8:  # left/side
+            left = read_subframe(ss_bits)
+            side = read_subframe(ss_bits + 1)
+            chans = [left, left - side]
+        elif ch_code == 9:  # right/side
+            side = read_subframe(ss_bits + 1)
+            right = read_subframe(ss_bits)
+            chans = [right + side, right]
+        else:  # 10: mid/side — mid = (L+R)>>1 drops a bit that the
+            # side's parity restores: M2 = (mid<<1)|(S&1)
+            mid = read_subframe(ss_bits)
+            side = read_subframe(ss_bits + 1)
+            m2 = (mid << 1) | (side & 1)
+            chans = [(m2 + side) >> 1, (m2 - side) >> 1]
+        if len(chans) != channels:
+            raise ValueError("FLAC frame channel count mismatch")
         fr.align()
         crc_end = fr.byte_pos()
         want = struct.unpack_from(">H", content, crc_end)[0]
         if _crc16_flac(content[pos:crc_end]) != want:
             raise ValueError("FLAC frame CRC-16 mismatch")
-        out[idx : idx + nb] = blk
+        for c, blk in enumerate(chans):
+            out[idx : idx + nb, c] = blk
         idx += nb
         pos = crc_end + 2
 
-    payload = out.astype("<i2").tobytes() if bits <= 16 else out.astype("<i4").tobytes()
+    flat = out.reshape(-1) if channels > 1 else out[:, 0]
+    payload = (
+        flat.astype("<i2").tobytes()
+        if bits <= 16
+        else flat.astype("<i4").tobytes()
+    )
     if hashlib.md5(payload).digest() != want_md5:
         raise ValueError("FLAC STREAMINFO MD5 mismatch")
     return {
         "kind": "audio",
-        "width": 1,
+        "width": channels,
         "height": bits,
         "sample_rate": sample_rate,
         "payload": payload,

@@ -2110,9 +2110,14 @@ def test_flac_boundaries_raise():
 
     enc = bytearray(_pcm_to_flac(np.arange(50, dtype="<i2")))
     # channels-1 field: STREAMINFO bit 100..102 -> byte 4+4+12, bits 4-6
-    enc[4 + 4 + 12] |= 0x02  # channels-1 = 1 -> stereo
-    with _pt.raises(NotImplementedError, match="multi-channel"):
+    enc[4 + 4 + 12] |= 0x04  # channels-1 = 2 -> 3 channels (boundary)
+    with _pt.raises(NotImplementedError, match=">2-channel"):
         _decode_flac(bytes(enc))
+    # stereo STREAMINFO over mono frames is a stream inconsistency
+    enc2 = bytearray(_pcm_to_flac(np.arange(50, dtype="<i2")))
+    enc2[4 + 4 + 12] |= 0x02
+    with _pt.raises(ValueError):
+        _decode_flac(bytes(enc2))
     with _pt.raises(ValueError, match="not a FLAC"):
         _decode_flac(b"fLaX" + b"\0" * 40)
 
@@ -2333,3 +2338,38 @@ def test_mixed_media_decode_spark(spark):
         r = got[did]
         assert r.format == fmt[lane], did
         assert r.payload_md5 == hashlib.md5(payload).hexdigest(), did
+
+
+def test_flac_stereo_decorrelation_roundtrip():
+    """All four channel assignments (independent, left/side,
+    right/side, mid/side) round-trip bit-exactly, int16 extremes
+    included; the auto-chooser picks the cheapest body and correlated
+    channels compress better decorrelated than independent."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_payload, _pcm_to_flac
+
+    rng = np.random.default_rng(33)
+    t = np.arange(4000)
+    left = (4000 * np.sin(t / 25)).astype(np.int64)
+    right = left + rng.integers(-50, 50, len(t))
+    st = np.stack([left, right], axis=1).astype("<i2")
+    sizes = {}
+    for fa in (None, 0b0001, 0b1000, 0b1001, 0b1010):
+        enc = _pcm_to_flac(st, block_size=512, force_assignment=fa)
+        d = _decode_payload(enc)
+        got = np.frombuffer(d["payload"], dtype="<i2").reshape(-1, 2)
+        assert (got == st).all()
+        assert d["width"] == 2
+        sizes[fa] = len(enc)
+    assert sizes[None] <= min(v for k, v in sizes.items() if k is not None)
+    assert sizes[None] < sizes[0b0001]  # decorrelation paid off
+    # mid/side parity reconstruction at int16 extremes
+    edge = np.stack(
+        [np.full(100, 32767), np.full(100, -32768)], axis=1
+    ).astype("<i2")
+    for fa in (0b1000, 0b1001, 0b1010):
+        d = _decode_payload(_pcm_to_flac(edge, force_assignment=fa))
+        assert (
+            np.frombuffer(d["payload"], dtype="<i2").reshape(-1, 2) == edge
+        ).all()
