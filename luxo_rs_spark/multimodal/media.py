@@ -3603,13 +3603,22 @@ def _pixels_to_tiff(
     predictor: int = 1,
     rows_per_strip: int = 3,
     gray: bool = False,
+    palette: "np.ndarray | None" = None,
 ) -> bytes:
-    """Encode HxWx3 uint8 RGB (or, with gray=True, HxW uint8) to a
-    baseline TIFF. Strips of rows_per_strip rows; IFD written after the
-    pixel data; inline IFD values are LEFT-justified in the file byte
-    order per spec §2 (the classic MM gotcha)."""
+    """Encode HxWx3 uint8 RGB (or, with gray=True, HxW uint8; or, with
+    palette=(256,3) uint8, HxW palette INDICES + a ColorMap of 16-bit
+    entries v*257) to a baseline TIFF. Strips of rows_per_strip rows;
+    IFD written after the pixel data; inline IFD values are
+    LEFT-justified in the file byte order per spec §2 (the classic MM
+    gotcha)."""
     bo = "<" if byte_order == "II" else ">"
-    if gray:
+    if palette is not None:
+        if arr.ndim == 3:
+            arr = arr[:, :, 0]
+        h, w_ = arr.shape
+        spp, photometric = 1, 3
+        raw_rows = [arr[y].tobytes() for y in range(h)]
+    elif gray:
         if arr.ndim == 3:
             arr = arr[:, :, 0]
         h, w_ = arr.shape
@@ -3685,6 +3694,15 @@ def _pixels_to_tiff(
         tag(279, 4, n_strips, ("ext", _ext(counts)))
     if predictor != 1:
         tag(317, 3, 1, predictor)
+    if palette is not None:
+        # spec §5: entries are 16-bit, planes R..G..B; v*257 maps an
+        # 8-bit channel to the full 16-bit range (and >>8 back)
+        cm = (
+            palette.astype(np.uint32).T.reshape(-1) * 257
+        ).astype(np.uint16)
+        tag(320, 3, len(cm), ("ext", _ext(
+            cm.astype(f"{bo}u2").tobytes()
+        )))
     entries.sort(key=lambda e: e[0])  # IFD entries must be tag-ordered
 
     ifd_ofs = len(out)
@@ -3768,9 +3786,9 @@ def _decode_tiff(content: bytes) -> dict:
     rows_per_strip = tags.get(278, [h])[0]
     if 322 in tags or 323 in tags:
         raise NotImplementedError("tiled TIFF layout not supported")
-    if photometric == 3:
-        raise NotImplementedError("palette-color TIFF not supported")
-    if photometric not in (0, 1, 2):
+    if photometric == 3 and 320 not in tags:
+        raise ValueError("palette-color TIFF missing ColorMap")
+    if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photometric}")
     if planar != 1:
         raise NotImplementedError("planar configuration 2 not supported")
@@ -3814,9 +3832,15 @@ def _decode_tiff(content: bytes) -> dict:
         raw += strip
     arr = np.frombuffer(bytes(raw), dtype=np.uint8)
     if spp == 1:
-        if photometric == 0:  # WhiteIsZero: invert to BlackIsZero
-            arr = 255 - arr
-        rgb = np.repeat(arr, 3)
+        if photometric == 3:
+            # ColorMap: 3 * 2^bps 16-bit entries, all reds then greens
+            # then blues; display value = entry >> 8 (spec §5)
+            cm = np.asarray(tags[320], dtype=np.uint16).reshape(3, -1)
+            rgb = (cm[:, arr] >> 8).astype(np.uint8).T.reshape(-1)
+        else:
+            if photometric == 0:  # WhiteIsZero: invert to BlackIsZero
+                arr = 255 - arr
+            rgb = np.repeat(arr, 3)
     else:
         rgb = arr
     return {

@@ -1338,7 +1338,8 @@ def test_tiff_mm_inline_values_left_justified():
 
 
 def test_tiff_boundary_raises():
-    """Documented boundary: tiles, palette color, planar 2, CCITT."""
+    """Documented boundary: tiles, planar 2, CCITT; palette color is
+    SUPPORTED since round 6 but requires its ColorMap."""
     import struct as _s
 
     import numpy as np
@@ -1363,8 +1364,8 @@ def test_tiff_boundary_raises():
                 return bytes(b)
         raise AssertionError(f"tag {tag} not present")
 
-    with _pt.raises(NotImplementedError):
-        _decode_payload(patch_tag(base, 262, 3))  # palette
+    with _pt.raises(ValueError, match="ColorMap"):
+        _decode_payload(patch_tag(base, 262, 3))  # palette w/o ColorMap
     with _pt.raises(NotImplementedError):
         _decode_payload(patch_tag(base, 259, 2))  # CCITT G3
     with _pt.raises(NotImplementedError):
@@ -2373,3 +2374,26 @@ def test_flac_stereo_decorrelation_roundtrip():
         assert (
             np.frombuffer(d["payload"], dtype="<i2").reshape(-1, 2) == edge
         ).all()
+
+
+def test_tiff_palette_color_roundtrip():
+    """Photometric-3 palette TIFFs round-trip through the 16-bit
+    ColorMap (v*257 -> >>8 identity) in both byte orders and every
+    compression, including a non-identity palette."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_tiff,
+    )
+
+    rng = np.random.default_rng(40)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, (7, 11), dtype=np.uint8)
+    for bo in ("II", "MM"):
+        for comp in (1, 32773, 5):
+            t = _pixels_to_tiff(
+                idx, byte_order=bo, compression=comp, palette=pal
+            )
+            d = _decode_payload(t)
+            assert d["payload"] == pal[idx].tobytes()
