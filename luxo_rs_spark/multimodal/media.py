@@ -715,12 +715,14 @@ def _pixels_to_jpeg(
 
 def _progressive_scans(
     qblocks, sampling, books, mcuy, mcux, restart_interval,
-    sos_body, rst_marker, h, w, hmax, vmax,
+    sos_body, rst_marker, h, w, hmax, vmax, differential=False,
 ):
     """Emit the T.81 G.1.2 progressive scan sequence over the quantized
     coefficient store: DC first (Al=1, interleaved) -> DC refinement ->
     per-component AC bands 1-5 / 6-63 at Al=1 -> per-component AC
-    refinement (Ah=1, Al=0) with buffered correction bits."""
+    refinement (Ah=1, Al=0) with buffered correction bits. With
+    `differential` (SOF6, Annex J) the DC first scan codes each block's
+    value against a ZERO prediction."""
     nch = len(sampling)
     scans: list[tuple[bytes, bytes]] = []
 
@@ -739,7 +741,8 @@ def _progressive_scans(
                 for by in range(vi):
                     for bx in range(hi):
                         dc = int(qblocks[ci][my * vi + by, mx * hi + bx][0]) >> 1
-                        cat, bits_v = _magnitude(dc - preds[ci])
+                        base = 0 if differential else preds[ci]
+                        cat, bits_v = _magnitude(dc - base)
                         code, length = books[ci][0][cat]
                         writer.write(code, length)
                         if cat:
@@ -1517,10 +1520,11 @@ def _decode_jpeg(content: bytes) -> dict:
     progressive) are decoded too: the T.81 Annex D QM coder with the
     F.2.4/G.2 statistical models, DAC conditioning honored. So are
     arithmetic LOSSLESS frames (SOF11, Annex H.1.1 model) and
-    hierarchical lossless pyramids (Annex J: DHP/EXP + differential
-    SOF7/SOF15 frames). Remaining honest boundary: differential DCT
-    frames (SOF5/6/13/14). Payload is the raw interleaved pixel array
-    ((h, w, channels) uint8, RGB for color)."""
+    hierarchical pyramids (Annex J: DHP/EXP with differential lossless
+    SOF7/SOF15 frames AND differential DCT frames — sequential SOF5
+    and progressive SOF6, grayscale). Remaining honest boundary:
+    arithmetic differential DCT (SOF13/14). Payload is the raw
+    interleaved pixel array ((h, w, channels) uint8, RGB for color)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1628,8 +1632,8 @@ def _decode_jpeg(content: bytes) -> dict:
             if hier is None:
                 raise ValueError("EXP outside a hierarchical stream")
             pending_exp = (body[0] >> 4, body[0] & 0x0F)
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC7, 0xC9, 0xCA,
-                        0xCB, 0xCF):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCF):
             # baseline/extended/progressive DCT (Huffman or, for
             # SOF9/SOF10, arithmetic), lossless (SOF3 Huffman / SOF11
             # arithmetic), or — inside a hierarchical stream — the
@@ -1640,14 +1644,14 @@ def _decode_jpeg(content: bytes) -> dict:
                     "hierarchical progressive/arithmetic DCT frames "
                     "are not supported"
                 )
-            if marker in (0xC5, 0xC7, 0xCF) and hier is None:
+            if marker in (0xC5, 0xC6, 0xC7, 0xCF) and hier is None:
                 raise ValueError("differential frame outside hierarchy")
             if hier is not None:
                 _finish_hier_level()  # fold the previous frame, if any
-            progressive = marker in (0xC2, 0xCA)
+            progressive = marker in (0xC2, 0xC6, 0xCA)
             arith = marker in (0xC9, 0xCA, 0xCB, 0xCF)
             lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
-            differential = marker in (0xC5, 0xC7, 0xCF)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCF)
             precision, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if hier is not None and not lossless and nf != 1:
                 raise NotImplementedError(
@@ -1712,10 +1716,10 @@ def _decode_jpeg(content: bytes) -> dict:
                     ref_arr = _jpeg_expand(prev_recon, eh, ev, h, w)
                 else:
                     ref_arr = None
-        elif marker in (0xC6, 0xCD, 0xCE):
+        elif marker in (0xCD, 0xCE):
             raise NotImplementedError(
-                "progressive/arithmetic differential DCT JPEG frames "
-                "(SOF6/13/14) are not supported"
+                "arithmetic differential DCT JPEG frames (SOF13/14) "
+                "are not supported"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
@@ -5369,7 +5373,8 @@ def synth_flac_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _pixels_to_jpeg_hierarchical_dct(
-    arr: np.ndarray, levels: int = 3, quality: int = 85
+    arr: np.ndarray, levels: int = 3, quality: int = 85,
+    progressive: bool = False,
 ) -> bytes:
     """Hierarchical DCT progression with a LOSSLESS finish (T.81
     Annex J's flagship use): a lossy baseline (SOF0) frame at the
@@ -5423,23 +5428,50 @@ def _pixels_to_jpeg_hierarchical_dct(
         out += seg(0xFFC4, b"\x00" + bytes(bits12) + bytes(vals12))
         abits12, avals12 = _HUFF_AC_12
         out += seg(0xFFC4, b"\x10" + bytes(abits12) + bytes(avals12))
-        out += seg(0xFFC5, struct.pack(">BHHB", 8, lh, lw, 1) + bytes([1, 0x11, 0]))
-        out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
-        writer = _BitWriter()
+        sofm_dct = 0xFFC6 if progressive else 0xFFC5
+        out += seg(
+            sofm_dct, struct.pack(">BHHB", 8, lh, lw, 1) + bytes([1, 0x11, 0])
+        )
         rec_plane = np.zeros((ph, pw), dtype=np.float64)
+        store = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
         for by in range(ph // 8):
             for bx in range(pw // 8):
                 block = d[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                 coeffs = _DCT @ block @ _DCT.T  # NO level shift
                 quant = np.round(coeffs / qt.reshape(8, 8)).astype(np.int64)
-                _encode_component_block(
-                    writer, quant.reshape(64)[_ZIGZAG], 0, dc_codes, ac_codes
-                )
+                store[by, bx] = quant.reshape(64)[_ZIGZAG]
                 rec_plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _DCT.T @ (quant * qt.reshape(8, 8)).astype(np.float64)
                     @ _DCT
                 )
-        out += writer.flush()
+        if progressive:
+            def _sosb(members, ss2, se2, ah2, al2):
+                b = bytes([len(members)])
+                for ci in members:
+                    b += bytes([ci + 1, 0x00])
+                return b + bytes([ss2, se2, (ah2 << 4) | al2])
+
+            def _rst(scan, writer, rst):
+                scan += writer.flush()
+                scan += bytes([0xFF, 0xD0 + (rst % 8)])
+                return _BitWriter()
+
+            for sosb, data in _progressive_scans(
+                [store], [(1, 1)], [(dc_codes, ac_codes)],
+                ph // 8, pw // 8, 0, _sosb, _rst, lh, lw, 1, 1,
+                differential=True,
+            ):
+                out += seg(0xFFDA, sosb)
+                out += data
+        else:
+            out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            writer = _BitWriter()
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    _encode_component_block(
+                        writer, store[by, bx], 0, dc_codes, ac_codes
+                    )
+            out += writer.flush()
         # mirror the decoder's rounding exactly (round the SUM)
         recon = np.clip(
             np.round(ref.astype(np.float64) + rec_plane[:lh, :lw]), 0, 255
@@ -5459,10 +5491,11 @@ def _pixels_to_jpeg_hierarchical_dct(
 def synth_jpeg_hier_dct_table(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Hierarchical-DCT synthesis (q431): grayscale lossy SOF0 + SOF5
-    pyramid finished by a lossless SOF7 correction frame — decode is
-    bit-exact, so the payload md5 is the tiled md5 hex itself. Levels
-    cycle doc_id%3+2, quality cycles {50, 75, 92}."""
+    """Hierarchical-DCT synthesis (q431): grayscale lossy SOF0 +
+    differential-DCT pyramid (sequential SOF5 on even doc_ids,
+    PROGRESSIVE SOF6 on odd) finished by a lossless SOF7 correction
+    frame — decode is bit-exact, so the payload md5 is the tiled md5
+    hex itself. Levels cycle doc_id%3+2, quality cycles {50,75,92}."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5486,6 +5519,7 @@ def synth_jpeg_hier_dct_table(
                             arr,
                             levels=did % 3 + 2,
                             quality={0: 50, 1: 75, 2: 92}[did % 3],
+                            progressive=bool(did % 2),
                         ),
                     }
                 )

@@ -524,11 +524,11 @@ def test_jpeg_golden_spec_vector_decodes():
 
 
 def test_jpeg_unsupported_shapes_raise():
-    """Differential-DCT frames (SOF5/13) plus out-of-spec sampling
-    factors raise NotImplementedError — the honest decoder boundary
-    (hierarchical lossless SOF3+SOF7 / SOF11+SOF15 chains AND
-    arithmetic lossless supported since round 6; arithmetic DCT
-    SOF9/SOF10 since round 5; SOF2 + SOF3 since round 4)."""
+    """Arithmetic differential-DCT frames (SOF13/14) plus out-of-spec
+    sampling factors raise NotImplementedError — the honest decoder
+    boundary (every Huffman SOF incl. hierarchical SOF5/6/7 plus
+    arithmetic lossless SOF11/SOF15 supported since round 6;
+    arithmetic DCT SOF9/SOF10 since round 5)."""
     import struct as st
 
     import numpy as np
@@ -539,24 +539,23 @@ def test_jpeg_unsupported_shapes_raise():
     def seg(m, body):
         return st.pack(">HH", m, len(body) + 2) + body
 
-    for sofm in (0xFFCD, 0xFFC5):  # differential DCT, arith + huffman
+    for sofm in (0xFFCD, 0xFFCE):  # arithmetic differential DCT
         stream = (
             b"\xff\xd8"
             + seg(sofm, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
             + b"\xff\xd9"
         )
-        with pytest.raises(
-            NotImplementedError, match="differential DCT"
-        ):
+        with pytest.raises(NotImplementedError, match="SOF13/14"):
             _decode_jpeg(stream)
-    # SOF7 outside a hierarchical stream is a stream error, not a gap
-    bad_diff = (
-        b"\xff\xd8"
-        + seg(0xFFC7, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-        + b"\xff\xd9"
-    )
-    with pytest.raises(ValueError, match="differential frame outside"):
-        _decode_jpeg(bad_diff)
+    # SOF5/SOF7 outside a hierarchical stream: stream error, not a gap
+    for sofm in (0xFFC5, 0xFFC7):
+        bad_diff = (
+            b"\xff\xd8"
+            + seg(sofm, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + b"\xff\xd9"
+        )
+        with pytest.raises(ValueError, match="differential frame outside"):
+            _decode_jpeg(bad_diff)
 
     bad_factors = (
         b"\xff\xd8"
@@ -998,8 +997,9 @@ def test_jpeg_arith_progressive_matches_huffman():
 
 def test_jpeg_arith_12bit_and_boundaries():
     """SOF9 carries 12-bit samples too; the remaining codec boundary
-    (differential DCT SOF5/SOF13) still raises. (Arithmetic lossless
-    SOF11 is SUPPORTED since round 6 — see the q426 battery.)"""
+    (arithmetic differential DCT SOF13/14) still raises. (Arithmetic
+    lossless SOF11 and the Huffman differential frames SOF5/6/7 are
+    SUPPORTED since round 6.)"""
     import struct as st
 
     import numpy as np
@@ -1013,8 +1013,8 @@ def test_jpeg_arith_12bit_and_boundaries():
     as_ = _pixels_to_jpeg(arr, 90, "444", 0, False, 12, "arith")
     assert _decode_jpeg(hs)["payload"] == _decode_jpeg(as_)["payload"]
 
-    # swap the SOF9 marker for SOF5/SOF13: decoder must refuse honestly
-    for bad in (0xC5, 0xCD):
+    # swap the SOF9 marker for SOF13/SOF14: decoder must refuse honestly
+    for bad in (0xCD, 0xCE):
         seq = _pixels_to_jpeg(
             np.zeros((8, 8, 1), np.uint8), 85, "444", 0, False, 8, "arith"
         )
@@ -2213,7 +2213,7 @@ def test_jpeg_hier_dct_sof5_stage_improves_on_base():
 
 def test_jpeg_hier_dct_stream_errors():
     """SOF5 outside a hierarchy is a stream error; color hierarchical
-    DCT is the documented boundary; SOF6 still refuses."""
+    DCT is the documented boundary; SOF13/14 still refuse."""
     import struct as st
 
     import numpy as np
@@ -2243,10 +2243,18 @@ def test_jpeg_hier_dct_stream_errors():
             bytes(enc[: i + 9]) + b"\x03" + bytes(enc[i + 10 :])
         )  # SOF0 Nf := 3 (header now inconsistent, but Nf is read first)
         _decode_jpeg(hacked)
-    with _pt.raises(NotImplementedError, match="SOF6/13/14"):
+    # SOF6 is supported inside a hierarchy since later in round 6;
+    # outside one it is a stream error like SOF5/SOF7
+    with _pt.raises(ValueError, match="differential frame outside"):
         _decode_jpeg(
             b"\xff\xd8"
             + seg(0xFFC6, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+            + b"\xff\xd9"
+        )
+    with _pt.raises(NotImplementedError, match="SOF13/14"):
+        _decode_jpeg(
+            b"\xff\xd8"
+            + seg(0xFFCD, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
             + b"\xff\xd9"
         )
 
@@ -2397,3 +2405,27 @@ def test_tiff_palette_color_roundtrip():
             )
             d = _decode_payload(t)
             assert d["payload"] == pal[idx].tobytes()
+
+
+def test_jpeg_hier_dct_progressive_sof6():
+    """The SOF6 lane: progressive differential frames (DC successive
+    approximation + AC bands over the DIFF coefficients, zero DC
+    prediction) compose with the lossless finish to a bit-exact
+    decode; sequential and progressive streams decode identically."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_hierarchical_dct,
+    )
+
+    rng = np.random.default_rng(17)
+    arr = (
+        np.add.outer(np.arange(21) * 5, np.arange(13) * 3) % 220
+        + rng.integers(0, 20, (21, 13))
+    ).astype(np.uint8)
+    seq = _pixels_to_jpeg_hierarchical_dct(arr, levels=3, progressive=False)
+    prog = _pixels_to_jpeg_hierarchical_dct(arr, levels=3, progressive=True)
+    assert b"\xff\xc5" in seq and b"\xff\xc6" in prog
+    ds, dp = _decode_payload(seq), _decode_payload(prog)
+    assert ds["payload"] == dp["payload"] == arr.tobytes()
