@@ -1237,7 +1237,7 @@ def _arith_get_ac(dec, st: bytearray, fixed: bytearray, k: int,
 
 def _arith_scans(
     qblocks, sampling, mcuy, mcux, restart_interval,
-    progressive, sos_body, h, w, hmax, vmax,
+    progressive, sos_body, h, w, hmax, vmax, differential=False,
 ):
     """Arithmetic twin of the Huffman scan emitters: one interleaved
     sequential scan (SOF9), or the same G.1.2 progressive script the
@@ -1291,8 +1291,9 @@ def _arith_scans(
     def seq_block(s, ci, zz):
         tid = 0 if ci == 0 else 1
         dc = int(zz[0])
+        base = 0 if differential else s["preds"][ci]
         s["ctx"][ci] = _arith_put_dc(
-            s["enc"], s["dc"][tid], s["ctx"][ci], dc - s["preds"][ci], l, u
+            s["enc"], s["dc"][tid], s["ctx"][ci], dc - base, l, u
         )
         s["preds"][ci] = dc
         ac_first_block(s, tid, zz, 1, 63, 0)
@@ -1331,9 +1332,10 @@ def _arith_scans(
                 for by in range(vi):
                     for bx in range(hi):
                         dc = int(qblocks[ci][my * vi + by, mx * hi + bx][0]) >> 1
+                        base = 0 if differential else s["preds"][ci]
                         s["ctx"][ci] = _arith_put_dc(
                             s["enc"], s["dc"][tid], s["ctx"][ci],
-                            dc - s["preds"][ci], l, u,
+                            dc - base, l, u,
                         )
                         s["preds"][ci] = dc
             mcu += 1
@@ -1521,10 +1523,12 @@ def _decode_jpeg(content: bytes) -> dict:
     F.2.4/G.2 statistical models, DAC conditioning honored. So are
     arithmetic LOSSLESS frames (SOF11, Annex H.1.1 model) and
     hierarchical pyramids (Annex J: DHP/EXP with differential lossless
-    SOF7/SOF15 frames AND differential DCT frames — sequential SOF5
-    and progressive SOF6, grayscale). Remaining honest boundary:
-    arithmetic differential DCT (SOF13/14). Payload is the raw
-    interleaved pixel array ((h, w, channels) uint8, RGB for color)."""
+    SOF7/SOF15 frames AND all four differential DCT frame kinds —
+    SOF5/SOF6 Huffman, SOF13/SOF14 arithmetic; hierarchical DCT is
+    grayscale). The FULL T.81 SOF matrix decodes; remaining honest
+    constraints: hierarchical DCT frames are 8-bit grayscale, lossless
+    frames are unsubsampled, sampling factors are 1/2/4. Payload is
+    the raw interleaved pixel array ((h, w, channels) uint8, RGB)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1633,7 +1637,7 @@ def _decode_jpeg(content: bytes) -> dict:
                 raise ValueError("EXP outside a hierarchical stream")
             pending_exp = (body[0] >> 4, body[0] & 0x0F)
         elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
-                        0xCA, 0xCB, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             # baseline/extended/progressive DCT (Huffman or, for
             # SOF9/SOF10, arithmetic), lossless (SOF3 Huffman / SOF11
             # arithmetic), or — inside a hierarchical stream — the
@@ -1644,14 +1648,14 @@ def _decode_jpeg(content: bytes) -> dict:
                     "hierarchical progressive/arithmetic DCT frames "
                     "are not supported"
                 )
-            if marker in (0xC5, 0xC6, 0xC7, 0xCF) and hier is None:
+            if marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF) and hier is None:
                 raise ValueError("differential frame outside hierarchy")
             if hier is not None:
                 _finish_hier_level()  # fold the previous frame, if any
-            progressive = marker in (0xC2, 0xC6, 0xCA)
-            arith = marker in (0xC9, 0xCA, 0xCB, 0xCF)
+            progressive = marker in (0xC2, 0xC6, 0xCA, 0xCE)
+            arith = marker in (0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF)
             lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
-            differential = marker in (0xC5, 0xC6, 0xC7, 0xCF)
+            differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
             precision, h, w, nf = struct.unpack_from(">BHHB", body, 0)
             if hier is not None and not lossless and nf != 1:
                 raise NotImplementedError(
@@ -1716,11 +1720,7 @@ def _decode_jpeg(content: bytes) -> dict:
                     ref_arr = _jpeg_expand(prev_recon, eh, ev, h, w)
                 else:
                     ref_arr = None
-        elif marker in (0xCD, 0xCE):
-            raise NotImplementedError(
-                "arithmetic differential DCT JPEG frames (SOF13/14) "
-                "are not supported"
-            )
+
         elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
             off = 0
             while off + 1 < len(body):
@@ -1750,6 +1750,7 @@ def _decode_jpeg(content: bytes) -> dict:
                 pos = _decode_jpeg_arith_scan(
                     content, pos, size, body, sof, geom, coef,
                     dc_cond, ac_cond, restart_interval, progressive,
+                    differential,
                 )
             else:
                 pos = _decode_jpeg_scan(
@@ -1987,6 +1988,7 @@ def _decode_jpeg_arith_scan(
     ac_cond: dict,
     restart_interval: int,
     progressive: bool,
+    differential: bool = False,
 ) -> int:
     """Arithmetic twin of ``_decode_jpeg_scan``: decode ONE SOF9/SOF10
     entropy-coded scan into the coefficient store and return the byte
@@ -2088,8 +2090,11 @@ def _decode_jpeg_arith_scan(
                     dec, state["dc"][td], state["ctx"][mi], l, u
                 )
                 state["ctx"][mi] = ctx
-                state["preds"][mi] += diff
-                blk[0] = state["preds"][mi] << al
+                if differential:
+                    blk[0] = diff << al
+                else:
+                    state["preds"][mi] += diff
+                    blk[0] = state["preds"][mi] << al
             else:
                 if dec.decode(fixed, 0):
                     blk[0] |= 1 << al
@@ -5374,7 +5379,7 @@ def synth_flac_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def _pixels_to_jpeg_hierarchical_dct(
     arr: np.ndarray, levels: int = 3, quality: int = 85,
-    progressive: bool = False,
+    progressive: bool = False, entropy: str = "huffman",
 ) -> bytes:
     """Hierarchical DCT progression with a LOSSLESS finish (T.81
     Annex J's flagship use): a lossy baseline (SOF0) frame at the
@@ -5428,7 +5433,10 @@ def _pixels_to_jpeg_hierarchical_dct(
         out += seg(0xFFC4, b"\x00" + bytes(bits12) + bytes(vals12))
         abits12, avals12 = _HUFF_AC_12
         out += seg(0xFFC4, b"\x10" + bytes(abits12) + bytes(avals12))
-        sofm_dct = 0xFFC6 if progressive else 0xFFC5
+        if entropy == "arith":
+            sofm_dct = 0xFFCE if progressive else 0xFFCD
+        else:
+            sofm_dct = 0xFFC6 if progressive else 0xFFC5
         out += seg(
             sofm_dct, struct.pack(">BHHB", 8, lh, lw, 1) + bytes([1, 0x11, 0])
         )
@@ -5444,18 +5452,25 @@ def _pixels_to_jpeg_hierarchical_dct(
                     _DCT.T @ (quant * qt.reshape(8, 8)).astype(np.float64)
                     @ _DCT
                 )
-        if progressive:
-            def _sosb(members, ss2, se2, ah2, al2):
-                b = bytes([len(members)])
-                for ci in members:
-                    b += bytes([ci + 1, 0x00])
-                return b + bytes([ss2, se2, (ah2 << 4) | al2])
+        def _sosb(members, ss2, se2, ah2, al2):
+            b = bytes([len(members)])
+            for ci in members:
+                b += bytes([ci + 1, 0x00])
+            return b + bytes([ss2, se2, (ah2 << 4) | al2])
 
-            def _rst(scan, writer, rst):
-                scan += writer.flush()
-                scan += bytes([0xFF, 0xD0 + (rst % 8)])
-                return _BitWriter()
+        def _rst(scan, writer, rst):
+            scan += writer.flush()
+            scan += bytes([0xFF, 0xD0 + (rst % 8)])
+            return _BitWriter()
 
+        if entropy == "arith":
+            for sosb, data in _arith_scans(
+                [store], [(1, 1)], ph // 8, pw // 8, 0, progressive,
+                _sosb, lh, lw, 1, 1, differential=True,
+            ):
+                out += seg(0xFFDA, sosb)
+                out += data
+        elif progressive:
             for sosb, data in _progressive_scans(
                 [store], [(1, 1)], [(dc_codes, ac_codes)],
                 ph // 8, pw // 8, 0, _sosb, _rst, lh, lw, 1, 1,
@@ -5491,11 +5506,13 @@ def _pixels_to_jpeg_hierarchical_dct(
 def synth_jpeg_hier_dct_table(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Hierarchical-DCT synthesis (q431): grayscale lossy SOF0 +
-    differential-DCT pyramid (sequential SOF5 on even doc_ids,
-    PROGRESSIVE SOF6 on odd) finished by a lossless SOF7 correction
-    frame — decode is bit-exact, so the payload md5 is the tiled md5
-    hex itself. Levels cycle doc_id%3+2, quality cycles {50,75,92}."""
+    """Hierarchical-DCT synthesis (q431): grayscale lossy SOF0 base +
+    a differential-DCT pyramid cycling ALL FOUR differential DCT frame
+    kinds by doc_id%4 — sequential/progressive Huffman (SOF5/SOF6) and
+    sequential/progressive ARITHMETIC (SOF13/SOF14) — finished by a
+    lossless SOF7 correction frame: decode is bit-exact, so the
+    payload md5 is the tiled md5 hex itself. Levels cycle doc_id%3+2,
+    quality cycles {50,75,92}."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5520,6 +5537,7 @@ def synth_jpeg_hier_dct_table(
                             levels=did % 3 + 2,
                             quality={0: 50, 1: 75, 2: 92}[did % 3],
                             progressive=bool(did % 2),
+                            entropy="arith" if did % 4 >= 2 else "huffman",
                         ),
                     }
                 )

@@ -524,11 +524,9 @@ def test_jpeg_golden_spec_vector_decodes():
 
 
 def test_jpeg_unsupported_shapes_raise():
-    """Arithmetic differential-DCT frames (SOF13/14) plus out-of-spec
-    sampling factors raise NotImplementedError — the honest decoder
-    boundary (every Huffman SOF incl. hierarchical SOF5/6/7 plus
-    arithmetic lossless SOF11/SOF15 supported since round 6;
-    arithmetic DCT SOF9/SOF10 since round 5)."""
+    """The full T.81 SOF matrix decodes as of round 6; what remains
+    are STREAM errors (differential frames outside a hierarchy) and
+    out-of-spec shapes (sampling factors, channel counts)."""
     import struct as st
 
     import numpy as np
@@ -539,16 +537,9 @@ def test_jpeg_unsupported_shapes_raise():
     def seg(m, body):
         return st.pack(">HH", m, len(body) + 2) + body
 
-    for sofm in (0xFFCD, 0xFFCE):  # arithmetic differential DCT
-        stream = (
-            b"\xff\xd8"
-            + seg(sofm, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
-            + b"\xff\xd9"
-        )
-        with pytest.raises(NotImplementedError, match="SOF13/14"):
-            _decode_jpeg(stream)
-    # SOF5/SOF7 outside a hierarchical stream: stream error, not a gap
-    for sofm in (0xFFC5, 0xFFC7):
+    # EVERY differential SOF outside a hierarchical stream is a
+    # stream error, not a gap — the full T.81 SOF matrix decodes
+    for sofm in (0xFFC5, 0xFFC6, 0xFFC7, 0xFFCD, 0xFFCE, 0xFFCF):
         bad_diff = (
             b"\xff\xd8"
             + seg(sofm, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
@@ -996,10 +987,9 @@ def test_jpeg_arith_progressive_matches_huffman():
 
 
 def test_jpeg_arith_12bit_and_boundaries():
-    """SOF9 carries 12-bit samples too; the remaining codec boundary
-    (arithmetic differential DCT SOF13/14) still raises. (Arithmetic
-    lossless SOF11 and the Huffman differential frames SOF5/6/7 are
-    SUPPORTED since round 6.)"""
+    """SOF9 carries 12-bit samples too. As of round 6 EVERY T.81 SOF
+    process decodes (0/1/2/3, 5/6/7, 9/10/11, 13/14/15) — differential
+    frames outside a hierarchical stream are stream errors."""
     import struct as st
 
     import numpy as np
@@ -1013,7 +1003,8 @@ def test_jpeg_arith_12bit_and_boundaries():
     as_ = _pixels_to_jpeg(arr, 90, "444", 0, False, 12, "arith")
     assert _decode_jpeg(hs)["payload"] == _decode_jpeg(as_)["payload"]
 
-    # swap the SOF9 marker for SOF13/SOF14: decoder must refuse honestly
+    # swap the SOF9 marker for SOF13/SOF14 (differential frames with
+    # no DHP): a stream error — every SOF process itself is supported
     for bad in (0xCD, 0xCE):
         seq = _pixels_to_jpeg(
             np.zeros((8, 8, 1), np.uint8), 85, "444", 0, False, 8, "arith"
@@ -1021,7 +1012,7 @@ def test_jpeg_arith_12bit_and_boundaries():
         i = seq.find(st.pack(">H", 0xFFC9))
         assert i > 0
         mutated = seq[:i] + st.pack(">H", 0xFF00 | bad) + seq[i + 2:]
-        with pytest.raises(NotImplementedError):
+        with pytest.raises(ValueError, match="differential frame outside"):
             _decode_jpeg(mutated)
 
 
@@ -2251,7 +2242,9 @@ def test_jpeg_hier_dct_stream_errors():
             + seg(0xFFC6, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
             + b"\xff\xd9"
         )
-    with _pt.raises(NotImplementedError, match="SOF13/14"):
+    # SOF13/14 are supported too (in-hierarchy); bare ones are the
+    # same stream error
+    with _pt.raises(ValueError, match="differential frame outside"):
         _decode_jpeg(
             b"\xff\xd8"
             + seg(0xFFCD, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
