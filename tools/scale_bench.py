@@ -172,6 +172,7 @@ def main() -> None:
         "q397_segment_boilerplate",
         "q413_ngram_lm_perplexity",
         "q415_substring_dup_spans",
+        "q434_mixed_media_decode",
     ]
 
     def lane_query(name: str, sf_dir: str):
@@ -184,6 +185,18 @@ def main() -> None:
 
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             return substring_dup_spans(docs, k=20)
+        if name == "q434_mixed_media_decode":
+            # the round-6 codec family's lane: synth + sniff + decode
+            # five container formats over the WHOLE scaled corpus (the
+            # query caps doc_id < 300 against the fixtures) — map-only
+            # by construction, so the lane pins alpha ~ 1
+            from luxo_rs_spark.multimodal.media import (
+                decode_mixed_media,
+                synth_mixed_media_table,
+            )
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            return decode_mixed_media(synth_mixed_media_table(docs))
         return QUERIES[name](spark, sf_dir)
 
     def candidate_frame(name: str, sf_dir: str):
