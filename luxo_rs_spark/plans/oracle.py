@@ -9121,3 +9121,24 @@ SELECT n0, c0, n1, c1,
            > 1.959964, FALSE) AS significant_95
 FROM stat
 """
+
+
+# q436: the bisection's fixed point is the exact k-th order statistic
+# (smallest cent value whose cumulative count reaches 80%); the round
+# count is the deterministic log2 of the initial integer range.
+ORACLE_SQL["q436_sql_scripting_bisection"] = """
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+), n AS (
+  SELECT count(*) AS n, min(c) - 1 AS lo0, max(c) AS hi0 FROM cents
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c) AS rn FROM cents
+), thr AS (
+  SELECT min(c) AS t FROM ranked, n WHERE rn * 5 >= n.n * 4
+)
+SELECT thr.t AS p80_cents,
+       CAST(thr.t AS DOUBLE) / 100.0 AS p80_price,
+       (SELECT count(*) FROM cents WHERE c <= thr.t) AS n_covered,
+       n.n AS n_orders
+FROM thr, n
+"""

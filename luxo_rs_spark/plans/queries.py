@@ -15899,3 +15899,63 @@ def q435_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant_95"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q436 — SQL SCRIPTING (Spark 4 compound statements; §2.2 front-end
+# family next to pipe syntax q373, session variables q375 and
+# parameterized SQL q381): a BEGIN..END script with DECLAREd
+# variables, scalar-subquery SETs, an IF/ELSE branch and a WHILE-loop
+# integer BISECTION converging to the smallest order-price cent
+# threshold covering >= 80% of orders — i.e. the exact k-th order
+# statistic, which the oracle computes directly as
+# min(c | row_number >= ceil(0.8 n)). (The loop's round COUNT is
+# branch-path-dependent and intentionally not an output column.)
+# Scripting executes statement-by-statement inside spark.sql() by its
+# very semantics (each loop iteration is one driver-sequenced scalar
+# aggregate over orders — the documented exception class the SQL-DDL
+# queries q374/q375/q381 already occupy; the per-iteration job is a
+# count on a broadcast-sized table and the loop is log2(range) ~ 26
+# rounds). The returned DataFrame is the script's final SELECT.
+# ---------------------------------------------------------------------------
+@query("q436_sql_scripting_bisection")
+def q436_sql_scripting_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "q436_orders"
+    )
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE n BIGINT;
+          DECLARE lo BIGINT;
+          DECLARE hi BIGINT;
+          DECLARE mid BIGINT;
+          DECLARE cnt BIGINT;
+          DECLARE iters INT = 0;
+          SET n = (SELECT count(*) FROM q436_orders);
+          SET lo = (SELECT min(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FROM q436_orders) - 1;
+          SET hi = (SELECT max(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FROM q436_orders);
+          WHILE lo + 1 < hi DO
+            SET mid = (lo + hi) DIV 2;
+            SET cnt = (SELECT count(*) FROM q436_orders
+                       WHERE CAST(round(o_totalprice * 100) AS BIGINT)
+                             <= mid);
+            IF cnt * 5 >= n * 4 THEN
+              SET hi = mid;
+            ELSE
+              SET lo = mid;
+            END IF;
+            SET iters = iters + 1;
+          END WHILE;
+          SELECT hi AS p80_cents,
+                 CAST(hi AS DOUBLE) / 100.0 AS p80_price,
+                 (SELECT count(*) FROM q436_orders
+                  WHERE CAST(round(o_totalprice * 100) AS BIGINT) <= hi)
+                   AS n_covered,
+                 n AS n_orders;
+        END
+        """
+    )
