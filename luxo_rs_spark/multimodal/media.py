@@ -4096,14 +4096,25 @@ def _riff_list(kind: bytes, body: bytes) -> bytes:
     return _riff_chunk(b"LIST", kind + body)
 
 
-def _frames_to_avi(frames: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
+def _frames_to_avi(
+    frames: list[bytes],
+    w: int,
+    h: int,
+    fps: int = 10,
+    audio: bytes | None = None,
+    audio_rate: int = 8000,
+) -> bytes:
     """Wrap pre-encoded JPEG frames as an MJPEG AVI ('00dc' chunks +
-    idx1 index), per the public AVI RIFF reference."""
+    idx1 index), per the public AVI RIFF reference. With `audio` (raw
+    16-bit mono PCM), a second 'auds' stream is declared and the PCM
+    is interleaved as '01wb' chunks, one per video frame — the classic
+    A/V interleave the format is named for."""
     uspf = 1_000_000 // fps
     maxb = max(len(f) for f in frames) if frames else 0
+    n_streams = 2 if audio is not None else 1
     avih = struct.pack(
-        "<14I", uspf, maxb * fps, 0, 0x10, len(frames), 0, 1, maxb, w, h,
-        0, 0, 0, 0,
+        "<14I", uspf, maxb * fps, 0, 0x10, len(frames), 0, n_streams,
+        maxb, w, h, 0, 0, 0, 0,
     )
     strh = (
         b"vids" + b"MJPG"
@@ -4114,36 +4125,68 @@ def _frames_to_avi(frames: list[bytes], w: int, h: int, fps: int = 10) -> bytes:
     strf = struct.pack(
         "<I2i2H4s5i", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
     )
-    hdrl = _riff_list(
-        b"hdrl",
-        _riff_chunk(b"avih", avih)
-        + _riff_list(
-            b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
-        ),
+    strl = _riff_list(
+        b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
     )
-    movi_items = [_riff_chunk(b"00dc", f) for f in frames]
-    movi = _riff_list(b"movi", b"".join(movi_items))
+    if audio is not None:
+        n_samples = len(audio) // 2
+        strh_a = (
+            b"auds" + b"\0\0\0\0"
+            + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, audio_rate, 0,
+                          n_samples, len(audio), -1, 2)
+            + struct.pack("<4H", 0, 0, 0, 0)
+        )
+        strf_a = struct.pack(
+            "<HHIIHH", 1, 1, audio_rate, audio_rate * 2, 2, 16
+        )
+        strl += _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh_a) + _riff_chunk(b"strf", strf_a),
+        )
+    hdrl = _riff_list(b"hdrl", _riff_chunk(b"avih", avih) + strl)
+    movi_items = []
+    if audio is None:
+        movi_items = [(b"00dc", f) for f in frames]
+    else:
+        # split the PCM into per-frame chunks on 2-byte sample bounds
+        nf = max(1, len(frames))
+        per = (len(audio) // 2 // nf) * 2
+        apos = 0
+        for i, f in enumerate(frames):
+            movi_items.append((b"00dc", f))
+            take = len(audio) - apos if i == nf - 1 else per
+            movi_items.append((b"01wb", audio[apos : apos + take]))
+            apos += take
+    encoded = [_riff_chunk(cid, b) for cid, b in movi_items]
+    movi = _riff_list(b"movi", b"".join(encoded))
     idx = bytearray()
     ofs = 4  # offsets are relative to the start of the 'movi' list data
-    for f, item in zip(frames, movi_items):
-        idx += b"00dc" + struct.pack("<III", 0x10, ofs, len(f))
+    for (cid, b), item in zip(movi_items, encoded):
+        idx += cid + struct.pack("<III", 0x10, ofs, len(b))
         ofs += len(item)
     body = b"AVI " + hdrl + movi + _riff_chunk(b"idx1", bytes(idx))
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _avi_frames(content: bytes) -> tuple[list[bytes], int, int, int]:
-    """Parse an AVI: returns (jpeg frame chunks, width, height, fps).
-    Walks the RIFF tree; frames come from the movi list's 00dc/00db
-    chunks (the idx1 index is advisory and not required)."""
+def _avi_demux(
+    content: bytes,
+) -> tuple[list[bytes], int, int, int, bytes, tuple | None]:
+    """Full A/V demux of an AVI: returns (jpeg frame chunks, width,
+    height, fps, concatenated audio PCM bytes, audio WAVEFORMAT tuple
+    or None). Walks the RIFF tree; frames come from the movi list's
+    00dc/00db chunks, audio from the interleaved 01wb chunks (the
+    idx1 index is advisory and not required)."""
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
     w = h = 0
     fps = 0
     frames: list[bytes] = []
+    audio_chunks: list[bytes] = []
+    audio_fmt: tuple | None = None
+    last_strh_type = b""
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal w, h, fps
+        nonlocal w, h, fps, audio_fmt, last_strh_type
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", buf, pos)
             body_start = pos + 8
@@ -4157,13 +4200,25 @@ def _avi_frames(content: bytes) -> tuple[list[bytes], int, int, int]:
                 )
                 w, h = aw, ah
                 fps = 1_000_000 // uspf if uspf else 0
+            elif cid == b"strh":
+                last_strh_type = buf[body_start : body_start + 4]
+            elif cid == b"strf" and last_strh_type == b"auds":
+                audio_fmt = struct.unpack_from("<HHIIHH", buf, body_start)
             elif cid in (b"00dc", b"00db"):
                 frames.append(buf[body_start : body_start + size])
+            elif cid == b"01wb":
+                audio_chunks.append(buf[body_start : body_start + size])
             pos = body_start + size + (size & 1)
 
     walk(content, 12, len(content))
     if w == 0 or h == 0:
         raise ValueError("AVI missing avih header")
+    return frames, w, h, fps, b"".join(audio_chunks), audio_fmt
+
+
+def _avi_frames(content: bytes) -> tuple[list[bytes], int, int, int]:
+    """Video-only view of :func:`_avi_demux` (the q424 frame path)."""
+    frames, w, h, fps, _audio, _fmt = _avi_demux(content)
     return frames, w, h, fps
 
 
@@ -5673,4 +5728,91 @@ def decode_mixed_media(media: DataFrame) -> DataFrame:
         run,
         "media_id long, format string, width int, height int, "
         "payload_bytes long, payload_md5 string",
+    )
+
+
+def demux_avi_av(media: DataFrame) -> DataFrame:
+    """A/V demux statistics per container: video frame count + exact
+    integer stats of the interleaved PCM audio track (the shape that
+    makes the audio side oracle-checkable, as in q417/q427). One map
+    stage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames, w, h, fps, audio, fmt = _avi_demux(bytes(content))
+                if fmt is None:
+                    raise ValueError("AVI has no audio stream to demux")
+                _tag, _ch, rate, _br, _al, bits = fmt
+                pcm = np.frombuffer(audio, dtype="<i2")
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "n_frames": len(frames),
+                        "width": w,
+                        "height": h,
+                        "sample_rate": int(rate),
+                        "n_samples": len(pcm),
+                        "sample_sum": int(pcm.astype(np.int64).sum()),
+                        "sample_min": int(pcm.min()) if len(pcm) else 0,
+                        "sample_max": int(pcm.max()) if len(pcm) else 0,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, n_frames int, width int, height int, "
+        "sample_rate int, n_samples long, sample_sum long, "
+        "sample_min int, sample_max int",
+    )
+
+
+def synth_avi_av_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """A/V AVI synthesis (q437): doc_id%4+2 lossless-JPEG frames (the
+    q424 rotated tilings) INTERLEAVED with a 16-bit PCM track whose
+    samples derive from the md5 hex ((byte-100)*231, the q427 rule)
+    tiled doc_id%3+1 times."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 11 + 6
+                h = did % 5 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                need = h * w_ * 3
+                frames = []
+                for f in range(did % 4 + 2):
+                    rot = hx[f:] + hx[:f]
+                    arr = np.frombuffer(
+                        (rot * (need // 32 + 1))[:need], dtype=np.uint8
+                    ).reshape(h, w_, 3)
+                    frames.append(
+                        _pixels_to_jpeg_lossless(
+                            arr, predictor=(did + f) % 7 + 1
+                        )
+                    )
+                data = hx * (did % 3 + 1)
+                audio = (
+                    (np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+                     - 100) * 231
+                ).astype("<i2").tobytes()
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _frames_to_avi(
+                            frames, w_, h, fps=10, audio=audio
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
     )

@@ -9142,3 +9142,40 @@ SELECT thr.t AS p80_cents,
        n.n AS n_orders
 FROM thr, n
 """
+
+
+# q437: frame count and geometry are doc_id arithmetic; the PCM track
+# is the q427 hex derivation tiled doc_id%3+1 times -> the same 16-row
+# LUT recomputes its exact integer stats.
+ORACLE_SQL["q437_avi_av_demux"] = """
+WITH lut(ch, v) AS (VALUES
+  ('0', -12012), ('1', -11781), ('2', -11550), ('3', -11319),
+  ('4', -11088), ('5', -10857), ('6', -10626), ('7', -10395),
+  ('8', -10164), ('9', -9933),  ('a', -693),   ('b', -462),
+  ('c', -231),   ('d', 0),      ('e', 231),    ('f', 462)
+), t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames,
+         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h,
+         CAST(doc_id % 3 + 1 AS INTEGER) AS reps
+  FROM documents WHERE doc_id < 300
+), per_char AS (
+  SELECT doc_id, reps, substring(hx, CAST(i AS INTEGER), 1) AS ch
+  FROM t, unnest(range(1, 33)) AS u(i)
+), agg AS (
+  SELECT p.doc_id, max(p.reps) AS reps,
+         sum(lut.v) AS s, min(lut.v) AS mn, max(lut.v) AS mx
+  FROM per_char p JOIN lut ON p.ch = lut.ch
+  GROUP BY p.doc_id
+)
+SELECT t.doc_id AS media_id,
+       t.n_frames, t.w AS width, t.h AS height,
+       8000 AS sample_rate,
+       CAST(32 * agg.reps AS BIGINT) AS n_samples,
+       CAST(agg.s * agg.reps AS BIGINT) AS sample_sum,
+       CAST(agg.mn AS INTEGER) AS sample_min,
+       CAST(agg.mx AS INTEGER) AS sample_max
+FROM t JOIN agg ON t.doc_id = agg.doc_id
+ORDER BY media_id
+"""

@@ -15959,3 +15959,24 @@ def q436_sql_scripting_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q437 — AVI A/V DEMUX (§2.2-K multimodal; completes the video
+# container story): real interleaved audio+video — lossless-JPEG
+# frames plus a 16-bit PCM 'auds' stream split into per-frame '01wb'
+# chunks (the interleave AVI is named for). The demux walks the RIFF
+# tree, reassembles the PCM from the interleaved chunks, and reports
+# frame count + exact integer audio statistics; the oracle recomputes
+# the audio stats from the q427 hex LUT and the frame count from
+# doc_id. One map stage, zero shuffle before the orderBy.
+# ---------------------------------------------------------------------------
+@query("q437_avi_av_demux")
+def q437_avi_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        demux_avi_av,
+        synth_avi_av_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return demux_avi_av(synth_avi_av_table(docs)).orderBy("media_id")

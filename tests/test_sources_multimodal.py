@@ -2422,3 +2422,63 @@ def test_jpeg_hier_dct_progressive_sof6():
     assert b"\xff\xc5" in seq and b"\xff\xc6" in prog
     ds, dp = _decode_payload(seq), _decode_payload(prog)
     assert ds["payload"] == dp["payload"] == arr.tobytes()
+
+
+def test_avi_av_interleave_demux():
+    """Audio+video AVI: the PCM reassembles exactly from the per-frame
+    '01wb' chunks (odd sample counts included), the audio strf carries
+    the PCM format, and the video path is unaffected."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _avi_demux,
+        _avi_frames,
+        _decode_payload,
+        _frames_to_avi,
+        _pixels_to_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(50)
+    px = [rng.integers(0, 256, (6, 9, 3), dtype=np.uint8) for _ in range(4)]
+    frames = [_pixels_to_jpeg_lossless(a) for a in px]
+    pcm = rng.integers(-30000, 30000, 997).astype("<i2")  # odd count
+    avi = _frames_to_avi(frames, 9, 6, fps=10, audio=pcm.tobytes())
+    fr, w, h, fps, audio, fmt = _avi_demux(avi)
+    assert (len(fr), w, h, fps) == (4, 9, 6, 10)
+    assert np.frombuffer(audio, dtype="<i2").tolist() == pcm.tolist()
+    assert (fmt[0], fmt[1], fmt[2], fmt[5]) == (1, 1, 8000, 16)
+    for f, p in zip(fr, px):
+        assert _decode_payload(f)["payload"] == p.tobytes()
+    assert len(_avi_frames(avi)[0]) == 4
+    # audio-less AVIs still parse; demuxing them is an error
+    import pytest as _pt
+
+    from luxo_rs_spark.multimodal.media import demux_avi_av  # noqa: F401
+
+    _, _, _, _, a2, f2 = _avi_demux(_frames_to_avi(frames, 9, 6))
+    assert a2 == b"" and f2 is None
+
+
+def test_avi_av_demux_spark(spark):
+    """q437 end-to-end on a fixture slice."""
+    import hashlib
+
+    from luxo_rs_spark.multimodal.media import (
+        demux_avi_av,
+        synth_avi_av_table,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 8)
+    got = {
+        r.media_id: r
+        for r in demux_avi_av(synth_avi_av_table(docs)).collect()
+    }
+    for row in docs.collect():
+        did = row.doc_id
+        hx = hashlib.md5(row.text.encode()).hexdigest()
+        reps = did % 3 + 1
+        vals = [(ord(c) - 100) * 231 for c in hx]
+        r = got[did]
+        assert r.n_frames == did % 4 + 2
+        assert (r.n_samples, r.sample_sum) == (32 * reps, sum(vals) * reps)
+        assert (r.sample_min, r.sample_max) == (min(vals), max(vals))
