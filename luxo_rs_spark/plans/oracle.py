@@ -9179,3 +9179,29 @@ SELECT t.doc_id AS media_id,
 FROM t JOIN agg ON t.doc_id = agg.doc_id
 ORDER BY media_id
 """
+
+
+# q438: identical sweep-line; the (t, d) ordering with ends first
+# makes the running-sum maximum order-invariant within equal keys.
+ORACLE_SQL["q438_peak_concurrency"] = """
+WITH spans AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id,
+         min(epoch(ts)) AS t0, max(epoch(ts)) AS t1
+  FROM events GROUP BY 1, 2
+), deltas AS (
+  SELECT day, t0 AS t, 1 AS d FROM spans
+  UNION ALL
+  SELECT day, t1 + 1 AS t, -1 AS d FROM spans
+), curve AS (
+  SELECT day,
+         sum(d) OVER (PARTITION BY day ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS live
+  FROM deltas
+)
+SELECT day,
+       CAST(max(live) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) / 2 AS BIGINT) AS n_users
+FROM curve
+GROUP BY day
+ORDER BY day
+"""

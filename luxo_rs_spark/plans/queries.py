@@ -15980,3 +15980,45 @@ def q437_avi_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return demux_avi_av(synth_avi_av_table(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q438 — peak concurrent users per day (§2.2-E/K; the sweep-line
+# interval-overlap classic every ops dashboard needs): each user's
+# daily activity span becomes a +1 (start) / -1 (end) event pair, the
+# running sum over the day's ordered events is the live concurrency
+# curve, and its max is the day's peak. The window partitions by day
+# (the plan-sweep invariant) and orders by (ts, delta) with ends
+# before starts at the same instant — touching intervals don't
+# overlap, and the per-run maximum of the prefix sum is invariant to
+# the order within equal keys, so the result is engine-independent.
+# ---------------------------------------------------------------------------
+@query("q438_peak_concurrency")
+def q438_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spans = (
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+            F.col("ts").cast("long").alias("sec"),
+        )
+        .groupBy("day", "user_id")
+        .agg(F.min("sec").alias("t0"), F.max("sec").alias("t1"))
+    )
+    deltas = spans.select(
+        "day", F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        spans.select(
+            "day", (F.col("t1") + 1).alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    w = Window.partitionBy("day").orderBy("t", "d")
+    return (
+        deltas.withColumn("live", F.sum("d").over(w))
+        .groupBy("day")
+        .agg(
+            F.max("live").cast("bigint").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_users"),
+        )
+        .orderBy("day")
+    )
