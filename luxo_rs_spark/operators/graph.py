@@ -116,6 +116,7 @@ def pagerank_fixedpoint(
     scale: int = 10**15,
     assume_no_dangling: bool = False,
     checkpoint: bool = True,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """PageRank in EXACT integer fixed-point arithmetic: (node, r) with
     r in units of 1/``scale``, after ``iters`` power iterations with
@@ -150,6 +151,13 @@ def pagerank_fixedpoint(
     src-keyed equi-join over the (pre-bucketable) weighted edge table +
     one dst-keyed integer groupBy-sum; the shuffled payload is three
     longs per edge.
+
+    ``assume_symmetric=True`` declares that every node appears as BOTH
+    a src and a dst (true for any undirected graph materialized in both
+    directions, the q275/q376 co-purchase shape). Then the per-round
+    gather already covers every node, so the nodes-left-join that
+    re-attaches zero-in-link nodes is skipped — one fewer shuffle join
+    per iteration, same exact-integer result (round-6 verdict item 6).
     """
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -194,7 +202,11 @@ def pagerank_fixedpoint(
                 F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("__dm")
             )
             gather = "coalesce(__g, CAST(0 AS BIGINT)) + (__dm div __n)"
-        ranks = nodes.join(contribs, "node", "left")
+        if assume_symmetric:
+            # every node gathers from >=1 in-edge: contribs IS the node set
+            ranks = contribs
+        else:
+            ranks = nodes.join(contribs, "node", "left")
         if not assume_no_dangling:
             ranks = ranks.crossJoin(F.broadcast(dangling))
         ranks = ranks.crossJoin(F.broadcast(n)).select(

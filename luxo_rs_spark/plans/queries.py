@@ -13301,17 +13301,31 @@ def q376_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("s"))
         .filter(F.col("s") >= 2)
     )
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
-                F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        # the co-purchase self-join is the expensive subtree; checkpoint
+        # it ONCE so neither the node-set derivation nor the per-round
+        # scatter re-derives it (round-6 verdict item 6: lineage
+        # truncation cut q376 from ~7 s to ~4 s at sf0.1)
+        .localCheckpoint(eager=True)
+    )
     return (
         pagerank_fixedpoint(
-            edges, iters=6, assume_no_dangling=True, checkpoint=False
+            edges,
+            iters=6,
+            assume_no_dangling=True,
+            checkpoint=True,
+            # both directions of every undirected edge are materialized,
+            # so each node has in-links: the gather covers the node set
+            assume_symmetric=True,
         )
         .select(
             F.col("node").alias("part_id"),
