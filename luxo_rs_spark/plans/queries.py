@@ -15938,20 +15938,58 @@ def q436_sql_scripting_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "orders").createOrReplaceTempView(
         "q436_orders"
     )
+    # Round-6 verdict item 7: the naive [min-1, max] bracket costs
+    # ~26 bisection scans (log2 of the full cents range). One
+    # percentile_approx pass (accuracy 1e6, probes 0.8 +/- 1e-5 —
+    # probe offset 10x the sketch's rank-error bound, so the bracket
+    # is correct whenever the sketch honors its contract) narrows the
+    # bracket to the value spread of ~2e-5*n ranks; one conditional-
+    # aggregation scan then VERIFIES both ends and falls back to the
+    # global min/max side if the sketch ever mis-brackets — the WHILE
+    # loop's exact-count invariant never rests on the approximation.
+    # ~13 scans total at sf0.1, bit-identical result.
     return spark.sql(
         """
         BEGIN
           DECLARE n BIGINT;
+          DECLARE gmin BIGINT;
+          DECLARE gmax BIGINT;
+          DECLARE plo BIGINT;
+          DECLARE phi BIGINT;
+          DECLARE clo BIGINT;
+          DECLARE chi BIGINT;
           DECLARE lo BIGINT;
           DECLARE hi BIGINT;
           DECLARE mid BIGINT;
           DECLARE cnt BIGINT;
           DECLARE iters INT = 0;
-          SET n = (SELECT count(*) FROM q436_orders);
-          SET lo = (SELECT min(CAST(round(o_totalprice * 100) AS BIGINT))
-                    FROM q436_orders) - 1;
-          SET hi = (SELECT max(CAST(round(o_totalprice * 100) AS BIGINT))
-                    FROM q436_orders);
+          SET (n, gmin, gmax, plo, phi) =
+            (SELECT count(*),
+                    min(CAST(round(o_totalprice * 100) AS BIGINT)),
+                    max(CAST(round(o_totalprice * 100) AS BIGINT)),
+                    CAST(percentile_approx(
+                      CAST(round(o_totalprice * 100) AS BIGINT),
+                      0.79999, 1000000) AS BIGINT),
+                    CAST(percentile_approx(
+                      CAST(round(o_totalprice * 100) AS BIGINT),
+                      0.80001, 1000000) AS BIGINT)
+             FROM q436_orders);
+          SET (clo, chi) =
+            (SELECT count_if(CAST(round(o_totalprice * 100) AS BIGINT)
+                             <= plo - 1),
+                    count_if(CAST(round(o_totalprice * 100) AS BIGINT)
+                             <= phi)
+             FROM q436_orders);
+          IF clo * 5 < n * 4 THEN
+            SET lo = plo - 1;
+          ELSE
+            SET lo = gmin - 1;
+          END IF;
+          IF chi * 5 >= n * 4 THEN
+            SET hi = phi;
+          ELSE
+            SET hi = gmax;
+          END IF;
           WHILE lo + 1 < hi DO
             SET mid = (lo + hi) DIV 2;
             SET cnt = (SELECT count(*) FROM q436_orders
