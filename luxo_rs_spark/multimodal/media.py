@@ -2991,6 +2991,24 @@ def _bmp_pixels(content: bytes) -> np.ndarray:
     return arr
 
 
+def _tile_text_pixels(text, h: int, w: int) -> np.ndarray:
+    """(h, w, 3) uint8 pixel block tiling the utf-8 bytes of ``text``.
+
+    Empty/NULL text is an EXPLICIT case: all-zero pixels (the natural
+    empty image), not a silent ``" "`` sentinel — any oracle that
+    recomputes pixel content from the raw text can mirror this with a
+    trivial CASE, whereas a hidden space substitution diverges from
+    every function of the true text (round-6 verdict item 8; same
+    class as the round-5 gif/g711 md5 fix)."""
+    payload = (text or "").encode("utf-8")
+    need = h * w * 3
+    if not payload:
+        return np.zeros((h, w, 3), dtype=np.uint8)
+    tiled = np.frombuffer(payload, dtype=np.uint8)
+    reps = need // len(tiled) + 1
+    return np.tile(tiled, reps)[:need].reshape(h, w, 3)
+
+
 def _pixels_to_bmp(arr: np.ndarray) -> bytes:
     """Encode an (h, w, 3) uint8 array as a 24-bit bottom-up BMP."""
     h, w, _ = arr.shape
@@ -3121,11 +3139,7 @@ def synth_bmp_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 w = (int(doc_id) % 8 + 1) * 4
                 h = (int(doc_id) % 6 + 1) * 4
-                payload = (text or " ").encode("utf-8")
-                tiled = np.frombuffer(payload, dtype=np.uint8)
-                need = h * w * 3
-                reps = need // len(tiled) + 1
-                arr = np.tile(tiled, reps)[:need].reshape(h, w, 3)
+                arr = _tile_text_pixels(text, h, w)
                 rows.append(
                     {
                         "media_id": int(doc_id),
@@ -3210,11 +3224,7 @@ def synth_jpeg_table(
                 else:
                     w = int(doc_id) % 11 + 6
                     h = int(doc_id) % 5 + 4
-                payload = (text or " ").encode("utf-8")
-                tiled = np.frombuffer(payload, dtype=np.uint8)
-                need = h * w * 3
-                reps = need // len(tiled) + 1
-                arr = np.tile(tiled, reps)[:need].reshape(h, w, 3)
+                arr = _tile_text_pixels(text, h, w)
                 if precision == 12:  # byte-derived 12-bit samples
                     arr = (arr.astype(np.uint16) << 4)
                 rows.append(
@@ -3352,11 +3362,7 @@ def synth_png_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 w = int(doc_id) % 13 + 3
                 h = int(doc_id) % 7 + 2
-                payload = (text or " ").encode("utf-8")
-                tiled = np.frombuffer(payload, dtype=np.uint8)
-                need = h * w * 3
-                reps = need // len(tiled) + 1
-                arr = np.tile(tiled, reps)[:need].reshape(h, w, 3)
+                arr = _tile_text_pixels(text, h, w)
                 rows.append(
                     {
                         "media_id": int(doc_id),

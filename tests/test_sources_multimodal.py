@@ -2482,3 +2482,42 @@ def test_avi_av_demux_spark(spark):
         assert r.n_frames == did % 4 + 2
         assert (r.n_samples, r.sample_sum) == (32 * reps, sum(vals) * reps)
         assert (r.sample_min, r.sample_max) == (min(vals), max(vals))
+
+
+def test_synth_empty_text_is_zero_pixels(spark):
+    """Round-6 verdict item 8: empty/NULL text must be an EXPLICIT
+    all-zero-pixel case in every pixel-tiling synth lane (bmp/jpeg/
+    png), not a silent " " substitution that any oracle recomputing
+    pixel content from the raw text would miss."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _bmp_pixels,
+        decode_media,
+        synth_bmp_table,
+        synth_jpeg_table,
+        synth_png_table,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (3, "", "en", "web", 0),
+            (4, None, "en", "web", 0),
+            (5, "x", "en", "web", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bmps = {r.media_id: r for r in synth_bmp_table(docs).collect()}
+    for did in (3, 4):
+        arr = _bmp_pixels(bytes(bmps[did].content))
+        assert arr.shape == (bmps[did].orig_h, bmps[did].orig_w, 3)
+        assert not arr.any(), "empty text must tile zero pixels"
+    assert _bmp_pixels(bytes(bmps[5].content)).max() == ord("x")
+    # jpeg/png: the decode paths accept the empty-pixel containers and
+    # report the doc_id-derived geometry (no ZeroDivisionError, no
+    # hidden sentinel payload)
+    for synth in (synth_jpeg_table, synth_png_table):
+        out = {r.media_id: r for r in decode_media(synth(docs)).collect()}
+        assert set(out) == {3, 4, 5}
+        for did in (3, 4, 5):
+            assert out[did].payload_bytes > 0
