@@ -9033,6 +9033,7 @@ ORDER BY brand
 # mangled form gains one char per continuation byte: 2*1 + 2*2 = 6).
 ORACLE_SQL["q433_mojibake_repair"] = """
 SELECT doc_id,
+       CAST(doc_id % 2 AS INTEGER) AS lane,
        CAST(4 AS INTEGER) AS n_markers,
        CAST(6 AS INTEGER) AS bloat,
        md5(text || ' — café naïve…') AS repaired_md5,

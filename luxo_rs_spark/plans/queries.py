@@ -15797,16 +15797,40 @@ def q432_roaring_bitmaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q433_mojibake_repair")
 def q433_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UTF-8 mojibake repair covering BOTH real-web decoder flavors
+    (round-6 verdict item 2): lanes cycle by doc_id%2 between strict
+    ISO-8859-1 mangling and Windows-1252 mangling — CP1252 is the
+    dominant real case (0x80 '€', 0x91–0x97 smart quotes/dashes map to
+    punctuation glyphs, not C1 controls). The CP1252 delta vs Latin-1
+    is exactly the 27 defined bytes of 0x80–0x9F, expressed as a
+    1:1 ``translate`` (the 5 undefined bytes pass through as C1 chars,
+    the "sloppy cp1252" convention real repair tools use). Because
+    every CP1252-only glyph lies OUTSIDE Latin-1, ONE repair chain —
+    translate(glyphs→C1) ∘ encode latin1 ∘ decode utf8 — inverts both
+    manglings (the translate is a no-op on Latin-1 mojibake), all
+    UDF-free Column algebra."""
+    cp_bytes = [
+        b for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    ]
+    c1 = "".join(chr(b) for b in cp_bytes)
+    glyphs = bytes(cp_bytes).decode("cp1252")
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    lane = (F.col("doc_id") % 2).cast("int")
     original = F.concat(F.col("text"), F.lit(" — café naïve…"))
-    mangled = F.decode(F.encode(original, "UTF-8"), "ISO-8859-1")
-    repaired = F.decode(F.encode(mangled, "ISO-8859-1"), "UTF-8")
+    latin1_mangled = F.decode(F.encode(original, "UTF-8"), "ISO-8859-1")
+    mangled = F.when(lane == 0, latin1_mangled).otherwise(
+        F.translate(latin1_mangled, c1, glyphs)
+    )
+    repaired = F.decode(
+        F.encode(F.translate(mangled, glyphs, c1), "ISO-8859-1"), "UTF-8"
+    )
     markers = (
         F.length(mangled)
         - F.length(F.regexp_replace(mangled, "[Ãâ]", ""))
     ).cast("int")
     return docs.select(
         "doc_id",
+        lane.alias("lane"),
         markers.alias("n_markers"),
         (F.length(mangled) - F.length(original)).cast("int").alias("bloat"),
         F.md5(repaired).alias("repaired_md5"),

@@ -252,3 +252,36 @@ def test_q429_seasonal_decomposition_invariants(spark):
     total = sum(r.sum_detrended24 for r in rows)
     gross = sum(abs(r.sum_detrended24) for r in rows)
     assert gross == 0 or abs(total) <= gross
+
+
+def test_mojibake_repair_inverts_cp1252_and_latin1(spark):
+    """q433's universal repair chain must invert BOTH mangling flavors
+    (round-6 verdict item 2): strict Latin-1 AND Windows-1252, on text
+    exercising the CP1252-only zone — the Euro sign (0x80), smart
+    quotes/dashes (0x91-0x97), and a char whose UTF-8 contains one of
+    the five CP1252-UNDEFINED bytes (U+034D -> CD 8D), which must pass
+    through as a C1 char under the sloppy-cp1252 convention."""
+    cp_bytes = [
+        b for b in range(0x80, 0xA0) if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+    ]
+    c1 = "".join(chr(b) for b in cp_bytes)
+    glyphs = bytes(cp_bytes).decode("cp1252")
+    texts = [
+        "price: €42 — “smart” ‘quotes’ … naïve café",
+        "combining͍grapheme and ™Š›œžŸ soup",
+        "plain ascii stays plain ascii",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    latin1 = F.decode(F.encode("t", "UTF-8"), "ISO-8859-1")
+    for mangled in (latin1, F.translate(latin1, c1, glyphs)):
+        repaired = F.decode(
+            F.encode(F.translate(mangled, glyphs, c1), "ISO-8859-1"), "UTF-8"
+        )
+        rows = df.select("i", "t", repaired.alias("r")).collect()
+        for r in rows:
+            assert r.r == r.t, f"roundtrip failed for {r.t!r}"
+    # the python-side mangle agrees with real cp1252 decoding of the
+    # defined bytes: sanity-pin the translate tables themselves
+    assert len(c1) == len(glyphs) == 27
+    assert glyphs[0] == "€" and c1[0] == "\x80"
