@@ -1024,3 +1024,129 @@ def ivf_partition_pruned_probe(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF + ADC index (round-7): the q430 posting-list layout
+# carrying q278's grid-quantized codes NEXT TO the raw vectors. The
+# pruned ANN probe then reads (vec_id, codes) ONLY — partition pruning
+# picks the n_probe cluster directories and parquet COLUMN pruning
+# skips the float vectors entirely — and re-ranks just the ADC
+# shortlist against raw vectors read from the same pruned partitions.
+# This is the actual 100 TB ANN layout (Jegou et al., TPAMI 2011, the
+# IVFADC system shape): probe I/O = n_probe/n_centroids of the CODES
+# bytes (~8x smaller than the vectors), + shortlist-sized vector reads.
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_adc_index(
+    emb: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    n_codes: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF+ADC index: (id, vector, codes) PARTITIONED BY
+    nearest-centroid cluster, plus a one-row ``_adc_meta`` parquet
+    (underscore-prefixed: invisible to partition discovery) holding the
+    global quantization grid. Codes are the q278 uniform scalar grid
+    per component — ``min(n_codes-1, floor((x-lo)/(hi-lo)*n_codes))`` —
+    stored center-shifted by 128 as TINYINT so each component is one
+    logical byte on disk. All Column arithmetic (exact IEEE doubles,
+    same op order as the sequential oracle recompute)."""
+    spark = emb.sparkSession
+    staged = emb.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__e")
+    )
+    lo, hi = staged.agg(
+        F.min(F.array_min("__e")), F.max(F.array_max("__e"))
+    ).head()
+    assigned = ivf_assign(emb, centroids, vec_col)
+    code = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: (
+            F.least(
+                F.lit(n_codes - 1),
+                F.floor((x - F.lit(lo)) / F.lit(hi - lo) * n_codes),
+            )
+            - 128
+        ).cast("byte"),
+    )
+    (
+        assigned.select(
+            id_col, vec_col, code.alias("codes"), "ivf_cluster"
+        )
+        .repartition("ivf_cluster")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(path)
+    )
+    spark.createDataFrame(
+        [(float(lo), float(hi), n_codes)], "lo double, hi double, n_codes int"
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_adc_meta")
+
+
+def ivf_adc_pruned_probe(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    query_vec: np.ndarray,
+    n_probe: int = 4,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k against the persisted IVF+ADC index, two pruned scans:
+
+    1. ADC stage — scan ``(vec_id, codes)`` of the n_probe nearest
+       cluster directories (PartitionFilters + ReadSchema WITHOUT the
+       vector column, both plan-asserted in tests/test_plans.py),
+       reconstruct each component from its code against the broadcast
+       query literal with one zip_with/aggregate fold, keep the
+       ``shortlist`` smallest squared distances.
+    2. Re-rank stage — read the RAW vectors of the same pruned
+       partitions, broadcast-semi-join the shortlist ids, exact cosine,
+       top-k. Vector bytes read scale with n_probe/n_centroids, and
+       only shortlist rows reach the cosine."""
+    meta = spark.read.parquet(index_path + "/_adc_meta").head()
+    lo, hi, n_codes = meta.lo, meta.hi, meta.n_codes
+    width = (hi - lo) / n_codes
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(centroids @ qn))[:n_probe]]
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    recon = lambda c: F.lit(lo) + (  # noqa: E731
+        (c.cast("double") + F.lit(128.0)) + F.lit(0.5)
+    ) * F.lit(width)
+    adc = F.aggregate(
+        F.zip_with("codes", qlit, lambda c, qi: F.pow(qi - recon(c), 2)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    codes_scan = spark.read.parquet(index_path).select(
+        id_col, "codes", "ivf_cluster"
+    ).filter(F.col("ivf_cluster").isin(probes))
+    if exclude_id is not None:
+        codes_scan = codes_scan.filter(F.col(id_col) != exclude_id)
+    short = (
+        codes_scan.withColumn("__adc", adc)
+        .orderBy(F.col("__adc").asc(), F.col(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    rerank_scan = spark.read.parquet(index_path).select(
+        id_col, vec_col, "ivf_cluster"
+    ).filter(F.col("ivf_cluster").isin(probes))
+    return (
+        rerank_scan.join(F.broadcast(short), id_col)
+        .select(
+            id_col,
+            F.col("ivf_cluster").cast("int").alias("ivf_cluster"),
+            cosine(F.col(vec_col).cast("array<double>"), qlit).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

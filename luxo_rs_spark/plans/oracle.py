@@ -7989,6 +7989,7 @@ ORDER BY da, db
 
     b361, b36, b64, b278, b237, b288, b396 = [], [], [], [], [], [], []
     b430: list = []
+    b439: list = []
     seen_keys: set = set()
     for d in sf_dirs:
         p = os.path.join(d, "embeddings.parquet")
@@ -8115,6 +8116,37 @@ ORDER BY da, db
         ]
         scored.sort(key=lambda kv: (-kv[1], kv[0]))
         b278.append((key, scored[:5]))
+
+        # q439 — persisted IVF+ADC probe of vec 3: SAME centroids and
+        # global [lo, hi] grid, 256 codes stored center-shifted as
+        # TINYINT (c = code-128), ADC fold in the probe's exact op
+        # order (recon = lo + ((c+128)+0.5)*width, dv*dv, left fold),
+        # shortlist 32 by (adc, id), exact-cosine top-8 re-rank with
+        # the assigned cluster id
+        t3 = idx_of[3]
+        q3 = vecs[t3]
+        qn3 = mat[t3] / max(np.linalg.norm(mat[t3]), 1e-12)
+        probes3 = {int(c) for c in np.argsort(-(cent @ qn3))[:4]}
+        width256 = (hi - lo) / 256
+        adcs439 = []
+        for i in range(nvec):
+            if int(assign[i]) not in probes3 or ids[i] == 3:
+                continue
+            acc = 0.0
+            for x, qi in zip(vecs[i], q3):
+                c_st = min(255, math.floor((x - lo) / (hi - lo) * 256)) - 128
+                recon = lo + ((c_st + 128.0) + 0.5) * width256
+                dv = qi - recon
+                acc = acc + dv * dv
+            adcs439.append((acc, ids[i]))
+        short439 = {vid for _a, vid in sorted(adcs439)[:32]}
+        scored439 = [
+            (ids[i], int(assign[i]), _seq_cos(vecs[i], q3))
+            for i in range(nvec)
+            if ids[i] in short439
+        ]
+        scored439.sort(key=lambda kv: (-kv[2], kv[0]))
+        b439.append((key, scored439[:8]))
 
         # q237 — banded-LSH near-dup pairs at threshold 0.45 with the
         # corpus-adaptive band derivation (same formula, same seed)
@@ -8244,6 +8276,23 @@ ORDER BY sim DESC, vec_id"""
             for vid, cl, sim in top
         ]
         ORACLE_SQL["q430_ivf_pruned_probe"] = _corpus_sql(
+            "n, s, c, vec_id, ivf_cluster, sim",
+            vals,
+            """SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       CAST(v.ivf_cluster AS INTEGER) AS ivf_cluster,
+       round(v.sim, 4) AS sim
+FROM vals v, corp x
+WHERE v.n = x.n AND v.s = x.s AND v.c = x.c
+ORDER BY sim DESC, vec_id""",
+        )
+
+    if b439:
+        vals = [
+            f"({n}, {s}, {c}, {vid}, {cl}, {sim!r})"
+            for (n, s, c), top in b439
+            for vid, cl, sim in top
+        ]
+        ORACLE_SQL["q439_ivf_adc_pruned_probe"] = _corpus_sql(
             "n, s, c, vec_id, ivf_cluster, sim",
             vals,
             """SELECT CAST(v.vec_id AS BIGINT) AS vec_id,

@@ -16098,3 +16098,37 @@ def q438_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q439 — persisted IVF+ADC index probe (§2.2-K similarity; round-7
+# capstone of the ANN family): q430's partitioned posting-list layout
+# now stores q278's grid-quantized codes NEXT TO the raw vectors, so
+# the pruned probe's ADC stage reads (vec_id, codes) of the n_probe
+# cluster directories ONLY — partition pruning on the directory column
+# AND parquet column pruning past the float vectors — and the exact
+# cosine re-rank touches raw vectors for just the ADC shortlist (both
+# plan-asserted in tests/test_plans.py). Fully oracle-checked: the
+# centroids, grid codes, ADC fold, shortlist cut and re-rank are all
+# deterministic seeded arithmetic the oracle recomputes per corpus.
+# ---------------------------------------------------------------------------
+@query("q439_ivf_adc_pruned_probe")
+def q439_ivf_adc_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from luxo_rs_spark.operators.similarity import (
+        ivf_adc_pruned_probe,
+        kmeans_centroids,
+        write_ivf_adc_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, n_centroids=16, seed=42)
+    path = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "ivf_adc_index"
+    )
+    write_ivf_adc_index(emb, path, cent, n_codes=256)
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    return ivf_adc_pruned_probe(
+        spark, path, cent, qvec, n_probe=4, k=8, shortlist=32, exclude_id=3
+    ).select("vec_id", "ivf_cluster", F.round("sim", 4).alias("sim"))

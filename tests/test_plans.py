@@ -595,3 +595,62 @@ def test_q430_ivf_probe_partition_pruned(spark):
     assert idx_scan, "IVF index scan missing from plan"
     part = idx_scan[0].split("PartitionFilters: [")[1].split("ReadSchema")[0]
     assert "ivf_cluster" in part and part.strip() != "],"
+
+
+def test_q439_ivf_adc_probe_pruned_and_codes_only(spark):
+    """The persisted IVF+ADC probe must (a) reach BOTH index scans with
+    PartitionFilters on ivf_cluster — directory pruning, the q430
+    contract — and (b) read ONLY (vec_id, codes) in the ADC stage:
+    parquet column pruning past the float vectors is the bytes-read
+    economy the layout exists for. Plus a filesystem economy check:
+    the probed cluster directories hold well under the whole index."""
+    import os
+
+    plan = plan_of(spark, "q439_ivf_adc_pruned_probe")
+    idx_scans = [
+        seg
+        for seg in plan.split("FileScan parquet")
+        if "ivf_adc_index" in seg.split("ReadSchema")[0]
+        and "_adc_meta" not in seg.split("ReadSchema")[0]
+    ]
+    assert len(idx_scans) == 2, f"expected 2 index scans, plan:\n{plan}"
+    codes_scans = 0
+    for seg in idx_scans:
+        part = seg.split("PartitionFilters: [")[1].split("ReadSchema")[0]
+        assert "ivf_cluster" in part and part.strip() != "],"
+        schema = seg.split("ReadSchema: ")[1].splitlines()[0]
+        if "codes" in schema:
+            codes_scans += 1
+            assert "embedding" not in schema, (
+                "ADC scan must column-prune the raw vectors: " + schema
+            )
+        else:
+            assert "embedding" in schema  # the re-rank scan
+    assert codes_scans == 1, plan
+    # filesystem economy: 4 probed clusters of 16 -> the pruned bytes
+    # are a strict minority of the index even before column pruning
+    root = os.path.join(
+        "/tmp/luxo_rs_spark_sink",
+        os.path.basename(SF_DIR.rstrip("/")),
+        "ivf_adc_index",
+    )
+    sizes = {}
+    for d in os.listdir(root):
+        if not d.startswith("ivf_cluster="):
+            continue
+        sizes[d] = sum(
+            os.path.getsize(os.path.join(root, d, f))
+            for f in os.listdir(os.path.join(root, d))
+            if not f.startswith((".", "_"))
+        )
+    assert len(sizes) > 4
+    probed = [
+        seg for seg in plan.split("PartitionFilters: [")[1:]
+    ][0].split("]")[0]
+    import re
+
+    probe_ids = set(re.findall(r"\b(\d+)\b", probed))
+    probed_bytes = sum(
+        v for d, v in sizes.items() if d.split("=")[1] in probe_ids
+    )
+    assert probed_bytes < sum(sizes.values()) / 2

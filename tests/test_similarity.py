@@ -416,3 +416,52 @@ def test_ivf_pruned_probe_matches_inline_ivf(spark, tmp_path):
     q /= max(np.linalg.norm(q), 1e-12)
     probes = set(np.argsort(-(cent @ q))[:4].tolist())
     assert {r.ivf_cluster for r in got} <= probes
+
+
+def test_ivf_adc_pruned_probe_matches_inline_adc(spark, tmp_path):
+    """The persisted IVF+ADC probe returns exactly the inline
+    ivf_adc_topk result when the grid/probe/shortlist params line up —
+    storing codes next to the vectors is a layout change, not a
+    semantics change — and its shortlist really is code-driven: the
+    codes roundtrip c -> (c+128) reconstructs q278's raw grid code."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.operators.similarity import (
+        ivf_adc_pruned_probe,
+        ivf_adc_topk,
+        kmeans_centroids,
+        write_ivf_adc_index,
+    )
+    from luxo_rs_spark.sources.registry import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cent = kmeans_centroids(emb, n_centroids=16, seed=42)
+    path = str(tmp_path / "ivf_adc_idx")
+    # n_codes=16 so the inline ivf_adc_topk (fixed 16-code grid) is a
+    # directly comparable reference
+    write_ivf_adc_index(emb, path, cent, n_codes=16)
+    qvec = emb.filter(F.col("vec_id") == 1).select("embedding").head()[0]
+    got = ivf_adc_pruned_probe(
+        spark, path, cent, qvec, n_probe=4, k=5, shortlist=32, exclude_id=1
+    ).collect()
+    want = ivf_adc_topk(
+        emb, target_id=1, k=5, n_centroids=16, n_probe=4,
+        n_codes=16, shortlist=32,
+    ).collect()
+    assert [(r.vec_id, round(r.sim, 9)) for r in got] == [
+        (r.vec_id, round(r.sim, 9)) for r in want
+    ]
+    # stored codes are the center-shifted q278 grid codes
+    row = spark.read.parquet(path).filter(F.col("vec_id") == 1).head()
+    meta = spark.read.parquet(path + "/_adc_meta").head()
+    vec = np.asarray(row.embedding, dtype=np.float64)
+    import math
+
+    want_codes = [
+        min(15, math.floor((x - meta.lo) / (meta.hi - meta.lo) * 16)) - 128
+        for x in vec
+    ]
+    assert list(row.codes) == want_codes
