@@ -3424,11 +3424,15 @@ def synth_jpeg_lossless_table(
 # — MSB-first bit packing, 9-bit start, EARLY code-width change at
 # table size 2^w - 1, Clear at 4094: the convention that differs from
 # GIF's count-codes rule), Predictor 2 (horizontal differencing, spec
-# §14), PhotometricInterpretation 1 (BlackIsZero gray, expanded to RGB
-# on decode) and 2 (RGB). TIFF is lossless, so the decoded payload md5
-# is SQL-recomputable — the q401-strength oracle shape.
-# Boundary (raises NotImplementedError): tiled layout, palette color,
-# CCITT/JPEG-in-TIFF compression, planar configuration 2.
+# §14), PhotometricInterpretation 0/1 (gray, expanded to RGB on
+# decode), 2 (RGB) and 3 (palette + ColorMap), TILED layout (spec §15:
+# TileWidth/TileLength multiples of 16, zero-padded edge tiles cropped
+# on decode) and PlanarConfiguration 2 (plane-major segments, per-plane
+# predictor) — both added in round 7; tiled is the default layout for
+# large scanned/geo imagery. TIFF is lossless, so the decoded payload
+# md5 is SQL-recomputable — the q401-strength oracle shape.
+# Boundary (raises NotImplementedError): CCITT/JPEG-in-TIFF
+# compression, non-8-bit samples.
 # ---------------------------------------------------------------------------
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -3619,49 +3623,82 @@ def _pixels_to_tiff(
     rows_per_strip: int = 3,
     gray: bool = False,
     palette: "np.ndarray | None" = None,
+    tile: "tuple[int, int] | None" = None,
+    planar: int = 1,
 ) -> bytes:
     """Encode HxWx3 uint8 RGB (or, with gray=True, HxW uint8; or, with
     palette=(256,3) uint8, HxW palette INDICES + a ColorMap of 16-bit
-    entries v*257) to a baseline TIFF. Strips of rows_per_strip rows;
-    IFD written after the pixel data; inline IFD values are
-    LEFT-justified in the file byte order per spec §2 (the classic MM
-    gotcha)."""
+    entries v*257) to a baseline TIFF. Strips of rows_per_strip rows —
+    or, with ``tile=(tw, tl)`` (multiples of 16 per spec §15), the
+    TILED layout: left-to-right top-to-bottom tiles, edge tiles
+    zero-PADDED to full tile size, compression/predictor applied per
+    tile row of the PADDED width. ``planar=2`` (spec PlanarConfig 2)
+    stores each sample plane's segments separately, plane-major
+    (all R segments, then G, then B); per-plane rows difference with
+    spp=1 semantics under Predictor 2. IFD written after the pixel
+    data; inline IFD values are LEFT-justified in the file byte order
+    per spec §2 (the classic MM gotcha)."""
     bo = "<" if byte_order == "II" else ">"
     if palette is not None:
         if arr.ndim == 3:
             arr = arr[:, :, 0]
         h, w_ = arr.shape
         spp, photometric = 1, 3
-        raw_rows = [arr[y].tobytes() for y in range(h)]
     elif gray:
         if arr.ndim == 3:
             arr = arr[:, :, 0]
         h, w_ = arr.shape
         spp, photometric = 1, 1
-        raw_rows = [arr[y].tobytes() for y in range(h)]
     else:
         h, w_, _ = arr.shape
         spp, photometric = 3, 2
-        raw_rows = [arr[y].reshape(-1).tobytes() for y in range(h)]
+    data = arr.reshape(h, w_, spp)
+    # planar=2 has no effect (and emits identical segments) for spp=1
+    planes = (
+        [data[:, :, p : p + 1] for p in range(spp)]
+        if planar == 2 and spp > 1
+        else [data]
+    )
+    seg_spp = 1 if (planar == 2 and spp > 1) else spp
 
-    strips: list[bytes] = []
-    for y0 in range(0, h, rows_per_strip):
-        rows = raw_rows[y0 : y0 + rows_per_strip]
+    def _enc_segment(rows: list[bytes]) -> bytes:
         if predictor == 2:
             rows = [
                 _tiff_predict2_encode(
-                    np.frombuffer(r, dtype=np.uint8), spp
+                    np.frombuffer(r, dtype=np.uint8), seg_spp
                 ).tobytes()
                 for r in rows
             ]
-        strip = b"".join(rows)
+        seg = b"".join(rows)
         if compression == 5:
-            strip = _tiff_lzw_compress(strip)
-        elif compression == 32773:
-            strip = _packbits_encode(strip)
-        elif compression != 1:
+            return _tiff_lzw_compress(seg)
+        if compression == 32773:
+            return _packbits_encode(seg)
+        if compression != 1:
             raise NotImplementedError(f"TIFF compression {compression}")
-        strips.append(strip)
+        return seg
+
+    strips: list[bytes] = []
+    if tile is not None:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("TileWidth/TileLength must be multiples of 16")
+        for plane in planes:
+            for ty in range(0, h, tl):
+                for tx in range(0, w_, tw):
+                    block = np.zeros((tl, tw, seg_spp), dtype=np.uint8)
+                    sub = plane[ty : ty + tl, tx : tx + tw]
+                    block[: sub.shape[0], : sub.shape[1]] = sub
+                    strips.append(
+                        _enc_segment(
+                            [block[r].reshape(-1).tobytes() for r in range(tl)]
+                        )
+                    )
+    else:
+        for plane in planes:
+            raw_rows = [plane[y].reshape(-1).tobytes() for y in range(h)]
+            for y0 in range(0, h, rows_per_strip):
+                strips.append(_enc_segment(raw_rows[y0 : y0 + rows_per_strip]))
 
     out = bytearray()
     out += struct.pack(f"{bo}2sHI", byte_order.encode(), 42, 0)  # patch ofs
@@ -3685,6 +3722,7 @@ def _pixels_to_tiff(
         entries.append((t, typ, cnt, val))
 
     n_strips = len(strips)
+    ofs_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
     tag(256, 4, 1, w_)  # ImageWidth LONG
     tag(257, 4, 1, h)  # ImageLength LONG
     if spp == 3:
@@ -3695,18 +3733,22 @@ def _pixels_to_tiff(
     tag(259, 3, 1, compression)
     tag(262, 3, 1, photometric)
     if n_strips == 1:
-        tag(273, 4, 1, ("strip0",))
+        tag(ofs_tag, 4, 1, ("strip0",))
     else:
-        tag(273, 4, n_strips, ("ext", _ext(b"")))  # patched below
+        tag(ofs_tag, 4, n_strips, ("ext", _ext(b"")))  # patched below
         _strip_ofs_ext = len(extra) - 1
     tag(277, 3, 1, spp)
-    tag(278, 4, 1, rows_per_strip)
-    tag(284, 3, 1, 1)  # PlanarConfiguration: chunky
+    if tile is not None:
+        tag(322, 4, 1, tile[0])  # TileWidth
+        tag(323, 4, 1, tile[1])  # TileLength
+    else:
+        tag(278, 4, 1, rows_per_strip)
+    tag(284, 3, 1, planar)  # PlanarConfiguration
     if n_strips == 1:
-        tag(279, 4, 1, len(strips[0]))
+        tag(cnt_tag, 4, 1, len(strips[0]))
     else:
         counts = struct.pack(f"{bo}{n_strips}I", *[len(s) for s in strips])
-        tag(279, 4, n_strips, ("ext", _ext(counts)))
+        tag(cnt_tag, 4, n_strips, ("ext", _ext(counts)))
     if predictor != 1:
         tag(317, 3, 1, predictor)
     if palette is not None:
@@ -3760,10 +3802,13 @@ def _pixels_to_tiff(
 
 
 def _decode_tiff(content: bytes) -> dict:
-    """GENUINE decoder: baseline TIFF per the 6.0 spec. Returns RGB
-    payload (gray expanded x3), strip-reassembled, de-predicted,
-    decompressed. Raises NotImplementedError on the documented
-    boundary (tiles, palette, CCITT/JPEG compression, planar=2)."""
+    """GENUINE decoder: baseline + extension TIFF per the 6.0 spec.
+    Returns RGB payload (gray expanded x3), segment-reassembled from
+    STRIPS or TILES (§15: padded edge tiles cropped into place), in
+    chunky or planar (PlanarConfiguration 2, plane-major segments)
+    layout, de-predicted, decompressed. Raises NotImplementedError on
+    the documented boundary (CCITT/JPEG compression, non-8-bit
+    samples)."""
     if len(content) < 8 or content[:2] not in (b"II", b"MM"):
         raise ValueError("not a TIFF")
     bo = "<" if content[:2] == b"II" else ">"
@@ -3799,53 +3844,90 @@ def _decode_tiff(content: bytes) -> dict:
     predictor = tags.get(317, [1])[0]
     planar = tags.get(284, [1])[0]
     rows_per_strip = tags.get(278, [h])[0]
-    if 322 in tags or 323 in tags:
-        raise NotImplementedError("tiled TIFF layout not supported")
+    tiled = 322 in tags or 323 in tags
     if photometric == 3 and 320 not in tags:
         raise ValueError("palette-color TIFF missing ColorMap")
     if photometric not in (0, 1, 2, 3):
         raise NotImplementedError(f"TIFF photometric {photometric}")
-    if planar != 1:
-        raise NotImplementedError("planar configuration 2 not supported")
+    if planar not in (1, 2):
+        raise ValueError(f"bad PlanarConfiguration {planar}")
     if any(b != 8 for b in bps):
         raise NotImplementedError("only 8 bits per sample supported")
     if compression not in (1, 5, 32773):
         raise NotImplementedError(
             f"TIFF compression {compression} (CCITT/JPEG need codecs)"
         )
-    offsets = tags[273]
-    counts = tags.get(279)
-    if counts is None:
-        if compression != 1 or len(offsets) != 1:
-            raise ValueError("missing StripByteCounts")
-        counts = [h * w_ * spp]
-    raw = bytearray()
-    row_bytes = w_ * spp
-    for si, (ofs, cnt) in enumerate(zip(offsets, counts)):
-        strip = content[ofs : ofs + cnt]
-        n_rows = min(rows_per_strip, h - si * rows_per_strip)
-        expected = n_rows * row_bytes
+    # planar=2: segments are plane-major with spp=1 row semantics
+    # (spec §14 note: Predictor 2 then differences within one plane)
+    n_planes = spp if (planar == 2 and spp > 1) else 1
+    pspp = 1 if n_planes > 1 else spp
+
+    def _unseg(seg: bytes, n_rows: int, row_px: int) -> bytes:
+        expected = n_rows * row_px * pspp
         if compression == 5:
-            strip = _tiff_lzw_decompress(strip, expected)
+            seg = _tiff_lzw_decompress(seg, expected)
         elif compression == 32773:
-            strip = _packbits_decode(strip, expected)
-        elif len(strip) < expected:
-            raise ValueError("short uncompressed strip")
-        strip = strip[:expected]
+            seg = _packbits_decode(seg, expected)
+        elif len(seg) < expected:
+            raise ValueError("short uncompressed segment")
+        seg = seg[:expected]
         if predictor == 2:
-            rows = [
+            rb = row_px * pspp
+            seg = b"".join(
                 _tiff_predict2_decode(
-                    np.frombuffer(
-                        strip[r * row_bytes : (r + 1) * row_bytes],
-                        dtype=np.uint8,
-                    ),
-                    spp,
+                    np.frombuffer(seg[r * rb : (r + 1) * rb], dtype=np.uint8),
+                    pspp,
                 ).tobytes()
                 for r in range(n_rows)
-            ]
-            strip = b"".join(rows)
-        raw += strip
-    arr = np.frombuffer(bytes(raw), dtype=np.uint8)
+            )
+        return seg
+
+    full = np.zeros((h, w_, spp), dtype=np.uint8)
+    if tiled:
+        # spec §15: tiles left-to-right top-to-bottom (plane-major for
+        # planar=2), EVERY tile padded to full (TileLength, TileWidth)
+        # — decode whole tiles, then crop edge tiles into place
+        tw = tags[322][0]
+        tl = tags[323][0]
+        offsets = tags[324]
+        counts = tags.get(325)
+        if counts is None:
+            raise ValueError("missing TileByteCounts")
+        across = -(-w_ // tw)
+        per_plane = across * (-(-h // tl))
+        for i, (ofs, cnt) in enumerate(zip(offsets, counts)):
+            p, ti = divmod(i, per_plane) if n_planes > 1 else (0, i)
+            ty = (ti // across) * tl
+            tx = (ti % across) * tw
+            block = np.frombuffer(
+                _unseg(content[ofs : ofs + cnt], tl, tw), dtype=np.uint8
+            ).reshape(tl, tw, pspp)
+            hh = min(tl, h - ty)
+            ww = min(tw, w_ - tx)
+            if n_planes > 1:
+                full[ty : ty + hh, tx : tx + ww, p] = block[:hh, :ww, 0]
+            else:
+                full[ty : ty + hh, tx : tx + ww] = block[:hh, :ww]
+    else:
+        offsets = tags[273]
+        counts = tags.get(279)
+        if counts is None:
+            if compression != 1 or len(offsets) != 1:
+                raise ValueError("missing StripByteCounts")
+            counts = [h * w_ * spp]
+        strips_per_plane = -(-h // rows_per_strip)
+        for i, (ofs, cnt) in enumerate(zip(offsets, counts)):
+            p, si = divmod(i, strips_per_plane) if n_planes > 1 else (0, i)
+            y0 = si * rows_per_strip
+            n_rows = min(rows_per_strip, h - y0)
+            block = np.frombuffer(
+                _unseg(content[ofs : ofs + cnt], n_rows, w_), dtype=np.uint8
+            ).reshape(n_rows, w_, pspp)
+            if n_planes > 1:
+                full[y0 : y0 + n_rows, :, p] = block[:, :, 0]
+            else:
+                full[y0 : y0 + n_rows] = block
+    arr = full.reshape(-1)
     if spp == 1:
         if photometric == 3:
             # ColorMap: 3 * 2^bps 16-bit entries, all reds then greens
@@ -3875,7 +3957,12 @@ def synth_tiff_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     is recomputable in SQL exactly like q401/q414. Variant coverage
     cycles by doc_id: compression none/PackBits/LZW (doc_id%3),
     horizontal predictor on the doc_id%6==5 LZW lane, MM byte order on
-    doc_id%5==0, multi-strip layout throughout (rows_per_strip=3)."""
+    doc_id%5==0, and LAYOUT by doc_id%7 — 1: TILED chunky, 3:
+    PlanarConfiguration-2 strips, 5: tiled planar-2, else multi-strip
+    chunky (rows_per_strip=3). Tiled lanes use the larger q394 dims
+    (14..36 x 10..22) so a 16x16 tile grid spans multiple tiles with
+    partial edges; layout never changes the decoded payload, only the
+    container bytes — exactly what the oracle asserts."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -3883,8 +3970,13 @@ def synth_tiff_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 did = int(doc_id)
-                w_ = did % 11 + 6
-                h = did % 5 + 4
+                layout = did % 7
+                if layout in (1, 5):
+                    w_ = did % 23 + 14
+                    h = did % 13 + 10
+                else:
+                    w_ = did % 11 + 6
+                    h = did % 5 + 4
                 hx = hashlib.md5(
                     (text or "").encode("utf-8")
                 ).hexdigest().encode("ascii")
@@ -3910,6 +4002,8 @@ def synth_tiff_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                             predictor=predictor,
                             rows_per_strip=3,
                             gray=gray,
+                            tile=(16, 16) if layout in (1, 5) else None,
+                            planar=2 if layout in (3, 5) else 1,
                         ),
                     }
                 )

@@ -8825,13 +8825,17 @@ ORDER BY doc_id
 # from the synthesis rule alone (q401/q414 strength): even doc_ids are
 # RGB whose payload IS the md5-hex tiling truncated at w*h*3; odd ids
 # are grayscale whose w*h tiled bytes expand x3 on decode. Compression
-# / byte order / predictor variants change the container bytes, never
-# the decoded payload — which is exactly what the oracle asserts.
+# / byte order / predictor / LAYOUT (strips vs 16x16 tiles, chunky vs
+# planar-2 — the doc_id%7 lanes, round 7) variants change the container
+# bytes, never the decoded payload — which is exactly what the oracle
+# asserts; only the tiled lanes' larger dims surface here.
 ORACLE_SQL["q422_tiff_decode"] = """
 WITH t AS (
   SELECT doc_id, md5(text) AS hx,
-         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
-         CAST(doc_id % 5 + 4 AS INTEGER) AS h
+         CAST(CASE WHEN doc_id % 7 IN (1, 5) THEN doc_id % 23 + 14
+                   ELSE doc_id % 11 + 6 END AS INTEGER) AS w,
+         CAST(CASE WHEN doc_id % 7 IN (1, 5) THEN doc_id % 13 + 10
+                   ELSE doc_id % 5 + 4 END AS INTEGER) AS h
   FROM documents WHERE doc_id < 200
 ), px AS (
   SELECT doc_id, w, h,
