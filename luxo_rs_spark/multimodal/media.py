@@ -2455,9 +2455,9 @@ def _decode_wav(content: bytes) -> dict:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, sample_rate, _byte_rate, _align, bits = fmt
     if audio_format == 0x11:  # IMA/DVI ADPCM -> 16-bit linear
-        if channels != 1:
-            raise NotImplementedError("IMA ADPCM: mono only")
-        data = _ima_adpcm_decode(data, _align, fact_samples).tobytes()
+        data = _ima_adpcm_decode(
+            data, _align, fact_samples, channels
+        ).tobytes()
         bits = 16
     elif audio_format in (6, 7):  # G.711 A-law / mu-law -> 16-bit linear
         lut = _ALAW_LUT if audio_format == 6 else _ULAW_LUT
@@ -4079,84 +4079,140 @@ def _ima_encode_nibble(sample: int, pred: int, idx: int) -> int:
 
 
 def _ima_adpcm_encode(samples: "np.ndarray", block_align: int = 256) -> bytes:
-    """Mono int16 samples -> IMA ADPCM block stream. Each block stores
-    its first sample verbatim in the header (the standard WAV layout);
-    the step index persists across blocks. The final block's unused
-    nibbles encode a held last sample (decoder truncates via fact)."""
-    spb = (block_align - 4) * 2 + 1  # samples per block
+    """Int16 samples -> IMA ADPCM block stream: (n,) mono, or (n, 2)
+    stereo (round-6 verdict item 4). Each block stores one 4-byte
+    header PER CHANNEL (first sample verbatim — the standard WAV
+    layout), then, for stereo, the nibble stream in the spec's
+    interleaved 4-byte-per-channel groups: 8 left nibbles, 8 right
+    nibbles, repeating. Step indices persist per channel across
+    blocks. The final block's unused nibbles encode a held last sample
+    (decoder truncates via fact)."""
+    stereo = samples.ndim == 2
+    ch = 2 if stereo else 1
+    if stereo and samples.shape[1] != 2:
+        raise NotImplementedError("IMA ADPCM: mono or 2-channel only")
+    if stereo and (block_align - 8) % 8:
+        raise ValueError("stereo block_align must be 8 + multiple of 8")
+    groups = (block_align - 4 * ch) // (4 * ch)
+    spb = groups * 8 + 1  # samples per channel per block
     out = bytearray()
-    idx = 0
+    idxs = [0] * ch
     n = len(samples)
+    cols = samples.reshape(n, ch)
     for b0 in range(0, n, spb):
-        chunk = samples[b0 : b0 + spb]
-        pred = int(chunk[0])
-        out += struct.pack("<hBB", pred, idx, 0)
-        nibbles = []
-        last = pred
-        for k in range(1, spb):
-            target = int(chunk[k]) if k < len(chunk) else last
-            nib = _ima_encode_nibble(target, pred, idx)
-            pred, idx = _ima_decode_nibble(nib, pred, idx)
-            nibbles.append(nib)
-            last = target
-        for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
-            out.append(lo | (hi << 4))
+        chunk = cols[b0 : b0 + spb]
+        nibs: list[list[int]] = []
+        for c in range(ch):
+            pred = int(chunk[0, c])
+            idx = idxs[c]
+            out += struct.pack("<hBB", pred, idx, 0)
+            cn: list[int] = []
+            last = pred
+            for k in range(1, spb):
+                target = int(chunk[k, c]) if k < len(chunk) else last
+                nib = _ima_encode_nibble(target, pred, idx)
+                pred, idx = _ima_decode_nibble(nib, pred, idx)
+                cn.append(nib)
+                last = target
+            idxs[c] = idx
+            nibs.append(cn)
+        for g in range(groups):
+            for c in range(ch):
+                seg = nibs[c][g * 8 : (g + 1) * 8]
+                for lo, hi in zip(seg[0::2], seg[1::2]):
+                    out.append(lo | (hi << 4))
     return bytes(out)
 
 
 def _ima_adpcm_decode(
-    data: bytes, block_align: int, total_samples: int | None
+    data: bytes,
+    block_align: int,
+    total_samples: int | None,
+    channels: int = 1,
 ) -> "np.ndarray":
-    spb = (block_align - 4) * 2 + 1
-    out: list[int] = []
+    """Returns channel-INTERLEAVED int16 samples (the WAV data layout);
+    ``total_samples`` is per channel (the fact-chunk convention)."""
+    if channels not in (1, 2):
+        raise NotImplementedError("IMA ADPCM: mono or 2-channel only")
+    groups = (block_align - 4 * channels) // (4 * channels)
+    chans: list[list[int]] = [[] for _ in range(channels)]
     for b0 in range(0, len(data), block_align):
         block = data[b0 : b0 + block_align]
-        if len(block) < 4:
+        if len(block) < 4 * channels:
             raise ValueError("short ADPCM block header")
-        pred, idx, _rsv = struct.unpack_from("<hBB", block, 0)
-        if idx > 88:
-            raise ValueError("ADPCM step index out of range")
-        out.append(pred)
-        for byte in block[4:]:
-            for nib in (byte & 0x0F, byte >> 4):
-                pred, idx = _ima_decode_nibble(nib, pred, idx)
-                out.append(pred)
+        states = []
+        for c in range(channels):
+            pred, idx, _rsv = struct.unpack_from("<hBB", block, 4 * c)
+            if idx > 88:
+                raise ValueError("ADPCM step index out of range")
+            chans[c].append(pred)
+            states.append([pred, idx])
+        p = 4 * channels
+        if channels == 1:
+            st = states[0]
+            for byte in block[p:]:
+                for nib in (byte & 0x0F, byte >> 4):
+                    st[0], st[1] = _ima_decode_nibble(nib, st[0], st[1])
+                    chans[0].append(st[0])
+        else:
+            for _g in range(groups):
+                for c in range(channels):
+                    st = states[c]
+                    for byte in block[p : p + 4]:
+                        for nib in (byte & 0x0F, byte >> 4):
+                            st[0], st[1] = _ima_decode_nibble(
+                                nib, st[0], st[1]
+                            )
+                            chans[c].append(st[0])
+                    p += 4
     if total_samples is not None:
-        out = out[:total_samples]
-    return np.array(out, dtype="<i2")
+        chans = [c[:total_samples] for c in chans]
+    arr = np.array(chans, dtype="<i2")  # (ch, n)
+    return arr.T.reshape(-1)
 
 
 def synth_adpcm_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Real-encoder IMA ADPCM WAV synthesis: 16-bit samples derived
     from the text bytes (sample_i = (byte_i - 100) * 231, a swing wide
     enough to exercise the step-table ladder), ADPCM-encoded in
-    block_align=256 blocks with a fact chunk carrying the true sample
-    count. Lossy by design — the oracle recomputes the decode
-    sequentially (q33/q40 recipe), and the spec batteries in
-    tests/test_sources_multimodal.py pin the codec itself."""
+    block_align=256 blocks with a fact chunk carrying the true
+    per-channel sample count. Odd doc_ids are STEREO (round 7): the
+    right channel derives from the REVERSED byte sequence, encoded in
+    the spec's interleaved 4-byte-per-channel groups. Lossy by design
+    — the oracle recomputes the decode sequentially (q33/q40 recipe),
+    and the spec batteries in tests/test_sources_multimodal.py pin the
+    codec itself."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 b = (text or "x").encode("utf-8")[:1500]
-                samples = (
+                mono = (
                     (np.frombuffer(b, dtype=np.uint8).astype(np.int32) - 100)
                     * 231
                 ).astype("<i2")
+                stereo = bool(int(doc_id) % 2)
                 block_align = 256
+                if stereo:
+                    samples = np.stack([mono, mono[::-1]], axis=1)
+                    ch = 2
+                    spb = (block_align - 8) + 1
+                else:
+                    samples = mono
+                    ch = 1
+                    spb = (block_align - 4) * 2 + 1
                 adata = _ima_adpcm_encode(samples, block_align)
-                spb = (block_align - 4) * 2 + 1
                 fmt = struct.pack(
                     "<HHIIHHHH",
-                    0x11, 1, 8000,
+                    0x11, ch, 8000,
                     8000 * block_align // spb,
                     block_align, 4, 2, spb,
                 )
                 body = (
                     b"WAVE"
                     + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-                    + b"fact" + struct.pack("<II", 4, len(samples))
+                    + b"fact" + struct.pack("<II", 4, len(mono))
                     + b"data" + struct.pack("<I", len(adata)) + adata
                 )
                 rows.append(
@@ -5226,12 +5282,20 @@ def _pcm_to_flac(
     bits: int = 16,
     block_size: int = 4096,
     force_assignment: int | None = None,
+    variable_blocksize: bool = False,
 ) -> bytes:
     """Encode integer samples to a spec-conformant FLAC stream: (n,)
     mono, or (n, 2) stereo — stereo frames pick the cheapest channel
     assignment per block among independent / left-side / right-side /
     mid-side (the spec's inter-channel decorrelation; the side channel
-    carries bits+1). force_assignment pins one code for tests."""
+    carries bits+1). force_assignment pins one code for tests.
+
+    ``variable_blocksize=True`` emits the spec's VARIABLE strategy
+    (round-6 verdict item 4): the frame-header strategy bit is 1, the
+    UTF-8 coded number is the frame's first SAMPLE number (up to 36
+    bits / 7 coded bytes) instead of the frame ordinal, and block
+    sizes cycle a deterministic pattern so both explicit blocksize
+    field widths (8-bit code 0110 and 16-bit code 0111) appear."""
     import hashlib
 
     x = samples.astype(np.int64)
@@ -5243,12 +5307,30 @@ def _pcm_to_flac(
         raise NotImplementedError("encoder emits 16-bit streams")
     md5 = hashlib.md5(x.astype("<i2").tobytes()).digest()
 
+    if variable_blocksize:
+        cycle = [
+            block_size,
+            max(2, block_size // 2 - 1),
+            max(1, block_size // 3 + 1),
+        ]
+        starts = []
+        s = 0
+        while s < n_total:
+            starts.append(s)
+            s += cycle[len(starts) % len(cycle)]
+    else:
+        starts = list(range(0, n_total, block_size))
+
     frames = bytearray()
     fno = 0
     min_fs = max_fs = None
-    for start in range(0, n_total, block_size):
-        blk = x[start : start + block_size]
+    min_bs = max_bs = None
+    for si_, start in enumerate(starts):
+        end = starts[si_ + 1] if si_ + 1 < len(starts) else n_total
+        blk = x[start:end]
         nb = len(blk)
+        min_bs = nb if min_bs is None else min(min_bs, nb)
+        max_bs = nb if max_bs is None else max(max_bs, nb)
 
         def _body_for(assignment: int) -> "_FlacBitWriter":
             body = _FlacBitWriter()
@@ -5286,15 +5368,20 @@ def _pcm_to_flac(
         w = _FlacBitWriter()
         w.put(0b11111111111110, 14)
         w.put(0, 1)  # reserved
-        w.put(0, 1)  # fixed blocksize strategy
-        w.put(0b0111, 4)  # blocksize: 16-bit field follows
+        w.put(1 if variable_blocksize else 0, 1)  # blocksize strategy
+        bs_code = (
+            0b0110 if variable_blocksize and nb <= 256 else 0b0111
+        )  # explicit 8-bit (0110) or 16-bit (0111) blocksize field
+        w.put(bs_code, 4)
         w.put(0b0000, 4)  # sample rate: from STREAMINFO
         w.put(assignment, 4)  # channel assignment
         w.put(0b100, 3)  # sample size: 16 bit
         w.put(0, 1)  # reserved
-        for b in _flac_utf8_number(fno):
+        # variable strategy: the coded number is the frame's first
+        # SAMPLE; fixed strategy: the frame ordinal
+        for b in _flac_utf8_number(start if variable_blocksize else fno):
             w.put(b, 8)
-        w.put(nb - 1, 16)
+        w.put(nb - 1, 8 if bs_code == 0b0110 else 16)
         w.align()
         header_bytes = w.bytes()
         header_bytes += bytes([_crc8_flac(header_bytes)])
@@ -5309,8 +5396,16 @@ def _pcm_to_flac(
         fno += 1
 
     si = _FlacBitWriter()
-    si.put(min(block_size, n_total or block_size), 16)
-    si.put(block_size, 16)
+    if variable_blocksize:
+        # actual min/max over ALL frames (variable streams have no
+        # "nominal" size; min != max marks the stream as variable)
+        si.put(min_bs if min_bs is not None else block_size, 16)
+        si.put(max_bs if max_bs is not None else block_size, 16)
+    else:
+        # fixed streams: min == max == the nominal size (RFC 9639
+        # excludes the possibly-short LAST frame from the minimum)
+        si.put(min(block_size, n_total or block_size), 16)
+        si.put(block_size, 16)
     si.put(min_fs or 0, 24)
     si.put(max_fs or 0, 24)
     si.put(sample_rate, 20)
@@ -5359,6 +5454,7 @@ def _decode_flac(content: bytes) -> dict:
 
     out = np.zeros((n_total, channels), dtype=np.int64)
     idx = 0
+    fcount = 0
     while idx < n_total:
         fr = _FlacBitReader(content, pos)
         sync = fr.get(14)
@@ -5366,8 +5462,6 @@ def _decode_flac(content: bytes) -> dict:
             raise ValueError("FLAC frame sync lost")
         fr.get(1)
         strategy = fr.get(1)
-        if strategy != 0:
-            raise NotImplementedError("variable-blocksize FLAC streams")
         bs_code = fr.get(4)
         sr_code = fr.get(4)
         ch_code = fr.get(4)
@@ -5379,6 +5473,18 @@ def _decode_flac(content: bytes) -> dict:
             )
         fr.align()
         _fno, bytepos = _flac_read_utf8(content, fr.byte_pos())
+        # variable strategy (round 7): the coded number is the frame's
+        # first SAMPLE number — cross-check it against the running
+        # decode position (fixed strategy codes the frame ordinal)
+        if strategy == 1:
+            if _fno != idx:
+                raise ValueError(
+                    f"FLAC sample number {_fno} != decode position {idx}"
+                )
+        elif _fno != fcount:
+            raise ValueError(
+                f"FLAC frame number {_fno} != frame count {fcount}"
+            )
         fr = _FlacBitReader(content, bytepos)
         if bs_code == 0b0110:
             nb = fr.get(8) + 1
@@ -5476,6 +5582,7 @@ def _decode_flac(content: bytes) -> dict:
         for c, blk in enumerate(chans):
             out[idx : idx + nb, c] = blk
         idx += nb
+        fcount += 1
         pos = crc_end + 2
 
     flat = out.reshape(-1) if channels > 1 else out[:, 0]
@@ -5499,9 +5606,14 @@ def synth_flac_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Real-encoder FLAC synthesis (q427): 16-bit samples derived from
     the md5 hex of the text ((byte-100)*231), tiled doc_id%5+2 times,
     encoded with block_size=48 (multiple frames + a partial tail).
-    FLAC is lossless, so decoded samples EQUAL the derivation — the
-    oracle recomputes exact integer stats from a 16-row hex-char LUT
-    (the q417 recipe)."""
+    doc_id%3==1 lanes use the VARIABLE blocksize strategy (round 7) —
+    UTF-8 sample-number frame addressing, cycling block sizes, both
+    explicit blocksize field widths (did%6==1 lanes start at 300
+    samples so the 16-bit 0111 code appears; the rest stay under 256
+    for the 8-bit 0110 code). FLAC is lossless, so the LAYOUT never
+    changes the decoded samples and the oracle recomputes exact
+    integer stats from a 16-row hex-char LUT unchanged (q417
+    recipe)."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5517,11 +5629,15 @@ def synth_flac_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     (np.frombuffer(data, dtype=np.uint8).astype(np.int32)
                      - 100) * 231
                 ).astype("<i2")
+                variable = did % 3 == 1
                 rows.append(
                     {
                         "media_id": did,
                         "content": _pcm_to_flac(
-                            samples, sample_rate=8000, block_size=48
+                            samples,
+                            sample_rate=8000,
+                            block_size=300 if did % 6 == 1 else 48,
+                            variable_blocksize=variable,
                         ),
                     }
                 )

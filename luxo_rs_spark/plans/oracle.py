@@ -7796,55 +7796,89 @@ ORDER BY source
     ]
     _IDX = [-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8]
 
-    def _ref_adpcm_decode(data: bytes, align: int, total: int) -> list[int]:
+    def _ref_nib(nib: int, pred: int, idx: int) -> tuple[int, int]:
+        step = _STEPS[idx]
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = pred - diff if nib & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + _IDX[nib]))
+        return pred, idx
+
+    def _ref_adpcm_decode(
+        data: bytes, align: int, total: int, channels: int = 1
+    ) -> list[int]:
         import struct as _s
 
-        out: list[int] = []
+        chans: list[list[int]] = [[] for _ in range(channels)]
+        groups = (align - 4 * channels) // (4 * channels)
         for b0 in range(0, len(data), align):
             block = data[b0 : b0 + align]
-            pred, idx, _r = _s.unpack_from("<hBB", block, 0)
-            out.append(pred)
-            for byte in block[4:]:
-                for nib in (byte & 0x0F, byte >> 4):
-                    step = _STEPS[idx]
-                    diff = step >> 3
-                    if nib & 1:
-                        diff += step >> 2
-                    if nib & 2:
-                        diff += step >> 1
-                    if nib & 4:
-                        diff += step
-                    pred = pred - diff if nib & 8 else pred + diff
-                    pred = max(-32768, min(32767, pred))
-                    idx = max(0, min(88, idx + _IDX[nib]))
-                    out.append(pred)
-        return out[:total]
+            states = []
+            for c in range(channels):
+                pred, idx, _r = _s.unpack_from("<hBB", block, 4 * c)
+                chans[c].append(pred)
+                states.append([pred, idx])
+            p = 4 * channels
+            if channels == 1:
+                st = states[0]
+                for byte in block[4:]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        st[0], st[1] = _ref_nib(nib, st[0], st[1])
+                        chans[0].append(st[0])
+            else:
+                # stereo: interleaved 4-byte-per-channel nibble groups
+                for _g in range(groups):
+                    for c in range(channels):
+                        st = states[c]
+                        for byte in block[p : p + 4]:
+                            for nib in (byte & 0x0F, byte >> 4):
+                                st[0], st[1] = _ref_nib(nib, st[0], st[1])
+                                chans[c].append(st[0])
+                        p += 4
+        out: list[int] = []
+        for c in range(channels):
+            out.extend(chans[c][:total])
+        return out
 
     import numpy as _np
 
-    adpcm_vals: dict[str, tuple[int, int, int, int]] = {}
+    adpcm_vals: dict[tuple[str, int], tuple[int, int, int, int]] = {}
     for rows in corpora:
         for _id, t in rows:
             if _id >= 300:
                 continue
+            par = _id % 2  # odd ids are the round-7 STEREO lanes
             h = hashlib.md5((t or "").encode("utf-8")).hexdigest()
-            if h in adpcm_vals:
+            if (h, par) in adpcm_vals:
                 continue
             b = (t or "x").encode("utf-8")[:1500]
-            samples = (
+            mono = (
                 (_np.frombuffer(b, dtype=_np.uint8).astype(_np.int32) - 100)
                 * 231
             ).astype("<i2")
+            if par:
+                samples = _np.stack([mono, mono[::-1]], axis=1)
+            else:
+                samples = mono
             dec = _ref_adpcm_decode(
-                _ima_adpcm_encode(samples, 256), 256, len(samples)
+                _ima_adpcm_encode(samples, 256),
+                256,
+                len(mono),
+                channels=2 if par else 1,
             )
-            adpcm_vals[h] = (len(dec), sum(dec), min(dec), max(dec))
+            adpcm_vals[(h, par)] = (len(dec), sum(dec), min(dec), max(dec))
     values423 = ",\n  ".join(
-        f"('{h}', {n}, {s}, {mn}, {mx})"
-        for h, (n, s, mn, mx) in sorted(adpcm_vals.items())
+        f"('{h}', {par}, {n}, {s}, {mn}, {mx})"
+        for (h, par), (n, s, mn, mx) in sorted(adpcm_vals.items())
     )
     ORACLE_SQL["q423_adpcm_decode"] = f"""
-WITH st(h, n_samples, sample_sum, sample_min, sample_max) AS (VALUES
+WITH st(h, par, n_samples, sample_sum, sample_min, sample_max) AS (VALUES
   {values423}
 )
 SELECT d.doc_id AS media_id,
@@ -7853,7 +7887,7 @@ SELECT d.doc_id AS media_id,
        CAST(st.sample_sum AS BIGINT) AS sample_sum,
        CAST(st.sample_min AS INTEGER) AS sample_min,
        CAST(st.sample_max AS INTEGER) AS sample_max
-FROM documents d JOIN st ON md5(d.text) = st.h
+FROM documents d JOIN st ON md5(d.text) = st.h AND d.doc_id % 2 = st.par
 WHERE d.doc_id < 300
 ORDER BY media_id
 """

@@ -1514,11 +1514,16 @@ def test_adpcm_synth_decode_spark(spark):
     }
     for row in docs.collect():
         b = (row.text or "x").encode("utf-8")[:1500]
-        samples = (
+        mono = (
             (np.frombuffer(b, dtype=np.uint8).astype(np.int32) - 100) * 231
         ).astype("<i2")
+        stereo = bool(row.doc_id % 2)  # round-7 stereo lanes
+        samples = np.stack([mono, mono[::-1]], axis=1) if stereo else mono
         dec = _ima_adpcm_decode(
-            _ima_adpcm_encode(samples, 256), 256, len(samples)
+            _ima_adpcm_encode(samples, 256),
+            256,
+            len(mono),
+            channels=2 if stereo else 1,
         )
         r = got[row.doc_id]
         assert (r.n_samples, r.sample_sum, r.sample_min, r.sample_max) == (
@@ -2617,3 +2622,111 @@ def test_tiff_planar2_roundtrips_and_is_plane_major():
     assert not got[:, :, 0].any(), "zeroing plane-0 bytes must kill red"
     assert (got[:, :, 1] == arr[:, :, 1]).all()
     assert (got[:, :, 2] == arr[:, :, 2]).all()
+
+
+def test_flac_variable_blocksize_roundtrips():
+    """Variable-blocksize FLAC battery (round-6 verdict item 4):
+    strategy bit 1, UTF-8 SAMPLE-number addressing (including the
+    multi-byte encodings past 2^20 samples), cycling block sizes with
+    both explicit blocksize field widths, mono and stereo — bit-exact
+    decode with all three CRC/MD5 integrity layers intact."""
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import _decode_flac, _pcm_to_flac
+
+    rng = np.random.default_rng(11)
+    for n in (1, 47, 301, 5000):
+        for stereo in (False, True):
+            x = rng.integers(
+                -32768, 32768, (n, 2) if stereo else n, dtype=np.int64
+            )
+            for bs in (48, 300):
+                enc = _pcm_to_flac(x, block_size=bs, variable_blocksize=True)
+                d = _decode_flac(enc)
+                assert d["payload"] == x.astype("<i2").tobytes(), (n, stereo, bs)
+                assert d["width"] == (2 if stereo else 1)
+    # STREAMINFO marks the stream variable: min_bs != max_bs
+    import struct
+
+    enc = _pcm_to_flac(
+        rng.integers(-100, 100, 500, dtype=np.int64),
+        block_size=48,
+        variable_blocksize=True,
+    )
+    si = enc[8:]
+    min_bs = struct.unpack(">H", si[0:2])[0]
+    max_bs = struct.unpack(">H", si[2:4])[0]
+    assert min_bs < max_bs
+    # sample-number integrity is LOAD-BEARING: corrupting a later
+    # frame's coded number must fail decode (not silently misplace)
+    x = rng.integers(-100, 100, 200, dtype=np.int64)
+    enc = bytearray(_pcm_to_flac(x, block_size=48, variable_blocksize=True))
+    # find the second frame sync (0xFF 0xF8|1) after the first
+    first = enc.index(b"\xff\xf9", 42)
+    second = enc.index(b"\xff\xf9", first + 2)
+    enc[second + 4] ^= 0x01  # flip a bit in the coded sample number
+    with pytest.raises(ValueError):
+        _decode_flac(bytes(enc))
+
+
+def test_adpcm_stereo_roundtrips_and_interleave():
+    """Stereo IMA ADPCM battery (round-6 verdict item 4): one header
+    per channel, interleaved 4-byte-per-channel nibble groups,
+    per-channel step-index persistence across blocks, fact-chunk
+    truncation per channel — and a structural proof of the interleave:
+    decoding with L/R headers swapped swaps the channels."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+    )
+
+    n = 700  # spans 3 blocks at align 256 (249 samples/chan/block)
+    t = np.arange(n)
+    L = (2500 * np.sin(t / 13)).astype(np.int16)
+    R = (1800 * np.cos(t / 7)).astype(np.int16)
+    enc = _ima_adpcm_encode(np.stack([L, R], axis=1), 256)
+    assert len(enc) == 3 * 256
+    dec = _ima_adpcm_decode(enc, 256, n, channels=2).reshape(n, 2)
+    # ADPCM is lossy but a decode->re-encode->decode is a fixed point
+    enc2 = _ima_adpcm_encode(dec.astype(np.int16), 256)
+    assert (_ima_adpcm_decode(enc2, 256, n, channels=2).reshape(n, 2)
+            == dec).all()
+    # tracking error bounded for smooth input
+    assert np.abs(dec[:, 0].astype(int) - L.astype(int)).max() < 2000
+    assert np.abs(dec[:, 1].astype(int) - R.astype(int)).max() < 2000
+    # channel swap structural check: swapping the two 4-byte headers
+    # AND each group pair must exactly swap the decoded channels
+    sw = bytearray(enc)
+    for b0 in range(0, len(sw), 256):
+        sw[b0:b0 + 8] = sw[b0 + 4:b0 + 8] + sw[b0:b0 + 4]
+        for g in range(8, 256, 8):
+            sw[b0 + g:b0 + g + 8] = (
+                sw[b0 + g + 4:b0 + g + 8] + sw[b0 + g:b0 + g + 4]
+            )
+    dsw = _ima_adpcm_decode(bytes(sw), 256, n, channels=2).reshape(n, 2)
+    assert (dsw[:, 0] == dec[:, 1]).all() and (dsw[:, 1] == dec[:, 0]).all()
+
+
+def test_adpcm_stereo_wav_through_decode_path(spark):
+    """The stereo ADPCM WAV decodes through the SAME distributed
+    decode path as every other container (q423's odd lanes)."""
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_pcm_stats,
+        synth_adpcm_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(7, "stereo lane text", "en", "web", 16),
+         (8, "mono lane text", "en", "web", 14)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        r.media_id: r
+        for r in decode_media_pcm_stats(synth_adpcm_table(docs)).collect()
+    }
+    # doc 7 is stereo: per-channel count = len(utf-8 bytes), total 2x
+    assert rows[7].n_samples == 2 * len("stereo lane text".encode())
+    assert rows[8].n_samples == len("mono lane text".encode())
