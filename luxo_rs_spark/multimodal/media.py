@@ -4259,12 +4259,21 @@ def _frames_to_avi(
     fps: int = 10,
     audio: bytes | None = None,
     audio_rate: int = 8000,
+    audio_format: int = 1,
+    audio_samples: int | None = None,
+    block_align: int = 0,
 ) -> bytes:
     """Wrap pre-encoded JPEG frames as an MJPEG AVI ('00dc' chunks +
-    idx1 index), per the public AVI RIFF reference. With `audio` (raw
-    16-bit mono PCM), a second 'auds' stream is declared and the PCM
-    is interleaved as '01wb' chunks, one per video frame — the classic
-    A/V interleave the format is named for."""
+    idx1 index), per the public AVI RIFF reference. With `audio`, a
+    second 'auds' stream is declared and the bytes are interleaved as
+    '01wb' chunks, one per video frame — the classic A/V interleave
+    the format is named for. ``audio_format`` is the WAVE format tag
+    of the already-ENCODED bytes: 1 = 16-bit mono PCM (the default), 6
+    / 7 = G.711 A-law / mu-law (1 byte per sample), 0x11 = IMA ADPCM
+    (``block_align``-byte blocks — chunk splits land on block
+    boundaries so each '01wb' chunk is independently block-aligned,
+    and ``audio_samples`` carries the true per-channel sample count in
+    the stream header's dwLength, the AVI analogue of WAV's fact)."""
     uspf = 1_000_000 // fps
     maxb = max(len(f) for f in frames) if frames else 0
     n_streams = 2 if audio is not None else 1
@@ -4285,16 +4294,35 @@ def _frames_to_avi(
         b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
     )
     if audio is not None:
-        n_samples = len(audio) // 2
+        # the byte unit a chunk split must not break: one codec block
+        # for ADPCM, one sample otherwise
+        unit = {1: 2, 6: 1, 7: 1}.get(audio_format, block_align or 1)
+        if audio_format == 1:
+            n_samples = len(audio) // 2
+            align, bits, byte_rate = 2, 16, audio_rate * 2
+        elif audio_format in (6, 7):
+            n_samples = len(audio)
+            align, bits, byte_rate = 1, 8, audio_rate
+        elif audio_format == 0x11:
+            if not block_align or audio_samples is None:
+                raise ValueError("ADPCM audio needs block_align + samples")
+            n_samples = audio_samples
+            spb = (block_align - 4) * 2 + 1
+            align, bits = block_align, 4
+            byte_rate = audio_rate * block_align // spb
+        else:
+            raise NotImplementedError(f"AVI audio format {audio_format}")
         strh_a = (
             b"auds" + b"\0\0\0\0"
             + struct.pack("<IHHIIIIIIii", 0, 0, 0, 0, 1, audio_rate, 0,
-                          n_samples, len(audio), -1, 2)
+                          n_samples, len(audio), -1, unit)
             + struct.pack("<4H", 0, 0, 0, 0)
         )
         strf_a = struct.pack(
-            "<HHIIHH", 1, 1, audio_rate, audio_rate * 2, 2, 16
+            "<HHIIHH", audio_format, 1, audio_rate, byte_rate, align, bits
         )
+        if audio_format == 0x11:
+            strf_a += struct.pack("<HH", 2, spb)  # cbSize + samples/block
         strl += _riff_list(
             b"strl",
             _riff_chunk(b"strh", strh_a) + _riff_chunk(b"strf", strf_a),
@@ -4304,9 +4332,9 @@ def _frames_to_avi(
     if audio is None:
         movi_items = [(b"00dc", f) for f in frames]
     else:
-        # split the PCM into per-frame chunks on 2-byte sample bounds
+        # split the stream into per-frame chunks on codec-unit bounds
         nf = max(1, len(frames))
-        per = (len(audio) // 2 // nf) * 2
+        per = (len(audio) // unit // nf) * unit
         apos = 0
         for i, f in enumerate(frames):
             movi_items.append((b"00dc", f))
@@ -4326,12 +4354,14 @@ def _frames_to_avi(
 
 def _avi_demux(
     content: bytes,
-) -> tuple[list[bytes], int, int, int, bytes, tuple | None]:
+) -> tuple[list[bytes], int, int, int, bytes, tuple | None, int | None]:
     """Full A/V demux of an AVI: returns (jpeg frame chunks, width,
-    height, fps, concatenated audio PCM bytes, audio WAVEFORMAT tuple
-    or None). Walks the RIFF tree; frames come from the movi list's
-    00dc/00db chunks, audio from the interleaved 01wb chunks (the
-    idx1 index is advisory and not required)."""
+    height, fps, concatenated audio stream bytes, audio WAVEFORMAT
+    tuple or None, audio per-channel sample count from the 'auds'
+    stream header's dwLength or None). Walks the RIFF tree; frames
+    come from the movi list's 00dc/00db chunks, audio from the
+    interleaved 01wb chunks (the idx1 index is advisory and not
+    required)."""
     if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI container")
     w = h = 0
@@ -4339,10 +4369,11 @@ def _avi_demux(
     frames: list[bytes] = []
     audio_chunks: list[bytes] = []
     audio_fmt: tuple | None = None
+    audio_len: int | None = None
     last_strh_type = b""
 
     def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal w, h, fps, audio_fmt, last_strh_type
+        nonlocal w, h, fps, audio_fmt, audio_len, last_strh_type
         while pos + 8 <= end:
             cid, size = struct.unpack_from("<4sI", buf, pos)
             body_start = pos + 8
@@ -4358,6 +4389,13 @@ def _avi_demux(
                 fps = 1_000_000 // uspf if uspf else 0
             elif cid == b"strh":
                 last_strh_type = buf[body_start : body_start + 4]
+                if last_strh_type == b"auds":
+                    # dwLength (samples per channel) sits after
+                    # fccType/fccHandler + flags/prio/lang/init/
+                    # scale/rate/start = byte 32 of the chunk body
+                    (audio_len,) = struct.unpack_from(
+                        "<I", buf, body_start + 32
+                    )
             elif cid == b"strf" and last_strh_type == b"auds":
                 audio_fmt = struct.unpack_from("<HHIIHH", buf, body_start)
             elif cid in (b"00dc", b"00db"):
@@ -4369,12 +4407,12 @@ def _avi_demux(
     walk(content, 12, len(content))
     if w == 0 or h == 0:
         raise ValueError("AVI missing avih header")
-    return frames, w, h, fps, b"".join(audio_chunks), audio_fmt
+    return frames, w, h, fps, b"".join(audio_chunks), audio_fmt, audio_len
 
 
 def _avi_frames(content: bytes) -> tuple[list[bytes], int, int, int]:
     """Video-only view of :func:`_avi_demux` (the q424 frame path)."""
-    frames, w, h, fps, _audio, _fmt = _avi_demux(content)
+    frames, w, h, fps, _audio, _fmt, _n = _avi_demux(content)
     return frames, w, h, fps
 
 
@@ -5957,11 +5995,23 @@ def demux_avi_av(media: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                frames, w, h, fps, audio, fmt = _avi_demux(bytes(content))
+                frames, w, h, fps, audio, fmt, alen = _avi_demux(
+                    bytes(content)
+                )
                 if fmt is None:
                     raise ValueError("AVI has no audio stream to demux")
-                _tag, _ch, rate, _br, _al, bits = fmt
-                pcm = np.frombuffer(audio, dtype="<i2")
+                tag, ch, rate, _br, align, bits = fmt
+                if tag == 1:  # 16-bit linear PCM
+                    pcm = np.frombuffer(audio, dtype="<i2")
+                elif tag in (6, 7):  # G.711 A-law / mu-law
+                    lut = _ALAW_LUT if tag == 6 else _ULAW_LUT
+                    pcm = lut[np.frombuffer(audio, dtype=np.uint8)]
+                elif tag == 0x11:  # IMA ADPCM, truncated via dwLength
+                    pcm = _ima_adpcm_decode(audio, align, alen, ch)
+                else:
+                    raise NotImplementedError(
+                        f"AVI audio format {tag} not supported"
+                    )
                 out.append(
                     {
                         "media_id": int(mid),
@@ -5987,9 +6037,16 @@ def demux_avi_av(media: DataFrame) -> DataFrame:
 
 def synth_avi_av_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """A/V AVI synthesis (q437): doc_id%4+2 lossless-JPEG frames (the
-    q424 rotated tilings) INTERLEAVED with a 16-bit PCM track whose
-    samples derive from the md5 hex ((byte-100)*231, the q427 rule)
-    tiled doc_id%3+1 times."""
+    q424 rotated tilings) INTERLEAVED with an audio track whose codec
+    cycles by doc_id%4 (round 7 — the compressed-audio lanes):
+
+    - 0: 16-bit PCM, samples = (hex byte - 100) * 231 (the q427 rule)
+      tiled doc_id%3+1 times;
+    - 1 / 3: G.711 mu-law / A-law — the '01wb' bytes ARE the tiled hex
+      chars, so decoded samples are the q417 16-char LUT values;
+    - 2: IMA ADPCM — the q427-rule samples tiled (doc_id%3+1)*24 times
+      (several 256-byte blocks, so chunk splits land on real block
+      boundaries), dwLength carrying the true sample count."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -6014,16 +6071,33 @@ def synth_avi_av_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                             arr, predictor=(did + f) % 7 + 1
                         )
                     )
-                data = hx * (did % 3 + 1)
-                audio = (
-                    (np.frombuffer(data, dtype=np.uint8).astype(np.int32)
-                     - 100) * 231
-                ).astype("<i2").tobytes()
+                lane = did % 4
+                reps = did % 3 + 1
+                kw: dict = {}
+                if lane == 0:
+                    audio = (
+                        (np.frombuffer(hx * reps, dtype=np.uint8)
+                         .astype(np.int32) - 100) * 231
+                    ).astype("<i2").tobytes()
+                elif lane in (1, 3):
+                    audio = hx * reps
+                    kw = {"audio_format": 7 if lane == 1 else 6}
+                else:
+                    samples = (
+                        (np.frombuffer(hx * (reps * 24), dtype=np.uint8)
+                         .astype(np.int32) - 100) * 231
+                    ).astype("<i2")
+                    audio = _ima_adpcm_encode(samples, 256)
+                    kw = {
+                        "audio_format": 0x11,
+                        "block_align": 256,
+                        "audio_samples": len(samples),
+                    }
                 rows.append(
                     {
                         "media_id": did,
                         "content": _frames_to_avi(
-                            frames, w_, h, fps=10, audio=audio
+                            frames, w_, h, fps=10, audio=audio, **kw
                         ),
                     }
                 )

@@ -7892,6 +7892,100 @@ WHERE d.doc_id < 300
 ORDER BY media_id
 """
 
+    # --- q437 (round 7): the audio track's codec cycles by doc_id%4 —
+    # lanes 0 (PCM) / 1 (mu-law) / 3 (A-law) stay PURE-SQL per-char LUT
+    # recomputes (the q417/q427 constants); lane 2 (IMA ADPCM) is a
+    # sequential decode and embeds text-keyed VALUES exactly like q423,
+    # using the SAME independently-retyped step-table decoder.
+    adp437: dict[tuple[str, int], tuple[int, int, int, int]] = {}
+    for rows in corpora:
+        for _id, t in rows:
+            if _id >= 300 or _id % 4 != 2:
+                continue
+            reps = _id % 3 + 1
+            hh = hashlib.md5((t or "").encode("utf-8")).hexdigest()
+            if (hh, reps) in adp437:
+                continue
+            data = hh.encode("ascii") * (reps * 24)
+            samples = (
+                (_np.frombuffer(data, dtype=_np.uint8).astype(_np.int32)
+                 - 100) * 231
+            ).astype("<i2")
+            dec = _ref_adpcm_decode(
+                _ima_adpcm_encode(samples, 256), 256, len(samples)
+            )
+            adp437[(hh, reps)] = (len(dec), sum(dec), min(dec), max(dec))
+    values437 = ",\n  ".join(
+        f"('{hh}', {reps}, {n}, {s}, {mn}, {mx})"
+        for (hh, reps), (n, s, mn, mx) in sorted(adp437.items())
+    ) or "('x', -1, 0, 0, 0, 0)"
+    ORACLE_SQL["q437_avi_av_demux"] = f"""
+WITH pcml(ch, v) AS (VALUES
+  ('0', -12012), ('1', -11781), ('2', -11550), ('3', -11319),
+  ('4', -11088), ('5', -10857), ('6', -10626), ('7', -10395),
+  ('8', -10164), ('9', -9933),  ('a', -693),   ('b', -462),
+  ('c', -231),   ('d', 0),      ('e', 231),    ('f', 462)
+), glut(law, ch, lin) AS (VALUES
+  ('u', '0', -3900), ('a', '0', -11008),
+  ('u', '1', -3772), ('a', '1', -10496),
+  ('u', '2', -3644), ('a', '2', -12032),
+  ('u', '3', -3516), ('a', '3', -11520),
+  ('u', '4', -3388), ('a', '4', -8960),
+  ('u', '5', -3260), ('a', '5', -8448),
+  ('u', '6', -3132), ('a', '6', -9984),
+  ('u', '7', -3004), ('a', '7', -9472),
+  ('u', '8', -2876), ('a', '8', -15104),
+  ('u', '9', -2748), ('a', '9', -14592),
+  ('u', 'a', -356),  ('a', 'a', -1312),
+  ('u', 'b', -340),  ('a', 'b', -1504),
+  ('u', 'c', -324),  ('a', 'c', -1440),
+  ('u', 'd', -308),  ('a', 'd', -1120),
+  ('u', 'e', -292),  ('a', 'e', -1056),
+  ('u', 'f', -276),  ('a', 'f', -1248)
+), adp(ah, areps, an, asum, amn, amx) AS (VALUES
+  {values437}
+), t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames,
+         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h,
+         CAST(doc_id % 3 + 1 AS INTEGER) AS reps,
+         CAST(doc_id % 4 AS INTEGER) AS lane
+  FROM documents WHERE doc_id < 300
+), per_char AS (
+  SELECT doc_id, lane, reps, substring(hx, CAST(i AS INTEGER), 1) AS ch
+  FROM t, unnest(range(1, 33)) AS u(i)
+  WHERE lane <> 2
+), agg AS (
+  SELECT p.doc_id, any_value(p.reps) AS reps,
+         sum(CASE WHEN p.lane = 0 THEN pl.v ELSE gl.lin END) AS s,
+         min(CASE WHEN p.lane = 0 THEN pl.v ELSE gl.lin END) AS mn,
+         max(CASE WHEN p.lane = 0 THEN pl.v ELSE gl.lin END) AS mx
+  FROM per_char p
+  LEFT JOIN pcml pl ON p.lane = 0 AND pl.ch = p.ch
+  LEFT JOIN glut gl
+    ON gl.law = CASE p.lane WHEN 1 THEN 'u' WHEN 3 THEN 'a' END
+   AND gl.ch = p.ch
+  GROUP BY p.doc_id
+), stats AS (
+  SELECT doc_id, CAST(32 * reps AS BIGINT) AS n_samples,
+         CAST(s * reps AS BIGINT) AS sample_sum,
+         CAST(mn AS INTEGER) AS sample_min,
+         CAST(mx AS INTEGER) AS sample_max
+  FROM agg
+  UNION ALL
+  SELECT t.doc_id, CAST(a.an AS BIGINT), CAST(a.asum AS BIGINT),
+         CAST(a.amn AS INTEGER), CAST(a.amx AS INTEGER)
+  FROM t JOIN adp a ON a.ah = t.hx AND a.areps = t.reps
+  WHERE t.lane = 2
+)
+SELECT t.doc_id AS media_id, t.n_frames, t.w AS width, t.h AS height,
+       8000 AS sample_rate, st.n_samples, st.sample_sum,
+       st.sample_min, st.sample_max
+FROM t JOIN stats st ON st.doc_id = t.doc_id
+ORDER BY media_id
+"""
+
     # --- q33 + q40: per-doc SimHash signature and fnv1a64 fingerprint -----
     # (round-3 verdict item #5: these are fully deterministic functions
     # of the text, so the per-doc value is recomputed here sequentially
@@ -9232,41 +9326,9 @@ FROM thr, n
 """
 
 
-# q437: frame count and geometry are doc_id arithmetic; the PCM track
-# is the q427 hex derivation tiled doc_id%3+1 times -> the same 16-row
-# LUT recomputes its exact integer stats.
-ORACLE_SQL["q437_avi_av_demux"] = """
-WITH lut(ch, v) AS (VALUES
-  ('0', -12012), ('1', -11781), ('2', -11550), ('3', -11319),
-  ('4', -11088), ('5', -10857), ('6', -10626), ('7', -10395),
-  ('8', -10164), ('9', -9933),  ('a', -693),   ('b', -462),
-  ('c', -231),   ('d', 0),      ('e', 231),    ('f', 462)
-), t AS (
-  SELECT doc_id, md5(text) AS hx,
-         CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames,
-         CAST(doc_id % 11 + 6 AS INTEGER) AS w,
-         CAST(doc_id % 5 + 4 AS INTEGER) AS h,
-         CAST(doc_id % 3 + 1 AS INTEGER) AS reps
-  FROM documents WHERE doc_id < 300
-), per_char AS (
-  SELECT doc_id, reps, substring(hx, CAST(i AS INTEGER), 1) AS ch
-  FROM t, unnest(range(1, 33)) AS u(i)
-), agg AS (
-  SELECT p.doc_id, max(p.reps) AS reps,
-         sum(lut.v) AS s, min(lut.v) AS mn, max(lut.v) AS mx
-  FROM per_char p JOIN lut ON p.ch = lut.ch
-  GROUP BY p.doc_id
-)
-SELECT t.doc_id AS media_id,
-       t.n_frames, t.w AS width, t.h AS height,
-       8000 AS sample_rate,
-       CAST(32 * agg.reps AS BIGINT) AS n_samples,
-       CAST(agg.s * agg.reps AS BIGINT) AS sample_sum,
-       CAST(agg.mn AS INTEGER) AS sample_min,
-       CAST(agg.mx AS INTEGER) AS sample_max
-FROM t JOIN agg ON t.doc_id = agg.doc_id
-ORDER BY media_id
-"""
+# q437's oracle is registered by install_precomputed_oracles() (round
+# 7: the IMA ADPCM audio lane needs a text-keyed sequential recompute;
+# the PCM and G.711 lanes remain pure-SQL LUT recomputes inside it).
 
 
 # q438: identical sweep-line; the (t, d) ordering with ends first

@@ -16040,12 +16040,15 @@ def q436_sql_scripting_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Q437 — AVI A/V DEMUX (§2.2-K multimodal; completes the video
 # container story): real interleaved audio+video — lossless-JPEG
-# frames plus a 16-bit PCM 'auds' stream split into per-frame '01wb'
-# chunks (the interleave AVI is named for). The demux walks the RIFF
-# tree, reassembles the PCM from the interleaved chunks, and reports
-# frame count + exact integer audio statistics; the oracle recomputes
-# the audio stats from the q427 hex LUT and the frame count from
-# doc_id. One map stage, zero shuffle before the orderBy.
+# frames plus an 'auds' stream split into per-frame '01wb' chunks
+# (the interleave AVI is named for), whose CODEC cycles by doc_id%4
+# (round 7): 16-bit PCM, G.711 mu-law, IMA ADPCM (block-aligned chunk
+# splits + dwLength truncation), G.711 A-law. The demux walks the
+# RIFF tree, reassembles and DECODES the audio from the interleaved
+# chunks, and reports frame count + exact integer audio statistics;
+# the oracle recomputes the PCM/G.711 lanes from the q427/q417 hex
+# LUTs in pure SQL and the ADPCM lane from text-keyed VALUES (q423
+# recipe). One map stage, zero shuffle before the orderBy.
 # ---------------------------------------------------------------------------
 @query("q437_avi_av_demux")
 def q437_avi_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2454,7 +2454,7 @@ def test_avi_av_interleave_demux():
     frames = [_pixels_to_jpeg_lossless(a) for a in px]
     pcm = rng.integers(-30000, 30000, 997).astype("<i2")  # odd count
     avi = _frames_to_avi(frames, 9, 6, fps=10, audio=pcm.tobytes())
-    fr, w, h, fps, audio, fmt = _avi_demux(avi)
+    fr, w, h, fps, audio, fmt, _n = _avi_demux(avi)
     assert (len(fr), w, h, fps) == (4, 9, 6, 10)
     assert np.frombuffer(audio, dtype="<i2").tolist() == pcm.tolist()
     assert (fmt[0], fmt[1], fmt[2], fmt[5]) == (1, 1, 8000, 16)
@@ -2466,7 +2466,7 @@ def test_avi_av_interleave_demux():
 
     from luxo_rs_spark.multimodal.media import demux_avi_av  # noqa: F401
 
-    _, _, _, _, a2, f2 = _avi_demux(_frames_to_avi(frames, 9, 6))
+    _, _, _, _, a2, f2, _n2 = _avi_demux(_frames_to_avi(frames, 9, 6))
     assert a2 == b"" and f2 is None
 
 
@@ -2484,14 +2484,37 @@ def test_avi_av_demux_spark(spark):
         r.media_id: r
         for r in demux_avi_av(synth_avi_av_table(docs)).collect()
     }
+    from luxo_rs_spark.multimodal.media import (
+        _ALAW_LUT,
+        _ULAW_LUT,
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+    )
+
+    import numpy as np
+
     for row in docs.collect():
         did = row.doc_id
         hx = hashlib.md5(row.text.encode()).hexdigest()
         reps = did % 3 + 1
-        vals = [(ord(c) - 100) * 231 for c in hx]
+        lane = did % 4  # round-7 codec lanes
         r = got[did]
         assert r.n_frames == did % 4 + 2
-        assert (r.n_samples, r.sample_sum) == (32 * reps, sum(vals) * reps)
+        if lane == 0:
+            vals = [(ord(c) - 100) * 231 for c in hx] * reps
+        elif lane in (1, 3):
+            lut = _ULAW_LUT if lane == 1 else _ALAW_LUT
+            vals = [int(lut[ord(c)]) for c in hx] * reps
+        else:
+            data = hx.encode() * (reps * 24)
+            samples = (
+                (np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+                 - 100) * 231
+            ).astype("<i2")
+            vals = _ima_adpcm_decode(
+                _ima_adpcm_encode(samples, 256), 256, len(samples), 1
+            ).tolist()
+        assert (r.n_samples, r.sample_sum) == (len(vals), sum(vals))
         assert (r.sample_min, r.sample_max) == (min(vals), max(vals))
 
 
@@ -2730,3 +2753,69 @@ def test_adpcm_stereo_wav_through_decode_path(spark):
     # doc 7 is stereo: per-channel count = len(utf-8 bytes), total 2x
     assert rows[7].n_samples == 2 * len("stereo lane text".encode())
     assert rows[8].n_samples == len("mono lane text".encode())
+
+
+def test_avi_compressed_audio_tracks():
+    """Round-6 verdict item 9: '01wb' streams carrying G.711 and IMA
+    ADPCM — chunk reassembly must land on codec-unit boundaries (one
+    byte for G.711, one 256-byte block for ADPCM), the strf tag must
+    drive the decode, and dwLength must truncate the ADPCM tail pad."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _ALAW_LUT,
+        _ULAW_LUT,
+        _avi_demux,
+        _frames_to_avi,
+        _ima_adpcm_decode,
+        _ima_adpcm_encode,
+        _pixels_to_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(51)
+    px = [rng.integers(0, 256, (5, 7, 3), dtype=np.uint8) for _ in range(3)]
+    frames = [_pixels_to_jpeg_lossless(a) for a in px]
+
+    # G.711: bytes pass through; every byte is one sample
+    g = rng.integers(0, 256, 1001, dtype=np.uint8).tobytes()  # odd count
+    for tag, lut in ((6, _ALAW_LUT), (7, _ULAW_LUT)):
+        avi = _frames_to_avi(frames, 7, 5, audio=g, audio_format=tag)
+        fr, _w, _h, _f, audio, fmt, _n = _avi_demux(avi)
+        assert audio == g and fmt[0] == tag and fmt[5] == 8
+        # the '01wb' chunks never split a byte (trivially) and the LUT
+        # expansion matches a direct table lookup
+        assert (lut[np.frombuffer(audio, np.uint8)]
+                == lut[np.frombuffer(g, np.uint8)]).all()
+
+    # IMA ADPCM: 700 samples -> 3 blocks of 256 bytes; chunks must
+    # each be a whole number of blocks
+    n = 700
+    pcm = (2000 * np.sin(np.arange(n) / 11)).astype(np.int16)
+    enc = _ima_adpcm_encode(pcm, 256)
+    avi = _frames_to_avi(
+        frames, 7, 5, audio=enc, audio_format=0x11,
+        block_align=256, audio_samples=n,
+    )
+    # structural: every '01wb' chunk length is a multiple of 256
+    pos, sizes = 12, []
+    buf = avi
+
+    def walk(pos, end):
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            import struct as _s
+
+            (size,) = _s.unpack_from("<I", buf, pos + 4)
+            if cid == b"LIST":
+                walk(pos + 12, pos + 8 + size)
+            elif cid == b"01wb":
+                sizes.append(size)
+            pos += 8 + size + (size & 1)
+
+    walk(12, len(avi))
+    assert sizes and all(s % 256 == 0 for s in sizes) and sum(sizes) == len(enc)
+    fr, _w, _h, _f, audio, fmt, alen = _avi_demux(avi)
+    assert fmt[0] == 0x11 and fmt[4] == 256 and alen == n
+    dec = _ima_adpcm_decode(audio, 256, alen, 1)
+    want = _ima_adpcm_decode(enc, 256, n, 1)
+    assert (dec == want).all() and len(dec) == n
