@@ -63,15 +63,30 @@ def _r2x(col) -> F.Column:
 
 
 def _r2money(col) -> F.Column:
-    """round(SUM(x), 2) with the sum taken in exact DECIMAL(18,6):
-    per-row quantization to 1e-6 is identical on both engines (a
-    double is never exactly on a decimal tie), the sum is then
-    order-INDEPENDENT, and the rounded result casts back to double.
-    The sf1 gate showed every output-facing money sum needs this —
-    plain double sums drift past cent boundaries once groups reach
-    ~1e10 in magnitude (q128/q152/q198 recipe)."""
+    """round(SUM(x), 2) with the sum exact and order-INDEPENDENT:
+    per-row quantization to 1e-6 via the DECIMAL(18,6) cast is
+    identical on both engines (a double is never exactly on a decimal
+    tie), and the rounded result casts back to double. The sf1 gate
+    showed every output-facing money sum needs this — plain double
+    sums drift past cent boundaries once groups reach ~1e10 in
+    magnitude (q128/q152/q198 recipe).
+
+    Round 7 (verdict item 5): the ACCUMULATION no longer runs in
+    decimal — sum(decimal(28,6)) leaves Spark's compact-long fast path
+    and cost q01 ~0.7 s at sf0.1. Instead the quantized micros ride
+    TWO long sums (high 44 bits and low 20 bits of each row's micro
+    count — arithmetic shift keeps the identity for negatives) that
+    whole-stage codegen keeps in registers, recombined exactly in
+    decimal on the handful of OUTPUT rows. Overflow headroom: the low
+    sum holds 2^43 rows per group, the high sum ~1e19 money units per
+    group — far past a 100 TB group. Bit-identical to the decimal
+    sum (equality pinned in tests/test_oracle.py), so every existing
+    round(sum(CAST AS DECIMAL(18,6)), 2) oracle is unchanged."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(F.sum(c.cast("decimal(18,6)")), 2).cast("double")
+    m = (c.cast("decimal(18,6)") * 1000000).cast("long")
+    hi = F.sum(F.shiftright(m, 20)).cast("decimal(38,0)")
+    lo = F.sum(m.bitwiseAND(F.lit(1048575))).cast("decimal(38,0)")
+    return F.round((hi * 1048576 + lo) / F.lit(1000000), 2).cast("double")
 
 
 def _avg4(col) -> F.Column:
