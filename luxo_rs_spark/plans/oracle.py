@@ -9355,3 +9355,161 @@ FROM curve
 GROUP BY day
 ORDER BY day
 """
+
+
+# q440: the PII is injected deterministically from doc_id, so the
+# whole pipeline — Luhn check-digit construction, corruption parity,
+# regex counts on the combined text, full-fold re-validation of the
+# EXTRACTED card, redaction md5 — is recomputable in pure SQL. The
+# regex subset used (classes, bounded repeats, \b) behaves identically
+# in Java regex and RE2.
+ORACLE_SQL["q440_pii_redaction"] = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS pfx
+  FROM documents WHERE doc_id < 400
+), chk AS (
+  SELECT doc_id, text, pfx,
+         (10 - list_sum(list_transform(range(1, 16), i -> CASE
+             WHEN (16 - i) % 2 = 0 THEN
+               CASE WHEN CAST(substring(pfx, CAST(i AS INT), 1) AS INT) * 2 > 9
+                    THEN CAST(substring(pfx, CAST(i AS INT), 1) AS INT) * 2 - 9
+                    ELSE CAST(substring(pfx, CAST(i AS INT), 1) AS INT) * 2 END
+             ELSE CAST(substring(pfx, CAST(i AS INT), 1) AS INT) END)) % 10
+         ) % 10 AS chk0
+  FROM base
+), built AS (
+  SELECT doc_id, text,
+         pfx || CAST(CASE WHEN doc_id % 2 = 0 THEN chk0
+                          ELSE (chk0 + 1) % 10 END AS VARCHAR) AS card,
+         (doc_id % 2 = 0) AS card_luhn_valid
+  FROM chk
+), injected AS (
+  SELECT doc_id, card_luhn_valid,
+         text || ' contact u' || doc_id || '@ex' || (doc_id % 7)
+              || '.com tel +1-'
+              || lpad(CAST(doc_id % 800 + 200 AS VARCHAR), 3, '0')
+              || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+              || '.' || (doc_id % 100)
+              || ' card ' || card AS t
+  FROM built
+), det AS (
+  SELECT doc_id, card_luhn_valid, t,
+         regexp_extract(t, '\b\d{16}\b') AS ext
+  FROM injected
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\+1-\d{3}-555-\d{4}')) AS INT) AS n_phones,
+  CAST(len(regexp_extract_all(t,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+  (length(ext) = 16) AS card_found,
+  (list_sum(list_transform(range(1, 17), i -> CASE
+      WHEN (17 - i) % 2 = 0 THEN
+        CASE WHEN CAST(substring(ext, CAST(i AS INT), 1) AS INT) * 2 > 9
+             THEN CAST(substring(ext, CAST(i AS INT), 1) AS INT) * 2 - 9
+             ELSE CAST(substring(ext, CAST(i AS INT), 1) AS INT) * 2 END
+      ELSE CAST(substring(ext, CAST(i AS INT), 1) AS INT) END)) % 10 = 0
+  ) AS luhn_ok,
+  card_luhn_valid,
+  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+      '\b\d{16}\b', '[CARD]', 'g'),
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      '\+1-\d{3}-555-\d{4}', '[PHONE]', 'g'),
+      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_md5
+FROM det
+ORDER BY doc_id
+"""
+
+
+# q441: the oracle applies the SAME change batch to the base table and
+# recomputes the view from scratch — equality proves the signed-delta
+# incremental merge maintains the exact state.
+ORACLE_SQL["q441_incremental_mv"] = """
+WITH post AS (
+  SELECT o_orderstatus, o_orderdate,
+         CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+              THEN o_totalprice + 50.0 ELSE o_totalprice END AS p
+  FROM orders
+  WHERE NOT (o_orderkey % 17 = 0)
+)
+SELECT o_orderstatus,
+       strftime(o_orderdate, '%Y-%m') AS month,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(p AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_price
+FROM post
+GROUP BY o_orderstatus, month
+ORDER BY o_orderstatus, month
+"""
+
+
+# q442: same tokenize rule, same boolean algebra in set SQL.
+ORACLE_SQL["q442_boolean_retrieval"] = """
+WITH postings AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS token
+    FROM documents
+  ) WHERE token <> ''
+), q1 AS (
+  SELECT doc_id FROM postings
+  WHERE token IN ('hash', 'join', 'filter')
+  GROUP BY doc_id HAVING count(*) = 3
+), q2 AS (
+  SELECT DISTINCT doc_id FROM postings WHERE token IN ('stream', 'vector')
+), q3 AS (
+  SELECT doc_id FROM postings WHERE token = 'scan'
+  AND doc_id NOT IN (SELECT doc_id FROM postings WHERE token = 'merge')
+)
+SELECT 'q1' AS query_id, 'hash AND join AND filter' AS expr,
+       count(*) AS n_hits,
+       CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_checksum,
+       min(doc_id) AS first_hit FROM q1
+UNION ALL
+SELECT 'q2', 'stream OR vector', count(*),
+       CAST(coalesce(sum(doc_id), 0) AS BIGINT), min(doc_id) FROM q2
+UNION ALL
+SELECT 'q3', 'scan AND NOT merge', count(*),
+       CAST(coalesce(sum(doc_id), 0) AS BIGINT), min(doc_id) FROM q3
+ORDER BY query_id
+"""
+
+
+# q443: identical rank-weighted integer Gini over the frequency table;
+# the (cnt, key) rank is a deterministic total order.
+ORACLE_SQL["q443_skew_diagnostics"] = """
+WITH freq AS (
+  SELECT l_suppkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT key, cnt, row_number() OVER (ORDER BY cnt, key) AS r FROM freq
+)
+SELECT count(*) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+       round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS skew_factor,
+       round((2.0 * sum(r * cnt) - (count(*) + 1) * sum(cnt))
+             / (count(*) * CAST(sum(cnt) AS DOUBLE)), 6) AS gini
+FROM ranked
+"""
+
+
+# q444: ZIP is lossless — member payload md5 == md5(text), method is
+# id parity, archive_members is the per-source doc count.
+ORACLE_SQL["q444_zip_roundtrip"] = """
+WITH d AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id < 400
+), grp AS (
+  SELECT source, count(*) AS n FROM d GROUP BY source
+)
+SELECT d.source AS "group",
+       d.doc_id,
+       CAST(CASE WHEN d.doc_id % 2 = 1 THEN 8 ELSE 0 END AS INT) AS method,
+       CAST(octet_length(d.text::BLOB) AS BIGINT) AS payload_bytes,
+       md5(d.text) AS payload_md5,
+       TRUE AS crc_ok,
+       CAST(grp.n AS INT) AS archive_members
+FROM d JOIN grp ON grp.source = d.source
+ORDER BY d.doc_id
+"""

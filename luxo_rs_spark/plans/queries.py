@@ -16150,3 +16150,305 @@ def q439_ivf_adc_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_adc_pruned_probe(
         spark, path, cent, qvec, n_probe=4, k=8, shortlist=32, exclude_id=3
     ).select("vec_id", "ivf_cluster", F.round("sim", 4).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# Q440 — PII detection + redaction (§2.2-K text analysis; round 7):
+# the compliance pass every LLM training corpus needs — regex
+# detection of emails / phones / IPv4s / 16-digit card candidates,
+# REAL Luhn mod-10 validation of the card (a deterministic digit fold,
+# not a pattern shortcut — half the lanes carry a corrupted check
+# digit the validator must reject), and md5 of the redacted text.
+# PII is INJECTED deterministically from doc_id (the synth-lane
+# recipe) so every detector fires on known ground truth; accidental
+# matches in the fixture text hit query and oracle identically. All
+# JVM-side Column/regex algebra — no UDF; at 100 TB this is one map
+# stage, zero shuffle before the orderBy.
+# ---------------------------------------------------------------------------
+@query("q440_pii_redaction")
+def q440_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    # 15-digit prefix + Luhn check digit; odd docs corrupt it (+1 mod 10)
+    prefix = F.concat(
+        F.lit("4"), F.lpad((did % 100000000).cast("string"), 14, "0")
+    )
+    luhn_sum = F.expr(
+        """aggregate(sequence(1, 15), 0, (acc, i) -> acc + CASE
+             WHEN (16 - i) % 2 = 0 THEN
+               CASE WHEN CAST(substring(__pfx, i, 1) AS INT) * 2 > 9
+                    THEN CAST(substring(__pfx, i, 1) AS INT) * 2 - 9
+                    ELSE CAST(substring(__pfx, i, 1) AS INT) * 2 END
+             ELSE CAST(substring(__pfx, i, 1) AS INT) END)"""
+    )
+    staged = docs.select(
+        "doc_id",
+        "text",
+        prefix.alias("__pfx"),
+    ).select(
+        "doc_id",
+        "text",
+        "__pfx",
+        ((10 - luhn_sum % 10) % 10).alias("__chk"),
+    )
+    card = F.concat(
+        F.col("__pfx"),
+        F.when(did % 2 == 0, F.col("__chk"))
+        .otherwise((F.col("__chk") + 1) % 10)
+        .cast("string"),
+    )
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did.cast("string"),
+        F.lit("@ex"), (did % 7).cast("string"), F.lit(".com tel +1-"),
+        F.lpad((did % 800 + 200).cast("string"), 3, "0"), F.lit("-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."), (did % 256).cast("string"),
+        F.lit("."), ((did * 7) % 256).cast("string"),
+        F.lit("."), (did % 100).cast("string"),
+        F.lit(" card "), card,
+    )
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+1-\d{3}-555-\d{4}"
+    ip_re = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    card_re = r"\b\d{16}\b"
+    t = staged.select(
+        "doc_id",
+        injected.alias("__t"),
+        card.alias("__card"),
+        (did % 2 == 0).alias("card_luhn_valid"),
+    )
+    # validate the EXTRACTED card with a full Luhn fold over all 16
+    # digits (sum % 10 == 0), independent of how it was built
+    extracted = F.regexp_extract(F.col("__t"), card_re, 0)
+    full_luhn = F.expr(
+        """aggregate(sequence(1, 16), 0, (acc, i) -> acc + CASE
+             WHEN (17 - i) % 2 = 0 THEN
+               CASE WHEN CAST(substring(__ext, i, 1) AS INT) * 2 > 9
+                    THEN CAST(substring(__ext, i, 1) AS INT) * 2 - 9
+                    ELSE CAST(substring(__ext, i, 1) AS INT) * 2 END
+             ELSE CAST(substring(__ext, i, 1) AS INT) END)"""
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("__t"), card_re, "[CARD]"),
+                email_re, "[EMAIL]",
+            ),
+            phone_re, "[PHONE]",
+        ),
+        ip_re, "[IP]",
+    )
+    return (
+        t.withColumn("__ext", extracted)
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all(F.col("__t"), F.lit(email_re), 0))
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all(F.col("__t"), F.lit(phone_re), 0))
+            .alias("n_phones"),
+            F.size(F.regexp_extract_all(F.col("__t"), F.lit(ip_re), 0))
+            .alias("n_ips"),
+            (F.length("__ext") == 16).alias("card_found"),
+            ((full_luhn % 10) == 0).alias("luhn_ok"),
+            "card_luhn_valid",
+            F.md5(redacted).alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q441 — incremental materialized-view maintenance (§2.2-A/D engine
+# feature; round 7): the MV state (n, hi, lo — split-long exact money
+# micros, the _r2money accumulation) is SELF-MAINTAINABLE — a change
+# batch folds in as SIGNED deltas (-old, +new for updates; -old for
+# deletes) through ordinary addition, no base-table rescan. The query
+# runs the REAL incremental path (base MV ∪ signed delta → merge →
+# drop n=0 groups) and the oracle recomputes the final state from the
+# post-change table directly — incremental == full recompute IS the
+# correctness claim. At 100 TB the delta merge shuffles only
+# |delta groups| rows against the stored MV; this is exactly how a
+# foreachBatch streaming upsert maintains the same state.
+# ---------------------------------------------------------------------------
+@query("q441_incremental_mv")
+def q441_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def state(df, sign: int):
+        m = (
+            F.col("o_totalprice").cast("decimal(18,6)") * 1000000
+        ).cast("long")
+        return df.groupBy(
+            "o_orderstatus",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        ).agg(
+            (F.count(F.lit(1)) * sign).alias("n"),
+            (F.sum(F.shiftright(m, 20)) * sign).alias("hi"),
+            (F.sum(m.bitwiseAND(F.lit(1048575))) * sign).alias("lo"),
+        )
+
+    mv = state(orders, 1)
+    touched = orders.filter(
+        (F.col("o_orderkey") % 13 == 0) | (F.col("o_orderkey") % 17 == 0)
+    )
+    retract = state(touched, -1)
+    updated = touched.filter(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 17 != 0)
+    ).withColumn("o_totalprice", F.col("o_totalprice") + 50.0)
+    insert = state(updated, 1)
+    merged = (
+        mv.unionByName(retract)
+        .unionByName(insert)
+        .groupBy("o_orderstatus", "month")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("hi").cast("decimal(38,0)").alias("hi"),
+            F.sum("lo").cast("decimal(38,0)").alias("lo"),
+        )
+        .filter(F.col("n") > 0)
+    )
+    return merged.select(
+        "o_orderstatus",
+        "month",
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.round((F.col("hi") * 1048576 + F.col("lo")) / F.lit(1000000), 2)
+        .cast("double")
+        .alias("total_price"),
+    ).orderBy("o_orderstatus", "month")
+
+
+# ---------------------------------------------------------------------------
+# Q442 — boolean inverted-index retrieval (§2.2-K text analysis; round
+# 7): the postings list (token -> doc_id, built ONCE with the q68
+# tokenize rule) answers AND / OR / AND-NOT term queries as set
+# algebra over postings — count-matching for AND (a doc qualifies iff
+# it holds ALL terms), union-distinct for OR, anti-join for NOT —
+# never a full-text rescan per query. At 100 TB the postings table is
+# the thing you bucket BY token; each query touches only its terms'
+# postings. Output is a per-query result digest (hits + id checksum).
+# ---------------------------------------------------------------------------
+@query("q442_boolean_retrieval")
+def q442_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    postings = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+
+    def term(t: str):
+        return postings.filter(F.col("token") == t).select("doc_id")
+
+    def digest(df, qid: str, expr: str):
+        return df.agg(
+            F.lit(qid).alias("query_id"),
+            F.lit(expr).alias("expr"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).cast("bigint")
+            .alias("id_checksum"),
+            F.min("doc_id").alias("first_hit"),
+        )
+
+    # q1: hash AND join AND filter — count-matching over one postings scan
+    and_hits = (
+        postings.filter(F.col("token").isin("hash", "join", "filter"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .filter(F.col("k") == 3)
+        .select("doc_id")
+    )
+    # q2: stream OR vector
+    or_hits = (
+        postings.filter(F.col("token").isin("stream", "vector"))
+        .select("doc_id")
+        .distinct()
+    )
+    # q3: scan AND NOT merge
+    not_hits = term("scan").join(term("merge"), "doc_id", "left_anti")
+    return (
+        digest(and_hits, "q1", "hash AND join AND filter")
+        .unionByName(digest(or_hits, "q2", "stream OR vector"))
+        .unionByName(digest(not_hits, "q3", "scan AND NOT merge"))
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q443 — key-distribution skew diagnostics (§2.2-R5 observability;
+# round 7, the "sheds light on any query" mission applied to DATA):
+# before shuffling 100 TB on a key, audit the key's distribution —
+# distinct keys, heaviest key share, max/avg skew factor, and the
+# exact Gini coefficient of the frequency distribution (rank-weighted
+# integer sums over the pre-aggregated frequency table; the global
+# window sits above an Aggregate so its input is key-cardinality
+# bounded, the SCALING.md pre-agg pattern). One double division at
+# the very end; everything before it is exact integer algebra.
+# ---------------------------------------------------------------------------
+@query("q443_skew_diagnostics")
+def q443_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("cnt", "key")
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_key_rows"),
+        F.round(
+            F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt"), 4
+        ).alias("skew_factor"),
+        # Gini = (2*sum(r*x) / (n*sum(x)) - (n+1)/n), x ascending by
+        # (cnt, key) — exact integer numerators, one final division
+        F.round(
+            (
+                F.lit(2.0) * F.sum(F.col("r").cast("bigint") * F.col("cnt"))
+                - (F.count(F.lit(1)) + 1) * F.sum("cnt")
+            )
+            / (F.count(F.lit(1)) * F.sum("cnt")),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q444 — ZIP archive ingestion round-trip (§2.2-A source/sink; round
+# 7): group the documents by source into ONE zip blob per group
+# (applyInPandas — the write-side small-files compaction shape),
+# then explode the archives back to members executor-side
+# (mapInPandas central-directory walk, CRC-32 verified, stored and
+# deflate members cycling by id parity). ZIP is lossless, so every
+# member's payload md5 equals md5(text) and all the container
+# arithmetic (method, member count, sizes for STORED members) is
+# SQL-recomputable. sources/archive.py is a from-scratch PKWARE
+# APPNOTE writer+reader — interop with stdlib zipfile is pinned in
+# tests (both directions), so "crc_ok" is a real verification.
+# ---------------------------------------------------------------------------
+@query("q444_zip_roundtrip")
+def q444_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.archive import read_zip_members, zip_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    archives = zip_documents(docs, group_col="source")
+    return (
+        read_zip_members(archives)
+        .select(
+            "group",
+            F.regexp_extract("name", r"doc_(\d+)\.txt", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "method",
+            "payload_bytes",
+            "payload_md5",
+            "crc_ok",
+            "archive_members",
+        )
+        .orderBy("doc_id")
+    )

@@ -2819,3 +2819,78 @@ def test_avi_compressed_audio_tracks():
     dec = _ima_adpcm_decode(audio, 256, alen, 1)
     want = _ima_adpcm_decode(enc, 256, n, 1)
     assert (dec == want).all() and len(dec) == n
+
+
+def test_zip_interop_both_directions_and_crc():
+    """sources/archive.py must interoperate with stdlib zipfile in
+    BOTH directions (our writer's blobs open in zipfile; zipfile's
+    blobs parse in our reader), and a corrupted member must flip ONLY
+    its own crc_ok — proof the CRC verification is real."""
+    import io
+    import zipfile
+
+    from luxo_rs_spark.sources.archive import build_zip, parse_zip
+
+    members = [
+        ("a.txt", b"hello world" * 20, 8),
+        ("b.bin", bytes(range(256)), 0),
+        ("c.txt", b"", 8),
+        ("d.txt", "unicode ü€".encode(), 0),
+    ]
+    blob = build_zip(members)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert [i.filename for i in zf.infolist()] == [m[0] for m in members]
+    for name, payload, method in members:
+        assert zf.read(name) == payload
+        assert zf.getinfo(name).compress_type == method
+    assert zf.testzip() is None
+    ms = parse_zip(blob)
+    assert all(m["crc_ok"] for m in ms)
+    assert [(m["name"], bytes(m["payload"])) for m in ms] == [
+        (n, p) for n, p, _ in members
+    ]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("x.txt", b"stdlib stored", compress_type=zipfile.ZIP_STORED)
+        z.writestr(
+            "y.txt", b"stdlib deflated " * 50,
+            compress_type=zipfile.ZIP_DEFLATED,
+        )
+    ms2 = parse_zip(buf.getvalue())
+    assert [(m["name"], bytes(m["payload"]), m["crc_ok"]) for m in ms2] == [
+        ("x.txt", b"stdlib stored", True),
+        ("y.txt", b"stdlib deflated " * 50, True),
+    ]
+    bad = bytearray(blob)
+    bad[blob.index(bytes(range(256)))] ^= 0xFF
+    msb = parse_zip(bytes(bad))
+    assert msb[0]["crc_ok"] and not msb[1]["crc_ok"]
+
+
+def test_zip_documents_spark_roundtrip(spark):
+    """q444's distributed path on a micro-fixture: one archive per
+    group, members id-ordered, stored/deflate by parity, payloads
+    lossless through the shuffle + two Python stages."""
+    import hashlib
+
+    from luxo_rs_spark.sources.archive import read_zip_members, zip_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha text", "en", "web", 10),
+            (2, "beta " * 100, "en", "web", 500),
+            (3, "", "en", "books", 0),
+            (4, "gamma", "de", "books", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = read_zip_members(zip_documents(docs, group_col="source")).collect()
+    rows = {r.name: r for r in out}
+    assert set(rows) == {f"doc_{i}.txt" for i in (1, 2, 3, 4)}
+    for i, t in ((1, "alpha text"), (2, "beta " * 100), (3, ""), (4, "gamma")):
+        r = rows[f"doc_{i}.txt"]
+        assert r.crc_ok and r.method == (8 if i % 2 else 0)
+        assert r.payload_md5 == hashlib.md5(t.encode()).hexdigest()
+        assert r.payload_bytes == len(t.encode())
+    assert rows["doc_1.txt"].archive_members == 2  # web group
+    assert rows["doc_3.txt"].archive_members == 2  # books group
