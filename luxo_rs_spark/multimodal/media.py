@@ -137,51 +137,29 @@ def _decode_bmp(content: bytes) -> dict:
     }
 
 
-def _decode_png(content: bytes) -> dict:
-    """GENUINE decoder: PNG via stdlib ``zlib`` — no codec library.
-    Parses the chunk stream (IHDR geometry, concatenated IDAT deflate
-    stream), inflates, and inverts all five scanline filters (None /
-    Sub / Up / Average / Paeth, PNG spec §9). Supports the 8-bit
-    non-interlaced color types real encoders emit: greyscale (0),
-    RGB (2), grey+alpha (4), RGBA (6). Payload is the raw top-down
-    pixel array (width * channels bytes per row)."""
-    import zlib
+#: Adam7 pass grid: (x0, y0, dx, dy) per pass, PNG spec §8.2
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    if content[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG signature")
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(content):
-        size, cid = struct.unpack_from(">I4s", content, pos)
-        body = content[pos + 8 : pos + 8 + size]
-        if cid == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
-        elif cid == b"IDAT":
-            idat.append(body)
-        elif cid == b"IEND":
-            break
-        pos += 12 + size  # length + type + body + CRC
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR or IDAT")
-    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
-    if bit_depth != 8 or interlace != 0:
-        raise NotImplementedError(
-            "only 8-bit non-interlaced PNGs are supported"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
-    if channels is None:
-        raise NotImplementedError(f"unsupported PNG color type {color_type}")
-    raw = zlib.decompress(b"".join(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG pixel data length mismatch")
-    # invert per-scanline filters; `prev` is the reconstructed prior row
-    out = np.empty((height, stride), dtype=np.uint8)
+
+def _png_unfilter(
+    raw: bytes, offset: int, h: int, w: int, channels: int
+) -> "np.ndarray":
+    """Invert the five PNG scanline filters (None / Sub / Up / Average
+    / Paeth, spec §9) over ``h`` rows of ``w`` pixels starting at
+    ``offset``; filter state (the prior row) is LOCAL to the call —
+    each Adam7 pass is an independent reduced image."""
+    stride = w * channels
+    out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels  # bytes per pixel at bit depth 8
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
+    bpp = channels
+    for y in range(h):
+        ftype = raw[offset + y * (stride + 1)]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            raw, dtype=np.uint8, count=stride,
+            offset=offset + y * (stride + 1) + 1,
         ).copy()
         if ftype == 0:  # None
             cur = line
@@ -210,6 +188,65 @@ def _decode_png(content: bytes) -> dict:
             raise ValueError(f"invalid PNG filter type {ftype}")
         out[y] = cur
         prev = cur
+    return out
+
+
+def _decode_png(content: bytes) -> dict:
+    """GENUINE decoder: PNG via stdlib ``zlib`` — no codec library.
+    Parses the chunk stream (IHDR geometry, concatenated IDAT deflate
+    stream), inflates, and inverts all five scanline filters (None /
+    Sub / Up / Average / Paeth, PNG spec §9) — per reduced image for
+    Adam7 INTERLACED streams (spec §8.2, round 7: seven passes, each
+    independently filtered, scattered back on the pass grid; empty
+    passes contribute zero bytes). Supports the 8-bit color types real
+    encoders emit: greyscale (0), RGB (2), grey+alpha (4), RGBA (6).
+    Payload is the raw top-down pixel array (width * channels bytes
+    per row)."""
+    import zlib
+
+    if content[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(content):
+        size, cid = struct.unpack_from(">I4s", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif cid == b"IDAT":
+            idat.append(body)
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # length + type + body + CRC
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR or IDAT")
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if bit_depth != 8:
+        raise NotImplementedError("only 8-bit PNGs are supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * channels
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG pixel data length mismatch")
+        out = _png_unfilter(raw, 0, height, width, channels)
+    else:
+        out = np.zeros((height, width, channels), dtype=np.uint8)
+        ofs = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = -(-(width - x0) // dx) if width > x0 else 0
+            ph = -(-(height - y0) // dy) if height > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            sub = _png_unfilter(raw, ofs, ph, pw, channels)
+            ofs += ph * (pw * channels + 1)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if ofs != len(raw):
+            raise ValueError("PNG interlaced data length mismatch")
+        out = out.reshape(height, stride)
     return {
         "kind": "image",
         "width": width,
@@ -219,10 +256,12 @@ def _decode_png(content: bytes) -> dict:
     }
 
 
-def _pixels_to_png(arr: "np.ndarray") -> bytes:
+def _pixels_to_png(arr: "np.ndarray", interlace: bool = False) -> bytes:
     """Minimal PNG encoder (stdlib zlib, filter type 0 per row) for
     (h, w, channels) uint8 arrays — lets sinks and tests produce real
-    PNG bytes without any imaging library."""
+    PNG bytes without any imaging library. ``interlace=True`` emits
+    the Adam7 layout (round 7): the seven reduced images concatenated
+    pass-major, each row carrying its own filter byte."""
     import zlib
 
     h, w, ch = arr.shape
@@ -236,8 +275,21 @@ def _pixels_to_png(arr: "np.ndarray") -> bytes:
             + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 8, color_type, 0, 0, 1 if interlace else 0
+    )
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(
+                b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])
+            )
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -3366,7 +3418,11 @@ def synth_png_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 rows.append(
                     {
                         "media_id": int(doc_id),
-                        "content": _pixels_to_png(arr),
+                        # odd docs Adam7-interlaced (round 7) — a
+                        # layout change only, decode is lossless
+                        "content": _pixels_to_png(
+                            arr, interlace=bool(int(doc_id) % 2)
+                        ),
                     }
                 )
             yield pd.DataFrame(rows)

@@ -6774,13 +6774,32 @@ HAVING count(*) > (SELECT count(*) FROM tok) / 50.0
 ORDER BY cnt DESC, term
 """
 
+# q362: PNG is lossless, so since round 7 the oracle pins the FULL
+# decoded payload md5, not just geometry: pixels tile the raw text
+# bytes (the corpus is pure ASCII — verified per fixture build — so
+# char arithmetic IS byte arithmetic), empty text is the explicit
+# all-zero payload. The Adam7 lanes (odd ids) change only the
+# container bytes, never the decoded payload.
 ORACLE_SQL["q362_png_decode"] = """
-SELECT doc_id AS media_id,
-       CAST(doc_id % 13 + 3 AS INTEGER) AS width,
-       CAST(doc_id % 7 + 2 AS INTEGER) AS height,
-       CAST((doc_id % 7 + 2) * (doc_id % 13 + 3) * 3 AS BIGINT) AS payload_bytes
-FROM documents
-WHERE doc_id < 150
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(doc_id % 13 + 3 AS INTEGER) AS w,
+         CAST(doc_id % 7 + 2 AS INTEGER) AS h
+  FROM documents WHERE doc_id < 150
+), px AS (
+  SELECT doc_id, w, h,
+         CASE WHEN length(text) = 0
+              THEN repeat(chr(0), w * h * 3)
+              ELSE substring(
+                     repeat(text, CAST(w * h * 3 / length(text) AS INT) + 1),
+                     1, w * h * 3)
+         END AS payload
+  FROM t
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(w * h * 3 AS BIGINT) AS payload_bytes,
+       md5(payload) AS payload_md5
+FROM px
 ORDER BY media_id
 """
 

@@ -12759,44 +12759,25 @@ def q361_random_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q362 — real-PNG decode pipeline (§2.2-K multimodal): synthesize
-# genuine zlib-compressed PNGs from document text (real encoder), run
-# the distributed decode (inflate + five-filter reconstruction,
-# media.py:_decode_png), and emit the geometry — which the DuckDB
-# oracle reproduces as arithmetic on doc_id, so a decode that misreads
-# IHDR or mis-inflates IDAT hash-mismatches. Decode is map-side only:
-# the single shuffle is the final ORDER BY.
+# genuine zlib-compressed PNGs from document text (real encoder; odd
+# doc_ids Adam7-INTERLACED since round 7 — seven independently
+# filtered reduced images), run the distributed decode (inflate +
+# five-filter reconstruction per pass, media.py:_decode_png), and emit
+# geometry + the FULL decoded payload md5 — PNG is lossless, so the
+# oracle recomputes the pixel tiling from the text itself (the
+# fixture corpus is pure ASCII, verified, so char arithmetic IS byte
+# arithmetic; empty text is the explicit all-zero case). Decode is
+# map-side only: the single shuffle is the final ORDER BY.
 # ---------------------------------------------------------------------------
 @query("q362_png_decode")
 def q362_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from luxo_rs_spark.multimodal.media import synth_png_table
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_png_table,
+    )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    pngs = synth_png_table(docs)
-    # decode straight from real PNG bytes; payload_bytes = h*w*3 proves
-    # the inflated, defiltered pixel array has exactly the right size
-    from luxo_rs_spark.multimodal.media import decode_media
-
-    media = pngs.select(
-        "media_id",
-        F.lit("image").alias("kind"),
-        "content",
-        F.struct(
-            F.lit(None).cast("int").alias("width"),
-            F.lit(None).cast("int").alias("height"),
-            F.lit(None).cast("int").alias("sample_rate"),
-            F.lit(None).cast("long").alias("n_bytes"),
-        ).alias("meta"),
-    )
-    return (
-        decode_media(media)
-        .select(
-            "media_id",
-            "width",
-            "height",
-            F.col("payload_bytes").cast("bigint").alias("payload_bytes"),
-        )
-        .orderBy("media_id")
-    )
+    return decode_media_digest(synth_png_table(docs)).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------

@@ -2894,3 +2894,82 @@ def test_zip_documents_spark_roundtrip(spark):
         assert r.payload_bytes == len(t.encode())
     assert rows["doc_1.txt"].archive_members == 2  # web group
     assert rows["doc_3.txt"].archive_members == 2  # books group
+
+
+def test_png_adam7_interlace_roundtrips_and_nonzero_filters():
+    """Adam7 battery (round 7): the seven reduced images each carry
+    their own filter bytes with LOCAL filter state. Beyond the
+    encoder's filter-0 roundtrip (all sizes incl. passes that vanish),
+    a hand-FILTERED interlaced stream (Sub/Up/Average/Paeth cycling
+    per row inside each pass) must reconstruct — proof the per-pass
+    unfilter never leaks the prior pass's last row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _ADAM7,
+        _decode_png,
+        _pixels_to_png,
+    )
+
+    rng = np.random.default_rng(17)
+    for (h, w) in [(1, 1), (3, 5), (8, 8), (9, 17), (16, 2)]:
+        for ch in (1, 3, 4):
+            arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            d = _decode_png(_pixels_to_png(arr, interlace=True))
+            assert d["payload"] == arr.tobytes(), (h, w, ch)
+
+    # hand-filter an interlaced stream with non-zero filter types
+    h, w, ch = 13, 21, 3
+    arr = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+
+    def fwd_filter(sub: np.ndarray) -> bytes:
+        rows = []
+        prev = np.zeros(sub.shape[1] * ch, dtype=np.int16)
+        for y in range(sub.shape[0]):
+            cur = sub[y].reshape(-1).astype(np.int16)
+            ftype = y % 4 + 1  # Sub, Up, Average, Paeth
+            out = np.empty_like(cur)
+            for x in range(len(cur)):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 2:
+                    pred = b
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                out[x] = (int(cur[x]) - pred) & 0xFF
+            rows.append(bytes([ftype]) + out.astype(np.uint8).tobytes())
+            prev = cur
+        return b"".join(rows)
+
+    raw = b"".join(
+        fwd_filter(arr[y0::dy, x0::dx])
+        for x0, y0, dx, dy in _ADAM7
+        if arr[y0::dy, x0::dx].size
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+    d = _decode_png(png)
+    assert d["payload"] == arr.tobytes()
