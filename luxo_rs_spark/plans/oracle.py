@@ -8089,6 +8089,39 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 3
 ORDER BY da, db
 """
 
+    # q446 (round 7): the leakage audit composes the q33 near-dup
+    # relation with the q67 fnv1a split assignment — both already
+    # independently retyped here — keeping cross-split pairs only.
+    ORACLE_SQL["q446_split_leakage_audit"] = f"""
+WITH RECURSIVE sims(h, sh) AS (VALUES
+  {values33}
+), f(doc_id, k, state) AS (
+  SELECT doc_id, 0, CAST(14695981039346656037 AS HUGEINT) FROM documents
+  UNION ALL
+  SELECT doc_id, k + 1,
+         (xor(state, (CAST(doc_id AS HUGEINT) >> (8 * k)) & 255)
+          * 1099511628211) % 18446744073709551616
+  FROM f WHERE k < 8
+), split_of AS (
+  SELECT doc_id,
+         CASE WHEN state % 10 < 8 THEN 'train'
+              WHEN state % 10 = 8 THEN 'val'
+              ELSE 'test' END AS split
+  FROM f WHERE k = 8
+), sd AS (
+  SELECT d.doc_id, CAST(sims.sh AS BIGINT) AS sh, s.split
+  FROM documents d
+  JOIN sims ON md5(d.text) = sims.h
+  JOIN split_of s ON s.doc_id = d.doc_id
+)
+SELECT a.doc_id AS da, b.doc_id AS db,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming,
+       a.split AS split_a, b.split AS split_b
+FROM sd a JOIN sd b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 3 AND a.split <> b.split
+ORDER BY da, db
+"""
+
     # --- Embedding-corpus-keyed oracles: q361, q36, q64, q278, q237,
     # q288 ------------------------------------------------------------------
     # These six queries are WHOLE-CORPUS results of fully deterministic
@@ -9531,4 +9564,56 @@ SELECT d.source AS "group",
        CAST(grp.n AS INT) AS archive_members
 FROM d JOIN grp ON grp.source = d.source
 ORDER BY d.doc_id
+"""
+
+
+# q445: identical token stream, same integer signal definitions.
+ORACLE_SQL["q445_repetition_signals"] = """
+WITH toks AS (
+  SELECT doc_id, u.tok, CAST(u.pos AS INT) AS pos FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok,
+           generate_subscripts(
+             regexp_split_to_array(lower(trim(text)), '\\s+'), 1) AS pos
+    FROM documents WHERE doc_id < 300
+  ) u WHERE u.tok <> ''
+), seq AS (
+  SELECT doc_id, tok, pos,
+         lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prv
+  FROM toks
+), isl AS (
+  SELECT doc_id, tok, pos,
+         sum(CASE WHEN prv IS NULL OR prv <> tok THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM seq
+), runs AS (
+  SELECT doc_id, grp, count(*) AS rl FROM isl GROUP BY doc_id, grp
+), max_run AS (
+  SELECT doc_id, max(rl) AS max_token_run FROM runs GROUP BY doc_id
+), tc AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), tok_stats AS (
+  SELECT doc_id, sum(c) AS n_tokens,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_toks
+  FROM tc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, tok, nxt, count(*) AS c FROM seq
+  WHERE nxt IS NOT NULL GROUP BY doc_id, tok, nxt
+), bg_stats AS (
+  SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bigram_n,
+         sum(CASE WHEN c > 1 THEN c * 2 ELSE 0 END) AS dup_bigram_toks
+  FROM bg GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       round(t.dup_toks / CAST(t.n_tokens AS DOUBLE), 4) AS dup_token_frac,
+       round(b.top_bigram_n / CAST(b.n_bigrams AS DOUBLE), 4)
+         AS top_bigram_share,
+       round(least(b.dup_bigram_toks / CAST(t.n_tokens AS DOUBLE), 1.0), 4)
+         AS dup_bigram_token_frac,
+       CAST(m.max_token_run AS BIGINT) AS max_token_run
+FROM tok_stats t JOIN bg_stats b ON t.doc_id = b.doc_id
+JOIN max_run m ON t.doc_id = m.doc_id
+ORDER BY t.doc_id
 """

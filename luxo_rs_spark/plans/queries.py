@@ -16433,3 +16433,115 @@ def q444_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q445 — within-document repetition signals (§2.2-K text analysis;
+# round 7): the Gopher/MassiveText repetition filters — fraction of
+# tokens inside duplicated word bigrams, the top bigram's share, the
+# duplicate-token fraction, and the longest run of one repeated token.
+# One explode + two bounded self-aggregations per doc; every signal is
+# exact integer arithmetic over the token stream, so the whole filter
+# is SQL-recomputable. At 100 TB this is one shuffle on doc_id
+# (map-side combinable) — the per-doc state never leaves its group.
+# ---------------------------------------------------------------------------
+@query("q445_repetition_signals")
+def q445_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("nxt", F.lead("tok").over(w)).withColumn(
+        "prv", F.lag("tok").over(w)
+    )
+    # run-length via the gaps-and-islands trick: new island when the
+    # token differs from its predecessor
+    isl = seq.withColumn(
+        "brk", F.when(F.col("prv").isNull() | (F.col("prv") != F.col("tok")), 1).otherwise(0)
+    ).withColumn("grp", F.sum("brk").over(w))
+    runs = isl.groupBy("doc_id", "grp").agg(F.count(F.lit(1)).alias("rl"))
+    max_run = runs.groupBy("doc_id").agg(F.max("rl").alias("max_token_run"))
+    tok_stats = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    ).groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup_toks"),
+    )
+    bigrams = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("doc_id", "tok", "nxt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_stats = bigrams.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.max("c").alias("top_bigram_n"),
+        F.sum(F.when(F.col("c") > 1, F.col("c") * 2).otherwise(0)).alias(
+            "dup_bigram_toks"
+        ),
+    )
+    return (
+        tok_stats.join(bg_stats, "doc_id")
+        .join(max_run, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("dup_toks") / F.col("n_tokens"), 4).alias(
+                "dup_token_frac"
+            ),
+            F.round(F.col("top_bigram_n") / F.col("n_bigrams"), 4).alias(
+                "top_bigram_share"
+            ),
+            F.round(
+                F.least(
+                    F.col("dup_bigram_toks") / (F.col("n_tokens")), F.lit(1.0)
+                ),
+                4,
+            ).alias("dup_bigram_token_frac"),
+            F.col("max_token_run").cast("bigint").alias("max_token_run"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q446 — train/test LEAKAGE audit (§2.2-K corpus ops; round 7): the
+# composed pipeline every eval-integrity review runs — near-duplicate
+# pairs (SimHash, hamming <= 3, the q33 machinery) joined against the
+# deterministic fnv1a hash split (the q67 machinery), keeping pairs
+# whose members landed in DIFFERENT splits: a test doc near-identical
+# to a train doc is contamination. Composition is two hash joins on
+# doc_id after the banded near-dup join; nothing new shuffles at 100
+# TB beyond what q33 already does.
+# ---------------------------------------------------------------------------
+@query("q446_split_leakage_audit")
+def q446_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.corpus import hash_split
+    from luxo_rs_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_neardup_pairs(docs, max_hamming=3)
+    splits = hash_split(docs, id_col="doc_id").select("doc_id", "split")
+    return (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("da"), F.col("split").alias("split_a")
+            ),
+            "da",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("db"), F.col("split").alias("split_b")
+            ),
+            "db",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("da", "db", "hamming", "split_a", "split_b")
+        .orderBy("da", "db")
+    )
