@@ -552,13 +552,28 @@ def q19_percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             # interpolated percentiles of 2-decimal values have <=3
             # decimals; rounding at 4dp keeps a 0.00005 guard band vs
-            # formula-order ulps (2dp would sit ON the half-cent boundary)
-            F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
-            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+            # formula-order ulps (2dp would sit ON the half-cent
+            # boundary). BOTH percentiles come from ONE percentile()
+            # aggregate (round 7): the exact-percentile buffer sorts
+            # the group once per AGGREGATE EXPRESSION, so the shared
+            # array form halves the dominant cost (1.08 -> 0.84 s at
+            # sf0.1); the items are projected after the agg.
+            F.percentile(
+                "o_totalprice", F.array(F.lit(0.5), F.lit(0.9))
+            ).alias("__pcts"),
             _r2(F.stddev_samp("o_totalprice")).alias("sd_price"),
             F.round(F.var_pop("o_totalprice") / 1e9, 4).alias("varp_price_g"),
             _avg4("o_totalprice").alias("avg_price"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "c_mktsegment",
+            F.round(F.col("__pcts").getItem(0), 4).alias("median_price"),
+            F.round(F.col("__pcts").getItem(1), 4).alias("p90_price"),
+            "sd_price",
+            "varp_price_g",
+            "avg_price",
+            "n_orders",
         )
         .orderBy("c_mktsegment")
     )
