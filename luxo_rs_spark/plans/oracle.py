@@ -9617,3 +9617,86 @@ FROM tok_stats t JOIN bg_stats b ON t.doc_id = b.doc_id
 JOIN max_run m ON t.doc_id = m.doc_id
 ORDER BY t.doc_id
 """
+
+
+# q447: one-pass exact profile; min/max are taken NATIVELY then cast
+# (both engines print doubles below 1e7 identically in shortest form).
+ORACLE_SQL["q447_column_profile"] = """
+WITH one AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k_nulls,
+    count(DISTINCT o_orderkey) AS k_ndv,
+    CAST(min(o_orderkey) AS VARCHAR) AS k_min,
+    CAST(max(o_orderkey) AS VARCHAR) AS k_max,
+    sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS c_nulls,
+    count(DISTINCT o_custkey) AS c_ndv,
+    CAST(min(o_custkey) AS VARCHAR) AS c_min,
+    CAST(max(o_custkey) AS VARCHAR) AS c_max,
+    sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS s_nulls,
+    count(DISTINCT o_orderstatus) AS s_ndv,
+    CAST(min(o_orderstatus) AS VARCHAR) AS s_min,
+    CAST(max(o_orderstatus) AS VARCHAR) AS s_max,
+    sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS t_nulls,
+    count(DISTINCT o_totalprice) AS t_ndv,
+    CAST(min(o_totalprice) AS VARCHAR) AS t_min,
+    CAST(max(o_totalprice) AS VARCHAR) AS t_max,
+    sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS p_nulls,
+    count(DISTINCT o_orderpriority) AS p_ndv,
+    CAST(min(o_orderpriority) AS VARCHAR) AS p_min,
+    CAST(max(o_orderpriority) AS VARCHAR) AS p_max
+  FROM orders
+)
+SELECT u.column_name, CAST(n AS BIGINT) AS n_rows,
+       CAST(u.n_nulls AS BIGINT) AS n_nulls,
+       CAST(u.n_distinct AS BIGINT) AS n_distinct,
+       u.min_value, u.max_value
+FROM one, (
+  SELECT 'o_orderkey' AS column_name, k_nulls AS n_nulls, k_ndv AS n_distinct,
+         k_min AS min_value, k_max AS max_value FROM one
+  UNION ALL SELECT 'o_custkey', c_nulls, c_ndv, c_min, c_max FROM one
+  UNION ALL SELECT 'o_orderstatus', s_nulls, s_ndv, s_min, s_max FROM one
+  UNION ALL SELECT 'o_totalprice', t_nulls, t_ndv, t_min, t_max FROM one
+  UNION ALL SELECT 'o_orderpriority', p_nulls, p_ndv, p_min, p_max FROM one
+) u
+ORDER BY u.column_name
+"""
+
+
+# q448: same dyadic-weight numerator; /65536 is exact in doubles.
+ORACLE_SQL["q448_exp_smoothing"] = """
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,6)) * 100 AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+), lagged AS (
+  SELECT day, cents,
+         lag(cents, 1) OVER (ORDER BY day) AS l1,
+         lag(cents, 2) OVER (ORDER BY day) AS l2,
+         lag(cents, 3) OVER (ORDER BY day) AS l3,
+         lag(cents, 4) OVER (ORDER BY day) AS l4,
+         lag(cents, 5) OVER (ORDER BY day) AS l5,
+         lag(cents, 6) OVER (ORDER BY day) AS l6,
+         lag(cents, 7) OVER (ORDER BY day) AS l7
+  FROM daily
+)
+SELECT day, cents AS revenue_cents,
+  (coalesce(cents, 0) * 16384
+   + coalesce(l1, 0) * 12288
+   + coalesce(l2, 0) * 9216
+   + coalesce(l3, 0) * 6912
+   + coalesce(l4, 0) * 5184
+   + coalesce(l5, 0) * 3888
+   + coalesce(l6, 0) * 2916
+   + coalesce(l7, 0) * 2187) / 65536.0 AS smooth_cents,
+  CAST((CASE WHEN cents IS NOT NULL THEN 1 ELSE 0 END)
+   + (CASE WHEN l1 IS NOT NULL THEN 1 ELSE 0 END)
+   + (CASE WHEN l2 IS NOT NULL THEN 1 ELSE 0 END)
+   + (CASE WHEN l3 IS NOT NULL THEN 1 ELSE 0 END)
+   + (CASE WHEN l4 IS NOT NULL THEN 1 ELSE 0 END)
+   + (CASE WHEN l5 IS NOT NULL THEN 1 ELSE 0 END)
+   + (CASE WHEN l6 IS NOT NULL THEN 1 ELSE 0 END)
+   + (CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_lags
+FROM lagged
+ORDER BY day
+"""

@@ -16560,3 +16560,101 @@ def q446_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("da", "db", "hamming", "split_a", "split_b")
         .orderBy("da", "db")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q447 — exact column-statistics profiler (§2.2-A catalog/engine;
+# round 7): the ANALYZE-TABLE relation — per column of `orders`:
+# row count, nulls, EXACT distinct count, min/max (as strings), and
+# total string length — emitted as a tidy (column, stat, value)
+# relation via one aggregate + an unpivot STACK (no per-column scans:
+# ONE pass computes every column's stats map-side). This is the
+# statistics-collection machinery an optimizer feeds on, exposed as a
+# first-class query; Spark's own ANALYZE uses approximate ndv, so the
+# exact relation is the oracle-able twin.
+# ---------------------------------------------------------------------------
+@query("q447_column_profile")
+def q447_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+    )
+    return (
+        one.select(
+            "__n",
+            F.expr(
+                f"stack({len(cols)}, {stack_args}) AS "
+                "(column_name, n_nulls, n_distinct, min_value, max_value)"
+            ),
+        )
+        .select(
+            "column_name",
+            F.col("__n").cast("bigint").alias("n_rows"),
+            F.col("n_nulls").cast("bigint").alias("n_nulls"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "min_value",
+            "max_value",
+        )
+        .orderBy("column_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q448 — truncated exponential smoothing of a daily series (§2.2-E/K
+# time-series; round 7): EWMA with alpha=1/4 truncated at 8 lags over
+# daily revenue. The smoothed value is computed as ONE exact integer
+# numerator  n2 = sum_{k=0..7} 3^k * 4^(7-k) * cents_{t-k}  divided by
+# 4^8 = 65536 — a power-of-two division, EXACT in IEEE doubles — so
+# the whole signal is engine-identical with no summation-order caveat
+# (the recursive s_t = a*x_t + (1-a)*s_{t-1} form is NOT, which is why
+# the truncation exists). Missing lags at series start contribute 0
+# and n_lags reports how many terms are real. One date-partitionable
+# aggregation + one bounded window.
+# ---------------------------------------------------------------------------
+@query("q448_exp_smoothing")
+def q448_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,6)") * 100).cast("long")
+        ).alias("cents")
+    )
+    w = Window.orderBy("day")
+    num = None
+    nlags = None
+    for k in range(8):
+        c = F.lag("cents", k).over(w) if k else F.col("cents")
+        term = F.coalesce(c, F.lit(0)) * F.lit(3**k * 4 ** (7 - k))
+        have = F.when(c.isNotNull(), 1).otherwise(0)
+        num = term if num is None else num + term
+        nlags = have if nlags is None else nlags + have
+    return (
+        daily.select(
+            "day",
+            F.col("cents").cast("bigint").alias("revenue_cents"),
+            num.alias("__n2"),
+            nlags.alias("n_lags"),
+        )
+        .select(
+            "day",
+            "revenue_cents",
+            (F.col("__n2") / F.lit(65536.0)).alias("smooth_cents"),
+            F.col("n_lags").cast("int").alias("n_lags"),
+        )
+        .orderBy("day")
+    )
