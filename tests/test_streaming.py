@@ -1649,3 +1649,82 @@ def test_streaming_roaring_bitmap_maintenance(spark):
         .collect()
     }
     assert inc == want
+
+
+def test_streaming_incremental_mv_matches_batch(spark):
+    """q441's (n, hi, lo) split-long MV state maintained by a
+    foreachBatch stream over micro-batches of orders must equal the
+    from-scratch batch aggregate — the streaming twin of the q441
+    signed-delta claim (insert-only deltas here; the sign algebra is
+    the batch query's own oracle-checked territory)."""
+    import pyspark.sql.functions as F2
+
+    from luxo_rs_spark.streaming.sinks import VersionedParquetTable
+
+    base = TMP / f"mv_stream_{uuid.uuid4().hex[:8]}"
+    src, ckpt, tbl_dir = str(base / "src"), str(base / "ckpt"), str(base / "tbl")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.repartition(4).write.parquet(src)
+    table = VersionedParquetTable(tbl_dir)
+
+    def state(df):
+        m = (
+            F2.col("o_totalprice").cast("decimal(18,6)") * 1000000
+        ).cast("long")
+        return df.groupBy("o_orderstatus").agg(
+            F2.count(F2.lit(1)).alias("n"),
+            F2.sum(F2.shiftright(m, 20)).alias("hi"),
+            F2.sum(m.bitwiseAND(F2.lit(1048575))).alias("lo"),
+        )
+
+    def fold_batch(batch_df, batch_id):
+        if batch_id <= table.last_batch_id():
+            return
+        delta = state(batch_df)
+        snap = table.read(batch_df.sparkSession)
+        merged = (
+            delta
+            if snap is None
+            else snap.unionByName(delta)
+            .groupBy("o_orderstatus")
+            .agg(
+                F2.sum("n").alias("n"),
+                F2.sum("hi").alias("hi"),
+                F2.sum("lo").alias("lo"),
+            )
+        )
+        table.commit(merged, batch_id)
+
+    q = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    final = table.read(spark).select(
+        "o_orderstatus",
+        "n",
+        F2.round(
+            (
+                F2.col("hi").cast("decimal(38,0)") * 1048576
+                + F2.col("lo").cast("decimal(38,0)")
+            )
+            / F2.lit(1000000),
+            2,
+        ).cast("double").alias("total"),
+    )
+    want = orders.groupBy("o_orderstatus").agg(
+        F2.count(F2.lit(1)).alias("n"),
+        F2.round(
+            F2.sum(F2.col("o_totalprice").cast("decimal(18,6)")), 2
+        ).cast("double").alias("total"),
+    )
+    got = {r.o_orderstatus: (r.n, r.total) for r in final.collect()}
+    exp = {r.o_orderstatus: (r.n, r.total) for r in want.collect()}
+    assert got == exp
