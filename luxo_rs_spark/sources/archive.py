@@ -124,10 +124,23 @@ def zip_documents(
     group_col: str = "source",
     text_col: str = "text",
     id_col: str = "doc_id",
+    docs_per_archive: int | None = None,
 ) -> DataFrame:
     """(group, n_members, content) — one zip blob per group; member
     doc_{id}.txt carries the utf-8 text, method cycling stored/deflate
-    by id parity, members id-ordered (deterministic blob)."""
+    by id parity, members id-ordered (deterministic blob).
+
+    ``docs_per_archive`` bounds archive size by salting the group key
+    with ``id div docs_per_archive`` — the 100 TB shape: a group is
+    never one giant executor-side blob; archives cap at a deterministic
+    member count and the shuffle spreads across group*bucket keys."""
+    key = F.col(group_col)
+    if docs_per_archive is not None:
+        key = F.concat_ws(
+            "#",
+            F.col(group_col),
+            (F.col(id_col) / docs_per_archive).cast("long").cast("string"),
+        )
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col)
@@ -142,7 +155,7 @@ def zip_documents(
         return pd.DataFrame(
             [
                 {
-                    "group": pdf[group_col].iloc[0],
+                    "group": pdf["__akey"].iloc[0],
                     "n_members": len(members),
                     "content": build_zip(members),
                 }
@@ -150,8 +163,10 @@ def zip_documents(
         )
 
     return (
-        docs.select(group_col, id_col, text_col)
-        .groupBy(group_col)
+        docs.select(
+            key.alias("__akey"), F.col(id_col), F.col(text_col)
+        )
+        .groupBy("__akey")
         .applyInPandas(make, "group string, n_members int, content binary")
     )
 

@@ -2973,3 +2973,21 @@ def test_png_adam7_interlace_roundtrips_and_nonzero_filters():
     )
     d = _decode_png(png)
     assert d["payload"] == arr.tobytes()
+
+
+def test_zip_documents_bounded_archives(spark):
+    """docs_per_archive salts the group key so no archive exceeds the
+    bound — the 100 TB anti-giant-blob shape — while every member
+    still round-trips."""
+    from luxo_rs_spark.sources.archive import read_zip_members, zip_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "web", 7) for i in range(7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    arch = zip_documents(docs, group_col="source", docs_per_archive=3)
+    sizes = [r.n_members for r in arch.collect()]
+    assert sorted(sizes) == [1, 3, 3] and max(sizes) <= 3
+    out = read_zip_members(arch).collect()
+    assert {r.name for r in out} == {f"doc_{i}.txt" for i in range(7)}
+    assert all(r.crc_ok for r in out)
