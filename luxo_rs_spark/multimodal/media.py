@@ -5411,7 +5411,10 @@ def _pcm_to_flac(
         s = 0
         while s < n_total:
             starts.append(s)
-            s += cycle[len(starts) % len(cycle)]
+            # block k gets cycle[k % 3], so the FIRST block is the
+            # nominal block_size (review fix: len(starts) is already
+            # k+1 here, which skipped cycle[0] entirely)
+            s += cycle[(len(starts) - 1) % len(cycle)]
     else:
         starts = list(range(0, n_total, block_size))
 
@@ -5463,9 +5466,16 @@ def _pcm_to_flac(
         w.put(0b11111111111110, 14)
         w.put(0, 1)  # reserved
         w.put(1 if variable_blocksize else 0, 1)  # blocksize strategy
-        bs_code = (
-            0b0110 if variable_blocksize and nb <= 256 else 0b0111
-        )  # explicit 8-bit (0110) or 16-bit (0111) blocksize field
+        # explicit 8-bit (0110) or 16-bit (0111) blocksize field: 0111
+        # is spec-legal for ANY nb, so variable streams alternate the
+        # two widths by frame parity when nb fits 8 bits (review fix:
+        # the synth corpora never reach nb > 256, which made the 16-bit
+        # variable path unreachable outside unit tests), and are forced
+        # to 16-bit when nb > 256.
+        if variable_blocksize:
+            bs_code = 0b0110 if (nb <= 256 and fno % 2 == 0) else 0b0111
+        else:
+            bs_code = 0b0111
         w.put(bs_code, 4)
         w.put(0b0000, 4)  # sample rate: from STREAMINFO
         w.put(assignment, 4)  # channel assignment
@@ -5701,10 +5711,11 @@ def synth_flac_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the md5 hex of the text ((byte-100)*231), tiled doc_id%5+2 times,
     encoded with block_size=48 (multiple frames + a partial tail).
     doc_id%3==1 lanes use the VARIABLE blocksize strategy (round 7) —
-    UTF-8 sample-number frame addressing, cycling block sizes, both
-    explicit blocksize field widths (did%6==1 lanes start at 300
-    samples so the 16-bit 0111 code appears; the rest stay under 256
-    for the 8-bit 0110 code). FLAC is lossless, so the LAYOUT never
+    UTF-8 sample-number frame addressing, cycling block sizes, and
+    BOTH explicit blocksize field widths (the encoder alternates the
+    8-bit 0110 and spec-legal 16-bit 0111 forms by frame parity, so
+    every multi-frame variable lane carries both; did%6==1 lanes also
+    use a 300-sample nominal block). FLAC is lossless, so the LAYOUT never
     changes the decoded samples and the oracle recomputes exact
     integer stats from a 16-row hex-char LUT unchanged (q417
     recipe)."""

@@ -6788,7 +6788,7 @@ WITH t AS (
   FROM documents WHERE doc_id < 150
 ), px AS (
   SELECT doc_id, w, h,
-         CASE WHEN length(text) = 0
+         CASE WHEN coalesce(length(text), 0) = 0
               THEN repeat(chr(0), w * h * 3)
               ELSE substring(
                      repeat(text, CAST(w * h * 3 / length(text) AS INT) + 1),
@@ -9417,13 +9417,13 @@ ORDER BY day
 # in Java regex and RE2.
 ORACLE_SQL["q440_pii_redaction"] = r"""
 WITH base AS (
-  SELECT doc_id, text,
+  SELECT doc_id, coalesce(text, '') AS text,
          '4' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 14, '0') AS pfx
   FROM documents WHERE doc_id < 400
 ), chk AS (
   SELECT doc_id, text, pfx,
          (10 - list_sum(list_transform(range(1, 16), i -> CASE
-             WHEN (16 - i) % 2 = 0 THEN
+             WHEN (17 - i) % 2 = 0 THEN
                CASE WHEN CAST(substring(pfx, CAST(i AS INT), 1) AS INT) * 2 > 9
                     THEN CAST(substring(pfx, CAST(i AS INT), 1) AS INT) * 2 - 9
                     ELSE CAST(substring(pfx, CAST(i AS INT), 1) AS INT) * 2 END
@@ -9558,8 +9558,9 @@ WITH d AS (
 SELECT d.source AS "group",
        d.doc_id,
        CAST(CASE WHEN d.doc_id % 2 = 1 THEN 8 ELSE 0 END AS INT) AS method,
-       CAST(octet_length(d.text::BLOB) AS BIGINT) AS payload_bytes,
-       md5(d.text) AS payload_md5,
+       CAST(octet_length(coalesce(d.text, '')::BLOB) AS BIGINT)
+         AS payload_bytes,
+       md5(coalesce(d.text, '')) AS payload_md5,
        TRUE AS crc_ok,
        CAST(grp.n AS INT) AS archive_members
 FROM d JOIN grp ON grp.source = d.source

@@ -82,11 +82,41 @@ def _r2money(col) -> F.Column:
     group — far past a 100 TB group. Bit-identical to the decimal
     sum (equality pinned in tests/test_oracle.py), so every existing
     round(sum(CAST AS DECIMAL(18,6)), 2) oracle is unchanged."""
+    hi, lo = _money_hi_lo_sums(col)
+    return F.round(_micros_total(hi, lo) / F.lit(1000000), 2).cast("double")
+
+
+#: the split point of the exact-micros long accumulation: low
+#: MICROS_SPLIT_SHIFT bits and the (signed) high rest ride separate
+#: long sums; m == (m >> SHIFT)*2^SHIFT + (m & MASK) holds for
+#: negatives under arithmetic shift. Shared by _r2money, the q441
+#: incremental-MV state and its streaming twin (review item: one
+#: definition, no constant drift).
+MICROS_SPLIT_SHIFT = 20
+MICROS_SPLIT_MASK = (1 << MICROS_SPLIT_SHIFT) - 1
+
+
+def _money_micros(col) -> F.Column:
+    """Per-row exact money micros: the DECIMAL(18,6) quantization (the
+    cross-engine contract) scaled to an integer LONG."""
     c = F.col(col) if isinstance(col, str) else col
-    m = (c.cast("decimal(18,6)") * 1000000).cast("long")
-    hi = F.sum(F.shiftright(m, 20)).cast("decimal(38,0)")
-    lo = F.sum(m.bitwiseAND(F.lit(1048575))).cast("decimal(38,0)")
-    return F.round((hi * 1048576 + lo) / F.lit(1000000), 2).cast("double")
+    return (c.cast("decimal(18,6)") * 1000000).cast("long")
+
+
+def _money_hi_lo_sums(col) -> tuple[F.Column, F.Column]:
+    """The two long-sum aggregate expressions of the split state."""
+    m = _money_micros(col)
+    return (
+        F.sum(F.shiftright(m, MICROS_SPLIT_SHIFT)),
+        F.sum(m.bitwiseAND(F.lit(MICROS_SPLIT_MASK))),
+    )
+
+
+def _micros_total(hi: F.Column, lo: F.Column) -> F.Column:
+    """Exact decimal recombine of the split sums (output-row level)."""
+    return hi.cast("decimal(38,0)") * F.lit(
+        1 << MICROS_SPLIT_SHIFT
+    ) + lo.cast("decimal(38,0)")
 
 
 def _avg4(col) -> F.Column:
@@ -16171,7 +16201,7 @@ def q440_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     luhn_sum = F.expr(
         """aggregate(sequence(1, 15), 0, (acc, i) -> acc + CASE
-             WHEN (16 - i) % 2 = 0 THEN
+             WHEN (17 - i) % 2 = 0 THEN
                CASE WHEN CAST(substring(__pfx, i, 1) AS INT) * 2 > 9
                     THEN CAST(substring(__pfx, i, 1) AS INT) * 2 - 9
                     ELSE CAST(substring(__pfx, i, 1) AS INT) * 2 END
@@ -16194,7 +16224,7 @@ def q440_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string"),
     )
     injected = F.concat(
-        F.col("text"),
+        F.coalesce(F.col("text"), F.lit("")),
         F.lit(" contact u"), did.cast("string"),
         F.lit("@ex"), (did % 7).cast("string"), F.lit(".com tel +1-"),
         F.lpad((did % 800 + 200).cast("string"), 3, "0"), F.lit("-555-"),
@@ -16272,16 +16302,14 @@ def q441_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def state(df, sign: int):
-        m = (
-            F.col("o_totalprice").cast("decimal(18,6)") * 1000000
-        ).cast("long")
+        hi, lo = _money_hi_lo_sums("o_totalprice")
         return df.groupBy(
             "o_orderstatus",
             F.date_format("o_orderdate", "yyyy-MM").alias("month"),
         ).agg(
             (F.count(F.lit(1)) * sign).alias("n"),
-            (F.sum(F.shiftright(m, 20)) * sign).alias("hi"),
-            (F.sum(m.bitwiseAND(F.lit(1048575))) * sign).alias("lo"),
+            (hi * sign).alias("hi"),
+            (lo * sign).alias("lo"),
         )
 
     mv = state(orders, 1)
@@ -16299,8 +16327,8 @@ def q441_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus", "month")
         .agg(
             F.sum("n").alias("n"),
-            F.sum("hi").cast("decimal(38,0)").alias("hi"),
-            F.sum("lo").cast("decimal(38,0)").alias("lo"),
+            F.sum("hi").alias("hi"),
+            F.sum("lo").alias("lo"),
         )
         .filter(F.col("n") > 0)
     )
@@ -16308,7 +16336,9 @@ def q441_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         "month",
         F.col("n").cast("bigint").alias("n_orders"),
-        F.round((F.col("hi") * 1048576 + F.col("lo")) / F.lit(1000000), 2)
+        F.round(
+            _micros_total(F.col("hi"), F.col("lo")) / F.lit(1000000), 2
+        )
         .cast("double")
         .alias("total_price"),
     ).orderBy("o_orderstatus", "month")
@@ -16567,11 +16597,14 @@ def q446_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round 7): the ANALYZE-TABLE relation — per column of `orders`:
 # row count, nulls, EXACT distinct count, min/max (as strings), and
 # total string length — emitted as a tidy (column, stat, value)
-# relation via one aggregate + an unpivot STACK (no per-column scans:
-# ONE pass computes every column's stats map-side). This is the
-# statistics-collection machinery an optimizer feeds on, exposed as a
-# first-class query; Spark's own ANALYZE uses approximate ndv, so the
-# exact relation is the oracle-able twin.
+# relation. Shape: the null/min/max battery is ONE pass + an unpivot
+# STACK; the exact distinct counts deliberately are NOT in that pass —
+# a 5-way multi-COUNT(DISTINCT) triggers Catalyst's Expand (5x the
+# row volume through the shuffle; measured 2.2 s vs 0.57 s at sf0.1).
+# Instead each column gets a column-PRUNED distinct pre-aggregation
+# (map-side dedup, shuffle is ndv-sized) unioned and joined back —
+# the shape that survives 100 TB. Spark's own ANALYZE uses approximate
+# ndv, so the exact relation is the oracle-able twin.
 # ---------------------------------------------------------------------------
 @query("q447_column_profile")
 def q447_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -16580,31 +16613,38 @@ def q447_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderpriority",
     ]
+    ndvs = None
+    for c in cols:
+        d = orders.select(F.col(c)).distinct().agg(
+            F.lit(c).alias("column_name"),
+            F.count(c).cast("bigint").alias("n_distinct"),
+        )
+        ndvs = d if ndvs is None else ndvs.unionByName(d)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
-            F.countDistinct(c).alias(f"{c}__ndv"),
             F.min(F.col(c)).cast("string").alias(f"{c}__min"),
             F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     one = orders.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', {c}__nulls, {c}__ndv, {c}__min, {c}__max" for c in cols
+        f"'{c}', {c}__nulls, {c}__min, {c}__max" for c in cols
+    )
+    base = one.select(
+        "__n",
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column_name, n_nulls, min_value, max_value)"
+        ),
     )
     return (
-        one.select(
-            "__n",
-            F.expr(
-                f"stack({len(cols)}, {stack_args}) AS "
-                "(column_name, n_nulls, n_distinct, min_value, max_value)"
-            ),
-        )
+        base.join(ndvs, "column_name")
         .select(
             "column_name",
             F.col("__n").cast("bigint").alias("n_rows"),
             F.col("n_nulls").cast("bigint").alias("n_nulls"),
-            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            "n_distinct",
             "min_value",
             "max_value",
         )

@@ -41,7 +41,7 @@ def build_zip(members: list[tuple[str, bytes, int]]) -> bytes:
     in the given order."""
     out = bytearray()
     central = bytearray()
-    dos_time, dos_date = 0, 0x21 << 9 | 1 << 5 | 1  # 1996-01-01 00:00
+    dos_time, dos_date = 0, 0x21 << 9 | 1 << 5 | 1  # 2013-01-01 00:00 (1980+33)
     for name, payload, method in members:
         if method == 8:
             co = zlib.compressobj(9, zlib.DEFLATED, -15)

@@ -285,3 +285,22 @@ def test_mojibake_repair_inverts_cp1252_and_latin1(spark):
     # defined bytes: sanity-pin the translate tables themselves
     assert len(c1) == len(glyphs) == 27
     assert glyphs[0] == "€" and c1[0] == "\x80"
+
+
+def test_q440_luhn_validation_carries_signal(spark):
+    """Review follow-up (round 7): the full-card Luhn fold must ACCEPT
+    every even-doc card (correct check digit) and REJECT every odd-doc
+    card (corrupted +1) — pinned here independently of the oracle,
+    which shares the construction and so cannot catch a parity bug on
+    both sides at once."""
+    from luxo_rs_spark.plans.queries import QUERIES
+
+    rows = QUERIES["q440_pii_redaction"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "q440 returned no rows"
+    for r in rows:
+        assert r.card_found
+        assert r.card_luhn_valid == (r.doc_id % 2 == 0)
+        assert r.luhn_ok == r.card_luhn_valid, r.doc_id
+    assert any(r.luhn_ok for r in rows) and any(not r.luhn_ok for r in rows)

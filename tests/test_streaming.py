@@ -1667,14 +1667,14 @@ def test_streaming_incremental_mv_matches_batch(spark):
     orders.repartition(4).write.parquet(src)
     table = VersionedParquetTable(tbl_dir)
 
+    from luxo_rs_spark.plans.queries import _micros_total, _money_hi_lo_sums
+
     def state(df):
-        m = (
-            F2.col("o_totalprice").cast("decimal(18,6)") * 1000000
-        ).cast("long")
+        hi, lo = _money_hi_lo_sums("o_totalprice")
         return df.groupBy("o_orderstatus").agg(
             F2.count(F2.lit(1)).alias("n"),
-            F2.sum(F2.shiftright(m, 20)).alias("hi"),
-            F2.sum(m.bitwiseAND(F2.lit(1048575))).alias("lo"),
+            hi.alias("hi"),
+            lo.alias("lo"),
         )
 
     def fold_batch(batch_df, batch_id):
@@ -1711,11 +1711,7 @@ def test_streaming_incremental_mv_matches_batch(spark):
         "o_orderstatus",
         "n",
         F2.round(
-            (
-                F2.col("hi").cast("decimal(38,0)") * 1048576
-                + F2.col("lo").cast("decimal(38,0)")
-            )
-            / F2.lit(1000000),
+            _micros_total(F2.col("hi"), F2.col("lo")) / F2.lit(1000000),
             2,
         ).cast("double").alias("total"),
     )
