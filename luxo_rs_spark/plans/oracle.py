@@ -9701,3 +9701,22 @@ SELECT day, cents AS revenue_cents,
 FROM lagged
 ORDER BY day
 """
+
+
+# q449: lossless tar members — md5(text) and per-source counts.
+ORACLE_SQL["q449_targz_roundtrip"] = """
+WITH d AS (
+  SELECT doc_id, source, coalesce(text, '') AS text
+  FROM documents WHERE doc_id < 400
+), grp AS (
+  SELECT source, count(*) AS n FROM d GROUP BY source
+)
+SELECT d.source AS "group",
+       d.doc_id,
+       CAST(octet_length(d.text::BLOB) AS BIGINT) AS payload_bytes,
+       md5(d.text) AS payload_md5,
+       TRUE AS chksum_ok,
+       CAST(grp.n AS INT) AS archive_members
+FROM d JOIN grp ON grp.source = d.source
+ORDER BY d.doc_id
+"""

@@ -16698,3 +16698,33 @@ def q448_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q449 — tar.gz archive ingestion round-trip (§2.2-A source/sink;
+# round 7, the q444 companion): one DETERMINISTIC gzipped ustar per
+# source group (applyInPandas), exploded back executor-side with the
+# POSIX header checksum verified per member — tar.gz is how corpora
+# and checkpoints actually ship. Lossless, so member md5 == md5(text);
+# sources/archive.py's ustar writer+parser interop with stdlib tarfile
+# is pinned both directions in tests.
+# ---------------------------------------------------------------------------
+@query("q449_targz_roundtrip")
+def q449_targz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.archive import read_tar_members, tar_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    return (
+        read_tar_members(tar_documents(docs, group_col="source", gz=True))
+        .select(
+            "group",
+            F.regexp_extract("name", r"doc_(\d+)\.txt", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "payload_bytes",
+            "payload_md5",
+            "chksum_ok",
+            "archive_members",
+        )
+        .orderBy("doc_id")
+    )

@@ -208,3 +208,148 @@ def read_zip_members(archives: DataFrame) -> DataFrame:
         "group string, name string, method int, payload_bytes long, "
         "payload_md5 string, crc_ok boolean, archive_members int",
     )
+
+
+# ---------------------------------------------------------------------------
+# ustar TAR (+ .tar.gz) — the other archive format corpora arrive in.
+# Writer AND parser from the POSIX.1-1988 ustar layout (512-byte
+# headers, octal fields, the space-filled-checksum rule); gzip
+# wrapping via stdlib (RFC 1952), mtime pinned 0 for determinism.
+# stdlib `tarfile` interop is pinned in tests both directions.
+# ---------------------------------------------------------------------------
+
+
+def _tar_header(name: str, size: int) -> bytes:
+    h = bytearray(512)
+    nb = name.encode("utf-8")
+    if len(nb) > 100:
+        raise ValueError("tar member name > 100 bytes")
+    h[0 : len(nb)] = nb
+    h[100:108] = b"0000644\0"          # mode
+    h[108:116] = b"0000000\0"          # uid
+    h[116:124] = b"0000000\0"          # gid
+    h[124:136] = f"{size:011o}".encode() + b"\0"
+    h[136:148] = b"00000000000\0"      # mtime 0
+    h[148:156] = b" " * 8              # chksum: spaces while summing
+    h[156] = ord("0")                  # typeflag: regular file
+    h[257:263] = b"ustar\0"
+    h[263:265] = b"00"
+    chk = sum(h)
+    h[148:156] = f"{chk:06o}".encode() + b"\0 "
+    return bytes(h)
+
+
+def build_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
+    """ustar blob from (name, payload) members; two zero blocks at the
+    end; ``gz=True`` wraps the whole stream as one deterministic gzip
+    member (mtime 0)."""
+    out = bytearray()
+    for name, payload in members:
+        out += _tar_header(name, len(payload))
+        out += payload
+        pad = -len(payload) % 512
+        out += b"\0" * pad
+    out += b"\0" * 1024
+    if gz:
+        import gzip as _gzip
+
+        return _gzip.compress(bytes(out), compresslevel=9, mtime=0)
+    return bytes(out)
+
+
+def parse_tar(content: bytes) -> list[dict]:
+    """Walk ustar headers (auto-gunzips RFC 1952 streams): per member
+    name, payload, and whether the header checksum verified."""
+    if content[:2] == b"\x1f\x8b":  # gzip magic
+        content = zlib.decompress(content, 16 + zlib.MAX_WBITS)
+    members = []
+    pos = 0
+    while pos + 512 <= len(content):
+        h = content[pos : pos + 512]
+        if h == b"\0" * 512:
+            break
+        name = h[0:100].rstrip(b"\0").decode("utf-8")
+        size = int(h[124:136].rstrip(b"\0 ").decode() or "0", 8)
+        stored = int(h[148:156].rstrip(b"\0 ").decode() or "0", 8)
+        summed = sum(h[:148]) + 8 * 0x20 + sum(h[156:])
+        payload = content[pos + 512 : pos + 512 + size]
+        members.append(
+            {
+                "name": name,
+                "payload": payload,
+                "chksum_ok": stored == summed and len(payload) == size,
+            }
+        )
+        pos += 512 + size + (-size % 512)
+    return members
+
+
+def tar_documents(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gz: bool = True,
+) -> DataFrame:
+    """(group, n_members, content) — one (gzipped) tar per group,
+    member doc_{id}.txt per doc, id-ordered (deterministic blob)."""
+
+    def make(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        members = [
+            (f"doc_{int(i)}.txt", (t or "").encode("utf-8"))
+            for i, t in zip(pdf[id_col], pdf[text_col])
+        ]
+        return pd.DataFrame(
+            [
+                {
+                    "group": pdf[group_col].iloc[0],
+                    "n_members": len(members),
+                    "content": build_tar(members, gz=gz),
+                }
+            ]
+        )
+
+    return (
+        docs.select(group_col, id_col, text_col)
+        .groupBy(group_col)
+        .applyInPandas(make, "group string, n_members int, content binary")
+    )
+
+
+def read_tar_members(archives: DataFrame) -> DataFrame:
+    """Explode (group, content) tars to one row per member — the
+    executor-side ustar walk, gzip-transparent."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for grp, content in zip(pdf["group"], pdf["content"]):
+                ms = parse_tar(bytes(content))
+                for m in ms:
+                    rows.append(
+                        {
+                            "group": grp,
+                            "name": m["name"],
+                            "payload_bytes": len(m["payload"]),
+                            "payload_md5": hashlib.md5(
+                                m["payload"]
+                            ).hexdigest(),
+                            "chksum_ok": m["chksum_ok"],
+                            "archive_members": len(ms),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "group", "name", "payload_bytes", "payload_md5",
+                    "chksum_ok", "archive_members",
+                ],
+            )
+
+    return archives.select("group", "content").mapInPandas(
+        run,
+        "group string, name string, payload_bytes long, "
+        "payload_md5 string, chksum_ok boolean, archive_members int",
+    )

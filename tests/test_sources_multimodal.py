@@ -2991,3 +2991,46 @@ def test_zip_documents_bounded_archives(spark):
     out = read_zip_members(arch).collect()
     assert {r.name for r in out} == {f"doc_{i}.txt" for i in range(7)}
     assert all(r.crc_ok for r in out)
+
+
+def test_tar_interop_both_directions_and_chksum():
+    """ustar writer/parser (round 7): stdlib tarfile opens our blobs
+    (plain AND gzipped), our parser reads stdlib's, and a corrupted
+    header flips ONLY its member's chksum_ok."""
+    import io
+    import tarfile
+
+    from luxo_rs_spark.sources.archive import build_tar, parse_tar
+
+    members = [
+        ("a.txt", b"hello" * 100),
+        ("b.bin", bytes(range(256))),
+        ("empty.txt", b""),
+        ("u.txt", "ü€".encode()),
+    ]
+    for gz in (False, True):
+        blob = build_tar(members, gz=gz)
+        tf = tarfile.open(
+            fileobj=io.BytesIO(blob), mode="r:gz" if gz else "r:"
+        )
+        assert tf.getnames() == [m[0] for m in members]
+        for n, p in members:
+            assert tf.extractfile(n).read() == p
+        ms = parse_tar(blob)
+        assert [
+            (m["name"], bytes(m["payload"]), m["chksum_ok"]) for m in ms
+        ] == [(n, p, True) for n, p in members]
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for n, p in members:
+            ti = tarfile.TarInfo(n)
+            ti.size = len(p)
+            tf.addfile(ti, io.BytesIO(p))
+    ms = parse_tar(buf.getvalue())
+    assert [
+        (m["name"], bytes(m["payload"]), m["chksum_ok"]) for m in ms
+    ] == [(n, p, True) for n, p in members]
+    bad = bytearray(build_tar(members))
+    bad[0] ^= 1
+    ms = parse_tar(bytes(bad))
+    assert not ms[0]["chksum_ok"] and ms[1]["chksum_ok"]
