@@ -9720,3 +9720,21 @@ SELECT d.source AS "group",
 FROM d JOIN grp ON grp.source = d.source
 ORDER BY d.doc_id
 """
+
+
+# q450: same canonical row rendering, same 60-bit md5 prefix, exact
+# commutative sum (HUGEINT == the decimal sum, rendered as a string).
+ORACLE_SQL["q450_table_fingerprint"] = """
+WITH r AS (
+  SELECT CAST(CAST(('0x' || substring(md5(
+           o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+           || CAST(round(o_totalprice * 100) AS BIGINT) || '|'
+           || strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+         ), 1, 15)) AS BIGINT) AS HUGEINT) AS h
+  FROM orders
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(h) AS VARCHAR) AS fingerprint,
+       CAST(max(h) AS BIGINT) AS max_row_hash
+FROM r
+"""

@@ -16728,3 +16728,34 @@ def q449_targz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q450 — order-independent table fingerprint (§2.2-A/R5 engine
+# primitive; round 7): the anti-entropy checksum replication systems
+# compare — per-row md5 over a canonical rendering (ints/strings
+# verbatim, money as integer cents, timestamps as formatted days — no
+# float-to-string anywhere), the first 60 bits summed as an exact
+# DECIMAL: commutative, so ANY partitioning/engine produces the same
+# value, and a single flipped row moves it. One map-side-combinable
+# global aggregate — the cheapest possible "are these two replicas
+# identical" primitive at 100 TB.
+# ---------------------------------------------------------------------------
+@query("q450_table_fingerprint")
+def q450_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    repr_ = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(repr_), 1, 15), 16, 10).cast("long")
+    return orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).cast("string").alias("fingerprint"),
+        F.max(h).cast("bigint").alias("max_row_hash"),
+    )
