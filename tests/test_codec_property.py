@@ -174,3 +174,74 @@ def test_gif_lzw_roundtrip_property(data, mcs):
 
     syms = bytes(b % (1 << mcs) for b in data)
     assert _lzw_decompress(_lzw_compress(syms, mcs), mcs) == syms
+
+
+# ---------------------------------------------------------------------------
+# Archive formats (round 7): zip + ustar round-trip under hostile
+# member names/payloads, both compression methods, gzip wrap.
+# ---------------------------------------------------------------------------
+
+_NAMECHARS = st.text(
+    alphabet=st.characters(
+        codec="utf-8",
+        blacklist_characters="/\0",
+        blacklist_categories=("Cs",),
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_NAMECHARS, st.binary(max_size=2048), st.sampled_from([0, 8])),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_zip_roundtrip_property(members):
+    from luxo_rs_spark.sources.archive import build_zip, parse_zip
+
+    # unique names (duplicate member names are legal zip but ambiguous)
+    seen = set()
+    uniq = []
+    for n, p, m in members:
+        if n in seen:
+            continue
+        seen.add(n)
+        uniq.append((n, p, m))
+    ms = parse_zip(build_zip(uniq))
+    assert [(m["name"], bytes(m["payload"])) for m in ms] == [
+        (n, p) for n, p, _ in uniq
+    ]
+    assert all(m["crc_ok"] for m in ms)
+    assert [m["method"] for m in ms] == [m_ for _, _, m_ in uniq]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_NAMECHARS, st.binary(max_size=2048)),
+        min_size=1,
+        max_size=6,
+    ),
+    st.booleans(),
+)
+def test_tar_roundtrip_property(members, gz):
+    from luxo_rs_spark.sources.archive import build_tar, parse_tar
+
+    # ustar caps names at 100 utf-8 bytes; our generator stays under
+    uniq = []
+    seen = set()
+    for n, p in members:
+        if n in seen or len(n.encode()) > 100:
+            continue
+        seen.add(n)
+        uniq.append((n, p))
+    if not uniq:
+        return
+    ms = parse_tar(build_tar(uniq, gz=gz))
+    assert [(m["name"], bytes(m["payload"]), m["chksum_ok"]) for m in ms] == [
+        (n, p, True) for n, p in uniq
+    ]
