@@ -26,8 +26,12 @@ All four tiers of the training-data dedup ladder, Spark-first:
   verified output equals the exact operator's with near-certainty while
   doing ~|candidates| << N^2 work.
 - **SimHash**: 64-bit sign-aggregated fingerprint; near-dup pairs by
-  Hamming distance <= k via the pigeonhole band join (4 x 16-bit chunks:
-  any pair with Hamming <= 3 shares at least one chunk).
+  Hamming distance <= k via the Manku block-permutation band join
+  (6 blocks, keys = every 3-block combination, ~32 bits each: any pair
+  with Hamming <= 3 leaves >= 3 blocks intact, so some enumerated combo
+  matches exactly — and random collisions need a 32-bit agreement,
+  which keeps the candidate stage sub-quadratic far past the 2^16
+  birthday wall the old 16-bit chunks hit; BENCH_SCALING_R7.json).
 
 Scale notes: every stage is joins/aggs on (doc_id | shingle | band)
 keys — AQE-skew-joinable shuffles, no driver-side state. The only
@@ -335,7 +339,6 @@ def minhash_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 SIMHASH_BITS = 64
-_CHUNKS = 4  # 16-bit chunks -> catches Hamming <= 3 exactly (pigeonhole)
 
 
 def simhash(
@@ -374,33 +377,66 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     n: int = 3,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming via chunk band join.
+    """Pairs with Hamming(simhash) <= max_hamming via the Manku et al.
+    (WWW 2007, "Detecting Near-Duplicates for Web Crawling") block-
+    permutation band join. Returns (da, db, hamming BIGINT) — the SAME
+    relation as an all-pairs scan (exact recall), so the q33/q446
+    oracles never depend on the banding.
 
-    max_hamming must be < _CHUNKS for exact recall (pigeonhole).
-    Returns (da, db, hamming BIGINT).
-    """
-    if max_hamming >= _CHUNKS:
-        raise ValueError("max_hamming must be < number of chunks (4)")
+    Round-7 scaling fix: the previous 4x16-bit single-chunk join is
+    birthday-QUADRATIC once N >> 2^16 (measured candidates_alpha=1.91
+    in BENCH_SCALING_R7.json — 16-bit keys only have 65k buckets).
+    Manku's scheme splits the 64-bit signature into 6 blocks
+    (11/11/11/11/10/10 bits) and joins on every C(6,3)=20 combination
+    of THREE blocks concatenated into one ~32-bit key: hamming <= 3
+    touches at most 3 blocks, so at least one enumerated 3-block combo
+    is intact on both sides (pigeonhole => exact recall), while random
+    collisions now need a 32-bit agreement — candidate mass drops from
+    ~N^2/2^16 to ~20*N^2/2^32. Each side emits 20 rows/doc; keys are
+    (combo_id, packed key), the same equi-join shape as before."""
+    blocks = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+    # pigeonhole: d errors touch <= d blocks; we key on 3-block combos,
+    # so exact recall needs >= 3 intact blocks, i.e. d <= 6 - 3
+    if max_hamming > len(blocks) - 3:
+        raise ValueError("max_hamming must be <= 3 for 6-block/3-combo keys")
+    from itertools import combinations
+
     sig = simhash(df, id_col, text_col, n)
-    chunks = F.array(
-        *[
-            F.shiftrightunsigned("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
-            for c in range(_CHUNKS)
-        ]
-    )
+
+    def block(c: int) -> F.Column:
+        ofs, width = blocks[c]
+        return F.shiftrightunsigned("simhash", ofs).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+
+    keys = []
+    for i, j, k in combinations(range(len(blocks)), 3):
+        keys.append(
+            (block(i) * F.lit(1 << 22))
+            + (block(j) * F.lit(1 << 11))
+            + block(k)
+        )
     exploded = sig.select(
-        "doc_id", "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk")
+        "doc_id",
+        "simhash",
+        F.posexplode(F.array(*keys)).alias("combo", "key"),
     )
     a = exploded.select(
-        F.col("doc_id").alias("da"), F.col("simhash").alias("sa"), "chunk_idx", "chunk"
+        F.col("doc_id").alias("da"), F.col("simhash").alias("sa"),
+        "combo", "key",
     )
     b = exploded.select(
-        F.col("doc_id").alias("db"), F.col("simhash").alias("sb"), "chunk_idx", "chunk"
+        F.col("doc_id").alias("db"), F.col("simhash").alias("sb"),
+        "combo", "key",
     )
     return (
-        a.join(b, ["chunk_idx", "chunk"])
+        a.join(b, ["combo", "key"])
         .filter(F.col("da") < F.col("db"))
-        .select("da", "db", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+        .select(
+            "da",
+            "db",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
         .select("da", "db", F.col("hamming").cast("bigint").alias("hamming"))

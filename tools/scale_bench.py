@@ -173,6 +173,12 @@ def main() -> None:
         "q413_ngram_lm_perplexity",
         "q415_substring_dup_spans",
         "q434_mixed_media_decode",
+        # round-7 lanes: the composed near-dup x split audit (its
+        # candidate stage is q33's pigeonhole-banded simhash join) and
+        # the bounded-archive zip round-trip (map + one bounded-group
+        # shuffle; archives capped at 512 members regardless of scale)
+        "q446_split_leakage_audit",
+        "q444_zip_roundtrip",
     ]
 
     def lane_query(name: str, sf_dir: str):
@@ -185,6 +191,19 @@ def main() -> None:
 
             docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
             return substring_dup_spans(docs, k=20)
+        if name == "q444_zip_roundtrip":
+            # uncapped (the query caps doc_id < 400 against the
+            # fixtures) and with the 100 TB shape: archives bounded at
+            # 512 members via the salted group key
+            from luxo_rs_spark.sources.archive import (
+                read_zip_members,
+                zip_documents,
+            )
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            return read_zip_members(
+                zip_documents(docs, group_col="source", docs_per_archive=512)
+            )
         if name == "q434_mixed_media_decode":
             # the round-6 codec family's lane: synth + sniff + decode
             # five container formats over the WHOLE scaled corpus (the
@@ -216,6 +235,40 @@ def main() -> None:
                 "doc_id", F.xxhash64("shingle").alias("sid")
             ).distinct().localCheckpoint(eager=True)
             return ppjoin_candidates(sh, 0.7)
+        if name == "q446_split_leakage_audit":
+            # candidate mass = the Manku 6-block/3-combo band join's
+            # distinct id pairs (BEFORE the hamming cut) — mirrors
+            # simhash_neardup_pairs' (combo, 32-bit key) keys exactly
+            # (the round-7 fix for the 16-bit chunks' alpha=1.91)
+            from itertools import combinations
+
+            from luxo_rs_spark.operators.dedup import simhash
+
+            sig = simhash(docs, "doc_id", "text", 3)
+            blocks = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+
+            def block(c):
+                ofs, width = blocks[c]
+                return F.shiftrightunsigned("simhash", ofs).bitwiseAND(
+                    F.lit((1 << width) - 1)
+                )
+
+            keys = [
+                (block(i) * F.lit(1 << 22)) + (block(j) * F.lit(1 << 11))
+                + block(k)
+                for i, j, k in combinations(range(6), 3)
+            ]
+            ex = sig.select(
+                "doc_id", F.posexplode(F.array(*keys)).alias("combo", "key")
+            )
+            a = ex.select(F.col("doc_id").alias("da"), "combo", "key")
+            b = ex.select(F.col("doc_id").alias("db"), "combo", "key")
+            return (
+                a.join(b, ["combo", "key"])
+                .filter(F.col("da") < F.col("db"))
+                .select("da", "db")
+                .distinct()
+            )
         return None
 
     def candidates(name: str, sf_dir: str) -> int | None:
