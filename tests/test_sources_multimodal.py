@@ -3034,3 +3034,56 @@ def test_tar_interop_both_directions_and_chksum():
     bad[0] ^= 1
     ms = parse_tar(bytes(bad))
     assert not ms[0]["chksum_ok"] and ms[1]["chksum_ok"]
+
+
+def test_flac_variable_stream_carries_both_blocksize_widths():
+    """Review follow-up: a multi-frame variable-blocksize stream must
+    actually CONTAIN both explicit blocksize field forms (8-bit 0110
+    and 16-bit 0111) — walked frame by frame with the module's own
+    bit reader, independent of the decoder's acceptance."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _crc8_flac,
+        _flac_read_utf8,
+        _FlacBitReader,
+        _decode_flac,
+        _pcm_to_flac,
+    )
+
+    x = np.arange(500, dtype=np.int64) % 97 - 48
+    enc = _pcm_to_flac(x, block_size=48, variable_blocksize=True)
+    # skip fLaC + STREAMINFO block
+    pos = 4
+    while True:
+        hdr = enc[pos]
+        size = int.from_bytes(enc[pos + 1 : pos + 4], "big")
+        pos += 4 + size
+        if hdr & 0x80:
+            break
+    codes = []
+    idx = 0
+    while idx < len(x):
+        fr = _FlacBitReader(enc, pos)
+        assert fr.get(14) == 0b11111111111110
+        fr.get(1)
+        assert fr.get(1) == 1  # variable strategy
+        bs_code = fr.get(4)
+        codes.append(bs_code)
+        fr.get(4), fr.get(4), fr.get(3), fr.get(1)
+        fr.align()
+        num, bytepos = _flac_read_utf8(enc, fr.byte_pos())
+        assert num == idx
+        fr = _FlacBitReader(enc, bytepos)
+        nb = fr.get(8 if bs_code == 0b0110 else 16) + 1
+        fr.align()
+        hdr_end = fr.byte_pos()
+        assert _crc8_flac(enc[pos:hdr_end]) == enc[hdr_end]
+        # reuse the real decoder to find the next frame: decode the
+        # whole stream once below; here just step via sample count
+        idx += nb
+        # advance pos by scanning for the next sync after this header
+        nxt = enc.find(b"\xff\xf9", hdr_end)
+        pos = nxt if nxt != -1 else len(enc)
+    assert 0b0110 in codes and 0b0111 in codes, codes
+    assert _decode_flac(enc)["payload"] == x.astype("<i2").tobytes()
