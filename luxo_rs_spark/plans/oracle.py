@@ -9738,3 +9738,24 @@ SELECT count(*) AS n_rows,
        CAST(max(h) AS BIGINT) AS max_row_hash
 FROM r
 """
+
+
+# q451: container by source parity; members are lossless either way.
+ORACLE_SQL["q451_mixed_archive_decode"] = """
+WITH d AS (
+  SELECT doc_id, source, coalesce(text, '') AS text,
+         CAST(substring(source, 4) AS INT) % 2 AS par
+  FROM documents WHERE doc_id < 400
+), grp AS (
+  SELECT source, count(*) AS n FROM d GROUP BY source
+)
+SELECT d.source AS "group",
+       CASE WHEN d.par = 0 THEN 'zip' ELSE 'tar.gz' END AS container,
+       d.doc_id,
+       CAST(octet_length(d.text::BLOB) AS BIGINT) AS payload_bytes,
+       md5(d.text) AS payload_md5,
+       TRUE AS integrity_ok,
+       CAST(grp.n AS INT) AS archive_members
+FROM d JOIN grp ON grp.source = d.source
+ORDER BY d.doc_id
+"""

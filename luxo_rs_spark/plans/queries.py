@@ -16759,3 +16759,41 @@ def q450_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(h.cast("decimal(38,0)")).cast("string").alias("fingerprint"),
         F.max(h).cast("bigint").alias("max_row_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q451 — mixed-container archive lake (§2.2-A; round 7 capstone of the
+# archive family): ONE binary column carrying zip archives (even-
+# numbered sources) AND gzipped ustar archives (odd), magic-SNIFFED
+# and exploded by a single unified reader — the q434 "opaque binary +
+# typed metadata" shape applied to archives. Integrity comes from each
+# format's own mechanism (zip CRC-32 / tar header checksums); payloads
+# are lossless so every member md5 is md5(text).
+# ---------------------------------------------------------------------------
+@query("q451_mixed_archive_decode")
+def q451_mixed_archive_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.sources.archive import (
+        read_archive_members,
+        tar_documents,
+        zip_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    src_n = F.substring("source", 4, 10).cast("int")
+    zips = zip_documents(docs.filter(src_n % 2 == 0), group_col="source")
+    tars = tar_documents(docs.filter(src_n % 2 == 1), group_col="source", gz=True)
+    return (
+        read_archive_members(zips.unionByName(tars))
+        .select(
+            "group",
+            "container",
+            F.regexp_extract("name", r"doc_(\d+)\.txt", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "payload_bytes",
+            "payload_md5",
+            "integrity_ok",
+            "archive_members",
+        )
+        .orderBy("doc_id")
+    )

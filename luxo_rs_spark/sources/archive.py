@@ -353,3 +353,60 @@ def read_tar_members(archives: DataFrame) -> DataFrame:
         "group string, name string, payload_bytes long, "
         "payload_md5 string, chksum_ok boolean, archive_members int",
     )
+
+
+def read_archive_members(archives: DataFrame) -> DataFrame:
+    """MAGIC-SNIFFED unified archive reader (round 7 — the q434
+    mixed-container story for archives): one binary column may carry
+    zip, bare ustar, or gzipped tar blobs; each is dispatched by
+    signature (PK\\x03\\x04 / \\x1f\\x8b / the ustar magic at offset 257)
+    and exploded to the SAME member schema, integrity from the
+    format's own check (CRC-32 for zip, header checksum for tar)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for grp, content in zip(pdf["group"], pdf["content"]):
+                blob = bytes(content)
+                if blob[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+                    container = "zip"
+                    ms = [
+                        (m["name"], m["payload"], m["crc_ok"])
+                        for m in parse_zip(blob)
+                    ]
+                elif blob[:2] == b"\x1f\x8b" or (
+                    len(blob) > 262 and blob[257:262] == b"ustar"
+                ):
+                    container = "tar.gz" if blob[:2] == b"\x1f\x8b" else "tar"
+                    ms = [
+                        (m["name"], m["payload"], m["chksum_ok"])
+                        for m in parse_tar(blob)
+                    ]
+                else:
+                    raise ValueError("unknown archive signature")
+                for name, payload, ok in ms:
+                    rows.append(
+                        {
+                            "group": grp,
+                            "container": container,
+                            "name": name,
+                            "payload_bytes": len(payload),
+                            "payload_md5": hashlib.md5(payload).hexdigest(),
+                            "integrity_ok": ok,
+                            "archive_members": len(ms),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "group", "container", "name", "payload_bytes",
+                    "payload_md5", "integrity_ok", "archive_members",
+                ],
+            )
+
+    return archives.select("group", "content").mapInPandas(
+        run,
+        "group string, container string, name string, payload_bytes long, "
+        "payload_md5 string, integrity_ok boolean, archive_members int",
+    )
