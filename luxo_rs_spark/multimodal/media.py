@@ -5426,7 +5426,11 @@ def _pcm_to_flac(
         end = starts[si_ + 1] if si_ + 1 < len(starts) else n_total
         blk = x[start:end]
         nb = len(blk)
-        min_bs = nb if min_bs is None else min(min_bs, nb)
+        # RFC 9639 excludes the (possibly short) LAST frame from the
+        # STREAMINFO minimum — same rule the fixed branch applies —
+        # so a partial tail never drags the written min below 16
+        if si_ + 1 < len(starts):
+            min_bs = nb if min_bs is None else min(min_bs, nb)
         max_bs = nb if max_bs is None else max(max_bs, nb)
 
         def _body_for(assignment: int) -> "_FlacBitWriter":
@@ -5501,10 +5505,18 @@ def _pcm_to_flac(
 
     si = _FlacBitWriter()
     if variable_blocksize:
-        # actual min/max over ALL frames (variable streams have no
-        # "nominal" size; min != max marks the stream as variable)
-        si.put(min_bs if min_bs is not None else block_size, 16)
-        si.put(max_bs if max_bs is not None else block_size, 16)
+        # actual min (excluding the last frame, per RFC 9639) / max
+        # over the frames; the written minimum is additionally clamped
+        # to the spec floor of 16 so strict third-party decoders never
+        # see an out-of-range STREAMINFO — but never above the max
+        # (single-tiny-frame streams keep their honest sizes; they are
+        # not spec-representable either way)
+        mx = max_bs if max_bs is not None else block_size
+        mn = min_bs if min_bs is not None else mx
+        if mx >= 16:
+            mn = min(max(16, mn), mx)
+        si.put(mn, 16)
+        si.put(mx, 16)
     else:
         # fixed streams: min == max == the nominal size (RFC 9639
         # excludes the possibly-short LAST frame from the minimum)

@@ -1062,6 +1062,13 @@ def write_ivf_adc_index(
     lo, hi = staged.agg(
         F.min(F.array_min("__e")), F.max(F.array_max("__e"))
     ).head()
+    if hi == lo:
+        # degenerate corpus (every component equal): a zero-width grid
+        # would divide by zero below; any positive width maps every
+        # component to code 0 and reconstruction stays within half a
+        # width of the true value. The probe reads the same width back
+        # from _adc_meta, so writer and reader agree by construction.
+        hi = lo + 1e-12
     assigned = ivf_assign(emb, centroids, vec_col)
     code = F.transform(
         F.col(vec_col).cast("array<double>"),

@@ -9541,8 +9541,8 @@ SELECT count(*) AS n_keys,
        CAST(sum(cnt) AS BIGINT) AS n_rows,
        CAST(max(cnt) AS BIGINT) AS max_key_rows,
        round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 4) AS skew_factor,
-       round((2.0 * sum(r * cnt) - (count(*) + 1) * sum(cnt))
-             / (count(*) * CAST(sum(cnt) AS DOUBLE)), 6) AS gini
+       round(CAST(2 * sum(r * cnt) - (count(*) + 1) * sum(cnt) AS DOUBLE)
+             / CAST(count(*) * sum(cnt) AS DOUBLE), 6) AS gini
 FROM ranked
 """
 

@@ -16432,13 +16432,18 @@ def q443_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt"), 4
         ).alias("skew_factor"),
         # Gini = (2*sum(r*x) / (n*sum(x)) - (n+1)/n), x ascending by
-        # (cnt, key) — exact integer numerators, one final division
+        # (cnt, key) — the whole numerator stays BIGINT (2* as an
+        # integer literal, not 2.0: a double there promotes the sum
+        # and silently loses exactness past 2^53, plausible at 100 TB
+        # where sum(r*cnt) ~ n_keys*n_rows) and only the single final
+        # division is double
         F.round(
             (
-                F.lit(2.0) * F.sum(F.col("r").cast("bigint") * F.col("cnt"))
+                F.lit(2).cast("bigint")
+                * F.sum(F.col("r").cast("bigint") * F.col("cnt"))
                 - (F.count(F.lit(1)) + 1) * F.sum("cnt")
-            )
-            / (F.count(F.lit(1)) * F.sum("cnt")),
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("cnt")).cast("double"),
             6,
         ).alias("gini"),
     )

@@ -139,7 +139,9 @@ def zip_documents(
         key = F.concat_ws(
             "#",
             F.col(group_col),
-            (F.col(id_col) / docs_per_archive).cast("long").cast("string"),
+            # integer div, not `/` (Spark `/` promotes to DOUBLE and
+            # ids past 2^53 would misbucket)
+            F.expr(f"{id_col} div {int(docs_per_archive)}").cast("string"),
         )
 
     def make(pdf: pd.DataFrame) -> pd.DataFrame:
