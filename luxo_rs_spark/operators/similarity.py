@@ -462,6 +462,25 @@ def kmeans_centroids(
     corpus size), and only the assignment scan is distributed.
     Returns (n_centroids, dim) float64, L2-normalized rows.
     """
+    X = strided_sample_matrix(
+        emb, sample_limit, id_col=id_col, vec_col=vec_col, n_rows=n_rows
+    )
+    return kmeans_numpy(X, n_centroids, seed, iters)
+
+
+def strided_sample_matrix(
+    emb: DataFrame,
+    sample_limit: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> np.ndarray:
+    """The hash-strided, id-ordered driver training sample shared by
+    the coarse k-means (:func:`kmeans_centroids`) and the PQ codebook
+    trainer (:func:`train_pq_codebooks`): rows where
+    xxhash64(id) % ceil(N / sample_limit) == 0. Returns the RAW
+    (un-normalized) float64 matrix — callers normalize if they need
+    spherical geometry."""
     if n_rows is None:
         n_rows = emb.count()
     # ceil, not floor: a floor stride passes > sample_limit rows and
@@ -474,8 +493,7 @@ def kmeans_centroids(
         .limit(sample_limit)
         .toPandas()
     )
-    X = np.stack(sample[vec_col].to_numpy()).astype(np.float64)
-    return kmeans_numpy(X, n_centroids, seed, iters)
+    return np.stack(sample[vec_col].to_numpy()).astype(np.float64)
 
 
 def kmeans_numpy(
@@ -1147,6 +1165,333 @@ def ivf_adc_pruned_probe(
     rerank_scan = spark.read.parquet(index_path).select(
         id_col, vec_col, "ivf_cluster"
     ).filter(F.col("ivf_cluster").isin(probes))
+    return (
+        rerank_scan.join(F.broadcast(short), id_col)
+        .select(
+            id_col,
+            F.col("ivf_cluster").cast("int").alias("ivf_cluster"),
+            cosine(F.col(vec_col).cast("array<double>"), qlit).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF + trained-PQ index (round-8): the full Jegou et al.
+# (TPAMI 2011) IVFADC layout. Where q439's ADC codes are a uniform
+# 256-level scalar grid (one byte PER COMPONENT, untrained), this
+# family trains per-subspace Lloyd k-means codebooks on coarse-cluster
+# RESIDUALS (x - c(x)) of the same hash-strided driver sample, and
+# encodes each vector as m=dim/dsub codebook entries — 8 bytes per
+# 64-dim vector instead of 64, with the quantizer ADAPTED to the data.
+# The probe is pure asymmetric distance computation: per probed
+# cluster a (m x k) query-to-codebook distance table is computed
+# driver-side (a few KB), broadcast as a tiny relation, and the ADC
+# distance is m JVM-side element_at lookups folded left — no UDF in
+# the probe. Every training/encode/table step is a module-level
+# deterministic function so plans/oracle.py recomputes the identical
+# values per corpus (the kmeans_numpy precedent).
+# ---------------------------------------------------------------------------
+
+
+def kmeans_euclidean_numpy(
+    X: np.ndarray, k: int, seed: int = 42, iters: int = 8
+) -> np.ndarray:
+    """Plain Lloyd k-means (Euclidean, NO normalization — PQ codebooks
+    quantize residual magnitudes, so spherical k-means is wrong here):
+    seeded init without replacement, chunked exact-distance argmin
+    (ties -> lowest index), mean update, empty cluster keeps its
+    previous entry. The 3D subtract-square-sum distance form is
+    deliberately batch-invariant: each row's distances depend only on
+    that row, so executor batch boundaries can never change a code."""
+    X = np.asarray(X, dtype=np.float64)
+    k = min(k, len(X))
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.empty(len(X), dtype=np.int64)
+        for s in range(0, len(X), 2048):
+            diff = X[s : s + 2048, None, :] - cent[None, :, :]
+            assign[s : s + 2048] = np.argmin(
+                (diff * diff).sum(axis=2), axis=1
+            )
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    iters: int = 8,
+    sample_limit: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> np.ndarray:
+    """Train the per-subspace PQ codebooks on coarse-cluster residuals
+    of the hash-strided driver sample (the IVFADC recipe: quantize
+    x - c(x), not x — residuals concentrate near 0 so a trained
+    codebook spends its entries where the mass is). Subspace j trains
+    with seed+j so the books are decorrelated but fully deterministic.
+    Returns (m, k, dim/m) float64. Train-on-sample is the standard
+    recipe at 100 TB: the sample is a driver-sized matrix, only the
+    encode scan is distributed."""
+    X = strided_sample_matrix(
+        emb, sample_limit, id_col=id_col, vec_col=vec_col, n_rows=n_rows
+    )
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(Xn @ centroids.T, axis=1)
+    R = X - centroids[assign]
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack(
+        [
+            kmeans_euclidean_numpy(
+                np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub]),
+                n_codes,
+                seed + j,
+                iters,
+            )
+            for j in range(m)
+        ]
+    )
+
+
+def pq_encode_numpy(
+    X: np.ndarray,
+    assign: np.ndarray,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+) -> np.ndarray:
+    """(n, dim) raw vectors + coarse assignment -> (n, m) int64 codes:
+    per subspace, the index of the nearest codebook entry to the
+    residual subvector. Chunked batch-invariant exact distances (same
+    3D form as the trainer) — the oracle replays this function on the
+    whole corpus while Spark runs it per Arrow batch, and the codes
+    must agree bit-for-bit."""
+    X = np.asarray(X, dtype=np.float64)
+    R = X - centroids[np.asarray(assign, dtype=np.int64)]
+    m, _k, dsub = codebooks.shape
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        sub = np.ascontiguousarray(R[:, j * dsub : (j + 1) * dsub])
+        book = codebooks[j]
+        for s in range(0, len(X), 2048):
+            diff = sub[s : s + 2048, None, :] - book[None, :, :]
+            codes[s : s + 2048, j] = np.argmin(
+                (diff * diff).sum(axis=2), axis=1
+            )
+    return codes
+
+
+def pq_distance_table(
+    query_vec: np.ndarray, centroid: np.ndarray, codebooks: np.ndarray
+) -> np.ndarray:
+    """(m, k) asymmetric-distance table for ONE probed cluster: entry
+    [j][e] is the exact squared distance from the query's residual
+    subvector j to codebook entry e. Computed once driver-side per
+    probe (a few KB) and broadcast; the oracle recomputes it with this
+    same function so the folded ADC sums match bit-for-bit."""
+    r = np.asarray(query_vec, dtype=np.float64) - np.asarray(
+        centroid, dtype=np.float64
+    )
+    m, k, dsub = codebooks.shape
+    tab = np.empty((m, k), dtype=np.float64)
+    for j in range(m):
+        diff = r[j * dsub : (j + 1) * dsub][None, :] - codebooks[j]
+        tab[j] = (diff * diff).sum(axis=1)
+    return tab
+
+
+def _pq_codes_udf(centroids: np.ndarray, codebooks: np.ndarray):
+    @pandas_udf("array<tinyint>")
+    def enc(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
+        X = np.stack(vecs.to_numpy()).astype(np.float64)
+        a = clusters.to_numpy().astype(np.int64)
+        codes = pq_encode_numpy(X, a, centroids, codebooks)
+        # center-shifted by 128 so each code is one logical TINYINT
+        # byte on disk (the q439 storage convention)
+        return pd.Series(list((codes - 128).astype(np.int8)))
+
+    return enc
+
+
+def write_ivf_pq_index(
+    emb: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF+PQ index: (id, vector, codes[m]) PARTITIONED BY
+    nearest-centroid cluster, plus the trained model itself — coarse
+    centroids and per-subspace codebooks — as underscore-prefixed
+    parquet side tables (invisible to partition discovery). Persisting
+    the model is what makes the index MAINTAINABLE: a streaming
+    appender encodes new vectors against the frozen books without
+    retraining (tests/test_streaming.py pins append == rebuild)."""
+    spark = emb.sparkSession
+    assigned = ivf_assign(emb, centroids, vec_col)
+    (
+        assigned.withColumn(
+            "codes",
+            _pq_codes_udf(centroids, codebooks)(
+                F.col(vec_col), F.col("ivf_cluster")
+            ),
+        )
+        .select(id_col, vec_col, "codes", "ivf_cluster")
+        .repartition("ivf_cluster")
+        .write.mode("overwrite")
+        .partitionBy("ivf_cluster")
+        .parquet(path)
+    )
+    m, k, _dsub = codebooks.shape
+    spark.createDataFrame(
+        [
+            (int(c), [float(v) for v in centroids[c]])
+            for c in range(len(centroids))
+        ],
+        "cluster int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_ivf_centroids")
+    spark.createDataFrame(
+        [
+            (j, e, [float(v) for v in codebooks[j][e]])
+            for j in range(m)
+            for e in range(k)
+        ],
+        "m_idx int, entry int, center array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/_pq_codebooks")
+
+
+def read_ivf_pq_model(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
+    """Read back the frozen model persisted beside the postings:
+    (centroids (C, dim), codebooks (m, k, dsub))."""
+    crows = sorted(
+        spark.read.parquet(path + "/_ivf_centroids").collect(),
+        key=lambda r: r.cluster,
+    )
+    centroids = np.array([r.center for r in crows], dtype=np.float64)
+    brows = sorted(
+        spark.read.parquet(path + "/_pq_codebooks").collect(),
+        key=lambda r: (r.m_idx, r.entry),
+    )
+    m = brows[-1].m_idx + 1
+    k = brows[-1].entry + 1
+    books = np.array([r.center for r in brows], dtype=np.float64)
+    return centroids, books.reshape(m, k, -1)
+
+
+def ivf_pq_append(
+    new_vectors: DataFrame,
+    path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign + encode a batch of new
+    vectors against the FROZEN model and append to the partitioned
+    posting layout. Used from foreachBatch in the streaming
+    maintenance tests; append-then-probe equals a from-scratch
+    write_ivf_pq_index over the union corpus because assignment and
+    codes depend only on (row, model)."""
+    assigned = ivf_assign(new_vectors, centroids, vec_col)
+    (
+        assigned.withColumn(
+            "codes",
+            _pq_codes_udf(centroids, codebooks)(
+                F.col(vec_col), F.col("ivf_cluster")
+            ),
+        )
+        .select(id_col, vec_col, "codes", "ivf_cluster")
+        .repartition("ivf_cluster")
+        .write.mode("append")
+        .partitionBy("ivf_cluster")
+        .parquet(path)
+    )
+
+
+def ivf_pq_pruned_probe(
+    spark,
+    index_path: str,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    query_vec: np.ndarray,
+    n_probe: int = 4,
+    k: int = 5,
+    shortlist: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ANN top-k against the persisted IVF+PQ index, two pruned scans:
+
+    1. ADC stage — scan ``(vec_id, codes)`` of the n_probe nearest
+       cluster directories (PartitionFilters + ReadSchema without the
+       vector column, plan-asserted), broadcast-join the per-cluster
+       (m x k) distance tables, and fold the ADC distance as m
+       element_at lookups — all JVM-side Column algebra, no UDF.
+       Codes bytes read: m per vector (8 for dim=64) vs the grid
+       layout's dim bytes — 8x less I/O at equal n_probe.
+    2. Re-rank stage — raw vectors of the same pruned partitions,
+       broadcast-semi-join the ``shortlist`` ids, exact cosine, top-k.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probes = [int(c) for c in np.argsort(-(centroids @ qn))[:n_probe]]
+    m = codebooks.shape[0]
+    tab_rows = [
+        (
+            c,
+            [
+                [float(v) for v in row]
+                for row in pq_distance_table(q, centroids[c], codebooks)
+            ],
+        )
+        for c in probes
+    ]
+    tab_df = spark.createDataFrame(
+        tab_rows, "ivf_cluster int, __tab array<array<double>>"
+    )
+    codes_scan = (
+        spark.read.parquet(index_path)
+        .select(id_col, "codes", "ivf_cluster")
+        .filter(F.col("ivf_cluster").isin(probes))
+    )
+    if exclude_id is not None:
+        codes_scan = codes_scan.filter(F.col(id_col) != exclude_id)
+    joined = codes_scan.join(F.broadcast(tab_df), "ivf_cluster")
+    adc = None
+    for j in range(m):
+        # codes stored center-shifted: entry index = code + 128, and
+        # element_at is 1-based -> +129
+        term = F.element_at(
+            F.element_at(F.col("__tab"), j + 1),
+            F.col("codes").getItem(j).cast("int") + 129,
+        )
+        adc = term if adc is None else adc + term
+    short = (
+        joined.withColumn("__adc", adc)
+        .orderBy(F.col("__adc").asc(), F.col(id_col))
+        .limit(shortlist)
+        .select(id_col)
+    )
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    rerank_scan = (
+        spark.read.parquet(index_path)
+        .select(id_col, vec_col, "ivf_cluster")
+        .filter(F.col("ivf_cluster").isin(probes))
+    )
     return (
         rerank_scan.join(F.broadcast(short), id_col)
         .select(

@@ -8146,7 +8146,10 @@ ORDER BY da, db
     from luxo_rs_spark.functions.xxh64 import xxh64_long_signed
     from luxo_rs_spark.operators.similarity import (
         derive_lsh_bands,
+        kmeans_euclidean_numpy,
         kmeans_numpy,
+        pq_distance_table,
+        pq_encode_numpy,
     )
 
     proj = (
@@ -8170,6 +8173,7 @@ ORDER BY da, db
     b361, b36, b64, b278, b237, b288, b396 = [], [], [], [], [], [], []
     b430: list = []
     b439: list = []
+    b452: list = []
     seen_keys: set = set()
     for d in sf_dirs:
         p = os.path.join(d, "embeddings.parquet")
@@ -8328,6 +8332,58 @@ ORDER BY da, db
         scored439.sort(key=lambda kv: (-kv[2], kv[0]))
         b439.append((key, scored439[:8]))
 
+        # q452 — trained-PQ IVF probe of vec 3: SAME coarse centroids
+        # (cent) and probed clusters as q439, per-subspace Lloyd
+        # codebooks trained on residuals of the SAME strided sample
+        # (seed 42+j per subspace), codes / asymmetric-distance tables
+        # / left-folded ADC sums all via the shared similarity-module
+        # functions so Spark's per-Arrow-batch encode and this
+        # whole-corpus replay agree bit-for-bit; shortlist 32 by
+        # (adc, id), exact-cosine top-8 re-rank with the cluster id
+        train_n = train / np.maximum(
+            np.linalg.norm(train, axis=1, keepdims=True), 1e-12
+        )
+        assign_tr = np.argmax(train_n @ cent.T, axis=1)
+        R_tr = train - cent[assign_tr]
+        books = np.stack(
+            [
+                kmeans_euclidean_numpy(
+                    np.ascontiguousarray(R_tr[:, j * 8 : (j + 1) * 8]),
+                    256,
+                    42 + j,
+                    8,
+                )
+                for j in range(8)
+            ]
+        )
+        cand452 = [
+            i
+            for i in range(nvec)
+            if int(assign[i]) in probes3 and ids[i] != 3
+        ]
+        codes452 = pq_encode_numpy(
+            mat[cand452], assign[cand452], cent, books
+        )
+        q3a = np.asarray(q3, dtype=np.float64)
+        tabs452 = {
+            c: pq_distance_table(q3a, cent[c], books) for c in probes3
+        }
+        adcs452 = []
+        for row, i in enumerate(cand452):
+            tab = tabs452[int(assign[i])]
+            acc = float(tab[0][codes452[row][0]])
+            for j in range(1, 8):
+                acc = acc + float(tab[j][codes452[row][j]])
+            adcs452.append((acc, ids[i]))
+        short452 = {vid for _a, vid in sorted(adcs452)[:32]}
+        scored452 = [
+            (ids[i], int(assign[i]), _seq_cos(vecs[i], q3))
+            for i in range(nvec)
+            if ids[i] in short452
+        ]
+        scored452.sort(key=lambda kv: (-kv[2], kv[0]))
+        b452.append((key, scored452[:8]))
+
         # q237 — banded-LSH near-dup pairs at threshold 0.45 with the
         # corpus-adaptive band derivation (same formula, same seed)
         nb_, bb_ = derive_lsh_bands(nvec, None, None)
@@ -8473,6 +8529,23 @@ ORDER BY sim DESC, vec_id""",
             for vid, cl, sim in top
         ]
         ORACLE_SQL["q439_ivf_adc_pruned_probe"] = _corpus_sql(
+            "n, s, c, vec_id, ivf_cluster, sim",
+            vals,
+            """SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       CAST(v.ivf_cluster AS INTEGER) AS ivf_cluster,
+       round(v.sim, 4) AS sim
+FROM vals v, corp x
+WHERE v.n = x.n AND v.s = x.s AND v.c = x.c
+ORDER BY sim DESC, vec_id""",
+        )
+
+    if b452:
+        vals = [
+            f"({n}, {s}, {c}, {vid}, {cl}, {sim!r})"
+            for (n, s, c), top in b452
+            for vid, cl, sim in top
+        ]
+        ORACLE_SQL["q452_ivf_pq_trained_probe"] = _corpus_sql(
             "n, s, c, vec_id, ivf_cluster, sim",
             vals,
             """SELECT CAST(v.vec_id AS BIGINT) AS vec_id,

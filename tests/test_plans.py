@@ -654,3 +654,36 @@ def test_q439_ivf_adc_probe_pruned_and_codes_only(spark):
         v for d, v in sizes.items() if d.split("=")[1] in probe_ids
     )
     assert probed_bytes < sum(sizes.values()) / 2
+
+
+def test_q452_ivf_pq_probe_pruned_codes_only_and_udf_free(spark):
+    """The trained-PQ probe inherits q439's plan contract — both index
+    scans PartitionFilter on ivf_cluster, the ADC scan reads ONLY
+    (vec_id, codes) — and adds one of its own: the probe path is pure
+    JVM Column algebra (broadcast distance tables + element_at folds),
+    so NO Python evaluation of any kind may appear in the probe plan
+    (the encode UDF runs at index-WRITE time only)."""
+    plan = plan_of(spark, "q452_ivf_pq_trained_probe")
+    idx_scans = [
+        seg
+        for seg in plan.split("FileScan parquet")
+        if "ivf_pq_index" in seg.split("ReadSchema")[0]
+        and "_pq_codebooks" not in seg.split("ReadSchema")[0]
+        and "_ivf_centroids" not in seg.split("ReadSchema")[0]
+    ]
+    assert len(idx_scans) == 2, f"expected 2 index scans, plan:\n{plan}"
+    codes_scans = 0
+    for seg in idx_scans:
+        part = seg.split("PartitionFilters: [")[1].split("ReadSchema")[0]
+        assert "ivf_cluster" in part and part.strip() != "],"
+        schema = seg.split("ReadSchema: ")[1].splitlines()[0]
+        if "codes" in schema:
+            codes_scans += 1
+            assert "embedding" not in schema, (
+                "ADC scan must column-prune the raw vectors: " + schema
+            )
+        else:
+            assert "embedding" in schema  # the re-rank scan
+    assert codes_scans == 1, plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "pythonUDF"):
+        assert marker not in plan, f"probe plan must be UDF-free: {marker}"

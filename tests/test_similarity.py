@@ -465,3 +465,147 @@ def test_ivf_adc_pruned_probe_matches_inline_adc(spark, tmp_path):
         for x in vec
     ]
     assert list(row.codes) == want_codes
+
+
+def test_ivf_pq_trained_probe_recall_vs_grid(spark, tmp_path):
+    """Round-8 verdict item 1 — the recall-vs-grid comparison for the
+    trained-PQ index. Three claims, each pinned:
+
+    1. TRAINING WORKS: 8 Lloyd iterations strictly reduce codebook
+       quantization error vs the seeded init (k-means' monotonic
+       objective), measured on the actual training residuals.
+    2. BYTES ECONOMY: PQ stores m=8 code bytes per 64-dim vector where
+       the q439 grid stores 64 — 8x fewer — verified on disk.
+    3. RECALL PER BYTE: at the same n_probe/shortlist, PQ recall@8 vs
+       the exact top-8 stays within one neighbor of the 8x-bigger grid
+       codes' recall (both recalls printed for the record)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.operators.similarity import (
+        cosine_topk,
+        ivf_adc_pruned_probe,
+        ivf_pq_pruned_probe,
+        kmeans_centroids,
+        kmeans_euclidean_numpy,
+        strided_sample_matrix,
+        train_pq_codebooks,
+        write_ivf_adc_index,
+        write_ivf_pq_index,
+    )
+    from luxo_rs_spark.sources.registry import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    n_rows = emb.count()
+    cent = kmeans_centroids(emb, n_centroids=16, seed=42, n_rows=n_rows)
+
+    # (1) training monotonicity on the real residual sample
+    X = strided_sample_matrix(emb, n_rows=n_rows)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    R = X - cent[np.argmax(Xn @ cent.T, axis=1)]
+
+    def mse(book: np.ndarray, sub: np.ndarray) -> float:
+        d = ((sub[:, None, :] - book[None, :, :]) ** 2).sum(axis=2)
+        return float(d.min(axis=1).mean())
+
+    sub0 = np.ascontiguousarray(R[:, :8])
+    trained = kmeans_euclidean_numpy(sub0, 64, seed=42, iters=8)
+    init = kmeans_euclidean_numpy(sub0, 64, seed=42, iters=0)
+    assert mse(trained, sub0) < mse(init, sub0), (
+        "Lloyd iterations must reduce quantization MSE vs seeded init"
+    )
+
+    books = train_pq_codebooks(emb, cent, m=8, n_codes=256, n_rows=n_rows)
+    pq_path = str(tmp_path / "pq_idx")
+    grid_path = str(tmp_path / "grid_idx")
+    write_ivf_pq_index(emb, pq_path, cent, books)
+    write_ivf_adc_index(emb, grid_path, cent, n_codes=256)
+
+    # (2) bytes economy on disk: 8 code bytes vs 64
+    pq_row = spark.read.parquet(pq_path).head()
+    grid_row = spark.read.parquet(grid_path).head()
+    assert len(pq_row.codes) == 8
+    assert len(grid_row.codes) == 64
+
+    # (3) recall@8 vs exact, same probe budget
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    exact = {
+        r.vec_id for r in cosine_topk(emb, 3, 8).collect()
+    }
+    pq_hits = {
+        r.vec_id
+        for r in ivf_pq_pruned_probe(
+            spark, pq_path, cent, books, qvec,
+            n_probe=4, k=8, shortlist=32, exclude_id=3,
+        ).collect()
+    }
+    grid_hits = {
+        r.vec_id
+        for r in ivf_adc_pruned_probe(
+            spark, grid_path, cent, qvec,
+            n_probe=4, k=8, shortlist=32, exclude_id=3,
+        ).collect()
+    }
+    recall_pq = len(pq_hits & exact) / 8
+    recall_grid = len(grid_hits & exact) / 8
+    print(f"recall@8: pq(8B)={recall_pq:.3f} grid(64B)={recall_grid:.3f}")
+    assert recall_pq >= recall_grid - 1 / 8, (
+        f"8-byte trained PQ fell more than one neighbor behind the "
+        f"64-byte grid: pq={recall_pq} grid={recall_grid}"
+    )
+    assert recall_pq >= 0.5
+
+
+def test_ivf_pq_model_roundtrip_and_append_equals_rebuild(spark, tmp_path):
+    """The persisted model (centroids + codebooks) reads back
+    bit-exactly, and incremental ivf_pq_append over a split corpus
+    produces an index whose probe results equal a from-scratch
+    write_ivf_pq_index over the union — the maintenance contract the
+    streaming twin (tests/test_streaming.py) runs through
+    foreachBatch."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.operators.similarity import (
+        ivf_pq_append,
+        ivf_pq_pruned_probe,
+        kmeans_centroids,
+        read_ivf_pq_model,
+        train_pq_codebooks,
+        write_ivf_pq_index,
+    )
+    from luxo_rs_spark.sources.registry import load_table
+
+    from conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    n_rows = emb.count()
+    cent = kmeans_centroids(emb, n_centroids=16, seed=42, n_rows=n_rows)
+    books = train_pq_codebooks(emb, cent, m=8, n_codes=256, n_rows=n_rows)
+
+    full_path = str(tmp_path / "full_idx")
+    write_ivf_pq_index(emb, full_path, cent, books)
+    r_cent, r_books = read_ivf_pq_model(spark, full_path)
+    assert np.array_equal(r_cent, cent)
+    assert np.array_equal(r_books, books)
+
+    inc_path = str(tmp_path / "inc_idx")
+    base = emb.filter(F.col("vec_id") % 3 != 2)
+    write_ivf_pq_index(base, inc_path, cent, books)
+    increment = emb.filter(F.col("vec_id") % 3 == 2)
+    ivf_pq_append(increment, inc_path, cent, books)
+
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    got = ivf_pq_pruned_probe(
+        spark, inc_path, cent, books, qvec,
+        n_probe=4, k=8, shortlist=32, exclude_id=3,
+    ).collect()
+    want = ivf_pq_pruned_probe(
+        spark, full_path, cent, books, qvec,
+        n_probe=4, k=8, shortlist=32, exclude_id=3,
+    ).collect()
+    assert [(r.vec_id, r.ivf_cluster, round(r.sim, 12)) for r in got] == [
+        (r.vec_id, r.ivf_cluster, round(r.sim, 12)) for r in want
+    ]

@@ -1724,3 +1724,86 @@ def test_streaming_incremental_mv_matches_batch(spark):
     got = {r.o_orderstatus: (r.n, r.total) for r in final.collect()}
     exp = {r.o_orderstatus: (r.n, r.total) for r in want.collect()}
     assert got == exp
+
+
+def test_streaming_ivf_pq_index_maintenance(spark):
+    """Round-8 verdict item 5 — streaming maintenance of the persisted
+    IVF+PQ index: the model (coarse centroids + trained codebooks) is
+    frozen at build time, then a foreachBatch stream assigns + encodes
+    each micro-batch against the frozen model and APPENDS to the
+    partitioned posting layout (ivf_pq_append). Because assignment and
+    codes depend only on (row, model), the streamed index's pruned
+    probe must EQUAL a from-scratch write_ivf_pq_index over the same
+    corpus — exact equality, the Roaring/HLL/MV maintenance contract."""
+    import numpy as np
+
+    from luxo_rs_spark.operators.similarity import (
+        ivf_pq_append,
+        ivf_pq_pruned_probe,
+        kmeans_centroids,
+        read_ivf_pq_model,
+        train_pq_codebooks,
+        write_ivf_pq_index,
+    )
+
+    base = TMP / f"ivfpq_stream_{uuid.uuid4().hex[:8]}"
+    src, ckpt = str(base / "src"), str(base / "ckpt")
+    idx_inc, idx_full = str(base / "idx_inc"), str(base / "idx_full")
+
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    n_rows = emb.count()
+    cent = kmeans_centroids(emb, n_centroids=16, seed=42, n_rows=n_rows)
+    books = train_pq_codebooks(emb, cent, m=8, n_codes=256, n_rows=n_rows)
+
+    # from-scratch reference index over the whole corpus
+    write_ivf_pq_index(emb, idx_full, cent, books)
+
+    # seed the incremental index with an EMPTY posting set but the
+    # persisted frozen model (limit(0) keeps schema + meta layout)
+    write_ivf_pq_index(emb.limit(0), idx_inc, cent, books)
+    # the appender re-reads the model exactly as a separate
+    # maintenance job would — no closure smuggling
+    m_cent, m_books = read_ivf_pq_model(spark, idx_full)
+    assert np.array_equal(m_cent, cent) and np.array_equal(m_books, books)
+
+    emb.repartition(4).write.parquet(src)
+
+    def append_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        ivf_pq_append(batch_df, idx_inc, m_cent, m_books)
+
+    q = (
+        spark.readStream.schema(
+            "vec_id bigint, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    got = ivf_pq_pruned_probe(
+        spark, idx_inc, cent, books, qvec,
+        n_probe=4, k=8, shortlist=32, exclude_id=3,
+    ).collect()
+    want = ivf_pq_pruned_probe(
+        spark, idx_full, cent, books, qvec,
+        n_probe=4, k=8, shortlist=32, exclude_id=3,
+    ).collect()
+    assert [(r.vec_id, r.ivf_cluster, round(r.sim, 12)) for r in got] == [
+        (r.vec_id, r.ivf_cluster, round(r.sim, 12)) for r in want
+    ]
+    # it really streamed: more than one committed micro-batch
+    import os
+
+    commits = [
+        f for f in os.listdir(os.path.join(ckpt, "commits"))
+        if not f.startswith(".")
+    ]
+    assert len(commits) > 1
+    shutil.rmtree(base, ignore_errors=True)
