@@ -89,9 +89,80 @@ class Engine:
 
     # -- catalog ------------------------------------------------------------
 
-    def register_dir(self, sf_dir: str, tables=TABLES) -> "Engine":
-        """Register every fixture table under `sf_dir` as a temp view."""
+    def register_dir(
+        self, sf_dir: str, tables=TABLES, analyze: bool = True
+    ) -> "Engine":
+        """Register every fixture table under `sf_dir` as a temp view,
+        and (by default) ALSO as external catalog tables with collected
+        statistics — the SURVEY §4.2 commitment: engine init runs
+        ``ANALYZE TABLE … COMPUTE STATISTICS FOR ALL COLUMNS`` so the
+        cost-based optimizer has rowCount/ndv/min-max to drive join
+        reordering and broadcast decisions at PLAN time."""
         register_views(self.spark, sf_dir, tables)
+        if analyze:
+            self.register_catalog(sf_dir, tables)
+        return self
+
+    def register_catalog(
+        self,
+        sf_dir: str,
+        tables=TABLES,
+        database: str = "luxo",
+        analyze: bool = True,
+    ) -> "Engine":
+        """External catalog tables + collected CBO statistics.
+
+        Temp views can't carry catalog statistics, so the stats-backed
+        surface lives in a database (default ``luxo``): each fixture
+        parquet is registered as an EXTERNAL table (metadata only, no
+        copy) and ``ANALYZE TABLE … COMPUTE STATISTICS FOR ALL
+        COLUMNS`` collects rowCount + per-column ndv/nulls/min/max.
+
+        Why this exists next to AQE (tests/test_cbo.py demonstrates
+        both claims): AQE re-plans at RUNTIME stage boundaries using
+        observed shuffle sizes — it can only fix a join strategy after
+        paying for the stages that feed it. CBO statistics act at PLAN
+        time: with ``spark.sql.cbo.enabled`` the FilterEstimation /
+        JoinEstimation visitors shrink cardinalities through the plan
+        (equality selectivity = 1/ndv, range selectivity from min/max),
+        so a filtered dimension is chosen for broadcast BEFORE any
+        stage runs and ``CostBasedJoinReorder`` orders multi-joins by
+        estimated output rows. At 100 TB plan-time decisions matter
+        most exactly where AQE is blind: the first shuffle of a
+        many-join query.
+
+        Note ``events`` time semantics: the catalog table serves the
+        raw parquet schema; query paths that need the normalized
+        events timeline keep going through ``load_table``."""
+        q = self.spark.sql
+        q(f"CREATE DATABASE IF NOT EXISTS {database}")
+        # column stats support atomic orderable types only — arrays
+        # (embeddings.embedding) and binary payloads are skipped, the
+        # table-level rowCount/sizeInBytes still collected for them
+        statable = {
+            "byte", "short", "int", "bigint", "long", "float", "double",
+            "decimal", "string", "boolean", "date", "timestamp",
+            "timestamp_ntz",
+        }
+        for name in tables:
+            q(f"DROP TABLE IF EXISTS {database}.{name}")
+            q(
+                f"CREATE TABLE {database}.{name} USING parquet "
+                f"LOCATION '{os.path.join(sf_dir, name)}.parquet'"
+            )
+            if analyze:
+                cols = [
+                    f.name
+                    for f in self.spark.table(f"{database}.{name}").schema
+                    if f.dataType.simpleString().split("(")[0] in statable
+                ]
+                suffix = (
+                    " FOR COLUMNS " + ", ".join(cols) if cols else ""
+                )
+                q(
+                    f"ANALYZE TABLE {database}.{name} "
+                    f"COMPUTE STATISTICS{suffix}"
+                )
         return self
 
     def table(self, name: str) -> DataFrame:

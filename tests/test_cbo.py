@@ -1,0 +1,198 @@
+"""CBO table statistics (SURVEY §4.2 join-reordering row; round-8
+verdict item 2): engine init collects catalog statistics and the tests
+here pin BOTH halves of the commitment — the stats exist, and with
+``spark.sql.cbo.enabled`` they visibly drive a PLAN-TIME decision that
+the stats-blind planner gets wrong (documented vs AQE, which can only
+re-plan at runtime stage boundaries after the feeding stages ran)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from luxo_rs_spark.engine import Engine
+
+from conftest import SF_DIR_01
+
+DB = "luxo_cbo_t"
+
+
+@pytest.fixture(scope="module")
+def cbo_engine(spark):
+    eng = Engine(spark=spark)
+    # register_dir is engine init's catalog hook; analyze=True is the
+    # default — this is the SURVEY §4.2 "run ANALYZE TABLE … in engine
+    # init" commitment executing
+    eng.register_catalog(
+        SF_DIR_01,
+        tables=("orders", "lineitem", "customer", "nation"),
+        database=DB,
+    )
+    return eng
+
+
+def _stats_line(spark, table: str) -> str:
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {DB}.{table}").collect()
+    for r in rows:
+        if r.col_name == "Statistics":
+            return r.data_type
+    return ""
+
+
+def test_analyze_collects_table_and_column_stats(spark, cbo_engine):
+    """ANALYZE ran at registration: table-level stats carry an exact
+    rowCount, and column-level stats carry distinct counts + min/max
+    (the inputs FilterEstimation/JoinEstimation consume)."""
+    stats = _stats_line(spark, "orders")
+    m = re.search(r"(\d+) rows", stats)
+    assert m, f"no rowCount in catalog stats: {stats!r}"
+    n_orders = spark.table(f"{DB}.orders").count()
+    assert int(m.group(1)) == n_orders
+
+    cols = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {DB}.orders o_orderstatus"
+        ).collect()
+    }
+    assert cols.get("distinct_count") not in (None, "", "NULL")
+    assert int(cols["distinct_count"]) >= 1
+    # min/max are collected for orderable non-string types
+    key_cols = {
+        r.info_name: r.info_value
+        for r in spark.sql(
+            f"DESCRIBE TABLE EXTENDED {DB}.orders o_orderkey"
+        ).collect()
+    }
+    assert key_cols.get("min") not in (None, "", "NULL")
+    assert key_cols.get("max") not in (None, "", "NULL")
+
+
+def test_cbo_stats_drive_plan_time_broadcast(spark, cbo_engine):
+    """The load-bearing demonstration: a FILTERED orders side joined to
+    lineitem, with the broadcast threshold set BETWEEN the filtered
+    estimate and the raw table size.
+
+    - CBO ON: FilterEstimation shrinks the filtered relation using the
+      analyzed ndv (equality selectivity = 1/ndv) => its plan-time
+      size drops under the threshold => BroadcastHashJoin chosen
+      BEFORE anything runs.
+    - CBO OFF: the size-only estimator passes the raw sizeInBytes
+      through the Filter => over threshold => SortMergeJoin, and only
+      AQE could rescue it at runtime AFTER both shuffle stages were
+      already planned.
+
+    That plan-time-vs-runtime gap is exactly what catalog stats buy at
+    100 TB: the first shuffle of a many-join query is the one AQE can
+    never un-plan."""
+    # measure the planner's own estimate of the join's build side under
+    # both settings (the size-only estimator already scales for column
+    # pruning, so the threshold must sit between the two ESTIMATES, not
+    # between raw file sizes)
+    # equality on the analyzed HIGH-ndv column: CBO's selectivity is
+    # 1/ndv(o_custkey) — a few rows — while the size-only estimator
+    # passes the whole (column-pruned) relation size through the
+    # Filter untouched. (A low-ndv predicate like o_orderstatus='F'
+    # does NOT flip the strategy here: CBO's logical row-width
+    # estimate is larger than the parquet-compressed size scaling, so
+    # only a strongly selective predicate drops it below.)
+    side_sql = (
+        f"SELECT o_orderkey, o_orderpriority FROM {DB}.orders "
+        "WHERE o_custkey = 370"
+    )
+
+    def plan_size(cbo: str) -> int:
+        spark.conf.set("spark.sql.cbo.enabled", cbo)
+        j = spark.sql(side_sql)._jdf.queryExecution().optimizedPlan()
+        return int(str(j.stats().sizeInBytes()))
+
+    saved_cbo = spark.conf.get("spark.sql.cbo.enabled", None)
+    try:
+        size_off = plan_size("false")
+        size_on = plan_size("true")
+    finally:
+        if saved_cbo is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", saved_cbo)
+    assert size_on < size_off, (
+        f"CBO filter estimation should shrink the estimate: "
+        f"on={size_on} off={size_off}"
+    )
+    threshold = (size_on + size_off) // 2
+
+    sql = f"""
+        SELECT o.o_orderpriority, count(*) AS n
+        FROM {DB}.lineitem l JOIN {DB}.orders o
+          ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_custkey = 370
+        GROUP BY o.o_orderpriority
+    """
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", str(threshold))
+
+        conf.set("spark.sql.cbo.enabled", "false")
+        plan_off = spark.sql(sql)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        conf.set("spark.sql.cbo.enabled", "true")
+        conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        plan_on = spark.sql(sql)._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+    assert "SortMergeJoin" in plan_off and "BroadcastHashJoin" not in (
+        plan_off
+    ), f"stats-blind plan should shuffle both sides:\n{plan_off}"
+    assert "BroadcastHashJoin" in plan_on, (
+        f"CBO + column stats should broadcast the filtered side at plan "
+        f"time:\n{plan_on}"
+    )
+
+
+def test_cbo_filter_cardinality_visible_in_optimized_plan(spark, cbo_engine):
+    """FilterEstimation's shrunken rowCount is visible on the optimized
+    logical plan — the machine-readable face of 'sheds light on any
+    query': with CBO on, the filtered relation's estimated rowCount is
+    strictly below the analyzed table rowCount (and present at all,
+    which the size-only estimator never provides)."""
+    conf = spark.conf
+    saved = conf.get("spark.sql.cbo.enabled", None)
+    try:
+        conf.set("spark.sql.cbo.enabled", "true")
+        df = spark.sql(
+            f"SELECT * FROM {DB}.orders WHERE o_orderstatus = 'F'"
+        )
+        stats = str(
+            df._jdf.queryExecution().optimizedPlan().stats()
+        )
+        m = re.search(r"rowCount=(\d+)", stats)
+        assert m, f"CBO should estimate a rowCount: {stats}"
+        est = int(m.group(1))
+        total = spark.table(f"{DB}.orders").count()
+        assert 0 < est < total
+    finally:
+        if saved is None:
+            conf.unset("spark.sql.cbo.enabled")
+        else:
+            conf.set("spark.sql.cbo.enabled", saved)
