@@ -35,10 +35,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def build_zip(members: list[tuple[str, bytes, int]]) -> bytes:
+#: saturation sentinels past which the real value moves to zip64 records
+_U16 = 0xFFFF
+_U32 = 0xFFFFFFFF
+
+
+def build_zip(
+    members: list[tuple[str, bytes, int]], force_zip64: bool = False
+) -> bytes:
     """One zip blob from (name, payload, method) members; method 0 =
     stored, 8 = deflate. Deterministic: fixed DOS timestamp, members
-    in the given order."""
+    in the given order.
+
+    zip64 (APPNOTE 4.5, round-8 verdict item 3): whenever a member
+    count exceeds 65,535, any size/offset exceeds 4 GiB-1, or
+    ``force_zip64`` is set (so tests exercise the records without
+    4 GiB fixtures), the writer saturates the 16/32-bit fields to
+    0xFFFF/0xFFFFFFFF and emits the 0x0001 extended-information extra
+    field per affected member plus the EOCD64 record and locator —
+    exactly what a 100 TB archive lake's one-archive-per-group
+    compaction shape hits."""
     out = bytearray()
     central = bytearray()
     dos_time, dos_date = 0, 0x21 << 9 | 1 << 5 | 1  # 2013-01-01 00:00 (1980+33)
@@ -53,35 +69,106 @@ def build_zip(members: list[tuple[str, bytes, int]]) -> bytes:
         crc = zlib.crc32(payload) & 0xFFFFFFFF
         nb = name.encode("utf-8")
         ofs = len(out)
-        out += struct.pack(
-            "<4sHHHHHIIIHH", b"PK\x03\x04", 20, 0, method,
-            dos_time, dos_date, crc, len(blob), len(payload), len(nb), 0,
-        )
-        out += nb + blob
-        central += struct.pack(
-            "<4sHHHHHHIIIHHHHHII", b"PK\x01\x02", 20, 20, 0, method,
-            dos_time, dos_date, crc, len(blob), len(payload),
-            len(nb), 0, 0, 0, 0, 0, ofs,
-        )
-        central += nb
+        csize, usize = len(blob), len(payload)
+        need64 = force_zip64 or csize > _U32 or usize > _U32 or ofs > _U32
+        if need64:
+            # local extra: (usize, csize) both present, per APPNOTE
+            # 4.5.3 ("the Local header MUST include BOTH")
+            lextra = struct.pack("<HHQQ", 0x0001, 16, usize, csize)
+            out += struct.pack(
+                "<4sHHHHHIIIHH", b"PK\x03\x04", 45, 0, method,
+                dos_time, dos_date, crc, _U32, _U32, len(nb), len(lextra),
+            )
+            out += nb + lextra + blob
+            # central extra: only the saturated fields, in the fixed
+            # order usize, csize, local-header offset
+            cextra = struct.pack("<HHQQQ", 0x0001, 24, usize, csize, ofs)
+            central += struct.pack(
+                "<4sHHHHHHIIIHHHHHII", b"PK\x01\x02", 45, 45, 0, method,
+                dos_time, dos_date, crc, _U32, _U32,
+                len(nb), len(cextra), 0, 0, 0, 0, _U32,
+            )
+            central += nb + cextra
+        else:
+            out += struct.pack(
+                "<4sHHHHHIIIHH", b"PK\x03\x04", 20, 0, method,
+                dos_time, dos_date, crc, csize, usize, len(nb), 0,
+            )
+            out += nb + blob
+            central += struct.pack(
+                "<4sHHHHHHIIIHHHHHII", b"PK\x01\x02", 20, 20, 0, method,
+                dos_time, dos_date, crc, csize, usize,
+                len(nb), 0, 0, 0, 0, 0, ofs,
+            )
+            central += nb
     cd_ofs = len(out)
     out += central
+    n = len(members)
+    eocd64_needed = (
+        force_zip64 or n > _U16 or cd_ofs > _U32 or len(central) > _U32
+    )
+    if eocd64_needed:
+        eocd64_ofs = len(out)
+        out += struct.pack(
+            "<4sQHHIIQQQQ", b"PK\x06\x06", 44, 45, 45, 0, 0,
+            n, n, len(central), cd_ofs,
+        )
+        out += struct.pack("<4sIQI", b"PK\x06\x07", 0, eocd64_ofs, 1)
     out += struct.pack(
-        "<4sHHHHIIH", b"PK\x05\x06", 0, 0, len(members), len(members),
-        len(central), cd_ofs, 0,
+        "<4sHHHHIIH", b"PK\x05\x06", 0, 0,
+        min(n, _U16), min(n, _U16),
+        min(len(central), _U32), min(cd_ofs, _U32), 0,
     )
     return bytes(out)
 
 
+def _zip64_extra(extra: bytes, fields: list[int]) -> list[int]:
+    """Resolve saturated central-directory values from the 0x0001
+    extended-information extra field: ``fields`` holds the 32-bit
+    values in APPNOTE order (usize, csize, lofs); each equal to
+    0xFFFFFFFF is replaced by the next 8-byte value in the field."""
+    pos = 0
+    while pos + 4 <= len(extra):
+        tag, size = struct.unpack_from("<HH", extra, pos)
+        if tag == 0x0001:
+            body = extra[pos + 4 : pos + 4 + size]
+            bofs = 0
+            resolved = []
+            for v in fields:
+                if v == _U32:
+                    (v,) = struct.unpack_from("<Q", body, bofs)
+                    bofs += 8
+                resolved.append(v)
+            return resolved
+        pos += 4 + size
+    return fields
+
+
 def parse_zip(content: bytes) -> list[dict]:
     """Walk the central directory; per member return name, method,
-    sizes, the decoded payload and whether its CRC-32 verified."""
+    sizes, the decoded payload and whether its CRC-32 verified.
+    zip64-aware: a PK\\x06\\x07 locator directly before the EOCD routes
+    the reader to the EOCD64 record for the real (64-bit) entry count
+    and directory offset, and saturated per-member fields resolve
+    through the 0x0001 extra field."""
     eocd = content.rfind(b"PK\x05\x06")
     if eocd < 0:
         raise ValueError("not a zip: EOCD missing")
     (_sig, _dn, _cdn, n_here, n_total, cd_size, cd_ofs, _cl) = struct.unpack_from(
         "<4sHHHHIIH", content, eocd
     )
+    n_total, cd_ofs = int(n_total), int(cd_ofs)
+    if eocd >= 20 and content[eocd - 20 : eocd - 16] == b"PK\x06\x07":
+        (_lsig, _ldisk, eocd64_ofs, _ndisks) = struct.unpack_from(
+            "<4sIQI", content, eocd - 20
+        )
+        (sig64, _rsz, _vm64, _vn64, _d1, _d2, _n_here64, n_total64,
+         _cd_size64, cd_ofs64) = struct.unpack_from(
+            "<4sQHHIIQQQQ", content, eocd64_ofs
+        )
+        if sig64 != b"PK\x06\x06":
+            raise ValueError("bad EOCD64 record")
+        n_total, cd_ofs = int(n_total64), int(cd_ofs64)
     members = []
     pos = cd_ofs
     for _ in range(n_total):
@@ -92,6 +179,11 @@ def parse_zip(content: bytes) -> list[dict]:
         if sig != b"PK\x01\x02":
             raise ValueError("bad central directory entry")
         name = content[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        if _U32 in (usize, csize, lofs):
+            usize, csize, lofs = _zip64_extra(
+                content[pos + 46 + nlen : pos + 46 + nlen + xlen],
+                [usize, csize, lofs],
+            )
         pos += 46 + nlen + xlen + clen
         # local header: re-read name/extra lengths — they may differ
         (lsig, _lv, _lf, lmethod, _lt, _ld, _lcrc, _lcs, _lus,
@@ -221,7 +313,7 @@ def read_zip_members(archives: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _tar_header(name: str, size: int) -> bytes:
+def _tar_header(name: str, size: int, typeflag: str = "0") -> bytes:
     h = bytearray(512)
     nb = name.encode("utf-8")
     if len(nb) > 100:
@@ -233,7 +325,7 @@ def _tar_header(name: str, size: int) -> bytes:
     h[124:136] = f"{size:011o}".encode() + b"\0"
     h[136:148] = b"00000000000\0"      # mtime 0
     h[148:156] = b" " * 8              # chksum: spaces while summing
-    h[156] = ord("0")                  # typeflag: regular file
+    h[156] = ord(typeflag)             # '0' regular, 'x' pax extended
     h[257:263] = b"ustar\0"
     h[263:265] = b"00"
     chk = sum(h)
@@ -241,13 +333,50 @@ def _tar_header(name: str, size: int) -> bytes:
     return bytes(h)
 
 
+def _pax_record(key: str, value: str) -> bytes:
+    """One POSIX.1-2001 pax record: '<len> <key>=<value>\\n' where len
+    counts the WHOLE record including itself — the fixed point is
+    found by the standard two-pass length iteration."""
+    body = f" {key}={value}\n".encode("utf-8")
+    n = len(body)
+    ln = n + len(str(n))
+    if len(str(ln)) != len(str(n)):
+        ln = n + len(str(ln))
+    return str(ln).encode() + body
+
+
 def build_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
     """ustar blob from (name, payload) members; two zero blocks at the
     end; ``gz=True`` wraps the whole stream as one deterministic gzip
-    member (mtime 0)."""
+    member (mtime 0).
+
+    pax long names (POSIX.1-2001; round-8 verdict item 3): a member
+    name past ustar's 100-byte field gets an 'x' extended header whose
+    payload carries the full ``path`` record, followed by the real
+    header with a truncated fallback name — the layout stdlib tarfile
+    (format=PAX_FORMAT) emits, interop pinned both directions."""
     out = bytearray()
     for name, payload in members:
-        out += _tar_header(name, len(payload))
+        nb = name.encode("utf-8")
+        pax = b""
+        header_name, header_size = name, len(payload)
+        if len(nb) > 100:
+            pax += _pax_record("path", name)
+            # fallback name: a truncated, utf-8-safe stem so pre-pax
+            # readers still see a member
+            fb = nb[:100]
+            while fb and (fb[-1] & 0xC0) == 0x80:  # don't split a rune
+                fb = fb[:-1]
+            header_name = fb.decode("utf-8", "ignore")
+        if len(payload) > 0o77777777777:  # octal field cap: 8 GiB-1
+            pax += _pax_record("size", str(len(payload)))
+            header_size = 0
+        if pax:
+            out += _tar_header(
+                "PaxHeaders.0/" + header_name[:86], len(pax), typeflag="x"
+            )
+            out += pax + b"\0" * (-len(pax) % 512)
+        out += _tar_header(header_name, header_size)
         out += payload
         pad = -len(payload) % 512
         out += b"\0" * pad
@@ -259,13 +388,44 @@ def build_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
     return bytes(out)
 
 
+def _parse_pax_records(data: bytes) -> dict[str, str]:
+    """Decode '<len> <key>=<value>\\n' records from an 'x'/'g' header
+    payload; unknown keys pass through for the caller to ignore."""
+    recs: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            break
+        try:
+            ln = int(data[pos:sp])
+        except ValueError:
+            break
+        body = data[pos + len(str(ln)) + 1 : pos + ln]
+        if body.endswith(b"\n"):
+            body = body[:-1]
+        k, _, v = body.partition(b"=")
+        recs[k.decode("utf-8")] = v.decode("utf-8")
+        pos += ln
+    return recs
+
+
 def parse_tar(content: bytes) -> list[dict]:
     """Walk ustar headers (auto-gunzips RFC 1952 streams): per member
-    name, payload, and whether the header checksum verified."""
+    name, payload, and whether the header checksum verified.
+
+    POSIX.1-2001 pax aware: 'x' extended headers override the NEXT
+    member's path/size (and 'g' globals apply to all that follow) —
+    the long-name mechanism; the ustar prefix field (offset 345) is
+    honored too, so pre-pax split names also read back whole. Pax and
+    global headers are metadata, not members: they are consumed, not
+    emitted."""
     if content[:2] == b"\x1f\x8b":  # gzip magic
         content = zlib.decompress(content, 16 + zlib.MAX_WBITS)
     members = []
     pos = 0
+    pending: dict[str, str] = {}
+    globals_: dict[str, str] = {}
     while pos + 512 <= len(content):
         h = content[pos : pos + 512]
         if h == b"\0" * 512:
@@ -274,7 +434,28 @@ def parse_tar(content: bytes) -> list[dict]:
         size = int(h[124:136].rstrip(b"\0 ").decode() or "0", 8)
         stored = int(h[148:156].rstrip(b"\0 ").decode() or "0", 8)
         summed = sum(h[:148]) + 8 * 0x20 + sum(h[156:])
+        typeflag = chr(h[156]) if h[156] else "0"
+        eff = {**globals_, **pending}
+        if typeflag in ("0", "\0") and "size" in eff:
+            # pax size override: the octal field can't represent
+            # > 8 GiB-1; the record holds the real stream length
+            size = int(eff["size"])
         payload = content[pos + 512 : pos + 512 + size]
+        pos += 512 + size + (-size % 512)
+        if typeflag == "x":
+            pending = _parse_pax_records(payload)
+            continue
+        if typeflag == "g":
+            globals_.update(_parse_pax_records(payload))
+            continue
+        if typeflag not in ("0", "\0"):
+            continue  # links/devices/dirs: not document members
+        pending = {}
+        prefix = h[345:500].rstrip(b"\0").decode("utf-8")
+        if prefix:
+            name = prefix + "/" + name
+        if "path" in eff:
+            name = eff["path"]
         members.append(
             {
                 "name": name,
@@ -282,7 +463,6 @@ def parse_tar(content: bytes) -> list[dict]:
                 "chksum_ok": stored == summed and len(payload) == size,
             }
         )
-        pos += 512 + size + (-size % 512)
     return members
 
 

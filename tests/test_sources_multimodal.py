@@ -3087,3 +3087,144 @@ def test_flac_variable_stream_carries_both_blocksize_widths():
         pos = nxt if nxt != -1 else len(enc)
     assert 0b0110 in codes and 0b0111 in codes, codes
     assert _decode_flac(enc)["payload"] == x.astype("<i2").tobytes()
+
+
+def test_zip64_member_count_boundary_and_interop():
+    """Round-8 verdict item 3 — the EOCD 16-bit member-count cap is
+    exactly what a one-archive-per-group 100 TB compaction shape hits:
+    a REAL 65,536-member archive (one past the cap) must round-trip
+    through our writer+reader with the EOCD64 record and locator, and
+    stdlib zipfile must agree on every member."""
+    import io
+    import zipfile
+
+    from luxo_rs_spark.sources.archive import build_zip, parse_zip
+
+    members = [(f"m{i}.txt", str(i).encode(), 0) for i in range(65536)]
+    blob = build_zip(members)
+    # our reader
+    got = parse_zip(blob)
+    assert len(got) == 65536
+    assert got[0]["name"] == "m0.txt" and got[-1]["name"] == "m65535.txt"
+    assert all(m["crc_ok"] for m in got[:100]) and got[-1]["crc_ok"]
+    assert got[12345]["payload"] == b"12345"
+    # stdlib agrees
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        names = zf.namelist()
+        assert len(names) == 65536
+        assert zf.read("m65535.txt") == b"65535"
+    # and the pre-zip64 EOCD really is saturated (a 16-bit-only reader
+    # would see 0xFFFF, not a wrapped count)
+    import struct
+
+    eocd = blob.rfind(b"PK\x05\x06")
+    n16 = struct.unpack_from("<H", blob, eocd + 10)[0]
+    assert n16 == 0xFFFF
+
+
+def test_zip64_forced_records_interop_both_directions():
+    """force_zip64 exercises the per-member 0x0001 extra field and
+    EOCD64 without 4 GiB fixtures: stdlib reads ours, and our parser
+    reads a stdlib-written zip64 member (zipfile open(force_zip64))."""
+    import io
+    import zipfile
+
+    from luxo_rs_spark.sources.archive import build_zip, parse_zip
+
+    blob = build_zip(
+        [("a.txt", b"alpha", 0), ("b.txt", b"beta" * 100, 8)],
+        force_zip64=True,
+    )
+    got = parse_zip(blob)
+    assert [m["name"] for m in got] == ["a.txt", "b.txt"]
+    assert all(m["crc_ok"] for m in got)
+    assert got[1]["payload"] == b"beta" * 100
+    with zipfile.ZipFile(io.BytesIO(blob)) as zf:
+        assert zf.read("a.txt") == b"alpha"
+        assert zf.read("b.txt") == b"beta" * 100
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        with zf.open("big.bin", "w", force_zip64=True) as f:
+            f.write(b"payload-xyz")
+    ours = parse_zip(buf.getvalue())
+    assert ours[0]["name"] == "big.bin"
+    assert ours[0]["payload"] == b"payload-xyz"
+    assert ours[0]["crc_ok"]
+
+
+def test_tar_pax_long_names_interop_both_directions():
+    """POSIX pax long names: >100-byte member names round-trip through
+    our writer+reader, stdlib tarfile reads our pax stream, and our
+    parser reads tarfile's own PAX_FORMAT output (including the 'x'
+    headers NOT surfacing as members)."""
+    import io
+    import tarfile
+
+    from luxo_rs_spark.sources.archive import build_tar, parse_tar
+
+    long_name = "corpus/" + "d" * 120 + "/doc_000001.txt"
+    short_name = "doc_2.txt"
+    blob = build_tar([(long_name, b"hello"), (short_name, b"world")])
+    got = parse_tar(blob)
+    assert [m["name"] for m in got] == [long_name, short_name]
+    assert [m["payload"] for m in got] == [b"hello", b"world"]
+    assert all(m["chksum_ok"] for m in got)
+
+    with tarfile.open(fileobj=io.BytesIO(blob)) as tf:
+        names = tf.getnames()
+        assert long_name in names and short_name in names
+        assert tf.extractfile(long_name).read() == b"hello"
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        data = b"stdlib-pax"
+        info = tarfile.TarInfo(long_name)
+        info.size = len(data)
+        tf.addfile(info, io.BytesIO(data))
+    ours = parse_tar(buf.getvalue())
+    assert [m["name"] for m in ours] == [long_name]
+    assert ours[0]["payload"] == b"stdlib-pax"
+    assert ours[0]["chksum_ok"]
+
+
+def test_tar_ustar_prefix_and_pax_size_override():
+    """Two reader-side compatibility paths: the pre-pax ustar
+    prefix+name split (stdlib USTAR_FORMAT emits it for long paths)
+    reads back as the joined path, and a pax 'size' record overrides
+    the octal size field for stream advancement."""
+    import io
+    import tarfile
+
+    from luxo_rs_spark.sources.archive import (
+        _pax_record,
+        _tar_header,
+        parse_tar,
+    )
+
+    # prefix split via stdlib USTAR writer
+    deep = "p" * 120 + "/leaf.txt"
+    buf = io.BytesIO()
+    with tarfile.open(
+        fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+    ) as tf:
+        info = tarfile.TarInfo(deep)
+        info.size = 4
+        tf.addfile(info, io.BytesIO(b"data"))
+    got = parse_tar(buf.getvalue())
+    assert got[0]["name"] == deep and got[0]["payload"] == b"data"
+
+    # hand-built pax size override: octal field says 0, record says 6
+    pax = _pax_record("size", "6")
+    stream = (
+        _tar_header("PaxHeaders.0/s.bin", len(pax), typeflag="x")
+        + pax
+        + b"\0" * (-len(pax) % 512)
+        + _tar_header("s.bin", 0)
+        + b"abcdef"
+        + b"\0" * (512 - 6)
+        + b"\0" * 1024
+    )
+    got = parse_tar(stream)
+    assert got[0]["payload"] == b"abcdef"
+    assert got[0]["chksum_ok"]
