@@ -3665,6 +3665,365 @@ def _tiff_predict2_encode(row: np.ndarray, spp: int) -> np.ndarray:
     return d.astype(np.uint8).reshape(-1)
 
 
+# ---------------------------------------------------------------------------
+# CCITT Group 4 (ITU-T Rec. T.6, 1988) bilevel codec — encoder AND
+# decoder from the public spec (round-8 verdict item 4; TIFF
+# Compression=4, the dominant format of scanned-document corpora).
+# T.6 is pure 2-D MMR coding: every line codes against the line above
+# (an imaginary all-white line for the first), choosing per changing
+# element among PASS (0001), VERTICAL (a1 within +-3 of b1) and
+# HORIZONTAL (001 + two T.4 modified-Huffman run codes). No EOLs;
+# EOFB terminates the stream (our decoder stops after h lines and
+# never needs it, but we emit it per spec). Run codes are the T.4
+# §2 white/black terminating (0-63) + makeup (64-1728) tables plus
+# the shared extended makeups (1792-2560). The tables below are
+# transcribed from the published standard; the hand-derived golden
+# bitstream and falsification batteries in
+# tests/test_sources_multimodal.py pin the conventions (a reader
+# with a flipped vertical-direction or swapped color table MUST
+# fail).
+# Reference parity note: the reference repo has no codecs; this
+# extends the same multimodal boundary q422 documents.
+# ---------------------------------------------------------------------------
+
+_T4_WHITE_TERM = {
+    0: "00110101", 1: "000111", 2: "0111", 3: "1000", 4: "1011",
+    5: "1100", 6: "1110", 7: "1111", 8: "10011", 9: "10100",
+    10: "00111", 11: "01000", 12: "001000", 13: "000011", 14: "110100",
+    15: "110101", 16: "101010", 17: "101011", 18: "0100111",
+    19: "0001100", 20: "0001000", 21: "0010111", 22: "0000011",
+    23: "0000100", 24: "0101000", 25: "0101011", 26: "0010011",
+    27: "0100100", 28: "0011000", 29: "00000010", 30: "00000011",
+    31: "00011010", 32: "00011011", 33: "00010010", 34: "00010011",
+    35: "00010100", 36: "00010101", 37: "00010110", 38: "00010111",
+    39: "00101000", 40: "00101001", 41: "00101010", 42: "00101011",
+    43: "00101100", 44: "00101101", 45: "00000100", 46: "00000101",
+    47: "00001010", 48: "00001011", 49: "01010010", 50: "01010011",
+    51: "01010100", 52: "01010101", 53: "00100100", 54: "00100101",
+    55: "01011000", 56: "01011001", 57: "01011010", 58: "01011011",
+    59: "01001010", 60: "01001011", 61: "00110010", 62: "00110011",
+    63: "00110100",
+}
+_T4_WHITE_MAKEUP = {
+    64: "11011", 128: "10010", 192: "010111", 256: "0110111",
+    320: "00110110", 384: "00110111", 448: "01100100", 512: "01100101",
+    576: "01101000", 640: "01100111", 704: "011001100",
+    768: "011001101", 832: "011010010", 896: "011010011",
+    960: "011010100", 1024: "011010101", 1088: "011010110",
+    1152: "011010111", 1216: "011011000", 1280: "011011001",
+    1344: "011011010", 1408: "011011011", 1472: "010011000",
+    1536: "010011001", 1600: "010011010", 1664: "011000",
+    1728: "010011011",
+}
+_T4_BLACK_TERM = {
+    0: "0000110111", 1: "010", 2: "11", 3: "10", 4: "011", 5: "0011",
+    6: "0010", 7: "00011", 8: "000101", 9: "000100", 10: "0000100",
+    11: "0000101", 12: "0000111", 13: "00000100", 14: "00000111",
+    15: "000011000", 16: "0000010111", 17: "0000011000",
+    18: "0000001000", 19: "00001100111", 20: "00001101000",
+    21: "00001101100", 22: "00000110111", 23: "00000101000",
+    24: "00000010111", 25: "00000011000", 26: "000011001010",
+    27: "000011001011", 28: "000011001100", 29: "000011001101",
+    30: "000001101000", 31: "000001101001", 32: "000001101010",
+    33: "000001101011", 34: "000011010010", 35: "000011010011",
+    36: "000011010100", 37: "000011010101", 38: "000011010110",
+    39: "000011010111", 40: "000001101100", 41: "000001101101",
+    42: "000011011010", 43: "000011011011", 44: "000001010100",
+    45: "000001010101", 46: "000001010110", 47: "000001010111",
+    48: "000001100100", 49: "000001100101", 50: "000001010010",
+    51: "000001010011", 52: "000000100100", 53: "000000110111",
+    54: "000000111000", 55: "000000100111", 56: "000000101000",
+    57: "000001011000", 58: "000001011001", 59: "000000101011",
+    60: "000000101100", 61: "000001011010", 62: "000001100110",
+    63: "000001100111",
+}
+_T4_BLACK_MAKEUP = {
+    64: "0000001111", 128: "000011001000", 192: "000011001001",
+    256: "000001011011", 320: "000000110011", 384: "000000110100",
+    448: "000000110101", 512: "0000001101100", 576: "0000001101101",
+    640: "0000001001010", 704: "0000001001011", 768: "0000001001100",
+    832: "0000001001101", 896: "0000001110010", 960: "0000001110011",
+    1024: "0000001110100", 1088: "0000001110101", 1152: "0000001110110",
+    1216: "0000001110111", 1280: "0000001010010", 1344: "0000001010011",
+    1408: "0000001010100", 1472: "0000001010101", 1536: "0000001011010",
+    1600: "0000001011011", 1664: "0000001100100", 1728: "0000001100101",
+}
+_T4_EXT_MAKEUP = {
+    1792: "00000001000", 1856: "00000001100", 1920: "00000001101",
+    1984: "000000010010", 2048: "000000010011", 2112: "000000010100",
+    2176: "000000010101", 2240: "000000010110", 2304: "000000010111",
+    2368: "000000011100", 2432: "000000011101", 2496: "000000011110",
+    2560: "000000011111",
+}
+#: T.6 vertical-mode codes keyed by a1 - b1
+_T6_VERT = {
+    0: "1", 1: "011", 2: "000011", 3: "0000011",
+    -1: "010", -2: "000010", -3: "0000010",
+}
+_T6_PASS = "0001"
+_T6_HORIZ = "001"
+
+#: decoder lookup: bitstring -> (run, is_terminating), per color
+_T4_DECODE = {
+    0: {
+        **{b: (r, True) for r, b in _T4_WHITE_TERM.items()},
+        **{b: (r, False) for r, b in _T4_WHITE_MAKEUP.items()},
+        **{b: (r, False) for r, b in _T4_EXT_MAKEUP.items()},
+    },
+    1: {
+        **{b: (r, True) for r, b in _T4_BLACK_TERM.items()},
+        **{b: (r, False) for r, b in _T4_BLACK_MAKEUP.items()},
+        **{b: (r, False) for r, b in _T4_EXT_MAKEUP.items()},
+    },
+}
+_T6_MODES = {
+    _T6_PASS: "P", _T6_HORIZ: "H",
+    **{b: ("V", d) for d, b in _T6_VERT.items()},
+}
+
+
+def _g4_line_transitions(line: np.ndarray) -> list[int]:
+    """Positions where the line's color changes, relative to an
+    imaginary white pixel before index 0 — so the list alternates
+    strictly: index 0 flips to black, 1 back to white, ..."""
+    ext = np.concatenate(([0], np.asarray(line, dtype=np.uint8)))
+    return np.flatnonzero(ext[1:] != ext[:-1]).tolist()
+
+
+def _g4_next_flip(trans: list[int], pos: int, color: int, w: int) -> int:
+    """First changing element strictly right of ``pos`` whose NEW color
+    is the opposite of ``color`` (i.e. transition index parity: even
+    flips to black). Sentinel ``w`` when none — the imaginary change
+    at line end."""
+    want = 0 if color == 0 else 1
+    for k, t in enumerate(trans):
+        if t > pos and k % 2 == want:
+            return t
+    return w
+
+
+def _g4_next_any(trans: list[int], pos: int, w: int) -> int:
+    """First changing element strictly right of ``pos``; sentinel w."""
+    for t in trans:
+        if t > pos:
+            return t
+    return w
+
+
+def _g4_mh_run(r: int, color: int) -> str:
+    """T.4 modified-Huffman encoding of one run: extended makeups for
+    the tail past 2623, one color makeup for the 64-multiple, always
+    ending on a terminating code (0-63)."""
+    out = []
+    while r > 2623:
+        out.append(_T4_EXT_MAKEUP[2560])
+        r -= 2560
+    if r >= 64:
+        m = (r // 64) * 64
+        out.append(
+            _T4_EXT_MAKEUP[m]
+            if m > 1728
+            else (_T4_WHITE_MAKEUP if color == 0 else _T4_BLACK_MAKEUP)[m]
+        )
+        r -= m
+    out.append((_T4_WHITE_TERM if color == 0 else _T4_BLACK_TERM)[r])
+    return "".join(out)
+
+
+def _g4_encode(bitmap: np.ndarray) -> bytes:
+    """T.6 MMR encode of an (h, w) 0/1 bitmap (1 = black). Returns the
+    packed MSB-first stream, EOFB-terminated, zero-padded to a byte."""
+    h, w = bitmap.shape
+    out: list[str] = []
+    ref_t: list[int] = []  # imaginary all-white line above row 0
+    for y in range(h):
+        cur_t = _g4_line_transitions(bitmap[y])
+        a0, color = -1, 0
+        while a0 < w:
+            a1 = _g4_next_flip(cur_t, a0, color, w)
+            b1 = _g4_next_flip(ref_t, a0, color, w)
+            b2 = _g4_next_any(ref_t, b1, w)
+            if b2 < a1:
+                out.append(_T6_PASS)
+                a0 = b2
+            elif abs(a1 - b1) <= 3:
+                out.append(_T6_VERT[a1 - b1])
+                a0 = a1
+                color ^= 1
+            else:
+                a2 = _g4_next_any(cur_t, a1, w)
+                start = a0 if a0 >= 0 else 0
+                out.append(_T6_HORIZ)
+                out.append(_g4_mh_run(a1 - start, color))
+                out.append(_g4_mh_run(a2 - a1, color ^ 1))
+                a0 = a2
+        ref_t = cur_t
+    out.append("000000000001" * 2)  # EOFB
+    bits = "".join(out)
+    bits += "0" * (-len(bits) % 8)
+    return bytes(
+        int(bits[i : i + 8], 2) for i in range(0, len(bits), 8)
+    )
+
+
+class _G4BitReader:
+    """MSB-first prefix-code reader over the packed T.6 stream."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def _bit(self) -> str:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise ValueError("G4 stream truncated")
+        b = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return "1" if b else "0"
+
+    def code(self, table: dict, max_len: int, what: str):
+        acc = ""
+        for _ in range(max_len):
+            acc += self._bit()
+            if acc in table:
+                return table[acc]
+        raise ValueError(f"invalid G4 {what} code {acc!r}")
+
+
+def _g4_decode_runlen(rd: "_G4BitReader", color: int) -> int:
+    """One MH run: accumulate makeups until a terminating code."""
+    total = 0
+    while True:
+        run, term = rd.code(_T4_DECODE[color], 14, "run")
+        total += run
+        if term:
+            return total
+
+
+def _g4_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    """T.6 MMR decode to an (h, w) 0/1 bitmap (1 = black). Raises
+    ValueError on any structural inconsistency — truncation, invalid
+    prefix, or a line overrunning the declared width (the
+    falsification battery corrupts streams and expects exactly this,
+    never a silently wrong image)."""
+    rd = _G4BitReader(data)
+    out = np.zeros((h, w), dtype=np.uint8)
+    ref_t: list[int] = []
+    for y in range(h):
+        cur = out[y]
+        a0, color = -1, 0
+        while a0 < w:
+            kind = rd.code(_T6_MODES, 7, "mode")
+            if kind == "P":
+                b1 = _g4_next_flip(ref_t, a0, color, w)
+                b2 = _g4_next_any(ref_t, b1, w)
+                if b2 > w:
+                    raise ValueError("G4 pass mode past line end")
+                cur[max(a0, 0) : b2] = color
+                a0 = b2
+            elif kind == "H":
+                r1 = _g4_decode_runlen(rd, color)
+                r2 = _g4_decode_runlen(rd, color ^ 1)
+                start = a0 if a0 >= 0 else 0
+                if start + r1 + r2 > w:
+                    raise ValueError("G4 horizontal runs overrun line")
+                if start + r1 + r2 <= a0:
+                    raise ValueError("G4 horizontal made no progress")
+                cur[start : start + r1] = color
+                cur[start + r1 : start + r1 + r2] = color ^ 1
+                a0 = start + r1 + r2
+            else:
+                _v, d = kind
+                b1 = _g4_next_flip(ref_t, a0, color, w)
+                a1 = b1 + d
+                if not 0 <= a1 <= w or a1 <= a0:
+                    raise ValueError("G4 vertical mode out of range")
+                cur[max(a0, 0) : a1] = color
+                a0 = a1
+                color ^= 1
+        if a0 != w:
+            raise ValueError("G4 line overran declared width")
+        ref_t = _g4_line_transitions(cur)
+    return out
+
+
+def _encode_tiff_g4(
+    ink: np.ndarray,
+    byte_order: str = "II",
+    photometric: int = 0,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Bilevel TIFF with Compression=4 (T.6): ``ink`` is the DISPLAY
+    bitmap (1 = black ink). Photometric 0 (WhiteIsZero, the fax
+    convention) stores ink bits directly as G4 black; photometric 1
+    (BlackIsZero) stores the inverse — the decoded display payload is
+    lane-invariant, which is exactly what the oracle asserts. Strips
+    restart T.6 coding with a fresh imaginary white reference line
+    (each strip is an independent coding segment per TIFF spec §2
+    Compression notes)."""
+    bo = "<" if byte_order == "II" else ">"
+    h, w_ = ink.shape
+    stored = ink if photometric == 0 else (1 - ink)
+    rps = rows_per_strip or h
+    strips = [
+        _g4_encode(np.ascontiguousarray(stored[y0 : y0 + rps]))
+        for y0 in range(0, h, rps)
+    ]
+    out = bytearray()
+    out += struct.pack(f"{bo}2sHI", byte_order.encode(), 42, 0)
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    if len(out) & 1:
+        out += b"\0"
+    n = len(strips)
+    entries: list[tuple[int, int, int, int | tuple]] = [
+        (256, 4, 1, w_),
+        (257, 4, 1, h),
+        (258, 3, 1, 1),            # BitsPerSample 1
+        (259, 3, 1, 4),            # Compression: CCITT T.6
+        (262, 3, 1, photometric),
+        (277, 3, 1, 1),
+        (278, 4, 1, rps),
+        (293, 4, 1, 0),            # T6Options: no uncompressed mode
+    ]
+    ext: list[bytes] = []
+    if n == 1:
+        entries.append((273, 4, 1, strip_offsets[0]))
+        entries.append((279, 4, 1, len(strips[0])))
+    else:
+        entries.append((273, 4, n, ("ext", 0)))
+        entries.append((279, 4, n, ("ext", 1)))
+        ext = [
+            struct.pack(f"{bo}{n}I", *strip_offsets),
+            struct.pack(f"{bo}{n}I", *[len(s) for s in strips]),
+        ]
+    entries.sort(key=lambda e: e[0])
+    ifd_ofs = len(out)
+    struct.pack_into(f"{bo}I", out, 4, ifd_ofs)
+    ext_base = ifd_ofs + 2 + 12 * len(entries) + 4
+    ext_offsets = []
+    cur = ext_base
+    for p in ext:
+        ext_offsets.append(cur)
+        cur += len(p)
+    ifd = bytearray(struct.pack(f"{bo}H", len(entries)))
+    for t, typ, cnt, val in entries:
+        ifd += struct.pack(f"{bo}HHI", t, typ, cnt)
+        if isinstance(val, tuple):
+            ifd += struct.pack(f"{bo}I", ext_offsets[val[1]])
+        else:
+            ifd += struct.pack(
+                f"{bo}{'H' if typ == 3 else 'I'}", int(val)
+            ).ljust(4, b"\0")
+    ifd += struct.pack(f"{bo}I", 0)
+    out += ifd
+    for p in ext:
+        out += p
+    return bytes(out)
+
+
 def _tiff_predict2_decode(row: np.ndarray, spp: int) -> np.ndarray:
     r = row.reshape(-1, spp).astype(np.uint16)
     acc = np.cumsum(r, axis=0, dtype=np.uint64) & 0xFF
@@ -3907,11 +4266,42 @@ def _decode_tiff(content: bytes) -> dict:
         raise NotImplementedError(f"TIFF photometric {photometric}")
     if planar not in (1, 2):
         raise ValueError(f"bad PlanarConfiguration {planar}")
+    if compression == 4:
+        # CCITT Group 4 (T.6) — bilevel single-plane strips (the
+        # scanned-document shape); the MMR coder restarts per strip
+        if spp != 1 or bps != [1] or planar != 1 or tiled:
+            raise NotImplementedError(
+                "G4 TIFF: bilevel single-sample strip layout only"
+            )
+        if photometric not in (0, 1):
+            raise ValueError(f"G4 TIFF photometric {photometric}")
+        offsets = tags[273]
+        counts = tags.get(279)
+        if counts is None:
+            raise ValueError("missing StripByteCounts")
+        stored = np.zeros((h, w_), dtype=np.uint8)
+        for i, (ofs, cnt) in enumerate(zip(offsets, counts)):
+            y0 = i * rows_per_strip
+            n_rows = min(rows_per_strip, h - y0)
+            stored[y0 : y0 + n_rows] = _g4_decode(
+                content[ofs : ofs + cnt], w_, n_rows
+            )
+        ink = stored if photometric == 0 else (1 - stored)
+        rgb = np.repeat(
+            np.where(ink.reshape(-1) == 1, 0, 255).astype(np.uint8), 3
+        )
+        return {
+            "kind": "image",
+            "width": w_,
+            "height": h,
+            "sample_rate": 0,
+            "payload": rgb.tobytes(),
+        }
     if any(b != 8 for b in bps):
         raise NotImplementedError("only 8 bits per sample supported")
     if compression not in (1, 5, 32773):
         raise NotImplementedError(
-            f"TIFF compression {compression} (CCITT/JPEG need codecs)"
+            f"TIFF compression {compression} (JPEG-in-TIFF needs a codec)"
         )
     # planar=2: segments are plane-major with spp=1 row semantics
     # (spec §14 note: Predictor 2 then differences within one plane)
@@ -6184,4 +6574,84 @@ def synth_avi_av_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     return docs.select("doc_id", text_col).mapInPandas(
         gen, "media_id long, content binary"
+    )
+
+
+def synth_g4_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real-encoder CCITT G4 TIFF synthesis (round 8): per doc a
+    bilevel TIFF whose ink bitmap is the md5-hex NIBBLE bits of the
+    text tiled over w*h pixels (pixel p = bit (3 - p%4) of hex digit
+    p//4) — a pure SQL-recomputable rule, so the decoded ink sequence
+    is under a full oracle. Lane cycle: photometric 0/1 by parity
+    (the stored G4 sense inverts, the decoded ink NEVER does), MM byte
+    order on doc_id%5==0, multi-strip (rows_per_strip=4, per-strip MMR
+    restart) on doc_id%3==0. One mapInPandas map stage, zero shuffle."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 19 + 9
+                h = did % 7 + 5
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest()
+                need_nibbles = -(-(w_ * h) // 4) + 1
+                tiled = (hx * (need_nibbles // 32 + 1))
+                ink = np.empty(w_ * h, dtype=np.uint8)
+                for p in range(w_ * h):
+                    ink[p] = (int(tiled[p // 4], 16) >> (3 - p % 4)) & 1
+                blob = _encode_tiff_g4(
+                    ink.reshape(h, w_),
+                    byte_order="MM" if did % 5 == 0 else "II",
+                    photometric=did % 2,
+                    rows_per_strip=4 if did % 3 == 0 else None,
+                )
+                rows.append({"media_id": did, "content": blob})
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def decode_g4_ink_digest(media: DataFrame) -> DataFrame:
+    """Decode bilevel TIFFs and digest the INK bit sequence: black
+    pixel count, a rank-weighted integer checksum (position-sensitive
+    — transposed or shifted ink cannot collide), and md5 of the
+    '0'/'1' character string (full-strength, and SQL-buildable unlike
+    a raw 0x00/0xFF blob, which DuckDB varchars cannot carry)."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = _decode_tiff(bytes(content))
+                rgb = np.frombuffer(d["payload"], dtype=np.uint8)
+                ink = (rgb[::3] == 0).astype(np.uint8)
+                bits = "".join("1" if v else "0" for v in ink)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "black_px": int(ink.sum()),
+                        "ink_checksum": int(
+                            (np.arange(1, len(ink) + 1, dtype=np.int64)
+                             * ink).sum()
+                        ),
+                        "ink_md5": hashlib.md5(
+                            bits.encode("ascii")
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, width int, height int, black_px long, "
+        "ink_checksum long, ink_md5 string",
     )

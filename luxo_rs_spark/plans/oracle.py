@@ -9832,3 +9832,43 @@ SELECT d.source AS "group",
 FROM d JOIN grp ON grp.source = d.source
 ORDER BY d.doc_id
 """
+
+
+# q453: G4 is lossless bilevel — the decoded ink bit at pixel p IS bit
+# (3 - p%4) of tiled-md5-hex digit p//4, so the whole digest row
+# (black count, position-weighted checksum, md5 of the '0'/'1'
+# string) recomputes from documents.text alone. Photometric/byte
+# order/strip lanes change container bytes, never the ink.
+ORACLE_SQL["q453_ccitt_g4_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 19 + 9 AS INTEGER) AS w,
+         CAST(doc_id % 7 + 5 AS INTEGER) AS h
+  FROM documents WHERE doc_id < 200
+), bits AS (
+  SELECT doc_id, w, h,
+         array_to_string(
+           list_transform(range(0, w * h), p ->
+             CAST(((CASE WHEN instr('0123456789abcdef',
+                       substring(repeat(hx, CAST((w * h) // 128 + 1
+                                              AS INTEGER) + 1),
+                                CAST(p // 4 AS INTEGER) + 1, 1)) > 0
+                    THEN instr('0123456789abcdef',
+                       substring(repeat(hx, CAST((w * h) // 128 + 1
+                                              AS INTEGER) + 1),
+                                CAST(p // 4 AS INTEGER) + 1, 1)) - 1
+                    ELSE 0 END
+                    >> CAST(3 - p % 4 AS INTEGER)) & 1) AS VARCHAR)),
+           '') AS bs
+  FROM t
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(length(bs) - length(replace(bs, '1', '')) AS BIGINT)
+         AS black_px,
+       CAST((SELECT coalesce(sum((i + 1) *
+                 CAST(substring(bs, CAST(i AS INTEGER) + 1, 1) AS BIGINT)), 0)
+             FROM unnest(range(0, w * h)) AS u(i)) AS BIGINT)
+         AS ink_checksum,
+       md5(bs) AS ink_md5
+FROM bits ORDER BY media_id
+"""

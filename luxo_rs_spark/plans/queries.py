@@ -16848,3 +16848,30 @@ def q452_ivf_pq_trained_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, cent, books, qvec, n_probe=4, k=8, shortlist=32,
         exclude_id=3,
     ).select("vec_id", "ivf_cluster", F.round("sim", 4).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# Q453 — CCITT Group 4 (T.6) TIFF decode (§2.2-K multimodal; round 8,
+# verdict item 4): scanned-document corpora are predominantly G4 TIFF,
+# the one imagery boundary the codec family still raised on. Encoder
+# AND decoder are from the public ITU-T T.6/T.4 specs
+# (multimodal/media.py: 2-D MMR pass/vertical/horizontal modes over
+# the full T.4 white/black run tables + shared extended makeups).
+# The synth ink bitmap is the md5-hex NIBBLE bits of the text tiled
+# over w*h pixels — so black count, a position-weighted integer
+# checksum and the md5 of the exact ink bit string are all
+# recomputable in SQL from the raw documents table (full oracle).
+# Lanes cycle photometric 0/1 (stored sense inverts, decoded ink
+# invariant), II/MM and single/multi-strip (per-strip MMR restart).
+# Hand-derived mode-code goldens + corruption falsification live in
+# tests/test_sources_multimodal.py. One mapInPandas map stage.
+# ---------------------------------------------------------------------------
+@query("q453_ccitt_g4_decode")
+def q453_ccitt_g4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_g4_ink_digest,
+        synth_g4_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_g4_ink_digest(synth_g4_table(docs)).orderBy("media_id")

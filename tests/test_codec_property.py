@@ -245,3 +245,24 @@ def test_tar_roundtrip_property(members, gz):
     assert [(m["name"], bytes(m["payload"]), m["chksum_ok"]) for m in ms] == [
         (n, p, True) for n, p in uniq
     ]
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 40),
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([0.05, 0.3, 0.5, 0.8, 0.97]),
+)
+def test_g4_mmr_roundtrip_property(h, w, seed, density):
+    """Property: ANY bilevel bitmap round-trips through the T.6 MMR
+    encoder+decoder bit-exactly — pass/vertical/horizontal mode
+    selection, the full run tables, and line-end handling hold across
+    arbitrary shapes and ink densities."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _g4_decode, _g4_encode
+
+    rng = np.random.default_rng(seed)
+    bm = (rng.random((h, w)) < density).astype(np.uint8)
+    assert np.array_equal(_g4_decode(_g4_encode(bm), w, h), bm)
