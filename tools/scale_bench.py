@@ -17,10 +17,12 @@ fixtures; written under .scaledata/, gitignored):
   dimensions — norms and within-replica geometry preserved, cross-
   replica cosines near zero.
 
-For each scale we record wall seconds (MIN of `runs` timed passes
-after one warm-up — the stall-robust estimator bench.py uses;
-BASELINE.md documents shared-VM stall windows up to ~35 s, and a
-median of 2 runs picks the max), result rows, and the candidate-pair
+For each scale we record wall seconds (MEDIAN of `runs` timed
+passes after one warm-up, with min/max recorded alongside — round-8
+verdict item 6: single-shot stage timings on this shared VM swung
+0.0->4.2 s and made time exponents unusable; a median of 3 absorbs
+one stall and the recorded spread shows when a number is too noisy
+to lean on), result rows, and the candidate-pair
 count of the stage that would blow up if the design were quadratic:
 `lsh_candidate_pairs` (q32), `embedding_lsh_candidates` (q237),
 `ppjoin_candidates` (q270). For those three lanes the candidate
@@ -34,7 +36,7 @@ Sub-quadratic means alpha well under 2 on candidates AND time.
 
 Usage:
   PYTHONPATH=/root/repo python tools/scale_bench.py
-      [--scales 1,2,4,8,16] [--runs 2] [--out BENCH_SCALING.json]
+      [--scales 1,2,4,8,16] [--runs 3] [--out BENCH_SCALING.json]
 """
 
 from __future__ import annotations
@@ -100,6 +102,12 @@ def build_scale(r: int) -> str:
     return out
 
 
+def median(xs: list[float]) -> float:
+    ss = sorted(xs)
+    n = len(ss)
+    return ss[n // 2] if n % 2 else (ss[n // 2 - 1] + ss[n // 2]) / 2
+
+
 def fit_alpha(ns: list[int], ys: list[float]) -> float:
     """Least-squares slope of log y vs log n."""
     pts = [
@@ -118,7 +126,7 @@ def fit_alpha(ns: list[int], ys: list[float]) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,4,8,16")
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument(
         "--out", default=os.path.join(REPO, "BENCH_SCALING.json")
     )
@@ -356,7 +364,9 @@ def main() -> None:
             n_out = lane_query(name, sf_dir).count()
             n_cand = candidates(name, sf_dir)
             lane = {
-                "sec": round(min(times), 3),
+                "sec": round(median(times), 3),
+                "sec_min": round(min(times), 3),
+                "sec_max": round(max(times), 3),
                 "result_rows": n_out,
                 "candidate_pairs": n_cand,
             }
@@ -372,7 +382,9 @@ def main() -> None:
                         "noop"
                     ).mode("overwrite").save()
                     ctimes.append(time.perf_counter() - t0)
-                lane["candidates_sec"] = round(min(ctimes), 3)
+                lane["candidates_sec"] = round(median(ctimes), 3)
+                lane["candidates_sec_min"] = round(min(ctimes), 3)
+                lane["candidates_sec_max"] = round(max(ctimes), 3)
                 lane["verify_agg_sec"] = round(
                     max(lane["sec"] - lane["candidates_sec"], 0.0), 3
                 )
@@ -415,7 +427,9 @@ def main() -> None:
             n_hits = probe()
             ptimes.append(time.perf_counter() - t0)
         row["queries"]["q396_lsh_bucketed_probe"] = {
-            "sec": round(min(ptimes), 3),
+            "sec": round(median(ptimes), 3),
+            "sec_min": round(min(ptimes), 3),
+            "sec_max": round(max(ptimes), 3),
             "result_rows": n_hits,
             "candidate_pairs": None,
             "sig_build_sec": round(build_sec, 3),
