@@ -6655,3 +6655,129 @@ def decode_g4_ink_digest(media: DataFrame) -> DataFrame:
         "media_id long, width int, height int, black_px long, "
         "ink_checksum long, ink_md5 string",
     )
+
+
+def synth_shot_avi_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shot-structured MJPEG AVI synthesis (round 8, verdict item 7):
+    per doc an AVI of S = doc_id%2+2 SHOTS of L = doc_id%3+2 frames
+    each, all lossless SOF3. Shot s's base image tiles
+    md5(text || ':' || s) hex over w*h*3 bytes; frame k within the
+    shot adds k to every byte (hex ASCII <= 0x66 and k <= 3, so no
+    wrap) — small constant within-shot motion (energy exactly w*h*3
+    per step) against abrupt content cuts at shot boundaries. Every
+    byte of every decoded frame is therefore pure doc_id/text
+    arithmetic the oracle replays in SQL."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 11 + 6
+                h = did % 5 + 4
+                L = did % 3 + 2
+                S = did % 2 + 2
+                need = h * w_ * 3
+                frames = []
+                f = 0
+                for s in range(S):
+                    hx = hashlib.md5(
+                        ((text or "") + f":{s}").encode("utf-8")
+                    ).hexdigest().encode("ascii")
+                    base = np.frombuffer(
+                        (hx * (need // 32 + 1))[:need], dtype=np.uint8
+                    ).reshape(h, w_, 3)
+                    for k in range(L):
+                        frames.append(
+                            _pixels_to_jpeg_lossless(
+                                base + np.uint8(k),
+                                predictor=(did + f) % 7 + 1,
+                            )
+                        )
+                        f += 1
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _frames_to_avi(frames, w_, h, fps=10),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def detect_video_shots(media: DataFrame, threshold_factor: int = 2) -> DataFrame:
+    """Shot-boundary detection — the standard video-dataset curation
+    op: decode every frame, compute the EXACT integer frame-difference
+    energy E(f) = sum |frame_f - frame_{f-1}| over all samples, and
+    open a new shot whenever E(f) > threshold_factor * w * h * 3
+    (i.e. mean absolute change above ``threshold_factor`` levels —
+    in-shot motion sits at or near 1). Emits one row per detected
+    shot: frame span, the boundary energy that OPENED the shot (0 for
+    the first), total motion energy inside the shot, and the md5 of
+    the shot's first decoded frame (the keyframe a curation pipeline
+    would thumbnail). Container parse + per-frame decode + the energy
+    algebra all run map-side over bounded Arrow batches — zero
+    shuffle before the final orderBy; at 100 TB this is one map stage
+    per video row."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames, w, h, _fps = _avi_frames(bytes(content))
+                thr = threshold_factor * w * h * 3
+                decoded = [
+                    np.frombuffer(
+                        _decode_payload(fr)["payload"], dtype=np.uint8
+                    ).astype(np.int64)
+                    for fr in frames
+                ]
+                energies = [0] + [
+                    int(np.abs(decoded[f] - decoded[f - 1]).sum())
+                    for f in range(1, len(decoded))
+                ]
+                starts = [0] + [
+                    f for f in range(1, len(decoded)) if energies[f] > thr
+                ]
+                for si, st in enumerate(starts):
+                    en = (
+                        starts[si + 1] - 1
+                        if si + 1 < len(starts)
+                        else len(decoded) - 1
+                    )
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "shot_idx": si,
+                            "start_frame": st,
+                            "end_frame": en,
+                            "n_frames": en - st + 1,
+                            "entry_energy": energies[st],
+                            "motion_energy": int(
+                                sum(energies[st + 1 : en + 1])
+                            ),
+                            "keyframe_md5": hashlib.md5(
+                                decoded[st].astype(np.uint8).tobytes()
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "shot_idx", "start_frame", "end_frame",
+                    "n_frames", "entry_energy", "motion_energy",
+                    "keyframe_md5",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, shot_idx int, start_frame int, end_frame int, "
+        "n_frames int, entry_energy long, motion_energy long, "
+        "keyframe_md5 string",
+    )

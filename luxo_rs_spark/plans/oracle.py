@@ -9872,3 +9872,66 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        md5(bs) AS ink_md5
 FROM bits ORDER BY media_id
 """
+
+
+# q454: lossless frames + arithmetic synth make SHOT DETECTION itself
+# SQL-checkable: boundary energy into shot s is
+# sum_p |tile_{s-1}[p] + (L-1) - tile_s[p]| (the previous shot's last
+# frame carries +L-1 on every byte), the detector's threshold rule
+# (E > 2*w*h*3) and group segmentation are replayed with a running
+# flag sum, and the keyframe md5 is md5 of the shot's base tile (its
+# first frame is the +0 lane, pure ASCII).
+ORACLE_SQL["q454_video_shot_detection"] = """
+WITH t AS (
+  SELECT doc_id, text,
+         CAST(doc_id % 3 + 2 AS INTEGER) AS L,
+         CAST(doc_id % 2 + 2 AS INTEGER) AS n_shots,
+         CAST((doc_id % 11 + 6) * (doc_id % 5 + 4) * 3 AS BIGINT) AS need
+  FROM documents WHERE doc_id < 150
+), shots AS (
+  SELECT t.doc_id, t.L, t.need,
+         CAST(u.si AS INTEGER) AS si,
+         substring(repeat(md5(t.text || ':' || CAST(u.si AS VARCHAR)),
+                          CAST(t.need // 32 AS INTEGER) + 1),
+                   1, CAST(t.need AS INTEGER)) AS tile
+  FROM t, unnest(range(0, t.n_shots)) AS u(si)
+), eners AS (
+  SELECT a.doc_id, a.si,
+         (SELECT sum(abs(ascii(substring(b.tile, CAST(p AS INTEGER) + 1, 1))
+                         + (a.L - 1)
+                         - ascii(substring(a.tile, CAST(p AS INTEGER) + 1, 1))))
+          FROM unnest(range(0, a.need)) AS u(p)) AS e
+  FROM shots a JOIN shots b
+    ON b.doc_id = a.doc_id AND b.si = a.si - 1
+), g AS (
+  SELECT sh.doc_id, sh.si, sh.L, sh.need, sh.tile,
+         CAST(coalesce(en.e, 0) AS BIGINT) AS e,
+         CASE WHEN coalesce(en.e, 0) > 2 * sh.need THEN 1 ELSE 0 END AS flag
+  FROM shots sh LEFT JOIN eners en
+    ON en.doc_id = sh.doc_id AND en.si = sh.si
+), g2 AS (
+  SELECT *, sum(flag) OVER (
+           PARTITION BY doc_id ORDER BY si
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS grp
+  FROM g
+), agg AS (
+  SELECT doc_id, grp,
+         min(si) AS s0, max(si) AS s1, count(*) AS nshots,
+         max(L) AS L, max(need) AS need,
+         arg_min(e, si) AS entry_e,
+         sum(e) AS sum_e,
+         arg_min(tile, si) AS key_tile
+  FROM g2 GROUP BY doc_id, grp
+)
+SELECT doc_id AS media_id,
+       CAST(grp AS INTEGER) AS shot_idx,
+       CAST(s0 * L AS INTEGER) AS start_frame,
+       CAST((s1 + 1) * L - 1 AS INTEGER) AS end_frame,
+       CAST(nshots * L AS INTEGER) AS n_frames,
+       CAST(entry_e AS BIGINT) AS entry_energy,
+       CAST(nshots * (L - 1) * need + sum_e - entry_e AS BIGINT)
+         AS motion_energy,
+       md5(key_tile) AS keyframe_md5
+FROM agg ORDER BY media_id, shot_idx
+"""

@@ -16875,3 +16875,32 @@ def q453_ccitt_g4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return decode_g4_ink_digest(synth_g4_table(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q454 — video shot-boundary detection (§2.2-K multimodal; round 8,
+# verdict item 7): the standard video-dataset curation op the q424
+# family sampled around but never computed — a CROSS-frame signal.
+# Every frame of the shot-structured AVI corpus decodes losslessly
+# (SOF3), the detector computes the exact integer frame-difference
+# energy E(f) = sum|frame_f - frame_{f-1}| and opens a shot when the
+# mean absolute change exceeds 2 levels; per shot it emits the span,
+# the opening boundary energy, total in-shot motion and the keyframe
+# md5. Because the synth is pure text/doc_id arithmetic (shot s tiles
+# md5(text||':'||s); frame k adds k to every byte, no wrap), the
+# oracle replays detection INCLUDING the threshold rule and any
+# (astronomically unlikely) shot merges in SQL — full oracle, exact
+# integer algebra end-to-end. One mapInPandas map stage, zero shuffle
+# before the final orderBy.
+# ---------------------------------------------------------------------------
+@query("q454_video_shot_detection")
+def q454_video_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        detect_video_shots,
+        synth_shot_avi_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return detect_video_shots(synth_shot_avi_table(docs)).orderBy(
+        "media_id", "shot_idx"
+    )

@@ -3352,3 +3352,52 @@ def test_g4_corruption_battery_and_tiff_lanes():
 
     with pytest.raises(ValueError):
         _g4_decode(b"\x00\x00", 17, 6)  # truncated stream
+
+
+def test_video_shot_detection_behavior(spark):
+    """Detector semantics pinned on hand-built AVIs: (a) a static
+    3-frame clip is ONE shot with zero motion; (b) an abrupt content
+    cut opens a second shot whose entry energy is the exact integer
+    byte-difference sum; (c) a sub-threshold change (every byte +1,
+    mean change 1 <= threshold 2) does NOT open a shot but counts as
+    motion."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _frames_to_avi,
+        _pixels_to_jpeg_lossless,
+        detect_video_shots,
+    )
+
+    w, h = 8, 4
+    a = np.full((h, w, 3), 40, dtype=np.uint8)
+    b = np.full((h, w, 3), 90, dtype=np.uint8)  # cut: |90-40|*96 = 4800
+    a1 = a + np.uint8(1)                        # motion: 96
+    clips = {
+        # media 1: static a,a,a -> one shot, motion 0
+        1: [a, a, a],
+        # media 2: a, a+1, b -> one cut at frame 2
+        2: [a, a1, b],
+    }
+    rows = [
+        (mid, _frames_to_avi(
+            [_pixels_to_jpeg_lossless(f, predictor=1) for f in frames],
+            w, h, fps=10,
+        ))
+        for mid, frames in clips.items()
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {
+        (r.media_id, r.shot_idx): r
+        for r in detect_video_shots(media).collect()
+    }
+    assert set(got) == {(1, 0), (2, 0), (2, 1)}
+    assert got[(1, 0)].n_frames == 3
+    assert got[(1, 0)].motion_energy == 0
+    assert got[(1, 0)].entry_energy == 0
+    # media 2: frames 0-1 are one shot (+1 motion = 96 <= 2*96), the
+    # cut to b (|90-41|*96 = 4704) opens shot 1
+    assert got[(2, 0)].start_frame == 0 and got[(2, 0)].end_frame == 1
+    assert got[(2, 0)].motion_energy == w * h * 3
+    assert got[(2, 1)].start_frame == 2
+    assert got[(2, 1)].entry_energy == (90 - 41) * w * h * 3
