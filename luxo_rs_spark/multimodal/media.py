@@ -6781,3 +6781,256 @@ def detect_video_shots(media: DataFrame, threshold_factor: int = 2) -> DataFrame
         "n_frames int, entry_energy long, motion_energy long, "
         "keyframe_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deep-sample grayscale TIFF (round 8, verdict item 8): BitsPerSample
+# 16 (words in the file byte order) and 12 (MSB-first bit-packed, each
+# row starting on a byte boundary per spec §4 "Compression" /
+# PackBits notes) — the non-8-bit boundary the baseline codec raised
+# on, built with the 12-bit machinery the JPEG family already proved
+# out. Uncompressed and PackBits (runs over the PACKED bytes) lanes.
+# ---------------------------------------------------------------------------
+
+
+def _encode_tiff_gray_deep(
+    vals: np.ndarray,
+    bits: int = 16,
+    byte_order: str = "II",
+    rows_per_strip: int | None = None,
+    compression: int = 1,
+) -> bytes:
+    """Encode (h, w) uint16 grayscale (values < 2^bits) at 12 or 16
+    bits per sample, photometric 1 (BlackIsZero), strip layout."""
+    if bits not in (12, 16):
+        raise ValueError("deep gray encoder: bits 12 or 16 only")
+    bo = "<" if byte_order == "II" else ">"
+    h, w_ = vals.shape
+    if int(vals.max(initial=0)) >= (1 << bits):
+        raise ValueError(f"sample exceeds {bits}-bit range")
+    rps = rows_per_strip or h
+
+    def row_bytes(row: np.ndarray) -> bytes:
+        if bits == 16:
+            return row.astype(f"{bo}u2").tobytes()
+        s = "".join(f"{int(v):012b}" for v in row)
+        s += "0" * (-len(s) % 8)
+        return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+    strips = []
+    for y0 in range(0, h, rps):
+        seg = b"".join(row_bytes(vals[y]) for y in range(y0, min(y0 + rps, h)))
+        if compression == 32773:
+            seg = _packbits_encode(seg)
+        elif compression != 1:
+            raise NotImplementedError(
+                f"deep gray TIFF compression {compression}"
+            )
+        strips.append(seg)
+
+    out = bytearray()
+    out += struct.pack(f"{bo}2sHI", byte_order.encode(), 42, 0)
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(len(out))
+        out += s
+    if len(out) & 1:
+        out += b"\0"
+    n = len(strips)
+    entries = [
+        (256, 4, 1, w_), (257, 4, 1, h), (258, 3, 1, bits),
+        (259, 3, 1, compression), (262, 3, 1, 1), (277, 3, 1, 1),
+        (278, 4, 1, rps),
+    ]
+    ext: list[bytes] = []
+    if n == 1:
+        entries.append((273, 4, 1, strip_offsets[0]))
+        entries.append((279, 4, 1, len(strips[0])))
+    else:
+        entries.append((273, 4, n, ("ext", 0)))
+        entries.append((279, 4, n, ("ext", 1)))
+        ext = [
+            struct.pack(f"{bo}{n}I", *strip_offsets),
+            struct.pack(f"{bo}{n}I", *[len(s) for s in strips]),
+        ]
+    entries.sort(key=lambda e: e[0])
+    ifd_ofs = len(out)
+    struct.pack_into(f"{bo}I", out, 4, ifd_ofs)
+    ext_base = ifd_ofs + 2 + 12 * len(entries) + 4
+    ext_offsets, cur = [], ext_base
+    for p in ext:
+        ext_offsets.append(cur)
+        cur += len(p)
+    ifd = bytearray(struct.pack(f"{bo}H", len(entries)))
+    for t, typ, cnt, val in entries:
+        ifd += struct.pack(f"{bo}HHI", t, typ, cnt)
+        if isinstance(val, tuple):
+            ifd += struct.pack(f"{bo}I", ext_offsets[val[1]])
+        else:
+            ifd += struct.pack(
+                f"{bo}{'H' if typ == 3 else 'I'}", int(val)
+            ).ljust(4, b"\0")
+    ifd += struct.pack(f"{bo}I", 0)
+    out += ifd
+    for p in ext:
+        out += p
+    return bytes(out)
+
+
+def _decode_tiff_gray_deep(content: bytes) -> dict:
+    """Decode a 12/16-bit grayscale strip TIFF to exact uint16 samples
+    (kind 'image16'; payload = big-endian 2-byte words). Raises on
+    anything outside the declared deep-gray envelope."""
+    bo = "<" if content[:2] == b"II" else ">"
+    (_n,) = struct.unpack_from(f"{bo}H", content, struct.unpack_from(
+        f"{bo}I", content, 4)[0])
+    # reuse the main tag walk by re-parsing (cheap):
+    ifd_ofs = struct.unpack_from(f"{bo}I", content, 4)[0]
+    (n_entries,) = struct.unpack_from(f"{bo}H", content, ifd_ofs)
+    type_size = {1: 1, 3: 2, 4: 4}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        t, typ, cnt = struct.unpack_from(
+            f"{bo}HHI", content, ifd_ofs + 2 + 12 * i
+        )
+        if typ not in type_size:
+            continue
+        slot = ifd_ofs + 2 + 12 * i + 8
+        total = type_size[typ] * cnt
+        base = (
+            slot
+            if total <= 4
+            else struct.unpack_from(f"{bo}I", content, slot)[0]
+        )
+        fmt = {1: "B", 3: "H", 4: "I"}[typ]
+        tags[t] = list(struct.unpack_from(f"{bo}{cnt}{fmt}", content, base))
+    w_, h = tags[256][0], tags[257][0]
+    bits = tags[258][0]
+    compression = tags.get(259, [1])[0]
+    rps = tags.get(278, [h])[0]
+    if bits not in (12, 16) or tags.get(277, [1])[0] != 1:
+        raise NotImplementedError("deep gray decoder: 12/16-bit spp=1")
+    row_bytes = w_ * 2 if bits == 16 else (w_ * 12 + 7) // 8
+    vals = np.zeros((h, w_), dtype=np.uint16)
+    for i, (ofs, cnt) in enumerate(zip(tags[273], tags[279])):
+        y0 = i * rps
+        n_rows = min(rps, h - y0)
+        seg = content[ofs : ofs + cnt]
+        if compression == 32773:
+            seg = _packbits_decode(seg, n_rows * row_bytes)
+        elif compression != 1:
+            raise NotImplementedError(
+                f"deep gray TIFF compression {compression}"
+            )
+        if len(seg) < n_rows * row_bytes:
+            raise ValueError("short deep-gray segment")
+        for r in range(n_rows):
+            rb = seg[r * row_bytes : (r + 1) * row_bytes]
+            if bits == 16:
+                vals[y0 + r] = np.frombuffer(rb, dtype=f"{bo}u2")[:w_]
+            else:
+                bits_s = "".join(f"{b:08b}" for b in rb)
+                vals[y0 + r] = [
+                    int(bits_s[12 * x : 12 * x + 12], 2) for x in range(w_)
+                ]
+    return {
+        "kind": "image16",
+        "width": w_,
+        "height": h,
+        "bits": bits,
+        "payload": vals.astype(">u2").tobytes(),
+    }
+
+
+def synth_deep_tiff_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deep-gray TIFF synthesis: sample p of doc is the integer value
+    of md5-hex digits [bpp/4 per sample] read directly off the tiled
+    hex string — so the decoded samples' hex rendering IS the tiled
+    string (md5-oracle for free) and every per-sample integer stat is
+    SQL arithmetic. Lanes: 12/16 bits by parity, MM on doc_id%5==0,
+    multi-strip on %3==0, PackBits on %4 in (2,3)."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w_ = did % 13 + 5
+                h = did % 7 + 3
+                bits = 12 if did % 2 else 16
+                nd = bits // 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest()
+                need = w_ * h * nd
+                tiled = (hx * (need // 32 + 2))[:need]
+                vals = np.array(
+                    [
+                        int(tiled[p * nd : (p + 1) * nd], 16)
+                        for p in range(w_ * h)
+                    ],
+                    dtype=np.uint16,
+                ).reshape(h, w_)
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _encode_tiff_gray_deep(
+                            vals,
+                            bits=bits,
+                            byte_order="MM" if did % 5 == 0 else "II",
+                            rows_per_strip=3 if did % 3 == 0 else None,
+                            compression=32773 if did % 4 in (2, 3) else 1,
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
+
+
+def decode_deep_tiff_digest(media: DataFrame) -> DataFrame:
+    """Per-media exact integer stats + md5 of the decoded samples'
+    canonical hex rendering (3 or 4 lowercase digits per sample, row-
+    major) — bit-for-bit the synthesis hex tiling, so fully SQL-
+    recomputable."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                d = _decode_tiff_gray_deep(bytes(content))
+                vals = np.frombuffer(d["payload"], dtype=">u2").astype(
+                    np.int64
+                )
+                nd = d["bits"] // 4
+                hex_s = "".join(f"{int(v):0{nd}x}" for v in vals)
+                out.append(
+                    {
+                        "media_id": int(mid),
+                        "width": d["width"],
+                        "height": d["height"],
+                        "bits": d["bits"],
+                        "sample_sum": int(vals.sum()),
+                        "sample_min": int(vals.min()),
+                        "sample_max": int(vals.max()),
+                        "pos_checksum": int(
+                            (np.arange(1, len(vals) + 1, dtype=np.int64)
+                             * vals).sum()
+                        ),
+                        "samples_md5": hashlib.md5(
+                            hex_s.encode("ascii")
+                        ).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, width int, height int, bits int, "
+        "sample_sum long, sample_min long, sample_max long, "
+        "pos_checksum long, samples_md5 string",
+    )

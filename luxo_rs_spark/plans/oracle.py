@@ -9935,3 +9935,44 @@ SELECT doc_id AS media_id,
        md5(key_tile) AS keyframe_md5
 FROM agg ORDER BY media_id, shot_idx
 """
+
+
+# q455: the decoded deep samples' hex rendering IS the md5-hex tiling
+# (bits/4 digits per sample), so samples_md5 = md5 of the tiled
+# string and every integer stat recomputes from positional digit
+# arithmetic (exact shifts, no doubles).
+ORACLE_SQL["q455_tiff_deep_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 13 + 5 AS INTEGER) AS w,
+         CAST(doc_id % 7 + 3 AS INTEGER) AS h,
+         CAST(CASE WHEN doc_id % 2 = 1 THEN 12 ELSE 16 END AS INTEGER)
+           AS bits,
+         CAST(CASE WHEN doc_id % 2 = 1 THEN 3 ELSE 4 END AS INTEGER) AS nd
+  FROM documents WHERE doc_id < 200
+), tl AS (
+  SELECT doc_id, w, h, bits, nd,
+         substring(repeat(hx, CAST((w * h * nd) // 32 AS INTEGER) + 2),
+                   1, w * h * nd) AS tiled
+  FROM t
+), vl AS (
+  SELECT doc_id, w, h, bits, tiled,
+         list_transform(range(0, w * h), p ->
+           list_sum(list_transform(range(0, nd), j ->
+             CAST(instr('0123456789abcdef',
+                    substring(tiled,
+                              CAST(p * nd + j AS INTEGER) + 1, 1)) - 1
+                  AS BIGINT)
+             << CAST(4 * (nd - 1 - j) AS INTEGER)))) AS v
+  FROM tl
+)
+SELECT doc_id AS media_id, w AS width, h AS height, bits,
+       CAST(list_sum(v) AS BIGINT) AS sample_sum,
+       CAST(list_min(v) AS BIGINT) AS sample_min,
+       CAST(list_max(v) AS BIGINT) AS sample_max,
+       CAST(list_sum(list_transform(range(0, w * h),
+                     p -> (CAST(p AS BIGINT) + 1) * v[CAST(p AS INTEGER) + 1]))
+            AS BIGINT) AS pos_checksum,
+       md5(tiled) AS samples_md5
+FROM vl ORDER BY media_id
+"""

@@ -16904,3 +16904,28 @@ def q454_video_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_video_shots(synth_shot_avi_table(docs)).orderBy(
         "media_id", "shot_idx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q455 — deep-sample (12/16-bit) grayscale TIFF decode (§2.2-K
+# multimodal; round 8, verdict item 8): closes the codec family's
+# "non-8-bit samples" raise. BitsPerSample 16 stores words in the
+# file byte order; 12 packs samples MSB-first with rows on byte
+# boundaries; PackBits lanes compress the packed bytes. The synth
+# reads each sample's value straight off bits/4 tiled md5-hex digits,
+# so the decoded samples' canonical hex rendering IS the tiling
+# (md5 oracle for free) and sum/min/max/position-checksum are exact
+# integer SQL. Lanes: 12/16 by parity, II/MM, single/multi strip,
+# none/PackBits. One mapInPandas map stage.
+# ---------------------------------------------------------------------------
+@query("q455_tiff_deep_decode")
+def q455_tiff_deep_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_deep_tiff_digest,
+        synth_deep_tiff_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_deep_tiff_digest(synth_deep_tiff_table(docs)).orderBy(
+        "media_id"
+    )

@@ -3401,3 +3401,52 @@ def test_video_shot_detection_behavior(spark):
     assert got[(2, 0)].motion_energy == w * h * 3
     assert got[(2, 1)].start_frame == 2
     assert got[(2, 1)].entry_energy == (90 - 41) * w * h * 3
+
+
+def test_deep_tiff_roundtrip_and_packing_conventions():
+    """12/16-bit grayscale TIFF battery: bit-exact roundtrip across
+    bits x byte-order x strip x compression lanes; the 12-bit packing
+    convention is load-bearing (rows start on byte boundaries, samples
+    MSB-first) — a misaligned reader cannot reproduce an odd-width
+    image; range violations and short segments raise."""
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_tiff_gray_deep,
+        _encode_tiff_gray_deep,
+    )
+
+    rng = np.random.default_rng(9)
+    for bits in (12, 16):
+        for h, w in [(3, 5), (6, 7), (1, 1), (4, 16)]:
+            vals = rng.integers(0, 1 << bits, (h, w)).astype(np.uint16)
+            for bo in ("II", "MM"):
+                for comp in (1, 32773):
+                    blob = _encode_tiff_gray_deep(
+                        vals, bits=bits, byte_order=bo,
+                        rows_per_strip=2, compression=comp,
+                    )
+                    d = _decode_tiff_gray_deep(blob)
+                    got = np.frombuffer(d["payload"], dtype=">u2")
+                    assert (got.reshape(h, w) == vals).all()
+    # 12-bit row-boundary padding is real: odd width w=5 -> 8 bytes
+    # per row (60 bits + 4 pad), so byte 7 of row 0 ends the row
+    vals = np.array([[0xABC, 0xDEF, 0x123, 0x456, 0x789]], np.uint16)
+    blob = _encode_tiff_gray_deep(vals, bits=12)
+    # pixel data starts at offset 8; first row: abc def 123 456 789 0
+    assert blob[8:16] == bytes.fromhex("abcdef123456789" + "0")
+    # range violation raises at encode
+    with pytest.raises(ValueError):
+        _encode_tiff_gray_deep(
+            np.array([[4096]], np.uint16), bits=12
+        )
+    # a PackBits control byte demanding more than the segment holds
+    # must fail the expected-length check, not silently under-fill
+    vals2 = np.array([[1, 2], [3, 4]], np.uint16)
+    pb = bytearray(
+        _encode_tiff_gray_deep(vals2, bits=16, compression=32773)
+    )
+    pb[8] = 0x00  # 1-byte literal cascade under-fills the strip
+    with pytest.raises(ValueError):
+        _decode_tiff_gray_deep(bytes(pb))
