@@ -9976,3 +9976,58 @@ SELECT doc_id AS media_id, w AS width, h AS height, bits,
        md5(tiled) AS samples_md5
 FROM vl ORDER BY media_id
 """
+
+
+# q456: the model's fixed-point integer log-counts make the naive-
+# Bayes sum exact BIGINT algebra, so the whole train+score pipeline
+# replays in SQL: same trigrams (raw code-point substrings, no
+# normalization), same Laplace smoothing against the global train
+# vocabulary, same (score desc, lang asc) argmax.
+ORACLE_SQL["q456_trained_lang_id"] = """
+WITH d AS (
+  SELECT doc_id, lang, coalesce(text, '') AS text FROM documents
+), tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(
+           range(1, CAST(length(text) AS INTEGER) - 1),
+           i -> substring(text, CAST(i AS INTEGER), 3))) AS g
+  FROM d
+), model AS (
+  SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+  FROM tri WHERE doc_id % 5 <> 0 GROUP BY lang, g
+), v AS (
+  SELECT count(DISTINCT g) AS vocab FROM model
+), mfp AS (
+  SELECT lang, g,
+         CAST(round(ln(c + 1) * 1000000) AS BIGINT) AS logc_fp
+  FROM model
+), den AS (
+  SELECT m.lang,
+         CAST(round(ln(sum(m.c) + max(v.vocab)) * 1000000) AS BIGINT)
+           AS logden_fp
+  FROM model m, v GROUP BY m.lang
+), ntri AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tri GROUP BY doc_id
+), hits AS (
+  SELECT t.doc_id, m.lang, CAST(sum(m.logc_fp) AS BIGINT) AS s
+  FROM tri t JOIN mfp m ON m.g = t.g GROUP BY t.doc_id, m.lang
+), scores AS (
+  SELECT nt.doc_id, de.lang,
+         coalesce(h.s, 0) - nt.n * de.logden_fp AS score_fp,
+         nt.n
+  FROM ntri nt CROSS JOIN den de
+  LEFT JOIN hits h ON h.doc_id = nt.doc_id AND h.lang = de.lang
+), best AS (
+  SELECT doc_id, lang AS pred_lang, score_fp, n,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY score_fp DESC, lang
+         ) AS rn
+  FROM scores
+)
+SELECT b.doc_id, d.lang, b.pred_lang,
+       CAST(b.n AS BIGINT) AS n_trigrams,
+       CAST(b.score_fp AS BIGINT) AS best_score_fp,
+       (b.pred_lang = d.lang) AS correct
+FROM best b JOIN d ON d.doc_id = b.doc_id
+WHERE b.rn = 1 ORDER BY b.doc_id
+"""

@@ -16929,3 +16929,29 @@ def q455_tiff_deep_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_deep_tiff_digest(synth_deep_tiff_table(docs)).orderBy(
         "media_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q456 — trained char-trigram language ID (§2.2-K text analysis;
+# round 8, verdict item 9 — the CCNet-practice upgrade over q37's
+# hand-written heuristic): per-language trigram counts trained
+# in-Spark on the labeled split (doc_id%5 != 0), Laplace-smoothed
+# naive Bayes over every doc with >= 1 trigram. Log probabilities are
+# FIXED-POINT INTEGERS baked into the model (round(ln(c+1)*1e6)), so
+# the distributed score sum is exact BIGINT algebra — order-free
+# across partitions, hence a full SQL oracle (a raw double ln-sum
+# could never hash-match). Scoring is ONE hash join on the trigram
+# key; the 5-language fan-out happens on doc-level aggregates only.
+# ---------------------------------------------------------------------------
+@query("q456_trained_lang_id")
+def q456_trained_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.langid import (
+        score_char_trigram_lid,
+        train_char_trigram_lid,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model, denoms = train_char_trigram_lid(
+        docs.filter(F.col("doc_id") % 5 != 0)
+    )
+    return score_char_trigram_lid(docs, model, denoms).orderBy("doc_id")

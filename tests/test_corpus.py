@@ -470,3 +470,97 @@ def test_chunk_documents_windows_and_edges(spark):
         for r in ch.collect()
     }
     assert texts[(2, 1)].split() == [f"b{i}" for i in range(6, 14)]
+
+
+def test_trained_lang_id_learns_and_agrees_with_heuristic(spark):
+    """Round-8 verdict item 9 — the trained char-trigram NB, validated
+    where validation is possible: the driver fixtures' lang label is
+    synthetic (the text is the same English-ish word salad for every
+    label, so NO model can beat chance there — the q456 oracle checks
+    the math, not the label). This test builds a corpus with REAL
+    per-language signal (distinct function words + per-language
+    vocabulary), then pins: (a) exact-integer determinism, (b)
+    held-out accuracy >= 0.95 where the heuristic's stopword sets give
+    each language a genuine character-level distribution, (c)
+    agreement >= 0.95 with q37's heuristic on rows the heuristic calls
+    unambiguously."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.functions.langid import (
+        score_char_trigram_lid,
+        train_char_trigram_lid,
+    )
+    from luxo_rs_spark.functions.text import STOPWORDS, lang_id
+
+    vocab = {
+        "en": ["stream", "window", "batch", "query", "shuffle"],
+        "de": ["strasse", "zeitung", "schnell", "wirklich", "zwischen"],
+        "es": ["cancion", "trabajo", "siempre", "despues", "ciudad"],
+        "fr": ["toujours", "travail", "chanson", "lumiere", "fenetre"],
+    }
+    rng = random.Random(42)
+    rows = []
+    did = 0
+    for lang in sorted(vocab):
+        for _ in range(80):
+            toks = []
+            for _w in range(30):
+                pool = (
+                    STOPWORDS[lang] if rng.random() < 0.5 else vocab[lang]
+                )
+                toks.append(pool[rng.randrange(len(pool))])
+            rows.append((did, lang, " ".join(toks)))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    ).cache()
+
+    model, denoms = train_char_trigram_lid(
+        docs.filter(F.col("doc_id") % 5 != 0)
+    )
+    scored = score_char_trigram_lid(docs, model, denoms).cache()
+
+    # (a) deterministic exact-integer scores: two runs identical
+    a = sorted(tuple(r) for r in scored.collect())
+    b = sorted(
+        tuple(r)
+        for r in score_char_trigram_lid(docs, model, denoms).collect()
+    )
+    assert a == b
+
+    # (b) held-out accuracy
+    held = scored.filter(F.col("doc_id") % 5 == 0)
+    n_held = held.count()
+    acc = held.filter("correct").count() / n_held
+    assert n_held >= 60
+    assert acc >= 0.95, f"held-out accuracy {acc:.3f}"
+
+    # (c) agreement with the q37 stopword heuristic where it is
+    # unambiguous (its vote matches the label)
+    heur = docs.select(
+        "doc_id", "lang", lang_id("text").alias("heur_lang")
+    ).filter(F.col("heur_lang") == F.col("lang"))
+    both = scored.join(heur.select("doc_id", "heur_lang"), "doc_id")
+    n_unamb = both.count()
+    n_agree = both.filter(F.col("pred_lang") == F.col("heur_lang")).count()
+    assert n_unamb >= 100
+    assert n_agree / n_unamb >= 0.95, f"{n_agree}/{n_unamb}"
+
+    # the fixture-label chance floor documented above, pinned so a
+    # future fixture WITH real language signal flips this reminder
+    from luxo_rs_spark.sources.registry import load_table
+
+    from conftest import SF_DIR_01
+
+    fx = load_table(spark, SF_DIR_01, "documents")
+    fm, fd = train_char_trigram_lid(fx.filter(F.col("doc_id") % 5 != 0))
+    facc_rows = score_char_trigram_lid(fx, fm, fd).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    facc = facc_rows.filter("correct").count() / facc_rows.count()
+    assert facc < 0.6, (
+        "fixture text now carries real language signal - raise the "
+        "q456 quality claims"
+    )
