@@ -1502,3 +1502,32 @@ def ivf_pq_pruned_probe(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def compact_ivf_pq_index(
+    spark, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Posting-file compaction for the streamed IVF+PQ index: each
+    micro-batch append leaves one small file per touched cluster
+    directory, and at a minutely cadence a year of ingest is ~500k
+    files per cluster — the classic streaming small-files pathology.
+    Reuses :func:`luxo_rs_spark.sources.io.compact_parquet` per
+    cluster directory (the partition column lives in the directory
+    name, so each directory is a flat parquet dir it can rewrite
+    copy-on-write). Underscore side tables (_ivf_centroids,
+    _pq_codebooks, _adc_meta) are metadata, not postings — untouched.
+    Returns the summed audit counters."""
+    import os
+
+    from luxo_rs_spark.sources.io import compact_parquet
+
+    totals = {"files_before": 0, "files_after": 0, "rows": 0}
+    for d in sorted(os.listdir(path)):
+        if not d.startswith("ivf_cluster="):
+            continue
+        r = compact_parquet(
+            spark, os.path.join(path, d), target_file_bytes
+        )
+        for k in totals:
+            totals[k] += r[k]
+    return totals

