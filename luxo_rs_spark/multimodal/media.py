@@ -4040,6 +4040,7 @@ def _pixels_to_tiff(
     palette: "np.ndarray | None" = None,
     tile: "tuple[int, int] | None" = None,
     planar: int = 1,
+    jpeg_predictor: int = 1,
 ) -> bytes:
     """Encode HxWx3 uint8 RGB (or, with gray=True, HxW uint8; or, with
     palette=(256,3) uint8, HxW palette INDICES + a ColorMap of 16-bit
@@ -4077,6 +4078,21 @@ def _pixels_to_tiff(
     seg_spp = 1 if (planar == 2 and spp > 1) else spp
 
     def _enc_segment(rows: list[bytes]) -> bytes:
+        if compression == 7:
+            # new-style JPEG-in-TIFF (TechNote 2): every segment is a
+            # COMPLETE self-contained JPEG stream; we emit lossless
+            # SOF3 so the container stays bit-exact (TIFF's own
+            # Predictor must stay 1 — SOF3 predicts internally)
+            if predictor != 1:
+                raise ValueError("Compression 7 requires Predictor 1")
+            stack = np.stack(
+                [
+                    np.frombuffer(r, dtype=np.uint8).reshape(-1, seg_spp)
+                    for r in rows
+                ]
+            )
+            a = stack if seg_spp > 1 else stack[:, :, 0]
+            return _pixels_to_jpeg_lossless(a, predictor=jpeg_predictor)
         if predictor == 2:
             rows = [
                 _tiff_predict2_encode(
@@ -4299,10 +4315,10 @@ def _decode_tiff(content: bytes) -> dict:
         }
     if any(b != 8 for b in bps):
         raise NotImplementedError("only 8 bits per sample supported")
-    if compression not in (1, 5, 32773):
-        raise NotImplementedError(
-            f"TIFF compression {compression} (JPEG-in-TIFF needs a codec)"
-        )
+    if compression not in (1, 5, 32773, 7):
+        raise NotImplementedError(f"TIFF compression {compression}")
+    if compression == 7 and predictor != 1:
+        raise ValueError("Compression 7 requires Predictor 1")
     # planar=2: segments are plane-major with spp=1 row semantics
     # (spec §14 note: Predictor 2 then differences within one plane)
     n_planes = spp if (planar == 2 and spp > 1) else 1
@@ -4310,6 +4326,19 @@ def _decode_tiff(content: bytes) -> dict:
 
     def _unseg(seg: bytes, n_rows: int, row_px: int) -> bytes:
         expected = n_rows * row_px * pspp
+        if compression == 7:
+            # new-style JPEG-in-TIFF: the segment IS a complete JPEG
+            # stream (strip or padded tile); geometry must agree with
+            # the container's declaration
+            d = _decode_jpeg(bytes(seg))
+            if d["width"] != row_px or d["height"] != n_rows:
+                raise ValueError(
+                    "JPEG segment geometry disagrees with the IFD"
+                )
+            out = d["payload"]
+            if len(out) != expected:
+                raise ValueError("JPEG segment decoded to wrong length")
+            return out
         if compression == 5:
             seg = _tiff_lzw_decompress(seg, expected)
         elif compression == 32773:
@@ -7033,4 +7062,63 @@ def decode_deep_tiff_digest(media: DataFrame) -> DataFrame:
         "media_id long, width int, height int, bits int, "
         "sample_sum long, sample_min long, sample_max long, "
         "pos_checksum long, samples_md5 string",
+    )
+
+
+def synth_jpeg_tiff_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """JPEG-in-TIFF (Compression=7) synthesis: the q422 pixel rule
+    (even ids RGB = tiled md5-hex bytes; odd gray = tiled byte x3 on
+    decode) carried by complete lossless SOF3 JPEG streams per
+    segment. Lanes: layout by doc_id%3 (strips / 16x16 tiles /
+    planar-2 strips), MM on %5==0, SOF3 predictor (doc_id%7)+1.
+    Tiled lanes use the larger q394 dims so edge tiles pad."""
+    import hashlib
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                layout = did % 3
+                if layout == 1:
+                    w_ = did % 23 + 14
+                    h = did % 13 + 10
+                else:
+                    w_ = did % 11 + 6
+                    h = did % 5 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                gray = bool(did % 2)
+                need = h * w_ * (1 if gray else 3)
+                arr = np.frombuffer(
+                    (hx * (need // 32 + 1))[:need], dtype=np.uint8
+                ).reshape((h, w_) if gray else (h, w_, 3))
+                if gray:
+                    arr = arr[:, :, None].repeat(1, axis=2)
+                kw = dict(
+                    byte_order="MM" if did % 5 == 0 else "II",
+                    compression=7,
+                    gray=gray,
+                    jpeg_predictor=did % 7 + 1,
+                )
+                if layout == 1:
+                    kw["tile"] = (16, 16)
+                elif layout == 2 and not gray:
+                    kw["planar"] = 2
+                    kw["rows_per_strip"] = 3
+                else:
+                    kw["rows_per_strip"] = 3
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _pixels_to_tiff(
+                            arr if not gray else arr[:, :, 0], **kw
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
     )

@@ -10031,3 +10031,35 @@ SELECT b.doc_id, d.lang, b.pred_lang,
 FROM best b JOIN d ON d.doc_id = b.doc_id
 WHERE b.rn = 1 ORDER BY b.doc_id
 """
+
+
+# q457: SOF3 segments are lossless, so Compression=7 changes container
+# bytes only — the decoded payload md5 is the q422 rule with q457's
+# own lane-cycled dims (tiled lanes are doc_id%3==1).
+ORACLE_SQL["q457_jpeg_in_tiff_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 23 + 14
+                   ELSE doc_id % 11 + 6 END AS INTEGER) AS w,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 13 + 10
+                   ELSE doc_id % 5 + 4 END AS INTEGER) AS h
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h,
+         CASE WHEN doc_id % 2 = 0
+              THEN substring(repeat(hx, CAST(w * h * 3 / 32 AS INTEGER) + 1),
+                             1, w * h * 3)
+              ELSE array_to_string(
+                     list_transform(range(1, w * h + 1),
+                       i -> repeat(substring(
+                              repeat(hx, CAST(w * h / 32 AS INTEGER) + 1),
+                              CAST(i AS INTEGER), 1), 3)),
+                     '')
+         END AS payload
+  FROM t
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(w * h * 3 AS BIGINT) AS payload_bytes,
+       md5(payload) AS payload_md5
+FROM px ORDER BY media_id
+"""

@@ -16955,3 +16955,24 @@ def q456_trained_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 5 != 0)
     )
     return score_char_trigram_lid(docs, model, denoms).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Q457 — JPEG-in-TIFF decode (§2.2-K multimodal; round 8, closing the
+# last r7 "What's missing" TIFF item): new-style Compression=7 per
+# TIFF TechNote 2 — every strip/tile is a COMPLETE self-contained
+# JPEG stream. The segments carry lossless SOF3 (predictors cycling),
+# so the container stays bit-exact and the q422 oracle rule applies
+# unchanged: the decoded payload md5 is pure SQL over documents.text.
+# Lanes: strips / padded 16x16 tiles / PlanarConfiguration-2 strips
+# (per-plane grayscale JPEGs), II/MM. One mapInPandas map stage.
+# ---------------------------------------------------------------------------
+@query("q457_jpeg_in_tiff_decode")
+def q457_jpeg_in_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_jpeg_tiff_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return decode_media_digest(synth_jpeg_tiff_table(docs)).orderBy("media_id")

@@ -3450,3 +3450,60 @@ def test_deep_tiff_roundtrip_and_packing_conventions():
     pb[8] = 0x00  # 1-byte literal cascade under-fills the strip
     with pytest.raises(ValueError):
         _decode_tiff_gray_deep(bytes(pb))
+
+
+def test_jpeg_in_tiff_lanes_and_geometry_guard():
+    """Compression=7 battery: bit-exact roundtrip across gray/RGB x
+    II/MM x strips/tiles/planar x SOF3 predictors 1-7; the TIFF
+    Predictor tag must stay 1; a JPEG segment whose SOF3 geometry
+    disagrees with the IFD raises (a lying container cannot decode
+    silently)."""
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import _decode_tiff, _pixels_to_tiff
+
+    rng = np.random.default_rng(21)
+    h, w = 19, 21
+    arr = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    for gray in (False, True):
+        for bo in ("II", "MM"):
+            for kw in (
+                {"rows_per_strip": 4},
+                {"tile": (16, 16)},
+                {"planar": 2, "rows_per_strip": 3},
+            ):
+                for jp in (1, 3, 7):
+                    blob = _pixels_to_tiff(
+                        arr, byte_order=bo, compression=7, gray=gray,
+                        jpeg_predictor=jp, **kw,
+                    )
+                    got = np.frombuffer(
+                        _decode_tiff(blob)["payload"], np.uint8
+                    ).reshape(h, w, 3)
+                    want = (
+                        np.repeat(arr[:, :, 0].reshape(-1), 3).reshape(
+                            h, w, 3
+                        )
+                        if gray
+                        else arr
+                    )
+                    assert (got == want).all(), (gray, bo, kw, jp)
+    # Predictor 2 + Compression 7 is a contract violation both ways
+    with pytest.raises(ValueError):
+        _pixels_to_tiff(arr, compression=7, predictor=2)
+    # geometry lie: shrink ImageLength by one row -> the strip JPEG's
+    # SOF3 height (h) no longer matches what the IFD demands (h-1)
+    import struct
+
+    blob = bytearray(
+        _pixels_to_tiff(arr, compression=7, rows_per_strip=h)
+    )
+    ifd_ofs = struct.unpack_from("<I", blob, 4)[0]
+    (n_entries,) = struct.unpack_from("<H", blob, ifd_ofs)
+    for i in range(n_entries):
+        t = struct.unpack_from("<H", blob, ifd_ofs + 2 + 12 * i)[0]
+        if t == 257:  # ImageLength
+            struct.pack_into("<I", blob, ifd_ofs + 2 + 12 * i + 8, h - 1)
+    with pytest.raises(ValueError):
+        _decode_tiff(bytes(blob))
