@@ -3952,6 +3952,8 @@ def _encode_tiff_g4(
     byte_order: str = "II",
     photometric: int = 0,
     rows_per_strip: int | None = None,
+    compression: int = 4,
+    t4_two_d: bool = True,
 ) -> bytes:
     """Bilevel TIFF with Compression=4 (T.6): ``ink`` is the DISPLAY
     bitmap (1 = black ink). Photometric 0 (WhiteIsZero, the fax
@@ -3965,8 +3967,17 @@ def _encode_tiff_g4(
     h, w_ = ink.shape
     stored = ink if photometric == 0 else (1 - ink)
     rps = rows_per_strip or h
+    if compression == 4:
+        enc = _g4_encode
+    elif compression == 3:
+        def enc(b):
+            return _t4_g3_encode(b, two_d=t4_two_d, k=4)
+    elif compression == 2:
+        enc = _ccitt_rle_encode
+    else:
+        raise NotImplementedError(f"bilevel compression {compression}")
     strips = [
-        _g4_encode(np.ascontiguousarray(stored[y0 : y0 + rps]))
+        enc(np.ascontiguousarray(stored[y0 : y0 + rps]))
         for y0 in range(0, h, rps)
     ]
     out = bytearray()
@@ -3982,12 +3993,15 @@ def _encode_tiff_g4(
         (256, 4, 1, w_),
         (257, 4, 1, h),
         (258, 3, 1, 1),            # BitsPerSample 1
-        (259, 3, 1, 4),            # Compression: CCITT T.6
+        (259, 3, 1, compression),  # 2=MH-RLE, 3=T.4 G3, 4=T.6 G4
         (262, 3, 1, photometric),
         (277, 3, 1, 1),
         (278, 4, 1, rps),
-        (293, 4, 1, 0),            # T6Options: no uncompressed mode
     ]
+    if compression == 4:
+        entries.append((293, 4, 1, 0))  # T6Options: no uncompressed
+    elif compression == 3:
+        entries.append((292, 4, 1, 1 if t4_two_d else 0))  # T4Options
     ext: list[bytes] = []
     if n == 1:
         entries.append((273, 4, 1, strip_offsets[0]))
@@ -4282,26 +4296,32 @@ def _decode_tiff(content: bytes) -> dict:
         raise NotImplementedError(f"TIFF photometric {photometric}")
     if planar not in (1, 2):
         raise ValueError(f"bad PlanarConfiguration {planar}")
-    if compression == 4:
-        # CCITT Group 4 (T.6) — bilevel single-plane strips (the
-        # scanned-document shape); the MMR coder restarts per strip
+    if compression in (2, 3, 4):
+        # CCITT fax family — bilevel single-plane strips (the
+        # scanned-document shape); every coder restarts per strip
         if spp != 1 or bps != [1] or planar != 1 or tiled:
             raise NotImplementedError(
-                "G4 TIFF: bilevel single-sample strip layout only"
+                "CCITT TIFF: bilevel single-sample strip layout only"
             )
         if photometric not in (0, 1):
-            raise ValueError(f"G4 TIFF photometric {photometric}")
+            raise ValueError(f"CCITT TIFF photometric {photometric}")
         offsets = tags[273]
         counts = tags.get(279)
         if counts is None:
             raise ValueError("missing StripByteCounts")
+        two_d = bool(tags.get(292, [0])[0] & 1)
         stored = np.zeros((h, w_), dtype=np.uint8)
         for i, (ofs, cnt) in enumerate(zip(offsets, counts)):
             y0 = i * rows_per_strip
             n_rows = min(rows_per_strip, h - y0)
-            stored[y0 : y0 + n_rows] = _g4_decode(
-                content[ofs : ofs + cnt], w_, n_rows
-            )
+            seg = content[ofs : ofs + cnt]
+            if compression == 4:
+                block = _g4_decode(seg, w_, n_rows)
+            elif compression == 3:
+                block = _t4_g3_decode(seg, w_, n_rows, two_d=two_d)
+            else:
+                block = _ccitt_rle_decode(seg, w_, n_rows)
+            stored[y0 : y0 + n_rows] = block
         ink = stored if photometric == 0 else (1 - stored)
         rgb = np.repeat(
             np.where(ink.reshape(-1) == 1, 0, 255).astype(np.uint8), 3
@@ -6612,9 +6632,13 @@ def synth_g4_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     text tiled over w*h pixels (pixel p = bit (3 - p%4) of hex digit
     p//4) — a pure SQL-recomputable rule, so the decoded ink sequence
     is under a full oracle. Lane cycle: photometric 0/1 by parity
-    (the stored G4 sense inverts, the decoded ink NEVER does), MM byte
-    order on doc_id%5==0, multi-strip (rows_per_strip=4, per-strip MMR
-    restart) on doc_id%3==0. One mapInPandas map stage, zero shuffle."""
+    (the stored fax sense inverts, the decoded ink NEVER does), MM
+    byte order on doc_id%5==0, multi-strip (rows_per_strip=4,
+    per-strip coder restart) on doc_id%3==0, and the WHOLE CCITT
+    family by doc_id%4 — G4/T.6 MMR, Compression=2 MH-RLE, T.4 G3
+    1-D (EOL lines), T.4 G3 2-D (tag bits + K-factor). Compression
+    changes container bytes, never the ink — exactly what the oracle
+    asserts. One mapInPandas map stage, zero shuffle."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -6632,11 +6656,14 @@ def synth_g4_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                 ink = np.empty(w_ * h, dtype=np.uint8)
                 for p in range(w_ * h):
                     ink[p] = (int(tiled[p // 4], 16) >> (3 - p % 4)) & 1
+                comp = {0: 4, 1: 2, 2: 3, 3: 3}[did % 4]
                 blob = _encode_tiff_g4(
                     ink.reshape(h, w_),
                     byte_order="MM" if did % 5 == 0 else "II",
                     photometric=did % 2,
                     rows_per_strip=4 if did % 3 == 0 else None,
+                    compression=comp,
+                    t4_two_d=(did % 4 == 3),
                 )
                 rows.append({"media_id": did, "content": blob})
             yield pd.DataFrame(rows)
@@ -7122,3 +7149,184 @@ def synth_jpeg_tiff_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", text_col).mapInPandas(
         gen, "media_id long, content binary"
     )
+
+
+# ---------------------------------------------------------------------------
+# CCITT Group 3 (ITU-T T.4) — the other fax compressions scanned-
+# document TIFFs arrive in (round 8, extending the G4 closure):
+#   Compression=2 — "Modified Huffman RLE": each row is an
+#     independent 1-D MH run sequence (starting with a white run, 0
+#     allowed), rows byte-aligned, no EOLs. Reuses the T.4 run tables.
+#   Compression=3 — T.4 G3: every line prefixed by an EOL
+#     (000000000001, arbitrary zero fill tolerated before it); with
+#     T4Options bit 0 set, a tag bit after each EOL selects 1-D (1) or
+#     2-D (0) coding for the line, 2-D lines using the same
+#     pass/vertical/horizontal modes as T.6 against the PREVIOUS scan
+#     line, with a 1-D line forced every K lines (the fax K-factor).
+# ---------------------------------------------------------------------------
+
+
+def _mh_encode_line(line: np.ndarray) -> str:
+    """One 1-D MH line: alternating white/black run codes, first run
+    white (length 0 if the line starts black)."""
+    w = len(line)
+    out = []
+    pos, color = 0, 0
+    while pos < w:
+        run = 0
+        while pos + run < w and line[pos + run] == color:
+            run += 1
+        out.append(_g4_mh_run(run, color))
+        pos += run
+        color ^= 1
+    if color == 1 and w > 0:
+        pass  # line ended on a white run boundary; nothing to close
+    return "".join(out)
+
+
+def _mh_decode_line(rd: "_G4BitReader", w: int) -> np.ndarray:
+    line = np.zeros(w, dtype=np.uint8)
+    pos, color = 0, 0
+    while pos < w:
+        run = _g4_decode_runlen(rd, color)
+        if pos + run > w:
+            raise ValueError("MH run overruns line")
+        line[pos : pos + run] = color
+        pos += run
+        color ^= 1
+    return line
+
+
+def _ccitt_rle_encode(bitmap: np.ndarray) -> bytes:
+    """TIFF Compression=2: per-row MH, rows byte-aligned."""
+    out = []
+    for y in range(bitmap.shape[0]):
+        bits = _mh_encode_line(bitmap[y])
+        bits += "0" * (-len(bits) % 8)
+        out.append(bits)
+    s = "".join(out)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _ccitt_rle_decode(data: bytes, w: int, h: int) -> np.ndarray:
+    rd = _G4BitReader(data)
+    out = np.zeros((h, w), dtype=np.uint8)
+    for y in range(h):
+        out[y] = _mh_decode_line(rd, w)
+        rd.pos += -rd.pos % 8  # rows are byte-aligned
+    return out
+
+
+_T4_EOL = "000000000001"
+
+
+def _t4_encode_2d_line(cur_t, ref_t, w) -> str:
+    """One 2-D coded line against the previous scan line — the same
+    pass/vertical/horizontal modes as T.6 (T.4 §4.2.1)."""
+    out = []
+    a0, color = -1, 0
+    while a0 < w:
+        a1 = _g4_next_flip(cur_t, a0, color, w)
+        b1 = _g4_next_flip(ref_t, a0, color, w)
+        b2 = _g4_next_any(ref_t, b1, w)
+        if b2 < a1:
+            out.append(_T6_PASS)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            out.append(_T6_VERT[a1 - b1])
+            a0 = a1
+            color ^= 1
+        else:
+            a2 = _g4_next_any(cur_t, a1, w)
+            start = a0 if a0 >= 0 else 0
+            out.append(_T6_HORIZ)
+            out.append(_g4_mh_run(a1 - start, color))
+            out.append(_g4_mh_run(a2 - a1, color ^ 1))
+            a0 = a2
+    return "".join(out)
+
+
+def _t4_g3_encode(bitmap: np.ndarray, two_d: bool = False, k: int = 4) -> bytes:
+    """TIFF Compression=3 stream: EOL before every line; with
+    ``two_d``, a tag bit selects the coding (1-D forced on line 0 and
+    every k-th line — the fax K-factor)."""
+    h, w = bitmap.shape
+    out = []
+    ref_t = None
+    for y in range(h):
+        out.append(_T4_EOL)
+        use_1d = not two_d or (y % k == 0)
+        if two_d:
+            out.append("1" if use_1d else "0")
+        cur_t = _g4_line_transitions(bitmap[y])
+        if use_1d:
+            out.append(_mh_encode_line(bitmap[y]))
+        else:
+            out.append(_t4_encode_2d_line(cur_t, ref_t, w))
+        ref_t = cur_t
+    s = "".join(out)
+    s += "0" * (-len(s) % 8)
+    return bytes(int(s[i : i + 8], 2) for i in range(0, len(s), 8))
+
+
+def _t4_g3_decode(
+    data: bytes, w: int, h: int, two_d: bool = False
+) -> np.ndarray:
+    rd = _G4BitReader(data)
+
+    def expect_eol() -> None:
+        zeros = 0
+        while True:
+            b = rd._bit()
+            if b == "0":
+                zeros += 1
+                if zeros > 64:
+                    raise ValueError("G3 fill run too long (no EOL)")
+            else:
+                if zeros < 11:
+                    raise ValueError("G3 EOL malformed")
+                return
+
+    out = np.zeros((h, w), dtype=np.uint8)
+    ref_t: list[int] | None = None
+    for y in range(h):
+        expect_eol()
+        use_1d = True
+        if two_d:
+            use_1d = rd._bit() == "1"
+        if use_1d:
+            out[y] = _mh_decode_line(rd, w)
+        else:
+            if ref_t is None:
+                raise ValueError("G3 2-D line before any 1-D line")
+            cur = out[y]
+            a0, color = -1, 0
+            while a0 < w:
+                kind = rd.code(_T6_MODES, 7, "mode")
+                if kind == "P":
+                    b1 = _g4_next_flip(ref_t, a0, color, w)
+                    b2 = _g4_next_any(ref_t, b1, w)
+                    if b2 > w:
+                        raise ValueError("G3 pass mode past line end")
+                    cur[max(a0, 0) : b2] = color
+                    a0 = b2
+                elif kind == "H":
+                    r1 = _g4_decode_runlen(rd, color)
+                    r2 = _g4_decode_runlen(rd, color ^ 1)
+                    start = a0 if a0 >= 0 else 0
+                    if start + r1 + r2 > w or start + r1 + r2 <= a0:
+                        raise ValueError("G3 horizontal runs invalid")
+                    cur[start : start + r1] = color
+                    cur[start + r1 : start + r1 + r2] = color ^ 1
+                    a0 = start + r1 + r2
+                else:
+                    _v, d = kind
+                    b1 = _g4_next_flip(ref_t, a0, color, w)
+                    a1 = b1 + d
+                    if not 0 <= a1 <= w or a1 <= a0:
+                        raise ValueError("G3 vertical mode out of range")
+                    cur[max(a0, 0) : a1] = color
+                    a0 = a1
+                    color ^= 1
+        ref_t = _g4_line_transitions(out[y])
+    return out

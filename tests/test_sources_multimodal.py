@@ -3507,3 +3507,48 @@ def test_jpeg_in_tiff_lanes_and_geometry_guard():
             struct.pack_into("<I", blob, ifd_ofs + 2 + 12 * i + 8, h - 1)
     with pytest.raises(ValueError):
         _decode_tiff(bytes(blob))
+
+
+def test_g3_family_goldens_and_eol_discipline():
+    """Hand-derived pins for the G3 additions: (a) MH-RLE golden — one
+    line 00111000 codes white-2 (0111) black-3 (10) white-3 (1000),
+    byte-padded = 01111010 00xxxxxx; (b) Compression=3 streams OPEN
+    with an EOL and tolerate zero fill before it; (c) a 2-D G3 stream
+    whose first line claims 2-D coding (tag bit 0) must raise (no
+    reference line exists); (d) truncated EOL raises."""
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import (
+        _ccitt_rle_decode,
+        _ccitt_rle_encode,
+        _t4_g3_decode,
+        _t4_g3_encode,
+    )
+
+    line = np.array([[0, 0, 1, 1, 1, 0, 0, 0]], dtype=np.uint8)
+    enc = _ccitt_rle_encode(line)
+    # white-2=0111 black-3=10 white-3=1000 -> 0111101000 pad6
+    assert enc == bytes([0b01111010, 0b00000000])
+    assert (_ccitt_rle_decode(enc, 8, 1) == line).all()
+
+    g3 = _t4_g3_encode(line, two_d=False)
+    bits = "".join(f"{b:08b}" for b in g3)
+    assert bits.startswith("000000000001"), bits[:16]
+    # zero fill before the EOL is legal
+    filled = bytes([0]) + g3
+    assert (_t4_g3_decode(filled, 8, 1, two_d=False) == line).all()
+
+    # 2-D stream: first line tag must be 1-D; forge tag bit 0
+    g3_2d = _t4_g3_encode(line, two_d=True)
+    bits2 = "".join(f"{b:08b}" for b in g3_2d)
+    assert bits2.startswith("000000000001" + "1")  # EOL + 1-D tag
+    forged = "000000000001" + "0" + bits2[13:]
+    blob = bytes(
+        int(forged[i : i + 8], 2) for i in range(0, len(forged) - 7, 8)
+    )
+    with pytest.raises(ValueError):
+        _t4_g3_decode(blob, 8, 1, two_d=True)
+
+    with pytest.raises(ValueError):
+        _t4_g3_decode(b"\x00\x00", 8, 1, two_d=False)  # no EOL in 64 bits
