@@ -10063,3 +10063,52 @@ SELECT doc_id AS media_id, w AS width, h AS height,
        md5(payload) AS payload_md5
 FROM px ORDER BY media_id
 """
+
+
+# q458: snapshot lifecycle replayed as four SELECTs over orders — v1 is
+# the create slice, v2 adds the appended slice, v3 removes the CoW
+# delete range, v4 (compaction) is logically identical to v3.
+ORACLE_SQL["q458_snaptable_time_travel"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 4096
+), u AS (
+  SELECT 1 AS version, 'create' AS operation, *
+  FROM base WHERE k % 4 <> 3
+  UNION ALL SELECT 2, 'append', * FROM base
+  UNION ALL SELECT 3, 'delete', * FROM base WHERE k NOT BETWEEN 900 AND 1800
+  UNION ALL SELECT 4, 'compact', * FROM base WHERE k NOT BETWEEN 900 AND 1800
+)
+SELECT version, operation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS sum_key,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(count(DISTINCT c) AS BIGINT) AS n_cust
+FROM u GROUP BY version, operation ORDER BY version
+"""
+
+
+# q459: the manifest skipping arithmetic is a pure function of orders —
+# one file per bucket (k div 512), a file is scanned iff its actual
+# [min, max] intersects [700, 2300]; matched-row aggregate is exact
+# integer money algebra.
+ORACLE_SQL["q459_snaptable_data_skipping"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 512 AS b
+  FROM orders WHERE o_orderkey < 4096
+), fstats AS (
+  SELECT b, min(k) AS mn, max(k) AS mx, count(*) AS n FROM base GROUP BY b
+)
+SELECT CAST((SELECT count(*) FROM fstats) AS INT) AS files_total,
+       CAST((SELECT count(*) FROM fstats
+             WHERE mn <= 2300 AND mx >= 700) AS INT) AS files_scanned,
+       CAST((SELECT coalesce(sum(n), 0) FROM fstats
+             WHERE mx < 700 OR mn > 2300) AS BIGINT) AS rows_skipped,
+       CAST((SELECT count(*) FROM base
+             WHERE k BETWEEN 700 AND 2300) AS BIGINT) AS n_rows,
+       CAST((SELECT sum(cents) FROM base
+             WHERE k BETWEEN 700 AND 2300) AS BIGINT) AS sum_cents
+"""

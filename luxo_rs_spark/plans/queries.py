@@ -16976,3 +16976,123 @@ def q457_jpeg_in_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return decode_media_digest(synth_jpeg_tiff_table(docs)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Q458 — snapshot table format: time travel (§2.2-A storage layer;
+# round 8). The table-format job Delta/Iceberg do over a 100 TB lake,
+# built from scratch in sources/snaptable.py: JSON manifests of
+# immutable parquet files, committed with an exclusive-create
+# (optimistically concurrent, atomic on POSIX; a conditional PUT on an
+# object store). This query drives the full lifecycle — create
+# (bucket-clustered files), append, copy-on-write ranged delete
+# (manifest stats carry provably-clean files over untouched), compact —
+# and reads EVERY version back via time travel. Contents per version
+# are pure functions of the orders table, so the oracle replays the
+# lifecycle as four SELECTs (full oracle; exact integer money algebra).
+# File-layout mechanics (one file per bucket, CoW rewrite set, commit
+# races, schema evolution) are pinned in tests/test_snaptable.py.
+# ---------------------------------------------------------------------------
+@query("q458_snaptable_time_travel")
+def q458_snaptable_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q458"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4096)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("o_orderkey div 512").alias("b"),
+        )
+    )
+    t = SnapTable(spark, root)
+    t.create(
+        base.filter(F.col("k") % 4 != 3), stat_cols=["k", "c"], bucket_col="b"
+    )
+    t.append(base.filter(F.col("k") % 4 == 3), bucket_col="b")
+    t.delete_where("k", 900, 1800)
+    t.compact(n_out=2)
+
+    ops = {m["version"]: m["operation"] for m in t.history()}
+    per_version = [
+        t.read(v)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_key"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+            F.countDistinct("c").cast("bigint").alias("n_cust"),
+        )
+        .select(
+            F.lit(v).cast("int").alias("version"),
+            F.lit(ops[v]).alias("operation"),
+            "n_rows",
+            "sum_key",
+            "sum_cents",
+            "n_cust",
+        )
+        for v in (1, 2, 3, 4)
+    ]
+    out = per_version[0]
+    for df in per_version[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Q459 — snapshot table format: manifest-level data skipping (round 8).
+# The 100 TB lever: `scan()` prunes data files against the per-file
+# min/max statistics RECORDED IN THE MANIFEST before Spark ever
+# receives the paths — at cluster scale the planner touches 4 of 8
+# (or 50 of 50,000) files and the object store never hears about the
+# rest. Because the create() layout is one file per key bucket, the
+# skipping arithmetic itself — files_total, files_scanned,
+# rows_skipped — is a pure function of the orders table and the oracle
+# recomputes it exactly (per-bucket min/max overlap test), alongside
+# the matched rows' exact-integer aggregate. tests/test_snaptable.py
+# additionally pins df.inputFiles(): Spark's scan truly receives only
+# the surviving files.
+# ---------------------------------------------------------------------------
+@query("q459_snaptable_data_skipping")
+def q459_snaptable_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q459"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4096)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("o_orderkey div 512").alias("b"),
+        )
+    )
+    t = SnapTable(spark, root)
+    t.create(base, stat_cols=["k"], bucket_col="b")
+    matched, info = t.scan("k", 700, 2300)
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    ).select(
+        F.lit(info["files_total"]).cast("int").alias("files_total"),
+        F.lit(info["files_scanned"]).cast("int").alias("files_scanned"),
+        F.lit(info["rows_skipped"]).cast("bigint").alias("rows_skipped"),
+        "n_rows",
+        "sum_cents",
+    )

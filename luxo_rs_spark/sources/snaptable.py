@@ -1,0 +1,425 @@
+"""Snapshot table format: versioned manifests over parquet (SURVEY §2.2-A).
+
+The reference's storage story is an index-organized row store
+(reference src/algo.rs:7 intends B+Tree machinery); a 100 TB lake needs
+the *table-format* layer on top of columnar files — the job Delta Lake /
+Apache Iceberg do. This module implements that layer from scratch on
+plain parquet + JSON manifests, with the four properties that matter at
+cluster scale:
+
+1. **Atomic, optimistically-concurrent commits.** A snapshot is a JSON
+   manifest ``_snapshots/v%08d.json`` listing immutable data files. The
+   commit is ``open(path, "x")`` — exclusive create, atomic on POSIX —
+   so two racing writers cannot both land version N: the loser re-reads
+   the latest snapshot, rebases its file list, and retries. (On an
+   object store this exact protocol becomes a conditional PUT — the
+   Delta commit-service pattern; the manifest layout is unchanged.)
+2. **Time travel.** Every version's manifest is retained; a read at
+   version N is exactly the file list of manifest N. Readers never see
+   a half-committed state because data files are staged under a scratch
+   name and only referenced after the manifest create succeeds.
+3. **Manifest-level data skipping.** Each manifest entry carries
+   per-file min/max/null-count statistics for the declared stat
+   columns, collected from the parquet FOOTERS by a distributed
+   metadata pass (one row per file through ``mapInPandas`` — the
+   metadata plane, never a row scan). ``scan()`` prunes files against a
+   range predicate on the driver *before* Spark ever sees the paths:
+   at 100 TB this is the difference between planning over 50 files and
+   opening 50,000 footers.
+4. **Copy-on-write deletes + compaction as snapshots.** ``delete_where``
+   rewrites only the files whose stats ADMIT a match and carries every
+   provably-clean file over untouched (bounded write amplification);
+   ``compact`` rewrites small files into ``n_out`` larger ones as a new
+   snapshot that is logically identical — both are ordinary commits,
+   so readers of older versions are unaffected.
+
+Schema evolution: an append whose DataFrame carries NEW nullable
+columns widens the table schema (union by name); old files read through
+the widened schema surface NULLs (parquet missing-column semantics) —
+the add-column evolution path Iceberg calls a metadata-only change.
+
+No wall-clock timestamps anywhere in the format: versions are dense
+integers, so manifests — and therefore every query over them — are
+bit-deterministic and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_SNAP_DIR = "_snapshots"
+_DATA_DIR = "data"
+
+#: per-process commit sequence, part of the writer-unique file token
+_WRITER_SEQ = itertools.count()
+
+#: stats schema for the distributed footer pass: one row per data file.
+_FOOTER_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("rows", T.LongType()),
+        T.StructField("bytes", T.LongType()),
+        T.StructField("stats_json", T.StringType()),
+    ]
+)
+
+
+def _footer_stats_batches(stat_cols):
+    """mapInPandas worker: read parquet FOOTER metadata (no row groups
+    are decoded) and emit per-file rows/bytes + min/max/null-count for
+    ``stat_cols``. This is the manifest-building job Iceberg runs as a
+    distributed append commit — O(files), not O(rows)."""
+
+    def gen(batches):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for path in pdf["path"]:
+                md = pq.ParquetFile(path).metadata
+                schema_names = list(md.schema.names)
+                stats: dict = {}
+                for col in stat_cols:
+                    if col not in schema_names:
+                        continue
+                    ci = schema_names.index(col)
+                    mn = mx = None
+                    nulls = 0
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(ci).statistics
+                        if st is None:
+                            mn = mx = None
+                            break
+                        nulls += st.null_count or 0
+                        if st.has_min_max:
+                            mn = st.min if mn is None else min(mn, st.min)
+                            mx = st.max if mx is None else max(mx, st.max)
+                    stats[col] = {
+                        "min": _json_safe(mn),
+                        "max": _json_safe(mx),
+                        "nulls": nulls,
+                    }
+                out.append(
+                    {
+                        "path": path,
+                        "rows": md.num_rows,
+                        "bytes": os.path.getsize(path),
+                        "stats_json": json.dumps(stats, sort_keys=True),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["path", "rows", "bytes", "stats_json"]
+            )
+
+    return gen
+
+
+def _json_safe(v):
+    import datetime
+    import decimal
+
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return v
+
+
+class SnapTable:
+    """A versioned parquet table rooted at ``root`` (see module doc)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.snap_dir = os.path.join(root, _SNAP_DIR)
+        self.data_dir = os.path.join(root, _DATA_DIR)
+
+    # -- snapshot bookkeeping ------------------------------------------------
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.snap_dir):
+            return []
+        return sorted(
+            int(f[1:9])
+            for f in os.listdir(self.snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def latest_version(self) -> int:
+        vs = self.versions()
+        return vs[-1] if vs else 0
+
+    def manifest(self, version: int | None = None) -> dict:
+        version = version or self.latest_version()
+        if version == 0:
+            raise FileNotFoundError(f"snaptable {self.root}: no snapshots")
+        with open(os.path.join(self.snap_dir, f"v{version:08d}.json")) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        return [self.manifest(v) for v in self.versions()]
+
+    # -- reads ---------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Time-travel read: exactly the files of manifest ``version``."""
+        m = self.manifest(version)
+        return self._read_files(m, [e["path"] for e in m["files"]])
+
+    def scan(self, col: str, lo, hi, version: int | None = None):
+        """Range scan with manifest-level data skipping: return
+        ``(DataFrame, info)`` where the DataFrame's file list was pruned
+        to manifest entries whose [min, max] on ``col`` intersects
+        [lo, hi] — Spark never receives the skipped paths, so at scale
+        neither scheduler nor object store hears about them. ``info``
+        records {files_total, files_scanned, rows_skipped}. The
+        predicate is ALSO applied to the surviving rows (file stats are
+        necessary, not sufficient)."""
+        m = self.manifest(version)
+        keep, skipped_rows = [], 0
+        for e in m["files"]:
+            st = e["stats"].get(col)
+            if st is None or st["min"] is None:  # no stats -> must scan
+                keep.append(e)
+            elif st["max"] >= lo and st["min"] <= hi:
+                keep.append(e)
+            else:
+                skipped_rows += e["rows"]
+        info = {
+            "files_total": len(m["files"]),
+            "files_scanned": len(keep),
+            "rows_skipped": skipped_rows,
+        }
+        df = self._read_files(m, [e["path"] for e in keep])
+        return df.filter(F.col(col).between(lo, hi)), info
+
+    def _read_files(self, m: dict, paths: list[str]) -> DataFrame:
+        schema = T.StructType.fromDDL(m["schema"])
+        if not paths:
+            return self.spark.createDataFrame([], schema)
+        abs_paths = [os.path.join(self.root, p) for p in paths]
+        return self.spark.read.schema(schema).parquet(*abs_paths)
+
+    # -- writes --------------------------------------------------------------
+
+    def create(self, df: DataFrame, stat_cols: list[str],
+               bucket_col: str | None = None) -> int:
+        """First snapshot. ``bucket_col`` (an integer column) fixes the
+        file layout: one data file per distinct bucket value, giving
+        deterministic, stats-tight files (the clustered layout a range
+        scan wants)."""
+        if self.versions():
+            raise FileExistsError(f"snaptable {self.root}: already exists")
+        os.makedirs(self.snap_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+        return self._commit_new_files(
+            df, stat_cols, bucket_col, op="create", carry=[]
+        )
+
+    def append(self, df: DataFrame, bucket_col: str | None = None) -> int:
+        """New snapshot = parent's files + the new files. Retries on a
+        lost commit race (the rebase is trivial: appends commute)."""
+        m = self.manifest()
+        return self._commit_new_files(
+            df, m["stat_cols"], bucket_col, op="append", carry=m["files"]
+        )
+
+    def delete_where(self, col: str, lo, hi) -> int:
+        """Copy-on-write delete of rows with ``col BETWEEN lo AND hi``:
+        files whose stats PROVE no match are carried over untouched;
+        the rest are rewritten without the matching rows (dropped
+        entirely if emptied)."""
+        m = self.manifest()
+        carry, rewrite = [], []
+        for e in m["files"]:
+            st = e["stats"].get(col)
+            if st is not None and st["min"] is not None and (
+                st["max"] < lo or st["min"] > hi
+            ):
+                carry.append(e)
+            else:
+                rewrite.append(e)
+        if not rewrite:
+            return self._commit(m["stat_cols"], "delete", carry, [])
+        survivors = self._read_files(
+            m, [e["path"] for e in rewrite]
+        ).filter(~F.col(col).between(lo, hi))
+        # preserve the per-file clustering: one output file per source
+        # bucket (bucket id recovered from the file name).
+        return self._commit_new_files(
+            survivors,
+            m["stat_cols"],
+            bucket_col=None,
+            op="delete",
+            carry=carry,
+            n_out=len(rewrite),
+        )
+
+    def compact(self, n_out: int) -> int:
+        """Rewrite ALL current files into ``n_out`` files — logically
+        identical snapshot, small-file pathology gone."""
+        m = self.manifest()
+        df = self.read()
+        return self._commit_new_files(
+            df, m["stat_cols"], bucket_col=None, op="compact", carry=[],
+            n_out=n_out,
+        )
+
+    # -- commit machinery ----------------------------------------------------
+
+    def _commit_new_files(
+        self,
+        df: DataFrame,
+        stat_cols: list[str],
+        bucket_col: str | None,
+        op: str,
+        carry: list[dict],
+        n_out: int | None = None,
+    ) -> int:
+        """Stage data files, collect footer stats distributively, then
+        run the optimistic commit loop."""
+        import shutil
+
+        stage = os.path.join(
+            self.data_dir, f"_stage_{os.getpid()}_{id(df) & 0xFFFF:x}"
+        )
+        if bucket_col is not None:
+            # all rows of a bucket into one task -> exactly one file per
+            # bucket directory (deterministic layout, tight stats). A
+            # SHADOW of the bucket column drives partitionBy so the real
+            # column survives inside the data files (partitionBy strips
+            # its column into the directory name).
+            shadow = "__snap_bucket__"
+            n_buckets = df.select(bucket_col).distinct().count()
+            (
+                df.withColumn(shadow, F.col(bucket_col))
+                .repartition(max(1, n_buckets), shadow)
+                .write.mode("overwrite")
+                .partitionBy(shadow)
+                .parquet(stage)
+            )
+        else:
+            w = df if n_out is None else df.repartition(max(1, n_out))
+            w.write.mode("overwrite").parquet(stage)
+
+        # deterministic final names: v{version}-{i}.parquet, assigned in
+        # sorted stage order. Version unknown until the commit wins, so
+        # stage names are temporary until the rename step.
+        staged = []
+        for root_dir, _dirs, files in os.walk(stage):
+            for fn in sorted(files):
+                if fn.endswith(".parquet"):
+                    staged.append(os.path.join(root_dir, fn))
+        staged.sort()
+
+        stats_rows = self._collect_stats(staged, stat_cols)
+
+        # Writer-unique token in data file names (pid + per-process seq):
+        # two RACING writers must never address the same path — the
+        # manifest's exclusive create is the ONLY arbitration point, and
+        # data files are immutable once referenced. (Delta/Iceberg use
+        # GUID part names for exactly this reason.)
+        token = f"{os.getpid():x}-{next(_WRITER_SEQ):04x}"
+        while True:
+            version = self.latest_version() + 1
+            entries = []
+            moved = []
+            for i, (src, srow) in enumerate(zip(staged, stats_rows)):
+                rel = os.path.join(
+                    _DATA_DIR, f"v{version:08d}-{i:05d}-{token}.parquet"
+                )
+                dst = os.path.join(self.root, rel)
+                os.replace(src, dst)
+                moved.append((dst, src))
+                entries.append(
+                    {
+                        "path": rel,
+                        "rows": srow["rows"],
+                        "bytes": srow["bytes"],
+                        "stats": json.loads(srow["stats_json"]),
+                    }
+                )
+            parent = version - 1
+            schema_ddl = self._evolved_schema(df, parent, op)
+            manifest = {
+                "version": version,
+                "parent": parent if op != "create" else 0,
+                "operation": op,
+                "schema": schema_ddl,
+                "stat_cols": stat_cols,
+                "files": carry + entries,
+            }
+            if self._try_write_manifest(version, manifest):
+                shutil.rmtree(stage, ignore_errors=True)
+                return version
+            # lost the race: put files back on stage and retry against
+            # the new latest (appends/compactions rebase trivially).
+            for dst, src in moved:
+                os.replace(dst, src)
+            if op == "append":
+                m = self.manifest()
+                carry = m["files"]
+
+    def _commit(self, stat_cols, op, carry, entries) -> int:
+        while True:
+            version = self.latest_version() + 1
+            manifest = {
+                "version": version,
+                "parent": self.latest_version(),
+                "operation": op,
+                "schema": self.manifest()["schema"],
+                "stat_cols": stat_cols,
+                "files": carry + entries,
+            }
+            if self._try_write_manifest(version, manifest):
+                return version
+
+    def _try_write_manifest(self, version: int, manifest: dict) -> bool:
+        path = os.path.join(self.snap_dir, f"v{version:08d}.json")
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False  # another writer committed this version
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+        return True
+
+    def _evolved_schema(self, df: DataFrame, parent: int, op: str) -> str:
+        new_ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        if op == "create" or parent == 0:
+            return new_ddl
+        old = T.StructType.fromDDL(self.manifest(parent)["schema"])
+        merged = list(old.fields)
+        names = {f.name for f in merged}
+        for f in df.schema.fields:
+            if f.name not in names:  # add-column evolution: widen by name
+                merged.append(T.StructField(f.name, f.dataType, True))
+        return ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in merged
+        )
+
+    def _collect_stats(self, paths: list[str], stat_cols: list[str]):
+        """Distributed footer pass (see `_footer_stats_batches`)."""
+        if not paths:
+            return []
+        pdf = self.spark.createDataFrame(
+            [(p,) for p in paths], "path string"
+        )
+        rows = (
+            pdf.repartition(min(len(paths), 32))
+            .mapInPandas(_footer_stats_batches(stat_cols), _FOOTER_SCHEMA)
+            .collect()  # bounded: one row PER FILE (metadata plane)
+        )
+        by_path = {r["path"]: r.asDict() for r in rows}
+        return [by_path[p] for p in paths]

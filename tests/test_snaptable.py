@@ -1,0 +1,247 @@
+"""Snapshot table format (sources/snaptable.py): layout, time travel,
+manifest-level skipping, CoW deletes, commit races, schema evolution,
+and the streaming-maintenance twin (q458/q459's machinery)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from luxo_rs_spark.sources.snaptable import SnapTable
+
+ROOT = "/tmp/luxo_snaptable_tests"
+
+
+def _mk(spark, name, rows, bucket_div=100):
+    df = spark.createDataFrame(
+        [(k, f"s{k % 7}", k * 3) for k in rows], "k bigint, s string, v bigint"
+    ).withColumn("b", F.expr(f"k div {bucket_div}"))
+    return df
+
+
+@pytest.fixture()
+def root():
+    path = os.path.join(ROOT, "t")
+    shutil.rmtree(path, ignore_errors=True)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_create_layout_one_file_per_bucket_with_stats(spark, root):
+    t = SnapTable(spark, root)
+    v = t.create(_mk(spark, "t", range(250)), stat_cols=["k"], bucket_col="b")
+    assert v == 1
+    m = t.manifest()
+    # buckets 0,1,2 -> exactly 3 files, each with tight k stats
+    assert len(m["files"]) == 3
+    stats = sorted(
+        (e["stats"]["k"]["min"], e["stats"]["k"]["max"], e["rows"])
+        for e in m["files"]
+    )
+    assert stats == [(0, 99, 100), (100, 199, 100), (200, 249, 50)]
+    got = t.read().orderBy("k").collect()
+    assert [r["k"] for r in got] == list(range(250))
+
+
+def test_time_travel_versions_are_immutable(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    t.append(_mk(spark, "t", range(100, 150)), bucket_col="b")
+    t.delete_where("k", 0, 49)
+    assert t.versions() == [1, 2, 3]
+    assert t.read(1).count() == 100
+    assert t.read(2).count() == 150
+    assert t.read(3).count() == 100
+    assert set(r["k"] for r in t.read(3).collect()) == set(range(50, 150))
+    # v1's file list is untouched by the later delete
+    assert t.manifest(1)["files"] == [
+        e for e in t.manifest(2)["files"] if e["path"].startswith("data/v0000000" "1")
+    ]
+
+
+def test_scan_prunes_files_before_spark_sees_them(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(500)), stat_cols=["k"], bucket_col="b")
+    df, info = t.scan("k", 120, 260)
+    assert info["files_total"] == 5
+    assert info["files_scanned"] == 2  # buckets 1 and 2 only
+    assert info["rows_skipped"] == 300
+    # Spark's plan truly received only the surviving files
+    assert len(df.inputFiles()) == 2
+    assert df.count() == 141
+    # predicate still applied to surviving rows (stats are necessary,
+    # not sufficient)
+    assert df.agg(F.min("k"), F.max("k")).first() == (120, 260)
+
+
+def test_delete_where_carries_clean_files_untouched(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(500)), stat_cols=["k"], bucket_col="b")
+    before = {e["path"] for e in t.manifest()["files"]}
+    t.delete_where("k", 150, 249)  # touches buckets 1 and 2 only
+    m = t.manifest()
+    carried = {e["path"] for e in m["files"]} & before
+    # buckets 0, 3, 4 carried over byte-identically (same entries)
+    assert len(carried) == 3
+    assert t.read().count() == 400
+    assert set(r["k"] for r in t.read().collect()) == (
+        set(range(500)) - set(range(150, 250))
+    )
+
+
+def test_delete_where_fully_pruned_is_metadata_only(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(200)), stat_cols=["k"], bucket_col="b")
+    before = {e["path"] for e in t.manifest()["files"]}
+    t.delete_where("k", 5000, 6000)  # no file admits a match
+    m = t.manifest()
+    assert {e["path"] for e in m["files"]} == before  # zero rewrites
+    assert m["operation"] == "delete"
+    assert t.read().count() == 200
+
+
+def test_compact_is_logically_identical(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(500)), stat_cols=["k"], bucket_col="b")
+    fp_before = t.read().agg(F.sum("k"), F.sum("v"), F.count("*")).first()
+    t.compact(n_out=2)
+    m = t.manifest()
+    assert m["operation"] == "compact"
+    assert len(m["files"]) <= 2
+    assert t.read().agg(F.sum("k"), F.sum("v"), F.count("*")).first() == fp_before
+    # the pre-compaction snapshot still reads its 5 original files
+    assert len(t.read(1).inputFiles()) == 5
+
+
+def test_commit_race_loser_rebases_and_retries(spark, root, monkeypatch):
+    """Inject a racer BETWEEN the loser's version pick and its manifest
+    create: the exclusive-create fails, the loser re-reads the latest
+    snapshot, rebases its carry list, and lands on the next version."""
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+
+    racer_df = _mk(spark, "t", range(1000, 1030))
+    orig = SnapTable._try_write_manifest
+    state = {"fired": False}
+
+    def inject(self, version, manifest):
+        if not state["fired"] and manifest["operation"] == "append":
+            state["fired"] = True
+            # a second writer wins version 2 first
+            racer = SnapTable(spark, self.root)
+            orig_create = racer._commit_new_files(
+                racer_df, ["k"], "b", op="append",
+                carry=racer.manifest()["files"],
+            )
+            assert orig_create == 2
+        return orig(self, version, manifest)
+
+    monkeypatch.setattr(SnapTable, "_try_write_manifest", inject)
+    v = t.append(_mk(spark, "t", range(100, 120)), bucket_col="b")
+    assert v == 3  # lost version 2, rebased, landed on 3
+    # both writers' rows are present: appends commute
+    assert t.read(3).count() == 100 + 30 + 20
+    ks = set(r["k"] for r in t.read(3).collect())
+    assert ks == set(range(100)) | set(range(1000, 1030)) | set(range(100, 120))
+
+
+def test_schema_evolution_add_column(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(50)), stat_cols=["k"], bucket_col="b")
+    extra = _mk(spark, "t", range(50, 80)).withColumn(
+        "lang", F.concat(F.lit("en-"), F.col("k"))
+    )
+    t.append(extra, bucket_col="b")
+    df = t.read()
+    assert "lang" in df.columns
+    got = df.groupBy(F.col("lang").isNull().alias("is_null")).count().collect()
+    assert {(r["is_null"], r["count"]) for r in got} == {(True, 50), (False, 30)}
+    # old version's schema is unchanged
+    assert "lang" not in t.read(1).columns
+
+
+def test_manifest_is_timestamp_free_and_deterministic(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k", "v"], bucket_col="b")
+    raw = open(os.path.join(root, "_snapshots", "v00000001.json")).read()
+    m = json.loads(raw)
+    assert set(m) == {
+        "version", "parent", "operation", "schema", "stat_cols", "files",
+    }
+    # rebuilding the same table yields the identical manifest up to the
+    # writer-unique file tokens (stats, rows, bytes, schema all equal)
+    other = os.path.join(ROOT, "t2")
+    shutil.rmtree(other, ignore_errors=True)
+    try:
+        t2 = SnapTable(spark, other)
+        t2.create(
+            _mk(spark, "t", range(100)), stat_cols=["k", "v"], bucket_col="b"
+        )
+        m2 = t2.manifest(1)
+
+        def normalize(man):
+            man = dict(man)
+            man["files"] = [
+                {kk: vv for kk, vv in e.items() if kk != "path"}
+                for e in man["files"]
+            ]
+            return man
+
+        assert normalize(m) == normalize(m2)
+    finally:
+        shutil.rmtree(other, ignore_errors=True)
+
+
+def test_streaming_maintenance_equals_batch(spark, root):
+    """foreachBatch appends each micro-batch as a snapshot; the final
+    table equals a single batch write (the Delta streaming-sink twin)."""
+    import tempfile
+
+    src_dir = tempfile.mkdtemp(prefix="snap_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="snap_stream_ckpt_")
+    try:
+        full = _mk(spark, "t", range(300))
+        t = SnapTable(spark, root)
+        t.create(full.filter("k < 0"), stat_cols=["k"], bucket_col=None)
+
+        # three source files -> three micro-batches (maxFilesPerTrigger=1)
+        import glob as _glob
+
+        for i, (lo, hi) in enumerate([(0, 100), (100, 200), (200, 300)]):
+            staged = os.path.join(src_dir, f"_w{i}")
+            full.filter((F.col("k") >= lo) & (F.col("k") < hi)).coalesce(
+                1
+            ).write.mode("overwrite").parquet(staged)
+            part = _glob.glob(os.path.join(staged, "*.parquet"))[0]
+            os.replace(part, os.path.join(src_dir, f"f{i}.parquet"))
+            shutil.rmtree(staged)
+
+        stream = (
+            spark.readStream.schema("k bigint, s string, v bigint, b bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def sink(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            t.append(batch_df, bucket_col="b")
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = t.read().orderBy("k").collect()
+        want = full.orderBy("k").collect()
+        assert got == want
+        assert t.latest_version() >= 2  # at least one real append landed
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
