@@ -1364,8 +1364,11 @@ def test_tiff_boundary_raises():
         _decode_payload(patch_tag(base, 259, 2))  # CCITT G3
     with _pt.raises(NotImplementedError):
         _decode_payload(patch_tag(base, 258, 4))  # 4-bit samples
-    with _pt.raises((NotImplementedError, ValueError)):
-        _pixels_to_tiff(arr, compression=7)  # JPEG-in-TIFF encode
+    # JPEG-in-TIFF (Compression=7) is SUPPORTED since q457 — the former
+    # boundary is now a roundtrip check.
+    dec = _decode_payload(_pixels_to_tiff(arr, compression=7))
+    assert (dec["width"], dec["height"]) == (2, 2)
+    assert dec["payload"] == arr.tobytes()
 
 
 def test_tiff_synth_decode_spark(spark):
