@@ -10112,3 +10112,60 @@ SELECT CAST((SELECT count(*) FROM fstats) AS INT) AS files_total,
        CAST((SELECT sum(cents) FROM base
              WHERE k BETWEEN 700 AND 2300) AS BIGINT) AS sum_cents
 """
+
+
+# q460: winnowing replayed — same 60-bit md5 k-gram hash, same w=12
+# window minimum; fingerprint set checksum as HUGEINT (sum of <=2^60
+# values overflows BIGINT).
+ORACLE_SQL["q460_winnowing_fingerprints"] = """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 19
+), kg0 AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 7)) AS i
+  FROM d
+), kg AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), 8)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM kg0
+), win AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos >= 11 THEN
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+         END AS fp
+  FROM kg
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_kgrams,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+       CAST(CAST(sum(DISTINCT fp) AS HUGEINT) AS VARCHAR) AS fp_checksum
+FROM win GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# q461: the tug-of-war counters are order-independent sums, so the
+# sketch state replays exactly — same md5 sign bit, same 16 estimators.
+ORACLE_SQL["q461_ams_f2_sketch"] = """
+WITH k AS (
+  SELECT o_custkey AS key FROM orders
+), signs AS (
+  SELECT j,
+         CAST(sum(1 - 2 * (CAST(('0x' || substring(
+             md5(CAST(key AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+             1, 1)) AS INT) % 2)) AS BIGINT) AS s
+  FROM k, (SELECT unnest(range(16)) AS j) js
+  GROUP BY j
+), est AS (
+  SELECT CAST(sum(s * s) AS BIGINT) AS sum_sq_est FROM signs
+), exact AS (
+  SELECT CAST(sum(n * n) AS BIGINT) AS exact_f2
+  FROM (SELECT count(*) AS n FROM k GROUP BY key) c
+)
+SELECT exact_f2,
+       CAST(16 AS INT) AS n_estimators,
+       sum_sq_est,
+       CAST(abs(sum_sq_est - 16 * exact_f2) AS BIGINT) AS err_x16
+FROM exact, est
+"""

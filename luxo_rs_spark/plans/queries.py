@@ -17096,3 +17096,122 @@ def q459_snaptable_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "sum_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q460 — robust winnowing document fingerprints (Schleimer, Wilkerson,
+# Aiken SIGMOD'03 — the MOSS algorithm; §2.2-K text analysis, round 8).
+# The character-level sibling of the word-shingle family: hash every
+# k-gram (k=8) and select the minimum hash of every sliding window of
+# w=12 consecutive k-grams — the selected set is a position-robust
+# document fingerprint with the guarantee that any shared substring of
+# length >= w+k-1 (19) produces a shared fingerprint. Hash = first 60
+# bits of md5 of the k-gram (exact BIGINT; the engines agree
+# bit-for-bit), so the whole pipeline — and the oracle — is exact
+# integer algebra. The fingerprint-set checksum accumulates in
+# DECIMAL(38,0) (sum of <=2^60 values overflows a long).
+# Scale shape: one generated-column explode (map-side), one window
+# partitioned by doc_id (bounded partitions — plan-hygiene clean), one
+# groupBy doc_id; at 100 TB the fingerprint table feeds an equi-join
+# near-dup pass exactly like MinHash bands (q32).
+# ---------------------------------------------------------------------------
+@query("q460_winnowing_fingerprints")
+def q460_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k, w = 8, 12
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= k + w - 1)
+        .select("doc_id", "text")
+    )
+    kgram_hashes = F.expr(
+        f"transform(sequence(1, length(text) - {k} + 1),"
+        f" i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15),"
+        f" 16, 10) as bigint))"
+    )
+    kg = docs.select(
+        "doc_id", F.posexplode(kgram_hashes).alias("pos", "h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    fp = F.when(F.col("pos") >= w - 1, F.min("h").over(win))
+    return (
+        kg.select("doc_id", "pos", fp.alias("fp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kgrams"),
+            F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
+            F.sum_distinct(F.col("fp").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("fp_checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q461 — AMS "tug-of-war" F2 sketch (Alon-Matias-Szegedy STOC'96;
+# §2.2-D sketch family, round 8). The second frequency moment
+# F2 = sum_key count(key)^2 is the self-join size — the cardinality the
+# join planner wants before it picks a strategy. Each of the 16
+# estimators is S_j = sum over ROWS of a 4-universal-style +-1 sign of
+# (key, j) (here: one md5 bit — deterministic, engine-agnostic);
+# E[S_j^2] = F2. UNLIKE HLL/t-digest (q50/q363 rows-only), every
+# counter is an order-independent SUM, so the sketch state itself is
+# exactly reproducible and the oracle replays it bit-for-bit — a FULL
+# oracle over a randomized sketch. Everything stays integer: the
+# estimate is reported as sum_j S_j^2 (x16 the F2 estimate) and the
+# error as |sum_sq_est - 16*F2|, no division anywhere.
+# Scale shape: 16 parallel map-side-combinable global sums in ONE
+# aggregate pass (no explode, no shuffle beyond the final combine);
+# the exact side is one groupBy. The 1-row x 1-row join is broadcast
+# (BroadcastNestedLoopJoin, not a cartesian).
+# ---------------------------------------------------------------------------
+@query("q461_ams_f2_sketch")
+def q461_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_est = 16
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+
+    def sign(j: int):
+        bit = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("o_custkey").cast("string"),
+                            F.lit(str(j)),
+                        )
+                    ),
+                    1,
+                    1,
+                ),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        )
+        return (F.lit(1) - 2 * bit).cast("long")
+
+    sums = orders.agg(
+        *[F.sum(sign(j)).alias(f"s{j}") for j in range(n_est)]
+    )
+    sum_sq = sums.select(
+        sum(
+            [F.col(f"s{j}") * F.col(f"s{j}") for j in range(n_est)],
+            F.lit(0).cast("long"),
+        ).alias("sum_sq_est")
+    )
+    exact = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("bigint").alias("exact_f2"))
+    )
+    return exact.crossJoin(F.broadcast(sum_sq)).select(
+        "exact_f2",
+        F.lit(n_est).cast("int").alias("n_estimators"),
+        F.col("sum_sq_est").cast("bigint"),
+        F.abs(
+            F.col("sum_sq_est") - F.lit(n_est) * F.col("exact_f2")
+        ).cast("bigint").alias("err_x16"),
+    )
