@@ -10169,3 +10169,49 @@ SELECT exact_f2,
        CAST(abs(sum_sq_est - 16 * exact_f2) AS BIGINT) AS err_x16
 FROM exact, est
 """
+
+
+# q462: the merge replayed — CASE doubles the updated range, UNION adds
+# the inserted slice.
+ORACLE_SQL["q462_snaptable_merge"] = """
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), merged AS (
+  SELECT k, CASE WHEN k BETWEEN 1000 AND 1500 THEN cents * 2
+                 ELSE cents END AS cents
+  FROM o WHERE k < 4096
+  UNION ALL
+  SELECT k, cents FROM o WHERE k BETWEEN 4096 AND 4599
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS sum_key,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(CASE WHEN k BETWEEN 1000 AND 1500 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_updated_range
+FROM merged
+"""
+
+
+# q463: CDC(1->3) = {deletes: v1 rows inside the deleted range,
+# inserts: appended rows outside it}; CDC(3->4) is a compaction and
+# contributes no rows.
+ORACLE_SQL["q463_snaptable_cdc"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 4096
+), ch AS (
+  SELECT 'delete' AS change_type, k, cents FROM base
+  WHERE k % 4 <> 3 AND k BETWEEN 900 AND 1800
+  UNION ALL
+  SELECT 'insert', k, cents FROM base
+  WHERE k % 4 = 3 AND k NOT BETWEEN 900 AND 1800
+)
+SELECT CAST(1 AS INT) AS from_v, CAST(3 AS INT) AS to_v, change_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(k) AS BIGINT) AS sum_key,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM ch GROUP BY change_type ORDER BY from_v, change_type
+"""

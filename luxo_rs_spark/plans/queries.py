@@ -17215,3 +17215,112 @@ def q461_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_sq_est") - F.lit(n_est) * F.col("exact_f2")
         ).cast("bigint").alias("err_x16"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Q462 — snapshot table MERGE INTO (round 8): the upsert that keeps a
+# 100 TB lake current — source rows replace matching keys and insert
+# the rest, as ONE copy-on-write commit. Manifest stats bound the
+# rewrite: only files whose key range intersects the source's
+# [min, max] are touched (tests pin the carried set). The final state
+# is a pure function of orders — updates double the cents of keys
+# [1000, 1500], inserts add the [4096, 4599] slice — so the oracle
+# replays the merge as a CASE + UNION (full oracle, exact integer
+# money algebra).
+# ---------------------------------------------------------------------------
+@query("q462_snaptable_merge")
+def q462_snaptable_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q462"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("o_orderkey div 512").alias("b"),
+    )
+    base = orders.filter(F.col("k") < 4096)
+    t = SnapTable(spark, root)
+    t.create(base, stat_cols=["k"], bucket_col="b")
+    updates = base.filter(F.col("k").between(1000, 1500)).withColumn(
+        "cents", F.col("cents") * 2
+    )
+    inserts = orders.filter(F.col("k").between(4096, 4599))
+    t.merge(updates.unionByName(inserts), "k")
+    return t.read().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("k").cast("bigint").alias("sum_key"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(
+            F.when(F.col("k").between(1000, 1500), 1).otherwise(0)
+        ).cast("bigint").alias("n_updated_range"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q463 — snapshot table CDC: row-level changes between versions
+# (round 8). File immutability makes version diffs cheap: manifests'
+# common files cancel unread, and inserts/deletes fall out of EXCEPT
+# ALL over only the added/removed file sets. Over the q458 lifecycle,
+# changes(1 -> 3) must be exactly {inserts: the appended slice minus
+# the later-deleted range, deletes: the deleted range within v1} and
+# changes(3 -> 4) (a compaction) must net to ZERO rows — both replayed
+# by the oracle as plain predicates over orders (full oracle).
+# ---------------------------------------------------------------------------
+@query("q463_snaptable_cdc")
+def q463_snaptable_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q463"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4096)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("o_orderkey div 512").alias("b"),
+        )
+    )
+    t = SnapTable(spark, root)
+    t.create(base.filter(F.col("k") % 4 != 3), stat_cols=["k"], bucket_col="b")
+    t.append(base.filter(F.col("k") % 4 == 3), bucket_col="b")
+    t.delete_where("k", 900, 1800)
+    t.compact(n_out=2)
+
+    def grouped(v_from: int, v_to: int) -> DataFrame:
+        return (
+            t.changes(v_from, v_to)
+            .groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("k").cast("bigint").alias("sum_key"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(v_from).cast("int").alias("from_v"),
+                F.lit(v_to).cast("int").alias("to_v"),
+                "change_type",
+                "n_rows",
+                "sum_key",
+                "sum_cents",
+            )
+        )
+
+    return (
+        grouped(1, 3)
+        .unionAll(grouped(3, 4))  # compaction diff nets to zero rows
+        .orderBy("from_v", "change_type")
+    )

@@ -264,6 +264,68 @@ class SnapTable:
             n_out=len(rewrite),
         )
 
+    def merge(self, source: DataFrame, key_col: str) -> int:
+        """MERGE INTO (whole-row upsert): source rows whose ``key_col``
+        matches an existing row replace it; the rest insert. Copy-on-
+        write with manifest-stats pruning — only files whose key range
+        intersects the source's [min, max] are rewritten; since matches
+        can only live in those files, the rewrite is (candidates
+        LEFT ANTI JOIN source keys) ∪ source. The key set is broadcast
+        (a merge source is small relative to the table; a huge backfill
+        would swap this for a shuffled anti join or a Bloom pre-filter,
+        q144's machinery)."""
+        m = self.manifest()
+        b = source.agg(
+            F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+        ).first()
+        if b["lo"] is None:  # empty source: metadata-only no-op commit
+            return self._commit(m["stat_cols"], "merge", m["files"], [])
+        carry, cand = [], []
+        for e in m["files"]:
+            st = e["stats"].get(key_col)
+            if st is not None and st["min"] is not None and (
+                st["max"] < b["lo"] or st["min"] > b["hi"]
+            ):
+                carry.append(e)
+            else:
+                cand.append(e)
+        existing = self._read_files(m, [e["path"] for e in cand])
+        kept = existing.join(
+            F.broadcast(source.select(key_col).distinct()),
+            on=key_col,
+            how="left_anti",
+        )
+        out = kept.unionByName(source, allowMissingColumns=True)
+        return self._commit_new_files(
+            out, m["stat_cols"], bucket_col=None, op="merge", carry=carry,
+            n_out=max(1, len(cand)),
+        )
+
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        """Row-level CDC between two versions: inserts = (v_to EXCEPT
+        ALL v_from), deletes = (v_from EXCEPT ALL v_to), tagged in a
+        ``change_type`` column. Data files are immutable, so files
+        common to both manifests cancel WITHOUT being read — only the
+        added/removed file sets are scanned (a CoW update surfaces as
+        delete+insert; a pure append diff reads just the appended
+        files; a compaction diff must read both sides and nets to
+        empty — the known CDC cost of rewrites, which is why Delta's
+        CDF materializes change files instead)."""
+        mf, mt = self.manifest(v_from), self.manifest(v_to)
+        from_paths = {e["path"] for e in mf["files"]}
+        to_paths = {e["path"] for e in mt["files"]}
+        added = [e["path"] for e in mt["files"] if e["path"] not in from_paths]
+        removed = [e["path"] for e in mf["files"] if e["path"] not in to_paths]
+        a = self._read_files(mt, added)
+        r = self._read_files(mt, removed)
+        return (
+            a.exceptAll(r)
+            .withColumn("change_type", F.lit("insert"))
+            .unionByName(
+                r.exceptAll(a).withColumn("change_type", F.lit("delete"))
+            )
+        )
+
     def compact(self, n_out: int) -> int:
         """Rewrite ALL current files into ``n_out`` files — logically
         identical snapshot, small-file pathology gone."""

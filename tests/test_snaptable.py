@@ -245,3 +245,60 @@ def test_streaming_maintenance_equals_batch(spark, root):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_merge_upserts_and_prunes_rewrite_set(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(500)), stat_cols=["k"], bucket_col="b")
+    before = {e["path"] for e in t.manifest()["files"]}
+    # updates hit keys 150..249 (buckets 1, 2); inserts add 600..619
+    src = _mk(spark, "t", list(range(150, 250)) + list(range(600, 620)))
+    src = src.withColumn("v", F.col("v") + 1000000)
+    t.merge(src, "k")
+    m = t.manifest()
+    assert m["operation"] == "merge"
+    # buckets 0, 3, 4 carried untouched... but insert range extends the
+    # key span, so only files FULLY OUTSIDE [150, 619] are carried: 0.
+    carried = {e["path"] for e in m["files"]} & before
+    assert len(carried) == 1
+    got = t.read()
+    assert got.count() == 520
+    # updated rows carry the new v; untouched rows the old
+    assert got.filter("k = 200").first()["v"] == 200 * 3 + 1000000
+    assert got.filter("k = 100").first()["v"] == 300
+    assert got.filter("k = 610").first()["v"] == 610 * 3 + 1000000
+
+
+def test_merge_empty_source_is_metadata_only(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    before = {e["path"] for e in t.manifest()["files"]}
+    t.merge(_mk(spark, "t", []), "k")
+    assert {e["path"] for e in t.manifest()["files"]} == before
+    assert t.manifest()["operation"] == "merge"
+
+
+def test_changes_appends_and_cow_deletes(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    t.append(_mk(spark, "t", range(100, 150)), bucket_col="b")
+    t.delete_where("k", 20, 39)
+    # 1 -> 2: pure append, inserts only
+    ch = t.changes(1, 2).groupBy("change_type").count().collect()
+    assert {(r["change_type"], r["count"]) for r in ch} == {("insert", 50)}
+    # 2 -> 3: CoW delete, deletes only
+    ch = t.changes(2, 3)
+    assert set(r["k"] for r in ch.filter("change_type = 'delete'").collect()) == set(
+        range(20, 40)
+    )
+    assert ch.filter("change_type = 'insert'").count() == 0
+    # identical versions cancel at the manifest level (no files read)
+    empty = t.changes(2, 2)
+    assert len(empty.inputFiles()) == 0 and empty.count() == 0
+
+
+def test_changes_across_compaction_nets_to_zero(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(300)), stat_cols=["k"], bucket_col="b")
+    t.compact(n_out=1)
+    assert t.changes(1, 2).count() == 0
