@@ -1625,27 +1625,50 @@ def _decode_jpeg(content: bytes) -> dict:
             return
         if not coef or geom is None or sof is None:
             return
-        h_, w_, comps_, _hm, _vm = sof
-        q = qtabs[comps_[0][3]]
-        _ghi, _gvi, nbh, nbw = geom[0]
-        plane = np.zeros((nbh * 8, nbw * 8), dtype=np.float64)
-        for by in range(nbh):
-            for bx in range(nbw):
-                natural = np.empty(64, dtype=np.int64)
-                natural[_ZIGZAG] = coef[0][by, bx]
-                deq = (natural * q).reshape(8, 8)
-                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT.T @ deq.astype(np.float64) @ _DCT
-                )
-        plane = plane[:h_, :w_]
+        h_, w_, comps_, hm_, vm_ = sof
+        half = float(1 << (precision - 1))
         top = (1 << precision) - 1
+        planes = []
+        for ci, ((_cid, hi, vi, tq), (_ghi, _gvi, nbh, nbw)) in enumerate(
+            zip(comps_, geom)
+        ):
+            q = qtabs[tq]
+            plane = np.zeros((nbh * 8, nbw * 8), dtype=np.float64)
+            for by in range(nbh):
+                for bx in range(nbw):
+                    natural = np.empty(64, dtype=np.int64)
+                    natural[_ZIGZAG] = coef[ci][by, bx]
+                    deq = (natural * q).reshape(8, 8)
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _DCT.T @ deq.astype(np.float64) @ _DCT
+                    )
+            ch_, cw_ = -(-h_ * vi // vm_), -(-w_ * hi // hm_)
+            plane = plane[:ch_, :cw_]
+            if (hi, vi) != (hm_, vm_):
+                plane = np.repeat(
+                    np.repeat(plane, vm_ // vi, axis=0), hm_ // hi, axis=1
+                )
+            planes.append(plane[:h_, :w_])
         if differential and ref_arr is not None:
+            # differential residuals are coded componentwise in the
+            # OUTPUT space — no color transform (J.1.5)
+            stack = np.stack(planes, axis=-1)
             lvl = np.clip(
-                np.round(ref_arr[:, :, 0].astype(np.float64) + plane), 0, top
+                np.round(ref_arr.astype(np.float64) + stack), 0, top
             )
+        elif len(planes) == 3:
+            # non-differential color base frame: the standard YCbCr
+            # reconstruction, bit-identical to _reconstruct_jpeg
+            y = planes[0] + half
+            cb = planes[1] + half
+            cr = planes[2] + half
+            r = y + 1.402 * (cr - half)
+            g = y - 0.344136 * (cb - half) - 0.714136 * (cr - half)
+            b = y + 1.772 * (cb - half)
+            lvl = np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, top)
         else:
-            lvl = np.clip(np.round(plane + (1 << (precision - 1))), 0, top)
-        prev_recon = lvl.astype(np.int64)[:, :, None]
+            lvl = np.clip(np.round(planes[0] + half), 0, top)[:, :, None]
+        prev_recon = lvl.astype(np.int64)
 
     while pos < len(content):
         if content[pos] != 0xFF:
@@ -1695,11 +1718,11 @@ def _decode_jpeg(content: bytes) -> dict:
             # arithmetic), or — inside a hierarchical stream — the
             # differential twins (SOF5 sequential DCT, SOF7 / SOF15
             # lossless)
-            if hier is not None and marker in (0xC2, 0xC9, 0xCA):
-                raise NotImplementedError(
-                    "hierarchical progressive/arithmetic DCT frames "
-                    "are not supported"
-                )
+            # round 8: non-differential progressive/arithmetic DCT
+            # frames (0xC2/0xC9/0xCA) are legal hierarchy BASE frames —
+            # their scans accumulate into coef like anywhere else and
+            # the fold reconstructs them with _reconstruct_jpeg's exact
+            # arithmetic.
             if marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF) and hier is None:
                 raise ValueError("differential frame outside hierarchy")
             if hier is not None:
@@ -1709,10 +1732,6 @@ def _decode_jpeg(content: bytes) -> dict:
             lossless = marker in (0xC3, 0xC7, 0xCB, 0xCF)
             differential = marker in (0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF)
             precision, h, w, nf = struct.unpack_from(">BHHB", body, 0)
-            if hier is not None and not lossless and nf != 1:
-                raise NotImplementedError(
-                    "hierarchical DCT frames: grayscale only"
-                )
             if lossless:
                 if not 2 <= precision <= 16:
                     raise ValueError("lossless JPEG precision out of range")
@@ -1764,6 +1783,13 @@ def _decode_jpeg(content: bytes) -> dict:
             ]
             if hier is not None:
                 samples = None  # this frame is DCT, not lossless
+                if differential and nf > 1 and (hmax, vmax) != (1, 1):
+                    # residuals are componentwise in the output space;
+                    # a subsampled residual has no exact expansion
+                    raise NotImplementedError(
+                        "hierarchical differential DCT frames "
+                        "must be unsubsampled"
+                    )
                 if differential:
                     if prev_recon is None:
                         raise ValueError("SOF5 with no reference frame")
@@ -6207,6 +6233,8 @@ def synth_flac_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _pixels_to_jpeg_hierarchical_dct(
     arr: np.ndarray, levels: int = 3, quality: int = 85,
     progressive: bool = False, entropy: str = "huffman",
+    subsampling: str = "444", base_progressive: bool = False,
+    base_entropy: str = "huffman",
 ) -> bytes:
     """Hierarchical DCT progression with a LOSSLESS finish (T.81
     Annex J's flagship use): a lossy baseline (SOF0) frame at the
@@ -6215,14 +6243,19 @@ def _pixels_to_jpeg_hierarchical_dct(
     reference) with no level shift and no DC prediction, and a final
     same-size differential LOSSLESS (SOF7) frame that corrects the
     lossy reconstruction to the exact source — so the decode is
-    bit-exact despite the DCT stages (grayscale, 8-bit). The encoder
+    bit-exact despite the DCT stages (8-bit; grayscale OR — round 8 —
+    unsubsampled RGB, where the lossy base frame is the ordinary YCbCr
+    baseline encode and every differential frame codes componentwise
+    residuals in the OUTPUT color space, no transform). The encoder
     mirrors the decoder's reconstruction arithmetic at every stage to
     compute the next difference."""
-    if arr.ndim == 3:
-        arr = arr[:, :, 0]
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
     if arr.dtype != np.uint8:
-        raise NotImplementedError("hierarchical DCT encoder: 8-bit gray")
-    h, w = arr.shape
+        raise NotImplementedError("hierarchical DCT encoder: 8-bit samples")
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("hierarchical DCT encoder: 1 or 3 channels")
     if levels < 2:
         raise ValueError("a hierarchy needs at least 2 levels")
     pyr = [arr.astype(np.int64)]
@@ -6233,11 +6266,18 @@ def _pixels_to_jpeg_hierarchical_dct(
     def seg(marker: int, b: bytes) -> bytes:
         return struct.pack(">HH", marker, len(b) + 2) + b
 
+    comps_b = b"".join(struct.pack("BBB", c + 1, 0x11, 0) for c in range(nc))
     out = bytearray(b"\xff\xd8")
-    out += seg(0xFFDE, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFDE, struct.pack(">BHHB", 8, h, w, nc) + comps_b)
 
     # base frame: the plain sequential encoder's output minus SOI/EOI
-    base = _pixels_to_jpeg(pyr[0].astype(np.uint8)[:, :, None], quality, "444")
+    # (color bases may be chroma-subsampled — the decoder's fold
+    # replicates chroma up exactly like _reconstruct_jpeg; residual
+    # frames are always full-resolution 1x1)
+    base = _pixels_to_jpeg(
+        pyr[0].astype(np.uint8), quality, subsampling if nc == 3 else "444",
+        progressive=base_progressive, entropy=base_entropy,
+    )
     out += base[2:-2]
     recon = np.frombuffer(
         _decode_jpeg(base)["payload"], dtype=np.uint8
@@ -6247,12 +6287,12 @@ def _pixels_to_jpeg_hierarchical_dct(
     dc_codes = _huff_codes(*_HUFF_DC_12)  # categories up to 15
     ac_codes = _huff_codes(*_HUFF_AC_12)
     for lvl in pyr[1:]:
-        lh, lw = lvl.shape
+        lh, lw = lvl.shape[:2]
         out += seg(0xFFDF, bytes([0x11]))  # EXP 2x both directions
-        ref = _jpeg_expand(recon[:, :, None], 1, 1, lh, lw)[:, :, 0]
+        ref = _jpeg_expand(recon, 1, 1, lh, lw)
         d = (lvl - ref).astype(np.float64)
         ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
-        d = np.pad(d, ((0, ph - lh), (0, pw - lw)))
+        d = np.pad(d, ((0, ph - lh), (0, pw - lw), (0, 0)))
         out += seg(
             0xFFDB, bytes([0]) + bytes(qt[_ZIGZAG].astype(np.uint8))
         )
@@ -6265,24 +6305,37 @@ def _pixels_to_jpeg_hierarchical_dct(
         else:
             sofm_dct = 0xFFC6 if progressive else 0xFFC5
         out += seg(
-            sofm_dct, struct.pack(">BHHB", 8, lh, lw, 1) + bytes([1, 0x11, 0])
+            sofm_dct, struct.pack(">BHHB", 8, lh, lw, nc) + comps_b
         )
-        rec_plane = np.zeros((ph, pw), dtype=np.float64)
-        store = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
-        for by in range(ph // 8):
-            for bx in range(pw // 8):
-                block = d[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coeffs = _DCT @ block @ _DCT.T  # NO level shift
-                quant = np.round(coeffs / qt.reshape(8, 8)).astype(np.int64)
-                store[by, bx] = quant.reshape(64)[_ZIGZAG]
-                rec_plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT.T @ (quant * qt.reshape(8, 8)).astype(np.float64)
-                    @ _DCT
-                )
+        stores = []
+        rec_planes = []
+        for c in range(nc):
+            rec_plane = np.zeros((ph, pw), dtype=np.float64)
+            store = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
+            for by in range(ph // 8):
+                for bx in range(pw // 8):
+                    block = d[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
+                    coeffs = _DCT @ block @ _DCT.T  # NO level shift
+                    quant = np.round(
+                        coeffs / qt.reshape(8, 8)
+                    ).astype(np.int64)
+                    store[by, bx] = quant.reshape(64)[_ZIGZAG]
+                    rec_plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _DCT.T
+                        @ (quant * qt.reshape(8, 8)).astype(np.float64)
+                        @ _DCT
+                    )
+            stores.append(store)
+            rec_planes.append(rec_plane)
+
         def _sosb(members, ss2, se2, ah2, al2):
             b = bytes([len(members)])
             for ci in members:
-                b += bytes([ci + 1, 0x00])
+                # arith statistics areas follow the coder's tid rule
+                # (component 0 -> area 0, chroma -> area 1); the
+                # Huffman path defines table 0 only
+                tbl = 0x11 if (entropy == "arith" and ci > 0) else 0x00
+                b += bytes([ci + 1, tbl])
             return b + bytes([ss2, se2, (ah2 << 4) | al2])
 
         def _rst(scan, writer, rst):
@@ -6292,39 +6345,51 @@ def _pixels_to_jpeg_hierarchical_dct(
 
         if entropy == "arith":
             for sosb, data in _arith_scans(
-                [store], [(1, 1)], ph // 8, pw // 8, 0, progressive,
+                stores, [(1, 1)] * nc, ph // 8, pw // 8, 0, progressive,
                 _sosb, lh, lw, 1, 1, differential=True,
             ):
                 out += seg(0xFFDA, sosb)
                 out += data
         elif progressive:
             for sosb, data in _progressive_scans(
-                [store], [(1, 1)], [(dc_codes, ac_codes)],
+                stores, [(1, 1)] * nc, [(dc_codes, ac_codes)] * nc,
                 ph // 8, pw // 8, 0, _sosb, _rst, lh, lw, 1, 1,
                 differential=True,
             ):
                 out += seg(0xFFDA, sosb)
                 out += data
         else:
-            out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+            out += seg(
+                0xFFDA,
+                bytes([nc])
+                + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+                + bytes([0, 63, 0]),
+            )
             writer = _BitWriter()
             for by in range(ph // 8):
                 for bx in range(pw // 8):
-                    _encode_component_block(
-                        writer, store[by, bx], 0, dc_codes, ac_codes
-                    )
+                    for c in range(nc):  # interleaved MCU order
+                        _encode_component_block(
+                            writer, stores[c][by, bx], 0, dc_codes, ac_codes
+                        )
             out += writer.flush()
         # mirror the decoder's rounding exactly (round the SUM)
+        rec = np.stack([rp[:lh, :lw] for rp in rec_planes], axis=-1)
         recon = np.clip(
-            np.round(ref.astype(np.float64) + rec_plane[:lh, :lw]), 0, 255
+            np.round(ref.astype(np.float64) + rec), 0, 255
         ).astype(np.int64)
 
     # final lossless correction frame (same size, no EXP)
-    d16 = ((pyr[-1] - recon) & 0xFFFF)[:, :, None]
+    d16 = (pyr[-1] - recon) & 0xFFFF
     bits, vals = _HUFF_LL
     out += seg(0xFFC4, b"\x00" + bytes(bits) + bytes(vals))
-    out += seg(0xFFC7, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 0, 0]))
+    out += seg(0xFFC7, struct.pack(">BHHB", 8, h, w, nc) + comps_b)
+    out += seg(
+        0xFFDA,
+        bytes([nc])
+        + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+        + bytes([0, 0, 0]),
+    )
     out += _ll_entropy_scan(d16)
     out += b"\xff\xd9"
     return bytes(out)
@@ -6333,13 +6398,16 @@ def _pixels_to_jpeg_hierarchical_dct(
 def synth_jpeg_hier_dct_table(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:
-    """Hierarchical-DCT synthesis (q431): grayscale lossy SOF0 base +
+    """Hierarchical-DCT synthesis (q431): lossy SOF0 base +
     a differential-DCT pyramid cycling ALL FOUR differential DCT frame
     kinds by doc_id%4 — sequential/progressive Huffman (SOF5/SOF6) and
     sequential/progressive ARITHMETIC (SOF13/SOF14) — finished by a
     lossless SOF7 correction frame: decode is bit-exact, so the
     payload md5 is the tiled md5 hex itself. Levels cycle doc_id%3+2,
-    quality cycles {50,75,92}."""
+    quality cycles {50,75,92}. Round 8: doc_id%5>=3 lanes are RGB
+    (color base frame — 4:2:0 chroma-subsampled on the even ids —
+    with componentwise full-resolution residual frames); the rest stay
+    grayscale."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -6349,13 +6417,14 @@ def synth_jpeg_hier_dct_table(
                 did = int(doc_id)
                 w_ = did % 11 + 6
                 h = did % 5 + 4
+                color = did % 5 >= 3
                 hx = hashlib.md5(
                     (text or "").encode("utf-8")
                 ).hexdigest().encode("ascii")
-                need = h * w_
+                need = h * w_ * (3 if color else 1)
                 arr = np.frombuffer(
                     (hx * (need // 32 + 1))[:need], dtype=np.uint8
-                ).reshape(h, w_)
+                ).reshape((h, w_, 3) if color else (h, w_))
                 rows.append(
                     {
                         "media_id": did,
@@ -6365,6 +6434,16 @@ def synth_jpeg_hier_dct_table(
                             quality={0: 50, 1: 75, 2: 92}[did % 3],
                             progressive=bool(did % 2),
                             entropy="arith" if did % 4 >= 2 else "huffman",
+                            subsampling="420"
+                            if color and did % 2 == 0
+                            else "444",
+                            # round 8: the base frame itself cycles
+                            # progressive (SOF2) and arithmetic
+                            # (SOF9/SOF10) non-differential kinds
+                            base_progressive=did % 7 in (1, 4),
+                            base_entropy="arith"
+                            if did % 7 >= 5
+                            else "huffman",
                         ),
                     }
                 )

@@ -9262,18 +9262,20 @@ ORDER BY month
 
 
 # q431: the lossless finish makes the hierarchical-DCT decode
-# bit-exact — grayscale payload = the tiled md5 hex itself.
+# bit-exact — payload = the tiled md5 hex itself (x3 bytes on the
+# round-8 RGB lanes, doc_id%5>=3).
 ORACLE_SQL["q431_jpeg_hier_dct_decode"] = """
 WITH t AS (
   SELECT doc_id, md5(text) AS hx,
          CAST(doc_id % 11 + 6 AS INTEGER) AS w,
-         CAST(doc_id % 5 + 4 AS INTEGER) AS h
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h,
+         CAST(CASE WHEN doc_id % 5 >= 3 THEN 3 ELSE 1 END AS INTEGER) AS nc
   FROM documents WHERE doc_id < 200
 )
 SELECT doc_id AS media_id, w AS width, h AS height,
-  CAST(w * h AS BIGINT) AS payload_bytes,
-  md5(substring(repeat(hx, CAST(h * w / 32 AS INTEGER) + 1),
-                1, h * w)) AS payload_md5
+  CAST(w * h * nc AS BIGINT) AS payload_bytes,
+  md5(substring(repeat(hx, CAST(h * w * nc / 32 AS INTEGER) + 1),
+                1, h * w * nc)) AS payload_md5
 FROM t ORDER BY media_id
 """
 

@@ -2217,8 +2217,9 @@ def test_jpeg_hier_dct_sof5_stage_improves_on_base():
 
 
 def test_jpeg_hier_dct_stream_errors():
-    """SOF5 outside a hierarchy is a stream error; color hierarchical
-    DCT is the documented boundary; SOF13/14 still refuse."""
+    """SOF5 outside a hierarchy is a stream error; subsampled
+    DIFFERENTIAL color frames are the remaining documented boundary
+    (color hierarchical DCT itself is SUPPORTED since round 8)."""
     import struct as st
 
     import numpy as np
@@ -2238,16 +2239,21 @@ def test_jpeg_hier_dct_stream_errors():
             + seg(0xFFC5, st.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
             + b"\xff\xd9"
         )
-    # color (3-component) DCT frame inside a hierarchy: boundary
-    arr = np.zeros((8, 8), dtype=np.uint8)
-    enc = bytearray(_pixels_to_jpeg_hierarchical_dct(arr, levels=2))
-    i = enc.find(st.pack(">H", 0xFFC0))
-    assert i > 0
-    with _pt.raises(NotImplementedError, match="grayscale only"):
-        hacked = (
-            bytes(enc[: i + 9]) + b"\x03" + bytes(enc[i + 10 :])
-        )  # SOF0 Nf := 3 (header now inconsistent, but Nf is read first)
-        _decode_jpeg(hacked)
+    # color hierarchical DCT roundtrips since round 8
+    carr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    dec = _decode_jpeg(bytes(_pixels_to_jpeg_hierarchical_dct(carr, levels=2)))
+    assert dec["payload"] == carr.tobytes()
+    # ...but a SUBSAMPLED differential color frame stays a boundary:
+    # componentwise residuals have no exact expansion
+    with _pt.raises(NotImplementedError, match="unsubsampled"):
+        _decode_jpeg(
+            b"\xff\xd8"
+            + seg(0xFFDE, st.pack(">BHHB", 8, 8, 8, 3)
+                  + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+            + seg(0xFFC5, st.pack(">BHHB", 8, 8, 8, 3)
+                  + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+            + b"\xff\xd9"
+        )
     # SOF6 is supported inside a hierarchy since later in round 6;
     # outside one it is a stream error like SOF5/SOF7
     with _pt.raises(ValueError, match="differential frame outside"):
@@ -2283,10 +2289,11 @@ def test_jpeg_hier_dct_synth_decode_spark(spark):
     for row in docs.collect():
         did, text = row.doc_id, row.text
         w, h = did % 11 + 6, did % 5 + 4
+        nc = 3 if did % 5 >= 3 else 1  # round-8 RGB lanes
         hx = hashlib.md5(text.encode()).hexdigest().encode()
-        payload = (hx * (w * h // 32 + 1))[: w * h]
+        payload = (hx * (w * h * nc // 32 + 1))[: w * h * nc]
         r = got[did]
-        assert (r.width, r.height, r.payload_bytes) == (w, h, w * h)
+        assert (r.width, r.height, r.payload_bytes) == (w, h, w * h * nc)
         assert r.payload_md5 == hashlib.md5(payload).hexdigest()
 
 
@@ -3555,3 +3562,35 @@ def test_g3_family_goldens_and_eol_discipline():
 
     with pytest.raises(ValueError):
         _t4_g3_decode(b"\x00\x00", 8, 1, two_d=False)  # no EOL in 64 bits
+
+
+def test_jpeg_hier_dct_color_and_base_frame_matrix():
+    """Round 8: hierarchical DCT in COLOR (RGB residual frames over a
+    YCbCr — optionally 4:2:0 — lossy base) and progressive/arithmetic
+    BASE frames all stay bit-exact thanks to the lossless finish."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_hierarchical_dct,
+    )
+
+    rng = np.random.default_rng(8)
+    for trial in range(4):
+        h, w = int(rng.integers(4, 18)), int(rng.integers(4, 18))
+        for nc in (1, 3):
+            arr = rng.integers(0, 256, (h, w, nc), dtype=np.uint8).squeeze()
+            for kwargs in (
+                dict(progressive=True, entropy="arith"),
+                dict(subsampling="420"),
+                dict(base_progressive=True),
+                dict(base_entropy="arith"),
+                dict(base_progressive=True, base_entropy="arith",
+                     progressive=True, entropy="arith",
+                     subsampling="420"),
+            ):
+                buf = _pixels_to_jpeg_hierarchical_dct(
+                    arr, levels=2 + trial % 3, quality=75, **kwargs
+                )
+                dec = _decode_payload(buf)
+                assert dec["payload"] == arr.tobytes(), (trial, nc, kwargs)
