@@ -1747,11 +1747,24 @@ def _decode_jpeg(content: bytes) -> dict:
                     )
                 comps.append((cid, hi, vi, tq))
             if lossless:
-                if any(c[1] != 1 or c[2] != 1 for c in comps):
-                    raise NotImplementedError(
-                        "lossless JPEG with subsampled components"
-                    )
-                sof = (h, w, comps, 1, 1)
+                llhm = max(c[1] for c in comps)
+                llvm = max(c[2] for c in comps)
+                if (llhm, llvm) != (1, 1):
+                    # round 8: subsampled lossless frames decode (comp
+                    # grids per T.81 A.2, replicated up at the finish);
+                    # inside a hierarchy the residuals would need an
+                    # exact expansion that doesn't exist — still raise
+                    if hier is not None or differential:
+                        raise NotImplementedError(
+                            "subsampled lossless frames inside a "
+                            "hierarchy are not supported"
+                        )
+                    for _cid2, hi2, vi2, _tq2 in comps:
+                        if llhm % hi2 or llvm % vi2:
+                            raise NotImplementedError(
+                                "non-integer sampling ratio"
+                            )
+                sof = (h, w, comps, llhm, llvm)
                 if differential:
                     if prev_recon is None:
                         raise ValueError("SOF7 with no reference frame")
@@ -1857,8 +1870,22 @@ def _decode_jpeg(content: bytes) -> dict:
             "payload": payload,
         }
     if lossless:
-        h, w, comps, _hmax, _vmax = sof
-        arr = samples
+        h, w, comps, llhm, llvm = sof
+        if (llhm, llvm) != (1, 1):
+            # round 8: replicate each component grid up to (h, w) —
+            # the subsampled-lossless output convention (no transform,
+            # chroma repeats its decimated samples)
+            planes = []
+            for ci, (_cid, hi, vi, _tq) in enumerate(comps):
+                yc, xc = -(-h * vi // llvm), -(-w * hi // llhm)
+                p_ = samples[:yc, :xc, ci]
+                p_ = np.repeat(
+                    np.repeat(p_, llvm // vi, axis=0), llhm // hi, axis=1
+                )[:h, :w]
+                planes.append(p_)
+            arr = np.stack(planes, axis=-1)
+        else:
+            arr = samples
         if precision <= 8:
             payload = arr.astype(np.uint8).tobytes()
         else:
@@ -2312,6 +2339,117 @@ def _ll_predict(
     raise ValueError(f"invalid lossless predictor {psel}")
 
 
+def _ll_predict2d(
+    g: np.ndarray, r: int, x: int, psel: int, default: int
+) -> int:
+    """H.1.1 prediction on a component's own 2-D sample grid (the
+    subsampled-interleave path; no restart support there, so the
+    scan-start rules are purely positional)."""
+    if r == 0 and x == 0:
+        return default
+    if r == 0:
+        return int(g[0, x - 1])  # first line: Ra
+    if x == 0:
+        return int(g[r - 1, 0])  # first column: Rb
+    ra, rb, rc = int(g[r, x - 1]), int(g[r - 1, x]), int(g[r - 1, x - 1])
+    if psel == 1:
+        return ra
+    if psel == 2:
+        return rb
+    if psel == 3:
+        return rc
+    if psel == 4:
+        return ra + rb - rc
+    if psel == 5:
+        return ra + ((rb - rc) >> 1)
+    if psel == 6:
+        return rb + ((ra - rc) >> 1)
+    if psel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"invalid lossless predictor {psel}")
+
+
+def _decode_lossless_scan_sampled(
+    content: bytes,
+    pos: int,
+    size: int,
+    body: bytes,
+    sof,
+    samples: np.ndarray,
+    huff,
+    restart_interval: int,
+    precision: int,
+) -> int:
+    """Lossless scan decode for SUBSAMPLED frames (T.81 A.2): the MCU
+    carries hi x vi samples per member from each component's OWN grid
+    (yc = ceil(h*vi/vmax), xc = ceil(w*hi/hmax)), padded up to whole
+    MCUs (pad samples are coded but discarded). Prediction runs on the
+    component grid. Grids land top-left in `samples`; the frame finish
+    replicates them up to full resolution."""
+    h, w, comps, hmax, vmax = sof
+    ns = body[0]
+    members = []
+    for i in range(ns):
+        cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c[0] == cs)
+        members.append((ci, tdta >> 4))
+    psel = body[1 + 2 * ns]
+    pt = body[3 + 2 * ns] & 0x0F
+    default = 1 << (precision - pt - 1)
+    mask = (1 << 16) - 1
+    out_mask = (1 << precision) - 1
+    if restart_interval:
+        raise NotImplementedError(
+            "restart markers in subsampled lossless scans"
+        )
+
+    if ns > 1:
+        mcuy, mcux = -(-h // vmax), -(-w // hmax)
+        shapes = [(comps[ci][2], comps[ci][1]) for ci, _ in members]
+    else:
+        ci0 = members[0][0]
+        yc0 = -(-h * comps[ci0][2] // vmax)
+        xc0 = -(-w * comps[ci0][1] // hmax)
+        mcuy, mcux = yc0, xc0
+        shapes = [(1, 1)]
+    grids = [
+        np.zeros((mcuy * vi, mcux * hi), dtype=np.int64)
+        for (vi, hi) in shapes
+    ]
+
+    reader = _BitReader(content, pos + 2 + size)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for m, (ci, td) in enumerate(members):
+                vi, hi = shapes[m]
+                table = huff[(0, td)]
+                g = grids[m]
+                for by in range(vi):
+                    for bx in range(hi):
+                        cat = _huff_read(reader, table)
+                        if cat == 16:
+                            diff = 32768
+                        elif cat == 0:
+                            diff = 0
+                        else:
+                            diff = _extend(reader.bits(cat), cat)
+                        r_, x_ = my * vi + by, mx * hi + bx
+                        pred = _ll_predict2d(g, r_, x_, psel, default)
+                        g[r_, x_] = (pred + diff) & mask
+    for m, (ci, _td) in enumerate(members):
+        yc = -(-h * comps[ci][2] // vmax)
+        xc = -(-w * comps[ci][1] // hmax)
+        samples[:yc, :xc, ci] = (grids[m][:yc, :xc] << pt) & out_mask
+    # skip to the next marker (EOI or the next segment)
+    p = reader.pos
+    while p + 1 < len(content) and not (
+        content[p] == 0xFF and content[p + 1] not in (0x00,)
+        and not 0xD0 <= content[p + 1] <= 0xD7
+    ):
+        p += 1
+    return p
+
+
 def _decode_lossless_scan(
     content: bytes,
     pos: int,
@@ -2331,6 +2469,11 @@ def _decode_lossless_scan(
     differences against the expanded reference, stored raw for the
     caller to add."""
     h, w, comps, _hm, _vm = sof
+    if (_hm, _vm) != (1, 1):  # round 8: subsampled frames (T.81 A.2)
+        return _decode_lossless_scan_sampled(
+            content, pos, size, body, sof, samples, huff,
+            restart_interval, precision,
+        )
     ns = body[0]
     members = []
     for i in range(ns):
@@ -2418,6 +2561,7 @@ def _pixels_to_jpeg_lossless(
     pt: int = 0,
     precision: int | None = None,
     restart_interval: int = 0,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """GENUINE lossless-JPEG (SOF3) encoder for (h, w) or (h, w, c)
     integer arrays: per-component DPCM with the selected predictor,
@@ -2442,6 +2586,11 @@ def _pixels_to_jpeg_lossless(
     default = 1 << (precision - pt - 1)
     mask = (1 << 16) - 1
     codes = _huff_codes(*_HUFF_LL)
+    if sampling is not None and any(s != (1, 1) for s in sampling):
+        return _pixels_to_jpeg_lossless_sampled(
+            arr, predictor, pt, precision, restart_interval, sampling,
+            default, mask, codes,
+        )
     writer = _BitWriter()
     scan = bytearray()
     shifted = (arr.astype(np.int64) >> pt)
@@ -2506,6 +2655,93 @@ def _pixels_to_jpeg_lossless(
     ) + bytes([predictor, 0, pt])
     out += seg(0xFFDA, sos)
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _pixels_to_jpeg_lossless_sampled(
+    arr: np.ndarray,
+    predictor: int,
+    pt: int,
+    precision: int,
+    restart_interval: int,
+    sampling: list[tuple[int, int]],
+    default: int,
+    mask: int,
+    codes,
+) -> bytes:
+    """SUBSAMPLED lossless SOF3 (round 8; T.81 A.2 interleave): each
+    component is decimated top-left to its own grid (yc = ceil(h*vi/
+    vmax), xc = ceil(w*hi/hmax)), edge-replicated up to whole MCUs,
+    and coded MCU-interleaved (hi x vi samples per component per MCU)
+    with H.1.1 prediction running on the component grid. The decoder
+    replicates grids back up to (h, w), so the roundtrip contract is
+    payload[y, x, c] = source[y - y % (vmax/vi), x - x % (hmax/hi), c]
+    — exact, and SQL-expressible for the q401 oracle."""
+    h, w, nc = arr.shape
+    if len(sampling) != nc:
+        raise ValueError("sampling needs one (hi, vi) per component")
+    if restart_interval:
+        raise NotImplementedError(
+            "restart markers in subsampled lossless scans"
+        )
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    for hi, vi in sampling:
+        if hmax % hi or vmax % vi:
+            raise ValueError("non-integer sampling ratio")
+    shifted = arr.astype(np.int64) >> pt
+    mcuy, mcux = -(-h // vmax), -(-w // hmax)
+    grids = []
+    for c, (hi, vi) in enumerate(sampling):
+        plane = shifted[:: vmax // vi, :: hmax // hi, c]
+        yc, xc = plane.shape
+        g = np.zeros((mcuy * vi, mcux * hi), dtype=np.int64)
+        g[:yc, :xc] = plane
+        if xc < g.shape[1]:  # edge-replicate the MCU padding
+            g[:yc, xc:] = g[:yc, xc - 1 : xc]
+        if yc < g.shape[0]:
+            g[yc:, :] = g[yc - 1 : yc, :]
+        grids.append(g)
+
+    writer = _BitWriter()
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (hi, vi) in enumerate(sampling):
+                g = grids[c]
+                for by in range(vi):
+                    for bx in range(hi):
+                        r_, x_ = my * vi + by, mx * hi + bx
+                        pred = _ll_predict2d(g, r_, x_, predictor, default)
+                        d = (int(g[r_, x_]) - pred) & mask
+                        if d == 32768:
+                            code, ln = codes[16]
+                            writer.write(code, ln)
+                        else:
+                            sd = d - 65536 if d > 32768 else d
+                            cat = abs(sd).bit_length()
+                            code, ln = codes[cat]
+                            writer.write(code, ln)
+                            if cat:
+                                amp = sd if sd >= 0 else sd + (1 << cat) - 1
+                                writer.write(amp, cat)
+
+    def seg(marker: int, b: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(b) + 2) + b
+
+    out = bytearray(b"\xff\xd8")
+    comps = b"".join(
+        struct.pack("BBB", c + 1, (hi << 4) | vi, 0)
+        for c, (hi, vi) in enumerate(sampling)
+    )
+    out += seg(0xFFC3, struct.pack(">BHHB", precision, h, w, nc) + comps)
+    bits, vals = _HUFF_LL
+    out += seg(0xFFC4, b"\x00" + bytes(bits) + bytes(vals))
+    sos = bytes([nc]) + b"".join(
+        bytes([c + 1, 0x00]) for c in range(nc)
+    ) + bytes([predictor, 0, pt])
+    out += seg(0xFFDA, sos)
+    out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -3466,7 +3702,11 @@ def synth_jpeg_lossless_table(
     the text and whose predictor sweeps doc_id % 7 + 1 — so decode
     must reproduce EVERY pixel bit-exactly (q401 oracles the md5 of
     the full decoded payload, not just geometry: lossless means the
-    whole image is SQL-recomputable)."""
+    whole image is SQL-recomputable). Round 8: doc_id%9==4 lanes are
+    4:2:0-subsampled and doc_id%9==8 lanes 4:2:2 (T.81 A.2 interleave;
+    chroma decimates top-left and the decode replicates it back, so
+    the payload stays an exact index-arithmetic function of the
+    tile)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -3474,8 +3714,9 @@ def synth_jpeg_lossless_table(
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
-                w = int(doc_id) % 11 + 6
-                h = int(doc_id) % 5 + 4
+                did = int(doc_id)
+                w = did % 11 + 6
+                h = did % 5 + 4
                 hx = hashlib.md5(
                     (text or "").encode("utf-8")
                 ).hexdigest().encode("ascii")
@@ -3483,11 +3724,19 @@ def synth_jpeg_lossless_table(
                 arr = np.tile(
                     np.frombuffer(hx, dtype=np.uint8), need // 32 + 1
                 )[:need].reshape(h, w, 3)
+                if did % 9 == 4:
+                    sampling = [(2, 2), (1, 1), (1, 1)]  # 4:2:0
+                elif did % 9 == 8:
+                    sampling = [(2, 1), (1, 1), (1, 1)]  # 4:2:2
+                else:
+                    sampling = None
                 rows.append(
                     {
-                        "media_id": int(doc_id),
+                        "media_id": did,
                         "content": _pixels_to_jpeg_lossless(
-                            arr, predictor=int(doc_id) % 7 + 1
+                            arr,
+                            predictor=did % 7 + 1,
+                            sampling=sampling,
                         ),
                     }
                 )
@@ -5292,6 +5541,10 @@ def _decode_lossless_arith_scan(
     markers re-prime the coder and reset statistics, prediction, and
     the difference history (mirroring the Huffman convention)."""
     h, w, comps, _hm, _vm = sof
+    if (_hm, _vm) != (1, 1):
+        raise NotImplementedError(
+            "subsampled arithmetic lossless scans are not supported"
+        )
     ns = body[0]
     members = []
     for i in range(ns):

@@ -7468,17 +7468,39 @@ FROM documents
 ORDER BY doc_id
 """
 
+# q401: full-resolution lanes decode to the tile verbatim; the round-8
+# subsampled lanes (doc_id%9 in (4, 8)) replicate top-left-decimated
+# chroma, so payload[y,x,c>0] = tile[((y - y%sy)*w + x - x%sx)*3 + c].
 ORACLE_SQL["q401_jpeg_lossless_decode"] = """
 WITH t AS (
   SELECT doc_id, md5(text) AS hx,
          CAST(doc_id % 11 + 6 AS INTEGER) AS w,
-         CAST(doc_id % 5 + 4 AS INTEGER) AS h
+         CAST(doc_id % 5 + 4 AS INTEGER) AS h,
+         CAST(CASE WHEN doc_id % 9 IN (4, 8) THEN 2 ELSE 1 END
+              AS INTEGER) AS sx,
+         CAST(CASE WHEN doc_id % 9 = 4 THEN 2 ELSE 1 END AS INTEGER) AS sy
   FROM documents WHERE doc_id < 150
+), px AS (
+  SELECT doc_id, w, h, sx, sy,
+         substring(repeat(hx, CAST(h * w * 3 / 32 AS INTEGER) + 1),
+                   1, h * w * 3) AS tile
+  FROM t
+), pay AS (
+  SELECT doc_id, w, h,
+    CASE WHEN sx = 1 AND sy = 1 THEN tile
+    ELSE array_to_string(list_transform(range(0, w * h * 3), i ->
+      substring(tile,
+        CASE WHEN i % 3 = 0 THEN CAST(i + 1 AS INTEGER)
+        ELSE CAST(((i // (3 * w)) - ((i // (3 * w)) % sy)) * 3 * w
+                  + (((i % (3 * w)) // 3)
+                     - (((i % (3 * w)) // 3) % sx)) * 3
+                  + (i % 3) + 1 AS INTEGER) END, 1)), '')
+    END AS payload
+  FROM px
 )
 SELECT doc_id AS media_id, w AS width, h AS height,
-  md5(substring(repeat(hx, CAST(h * w * 3 / 32 AS INTEGER) + 1),
-                1, h * w * 3)) AS pixel_md5
-FROM t ORDER BY media_id
+  md5(payload) AS pixel_md5
+FROM pay ORDER BY media_id
 """
 
 ORACLE_SQL["q402_deterministic_shuffle"] = """

@@ -3594,3 +3594,50 @@ def test_jpeg_hier_dct_color_and_base_frame_matrix():
                 )
                 dec = _decode_payload(buf)
                 assert dec["payload"] == arr.tobytes(), (trial, nc, kwargs)
+
+
+def test_jpeg_lossless_subsampled_roundtrips():
+    """Round 8: T.81 A.2 subsampled lossless interleave — per-component
+    grids, MCU order, edge-replicated padding. The roundtrip contract:
+    payload[y, x, c] = source[y - y % (vmax/vi), x - x % (hmax/hi), c]
+    (exact; chroma decimates top-left, decode replicates)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(41)
+    for trial in range(6):
+        h, w = int(rng.integers(3, 20)), int(rng.integers(3, 20))
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        for samp, pred, pt in (
+            ([(2, 2), (1, 1), (1, 1)], 1, 0),   # 4:2:0
+            ([(2, 1), (1, 1), (1, 1)], 7, 0),   # 4:2:2
+            ([(1, 2), (1, 1), (1, 1)], 5, 1),   # vertical-only + Pt
+            ([(4, 4), (2, 2), (1, 1)], 4, 0),   # mixed ratios
+        ):
+            hmax = max(s[0] for s in samp)
+            vmax = max(s[1] for s in samp)
+            buf = _pixels_to_jpeg_lossless(
+                arr, predictor=pred, pt=pt, sampling=samp
+            )
+            dec = _decode_payload(buf)
+            exp = np.zeros((h, w, 3), dtype=np.uint8)
+            for c, (hi, vi) in enumerate(samp):
+                sy, sx = vmax // vi, hmax // hi
+                pl = (arr[:, :, c].astype(np.int64) >> pt) << pt
+                pl = pl[::sy, ::sx]
+                pl = np.repeat(np.repeat(pl, sy, 0), sx, 1)[:h, :w]
+                exp[:, :, c] = pl.astype(np.uint8)
+            assert dec["payload"] == exp.tobytes(), (trial, samp, pred, pt)
+    # boundaries stay honest
+    import pytest as _pt
+
+    with _pt.raises(NotImplementedError, match="restart"):
+        _pixels_to_jpeg_lossless(
+            np.zeros((4, 4, 3), np.uint8),
+            sampling=[(2, 2), (1, 1), (1, 1)],
+            restart_interval=2,
+        )
