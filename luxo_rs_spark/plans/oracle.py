@@ -10239,3 +10239,43 @@ SELECT CAST(1 AS INT) AS from_v, CAST(3 AS INT) AS to_v, change_type,
        CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM ch GROUP BY change_type ORDER BY from_v, change_type
 """
+
+
+# q464: the bloom is a pure function of each file's value set — a file
+# passes iff every needle probe bit (3 md5 draws mod 4096) appears
+# among the file's value bits; the oracle replays that rule exactly.
+ORACLE_SQL["q464_snaptable_bloom_skipping"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 512 AS b
+  FROM orders WHERE o_orderkey < 4096
+), needle AS (
+  SELECT min(c) AS nc FROM base
+), nbits AS (
+  SELECT DISTINCT
+    CAST(('0x' || substring(md5(CAST(nc AS VARCHAR) || ':'
+         || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS bit
+  FROM needle, (SELECT unnest(range(3)) AS j) js
+), fbits AS (
+  SELECT DISTINCT b,
+    CAST(('0x' || substring(md5(CAST(c AS VARCHAR) || ':'
+         || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 4096 AS bit
+  FROM base, (SELECT unnest(range(3)) AS j) js
+), fpass AS (
+  SELECT f.b
+  FROM fbits f JOIN nbits n ON f.bit = n.bit
+  GROUP BY f.b
+  HAVING count(DISTINCT f.bit) = (SELECT count(*) FROM nbits)
+), frows AS (
+  SELECT b, count(*) AS n FROM base GROUP BY b
+)
+SELECT
+  CAST((SELECT count(*) FROM frows) AS INT) AS files_total,
+  CAST((SELECT count(*) FROM fpass) AS INT) AS files_scanned,
+  CAST((SELECT coalesce(sum(n), 0) FROM frows
+        WHERE b NOT IN (SELECT b FROM fpass)) AS BIGINT) AS rows_skipped,
+  CAST((SELECT count(*) FROM base, needle WHERE c = nc) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(cents) FROM base, needle WHERE c = nc)
+       AS BIGINT) AS sum_cents
+"""

@@ -17324,3 +17324,54 @@ def q463_snaptable_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(grouped(3, 4))  # compaction diff nets to zero rows
         .orderBy("from_v", "change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q464 — snapshot table BLOOM file skipping (round 8): equality lookups
+# on a column the file layout is NOT clustered by (min/max is useless
+# there — every file's custkey range covers the needle). The manifest
+# carries a per-file Bloom filter (m=4096, k=3 md5 probes) built during
+# the stats commit; scan_point() reads only files whose bloom contains
+# ALL the needle's probe bits. The bloom is a deterministic function of
+# each file's value set, so the ORACLE REPLAYS THE PRUNING DECISION
+# ITSELF — including any false positives — in SQL, alongside the
+# matched rows' exact aggregate (full oracle).
+# ---------------------------------------------------------------------------
+@query("q464_snaptable_bloom_skipping")
+def q464_snaptable_bloom_skipping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q464"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4096)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("o_orderkey div 512").alias("b"),
+        )
+    )
+    t = SnapTable(spark, root)
+    t.create(base, stat_cols=["k"], bucket_col="b", bloom_cols=["c"])
+    needle = base.agg(F.min("c")).first()[0]
+    matched, info = t.scan_point("c", needle)
+    return matched.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    ).select(
+        F.lit(info["files_total"]).cast("int").alias("files_total"),
+        F.lit(info["files_scanned"]).cast("int").alias("files_scanned"),
+        F.lit(info["rows_skipped"]).cast("bigint").alias("rows_skipped"),
+        "n_rows",
+        "sum_cents",
+    )

@@ -70,11 +70,31 @@ _FOOTER_SCHEMA = T.StructType(
 )
 
 
-def _footer_stats_batches(stat_cols):
+#: Bloom geometry: m bits, k md5-derived probes. Deterministic and
+#: engine-agnostic (the q464 oracle replays membership in SQL).
+_BLOOM_BITS = 4096
+_BLOOM_K = 3
+
+
+def _bloom_positions(value, m: int = _BLOOM_BITS, k: int = _BLOOM_K):
+    """The k probe bit positions of ``value``: independent md5 draws
+    over 'value:j' — the exact rule the SQL oracle replays."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{value}:{j}".encode()).hexdigest()[:8], 16) % m
+        for j in range(k)
+    ]
+
+
+def _footer_stats_batches(stat_cols, bloom_cols=()):
     """mapInPandas worker: read parquet FOOTER metadata (no row groups
     are decoded) and emit per-file rows/bytes + min/max/null-count for
     ``stat_cols``. This is the manifest-building job Iceberg runs as a
-    distributed append commit — O(files), not O(rows)."""
+    distributed append commit — O(files), not O(rows). When
+    ``bloom_cols`` is non-empty the pass ALSO reads those columns and
+    builds a per-file Bloom filter (the one data read a stats commit
+    pays — the same cost class as Parquet's own bloom writing)."""
 
     def gen(batches):
         import pandas as pd
@@ -105,6 +125,19 @@ def _footer_stats_batches(stat_cols):
                         "min": _json_safe(mn),
                         "max": _json_safe(mx),
                         "nulls": nulls,
+                    }
+                for col in bloom_cols:
+                    if col not in schema_names:
+                        continue
+                    tbl = pq.read_table(path, columns=[col])
+                    bits: set[int] = set()
+                    for v in tbl.column(col).to_pylist():
+                        if v is not None:
+                            bits.update(_bloom_positions(v))
+                    stats[f"bloom:{col}"] = {
+                        "m": _BLOOM_BITS,
+                        "k": _BLOOM_K,
+                        "bits": sorted(bits),
                     }
                 out.append(
                     {
@@ -202,6 +235,33 @@ class SnapTable:
         df = self._read_files(m, [e["path"] for e in keep])
         return df.filter(F.col(col).between(lo, hi)), info
 
+    def scan_point(self, col: str, value, version: int | None = None):
+        """Point lookup with per-file BLOOM pruning (the Iceberg/Delta
+        bloom-skipping path for equality predicates on columns the file
+        layout is NOT clustered by, where min/max is useless): a file
+        is read only if ALL k probe bits of the needle are set in its
+        manifest bloom. False positives are possible (and deterministic
+        — the q464 oracle replays them); false negatives are not.
+        Returns (DataFrame filtered to ``col == value``, info)."""
+        m = self.manifest(version)
+        probes = set(_bloom_positions(value))
+        keep, skipped_rows = [], 0
+        for e in m["files"]:
+            bl = e["stats"].get(f"bloom:{col}")
+            if bl is None:  # no bloom recorded -> must scan
+                keep.append(e)
+            elif probes.issubset(set(bl["bits"])):
+                keep.append(e)
+            else:
+                skipped_rows += e["rows"]
+        info = {
+            "files_total": len(m["files"]),
+            "files_scanned": len(keep),
+            "rows_skipped": skipped_rows,
+        }
+        df = self._read_files(m, [e["path"] for e in keep])
+        return df.filter(F.col(col) == value), info
+
     def _read_files(self, m: dict, paths: list[str]) -> DataFrame:
         schema = T.StructType.fromDDL(m["schema"])
         if not paths:
@@ -212,7 +272,8 @@ class SnapTable:
     # -- writes --------------------------------------------------------------
 
     def create(self, df: DataFrame, stat_cols: list[str],
-               bucket_col: str | None = None) -> int:
+               bucket_col: str | None = None,
+               bloom_cols: list[str] | None = None) -> int:
         """First snapshot. ``bucket_col`` (an integer column) fixes the
         file layout: one data file per distinct bucket value, giving
         deterministic, stats-tight files (the clustered layout a range
@@ -222,7 +283,8 @@ class SnapTable:
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         return self._commit_new_files(
-            df, stat_cols, bucket_col, op="create", carry=[]
+            df, stat_cols, bucket_col, op="create", carry=[],
+            bloom_cols=tuple(bloom_cols or ()),
         )
 
     def append(self, df: DataFrame, bucket_col: str | None = None) -> int:
@@ -230,7 +292,8 @@ class SnapTable:
         lost commit race (the rebase is trivial: appends commute)."""
         m = self.manifest()
         return self._commit_new_files(
-            df, m["stat_cols"], bucket_col, op="append", carry=m["files"]
+            df, m["stat_cols"], bucket_col, op="append", carry=m["files"],
+            bloom_cols=tuple(m.get("bloom_cols", ())),
         )
 
     def delete_where(self, col: str, lo, hi) -> int:
@@ -262,6 +325,7 @@ class SnapTable:
             op="delete",
             carry=carry,
             n_out=len(rewrite),
+            bloom_cols=tuple(m.get("bloom_cols", ())),
         )
 
     def merge(self, source: DataFrame, key_col: str) -> int:
@@ -299,6 +363,7 @@ class SnapTable:
         return self._commit_new_files(
             out, m["stat_cols"], bucket_col=None, op="merge", carry=carry,
             n_out=max(1, len(cand)),
+            bloom_cols=tuple(m.get("bloom_cols", ())),
         )
 
     def changes(self, v_from: int, v_to: int) -> DataFrame:
@@ -333,8 +398,40 @@ class SnapTable:
         df = self.read()
         return self._commit_new_files(
             df, m["stat_cols"], bucket_col=None, op="compact", carry=[],
-            n_out=n_out,
+            n_out=n_out, bloom_cols=tuple(m.get("bloom_cols", ())),
         )
+
+    def vacuum(self, retain_versions: int = 1) -> dict:
+        """Garbage-collect: keep the newest ``retain_versions``
+        manifests, delete every data file referenced ONLY by older
+        ones, then drop those manifests. Time travel shrinks to the
+        retained window — the standard retention trade (Delta VACUUM /
+        Iceberg expire_snapshots). Readers of retained versions are
+        unaffected because their file lists are untouched."""
+        vs = self.versions()
+        if retain_versions < 1:
+            raise ValueError("must retain at least the latest version")
+        keep_vs = vs[-retain_versions:]
+        keep_files = set()
+        for v in keep_vs:
+            keep_files.update(e["path"] for e in self.manifest(v)["files"])
+        removed_files = 0
+        for fn in sorted(os.listdir(self.data_dir)):
+            rel = os.path.join(_DATA_DIR, fn)
+            full = os.path.join(self.data_dir, fn)
+            if fn.endswith(".parquet") and rel not in keep_files:
+                os.remove(full)
+                removed_files += 1
+        removed_manifests = 0
+        for v in vs:
+            if v not in keep_vs:
+                os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
+                removed_manifests += 1
+        return {
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests,
+            "retained_versions": keep_vs,
+        }
 
     # -- commit machinery ----------------------------------------------------
 
@@ -346,6 +443,7 @@ class SnapTable:
         op: str,
         carry: list[dict],
         n_out: int | None = None,
+        bloom_cols: tuple = (),
     ) -> int:
         """Stage data files, collect footer stats distributively, then
         run the optimistic commit loop."""
@@ -383,7 +481,7 @@ class SnapTable:
                     staged.append(os.path.join(root_dir, fn))
         staged.sort()
 
-        stats_rows = self._collect_stats(staged, stat_cols)
+        stats_rows = self._collect_stats(staged, stat_cols, bloom_cols)
 
         # Writer-unique token in data file names (pid + per-process seq):
         # two RACING writers must never address the same path — the
@@ -418,6 +516,7 @@ class SnapTable:
                 "operation": op,
                 "schema": schema_ddl,
                 "stat_cols": stat_cols,
+                "bloom_cols": list(bloom_cols),
                 "files": carry + entries,
             }
             if self._try_write_manifest(version, manifest):
@@ -440,6 +539,7 @@ class SnapTable:
                 "operation": op,
                 "schema": self.manifest()["schema"],
                 "stat_cols": stat_cols,
+                "bloom_cols": list(self.manifest().get("bloom_cols", [])),
                 "files": carry + entries,
             }
             if self._try_write_manifest(version, manifest):
@@ -471,7 +571,9 @@ class SnapTable:
             f"{f.name} {f.dataType.simpleString()}" for f in merged
         )
 
-    def _collect_stats(self, paths: list[str], stat_cols: list[str]):
+    def _collect_stats(
+        self, paths: list[str], stat_cols: list[str], bloom_cols: tuple = ()
+    ):
         """Distributed footer pass (see `_footer_stats_batches`)."""
         if not paths:
             return []
@@ -480,7 +582,9 @@ class SnapTable:
         )
         rows = (
             pdf.repartition(min(len(paths), 32))
-            .mapInPandas(_footer_stats_batches(stat_cols), _FOOTER_SCHEMA)
+            .mapInPandas(
+                _footer_stats_batches(stat_cols, bloom_cols), _FOOTER_SCHEMA
+            )
             .collect()  # bounded: one row PER FILE (metadata plane)
         )
         by_path = {r["path"]: r.asDict() for r in rows}

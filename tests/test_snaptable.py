@@ -170,7 +170,8 @@ def test_manifest_is_timestamp_free_and_deterministic(spark, root):
     raw = open(os.path.join(root, "_snapshots", "v00000001.json")).read()
     m = json.loads(raw)
     assert set(m) == {
-        "version", "parent", "operation", "schema", "stat_cols", "files",
+        "version", "parent", "operation", "schema", "stat_cols",
+        "bloom_cols", "files",
     }
     # rebuilding the same table yields the identical manifest up to the
     # writer-unique file tokens (stats, rows, bytes, schema all equal)
@@ -302,3 +303,68 @@ def test_changes_across_compaction_nets_to_zero(spark, root):
     t.create(_mk(spark, "t", range(300)), stat_cols=["k"], bucket_col="b")
     t.compact(n_out=1)
     assert t.changes(1, 2).count() == 0
+
+
+def test_bloom_point_lookup_prunes_unclustered_column(spark, root):
+    """min/max is useless for a column the layout isn't clustered by;
+    the manifest bloom prunes those files for equality lookups, and
+    false negatives are impossible."""
+    t = SnapTable(spark, root)
+    # s = f"s{k % 7}": every bucket holds all 7 values of s — but a
+    # needle OUTSIDE the drawn set is provably absent everywhere, and
+    # a synthetic column with per-bucket locality prunes hard.
+    df = _mk(spark, "t", range(500)).withColumn(
+        "tag", F.concat(F.lit("tag-"), F.expr("k div 100"))
+    )
+    t.create(df, stat_cols=["k"], bucket_col="b", bloom_cols=["tag"])
+    m = t.manifest()
+    assert all(f"bloom:tag" in e["stats"] for e in m["files"])
+    got, info = t.scan_point("tag", "tag-2")
+    assert info["files_total"] == 5
+    # 'tag-2' lives only in bucket 2; blooms of the other four files
+    # may false-positive but never false-negative
+    assert 1 <= info["files_scanned"] <= 2
+    assert len(got.inputFiles()) == info["files_scanned"]
+    assert got.count() == 100
+    # absent needle: every file may be bloom-skipped
+    got2, info2 = t.scan_point("tag", "tag-99")
+    assert got2.count() == 0
+    assert info2["files_scanned"] <= 1  # at most an FP file
+
+
+def test_bloom_survives_append_and_merge(spark, root):
+    t = SnapTable(spark, root)
+    df = _mk(spark, "t", range(200)).withColumn(
+        "tag", F.concat(F.lit("tag-"), F.expr("k div 100"))
+    )
+    t.create(df, stat_cols=["k"], bucket_col="b", bloom_cols=["tag"])
+    extra = _mk(spark, "t", range(200, 300)).withColumn(
+        "tag", F.lit("tag-app")
+    )
+    t.append(extra, bucket_col="b")
+    assert all(
+        "bloom:tag" in e["stats"] for e in t.manifest()["files"]
+    )
+    got, info = t.scan_point("tag", "tag-app")
+    assert got.count() == 100 and info["files_scanned"] >= 1
+
+
+def test_vacuum_drops_unreferenced_files_and_old_versions(spark, root):
+    import glob
+
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(300)), stat_cols=["k"], bucket_col="b")
+    t.append(_mk(spark, "t", range(300, 400)), bucket_col="b")
+    t.compact(n_out=1)
+    files_before = len(glob.glob(os.path.join(root, "data", "*.parquet")))
+    assert files_before > 1
+    res = t.vacuum(retain_versions=1)
+    assert res["removed_manifests"] == 2
+    assert res["removed_files"] == files_before - len(
+        t.manifest()["files"]
+    )
+    # latest version reads fine; vacuumed history is gone
+    assert t.read().count() == 400
+    assert t.versions() == [3]
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)
