@@ -1,0 +1,224 @@
+"""SnapTable as a Spark DataSource ("snaptable" format): the snapshot
+table format (sources/snaptable.py) plugged into Spark's own reader
+protocols via the Spark 4 ``pyspark.sql.datasource`` API — so a user
+can say ``spark.read.format("snaptable").load(root)`` or
+``spark.readStream.format("snaptable")`` instead of going through the
+SnapTable class.
+
+Three integration points:
+
+- **Batch**: one InputPartition per manifest data file; rows are read
+  executor-side with pyarrow. Time travel via ``.option("version", N)``.
+- **Filter pushdown** (opt-in ``.option("pushdown", "true")``, same
+  convention as synthdocs — defining pushFilters forces
+  ``spark.sql.python.filterPushdown.enabled``): range/equality
+  predicates on stat columns prune FILE PARTITIONS against the
+  manifest min/max before Spark schedules them — manifest-level data
+  skipping expressed through Spark's own pushdown protocol. Filters
+  are also returned unhandled so Spark re-applies them row-level
+  (pruning is an optimization, never a semantics change).
+- **Streaming**: a micro-batch tail of the table where the OFFSET IS
+  THE SNAPSHOT VERSION — each batch emits the rows of files ADDED
+  between the committed version and the current latest (the Delta
+  streaming-source shape; rewrite outputs surface like Delta's
+  ignoreChanges). Offsets replay deterministically because manifests
+  are retained. The Simple reader reads driver-side (fine at
+  micro-batch granularity; the partition-parallel variant would ship
+  one file per InputPartition exactly like the batch reader).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+_SNAP_DIR = "_snapshots"
+
+
+def _versions(root: str) -> list[int]:
+    snap = os.path.join(root, _SNAP_DIR)
+    if not os.path.isdir(snap):
+        return []
+    return sorted(
+        int(f[1:9])
+        for f in os.listdir(snap)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _manifest(root: str, version: int | None = None) -> dict:
+    vs = _versions(root)
+    v = version or (vs[-1] if vs else 0)
+    if v == 0:
+        raise FileNotFoundError(f"snaptable {root}: no snapshots")
+    with open(os.path.join(root, _SNAP_DIR, f"v{v:08d}.json")) as f:
+        return json.load(f)
+
+
+def _file_rows(root: str, rel_path: str, field_names: list[str]):
+    """Read one data file (pyarrow, executor- or driver-side) and yield
+    tuples aligned to the table schema — absent columns (older files
+    under add-column evolution) fill with None."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(root, rel_path))
+    cols = {}
+    n = tbl.num_rows
+    for name in field_names:
+        if name in tbl.column_names:
+            cols[name] = tbl.column(name).to_pylist()
+        else:
+            cols[name] = [None] * n
+    for i in range(n):
+        yield tuple(cols[name][i] for name in field_names)
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, rel_path: str):
+        self.rel_path = rel_path
+
+
+class _SnapTableReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.root = options["path"]
+        self.version = (
+            int(options["version"]) if options.get("version") else None
+        )
+        self.field_names = [f.name for f in schema.fields]
+        self.manifest = _manifest(self.root, self.version)
+
+    def partitions(self):
+        return [
+            _FilePartition(e["path"]) for e in self.manifest["files"]
+        ] or [_FilePartition("")]
+
+    def read(self, partition: _FilePartition):
+        if not partition.rel_path:
+            return iter(())
+        return _file_rows(self.root, partition.rel_path, self.field_names)
+
+
+class _SnapTablePushdownReader(_SnapTableReader):
+    """Manifest data skipping through Spark's pushFilters protocol:
+    stat-column constraints drop file partitions before scheduling."""
+
+    def pushFilters(self, filters):
+        bounds: dict[str, list] = {}  # col -> [lo, hi]
+        for f in filters:
+            if isinstance(
+                f, (EqualTo, GreaterThan, GreaterThanOrEqual,
+                    LessThan, LessThanOrEqual)
+            ) and len(f.attribute) == 1 and isinstance(
+                f.value, (int, str)
+            ):
+                col = f.attribute[0]
+                b = bounds.setdefault(col, [None, None])
+                if isinstance(f, EqualTo):
+                    b[0] = f.value if b[0] is None else max(b[0], f.value)
+                    b[1] = f.value if b[1] is None else min(b[1], f.value)
+                elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                    b[0] = f.value if b[0] is None else max(b[0], f.value)
+                else:
+                    b[1] = f.value if b[1] is None else min(b[1], f.value)
+            yield f  # always re-applied by Spark: pruning only
+
+        keep = []
+        for e in self.manifest["files"]:
+            ok = True
+            for col, (lo, hi) in bounds.items():
+                st = e["stats"].get(col)
+                if st is None or st["min"] is None:
+                    continue  # no stats: cannot prune
+                if (hi is not None and st["min"] > hi) or (
+                    lo is not None and st["max"] < lo
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append(e)
+        self.manifest = dict(self.manifest, files=keep)
+
+
+class _SnapTableStreamReader(SimpleDataSourceStreamReader):
+    """Tail the table: offset = snapshot version; a batch is the rows
+    of files ADDED between two versions."""
+
+    def __init__(self, options, schema: StructType):
+        self.root = options["path"]
+        self.field_names = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"v": 0}
+
+    def _added_rows(self, v_from: int, v_to: int):
+        if v_to <= v_from:
+            return iter(())
+        old = (
+            {e["path"] for e in _manifest(self.root, v_from)["files"]}
+            if v_from > 0
+            else set()
+        )
+        new = _manifest(self.root, v_to)["files"]
+        rows = []  # materialized: Spark copy.copy()s the iterator,
+        # so it must be list-backed (same as the synthdocs reader)
+        for e in new:
+            if e["path"] not in old:
+                rows.extend(
+                    _file_rows(self.root, e["path"], self.field_names)
+                )
+        return iter(rows)
+
+    def read(self, start):
+        vs = _versions(self.root)
+        cur = vs[-1] if vs else 0
+        return self._added_rows(start["v"], cur), {"v": cur}
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay: manifests are retained, so the same
+        # version pair always yields the same added-file rows
+        return self._added_rows(start["v"], end["v"])
+
+
+class SnapTableDataSource(DataSource):
+    """spark.read.format("snaptable").load(root)
+    [.option("version", N)] [.option("pushdown", "true")];
+    spark.readStream.format("snaptable").load(root)"""
+
+    @classmethod
+    def name(cls):
+        return "snaptable"
+
+    def schema(self):
+        m = _manifest(
+            self.options["path"],
+            int(self.options["version"])
+            if self.options.get("version")
+            else None,
+        )
+        return m["schema"]
+
+    def reader(self, schema):
+        if str(self.options.get("pushdown", "")).lower() == "true":
+            return _SnapTablePushdownReader(self.options, schema)
+        return _SnapTableReader(self.options, schema)
+
+    def simpleStreamReader(self, schema):
+        return _SnapTableStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotently register the snaptable source on a session."""
+    spark.dataSource.register(SnapTableDataSource)

@@ -368,3 +368,90 @@ def test_vacuum_drops_unreferenced_files_and_old_versions(spark, root):
     assert t.versions() == [3]
     with pytest.raises(FileNotFoundError):
         t.manifest(1)
+
+
+def test_snaptable_datasource_batch_and_time_travel(spark, root):
+    from luxo_rs_spark.sources.snapsource import register
+
+    register(spark)
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(200)), stat_cols=["k"], bucket_col="b")
+    t.append(_mk(spark, "t", range(200, 260)), bucket_col="b")
+    df = spark.read.format("snaptable").load(root)
+    assert df.count() == 260
+    assert df.orderBy("k").collect() == t.read().orderBy("k").collect()
+    v1 = spark.read.format("snaptable").option("version", 1).load(root)
+    assert v1.count() == 200
+
+
+def test_snaptable_datasource_pushdown_prunes_partitions(spark, root):
+    from luxo_rs_spark.sources.snapsource import register
+
+    register(spark)
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(500)), stat_cols=["k"], bucket_col="b")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        df = (
+            spark.read.format("snaptable")
+            .option("pushdown", "true")
+            .load(root)
+            .filter("k >= 120 and k <= 260")
+        )
+        rows = df.collect()
+        assert len(rows) == 141
+        assert {r["k"] for r in rows} == set(range(120, 261))
+        # the pruned plan runs 2 of 5 file partitions (buckets 1, 2)
+        n_parts = df.rdd.getNumPartitions()
+        assert n_parts == 2
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+
+def test_snaptable_datasource_streaming_tails_versions(spark, root):
+    """The streaming face: offset = snapshot version; each append
+    becomes a micro-batch; restart-resume from the checkpoint."""
+    import tempfile
+
+    from luxo_rs_spark.sources.snapsource import register
+
+    register(spark)
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+
+    out = tempfile.mkdtemp(prefix="snapsrc_out_")
+    ckpt = tempfile.mkdtemp(prefix="snapsrc_ck_")
+    try:
+        def run_once():
+            q = (
+                spark.readStream.format("snaptable")
+                .load(root)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for _ in range(4):
+            run_once()
+            if spark.read.parquet(out).count() >= 100:
+                break
+        assert spark.read.parquet(out).count() == 100
+        # appends become the next micro-batches after restart
+        t.append(_mk(spark, "t", range(100, 150)), bucket_col="b")
+        t.append(_mk(spark, "t", range(150, 170)), bucket_col="b")
+        for _ in range(4):
+            run_once()
+            if spark.read.parquet(out).count() >= 170:
+                break
+        got = spark.read.parquet(out).orderBy("k").collect()
+        want = t.read().orderBy("k").collect()
+        assert got == want
+    finally:
+        import shutil as _sh
+
+        _sh.rmtree(out, ignore_errors=True)
+        _sh.rmtree(ckpt, ignore_errors=True)
