@@ -10279,3 +10279,44 @@ SELECT
   CAST((SELECT sum(cents) FROM base, needle WHERE c = nc)
        AS BIGINT) AS sum_cents
 """
+
+
+# q465: the q460 winnow replayed, then the fingerprint self-join.
+ORACLE_SQL["q465_winnowing_neardup_join"] = """
+WITH d AS (
+  SELECT doc_id, text FROM documents WHERE length(text) >= 19
+), kg0 AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 7)) AS i
+  FROM d
+), kg AS (
+  SELECT doc_id, i - 1 AS pos,
+         CAST(('0x' || substring(md5(substring(text, CAST(i AS INT), 8)),
+                                 1, 15)) AS BIGINT) AS h
+  FROM kg0
+), win AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos >= 11 THEN
+           min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+         END AS fp
+  FROM kg
+), fps AS (
+  SELECT DISTINCT doc_id, fp FROM win WHERE fp IS NOT NULL
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING count(*) >= 3
+)
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       da.n_fp AS n_fp_a, db.n_fp AS n_fp_b
+FROM pairs p
+JOIN per_doc da ON da.doc_id = p.doc_a
+JOIN per_doc db ON db.doc_id = p.doc_b
+WHERE 2 * p.n_shared >= least(da.n_fp, db.n_fp)
+ORDER BY p.doc_a, p.doc_b
+"""

@@ -17375,3 +17375,82 @@ def q464_snaptable_bloom_skipping(
         "n_rows",
         "sum_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Q465 — winnowing near-dup join (the MOSS application of q460's
+# fingerprints; round 8): documents sharing >= 3 selected fingerprints
+# are near-duplicate candidates — the guarantee makes every shared
+# substring of length >= w+k-1 (19 chars) produce at least one shared
+# fingerprint, so plagiarized/boilerplate spans CANNOT hide. Distinct
+# (doc, fp) pairs equi-join on fp (random 60-bit keys — no hot
+# buckets), pair aggregation, per-doc count join, then a >=50%
+# containment gate on the smaller document (raw co-occurrence counts
+# are quadratic on boilerplate-heavy corpora — 42k of 125k possible
+# pairs at sf0.01 share >=3 fps — so the gate, applied right after the
+# map-side-combinable pair count, is what keeps the OUTPUT near-linear;
+# for sub-quadratic CANDIDATE generation at 100 TB the corpus-dedup
+# path remains MinHash/SimHash banding q32/q33, with winnowing as the
+# exact-substring-evidence verifier). All exact integer algebra, full
+# SQL oracle.
+# ---------------------------------------------------------------------------
+@query("q465_winnowing_neardup_join")
+def q465_winnowing_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    k, w = 8, 12
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= k + w - 1)
+        .select("doc_id", "text")
+    )
+    kgram_hashes = F.expr(
+        f"transform(sequence(1, length(text) - {k} + 1),"
+        f" i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15),"
+        f" 16, 10) as bigint))"
+    )
+    kg = docs.select("doc_id", F.posexplode(kgram_hashes).alias("pos", "h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    fps = (
+        kg.select(
+            "doc_id",
+            F.when(F.col("pos") >= w - 1, F.min("h").over(win)).alias("fp"),
+        )
+        .filter(F.col("fp").isNotNull())
+        .distinct()
+    )
+    per_doc = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    )
+    pairs = (
+        fps.alias("a")
+        .join(fps.alias("b"), on="fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    return (
+        pairs.join(
+            per_doc.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "n_fp", "n_fp_a"
+            ),
+            on="doc_a",
+        )
+        .join(
+            per_doc.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "n_fp", "n_fp_b"
+            ),
+            on="doc_b",
+        )
+        # containment gate: >= half the smaller document's fingerprints
+        # are shared — raw co-occurrence is quadratic on boilerplate-
+        # heavy corpora, containment keeps the result near-linear
+        .filter(
+            2 * F.col("n_shared") >= F.least(F.col("n_fp_a"), F.col("n_fp_b"))
+        )
+        .select("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -118,3 +118,28 @@ def test_ams_estimate_within_theory(spark):
     assert r["n_estimators"] == 16
     assert r["err_x16"] == abs(r["sum_sq_est"] - 16 * r["exact_f2"])
     assert r["err_x16"] < 8 * r["exact_f2"]  # estimate within 50% of F2
+
+
+def test_winnowing_neardup_join_matches_reference_pairs(spark):
+    """The q465 pair set equals a sequential-reference recompute:
+    winnow every doc, intersect fingerprint sets, apply the >=3 shared
+    + >=50% containment gate."""
+    docs = load_table(spark, SF_DIR, "documents").collect()
+    fps = {
+        r["doc_id"]: _ref_winnow(r["text"])[1]
+        for r in docs
+        if r["text"] is not None and len(r["text"]) >= K + W - 1
+    }
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = len(fps[a] & fps[b])
+            if shared >= 3 and 2 * shared >= min(len(fps[a]), len(fps[b])):
+                want[(a, b)] = (shared, len(fps[a]), len(fps[b]))
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_fp_a"], r["n_fp_b"])
+        for r in QUERIES["q465_winnowing_neardup_join"](spark, SF_DIR).collect()
+    }
+    assert want, "fixture should contain near-duplicate texts"
+    assert got == want
