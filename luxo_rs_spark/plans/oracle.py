@@ -10301,8 +10301,13 @@ WITH d AS (
                         ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
          END AS fp
   FROM kg
-), fps AS (
+), fps0 AS (
   SELECT DISTINCT doc_id, fp FROM win WHERE fp IS NOT NULL
+), df AS (
+  SELECT fp FROM (SELECT fp, count(*) AS n FROM fps0 GROUP BY fp)
+  WHERE n <= 32
+), fps AS (
+  SELECT f.doc_id, f.fp FROM fps0 f JOIN df USING (fp)
 ), per_doc AS (
   SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM fps GROUP BY doc_id
 ), pairs AS (

@@ -17411,7 +17411,7 @@ def q465_winnowing_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kg = docs.select("doc_id", F.posexplode(kgram_hashes).alias("pos", "h"))
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    fps = (
+    fps0 = (
         kg.select(
             "doc_id",
             F.when(F.col("pos") >= w - 1, F.min("h").over(win)).alias("fp"),
@@ -17419,6 +17419,17 @@ def q465_winnowing_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("fp").isNotNull())
         .distinct()
     )
+    # stop-fingerprint cut (document frequency <= 32): corpus-wide
+    # boilerplate fingerprints are dropped BEFORE the pair join, which
+    # bounds per-fp fanout at C(32,2) pairs — candidates stay O(N)
+    # (the Lee et al. common-shingle cut, winnowing edition)
+    df_ok = (
+        fps0.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= 32)
+        .select("fp")
+    )
+    fps = fps0.join(df_ok, on="fp")
     per_doc = fps.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_fp")
     )

@@ -122,14 +122,19 @@ def test_ams_estimate_within_theory(spark):
 
 def test_winnowing_neardup_join_matches_reference_pairs(spark):
     """The q465 pair set equals a sequential-reference recompute:
-    winnow every doc, intersect fingerprint sets, apply the >=3 shared
-    + >=50% containment gate."""
+    winnow every doc, drop stop-fingerprints (df > 32), intersect
+    fingerprint sets, apply the >=3 shared + >=50% containment gate."""
     docs = load_table(spark, SF_DIR, "documents").collect()
     fps = {
         r["doc_id"]: _ref_winnow(r["text"])[1]
         for r in docs
         if r["text"] is not None and len(r["text"]) >= K + W - 1
     }
+    # the stop-fingerprint cut: drop fps in more than 32 documents
+    from collections import Counter
+
+    dfc = Counter(fp for s in fps.values() for fp in s)
+    fps = {d: {fp for fp in s if dfc[fp] <= 32} for d, s in fps.items()}
     want = {}
     ids = sorted(fps)
     for i, a in enumerate(ids):

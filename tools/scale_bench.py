@@ -187,6 +187,11 @@ def main() -> None:
         # shuffle; archives capped at 512 members regardless of scale)
         "q446_split_leakage_audit",
         "q444_zip_roundtrip",
+        # round-8 lane: winnowing near-dup join — candidate mass is the
+        # fp equi-join pair count AFTER the stop-fingerprint cut
+        # (df <= 32 bounds per-fp fanout at C(32,2), so candidates must
+        # stay ~linear) and BEFORE the containment gate
+        "q465_winnowing_neardup_join",
     ]
 
     def lane_query(name: str, sf_dir: str):
@@ -281,6 +286,47 @@ def main() -> None:
 
     def candidates(name: str, sf_dir: str) -> int | None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        if name == "q465_winnowing_neardup_join":
+            from pyspark.sql import Window
+
+            k, w = 8, 12
+            d = docs.filter(F.length("text") >= k + w - 1)
+            kgh = F.expr(
+                f"transform(sequence(1, length(text) - {k} + 1),"
+                f" i -> cast(conv(substring(md5(substring(text, i, {k})),"
+                f" 1, 15), 16, 10) as bigint))"
+            )
+            kgr = d.select(
+                "doc_id", F.posexplode(kgh).alias("pos", "h")
+            )
+            win = (
+                Window.partitionBy("doc_id")
+                .orderBy("pos")
+                .rowsBetween(-(w - 1), 0)
+            )
+            fps0 = (
+                kgr.select(
+                    "doc_id",
+                    F.when(
+                        F.col("pos") >= w - 1, F.min("h").over(win)
+                    ).alias("fp"),
+                )
+                .filter(F.col("fp").isNotNull())
+                .distinct()
+            )
+            ok = (
+                fps0.groupBy("fp")
+                .agg(F.count(F.lit(1)).alias("df"))
+                .filter(F.col("df") <= 32)
+                .select("fp")
+            )
+            fps = fps0.join(ok, on="fp")
+            return (
+                fps.alias("a")
+                .join(fps.alias("b"), on="fp")
+                .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                .count()
+            )
         cf = candidate_frame(name, sf_dir)
         if cf is not None:
             return cf.count()
