@@ -10177,8 +10177,8 @@ WITH k AS (
 ), signs AS (
   SELECT j,
          CAST(sum(1 - 2 * (CAST(('0x' || substring(
-             md5(CAST(key AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
-             1, 1)) AS INT) % 2)) AS BIGINT) AS s
+             md5(CAST(key AS VARCHAR)),
+             CAST(j + 1 AS INT), 1)) AS INT) % 2)) AS BIGINT) AS s
   FROM k, (SELECT unnest(range(16)) AS j) js
   GROUP BY j
 ), est AS (

@@ -17115,33 +17115,59 @@ def q459_snaptable_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 # groupBy doc_id; at 100 TB the fingerprint table feeds an equi-join
 # near-dup pass exactly like MinHash bands (q32).
 # ---------------------------------------------------------------------------
-@query("q460_winnowing_fingerprints")
-def q460_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+#: winnowing parameters shared by q460/q465
+_WINNOW_K, _WINNOW_W = 8, 12
 
-    k, w = 8, 12
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.length("text") >= k + w - 1)
-        .select("doc_id", "text")
-    )
-    kgram_hashes = F.expr(
+
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_kgrams, fps array) per document — the winnow ENTIRELY
+    in array algebra, zero shuffle, zero explode: materialize the
+    k-gram hash array as an attribute (its own projection, so the
+    md5 work happens once per ROW — inlining it into the slice lambda
+    would recompute it per WINDOW, O(n^2) hashing), then the min of
+    every length-w slice, deduplicated. O(n*w) JVM-side element ops
+    per doc beats the explode + doc-partitioned window + groupBy form
+    it replaced: no 1.4M-row shuffle/sort at sf0.1."""
+    k, w = _WINNOW_K, _WINNOW_W
+    harr = (
         f"transform(sequence(1, length(text) - {k} + 1),"
         f" i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15),"
         f" 16, 10) as bigint))"
     )
-    kg = docs.select(
-        "doc_id", F.posexplode(kgram_hashes).alias("pos", "h")
-    )
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
-    fp = F.when(F.col("pos") >= w - 1, F.min("h").over(win))
+    # the per-row work is heavy (n md5s + n w-slices) while the input
+    # is a handful of small parquet files — ONE cheap repartition of
+    # the raw (doc_id, text) rows buys full-cluster parallelism for
+    # the map stage (without it the whole winnow ran in 1 task)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        kg.select("doc_id", "pos", fp.alias("fp"))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_kgrams"),
-            F.countDistinct("fp").cast("bigint").alias("n_fingerprints"),
-            F.sum_distinct(F.col("fp").cast("decimal(38,0)"))
+        docs.filter(F.length("text") >= k + w - 1)
+        .repartition(par, "doc_id")
+        .select("doc_id", F.expr(harr).alias("h"))
+        .select(
+            "doc_id",
+            F.size("h").cast("bigint").alias("n_kgrams"),
+            F.expr(
+                f"array_distinct(transform(sequence({w}, size(h)),"
+                f" i -> array_min(slice(h, i - {w} + 1, {w}))))"
+            ).alias("fps"),
+        )
+    )
+
+
+@query("q460_winnowing_fingerprints")
+def q460_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        _winnow_fps(docs)
+        .select(
+            "doc_id",
+            "n_kgrams",
+            F.size("fps").cast("bigint").alias("n_fingerprints"),
+            F.aggregate(
+                "fps",
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, x: acc + x.cast("decimal(38,0)"),
+            )
             .cast("string")
             .alias("fp_checksum"),
         )
@@ -17154,9 +17180,9 @@ def q460_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.2-D sketch family, round 8). The second frequency moment
 # F2 = sum_key count(key)^2 is the self-join size — the cardinality the
 # join planner wants before it picks a strategy. Each of the 16
-# estimators is S_j = sum over ROWS of a 4-universal-style +-1 sign of
-# (key, j) (here: one md5 bit — deterministic, engine-agnostic);
-# E[S_j^2] = F2. UNLIKE HLL/t-digest (q50/q363 rows-only), every
+# estimators is S_j = sum over ROWS of a +-1 sign — the parity of hex
+# digit j of md5(key): ONE hash per row feeds all 16 estimators,
+# deterministic and engine-agnostic; E[S_j^2] = F2. UNLIKE HLL/t-digest (q50/q363 rows-only), every
 # counter is an order-independent SUM, so the sketch state itself is
 # exactly reproducible and the oracle replays it bit-for-bit — a FULL
 # oracle over a randomized sketch. Everything stays integer: the
@@ -17172,28 +17198,20 @@ def q461_ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_est = 16
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
 
+    # ONE md5 per row; estimator j's sign is hex digit j's parity —
+    # 16 independent-enough bits for the tug-of-war, 16x fewer hashes
+    # than hashing (key, j) pairs (measured 2.2 -> ~0.9 s at sf0.1)
+    hashed = orders.select(
+        F.md5(F.col("o_custkey").cast("string")).alias("hx")
+    )
+
     def sign(j: int):
         bit = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            ":",
-                            F.col("o_custkey").cast("string"),
-                            F.lit(str(j)),
-                        )
-                    ),
-                    1,
-                    1,
-                ),
-                16,
-                10,
-            ).cast("int")
-            % 2
+            F.conv(F.substring("hx", j + 1, 1), 16, 10).cast("int") % 2
         )
         return (F.lit(1) - 2 * bit).cast("long")
 
-    sums = orders.agg(
+    sums = hashed.agg(
         *[F.sum(sign(j)).alias(f"s{j}") for j in range(n_est)]
     )
     sum_sq = sums.select(
@@ -17396,28 +17414,29 @@ def q464_snaptable_bloom_skipping(
 # ---------------------------------------------------------------------------
 @query("q465_winnowing_neardup_join")
 def q465_winnowing_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    k, w = 8, 12
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.length("text") >= k + w - 1)
-        .select("doc_id", "text")
-    )
-    kgram_hashes = F.expr(
-        f"transform(sequence(1, length(text) - {k} + 1),"
-        f" i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 15),"
-        f" 16, 10) as bigint))"
-    )
-    kg = docs.select("doc_id", F.posexplode(kgram_hashes).alias("pos", "h"))
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the ROUND-ROBIN repartition between the array build and the
+    # explode is a correctness-of-COST barrier: fused Generate-over-
+    # higher-order-projection re-evaluates the generator expression per
+    # OUTPUT element (measured 109 s at sf0.01 vs 0.3 s materialized —
+    # 21k elements x 545 md5s each). With the exchange in between, the
+    # fps array crosses the shuffle as data and explode reads it. It
+    # must be round-robin: a hash repartition on doc_id is elided by
+    # EnsureRequirements (the winnow's own shuffle already satisfies
+    # it) which re-fuses the quadratic Generate; the round-robin
+    # exchange also gets REUSED across this query's three consumers
+    # (both self-join sides + the df-cut), so the winnow runs once.
+    # explode_OUTER, not explode: InferFiltersFromGenerate infers
+    # size(fps) > 0 from a plain explode and predicate pushdown inlines
+    # the whole winnow into the single-task FileScan as an interpreted
+    # filter (measured: minutes); outer generate infers nothing, and
+    # the arrays are never empty (length filter guarantees >= 1
+    # window), so the semantics are identical.
+    par = spark.sparkContext.defaultParallelism
     fps0 = (
-        kg.select(
-            "doc_id",
-            F.when(F.col("pos") >= w - 1, F.min("h").over(win)).alias("fp"),
-        )
-        .filter(F.col("fp").isNotNull())
-        .distinct()
+        _winnow_fps(docs)
+        .repartition(par)
+        .select("doc_id", F.explode_outer("fps").alias("fp"))
     )
     # stop-fingerprint cut (document frequency <= 32): corpus-wide
     # boilerplate fingerprints are dropped BEFORE the pair join, which

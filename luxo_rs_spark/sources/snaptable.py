@@ -453,16 +453,16 @@ class SnapTable:
             self.data_dir, f"_stage_{os.getpid()}_{id(df) & 0xFFFF:x}"
         )
         if bucket_col is not None:
-            # all rows of a bucket into one task -> exactly one file per
-            # bucket directory (deterministic layout, tight stats). A
+            # all rows of a bucket land in one task (hash on the bucket
+            # key) -> exactly one file per bucket directory, whatever
+            # the task count — no distinct-count pre-job needed. A
             # SHADOW of the bucket column drives partitionBy so the real
             # column survives inside the data files (partitionBy strips
             # its column into the directory name).
             shadow = "__snap_bucket__"
-            n_buckets = df.select(bucket_col).distinct().count()
             (
                 df.withColumn(shadow, F.col(bucket_col))
-                .repartition(max(1, n_buckets), shadow)
+                .repartition(32, shadow)
                 .write.mode("overwrite")
                 .partitionBy(shadow)
                 .parquet(stage)

@@ -82,28 +82,19 @@ def test_ams_sketch_is_partitioning_invariant(spark):
     orders = load_table(spark, SF_DIR, "orders").select("o_custkey")
 
     def sketch(df):
+        hashed = df.select(
+            F.md5(F.col("o_custkey").cast("string")).alias("hx")
+        )
+
         def sign(j):
             bit = (
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                ":",
-                                F.col("o_custkey").cast("string"),
-                                F.lit(str(j)),
-                            )
-                        ),
-                        1,
-                        1,
-                    ),
-                    16,
-                    10,
-                ).cast("int")
-                % 2
+                F.conv(F.substring("hx", j + 1, 1), 16, 10).cast("int") % 2
             )
             return (F.lit(1) - 2 * bit).cast("long")
 
-        row = df.agg(*[F.sum(sign(j)).alias(f"s{j}") for j in range(16)]).first()
+        row = hashed.agg(
+            *[F.sum(sign(j)).alias(f"s{j}") for j in range(16)]
+        ).first()
         return sum(row[f"s{j}"] ** 2 for j in range(16))
 
     assert sketch(orders.repartition(1)) == base["sum_sq_est"]

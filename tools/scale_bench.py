@@ -287,32 +287,13 @@ def main() -> None:
     def candidates(name: str, sf_dir: str) -> int | None:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         if name == "q465_winnowing_neardup_join":
-            from pyspark.sql import Window
+            from luxo_rs_spark.plans.queries import _winnow_fps
 
-            k, w = 8, 12
-            d = docs.filter(F.length("text") >= k + w - 1)
-            kgh = F.expr(
-                f"transform(sequence(1, length(text) - {k} + 1),"
-                f" i -> cast(conv(substring(md5(substring(text, i, {k})),"
-                f" 1, 15), 16, 10) as bigint))"
-            )
-            kgr = d.select(
-                "doc_id", F.posexplode(kgh).alias("pos", "h")
-            )
-            win = (
-                Window.partitionBy("doc_id")
-                .orderBy("pos")
-                .rowsBetween(-(w - 1), 0)
-            )
+            par = spark.sparkContext.defaultParallelism
             fps0 = (
-                kgr.select(
-                    "doc_id",
-                    F.when(
-                        F.col("pos") >= w - 1, F.min("h").over(win)
-                    ).alias("fp"),
-                )
-                .filter(F.col("fp").isNotNull())
-                .distinct()
+                _winnow_fps(docs.select("doc_id", "text"))
+                .repartition(par)  # round-robin barrier before explode
+                .select("doc_id", F.explode_outer("fps").alias("fp"))
             )
             ok = (
                 fps0.groupBy("fp")
