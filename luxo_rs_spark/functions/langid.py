@@ -65,6 +65,11 @@ def train_char_trigram_lid(
             F.round(F.log(F.col("c") + 1) * FP).cast("bigint"),
         )
     )
+    # the trained model is consumed by THREE plan branches (vocab
+    # count, denominators, and the scoring join) — checkpoint it once
+    # so training runs once instead of once per consumer (the q376
+    # lineage-truncation pattern; cost shows up as construction time)
+    model = model.localCheckpoint(eager=True)
     vocab = model.select("g").distinct().count()
     denoms = (
         model.groupBy("lang")
@@ -93,13 +98,25 @@ def score_char_trigram_lid(
         F.col(id_col),
         F.explode(char_trigrams(F.col(text_col))).alias("g"),
     )
-    n_tri = inst.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_trigrams")
-    )
-    # ONE join on the trigram key; langs with zero overlapping
-    # trigrams for a doc are restored by the doc x lang frame below
+    # the trigram COUNT needs no explode at all: it is
+    # max(char_length - 2, 0) — a scalar expression per doc (dropping
+    # the second evaluation of the 1.5M-row explode branch)
+    n_tri = docs.select(
+        F.col(id_col),
+        F.greatest(
+            F.char_length(F.coalesce(F.col(text_col), F.lit(""))) - 2,
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_trigrams"),
+    ).filter(F.col("n_trigrams") >= 1)
+    # ONE join on the trigram key — model BROADCAST explicitly (a few
+    # hundred k rows of (g, lang, long): well under executor memory,
+    # and a shuffle+sort of the 1.5M instance rows is the alternative);
+    # langs with zero overlapping trigrams for a doc are restored by
+    # the doc x lang frame below
     hits = (
-        inst.join(model.select("g", "lang", "logc_fp"), "g")
+        inst.join(F.broadcast(model.select("g", "lang", "logc_fp")), "g")
         .groupBy(id_col, "lang")
         .agg(F.sum("logc_fp").cast("bigint").alias("s"))
     )
