@@ -391,11 +391,22 @@ class SnapTable:
             )
         )
 
-    def compact(self, n_out: int) -> int:
+    def compact(self, n_out: int, sort_cols: list[str] | None = None) -> int:
         """Rewrite ALL current files into ``n_out`` files — logically
-        identical snapshot, small-file pathology gone."""
+        identical snapshot, small-file pathology gone. With
+        ``sort_cols`` this is OPTIMIZE: a range repartition + local
+        sort clusters the data so each file's min/max on those columns
+        is tight again, restoring `scan()`'s pruning power after
+        appends/merges scattered the key ranges (the Delta OPTIMIZE
+        ZORDER job for the single-dimension case; q124's z-order pairs
+        with this for multi-column)."""
         m = self.manifest()
         df = self.read()
+        if sort_cols:
+            df = df.repartitionByRange(
+                max(1, n_out), *sort_cols
+            ).sortWithinPartitions(*sort_cols)
+            n_out = None  # partitioning already fixed by the range split
         return self._commit_new_files(
             df, m["stat_cols"], bucket_col=None, op="compact", carry=[],
             n_out=n_out, bloom_cols=tuple(m.get("bloom_cols", ())),

@@ -455,3 +455,20 @@ def test_snaptable_datasource_streaming_tails_versions(spark, root):
 
         _sh.rmtree(out, ignore_errors=True)
         _sh.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sorted_compaction_restores_pruning(spark, root):
+    """OPTIMIZE: an unclustered layout (bucket = k % 5 puts the full
+    key range in every file) defeats min/max skipping; a sorted
+    compaction re-clusters and scan() prunes again."""
+    t = SnapTable(spark, root)
+    df = _mk(spark, "t", range(500)).withColumn("b", F.expr("k % 5"))
+    t.create(df, stat_cols=["k"], bucket_col="b")
+    _, info = t.scan("k", 100, 150)
+    assert info["files_scanned"] == info["files_total"] == 5  # no help
+    t.compact(n_out=5, sort_cols=["k"])
+    scanned, info2 = t.scan("k", 100, 150)
+    assert info2["files_total"] >= 2
+    assert info2["files_scanned"] < info2["files_total"]
+    assert scanned.count() == 51
+    assert t.read().count() == 500  # logically identical
