@@ -10325,3 +10325,35 @@ JOIN per_doc db ON db.doc_id = p.doc_b
 WHERE 2 * p.n_shared >= least(da.n_fp, db.n_fp)
 ORDER BY p.doc_a, p.doc_b
 """
+
+
+# q466: every number is a predicate over orders — v1 = the create
+# slice, deltas = the q463 CDC rows, v3 = v2 minus the delete range.
+ORACLE_SQL["q466_snaptable_incremental_agg"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 4096
+), v1 AS (
+  SELECT * FROM base WHERE k % 4 <> 3
+), v3 AS (
+  SELECT * FROM base WHERE k NOT BETWEEN 900 AND 1800
+), ins AS (
+  SELECT * FROM base WHERE k % 4 = 3 AND k NOT BETWEEN 900 AND 1800
+), del AS (
+  SELECT * FROM base WHERE k % 4 <> 3 AND k BETWEEN 900 AND 1800
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM v1) AS v1_rows,
+  (SELECT CAST(sum(cents) AS BIGINT) FROM v1) AS v1_cents,
+  (SELECT CAST(count(*) - (SELECT count(*) FROM del) AS BIGINT)
+   FROM ins) AS d_rows,
+  (SELECT CAST(coalesce(sum(cents), 0)
+          - (SELECT coalesce(sum(cents), 0) FROM del) AS BIGINT)
+   FROM ins) AS d_cents,
+  (SELECT CAST(count(*) AS BIGINT) FROM v3) AS incr_rows,
+  (SELECT CAST(sum(cents) AS BIGINT) FROM v3) AS incr_cents,
+  (SELECT CAST(count(*) AS BIGINT) FROM v3) AS v3_rows,
+  (SELECT CAST(sum(cents) AS BIGINT) FROM v3) AS v3_cents,
+  TRUE AS incremental_matches
+"""

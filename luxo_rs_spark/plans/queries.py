@@ -17484,3 +17484,83 @@ def q465_winnowing_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q466 — CDC-driven incremental aggregate maintenance (round 8): the
+# marriage of the snapshot table's row-level CDC (q463) and the
+# incremental-MV algebra (q441) — at 100 TB you never recompute a
+# materialized aggregate from scratch; you apply version-diff deltas:
+# agg(v_to) = agg(v_from) + sum(inserts) - sum(deletes), reading ONLY
+# the files that changed between versions (immutable common files
+# cancel unread). The query runs the q458 lifecycle, maintains
+# (n_rows, sum_cents) incrementally from changes(1 -> 3), recomputes
+# from scratch at v3, and emits both WITH the deltas — the oracle
+# replays every number from orders (full oracle; a mismatch between
+# the incremental and recomputed columns would also hash-mismatch).
+# ---------------------------------------------------------------------------
+@query("q466_snaptable_incremental_agg")
+def q466_snaptable_incremental_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q466"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4096)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("o_orderkey div 512").alias("b"),
+        )
+    )
+    t = SnapTable(spark, root)
+    t.create(base.filter(F.col("k") % 4 != 3), stat_cols=["k"], bucket_col="b")
+    t.append(base.filter(F.col("k") % 4 == 3), bucket_col="b")
+    t.delete_where("k", 900, 1800)
+
+    signed = t.changes(1, 3).select(
+        F.when(F.col("change_type") == "insert", 1)
+        .otherwise(-1)
+        .alias("sgn"),
+        "k",
+        "cents",
+    )
+    deltas = signed.agg(
+        F.sum("sgn").cast("bigint").alias("d_rows"),
+        F.sum(F.col("sgn") * F.col("cents")).cast("bigint").alias("d_cents"),
+    )
+    base_agg = t.read(1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("v1_rows"),
+        F.sum("cents").cast("bigint").alias("v1_cents"),
+    )
+    full_agg = t.read(3).agg(
+        F.count(F.lit(1)).cast("bigint").alias("v3_rows"),
+        F.sum("cents").cast("bigint").alias("v3_cents"),
+    )
+    return (
+        base_agg.crossJoin(F.broadcast(deltas))
+        .crossJoin(F.broadcast(full_agg))
+        .select(
+            "v1_rows",
+            "v1_cents",
+            "d_rows",
+            "d_cents",
+            (F.col("v1_rows") + F.col("d_rows")).alias("incr_rows"),
+            (F.col("v1_cents") + F.col("d_cents")).alias("incr_cents"),
+            "v3_rows",
+            "v3_cents",
+            (
+                (F.col("v1_rows") + F.col("d_rows") == F.col("v3_rows"))
+                & (F.col("v1_cents") + F.col("d_cents") == F.col("v3_cents"))
+            ).alias("incremental_matches"),
+        )
+    )

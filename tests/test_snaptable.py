@@ -472,3 +472,67 @@ def test_sorted_compaction_restores_pruning(spark, root):
     assert info2["files_scanned"] < info2["files_total"]
     assert scanned.count() == 51
     assert t.read().count() == 500  # logically identical
+
+
+def test_streaming_merge_equals_batch_merge(spark, root):
+    """CDC-apply twin: foreachBatch MERGEs each micro-batch of upserts;
+    the final table equals one batch merge of the union."""
+    import glob as _glob
+    import tempfile
+
+    t = SnapTable(spark, root)
+    base = _mk(spark, "t", range(200))
+    t.create(base, stat_cols=["k"], bucket_col="b")
+
+    # upsert stream: batch0 updates keys 50-99 (v += 1e6), batch1
+    # inserts keys 200-249
+    up0 = _mk(spark, "t", range(50, 100)).withColumn(
+        "v", F.col("v") + 1000000
+    )
+    up1 = _mk(spark, "t", range(200, 250))
+
+    src_dir = tempfile.mkdtemp(prefix="snap_merge_src_")
+    ckpt = tempfile.mkdtemp(prefix="snap_merge_ck_")
+    try:
+        for i, df in enumerate((up0, up1)):
+            staged = os.path.join(src_dir, f"_w{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(staged)
+            part = _glob.glob(os.path.join(staged, "*.parquet"))[0]
+            os.replace(part, os.path.join(src_dir, f"f{i}.parquet"))
+            shutil.rmtree(staged)
+
+        stream = (
+            spark.readStream.schema("k bigint, s string, v bigint, b bigint")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+
+        def sink(batch_df, batch_id):
+            if not batch_df.isEmpty():
+                t.merge(batch_df, "k")
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        # batch twin on a second table
+        other = os.path.join(ROOT, "t_batch")
+        shutil.rmtree(other, ignore_errors=True)
+        tb = SnapTable(spark, other)
+        tb.create(base, stat_cols=["k"], bucket_col="b")
+        tb.merge(up0.unionByName(up1), "k")
+        try:
+            got = t.read().orderBy("k").collect()
+            want = tb.read().orderBy("k").collect()
+            assert got == want
+            assert t.read().count() == 250
+            assert t.read().filter("k = 75").first()["v"] == 75 * 3 + 1000000
+        finally:
+            shutil.rmtree(other, ignore_errors=True)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
