@@ -17564,3 +17564,92 @@ def q466_snaptable_incremental_agg(
             ).alias("incremental_matches"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q467 — RAKE keyword extraction (Rose et al. 2010; §2.2-K text
+# analysis, round 8): the classic unsupervised keyword op a curation
+# pipeline runs to tag documents. Candidate phrases are maximal runs
+# of non-stopword tokens (gaps-and-islands over a running stop-flag
+# sum); word score = deg(w)/freq(w) with deg summing the lengths of
+# the phrases each instance sits in; phrase score sums its members'
+# word scores. The division is the ONE non-integer step, so it is
+# fixed-point floor division ((deg * 1e6) div freq — both engines
+# floor positive integers identically) and every other number is
+# exact BIGINT algebra: full SQL oracle, including the top-3-per-doc
+# ranking with its deterministic (score desc, phrase asc) tie-break.
+# Scale shape: token explode (map-side), three doc-keyed shuffles
+# (islands window, phrase agg, word agg) — no corpus-wide state.
+# ---------------------------------------------------------------------------
+@query("q467_rake_keywords")
+def q467_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from luxo_rs_spark.functions.text import STOPWORDS, words
+
+    stops = STOPWORDS["en"]
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", "text")
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "wraw")
+    ).select(
+        "doc_id",
+        "pos",
+        F.regexp_replace("wraw", "[^a-z0-9]", "").alias("w"),
+    )
+    flagged = tok.withColumn(
+        "stop", (F.col("w").isin(stops) | (F.col("w") == "")).cast("int")
+    ).withColumn(
+        "grp",
+        F.sum("stop").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    cand = flagged.filter(F.col("stop") == 0).select("doc_id", "grp", "pos", "w")
+    phrases = cand.groupBy("doc_id", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("plen"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda x: x["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+    )
+    wstat = (
+        cand.join(phrases.select("doc_id", "grp", "plen"), ["doc_id", "grp"])
+        .groupBy("doc_id", "w")
+        .agg(
+            F.sum("plen").cast("bigint").alias("deg"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+        )
+        .withColumn("wscore_fp", F.expr("(deg * 1000000) div freq"))
+    )
+    phrase_scores = (
+        cand.join(wstat.select("doc_id", "w", "wscore_fp"), ["doc_id", "w"])
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("wscore_fp").cast("bigint").alias("score_fp"))
+    )
+    uniq = (
+        phrases.join(phrase_scores, ["doc_id", "grp"])
+        .select("doc_id", "phrase", F.col("plen").alias("n_words"), "score_fp")
+        .distinct()
+    )
+    wr = Window.partitionBy("doc_id").orderBy(
+        F.col("score_fp").desc(), F.col("phrase").asc()
+    )
+    return (
+        uniq.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "phrase",
+            "n_words",
+            "score_fp",
+        )
+        .orderBy("doc_id", "rank")
+    )
