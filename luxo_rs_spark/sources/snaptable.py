@@ -412,6 +412,52 @@ class SnapTable:
             n_out=n_out, bloom_cols=tuple(m.get("bloom_cols", ())),
         )
 
+    def add_constraint(self, name: str, check_sql: str) -> int:
+        """Register a CHECK constraint (a boolean SQL expression over
+        the table's columns) as a metadata-only commit. Every
+        subsequent data commit validates the incoming rows and REFUSES
+        the write if any violate — the invariant never reaches disk
+        (Delta's table-constraints feature). Existing rows are
+        validated now: adding a constraint the current data violates
+        fails without committing."""
+        m = self.manifest()
+        bad = self.read().filter(f"NOT ({check_sql})").limit(1).count()
+        if bad:
+            raise ValueError(
+                f"constraint {name!r} violated by existing rows"
+            )
+        cons = dict(m.get("constraints", {}))
+        cons[name] = check_sql
+        while True:
+            version = self.latest_version() + 1
+            manifest = dict(
+                self.manifest(),
+                version=version,
+                parent=self.latest_version(),
+                operation="add_constraint",
+                constraints=cons,
+            )
+            if self._try_write_manifest(version, manifest):
+                return version
+
+    def _constraints(self) -> dict:
+        try:
+            return dict(self.manifest().get("constraints", {}))
+        except FileNotFoundError:
+            return {}
+
+    def _validate_constraints(self, df: DataFrame) -> None:
+        try:
+            cons = self.manifest().get("constraints", {})
+        except FileNotFoundError:
+            return
+        for name, check_sql in cons.items():
+            if df.filter(f"NOT ({check_sql})").limit(1).count():
+                raise ValueError(
+                    f"write rejected: CHECK constraint {name!r} "
+                    f"({check_sql}) violated"
+                )
+
     def vacuum(self, retain_versions: int = 1) -> dict:
         """Garbage-collect: keep the newest ``retain_versions``
         manifests, delete every data file referenced ONLY by older
@@ -460,6 +506,7 @@ class SnapTable:
         run the optimistic commit loop."""
         import shutil
 
+        self._validate_constraints(df)
         stage = os.path.join(
             self.data_dir, f"_stage_{os.getpid()}_{id(df) & 0xFFFF:x}"
         )
@@ -528,6 +575,7 @@ class SnapTable:
                 "schema": schema_ddl,
                 "stat_cols": stat_cols,
                 "bloom_cols": list(bloom_cols),
+                "constraints": self._constraints(),
                 "files": carry + entries,
             }
             if self._try_write_manifest(version, manifest):
@@ -551,6 +599,7 @@ class SnapTable:
                 "schema": self.manifest()["schema"],
                 "stat_cols": stat_cols,
                 "bloom_cols": list(self.manifest().get("bloom_cols", [])),
+                "constraints": self._constraints(),
                 "files": carry + entries,
             }
             if self._try_write_manifest(version, manifest):

@@ -171,7 +171,7 @@ def test_manifest_is_timestamp_free_and_deterministic(spark, root):
     m = json.loads(raw)
     assert set(m) == {
         "version", "parent", "operation", "schema", "stat_cols",
-        "bloom_cols", "files",
+        "bloom_cols", "constraints", "files",
     }
     # rebuilding the same table yields the identical manifest up to the
     # writer-unique file tokens (stats, rows, bytes, schema all equal)
@@ -536,3 +536,31 @@ def test_streaming_merge_equals_batch_merge(spark, root):
     finally:
         shutil.rmtree(src_dir, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_check_constraints_gate_writes(spark, root):
+    """Delta-style CHECK constraints: committed as metadata, enforced
+    on every subsequent data commit; a violating write is refused
+    BEFORE anything reaches disk, and a constraint the existing data
+    violates cannot be added."""
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    t.add_constraint("nonneg_v", "v >= 0 AND v IS NOT NULL")
+    assert t.manifest()["operation"] == "add_constraint"
+    # clean append passes and the constraint carries forward
+    t.append(_mk(spark, "t", range(100, 120)), bucket_col="b")
+    assert t.manifest()["constraints"] == {
+        "nonneg_v": "v >= 0 AND v IS NOT NULL"
+    }
+    # violating append refused, table unchanged
+    bad = _mk(spark, "t", range(200, 210)).withColumn(
+        "v", F.col("v") - 10000
+    )
+    before = t.latest_version()
+    with pytest.raises(ValueError, match="nonneg_v"):
+        t.append(bad, bucket_col="b")
+    assert t.latest_version() == before
+    assert t.read().count() == 120
+    # a constraint the current data violates cannot be added
+    with pytest.raises(ValueError, match="existing rows"):
+        t.add_constraint("impossible", "k < 50")
