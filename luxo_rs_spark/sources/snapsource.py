@@ -192,6 +192,62 @@ class _SnapTableStreamReader(SimpleDataSourceStreamReader):
         return self._added_rows(start["v"], end["v"])
 
 
+class _SnapTableCDFStreamReader(SimpleDataSourceStreamReader):
+    """Change-feed tail (``.option("readChangeFeed", "true")`` — the
+    Delta CDF shape): each micro-batch is the ROW-LEVEL diff between
+    the committed version and the current latest, every row tagged
+    ``change_type`` 'insert' or 'delete' (a CoW update surfaces as the
+    delete+insert pair). The diff is a multiset subtraction over only
+    the added/removed files — immutable common files cancel unread."""
+
+    def __init__(self, options, schema: StructType):
+        self.root = options["path"]
+        # schema = (change_type, *table columns)
+        self.field_names = [f.name for f in schema.fields[1:]]
+
+    def initialOffset(self):
+        return {"v": 0}
+
+    def _diff_rows(self, v_from: int, v_to: int):
+        from collections import Counter
+
+        if v_to <= v_from:
+            return iter([])
+        new_m = _manifest(self.root, v_to)
+        old_entries = (
+            _manifest(self.root, v_from)["files"] if v_from > 0 else []
+        )
+        new_paths = {e["path"] for e in new_m["files"]}
+        old_paths = {e["path"] for e in old_entries}
+
+        def rows_of(entries, skip):
+            c: Counter = Counter()
+            for e in entries:
+                if e["path"] not in skip:
+                    for r in _file_rows(
+                        self.root, e["path"], self.field_names
+                    ):
+                        c[r] += 1
+            return c
+
+        added = rows_of(new_m["files"], old_paths)
+        removed = rows_of(old_entries, new_paths)
+        out = []
+        for r, n in (added - removed).items():
+            out.extend([("insert",) + r] * n)
+        for r, n in (removed - added).items():
+            out.extend([("delete",) + r] * n)
+        return iter(out)
+
+    def read(self, start):
+        vs = _versions(self.root)
+        cur = vs[-1] if vs else 0
+        return self._diff_rows(start["v"], cur), {"v": cur}
+
+    def readBetweenOffsets(self, start, end):
+        return self._diff_rows(start["v"], end["v"])
+
+
 class SnapTableDataSource(DataSource):
     """spark.read.format("snaptable").load(root)
     [.option("version", N)] [.option("pushdown", "true")];
@@ -201,6 +257,11 @@ class SnapTableDataSource(DataSource):
     def name(cls):
         return "snaptable"
 
+    def _cdf(self) -> bool:
+        return str(
+            self.options.get("readchangefeed", "")
+        ).lower() == "true"
+
     def schema(self):
         m = _manifest(
             self.options["path"],
@@ -208,6 +269,8 @@ class SnapTableDataSource(DataSource):
             if self.options.get("version")
             else None,
         )
+        if self._cdf():
+            return "change_type string, " + m["schema"]
         return m["schema"]
 
     def reader(self, schema):
@@ -216,6 +279,8 @@ class SnapTableDataSource(DataSource):
         return _SnapTableReader(self.options, schema)
 
     def simpleStreamReader(self, schema):
+        if self._cdf():
+            return _SnapTableCDFStreamReader(self.options, schema)
         return _SnapTableStreamReader(self.options, schema)
 
 
