@@ -620,3 +620,36 @@ def test_snaptable_datasource_change_feed(spark, root):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_corrupted_manifest_and_missing_file_fail_loudly(spark, root):
+    """Resilience contract: damage is DETECTED, never silently read
+    around — a truncated manifest raises a parse error, a manifest for
+    a version that was never committed raises FileNotFoundError, and a
+    referenced-but-deleted data file fails the read (Spark surfaces
+    the missing path) while OTHER versions stay readable."""
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    t.append(_mk(spark, "t", range(100, 150)), bucket_col="b")
+
+    with pytest.raises(FileNotFoundError):
+        t.manifest(9)
+
+    # truncate v2's manifest: reading v2 must raise, v1 must still work
+    p2 = os.path.join(root, "_snapshots", "v00000002.json")
+    raw = open(p2).read()
+    open(p2, "w").write(raw[: len(raw) // 2])
+    with pytest.raises(json.JSONDecodeError):
+        t.manifest(2)
+    assert t.read(1).count() == 100
+    open(p2, "w").write(raw)  # restore
+
+    # delete a v2-only data file: v2 read fails loudly, v1 unaffected
+    v1_paths = {e["path"] for e in t.manifest(1)["files"]}
+    victim = next(
+        e["path"] for e in t.manifest(2)["files"] if e["path"] not in v1_paths
+    )
+    os.remove(os.path.join(root, victim))
+    with pytest.raises(Exception, match="[Pp]ath does not exist|FileNotFound"):
+        t.read(2).count()
+    assert t.read(1).count() == 100
