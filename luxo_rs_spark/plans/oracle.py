@@ -10414,3 +10414,68 @@ SELECT doc_id, rank, phrase, n_words, score_fp
 FROM ranked WHERE rank <= 3
 ORDER BY doc_id, rank
 """
+
+
+# q468: the q467 CTE chain rolled up per source with the same df >= 2
+# gate and (df desc, score desc, phrase asc) ranking.
+ORACLE_SQL["q468_corpus_keyphrases"] = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), tok0 AS (
+  SELECT doc_id, unnest(generate_series(1, len(ws))) AS i, ws
+  FROM d
+), tok AS (
+  SELECT doc_id, i - 1 AS pos,
+         regexp_replace(ws[CAST(i AS INT)], '[^a-z0-9]', '', 'g') AS w
+  FROM tok0
+), flagged AS (
+  SELECT doc_id, pos, w,
+         CASE WHEN w IN ('the','a','of','and','to','in','is','it')
+                   OR w = '' THEN 1 ELSE 0 END AS stop
+  FROM tok
+), grped AS (
+  SELECT doc_id, pos, w, stop,
+         sum(stop) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM flagged
+), cand AS (
+  SELECT doc_id, grp, pos, w FROM grped WHERE stop = 0
+), phrases AS (
+  SELECT doc_id, grp,
+         CAST(count(*) AS BIGINT) AS plen,
+         string_agg(w, ' ' ORDER BY pos) AS phrase
+  FROM cand GROUP BY doc_id, grp
+), wstat AS (
+  SELECT c.doc_id, c.w,
+         CAST(sum(p.plen) AS BIGINT) AS deg,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM cand c JOIN phrases p ON p.doc_id = c.doc_id AND p.grp = c.grp
+  GROUP BY c.doc_id, c.w
+), wscore AS (
+  SELECT doc_id, w, (deg * 1000000) // freq AS wscore_fp FROM wstat
+), pscore AS (
+  SELECT c.doc_id, c.grp, CAST(sum(s.wscore_fp) AS BIGINT) AS score_fp
+  FROM cand c JOIN wscore s ON s.doc_id = c.doc_id AND s.w = c.w
+  GROUP BY c.doc_id, c.grp
+), uniq AS (
+  SELECT DISTINCT p.doc_id, p.phrase, p.plen AS n_words, sc.score_fp
+  FROM phrases p JOIN pscore sc
+    ON sc.doc_id = p.doc_id AND sc.grp = p.grp
+), per_source AS (
+  SELECT dd.source, u.phrase,
+         CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(u.score_fp) AS BIGINT) AS total_score_fp
+  FROM uniq u JOIN documents dd ON dd.doc_id = u.doc_id
+  GROUP BY dd.source, u.phrase
+  HAVING count(*) >= 2
+), ranked AS (
+  SELECT source, phrase, df, total_score_fp,
+         CAST(row_number() OVER (PARTITION BY source
+              ORDER BY df DESC, total_score_fp DESC, phrase ASC)
+              AS INT) AS rank
+  FROM per_source
+)
+SELECT source, rank, phrase, df, total_score_fp
+FROM ranked WHERE rank <= 3
+ORDER BY source, rank
+"""

@@ -17581,18 +17581,18 @@ def q466_snaptable_incremental_agg(
 # Scale shape: token explode (map-side), three doc-keyed shuffles
 # (islands window, phrase agg, word agg) — no corpus-wide state.
 # ---------------------------------------------------------------------------
-@query("q467_rake_keywords")
-def q467_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rake_doc_phrases(docs: DataFrame) -> DataFrame:
+    """(doc_id, phrase, n_words, score_fp) — the per-document RAKE
+    pipeline shared by q467 (per-doc top-k) and q468 (corpus-level
+    keyphrase aggregation)."""
     from pyspark.sql import Window
 
     from luxo_rs_spark.functions.text import STOPWORDS, words
 
     stops = STOPWORDS["en"]
-    docs = (
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
-        .select("doc_id", "text")
-    )
+    docs = docs.filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    ).select("doc_id", "text")
     tok = docs.select(
         "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "wraw")
     ).select(
@@ -17633,11 +17633,18 @@ def q467_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "grp")
         .agg(F.sum("wscore_fp").cast("bigint").alias("score_fp"))
     )
-    uniq = (
+    return (
         phrases.join(phrase_scores, ["doc_id", "grp"])
         .select("doc_id", "phrase", F.col("plen").alias("n_words"), "score_fp")
         .distinct()
     )
+
+
+@query("q467_rake_keywords")
+def q467_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    uniq = _rake_doc_phrases(load_table(spark, sf_dir, "documents"))
     wr = Window.partitionBy("doc_id").orderBy(
         F.col("score_fp").desc(), F.col("phrase").asc()
     )
@@ -17652,4 +17659,51 @@ def q467_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_fp",
         )
         .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q468 — corpus-level keyphrase aggregation (round 8): the tagging op
+# that follows per-document RAKE in practice — roll the q467 phrases
+# up per SOURCE: document frequency, summed fixed-point score, and the
+# top-3 keyphrases per source with the deterministic (df desc,
+# total_score desc, phrase asc) tie-break. Only phrases with df >= 2
+# qualify (a phrase one document uses is not a corpus keyphrase).
+# Everything stays exact BIGINT algebra on top of q467's fixed-point
+# scores: full SQL oracle including the ranking. Scale shape: the
+# per-doc pipeline's doc-keyed shuffles, then ONE (source, phrase)
+# aggregation — no corpus-wide state beyond the grouped counts.
+# ---------------------------------------------------------------------------
+@query("q468_corpus_keyphrases")
+def q468_corpus_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    phrases = _rake_doc_phrases(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    per_source = (
+        phrases.groupBy("source", "phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("score_fp").cast("bigint").alias("total_score_fp"),
+        )
+        .filter(F.col("df") >= 2)
+    )
+    wr = Window.partitionBy("source").orderBy(
+        F.col("df").desc(),
+        F.col("total_score_fp").desc(),
+        F.col("phrase").asc(),
+    )
+    return (
+        per_source.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "source",
+            F.col("rank").cast("int").alias("rank"),
+            "phrase",
+            "df",
+            "total_score_fp",
+        )
+        .orderBy("source", "rank")
     )
