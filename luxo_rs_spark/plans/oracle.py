@@ -10479,3 +10479,43 @@ SELECT source, rank, phrase, df, total_score_fp
 FROM ranked WHERE rank <= 3
 ORDER BY source, rank
 """
+
+
+# q469: first-occurrence accounting replayed — same bucket rule, same
+# running sums.
+ORACLE_SQL["q469_vocab_growth"] = """
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS ws
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+), b AS (
+  SELECT max(doc_id) AS max_id FROM d
+), toks AS (
+  SELECT doc_id * 10 // (b.max_id + 1) AS bucket, doc_id,
+         unnest(ws) AS w
+  FROM d, b
+), tok AS (
+  SELECT bucket, doc_id, w FROM toks WHERE w <> ''
+), per_bucket AS (
+  SELECT bucket,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_instances
+  FROM tok GROUP BY bucket
+), firsts AS (
+  SELECT first_bucket AS bucket,
+         CAST(count(*) AS BIGINT) AS n_new
+  FROM (SELECT w, min(bucket) AS first_bucket FROM tok GROUP BY w)
+  GROUP BY first_bucket
+), merged AS (
+  SELECT p.bucket, p.n_docs, p.n_instances,
+         coalesce(f.n_new, 0) AS n_new
+  FROM per_bucket p LEFT JOIN firsts f ON f.bucket = p.bucket
+)
+SELECT CAST(bucket AS INT) AS bucket,
+       CAST(sum(n_docs) OVER win AS BIGINT) AS cum_docs,
+       CAST(sum(n_instances) OVER win AS BIGINT) AS cum_instances,
+       CAST(sum(n_new) OVER win AS BIGINT) AS cum_vocab
+FROM merged
+WINDOW win AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+ORDER BY bucket
+"""

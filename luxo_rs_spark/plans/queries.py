@@ -17707,3 +17707,63 @@ def q468_corpus_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q469 — vocabulary growth curve (Heaps' law; §2.2-K corpus analysis,
+# round 8): how fast the distinct-token vocabulary grows as the corpus
+# accumulates — the curve that sizes tokenizer vocabularies and
+# predicts OOV rates before training. The corpus prefix is defined by
+# ten doc_id-range buckets (bucket = doc_id*10 div (max_id+1), a
+# broadcast 1-row bound — no global window over unbounded input);
+# each token contributes to NEW vocabulary exactly once, at the bucket
+# of its FIRST-occurrence document, so the cumulative distinct count
+# is a running sum over ten pre-aggregated rows (the q443 bounded-
+# frame window pattern). All exact integer algebra: full SQL oracle.
+# ---------------------------------------------------------------------------
+@query("q469_vocab_growth")
+def q469_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from luxo_rs_spark.functions.text import words
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", "text")
+    )
+    bound = docs.agg(F.max("doc_id").alias("max_id"))
+    with_b = docs.crossJoin(F.broadcast(bound)).select(
+        "doc_id",
+        "text",
+        F.expr("doc_id * 10 div (max_id + 1)").cast("int").alias("bucket"),
+    )
+    toks = with_b.select(
+        "bucket", "doc_id", F.explode_outer(words(F.col("text"))).alias("w")
+    ).filter(F.col("w").isNotNull() & (F.col("w") != ""))
+    per_bucket = toks.groupBy("bucket").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_instances"),
+    )
+    firsts = (
+        toks.groupBy("w")
+        .agg(F.min("bucket").alias("first_bucket"))
+        .groupBy("first_bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_tokens"))
+        .withColumnRenamed("first_bucket", "bucket")
+    )
+    merged = per_bucket.join(firsts, "bucket", "left").select(
+        "bucket",
+        "n_docs",
+        "n_instances",
+        F.coalesce("n_new_tokens", F.lit(0)).cast("bigint").alias("n_new"),
+    )
+    # ten pre-aggregated rows: the running sums are a bounded-frame
+    # global window (the q443 pattern the plan sweep allows)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return merged.select(
+        "bucket",
+        F.sum("n_docs").over(w).cast("bigint").alias("cum_docs"),
+        F.sum("n_instances").over(w).cast("bigint").alias("cum_instances"),
+        F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
+    ).orderBy("bucket")
