@@ -61,9 +61,9 @@ def _versions(root: str) -> list[int]:
 
 def _manifest(root: str, version: int | None = None) -> dict:
     vs = _versions(root)
-    v = version or (vs[-1] if vs else 0)
-    if v == 0:
-        raise FileNotFoundError(f"snaptable {root}: no snapshots")
+    v = version if version is not None else (vs[-1] if vs else 0)
+    if v <= 0:
+        raise FileNotFoundError(f"snaptable {root}: no snapshot v{v}")
     with open(os.path.join(root, _SNAP_DIR, f"v{v:08d}.json")) as f:
         return json.load(f)
 
@@ -208,6 +208,38 @@ class _SnapTableCDFStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self):
         return {"v": 0}
 
+    @staticmethod
+    def _freeze(v):
+        """Hashable stand-in for a row value: pyarrow's to_pylist()
+        yields Python lists for array columns and dicts for maps —
+        unhashable, so they cannot key the multiset Counter directly.
+        Tag-wrapped so thaw is unambiguous (a genuine 2-tuple value in
+        the data can never collide with the tags)."""
+        if isinstance(v, list):
+            return ("__snap_list__", tuple(
+                _SnapTableCDFStreamReader._freeze(x) for x in v
+            ))
+        if isinstance(v, dict):
+            return ("__snap_map__", tuple(sorted(
+                (k, _SnapTableCDFStreamReader._freeze(x))
+                for k, x in v.items()
+            )))
+        if isinstance(v, tuple):
+            # pyarrow renders MAP cells as list-of-(key, value) tuples;
+            # a tuple may therefore nest further lists — recurse.
+            return tuple(_SnapTableCDFStreamReader._freeze(x) for x in v)
+        return v
+
+    @staticmethod
+    def _thaw(v):
+        if isinstance(v, tuple) and len(v) == 2 and v[0] == "__snap_list__":
+            return [_SnapTableCDFStreamReader._thaw(x) for x in v[1]]
+        if isinstance(v, tuple) and len(v) == 2 and v[0] == "__snap_map__":
+            return {k: _SnapTableCDFStreamReader._thaw(x) for k, x in v[1]}
+        if isinstance(v, tuple):
+            return tuple(_SnapTableCDFStreamReader._thaw(x) for x in v)
+        return v
+
     def _diff_rows(self, v_from: int, v_to: int):
         from collections import Counter
 
@@ -219,6 +251,7 @@ class _SnapTableCDFStreamReader(SimpleDataSourceStreamReader):
         )
         new_paths = {e["path"] for e in new_m["files"]}
         old_paths = {e["path"] for e in old_entries}
+        freeze, thaw = self._freeze, self._thaw
 
         def rows_of(entries, skip):
             c: Counter = Counter()
@@ -227,16 +260,16 @@ class _SnapTableCDFStreamReader(SimpleDataSourceStreamReader):
                     for r in _file_rows(
                         self.root, e["path"], self.field_names
                     ):
-                        c[r] += 1
+                        c[tuple(freeze(v) for v in r)] += 1
             return c
 
         added = rows_of(new_m["files"], old_paths)
         removed = rows_of(old_entries, new_paths)
         out = []
         for r, n in (added - removed).items():
-            out.extend([("insert",) + r] * n)
+            out.extend([("insert",) + tuple(thaw(v) for v in r)] * n)
         for r, n in (removed - added).items():
-            out.extend([("delete",) + r] * n)
+            out.extend([("delete",) + tuple(thaw(v) for v in r)] * n)
         return iter(out)
 
     def read(self, start):

@@ -41,6 +41,32 @@ the add-column evolution path Iceberg calls a metadata-only change.
 No wall-clock timestamps anywhere in the format: versions are dense
 integers, so manifests — and therefore every query over them — are
 bit-deterministic and oracle-checkable.
+
+**Columnar manifest checkpoints (the 100 TB metadata plane).** A JSON
+manifest enumerating every data file is read and pruned on the driver
+in a Python loop — fine at 10³ files, the planning bottleneck at
+10⁵–10⁶ (a 100 TB table). Once a snapshot's file count reaches
+``checkpoint_threshold`` (or its parent was already columnar), the
+entry list is written as a PARQUET side-file
+``_snapshots/v%08d.files.parquet`` instead of inline JSON: one row per
+data file with typed ``min__{c}/max__{c}/nulls__{c}`` columns per stat
+column and ``bloom__{c}`` bit-position lists per bloom column — the
+Iceberg manifest-file / Delta checkpoint design. Consequences:
+
+- **Planning is vectorized or distributed, never a JSON parse.**
+  ``scan()``/``scan_point()`` prune over the checkpoint's columnar
+  arrays; ``files_df()`` exposes the manifest AS A DATAFRAME and
+  ``scan_planned()`` runs the pruning as a Spark job (filter on the
+  typed stat columns, collect only survivors) — O(survivors) driver
+  memory however large the table.
+- **Appends never touch carried metadata.** A child checkpoint is the
+  parent checkpoint table concatenated with the new entries — zero
+  per-carried-file work on the driver (no parse, no re-serialize).
+- **Sticky**: once columnar, always columnar (a delete that shrinks
+  the table does not flip back to inline JSON).
+The JSON manifest remains the commit arbitration point (exclusive
+create); it simply points at the checkpoint (``files_ckpt`` +
+``num_files``) instead of inlining ``files``.
 """
 
 from __future__ import annotations
@@ -55,6 +81,16 @@ from pyspark.sql import types as T
 
 _SNAP_DIR = "_snapshots"
 _DATA_DIR = "data"
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A non-commutative commit (delete/merge/compact/metadata) lost an
+    optimistic-concurrency race: its carry/rewrite sets were computed
+    against a manifest that is no longer the latest, so blindly
+    retrying would silently drop the winner's files (a lost update).
+    The caller must re-read the table and re-issue the operation —
+    the Delta ConcurrentModificationException contract. Appends are
+    exempt: they commute, so they rebase and retry internally."""
 
 #: per-process commit sequence, part of the writer-unique file token
 _WRITER_SEQ = itertools.count()
@@ -192,9 +228,14 @@ class SnapTable:
         return vs[-1] if vs else 0
 
     def manifest(self, version: int | None = None) -> dict:
-        version = version or self.latest_version()
-        if version == 0:
-            raise FileNotFoundError(f"snaptable {self.root}: no snapshots")
+        if version is None:
+            version = self.latest_version()
+        if version <= 0:
+            # explicit version=0 (or a negative) is invalid, NOT an
+            # alias for latest — `or` would have silently aliased it
+            raise FileNotFoundError(
+                f"snaptable {self.root}: no snapshot v{version}"
+            )
         with open(os.path.join(self.snap_dir, f"v{version:08d}.json")) as f:
             return json.load(f)
 
@@ -420,20 +461,27 @@ class SnapTable:
         (Delta's table-constraints feature). Existing rows are
         validated now: adding a constraint the current data violates
         fails without committing."""
-        m = self.manifest()
-        bad = self.read().filter(f"NOT ({check_sql})").limit(1).count()
-        if bad:
-            raise ValueError(
-                f"constraint {name!r} violated by existing rows"
-            )
-        cons = dict(m.get("constraints", {}))
-        cons[name] = check_sql
         while True:
-            version = self.latest_version() + 1
+            # re-read, re-merge, and re-VALIDATE per attempt: a lost
+            # race means new data may have landed since the last check
+            base = self.manifest()
+            bad = (
+                self.read(base["version"])
+                .filter(f"NOT ({check_sql})")
+                .limit(1)
+                .count()
+            )
+            if bad:
+                raise ValueError(
+                    f"constraint {name!r} violated by existing rows"
+                )
+            cons = dict(base.get("constraints", {}))
+            cons[name] = check_sql
+            version = base["version"] + 1
             manifest = dict(
-                self.manifest(),
+                base,
                 version=version,
-                parent=self.latest_version(),
+                parent=base["version"],
                 operation="add_constraint",
                 constraints=cons,
             )
@@ -472,13 +520,26 @@ class SnapTable:
         keep_files = set()
         for v in keep_vs:
             keep_files.update(e["path"] for e in self.manifest(v)["files"])
+        latest = vs[-1]
         removed_files = 0
         for fn in sorted(os.listdir(self.data_dir)):
             rel = os.path.join(_DATA_DIR, fn)
             full = os.path.join(self.data_dir, fn)
-            if fn.endswith(".parquet") and rel not in keep_files:
-                os.remove(full)
-                removed_files += 1
+            if not (fn.endswith(".parquet") and rel not in keep_files):
+                continue
+            # In-flight commits rename their data files into data/
+            # BEFORE their manifest lands, named v{target_version}-…
+            # where target_version > latest. Deleting those would race
+            # a concurrent writer into a manifest referencing missing
+            # files — skip anything addressed past the latest snapshot.
+            try:
+                file_v = int(fn[1:9]) if fn.startswith("v") else 0
+            except ValueError:
+                file_v = 0
+            if file_v > latest:
+                continue
+            os.remove(full)
+            removed_files += 1
         removed_manifests = 0
         for v in vs:
             if v not in keep_vs:
@@ -581,29 +642,53 @@ class SnapTable:
             if self._try_write_manifest(version, manifest):
                 shutil.rmtree(stage, ignore_errors=True)
                 return version
-            # lost the race: put files back on stage and retry against
-            # the new latest (appends/compactions rebase trivially).
+            # lost the race: put files back on stage, then decide.
             for dst, src in moved:
                 os.replace(dst, src)
             if op == "append":
+                # appends commute: rebase the carry list onto the new
+                # latest and retry.
                 m = self.manifest()
                 carry = m["files"]
+            elif op == "create":
+                shutil.rmtree(stage, ignore_errors=True)
+                raise FileExistsError(
+                    f"snaptable {self.root}: concurrently created"
+                )
+            else:
+                # delete/merge/compact computed carry+rewrite against a
+                # manifest that is no longer latest; retrying would drop
+                # the winner's files (lost update). Fail loudly — the
+                # caller re-reads and re-issues (Delta's
+                # ConcurrentModificationException contract).
+                shutil.rmtree(stage, ignore_errors=True)
+                raise ConcurrentCommitError(
+                    f"snaptable {self.root}: {op} lost a commit race at "
+                    f"version {version}; re-read the table and retry"
+                )
 
     def _commit(self, stat_cols, op, carry, entries) -> int:
-        while True:
-            version = self.latest_version() + 1
-            manifest = {
-                "version": version,
-                "parent": self.latest_version(),
-                "operation": op,
-                "schema": self.manifest()["schema"],
-                "stat_cols": stat_cols,
-                "bloom_cols": list(self.manifest().get("bloom_cols", [])),
-                "constraints": self._constraints(),
-                "files": carry + entries,
-            }
-            if self._try_write_manifest(version, manifest):
-                return version
+        """Metadata-only commit (no new data files). The carry list was
+        computed against the manifest read by the CALLER, so a lost
+        race means that basis is stale — raise, don't silently retry
+        (same lost-update hazard as the data-commit path)."""
+        version = self.latest_version() + 1
+        manifest = {
+            "version": version,
+            "parent": self.latest_version(),
+            "operation": op,
+            "schema": self.manifest()["schema"],
+            "stat_cols": stat_cols,
+            "bloom_cols": list(self.manifest().get("bloom_cols", [])),
+            "constraints": self._constraints(),
+            "files": carry + entries,
+        }
+        if self._try_write_manifest(version, manifest):
+            return version
+        raise ConcurrentCommitError(
+            f"snaptable {self.root}: {op} lost a commit race at "
+            f"version {version}; re-read the table and retry"
+        )
 
     def _try_write_manifest(self, version: int, manifest: dict) -> bool:
         path = os.path.join(self.snap_dir, f"v{version:08d}.json")

@@ -653,3 +653,124 @@ def test_corrupted_manifest_and_missing_file_fail_loudly(spark, root):
     with pytest.raises(Exception, match="[Pp]ath does not exist|FileNotFound"):
         t.read(2).count()
     assert t.read(1).count() == 100
+
+
+def test_non_append_commit_race_raises_no_lost_update(
+    spark, root, monkeypatch
+):
+    """A delete_where that loses the commit race must NOT silently
+    retry with its stale carry list (that would drop the racer's
+    committed files — a lost update). It raises ConcurrentCommitError;
+    a re-issued delete then sees the racer's rows and succeeds."""
+    from luxo_rs_spark.sources.snaptable import ConcurrentCommitError
+
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(300)), stat_cols=["k"], bucket_col="b")
+
+    racer_df = _mk(spark, "t", range(1000, 1020))
+    orig = SnapTable._try_write_manifest
+    state = {"fired": False}
+
+    def inject(self, version, manifest):
+        if not state["fired"] and manifest["operation"] == "delete":
+            state["fired"] = True
+            racer = SnapTable(spark, self.root)
+            racer.append(racer_df, bucket_col="b")
+        return orig(self, version, manifest)
+
+    monkeypatch.setattr(SnapTable, "_try_write_manifest", inject)
+    with pytest.raises(ConcurrentCommitError):
+        t.delete_where("k", 0, 99)
+    # the racer's append is intact — nothing was lost
+    assert t.read().count() == 300 + 20
+    # and no orphaned half-commit files poison the data dir: a re-read
+    # + re-issued delete succeeds and sees BOTH writers' rows
+    t.delete_where("k", 0, 99)
+    ks = set(r["k"] for r in t.read().collect())
+    assert ks == set(range(100, 300)) | set(range(1000, 1020))
+
+
+def test_metadata_only_commit_race_raises(spark, root, monkeypatch):
+    """The fully-pruned (metadata-only) delete path has the same stale
+    carry-list hazard: it must raise on a lost race, not retry."""
+    from luxo_rs_spark.sources.snaptable import ConcurrentCommitError
+
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+
+    racer_df = _mk(spark, "t", range(1000, 1010))
+    orig = SnapTable._try_write_manifest
+    state = {"fired": False}
+
+    def inject(self, version, manifest):
+        if not state["fired"] and manifest["operation"] == "delete":
+            state["fired"] = True
+            SnapTable(spark, self.root).append(racer_df, bucket_col="b")
+        return orig(self, version, manifest)
+
+    monkeypatch.setattr(SnapTable, "_try_write_manifest", inject)
+    # k in [5000, 6000] matches nothing -> fully pruned, metadata-only
+    with pytest.raises(ConcurrentCommitError):
+        t.delete_where("k", 5000, 6000)
+    assert t.read().count() == 110  # racer's rows intact
+
+
+def test_vacuum_spares_in_flight_commit_files(spark, root):
+    """Files renamed into data/ by a not-yet-committed writer are named
+    v{target} with target > latest snapshot; vacuum must skip them or a
+    concurrent commit could land a manifest referencing deleted files."""
+    import glob
+
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    t.compact(n_out=1)  # leaves v1's files unreferenced by latest
+
+    # simulate an in-flight commit targeting version 3 (> latest 2)
+    some_parquet = glob.glob(os.path.join(root, "data", "*.parquet"))[0]
+    inflight = os.path.join(root, "data", "v00000003-00000-feed.parquet")
+    shutil.copy(some_parquet, inflight)
+
+    res = t.vacuum(retain_versions=1)
+    assert os.path.exists(inflight)  # spared
+    assert res["removed_files"] > 0  # v1's dead files still collected
+    assert t.read().count() == 100
+
+
+def test_explicit_version_zero_raises(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(10)), stat_cols=["k"], bucket_col="b")
+    with pytest.raises(FileNotFoundError):
+        t.manifest(0)
+    with pytest.raises(FileNotFoundError):
+        t.read(0)
+    with pytest.raises(FileNotFoundError):
+        t.scan("k", 0, 5, version=0)
+
+
+def test_change_feed_handles_array_and_map_columns(spark, root):
+    """pyarrow to_pylist() yields lists/dicts for complex columns —
+    unhashable; the CDF reader freezes them for the diff multiset and
+    thaws on emit."""
+    from luxo_rs_spark.sources.snapsource import _SnapTableCDFStreamReader
+
+    t = SnapTable(spark, root)
+    df = spark.createDataFrame(
+        [(k, [k, k + 1], {"a": k}) for k in range(20)],
+        "k bigint, arr array<bigint>, mp map<string,bigint>",
+    ).withColumn("b", F.expr("k div 10"))
+    t.create(df, stat_cols=["k"], bucket_col="b")
+    t.delete_where("k", 0, 4)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
+        "change_type string, " + t.manifest()["schema"]
+    )
+    rdr = _SnapTableCDFStreamReader({"path": root}, schema)
+    rows = list(rdr._diff_rows(1, 2))
+    dels = [r for r in rows if r[0] == "delete"]
+    assert sorted(r[1] for r in dels) == [0, 1, 2, 3, 4]
+    # complex values round-trip through freeze/thaw (pyarrow renders
+    # map cells as list-of-(key, value) tuples)
+    r0 = next(r for r in dels if r[1] == 0)
+    assert r0[2] == [0, 1] and list(r0[3]) == [("a", 0)]
