@@ -68,6 +68,38 @@ def _manifest(root: str, version: int | None = None) -> dict:
         return json.load(f)
 
 
+def _entry_paths(root: str, m: dict) -> list[str]:
+    """Data-file paths of a manifest — reads just the ``path`` column
+    of the columnar checkpoint when the manifest is checkpointed."""
+    if "files_ckpt" not in m:
+        return [e["path"] for e in m["files"]]
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_table(
+            os.path.join(root, m["files_ckpt"]), columns=["path"]
+        )
+        .column("path")
+        .to_pylist()
+    )
+
+
+def _entries(root: str, m: dict) -> list[dict]:
+    """Entry dicts (path/rows/stats) for any manifest representation."""
+    if "files_ckpt" not in m:
+        return m["files"]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(root, m["files_ckpt"]))
+    paths = tbl.column("path").to_pylist()
+    rows = tbl.column("rows").to_pylist()
+    stats = tbl.column("stats_json").to_pylist()
+    return [
+        {"path": p, "rows": r, "stats": json.loads(s)}
+        for p, r, s in zip(paths, rows, stats)
+    ]
+
+
 def _file_rows(root: str, rel_path: str, field_names: list[str]):
     """Read one data file (pyarrow, executor- or driver-side) and yield
     tuples aligned to the table schema — absent columns (older files
@@ -99,10 +131,11 @@ class _SnapTableReader(DataSourceReader):
         )
         self.field_names = [f.name for f in schema.fields]
         self.manifest = _manifest(self.root, self.version)
+        self._entry_list = _entry_paths(self.root, self.manifest)
 
     def partitions(self):
         return [
-            _FilePartition(e["path"]) for e in self.manifest["files"]
+            _FilePartition(p) for p in self._entry_list
         ] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
@@ -136,7 +169,7 @@ class _SnapTablePushdownReader(_SnapTableReader):
             yield f  # always re-applied by Spark: pruning only
 
         keep = []
-        for e in self.manifest["files"]:
+        for e in _entries(self.root, self.manifest):
             ok = True
             for col, (lo, hi) in bounds.items():
                 st = e["stats"].get(col)
@@ -149,7 +182,7 @@ class _SnapTablePushdownReader(_SnapTableReader):
                     break
             if ok:
                 keep.append(e)
-        self.manifest = dict(self.manifest, files=keep)
+        self._entry_list = [e["path"] for e in keep]
 
 
 class _SnapTableStreamReader(SimpleDataSourceStreamReader):
@@ -167,18 +200,16 @@ class _SnapTableStreamReader(SimpleDataSourceStreamReader):
         if v_to <= v_from:
             return iter(())
         old = (
-            {e["path"] for e in _manifest(self.root, v_from)["files"]}
+            set(_entry_paths(self.root, _manifest(self.root, v_from)))
             if v_from > 0
             else set()
         )
-        new = _manifest(self.root, v_to)["files"]
+        new = _entry_paths(self.root, _manifest(self.root, v_to))
         rows = []  # materialized: Spark copy.copy()s the iterator,
         # so it must be list-backed (same as the synthdocs reader)
-        for e in new:
-            if e["path"] not in old:
-                rows.extend(
-                    _file_rows(self.root, e["path"], self.field_names)
-                )
+        for p in new:
+            if p not in old:
+                rows.extend(_file_rows(self.root, p, self.field_names))
         return iter(rows)
 
     def read(self, start):
@@ -245,25 +276,25 @@ class _SnapTableCDFStreamReader(SimpleDataSourceStreamReader):
 
         if v_to <= v_from:
             return iter([])
-        new_m = _manifest(self.root, v_to)
+        new_entries = _entry_paths(self.root, _manifest(self.root, v_to))
         old_entries = (
-            _manifest(self.root, v_from)["files"] if v_from > 0 else []
+            _entry_paths(self.root, _manifest(self.root, v_from))
+            if v_from > 0
+            else []
         )
-        new_paths = {e["path"] for e in new_m["files"]}
-        old_paths = {e["path"] for e in old_entries}
+        new_paths = set(new_entries)
+        old_paths = set(old_entries)
         freeze, thaw = self._freeze, self._thaw
 
         def rows_of(entries, skip):
             c: Counter = Counter()
-            for e in entries:
-                if e["path"] not in skip:
-                    for r in _file_rows(
-                        self.root, e["path"], self.field_names
-                    ):
+            for p in entries:
+                if p not in skip:
+                    for r in _file_rows(self.root, p, self.field_names):
                         c[tuple(freeze(v) for v in r)] += 1
             return c
 
-        added = rows_of(new_m["files"], old_paths)
+        added = rows_of(new_entries, old_paths)
         removed = rows_of(old_entries, new_paths)
         out = []
         for r, n in (added - removed).items():

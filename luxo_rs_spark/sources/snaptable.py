@@ -203,14 +203,26 @@ def _json_safe(v):
     return v
 
 
+#: file count at which a snapshot's entry list moves from inline JSON
+#: to a columnar parquet checkpoint (see module doc). Small tables stay
+#: human-readable JSON; big tables get vectorized planning.
+_CHECKPOINT_THRESHOLD = 1024
+
+
 class SnapTable:
     """A versioned parquet table rooted at ``root`` (see module doc)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        checkpoint_threshold: int = _CHECKPOINT_THRESHOLD,
+    ):
         self.spark = spark
         self.root = root
         self.snap_dir = os.path.join(root, _SNAP_DIR)
         self.data_dir = os.path.join(root, _DATA_DIR)
+        self.checkpoint_threshold = checkpoint_threshold
 
     # -- snapshot bookkeeping ------------------------------------------------
 
@@ -242,12 +254,295 @@ class SnapTable:
     def history(self) -> list[dict]:
         return [self.manifest(v) for v in self.versions()]
 
+    # -- columnar manifest checkpoints (the scale metadata plane) ------------
+
+    @staticmethod
+    def _ckpt_rel(version: int, token: str) -> str:
+        # writer-unique name: two racing writers targeting the same
+        # version must not clobber each other's side-file — the JSON
+        # manifest (exclusive create) references exactly one of them
+        return os.path.join(
+            _SNAP_DIR, f"v{version:08d}-{token}.files.parquet"
+        )
+
+    @staticmethod
+    def _entries_to_arrow(entries, stat_cols, bloom_cols):
+        """Dict entries -> the checkpoint's columnar layout: one row per
+        data file, typed min/max/null columns per stat column, bloom
+        bit-position lists per bloom column, residual stats as JSON."""
+        import pyarrow as pa
+
+        cols: dict[str, list] = {
+            "path": [e["path"] for e in entries],
+            "rows": [e["rows"] for e in entries],
+            "bytes": [e["bytes"] for e in entries],
+        }
+        sans_bloom = []
+        for e in entries:
+            st = e["stats"]
+            sans_bloom.append(
+                {k: v for k, v in st.items() if not k.startswith("bloom:")}
+            )
+        cols["stats_json"] = [json.dumps(s, sort_keys=True) for s in sans_bloom]
+        for c in stat_cols:
+            cols[f"min__{c}"] = [s.get(c, {}).get("min") for s in sans_bloom]
+            cols[f"max__{c}"] = [s.get(c, {}).get("max") for s in sans_bloom]
+            cols[f"nulls__{c}"] = [s.get(c, {}).get("nulls") for s in sans_bloom]
+        for c in bloom_cols:
+            cols[f"bloom__{c}"] = [
+                (e["stats"].get(f"bloom:{c}") or {}).get("bits")
+                for e in entries
+            ]
+        fields = []
+        for name, vals in cols.items():
+            arr = pa.array(vals)
+            if pa.types.is_null(arr.type):
+                # all-None stat column: pin a concrete type so later
+                # concats with value-bearing batches stay well-typed
+                arr = arr.cast(
+                    pa.int64() if name.startswith("nulls__") else pa.string()
+                )
+            fields.append((name, arr))
+        return pa.table(dict(fields))
+
+    def _entries_arrow(self, m: dict):
+        """The manifest's entry list as a pyarrow Table — read straight
+        from the checkpoint parquet when columnar (no JSON work), built
+        from the inline list otherwise."""
+        import pyarrow.parquet as pq
+
+        if "files_ckpt" in m:
+            return pq.read_table(os.path.join(self.root, m["files_ckpt"]))
+        return self._entries_to_arrow(
+            m["files"], m.get("stat_cols", []), m.get("bloom_cols", [])
+        )
+
+    def _paths(self, m: dict) -> list[str]:
+        if "files_ckpt" not in m:
+            return [e["path"] for e in m["files"]]
+        import pyarrow.parquet as pq
+
+        return (
+            pq.read_table(
+                os.path.join(self.root, m["files_ckpt"]), columns=["path"]
+            )
+            .column("path")
+            .to_pylist()
+        )
+
+    def _num_files(self, m: dict) -> int:
+        return m["num_files"] if "files_ckpt" in m else len(m["files"])
+
+    def _entries(self, m: dict) -> list[dict]:
+        """Entry dicts (path/rows/bytes/stats) for ANY manifest. For
+        columnar manifests this parses per-file JSON — O(files) driver
+        work, so internal planning paths use `_entries_arrow` /
+        `_prune_*` instead; this exists for compatibility consumers
+        (the DataSource face, diagnostics, small tables)."""
+        if "files_ckpt" not in m:
+            return m["files"]
+        tbl = self._entries_arrow(m)
+        names = tbl.column_names
+        out = []
+        cols = {n: tbl.column(n).to_pylist() for n in names}
+        for i in range(tbl.num_rows):
+            stats = json.loads(cols["stats_json"][i])
+            for c in m.get("bloom_cols", []):
+                bits = cols.get(f"bloom__{c}", [None] * tbl.num_rows)[i]
+                if bits is not None:
+                    stats[f"bloom:{c}"] = {
+                        "m": _BLOOM_BITS,
+                        "k": _BLOOM_K,
+                        "bits": list(bits),
+                    }
+            out.append(
+                {
+                    "path": cols["path"][i],
+                    "rows": cols["rows"][i],
+                    "bytes": cols["bytes"][i],
+                    "stats": stats,
+                }
+            )
+        return out
+
+    def _carry(self, m: dict):
+        """The representation of a manifest's entries to thread through
+        a commit as the carried set: the arrow table for columnar
+        manifests (zero per-file work), the dict list for inline."""
+        return self._entries_arrow(m) if "files_ckpt" in m else m["files"]
+
+    def _parent_is_columnar(self) -> bool:
+        try:
+            return "files_ckpt" in self.manifest()
+        except FileNotFoundError:
+            return False
+
+    def _finalize_entries(
+        self, version: int, carry, entries: list[dict],
+        stat_cols, bloom_cols,
+    ) -> dict:
+        """Decide the entry-list representation for a new manifest and
+        return its manifest fields. Inline (small tables): the plain
+        ``files`` list. Columnar (the parent was columnar, or the count
+        crossed ``checkpoint_threshold``): concatenate the carried
+        checkpoint table with the new entries and write the parquet
+        side-file — the carried rows are never parsed or re-serialized."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        carry_is_tbl = not isinstance(carry, list)
+        n_carry = carry.num_rows if carry_is_tbl else len(carry)
+        columnar = (
+            carry_is_tbl
+            or self._parent_is_columnar()
+            or n_carry + len(entries) >= self.checkpoint_threshold
+        )
+        if not columnar:
+            return {"files": list(carry) + entries}
+        bloom_cols = list(bloom_cols)
+        parts = []
+        if carry_is_tbl:
+            parts.append(carry)
+        elif carry:
+            parts.append(self._entries_to_arrow(carry, stat_cols, bloom_cols))
+        if entries:
+            new_tbl = self._entries_to_arrow(entries, stat_cols, bloom_cols)
+            if parts:
+                try:  # align all-None type pins with the carried schema
+                    new_tbl = new_tbl.select(
+                        parts[0].column_names
+                    ).cast(parts[0].schema)
+                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, KeyError):
+                    pass
+            parts.append(new_tbl)
+        if not parts:
+            tbl = self._entries_to_arrow([], stat_cols, bloom_cols)
+        elif len(parts) == 1:
+            tbl = parts[0]
+        else:
+            tbl = pa.concat_tables(parts, promote_options="permissive")
+        token = f"{os.getpid():x}-{next(_WRITER_SEQ):04x}"
+        rel = self._ckpt_rel(version, token)
+        pq.write_table(tbl, os.path.join(self.root, rel))
+        return {"files_ckpt": rel, "num_files": tbl.num_rows}
+
+    def _drop_ckpt(self, fields: dict) -> None:
+        """Best-effort removal of a manifest's checkpoint side-file
+        after a LOST commit race (ours is writer-unique, so this can
+        never touch the winner's)."""
+        rel = fields.get("files_ckpt")
+        if rel:
+            try:
+                os.remove(os.path.join(self.root, rel))
+            except FileNotFoundError:
+                pass
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """The manifest AS A DATAFRAME (path, rows, bytes, stats_json,
+        min__*/max__*/nulls__*/bloom__* columns) — the queryable
+        metadata relation Iceberg exposes as the `.files` metadata
+        table. Columnar manifests read the checkpoint parquet directly;
+        inline ones go through an in-memory conversion."""
+        m = self.manifest(version)
+        if "files_ckpt" in m:
+            return self.spark.read.parquet(
+                os.path.join(self.root, m["files_ckpt"])
+            )
+        tbl = self._entries_arrow(m)
+        return self.spark.createDataFrame(tbl.to_pandas())
+
     # -- reads ---------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
         """Time-travel read: exactly the files of manifest ``version``."""
         m = self.manifest(version)
-        return self._read_files(m, [e["path"] for e in m["files"]])
+        return self._read_files(m, self._paths(m))
+
+    def _prune_range(self, m: dict, col: str, lo, hi):
+        """File-level range pruning -> (keep_paths, info). Inline
+        manifests walk the dict list; columnar ones compare the typed
+        ``min__/max__`` checkpoint arrays — no JSON is parsed however
+        many files the table has."""
+        if "files_ckpt" not in m:
+            keep, skipped_rows = [], 0
+            for e in m["files"]:
+                st = e["stats"].get(col)
+                if st is None or st["min"] is None:  # no stats -> scan
+                    keep.append(e)
+                elif st["max"] >= lo and st["min"] <= hi:
+                    keep.append(e)
+                else:
+                    skipped_rows += e["rows"]
+            return [e["path"] for e in keep], {
+                "files_total": len(m["files"]),
+                "files_scanned": len(keep),
+                "rows_skipped": skipped_rows,
+            }
+        import pyarrow.compute as pc
+
+        tbl = self._entries_arrow(m)
+        n_total = tbl.num_rows
+        if f"min__{col}" not in set(tbl.column_names):  # no stats: scan all
+            return tbl.column("path").to_pylist(), {
+                "files_total": n_total,
+                "files_scanned": n_total,
+                "rows_skipped": 0,
+            }
+        mn, mx = tbl.column(f"min__{col}"), tbl.column(f"max__{col}")
+        # vectorized mask; only SURVIVING paths are materialized to
+        # Python — the pruning pass itself never leaves arrow arrays
+        keep_mask = pc.or_kleene(
+            pc.is_null(mn),
+            pc.and_(pc.greater_equal(mx, lo), pc.less_equal(mn, hi)),
+        )
+        kept = tbl.filter(keep_mask)
+        total_rows = pc.sum(tbl.column("rows")).as_py() or 0
+        kept_rows = pc.sum(kept.column("rows")).as_py() or 0
+        return kept.column("path").to_pylist(), {
+            "files_total": n_total,
+            "files_scanned": kept.num_rows,
+            "rows_skipped": int(total_rows - kept_rows),
+        }
+
+    def _prune_point(self, m: dict, col: str, value):
+        """Bloom-filter point pruning -> (keep_paths, info)."""
+        probes = set(_bloom_positions(value))
+        if "files_ckpt" not in m:
+            keep, skipped_rows = [], 0
+            for e in m["files"]:
+                bl = e["stats"].get(f"bloom:{col}")
+                if bl is None:  # no bloom recorded -> must scan
+                    keep.append(e)
+                elif probes.issubset(set(bl["bits"])):
+                    keep.append(e)
+                else:
+                    skipped_rows += e["rows"]
+            return [e["path"] for e in keep], {
+                "files_total": len(m["files"]),
+                "files_scanned": len(keep),
+                "rows_skipped": skipped_rows,
+            }
+        tbl = self._entries_arrow(m)
+        paths = tbl.column("path").to_pylist()
+        rows = tbl.column("rows").to_pylist()
+        if f"bloom__{col}" not in set(tbl.column_names):
+            return paths, {
+                "files_total": len(paths),
+                "files_scanned": len(paths),
+                "rows_skipped": 0,
+            }
+        blooms = tbl.column(f"bloom__{col}").to_pylist()
+        keep_paths, skipped_rows = [], 0
+        for p, r, bits in zip(paths, rows, blooms):
+            if bits is None or probes.issubset(set(bits)):
+                keep_paths.append(p)
+            else:
+                skipped_rows += r
+        return keep_paths, {
+            "files_total": len(paths),
+            "files_scanned": len(keep_paths),
+            "rows_skipped": skipped_rows,
+        }
 
     def scan(self, col: str, lo, hi, version: int | None = None):
         """Range scan with manifest-level data skipping: return
@@ -259,21 +554,8 @@ class SnapTable:
         predicate is ALSO applied to the surviving rows (file stats are
         necessary, not sufficient)."""
         m = self.manifest(version)
-        keep, skipped_rows = [], 0
-        for e in m["files"]:
-            st = e["stats"].get(col)
-            if st is None or st["min"] is None:  # no stats -> must scan
-                keep.append(e)
-            elif st["max"] >= lo and st["min"] <= hi:
-                keep.append(e)
-            else:
-                skipped_rows += e["rows"]
-        info = {
-            "files_total": len(m["files"]),
-            "files_scanned": len(keep),
-            "rows_skipped": skipped_rows,
-        }
-        df = self._read_files(m, [e["path"] for e in keep])
+        keep_paths, info = self._prune_range(m, col, lo, hi)
+        df = self._read_files(m, keep_paths)
         return df.filter(F.col(col).between(lo, hi)), info
 
     def scan_point(self, col: str, value, version: int | None = None):
@@ -285,23 +567,47 @@ class SnapTable:
         — the q464 oracle replays them); false negatives are not.
         Returns (DataFrame filtered to ``col == value``, info)."""
         m = self.manifest(version)
-        probes = set(_bloom_positions(value))
-        keep, skipped_rows = [], 0
-        for e in m["files"]:
-            bl = e["stats"].get(f"bloom:{col}")
-            if bl is None:  # no bloom recorded -> must scan
-                keep.append(e)
-            elif probes.issubset(set(bl["bits"])):
-                keep.append(e)
-            else:
-                skipped_rows += e["rows"]
-        info = {
-            "files_total": len(m["files"]),
-            "files_scanned": len(keep),
-            "rows_skipped": skipped_rows,
-        }
-        df = self._read_files(m, [e["path"] for e in keep])
+        keep_paths, info = self._prune_point(m, col, value)
+        df = self._read_files(m, keep_paths)
         return df.filter(F.col(col) == value), info
+
+    def scan_planned(self, col: str, lo, hi, version: int | None = None):
+        """Range scan whose PRUNING RUNS AS A SPARK JOB over the
+        manifest checkpoint (``files_df`` filtered on the typed stat
+        columns) instead of any driver-side pass — the planning path
+        for tables whose metadata itself is big enough to distribute
+        (Delta reads its checkpoint exactly this way). Driver memory is
+        O(surviving files), not O(table files). Semantics identical to
+        ``scan``."""
+        m = self.manifest(version)
+        fdf = self.files_df(version)
+        if f"min__{col}" not in fdf.columns:
+            keep_paths = self._paths(m)
+            info = {
+                "files_total": len(keep_paths),
+                "files_scanned": len(keep_paths),
+                "rows_skipped": 0,
+            }
+        else:
+            keep_cond = (
+                F.col(f"min__{col}").isNull()
+                | ((F.col(f"max__{col}") >= lo) & (F.col(f"min__{col}") <= hi))
+            )
+            agg = fdf.agg(
+                F.count(F.lit(1)).alias("files_total"),
+                F.sum(
+                    F.when(~keep_cond, F.col("rows")).otherwise(F.lit(0))
+                ).alias("rows_skipped"),
+            ).first()
+            kept = fdf.filter(keep_cond).select("path").collect()
+            keep_paths = [r["path"] for r in kept]
+            info = {
+                "files_total": agg["files_total"],
+                "files_scanned": len(keep_paths),
+                "rows_skipped": int(agg["rows_skipped"] or 0),
+            }
+        df = self._read_files(m, keep_paths)
+        return df.filter(F.col(col).between(lo, hi)), info
 
     def _read_files(self, m: dict, paths: list[str]) -> DataFrame:
         schema = T.StructType.fromDDL(m["schema"])
@@ -330,12 +636,50 @@ class SnapTable:
 
     def append(self, df: DataFrame, bucket_col: str | None = None) -> int:
         """New snapshot = parent's files + the new files. Retries on a
-        lost commit race (the rebase is trivial: appends commute)."""
+        lost commit race (the rebase is trivial: appends commute).
+        Columnar parents carry their checkpoint TABLE through — the
+        append does zero per-carried-file driver work."""
         m = self.manifest()
         return self._commit_new_files(
-            df, m["stat_cols"], bucket_col, op="append", carry=m["files"],
+            df, m["stat_cols"], bucket_col, op="append",
+            carry=self._carry(m),
             bloom_cols=tuple(m.get("bloom_cols", ())),
         )
+
+    def _split_by_range(self, m: dict, col: str, lo, hi):
+        """Partition a manifest's entries into (carry, rewrite_paths):
+        carry = files whose stats PROVE no row hits [lo, hi] (kept in
+        whatever representation the manifest uses — the arrow slice for
+        columnar, dicts for inline); rewrite_paths = everything else."""
+        if "files_ckpt" not in m:
+            carry, rewrite = [], []
+            for e in m["files"]:
+                st = e["stats"].get(col)
+                if st is not None and st["min"] is not None and (
+                    st["max"] < lo or st["min"] > hi
+                ):
+                    carry.append(e)
+                else:
+                    rewrite.append(e)
+            return carry, [e["path"] for e in rewrite]
+        import pyarrow.compute as pc
+
+        tbl = self._entries_arrow(m)
+        if f"min__{col}" not in set(tbl.column_names):
+            # no stats: rewrite all
+            return tbl.slice(0, 0), tbl.column("path").to_pylist()
+        mn, mx = tbl.column(f"min__{col}"), tbl.column(f"max__{col}")
+        # carry = provably clean: stats present AND disjoint from [lo, hi]
+        carry_mask = pc.and_kleene(
+            pc.invert(pc.is_null(mn)),
+            pc.or_(pc.less(mx, lo), pc.greater(mn, hi)),
+        )
+        carry_mask = pc.fill_null(carry_mask, False)
+        carry_tbl = tbl.filter(carry_mask)
+        rewrite_paths = (
+            tbl.filter(pc.invert(carry_mask)).column("path").to_pylist()
+        )
+        return carry_tbl, rewrite_paths
 
     def delete_where(self, col: str, lo, hi) -> int:
         """Copy-on-write delete of rows with ``col BETWEEN lo AND hi``:
@@ -343,20 +687,12 @@ class SnapTable:
         the rest are rewritten without the matching rows (dropped
         entirely if emptied)."""
         m = self.manifest()
-        carry, rewrite = [], []
-        for e in m["files"]:
-            st = e["stats"].get(col)
-            if st is not None and st["min"] is not None and (
-                st["max"] < lo or st["min"] > hi
-            ):
-                carry.append(e)
-            else:
-                rewrite.append(e)
-        if not rewrite:
+        carry, rewrite_paths = self._split_by_range(m, col, lo, hi)
+        if not rewrite_paths:
             return self._commit(m["stat_cols"], "delete", carry, [])
-        survivors = self._read_files(
-            m, [e["path"] for e in rewrite]
-        ).filter(~F.col(col).between(lo, hi))
+        survivors = self._read_files(m, rewrite_paths).filter(
+            ~F.col(col).between(lo, hi)
+        )
         # preserve the per-file clustering: one output file per source
         # bucket (bucket id recovered from the file name).
         return self._commit_new_files(
@@ -365,7 +701,7 @@ class SnapTable:
             bucket_col=None,
             op="delete",
             carry=carry,
-            n_out=len(rewrite),
+            n_out=len(rewrite_paths),
             bloom_cols=tuple(m.get("bloom_cols", ())),
         )
 
@@ -384,17 +720,9 @@ class SnapTable:
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
         ).first()
         if b["lo"] is None:  # empty source: metadata-only no-op commit
-            return self._commit(m["stat_cols"], "merge", m["files"], [])
-        carry, cand = [], []
-        for e in m["files"]:
-            st = e["stats"].get(key_col)
-            if st is not None and st["min"] is not None and (
-                st["max"] < b["lo"] or st["min"] > b["hi"]
-            ):
-                carry.append(e)
-            else:
-                cand.append(e)
-        existing = self._read_files(m, [e["path"] for e in cand])
+            return self._commit(m["stat_cols"], "merge", self._carry(m), [])
+        carry, cand_paths = self._split_by_range(m, key_col, b["lo"], b["hi"])
+        existing = self._read_files(m, cand_paths)
         kept = existing.join(
             F.broadcast(source.select(key_col).distinct()),
             on=key_col,
@@ -403,7 +731,7 @@ class SnapTable:
         out = kept.unionByName(source, allowMissingColumns=True)
         return self._commit_new_files(
             out, m["stat_cols"], bucket_col=None, op="merge", carry=carry,
-            n_out=max(1, len(cand)),
+            n_out=max(1, len(cand_paths)),
             bloom_cols=tuple(m.get("bloom_cols", ())),
         )
 
@@ -418,10 +746,10 @@ class SnapTable:
         empty — the known CDC cost of rewrites, which is why Delta's
         CDF materializes change files instead)."""
         mf, mt = self.manifest(v_from), self.manifest(v_to)
-        from_paths = {e["path"] for e in mf["files"]}
-        to_paths = {e["path"] for e in mt["files"]}
-        added = [e["path"] for e in mt["files"] if e["path"] not in from_paths]
-        removed = [e["path"] for e in mf["files"] if e["path"] not in to_paths]
+        from_paths = set(self._paths(mf))
+        to_paths = set(self._paths(mt))
+        added = [p for p in self._paths(mt) if p not in from_paths]
+        removed = [p for p in self._paths(mf) if p not in to_paths]
         a = self._read_files(mt, added)
         r = self._read_files(mt, removed)
         return (
@@ -519,7 +847,7 @@ class SnapTable:
         keep_vs = vs[-retain_versions:]
         keep_files = set()
         for v in keep_vs:
-            keep_files.update(e["path"] for e in self.manifest(v)["files"])
+            keep_files.update(self._paths(self.manifest(v)))
         latest = vs[-1]
         removed_files = 0
         for fn in sorted(os.listdir(self.data_dir)):
@@ -540,11 +868,31 @@ class SnapTable:
                 continue
             os.remove(full)
             removed_files += 1
+        keep_ckpts = {
+            self.manifest(v).get("files_ckpt") for v in keep_vs
+        } - {None}
         removed_manifests = 0
         for v in vs:
             if v not in keep_vs:
                 os.remove(os.path.join(self.snap_dir, f"v{v:08d}.json"))
                 removed_manifests += 1
+        # columnar checkpoints die with their manifests; orphans from
+        # LOST commit races (side-file written, manifest never landed)
+        # are collected too — but only at versions <= latest, an
+        # in-flight writer's side-file (version > latest) is spared
+        # for the same reason as its data files above.
+        for fn in sorted(os.listdir(self.snap_dir)):
+            if not fn.endswith(".files.parquet"):
+                continue
+            rel = os.path.join(_SNAP_DIR, fn)
+            if rel in keep_ckpts:
+                continue
+            try:
+                v = int(fn[1:9])
+            except ValueError:
+                continue
+            if v <= latest:
+                os.remove(os.path.join(self.snap_dir, fn))
         return {
             "removed_files": removed_files,
             "removed_manifests": removed_manifests,
@@ -637,19 +985,23 @@ class SnapTable:
                 "stat_cols": stat_cols,
                 "bloom_cols": list(bloom_cols),
                 "constraints": self._constraints(),
-                "files": carry + entries,
             }
+            entry_fields = self._finalize_entries(
+                version, carry, entries, stat_cols, bloom_cols
+            )
+            manifest.update(entry_fields)
             if self._try_write_manifest(version, manifest):
                 shutil.rmtree(stage, ignore_errors=True)
                 return version
-            # lost the race: put files back on stage, then decide.
+            # lost the race: put files back on stage, drop our
+            # side-file for the lost version, then decide.
+            self._drop_ckpt(entry_fields)
             for dst, src in moved:
                 os.replace(dst, src)
             if op == "append":
                 # appends commute: rebase the carry list onto the new
                 # latest and retry.
-                m = self.manifest()
-                carry = m["files"]
+                carry = self._carry(self.manifest())
             elif op == "create":
                 shutil.rmtree(stage, ignore_errors=True)
                 raise FileExistsError(
@@ -672,19 +1024,25 @@ class SnapTable:
         computed against the manifest read by the CALLER, so a lost
         race means that basis is stale — raise, don't silently retry
         (same lost-update hazard as the data-commit path)."""
-        version = self.latest_version() + 1
+        base = self.manifest()
+        version = base["version"] + 1
         manifest = {
             "version": version,
-            "parent": self.latest_version(),
+            "parent": base["version"],
             "operation": op,
-            "schema": self.manifest()["schema"],
+            "schema": base["schema"],
             "stat_cols": stat_cols,
-            "bloom_cols": list(self.manifest().get("bloom_cols", [])),
+            "bloom_cols": list(base.get("bloom_cols", [])),
             "constraints": self._constraints(),
-            "files": carry + entries,
         }
+        entry_fields = self._finalize_entries(
+            version, carry, entries, stat_cols,
+            tuple(base.get("bloom_cols", [])),
+        )
+        manifest.update(entry_fields)
         if self._try_write_manifest(version, manifest):
             return version
+        self._drop_ckpt(entry_fields)
         raise ConcurrentCommitError(
             f"snaptable {self.root}: {op} lost a commit race at "
             f"version {version}; re-read the table and retry"

@@ -774,3 +774,146 @@ def test_change_feed_handles_array_and_map_columns(spark, root):
     # map cells as list-of-(key, value) tuples)
     r0 = next(r for r in dels if r[1] == 0)
     assert r0[2] == [0, 1] and list(r0[3]) == [("a", 0)]
+
+
+# -- columnar manifest checkpoints (the 100 TB metadata plane) ----------------
+
+
+def test_columnar_checkpoint_lifecycle_matches_inline(spark, root):
+    """With checkpoint_threshold=1 every manifest is a parquet
+    checkpoint; the whole lifecycle (create/append/delete/merge/
+    compact/time-travel/CDC) must behave identically to the inline-JSON
+    representation."""
+    t = SnapTable(spark, root, checkpoint_threshold=1)
+    t.create(_mk(spark, "t", range(250)), stat_cols=["k"], bucket_col="b")
+    m = t.manifest()
+    assert "files" not in m and m["num_files"] == 3
+    assert m["files_ckpt"].endswith(".files.parquet")
+    assert os.path.exists(os.path.join(root, m["files_ckpt"]))
+
+    # reads + pruning off the checkpoint's typed columns
+    assert t.read().count() == 250
+    df, info = t.scan("k", 120, 260)
+    assert info == {"files_total": 3, "files_scanned": 2, "rows_skipped": 100}
+    assert len(df.inputFiles()) == 2 and df.count() == 130
+
+    # append carries the checkpoint table through (still columnar)
+    t.append(_mk(spark, "t", range(250, 300)), bucket_col="b")
+    m2 = t.manifest()
+    assert "files" not in m2 and m2["num_files"] == 4
+    assert t.read().count() == 300
+
+    # CoW delete partitions carry/rewrite off the typed stat columns
+    t.delete_where("k", 0, 99)
+    assert set(r["k"] for r in t.read().collect()) == set(range(100, 300))
+    # merge and compact
+    src = spark.createDataFrame(
+        [(150, "up", -1, 1), (9000, "new", -2, 90)], "k bigint, s string, v bigint, b bigint"
+    )
+    t.merge(src, "k")
+    got = {r["k"]: r["s"] for r in t.read().collect()}
+    assert got[150] == "up" and got[9000] == "new" and len(got) == 201
+    t.compact(n_out=2)
+    assert t.manifest()["num_files"] <= 2
+    assert t.read().count() == 201
+
+    # time travel across representations + CDC
+    assert t.read(1).count() == 250
+    ch = t.changes(2, 3)
+    assert ch.filter("change_type = 'delete'").count() == 100
+
+
+def test_inline_flips_to_columnar_at_threshold(spark, root):
+    """An inline table whose file count crosses the threshold flips to
+    a checkpointed manifest (and stays columnar thereafter)."""
+    t = SnapTable(spark, root, checkpoint_threshold=5)
+    t.create(_mk(spark, "t", range(300)), stat_cols=["k"], bucket_col="b")
+    assert "files" in t.manifest()  # 3 files: inline
+    t.append(_mk(spark, "t", range(300, 500)), bucket_col="b")
+    m = t.manifest()  # 3 + 2 = 5 files: crosses threshold
+    assert "files" not in m and m["num_files"] == 5
+    # sticky: a delete that shrinks below threshold stays columnar
+    t.delete_where("k", 0, 299)
+    assert "files_ckpt" in t.manifest()
+    assert t.read().count() == 200
+    # inline history still reads
+    assert t.read(1).count() == 300
+
+
+def test_scan_planned_spark_job_matches_driver_scan(spark, root):
+    t = SnapTable(spark, root, checkpoint_threshold=1)
+    t.create(_mk(spark, "t", range(500)), stat_cols=["k"], bucket_col="b")
+    d_df, d_info = t.scan("k", 120, 260)
+    s_df, s_info = t.scan_planned("k", 120, 260)
+    assert s_info == d_info
+    assert sorted(r["k"] for r in s_df.collect()) == sorted(
+        r["k"] for r in d_df.collect()
+    )
+    # a column with no stats: both paths scan everything
+    _, i2 = t.scan_planned("v", 0, 10)
+    assert i2["files_scanned"] == i2["files_total"] == 5
+
+
+def test_files_df_is_the_manifest_as_a_relation(spark, root):
+    t = SnapTable(spark, root, checkpoint_threshold=1)
+    t.create(_mk(spark, "t", range(200)), stat_cols=["k"], bucket_col="b")
+    fdf = t.files_df()
+    assert {"path", "rows", "bytes", "stats_json", "min__k", "max__k"} <= set(
+        fdf.columns
+    )
+    rows = {r["path"]: r for r in fdf.collect()}
+    assert len(rows) == 2
+    assert sorted(
+        (r["min__k"], r["max__k"], r["rows"]) for r in rows.values()
+    ) == [(0, 99, 100), (100, 199, 100)]
+
+
+def test_columnar_bloom_point_pruning(spark, root):
+    t = SnapTable(spark, root, checkpoint_threshold=1)
+    df = _mk(spark, "t", range(300)).withColumn(
+        "tag", F.concat(F.lit("tag-"), F.expr("k div 100"))
+    )
+    t.create(df, stat_cols=["k"], bucket_col="b", bloom_cols=["tag"])
+    got, info = t.scan_point("tag", "tag-2")
+    assert got.count() == 100
+    assert info["files_total"] == 3 and info["files_scanned"] < 3
+    # append preserves blooms through the columnar carry
+    t.append(df.filter("k < 10").withColumn("tag", F.lit("tag-x")),
+             bucket_col="b")
+    got2, info2 = t.scan_point("tag", "tag-x")
+    assert got2.count() == 10 and info2["files_total"] == 4
+
+
+def test_columnar_append_race_rebases_and_cleans_side_file(
+    spark, root, monkeypatch
+):
+    """A columnar append that loses the race must retry AND leave no
+    stale side-file at the lost version (vacuum treats leftovers as
+    orphans anyway — belt and braces)."""
+    t = SnapTable(spark, root, checkpoint_threshold=1)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+
+    orig = SnapTable._try_write_manifest
+    state = {"fired": False}
+
+    def inject(self, version, manifest):
+        if not state["fired"] and manifest["operation"] == "append":
+            state["fired"] = True
+            SnapTable(spark, self.root, checkpoint_threshold=1).append(
+                _mk(spark, "t", range(500, 520)), bucket_col="b"
+            )
+        return orig(self, version, manifest)
+
+    monkeypatch.setattr(SnapTable, "_try_write_manifest", inject)
+    v = t.append(_mk(spark, "t", range(100, 140)), bucket_col="b")
+    assert v == 3
+    assert t.read().count() == 160
+    # exactly one side-file per landed version, none orphaned
+    side = sorted(
+        f for f in os.listdir(os.path.join(root, "_snapshots"))
+        if f.endswith(".files.parquet")
+    )
+    referenced = {
+        os.path.basename(t.manifest(x)["files_ckpt"]) for x in (1, 2, 3)
+    }
+    assert set(side) == referenced
