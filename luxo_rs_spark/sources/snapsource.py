@@ -100,6 +100,13 @@ def _entries(root: str, m: dict) -> list[dict]:
     ]
 
 
+def _phys_names(m: dict, names: list[str]) -> list[str]:
+    """Logical -> physical column translation (column mapping): data
+    files store PHYSICAL names; manifests carry the mapping."""
+    mapping = {f["name"]: f["physical"] for f in m.get("fields", [])}
+    return [mapping.get(n, n) for n in names]
+
+
 def _file_rows(root: str, rel_path: str, field_names: list[str]):
     """Read one data file (pyarrow, executor- or driver-side) and yield
     tuples aligned to the table schema — absent columns (older files
@@ -129,7 +136,10 @@ class _SnapTableReader(DataSourceReader):
         self.version = (
             int(options["version"]) if options.get("version") else None
         )
-        self.field_names = [f.name for f in schema.fields]
+        self.field_names = _phys_names(
+            _manifest(self.root, self.version),
+            [f.name for f in schema.fields],
+        )
         self.manifest = _manifest(self.root, self.version)
         self._entry_list = _entry_paths(self.root, self.manifest)
 
@@ -204,12 +214,14 @@ class _SnapTableStreamReader(SimpleDataSourceStreamReader):
             if v_from > 0
             else set()
         )
-        new = _entry_paths(self.root, _manifest(self.root, v_to))
+        m_to = _manifest(self.root, v_to)
+        new = _entry_paths(self.root, m_to)
+        names = _phys_names(m_to, self.field_names)
         rows = []  # materialized: Spark copy.copy()s the iterator,
         # so it must be list-backed (same as the synthdocs reader)
         for p in new:
             if p not in old:
-                rows.extend(_file_rows(self.root, p, self.field_names))
+                rows.extend(_file_rows(self.root, p, names))
         return iter(rows)
 
     def read(self, start):
@@ -276,7 +288,9 @@ class _SnapTableCDFStreamReader(SimpleDataSourceStreamReader):
 
         if v_to <= v_from:
             return iter([])
-        new_entries = _entry_paths(self.root, _manifest(self.root, v_to))
+        m_to = _manifest(self.root, v_to)
+        new_entries = _entry_paths(self.root, m_to)
+        names = _phys_names(m_to, self.field_names)
         old_entries = (
             _entry_paths(self.root, _manifest(self.root, v_from))
             if v_from > 0
@@ -290,7 +304,7 @@ class _SnapTableCDFStreamReader(SimpleDataSourceStreamReader):
             c: Counter = Counter()
             for p in entries:
                 if p not in skip:
-                    for r in _file_rows(self.root, p, self.field_names):
+                    for r in _file_rows(self.root, p, names):
                         c[tuple(freeze(v) for v in r)] += 1
             return c
 

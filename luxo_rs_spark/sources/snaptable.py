@@ -554,7 +554,9 @@ class SnapTable:
         predicate is ALSO applied to the surviving rows (file stats are
         necessary, not sufficient)."""
         m = self.manifest(version)
-        keep_paths, info = self._prune_range(m, col, lo, hi)
+        keep_paths, info = self._prune_range(
+            m, self._physical(m, col), lo, hi
+        )
         df = self._read_files(m, keep_paths)
         return df.filter(F.col(col).between(lo, hi)), info
 
@@ -567,7 +569,9 @@ class SnapTable:
         — the q464 oracle replays them); false negatives are not.
         Returns (DataFrame filtered to ``col == value``, info)."""
         m = self.manifest(version)
-        keep_paths, info = self._prune_point(m, col, value)
+        keep_paths, info = self._prune_point(
+            m, self._physical(m, col), value
+        )
         df = self._read_files(m, keep_paths)
         return df.filter(F.col(col) == value), info
 
@@ -581,7 +585,8 @@ class SnapTable:
         ``scan``."""
         m = self.manifest(version)
         fdf = self.files_df(version)
-        if f"min__{col}" not in fdf.columns:
+        phys = self._physical(m, col)
+        if f"min__{phys}" not in fdf.columns:
             keep_paths = self._paths(m)
             info = {
                 "files_total": len(keep_paths),
@@ -590,8 +595,11 @@ class SnapTable:
             }
         else:
             keep_cond = (
-                F.col(f"min__{col}").isNull()
-                | ((F.col(f"max__{col}") >= lo) & (F.col(f"min__{col}") <= hi))
+                F.col(f"min__{phys}").isNull()
+                | (
+                    (F.col(f"max__{phys}") >= lo)
+                    & (F.col(f"min__{phys}") <= hi)
+                )
             )
             agg = fdf.agg(
                 F.count(F.lit(1)).alias("files_total"),
@@ -609,12 +617,57 @@ class SnapTable:
         df = self._read_files(m, keep_paths)
         return df.filter(F.col(col).between(lo, hi)), info
 
+    # -- column mapping (stable-ID rename/drop/widen; Delta's "name"
+    #    mode: data files address columns by immutable PHYSICAL names,
+    #    the manifest maps logical -> physical, so rename/drop/widen
+    #    are metadata-only commits that never rewrite a file) ----------------
+
+    def _fields(self, m: dict) -> list[dict]:
+        """The manifest's field records [{id, name, physical, type}].
+        Legacy manifests (pre-column-mapping) synthesize physical ==
+        logical from the schema DDL."""
+        if "fields" in m:
+            return m["fields"]
+        return [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "physical": f.name,
+                "type": f.dataType.simpleString(),
+            }
+            for i, f in enumerate(T.StructType.fromDDL(m["schema"]).fields)
+        ]
+
+    def _physical(self, m: dict, logical: str) -> str:
+        for f in self._fields(m):
+            if f["name"] == logical:
+                return f["physical"]
+        raise KeyError(f"snaptable {self.root}: no column {logical!r}")
+
+    @staticmethod
+    def _logical_ddl(fields: list[dict]) -> str:
+        return ", ".join(f"{f['name']} {f['type']}" for f in fields)
+
     def _read_files(self, m: dict, paths: list[str]) -> DataFrame:
-        schema = T.StructType.fromDDL(m["schema"])
+        fields = self._fields(m)
+        logical = T.StructType.fromDDL(m["schema"])
         if not paths:
-            return self.spark.createDataFrame([], schema)
+            return self.spark.createDataFrame([], logical)
+        # read by PHYSICAL name at the CURRENT logical type — Spark 4's
+        # parquet reader widens int->long / float->double natively, so
+        # files written before a widen_column read without rewrite;
+        # files missing a later-added physical column surface NULLs
+        phys_schema = T.StructType(
+            [
+                T.StructField(f["physical"], lf.dataType, True)
+                for f, lf in zip(fields, logical.fields)
+            ]
+        )
         abs_paths = [os.path.join(self.root, p) for p in paths]
-        return self.spark.read.schema(schema).parquet(*abs_paths)
+        df = self.spark.read.schema(phys_schema).parquet(*abs_paths)
+        return df.select(
+            [F.col(f["physical"]).alias(f["name"]) for f in fields]
+        )
 
     # -- writes --------------------------------------------------------------
 
@@ -687,7 +740,9 @@ class SnapTable:
         the rest are rewritten without the matching rows (dropped
         entirely if emptied)."""
         m = self.manifest()
-        carry, rewrite_paths = self._split_by_range(m, col, lo, hi)
+        carry, rewrite_paths = self._split_by_range(
+            m, self._physical(m, col), lo, hi
+        )
         if not rewrite_paths:
             return self._commit(m["stat_cols"], "delete", carry, [])
         survivors = self._read_files(m, rewrite_paths).filter(
@@ -721,7 +776,9 @@ class SnapTable:
         ).first()
         if b["lo"] is None:  # empty source: metadata-only no-op commit
             return self._commit(m["stat_cols"], "merge", self._carry(m), [])
-        carry, cand_paths = self._split_by_range(m, key_col, b["lo"], b["hi"])
+        carry, cand_paths = self._split_by_range(
+            m, self._physical(m, key_col), b["lo"], b["hi"]
+        )
         existing = self._read_files(m, cand_paths)
         kept = existing.join(
             F.broadcast(source.select(key_col).distinct()),
@@ -780,6 +837,122 @@ class SnapTable:
             df, m["stat_cols"], bucket_col=None, op="compact", carry=[],
             n_out=n_out, bloom_cols=tuple(m.get("bloom_cols", ())),
         )
+
+    def _metadata_commit(self, op: str, mutate) -> int:
+        """Commit a pure-metadata change: re-read the latest manifest,
+        apply ``mutate(base) -> changed fields``, try the exclusive
+        create; a lost race REBASES (re-reads, re-applies, revalidates)
+        — safe because mutate carries no stale file lists."""
+        while True:
+            base = self.manifest()
+            version = base["version"] + 1
+            manifest = dict(
+                base, version=version, parent=base["version"], operation=op
+            )
+            manifest.update(mutate(base))
+            if self._try_write_manifest(version, manifest):
+                return version
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only column rename (column mapping): the field
+        keeps its physical name, so no data file is touched and every
+        past version still reads under ITS names. Stats/blooms are
+        keyed by physical name, so data skipping on the renamed column
+        keeps working untouched."""
+
+        def mutate(base: dict) -> dict:
+            fields = [dict(f) for f in self._fields(base)]
+            names = {f["name"] for f in fields}
+            if old not in names:
+                raise KeyError(f"no column {old!r}")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            for sql in base.get("constraints", {}).values():
+                import re
+
+                if re.search(rf"\b{re.escape(old)}\b", sql):
+                    raise ValueError(
+                        f"cannot rename {old!r}: referenced by a CHECK "
+                        f"constraint ({sql!r}); drop the constraint first"
+                    )
+            for f in fields:
+                if f["name"] == old:
+                    f["name"] = new
+            return {
+                "fields": fields,
+                "schema": self._logical_ddl(fields),
+                "retired": list(base.get("retired", [])),
+            }
+
+        return self._metadata_commit("rename_column", mutate)
+
+    def drop_column(self, name: str) -> int:
+        """Metadata-only column drop: the field leaves the schema, its
+        physical name is RETIRED so a later re-add of the same logical
+        name maps to a fresh physical — old files' values never
+        resurface. Time travel to pre-drop versions still sees the
+        column."""
+
+        def mutate(base: dict) -> dict:
+            fields = [dict(f) for f in self._fields(base)]
+            victim = [f for f in fields if f["name"] == name]
+            if not victim:
+                raise KeyError(f"no column {name!r}")
+            if len(fields) == 1:
+                raise ValueError("cannot drop the only column")
+            for sql in base.get("constraints", {}).values():
+                import re
+
+                if re.search(rf"\b{re.escape(name)}\b", sql):
+                    raise ValueError(
+                        f"cannot drop {name!r}: referenced by a CHECK "
+                        f"constraint ({sql!r}); drop the constraint first"
+                    )
+            fields = [f for f in fields if f["name"] != name]
+            retired = list(base.get("retired", []))
+            retired.append(victim[0]["physical"])
+            return {
+                "fields": fields,
+                "schema": self._logical_ddl(fields),
+                "retired": retired,
+            }
+
+        return self._metadata_commit("drop_column", mutate)
+
+    #: metadata-only type widenings the parquet scan performs natively
+    #: (probed on Spark 4: int32 files read under a bigint schema, etc.)
+    _WIDENINGS = {
+        "tinyint": {"smallint", "int", "bigint"},
+        "smallint": {"int", "bigint"},
+        "int": {"bigint"},
+        "float": {"double"},
+    }
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """Metadata-only type widening (int->bigint, float->double,
+        …): old files keep their narrow physical type and the scan
+        up-casts at read — no rewrite, the Delta type-widening table
+        feature."""
+
+        def mutate(base: dict) -> dict:
+            fields = [dict(f) for f in self._fields(base)]
+            fld = next((f for f in fields if f["name"] == name), None)
+            if fld is None:
+                raise KeyError(f"no column {name!r}")
+            allowed = self._WIDENINGS.get(fld["type"], set())
+            if new_type not in allowed:
+                raise ValueError(
+                    f"cannot widen {name!r} {fld['type']} -> {new_type}; "
+                    f"allowed: {sorted(allowed) or 'none'}"
+                )
+            fld["type"] = new_type
+            return {
+                "fields": fields,
+                "schema": self._logical_ddl(fields),
+                "retired": list(base.get("retired", [])),
+            }
+
+        return self._metadata_commit("widen_column", mutate)
 
     def add_constraint(self, name: str, check_sql: str) -> int:
         """Register a CHECK constraint (a boolean SQL expression over
@@ -912,10 +1085,24 @@ class SnapTable:
         bloom_cols: tuple = (),
     ) -> int:
         """Stage data files, collect footer stats distributively, then
-        run the optimistic commit loop."""
+        run the optimistic commit loop. Data files are written with
+        PHYSICAL column names (column mapping): the incoming DataFrame
+        carries logical names; renames here never touch data on disk."""
         import shutil
 
         self._validate_constraints(df)
+        base_m = None if op == "create" else self.manifest()
+        fields, retired = self._evolve_fields(df, base_m)
+        phys_of = {f["name"]: f["physical"] for f in fields}
+        pinned = {
+            f["name"]: f["physical"]
+            for f in fields
+            if base_m is None
+            or f["name"] not in {g["name"] for g in self._fields(base_m)}
+        }
+        wdf = df.select(
+            [F.col(c).alias(phys_of.get(c, c)) for c in df.columns]
+        )
         stage = os.path.join(
             self.data_dir, f"_stage_{os.getpid()}_{id(df) & 0xFFFF:x}"
         )
@@ -928,14 +1115,16 @@ class SnapTable:
             # its column into the directory name).
             shadow = "__snap_bucket__"
             (
-                df.withColumn(shadow, F.col(bucket_col))
+                wdf.withColumn(
+                    shadow, F.col(phys_of.get(bucket_col, bucket_col))
+                )
                 .repartition(32, shadow)
                 .write.mode("overwrite")
                 .partitionBy(shadow)
                 .parquet(stage)
             )
         else:
-            w = df if n_out is None else df.repartition(max(1, n_out))
+            w = wdf if n_out is None else wdf.repartition(max(1, n_out))
             w.write.mode("overwrite").parquet(stage)
 
         # deterministic final names: v{version}-{i}.parquet, assigned in
@@ -976,12 +1165,20 @@ class SnapTable:
                     }
                 )
             parent = version - 1
-            schema_ddl = self._evolved_schema(df, parent, op)
+            if op != "create":
+                # recompute evolution against the CURRENT latest (an
+                # append retry may follow a racer's schema change); our
+                # new columns' physicals are pinned to what we wrote
+                fields, retired = self._evolve_fields(
+                    df, self.manifest(), pinned
+                )
             manifest = {
                 "version": version,
                 "parent": parent if op != "create" else 0,
                 "operation": op,
-                "schema": schema_ddl,
+                "schema": self._logical_ddl(fields),
+                "fields": fields,
+                "retired": retired,
                 "stat_cols": stat_cols,
                 "bloom_cols": list(bloom_cols),
                 "constraints": self._constraints(),
@@ -1031,6 +1228,8 @@ class SnapTable:
             "parent": base["version"],
             "operation": op,
             "schema": base["schema"],
+            "fields": self._fields(base),
+            "retired": list(base.get("retired", [])),
             "stat_cols": stat_cols,
             "bloom_cols": list(base.get("bloom_cols", [])),
             "constraints": self._constraints(),
@@ -1058,21 +1257,50 @@ class SnapTable:
             json.dump(manifest, f, sort_keys=True)
         return True
 
-    def _evolved_schema(self, df: DataFrame, parent: int, op: str) -> str:
-        new_ddl = ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
-        )
-        if op == "create" or parent == 0:
-            return new_ddl
-        old = T.StructType.fromDDL(self.manifest(parent)["schema"])
-        merged = list(old.fields)
-        names = {f.name for f in merged}
-        for f in df.schema.fields:
-            if f.name not in names:  # add-column evolution: widen by name
-                merged.append(T.StructField(f.name, f.dataType, True))
-        return ", ".join(
-            f"{f.name} {f.dataType.simpleString()}" for f in merged
-        )
+    def _evolve_fields(
+        self, df: DataFrame, base_m: dict | None, pinned: dict | None = None
+    ):
+        """Field records for a commit of ``df`` on top of ``base_m``:
+        existing fields unchanged, new columns appended (add-column
+        evolution) with a physical name that never collides with a
+        live OR RETIRED physical — a re-added column after a drop gets
+        a fresh physical, so old files' values do not resurface.
+        ``pinned`` fixes physicals for new columns already written to
+        staged data files (the append-retry path)."""
+        if base_m is None:
+            fields, retired = [], []
+        else:
+            fields = [dict(f) for f in self._fields(base_m)]
+            retired = list(base_m.get("retired", []))
+        used_phys = {f["physical"] for f in fields} | set(retired)
+        names = {f["name"] for f in fields}
+        next_id = max((f["id"] for f in fields), default=0) + 1
+        for sf in df.schema.fields:
+            if sf.name in names:
+                continue
+            phys = (pinned or {}).get(sf.name)
+            if phys is None:
+                phys = (
+                    sf.name
+                    if sf.name not in used_phys
+                    else f"{sf.name}__{next_id}"
+                )
+            elif phys in used_phys:
+                raise ConcurrentCommitError(
+                    f"snaptable {self.root}: column {sf.name!r} evolved "
+                    f"concurrently; re-read the table and retry"
+                )
+            fields.append(
+                {
+                    "id": next_id,
+                    "name": sf.name,
+                    "physical": phys,
+                    "type": sf.dataType.simpleString(),
+                }
+            )
+            used_phys.add(phys)
+            next_id += 1
+        return fields, retired
 
     def _collect_stats(
         self, paths: list[str], stat_cols: list[str], bloom_cols: tuple = ()

@@ -170,8 +170,8 @@ def test_manifest_is_timestamp_free_and_deterministic(spark, root):
     raw = open(os.path.join(root, "_snapshots", "v00000001.json")).read()
     m = json.loads(raw)
     assert set(m) == {
-        "version", "parent", "operation", "schema", "stat_cols",
-        "bloom_cols", "constraints", "files",
+        "version", "parent", "operation", "schema", "fields", "retired",
+        "stat_cols", "bloom_cols", "constraints", "files",
     }
     # rebuilding the same table yields the identical manifest up to the
     # writer-unique file tokens (stats, rows, bytes, schema all equal)
@@ -917,3 +917,131 @@ def test_columnar_append_race_rebases_and_cleans_side_file(
         os.path.basename(t.manifest(x)["files_ckpt"]) for x in (1, 2, 3)
     }
     assert set(side) == referenced
+
+
+# -- column mapping: metadata-only rename / drop / re-add / widen -------------
+
+
+def test_rename_column_is_metadata_only_and_time_travels(spark, root):
+    import glob
+
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    files_before = sorted(glob.glob(os.path.join(root, "data", "*.parquet")))
+    t.rename_column("v", "value")
+    # zero data files touched
+    assert sorted(glob.glob(os.path.join(root, "data", "*.parquet"))) == files_before
+    assert t.manifest()["operation"] == "rename_column"
+    df = t.read()
+    assert "value" in df.columns and "v" not in df.columns
+    assert df.agg(F.sum("value")).first()[0] == sum(k * 3 for k in range(100))
+    # time travel: the pre-rename version reads under ITS name
+    assert "v" in t.read(1).columns and "value" not in t.read(1).columns
+    # appends after the rename write the ORIGINAL physical name, so
+    # old and new files read as one column
+    t.append(
+        t.read().limit(0).unionByName(
+            _mk(spark, "t", range(100, 120)).withColumnRenamed("v", "value")
+        ),
+        bucket_col="b",
+    )
+    assert t.read().agg(F.count("value")).first()[0] == 120
+
+
+def test_rename_keeps_data_skipping_on_stats(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(500)), stat_cols=["k"], bucket_col="b")
+    t.rename_column("k", "key")
+    df, info = t.scan("key", 120, 260)
+    assert info == {"files_total": 5, "files_scanned": 2, "rows_skipped": 300}
+    assert df.count() == 141
+    assert df.agg(F.min("key"), F.max("key")).first() == (120, 260)
+    # delete through the renamed column still prunes carry files
+    t.delete_where("key", 0, 99)
+    assert t.read().count() == 400
+
+
+def test_drop_and_readd_does_not_resurrect_old_values(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(50)), stat_cols=["k"], bucket_col="b")
+    t.drop_column("s")
+    assert "s" not in t.read().columns
+    assert "s" in t.read(1).columns  # time travel unaffected
+    # re-add the same logical name: maps to a FRESH physical, so the
+    # 50 old rows must surface NULL, never their old "s" strings
+    readd = _mk(spark, "t", range(50, 70)).withColumn(
+        "s", F.concat(F.lit("NEW-"), F.col("k"))
+    )
+    t.append(readd.select("k", "v", "b", "s"), bucket_col="b")
+    got = t.read().select("k", "s").collect()
+    by_k = {r["k"]: r["s"] for r in got}
+    assert all(by_k[k] is None for k in range(50))
+    assert all(by_k[k] == f"NEW-{k}" for k in range(50, 70))
+    # the physical name on disk is suffixed (retired name not reused)
+    fields = {f["name"]: f for f in t.manifest()["fields"]}
+    assert fields["s"]["physical"] != "s"
+    assert "s" in t.manifest()["retired"]
+
+
+def test_widen_column_int_to_bigint_without_rewrite(spark, root):
+    import glob
+
+    t = SnapTable(spark, root)
+    df = spark.createDataFrame(
+        [(k, k * 10) for k in range(60)], "k int, v int"
+    ).withColumn("b", F.expr("k div 30"))
+    t.create(df, stat_cols=["k"], bucket_col="b")
+    files_before = sorted(glob.glob(os.path.join(root, "data", "*.parquet")))
+    t.widen_column("v", "bigint")
+    assert sorted(glob.glob(os.path.join(root, "data", "*.parquet"))) == files_before
+    out = t.read()
+    assert dict(out.dtypes)["v"] == "bigint"
+    # append values beyond int range: old int files + new long files
+    # read as one bigint column
+    big = spark.createDataFrame(
+        [(100, 5_000_000_000), (101, 6_000_000_000)], "k int, v bigint"
+    ).withColumn("b", F.lit(3))
+    t.append(big, bucket_col="b")
+    assert t.read().agg(F.max("v")).first()[0] == 6_000_000_000
+    assert t.read().count() == 62
+    # illegal narrowing refused
+    with pytest.raises(ValueError):
+        t.widen_column("v", "int")
+
+
+def test_rename_guarded_by_constraints(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(20)), stat_cols=["k"], bucket_col="b")
+    t.add_constraint("k_nonneg", "k >= 0")
+    with pytest.raises(ValueError, match="constraint"):
+        t.rename_column("k", "key")
+    with pytest.raises(ValueError, match="constraint"):
+        t.drop_column("k")
+    # unconstrained columns still rename fine
+    t.rename_column("v", "val")
+    assert "val" in t.read().columns
+
+
+def test_column_mapping_through_datasource_and_cdf(spark, root):
+    """The DataSource face resolves physical names too: batch reads,
+    pushdown, and the change feed all work on a renamed table."""
+    from luxo_rs_spark.sources.snapsource import register
+
+    register(spark)
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    t.rename_column("k", "key")
+    df = spark.read.format("snaptable").load(root)
+    assert "key" in df.columns
+    assert df.agg(F.sum("key")).first()[0] == sum(range(100))
+    # columnar + renamed together
+    t2root = root + "_ckpt"
+    shutil.rmtree(t2root, ignore_errors=True)
+    try:
+        t2 = SnapTable(spark, t2root, checkpoint_threshold=1)
+        t2.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+        t2.rename_column("k", "key")
+        df2, info2 = t2.scan("key", 0, 49)
+        assert df2.count() == 50 and info2["files_scanned"] == 1
+    finally:
+        shutil.rmtree(t2root, ignore_errors=True)
