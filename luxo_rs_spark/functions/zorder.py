@@ -44,3 +44,24 @@ def z2_sql(a: str, b: str, bits: int = 16) -> str:
         terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
         terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
     return " | ".join(terms)
+
+
+def equiwidth_bucket(c: Column, lo: int, hi: int, n: int) -> Column:
+    """Map an integer column with global range [lo, hi] onto n
+    equal-width buckets 0..n-1 — the normalization step before bit
+    interleaving (Delta's OPTIMIZE ZORDER uses range-partition ids;
+    equal width keeps the assignment an exact, oracle-replayable
+    function of (value, lo, hi) at the cost of skew sensitivity).
+    Pure codegen arithmetic, no UDF."""
+    span = max(1, hi - lo + 1)
+    b = F.floor(((c.cast("bigint") - F.lit(lo)) * n) / F.lit(span))
+    return F.least(F.greatest(b, F.lit(0)), F.lit(n - 1)).cast("bigint")
+
+
+def equiwidth_bucket_sql(c: str, lo: int, hi: int, n: int) -> str:
+    """The identical bucket assignment as ANSI SQL (DuckDB-portable)."""
+    span = max(1, hi - lo + 1)
+    return (
+        f"least(greatest(cast(floor((({c} - {lo}) * {n}) / {span}) "
+        f"as bigint), 0), {n - 1})"
+    )

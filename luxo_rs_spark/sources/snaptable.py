@@ -575,6 +575,67 @@ class SnapTable:
         df = self._read_files(m, keep_paths)
         return df.filter(F.col(col) == value), info
 
+    def scan_where(self, preds: list[tuple], version: int | None = None):
+        """Composed file pruning: ``preds`` is a list of
+        ``(col, "=", v)`` / ``(col, "between", lo, hi)`` /
+        ``(col, "bloom", v)`` predicates; a file survives only if EVERY
+        predicate admits it (partition equality, min/max range, and
+        Bloom membership all compose — the hive-partition + stats +
+        bloom stack of a lakehouse scan). Returns ``(DataFrame filtered
+        to the conjunction, info)``."""
+        m = self.manifest(version)
+        keep: set[str] | None = None
+        total = self._num_files(m)
+        for p in preds:
+            col, op = p[0], p[1]
+            phys = self._physical(m, col)
+            if op == "=":
+                paths, _ = self._prune_range(m, phys, p[2], p[2])
+            elif op == "between":
+                paths, _ = self._prune_range(m, phys, p[2], p[3])
+            elif op == "bloom":
+                paths, _ = self._prune_point(m, phys, p[2])
+            else:
+                raise ValueError(f"unknown predicate op {op!r}")
+            keep = set(paths) if keep is None else keep & set(paths)
+        keep_paths = sorted(keep if keep is not None else self._paths(m))
+        df = self._read_files(m, keep_paths)
+        cond = F.lit(True)
+        for p in preds:
+            col, op = p[0], p[1]
+            if op == "between":
+                cond = cond & F.col(col).between(p[2], p[3])
+            else:  # "=" and "bloom" both mean equality row-level
+                cond = cond & (F.col(col) == p[2])
+        info = {
+            "files_total": total,
+            "files_scanned": len(keep_paths),
+            "rows_skipped": self._rows_skipped(m, set(keep_paths)),
+        }
+        return df.filter(cond), info
+
+    def _rows_skipped(self, m: dict, keep: set[str]) -> int:
+        if not keep and "files_ckpt" in m:
+            import pyarrow.compute as pc
+
+            tbl = self._entries_arrow(m)
+            return int(pc.sum(tbl.column("rows")).as_py() or 0)
+        if "files_ckpt" not in m:
+            return sum(
+                e["rows"] for e in m["files"] if e["path"] not in keep
+            )
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(
+            os.path.join(self.root, m["files_ckpt"]),
+            columns=["path", "rows"],
+        )
+        mask = pc.is_in(tbl.column("path"), value_set=pa.array(sorted(keep)))
+        skipped = tbl.filter(pc.invert(mask))
+        return int(pc.sum(skipped.column("rows")).as_py() or 0)
+
     def scan_planned(self, col: str, lo, hi, version: int | None = None):
         """Range scan whose PRUNING RUNS AS A SPARK JOB over the
         manifest checkpoint (``files_df`` filtered on the typed stat
@@ -673,30 +734,58 @@ class SnapTable:
 
     def create(self, df: DataFrame, stat_cols: list[str],
                bucket_col: str | None = None,
-               bloom_cols: list[str] | None = None) -> int:
+               bloom_cols: list[str] | None = None,
+               partition_col: str | None = None) -> int:
         """First snapshot. ``bucket_col`` (an integer column) fixes the
         file layout: one data file per distinct bucket value, giving
         deterministic, stats-tight files (the clustered layout a range
-        scan wants)."""
+        scan wants). ``partition_col`` declares a HIVE-STYLE partition
+        column: one file (or one per bucket) per partition value, the
+        column auto-joins the stat set so every file's entry records
+        its partition value as a degenerate min==max stat — partition
+        pruning is then the same manifest skipping machinery, and it
+        COMPOSES with range and Bloom pruning (see ``scan_where``).
+        New partition values simply appear on append (no registration
+        step), and appends may re-spec the partition column without
+        rewriting old files — partition evolution, Iceberg-style."""
         if self.versions():
             raise FileExistsError(f"snaptable {self.root}: already exists")
         os.makedirs(self.snap_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        stat_cols = list(stat_cols)
+        if partition_col and partition_col not in stat_cols:
+            stat_cols.append(partition_col)
         return self._commit_new_files(
             df, stat_cols, bucket_col, op="create", carry=[],
             bloom_cols=tuple(bloom_cols or ()),
+            partition_col=partition_col,
         )
 
-    def append(self, df: DataFrame, bucket_col: str | None = None) -> int:
+    def append(self, df: DataFrame, bucket_col: str | None = None,
+               partition_col: str | None = None) -> int:
         """New snapshot = parent's files + the new files. Retries on a
         lost commit race (the rebase is trivial: appends commute).
         Columnar parents carry their checkpoint TABLE through — the
-        append does zero per-carried-file driver work."""
+        append does zero per-carried-file driver work. Passing a
+        ``partition_col`` different from the table's current one
+        RE-SPECS the partition layout for new files only (partition
+        evolution): old files keep pruning on their own recorded
+        stats, nothing is rewritten."""
         m = self.manifest()
+        part = partition_col or m.get("partition_col")
+        stat_cols = list(m["stat_cols"])
+        if part:
+            try:
+                part_phys = self._physical(m, part)
+            except KeyError:  # partition col introduced by this append
+                part_phys = part
+            if part_phys not in stat_cols:
+                stat_cols.append(part_phys)
         return self._commit_new_files(
-            df, m["stat_cols"], bucket_col, op="append",
+            df, stat_cols, bucket_col, op="append",
             carry=self._carry(m),
             bloom_cols=tuple(m.get("bloom_cols", ())),
+            partition_col=part,
         )
 
     def _split_by_range(self, m: dict, col: str, lo, hi):
@@ -817,18 +906,52 @@ class SnapTable:
             )
         )
 
-    def compact(self, n_out: int, sort_cols: list[str] | None = None) -> int:
+    def compact(
+        self,
+        n_out: int,
+        sort_cols: list[str] | None = None,
+        zorder_cols: tuple[str, str] | None = None,
+        zbits: int = 8,
+    ) -> int:
         """Rewrite ALL current files into ``n_out`` files — logically
         identical snapshot, small-file pathology gone. With
         ``sort_cols`` this is OPTIMIZE: a range repartition + local
         sort clusters the data so each file's min/max on those columns
         is tight again, restoring `scan()`'s pruning power after
-        appends/merges scattered the key ranges (the Delta OPTIMIZE
-        ZORDER job for the single-dimension case; q124's z-order pairs
-        with this for multi-column)."""
+        appends/merges scattered the key ranges.
+
+        With ``zorder_cols`` (exactly two columns) this is OPTIMIZE
+        ZORDER: each column is equal-width bucketed over its global
+        [min, max] into 2^zbits buckets, the buckets are Morton
+        bit-interleaved (functions/zorder.py — pure codegen, no UDF),
+        and rows land in the file addressed by the z-value's HIGH bits
+        — so every output file is a z-curve tile whose min/max is
+        locally bounded on BOTH dimensions, and ``scan()`` prunes on
+        either column afterwards. The file assignment is an exact
+        function of (value, global min/max): deterministic and
+        replayable by a SQL oracle (unlike repartitionByRange's sampled
+        boundaries). n_out is rounded up to a power of two."""
         m = self.manifest()
         df = self.read()
-        if sort_cols:
+        layout_col = None
+        if zorder_cols:
+            if sort_cols:
+                raise ValueError("sort_cols and zorder_cols are exclusive")
+            from luxo_rs_spark.functions.zorder import equiwidth_bucket, z2
+
+            ca, cb = zorder_cols
+            bounds = df.agg(
+                F.min(ca), F.max(ca), F.min(cb), F.max(cb)
+            ).first()
+            za = equiwidth_bucket(F.col(ca), bounds[0], bounds[1], 1 << zbits)
+            zb = equiwidth_bucket(F.col(cb), bounds[2], bounds[3], 1 << zbits)
+            z = z2(za, zb, bits=zbits)
+            n_pow2 = 1 << max(0, (max(1, n_out) - 1).bit_length())
+            shift = max(0, 2 * zbits - (n_pow2.bit_length() - 1))
+            layout_col = "__snap_zcluster__"
+            df = df.withColumn(layout_col, F.shiftright(z, shift))
+            n_out = None
+        elif sort_cols:
             df = df.repartitionByRange(
                 max(1, n_out), *sort_cols
             ).sortWithinPartitions(*sort_cols)
@@ -836,6 +959,7 @@ class SnapTable:
         return self._commit_new_files(
             df, m["stat_cols"], bucket_col=None, op="compact", carry=[],
             n_out=n_out, bloom_cols=tuple(m.get("bloom_cols", ())),
+            layout_col=layout_col,
         )
 
     def _metadata_commit(self, op: str, mutate) -> int:
@@ -1083,16 +1207,22 @@ class SnapTable:
         carry: list[dict],
         n_out: int | None = None,
         bloom_cols: tuple = (),
+        layout_col: str | None = None,
+        partition_col: str | None = None,
     ) -> int:
         """Stage data files, collect footer stats distributively, then
         run the optimistic commit loop. Data files are written with
         PHYSICAL column names (column mapping): the incoming DataFrame
-        carries logical names; renames here never touch data on disk."""
+        carries logical names; renames here never touch data on disk.
+        ``layout_col`` names a LAYOUT-ONLY column of ``df`` (e.g. the
+        z-cluster id): it drives the one-file-per-value split but is
+        stripped from the written data and the schema."""
         import shutil
 
-        self._validate_constraints(df)
+        data_df = df.drop(layout_col) if layout_col else df
+        self._validate_constraints(data_df)
         base_m = None if op == "create" else self.manifest()
-        fields, retired = self._evolve_fields(df, base_m)
+        fields, retired = self._evolve_fields(data_df, base_m)
         phys_of = {f["name"]: f["physical"] for f in fields}
         pinned = {
             f["name"]: f["physical"]
@@ -1100,27 +1230,43 @@ class SnapTable:
             if base_m is None
             or f["name"] not in {g["name"] for g in self._fields(base_m)}
         }
-        wdf = df.select(
-            [F.col(c).alias(phys_of.get(c, c)) for c in df.columns]
-        )
+        sel = [F.col(c).alias(phys_of.get(c, c)) for c in data_df.columns]
+        if layout_col:
+            sel.append(F.col(layout_col))
+        wdf = df.select(sel)
         stage = os.path.join(
             self.data_dir, f"_stage_{os.getpid()}_{id(df) & 0xFFFF:x}"
         )
-        if bucket_col is not None:
-            # all rows of a bucket land in one task (hash on the bucket
-            # key) -> exactly one file per bucket directory, whatever
-            # the task count — no distinct-count pre-job needed. A
-            # SHADOW of the bucket column drives partitionBy so the real
-            # column survives inside the data files (partitionBy strips
-            # its column into the directory name).
-            shadow = "__snap_bucket__"
+        if layout_col is not None:
+            # one file per distinct layout value; partitionBy strips the
+            # layout column from the written data
             (
-                wdf.withColumn(
-                    shadow, F.col(phys_of.get(bucket_col, bucket_col))
-                )
-                .repartition(32, shadow)
+                wdf.repartition(32, layout_col)
                 .write.mode("overwrite")
-                .partitionBy(shadow)
+                .partitionBy(layout_col)
+                .parquet(stage)
+            )
+        elif bucket_col is not None or partition_col is not None:
+            # all rows of a (partition, bucket) pair land in one task
+            # (hash on the keys) -> exactly one file per directory,
+            # whatever the task count — no distinct-count pre-job
+            # needed. SHADOWS of the layout columns drive partitionBy so
+            # the real columns survive inside the data files
+            # (partitionBy strips its columns into the directory name).
+            shadows, wdf2 = [], wdf
+            for col, shadow in (
+                (partition_col, "__snap_part__"),
+                (bucket_col, "__snap_bucket__"),
+            ):
+                if col is not None:
+                    wdf2 = wdf2.withColumn(
+                        shadow, F.col(phys_of.get(col, col))
+                    )
+                    shadows.append(shadow)
+            (
+                wdf2.repartition(32, *shadows)
+                .write.mode("overwrite")
+                .partitionBy(*shadows)
                 .parquet(stage)
             )
         else:
@@ -1170,7 +1316,7 @@ class SnapTable:
                 # append retry may follow a racer's schema change); our
                 # new columns' physicals are pinned to what we wrote
                 fields, retired = self._evolve_fields(
-                    df, self.manifest(), pinned
+                    data_df, self.manifest(), pinned
                 )
             manifest = {
                 "version": version,
@@ -1183,6 +1329,9 @@ class SnapTable:
                 "bloom_cols": list(bloom_cols),
                 "constraints": self._constraints(),
             }
+            part = partition_col or (base_m or {}).get("partition_col")
+            if part:
+                manifest["partition_col"] = part
             entry_fields = self._finalize_entries(
                 version, carry, entries, stat_cols, bloom_cols
             )
@@ -1234,6 +1383,8 @@ class SnapTable:
             "bloom_cols": list(base.get("bloom_cols", [])),
             "constraints": self._constraints(),
         }
+        if base.get("partition_col"):
+            manifest["partition_col"] = base["partition_col"]
         entry_fields = self._finalize_entries(
             version, carry, entries, stat_cols,
             tuple(base.get("bloom_cols", [])),

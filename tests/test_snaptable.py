@@ -1045,3 +1045,127 @@ def test_column_mapping_through_datasource_and_cdf(spark, root):
         assert df2.count() == 50 and info2["files_scanned"] == 1
     finally:
         shutil.rmtree(t2root, ignore_errors=True)
+
+
+def test_zorder_optimize_restores_pruning_on_both_dimensions(spark, root):
+    """OPTIMIZE ZORDER (k, c): before, the bucket-by-k layout prunes k
+    probes but scans EVERY file for c probes; after, z-curve tiles keep
+    both dimensions locally bounded so both probes skip files. The
+    rewrite is logically identical and the z-cluster id never appears
+    as a table column."""
+    t = SnapTable(spark, root)
+    # c deliberately anti-correlated with k so the k-bucketed layout is
+    # worthless for c probes
+    df = spark.createDataFrame(
+        [(k, (k * 7919) % 1024, k * 3) for k in range(1024)],
+        "k bigint, c bigint, v bigint",
+    ).withColumn("b", F.expr("k div 128"))
+    t.create(df.select("k", "c", "v", "b"), stat_cols=["k", "c"],
+             bucket_col="b")
+    fp = t.read().agg(F.sum("k"), F.sum("c"), F.sum("v"), F.count("*")).first()
+
+    _, info_c_before = t.scan("c", 100, 163)
+    assert info_c_before["files_scanned"] == info_c_before["files_total"] == 8
+
+    t.compact(n_out=16, zorder_cols=("k", "c"))
+    m = t.manifest()
+    assert m["operation"] == "compact"
+    assert set(t.read().columns) == {"k", "c", "v", "b"}  # no z residue
+    assert t.read().agg(
+        F.sum("k"), F.sum("c"), F.sum("v"), F.count("*")
+    ).first() == fp
+
+    _, info_c_after = t.scan("c", 100, 163)
+    _, info_k_after = t.scan("k", 100, 163)
+    # both dimensions now prune: a 1/16-width probe on either column
+    # touches a strict subset of the files
+    assert info_c_after["files_scanned"] < info_c_after["files_total"]
+    assert info_k_after["files_scanned"] < info_k_after["files_total"]
+    # and the probes still return exactly the right rows
+    df_c, _ = t.scan("c", 100, 163)
+    assert sorted(r["c"] for r in df_c.collect()) == sorted(
+        (k * 7919) % 1024 for k in range(1024) if 100 <= (k * 7919) % 1024 <= 163
+    )
+
+
+# -- partitioned layout + composed pruning ------------------------------------
+
+
+def test_partitioned_layout_and_composed_pruning(spark, root):
+    """Hive-style partition column: one file per (partition, bucket),
+    partition equality pruning composes with min/max range and Bloom
+    membership in a single scan_where; new partition values appear on
+    append with no registration step."""
+    t = SnapTable(spark, root)
+    df = spark.createDataFrame(
+        [
+            (k, ["eu", "us", "ap"][k % 3], f"tag-{k % 5}", k * 2)
+            for k in range(300)
+        ],
+        "k bigint, region string, tag string, v bigint",
+    ).withColumn("b", F.expr("k div 150"))
+    t.create(
+        df, stat_cols=["k"], bucket_col="b", bloom_cols=["tag"],
+        partition_col="region",
+    )
+    m = t.manifest()
+    assert m["partition_col"] == "region"
+    # 3 partitions x 2 buckets = 6 files, each single-valued on region
+    assert len(m["files"]) == 6
+    assert all(
+        e["stats"]["region"]["min"] == e["stats"]["region"]["max"]
+        for e in m["files"]
+    )
+
+    # partition equality alone: reads exactly that partition's files
+    dfp, info = t.scan_where([("region", "=", "eu")])
+    assert info["files_scanned"] == 2 and info["files_total"] == 6
+    assert dfp.count() == 100
+    assert info["rows_skipped"] == 200
+
+    # compose partition + range + bloom: intersection of all three
+    dfc, infoc = t.scan_where(
+        [("region", "=", "eu"), ("k", "between", 0, 149),
+         ("tag", "bloom", "tag-0")]
+    )
+    assert infoc["files_scanned"] == 1
+    got = sorted(r["k"] for r in dfc.collect())
+    assert got == [k for k in range(0, 150) if k % 3 == 0 and k % 5 == 0]
+
+    # partition evolution: append under a DIFFERENT partition column;
+    # old files untouched, new files prune on the new column
+    extra = spark.createDataFrame(
+        [(k, "eu", f"tag-{k % 5}", k * 2) for k in range(1000, 1040)],
+        "k bigint, region string, tag string, v bigint",
+    ).withColumn("b", F.lit(9))
+    t.append(extra, partition_col="tag")
+    m2 = t.manifest()
+    assert m2["partition_col"] == "tag"
+    assert len(m2["files"]) == 6 + 5  # 5 new tag partitions
+    dft, infot = t.scan_where([("tag", "=", "tag-1")])
+    # old files lack single-valued tag stats -> min/max still prunes
+    # SOME but bloom/plain row filter keeps correctness
+    assert sorted(r["k"] for r in dft.collect()) == sorted(
+        [k for k in range(300) if k % 5 == 1]
+        + [k for k in range(1000, 1040) if k % 5 == 1]
+    )
+    # the new tag files are single-valued: exactly one new file kept
+    new_kept = [
+        p for p in dft.inputFiles() if "v00000002" in p
+    ]
+    assert len(new_kept) == 1
+
+
+def test_partitioned_columnar_checkpoint(spark, root):
+    """Partition pruning through the columnar checkpoint path."""
+    t = SnapTable(spark, root, checkpoint_threshold=1)
+    df = spark.createDataFrame(
+        [(k, ["a", "b"][k % 2], k) for k in range(200)],
+        "k bigint, p string, v bigint",
+    ).withColumn("b", F.expr("k div 100"))
+    t.create(df, stat_cols=["k"], bucket_col="b", partition_col="p")
+    assert "files_ckpt" in t.manifest()
+    dfp, info = t.scan_where([("p", "=", "a"), ("k", "between", 0, 99)])
+    assert info["files_scanned"] == 1 and info["files_total"] == 4
+    assert dfp.count() == 50
+    assert info["rows_skipped"] == 150
