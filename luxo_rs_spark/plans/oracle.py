@@ -10519,3 +10519,128 @@ WINDOW win AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
                AND CURRENT ROW)
 ORDER BY bucket
 """
+
+
+# q471: the full OPTIMIZE ZORDER layout replayed in SQL — exact global
+# min/max bounds, the equal-width bucket assignment, the Morton bit
+# interleave (z2_sql, the same expression family as q124), the
+# high-4-bit tile id, then the before/after per-file min/max skipping
+# arithmetic and the matched-row aggregates.
+ORACLE_SQL["q471_snaptable_zorder_optimize"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 256 AS b
+  FROM orders WHERE o_orderkey < 4096
+), f1 AS (
+  SELECT b, min(c) AS mnc, max(c) AS mxc, count(*) AS n
+  FROM base GROUP BY b
+), bounds AS (
+  SELECT min(k) AS klo, max(k) AS khi, min(c) AS clo, max(c) AS chi
+  FROM base
+), zed AS (
+  SELECT k, c, cents,
+    least(greatest(CAST(floor(((k - klo) * 256) / (khi - klo + 1))
+                   AS BIGINT), 0), 255) AS za,
+    least(greatest(CAST(floor(((c - clo) * 256) / (chi - clo + 1))
+                   AS BIGINT), 0), 255) AS zb
+  FROM base, bounds
+), tiled AS (
+  SELECT k, c, cents, ((((za >> 0) & 1) << 0) | (((zb >> 0) & 1) << 1) | (((za >> 1) & 1) << 2) | (((zb >> 1) & 1) << 3) | (((za >> 2) & 1) << 4) | (((zb >> 2) & 1) << 5) | (((za >> 3) & 1) << 6) | (((zb >> 3) & 1) << 7) | (((za >> 4) & 1) << 8) | (((zb >> 4) & 1) << 9) | (((za >> 5) & 1) << 10) | (((zb >> 5) & 1) << 11) | (((za >> 6) & 1) << 12) | (((zb >> 6) & 1) << 13) | (((za >> 7) & 1) << 14) | (((zb >> 7) & 1) << 15)) >> 12 AS tile FROM zed
+), f2 AS (
+  SELECT tile, min(c) AS mnc, max(c) AS mxc,
+         min(k) AS mnk, max(k) AS mxk, count(*) AS n
+  FROM tiled GROUP BY tile
+)
+SELECT '1_c_pre' AS probe,
+  CAST((SELECT count(*) FROM f1) AS INT) AS files_total,
+  CAST((SELECT count(*) FROM f1 WHERE mxc >= 100 AND mnc <= 400) AS INT)
+    AS files_scanned,
+  CAST((SELECT coalesce(sum(n), 0) FROM f1
+        WHERE NOT (mxc >= 100 AND mnc <= 400)) AS BIGINT) AS rows_skipped,
+  CAST((SELECT count(*) FROM base WHERE c BETWEEN 100 AND 400) AS BIGINT)
+    AS n_rows,
+  CAST((SELECT sum(cents) FROM base WHERE c BETWEEN 100 AND 400) AS BIGINT)
+    AS sum_cents
+UNION ALL
+SELECT '2_c_post',
+  CAST((SELECT count(*) FROM f2) AS INT),
+  CAST((SELECT count(*) FROM f2 WHERE mxc >= 100 AND mnc <= 400) AS INT),
+  CAST((SELECT coalesce(sum(n), 0) FROM f2
+        WHERE NOT (mxc >= 100 AND mnc <= 400)) AS BIGINT),
+  CAST((SELECT count(*) FROM base WHERE c BETWEEN 100 AND 400) AS BIGINT),
+  CAST((SELECT sum(cents) FROM base WHERE c BETWEEN 100 AND 400) AS BIGINT)
+UNION ALL
+SELECT '3_k_post',
+  CAST((SELECT count(*) FROM f2) AS INT),
+  CAST((SELECT count(*) FROM f2 WHERE mxk >= 700 AND mnk <= 2300) AS INT),
+  CAST((SELECT coalesce(sum(n), 0) FROM f2
+        WHERE NOT (mxk >= 700 AND mnk <= 2300)) AS BIGINT),
+  CAST((SELECT count(*) FROM base WHERE k BETWEEN 700 AND 2300) AS BIGINT),
+  CAST((SELECT sum(cents) FROM base WHERE k BETWEEN 700 AND 2300) AS BIGINT)
+ORDER BY probe
+"""
+
+
+# q472: partitioned lifecycle replayed — file population = group by
+# (partition value, bucket) per commit's own partition spec, composed
+# skipping = intersection of the per-predicate admit sets (the create's
+# files carry status stats, the evolved append's files carry BOTH
+# status and prio stats), aggregates exact.
+ORACLE_SQL["q472_snaptable_partitioned"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 1024 AS b
+  FROM orders WHERE o_orderkey < 2048
+), extra AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status, o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 1024 AS b
+  FROM orders WHERE o_orderkey >= 2048 AND o_orderkey < 3072
+), f1 AS (
+  SELECT status AS part, b, min(k) AS mnk, max(k) AS mxk,
+         min(status) AS mns, max(status) AS mxs, count(*) AS n
+  FROM base GROUP BY status, b
+), f2 AS (
+  SELECT prio AS part, b, min(k) AS mnk, max(k) AS mxk,
+         min(status) AS mns, max(status) AS mxs,
+         min(prio) AS mnp, max(prio) AS mxp, count(*) AS n
+  FROM extra GROUP BY prio, b
+), alln AS (
+  SELECT coalesce((SELECT sum(n) FROM f1), 0)
+       + coalesce((SELECT sum(n) FROM f2), 0) AS total_rows,
+         (SELECT count(*) FROM f1) + (SELECT count(*) FROM f2) AS total_files
+)
+SELECT '1_status_k' AS probe,
+  CAST((SELECT total_files FROM alln) AS INT) AS files_total,
+  CAST((SELECT count(*) FROM f1
+        WHERE mxs >= 'F' AND mns <= 'F' AND mxk >= 0 AND mnk <= 1023)
+     + (SELECT count(*) FROM f2
+        WHERE mxs >= 'F' AND mns <= 'F' AND mxk >= 0 AND mnk <= 1023)
+       AS INT) AS files_scanned,
+  CAST((SELECT total_rows FROM alln)
+     - (SELECT coalesce(sum(n), 0) FROM f1
+        WHERE mxs >= 'F' AND mns <= 'F' AND mxk >= 0 AND mnk <= 1023)
+     - (SELECT coalesce(sum(n), 0) FROM f2
+        WHERE mxs >= 'F' AND mns <= 'F' AND mxk >= 0 AND mnk <= 1023)
+       AS BIGINT) AS rows_skipped,
+  CAST((SELECT count(*) FROM base
+        WHERE status = 'F' AND k BETWEEN 0 AND 1023) AS BIGINT) AS n_rows,
+  CAST((SELECT coalesce(sum(cents), 0) FROM base
+        WHERE status = 'F' AND k BETWEEN 0 AND 1023) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT '2_prio',
+  CAST((SELECT total_files FROM alln) AS INT),
+  CAST((SELECT count(*) FROM f1)
+     + (SELECT count(*) FROM f2
+        WHERE mxp >= '1-URGENT' AND mnp <= '1-URGENT') AS INT),
+  CAST((SELECT coalesce(sum(n), 0) FROM f2
+        WHERE NOT (mxp >= '1-URGENT' AND mnp <= '1-URGENT')) AS BIGINT),
+  CAST((SELECT count(*) FROM base WHERE prio = '1-URGENT') +
+       (SELECT count(*) FROM extra WHERE prio = '1-URGENT') AS BIGINT),
+  CAST((SELECT coalesce(sum(cents), 0) FROM base WHERE prio = '1-URGENT') +
+       (SELECT coalesce(sum(cents), 0) FROM extra WHERE prio = '1-URGENT')
+       AS BIGINT)
+ORDER BY probe
+"""

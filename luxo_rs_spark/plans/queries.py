@@ -17767,3 +17767,142 @@ def q469_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_instances").over(w).cast("bigint").alias("cum_instances"),
         F.sum("n_new").over(w).cast("bigint").alias("cum_vocab"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Q471 — snapshot table OPTIMIZE ZORDER (round 9). The table is created
+# clustered on k (one file per k-bucket): a range probe on the SECOND
+# dimension c scans every file. compact(zorder_cols=(k, c)) equal-width
+# buckets both columns over their exact global ranges, Morton-
+# interleaves the buckets (functions/zorder.py — pure codegen), and
+# files rows by the z-value's high 4 bits: a deterministic z-curve
+# tiling, so the SAME c-probe afterwards skips most files while the
+# k-probe still prunes. Every number — per-file min/max before AND
+# after, the skipping arithmetic, the matched-row aggregates — is an
+# exact integer function of the orders table, so the oracle replays the
+# full layout including the bit interleave (z2_sql) in SQL.
+# 100 TB story: the z-assignment is one codegen projection + a hash
+# repartition on the tile id (no sampled range partitioner, no window),
+# and file-level two-dimensional skipping is what makes point-in-range
+# queries on a petabyte fact table touch megabytes.
+# ---------------------------------------------------------------------------
+@query("q471_snaptable_zorder_optimize")
+def q471_snaptable_zorder_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q469"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4096)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("o_orderkey div 256").alias("b"),
+        )
+    )
+    t = SnapTable(spark, root)
+    t.create(base, stat_cols=["k", "c"], bucket_col="b")
+
+    probes = []  # (name, col, lo, hi, info, df)
+    c_lo, c_hi = 100, 400
+    k_lo, k_hi = 700, 2300
+    df1, i1 = t.scan("c", c_lo, c_hi)
+    probes.append(("1_c_pre", df1, i1))
+    t.compact(n_out=16, zorder_cols=("k", "c"), zbits=8)
+    df2, i2 = t.scan("c", c_lo, c_hi)
+    probes.append(("2_c_post", df2, i2))
+    df3, i3 = t.scan("k", k_lo, k_hi)
+    probes.append(("3_k_post", df3, i3))
+
+    outs = [
+        df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(
+            F.lit(name).alias("probe"),
+            F.lit(info["files_total"]).cast("int").alias("files_total"),
+            F.lit(info["files_scanned"]).cast("int").alias("files_scanned"),
+            F.lit(info["rows_skipped"]).cast("bigint").alias("rows_skipped"),
+            "n_rows",
+            "sum_cents",
+        )
+        for name, df, info in probes
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q472 — partitioned snapshot table lifecycle (round 9): hive-style
+# partition column (one file per partition x bucket, the partition
+# value recorded as a degenerate min==max file stat), composed pruning
+# (partition equality AND a k-range in one scan_where pass), and
+# partition EVOLUTION — an append re-specs the partition column to
+# o_orderpriority without rewriting the original files. The oracle
+# recomputes the whole thing from orders: file population = group by
+# (partition, bucket), composed skipping = the intersection arithmetic,
+# matched aggregates exact.
+# ---------------------------------------------------------------------------
+@query("q472_snaptable_partitioned")
+def q472_snaptable_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q470"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") < 2048).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("o_orderkey div 1024").alias("b"),
+    )
+    extra = orders.filter(
+        (F.col("o_orderkey") >= 2048) & (F.col("o_orderkey") < 3072)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("o_orderkey div 1024").alias("b"),
+    )
+    t = SnapTable(spark, root)
+    t.create(base, stat_cols=["k"], bucket_col="b", partition_col="status")
+    t.append(extra, bucket_col="b", partition_col="prio")  # evolution
+
+    df1, i1 = t.scan_where([("status", "=", "F"), ("k", "between", 0, 1023)])
+    df2, i2 = t.scan_where([("prio", "=", "1-URGENT")])
+
+    outs = [
+        df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(
+            F.lit(name).alias("probe"),
+            F.lit(info["files_total"]).cast("int").alias("files_total"),
+            F.lit(info["files_scanned"]).cast("int").alias("files_scanned"),
+            F.lit(info["rows_skipped"]).cast("bigint").alias("rows_skipped"),
+            "n_rows",
+            "sum_cents",
+        )
+        for name, df, info in (("1_status_k", df1, i1), ("2_prio", df2, i2))
+    ]
+    return outs[0].unionAll(outs[1]).orderBy("probe")
