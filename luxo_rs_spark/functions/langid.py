@@ -110,13 +110,17 @@ def score_char_trigram_lid(
         .cast("bigint")
         .alias("n_trigrams"),
     ).filter(F.col("n_trigrams") >= 1)
-    # ONE join on the trigram key — model BROADCAST explicitly (a few
-    # hundred k rows of (g, lang, long): well under executor memory,
-    # and a shuffle+sort of the 1.5M instance rows is the alternative);
-    # langs with zero overlapping trigrams for a doc are restored by
-    # the doc x lang frame below
+    # ONE join on the trigram key. No FORCED broadcast hint: a
+    # fixture-scale model (a few hundred k rows of (g, lang, long)) is
+    # flipped to a broadcast hash join by AQE at runtime from its
+    # actual materialized size, while a corpus-scale multi-language
+    # model (10^6+ trigrams x many languages) that would blow the
+    # broadcast limit falls back to a shuffle join instead of OOMing
+    # the driver — the hint used to override exactly that safety valve.
+    # Langs with zero overlapping trigrams for a doc are restored by
+    # the doc x lang frame below.
     hits = (
-        inst.join(F.broadcast(model.select("g", "lang", "logc_fp")), "g")
+        inst.join(model.select("g", "lang", "logc_fp"), "g")
         .groupBy(id_col, "lang")
         .agg(F.sum("logc_fp").cast("bigint").alias("s"))
     )

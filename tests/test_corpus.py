@@ -564,3 +564,56 @@ def test_trained_lang_id_learns_and_agrees_with_heuristic(spark):
         "fixture text now carries real language signal - raise the "
         "q456 quality claims"
     )
+
+
+def test_lang_id_model_broadcast_is_aqe_gated_not_forced(spark):
+    """Round-9 verdict item 6: the scoring join must not FORCE a model
+    broadcast. At fixture scale AQE flips it to a broadcast hash join
+    at runtime from the model's actual size; a corpus-scale model
+    (simulated with a 10^6-row synthetic trigram table) must execute
+    through the same code path without a forced driver-side collect of
+    the big side."""
+    from pyspark.sql import functions as F
+
+    from luxo_rs_spark.functions.langid import (
+        score_char_trigram_lid,
+        train_char_trigram_lid,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "en", f"streaming window batch doc {i}") for i in range(50)],
+        "doc_id long, lang string, text string",
+    )
+    model, denoms = train_char_trigram_lid(docs)
+    scored = score_char_trigram_lid(docs, model, denoms)
+    scored.collect()
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    # AQE chose broadcast for the small trained model at runtime
+    assert "BroadcastHashJoin" in plan
+
+    # synthetic 10^6-trigram model: the join still executes (shuffle
+    # fallback allowed) and scores stay exact on the overlap
+    big_model = (
+        spark.range(1_000_000)
+        .select(
+            F.concat(F.lit("g"), F.col("id")).alias("g"),
+            F.lit("xx").alias("lang"),
+            F.lit(1).cast("bigint").alias("c"),
+            F.lit(1000).cast("bigint").alias("logc_fp"),
+        )
+        .unionByName(model.select("g", "lang", "c", "logc_fp"))
+    )
+    import math
+
+    from luxo_rs_spark.functions.langid import FP
+
+    xx_logden = int(round(math.log(2_000_000) * FP))
+    big_denoms = denoms.unionByName(
+        spark.createDataFrame(
+            [("xx", 10**6, xx_logden)], "lang string, t long, logden_fp long"
+        )
+    )
+    out = score_char_trigram_lid(docs, big_model, big_denoms)
+    assert out.count() == 50
+    # the genuine languages still win over the never-matching filler
+    assert out.filter("pred_lang = 'xx'").count() == 0
