@@ -197,11 +197,20 @@ class _SnapTablePushdownReader(_SnapTableReader):
 
 class _SnapTableStreamReader(SimpleDataSourceStreamReader):
     """Tail the table: offset = snapshot version; a batch is the rows
-    of files ADDED between two versions."""
+    of files ADDED between two versions. With
+    ``.option("skipChangeCommits", "true")`` (the Delta option of the
+    same name) rewrite commits — compact/OPTIMIZE/delete/merge — are
+    SKIPPED instead of re-delivered: the batch walks version-by-version
+    and emits only files added by create/append commits, so a
+    mid-stream OPTIMIZE neither duplicates rows nor stalls the tail and
+    every appended row is delivered exactly once."""
 
     def __init__(self, options, schema: StructType):
         self.root = options["path"]
         self.field_names = [f.name for f in schema.fields]
+        self.skip_change = (
+            str(options.get("skipchangecommits", "")).lower() == "true"
+        )
 
     def initialOffset(self):
         return {"v": 0}
@@ -209,19 +218,35 @@ class _SnapTableStreamReader(SimpleDataSourceStreamReader):
     def _added_rows(self, v_from: int, v_to: int):
         if v_to <= v_from:
             return iter(())
-        old = (
+        rows = []  # materialized: Spark copy.copy()s the iterator,
+        # so it must be list-backed (same as the synthdocs reader)
+        if not self.skip_change:
+            old = (
+                set(_entry_paths(self.root, _manifest(self.root, v_from)))
+                if v_from > 0
+                else set()
+            )
+            m_to = _manifest(self.root, v_to)
+            new = _entry_paths(self.root, m_to)
+            names = _phys_names(m_to, self.field_names)
+            for p in new:
+                if p not in old:
+                    rows.extend(_file_rows(self.root, p, names))
+            return iter(rows)
+        prev_paths = (
             set(_entry_paths(self.root, _manifest(self.root, v_from)))
             if v_from > 0
             else set()
         )
-        m_to = _manifest(self.root, v_to)
-        new = _entry_paths(self.root, m_to)
-        names = _phys_names(m_to, self.field_names)
-        rows = []  # materialized: Spark copy.copy()s the iterator,
-        # so it must be list-backed (same as the synthdocs reader)
-        for p in new:
-            if p not in old:
-                rows.extend(_file_rows(self.root, p, names))
+        for v in range(max(v_from, 0) + 1, v_to + 1):
+            m = _manifest(self.root, v)
+            cur_paths = set(_entry_paths(self.root, m))
+            if m["operation"] in ("create", "append"):
+                names = _phys_names(m, self.field_names)
+                for p in _entry_paths(self.root, m):
+                    if p not in prev_paths:
+                        rows.extend(_file_rows(self.root, p, names))
+            prev_paths = cur_paths
         return iter(rows)
 
     def read(self, start):

@@ -1169,3 +1169,122 @@ def test_partitioned_columnar_checkpoint(spark, root):
     assert info["files_scanned"] == 1 and info["files_total"] == 4
     assert dfp.count() == 50
     assert info["rows_skipped"] == 150
+
+
+def test_streaming_tail_survives_midstream_optimize(spark, root):
+    """Round-9 verdict item 10: append -> tail -> OPTIMIZE -> append ->
+    tail-resume with skipChangeCommits: the compaction commit is
+    neither re-delivered nor a stall — every appended row arrives
+    exactly once, with exact row accounting across the rewrite."""
+    import tempfile
+
+    from luxo_rs_spark.sources.snapsource import register
+
+    register(spark)
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+
+    out = tempfile.mkdtemp(prefix="snapskip_out_")
+    ckpt = tempfile.mkdtemp(prefix="snapskip_ck_")
+    try:
+        def run_once():
+            q = (
+                spark.readStream.format("snaptable")
+                .option("skipChangeCommits", "true")
+                .load(root)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for _ in range(4):
+            run_once()
+            if spark.read.parquet(out).count() >= 100:
+                break
+        assert spark.read.parquet(out).count() == 100
+
+        # mid-stream: an append, then OPTIMIZE rewrites EVERYTHING,
+        # then another append — all between two stream triggers
+        t.append(_mk(spark, "t", range(100, 150)), bucket_col="b")
+        t.compact(n_out=1)
+        t.append(_mk(spark, "t", range(150, 170)), bucket_col="b")
+        for _ in range(4):
+            run_once()
+            if spark.read.parquet(out).count() >= 170:
+                break
+        feed = spark.read.parquet(out)
+        # exactly-once: 100 + 50 + 20, zero re-deliveries of the
+        # compaction's rewritten files
+        assert feed.count() == 170
+        assert feed.select("k").distinct().count() == 170
+        assert sorted(r["k"] for r in feed.collect()) == list(range(170))
+
+        # one more compact + append + resume: still exact
+        t.compact(n_out=2)
+        t.append(_mk(spark, "t", range(170, 180)), bucket_col="b")
+        for _ in range(4):
+            run_once()
+            if spark.read.parquet(out).count() >= 180:
+                break
+        assert sorted(
+            r["k"] for r in spark.read.parquet(out).collect()
+        ) == list(range(180))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_cdf_stream_nets_compaction_to_zero_midstream(spark, root):
+    """The change feed across a compaction version emits NOTHING for
+    the rewrite (multiset diff cancels) while real deletes around it
+    still surface."""
+    import tempfile
+
+    from luxo_rs_spark.sources.snapsource import register
+
+    register(spark)
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(60)), stat_cols=["k"], bucket_col="b")
+
+    out = tempfile.mkdtemp(prefix="snapcdfc_out_")
+    ckpt = tempfile.mkdtemp(prefix="snapcdfc_ck_")
+    try:
+        def run_once():
+            q = (
+                spark.readStream.format("snaptable")
+                .option("readChangeFeed", "true")
+                .load(root)
+                .writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        for _ in range(4):
+            run_once()
+            if spark.read.parquet(out).count() >= 60:
+                break
+        assert spark.read.parquet(out).count() == 60
+
+        t.compact(n_out=1)          # pure rewrite: must net to zero
+        t.delete_where("k", 0, 9)   # real change: 10 deletes
+        for _ in range(4):
+            run_once()
+            if spark.read.parquet(out).filter(
+                "change_type = 'delete'"
+            ).count() >= 10:
+                break
+        feed = spark.read.parquet(out)
+        assert feed.filter("change_type = 'insert'").count() == 60
+        dels = feed.filter("change_type = 'delete'")
+        assert sorted(r["k"] for r in dels.collect()) == list(range(10))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
