@@ -109,6 +109,7 @@ class Engine:
         tables=TABLES,
         database: str = "luxo",
         analyze: bool = True,
+        histograms: bool = False,
     ) -> "Engine":
         """External catalog tables + collected CBO statistics.
 
@@ -159,10 +160,29 @@ class Engine:
                 suffix = (
                     " FOR COLUMNS " + ", ".join(cols) if cols else ""
                 )
-                q(
-                    f"ANALYZE TABLE {database}.{name} "
-                    f"COMPUTE STATISTICS{suffix}"
-                )
+                hkey = "spark.sql.statistics.histogram.enabled"
+                saved = self.spark.conf.get(hkey, None)
+                try:
+                    if histograms:
+                        # equi-height histograms (Spark's ANALYZE
+                        # collects them only under this flag): range
+                        # selectivity on SKEWED columns then comes from
+                        # bucket overlap instead of the uniform
+                        # (hi-lo)/(max-min) assumption — the estimate
+                        # 1/ndv and uniform-range both get wrong
+                        # (tests/test_cbo.py pins the join-strategy
+                        # flip this buys)
+                        self.spark.conf.set(hkey, "true")
+                    q(
+                        f"ANALYZE TABLE {database}.{name} "
+                        f"COMPUTE STATISTICS{suffix}"
+                    )
+                finally:
+                    if histograms:
+                        if saved is None:
+                            self.spark.conf.unset(hkey)
+                        else:
+                            self.spark.conf.set(hkey, saved)
         return self
 
     def table(self, name: str) -> DataFrame:
