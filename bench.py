@@ -66,6 +66,13 @@ def main() -> None:
     spark = engine.spark
 
     names = [n for n in sorted(QUERIES) if n not in SKIP]
+    # isolation knob for A/B runs (SCALING.md headline-drift protocol):
+    # comma-separated substrings; NOT set by the driver, which always
+    # benches the full registry
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        pats = [p for p in only.split(",") if p]
+        names = [n for n in names if any(p in n for p in pats)]
 
     # warm-up pass: JVM codegen, Python workers, parquet footers.
     # Runs 4 queries concurrently (Spark schedules concurrent actions in
