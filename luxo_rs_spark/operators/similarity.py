@@ -1266,20 +1266,114 @@ def train_pq_codebooks(
     )
 
 
+def train_opq(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    m: int = 8,
+    n_codes: int = 256,
+    seed: int = 42,
+    iters: int = 8,
+    opq_iters: int = 6,
+    sample_limit: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Optimized Product Quantization (Ge, He, Ke, Sun CVPR'13 — the
+    non-parametric alternation): learn an ORTHOGONAL rotation R of the
+    coarse residual space jointly with the per-subspace codebooks, so
+    the product quantizer's independent-subspace assumption costs less
+    on correlated dimensions. Alternation on the same hash-strided
+    driver sample the PQ trainer uses:
+
+      1. fix R: train/assign per-subspace Lloyd codebooks on the
+         rotated residuals Z = (x - c(x)) @ R;
+      2. fix the codes: R <- argmin_{R orthogonal} ||Resid @ R - Y||_F
+         where Y is the codebook reconstruction — the orthogonal
+         Procrustes solution R = U V^T from SVD(Resid^T Y).
+
+    The training objective (sum of squared quantization error) is
+    non-increasing per step, so OPQ can only match or beat plain PQ on
+    the sample (tests pin both the monotonicity and corpus-wide
+    parity). Returns (rotation (d, d), codebooks (m, n_codes, d/m)).
+    Probe cost is unchanged: the query residual is rotated ONCE
+    driver-side; codes stay m bytes per vector."""
+    X = strided_sample_matrix(
+        emb, sample_limit, id_col=id_col, vec_col=vec_col, n_rows=n_rows
+    )
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    assign = np.argmax(Xn @ centroids.T, axis=1)
+    resid = X - centroids[assign]
+    return opq_train_numpy(resid, m, n_codes, seed, iters, opq_iters)
+
+
+def opq_train_numpy(
+    resid: np.ndarray,
+    m: int,
+    n_codes: int,
+    seed: int = 42,
+    iters: int = 8,
+    opq_iters: int = 6,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The OPQ alternation on a residual matrix (numpy core shared by
+    the Spark trainer and the oracle's whole-corpus replay — the two
+    must agree bit-for-bit, exactly like pq_encode_numpy)."""
+    resid = np.asarray(resid, dtype=np.float64)
+    dim = resid.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rot = np.eye(dim, dtype=np.float64)
+
+    def _books_for(Z: np.ndarray) -> np.ndarray:
+        return np.stack(
+            [
+                kmeans_euclidean_numpy(
+                    np.ascontiguousarray(Z[:, j * dsub : (j + 1) * dsub]),
+                    n_codes,
+                    seed + j,
+                    iters,
+                )
+                for j in range(m)
+            ]
+        )
+
+    books = _books_for(resid)
+    for _t in range(opq_iters):
+        Z = resid @ rot
+        books = _books_for(Z)
+        codes = pq_encode_numpy(
+            Z, np.zeros(len(Z), dtype=np.int64),
+            np.zeros((1, dim)), books,
+        )
+        Y = np.concatenate(
+            [books[j][codes[:, j]] for j in range(m)], axis=1
+        )
+        u, _s, vt = np.linalg.svd(resid.T @ Y)
+        rot = u @ vt
+    # final books in the final rotation's frame
+    books = _books_for(resid @ rot)
+    return rot, books
+
+
 def pq_encode_numpy(
     X: np.ndarray,
     assign: np.ndarray,
     centroids: np.ndarray,
     codebooks: np.ndarray,
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """(n, dim) raw vectors + coarse assignment -> (n, m) int64 codes:
     per subspace, the index of the nearest codebook entry to the
-    residual subvector. Chunked batch-invariant exact distances (same
-    3D form as the trainer) — the oracle replays this function on the
-    whole corpus while Spark runs it per Arrow batch, and the codes
-    must agree bit-for-bit."""
+    residual subvector (OPQ-rotated first when ``rotation`` is given).
+    Chunked batch-invariant exact distances (same 3D form as the
+    trainer) — the oracle replays this function on the whole corpus
+    while Spark runs it per Arrow batch, and the codes must agree
+    bit-for-bit."""
     X = np.asarray(X, dtype=np.float64)
     R = X - centroids[np.asarray(assign, dtype=np.int64)]
+    if rotation is not None:
+        R = R @ rotation
     m, _k, dsub = codebooks.shape
     codes = np.empty((len(X), m), dtype=np.int64)
     for j in range(m):
@@ -1294,16 +1388,23 @@ def pq_encode_numpy(
 
 
 def pq_distance_table(
-    query_vec: np.ndarray, centroid: np.ndarray, codebooks: np.ndarray
+    query_vec: np.ndarray,
+    centroid: np.ndarray,
+    codebooks: np.ndarray,
+    rotation: np.ndarray | None = None,
 ) -> np.ndarray:
     """(m, k) asymmetric-distance table for ONE probed cluster: entry
     [j][e] is the exact squared distance from the query's residual
-    subvector j to codebook entry e. Computed once driver-side per
+    subvector j (OPQ-rotated when ``rotation`` is given — rotation is
+    orthogonal, so rotated-space distances ARE original-space
+    distances) to codebook entry e. Computed once driver-side per
     probe (a few KB) and broadcast; the oracle recomputes it with this
     same function so the folded ADC sums match bit-for-bit."""
     r = np.asarray(query_vec, dtype=np.float64) - np.asarray(
         centroid, dtype=np.float64
     )
+    if rotation is not None:
+        r = r @ rotation
     m, k, dsub = codebooks.shape
     tab = np.empty((m, k), dtype=np.float64)
     for j in range(m):
@@ -1312,12 +1413,16 @@ def pq_distance_table(
     return tab
 
 
-def _pq_codes_udf(centroids: np.ndarray, codebooks: np.ndarray):
+def _pq_codes_udf(
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    rotation: np.ndarray | None = None,
+):
     @pandas_udf("array<tinyint>")
     def enc(vecs: pd.Series, clusters: pd.Series) -> pd.Series:
         X = np.stack(vecs.to_numpy()).astype(np.float64)
         a = clusters.to_numpy().astype(np.int64)
-        codes = pq_encode_numpy(X, a, centroids, codebooks)
+        codes = pq_encode_numpy(X, a, centroids, codebooks, rotation)
         # center-shifted by 128 so each code is one logical TINYINT
         # byte on disk (the q439 storage convention)
         return pd.Series(list((codes - 128).astype(np.int8)))
@@ -1332,6 +1437,7 @@ def write_ivf_pq_index(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> None:
     """Persist the IVF+PQ index: (id, vector, codes[m]) PARTITIONED BY
     nearest-centroid cluster, plus the trained model itself — coarse
@@ -1345,7 +1451,7 @@ def write_ivf_pq_index(
     (
         assigned.withColumn(
             "codes",
-            _pq_codes_udf(centroids, codebooks)(
+            _pq_codes_udf(centroids, codebooks, rotation)(
                 F.col(vec_col), F.col("ivf_cluster")
             ),
         )
@@ -1371,6 +1477,32 @@ def write_ivf_pq_index(
         ],
         "m_idx int, entry int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(path + "/_pq_codebooks")
+    if rotation is not None:
+        # the OPQ rotation lives beside the codebooks: probes rotate
+        # the query residual once; appenders encode against the same
+        # frozen frame (append == rebuild still holds)
+        spark.createDataFrame(
+            [
+                (i, [float(v) for v in rotation[i]])
+                for i in range(rotation.shape[0])
+            ],
+            "row_idx int, row array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            path + "/_opq_rotation"
+        )
+
+
+def read_opq_rotation(spark, path: str) -> np.ndarray | None:
+    """The persisted OPQ rotation, or None for a plain-PQ index."""
+    import os as _os
+
+    if not _os.path.isdir(path + "/_opq_rotation"):
+        return None
+    rows = sorted(
+        spark.read.parquet(path + "/_opq_rotation").collect(),
+        key=lambda r: r.row_idx,
+    )
+    return np.array([r.row for r in rows], dtype=np.float64)
 
 
 def read_ivf_pq_model(spark, path: str) -> tuple[np.ndarray, np.ndarray]:
@@ -1398,6 +1530,7 @@ def ivf_pq_append(
     codebooks: np.ndarray,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotation: np.ndarray | None = None,
 ) -> None:
     """Incremental index maintenance: assign + encode a batch of new
     vectors against the FROZEN model and append to the partitioned
@@ -1409,7 +1542,7 @@ def ivf_pq_append(
     (
         assigned.withColumn(
             "codes",
-            _pq_codes_udf(centroids, codebooks)(
+            _pq_codes_udf(centroids, codebooks, rotation)(
                 F.col(vec_col), F.col("ivf_cluster")
             ),
         )
@@ -1433,6 +1566,7 @@ def ivf_pq_pruned_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_id: int | None = None,
+    rotation: np.ndarray | None = None,
 ) -> DataFrame:
     """ANN top-k against the persisted IVF+PQ index, two pruned scans:
 
@@ -1455,7 +1589,9 @@ def ivf_pq_pruned_probe(
             c,
             [
                 [float(v) for v in row]
-                for row in pq_distance_table(q, centroids[c], codebooks)
+                for row in pq_distance_table(
+                    q, centroids[c], codebooks, rotation
+                )
             ],
         )
         for c in probes

@@ -8170,6 +8170,7 @@ ORDER BY da, db
         derive_lsh_bands,
         kmeans_euclidean_numpy,
         kmeans_numpy,
+        opq_train_numpy,
         pq_distance_table,
         pq_encode_numpy,
     )
@@ -8196,6 +8197,7 @@ ORDER BY da, db
     b430: list = []
     b439: list = []
     b452: list = []
+    b473: list = []
     seen_keys: set = set()
     for d in sf_dirs:
         p = os.path.join(d, "embeddings.parquet")
@@ -8406,6 +8408,37 @@ ORDER BY da, db
         scored452.sort(key=lambda kv: (-kv[2], kv[0]))
         b452.append((key, scored452[:8]))
 
+        # q473 — OPQ probe of vec 3: same coarse layer and probes,
+        # rotation + codebooks from opq_train_numpy on the SAME
+        # strided-sample residuals (the numpy core Spark's trainer
+        # calls), rotated-residual codes and distance tables, same
+        # shortlist/re-rank arithmetic as q452
+        rot473, books473 = opq_train_numpy(
+            R_tr, m=8, n_codes=256, seed=42, iters=8, opq_iters=6
+        )
+        codes473 = pq_encode_numpy(
+            mat[cand452], assign[cand452], cent, books473, rot473
+        )
+        tabs473 = {
+            c: pq_distance_table(q3a, cent[c], books473, rot473)
+            for c in probes3
+        }
+        adcs473 = []
+        for row, i in enumerate(cand452):
+            tab = tabs473[int(assign[i])]
+            acc = float(tab[0][codes473[row][0]])
+            for j in range(1, 8):
+                acc = acc + float(tab[j][codes473[row][j]])
+            adcs473.append((acc, ids[i]))
+        short473 = {vid for _a, vid in sorted(adcs473)[:32]}
+        scored473 = [
+            (ids[i], int(assign[i]), _seq_cos(vecs[i], q3))
+            for i in range(nvec)
+            if ids[i] in short473
+        ]
+        scored473.sort(key=lambda kv: (-kv[2], kv[0]))
+        b473.append((key, scored473[:8]))
+
         # q237 — banded-LSH near-dup pairs at threshold 0.45 with the
         # corpus-adaptive band derivation (same formula, same seed)
         nb_, bb_ = derive_lsh_bands(nvec, None, None)
@@ -8568,6 +8601,23 @@ ORDER BY sim DESC, vec_id""",
             for vid, cl, sim in top
         ]
         ORACLE_SQL["q452_ivf_pq_trained_probe"] = _corpus_sql(
+            "n, s, c, vec_id, ivf_cluster, sim",
+            vals,
+            """SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+       CAST(v.ivf_cluster AS INTEGER) AS ivf_cluster,
+       round(v.sim, 4) AS sim
+FROM vals v, corp x
+WHERE v.n = x.n AND v.s = x.s AND v.c = x.c
+ORDER BY sim DESC, vec_id""",
+        )
+
+    if b473:
+        vals = [
+            f"({n}, {s}, {c}, {vid}, {cl}, {sim!r})"
+            for (n, s, c), top in b473
+            for vid, cl, sim in top
+        ]
+        ORACLE_SQL["q473_opq_ivf_probe"] = _corpus_sql(
             "n, s, c, vec_id, ivf_cluster, sim",
             vals,
             """SELECT CAST(v.vec_id AS BIGINT) AS vec_id,

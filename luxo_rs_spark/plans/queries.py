@@ -17906,3 +17906,45 @@ def q472_snaptable_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, df, info in (("1_status_k", df1, i1), ("2_prio", df2, i2))
     ]
     return outs[0].unionAll(outs[1]).orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q473 — OPQ-rotated trained-PQ IVF probe (round 9; Ge, He, Ke, Sun
+# CVPR'13 "Optimized Product Quantization"). q452's persisted IVF+PQ
+# index with one addition: an orthogonal rotation of the coarse
+# residual space learned jointly with the codebooks (alternating Lloyd
+# training with orthogonal-Procrustes rotation updates on the same
+# hash-strided driver sample), stored beside the codebooks in the
+# index. Probe cost is UNCHANGED — the query residual rotates once on
+# the driver, codes stay 8 bytes/vector, the ADC fold and pruned scans
+# are identical. The oracle replays the entire pipeline — sample,
+# alternation (SVD included), encode, distance tables, shortlist,
+# re-rank — with the same numpy core (opq_train_numpy/pq_encode_numpy),
+# VALUES-keyed on the corpus fingerprint per the q452 recipe.
+# ---------------------------------------------------------------------------
+@query("q473_opq_ivf_probe")
+def q473_opq_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from luxo_rs_spark.operators.similarity import (
+        ivf_pq_pruned_probe,
+        kmeans_centroids,
+        train_opq,
+        write_ivf_pq_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_rows = emb.count()
+    cent = kmeans_centroids(emb, n_centroids=16, seed=42, n_rows=n_rows)
+    rot, books = train_opq(
+        emb, cent, m=8, n_codes=256, seed=42, n_rows=n_rows
+    )
+    path = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "opq_ivf_index"
+    )
+    write_ivf_pq_index(emb, path, cent, books, rotation=rot)
+    qvec = emb.filter(F.col("vec_id") == 3).select("embedding").head()[0]
+    return ivf_pq_pruned_probe(
+        spark, path, cent, books, qvec, n_probe=4, k=8, shortlist=32,
+        exclude_id=3, rotation=rot,
+    ).select("vec_id", "ivf_cluster", F.round("sim", 4).alias("sim"))
