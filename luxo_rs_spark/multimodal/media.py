@@ -3127,6 +3127,8 @@ def _decode_payload(content: bytes) -> dict:
     if content[:4] == b"RIFF":
         if content[8:12] == b"AVI ":
             return _decode_avi(content)
+        if content[8:12] == b"WEBP":
+            return _decode_webp(content)
         return _decode_wav(content)
     if content[:4] == b"GIF8":
         return _decode_gif(content)
@@ -7662,3 +7664,957 @@ def _t4_g3_decode(
                     color ^= 1
         ref_t = _g4_line_transitions(out[y])
     return out
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — encoder + decoder from the public bitstream
+# spec (RFC 9649 / Google "WebP Lossless Bitstream Specification";
+# round 9, verdict item 8). The top real-web image format the corpus
+# lanes did not cover. Lossless, so the q401-strength full-payload-md5
+# oracle applies. Both sides are from scratch: an LSB-first bit reader/
+# writer, canonical prefix codes (including the meta code-length code
+# with 16/17/18 repeats and the max_symbol early-out), the color
+# cache (0x1e35a7bd multiplicative hash), LZ77 backward references,
+# and all four transforms — predictor (14 modes), color (signed 3.5
+# fixed-point cross-channel deltas), subtract-green, and color
+# indexing with sub-byte pixel bundling.
+# ---------------------------------------------------------------------------
+
+#: short-distance map: LZ77 distance codes 1..120 address a (dx, dy)
+#: pixel neighborhood instead of a raw scanline distance (transcribed
+#: from the spec's table; dist = dy * xsize + dx, min 1). The synth
+#: encoder only emits codes it can round-trip through this table or
+#: raw codes (> 120), so the two sides always agree.
+_VP8L_DIST_MAP = [
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (6, 5), (-6, 5), (5, 6), (-5, 6),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (2, 8), (7, 5), (-7, 5), (5, 7), (-5, 7), (8, 3), (3, 8),
+    (-3, 8), (8, 4), (4, 8), (-4, 8), (8, 5), (-8, 5),
+]
+
+#: code-length-code read order (shared with deflate's idea, different
+#: constant): index i of this list is the i-th 3-bit length in the
+#: stream
+_VP8L_CLC_ORDER = [
+    17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15,
+]
+
+
+class _VP8LBitReader:
+    """LSB-first bit reader (VP8L convention: the first bit read is the
+    least-significant bit of the value)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            byte_i, bit_i = divmod(self.pos, 8)
+            if byte_i >= len(self.data):
+                raise ValueError("VP8L: bitstream truncated")
+            v |= ((self.data[byte_i] >> bit_i) & 1) << i
+            self.pos += 1
+        return v
+
+
+class _VP8LBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.bit = 0
+
+    def bits(self, v: int, n: int) -> None:
+        for i in range(n):
+            if self.bit == 0:
+                self.out.append(0)
+            if (v >> i) & 1:
+                self.out[-1] |= 1 << self.bit
+            self.bit = (self.bit + 1) % 8
+
+    def bytes(self) -> bytes:
+        return bytes(self.out)
+
+
+def _vp8l_canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical prefix codes from lengths: {symbol: (length, code)}
+    with codes assigned in (length, symbol) order — the stream writes/
+    reads code bits MSB first."""
+    pairs = sorted(
+        (ln, sym) for sym, ln in enumerate(lengths) if ln > 0
+    )
+    codes: dict[int, tuple[int, int]] = {}
+    code, prev_len = 0, 0
+    for ln, sym in pairs:
+        code <<= ln - prev_len
+        codes[sym] = (ln, code)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+class _VP8LPrefixCode:
+    """Decoder-side prefix code: either a 0-bit single symbol or a
+    (length, code)->symbol walk."""
+
+    def __init__(self, lengths: list[int] | None, single: int | None = None):
+        if single is not None:
+            self.single = single
+            self.table = None
+            return
+        self.single = None
+        nz = [ln for ln in lengths if ln > 0]
+        if len(nz) == 1:
+            self.single = lengths.index(1) if 1 in lengths else (
+                next(s for s, ln in enumerate(lengths) if ln > 0)
+            )
+            self.table = None
+            return
+        self.table = {
+            (ln, code): sym
+            for sym, (ln, code) in _vp8l_canonical_codes(lengths).items()
+        }
+        # completeness check (kraft) is implicit: unresolvable walks
+        # raise at read time
+
+    def read(self, rd: _VP8LBitReader) -> int:
+        if self.single is not None:
+            return self.single
+        acc, ln = 0, 0
+        while True:
+            acc = (acc << 1) | rd.bits(1)
+            ln += 1
+            if ln > 15:
+                raise ValueError("VP8L: invalid prefix code walk")
+            sym = self.table.get((ln, acc))
+            if sym is not None:
+                return sym
+
+
+def _vp8l_build_lengths(freqs: dict[int, int], max_len: int = 15):
+    """Optimal prefix-code lengths from symbol frequencies (plain
+    Huffman; fixture alphabets are small enough that depths stay well
+    under the 15-bit cap, asserted)."""
+    import heapq
+    import itertools as _it
+
+    syms = sorted(freqs)
+    if not syms:
+        raise ValueError("VP8L: empty alphabet")
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    cnt = _it.count()
+    heap = [(f, next(cnt), {s: 0}) for s, f in sorted(freqs.items())]
+    heapq.heapify(heap)
+    while len(heap) > 1:
+        fa, _ia, da = heapq.heappop(heap)
+        fb, _ib, db = heapq.heappop(heap)
+        merged = {s: d + 1 for s, d in da.items()}
+        merged.update({s: d + 1 for s, d in db.items()})
+        heapq.heappush(heap, (fa + fb, next(cnt), merged))
+    depths = heap[0][2]
+    if max(depths.values()) > max_len:
+        raise ValueError("VP8L: code depth exceeds 15 (fixture bug)")
+    return depths
+
+
+def _vp8l_write_code(w: _VP8LBitWriter, lengths_by_sym: dict[int, int],
+                     alphabet_size: int) -> None:
+    """Write one prefix code: the SIMPLE form for <= 2 symbols, else
+    the normal code-length-coded form (literal code-length symbols,
+    max_symbol early-out)."""
+    syms = sorted(lengths_by_sym)
+    if len(syms) <= 2 and all(s < 256 for s in syms):
+        w.bits(1, 1)  # simple
+        w.bits(len(syms) - 1, 1)
+        first_8 = 1 if syms[0] > 1 else 0
+        w.bits(first_8, 1)
+        w.bits(syms[0], 8 if first_8 else 1)
+        if len(syms) == 2:
+            w.bits(syms[1], 8)
+        return
+    w.bits(0, 1)  # normal
+    lengths = [lengths_by_sym.get(s, 0) for s in range(alphabet_size)]
+    last_nz = max(s for s, ln in enumerate(lengths) if ln > 0)
+    used = lengths[: last_nz + 1]
+    # code-length code over the literal length symbols we will emit
+    clc_freq: dict[int, int] = {}
+    for ln in used:
+        clc_freq[ln] = clc_freq.get(ln, 0) + 1
+    clc_lengths = _vp8l_build_lengths(clc_freq, max_len=7)
+    # num_code_lengths: enough positions of the CLC order to cover
+    # every used code-length symbol
+    need = max(
+        _VP8L_CLC_ORDER.index(s) for s in clc_lengths
+    ) + 1
+    num_cl = max(4, need)
+    w.bits(num_cl - 4, 4)
+    for i in range(num_cl):
+        w.bits(clc_lengths.get(_VP8L_CLC_ORDER[i], 0), 3)
+    # max_symbol early-out: we emit exactly len(used) literal symbols
+    n_emit = len(used)
+    if n_emit == alphabet_size:
+        w.bits(0, 1)
+    else:
+        w.bits(1, 1)
+        # length_nbits = 2 + 2*k; max_symbol = 2 + bits(length_nbits)
+        k = 0
+        while (2 + ((1 << (2 + 2 * k)) - 1)) < n_emit:
+            k += 1
+        w.bits(k, 3)
+        w.bits(n_emit - 2, 2 + 2 * k)
+    clc_codes = _vp8l_canonical_codes(
+        [clc_lengths.get(s, 0) for s in range(19)]
+    )
+    single_clc = len(clc_lengths) == 1
+    for ln in used:
+        if single_clc:
+            continue  # 0-bit code
+        bits_n, code = clc_codes[ln]
+        for i in range(bits_n - 1, -1, -1):
+            w.bits((code >> i) & 1, 1)
+
+
+def _vp8l_read_code_lengths(
+    rd: _VP8LBitReader, alphabet_size: int
+) -> _VP8LPrefixCode:
+    """Read one prefix code (simple or normal form)."""
+    if rd.bits(1):  # simple
+        n_sym = rd.bits(1) + 1
+        first_8 = rd.bits(1)
+        s0 = rd.bits(8 if first_8 else 1)
+        if n_sym == 1:
+            return _VP8LPrefixCode(None, single=s0)
+        s1 = rd.bits(8)
+        lengths = [0] * alphabet_size
+        lengths[s0] = 1
+        lengths[s1] = 1
+        return _VP8LPrefixCode(lengths)
+    num_cl = rd.bits(4) + 4
+    clc_lengths = [0] * 19
+    for i in range(num_cl):
+        clc_lengths[_VP8L_CLC_ORDER[i]] = rd.bits(3)
+    clc = _VP8LPrefixCode(clc_lengths)
+    if rd.bits(1):  # use max_symbol
+        length_nbits = 2 + 2 * rd.bits(3)
+        max_symbol = 2 + rd.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8  # spec default
+    symbol = 0
+    while symbol < alphabet_size and max_symbol > 0:
+        max_symbol -= 1
+        s = clc.read(rd)
+        if s < 16:
+            lengths[symbol] = s
+            symbol += 1
+            if s:
+                prev = s
+        elif s == 16:
+            for _ in range(3 + rd.bits(2)):
+                if symbol >= alphabet_size:
+                    raise ValueError("VP8L: repeat past alphabet")
+                lengths[symbol] = prev
+                symbol += 1
+        elif s == 17:
+            symbol += 3 + rd.bits(3)
+        else:  # 18
+            symbol += 11 + rd.bits(7)
+        if symbol > alphabet_size:
+            raise ValueError("VP8L: code lengths overrun alphabet")
+    return _VP8LPrefixCode(lengths)
+
+
+def _vp8l_prefix_value(rd: _VP8LBitReader, sym: int) -> int:
+    """LZ77 length/distance prefix decoding: small symbols literal,
+    larger ones (offset << extra) + extra bits."""
+    if sym < 4:
+        return sym + 1
+    extra = (sym - 2) >> 1
+    offset = (2 + (sym & 1)) << extra
+    return offset + rd.bits(extra) + 1
+
+
+def _vp8l_prefix_encode(value: int) -> tuple[int, int, int]:
+    """Inverse of `_vp8l_prefix_value`: value -> (symbol, extra_bits,
+    n_extra)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    hi = v.bit_length() - 1
+    extra = hi - 1
+    sym = 2 * hi + ((v >> extra) & 1)
+    return sym, v & ((1 << extra) - 1), extra
+
+
+def _vp8l_cache_key(argb: int, cache_bits: int) -> int:
+    return ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+
+def _vp8l_decode_image(
+    rd: _VP8LBitReader, w: int, h: int, is_level0: bool
+) -> list[int]:
+    """One entropy-coded image stream -> flat ARGB list (row-major).
+    Sub-resolution images (transform data, palettes, meta codes) are
+    the same stream minus the meta-prefix option."""
+    cache_bits = 0
+    cache: list[int] = []
+    if rd.bits(1):
+        cache_bits = rd.bits(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError(f"VP8L: invalid color-cache bits {cache_bits}")
+        cache = [0] * (1 << cache_bits)
+
+    meta_codes: list[int] | None = None
+    meta_block_bits = 0
+    n_groups = 1
+    if is_level0 and rd.bits(1):
+        meta_block_bits = rd.bits(3) + 2
+        mw = -(-w >> meta_block_bits)
+        mh = -(-h >> meta_block_bits)
+        meta_img = _vp8l_decode_image(rd, mw, mh, False)
+        meta_codes = [
+            ((p >> 8) & 0xFFFF) for p in meta_img
+        ]  # (red << 8) | green
+        n_groups = max(meta_codes) + 1
+
+    sizes = [256 + 24 + len(cache), 256, 256, 256, 40]
+    groups = [
+        [_vp8l_read_code_lengths(rd, sz) for sz in sizes]
+        for _ in range(n_groups)
+    ]
+
+    out: list[int] = [0] * (w * h)
+    pos = 0
+    n = w * h
+    while pos < n:
+        x, y = pos % w, pos // w
+        if meta_codes is not None:
+            mw = -(-w >> meta_block_bits)
+            g = groups[
+                meta_codes[(y >> meta_block_bits) * mw
+                           + (x >> meta_block_bits)]
+            ]
+        else:
+            g = groups[0]
+        s = g[0].read(rd)
+        if s < 256:  # literal: green, then red, blue, alpha
+            red = g[1].read(rd)
+            blue = g[2].read(rd)
+            alpha = g[3].read(rd)
+            argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+            out[pos] = argb
+            if cache_bits:
+                cache[_vp8l_cache_key(argb, cache_bits)] = argb
+            pos += 1
+        elif s < 256 + 24:  # LZ77 backward reference
+            length = _vp8l_prefix_value(rd, s - 256)
+            dist_code = _vp8l_prefix_value(rd, g[4].read(rd))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            if dist > pos or pos + length > n:
+                raise ValueError("VP8L: backward reference out of range")
+            for _ in range(length):
+                argb = out[pos - dist]
+                out[pos] = argb
+                if cache_bits:
+                    cache[_vp8l_cache_key(argb, cache_bits)] = argb
+                pos += 1
+        else:  # color-cache hit
+            idx = s - 256 - 24
+            if idx >= len(cache):
+                raise ValueError("VP8L: cache index past cache size")
+            out[pos] = cache[idx]
+            pos += 1
+    return out
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) >> 1) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8
+        | ((((a) & 0xFF) + ((b) & 0xFF)) >> 1)
+    )
+
+
+def _vp8l_chans(p: int):
+    return (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+
+
+def _vp8l_select(left: int, top: int, topleft: int) -> int:
+    la, lr, lg, lb = _vp8l_chans(left)
+    ta, tr, tg, tb = _vp8l_chans(top)
+    xa, xr, xg, xb = _vp8l_chans(topleft)
+    pa, pr, pg, pb = la + ta - xa, lr + tr - xr, lg + tg - xg, lb + tb - xb
+    p_left = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
+    p_top = abs(pa - ta) + abs(pr - tr) + abs(pg - tg) + abs(pb - tb)
+    return left if p_left < p_top else top
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _vp8l_clamp_add_sub_full(a: int, b: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        out |= _clamp255(
+            ((a >> sh) & 0xFF) + ((b >> sh) & 0xFF) - ((c >> sh) & 0xFF)
+        ) << sh
+    return out
+
+
+def _vp8l_clamp_add_sub_half(ave: int, c: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        av = (ave >> sh) & 0xFF
+        cc = (c >> sh) & 0xFF
+        d = av - cc
+        # C-style truncation toward zero for the half-delta
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out |= _clamp255(av + half) << sh
+    return out
+
+
+def _vp8l_predict(mode: int, data: list[int], pos: int, w: int) -> int:
+    x, y = pos % w, pos // w
+    left = data[pos - 1] if x > 0 else 0
+    top = data[pos - w] if y > 0 else 0
+    topleft = data[pos - w - 1] if (x > 0 and y > 0) else 0
+    # libwebp convention: top-right of the last column reads one past
+    # the row above, which is the current row's first pixel
+    topright = data[pos - w + 1] if y > 0 else 0
+    if pos == 0:
+        return 0xFF000000
+    if y == 0:
+        return left
+    if x == 0:
+        return top
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    if mode == 5:
+        return _vp8l_avg2(_vp8l_avg2(left, topright), top)
+    if mode == 6:
+        return _vp8l_avg2(left, topleft)
+    if mode == 7:
+        return _vp8l_avg2(left, top)
+    if mode == 8:
+        return _vp8l_avg2(topleft, top)
+    if mode == 9:
+        return _vp8l_avg2(top, topright)
+    if mode == 10:
+        return _vp8l_avg2(
+            _vp8l_avg2(left, topleft), _vp8l_avg2(top, topright)
+        )
+    if mode == 11:
+        return _vp8l_select(left, top, topleft)
+    if mode == 12:
+        return _vp8l_clamp_add_sub_full(left, top, topleft)
+    if mode == 13:
+        return _vp8l_clamp_add_sub_half(_vp8l_avg2(left, top), topleft)
+    raise ValueError(f"VP8L: invalid predictor mode {mode}")
+
+
+def _vp8l_ct_delta(t: int, c: int) -> int:
+    """Color-transform delta: (int8(t) * int8(c)) >> 5 (arithmetic)."""
+    ts = t - 256 if t >= 128 else t
+    cs = c - 256 if c >= 128 else c
+    return (ts * cs) >> 5
+
+
+def _decode_webp(content: bytes) -> dict:
+    """RIFF/WEBP VP8L (lossless) decode -> RGB payload (alpha verified
+    opaque for the synth lanes' gray corpus is NOT assumed — alpha is
+    simply not part of the RGB payload convention shared with
+    BMP/PNG/GIF)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WEBP container")
+    if content[12:16] != b"VP8L":
+        raise NotImplementedError(
+            "only VP8L (lossless) WebP is implemented; lossy VP8 needs "
+            "the full DCT/bool-coder stack"
+        )
+    size = struct.unpack("<I", content[16:20])[0]
+    data = content[20 : 20 + size]
+    if not data or data[0] != 0x2F:
+        raise ValueError("VP8L: bad signature byte")
+    rd = _VP8LBitReader(data)
+    rd.bits(8)
+    w = rd.bits(14) + 1
+    h = rd.bits(14) + 1
+    rd.bits(1)  # alpha hint
+    if rd.bits(3) != 0:
+        raise ValueError("VP8L: unknown version")
+
+    # transforms (each at most once), applied inverse in reverse order
+    transforms = []
+    cur_w = w
+    while rd.bits(1):
+        ttype = rd.bits(2)
+        if any(t[0] == ttype for t in transforms):
+            raise ValueError("VP8L: duplicate transform")
+        if ttype in (0, 1):  # predictor / color: block subimage
+            size_bits = rd.bits(3) + 2
+            bw = -(-cur_w >> size_bits)
+            bh = -(-h >> size_bits)
+            sub = _vp8l_decode_image(rd, bw, bh, False)
+            transforms.append((ttype, size_bits, sub))
+        elif ttype == 2:  # subtract green
+            transforms.append((2, None, None))
+        else:  # color indexing
+            n_colors = rd.bits(8) + 1
+            pal_raw = _vp8l_decode_image(rd, n_colors, 1, False)
+            pal = []
+            acc = 0
+            for p in pal_raw:  # componentwise cumulative deltas
+                a0, r0, g0, b0 = _vp8l_chans(acc)
+                a1, r1, g1, b1 = _vp8l_chans(p)
+                acc = (
+                    ((a0 + a1) & 0xFF) << 24
+                    | ((r0 + r1) & 0xFF) << 16
+                    | ((g0 + g1) & 0xFF) << 8
+                    | ((b0 + b1) & 0xFF)
+                )
+                pal.append(acc)
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append((3, (width_bits, pal), None))
+            cur_w = -(-cur_w >> width_bits) if width_bits else cur_w
+
+    data_px = _vp8l_decode_image(rd, cur_w, h, True)
+
+    for t in reversed(transforms):
+        ttype = t[0]
+        if ttype == 3:  # color indexing: unbundle + palette lookup
+            width_bits, pal = t[1]
+            if width_bits:
+                xbits = 8 >> width_bits
+                mask = (1 << xbits) - 1
+                per = 1 << width_bits
+                wide = []
+                for y in range(h):
+                    row = []
+                    for xp in range(cur_w):
+                        g = (data_px[y * cur_w + xp] >> 8) & 0xFF
+                        for k in range(per):
+                            row.append((g >> (k * xbits)) & mask)
+                    wide.extend(row[:w])
+                idxs = wide
+            else:
+                idxs = [((p >> 8) & 0xFF) for p in data_px]
+            data_px = [
+                pal[i] if i < len(pal) else 0 for i in idxs
+            ]
+            cur_w = w
+        elif ttype == 2:  # add green back
+            for i, p in enumerate(data_px):
+                g = (p >> 8) & 0xFF
+                r = ((p >> 16) & 0xFF) + g & 0xFF
+                b = ((p & 0xFF) + g) & 0xFF
+                data_px[i] = (p & 0xFF00FF00) | (r << 16) | b
+        elif ttype == 0:  # predictor: add residual to prediction
+            size_bits, sub = t[1], t[2]
+            bw = -(-w >> size_bits)
+            for pos in range(w * h):
+                x, y = pos % w, pos // w
+                mode = (
+                    sub[(y >> size_bits) * bw + (x >> size_bits)] >> 8
+                ) & 0xFF
+                pred = _vp8l_predict(mode, data_px, pos, w)
+                pa, pr, pg, pb = _vp8l_chans(pred)
+                da, dr, dg, db = _vp8l_chans(data_px[pos])
+                data_px[pos] = (
+                    ((pa + da) & 0xFF) << 24
+                    | ((pr + dr) & 0xFF) << 16
+                    | ((pg + dg) & 0xFF) << 8
+                    | ((pb + db) & 0xFF)
+                )
+        else:  # color transform inverse
+            size_bits, sub = t[1], t[2]
+            bw = -(-w >> size_bits)
+            for pos in range(w * h):
+                x, y = pos % w, pos // w
+                cte = sub[(y >> size_bits) * bw + (x >> size_bits)]
+                g2r = cte & 0xFF
+                g2b = (cte >> 8) & 0xFF
+                r2b = (cte >> 16) & 0xFF
+                p = data_px[pos]
+                a, r, g, b = _vp8l_chans(p)
+                r = (r + _vp8l_ct_delta(g2r, g)) & 0xFF
+                b = (b + _vp8l_ct_delta(g2b, g)) & 0xFF
+                b = (b + _vp8l_ct_delta(r2b, r)) & 0xFF
+                data_px[pos] = (a << 24) | (r << 16) | (g << 8) | b
+
+    payload = bytearray()
+    for p in data_px:
+        payload += bytes(
+            (((p >> 16) & 0xFF), ((p >> 8) & 0xFF), (p & 0xFF))
+        )
+    return {
+        "kind": "image",
+        "width": w,
+        "height": h,
+        "sample_rate": 0,
+        "payload": bytes(payload),
+    }
+
+
+def _vp8l_emit_sym(wtr: _VP8LBitWriter, codes, sym: int) -> None:
+    if len(codes) == 1:
+        return  # single-symbol code: zero bits on the wire
+    ln, code = codes[sym]
+    for i in range(ln - 1, -1, -1):
+        wtr.bits((code >> i) & 1, 1)
+
+
+def _vp8l_write_image(
+    wtr: _VP8LBitWriter, tokens: list, cache_bits: int, is_level0: bool
+) -> None:
+    """Write one entropy-coded image stream from a prepared token list
+    (('lit', argb) | ('copy', length, dist_code) | ('cache', idx))."""
+    if cache_bits:
+        wtr.bits(1, 1)
+        wtr.bits(cache_bits, 4)
+    else:
+        wtr.bits(0, 1)
+    if is_level0:
+        wtr.bits(0, 1)  # no meta prefix codes
+    gf: dict[int, int] = {}
+    rf: dict[int, int] = {}
+    bf: dict[int, int] = {}
+    af: dict[int, int] = {}
+    df: dict[int, int] = {}
+
+    def bump(d, k):
+        d[k] = d.get(k, 0) + 1
+
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = _vp8l_chans(t[1])
+            bump(gf, g)
+            bump(rf, r)
+            bump(bf, b)
+            bump(af, a)
+        elif t[0] == "copy":
+            lsym, _lx, _ln = _vp8l_prefix_encode(t[1])
+            bump(gf, 256 + lsym)
+            dsym, _dx, _dn = _vp8l_prefix_encode(t[2])
+            bump(df, dsym)
+        else:
+            bump(gf, 256 + 24 + t[1])
+    for d in (rf, bf, af, df):
+        if not d:
+            d[0] = 1  # unused channel still needs a wellformed code
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    sizes = [256 + 24 + cache_size, 256, 256, 256, 40]
+    all_lengths = [
+        _vp8l_build_lengths(f) for f in (gf, rf, bf, af, df)
+    ]
+    all_codes = []
+    for lengths, size in zip(all_lengths, sizes):
+        _vp8l_write_code(wtr, lengths, size)
+        full = [lengths.get(s, 0) for s in range(size)]
+        all_codes.append(
+            _vp8l_canonical_codes(full) if len(lengths) > 1
+            else {next(iter(lengths)): (0, 0)}
+        )
+    gc, rc, bc, ac, dc = all_codes
+    gsingle = len(gf) == 1
+    for t in tokens:
+        if t[0] == "lit":
+            a, r, g, b = _vp8l_chans(t[1])
+            if not gsingle:
+                _vp8l_emit_sym(wtr, gc, g)
+            elif len(gc) > 1:
+                _vp8l_emit_sym(wtr, gc, g)
+            _vp8l_emit_sym(wtr, rc, r)
+            _vp8l_emit_sym(wtr, bc, b)
+            _vp8l_emit_sym(wtr, ac, a)
+        elif t[0] == "copy":
+            lsym, lx, ln = _vp8l_prefix_encode(t[1])
+            _vp8l_emit_sym(wtr, gc, 256 + lsym)
+            wtr.bits(lx, ln)
+            dsym, dx, dn = _vp8l_prefix_encode(t[2])
+            _vp8l_emit_sym(wtr, dc, dsym)
+            wtr.bits(dx, dn)
+        else:
+            _vp8l_emit_sym(wtr, gc, 256 + 24 + t[1])
+
+
+def _vp8l_literal_tokens(pixels: list[int]) -> list:
+    return [("lit", p) for p in pixels]
+
+
+def _pixels_to_webp(rgb: "np.ndarray", mode: str = "plain") -> bytes:
+    """Encode an (h, w, 3) uint8 array as a lossless WebP (VP8L).
+    Modes cycle the bitstream features (bit layout per transform:
+    [1 more=1][2 type][transform data] ... [1 more=0][image stream]):
+
+    - ``plain``: literal pixels, normal prefix codes;
+    - ``subtract_green``: the subtract-green transform;
+    - ``palette``: color-indexing transform (with sub-byte pixel
+      bundling whenever the palette allows it);
+    - ``predictor``: block predictor transform, mode = block index
+      mod 14 — every predictor exercised on a big enough image;
+    - ``color``: cross-channel color transform, one block;
+    - ``cache_lz77``: color cache + LZ77 (row-above references via
+      short-distance map code 1 and raw > 120 codes).
+    """
+    h, w = int(rgb.shape[0]), int(rgb.shape[1])
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("VP8L: dims out of range")
+    pixels = [
+        0xFF000000
+        | (int(rgb[y, x, 0]) << 16)
+        | (int(rgb[y, x, 1]) << 8)
+        | int(rgb[y, x, 2])
+        for y in range(h)
+        for x in range(w)
+    ]
+    wtr = _VP8LBitWriter()
+    wtr.bits(0x2F, 8)
+    wtr.bits(w - 1, 14)
+    wtr.bits(h - 1, 14)
+    wtr.bits(0, 1)  # alpha hint
+    wtr.bits(0, 3)  # version
+
+    if mode == "plain":
+        wtr.bits(0, 1)  # no transforms
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(pixels), 0, True)
+
+    elif mode == "subtract_green":
+        wtr.bits(1, 1)
+        wtr.bits(2, 2)  # SUBTRACT_GREEN (no data)
+        wtr.bits(0, 1)  # end of transforms
+        enc = []
+        for p in pixels:
+            a, r, g, b = _vp8l_chans(p)
+            enc.append(
+                (a << 24) | (((r - g) & 0xFF) << 16) | (g << 8)
+                | ((b - g) & 0xFF)
+            )
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(enc), 0, True)
+
+    elif mode == "palette":
+        pal = sorted(set(pixels))
+        if len(pal) > 256:
+            raise ValueError("palette mode: > 256 distinct colors")
+        idx_of = {p: i for i, p in enumerate(pal)}
+        n = len(pal)
+        wtr.bits(1, 1)
+        wtr.bits(3, 2)  # COLOR_INDEXING
+        wtr.bits(n - 1, 8)
+        # palette subimage: componentwise DELTAS of consecutive entries
+        deltas, prev = [], 0
+        for p in pal:
+            a0, r0, g0, b0 = _vp8l_chans(prev)
+            a1, r1, g1, b1 = _vp8l_chans(p)
+            deltas.append(
+                ((a1 - a0) & 0xFF) << 24
+                | ((r1 - r0) & 0xFF) << 16
+                | ((g1 - g0) & 0xFF) << 8
+                | ((b1 - b0) & 0xFF)
+            )
+            prev = p
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(deltas), 0, False)
+        wtr.bits(0, 1)  # end of transforms
+        if n <= 2:
+            width_bits = 3
+        elif n <= 4:
+            width_bits = 2
+        elif n <= 16:
+            width_bits = 1
+        else:
+            width_bits = 0
+        if width_bits:
+            per = 1 << width_bits
+            xbits = 8 >> width_bits
+            packed_w = -(-w // per)
+            enc = []
+            for y in range(h):
+                for xp in range(packed_w):
+                    gbyte = 0
+                    for k in range(per):
+                        x = xp * per + k
+                        if x < w:
+                            gbyte |= idx_of[pixels[y * w + x]] << (
+                                k * xbits
+                            )
+                    enc.append(0xFF000000 | (gbyte << 8))
+        else:
+            enc = [
+                0xFF000000 | (idx_of[p] << 8) for p in pixels
+            ]
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(enc), 0, True)
+
+    elif mode == "predictor":
+        size_bits = 2  # 4x4 blocks
+        bw = -(-w >> size_bits)
+        bh = -(-h >> size_bits)
+        modes = [
+            0xFF000000 | (((i % 14)) << 8) for i in range(bw * bh)
+        ]
+        wtr.bits(1, 1)
+        wtr.bits(0, 2)  # PREDICTOR
+        wtr.bits(size_bits - 2, 3)
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(modes), 0, False)
+        wtr.bits(0, 1)  # end of transforms
+        # residuals in raster order against the ORIGINAL neighbors
+        # (exactly what the decoder reconstructs progressively)
+        enc = []
+        for pos in range(w * h):
+            x, y = pos % w, pos // w
+            m = (modes[(y >> size_bits) * bw + (x >> size_bits)] >> 8) & 0xFF
+            pred = _vp8l_predict(m, pixels, pos, w)
+            pa, pr, pg, pb = _vp8l_chans(pred)
+            a, r, g, b = _vp8l_chans(pixels[pos])
+            enc.append(
+                ((a - pa) & 0xFF) << 24
+                | ((r - pr) & 0xFF) << 16
+                | ((g - pg) & 0xFF) << 8
+                | ((b - pb) & 0xFF)
+            )
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(enc), 0, True)
+
+    elif mode == "color":
+        size_bits = 9  # one block for any fixture-sized image
+        g2r, g2b, r2b = 0x2A, 0xD6, 0x15  # fixed signed 3.5 deltas
+        cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+        wtr.bits(1, 1)
+        wtr.bits(1, 2)  # COLOR transform
+        wtr.bits(size_bits - 2, 3)
+        bw = -(-w >> size_bits)
+        bh = -(-h >> size_bits)
+        _vp8l_write_image(
+            wtr, _vp8l_literal_tokens([cte] * (bw * bh)), 0, False
+        )
+        wtr.bits(0, 1)  # end of transforms
+        enc = []
+        for p in pixels:
+            a, r, g, b = _vp8l_chans(p)
+            r_enc = (r - _vp8l_ct_delta(g2r, g)) & 0xFF
+            b_enc = (
+                b - _vp8l_ct_delta(g2b, g) - _vp8l_ct_delta(r2b, r)
+            ) & 0xFF
+            enc.append((a << 24) | (r_enc << 16) | (g << 8) | b_enc)
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(enc), 0, True)
+
+    elif mode == "cache_lz77":
+        wtr.bits(0, 1)  # no transforms
+        cache_bits = 6
+        cache = [None] * (1 << cache_bits)
+        tokens = []
+        pos = 0
+        n = w * h
+        while pos < n:
+            p = pixels[pos]
+            # row-above run? (distance w == short-map code 1 = (0, 1))
+            run = 0
+            while (
+                pos + run < n
+                and pos + run >= w
+                and pixels[pos + run] == pixels[pos + run - w]
+            ):
+                run += 1
+            if run >= 4:
+                # alternate map code 1 and raw code for coverage
+                dist_code = 1 if (pos % 2 == 0) else w + 120
+                tokens.append(("copy", run, dist_code))
+                for i in range(run):
+                    q = pixels[pos + i]
+                    cache[_vp8l_cache_key(q, cache_bits)] = q
+                pos += run
+                continue
+            key = _vp8l_cache_key(p, cache_bits)
+            if cache[key] == p:
+                tokens.append(("cache", key))
+            else:
+                tokens.append(("lit", p))
+                cache[key] = p
+            pos += 1
+        _vp8l_write_image(wtr, tokens, cache_bits, True)
+
+    else:
+        raise ValueError(f"unknown VP8L synth mode {mode!r}")
+
+    data = wtr.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def synth_webp_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Real-encoder WebP-lossless synthesis from the documents fixture:
+    per doc a genuine VP8L bitstream whose gray pixels tile the md5 hex
+    of the text (each hex char i -> pixel (i, i, i) — exactly the GIF
+    lane's tiling, so the decoded-payload md5 oracle is the same SQL
+    shape), dims derived from doc_id, and the encode MODE cycling the
+    bitstream features by doc_id % 6: literals / subtract-green /
+    color-indexing (16-gray palette -> 2-pixels-per-byte bundling) /
+    per-block predictors / cross-channel color transform / color-cache
+    + LZ77. Lossless end to end: decode must reproduce every pixel."""
+    import hashlib
+
+    modes = (
+        "plain", "subtract_green", "palette",
+        "predictor", "color", "cache_lz77",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                w = int(doc_id) % 12 + 5
+                h = int(doc_id) % 6 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                need = h * w
+                idx = np.frombuffer(
+                    (hx * (need // 32 + 1))[:need], dtype=np.uint8
+                ).reshape(h, w)
+                arr = idx[:, :, None].repeat(3, axis=2)
+                rows.append(
+                    {
+                        "media_id": int(doc_id),
+                        "content": _pixels_to_webp(
+                            arr, modes[int(doc_id) % 6]
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )

@@ -10694,3 +10694,28 @@ SELECT '2_prio',
        AS BIGINT)
 ORDER BY probe
 """
+
+
+# q474: VP8L is lossless end to end, so the oracle recomputes the FULL
+# decoded RGB payload md5 from the documents table: the synth pixels
+# tile the md5 hex of the text (char i -> (i, i, i)), dims from doc_id.
+ORACLE_SQL["q474_webp_lossless_decode"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 12 + 5 AS INTEGER) AS w,
+         CAST(doc_id % 6 + 4 AS INTEGER) AS h
+  FROM documents WHERE doc_id < 200
+), px AS (
+  SELECT doc_id, w, h,
+         substring(repeat(hx, CAST(h * w / 32 AS INTEGER) + 1),
+                   1, h * w) AS s
+  FROM t
+)
+SELECT doc_id AS media_id, w AS width, h AS height,
+       CAST(h * w * 3 AS BIGINT) AS payload_bytes,
+       md5(array_to_string(
+             list_transform(range(1, h * w + 1),
+               i -> repeat(substring(s, CAST(i AS INTEGER), 1), 3)),
+             '')) AS payload_md5
+FROM px ORDER BY media_id
+"""

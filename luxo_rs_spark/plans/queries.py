@@ -17948,3 +17948,31 @@ def q473_opq_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, cent, books, qvec, n_probe=4, k=8, shortlist=32,
         exclude_id=3, rotation=rot,
     ).select("vec_id", "ivf_cluster", F.round("sim", 4).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# Q474 — WebP-lossless (VP8L) decode (§2.2-K multimodal; round 9,
+# verdict item 8): the top real-web image format the corpus lanes did
+# not cover. Encoder AND decoder are from the public VP8L bitstream
+# spec (RFC 9649) in multimodal/media.py: LSB-first bit IO, canonical
+# prefix codes (simple + code-length-coded with 16/17/18 repeats and
+# max_symbol early-out), color cache (0x1e35a7bd hash), LZ77 backrefs
+# (short-distance map + raw codes), and all four transforms —
+# predictor (all 14 modes), color, subtract-green, color-indexing with
+# sub-byte pixel bundling — cycled across docs by doc_id % 6. VP8L is
+# lossless, so the decoded payload md5 is SQL-recomputable from the
+# documents table exactly like q414's GIF lane (hex char i -> (i,i,i)).
+# One mapInPandas map stage, zero shuffle before the final orderBy.
+# ---------------------------------------------------------------------------
+@query("q474_webp_lossless_decode")
+def q474_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        decode_media_digest,
+        synth_webp_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        decode_media_digest(synth_webp_table(docs))
+        .orderBy("media_id")
+    )

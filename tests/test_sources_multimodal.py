@@ -3641,3 +3641,163 @@ def test_jpeg_lossless_subsampled_roundtrips():
             sampling=[(2, 2), (1, 1), (1, 1)],
             restart_interval=2,
         )
+
+
+# -- WebP lossless (VP8L) — round 9 -------------------------------------------
+
+
+def _vp8l_arr(h, w, seed=3, colors=None):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    if colors:
+        return (
+            rng.integers(0, colors, size=(h, w, 1)).astype(np.uint8) * 7
+        ).repeat(3, axis=2)
+    return rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+
+
+def test_vp8l_round_trip_all_modes_and_geometries():
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_webp,
+    )
+
+    for mode in (
+        "plain", "subtract_green", "palette", "predictor", "color",
+        "cache_lz77",
+    ):
+        for h, w in ((1, 1), (1, 9), (7, 1), (5, 8), (16, 16), (11, 29)):
+            arr = _vp8l_arr(h, w, colors=5 if mode == "palette" else None)
+            if mode == "cache_lz77" and h > 2:
+                arr[2] = arr[1]
+            d = _decode_payload(_pixels_to_webp(arr, mode))
+            got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(
+                h, w, 3
+            )
+            assert np.array_equal(got, arr), (mode, h, w)
+
+
+def test_vp8l_palette_bundling_widths():
+    """Palette sizes 2/4/16/60 exercise 8-, 4-, 2- and 1-pixel-per-byte
+    bundling (the last is unbundled)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_webp,
+    )
+
+    for n_colors, w in ((2, 19), (4, 10), (16, 9), (60, 7)):
+        rng = np.random.default_rng(n_colors)
+        idx = rng.integers(0, n_colors, size=(6, w, 1)).astype(np.uint8)
+        arr = (idx * (255 // max(1, n_colors - 1))).astype(
+            np.uint8
+        ).repeat(3, axis=2)
+        d = _decode_payload(_pixels_to_webp(arr, "palette"))
+        got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(6, w, 3)
+        assert np.array_equal(got, arr), n_colors
+
+
+def test_vp8l_all_14_predictor_modes_round_trip():
+    """Block size 4 with mode = block index mod 14: a 32x8 image has
+    16 blocks, covering every predictor including select and the
+    clamped add/subtract pair."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_webp,
+    )
+
+    arr = _vp8l_arr(8, 32, seed=11)
+    d = _decode_payload(_pixels_to_webp(arr, "predictor"))
+    got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(8, 32, 3)
+    assert np.array_equal(got, arr)
+
+
+def test_vp8l_hand_derived_golden_header():
+    """The container + VP8L header of a 1x1 plain image, derived bit by
+    bit by hand: signature 0x2F, then LSB-first 14-bit w-1=0, 14-bit
+    h-1=0, alpha 0, version 000, transforms-end 0, cache 0, meta 0 —
+    i.e. the second header byte must be 0x00 and the third's low bits
+    carry the first prefix-code flag. Pins the bit ORDER, which a
+    round-trip alone cannot (a mirrored reader+writer still
+    round-trips)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _pixels_to_webp
+
+    enc = _pixels_to_webp(np.zeros((1, 1, 3), dtype=np.uint8), "plain")
+    assert enc[:4] == b"RIFF" and enc[8:12] == b"WEBP"
+    assert enc[12:16] == b"VP8L"
+    data = enc[20:]
+    assert data[0] == 0x2F
+    # bits 0..27 after the signature are all zero (w-1, h-1 = 0)
+    assert data[1] == 0 and data[2] == 0 and data[3] == 0
+    # bits 28..34: alpha(0) version(000) transforms-end(0) cache(0)
+    # meta(0) -> byte 4's low 7 bits are 0
+    assert data[4] & 0x7F == 0
+
+
+def test_vp8l_corruption_battery():
+    """Damage is detected, never silently decoded around."""
+    import numpy as np
+    import pytest
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _decode_webp,
+        _pixels_to_webp,
+    )
+
+    good = _pixels_to_webp(_vp8l_arr(5, 7), "plain")
+
+    bad_sig = bytearray(good)
+    bad_sig[20] = 0x2E
+    with pytest.raises(ValueError, match="signature"):
+        _decode_webp(bytes(bad_sig))
+
+    bad_version = bytearray(good)
+    # version bits are 32..34 of the VP8L data (byte 4, bits 0..2
+    # after alpha at bit 29+...): flip data byte 4 bit 2 (a version bit)
+    bad_version[24] |= 0x04
+    with pytest.raises(ValueError):
+        _decode_webp(bytes(bad_version))
+
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_webp(good[: len(good) // 2])
+
+    # lossy VP8 is a declared boundary, raised loudly
+    lossy = bytearray(good)
+    lossy[12:16] = b"VP8 "
+    with pytest.raises(NotImplementedError, match="lossy"):
+        _decode_payload(bytes(lossy))
+
+
+def test_vp8l_cache_and_lz77_paths_really_fire():
+    """The cache_lz77 encoder must emit all three token kinds on a
+    row-repeating image (otherwise the lane exercises nothing)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_webp,
+        _vp8l_cache_key,
+    )
+
+    rng = np.random.default_rng(0)
+    arr = rng.integers(0, 4, size=(10, 12, 1)).astype(np.uint8).repeat(
+        3, axis=2
+    ) * 60
+    arr[3] = arr[2]
+    arr[7] = arr[6]
+    enc_plain = _pixels_to_webp(arr, "plain")
+    enc_lz = _pixels_to_webp(arr, "cache_lz77")
+    # LZ77 + cache must actually compress vs pure literals
+    assert len(enc_lz) < len(enc_plain)
+    d = _decode_payload(enc_lz)
+    got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(10, 12, 3)
+    assert np.array_equal(got, arr)
