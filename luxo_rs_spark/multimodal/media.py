@@ -8529,6 +8529,65 @@ def _pixels_to_webp(rgb: "np.ndarray", mode: str = "plain") -> bytes:
             enc.append((a << 24) | (r_enc << 16) | (g << 8) | b_enc)
         _vp8l_write_image(wtr, _vp8l_literal_tokens(enc), 0, True)
 
+    elif mode == "meta":
+        # meta prefix codes: 4x4 tiles alternate between TWO huffman
+        # groups (checkerboard), each group trained on its own tile
+        # population — the decoder's meta-image path
+        wtr.bits(0, 1)  # no transforms
+        wtr.bits(0, 1)  # no color cache
+        wtr.bits(1, 1)  # meta prefix codes present
+        block_bits = 2
+        wtr.bits(block_bits - 2, 3)
+        mw = -(-w >> block_bits)
+        mh = -(-h >> block_bits)
+        meta = [
+            ((bx + by) % 2) for by in range(mh) for bx in range(mw)
+        ]
+        # meta image pixels: group id in (red << 8) | green
+        meta_px = [
+            0xFF000000 | ((g >> 8) << 16) | ((g & 0xFF) << 8)
+            for g in meta
+        ]
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(meta_px), 0, False)
+        # per-group token lists in raster order
+        group_of = [
+            meta[(y >> block_bits) * mw + (x >> block_bits)]
+            for y in range(h)
+            for x in range(w)
+        ]
+        # write the two groups' codes then emit pixels group-switched;
+        # reuse _vp8l_write_image's internals by hand here
+        per_group_tokens = [[], []]
+        for pos, p in enumerate(pixels):
+            per_group_tokens[group_of[pos]].append(("lit", p))
+        groups_codes = []
+        for gi in range(2):
+            gf, rf, bf, af = {}, {}, {}, {}
+            for _t, p in per_group_tokens[gi] or [("lit", 0xFF000000)]:
+                a, r, g, b = _vp8l_chans(p)
+                for d, k in ((gf, g), (rf, r), (bf, b), (af, a)):
+                    d[k] = d.get(k, 0) + 1
+            df = {0: 1}
+            sizes = [256 + 24, 256, 256, 256, 40]
+            codes5 = []
+            for f, size in zip((gf, rf, bf, af, df), sizes):
+                lengths = _vp8l_build_lengths(f)
+                _vp8l_write_code(wtr, lengths, size)
+                full = [lengths.get(s, 0) for s in range(size)]
+                codes5.append(
+                    _vp8l_canonical_codes(full)
+                    if len(lengths) > 1
+                    else {next(iter(lengths)): (0, 0)}
+                )
+            groups_codes.append(codes5)
+        for pos, p in enumerate(pixels):
+            gc, rc, bc, ac, _dc = groups_codes[group_of[pos]]
+            a, r, g, b = _vp8l_chans(p)
+            _vp8l_emit_sym(wtr, gc, g)
+            _vp8l_emit_sym(wtr, rc, r)
+            _vp8l_emit_sym(wtr, bc, b)
+            _vp8l_emit_sym(wtr, ac, a)
+
     elif mode == "cache_lz77":
         wtr.bits(0, 1)  # no transforms
         cache_bits = 6
@@ -8588,7 +8647,7 @@ def synth_webp_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     modes = (
         "plain", "subtract_green", "palette",
-        "predictor", "color", "cache_lz77",
+        "predictor", "color", "cache_lz77", "meta",
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -8609,7 +8668,7 @@ def synth_webp_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     {
                         "media_id": int(doc_id),
                         "content": _pixels_to_webp(
-                            arr, modes[int(doc_id) % 6]
+                            arr, modes[int(doc_id) % 7]
                         ),
                     }
                 )
