@@ -10719,3 +10719,50 @@ SELECT doc_id AS media_id, w AS width, h AS height,
              '')) AS payload_md5
 FROM px ORDER BY media_id
 """
+
+
+# q475: deletion vectors replayed — live rows = base minus the UNION of
+# the two overlapping delete ranges; dv'd files = buckets whose min/max
+# ADMIT either range; dv_rows = matching-row count (set union, no
+# double count); scan skipping on the physical per-bucket stats; CDC
+# deletes = exactly the dv'd rows; compaction materializes (2 files).
+ORACLE_SQL["q475_snaptable_deletion_vectors"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 256 AS b
+  FROM orders WHERE o_orderkey < 2048
+), fstats AS (
+  SELECT b, min(k) AS mn, max(k) AS mx, count(*) AS n FROM base GROUP BY b
+), dvf AS (
+  SELECT b FROM fstats
+  WHERE (mx >= 100 AND mn <= 299) OR (mx >= 250 AND mn <= 449)
+), live AS (
+  SELECT * FROM base WHERE k NOT BETWEEN 100 AND 449
+), dead AS (
+  SELECT * FROM base WHERE k BETWEEN 100 AND 449
+)
+SELECT '1_after_dv' AS probe,
+  CAST((SELECT count(*) FROM fstats) AS INT) AS files_total,
+  CAST((SELECT count(*) FROM dvf) AS INT) AS files_scanned,
+  CAST((SELECT count(*) FROM dead) AS BIGINT) AS dv_rows,
+  CAST((SELECT count(*) FROM live) AS BIGINT) AS n_rows,
+  CAST((SELECT coalesce(sum(cents), 0) FROM live) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT '2_scan_0_1023',
+  CAST((SELECT count(*) FROM fstats) AS INT),
+  CAST((SELECT count(*) FROM fstats WHERE mx >= 0 AND mn <= 1023) AS INT),
+  CAST(0 AS BIGINT),
+  CAST((SELECT count(*) FROM live WHERE k BETWEEN 0 AND 1023) AS BIGINT),
+  CAST((SELECT coalesce(sum(cents), 0) FROM live
+        WHERE k BETWEEN 0 AND 1023) AS BIGINT)
+UNION ALL
+SELECT '3_cdc_deletes', 0, 0, CAST(0 AS BIGINT),
+  CAST((SELECT count(*) FROM dead) AS BIGINT),
+  CAST((SELECT coalesce(sum(cents), 0) FROM dead) AS BIGINT)
+UNION ALL
+SELECT '4_after_compact', 2, 0, CAST(0 AS BIGINT),
+  CAST((SELECT count(*) FROM live) AS BIGINT),
+  CAST((SELECT coalesce(sum(cents), 0) FROM live) AS BIGINT)
+ORDER BY probe
+"""

@@ -17976,3 +17976,91 @@ def q474_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         decode_media_digest(synth_webp_table(docs))
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q475 — snapshot table DELETION VECTORS (round 9; the Delta DV /
+# Iceberg positional-delete shape): merge-on-read deletes that rewrite
+# NO data file — matching (file, row position) pairs land in a side
+# parquet and every read anti-joins them out through the parquet
+# scan's own _metadata.row_index. Two overlapping DV deletes (the
+# second unions the first's positions, no double count), a composed
+# scan over the vectored table, CDC that surfaces exactly the deleted
+# rows ((path, dv) file identity), and a compaction that materializes
+# the deletes and drops the vectors. Every number is exact integer
+# arithmetic over orders — the oracle replays live-row sets, per-file
+# dv accounting, and the skipping arithmetic in SQL.
+# ---------------------------------------------------------------------------
+@query("q475_snaptable_deletion_vectors")
+def q475_snaptable_deletion_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q475"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2048)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("o_orderkey div 256").alias("b"),
+        )
+    )
+    t = SnapTable(spark, root)
+    t.create(base, stat_cols=["k"], bucket_col="b")
+    t.delete_where("k", 100, 299, mode="dv")
+    v3 = t.delete_where("k", 250, 449, mode="dv")
+
+    m = t.manifest(v3)
+    dv_entries = [e for e in m["files"] if e.get("dv")]
+    live = t.read()
+    scan_df, info = t.scan("k", 0, 1023)
+    cdc = t.changes(1, v3).filter("change_type = 'delete'")
+    t.compact(n_out=2)
+    after = t.read()
+
+    def row(probe, files_total, files_scanned, dv_rows, df):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("sum_cents"),
+        ).select(
+            F.lit(probe).alias("probe"),
+            F.lit(files_total).cast("int").alias("files_total"),
+            F.lit(files_scanned).cast("int").alias("files_scanned"),
+            F.lit(dv_rows).cast("bigint").alias("dv_rows"),
+            "n_rows",
+            "sum_cents",
+        )
+
+    outs = [
+        row(
+            "1_after_dv",
+            len(m["files"]),
+            len(dv_entries),
+            sum(e["dv_rows"] for e in dv_entries),
+            live,
+        ),
+        row(
+            "2_scan_0_1023",
+            info["files_total"],
+            info["files_scanned"],
+            0,
+            scan_df,
+        ),
+        row("3_cdc_deletes", 0, 0, 0, cdc),
+        row("4_after_compact", len(t.manifest()["files"]), 0, 0, after),
+    ]
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("probe")

@@ -284,6 +284,8 @@ class SnapTable:
                 {k: v for k, v in st.items() if not k.startswith("bloom:")}
             )
         cols["stats_json"] = [json.dumps(s, sort_keys=True) for s in sans_bloom]
+        cols["dv"] = [e.get("dv") for e in entries]
+        cols["dv_rows"] = [int(e.get("dv_rows", 0)) for e in entries]
         for c in stat_cols:
             cols[f"min__{c}"] = [s.get(c, {}).get("min") for s in sans_bloom]
             cols[f"max__{c}"] = [s.get(c, {}).get("max") for s in sans_bloom]
@@ -355,14 +357,18 @@ class SnapTable:
                         "k": _BLOOM_K,
                         "bits": list(bits),
                     }
-            out.append(
-                {
-                    "path": cols["path"][i],
-                    "rows": cols["rows"][i],
-                    "bytes": cols["bytes"][i],
-                    "stats": stats,
-                }
-            )
+            ent = {
+                "path": cols["path"][i],
+                "rows": cols["rows"][i],
+                "bytes": cols["bytes"][i],
+                "stats": stats,
+            }
+            if cols.get("dv") and cols["dv"][i]:
+                ent["dv"] = cols["dv"][i]
+                ent["dv_rows"] = cols.get(
+                    "dv_rows", [0] * tbl.num_rows
+                )[i]
+            out.append(ent)
         return out
 
     def _carry(self, m: dict):
@@ -709,7 +715,32 @@ class SnapTable:
     def _logical_ddl(fields: list[dict]) -> str:
         return ", ".join(f"{f['name']} {f['type']}" for f in fields)
 
-    def _read_files(self, m: dict, paths: list[str]) -> DataFrame:
+    def _path_dv(self, m: dict) -> list[tuple[str, str]]:
+        """(path, dv-or-empty) identity keys of a manifest's entries."""
+        dv = self._dv_map(m)
+        return [(p, dv.get(p) or "") for p in self._paths(m)]
+
+    def _dv_map(self, m: dict) -> dict:
+        """{data path -> deletion-vector side-file rel path} for every
+        entry carrying one."""
+        if "files_ckpt" not in m:
+            return {
+                e["path"]: e["dv"] for e in m["files"] if e.get("dv")
+            }
+        tbl = self._entries_arrow(m)
+        if "dv" not in tbl.column_names:
+            return {}
+        return {
+            p: d
+            for p, d in zip(
+                tbl.column("path").to_pylist(), tbl.column("dv").to_pylist()
+            )
+            if d
+        }
+
+    def _read_files(
+        self, m: dict, paths: list[str], dv_map: dict | None = None
+    ) -> DataFrame:
         fields = self._fields(m)
         logical = T.StructType.fromDDL(m["schema"])
         if not paths:
@@ -726,6 +757,38 @@ class SnapTable:
         )
         abs_paths = [os.path.join(self.root, p) for p in paths]
         df = self.spark.read.schema(phys_schema).parquet(*abs_paths)
+        if dv_map is None:
+            dv_map = self._dv_map(m)
+        dv_rels = sorted({dv_map[p] for p in paths if dv_map.get(p)})
+        if dv_rels:
+            # merge-on-read: anti-join the (file, row position) pairs
+            # recorded in the deletion vectors — file identity by
+            # BASENAME (globally unique via the writer token), position
+            # by the parquet scan's own _metadata.row_index
+            dvdf = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.root, r) for r in dv_rels]
+                )
+                .select(
+                    F.col("fname").alias("__snap_fname__"),
+                    F.col("pos").alias("__snap_pos__"),
+                )
+                .distinct()
+            )
+            df = (
+                df.withColumn(
+                    "__snap_fname__",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
+                .withColumn("__snap_pos__", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(dvdf),
+                    ["__snap_fname__", "__snap_pos__"],
+                    "left_anti",
+                )
+            )
         return df.select(
             [F.col(f["physical"]).alias(f["name"]) for f in fields]
         )
@@ -823,17 +886,38 @@ class SnapTable:
         )
         return carry_tbl, rewrite_paths
 
-    def delete_where(self, col: str, lo, hi) -> int:
-        """Copy-on-write delete of rows with ``col BETWEEN lo AND hi``:
-        files whose stats PROVE no match are carried over untouched;
-        the rest are rewritten without the matching rows (dropped
-        entirely if emptied)."""
+    def delete_where(self, col: str, lo, hi, mode: str = "cow") -> int:
+        """Delete rows with ``col BETWEEN lo AND hi``.
+
+        ``mode="cow"`` (default): copy-on-write — files whose stats
+        PROVE no match are carried over untouched; the rest are
+        rewritten without the matching rows (dropped entirely if
+        emptied).
+
+        ``mode="dv"``: DELETION VECTORS (merge-on-read, the Delta DV /
+        Iceberg positional-delete shape) — no data file is rewritten;
+        instead the matching rows' (file, row position) pairs are
+        recorded in a side-file and every read anti-joins them out via
+        the parquet scan's own ``_metadata.row_index``. The write cost
+        of a point delete drops from rewriting whole files to one
+        position list; reads pay a broadcast anti-join until a compact/
+        CoW rewrite materializes the deletes and drops the vectors.
+        Positions are collected on the driver — DVs are for SMALL
+        deletes (the same guidance Delta gives); a mass delete should
+        stay CoW."""
+        if mode == "dv":
+            return self._delete_where_dv(col, lo, hi)
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode {mode!r}")
         m = self.manifest()
         carry, rewrite_paths = self._split_by_range(
             m, self._physical(m, col), lo, hi
         )
         if not rewrite_paths:
-            return self._commit(m["stat_cols"], "delete", carry, [])
+            return self._commit(
+                m["stat_cols"], "delete", carry, [],
+                expected_parent=m["version"],
+            )
         survivors = self._read_files(m, rewrite_paths).filter(
             ~F.col(col).between(lo, hi)
         )
@@ -848,6 +932,140 @@ class SnapTable:
             n_out=len(rewrite_paths),
             bloom_cols=tuple(m.get("bloom_cols", ())),
         )
+
+    def _delete_where_dv(self, col: str, lo, hi) -> int:
+        """Deletion-vector delete (see delete_where): one Spark job
+        finds the matching (file basename, row position) pairs in the
+        stat-admitted candidate files (existing DV positions applied
+        first, so a twice-deleted row is never double-counted), the
+        merged position list lands in ONE side-file, and the new
+        manifest repoints the candidates' dv fields — no data file is
+        touched."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m = self.manifest()
+        phys = self._physical(m, col)
+        _carry_unused, cand_paths = self._split_by_range(m, phys, lo, hi)
+        if not cand_paths:
+            return self._commit(
+                m["stat_cols"], "delete_dv", self._carry(m), [],
+                expected_parent=m["version"],
+            )
+        fields = self._fields(m)
+        logical = T.StructType.fromDDL(m["schema"])
+        phys_schema = T.StructType(
+            [
+                T.StructField(f["physical"], lf.dataType, True)
+                for f, lf in zip(fields, logical.fields)
+            ]
+        )
+        abs_paths = [os.path.join(self.root, p) for p in cand_paths]
+        scan = (
+            self.spark.read.schema(phys_schema)
+            .parquet(*abs_paths)
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("fname"),
+                F.col("_metadata.row_index").alias("pos"),
+                F.col(phys).alias("__v__"),
+            )
+            .filter(F.col("__v__").between(lo, hi))
+            .select("fname", "pos")
+        )
+        dv_map = self._dv_map(m)
+        old_rels = sorted(
+            {dv_map[p] for p in cand_paths if dv_map.get(p)}
+        )
+        if old_rels:
+            old = self.spark.read.parquet(
+                *[os.path.join(self.root, r) for r in old_rels]
+            ).select("fname", "pos")
+            scan = scan.unionByName(old)
+        # bounded by deleted rows (the documented DV contract)
+        pos_rows = sorted(
+            {(r["fname"], int(r["pos"])) for r in scan.collect()}
+        )
+        by_fname: dict[str, int] = {}
+        for fn, _p in pos_rows:
+            by_fname[fn] = by_fname.get(fn, 0) + 1
+
+        token = f"{os.getpid():x}-{next(_WRITER_SEQ):04x}"
+        version = self.latest_version() + 1
+        dv_rel = os.path.join(
+            _DATA_DIR, f"v{version:08d}-dv-{token}.parquet"
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "fname": [r[0] for r in pos_rows],
+                    "pos": pa.array(
+                        [r[1] for r in pos_rows], type=pa.int64()
+                    ),
+                }
+            ),
+            os.path.join(self.root, dv_rel),
+        )
+
+        cand_set = set(cand_paths)
+        if "files_ckpt" not in m:
+            new_files = []
+            for e in m["files"]:
+                if e["path"] in cand_set:
+                    fn = os.path.basename(e["path"])
+                    e = dict(e)
+                    if fn in by_fname:
+                        e["dv"] = dv_rel
+                        e["dv_rows"] = by_fname[fn]
+                new_files.append(e)
+            carry = new_files
+        else:
+            import pyarrow.compute as pc
+
+            tbl = self._entries_arrow(m)
+            paths_arr = tbl.column("path").to_pylist()
+            old_dv = (
+                tbl.column("dv").to_pylist()
+                if "dv" in tbl.column_names
+                else [None] * tbl.num_rows
+            )
+            old_dvr = (
+                tbl.column("dv_rows").to_pylist()
+                if "dv_rows" in tbl.column_names
+                else [0] * tbl.num_rows
+            )
+            new_dv, new_dvr = [], []
+            for p, d, n in zip(paths_arr, old_dv, old_dvr):
+                fn = os.path.basename(p)
+                if p in cand_set and fn in by_fname:
+                    new_dv.append(dv_rel)
+                    new_dvr.append(by_fname[fn])
+                else:
+                    new_dv.append(d)
+                    new_dvr.append(int(n or 0))
+            for name, arr in (
+                ("dv", pa.array(new_dv, type=pa.string())),
+                ("dv_rows", pa.array(new_dvr, type=pa.int64())),
+            ):
+                if name in tbl.column_names:
+                    tbl = tbl.set_column(
+                        tbl.column_names.index(name), name, arr
+                    )
+                else:
+                    tbl = tbl.append_column(name, arr)
+            carry = tbl
+        try:
+            return self._commit(
+                m["stat_cols"], "delete_dv", carry, [],
+                expected_parent=m["version"],
+            )
+        except ConcurrentCommitError:
+            try:
+                os.remove(os.path.join(self.root, dv_rel))
+            except FileNotFoundError:
+                pass
+            raise
 
     def merge(self, source: DataFrame, key_col: str) -> int:
         """MERGE INTO (whole-row upsert): source rows whose ``key_col``
@@ -864,7 +1082,10 @@ class SnapTable:
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
         ).first()
         if b["lo"] is None:  # empty source: metadata-only no-op commit
-            return self._commit(m["stat_cols"], "merge", self._carry(m), [])
+            return self._commit(
+                m["stat_cols"], "merge", self._carry(m), [],
+                expected_parent=m["version"],
+            )
         carry, cand_paths = self._split_by_range(
             m, self._physical(m, key_col), b["lo"], b["hi"]
         )
@@ -892,12 +1113,24 @@ class SnapTable:
         empty — the known CDC cost of rewrites, which is why Delta's
         CDF materializes change files instead)."""
         mf, mt = self.manifest(v_from), self.manifest(v_to)
-        from_paths = set(self._paths(mf))
-        to_paths = set(self._paths(mt))
-        added = [p for p in self._paths(mt) if p not in from_paths]
-        removed = [p for p in self._paths(mf) if p not in to_paths]
-        a = self._read_files(mt, added)
-        r = self._read_files(mt, removed)
+        # file identity for the diff is (path, deletion vector): a DV
+        # commit changes a file's LIVE ROWS without changing its path,
+        # so the file shows up on both sides with its two DV states and
+        # the multiset difference nets to exactly the deleted rows
+        kf = self._path_dv(mf)
+        kt = self._path_dv(mt)
+        added_k = [k for k in kt if k not in set(kf)]
+        removed_k = [k for k in kf if k not in set(kt)]
+        a = self._read_files(
+            mt,
+            [p for p, _d in added_k],
+            dv_map={p: d for p, d in added_k if d},
+        )
+        r = self._read_files(
+            mt,
+            [p for p, _d in removed_k],
+            dv_map={p: d for p, d in removed_k if d},
+        )
         return (
             a.exceptAll(r)
             .withColumn("change_type", F.lit("insert"))
@@ -1144,7 +1377,9 @@ class SnapTable:
         keep_vs = vs[-retain_versions:]
         keep_files = set()
         for v in keep_vs:
-            keep_files.update(self._paths(self.manifest(v)))
+            mv = self.manifest(v)
+            keep_files.update(self._paths(mv))
+            keep_files.update(self._dv_map(mv).values())
         latest = vs[-1]
         removed_files = 0
         for fn in sorted(os.listdir(self.data_dir)):
@@ -1365,12 +1600,24 @@ class SnapTable:
                     f"version {version}; re-read the table and retry"
                 )
 
-    def _commit(self, stat_cols, op, carry, entries) -> int:
+    def _commit(
+        self, stat_cols, op, carry, entries,
+        expected_parent: int | None = None,
+    ) -> int:
         """Metadata-only commit (no new data files). The carry list was
         computed against the manifest read by the CALLER, so a lost
         race means that basis is stale — raise, don't silently retry
-        (same lost-update hazard as the data-commit path)."""
+        (same lost-update hazard as the data-commit path).
+        ``expected_parent`` closes the read-recheck window: if a racer
+        landed between the caller's manifest read and this commit, the
+        basis is stale even though the exclusive create would succeed."""
         base = self.manifest()
+        if expected_parent is not None and base["version"] != expected_parent:
+            raise ConcurrentCommitError(
+                f"snaptable {self.root}: {op} based on version "
+                f"{expected_parent} but latest is {base['version']}; "
+                f"re-read the table and retry"
+            )
         version = base["version"] + 1
         manifest = {
             "version": version,

@@ -1288,3 +1288,116 @@ def test_cdf_stream_nets_compaction_to_zero_midstream(spark, root):
     finally:
         shutil.rmtree(out, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# -- deletion vectors (merge-on-read deletes) ----------------------------------
+
+
+def test_deletion_vector_delete_rewrites_nothing(spark, root):
+    import glob
+
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(300)), stat_cols=["k"], bucket_col="b")
+    data_before = sorted(
+        f for f in glob.glob(os.path.join(root, "data", "*.parquet"))
+        if "-dv-" not in f
+    )
+    v = t.delete_where("k", 50, 69, mode="dv")
+    assert t.manifest(v)["operation"] == "delete_dv"
+    # zero data files rewritten; exactly one DV side-file appeared
+    assert sorted(
+        f for f in glob.glob(os.path.join(root, "data", "*.parquet"))
+        if "-dv-" not in f
+    ) == data_before
+    assert len(glob.glob(os.path.join(root, "data", "*-dv-*.parquet"))) == 1
+    # reads apply the vector
+    assert t.read().count() == 280
+    assert set(r["k"] for r in t.read().collect()) == (
+        set(range(300)) - set(range(50, 70))
+    )
+    # time travel unaffected
+    assert t.read(1).count() == 300
+    # only the stat-admitted file carries the vector
+    m = t.manifest()
+    dvd = [e for e in m["files"] if e.get("dv")]
+    assert len(dvd) == 1 and dvd[0]["dv_rows"] == 20
+    # scans compose with the vector
+    df, _info = t.scan("k", 0, 99)
+    assert sorted(r["k"] for r in df.collect()) == (
+        list(range(50)) + list(range(70, 100))
+    )
+
+
+def test_deletion_vector_stacks_and_materializes_on_compact(spark, root):
+    import glob
+
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(200)), stat_cols=["k"], bucket_col="b")
+    t.delete_where("k", 10, 19, mode="dv")
+    t.delete_where("k", 15, 24, mode="dv")  # overlaps: no double count
+    m = t.manifest()
+    dvd = [e for e in m["files"] if e.get("dv")]
+    assert sum(e["dv_rows"] for e in dvd) == 15
+    want = set(range(200)) - set(range(10, 25))
+    assert set(r["k"] for r in t.read().collect()) == want
+    # CoW delete on a DV'd file applies the vector before rewriting
+    t.delete_where("k", 30, 39)
+    want -= set(range(30, 40))
+    assert set(r["k"] for r in t.read().collect()) == want
+    # compact materializes the deletes and drops the vectors
+    t.compact(n_out=1)
+    assert not any(e.get("dv") for e in t.manifest()["files"])
+    assert set(r["k"] for r in t.read().collect()) == want
+    # vacuum after compaction collects the dead DV side-files
+    t.vacuum(retain_versions=1)
+    assert glob.glob(os.path.join(root, "data", "*-dv-*.parquet")) == []
+    assert set(r["k"] for r in t.read().collect()) == want
+
+
+def test_deletion_vector_cdc_and_merge_and_columnar(spark, root):
+    t = SnapTable(spark, root, checkpoint_threshold=1)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    v2 = t.delete_where("k", 5, 9, mode="dv")
+    assert "files_ckpt" in t.manifest(v2)  # columnar path carries DVs
+    assert t.read().count() == 95
+    # CDC: the DV commit surfaces exactly the deleted rows
+    ch = t.changes(1, v2)
+    assert ch.filter("change_type = 'insert'").count() == 0
+    assert sorted(
+        r["k"] for r in ch.filter("change_type = 'delete'").collect()
+    ) == [5, 6, 7, 8, 9]
+    # merge over a DV'd file: vector applied before the rewrite
+    src = spark.createDataFrame(
+        [(7, "back", 1, 0)], "k bigint, s string, v bigint, b bigint"
+    )
+    t.merge(src, "k")
+    got = {r["k"]: r["s"] for r in t.read().collect()}
+    assert got[7] == "back" and len(got) == 96
+    assert all(k not in got for k in (5, 6, 8, 9))
+
+
+def test_deletion_vector_lost_race_raises_and_cleans(spark, root, monkeypatch):
+    import glob
+
+    from luxo_rs_spark.sources.snaptable import ConcurrentCommitError
+
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+
+    orig = SnapTable._try_write_manifest
+    state = {"fired": False}
+
+    def inject(self, version, manifest):
+        if not state["fired"] and manifest["operation"] == "delete_dv":
+            state["fired"] = True
+            SnapTable(spark, self.root).append(
+                _mk(spark, "t", range(500, 510)), bucket_col="b"
+            )
+        return orig(self, version, manifest)
+
+    monkeypatch.setattr(SnapTable, "_try_write_manifest", inject)
+    with pytest.raises(ConcurrentCommitError):
+        t.delete_where("k", 0, 9, mode="dv")
+    # racer intact, orphan DV cleaned
+    assert t.read().count() == 110
+    assert glob.glob(os.path.join(root, "data", "*-dv-*.parquet")) == []
