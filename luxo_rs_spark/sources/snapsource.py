@@ -84,6 +84,55 @@ def _entry_paths(root: str, m: dict) -> list[str]:
     )
 
 
+def _prune_paths(root: str, m: dict, bounds: dict) -> list[str]:
+    """File paths surviving {col: [lo, hi]} range bounds (either end
+    may be None). Inline manifests walk the dict list; columnar ones
+    compare the checkpoint's typed min__/max__ arrays — no JSON parse
+    however many files the table has (mirrors SnapTable._prune_range,
+    restated here because the DataSource face must stay importable
+    without the SnapTable class)."""
+    if "files_ckpt" not in m:
+        keep = []
+        for e in m["files"]:
+            ok = True
+            for col, (lo, hi) in bounds.items():
+                st = e["stats"].get(col)
+                if st is None or st["min"] is None:
+                    continue  # no stats: cannot prune
+                if (hi is not None and st["min"] > hi) or (
+                    lo is not None and st["max"] < lo
+                ):
+                    ok = False
+                    break
+            if ok:
+                keep.append(e["path"])
+        return keep
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(root, m["files_ckpt"]))
+    names = set(tbl.column_names)
+    mask = None
+    for col, (lo, hi) in bounds.items():
+        if f"min__{col}" not in names:
+            continue
+        mn, mx = tbl.column(f"min__{col}"), tbl.column(f"max__{col}")
+        ok = pc.is_null(mn)
+        inb = None
+        if hi is not None:
+            inb = pc.less_equal(mn, hi)
+        if lo is not None:
+            ge = pc.greater_equal(mx, lo)
+            inb = ge if inb is None else pc.and_(inb, ge)
+        if inb is not None:
+            ok = pc.or_kleene(ok, inb)
+        ok = pc.fill_null(ok, False)
+        mask = ok if mask is None else pc.and_(mask, ok)
+    if mask is None:
+        return tbl.column("path").to_pylist()
+    return tbl.filter(mask).column("path").to_pylist()
+
+
 def _entries(root: str, m: dict) -> list[dict]:
     """Entry dicts (path/rows/stats) for any manifest representation."""
     if "files_ckpt" not in m:
@@ -100,6 +149,34 @@ def _entries(root: str, m: dict) -> list[dict]:
     ]
 
 
+def _dv_map(root: str, m: dict) -> dict:
+    """{data path -> deletion-vector rel path} (see snaptable.py)."""
+    if "files_ckpt" not in m:
+        return {e["path"]: e["dv"] for e in m["files"] if e.get("dv")}
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(root, m["files_ckpt"]))
+    if "dv" not in tbl.column_names:
+        return {}
+    return {
+        p: d
+        for p, d in zip(
+            tbl.column("path").to_pylist(), tbl.column("dv").to_pylist()
+        )
+        if d
+    }
+
+
+def _dv_positions(root: str, dv_rel: str, fname: str) -> set:
+    """Deleted row positions recorded for one data file."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(root, dv_rel))
+    hit = tbl.filter(pc.equal(tbl.column("fname"), fname))
+    return set(hit.column("pos").to_pylist())
+
+
 def _phys_names(m: dict, names: list[str]) -> list[str]:
     """Logical -> physical column translation (column mapping): data
     files store PHYSICAL names; manifests carry the mapping."""
@@ -107,13 +184,22 @@ def _phys_names(m: dict, names: list[str]) -> list[str]:
     return [mapping.get(n, n) for n in names]
 
 
-def _file_rows(root: str, rel_path: str, field_names: list[str]):
+def _file_rows(
+    root: str, rel_path: str, field_names: list[str],
+    dv_rel: str | None = None,
+):
     """Read one data file (pyarrow, executor- or driver-side) and yield
     tuples aligned to the table schema — absent columns (older files
-    under add-column evolution) fill with None."""
+    under add-column evolution) fill with None; rows whose position is
+    recorded in the file's deletion vector are skipped (merge-on-read)."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(os.path.join(root, rel_path))
+    dead = (
+        _dv_positions(root, dv_rel, os.path.basename(rel_path))
+        if dv_rel
+        else None
+    )
     cols = {}
     n = tbl.num_rows
     for name in field_names:
@@ -122,12 +208,15 @@ def _file_rows(root: str, rel_path: str, field_names: list[str]):
         else:
             cols[name] = [None] * n
     for i in range(n):
+        if dead and i in dead:
+            continue
         yield tuple(cols[name][i] for name in field_names)
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, rel_path: str):
+    def __init__(self, rel_path: str, dv_rel: str | None = None):
         self.rel_path = rel_path
+        self.dv_rel = dv_rel
 
 
 class _SnapTableReader(DataSourceReader):
@@ -142,16 +231,20 @@ class _SnapTableReader(DataSourceReader):
         )
         self.manifest = _manifest(self.root, self.version)
         self._entry_list = _entry_paths(self.root, self.manifest)
+        self._dv = _dv_map(self.root, self.manifest)
 
     def partitions(self):
         return [
-            _FilePartition(p) for p in self._entry_list
+            _FilePartition(p, self._dv.get(p)) for p in self._entry_list
         ] or [_FilePartition("")]
 
     def read(self, partition: _FilePartition):
         if not partition.rel_path:
             return iter(())
-        return _file_rows(self.root, partition.rel_path, self.field_names)
+        return _file_rows(
+            self.root, partition.rel_path, self.field_names,
+            getattr(partition, "dv_rel", None),
+        )
 
 
 class _SnapTablePushdownReader(_SnapTableReader):
@@ -178,21 +271,17 @@ class _SnapTablePushdownReader(_SnapTableReader):
                     b[1] = f.value if b[1] is None else min(b[1], f.value)
             yield f  # always re-applied by Spark: pruning only
 
-        keep = []
-        for e in _entries(self.root, self.manifest):
-            ok = True
-            for col, (lo, hi) in bounds.items():
-                st = e["stats"].get(col)
-                if st is None or st["min"] is None:
-                    continue  # no stats: cannot prune
-                if (hi is not None and st["min"] > hi) or (
-                    lo is not None and st["max"] < lo
-                ):
-                    ok = False
-                    break
-            if ok:
-                keep.append(e)
-        self._entry_list = [e["path"] for e in keep]
+        # filters arrive on LOGICAL names; stats are keyed PHYSICAL
+        # (column mapping) — translate, dropping bounds on columns the
+        # manifest cannot resolve (no pruning, never wrong pruning)
+        mapping = {
+            fld["name"]: fld["physical"]
+            for fld in self.manifest.get("fields", [])
+        }
+        bounds = {
+            mapping.get(col, col): b for col, b in bounds.items()
+        }
+        self._entry_list = _prune_paths(self.root, self.manifest, bounds)
 
 
 class _SnapTableStreamReader(SimpleDataSourceStreamReader):

@@ -1401,3 +1401,36 @@ def test_deletion_vector_lost_race_raises_and_cleans(spark, root, monkeypatch):
     # racer intact, orphan DV cleaned
     assert t.read().count() == 110
     assert glob.glob(os.path.join(root, "data", "*-dv-*.parquet")) == []
+
+
+def test_datasource_applies_deletion_vectors_and_phys_pushdown(spark, root):
+    """The DataSource face honors merge-on-read deletes, and pushdown
+    pruning translates renamed (logical) filter columns to the
+    physical stat keys — never pruning on the wrong column."""
+    from luxo_rs_spark.sources.snapsource import register
+
+    register(spark)
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(200)), stat_cols=["k"], bucket_col="b")
+    t.delete_where("k", 20, 39, mode="dv")
+    df = spark.read.format("snaptable").load(root)
+    assert df.count() == 180
+    assert set(r["k"] for r in df.collect()) == (
+        set(range(200)) - set(range(20, 40))
+    )
+    # rename k -> key; pushdown on the NEW logical name still prunes
+    # (and still applies the DV)
+    t.rename_column("k", "key")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        pdf = (
+            spark.read.format("snaptable")
+            .option("pushdown", "true")
+            .load(root)
+            .filter("key >= 100")
+        )
+        assert sorted(r["key"] for r in pdf.collect()) == list(
+            range(100, 200)
+        )
+    finally:
+        spark.conf.unset("spark.sql.python.filterPushdown.enabled")
