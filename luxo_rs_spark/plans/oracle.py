@@ -10766,3 +10766,47 @@ SELECT '4_after_compact', 2, 0, CAST(0 AS BIGINT),
   CAST((SELECT coalesce(sum(cents), 0) FROM live) AS BIGINT)
 ORDER BY probe
 """
+
+
+# q476: the delta-log lifecycle replayed — one file per (k div 512)
+# bucket per commit generation, live rows after the CoW delete, and the
+# scan's skipping arithmetic over post-delete per-bucket min/max.
+ORACLE_SQL["q476_delta_log_lifecycle"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 512 AS bucket
+  FROM orders WHERE o_orderkey < 2560
+), v0 AS (SELECT * FROM base WHERE k < 1024),
+v1 AS (SELECT * FROM base WHERE k < 2048),
+v2 AS (SELECT * FROM v1 WHERE k NOT BETWEEN 300 AND 899),
+v3 AS (SELECT * FROM base WHERE k NOT BETWEEN 300 AND 899),
+f3 AS (
+  SELECT bucket, min(k) AS mn, max(k) AS mx, count(*) AS n
+  FROM v3 GROUP BY bucket
+)
+SELECT 'v0' AS probe,
+  CAST((SELECT count(DISTINCT bucket) FROM v0) AS INT) AS files_total,
+  0 AS files_scanned,
+  CAST((SELECT count(*) FROM v0) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(cents) FROM v0) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT 'v1', CAST((SELECT count(DISTINCT bucket) FROM v1) AS INT), 0,
+  CAST((SELECT count(*) FROM v1) AS BIGINT),
+  CAST((SELECT sum(cents) FROM v1) AS BIGINT)
+UNION ALL
+SELECT 'v2', CAST((SELECT count(DISTINCT bucket) FROM v2) AS INT), 0,
+  CAST((SELECT count(*) FROM v2) AS BIGINT),
+  CAST((SELECT sum(cents) FROM v2) AS BIGINT)
+UNION ALL
+SELECT 'v3', CAST((SELECT count(DISTINCT bucket) FROM v3) AS INT), 0,
+  CAST((SELECT count(*) FROM v3) AS BIGINT),
+  CAST((SELECT sum(cents) FROM v3) AS BIGINT)
+UNION ALL
+SELECT 'scan_600_1500',
+  CAST((SELECT count(*) FROM f3) AS INT),
+  CAST((SELECT count(*) FROM f3 WHERE mx >= 600 AND mn <= 1500) AS INT),
+  CAST((SELECT count(*) FROM v3 WHERE k BETWEEN 600 AND 1500) AS BIGINT),
+  CAST((SELECT sum(cents) FROM v3 WHERE k BETWEEN 600 AND 1500) AS BIGINT)
+ORDER BY probe
+"""

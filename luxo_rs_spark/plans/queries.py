@@ -18064,3 +18064,76 @@ def q475_snaptable_deletion_vectors(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q476 — from-scratch Delta transaction-log lifecycle (round 9; the
+# public delta.io PROTOCOL.md, no deltalake package, no Spark Delta
+# connector): hive-partitioned writes committed as put-if-absent
+# %020d.json action files, a copy-on-write DELETE as remove+add
+# actions, a parquet CHECKPOINT + _last_checkpoint fast path that later
+# commits replay on top of, time travel by log version, and add-action
+# stats file skipping. The layout is one file per (k div 512) bucket,
+# so every number — per-version file counts, live-row aggregates, the
+# skipping arithmetic over post-delete min/max — is a pure function of
+# the orders table and the oracle replays it all in SQL.
+# ---------------------------------------------------------------------------
+@query("q476_delta_log_lifecycle")
+def q476_delta_log_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.deltalog import DeltaLog
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "deltalog_q476"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def slab(lo, hi):
+        return orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("cast(o_orderkey div 512 as string)").alias("bucket"),
+        )
+
+    t = DeltaLog(spark, root)
+    t.write(slab(0, 1024), partition_by=["bucket"])         # v0
+    t.write(slab(1024, 2048))                               # v1
+    t.delete_where("k", 300, 899)                           # v2
+    t.checkpoint()
+    t.write(slab(2048, 2560))                               # v3
+
+    rows = []
+    for v in (0, 1, 2, 3):
+        s = t.snapshot(v)
+        agg = t.read(v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("c"),
+        ).first()
+        rows.append(
+            (f"v{v}", len(s["adds"]), 0, int(agg["n"]), int(agg["c"]))
+        )
+    sdf, info = t.scan("k", 600, 1500)
+    sagg = sdf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("c"),
+    ).first()
+    rows.append(
+        (
+            "scan_600_1500",
+            info["files_total"],
+            info["files_scanned"],
+            int(sagg["n"]),
+            int(sagg["c"]),
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "probe string, files_total int, files_scanned int, "
+        "n_rows bigint, sum_cents bigint",
+    ).orderBy("probe")
