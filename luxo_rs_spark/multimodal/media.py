@@ -8529,6 +8529,48 @@ def _pixels_to_webp(rgb: "np.ndarray", mode: str = "plain") -> bytes:
             enc.append((a << 24) | (r_enc << 16) | (g << 8) | b_enc)
         _vp8l_write_image(wtr, _vp8l_literal_tokens(enc), 0, True)
 
+    elif mode == "stacked":
+        # TWO transforms on one image: subtract-green THEN predictor —
+        # the decoder must invert them in reverse order (predictor
+        # first, then add-green); encoder mirrors: subtract green
+        # first, then predict over the green-subtracted plane
+        wtr.bits(1, 1)
+        wtr.bits(2, 2)  # SUBTRACT_GREEN
+        sg = []
+        for p in pixels:
+            a, r, g, b = _vp8l_chans(p)
+            sg.append(
+                (a << 24) | (((r - g) & 0xFF) << 16) | (g << 8)
+                | ((b - g) & 0xFF)
+            )
+        size_bits = 2
+        bw = -(-w >> size_bits)
+        bh = -(-h >> size_bits)
+        modes_px = [
+            0xFF000000 | ((i % 14) << 8) for i in range(bw * bh)
+        ]
+        wtr.bits(1, 1)
+        wtr.bits(0, 2)  # PREDICTOR
+        wtr.bits(size_bits - 2, 3)
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(modes_px), 0, False)
+        wtr.bits(0, 1)  # end of transforms
+        enc = []
+        for pos in range(w * h):
+            x, y = pos % w, pos // w
+            pm = (
+                modes_px[(y >> size_bits) * bw + (x >> size_bits)] >> 8
+            ) & 0xFF
+            pred = _vp8l_predict(pm, sg, pos, w)
+            pa, pr, pg, pb = _vp8l_chans(pred)
+            a, r, g, b = _vp8l_chans(sg[pos])
+            enc.append(
+                ((a - pa) & 0xFF) << 24
+                | ((r - pr) & 0xFF) << 16
+                | ((g - pg) & 0xFF) << 8
+                | ((b - pb) & 0xFF)
+            )
+        _vp8l_write_image(wtr, _vp8l_literal_tokens(enc), 0, True)
+
     elif mode == "meta":
         # meta prefix codes: 4x4 tiles alternate between TWO huffman
         # groups (checkerboard), each group trained on its own tile
@@ -8646,8 +8688,8 @@ def synth_webp_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     import hashlib
 
     modes = (
-        "plain", "subtract_green", "palette",
-        "predictor", "color", "cache_lz77", "meta",
+        "plain", "subtract_green", "palette", "predictor",
+        "color", "cache_lz77", "meta", "stacked",
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -8668,7 +8710,7 @@ def synth_webp_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     {
                         "media_id": int(doc_id),
                         "content": _pixels_to_webp(
-                            arr, modes[int(doc_id) % 7]
+                            arr, modes[int(doc_id) % 8]
                         ),
                     }
                 )

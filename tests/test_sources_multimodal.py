@@ -3667,7 +3667,7 @@ def test_vp8l_round_trip_all_modes_and_geometries():
 
     for mode in (
         "plain", "subtract_green", "palette", "predictor", "color",
-        "cache_lz77", "meta",
+        "cache_lz77", "meta", "stacked",
     ):
         for h, w in ((1, 1), (1, 9), (7, 1), (5, 8), (16, 16), (11, 29)):
             arr = _vp8l_arr(h, w, colors=5 if mode == "palette" else None)
