@@ -10810,3 +10810,44 @@ SELECT 'scan_600_1500',
   CAST((SELECT sum(cents) FROM v3 WHERE k BETWEEN 600 AND 1500) AS BIGINT)
 ORDER BY probe
 """
+
+
+# q477: UPDATE + RESTORE replayed — the CoW update as a CASE over the
+# match range, the delete as a predicate, the restore as version 2's
+# state verbatim.
+ORACLE_SQL["q477_snaptable_update_restore"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 2048
+), upd AS (
+  SELECT k,
+         CASE WHEN k BETWEEN 300 AND 899 THEN '9-UPDATED' ELSE prio END
+           AS prio,
+         CASE WHEN k BETWEEN 300 AND 899 THEN cents + 555 ELSE cents END
+           AS cents
+  FROM base
+), del AS (
+  SELECT * FROM upd WHERE k NOT BETWEEN 600 AND 1199
+)
+SELECT 1 AS version, 'create' AS operation,
+  CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(cents) FROM base) AS BIGINT) AS sum_cents,
+  CAST(0 AS BIGINT) AS n_updated
+UNION ALL
+SELECT 2, 'update',
+  CAST((SELECT count(*) FROM upd) AS BIGINT),
+  CAST((SELECT sum(cents) FROM upd) AS BIGINT),
+  CAST((SELECT count(*) FROM upd WHERE prio = '9-UPDATED') AS BIGINT)
+UNION ALL
+SELECT 3, 'delete',
+  CAST((SELECT count(*) FROM del) AS BIGINT),
+  CAST((SELECT sum(cents) FROM del) AS BIGINT),
+  CAST((SELECT count(*) FROM del WHERE prio = '9-UPDATED') AS BIGINT)
+UNION ALL
+SELECT 4, 'restore',
+  CAST((SELECT count(*) FROM upd) AS BIGINT),
+  CAST((SELECT sum(cents) FROM upd) AS BIGINT),
+  CAST((SELECT count(*) FROM upd WHERE prio = '9-UPDATED') AS BIGINT)
+ORDER BY version
+"""

@@ -18137,3 +18137,72 @@ def q476_delta_log_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe string, files_total int, files_scanned int, "
         "n_rows bigint, sum_cents bigint",
     ).orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q477 — snapshot table UPDATE + RESTORE (round 9): the remaining DML
+# corners. update_where is a CoW rewrite applying SQL assignments to
+# MATCHING rows only (stats-bounded rewrite set, CHECK-validated like
+# any data commit); restore(v) is a METADATA-ONLY commit whose live
+# state is exactly version v — durable time travel that keeps all
+# intermediate history readable. Every per-version aggregate is a pure
+# function of orders, replayed by the oracle with a CASE expression.
+# ---------------------------------------------------------------------------
+@query("q477_snaptable_update_restore")
+def q477_snaptable_update_restore(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q477"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2048)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("o_orderkey div 512").alias("b"),
+        )
+    )
+    t = SnapTable(spark, root)
+    t.create(base, stat_cols=["k"], bucket_col="b")
+    t.update_where(
+        "k", 300, 899, {"cents": "cents + 555", "prio": "'9-UPDATED'"}
+    )
+    t.delete_where("k", 600, 1199)
+    t.restore(2)
+
+    ops = {m["version"]: m["operation"] for m in t.history()}
+    outs = []
+    for v in (1, 2, 3, 4):
+        outs.append(
+            t.read(v)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+                F.sum(
+                    F.when(F.col("prio") == "9-UPDATED", 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_updated"),
+            )
+            .select(
+                F.lit(v).cast("int").alias("version"),
+                F.lit(ops[v]).alias("operation"),
+                "n_rows",
+                "sum_cents",
+                "n_updated",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("version")

@@ -1067,6 +1067,93 @@ class SnapTable:
                 pass
             raise
 
+    def update_where(
+        self, col: str, lo, hi, assignments: dict[str, str]
+    ) -> int:
+        """UPDATE ... SET assignments WHERE ``col BETWEEN lo AND hi``
+        (copy-on-write; the Delta UPDATE shape): files whose stats
+        PROVE no match carry over untouched, the rest are rewritten
+        with each assignment (a SQL expression over the row's logical
+        columns) applied to MATCHING rows only. CHECK constraints
+        validate the rewritten rows like any data commit."""
+        m = self.manifest()
+        names = {f["name"] for f in self._fields(m)}
+        bad = set(assignments) - names
+        if bad:
+            raise KeyError(f"no such column(s): {sorted(bad)}")
+        carry, rewrite_paths = self._split_by_range(
+            m, self._physical(m, col), lo, hi
+        )
+        if not rewrite_paths:
+            return self._commit(
+                m["stat_cols"], "update", self._carry(m), [],
+                expected_parent=m["version"],
+            )
+        df = self._read_files(m, rewrite_paths)
+        cond = F.col(col).between(lo, hi)
+        out = df.select(
+            [
+                F.when(cond, F.expr(assignments[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        return self._commit_new_files(
+            out, m["stat_cols"], bucket_col=None, op="update",
+            carry=carry, n_out=len(rewrite_paths),
+            bloom_cols=tuple(m.get("bloom_cols", ())),
+        )
+
+    def restore(self, version: int) -> int:
+        """Durable time travel (Delta RESTORE): a NEW commit whose live
+        state — entries, schema, fields, constraints — is exactly that
+        of ``version``. Data files are immutable and shared, so this is
+        metadata-only; history after the restored version stays
+        readable (nothing is rolled back destructively). Physical
+        column names introduced AFTER the restored version are retired
+        so later re-adds can never collide with rolled-back files."""
+        target = self.manifest(version)
+        cur = self.manifest()
+        t_phys = {f["physical"] for f in self._fields(target)}
+        retired = sorted(
+            set(target.get("retired", []))
+            | set(cur.get("retired", []))
+            | {
+                f["physical"]
+                for f in self._fields(cur)
+                if f["physical"] not in t_phys
+            }
+        )
+        new_version = cur["version"] + 1
+        manifest = {
+            "version": new_version,
+            "parent": cur["version"],
+            "operation": "restore",
+            "schema": target["schema"],
+            "fields": self._fields(target),
+            "retired": retired,
+            "stat_cols": target["stat_cols"],
+            "bloom_cols": list(target.get("bloom_cols", [])),
+            "constraints": dict(target.get("constraints", {})),
+        }
+        if target.get("partition_col"):
+            manifest["partition_col"] = target["partition_col"]
+        entry_fields = self._finalize_entries(
+            new_version, self._carry(target), [], target["stat_cols"],
+            tuple(target.get("bloom_cols", [])),
+        )
+        manifest.update(entry_fields)
+        if self._try_write_manifest(new_version, manifest):
+            return new_version
+        self._drop_ckpt(entry_fields)
+        raise ConcurrentCommitError(
+            f"snaptable {self.root}: restore lost a commit race at "
+            f"version {new_version}; re-read the table and retry"
+        )
+
     def merge(self, source: DataFrame, key_col: str) -> int:
         """MERGE INTO (whole-row upsert): source rows whose ``key_col``
         matches an existing row replace it; the rest insert. Copy-on-

@@ -1434,3 +1434,69 @@ def test_datasource_applies_deletion_vectors_and_phys_pushdown(spark, root):
         )
     finally:
         spark.conf.unset("spark.sql.python.filterPushdown.enabled")
+
+
+# -- UPDATE and RESTORE --------------------------------------------------------
+
+
+def test_update_where_rewrites_only_admitted_files(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(500)), stat_cols=["k"], bucket_col="b")
+    before = {e["path"] for e in t.manifest()["files"]}
+    t.update_where("k", 150, 249, {"v": "v + 1000000", "s": "'UPD'"})
+    m = t.manifest()
+    assert m["operation"] == "update"
+    # buckets 0, 3, 4 carried untouched
+    assert len({e["path"] for e in m["files"]} & before) == 3
+    got = {r["k"]: (r["v"], r["s"]) for r in t.read().collect()}
+    assert len(got) == 500
+    for k in range(500):
+        if 150 <= k <= 249:
+            assert got[k] == (k * 3 + 1000000, "UPD")
+        else:
+            assert got[k] == (k * 3, f"s{k % 7}")
+    # time travel: pre-update values intact
+    assert t.read(1).filter("s = 'UPD'").count() == 0
+
+
+def test_update_respects_check_constraints(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(50)), stat_cols=["k"], bucket_col="b")
+    t.add_constraint("v_nonneg", "v >= 0")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.update_where("k", 0, 9, {"v": "-1"})
+    assert t.read().filter("v < 0").count() == 0
+    with pytest.raises(KeyError):
+        t.update_where("k", 0, 9, {"nope": "1"})
+
+
+def test_restore_makes_time_travel_durable(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    t.append(_mk(spark, "t", range(100, 150)), bucket_col="b")
+    t.delete_where("k", 0, 49)
+    t.rename_column("v", "val")
+    v5 = t.restore(2)  # back to the post-append state
+    assert t.manifest(v5)["operation"] == "restore"
+    assert t.read().count() == 150
+    assert "v" in t.read().columns  # rename rolled back too
+    # intermediate history still readable
+    assert t.read(3).count() == 100
+    # and the restored table keeps working
+    t.append(_mk(spark, "t", range(150, 160)), bucket_col="b")
+    assert t.read().count() == 160
+
+
+def test_restore_retires_post_restore_physicals(spark, root):
+    """A column added AFTER the restored version must not resurface
+    if re-added after the restore — its physical is retired."""
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(30)), stat_cols=["k"], bucket_col="b")
+    extra = _mk(spark, "t", range(30, 40)).withColumn("tag", F.lit("OLD"))
+    t.append(extra, bucket_col="b")  # v2 adds column tag
+    t.restore(1)  # v3: tag gone
+    assert "tag" not in t.read().columns
+    readd = _mk(spark, "t", range(40, 45)).withColumn("tag", F.lit("NEW"))
+    t.append(readd, bucket_col="b")
+    vals = {r["tag"] for r in t.read().collect()}
+    assert vals == {None, "NEW"}  # v2's OLD values never resurface
