@@ -755,28 +755,38 @@ class SnapTable:
                 for f, lf in zip(fields, logical.fields)
             ]
         )
-        abs_paths = [os.path.join(self.root, p) for p in paths]
-        df = self.spark.read.schema(phys_schema).parquet(*abs_paths)
         if dv_map is None:
             dv_map = self._dv_map(m)
-        dv_rels = sorted({dv_map[p] for p in paths if dv_map.get(p)})
-        if dv_rels:
+        dv_paths = [p for p in paths if dv_map.get(p)]
+        clean_paths = [p for p in paths if not dv_map.get(p)]
+
+        def plain(ps):
+            return self.spark.read.schema(phys_schema).parquet(
+                *[os.path.join(self.root, p) for p in ps]
+            )
+
+        parts = []
+        if clean_paths:
+            # files without a vector never pay the merge-on-read join
+            parts.append(plain(clean_paths))
+        if dv_paths:
             # merge-on-read: anti-join the (file, row position) pairs
             # recorded in the deletion vectors — file identity by
             # BASENAME (globally unique via the writer token), position
             # by the parquet scan's own _metadata.row_index
-            dvdf = (
-                self.spark.read.parquet(
-                    *[os.path.join(self.root, r) for r in dv_rels]
-                )
-                .select(
-                    F.col("fname").alias("__snap_fname__"),
-                    F.col("pos").alias("__snap_pos__"),
-                )
-                .distinct()
+            dv_rels = sorted({dv_map[p] for p in dv_paths})
+            # no distinct: the DV writer emits each (fname, pos) once
+            # (set-deduped at write time), and an anti-join is
+            # insensitive to build-side duplicates anyway
+            dvdf = self.spark.read.parquet(
+                *[os.path.join(self.root, r) for r in dv_rels]
+            ).select(
+                F.col("fname").alias("__snap_fname__"),
+                F.col("pos").alias("__snap_pos__"),
             )
-            df = (
-                df.withColumn(
+            parts.append(
+                plain(dv_paths)
+                .withColumn(
                     "__snap_fname__",
                     F.element_at(
                         F.split(F.col("_metadata.file_path"), "/"), -1
@@ -789,9 +799,11 @@ class SnapTable:
                     "left_anti",
                 )
             )
-        return df.select(
-            [F.col(f["physical"]).alias(f["name"]) for f in fields]
-        )
+        sel = [F.col(f["physical"]).alias(f["name"]) for f in fields]
+        out = parts[0].select(sel)
+        for p in parts[1:]:
+            out = out.unionByName(p.select(sel))
+        return out
 
     # -- writes --------------------------------------------------------------
 

@@ -1500,3 +1500,17 @@ def test_restore_retires_post_restore_physicals(spark, root):
     t.append(readd, bucket_col="b")
     vals = {r["tag"] for r in t.read().collect()}
     assert vals == {None, "NEW"}  # v2's OLD values never resurface
+
+
+def test_update_and_restore_on_columnar_checkpoints(spark, root):
+    t = SnapTable(spark, root, checkpoint_threshold=1)
+    t.create(_mk(spark, "t", range(300)), stat_cols=["k"], bucket_col="b")
+    t.update_where("k", 100, 199, {"v": "v * 10"})
+    assert "files_ckpt" in t.manifest()
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got[150] == 150 * 30 and got[50] == 150
+    t.delete_where("k", 0, 49, mode="dv")
+    v4 = t.restore(2)
+    assert "files_ckpt" in t.manifest(v4)
+    assert t.read().count() == 300  # DV rolled back with the restore
+    assert {r["k"]: r["v"] for r in t.read().collect()}[150] == 150 * 30

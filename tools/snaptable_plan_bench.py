@@ -207,6 +207,47 @@ def main() -> None:
             ratio["append_meta_json_sec"] / max(ratio["append_meta_ckpt_sec"], 1e-9), 2
         ),
     }
+    # deletion-vector READ overhead: same table contents read three
+    # ways — no vectors, a 1%-deleted vector (broadcast anti-join on
+    # (fname, row_index)), and after compaction materializes the
+    # deletes (back to the zero-join path). Quantifies the documented
+    # merge-on-read read tax.
+    from pyspark.sql import functions as SF
+
+    from luxo_rs_spark.sources.snaptable import SnapTable as ST
+
+    dv_root = os.path.join(WORK, "dvread")
+    shutil.rmtree(dv_root, ignore_errors=True)
+    n_rows = 2_000_000
+    df = spark.range(n_rows).select(
+        SF.col("id").alias("k"),
+        (SF.col("id") * 7 % 1000).alias("v"),
+        SF.expr("id div 250000").alias("b"),
+    )
+    t = ST(spark, dv_root)
+    t.create(df, stat_cols=["k"], bucket_col="b")
+
+    def read_time():
+        def go():
+            return t.read().agg(SF.sum("v"), SF.count("*")).collect()
+
+        return timed(go)[0]
+
+    sec_plain = read_time()
+    t.delete_where("k", 0, n_rows // 100, mode="dv")  # ~1% deleted
+    sec_dv = read_time()
+    t.compact(n_out=8)
+    sec_compacted = read_time()
+    results["dv_read_overhead"] = {
+        "rows": n_rows,
+        "read_plain_sec": round(sec_plain, 4),
+        "read_with_dv_sec": round(sec_dv, 4),
+        "read_after_compact_sec": round(sec_compacted, 4),
+        "dv_read_tax": round(sec_dv / max(sec_plain, 1e-9), 2),
+    }
+    print(json.dumps(results["dv_read_overhead"]), flush=True)
+    shutil.rmtree(dv_root, ignore_errors=True)
+
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results["alpha"]), flush=True)
