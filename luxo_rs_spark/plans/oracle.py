@@ -10851,3 +10851,22 @@ SELECT 4, 'restore',
   CAST((SELECT count(*) FROM upd WHERE prio = '9-UPDATED') AS BIGINT)
 ORDER BY version
 """
+
+
+# q478: expected per-container counts derived from the generator rule
+# (one file per doc per lane) — Spark counts from CONTENT magic bytes;
+# the two agree iff the sniffer reads every family correctly.
+ORACLE_SQL["q478_magic_byte_detection"] = """
+WITH a AS (SELECT count(*) AS n FROM documents WHERE doc_id < 100),
+     b AS (SELECT count(*) AS n FROM documents WHERE doc_id < 40)
+SELECT 'avi' AS container, CAST((SELECT n FROM b) AS BIGINT) AS n_files
+UNION ALL SELECT 'bmp', CAST((SELECT n FROM a) AS BIGINT)
+UNION ALL SELECT 'flac', CAST((SELECT n FROM b) AS BIGINT)
+UNION ALL SELECT 'gif', CAST((SELECT n FROM a) AS BIGINT)
+UNION ALL SELECT 'png', CAST((SELECT n FROM a) AS BIGINT)
+UNION ALL SELECT 'tiff', CAST((SELECT n FROM b) AS BIGINT)
+UNION ALL SELECT 'unknown', CAST((SELECT n FROM a) AS BIGINT)
+UNION ALL SELECT 'wav', CAST((SELECT n FROM a) AS BIGINT)
+UNION ALL SELECT 'webp', CAST((SELECT n FROM a) AS BIGINT)
+ORDER BY container
+"""

@@ -18206,3 +18206,62 @@ def q477_snaptable_update_restore(
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Q478 — magic-byte container detection over a mixed BINARY corpus
+# (round 9; functions/magic.py): the first pass of a 100 TB multimodal
+# crawl — classify raw bytes by leading magic numbers (incl. the RIFF
+# subtype dispatch WAV/AVI/WEBP) before any decode runs. Pure Column
+# algebra (hex + CASE, codegen, no UDF). The corpus unions EIGHT real
+# encoders' outputs plus a deliberately mangled lane (first bytes
+# overwritten -> 'unknown', the quarantine path). The oracle derives
+# the expected per-container counts from the GENERATOR rule (one file
+# per doc per lane), so Spark classifying from CONTENT agrees iff the
+# sniffer reads every family's magic correctly — a cross-check, not a
+# restatement.
+# ---------------------------------------------------------------------------
+@query("q478_magic_byte_detection")
+def q478_magic_byte_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.functions.magic import detect_container
+    from luxo_rs_spark.multimodal.media import (
+        synth_avi_table,
+        synth_bmp_table,
+        synth_flac_table,
+        synth_g711_table,
+        synth_gif_table,
+        synth_png_table,
+        synth_tiff_table,
+        synth_webp_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = docs.filter(F.col("doc_id") < 100)
+    b = docs.filter(F.col("doc_id") < 40)
+    parts = [
+        synth_bmp_table(a),
+        synth_png_table(a),
+        synth_gif_table(a),
+        synth_g711_table(a),
+        synth_webp_table(a),
+        synth_tiff_table(b),
+        synth_flac_table(b),
+        synth_avi_table(b),
+    ]
+    media = parts[0].select("content")
+    for p in parts[1:]:
+        media = media.unionAll(p.select("content"))
+    # the quarantine lane: overwrite the magic -> must classify unknown
+    mangled = synth_bmp_table(a).select(
+        F.concat(
+            F.lit(bytearray(b"\x00\x00")),
+            F.substring(F.col("content"), 3, 1 << 30),
+        ).alias("content")
+    )
+    media = media.unionAll(mangled)
+    return (
+        media.select(detect_container(F.col("content")).alias("container"))
+        .groupBy("container")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_files"))
+        .orderBy("container")
+    )

@@ -3801,3 +3801,53 @@ def test_vp8l_cache_and_lz77_paths_really_fire():
     d = _decode_payload(enc_lz)
     got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(10, 12, 3)
     assert np.array_equal(got, arr)
+
+
+def test_magic_detection_matches_decoder_dispatch(spark):
+    """detect_container agrees with _decode_payload's dispatch on every
+    family, the SQL twin classifies identically in DuckDB, and damaged
+    magic lands in 'unknown' (quarantine), never a guess."""
+    import duckdb
+
+    from luxo_rs_spark.functions.magic import (
+        DETECT_CONTAINER_SQL,
+        detect_container,
+    )
+    from luxo_rs_spark.multimodal.media import _pixels_to_webp
+
+    import numpy as np
+
+    samples = {
+        "png": b"\x89PNG\r\n\x1a\n" + b"\x00" * 16,
+        "bmp": b"BM" + b"\x00" * 20,
+        "gif": b"GIF89a" + b"\x00" * 10,
+        "jpeg": b"\xff\xd8\xff\xe0" + b"\x00" * 10,
+        "flac": b"fLaC" + b"\x00" * 10,
+        "tiff": b"II*\x00" + b"\x00" * 10,
+        "wav": b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 8,
+        "avi": b"RIFF\x10\x00\x00\x00AVI " + b"\x00" * 8,
+        "webp": _pixels_to_webp(np.zeros((1, 1, 3), dtype=np.uint8)),
+        "zip": b"PK\x03\x04" + b"\x00" * 10,
+        "gzip": b"\x1f\x8b\x08" + b"\x00" * 10,
+        "warc": b"WARC/1.0\r\n" + b"\x00" * 4,
+        "riff": b"RIFF\x10\x00\x00\x00XXXX" + b"\x00" * 8,
+        "unknown": b"\x00\x01\x02\x03" + b"\x00" * 10,
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in sorted(samples.items())],
+        "want string, content binary",
+    )
+    got = {
+        r["want"]: r["got"]
+        for r in df.select(
+            "want", detect_container(F.col("content")).alias("got")
+        ).collect()
+    }
+    assert got == {k: k for k in samples}
+
+    con = duckdb.connect()
+    for want, blob in sorted(samples.items()):
+        lit = "'\\x" + "\\x".join(f"{b:02X}" for b in blob) + "'::BLOB"
+        sql_expr = DETECT_CONTAINER_SQL.format(c=lit)
+        out = con.execute(f"SELECT {sql_expr}").fetchone()[0]
+        assert out == want, (want, out)
