@@ -443,6 +443,44 @@ class SnapTable:
             except FileNotFoundError:
                 pass
 
+    def history_df(self) -> DataFrame:
+        """The snapshot history AS A RELATION (Iceberg's ``snapshots``
+        metadata table / Delta's DESCRIBE HISTORY): one row per
+        retained version with operation, file/row accounting, and
+        schema — queryable like any DataFrame."""
+        rows = []
+        for v in self.versions():
+            m = self.manifest(v)
+            if "files_ckpt" in m:
+                import pyarrow.compute as pc
+
+                tbl = self._entries_arrow(m)
+                n_files = tbl.num_rows
+                n_rows = int(pc.sum(tbl.column("rows")).as_py() or 0)
+                n_bytes = int(pc.sum(tbl.column("bytes")).as_py() or 0)
+            else:
+                n_files = len(m["files"])
+                n_rows = sum(e["rows"] for e in m["files"])
+                n_bytes = sum(e["bytes"] for e in m["files"])
+            rows.append(
+                (
+                    v,
+                    m["operation"],
+                    m.get("parent", 0),
+                    n_files,
+                    n_rows,
+                    n_bytes,
+                    "files_ckpt" in m,
+                    m["schema"],
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version int, operation string, parent int, n_files int, "
+            "n_rows bigint, n_bytes bigint, columnar boolean, "
+            "schema string",
+        )
+
     def files_df(self, version: int | None = None) -> DataFrame:
         """The manifest AS A DATAFRAME (path, rows, bytes, stats_json,
         min__*/max__*/nulls__*/bloom__* columns) — the queryable

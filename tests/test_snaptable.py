@@ -1514,3 +1514,20 @@ def test_update_and_restore_on_columnar_checkpoints(spark, root):
     assert "files_ckpt" in t.manifest(v4)
     assert t.read().count() == 300  # DV rolled back with the restore
     assert {r["k"]: r["v"] for r in t.read().collect()}[150] == 150 * 30
+
+
+def test_history_df_is_the_snapshot_relation(spark, root):
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    t.append(_mk(spark, "t", range(100, 150)), bucket_col="b")
+    t.delete_where("k", 0, 49)
+    h = t.history_df()
+    got = {
+        r["version"]: (r["operation"], r["n_files"], r["n_rows"])
+        for r in h.collect()
+    }
+    assert got[1] == ("create", 1, 100)
+    assert got[2] == ("append", 2, 150)
+    assert got[3][0] == "delete" and got[3][2] == 100
+    # queryable like any relation
+    assert h.filter("n_rows >= 150").count() == 1
