@@ -266,3 +266,42 @@ def test_g4_mmr_roundtrip_property(h, w, seed, density):
     rng = np.random.default_rng(seed)
     bm = (rng.random((h, w)) < density).astype(np.uint8)
     assert np.array_equal(_g4_decode(_g4_encode(bm), w, h), bm)
+
+
+# -- VP8L (WebP lossless) property round-trip ----------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=17),
+    w=st.integers(min_value=1, max_value=23),
+    mode_i=st.integers(min_value=0, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n_colors=st.integers(min_value=2, max_value=200),
+)
+def test_vp8l_roundtrip_property(h, w, mode_i, seed, n_colors):
+    """Any image, any mode, any geometry: encode->decode is identity
+    (VP8L is lossless; every transform/cache/LZ77/meta path included)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_to_webp,
+    )
+
+    modes = (
+        "plain", "subtract_green", "palette", "predictor",
+        "color", "cache_lz77", "meta", "stacked",
+    )
+    mode = modes[mode_i]
+    rng = np.random.default_rng(seed)
+    if mode == "palette":
+        vals = rng.integers(0, 256, size=n_colors, dtype=np.uint8)
+        idx = rng.integers(0, n_colors, size=(h, w))
+        arr = vals[idx][:, :, None].repeat(3, axis=2)
+    else:
+        arr = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    d = _decode_payload(_pixels_to_webp(arr, mode))
+    assert d["width"] == w and d["height"] == h
+    got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(h, w, 3)
+    assert np.array_equal(got, arr)
