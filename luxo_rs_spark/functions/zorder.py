@@ -65,3 +65,34 @@ def equiwidth_bucket_sql(c: str, lo: int, hi: int, n: int) -> str:
         f"least(greatest(cast(floor((({c} - {lo}) * {n}) / {span}) "
         f"as bigint), 0), {n - 1})"
     )
+
+
+def zn(cols: list[Column], bits: int = 16) -> Column:
+    """N-dimensional Morton interleave: bit i of column j lands at
+    position i*n + j (for n=2 this is exactly ``z2``). n*bits must fit
+    a BIGINT (<= 62)."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zn needs at least two columns")
+    if n * bits > 62:
+        raise ValueError(f"{n} dims x {bits} bits exceeds a BIGINT")
+    z = F.lit(0).cast("bigint")
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c.cast("bigint"), i).bitwiseAND(F.lit(1)),
+                    i * n + j,
+                )
+            )
+    return z
+
+
+def zn_sql(cols: list[str], bits: int = 16) -> str:
+    """The identical n-dim interleave as ANSI SQL."""
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            terms.append(f"((({c} >> {i}) & 1) << {i * n + j})")
+    return " | ".join(terms)

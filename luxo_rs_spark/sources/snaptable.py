@@ -1280,7 +1280,7 @@ class SnapTable:
         self,
         n_out: int,
         sort_cols: list[str] | None = None,
-        zorder_cols: tuple[str, str] | None = None,
+        zorder_cols: tuple | None = None,
         zbits: int = 8,
     ) -> int:
         """Rewrite ALL current files into ``n_out`` files — logically
@@ -1290,9 +1290,10 @@ class SnapTable:
         is tight again, restoring `scan()`'s pruning power after
         appends/merges scattered the key ranges.
 
-        With ``zorder_cols`` (exactly two columns) this is OPTIMIZE
+        With ``zorder_cols`` (two OR MORE columns) this is OPTIMIZE
         ZORDER: each column is equal-width bucketed over its global
-        [min, max] into 2^zbits buckets, the buckets are Morton
+        [min, max] into 2^zbits buckets (zbits auto-shrinks so the
+        n-dim interleave fits a BIGINT), the buckets are Morton
         bit-interleaved (functions/zorder.py — pure codegen, no UDF),
         and rows land in the file addressed by the z-value's HIGH bits
         — so every output file is a z-curve tile whose min/max is
@@ -1307,17 +1308,24 @@ class SnapTable:
         if zorder_cols:
             if sort_cols:
                 raise ValueError("sort_cols and zorder_cols are exclusive")
-            from luxo_rs_spark.functions.zorder import equiwidth_bucket, z2
+            from luxo_rs_spark.functions.zorder import equiwidth_bucket, zn
 
-            ca, cb = zorder_cols
-            bounds = df.agg(
-                F.min(ca), F.max(ca), F.min(cb), F.max(cb)
-            ).first()
-            za = equiwidth_bucket(F.col(ca), bounds[0], bounds[1], 1 << zbits)
-            zb = equiwidth_bucket(F.col(cb), bounds[2], bounds[3], 1 << zbits)
-            z = z2(za, zb, bits=zbits)
+            zcols = list(zorder_cols)
+            ndim = len(zcols)
+            zbits = min(zbits, 62 // ndim)
+            aggs = []
+            for c in zcols:
+                aggs.extend((F.min(c), F.max(c)))
+            bounds = df.agg(*aggs).first()
+            buckets = [
+                equiwidth_bucket(
+                    F.col(c), bounds[2 * j], bounds[2 * j + 1], 1 << zbits
+                )
+                for j, c in enumerate(zcols)
+            ]
+            z = zn(buckets, bits=zbits)
             n_pow2 = 1 << max(0, (max(1, n_out) - 1).bit_length())
-            shift = max(0, 2 * zbits - (n_pow2.bit_length() - 1))
+            shift = max(0, ndim * zbits - (n_pow2.bit_length() - 1))
             layout_col = "__snap_zcluster__"
             df = df.withColumn(layout_col, F.shiftright(z, shift))
             n_out = None

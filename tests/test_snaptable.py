@@ -1531,3 +1531,32 @@ def test_history_df_is_the_snapshot_relation(spark, root):
     assert got[3][0] == "delete" and got[3][2] == 100
     # queryable like any relation
     assert h.filter("n_rows >= 150").count() == 1
+
+
+def test_zorder_three_dimensions(spark, root):
+    """OPTIMIZE ZORDER over THREE columns: a narrow probe on any of
+    the three skips files afterwards (zn interleave, zbits auto-fit)."""
+    t = SnapTable(spark, root)
+    df = spark.createDataFrame(
+        [
+            (k, (k * 7919) % 2048, (k * 104729) % 2048, k)
+            for k in range(2048)
+        ],
+        "a bigint, b bigint, c bigint, v bigint",
+    ).withColumn("bk", F.expr("a div 256"))
+    t.create(df.select("a", "b", "c", "v", "bk"),
+             stat_cols=["a", "b", "c"], bucket_col="bk")
+    for col in ("b", "c"):
+        _, info = t.scan(col, 128, 255)
+        assert info["files_scanned"] == info["files_total"]
+    t.compact(n_out=64, zorder_cols=("a", "b", "c"))
+    fp = t.read().agg(F.sum("a"), F.sum("b"), F.sum("c"), F.count("*")).first()
+    assert fp == (
+        sum(range(2048)),
+        sum((k * 7919) % 2048 for k in range(2048)),
+        sum((k * 104729) % 2048 for k in range(2048)),
+        2048,
+    )
+    for col in ("a", "b", "c"):
+        _, info = t.scan(col, 128, 255)
+        assert info["files_scanned"] < info["files_total"], col
