@@ -8599,11 +8599,15 @@ def _pixels_to_webp(rgb: "np.ndarray", mode: str = "plain") -> bytes:
         ]
         # write the two groups' codes then emit pixels group-switched;
         # reuse _vp8l_write_image's internals by hand here
-        per_group_tokens = [[], []]
+        # the number of groups the DECODER will read is
+        # max(meta)+1 — a degenerate checkerboard (single block
+        # row+column) has ONE group, and writing two would desync
+        n_groups = max(meta) + 1
+        per_group_tokens = [[] for _ in range(n_groups)]
         for pos, p in enumerate(pixels):
             per_group_tokens[group_of[pos]].append(("lit", p))
         groups_codes = []
-        for gi in range(2):
+        for gi in range(n_groups):
             gf, rf, bf, af = {}, {}, {}, {}
             for _t, p in per_group_tokens[gi] or [("lit", 0xFF000000)]:
                 a, r, g, b = _vp8l_chans(p)
