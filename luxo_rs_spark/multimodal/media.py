@@ -7803,9 +7803,16 @@ class _VP8LPrefixCode:
 
 
 def _vp8l_build_lengths(freqs: dict[int, int], max_len: int = 15):
-    """Optimal prefix-code lengths from symbol frequencies (plain
-    Huffman; fixture alphabets are small enough that depths stay well
-    under the 15-bit cap, asserted)."""
+    """LENGTH-LIMITED prefix-code lengths from symbol frequencies:
+    plain Huffman first; if any depth exceeds ``max_len`` (a
+    sufficiently skewed distribution — Fibonacci-like frequencies over
+    the 280-symbol green alphabet — legitimately can), apply the
+    classic depth-rebalancing fixup: clamp to ``max_len``, then move
+    codes deeper per-length-count until the Kraft equality
+    sum(2^-len) == 1 is restored, and reassign lengths to symbols by
+    descending frequency (shortest codes to the most frequent). The
+    result is always a complete, decodable canonical code within the
+    format's 15-bit cap."""
     import heapq
     import itertools as _it
 
@@ -7824,9 +7831,32 @@ def _vp8l_build_lengths(freqs: dict[int, int], max_len: int = 15):
         merged.update({s: d + 1 for s, d in db.items()})
         heapq.heappush(heap, (fa + fb, next(cnt), merged))
     depths = heap[0][2]
-    if max(depths.values()) > max_len:
-        raise ValueError("VP8L: code depth exceeds 15 (fixture bug)")
-    return depths
+    if max(depths.values()) <= max_len:
+        return depths
+    # clamp overlong depths, then restore Kraft equality: each step
+    # removes one code at max_len and splits one shorter code into two
+    # one level deeper — net Kraft change is exactly -1 (scaled by
+    # 2^max_len), terminating at equality
+    num = [0] * (max_len + 1)
+    for d in depths.values():
+        num[min(d, max_len)] += 1
+    total = sum(n << (max_len - ln) for ln, n in enumerate(num) if ln)
+    while total > (1 << max_len):
+        num[max_len] -= 1
+        for i in range(max_len - 1, 0, -1):
+            if num[i]:
+                num[i] -= 1
+                num[i + 1] += 2
+                break
+        total -= 1
+    # deterministic assignment: most frequent symbol -> shortest code,
+    # symbol id breaks frequency ties
+    order = iter(sorted(freqs, key=lambda s: (-freqs[s], s)))
+    out = {}
+    for ln in range(1, max_len + 1):
+        for _ in range(num[ln]):
+            out[next(order)] = ln
+    return out
 
 
 def _vp8l_write_code(w: _VP8LBitWriter, lengths_by_sym: dict[int, int],
@@ -8685,10 +8715,10 @@ def synth_webp_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     of the text (each hex char i -> pixel (i, i, i) — exactly the GIF
     lane's tiling, so the decoded-payload md5 oracle is the same SQL
     shape), dims derived from doc_id, and the encode MODE cycling the
-    bitstream features by doc_id % 6: literals / subtract-green /
+    bitstream features by doc_id % 8: literals / subtract-green /
     color-indexing (16-gray palette -> 2-pixels-per-byte bundling) /
     per-block predictors / cross-channel color transform / color-cache
-    + LZ77. Lossless end to end: decode must reproduce every pixel."""
+    + LZ77 / meta prefix codes / stacked transforms. Lossless end to end: decode must reproduce every pixel."""
     import hashlib
 
     modes = (

@@ -17796,7 +17796,7 @@ def q471_snaptable_zorder_optimize(
     from luxo_rs_spark.sources.snaptable import SnapTable
 
     root = os.path.join(
-        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q469"
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q471"
     )
     shutil.rmtree(root, ignore_errors=True)
 
@@ -17863,7 +17863,7 @@ def q472_snaptable_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.sources.snaptable import SnapTable
 
     root = os.path.join(
-        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q470"
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q472"
     )
     shutil.rmtree(root, ignore_errors=True)
 

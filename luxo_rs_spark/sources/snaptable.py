@@ -414,12 +414,27 @@ class SnapTable:
         if entries:
             new_tbl = self._entries_to_arrow(entries, stat_cols, bloom_cols)
             if parts:
-                try:  # align all-None type pins with the carried schema
-                    new_tbl = new_tbl.select(
-                        parts[0].column_names
-                    ).cast(parts[0].schema)
-                except (pa.ArrowInvalid, pa.ArrowNotImplementedError, KeyError):
-                    pass
+                # Align all-None type PINS with the carried schema
+                # per-column, but keep columns the carried side lacks
+                # (a new stat/partition column introduced by THIS
+                # commit — partition evolution): concat's permissive
+                # promote then adds typed nulls on the carried side, so
+                # the new files' min__/max__/nulls__/bloom__ stats
+                # survive into the child checkpoint instead of being
+                # silently dropped (which would permanently disable
+                # skipping on exactly the evolved column).
+                base_schema = parts[0].schema
+                aligned = {}
+                for name in new_tbl.column_names:
+                    arr = new_tbl.column(name)
+                    idx = base_schema.get_field_index(name)
+                    if idx >= 0 and arr.type != base_schema.field(idx).type:
+                        try:
+                            arr = arr.cast(base_schema.field(idx).type)
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                            pass
+                    aligned[name] = arr
+                new_tbl = pa.table(aligned)
             parts.append(new_tbl)
         if not parts:
             tbl = self._entries_to_arrow([], stat_cols, bloom_cols)
@@ -981,6 +996,7 @@ class SnapTable:
             carry=carry,
             n_out=len(rewrite_paths),
             bloom_cols=tuple(m.get("bloom_cols", ())),
+            expected_parent=m["version"],
         )
 
     def _delete_where_dv(self, col: str, lo, hi) -> int:
@@ -1155,6 +1171,7 @@ class SnapTable:
             out, m["stat_cols"], bucket_col=None, op="update",
             carry=carry, n_out=len(rewrite_paths),
             bloom_cols=tuple(m.get("bloom_cols", ())),
+            expected_parent=m["version"],
         )
 
     def restore(self, version: int) -> int:
@@ -1237,6 +1254,7 @@ class SnapTable:
             out, m["stat_cols"], bucket_col=None, op="merge", carry=carry,
             n_out=max(1, len(cand_paths)),
             bloom_cols=tuple(m.get("bloom_cols", ())),
+            expected_parent=m["version"],
         )
 
     def changes(self, v_from: int, v_to: int) -> DataFrame:
@@ -1256,8 +1274,12 @@ class SnapTable:
         # the multiset difference nets to exactly the deleted rows
         kf = self._path_dv(mf)
         kt = self._path_dv(mt)
-        added_k = [k for k in kt if k not in set(kf)]
-        removed_k = [k for k in kf if k not in set(kt)]
+        # hoisted sets: the diff is O(n) in file count, not O(n^2) —
+        # at the 10^5-10^6-file metadata plane CDC planning must not
+        # be quadratic
+        kf_set, kt_set = set(kf), set(kt)
+        added_k = [k for k in kt if k not in kf_set]
+        removed_k = [k for k in kf if k not in kt_set]
         a = self._read_files(
             mt,
             [p for p, _d in added_k],
@@ -1338,6 +1360,7 @@ class SnapTable:
             df, m["stat_cols"], bucket_col=None, op="compact", carry=[],
             n_out=n_out, bloom_cols=tuple(m.get("bloom_cols", ())),
             layout_col=layout_col,
+            expected_parent=m["version"],
         )
 
     def _metadata_commit(self, op: str, mutate) -> int:
@@ -1589,6 +1612,7 @@ class SnapTable:
         bloom_cols: tuple = (),
         layout_col: str | None = None,
         partition_col: str | None = None,
+        expected_parent: int | None = None,
     ) -> int:
         """Stage data files, collect footer stats distributively, then
         run the optimistic commit loop. Data files are written with
@@ -1596,7 +1620,16 @@ class SnapTable:
         carries logical names; renames here never touch data on disk.
         ``layout_col`` names a LAYOUT-ONLY column of ``df`` (e.g. the
         z-cluster id): it drives the one-file-per-value split but is
-        stripped from the written data and the schema."""
+        stripped from the written data and the schema.
+
+        ``expected_parent`` (required for non-commutative ops —
+        delete/update/merge/compact): the manifest version the caller
+        computed its carry/rewrite sets against. The stage-write Spark
+        job above can run for minutes; a racer committing during that
+        window would otherwise let our exclusive create succeed at
+        racer_version+1 with a STALE carry, silently dropping the
+        racer's files (lost update). Checked before the version is
+        claimed — same contract as ``_commit``."""
         import shutil
 
         data_df = df.drop(layout_col) if layout_col else df
@@ -1673,6 +1706,15 @@ class SnapTable:
         token = f"{os.getpid():x}-{next(_WRITER_SEQ):04x}"
         while True:
             version = self.latest_version() + 1
+            if expected_parent is not None and version - 1 != expected_parent:
+                # a racer landed while we were staging: the carry set is
+                # stale even though the exclusive create would succeed
+                shutil.rmtree(stage, ignore_errors=True)
+                raise ConcurrentCommitError(
+                    f"snaptable {self.root}: {op} based on version "
+                    f"{expected_parent} but latest is {version - 1}; "
+                    f"re-read the table and retry"
+                )
             entries = []
             moved = []
             for i, (src, srow) in enumerate(zip(staged, stats_rows)):

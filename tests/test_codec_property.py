@@ -305,3 +305,64 @@ def test_vp8l_roundtrip_property(h, w, mode_i, seed, n_colors):
     assert d["width"] == w and d["height"] == h
     got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(h, w, 3)
     assert np.array_equal(got, arr)
+
+
+# -- length-limited Huffman (ADVICE r9: skewed distributions may exceed 15) -----
+
+
+def test_vp8l_build_lengths_limits_depth_on_fibonacci_skew():
+    """Fibonacci-like frequencies force plain-Huffman depths past the
+    format's 15-bit cap; the builder must length-limit (not raise) and
+    the result must stay a COMPLETE prefix code (Kraft equality) so
+    the canonical-code decoder can always resolve a walk."""
+    from fractions import Fraction
+
+    from luxo_rs_spark.multimodal.media import _vp8l_build_lengths
+
+    a, b = 1, 1
+    freqs = {}
+    for s in range(40):  # depths ~ 39 unlimited
+        freqs[s] = a
+        a, b = b, a + b
+    lengths = _vp8l_build_lengths(freqs)
+    assert set(lengths) == set(freqs)
+    assert max(lengths.values()) <= 15
+    assert min(lengths.values()) >= 1
+    kraft = sum(Fraction(1, 2) ** ln for ln in lengths.values())
+    assert kraft == 1
+    # most frequent symbols keep the shortest codes
+    top = max(freqs, key=lambda s: freqs[s])
+    assert lengths[top] == min(lengths.values())
+
+
+def test_vp8l_build_lengths_unskewed_still_optimal():
+    """Distributions within the cap take the plain-Huffman path
+    unchanged (optimality preserved where the cap doesn't bind)."""
+    from fractions import Fraction
+
+    from luxo_rs_spark.multimodal.media import _vp8l_build_lengths
+
+    freqs = {0: 8, 1: 4, 2: 2, 3: 1, 4: 1}
+    lengths = _vp8l_build_lengths(freqs)
+    assert lengths == {0: 1, 1: 2, 2: 3, 3: 4, 4: 4}
+    assert sum(Fraction(1, 2) ** ln for ln in lengths.values()) == 1
+
+
+def test_vp8l_roundtrip_with_skewed_alphabet():
+    """An image whose pixel histogram is Fibonacci-skewed round-trips
+    through the real encoder/decoder (the length-limit in action on a
+    genuine bitstream, not just the table builder)."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import _decode_payload, _pixels_to_webp
+
+    rng = np.random.default_rng(7)
+    # draw 24 gray values with exponentially collapsing probabilities
+    vals = np.arange(24, dtype=np.uint8)
+    p = np.array([1 / (1.9**i) for i in range(24)])
+    p /= p.sum()
+    g = rng.choice(vals, size=(24, 32), p=p).astype(np.uint8)
+    arr = np.stack([g, g, g], axis=2)
+    d = _decode_payload(_pixels_to_webp(arr, "cache_lz77"))
+    got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(24, 32, 3)
+    assert np.array_equal(got, arr)

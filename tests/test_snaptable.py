@@ -1560,3 +1560,66 @@ def test_zorder_three_dimensions(spark, root):
     for col in ("a", "b", "c"):
         _, info = t.scan(col, 128, 255)
         assert info["files_scanned"] < info["files_total"], col
+
+
+def test_stage_window_race_raises_before_claiming_version(
+    spark, root, monkeypatch
+):
+    """ADVICE r9 (medium): a racer committing DURING the stage-write
+    window of a non-append op (after the caller read its manifest,
+    before the version is claimed) must raise ConcurrentCommitError —
+    the exclusive create alone would succeed at racer_version+1 with
+    the stale carry and silently drop the racer's files."""
+    from luxo_rs_spark.sources.snaptable import ConcurrentCommitError
+
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(300)), stat_cols=["k"], bucket_col="b")
+
+    racer_df = _mk(spark, "t", range(1000, 1020))
+    orig = SnapTable._collect_stats
+    state = {"fired": False}
+
+    def inject(self, paths, stat_cols, bloom_cols=()):
+        # fires between the stage write and the commit loop — the
+        # window the _try_write_manifest injection never reaches
+        if not state["fired"]:
+            state["fired"] = True
+            SnapTable(spark, self.root).append(racer_df, bucket_col="b")
+        return orig(self, paths, stat_cols, bloom_cols)
+
+    monkeypatch.setattr(SnapTable, "_collect_stats", inject)
+    with pytest.raises(ConcurrentCommitError):
+        t.delete_where("k", 0, 99)
+    # the racer's append is intact; re-issuing sees both writers' rows
+    assert t.read().count() == 320
+    monkeypatch.setattr(SnapTable, "_collect_stats", orig)
+    t.delete_where("k", 0, 99)
+    ks = set(r["k"] for r in t.read().collect())
+    assert ks == set(range(100, 300)) | set(range(1000, 1020))
+
+
+def test_checkpoint_keeps_stats_for_evolved_partition_column(spark, root):
+    """ADVICE r9: a columnar parent + an append introducing a NEW
+    stat/partition column must not lose the new entries' min__/max__
+    stats in the child checkpoint — skipping on the evolved column has
+    to work for the new files (carried files scan, correctly)."""
+    t = SnapTable(spark, root, checkpoint_threshold=1)  # columnar from v1
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    m1 = t.manifest()
+    assert "files_ckpt" in m1
+
+    new = _mk(spark, "t", range(100, 200)).withColumn(
+        "region", F.expr("case when k < 150 then 'eu' else 'us' end")
+    )
+    t.append(new, partition_col="region")
+    fdf = t.files_df()
+    assert "min__region" in fdf.columns  # not dropped by the concat
+    rows = {r["path"]: r for r in fdf.collect()}
+    with_stats = [r for r in rows.values() if r["min__region"] is not None]
+    assert len(with_stats) == 2  # eu + us partition files carry stats
+    assert sorted(r["min__region"] for r in with_stats) == ["eu", "us"]
+    # partition pruning ON THE EVOLVED COLUMN: old files (null stats)
+    # must scan, the non-matching new partition is skipped
+    df, info = t.scan_where([("region", "=", "eu")])
+    assert info["files_scanned"] == info["files_total"] - 1
+    assert df.count() == 50
