@@ -10870,3 +10870,52 @@ UNION ALL SELECT 'wav', CAST((SELECT n FROM a) AS BIGINT)
 UNION ALL SELECT 'webp', CAST((SELECT n FROM a) AS BIGINT)
 ORDER BY container
 """
+
+# q479: the Delta v3 lifecycle replayed — one file per (generation,
+# bucket) where generations never share a bucket value, live rows after
+# two stacking DV deletes, per-version DV cardinalities, and the scan's
+# skipping arithmetic over the files' PRE-DELETE min/max (a DV'd add
+# keeps its original stats).
+ORACLE_SQL["q479_delta_v3_dv_column_mapping"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 512 AS bucket
+  FROM orders WHERE o_orderkey < 2048
+), v0 AS (SELECT * FROM base WHERE k < 1024),
+v4 AS (SELECT * FROM base WHERE k NOT BETWEEN 300 AND 899),
+v5 AS (SELECT * FROM v4 WHERE k NOT BETWEEN 1200 AND 1499),
+f AS (
+  SELECT bucket, min(k) AS mn, max(k) AS mx FROM base GROUP BY bucket
+)
+SELECT 'v0' AS probe,
+  CAST((SELECT count(DISTINCT bucket) FROM v0) AS INT) AS files_total,
+  0 AS files_scanned,
+  CAST((SELECT count(*) FROM v0) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(cents) FROM v0) AS BIGINT) AS sum_cents,
+  CAST(0 AS BIGINT) AS dv_rows
+UNION ALL
+SELECT 'v3', CAST((SELECT count(DISTINCT bucket) FROM base) AS INT), 0,
+  CAST((SELECT count(*) FROM base) AS BIGINT),
+  CAST((SELECT sum(cents) FROM base) AS BIGINT),
+  CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'v4', CAST((SELECT count(DISTINCT bucket) FROM base) AS INT), 0,
+  CAST((SELECT count(*) FROM v4) AS BIGINT),
+  CAST((SELECT sum(cents) FROM v4) AS BIGINT),
+  CAST((SELECT count(*) FROM base WHERE k BETWEEN 300 AND 899) AS BIGINT)
+UNION ALL
+SELECT 'v5', CAST((SELECT count(DISTINCT bucket) FROM base) AS INT), 0,
+  CAST((SELECT count(*) FROM v5) AS BIGINT),
+  CAST((SELECT sum(cents) FROM v5) AS BIGINT),
+  CAST((SELECT count(*) FROM base WHERE k BETWEEN 300 AND 899
+        OR k BETWEEN 1200 AND 1499) AS BIGINT)
+UNION ALL
+SELECT 'scan_600_1500',
+  CAST((SELECT count(DISTINCT bucket) FROM base) AS INT),
+  CAST((SELECT count(*) FROM f WHERE mx >= 600 AND mn <= 1500) AS INT),
+  CAST((SELECT count(*) FROM v5 WHERE k BETWEEN 600 AND 1500) AS BIGINT),
+  CAST((SELECT sum(cents) FROM v5 WHERE k BETWEEN 600 AND 1500) AS BIGINT),
+  CAST(0 AS BIGINT)
+ORDER BY probe
+"""

@@ -18265,3 +18265,88 @@ def q478_magic_byte_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_files"))
         .orderBy("container")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q479 — Delta protocol v3 READ features (round 10): deletion vectors
+# (Z85 UUID side-files in the published RoaringBitmapArray layout) and
+# column mapping (name mode) exercised through a full lifecycle —
+# partitioned create, in-place mapping upgrade, metadata-only rename,
+# mapped append, two STACKING DV deletes, checkpoint, and a stats scan
+# over the renamed logical column. Every per-version aggregate, file
+# count, DV cardinality, and the skipping arithmetic is a pure function
+# of orders, replayed by the oracle. The DV'd adds keep their ORIGINAL
+# per-file stats (the re-emitted add is the same file), so the scan
+# prunes on pre-delete min/max — the oracle replays exactly that.
+# ---------------------------------------------------------------------------
+@query("q479_delta_v3_dv_column_mapping")
+def q479_delta_v3_dv_column_mapping(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.deltalog import DeltaLog
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "deltalog_q479"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def slab(lo, hi, key_name):
+        return orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias(key_name),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("cast(o_orderkey div 512 as string)").alias("bucket"),
+        )
+
+    t = DeltaLog(spark, root)
+    t.write(slab(0, 1024, "k"), partition_by=["bucket"])   # v0
+    t.enable_column_mapping()                              # v1
+    t.rename_column("k", "okey")                           # v2
+    t.write(slab(1024, 2048, "okey"))                      # v3 (mapped)
+    t.delete_where("okey", 300, 899, mode="dv")            # v4 (DV)
+    t.delete_where("okey", 1200, 1499, mode="dv")          # v5 (stacks)
+    t.checkpoint()
+
+    t = DeltaLog(spark, root)  # fresh: reads through the checkpoint
+    rows = []
+    for v in (0, 3, 4, 5):
+        s = t.snapshot(v)
+        agg = t.read(v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("c"),
+        ).first()
+        dv_rows = sum(
+            int(a["deletionVector"]["cardinality"])
+            for a in s["adds"].values()
+            if a.get("deletionVector")
+        )
+        rows.append(
+            (f"v{v}", len(s["adds"]), 0, int(agg["n"]), int(agg["c"]),
+             dv_rows)
+        )
+    sdf, info = t.scan("okey", 600, 1500)
+    sagg = sdf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("c"),
+    ).first()
+    rows.append(
+        (
+            "scan_600_1500",
+            info["files_total"],
+            info["files_scanned"],
+            int(sagg["n"]),
+            int(sagg["c"]),
+            0,
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "probe string, files_total int, files_scanned int, "
+        "n_rows bigint, sum_cents bigint, dv_rows bigint",
+    ).orderBy("probe")

@@ -16,9 +16,27 @@ Reader semantics (the protocol's state reconstruction):
 - snapshot at version V = replay actions from the newest checkpoint
   <= V (or version 0) through V: last ``add``/``remove`` per path wins,
   latest ``metaData``/``protocol`` win;
-- ``minReaderVersion`` 1/2 are supported; 3+ (reader table features —
-  deletion vectors, column mapping, v2 checkpoints) raises LOUDLY
-  rather than misreading;
+- ``minReaderVersion`` 1/2 are supported, and 3 when every declared
+  ``readerFeatures`` entry is one this reader implements —
+  ``deletionVectors`` and ``columnMapping`` (round 10); anything else
+  (v2Checkpoint, typeWidening, …) raises LOUDLY rather than misreading;
+- DELETION VECTORS (protocol v3 / reader feature ``deletionVectors``):
+  ``add.deletionVector`` descriptors in all three public storage
+  encodings — ``u`` (Z85 UUID -> ``deletion_vector_<uuid>.bin`` side
+  file, optional random prefix), ``i`` (Z85 inline payload), ``p``
+  (absolute path). The side-file layout is the published one: a
+  1-byte format version, then per vector ``<4-byte BE size><portable
+  RoaringBitmapArray><4-byte BE CRC-32>`` at the descriptor's
+  ``offset``. The 64-bit RoaringBitmapArray (magic 1681511377 + int64
+  bitmap count + per-bitmap 32-bit portable roaring, array/bitmap/run
+  containers) is decoded from scratch; deleted positions are applied
+  through the same ``_metadata.row_index`` anti-join as
+  sources/snaptable.py's native DVs;
+- COLUMN MAPPING (``delta.columnMapping.mode = name``): data files and
+  ``partitionValues`` address columns by the immutable
+  ``delta.columnMapping.physicalName`` field metadata; the reader maps
+  physical -> logical at select time, so foreign renames read
+  correctly. ``id`` mode (parquet field-id matching) raises loudly;
 - partition values come from ``add.partitionValues`` (STRINGS per the
   spec) and are injected as typed columns, since partitioned data
   files do not contain the partition columns;
@@ -53,7 +71,180 @@ _SEQ = itertools.count()
 
 class DeltaProtocolError(RuntimeError):
     """The log demands reader capabilities this implementation lacks
-    (minReaderVersion >= 3 table features): fail loudly, never misread."""
+    (unknown protocol-v3 table features, column-mapping ``id`` mode):
+    fail loudly, never misread."""
+
+
+#: protocol-v3 reader table features this module implements (round 10)
+_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+
+
+# -- Z85 (the ZeroMQ base85 alphabet Delta uses for DV UUIDs/payloads) --------
+
+_Z85_ALPHABET = (
+    "0123456789abcdefghijklmnopqrstuvwxyz"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
+)
+_Z85_DECODE = {c: i for i, c in enumerate(_Z85_ALPHABET)}
+
+
+def z85_encode(data: bytes) -> str:
+    """Z85-encode (4 bytes -> 5 chars; input length must be % 4)."""
+    if len(data) % 4:
+        raise ValueError("z85 input must be a multiple of 4 bytes")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85_ALPHABET[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(s: str) -> bytes:
+    if len(s) % 5:
+        raise ValueError("z85 input must be a multiple of 5 chars")
+    out = bytearray()
+    for i in range(0, len(s), 5):
+        v = 0
+        for c in s[i : i + 5]:
+            v = v * 85 + _Z85_DECODE[c]
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+# -- RoaringBitmapArray (the public Delta DV bitmap format) -------------------
+#
+# 64-bit positions split as (high 32 = bitmap index, low 32 = value in
+# that bitmap). "Portable" serialization: 4-byte LE magic 1681511377,
+# int64 LE bitmap count, then each 32-bit bitmap in the standard
+# RoaringFormatSpec portable layout. Bitmap indexes are POSITIONAL:
+# gaps serialize as empty bitmaps.
+
+_ROARING_ARRAY_MAGIC = 1681511377
+_SERIAL_COOKIE_NO_RUN = 12346
+_SERIAL_COOKIE_RUN = 12347
+_NO_OFFSET_THRESHOLD = 4  # run-cookie streams omit offsets below this
+
+
+def _roaring32_serialize(values: list[int]) -> bytes:
+    """One 32-bit roaring bitmap, portable layout (array + bitmap
+    containers; the writer never needs run containers)."""
+    import struct
+
+    by_key: dict[int, list[int]] = {}
+    for v in values:
+        by_key.setdefault(v >> 16, []).append(v & 0xFFFF)
+    keys = sorted(by_key)
+    n = len(keys)
+    out = bytearray(struct.pack("<II", _SERIAL_COOKIE_NO_RUN, n))
+    for k in keys:
+        out += struct.pack("<HH", k, len(by_key[k]) - 1)
+    offset = 8 + 4 * n + 4 * n
+    for k in keys:
+        out += struct.pack("<I", offset)
+        card = len(by_key[k])
+        offset += card * 2 if card <= 4096 else 8192
+    for k in keys:
+        vals = sorted(by_key[k])
+        if len(vals) <= 4096:
+            out += struct.pack(f"<{len(vals)}H", *vals)
+        else:
+            bits = bytearray(8192)
+            for v in vals:
+                bits[v >> 3] |= 1 << (v & 7)
+            out += bytes(bits)
+    return bytes(out)
+
+
+def _roaring32_deserialize(buf: bytes, pos: int):
+    """Parse one 32-bit roaring bitmap at ``pos`` -> (values, new_pos).
+    Reads all three container kinds (array/bitmap/run) — foreign
+    writers use runs for dense deletes."""
+    import struct
+
+    (cookie,) = struct.unpack_from("<I", buf, pos)
+    if (cookie & 0xFFFF) == _SERIAL_COOKIE_RUN:
+        n = (cookie >> 16) + 1
+        pos += 4
+        nrun_bytes = (n + 7) // 8
+        run_flags = buf[pos : pos + nrun_bytes]
+        pos += nrun_bytes
+        has_offsets = n >= _NO_OFFSET_THRESHOLD
+    elif cookie == _SERIAL_COOKIE_NO_RUN:
+        (n,) = struct.unpack_from("<I", buf, pos + 4)
+        pos += 8
+        run_flags = b"\x00" * ((n + 7) // 8)
+        has_offsets = True
+    else:
+        raise DeltaProtocolError(f"bad roaring cookie {cookie}")
+    headers = []
+    for _ in range(n):
+        k, c = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        headers.append((k, c + 1))
+    if has_offsets:
+        pos += 4 * n  # containers follow sequentially; offsets unneeded
+    values: list[int] = []
+    for i, (k, card) in enumerate(headers):
+        base = k << 16
+        if run_flags[i // 8] & (1 << (i % 8)):
+            (nruns,) = struct.unpack_from("<H", buf, pos)
+            pos += 2
+            for _ in range(nruns):
+                s_, l_ = struct.unpack_from("<HH", buf, pos)
+                pos += 4
+                values.extend(range(base + s_, base + s_ + l_ + 1))
+        elif card > 4096:
+            bits = buf[pos : pos + 8192]
+            pos += 8192
+            for byte_i, b in enumerate(bits):
+                while b:
+                    low = b & (-b)
+                    values.append(base + byte_i * 8 + low.bit_length() - 1)
+                    b ^= low
+        else:
+            vals = struct.unpack_from(f"<{card}H", buf, pos)
+            pos += card * 2
+            values.extend(base + v for v in vals)
+    return values, pos
+
+
+def roaring_array_serialize(positions) -> bytes:
+    """64-bit RoaringBitmapArray, portable layout (see block comment)."""
+    import struct
+
+    by_high: dict[int, list[int]] = {}
+    for p in sorted(set(int(p) for p in positions)):
+        by_high.setdefault(p >> 32, []).append(p & 0xFFFFFFFF)
+    n = (max(by_high) + 1) if by_high else 0
+    out = bytearray(struct.pack("<Iq", _ROARING_ARRAY_MAGIC, n))
+    for i in range(n):
+        out += _roaring32_serialize(by_high.get(i, []))
+    return bytes(out)
+
+
+def roaring_array_deserialize(data: bytes) -> list[int]:
+    import struct
+
+    magic, n = struct.unpack_from("<Iq", data, 0)
+    if magic != _ROARING_ARRAY_MAGIC:
+        raise DeltaProtocolError(
+            f"bad RoaringBitmapArray magic {magic} (want "
+            f"{_ROARING_ARRAY_MAGIC})"
+        )
+    pos = 12
+    out: list[int] = []
+    for i in range(n):
+        vals, pos = _roaring32_deserialize(data, pos)
+        out.extend((i << 32) | v for v in vals)
+    return out
+
+
+#: DV side-file format version byte (the published format's current 1)
+_DV_FORMAT_VERSION = 1
 
 
 class DeltaLog:
@@ -115,7 +306,11 @@ class DeltaLog:
             )
         state: dict = {
             "schema": None,
+            "schema_string": None,
+            "fields_json": [],
             "partition_columns": [],
+            "configuration": {},
+            "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
             "adds": {},
         }
         start = 0
@@ -128,10 +323,22 @@ class DeltaLog:
             if not os.path.exists(path):
                 continue  # contiguity not guaranteed post-compaction
             with open(path) as f:
-                for line in f:
-                    line = line.strip()
-                    if line:
-                        self._apply_action(state, json.loads(line))
+                acts = [
+                    json.loads(line)
+                    for line in f
+                    if line.strip()
+                ]
+            # intra-version ordering per the protocol's reconciliation
+            # rule: a remove cancels adds from PRIOR versions; an add in
+            # the same commit (the DV-rewrite shape: remove(path) +
+            # add(path, deletionVector)) wins regardless of the
+            # actions' order within the commit file
+            for a in acts:
+                if "remove" in a:
+                    self._apply_action(state, a)
+            for a in acts:
+                if "remove" not in a:
+                    self._apply_action(state, a)
         if state["schema"] is None:
             raise ValueError(
                 f"delta table {self.root}: no metaData action in the log"
@@ -141,27 +348,107 @@ class DeltaLog:
     def _apply_action(self, state: dict, action: dict) -> None:
         if "protocol" in action:
             p = action["protocol"]
-            if int(p.get("minReaderVersion", 1)) >= 3:
-                feats = p.get("readerFeatures") or []
+            mrv = int(p.get("minReaderVersion", 1))
+            if mrv == 3:
+                feats = set(p.get("readerFeatures") or [])
+                unsupported = feats - _SUPPORTED_READER_FEATURES
+                if unsupported:
+                    raise DeltaProtocolError(
+                        f"unsupported readerFeatures "
+                        f"{sorted(unsupported)}; this reader implements "
+                        f"{sorted(_SUPPORTED_READER_FEATURES)}"
+                    )
+            elif mrv > 3:
                 raise DeltaProtocolError(
-                    f"unsupported minReaderVersion "
-                    f"{p['minReaderVersion']} (readerFeatures={feats}); "
-                    "this reader implements protocol 1/2"
+                    f"unsupported minReaderVersion {mrv}; this reader "
+                    "implements protocol 1/2/3"
                 )
+            state["protocol"] = dict(p)
         elif "metaData" in action:
             md = action["metaData"]
-            state["schema"] = T.StructType.fromJson(
-                json.loads(md["schemaString"])
-            )
+            schema_json = json.loads(md["schemaString"])
+            state["schema"] = T.StructType.fromJson(schema_json)
+            state["schema_string"] = md["schemaString"]
+            state["fields_json"] = list(schema_json.get("fields", []))
             state["partition_columns"] = list(
                 md.get("partitionColumns", [])
             )
+            state["configuration"] = dict(md.get("configuration") or {})
         elif "add" in action:
             a = action["add"]
             state["adds"][a["path"]] = a
         elif "remove" in action:
             state["adds"].pop(action["remove"]["path"], None)
         # commitInfo / txn / cdc / domainMetadata: reader-irrelevant
+
+    # -- column mapping (physical-name resolution) ----------------------------
+
+    def _mapping_mode(self, s: dict) -> str:
+        mode = (s.get("configuration") or {}).get(
+            "delta.columnMapping.mode", "none"
+        )
+        if mode == "id":
+            raise DeltaProtocolError(
+                "column mapping mode 'id' (parquet field-id matching) is "
+                "not implemented; 'name' mode is"
+            )
+        return mode
+
+    def _phys_of(self, s: dict) -> dict[str, str]:
+        """logical name -> physical (parquet/partitionValues) name."""
+        if self._mapping_mode(s) != "name":
+            return {f.name: f.name for f in s["schema"].fields}
+        out = {}
+        for fj in s["fields_json"]:
+            out[fj["name"]] = (fj.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", fj["name"]
+            )
+        return out
+
+    # -- deletion vectors (descriptor -> deleted positions) -------------------
+
+    def _dv_positions(self, dv: dict) -> list[int]:
+        """Decode one ``deletionVector`` descriptor into the deleted
+        row positions of its data file, validating the CRC for side
+        files. Bounded by the descriptor's ``cardinality`` — DVs are
+        small by the format's own contract (mass deletes rewrite)."""
+        import zlib
+
+        st = dv["storageType"]
+        if st == "i":
+            data = z85_decode(dv["pathOrInlineDv"])
+        elif st in ("u", "p"):
+            if st == "u":
+                import uuid as _uuid
+
+                enc = dv["pathOrInlineDv"]
+                prefix, uuid_enc = enc[:-20], enc[-20:]
+                u = _uuid.UUID(bytes=z85_decode(uuid_enc))
+                rel = (prefix + "/" if prefix else "") + (
+                    f"deletion_vector_{u}.bin"
+                )
+                path = os.path.join(self.root, rel)
+            else:
+                path = dv["pathOrInlineDv"]
+            with open(path, "rb") as f:
+                blob = f.read()
+            off = dv.get("offset")
+            if off is None:
+                off = 1  # directly after the format-version byte
+            size = int.from_bytes(blob[off : off + 4], "big")
+            data = blob[off + 4 : off + 4 + size]
+            crc = int.from_bytes(
+                blob[off + 4 + size : off + 8 + size], "big"
+            )
+            if zlib.crc32(data) & 0xFFFFFFFF != crc:
+                raise DeltaProtocolError(
+                    f"deletion vector checksum mismatch in {path}"
+                )
+        else:
+            raise DeltaProtocolError(
+                f"unknown deletionVector storageType {st!r}"
+            )
+        return roaring_array_deserialize(data)
 
     def _apply_checkpoint(self, state: dict, cp_version: int) -> None:
         import pyarrow.parquet as pq
@@ -197,12 +484,13 @@ class DeltaLog:
         sources/snaptable.py, here over a FOREIGN log's stats).
         Returns (DataFrame filtered to the range, info)."""
         s = self.snapshot(version)
+        phys_col = self._phys_of(s).get(col, col)  # stats key physically
         keep, skipped_rows = [], 0
         for a in s["adds"].values():
             st = a.get("stats")
             st = json.loads(st) if isinstance(st, str) else (st or {})
-            mn = (st.get("minValues") or {}).get(col)
-            mx = (st.get("maxValues") or {}).get(col)
+            mn = (st.get("minValues") or {}).get(phys_col)
+            mx = (st.get("maxValues") or {}).get(phys_col)
             if mn is None or mx is None:
                 keep.append(a)
             elif mx >= lo and mn <= hi:
@@ -220,26 +508,79 @@ class DeltaLog:
     def _read_adds(self, s: dict, adds: list[dict]) -> DataFrame:
         schema: T.StructType = s["schema"]
         pcols = s["partition_columns"]
+        phys_of = self._phys_of(s)  # raises on 'id' mode even if empty
         if not adds:
             return self.spark.createDataFrame([], schema)
         data_fields = [f for f in schema.fields if f.name not in pcols]
-        data_schema = T.StructType(data_fields)
+        # parquet files address columns by PHYSICAL name (column
+        # mapping); the select below aliases back to logical
+        phys_schema = T.StructType(
+            [
+                T.StructField(phys_of[f.name], f.dataType, True)
+                for f in data_fields
+            ]
+        )
+        logical_sel = [
+            F.col(phys_of[f.name]).alias(f.name) for f in data_fields
+        ]
+
+        # deletion vectors: deleted (file basename, row position) pairs
+        # of the adds being read, decoded once on the driver (bounded by
+        # total DV cardinality), applied as a broadcast anti-join on the
+        # scan's own _metadata.row_index — identical to snaptable DVs
+        dv_pairs: list[tuple[str, int]] = []
+        dv_fnames: set[str] = set()
+        for a in adds:
+            dvd = a.get("deletionVector")
+            if dvd:
+                fname = os.path.basename(a["path"])
+                dv_fnames.add(fname)
+                dv_pairs.extend(
+                    (fname, p) for p in self._dv_positions(dvd)
+                )
+
+        def read_group(paths: list[str], any_dv: bool) -> DataFrame:
+            part = self.spark.read.schema(phys_schema).parquet(*paths)
+            if any_dv and dv_pairs:
+                dvdf = self.spark.createDataFrame(
+                    dv_pairs, "__dl_fname__ string, __dl_pos__ bigint"
+                )
+                part = (
+                    part.withColumn(
+                        "__dl_fname__",
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ),
+                    )
+                    .withColumn(
+                        "__dl_pos__", F.col("_metadata.row_index")
+                    )
+                    .join(
+                        F.broadcast(dvdf),
+                        ["__dl_fname__", "__dl_pos__"],
+                        "left_anti",
+                    )
+                )
+            return part.select(logical_sel)
+
         if not pcols:
             paths = [os.path.join(self.root, a["path"]) for a in adds]
-            return self.spark.read.schema(data_schema).parquet(*paths)
-        # partition values are spec-mandated STRINGS: group the files
-        # by their partition tuple, inject typed literal columns
-        by_vals: dict[tuple, list[str]] = {}
+            return read_group(paths, bool(dv_fnames))
+        # partition values are spec-mandated STRINGS keyed by PHYSICAL
+        # name: group the files by their partition tuple, inject typed
+        # literal columns
+        by_vals: dict[tuple, list] = {}
         for a in adds:
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(c) for c in pcols)
-            by_vals.setdefault(key, []).append(
-                os.path.join(self.root, a["path"])
-            )
+            key = tuple(pv.get(phys_of[c]) for c in pcols)
+            grp = by_vals.setdefault(key, ([], [False]))
+            grp[0].append(os.path.join(self.root, a["path"]))
+            if os.path.basename(a["path"]) in dv_fnames:
+                grp[1][0] = True
         ptype = {f.name: f.dataType for f in schema.fields}
         out = None
-        for key, paths in sorted(by_vals.items()):
-            part = self.spark.read.schema(data_schema).parquet(*paths)
+        for key, (paths, any_dv) in sorted(by_vals.items()):
+            part = read_group(paths, any_dv[0])
             for c, val in zip(pcols, key):
                 lit = (
                     F.lit(None) if val is None else F.lit(val)
@@ -401,6 +742,15 @@ class DeltaLog:
             elif mode != "append":
                 raise ValueError(f"unsupported write mode {mode!r}")
             version = vs[-1] + 1
+            if self._mapping_mode(s) == "name":
+                # data files + partitionValues address PHYSICAL names
+                phys_of = self._phys_of(s)
+                df = df.select(
+                    [F.col(c).alias(phys_of.get(c, c)) for c in df.columns]
+                )
+                partition_by = [
+                    phys_of.get(c, c) for c in (partition_by or [])
+                ]
         actions.extend(
             {"add": a} for a in self._stage_files(df, partition_by)
         )
@@ -411,17 +761,34 @@ class DeltaLog:
             )
         return version
 
-    def delete_where(self, col: str, lo, hi) -> int:
-        """Copy-on-write delete: stats-admitted files are rewritten
+    def delete_where(self, col: str, lo, hi, mode: str = "cow") -> int:
+        """Delete rows with ``col BETWEEN lo AND hi``.
+
+        ``mode="cow"`` (default): stats-admitted files are rewritten
         without the matching rows (remove+add actions), clean files
-        stay untouched — the Delta DELETE shape."""
+        stay untouched — the Delta DELETE shape.
+
+        ``mode="dv"``: DELETION VECTORS — no data file is rewritten;
+        the matching positions are serialized as a portable
+        RoaringBitmapArray into one ``deletion_vector_<uuid>.bin``
+        side file and each touched add is re-emitted (remove + add)
+        with a ``deletionVector`` descriptor pointing at its offset.
+        Upgrades the protocol to reader v3 / writer v7 with the
+        ``deletionVectors`` feature on first use. Existing vectors on
+        a file STACK (old positions merge into the new bitmap)."""
+        if mode == "dv":
+            return self._delete_where_dv(col, lo, hi)
+        if mode != "cow":
+            raise ValueError(f"unknown delete mode {mode!r}")
         s = self.snapshot()
+        phys_of = self._phys_of(s)
+        phys_col = phys_of.get(col, col)
         carry, rewrite = [], []
         for a in s["adds"].values():
             st = a.get("stats")
             st = json.loads(st) if isinstance(st, str) else (st or {})
-            mn = (st.get("minValues") or {}).get(col)
-            mx = (st.get("maxValues") or {}).get(col)
+            mn = (st.get("minValues") or {}).get(phys_col)
+            mx = (st.get("maxValues") or {}).get(phys_col)
             if mn is not None and (mx < lo or mn > hi):
                 carry.append(a)
             else:
@@ -429,6 +796,16 @@ class DeltaLog:
         survivors = self._read_adds(s, rewrite).filter(
             ~F.col(col).between(lo, hi)
         )
+        part_by = s["partition_columns"] or None
+        if self._mapping_mode(s) == "name":
+            survivors = survivors.select(
+                [
+                    F.col(c).alias(phys_of.get(c, c))
+                    for c in survivors.columns
+                ]
+            )
+            if part_by:
+                part_by = [phys_of.get(c, c) for c in part_by]
         actions = [
             {
                 "remove": {
@@ -440,9 +817,231 @@ class DeltaLog:
             for a in sorted(rewrite, key=lambda a: a["path"])
         ]
         actions.extend(
-            {"add": a}
-            for a in self._stage_files(survivors, s["partition_columns"] or None)
+            {"add": a} for a in self._stage_files(survivors, part_by)
         )
+        version = self.latest_version() + 1
+        if not self._try_commit(version, actions):
+            raise FileExistsError(
+                f"delta table {self.root}: lost the commit race at "
+                f"version {version}; re-read and retry"
+            )
+        return version
+
+    def _delete_where_dv(self, col: str, lo, hi) -> int:
+        """Deletion-vector delete (see ``delete_where``): one Spark job
+        finds matching (file basename, row position) pairs among the
+        stats-admitted candidates (existing DVs applied first so
+        already-deleted rows are never re-counted), the merged per-file
+        bitmaps land at distinct offsets of ONE side file in the
+        published layout, and each touched add is re-emitted with its
+        descriptor. No data file is rewritten."""
+        import uuid as _uuid
+        import zlib
+
+        s = self.snapshot()
+        phys_of = self._phys_of(s)
+        phys_col = phys_of.get(col, col)
+        cands = []
+        for a in s["adds"].values():
+            st = a.get("stats")
+            st = json.loads(st) if isinstance(st, str) else (st or {})
+            mn = (st.get("minValues") or {}).get(phys_col)
+            mx = (st.get("maxValues") or {}).get(phys_col)
+            if mn is None or not (mx < lo or mn > hi):
+                cands.append(a)
+        version = self.latest_version() + 1
+        if not cands:
+            if not self._try_commit(version, []):
+                raise FileExistsError(
+                    f"delta table {self.root}: lost the commit race at "
+                    f"version {version}; re-read and retry"
+                )
+            return version
+        # matching positions in candidate files (raw physical read +
+        # _metadata.row_index; positions are FILE positions, so
+        # existing DVs must NOT shift them — read raw, filter, then
+        # merge with the old bitmaps)
+        cand_schema = T.StructType(
+            [T.StructField(phys_col, dict(
+                (f.name, f.dataType) for f in s["schema"].fields
+            )[col], True)]
+        )
+        scan = (
+            self.spark.read.schema(cand_schema)
+            .parquet(*[os.path.join(self.root, a["path"]) for a in cands])
+            .select(
+                F.element_at(
+                    F.split(F.col("_metadata.file_path"), "/"), -1
+                ).alias("fname"),
+                F.col("_metadata.row_index").alias("pos"),
+                F.col(phys_col).alias("__v__"),
+            )
+            .filter(F.col("__v__").between(lo, hi))
+            .select("fname", "pos")
+        )
+        by_fname: dict[str, set[int]] = {}
+        for r in scan.collect():  # bounded by deleted rows (DV contract)
+            by_fname.setdefault(r["fname"], set()).add(int(r["pos"]))
+        for a in cands:  # stack prior vectors
+            dvd = a.get("deletionVector")
+            if dvd:
+                fname = os.path.basename(a["path"])
+                by_fname.setdefault(fname, set()).update(
+                    self._dv_positions(dvd)
+                )
+        # one side file, the published layout: version byte, then per
+        # vector <size BE><RoaringBitmapArray><crc32 BE> at its offset
+        u = _uuid.UUID(
+            hex=hashlib.md5(
+                f"{self.root}:{version}:dv".encode()
+            ).hexdigest()
+        )
+        blob = bytearray([_DV_FORMAT_VERSION])
+        desc_by_fname: dict[str, dict] = {}
+        for fname in sorted(by_fname):
+            positions = sorted(by_fname[fname])
+            if not positions:
+                continue
+            data = roaring_array_serialize(positions)
+            desc_by_fname[fname] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": len(blob),
+                "sizeInBytes": len(data),
+                "cardinality": len(positions),
+            }
+            blob += len(data).to_bytes(4, "big")
+            blob += data
+            blob += (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big")
+        actions: list[dict] = []
+        if desc_by_fname:
+            with open(
+                os.path.join(self.root, f"deletion_vector_{u}.bin"), "wb"
+            ) as f:
+                f.write(bytes(blob))
+            p = s.get("protocol") or {}
+            if int(p.get("minReaderVersion", 1)) < 3 or (
+                "deletionVectors" not in (p.get("readerFeatures") or [])
+            ):
+                feats = sorted(
+                    set(p.get("readerFeatures") or []) | {"deletionVectors"}
+                )
+                wfeats = sorted(
+                    set(p.get("writerFeatures") or []) | {"deletionVectors"}
+                )
+                actions.append(
+                    {
+                        "protocol": {
+                            "minReaderVersion": 3,
+                            "minWriterVersion": 7,
+                            "readerFeatures": feats,
+                            "writerFeatures": wfeats,
+                        }
+                    }
+                )
+            for a in sorted(cands, key=lambda a: a["path"]):
+                fname = os.path.basename(a["path"])
+                if fname not in desc_by_fname:
+                    continue  # stats admitted, no row matched: untouched
+                old = dict(a)
+                actions.append(
+                    {
+                        "remove": {
+                            "path": a["path"],
+                            "deletionTimestamp": 0,
+                            "dataChange": True,
+                        }
+                    }
+                )
+                old["deletionVector"] = desc_by_fname[fname]
+                old["dataChange"] = True
+                actions.append({"add": old})
+        if not self._try_commit(version, actions):
+            raise FileExistsError(
+                f"delta table {self.root}: lost the commit race at "
+                f"version {version}; re-read and retry"
+            )
+        return version
+
+    def enable_column_mapping(self) -> int:
+        """Upgrade the table to column mapping ``name`` mode: every
+        field's CURRENT name becomes its immutable physical name
+        (existing data files already use it), the configuration gains
+        ``delta.columnMapping.mode=name``, and the protocol rises to
+        reader 2 / writer 5 — the standard in-place upgrade. Renames
+        after this are metadata-only."""
+        s = self.snapshot()
+        if self._mapping_mode(s) == "name":
+            raise ValueError("column mapping already enabled")
+        fields = []
+        for i, fj in enumerate(s["fields_json"]):
+            fj = dict(fj)
+            md = dict(fj.get("metadata") or {})
+            md["delta.columnMapping.id"] = i + 1
+            md["delta.columnMapping.physicalName"] = fj["name"]
+            fj["metadata"] = md
+            fields.append(fj)
+        conf = dict(s["configuration"])
+        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.maxColumnId"] = str(len(fields))
+        actions = [
+            {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+            {
+                "metaData": {
+                    "id": self._table_id(),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": s["partition_columns"],
+                    "configuration": conf,
+                }
+            },
+        ]
+        version = self.latest_version() + 1
+        if not self._try_commit(version, actions):
+            raise FileExistsError(
+                f"delta table {self.root}: lost the commit race at "
+                f"version {version}; re-read and retry"
+            )
+        return version
+
+    def rename_column(self, old: str, new: str) -> int:
+        """Metadata-only rename (requires column mapping): the logical
+        name changes, the physical name — and therefore every data
+        file, partition directory, and stats key — stays put."""
+        s = self.snapshot()
+        if self._mapping_mode(s) != "name":
+            raise ValueError(
+                "rename requires column mapping (enable_column_mapping)"
+            )
+        names = {fj["name"] for fj in s["fields_json"]}
+        if old not in names:
+            raise KeyError(f"no column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fields = []
+        for fj in s["fields_json"]:
+            fj = dict(fj)
+            if fj["name"] == old:
+                fj["name"] = new
+            fields.append(fj)
+        pcols = [
+            new if c == old else c for c in s["partition_columns"]
+        ]
+        actions = [
+            {
+                "metaData": {
+                    "id": self._table_id(),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": fields}
+                    ),
+                    "partitionColumns": pcols,
+                    "configuration": s["configuration"],
+                }
+            }
+        ]
         version = self.latest_version() + 1
         if not self._try_commit(version, actions):
             raise FileExistsError(
@@ -460,9 +1059,17 @@ class DeltaLog:
 
         version = self.latest_version()
         s = self.snapshot(version)
+        proto = dict(s.get("protocol") or {})
+        proto.setdefault("minReaderVersion", 1)
+        proto.setdefault("minWriterVersion", 2)
         rows = [
             {
-                "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+                "protocol": {
+                    "minReaderVersion": proto["minReaderVersion"],
+                    "minWriterVersion": proto["minWriterVersion"],
+                    "readerFeatures": proto.get("readerFeatures"),
+                    "writerFeatures": proto.get("writerFeatures"),
+                },
                 "metaData": None,
                 "add": None,
             },
@@ -471,9 +1078,9 @@ class DeltaLog:
                 "metaData": {
                     "id": self._table_id(),
                     "format": {"provider": "parquet", "options": {}},
-                    "schemaString": s["schema"].json(),
+                    "schemaString": s["schema_string"] or s["schema"].json(),
                     "partitionColumns": s["partition_columns"],
-                    "configuration": {},
+                    "configuration": s["configuration"],
                 },
                 "add": None,
             },
@@ -482,6 +1089,7 @@ class DeltaLog:
             a = dict(a)
             if not isinstance(a.get("stats"), (str, type(None))):
                 a["stats"] = json.dumps(a["stats"], sort_keys=True)
+            a.setdefault("deletionVector", None)
             rows.append({"protocol": None, "metaData": None, "add": a})
         # explicit schema: empty dicts (partitionValues/configuration)
         # must be MAP typed, which inference cannot know
@@ -493,6 +1101,8 @@ class DeltaLog:
                         [
                             ("minReaderVersion", pa.int32()),
                             ("minWriterVersion", pa.int32()),
+                            ("readerFeatures", pa.list_(pa.string())),
+                            ("writerFeatures", pa.list_(pa.string())),
                         ]
                     ),
                 ),
@@ -527,6 +1137,18 @@ class DeltaLog:
                             ("modificationTime", pa.int64()),
                             ("dataChange", pa.bool_()),
                             ("stats", pa.string()),
+                            (
+                                "deletionVector",
+                                pa.struct(
+                                    [
+                                        ("storageType", pa.string()),
+                                        ("pathOrInlineDv", pa.string()),
+                                        ("offset", pa.int32()),
+                                        ("sizeInBytes", pa.int32()),
+                                        ("cardinality", pa.int64()),
+                                    ]
+                                ),
+                            ),
                         ]
                     ),
                 ),

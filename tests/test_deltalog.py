@@ -193,27 +193,43 @@ def test_checkpoint_fast_path(spark, root):
     assert set(r["k"] for r in t2.read().collect()) == got
 
 
-def test_protocol_v3_features_raise_loudly(spark, root):
-    os.makedirs(os.path.join(root, "_delta_log"))
+def test_protocol_v3_unknown_features_raise_loudly(spark, root):
+    """Reader v3 is accepted ONLY for implemented features
+    (deletionVectors, columnMapping — round 10); anything else, and
+    any reader version above 3, still raises rather than misreads."""
     schema = {"type": "struct", "fields": [
         {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
-    actions = [
-        {"protocol": {
-            "minReaderVersion": 3, "minWriterVersion": 7,
-            "readerFeatures": ["deletionVectors"],
-            "writerFeatures": ["deletionVectors"],
-        }},
-        {"metaData": {
-            "id": "x", "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(schema),
-            "partitionColumns": [], "configuration": {},
-        }},
-    ]
-    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
-        for a in actions:
-            f.write(json.dumps(a) + "\n")
-    with pytest.raises(DeltaProtocolError, match="deletionVectors"):
+
+    def build(protocol):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(os.path.join(root, "_delta_log"))
+        actions = [
+            {"protocol": protocol},
+            {"metaData": {
+                "id": "x", "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema),
+                "partitionColumns": [], "configuration": {},
+            }},
+        ]
+        with open(
+            os.path.join(root, "_delta_log", f"{0:020d}.json"), "w"
+        ) as f:
+            for a in actions:
+                f.write(json.dumps(a) + "\n")
+
+    build({"minReaderVersion": 3, "minWriterVersion": 7,
+           "readerFeatures": ["v2Checkpoint"],
+           "writerFeatures": ["v2Checkpoint"]})
+    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
         DeltaLog(spark, root).read()
+    build({"minReaderVersion": 4, "minWriterVersion": 7})
+    with pytest.raises(DeltaProtocolError, match="minReaderVersion 4"):
+        DeltaLog(spark, root).read()
+    # implemented v3 features alone do NOT raise (empty table reads)
+    build({"minReaderVersion": 3, "minWriterVersion": 7,
+           "readerFeatures": ["deletionVectors", "columnMapping"],
+           "writerFeatures": ["deletionVectors", "columnMapping"]})
+    assert DeltaLog(spark, root).read().count() == 0
 
 
 def test_crosscheck_with_deltalake_if_available(spark, root):
@@ -227,3 +243,357 @@ def test_crosscheck_with_deltalake_if_available(spark, root):
     )
     t = DeltaLog(spark, root)
     assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3]
+
+
+# -- round 10: deletion vectors + column mapping (protocol v3 reader) ---------
+
+
+def test_z85_known_vector_and_roundtrip():
+    """The published ZeroMQ Z85 test vector, plus a round-trip."""
+    from luxo_rs_spark.sources.deltalog import z85_decode, z85_encode
+
+    assert z85_encode(bytes([0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7,
+                             0x5B])) == "HelloWorld"
+    assert z85_decode("HelloWorld") == bytes(
+        [0x86, 0x4F, 0xD2, 0x6F, 0xB5, 0x59, 0xF7, 0x5B]
+    )
+    import os as _os
+
+    data = _os.urandom(16)
+    assert z85_decode(z85_encode(data)) == data
+
+
+def test_roaring_array_roundtrip_all_container_kinds():
+    """Serialize/deserialize across array containers, a >4096-element
+    bitmap container, multiple 16-bit keys, and multiple 32-bit highs
+    (the 64-bit positional-array extension with an EMPTY gap bitmap)."""
+    from luxo_rs_spark.sources.deltalog import (
+        roaring_array_deserialize,
+        roaring_array_serialize,
+    )
+
+    positions = (
+        list(range(0, 10))                      # array container, key 0
+        + list(range(70000, 70003))             # array container, key 1
+        + list(range(100000, 105000))           # bitmap container (5000)
+        + [(2 << 32) + 5, (2 << 32) + 99999]    # high=2 (high=1 is a gap)
+    )
+    got = roaring_array_deserialize(roaring_array_serialize(positions))
+    assert got == sorted(set(positions))
+
+
+def test_roaring_run_container_foreign_parse():
+    """A FOREIGN writer may emit run containers; hand-rolled bytes per
+    the RoaringFormatSpec (cookie 12347, run flag bitset, num_runs +
+    [start, length] pairs) must decode."""
+    import struct
+
+    from luxo_rs_spark.sources.deltalog import roaring_array_deserialize
+
+    # one bitmap, one run container: values 5..9 and 100..101
+    bm = struct.pack("<I", 12347 | (0 << 16))  # run cookie, 1 container
+    bm += bytes([0b1])                          # container 0 is a run
+    bm += struct.pack("<HH", 0, 7 - 1)          # key 0, cardinality 7
+    # < _NO_OFFSET_THRESHOLD containers -> no offset header
+    bm += struct.pack("<H", 2)                  # two runs
+    bm += struct.pack("<HH", 5, 4)              # 5..9
+    bm += struct.pack("<HH", 100, 1)            # 100..101
+    blob = struct.pack("<Iq", 1681511377, 1) + bm
+    assert roaring_array_deserialize(blob) == [5, 6, 7, 8, 9, 100, 101]
+
+
+def test_foreign_v3_log_with_deletion_vectors(spark, root):
+    """A hand-built protocol-v3 foreign log: the DV side-file bytes are
+    rolled BY HAND here (magic/cookie/containers via struct.pack, the
+    published 1-byte-version + size/payload/CRC layout), one descriptor
+    per storage encoding — 'p' absolute path and 'i' inline. The reader
+    must drop exactly the vectored positions."""
+    import struct
+    import zlib
+
+    from luxo_rs_spark.sources.deltalog import z85_encode
+
+    os.makedirs(os.path.join(root, "_delta_log"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"k": list(range(10)), "s": [f"r{i}" for i in range(10)]}),
+        os.path.join(root, "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": list(range(100, 110)),
+                  "s": [f"q{i}" for i in range(10)]}),
+        os.path.join(root, "f2.parquet"),
+    )
+    # f1's DV: positions {1, 3} — hand-rolled portable RoaringBitmapArray
+    bm = struct.pack("<II", 12346, 1)      # no-run cookie, 1 container
+    bm += struct.pack("<HH", 0, 2 - 1)     # key 0, cardinality 2
+    bm += struct.pack("<I", 16)            # offset header
+    bm += struct.pack("<HH", 1, 3)         # values
+    dv_data = struct.pack("<Iq", 1681511377, 1) + bm
+    blob = b"\x01"                          # format version
+    offset = len(blob)
+    blob += struct.pack(">i", len(dv_data)) + dv_data
+    blob += struct.pack(">I", zlib.crc32(dv_data) & 0xFFFFFFFF)
+    dv_path = os.path.join(root, "my_dv.bin")
+    with open(dv_path, "wb") as f:
+        f.write(blob)
+    # f2's DV: positions {0, 9} — INLINE (z85 of the raw bitmap bytes)
+    bm2 = struct.pack("<II", 12346, 1)
+    bm2 += struct.pack("<HH", 0, 2 - 1)
+    bm2 += struct.pack("<I", 16)
+    bm2 += struct.pack("<HH", 0, 9)
+    dv2 = struct.pack("<Iq", 1681511377, 1) + bm2
+    pad = (-len(dv2)) % 4  # z85 needs %4; trailing zero-pad is inert
+    dv2_padded = dv2 + b"\x00" * pad
+
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "s", "type": "string", "nullable": True, "metadata": {}},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "y",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "p", "pathOrInlineDv": dv_path,
+                     "offset": offset, "sizeInBytes": len(dv_data),
+                     "cardinality": 2}}},
+        {"add": {"path": "f2.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "i",
+                     "pathOrInlineDv": z85_encode(dv2_padded),
+                     "sizeInBytes": len(dv2), "cardinality": 2}}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    got = sorted(r["k"] for r in DeltaLog(spark, root).read().collect())
+    assert got == [0, 2, 4, 5, 6, 7, 8, 9,          # f1 minus {1, 3}
+                   101, 102, 103, 104, 105, 106, 107, 108]  # f2 minus ends
+
+
+def test_foreign_v3_corrupt_dv_checksum_raises(spark, root):
+    """A side-file whose CRC does not match its payload must raise,
+    never silently un-delete (or over-delete) rows."""
+    import struct
+    import zlib
+
+    os.makedirs(os.path.join(root, "_delta_log"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"k": [1, 2, 3]}), os.path.join(root, "f1.parquet")
+    )
+    bm = struct.pack("<II", 12346, 1) + struct.pack("<HH", 0, 0)
+    bm += struct.pack("<I", 16) + struct.pack("<H", 1)
+    dv_data = struct.pack("<Iq", 1681511377, 1) + bm
+    blob = b"\x01" + struct.pack(">i", len(dv_data)) + dv_data
+    blob += struct.pack(">I", (zlib.crc32(dv_data) ^ 0xDEAD) & 0xFFFFFFFF)
+    dv_path = os.path.join(root, "bad_dv.bin")
+    with open(dv_path, "wb") as f:
+        f.write(blob)
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
+                      "readerFeatures": ["deletionVectors"],
+                      "writerFeatures": ["deletionVectors"]}},
+        {"metaData": {"id": "z",
+                      "format": {"provider": "parquet", "options": {}},
+                      "schemaString": json.dumps(schema),
+                      "partitionColumns": [], "configuration": {}}},
+        {"add": {"path": "f1.parquet", "partitionValues": {}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "deletionVector": {
+                     "storageType": "p", "pathOrInlineDv": dv_path,
+                     "offset": 1, "sizeInBytes": len(dv_data),
+                     "cardinality": 1}}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="checksum"):
+        DeltaLog(spark, root).read().collect()
+
+
+def test_foreign_v3_column_mapping_log(spark, root):
+    """A hand-built column-mapping (name mode) foreign log: data files
+    and partitionValues use PHYSICAL names (col-<uuid> style), the
+    schemaString maps them to logical names. Reads, scans (stats keyed
+    physically), and partition injection must all resolve logically."""
+    os.makedirs(os.path.join(root, "_delta_log"))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "col-ppp=eu"))
+    os.makedirs(os.path.join(root, "col-ppp=us"))
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2, 3], "col-bbb": ["x", "y", "z"]}),
+        os.path.join(root, "col-ppp=eu", "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"col-aaa": [10, 20], "col-bbb": ["u", "v"]}),
+        os.path.join(root, "col-ppp=us", "f2.parquet"),
+    )
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "s", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbb"}},
+        {"name": "region", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 3,
+            "delta.columnMapping.physicalName": "col-ppp"}},
+    ]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": ["region"],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "3"}}},
+        {"add": {"path": "col-ppp=eu/f1.parquet",
+                 "partitionValues": {"col-ppp": "eu"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 3,
+                                      "minValues": {"col-aaa": 1},
+                                      "maxValues": {"col-aaa": 3}})}},
+        {"add": {"path": "col-ppp=us/f2.parquet",
+                 "partitionValues": {"col-ppp": "us"}, "size": 1,
+                 "modificationTime": 0, "dataChange": True,
+                 "stats": json.dumps({"numRecords": 2,
+                                      "minValues": {"col-aaa": 10},
+                                      "maxValues": {"col-aaa": 20}})}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    t = DeltaLog(spark, root)
+    out = t.read()
+    assert set(out.columns) == {"k", "s", "region"}
+    rows = {r["k"]: (r["s"], r["region"]) for r in out.collect()}
+    assert rows == {1: ("x", "eu"), 2: ("y", "eu"), 3: ("z", "eu"),
+                    10: ("u", "us"), 20: ("v", "us")}
+    # stats skipping resolves the LOGICAL column to its physical key
+    df, info = t.scan("k", 1, 3)
+    assert info["files_scanned"] == 1 and info["rows_skipped"] == 2
+    assert sorted(r["k"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_foreign_column_mapping_id_mode_raises(spark, root):
+    os.makedirs(os.path.join(root, "_delta_log"))
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 1,
+            "delta.columnMapping.physicalName": "col-aaa"}}]}
+    actions = [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        {"metaData": {
+            "id": "m", "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema),
+            "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "id"}}},
+    ]
+    with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
+        for a in actions:
+            f.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="'id'"):
+        DeltaLog(spark, root).read()
+
+
+def test_dv_delete_writer_roundtrip_and_stacking(spark, root):
+    """Writer-side DV deletes: no data file rewritten, protocol
+    upgraded to v3+deletionVectors, vectors stack across deletes, a
+    checkpoint carries the descriptors, and a COW rewrite is replayable
+    on top."""
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, range(100)))                       # v0
+    t.write(_mk(spark, range(1000, 1100)))                # v1
+    data_files_before = {
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    }
+    v = t.delete_where("k", 10, 19, mode="dv")            # v2
+    assert v == 2
+    # nothing rewritten; one DV side-file appeared
+    data_files_after = {
+        f for f in os.listdir(root) if f.endswith(".parquet")
+    }
+    assert data_files_after == data_files_before
+    assert any(f.startswith("deletion_vector_") for f in os.listdir(root))
+    s = t.snapshot()
+    assert int(s["protocol"]["minReaderVersion"]) == 3
+    assert "deletionVectors" in s["protocol"]["readerFeatures"]
+    got = set(r["k"] for r in t.read().collect())
+    assert got == (set(range(100)) - set(range(10, 20))) | set(
+        range(1000, 1100)
+    )
+    # stacking: a second DV delete on the same file merges positions
+    t.delete_where("k", 30, 34, mode="dv")                # v3
+    got = set(r["k"] for r in t.read().collect())
+    assert got == (
+        set(range(100)) - set(range(10, 20)) - set(range(30, 35))
+    ) | set(range(1000, 1100))
+    # only files in the DELETED key range carry vectors (the
+    # 1000-range files never gained one), and the merged bitmaps
+    # account for exactly the 15 deleted rows
+    import json as _json
+
+    dv_adds = [
+        a for a in t.snapshot()["adds"].values() if a.get("deletionVector")
+    ]
+    assert dv_adds
+    for a in dv_adds:
+        st = _json.loads(a["stats"])
+        assert st["minValues"]["k"] < 100
+    assert sum(a["deletionVector"]["cardinality"] for a in dv_adds) == 15
+    # checkpoint carries the descriptor; pre-checkpoint logs removable
+    cp = t.checkpoint()
+    for vv in range(cp):
+        os.remove(os.path.join(root, "_delta_log", f"{vv:020d}.json"))
+    t2 = DeltaLog(spark, root)
+    assert set(r["k"] for r in t2.read().collect()) == got
+
+
+def test_enable_column_mapping_and_rename_writer(spark, root):
+    """Writer-side mapping lifecycle: upgrade existing table in place,
+    rename metadata-only (files untouched), then append + cow-delete
+    through the mapped schema."""
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, range(50)))                        # v0
+    files_v0 = {f for f in os.listdir(root) if f.endswith(".parquet")}
+    t.enable_column_mapping()                             # v1
+    t.rename_column("k", "key")                           # v2
+    assert {f for f in os.listdir(root) if f.endswith(".parquet")} == (
+        files_v0
+    )
+    out = t.read()
+    assert set(out.columns) == {"key", "s", "v"}
+    assert out.agg(F.sum("key")).first()[0] == sum(range(50))
+    # stats skipping on the RENAMED column (physical key is still 'k')
+    t.write(
+        spark.createDataFrame(
+            [(k, f"s{k % 5}", k * 2) for k in range(1000, 1100)],
+            "key bigint, s string, v bigint",
+        )
+    )                                                     # v3
+    df, info = t.scan("key", 0, 100)
+    assert info["rows_skipped"] == 100
+    # cow delete through the logical name
+    t.delete_where("key", 0, 9)                           # v4
+    assert set(r["key"] for r in t.read().collect()) == set(
+        range(10, 50)
+    ) | set(range(1000, 1100))
+    # time travel to v0 reads under the ORIGINAL names
+    assert "k" in t.read(0).columns
