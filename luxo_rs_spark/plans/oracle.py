@@ -10919,3 +10919,44 @@ SELECT 'scan_600_1500',
   CAST(0 AS BIGINT)
 ORDER BY probe
 """
+
+# q480: conditional MERGE replayed — the first-match-wins CASE (update
+# shadows delete on k%4=0, so deletes fire only on k%4=2), subset
+# assignments, and the conditional insert, all as plain SQL over orders.
+ORACLE_SQL["q480_snaptable_conditional_merge"] = """
+WITH t0 AS (
+  SELECT o_orderkey AS k, o_orderpriority AS prio,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 2048
+), src AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 50) AS BIGINT) AS scents
+  FROM orders WHERE o_orderkey >= 1024 AND o_orderkey < 3072
+), merged AS (
+  SELECT t.k,
+    CASE WHEN s.k IS NOT NULL AND s.k % 4 = 0 THEN 'M-UPD'
+         ELSE t.prio END AS prio,
+    CASE WHEN s.k IS NOT NULL AND s.k % 4 = 0 THEN t.cents + s.scents
+         ELSE t.cents END AS cents
+  FROM t0 t LEFT JOIN src s ON t.k = s.k
+  WHERE NOT (s.k IS NOT NULL AND s.k % 4 <> 0 AND s.k % 2 = 0)
+), ins AS (
+  SELECT s.k, 'M-INS' AS prio, s.scents AS cents
+  FROM src s LEFT JOIN t0 t ON t.k = s.k
+  WHERE t.k IS NULL AND s.k % 2 = 0
+), v2 AS (
+  SELECT * FROM merged UNION ALL SELECT * FROM ins
+)
+SELECT 'v1' AS probe,
+  CAST((SELECT count(*) FROM t0) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(cents) FROM t0) AS BIGINT) AS sum_cents,
+  CAST(0 AS BIGINT) AS n_updated,
+  CAST(0 AS BIGINT) AS n_inserted
+UNION ALL
+SELECT 'v2',
+  CAST((SELECT count(*) FROM v2) AS BIGINT),
+  CAST((SELECT sum(cents) FROM v2) AS BIGINT),
+  CAST((SELECT count(*) FROM v2 WHERE prio = 'M-UPD') AS BIGINT),
+  CAST((SELECT count(*) FROM v2 WHERE prio = 'M-INS') AS BIGINT)
+ORDER BY probe
+"""

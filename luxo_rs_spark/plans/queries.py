@@ -18350,3 +18350,79 @@ def q479_delta_v3_dv_column_mapping(
         "probe string, files_total int, files_scanned int, "
         "n_rows bigint, sum_cents bigint, dv_rows bigint",
     ).orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q480 — conditional MERGE INTO (round 10): WHEN MATCHED [AND cond]
+# UPDATE SET <subset> / DELETE and WHEN NOT MATCHED [AND cond] INSERT
+# <values>, first-match-wins, over the snapshot table's CoW machinery
+# (stats-bounded rewrite set). The clause conditions overlap on purpose
+# — the update clause (src_k % 4 = 0) shadows the delete clause
+# (src_k % 2 = 0), so deletes fire only for src_k % 4 = 2: the oracle
+# replays exactly that first-match-wins resolution as CASE/WHERE SQL.
+# ---------------------------------------------------------------------------
+@query("q480_snaptable_conditional_merge")
+def q480_snaptable_conditional_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q480"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") < 2048).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("o_orderkey div 512").alias("b"),
+    )
+    source = orders.filter(
+        (F.col("o_orderkey") >= 1024) & (F.col("o_orderkey") < 3072)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 50).cast("long").alias("scents"),
+    )
+
+    t = SnapTable(spark, root)
+    t.create(target, stat_cols=["k"], bucket_col="b")
+    t.merge(
+        source,
+        "k",
+        clauses=[
+            {"when": "matched", "and": "src_k % 4 = 0",
+             "action": "update",
+             "set": {"cents": "cents + src_scents", "prio": "'M-UPD'"}},
+            {"when": "matched", "and": "src_k % 2 = 0",
+             "action": "delete"},  # shadowed for k%4=0: fires on k%4=2
+            {"when": "not_matched", "and": "src_k % 2 = 0",
+             "action": "insert",
+             "values": {"cents": "src_scents", "prio": "'M-INS'",
+                        "b": "src_k div 512"}},
+        ],
+    )
+
+    rows = []
+    for v in (1, 2):
+        agg = t.read(v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("c"),
+            F.sum(F.when(F.col("prio") == "M-UPD", 1).otherwise(0))
+            .cast("bigint").alias("u"),
+            F.sum(F.when(F.col("prio") == "M-INS", 1).otherwise(0))
+            .cast("bigint").alias("i"),
+        ).first()
+        rows.append(
+            (f"v{v}", int(agg["n"]), int(agg["c"]), int(agg["u"]),
+             int(agg["i"]))
+        )
+    return spark.createDataFrame(
+        rows,
+        "probe string, n_rows bigint, sum_cents bigint, "
+        "n_updated bigint, n_inserted bigint",
+    ).orderBy("probe")

@@ -962,14 +962,15 @@ class SnapTable:
         ``mode="dv"``: DELETION VECTORS (merge-on-read, the Delta DV /
         Iceberg positional-delete shape) — no data file is rewritten;
         instead the matching rows' (file, row position) pairs are
-        recorded in a side-file and every read anti-joins them out via
-        the parquet scan's own ``_metadata.row_index``. The write cost
-        of a point delete drops from rewriting whole files to one
-        position list; reads pay a broadcast anti-join until a compact/
-        CoW rewrite materializes the deletes and drops the vectors.
-        Positions are collected on the driver — DVs are for SMALL
-        deletes (the same guidance Delta gives); a mass delete should
-        stay CoW."""
+        recorded in a position table and every read anti-joins them out
+        via the parquet scan's own ``_metadata.row_index``. The write
+        cost of a delete drops from rewriting whole files to one
+        position-table write; reads pay a broadcast anti-join until a
+        compact/CoW rewrite materializes the deletes and drops the
+        vectors. The position build is FULLY DISTRIBUTED (round 10):
+        nothing proportional to deleted rows ever lands on the driver,
+        so DV cost is flat in table size — CoW remains preferable only
+        when most of a file dies (read-tax, not write-cost, decides)."""
         if mode == "dv":
             return self._delete_where_dv(col, lo, hi)
         if mode != "cow":
@@ -1002,11 +1003,11 @@ class SnapTable:
     def _delete_where_dv(self, col: str, lo, hi) -> int:
         """Deletion-vector delete (see delete_where): one Spark job
         finds the matching (file basename, row position) pairs in the
-        stat-admitted candidate files (existing DV positions applied
-        first, so a twice-deleted row is never double-counted), the
-        merged position list lands in ONE side-file, and the new
-        manifest repoints the candidates' dv fields — no data file is
-        touched."""
+        stat-admitted candidate files (existing DV positions merged in,
+        so a twice-deleted row is never double-counted), dedupes,
+        clusters by file, and writes the merged position table as a
+        commit-scoped directory — all executor-side; the new manifest
+        repoints the candidates' dv fields. No data file is touched."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1049,30 +1050,48 @@ class SnapTable:
                 *[os.path.join(self.root, r) for r in old_rels]
             ).select("fname", "pos")
             scan = scan.unionByName(old)
-        # bounded by deleted rows (the documented DV contract)
-        pos_rows = sorted(
-            {(r["fname"], int(r["pos"])) for r in scan.collect()}
-        )
-        by_fname: dict[str, int] = {}
-        for fn, _p in pos_rows:
-            by_fname[fn] = by_fname.get(fn, 0) + 1
-
+        # DISTRIBUTED bitmap build (round 10, retiring the r9
+        # small-delete contract): the position set never lands on the
+        # driver — dedupe, per-file clustering, and the write all run
+        # as ONE Spark job into a position-table directory (hash on
+        # fname co-locates each data file's positions; the local sort
+        # keeps them ordered for the read join). The only driver-side
+        # materialization is ONE ROW PER VECTORED FILE (manifest
+        # accounting — the metadata plane, same cost class as the
+        # footer-stats pass). DV write cost is therefore flat in table
+        # size and proportional only to deleted rows, so mass deletes
+        # may use DVs too; CoW remains the right call when most of a
+        # file dies (the read-side anti-join tax).
         token = f"{os.getpid():x}-{next(_WRITER_SEQ):04x}"
         version = self.latest_version() + 1
         dv_rel = os.path.join(
             _DATA_DIR, f"v{version:08d}-dv-{token}.parquet"
         )
-        pq.write_table(
-            pa.table(
-                {
-                    "fname": [r[0] for r in pos_rows],
-                    "pos": pa.array(
-                        [r[1] for r in pos_rows], type=pa.int64()
-                    ),
-                }
-            ),
-            os.path.join(self.root, dv_rel),
+        dv_abs = os.path.join(self.root, dv_rel)
+        (
+            scan.dropDuplicates(["fname", "pos"])
+            .repartition(min(32, max(1, len(cand_paths))), "fname")
+            .sortWithinPartitions("fname", "pos")
+            .write.mode("overwrite")
+            .parquet(dv_abs)
         )
+        by_fname = {
+            r["fname"]: int(r["n"])
+            for r in self.spark.read.parquet(dv_abs)
+            .groupBy("fname")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: one row per VECTORED FILE
+        }
+        if not by_fname:
+            # nothing matched after all: metadata-only no-op commit,
+            # no empty position table left behind
+            import shutil
+
+            shutil.rmtree(dv_abs, ignore_errors=True)
+            return self._commit(
+                m["stat_cols"], "delete_dv", self._carry(m), [],
+                expected_parent=m["version"],
+            )
 
         cand_set = set(cand_paths)
         if "files_ckpt" not in m:
@@ -1127,10 +1146,11 @@ class SnapTable:
                 expected_parent=m["version"],
             )
         except ConcurrentCommitError:
-            try:
-                os.remove(os.path.join(self.root, dv_rel))
-            except FileNotFoundError:
-                pass
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.root, dv_rel), ignore_errors=True
+            )
             raise
 
     def update_where(
@@ -1221,16 +1241,43 @@ class SnapTable:
             f"version {new_version}; re-read the table and retry"
         )
 
-    def merge(self, source: DataFrame, key_col: str) -> int:
-        """MERGE INTO (whole-row upsert): source rows whose ``key_col``
-        matches an existing row replace it; the rest insert. Copy-on-
-        write with manifest-stats pruning — only files whose key range
-        intersects the source's [min, max] are rewritten; since matches
-        can only live in those files, the rewrite is (candidates
-        LEFT ANTI JOIN source keys) ∪ source. The key set is broadcast
+    def merge(
+        self,
+        source: DataFrame,
+        key_col: str,
+        clauses: list[dict] | None = None,
+    ) -> int:
+        """MERGE INTO. Without ``clauses``: whole-row upsert — source
+        rows whose ``key_col`` matches an existing row replace it; the
+        rest insert.
+
+        With ``clauses`` (round 10 — the full conditional MERGE a
+        warehouse migration needs): a list evaluated FIRST-MATCH-WINS
+        per row, each a dict:
+
+        - ``{"when": "matched", "and": <sql|None>, "action": "update",
+          "set": {col: <sql>}}`` — column-subset assignments;
+        - ``{"when": "matched", "and": <sql|None>,
+          "action": "delete"}``;
+        - ``{"when": "not_matched", "and": <sql|None>,
+          "action": "insert", "values": {col: <sql>} | None}`` —
+          whole source row by default, or explicit assignments.
+
+        Conditions and assignment expressions see the TARGET row's
+        columns by name and the SOURCE row's columns as ``src_<col>``
+        (for not-matched clauses only ``src_<col>`` exist). A matched
+        row hit by no clause keeps its current values; an unmatched
+        source row hit by no insert clause is dropped — exactly the
+        Delta MERGE contract.
+
+        Copy-on-write with manifest-stats pruning — only files whose
+        key range intersects the source's [min, max] are rewritten;
+        since matches can only live in those files, unmatched target
+        files carry over untouched. The key set / source is broadcast
         (a merge source is small relative to the table; a huge backfill
-        would swap this for a shuffled anti join or a Bloom pre-filter,
-        q144's machinery)."""
+        would swap this for a shuffled join or a Bloom pre-filter,
+        q144's machinery). CHECK constraints validate the rewritten
+        rows; CDC surfaces matched-deletes as ordinary delete rows."""
         m = self.manifest()
         b = source.agg(
             F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
@@ -1244,18 +1291,129 @@ class SnapTable:
             m, self._physical(m, key_col), b["lo"], b["hi"]
         )
         existing = self._read_files(m, cand_paths)
-        kept = existing.join(
-            F.broadcast(source.select(key_col).distinct()),
-            on=key_col,
-            how="left_anti",
-        )
-        out = kept.unionByName(source, allowMissingColumns=True)
+        if clauses is None:
+            kept = existing.join(
+                F.broadcast(source.select(key_col).distinct()),
+                on=key_col,
+                how="left_anti",
+            )
+            out = kept.unionByName(source, allowMissingColumns=True)
+        else:
+            out = self._merge_clauses(existing, source, key_col, clauses)
         return self._commit_new_files(
             out, m["stat_cols"], bucket_col=None, op="merge", carry=carry,
             n_out=max(1, len(cand_paths)),
             bloom_cols=tuple(m.get("bloom_cols", ())),
             expected_parent=m["version"],
         )
+
+    @staticmethod
+    def _merge_clauses(
+        existing: DataFrame,
+        source: DataFrame,
+        key_col: str,
+        clauses: list[dict],
+    ) -> DataFrame:
+        """Clause evaluation for conditional MERGE (see ``merge``):
+        one broadcast left-outer join classifies target rows, a CASE
+        chain picks the first admitting clause per row, per-column
+        CASEs apply that clause's assignments; inserts are the
+        anti-joined source rows run through the not-matched chain.
+        Pure Column algebra — fully SQL-replayable (the q480 oracle)."""
+        for cl in clauses:
+            w, act = cl.get("when"), cl.get("action")
+            if w not in ("matched", "not_matched"):
+                raise ValueError(f"bad clause when={w!r}")
+            if w == "matched" and act not in ("update", "delete"):
+                raise ValueError(f"matched clause action {act!r}")
+            if w == "not_matched" and act != "insert":
+                raise ValueError(f"not_matched clause action {act!r}")
+            if act == "update" and not cl.get("set"):
+                raise ValueError("update clause needs a 'set' map")
+        tgt_cols = existing.columns
+        src_ren = source.select(
+            [F.col(c).alias(f"src_{c}") for c in source.columns]
+        )
+        joined = existing.join(
+            F.broadcast(src_ren),
+            existing[key_col] == src_ren[f"src_{key_col}"],
+            "left_outer",
+        )
+        is_matched = F.col(f"src_{key_col}").isNotNull()
+
+        # first-match-wins action id per row: -1 = keep untouched
+        matched_cl = [
+            (i, cl) for i, cl in enumerate(clauses)
+            if cl["when"] == "matched"
+        ]
+        chain = F.when(F.lit(False), F.lit(-1))
+        for i, cl in matched_cl:
+            cond = is_matched
+            if cl.get("and"):
+                cond = cond & F.expr(cl["and"])
+            chain = chain.when(cond, F.lit(i))
+        joined = joined.withColumn(
+            "__merge_action__", chain.otherwise(F.lit(-1))
+        )
+        delete_ids = [
+            i for i, cl in matched_cl if cl["action"] == "delete"
+        ]
+        survivors = joined.filter(
+            ~F.col("__merge_action__").isin(delete_ids)
+            if delete_ids
+            else F.lit(True)
+        )
+        out_cols = []
+        for c in tgt_cols:
+            col = F.col(c)
+            for i, cl in matched_cl:
+                if cl["action"] == "update" and c in cl["set"]:
+                    col = F.when(
+                        F.col("__merge_action__") == i,
+                        F.expr(cl["set"][c]),
+                    ).otherwise(col)
+            out_cols.append(col.alias(c))
+        updated = survivors.select(out_cols)
+
+        ins_cl = [
+            (i, cl) for i, cl in enumerate(clauses)
+            if cl["when"] == "not_matched"
+        ]
+        if not ins_cl:
+            return updated
+        ins_src = src_ren.join(
+            existing.select(
+                F.col(key_col).alias(f"src_{key_col}")
+            ).distinct(),
+            on=f"src_{key_col}",
+            how="left_anti",
+        )
+        ichain = F.when(F.lit(False), F.lit(-1))
+        for i, cl in ins_cl:
+            cond = F.expr(cl["and"]) if cl.get("and") else F.lit(True)
+            ichain = ichain.when(cond, F.lit(i))
+        ins_src = ins_src.withColumn(
+            "__merge_action__", ichain.otherwise(F.lit(-1))
+        ).filter(F.col("__merge_action__") >= 0)
+        src_names = {f"src_{c}" for c in source.columns}
+        tgt_type = {f.name: f.dataType for f in existing.schema.fields}
+        ins_cols = []
+        for c in tgt_cols:
+            default = (
+                F.col(f"src_{c}")
+                if f"src_{c}" in src_names
+                else F.lit(None).cast(tgt_type[c])
+            )
+            col = default
+            for i, cl in ins_cl:
+                vals = cl.get("values") or {}
+                if c in vals:
+                    col = F.when(
+                        F.col("__merge_action__") == i, F.expr(vals[c])
+                    ).otherwise(col)
+            ins_cols.append(col.alias(c))
+        inserts = ins_src.select(ins_cols)
+        return updated.unionByName(inserts)
 
     def changes(self, v_from: int, v_to: int) -> DataFrame:
         """Row-level CDC between two versions: inserts = (v_to EXCEPT
@@ -1566,7 +1724,12 @@ class SnapTable:
                 file_v = 0
             if file_v > latest:
                 continue
-            os.remove(full)
+            if os.path.isdir(full):  # DV position-table directories
+                import shutil
+
+                shutil.rmtree(full, ignore_errors=True)
+            else:
+                os.remove(full)
             removed_files += 1
         keep_ckpts = {
             self.manifest(v).get("files_ckpt") for v in keep_vs

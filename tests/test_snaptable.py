@@ -1623,3 +1623,116 @@ def test_checkpoint_keeps_stats_for_evolved_partition_column(spark, root):
     df, info = t.scan_where([("region", "=", "eu")])
     assert info["files_scanned"] == info["files_total"] - 1
     assert df.count() == 50
+
+
+def test_conditional_merge_clauses_first_match_wins(spark, root):
+    """Conditional MERGE INTO (round 10): WHEN MATCHED [AND cond]
+    UPDATE SET subset / DELETE, WHEN NOT MATCHED [AND cond] INSERT —
+    first-match-wins, untouched-matched rows keep their values,
+    insert-less source rows drop, carry files survive by path."""
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(300)), stat_cols=["k"], bucket_col="b")
+    paths_before = set(t._paths(t.manifest()))
+
+    # source: keys 50..69 matched, 1000..1009 unmatched
+    src = spark.createDataFrame(
+        [(k, k * 100) for k in list(range(50, 70)) + list(range(1000, 1010))],
+        "k bigint, sv bigint",
+    )
+    t.merge(
+        src,
+        "k",
+        clauses=[
+            # delete the matched rows whose source value is huge
+            {"when": "matched", "and": "src_sv >= 6500",
+             "action": "delete"},
+            # update the rest of the matched rows (subset of columns)
+            {"when": "matched", "and": "src_sv >= 5500",
+             "action": "update",
+             "set": {"v": "src_sv", "s": "'merged'"}},
+            # matched rows with src_sv < 5500 fall through -> untouched
+            # insert only EVEN unmatched keys
+            {"when": "not_matched", "and": "src_k % 2 = 0",
+             "action": "insert"},
+        ],
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in t.read().collect()}
+    # deletes: 65..69 (sv >= 6500)
+    assert all(k not in got for k in range(65, 70))
+    # updates: 55..64 -> v = k*100, s = 'merged'
+    for k in range(55, 65):
+        assert got[k] == ("merged", k * 100)
+    # fell through (50..54): untouched originals
+    for k in range(50, 55):
+        assert got[k] == (f"s{k % 7}", k * 3)
+    # inserts: even unmatched keys only; sv fills v? no — source lacks
+    # v/s/b, so inserted rows carry src k + NULLs for target-only cols
+    for k in range(1000, 1010):
+        if k % 2 == 0:
+            assert got[k] == (None, None)
+        else:
+            assert k not in got
+    # (the source key range [50, 1009] spans every bucket here, so all
+    # files are rewrite candidates — carry-by-path is pinned in
+    # test_conditional_merge_insert_values_and_constraints instead)
+    assert paths_before  # layout sanity
+    # CDC surfaces the matched-deletes as delete rows
+    cdc = t.changes(1, 2).groupBy("change_type").count().collect()
+    by = {r["change_type"]: r["count"] for r in cdc}
+    # deletes: 5 deleted + 10 updated (old image); inserts: 10 updated
+    # (new image) + 5 inserted
+    assert by["delete"] == 15
+    assert by["insert"] == 15
+
+
+def test_conditional_merge_insert_values_and_constraints(spark, root):
+    """Insert clauses with explicit 'values' assignments; CHECK
+    constraints validate the merged rows like any data commit."""
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    t.add_constraint("v_nonneg", "v >= 0")
+    src = spark.createDataFrame(
+        [(500, 7), (501, 8)], "k bigint, sv bigint"
+    )
+    t.merge(
+        src,
+        "k",
+        clauses=[
+            {"when": "not_matched", "action": "insert",
+             "values": {"v": "src_sv * 10", "s": "'ins'", "b": "0"}},
+        ],
+    )
+    got = {r["k"]: (r["s"], r["v"]) for r in t.read().collect()}
+    assert got[500] == ("ins", 70) and got[501] == ("ins", 80)
+    # the source key range is stats-disjoint from every data file, so
+    # ALL original files carry over by path identity (insert-only merge
+    # rewrites nothing)
+    v1_paths = set(t._paths(t.manifest(2)))  # v2 = add_constraint
+    assert v1_paths <= set(t._paths(t.manifest()))
+    # a violating merge refuses the commit entirely
+    bad = spark.createDataFrame([(600, -5)], "k bigint, sv bigint")
+    with pytest.raises(ValueError, match="v_nonneg"):
+        t.merge(
+            bad,
+            "k",
+            clauses=[
+                {"when": "not_matched", "action": "insert",
+                 "values": {"v": "src_sv", "s": "'x'", "b": "0"}},
+            ],
+        )
+    assert 600 not in {r["k"] for r in t.read().collect()}
+
+
+def test_legacy_whole_row_merge_unchanged(spark, root):
+    """merge() without clauses keeps the r8 whole-row-upsert contract
+    (the q462 oracle's semantics)."""
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(100)), stat_cols=["k"], bucket_col="b")
+    src = _mk(spark, "t", range(90, 110)).withColumn("v", F.col("k") * 7)
+    t.merge(src, "k")
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 110
+    for k in range(90, 110):
+        assert got[k] == k * 7
+    for k in range(0, 90):
+        assert got[k] == k * 3

@@ -248,6 +248,39 @@ def main() -> None:
     print(json.dumps(results["dv_read_overhead"]), flush=True)
     shutil.rmtree(dv_root, ignore_errors=True)
 
+    # deletion-vector WRITE cost vs table size (round 10, distributed
+    # bitmap build): delete the SAME 50k-row slice out of tables 4x
+    # apart in size. With the executor-side position build the cost
+    # must be flat in table size (alpha ~ 0) — the driver only ever
+    # sees one accounting row per vectored file.
+    dv_write = {}
+    wsizes = [500_000, 2_000_000, 8_000_000]
+    for n in wsizes:
+        wroot = os.path.join(WORK, f"dvwrite_{n}")
+        shutil.rmtree(wroot, ignore_errors=True)
+        wdf = spark.range(n).select(
+            SF.col("id").alias("k"),
+            (SF.col("id") * 7 % 1000).alias("v"),
+            SF.expr(f"id div {max(1, n // 8)}").alias("b"),
+        )
+        wt = ST(spark, wroot)
+        wt.create(wdf, stat_cols=["k"], bucket_col="b")
+        import time as _time
+
+        t0 = _time.perf_counter()
+        wt.delete_where("k", 0, 49_999, mode="dv")
+        dv_write[str(n)] = round(_time.perf_counter() - t0, 4)
+        shutil.rmtree(wroot, ignore_errors=True)
+    results["dv_write_scaling"] = {
+        "deleted_rows": 50_000,
+        "table_rows": wsizes,
+        "dv_write_sec": dv_write,
+        "alpha_vs_table_size": fit_alpha(
+            wsizes, [dv_write[str(n)] for n in wsizes]
+        ),
+    }
+    print(json.dumps(results["dv_write_scaling"]), flush=True)
+
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results["alpha"]), flush=True)
