@@ -1576,11 +1576,14 @@ def _decode_jpeg(content: bytes) -> dict:
     arithmetic LOSSLESS frames (SOF11, Annex H.1.1 model) and
     hierarchical pyramids (Annex J: DHP/EXP with differential lossless
     SOF7/SOF15 frames AND all four differential DCT frame kinds —
-    SOF5/SOF6 Huffman, SOF13/SOF14 arithmetic; hierarchical DCT is
-    grayscale). The FULL T.81 SOF matrix decodes; remaining honest
-    constraints: hierarchical DCT frames are 8-bit grayscale, lossless
-    frames are unsubsampled, sampling factors are 1/2/4. Payload is
-    the raw interleaved pixel array ((h, w, channels) uint8, RGB)."""
+    SOF5/SOF6 Huffman, SOF13/SOF14 arithmetic — grayscale or color,
+    with SUBSAMPLED differential chroma residuals supported since
+    round 10: each residual plane decodes at its component grid and
+    the fold replicates it up). The FULL T.81 SOF matrix decodes;
+    remaining honest constraints: hierarchical DCT frames are 8-bit,
+    lossless frames are unsubsampled, sampling factors are 1/2/4.
+    Payload is the raw interleaved pixel array ((h, w, channels)
+    uint8, RGB)."""
     if content[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1796,13 +1799,14 @@ def _decode_jpeg(content: bytes) -> dict:
             ]
             if hier is not None:
                 samples = None  # this frame is DCT, not lossless
-                if differential and nf > 1 and (hmax, vmax) != (1, 1):
-                    # residuals are componentwise in the output space;
-                    # a subsampled residual has no exact expansion
-                    raise NotImplementedError(
-                        "hierarchical differential DCT frames "
-                        "must be unsubsampled"
-                    )
+                # round 10 (closing the last T.81 corner): SUBSAMPLED
+                # differential color frames decode too — each residual
+                # plane is coded at its component grid and the fold
+                # replicates it up before adding to the output-space
+                # reference (the same expansion the non-differential
+                # color path uses); the hierarchical stream's final
+                # lossless frame corrects any expansion loss, so
+                # bit-exactness is preserved end to end.
                 if differential:
                     if prev_recon is None:
                         raise ValueError("SOF5 with no reference frame")
@@ -6489,7 +6493,7 @@ def _pixels_to_jpeg_hierarchical_dct(
     arr: np.ndarray, levels: int = 3, quality: int = 85,
     progressive: bool = False, entropy: str = "huffman",
     subsampling: str = "444", base_progressive: bool = False,
-    base_entropy: str = "huffman",
+    base_entropy: str = "huffman", residual_subsampling: str = "444",
 ) -> bytes:
     """Hierarchical DCT progression with a LOSSLESS finish (T.81
     Annex J's flagship use): a lossy baseline (SOF0) frame at the
@@ -6499,11 +6503,16 @@ def _pixels_to_jpeg_hierarchical_dct(
     same-size differential LOSSLESS (SOF7) frame that corrects the
     lossy reconstruction to the exact source — so the decode is
     bit-exact despite the DCT stages (8-bit; grayscale OR — round 8 —
-    unsubsampled RGB, where the lossy base frame is the ordinary YCbCr
-    baseline encode and every differential frame codes componentwise
-    residuals in the OUTPUT color space, no transform). The encoder
-    mirrors the decoder's reconstruction arithmetic at every stage to
-    compute the next difference."""
+    RGB, where the lossy base frame is the ordinary YCbCr baseline
+    encode and every differential frame codes componentwise residuals
+    in the OUTPUT color space, no transform). Round 10 closes the last
+    T.81 corner: ``residual_subsampling`` ("420"/"422") codes the
+    differential frames' CHROMA residual planes at a subsampled grid
+    (decimated residual, replicated back up by the decoder's fold) —
+    legal per Annex J, and still bit-exact because the final lossless
+    frame corrects whatever the expansion loses. The encoder mirrors
+    the decoder's reconstruction arithmetic at every stage to compute
+    the next difference."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     if arr.dtype != np.uint8:
@@ -6541,13 +6550,30 @@ def _pixels_to_jpeg_hierarchical_dct(
     qt = _quality_scaled(_QUANT_LUM, quality)
     dc_codes = _huff_codes(*_HUFF_DC_12)  # categories up to 15
     ac_codes = _huff_codes(*_HUFF_AC_12)
+    # residual-frame sampling factors (round 10): chroma residuals may
+    # be coded at a subsampled grid; grayscale / "444" stays 1x1
+    if nc == 3 and residual_subsampling == "420":
+        rfac = [(2, 2), (1, 1), (1, 1)]
+    elif nc == 3 and residual_subsampling == "422":
+        rfac = [(2, 1), (1, 1), (1, 1)]
+    elif residual_subsampling == "444" or nc == 1:
+        rfac = [(1, 1)] * nc
+    else:
+        raise NotImplementedError(
+            f"residual subsampling {residual_subsampling!r}"
+        )
+    rhmax = max(f[0] for f in rfac)
+    rvmax = max(f[1] for f in rfac)
+    comps_res_b = b"".join(
+        struct.pack("BBB", c + 1, (hi << 4) | vi, 0)
+        for c, (hi, vi) in enumerate(rfac)
+    )
     for lvl in pyr[1:]:
         lh, lw = lvl.shape[:2]
         out += seg(0xFFDF, bytes([0x11]))  # EXP 2x both directions
         ref = _jpeg_expand(recon, 1, 1, lh, lw)
         d = (lvl - ref).astype(np.float64)
-        ph, pw = -(-lh // 8) * 8, -(-lw // 8) * 8
-        d = np.pad(d, ((0, ph - lh), (0, pw - lw), (0, 0)))
+        mcuy, mcux = -(-lh // (8 * rvmax)), -(-lw // (8 * rhmax))
         out += seg(
             0xFFDB, bytes([0]) + bytes(qt[_ZIGZAG].astype(np.uint8))
         )
@@ -6560,16 +6586,24 @@ def _pixels_to_jpeg_hierarchical_dct(
         else:
             sofm_dct = 0xFFC6 if progressive else 0xFFC5
         out += seg(
-            sofm_dct, struct.pack(">BHHB", 8, lh, lw, nc) + comps_b
+            sofm_dct, struct.pack(">BHHB", 8, lh, lw, nc) + comps_res_b
         )
         stores = []
         rec_planes = []
-        for c in range(nc):
-            rec_plane = np.zeros((ph, pw), dtype=np.float64)
-            store = np.zeros((ph // 8, pw // 8, 64), dtype=np.int64)
-            for by in range(ph // 8):
-                for bx in range(pw // 8):
-                    block = d[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, c]
+        for c, (hi, vi) in enumerate(rfac):
+            nbh, nbw = mcuy * vi, mcux * hi
+            # component residual at ITS grid: decimate (the decoder's
+            # fold replicates back up; the lossless finish corrects)
+            sub = d[:: rvmax // vi, :: rhmax // hi, c]
+            sub = np.pad(
+                sub,
+                ((0, nbh * 8 - sub.shape[0]), (0, nbw * 8 - sub.shape[1])),
+            )
+            rec_plane = np.zeros((nbh * 8, nbw * 8), dtype=np.float64)
+            store = np.zeros((nbh, nbw, 64), dtype=np.int64)
+            for by in range(nbh):
+                for bx in range(nbw):
+                    block = sub[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
                     coeffs = _DCT @ block @ _DCT.T  # NO level shift
                     quant = np.round(
                         coeffs / qt.reshape(8, 8)
@@ -6600,15 +6634,15 @@ def _pixels_to_jpeg_hierarchical_dct(
 
         if entropy == "arith":
             for sosb, data in _arith_scans(
-                stores, [(1, 1)] * nc, ph // 8, pw // 8, 0, progressive,
-                _sosb, lh, lw, 1, 1, differential=True,
+                stores, rfac, mcuy, mcux, 0, progressive,
+                _sosb, lh, lw, rhmax, rvmax, differential=True,
             ):
                 out += seg(0xFFDA, sosb)
                 out += data
         elif progressive:
             for sosb, data in _progressive_scans(
-                stores, [(1, 1)] * nc, [(dc_codes, ac_codes)] * nc,
-                ph // 8, pw // 8, 0, _sosb, _rst, lh, lw, 1, 1,
+                stores, rfac, [(dc_codes, ac_codes)] * nc,
+                mcuy, mcux, 0, _sosb, _rst, lh, lw, rhmax, rvmax,
                 differential=True,
             ):
                 out += seg(0xFFDA, sosb)
@@ -6621,15 +6655,30 @@ def _pixels_to_jpeg_hierarchical_dct(
                 + bytes([0, 63, 0]),
             )
             writer = _BitWriter()
-            for by in range(ph // 8):
-                for bx in range(pw // 8):
-                    for c in range(nc):  # interleaved MCU order
-                        _encode_component_block(
-                            writer, stores[c][by, bx], 0, dc_codes, ac_codes
-                        )
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    for c, (hi, vi) in enumerate(rfac):
+                        for by in range(vi):  # interleaved MCU order
+                            for bx in range(hi):
+                                _encode_component_block(
+                                    writer,
+                                    stores[c][my * vi + by, mx * hi + bx],
+                                    0, dc_codes, ac_codes,
+                                )
             out += writer.flush()
-        # mirror the decoder's rounding exactly (round the SUM)
-        rec = np.stack([rp[:lh, :lw] for rp in rec_planes], axis=-1)
+        # mirror the decoder's fold exactly: crop each plane to its
+        # component grid, replicate subsampled planes up, crop to the
+        # level dims, then round the SUM once
+        planes = []
+        for (hi, vi), rp in zip(rfac, rec_planes):
+            ch_, cw_ = -(-lh * vi // rvmax), -(-lw * hi // rhmax)
+            p = rp[:ch_, :cw_]
+            if (hi, vi) != (rhmax, rvmax):
+                p = np.repeat(
+                    np.repeat(p, rvmax // vi, axis=0), rhmax // hi, axis=1
+                )
+            planes.append(p[:lh, :lw])
+        rec = np.stack(planes, axis=-1)
         recon = np.clip(
             np.round(ref.astype(np.float64) + rec), 0, 255
         ).astype(np.int64)
@@ -6660,9 +6709,11 @@ def synth_jpeg_hier_dct_table(
     lossless SOF7 correction frame: decode is bit-exact, so the
     payload md5 is the tiled md5 hex itself. Levels cycle doc_id%3+2,
     quality cycles {50,75,92}. Round 8: doc_id%5>=3 lanes are RGB
-    (color base frame — 4:2:0 chroma-subsampled on the even ids —
-    with componentwise full-resolution residual frames); the rest stay
-    grayscale."""
+    (color base frame — 4:2:0 chroma-subsampled on the even ids).
+    Round 10: the color lanes' RESIDUAL frames cycle subsampling too —
+    doc_id%3==0 codes the differential chroma residuals at 4:2:0 (the
+    last T.81 corner, closed) — the rest stay full-resolution; decode
+    is bit-exact regardless, so the md5 oracle is unchanged."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -6699,6 +6750,9 @@ def synth_jpeg_hier_dct_table(
                             base_entropy="arith"
                             if did % 7 >= 5
                             else "huffman",
+                            residual_subsampling="420"
+                            if color and did % 3 == 0
+                            else "444",
                         ),
                     }
                 )

@@ -366,3 +366,64 @@ def test_vp8l_roundtrip_with_skewed_alphabet():
     d = _decode_payload(_pixels_to_webp(arr, "cache_lz77"))
     got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(24, 32, 3)
     assert np.array_equal(got, arr)
+
+
+def test_hierarchical_dct_subsampled_differential_color_roundtrip():
+    """Round 10 — the last T.81 corner: hierarchical DIFFERENTIAL DCT
+    frames with SUBSAMPLED chroma residuals (4:2:0 / 4:2:2), across
+    Huffman/arithmetic and sequential/progressive scans, over both base
+    subsamplings. Always bit-exact: the final lossless frame corrects
+    whatever the decimate/replicate residual path loses."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_hierarchical_dct,
+    )
+
+    rng = np.random.default_rng(11)
+    arr = rng.integers(0, 256, size=(13, 18, 3)).astype(np.uint8)
+    for rs in ("420", "422"):
+        for prog in (False, True):
+            for ent in ("huffman", "arith"):
+                b = _pixels_to_jpeg_hierarchical_dct(
+                    arr, levels=3, quality=70, progressive=prog,
+                    entropy=ent, subsampling="420",
+                    residual_subsampling=rs,
+                )
+                d = _decode_jpeg(b)
+                got = np.frombuffer(d["payload"], dtype=np.uint8).reshape(
+                    13, 18, 3
+                )
+                assert np.array_equal(got, arr), (rs, prog, ent)
+    # the differential frames genuinely carry subsampled factors (the
+    # SOF5 component spec says 2x2 luma / 1x1 chroma), not a silent 444
+    b = _pixels_to_jpeg_hierarchical_dct(
+        arr, levels=2, quality=70, residual_subsampling="420"
+    )
+    import struct
+
+    pos, found = 2, False
+    while pos < len(b) - 4:
+        assert b[pos] == 0xFF
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        size = struct.unpack_from(">H", b, pos + 2)[0]
+        if marker == 0xC5:  # differential sequential DCT
+            nf = b[pos + 9]
+            assert nf == 3
+            assert b[pos + 11] == 0x22  # component 1: 2x2
+            assert b[pos + 14] == 0x11  # component 2: 1x1
+            found = True
+        if marker == 0xDA:
+            # skip entropy data: scan to next marker
+            pos += 2 + size
+            while pos < len(b) - 1 and not (
+                b[pos] == 0xFF and b[pos + 1] not in (0x00,)
+                and not (0xD0 <= b[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+            continue
+        pos += 2 + size
+    assert found

@@ -2243,9 +2243,10 @@ def test_jpeg_hier_dct_stream_errors():
     carr = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
     dec = _decode_jpeg(bytes(_pixels_to_jpeg_hierarchical_dct(carr, levels=2)))
     assert dec["payload"] == carr.tobytes()
-    # ...but a SUBSAMPLED differential color frame stays a boundary:
-    # componentwise residuals have no exact expansion
-    with _pt.raises(NotImplementedError, match="unsubsampled"):
+    # SUBSAMPLED differential color is SUPPORTED since round 10 (the
+    # boundary is closed) — but a differential frame with no decoded
+    # reference level is still a stream error, subsampled or not
+    with _pt.raises(ValueError, match="no reference frame"):
         _decode_jpeg(
             b"\xff\xd8"
             + seg(0xFFDE, st.pack(">BHHB", 8, 8, 8, 3)
@@ -2254,6 +2255,11 @@ def test_jpeg_hier_dct_stream_errors():
                   + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
             + b"\xff\xd9"
         )
+    # and the closed boundary round-trips bit-exact (subsampled
+    # residual frames, color)
+    dec420 = _decode_jpeg(bytes(_pixels_to_jpeg_hierarchical_dct(
+        carr, levels=2, residual_subsampling="420")))
+    assert dec420["payload"] == carr.tobytes()
     # SOF6 is supported inside a hierarchy since later in round 6;
     # outside one it is a stream error like SOF5/SOF7
     with _pt.raises(ValueError, match="differential frame outside"):
