@@ -11057,3 +11057,33 @@ SELECT '2_k_post',
        AS BIGINT)
 ORDER BY probe
 """
+
+# q483: Iceberg position deletes replayed — stacking range deletes as
+# predicates, and the sequence-number rule as a plain UNION (the
+# post-delete re-append of a deleted range survives).
+ORACLE_SQL["q483_iceberg_position_deletes"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 2048
+), s2 AS (SELECT * FROM base WHERE k NOT BETWEEN 300 AND 899),
+s3 AS (SELECT * FROM s2 WHERE k NOT BETWEEN 1200 AND 1499),
+re AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey >= 300 AND o_orderkey < 600
+), s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM re)
+SELECT 's1' AS probe,
+  CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(cents) FROM base) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT 's2', CAST((SELECT count(*) FROM s2) AS BIGINT),
+  CAST((SELECT sum(cents) FROM s2) AS BIGINT)
+UNION ALL
+SELECT 's3', CAST((SELECT count(*) FROM s3) AS BIGINT),
+  CAST((SELECT sum(cents) FROM s3) AS BIGINT)
+UNION ALL
+SELECT 's4', CAST((SELECT count(*) FROM s4) AS BIGINT),
+  CAST((SELECT sum(cents) FROM s4) AS BIGINT)
+ORDER BY probe
+"""

@@ -18571,3 +18571,55 @@ def q482_snaptable_selective_optimize(
     for o in outs:
         out = out.unionAll(o)
     return out.orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q483 — Iceberg POSITION DELETES (round 10): merge-on-read row-level
+# deletes through the v2 metadata plane — two stacking delete_where
+# commits write spec-shaped (file_path, pos) parquets + content=1
+# delete manifests; reads anti-join them out; data appended AFTER the
+# deletes in the SAME key range is untouched (the sequence-number
+# rule). Every per-snapshot aggregate is a pure function of orders.
+# ---------------------------------------------------------------------------
+@query("q483_iceberg_position_deletes")
+def q483_iceberg_position_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.iceberg import IcebergTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "iceberg_q483"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def slab(lo, hi):
+        return orders.filter(
+            (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+        ).select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("cast(o_orderkey div 512 as string)").alias("bucket"),
+        )
+
+    t = IcebergTable(spark, root)
+    t.write(slab(0, 2048), partition_by="bucket")   # snap 1
+    t.delete_where("k", 300, 899)                   # snap 2 (positional)
+    t.delete_where("k", 1200, 1499)                 # snap 3 (stacks)
+    t.write(slab(300, 600))                         # snap 4: re-appends a
+    #                                  deleted range AFTER the deletes —
+    #                                  the sequence rule must keep it
+    rows = []
+    for sid in (1, 2, 3, 4):
+        agg = t.read(snapshot_id=sid).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("c"),
+        ).first()
+        rows.append((f"s{sid}", int(agg["n"]), int(agg["c"])))
+    return spark.createDataFrame(
+        rows, "probe string, n_rows bigint, sum_cents bigint"
+    ).orderBy("probe")

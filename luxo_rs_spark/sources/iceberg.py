@@ -18,10 +18,15 @@ sources/avro_io.py:
   ``lower_bounds``/``upper_bounds`` keyed by FIELD ID in the spec's
   single-value binary serialization (little-endian ints/longs/doubles,
   UTF-8 strings);
-- snapshot -> live file list: entries with status DELETED (2) drop,
-  manifest-list rows with content=1 (row-level delete manifests) raise
-  LOUDLY — positional/equality deletes are a declared boundary, never
-  a misread. ``format-version`` 3 raises loudly; 1 and 2 read.
+- snapshot -> live file list: entries with status DELETED (2) drop;
+  POSITION DELETE files (``data_file.content == 1``; spec columns
+  ``file_path``/``pos``) are resolved per the sequence-number rule (a
+  delete applies to data files whose data sequence number is <= the
+  delete's) and applied through the same ``_metadata.row_index``
+  anti-join as sources/snaptable.py's deletion vectors — merge-on-read
+  row-level deletes round 10. EQUALITY deletes (content=2) raise
+  LOUDLY, never a misread. ``format-version`` 3 raises loudly; 1 and 2
+  read.
 - ``scan()`` prunes files on the decoded bounds (and identity
   partition values) before Spark sees a path — the same manifest-level
   skipping as sources/snaptable.py, here over a FOREIGN table's
@@ -320,33 +325,44 @@ class IcebergTable:
         self, snapshot_id: int | None = None, md: dict | None = None
     ) -> list[dict]:
         """Live data-file dicts at a snapshot: {path, record_count,
-        partition, lower/upper bounds keyed by field id (raw bytes)}.
-        Raises loudly on delete manifests or non-data file content."""
+        partition, lower/upper bounds keyed by field id (raw bytes),
+        sequence_number}. POSITION DELETE manifests (content=1; round
+        10) are resolved here too — each returned dict carries a
+        ``deletes`` list of the positional-delete parquet paths that
+        apply to it per the spec's sequence-number rule (a delete file
+        applies to data files whose data sequence number is <= the
+        delete file's). EQUALITY deletes (data_file.content == 2)
+        raise loudly — never a misread."""
         md = md or self.metadata()
         snap = self._snapshot(md, snapshot_id)
         _, manifests = read_avro(self._abs(snap["manifest-list"]))
-        out = []
+        out: list[dict] = []
+        del_files: list[dict] = []  # {path, seq}
         for mf in manifests:
-            if int(mf.get("content", 0)) != 0:
-                raise IcebergProtocolError(
-                    "row-level delete manifests (content=1) are not "
-                    "implemented; read a snapshot before the delete or "
-                    "compact the foreign table first"
-                )
+            mf_seq = int(mf.get("sequence_number") or 0)
             _, entries = read_avro(self._abs(mf["manifest_path"]))
             for e in entries:
                 if int(e.get("status", 0)) == 2:  # DELETED
                     continue
                 dfle = e["data_file"]
-                if int(dfle.get("content", 0)) != 0:
-                    raise IcebergProtocolError(
-                        "delete files (data_file.content != 0) are not "
-                        "implemented"
-                    )
+                seq = e.get("sequence_number")
+                seq = mf_seq if seq is None else int(seq)
+                content = int(dfle.get("content", 0))
                 if dfle.get("file_format", "PARQUET").upper() != "PARQUET":
                     raise IcebergProtocolError(
                         f"file format {dfle['file_format']!r} not "
                         "implemented"
+                    )
+                if content == 1:  # position delete file
+                    del_files.append(
+                        {"path": dfle["file_path"], "seq": seq}
+                    )
+                    continue
+                if content != 0:
+                    raise IcebergProtocolError(
+                        "equality delete files (content=2) are not "
+                        "implemented; read a snapshot before the "
+                        "delete or compact the foreign table first"
                     )
                 out.append(
                     {
@@ -361,8 +377,17 @@ class IcebergTable:
                             kv["key"]: kv["value"]
                             for kv in (dfle.get("upper_bounds") or [])
                         },
+                        "sequence_number": seq,
+                        "deletes": [],
                     }
                 )
+        if del_files:
+            for fl in out:
+                fl["deletes"] = [
+                    d["path"]
+                    for d in del_files
+                    if d["seq"] >= fl["sequence_number"]
+                ]
         return out
 
     # -- reads -------------------------------------------------------------------
@@ -376,27 +401,75 @@ class IcebergTable:
         schema = self._spark_schema(md)
         if not files:
             return self.spark.createDataFrame([], schema)
+        # position deletes (round 10): the applicable delete parquets
+        # hold (file_path, pos) rows — read them AS A DATAFRAME and
+        # anti-join on (data-file basename, _metadata.row_index), the
+        # exact shape of SnapTable / deltalog DV application. Applied
+        # only to groups that actually have deletes.
+        del_paths = sorted(
+            {self._abs(p) for fl in files for p in fl.get("deletes", ())}
+        )
+        del_fnames = {
+            os.path.basename(fl["path"])
+            for fl in files
+            if fl.get("deletes")
+        }
+        dvdf = None
+        if del_paths:
+            dvdf = (
+                self.spark.read.parquet(*del_paths)
+                .select(
+                    F.element_at(
+                        F.split(F.col("file_path"), "/"), -1
+                    ).alias("__ib_fname__"),
+                    F.col("pos").cast("long").alias("__ib_pos__"),
+                )
+            )
+
+        def apply_deletes(part: DataFrame, any_del: bool) -> DataFrame:
+            if not any_del or dvdf is None:
+                return part
+            return (
+                part.withColumn(
+                    "__ib_fname__",
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ),
+                )
+                .withColumn("__ib_pos__", F.col("_metadata.row_index"))
+                .join(
+                    F.broadcast(dvdf),
+                    ["__ib_fname__", "__ib_pos__"],
+                    "left_anti",
+                )
+                .drop("__ib_fname__", "__ib_pos__")
+            )
+
         # identity-partitioned foreign tables may omit partition columns
         # from the data files; inject them from the manifest's partition
         # struct per group (the hive-style read deltalog does)
         spec_fields = self._partition_names(md)
         data_cols = [f.name for f in schema.fields]
         if spec_fields:
-            by_vals: dict[tuple, list[str]] = {}
+            by_vals: dict[tuple, list] = {}
             for fl in files:
                 key = tuple(
                     fl["partition"].get(p) for p in spec_fields
                 )
-                by_vals.setdefault(key, []).append(self._abs(fl["path"]))
+                grp = by_vals.setdefault(key, ([], [False]))
+                grp[0].append(self._abs(fl["path"]))
+                if os.path.basename(fl["path"]) in del_fnames:
+                    grp[1][0] = True
             ptype = {f.name: f.dataType for f in schema.fields}
             data_schema = T.StructType(
                 [f for f in schema.fields if f.name not in spec_fields]
             )
             out = None
-            for key, paths in sorted(
+            for key, (paths, any_del) in sorted(
                 by_vals.items(), key=lambda kv: str(kv[0])
             ):
                 part = self.spark.read.schema(data_schema).parquet(*paths)
+                part = apply_deletes(part, any_del[0])
                 for c, val in zip(spec_fields, key):
                     lit = (
                         F.lit(None) if val is None else F.lit(val)
@@ -406,7 +479,8 @@ class IcebergTable:
                 out = part if out is None else out.unionByName(part)
             return out
         paths = [self._abs(f["path"]) for f in files]
-        return self.spark.read.schema(schema).parquet(*paths)
+        part = self.spark.read.schema(schema).parquet(*paths)
+        return apply_deletes(part, bool(del_fnames)).select(data_cols)
 
     def _partition_names(self, md: dict) -> list[str]:
         """Identity-transform partition field names of the default
@@ -717,6 +791,167 @@ class IcebergTable:
             {"snapshot-id": snap_id, "timestamp-ms": 0}
         ]
         path = os.path.join(self.meta_dir, f"v{meta_version}.metadata.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(md, f, sort_keys=True)
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as f:
+            f.write(str(meta_version))
+        return snap_id
+
+    def delete_where(self, col: str, lo, hi) -> int:
+        """POSITION-DELETE commit (round 10 — Iceberg v2 row-level
+        deletes, the merge-on-read shape): one Spark job finds the
+        matching (data file path, row position) pairs among the
+        bounds-admitted candidates, writes them as a position-delete
+        parquet (spec columns ``file_path``, ``pos``), and commits a
+        new snapshot whose manifest list carries the prior manifests
+        plus a content=1 delete manifest. No data file is rewritten;
+        reads anti-join the positions out."""
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        fields = self._schema_fields(md)
+        fld = next((f for f in fields if f["name"] == col), None)
+        if fld is None:
+            raise KeyError(f"iceberg table {self.root}: no column {col!r}")
+        fid, ftype = fld["id"], fld["type"]
+        files = self.data_files(md=md)
+        cands = []
+        for fl in files:
+            mn = sv_decode(ftype, fl["lower_bounds"].get(fid))
+            mx = sv_decode(ftype, fl["upper_bounds"].get(fid))
+            if mn is None or not (mx < lo or mn > hi):
+                cands.append(fl)
+        vs = self._metadata_versions()
+        meta_version = vs[-1] + 1
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snap_id = len(self.snapshots(md)) + 1
+        cur = self._snapshot(md, None)
+        _, prior_mfs = read_avro(self._abs(cur["manifest-list"]))
+        new_mfs = list(prior_mfs)
+        if cands:
+            # (manifest path, positions) distributed scan — positions
+            # are FILE positions, so candidates read raw (their prior
+            # deletes stack; the anti-join dedupes overlaps)
+            path_of = {
+                os.path.basename(fl["path"]): fl["path"] for fl in cands
+            }
+            cand_schema = T.StructType(
+                [
+                    T.StructField(
+                        col, self._spark_schema(md)[col].dataType, True
+                    )
+                ]
+            )
+            mapping = self.spark.createDataFrame(
+                list(path_of.items()), "__fname__ string, file_path string"
+            )
+            pos_df = (
+                self.spark.read.schema(cand_schema)
+                .parquet(*[self._abs(fl["path"]) for fl in cands])
+                .select(
+                    F.element_at(
+                        F.split(F.col("_metadata.file_path"), "/"), -1
+                    ).alias("__fname__"),
+                    F.col("_metadata.row_index").alias("pos"),
+                    F.col(col).alias("__v__"),
+                )
+                .filter(F.col("__v__").between(lo, hi))
+                .join(F.broadcast(mapping), "__fname__")
+                .select("file_path", "pos")
+                .sort("file_path", "pos")
+            )
+            del_rel = os.path.join(
+                "data", f"delete-{snap_id:05d}.parquet"
+            )
+            del_abs = os.path.join(self.root, del_rel)
+            pos_df.coalesce(1).write.mode("overwrite").parquet(
+                del_abs + ".stage"
+            )
+            import shutil
+
+            staged = [
+                f
+                for f in os.listdir(del_abs + ".stage")
+                if f.endswith(".parquet")
+            ]
+            os.replace(
+                os.path.join(del_abs + ".stage", staged[0]), del_abs
+            )
+            shutil.rmtree(del_abs + ".stage", ignore_errors=True)
+            n_pos = pq.ParquetFile(del_abs).metadata.num_rows
+            entry = {
+                "status": 1,
+                "snapshot_id": snap_id,
+                "sequence_number": None,
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 1,  # POSITION DELETES
+                    "file_path": del_rel,
+                    "file_format": "PARQUET",
+                    "partition": {},
+                    "record_count": n_pos,
+                    "file_size_in_bytes": os.path.getsize(del_abs),
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+            manifest_rel = os.path.join(
+                "metadata", f"manifest-del-{snap_id:05d}.avro"
+            )
+            write_avro(
+                os.path.join(self.root, manifest_rel),
+                _manifest_schema([]),
+                [entry],
+            )
+            new_mfs.append(
+                {
+                    "manifest_path": manifest_rel,
+                    "manifest_length": os.path.getsize(
+                        os.path.join(self.root, manifest_rel)
+                    ),
+                    "partition_spec_id": 0,
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_snapshot_id": snap_id,
+                    "added_files_count": 1,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_rows_count": n_pos,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                    "partitions": None,
+                }
+            )
+        ml_rel = os.path.join(
+            "metadata", f"snap-{snap_id:05d}-manifest-list.avro"
+        )
+        write_avro(
+            os.path.join(self.root, ml_rel),
+            _MANIFEST_LIST_SCHEMA,
+            new_mfs,
+        )
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": 0,
+            "manifest-list": ml_rel,
+            "summary": {"operation": "delete"},
+            "schema-id": md.get("current-schema-id", 0),
+        }
+        md = dict(md)
+        md["snapshots"] = self.snapshots(md) + [snapshot]
+        md["current-snapshot-id"] = snap_id
+        md["last-sequence-number"] = seq
+        md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
+            {"snapshot-id": snap_id, "timestamp-ms": 0}
+        ]
+        path = os.path.join(
+            self.meta_dir, f"v{meta_version}.metadata.json"
+        )
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
             json.dump(md, f, sort_keys=True)

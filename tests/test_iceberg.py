@@ -262,17 +262,37 @@ def test_foreign_iceberg_reads_without_our_writer(spark, root):
     assert sorted(r["k"] for r in df.collect()) == [1, 2, 3]
 
 
-def test_foreign_iceberg_delete_manifest_raises(spark, root):
-    """content=1 manifest-list rows (row-level deletes) must raise —
-    silently ignoring them would resurrect deleted rows."""
+def test_foreign_iceberg_equality_delete_raises(spark, root):
+    """content=2 delete files (EQUALITY deletes) must raise — silently
+    ignoring them would resurrect deleted rows. (Position deletes,
+    content=1, are SUPPORTED since round 10.)"""
     os.makedirs(os.path.join(root, "metadata"))
+    manifest_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+    write_avro(
+        os.path.join(root, "metadata", "m.avro"), manifest_schema,
+        [{"status": 1, "data_file": {
+            "content": 2, "file_path": "data/eq-del.parquet",
+            "file_format": "PARQUET", "record_count": 1}}],
+    )
     ml_schema = {
         "type": "record", "name": "manifest_file", "fields": [
             {"name": "manifest_path", "type": "string"},
             {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
         ]}
     write_avro(os.path.join(root, "metadata", "ml.avro"), ml_schema,
-               [{"manifest_path": "metadata/nope.avro", "content": 1}])
+               [{"manifest_path": "metadata/m.avro", "content": 1,
+                 "sequence_number": 1}])
     md = {
         "format-version": 2, "table-uuid": "x", "location": root,
         "schemas": [{"type": "struct", "schema-id": 0, "fields": [
@@ -287,8 +307,131 @@ def test_foreign_iceberg_delete_manifest_raises(spark, root):
     with open(os.path.join(root, "metadata", "v1.metadata.json"),
               "w") as f:
         json.dump(md, f)
-    with pytest.raises(IcebergProtocolError, match="delete manifests"):
+    with pytest.raises(IcebergProtocolError, match="equality delete"):
         IcebergTable(spark, root).read()
+
+
+def test_iceberg_position_delete_writer_roundtrip(spark, root):
+    """Writer-side position deletes (merge-on-read): no data file
+    rewritten, the delete parquet carries spec (file_path, pos) rows,
+    deletes stack, and data appended AFTER a delete is untouched by it
+    (the sequence-number rule)."""
+    t = IcebergTable(spark, root)
+    t.write(_mk(spark, range(100)))                    # snap 1, seq 1
+    t.write(_mk(spark, range(1000, 1100)))             # snap 2, seq 2
+    data_before = sorted(os.listdir(os.path.join(root, "data")))
+    t.delete_where("k", 10, 19)                        # snap 3, seq 3
+    got = set(r["k"] for r in t.read().collect())
+    assert got == (set(range(100)) - set(range(10, 20))) | set(
+        range(1000, 1100)
+    )
+    # no data file rewritten; one delete parquet added
+    data_after = sorted(os.listdir(os.path.join(root, "data")))
+    assert set(data_before) <= set(data_after)
+    added = set(data_after) - set(data_before)
+    assert added and all(f.startswith("delete-") for f in added)
+    # stacking
+    t.delete_where("k", 30, 34)                        # snap 4
+    got = set(r["k"] for r in t.read().collect())
+    assert got == (
+        set(range(100)) - set(range(10, 20)) - set(range(30, 35))
+    ) | set(range(1000, 1100))
+    # time travel BEFORE the deletes sees every row
+    assert t.read(snapshot_id=2).count() == 200
+    # sequence rule: rows appended after the deletes, in the SAME key
+    # range, are not deleted by the earlier position files
+    t.write(_mk(spark, range(10, 15)))                 # snap 5, seq 5
+    got = set(r["k"] for r in t.read().collect())
+    assert set(range(10, 15)) <= got
+    # the delete parquet is spec-shaped
+    import pyarrow.parquet as pq
+    del_file = sorted(
+        f for f in os.listdir(os.path.join(root, "data"))
+        if f.startswith("delete-")
+    )[0]
+    tbl = pq.read_table(os.path.join(root, "data", del_file))
+    assert set(tbl.column_names) == {"file_path", "pos"}
+    assert tbl.num_rows == 10
+
+
+def test_foreign_iceberg_position_deletes_read(spark, root):
+    """A hand-built foreign layout WITH position deletes: the delete
+    parquet and its content=1 manifest are rolled by hand; the reader
+    must drop exactly the vectored positions of the right file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    pq.write_table(
+        pa.table({"k": list(range(10))}),
+        os.path.join(root, "data", "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"k": list(range(100, 110))}),
+        os.path.join(root, "data", "f2.parquet"),
+    )
+    # delete positions 2 and 5 of f1 only
+    pq.write_table(
+        pa.table({
+            "file_path": ["data/f1.parquet", "data/f1.parquet"],
+            "pos": pa.array([2, 5], type=pa.int64()),
+        }),
+        os.path.join(root, "data", "del1.parquet"),
+    )
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                ]}},
+        ]}
+
+    def dentry(path, content, n, seq):
+        return {"status": 1, "sequence_number": seq,
+                "data_file": {"content": content, "file_path": path,
+                              "file_format": "PARQUET",
+                              "record_count": n}}
+
+    write_avro(os.path.join(root, "metadata", "m-data.avro"),
+               entry_schema,
+               [dentry("data/f1.parquet", 0, 10, 1),
+                dentry("data/f2.parquet", 0, 10, 1)])
+    write_avro(os.path.join(root, "metadata", "m-del.avro"),
+               entry_schema,
+               [dentry("data/del1.parquet", 1, 2, 2)])
+    ml_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ]}
+    write_avro(os.path.join(root, "metadata", "ml.avro"), ml_schema,
+               [{"manifest_path": "metadata/m-data.avro", "content": 0,
+                 "sequence_number": 1},
+                {"manifest_path": "metadata/m-del.avro", "content": 1,
+                 "sequence_number": 2}])
+    md = {
+        "format-version": 2, "table-uuid": "x", "location": root,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 7,
+                       "manifest-list": "metadata/ml.avro"}],
+        "current-snapshot-id": 7,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as f:
+        json.dump(md, f)
+    got = sorted(r["k"] for r in IcebergTable(spark, root).read().collect())
+    assert got == [0, 1, 3, 4, 6, 7, 8, 9] + list(range(100, 110))
 
 
 def test_foreign_iceberg_format_v3_raises(spark, root):
