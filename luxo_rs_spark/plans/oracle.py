@@ -11003,10 +11003,16 @@ WITH base AS (
          CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
          o_orderkey // 256 AS b
   FROM orders WHERE o_orderkey < 4096
-), lo AS (SELECT * FROM base WHERE k < 2048),
-hi AS (SELECT * FROM base WHERE k >= 2048),
-f_lo AS (
-  SELECT min(k) AS mnk, max(k) AS mxk, min(c) AS mnc, max(c) AS mxc,
+), fstats AS (
+  SELECT b, min(k) AS mnk, max(k) AS mxk FROM base GROUP BY b
+), lo AS (  -- carried: files PROVABLY disjoint from [700, 4095]
+  SELECT base.* FROM base JOIN fstats USING (b)
+  WHERE mxk < 700 OR mnk > 4095
+), hi AS (
+  SELECT base.* FROM base JOIN fstats USING (b)
+  WHERE NOT (mxk < 700 OR mnk > 4095)
+), f_lo AS (
+  SELECT b, min(k) AS mnk, max(k) AS mxk, min(c) AS mnc, max(c) AS mxc,
          count(*) AS n
   FROM lo GROUP BY b
 ), bounds AS (
@@ -11047,13 +11053,13 @@ SELECT '1_c_post',
 UNION ALL
 SELECT '2_k_post',
   CAST((SELECT count(*) FROM f_all) AS INT),
-  CAST((SELECT count(*) FROM f_all WHERE mxk >= 2500 AND mnk <= 3000)
+  CAST((SELECT count(*) FROM f_all WHERE mxk >= 900 AND mnk <= 1300)
        AS INT),
   CAST((SELECT coalesce(sum(n), 0) FROM f_all
-        WHERE NOT (mxk >= 2500 AND mnk <= 3000)) AS BIGINT),
-  CAST((SELECT count(*) FROM base WHERE k BETWEEN 2500 AND 3000)
+        WHERE NOT (mxk >= 900 AND mnk <= 1300)) AS BIGINT),
+  CAST((SELECT count(*) FROM base WHERE k BETWEEN 900 AND 1300)
        AS BIGINT),
-  CAST((SELECT sum(cents) FROM base WHERE k BETWEEN 2500 AND 3000)
+  CAST((SELECT sum(cents) FROM base WHERE k BETWEEN 900 AND 1300)
        AS BIGINT)
 ORDER BY probe
 """

@@ -18537,7 +18537,7 @@ def q482_snaptable_selective_optimize(
 
     t.compact(
         n_out=16, zorder_cols=("k", "c"), zbits=8,
-        where=("k", 2048, 4095),
+        where=("k", 700, 4095),
     )
     m2 = t.manifest()
     carried = len(paths_v1 & set(t._paths(m2)))
@@ -18545,7 +18545,7 @@ def q482_snaptable_selective_optimize(
     probes = []
     df1, i1 = t.scan("c", 100, 400)
     probes.append(("1_c_post", df1, i1))
-    df2, i2 = t.scan("k", 2500, 3000)
+    df2, i2 = t.scan("k", 900, 1300)
     probes.append(("2_k_post", df2, i2))
 
     outs = [

@@ -285,13 +285,41 @@ class DeltaLog:
                 best = v
         if best is None and os.path.isdir(self.log_dir):
             cps = sorted(
-                int(f[:20])
-                for f in os.listdir(self.log_dir)
-                if f.endswith(".checkpoint.parquet") and f[:20].isdigit()
+                {
+                    int(f[:20])
+                    for f in os.listdir(self.log_dir)
+                    if f[:20].isdigit()
+                    and ".checkpoint." in f
+                    and f.endswith(".parquet")
+                }
             )
             cps = [v for v in cps if v <= version]
             best = cps[-1] if cps else None
         return best
+
+    def _checkpoint_parts(self, cp_version: int) -> list[str]:
+        """The checkpoint's parquet file(s): the classic single
+        ``%020d.checkpoint.parquet``, or the MULTI-PART layout
+        ``%020d.checkpoint.%010d.%010d.parquet`` foreign writers
+        produce for big tables (parts are a partition of the actions;
+        order does not matter for state reconstruction)."""
+        single = os.path.join(
+            self.log_dir, f"{cp_version:020d}.checkpoint.parquet"
+        )
+        if os.path.exists(single):
+            return [single]
+        prefix = f"{cp_version:020d}.checkpoint."
+        parts = sorted(
+            os.path.join(self.log_dir, f)
+            for f in os.listdir(self.log_dir)
+            if f.startswith(prefix) and f.endswith(".parquet")
+        )
+        if not parts:
+            raise FileNotFoundError(
+                f"delta table {self.root}: checkpoint {cp_version} "
+                "has no parquet parts"
+            )
+        return parts
 
     # -- state reconstruction --------------------------------------------------
 
@@ -451,10 +479,12 @@ class DeltaLog:
         return roaring_array_deserialize(data)
 
     def _apply_checkpoint(self, state: dict, cp_version: int) -> None:
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        tbl = pq.read_table(
-            os.path.join(self.log_dir, f"{cp_version:020d}.checkpoint.parquet")
+        tbl = pa.concat_tables(
+            [pq.read_table(p) for p in self._checkpoint_parts(cp_version)],
+            promote_options="permissive",
         )
         def demap(v):
             # pyarrow renders MAP columns as list-of-(k, v) tuples

@@ -23,10 +23,11 @@ sources/avro_io.py:
   ``file_path``/``pos``) are resolved per the sequence-number rule (a
   delete applies to data files whose data sequence number is <= the
   delete's) and applied through the same ``_metadata.row_index``
-  anti-join as sources/snaptable.py's deletion vectors — merge-on-read
-  row-level deletes round 10. EQUALITY deletes (content=2) raise
-  LOUDLY, never a misread. ``format-version`` 3 raises loudly; 1 and 2
-  read.
+  anti-join as sources/snaptable.py's deletion vectors; EQUALITY
+  deletes (content=2, ``equality_ids`` field-id keys) drop matching
+  rows of data with STRICTLY smaller sequence numbers via chained
+  anti-joins on the key columns — BOTH merge-on-read delete kinds,
+  round 10. ``format-version`` 3 raises loudly; 1 and 2 read.
 - ``scan()`` prunes files on the decoded bounds (and identity
   partition values) before Spark sees a path — the same manifest-level
   skipping as sources/snaptable.py, here over a FOREIGN table's
@@ -205,6 +206,10 @@ def _manifest_schema(partition_fields: list[dict]) -> dict:
                 "name": "upper_bounds",
                 "type": ["null", _kv_array("k129_v130")],
             },
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int"}],
+            },
         ],
     }
     return {
@@ -337,7 +342,8 @@ class IcebergTable:
         snap = self._snapshot(md, snapshot_id)
         _, manifests = read_avro(self._abs(snap["manifest-list"]))
         out: list[dict] = []
-        del_files: list[dict] = []  # {path, seq}
+        del_files: list[dict] = []  # position deletes: {path, seq}
+        eq_files: list[dict] = []  # equality deletes: {path, seq, ids}
         for mf in manifests:
             mf_seq = int(mf.get("sequence_number") or 0)
             _, entries = read_avro(self._abs(mf["manifest_path"]))
@@ -358,11 +364,24 @@ class IcebergTable:
                         {"path": dfle["file_path"], "seq": seq}
                     )
                     continue
+                if content == 2:  # equality delete file (round 10)
+                    ids = dfle.get("equality_ids")
+                    if not ids:
+                        raise IcebergProtocolError(
+                            "equality delete file without equality_ids"
+                        )
+                    eq_files.append(
+                        {
+                            "path": dfle["file_path"],
+                            "seq": seq,
+                            "ids": tuple(int(i) for i in ids),
+                        }
+                    )
+                    continue
                 if content != 0:
                     raise IcebergProtocolError(
-                        "equality delete files (content=2) are not "
-                        "implemented; read a snapshot before the "
-                        "delete or compact the foreign table first"
+                        f"delete file content {content} is not "
+                        "implemented"
                     )
                 out.append(
                     {
@@ -379,6 +398,7 @@ class IcebergTable:
                         },
                         "sequence_number": seq,
                         "deletes": [],
+                        "eq_deletes": [],
                     }
                 )
         if del_files:
@@ -387,6 +407,16 @@ class IcebergTable:
                     d["path"]
                     for d in del_files
                     if d["seq"] >= fl["sequence_number"]
+                ]
+        if eq_files:
+            # equality deletes apply to data files with STRICTLY
+            # smaller data sequence numbers (the spec's rule — a
+            # delete never erases rows committed with or after it)
+            for fl in out:
+                fl["eq_deletes"] = [
+                    (d["path"], d["ids"])
+                    for d in eq_files
+                    if d["seq"] > fl["sequence_number"]
                 ]
         return out
 
@@ -445,42 +475,55 @@ class IcebergTable:
                 .drop("__ib_fname__", "__ib_pos__")
             )
 
+        # equality deletes (round 10): rows matching any applicable
+        # delete file's rows on its equality columns drop — applied as
+        # chained broadcast anti-joins AFTER partition injection (the
+        # equality columns may be partition columns). Files with
+        # different applicable delete sets read in separate groups.
+        name_of_id = {f["id"]: f["name"] for f in self._schema_fields(md)}
+
+        def apply_eq_deletes(part: DataFrame, eq_key: tuple) -> DataFrame:
+            for path, ids in eq_key:
+                cols = [name_of_id[i] for i in ids]
+                deld = (
+                    self.spark.read.parquet(self._abs(path))
+                    .select(cols)
+                    .distinct()
+                )
+                part = part.join(F.broadcast(deld), cols, "left_anti")
+            return part
+
         # identity-partitioned foreign tables may omit partition columns
         # from the data files; inject them from the manifest's partition
         # struct per group (the hive-style read deltalog does)
         spec_fields = self._partition_names(md)
         data_cols = [f.name for f in schema.fields]
-        if spec_fields:
-            by_vals: dict[tuple, list] = {}
-            for fl in files:
-                key = tuple(
-                    fl["partition"].get(p) for p in spec_fields
-                )
-                grp = by_vals.setdefault(key, ([], [False]))
-                grp[0].append(self._abs(fl["path"]))
-                if os.path.basename(fl["path"]) in del_fnames:
-                    grp[1][0] = True
-            ptype = {f.name: f.dataType for f in schema.fields}
-            data_schema = T.StructType(
-                [f for f in schema.fields if f.name not in spec_fields]
-            )
-            out = None
-            for key, (paths, any_del) in sorted(
-                by_vals.items(), key=lambda kv: str(kv[0])
-            ):
-                part = self.spark.read.schema(data_schema).parquet(*paths)
-                part = apply_deletes(part, any_del[0])
-                for c, val in zip(spec_fields, key):
-                    lit = (
-                        F.lit(None) if val is None else F.lit(val)
-                    ).cast(ptype[c])
-                    part = part.withColumn(c, lit)
-                part = part.select(data_cols)
-                out = part if out is None else out.unionByName(part)
-            return out
-        paths = [self._abs(f["path"]) for f in files]
-        part = self.spark.read.schema(schema).parquet(*paths)
-        return apply_deletes(part, bool(del_fnames)).select(data_cols)
+        by_vals: dict[tuple, list] = {}
+        for fl in files:
+            pkey = tuple(fl["partition"].get(p) for p in spec_fields)
+            eq_key = tuple(sorted(fl.get("eq_deletes") or ()))
+            grp = by_vals.setdefault((pkey, eq_key), ([], [False]))
+            grp[0].append(self._abs(fl["path"]))
+            if os.path.basename(fl["path"]) in del_fnames:
+                grp[1][0] = True
+        ptype = {f.name: f.dataType for f in schema.fields}
+        data_schema = T.StructType(
+            [f for f in schema.fields if f.name not in spec_fields]
+        )
+        out = None
+        for (pkey, eq_key), (paths, any_del) in sorted(
+            by_vals.items(), key=lambda kv: str(kv[0])
+        ):
+            part = self.spark.read.schema(data_schema).parquet(*paths)
+            part = apply_deletes(part, any_del[0])
+            for c, val in zip(spec_fields, pkey):
+                lit = (
+                    F.lit(None) if val is None else F.lit(val)
+                ).cast(ptype[c])
+                part = part.withColumn(c, lit)
+            part = apply_eq_deletes(part.select(data_cols), eq_key)
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def _partition_names(self, md: dict) -> list[str]:
         """Identity-transform partition field names of the default
@@ -863,69 +906,125 @@ class IcebergTable:
                 .select("file_path", "pos")
                 .sort("file_path", "pos")
             )
-            del_rel = os.path.join(
-                "data", f"delete-{snap_id:05d}.parquet"
+            del_rel = self._write_single_parquet(
+                pos_df, f"delete-{snap_id:05d}.parquet"
             )
-            del_abs = os.path.join(self.root, del_rel)
-            pos_df.coalesce(1).write.mode("overwrite").parquet(
-                del_abs + ".stage"
-            )
-            import shutil
-
-            staged = [
-                f
-                for f in os.listdir(del_abs + ".stage")
-                if f.endswith(".parquet")
-            ]
-            os.replace(
-                os.path.join(del_abs + ".stage", staged[0]), del_abs
-            )
-            shutil.rmtree(del_abs + ".stage", ignore_errors=True)
-            n_pos = pq.ParquetFile(del_abs).metadata.num_rows
-            entry = {
-                "status": 1,
-                "snapshot_id": snap_id,
-                "sequence_number": None,
-                "file_sequence_number": None,
-                "data_file": {
-                    "content": 1,  # POSITION DELETES
-                    "file_path": del_rel,
-                    "file_format": "PARQUET",
-                    "partition": {},
-                    "record_count": n_pos,
-                    "file_size_in_bytes": os.path.getsize(del_abs),
-                    "lower_bounds": None,
-                    "upper_bounds": None,
-                },
-            }
-            manifest_rel = os.path.join(
-                "metadata", f"manifest-del-{snap_id:05d}.avro"
-            )
-            write_avro(
-                os.path.join(self.root, manifest_rel),
-                _manifest_schema([]),
-                [entry],
-            )
+            n_pos = pq.ParquetFile(
+                os.path.join(self.root, del_rel)
+            ).metadata.num_rows
             new_mfs.append(
-                {
-                    "manifest_path": manifest_rel,
-                    "manifest_length": os.path.getsize(
-                        os.path.join(self.root, manifest_rel)
-                    ),
-                    "partition_spec_id": 0,
-                    "content": 1,
-                    "sequence_number": seq,
-                    "min_sequence_number": seq,
-                    "added_snapshot_id": snap_id,
-                    "added_files_count": 1,
-                    "existing_files_count": 0,
-                    "deleted_files_count": 0,
-                    "added_rows_count": n_pos,
-                    "existing_rows_count": 0,
-                    "deleted_rows_count": 0,
-                    "partitions": None,
-                }
+                self._delete_manifest(
+                    del_rel, n_pos, snap_id, seq, content=1
+                )
             )
+        return self._commit_snapshot(md, meta_version, snap_id, seq,
+                                     new_mfs, "delete")
+
+    def delete_equality(self, keys: DataFrame) -> int:
+        """EQUALITY-DELETE commit (Iceberg v2): every data row matching
+        ANY row of ``keys`` on its columns is deleted — merge-on-read,
+        no data file rewritten, no position scan at write time (the
+        write is O(keys), the cheapest delete there is). Applies only
+        to data with STRICTLY smaller sequence numbers, so rows
+        re-inserted after the delete survive (the spec's rule)."""
+        import pyarrow.parquet as pq
+
+        md = self.metadata()
+        fields = self._schema_fields(md)
+        fid_of = {f["name"]: f["id"] for f in fields}
+        bad = [c for c in keys.columns if c not in fid_of]
+        if bad:
+            raise KeyError(f"no such column(s): {bad}")
+        vs = self._metadata_versions()
+        meta_version = vs[-1] + 1
+        seq = int(md.get("last-sequence-number", 0)) + 1
+        snap_id = len(self.snapshots(md)) + 1
+        cur = self._snapshot(md, None)
+        _, prior_mfs = read_avro(self._abs(cur["manifest-list"]))
+        del_rel = self._write_single_parquet(
+            keys.distinct().sort(*keys.columns),
+            f"eqdelete-{snap_id:05d}.parquet",
+        )
+        n_keys = pq.ParquetFile(
+            os.path.join(self.root, del_rel)
+        ).metadata.num_rows
+        new_mfs = list(prior_mfs) + [
+            self._delete_manifest(
+                del_rel, n_keys, snap_id, seq, content=2,
+                equality_ids=[fid_of[c] for c in keys.columns],
+            )
+        ]
+        return self._commit_snapshot(md, meta_version, snap_id, seq,
+                                     new_mfs, "delete")
+
+    def _write_single_parquet(self, df: DataFrame, name: str) -> str:
+        """Stage a small DataFrame as ONE parquet under data/."""
+        import shutil
+
+        rel = os.path.join("data", name)
+        dst = os.path.join(self.root, rel)
+        stage = dst + ".stage"
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        staged = [f for f in os.listdir(stage) if f.endswith(".parquet")]
+        os.replace(os.path.join(stage, staged[0]), dst)
+        shutil.rmtree(stage, ignore_errors=True)
+        return rel
+
+    def _delete_manifest(
+        self, del_rel: str, n: int, snap_id: int, seq: int,
+        content: int, equality_ids: list[int] | None = None,
+    ) -> dict:
+        """Write a one-entry delete manifest; return its list row."""
+        entry = {
+            "status": 1,
+            "snapshot_id": snap_id,
+            "sequence_number": None,
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": del_rel,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(
+                    os.path.join(self.root, del_rel)
+                ),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": equality_ids,
+            },
+        }
+        manifest_rel = os.path.join(
+            "metadata", f"manifest-del-{snap_id:05d}.avro"
+        )
+        write_avro(
+            os.path.join(self.root, manifest_rel),
+            _manifest_schema([]),
+            [entry],
+        )
+        return {
+            "manifest_path": manifest_rel,
+            "manifest_length": os.path.getsize(
+                os.path.join(self.root, manifest_rel)
+            ),
+            "partition_spec_id": 0,
+            "content": 1,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+            "partitions": None,
+        }
+
+    def _commit_snapshot(
+        self, md: dict, meta_version: int, snap_id: int, seq: int,
+        new_mfs: list[dict], operation: str,
+    ) -> int:
         ml_rel = os.path.join(
             "metadata", f"snap-{snap_id:05d}-manifest-list.avro"
         )
@@ -939,7 +1038,7 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": 0,
             "manifest-list": ml_rel,
-            "summary": {"operation": "delete"},
+            "summary": {"operation": operation},
             "schema-id": md.get("current-schema-id", 0),
         }
         md = dict(md)

@@ -1519,6 +1519,12 @@ class SnapTable:
             carry, rewrite_paths = self._split_by_range(
                 m, self._physical(m, wcol), wlo, whi
             )
+            if not rewrite_paths:
+                # nothing admitted: metadata-only no-op commit
+                return self._commit(
+                    m["stat_cols"], "compact", carry, [],
+                    expected_parent=m["version"],
+                )
             df = self._read_files(m, rewrite_paths)
         else:
             carry = []

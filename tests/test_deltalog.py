@@ -597,3 +597,79 @@ def test_enable_column_mapping_and_rename_writer(spark, root):
     ) | set(range(1000, 1100))
     # time travel to v0 reads under the ORIGINAL names
     assert "k" in t.read(0).columns
+
+
+def test_foreign_multipart_checkpoint(spark, root):
+    """Foreign writers split big checkpoints into
+    %020d.checkpoint.%010d.%010d.parquet parts — the reader must
+    reconstruct from ALL parts (actions partitioned arbitrarily),
+    discovered via _last_checkpoint's parts field or plain listing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "_delta_log"))
+    pq.write_table(
+        pa.table({"k": [1, 2, 3]}), os.path.join(root, "f1.parquet")
+    )
+    pq.write_table(
+        pa.table({"k": [10, 20]}), os.path.join(root, "f2.parquet")
+    )
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    part_schema = pa.schema([
+        ("protocol", pa.struct([("minReaderVersion", pa.int32()),
+                                ("minWriterVersion", pa.int32())])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ])),
+    ])
+    # part 1: protocol + metaData; part 2: the adds — arbitrary split
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
+              "metaData": None, "add": None},
+             {"protocol": None,
+              "metaData": {"id": "m",
+                           "format": {"provider": "parquet"},
+                           "schemaString": json.dumps(schema),
+                           "partitionColumns": [],
+                           "configuration": {}},
+              "add": None}],
+            schema=part_schema),
+        os.path.join(root, "_delta_log",
+                     f"{1:020d}.checkpoint.{1:010d}.{2:010d}.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"protocol": None, "metaData": None,
+              "add": {"path": "f1.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0,
+                      "dataChange": True}},
+             {"protocol": None, "metaData": None,
+              "add": {"path": "f2.parquet", "partitionValues": {},
+                      "size": 1, "modificationTime": 0,
+                      "dataChange": True}}],
+            schema=part_schema),
+        os.path.join(root, "_delta_log",
+                     f"{1:020d}.checkpoint.{2:010d}.{2:010d}.parquet"),
+    )
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"),
+              "w") as f:
+        json.dump({"version": 1, "size": 4, "parts": 2}, f)
+    # the json for v1 exists but is empty post-compaction; v0 removed
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"),
+              "w") as f:
+        f.write("")
+    t = DeltaLog(spark, root)
+    assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 10, 20]

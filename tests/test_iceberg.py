@@ -447,3 +447,113 @@ def test_crosscheck_with_pyiceberg_if_available(spark, root):
     """When pyiceberg IS present (not in this container), its writer's
     layout must read back identically through ours."""
     pytest.importorskip("pyiceberg")
+
+
+def test_iceberg_equality_delete_writer_and_sequence_rule(spark, root):
+    """Equality deletes (content=2, round 10): data rows matching the
+    key set drop; STRICTLY-smaller sequence rule — a row re-inserted
+    AFTER the delete survives; composes with position deletes."""
+    t = IcebergTable(spark, root)
+    t.write(_mk(spark, range(100)))                    # snap 1, seq 1
+    data_before = sorted(os.listdir(os.path.join(root, "data")))
+    t.delete_equality(
+        spark.createDataFrame([(s,) for s in ("s0", "s1")], "s string")
+    )                                                  # snap 2, seq 2
+    got = set(r["k"] for r in t.read().collect())
+    assert got == {k for k in range(100) if k % 5 not in (0, 1)}
+    # no data file rewritten
+    after = sorted(os.listdir(os.path.join(root, "data")))
+    assert set(data_before) <= set(after)
+    # strict rule: re-inserting deleted keys AFTER the delete survives
+    t.write(_mk(spark, range(200, 205)))               # snap 3: s0..s4
+    got = set(r["k"] for r in t.read().collect())
+    assert set(range(200, 205)) <= got
+    # compose with a position delete on the remainder
+    t.delete_where("k", 2, 4)                          # snap 4
+    got = set(r["k"] for r in t.read().collect())
+    assert got & set(range(2, 5)) == set()
+    assert set(range(200, 205)) <= got
+    # multi-column equality key
+    t.delete_equality(
+        spark.createDataFrame([(203, "s3")], "k bigint, s string")
+    )
+    got = set(r["k"] for r in t.read().collect())
+    assert 203 not in got and 204 in got
+
+
+def test_foreign_iceberg_equality_deletes_read(spark, root):
+    """A hand-built foreign layout with an equality-delete file: the
+    reader must drop matching rows of OLDER data only."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "metadata"))
+    os.makedirs(os.path.join(root, "data"))
+    pq.write_table(
+        pa.table({"k": [1, 2, 3, 4], "s": ["a", "b", "a", "c"]}),
+        os.path.join(root, "data", "f1.parquet"),
+    )
+    pq.write_table(  # newer than the delete: must keep its 'a'
+        pa.table({"k": [10], "s": ["a"]}),
+        os.path.join(root, "data", "f2.parquet"),
+    )
+    pq.write_table(
+        pa.table({"s": ["a"]}),
+        os.path.join(root, "data", "eqdel.parquet"),
+    )
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "equality_ids", "type": ["null", {
+                        "type": "array", "items": "int"}]},
+                ]}},
+        ]}
+
+    def dentry(path, content, n, seq, ids=None):
+        return {"status": 1, "sequence_number": seq,
+                "data_file": {"content": content, "file_path": path,
+                              "file_format": "PARQUET",
+                              "record_count": n, "equality_ids": ids}}
+
+    write_avro(os.path.join(root, "metadata", "m.avro"), entry_schema,
+               [dentry("data/f1.parquet", 0, 4, 1),
+                dentry("data/f2.parquet", 0, 1, 3),
+                dentry("data/eqdel.parquet", 2, 1, 2, ids=[2])])
+    ml_schema = {
+        "type": "record", "name": "manifest_file", "fields": [
+            {"name": "manifest_path", "type": "string"},
+            {"name": "content", "type": "int"},
+            {"name": "sequence_number", "type": "long"},
+        ]}
+    write_avro(os.path.join(root, "metadata", "ml.avro"), ml_schema,
+               [{"manifest_path": "metadata/m.avro", "content": 0,
+                 "sequence_number": 3}])
+    md = {
+        "format-version": 2, "table-uuid": "x", "location": root,
+        "schemas": [{"type": "struct", "schema-id": 0, "fields": [
+            {"id": 1, "name": "k", "required": False, "type": "long"},
+            {"id": 2, "name": "s", "required": False,
+             "type": "string"}]}],
+        "current-schema-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": []}],
+        "default-spec-id": 0,
+        "snapshots": [{"snapshot-id": 7,
+                       "manifest-list": "metadata/ml.avro"}],
+        "current-snapshot-id": 7,
+    }
+    with open(os.path.join(root, "metadata", "v1.metadata.json"),
+              "w") as f:
+        json.dump(md, f)
+    got = sorted(
+        (r["k"], r["s"])
+        for r in IcebergTable(spark, root).read().collect()
+    )
+    # f1's two 'a' rows (seq 1 < 2) drop; f2's 'a' (seq 3 > 2) stays
+    assert got == [(2, "b"), (4, "c"), (10, "a")]
