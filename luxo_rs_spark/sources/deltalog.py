@@ -340,6 +340,7 @@ class DeltaLog:
             "configuration": {},
             "protocol": {"minReaderVersion": 1, "minWriterVersion": 2},
             "adds": {},
+            "txns": {},
         }
         start = 0
         cp = self._checkpoint_version_at_most(version)
@@ -407,7 +408,14 @@ class DeltaLog:
             state["adds"][a["path"]] = a
         elif "remove" in action:
             state["adds"].pop(action["remove"]["path"], None)
-        # commitInfo / txn / cdc / domainMetadata: reader-irrelevant
+        elif "txn" in action:
+            # streaming-writer idempotence state (round 10): newest
+            # version per appId — both for FOREIGN logs written by
+            # Spark structured streaming and for this writer's own
+            # exactly-once appends
+            t = action["txn"]
+            state["txns"][t["appId"]] = int(t.get("version", 0))
+        # commitInfo / cdc / domainMetadata: reader-irrelevant
 
     # -- column mapping (physical-name resolution) ----------------------------
 
@@ -495,7 +503,7 @@ class DeltaLog:
             return v
 
         for row in tbl.to_pylist():
-            for key in ("protocol", "metaData", "add", "remove"):
+            for key in ("protocol", "metaData", "add", "remove", "txn"):
                 if row.get(key) is not None:
                     act = {
                         k: demap(v) for k, v in row[key].items()
@@ -728,12 +736,23 @@ class DeltaLog:
         df: DataFrame,
         mode: str = "append",
         partition_by: list[str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit ``df`` as a new log version. ``append`` adds files;
         ``overwrite`` removes every live file and adds the new ones;
-        version 0 additionally carries protocol + metaData."""
+        version 0 additionally carries protocol + metaData.
+
+        ``txn=(app_id, version)`` emits the protocol's ``txn`` action
+        and makes the write IDEMPOTENT: a version at or below the app's
+        recorded watermark NO-OPS (returns the current log version) —
+        the exactly-once contract a streaming foreachBatch sink needs,
+        interoperable with Spark's own Delta streaming writers."""
         vs = self.versions()
         creating = not vs
+        if txn is not None and not creating:
+            watermark = self.snapshot().get("txns", {}).get(txn[0], -1)
+            if watermark >= txn[1]:
+                return vs[-1]  # replayed batch: exactly-once no-op
         if creating:
             partition_by = partition_by or []
             actions: list[dict] = [
@@ -781,6 +800,10 @@ class DeltaLog:
                 partition_by = [
                     phys_of.get(c, c) for c in (partition_by or [])
                 ]
+        if txn is not None:
+            actions.append(
+                {"txn": {"appId": txn[0], "version": int(txn[1])}}
+            )
         actions.extend(
             {"add": a} for a in self._stage_files(df, partition_by)
         )
@@ -1115,6 +1138,15 @@ class DeltaLog:
                 "add": None,
             },
         ]
+        for app, ver in sorted(s.get("txns", {}).items()):
+            rows.append(
+                {
+                    "protocol": None,
+                    "metaData": None,
+                    "add": None,
+                    "txn": {"appId": app, "version": int(ver)},
+                }
+            )
         for a in sorted(s["adds"].values(), key=lambda x: x["path"]):
             a = dict(a)
             if not isinstance(a.get("stats"), (str, type(None))):
@@ -1179,6 +1211,15 @@ class DeltaLog:
                                     ]
                                 ),
                             ),
+                        ]
+                    ),
+                ),
+                (
+                    "txn",
+                    pa.struct(
+                        [
+                            ("appId", pa.string()),
+                            ("version", pa.int64()),
                         ]
                     ),
                 ),

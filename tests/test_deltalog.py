@@ -673,3 +673,30 @@ def test_foreign_multipart_checkpoint(spark, root):
         f.write("")
     t = DeltaLog(spark, root)
     assert sorted(r["k"] for r in t.read().collect()) == [1, 2, 3, 10, 20]
+
+
+def test_txn_action_idempotent_writes_and_foreign_state(spark, root):
+    """The protocol's txn action (round 10): write(txn=(app, v)) emits
+    it and NO-OPS on a replayed version; the watermark survives a
+    checkpoint; a FOREIGN log's txn actions surface in snapshot()."""
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, range(10)))                                # v0
+    t.write(_mk(spark, range(10, 20)), txn=("app-a", 0))          # v1
+    t.write(_mk(spark, range(20, 30)), txn=("app-a", 1))          # v2
+    assert t.read().count() == 30
+    # replay of batch 1 no-ops: no new version, no duplicate rows
+    assert t.write(_mk(spark, range(20, 30)), txn=("app-a", 1)) == 2
+    assert t.latest_version() == 2
+    assert t.read().count() == 30
+    assert t.snapshot()["txns"] == {"app-a": 1}
+    # watermark survives checkpoint compaction
+    cp = t.checkpoint()
+    for v in range(cp):
+        os.remove(os.path.join(root, "_delta_log", f"{v:020d}.json"))
+    t2 = DeltaLog(spark, root)
+    assert t2.snapshot()["txns"] == {"app-a": 1}
+    assert t2.write(_mk(spark, range(99)), txn=("app-a", 1)) == 2
+    assert t2.read().count() == 30
+    # a fresh version still appends
+    t2.write(_mk(spark, range(30, 35)), txn=("app-a", 2))
+    assert t2.read().count() == 35
