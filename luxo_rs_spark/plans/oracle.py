@@ -11093,3 +11093,40 @@ SELECT 's4', CAST((SELECT count(*) FROM s4) AS BIGINT),
   CAST((SELECT sum(cents) FROM s4) AS BIGINT)
 ORDER BY probe
 """
+
+# q484: the dedup->DV pipeline replayed — clones at +100000 for
+# doc_id%3==0, duplicates = the clones (their originals sort first),
+# exactly one file (the clones') gains a vector.
+ORACLE_SQL["q484_dedup_dv_pipeline"] = """
+WITH docs AS (SELECT doc_id, text FROM documents),
+off AS (SELECT max(doc_id) + 1 AS v FROM docs),
+clones AS (
+  SELECT doc_id + (SELECT v FROM off) AS doc_id, text
+  FROM docs WHERE doc_id % 3 = 0
+), corpus AS (
+  SELECT * FROM docs UNION ALL SELECT * FROM clones
+), live AS (  -- keep the smallest doc_id per text (sf1 originals
+              -- already contain replica duplicates — replay the RULE,
+              -- not the clones-only assumption)
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM corpus
+  ) WHERE rn = 1
+), dead AS (
+  SELECT doc_id FROM corpus EXCEPT SELECT doc_id FROM live
+)
+SELECT 'v1' AS probe,
+  CAST((SELECT count(*) FROM corpus) AS BIGINT) AS a,
+  CAST((SELECT sum(doc_id) FROM corpus) AS BIGINT) AS b
+UNION ALL
+SELECT 'v2',
+  CAST((SELECT count(*) FROM live) AS BIGINT),
+  CAST((SELECT sum(doc_id) FROM live) AS BIGINT)
+UNION ALL
+SELECT 'dv_accounting',
+  CAST((SELECT count(DISTINCT CASE WHEN doc_id >= (SELECT v FROM off)
+                     THEN 1 ELSE 0 END) FROM dead) AS BIGINT),
+  CAST((SELECT count(*) FROM dead) AS BIGINT)
+ORDER BY probe
+"""

@@ -18623,3 +18623,73 @@ def q483_iceberg_position_deletes(
     return spark.createDataFrame(
         rows, "probe string, n_rows bigint, sum_cents bigint"
     ).orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q484 — dedup -> DV-delete pipeline capstone (round 10): the realistic
+# training-data shape — find exact duplicates (window over text, keep
+# the smallest doc_id), then vector the losers out of the snapshot
+# table with delete_keys (ONE merge-on-read commit, scattered ids, no
+# rewrite). The clone generation is deterministic (doc_id % 3 == 0
+# re-inserted at doc_id + 100000), the layout puts originals and
+# clones in separate files; at fixture scales the duplicates are all
+# clones so the key set's min/max stats-prune the DV build to the
+# clones' file alone, while at sf1 (replicated originals carry genuine
+# dup texts) both files vector — the oracle replays the RULE, so both
+# are covered. Every probe is a pure function of documents.
+# ---------------------------------------------------------------------------
+@query("q484_dedup_dv_pipeline")
+def q484_dedup_dv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from luxo_rs_spark.sources.snaptable import SnapTable
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "snaptable_q484"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # data-derived clone offset (sf1 doc_ids reach 9e7): clones live
+    # strictly above the originals' max, SQL-replayable as max+1
+    off = int(docs.agg(F.max("doc_id")).first()[0]) + 1
+    clones = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(off)).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(clones).withColumn(
+        "b", F.when(F.col("doc_id") >= off, 1).otherwise(0)
+    )
+    t = SnapTable(spark, root)
+    t.create(corpus, stat_cols=["doc_id"], bucket_col="b")
+
+    dup_keys = (
+        t.read()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("text").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") > 1)
+        .select("doc_id")
+    )
+    t.delete_keys("doc_id", dup_keys)
+
+    m = t.manifest()
+    ents = t._entries(m)
+    dv_rows = sum(int(e.get("dv_rows", 0)) for e in ents)
+    files_with_dv = sum(1 for e in ents if e.get("dv"))
+    rows = []
+    for v in (1, 2):
+        agg = t.read(v).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("doc_id").cast("bigint").alias("s"),
+        ).first()
+        rows.append((f"v{v}", int(agg["n"]), int(agg["s"])))
+    rows.append(("dv_accounting", files_with_dv, dv_rows))
+    return spark.createDataFrame(
+        rows, "probe string, a bigint, b bigint"
+    ).orderBy("probe")

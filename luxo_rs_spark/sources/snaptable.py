@@ -1016,25 +1016,12 @@ class SnapTable:
             expected_parent=m["version"],
         )
 
-    def _delete_where_dv(self, col: str, lo, hi) -> int:
-        """Deletion-vector delete (see delete_where): one Spark job
-        finds the matching (file basename, row position) pairs in the
-        stat-admitted candidate files (existing DV positions merged in,
-        so a twice-deleted row is never double-counted), dedupes,
-        clusters by file, and writes the merged position table as a
-        commit-scoped directory — all executor-side; the new manifest
-        repoints the candidates' dv fields. No data file is touched."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        m = self.manifest()
-        phys = self._physical(m, col)
-        _carry_unused, cand_paths = self._split_by_range(m, phys, lo, hi)
-        if not cand_paths:
-            return self._commit(
-                m["stat_cols"], "delete_dv", self._carry(m), [],
-                expected_parent=m["version"],
-            )
+    def _positions_scan(
+        self, m: dict, cand_paths: list[str], phys: str
+    ) -> DataFrame:
+        """(fname, pos, __v__=physical column value) over the candidate
+        files' RAW rows — positions are file positions, so prior DVs
+        must not shift them (they merge later)."""
         fields = self._fields(m)
         logical = T.StructType.fromDDL(m["schema"])
         phys_schema = T.StructType(
@@ -1044,7 +1031,7 @@ class SnapTable:
             ]
         )
         abs_paths = [os.path.join(self.root, p) for p in cand_paths]
-        scan = (
+        return (
             self.spark.read.schema(phys_schema)
             .parquet(*abs_paths)
             .select(
@@ -1054,9 +1041,81 @@ class SnapTable:
                 F.col("_metadata.row_index").alias("pos"),
                 F.col(phys).alias("__v__"),
             )
+        )
+
+    def delete_keys(self, col: str, keys: DataFrame) -> int:
+        """DELETION-VECTOR delete by KEY SET (round 10 — the dedup
+        pipeline's shape: 'drop these N scattered ids'): rows whose
+        ``col`` appears in the single-column DataFrame ``keys`` are
+        vectored out, merge-on-read, no data file rewritten. The key
+        set's [min, max] prunes the candidate files through the
+        manifest stats first; the match itself is a broadcast semi-join
+        inside the same one-job distributed position build as
+        ``delete_where(mode='dv')`` — everything stays executor-side."""
+        import pyarrow as pa  # noqa: F401 (columnar-manifest branch)
+
+        m = self.manifest()
+        phys = self._physical(m, col)
+        kcol = keys.columns[0]
+        b = keys.agg(
+            F.min(kcol).alias("lo"), F.max(kcol).alias("hi")
+        ).first()
+        if b["lo"] is None:
+            return self._commit(
+                m["stat_cols"], "delete_dv", self._carry(m), [],
+                expected_parent=m["version"],
+            )
+        _carry_unused, cand_paths = self._split_by_range(
+            m, phys, b["lo"], b["hi"]
+        )
+        if not cand_paths:
+            return self._commit(
+                m["stat_cols"], "delete_dv", self._carry(m), [],
+                expected_parent=m["version"],
+            )
+        scan = (
+            self._positions_scan(m, cand_paths, phys)
+            .join(
+                F.broadcast(
+                    keys.select(F.col(kcol).alias("__v__")).distinct()
+                ),
+                "__v__",
+                "left_semi",
+            )
+            .select("fname", "pos")
+        )
+        return self._finish_dv_commit(m, cand_paths, scan)
+
+    def _delete_where_dv(self, col: str, lo, hi) -> int:
+        """Deletion-vector delete (see delete_where): one Spark job
+        finds the matching (file basename, row position) pairs in the
+        stat-admitted candidate files (existing DV positions merged in,
+        so a twice-deleted row is never double-counted), dedupes,
+        clusters by file, and writes the merged position table as a
+        commit-scoped directory — all executor-side; the new manifest
+        repoints the candidates' dv fields. No data file is touched."""
+        m = self.manifest()
+        phys = self._physical(m, col)
+        _carry_unused, cand_paths = self._split_by_range(m, phys, lo, hi)
+        if not cand_paths:
+            return self._commit(
+                m["stat_cols"], "delete_dv", self._carry(m), [],
+                expected_parent=m["version"],
+            )
+        scan = (
+            self._positions_scan(m, cand_paths, phys)
             .filter(F.col("__v__").between(lo, hi))
             .select("fname", "pos")
         )
+        return self._finish_dv_commit(m, cand_paths, scan)
+
+    def _finish_dv_commit(
+        self, m: dict, cand_paths: list[str], scan: DataFrame
+    ) -> int:
+        """Shared DV-commit tail: merge prior vectors, distributed
+        position-table write, manifest repoint (see _delete_where_dv)."""
+        import pyarrow as pa
+
         dv_map = self._dv_map(m)
         old_rels = sorted(
             {dv_map[p] for p in cand_paths if dv_map.get(p)}

@@ -1813,3 +1813,26 @@ def test_selective_optimize_zorder_subset(spark, root):
     assert t.read().count() == 400
     got = sorted(r["k"] for r in t.read().collect())
     assert got == list(range(400))
+
+
+def test_delete_keys_dv_scattered_ids(spark, root):
+    """delete_keys (round 10): vector out a SCATTERED key set in one
+    DV commit — no data file rewritten, stats-disjoint files never
+    touched, stacks with a prior range DV."""
+    t = SnapTable(spark, root)
+    t.create(_mk(spark, "t", range(400)), stat_cols=["k"], bucket_col="b")
+    t.delete_where("k", 0, 4, mode="dv")
+    paths_before = set(t._paths(t.manifest()))
+    keys = spark.createDataFrame(
+        [(k,) for k in (7, 93, 101, 205, 333)], "k bigint"
+    )
+    t.delete_keys("k", keys)
+    assert set(t._paths(t.manifest())) == paths_before  # nothing rewritten
+    got = set(r["k"] for r in t.read().collect())
+    assert got == set(range(400)) - set(range(5)) - {7, 93, 101, 205, 333}
+    # empty / out-of-range key sets are metadata-only no-ops
+    v = t.latest_version()
+    t.delete_keys("k", spark.createDataFrame([(9999,)], "k bigint"))
+    assert t.read().count() == 400 - 10
+    t.delete_keys("k", spark.createDataFrame([], "k bigint"))
+    assert t.latest_version() >= v
