@@ -18,8 +18,12 @@ Reader semantics (the protocol's state reconstruction):
   latest ``metaData``/``protocol`` win;
 - ``minReaderVersion`` 1/2 are supported, and 3 when every declared
   ``readerFeatures`` entry is one this reader implements —
-  ``deletionVectors`` and ``columnMapping`` (round 10); anything else
-  (v2Checkpoint, typeWidening, …) raises LOUDLY rather than misreading;
+  ``deletionVectors``, ``columnMapping``, and ``v2Checkpoint``
+  (round 10); anything else (typeWidening, …) raises LOUDLY rather
+  than misreading. Checkpoints read in all three published layouts:
+  classic single-file, multi-part
+  ``%020d.checkpoint.%010d.%010d.parquet``, and V2 (checkpointMetadata
+  + sidecar actions, file actions in ``_sidecars/*.parquet``);
 - DELETION VECTORS (protocol v3 / reader feature ``deletionVectors``):
   ``add.deletionVector`` descriptors in all three public storage
   encodings — ``u`` (Z85 UUID -> ``deletion_vector_<uuid>.bin`` side
@@ -76,7 +80,11 @@ class DeltaProtocolError(RuntimeError):
 
 
 #: protocol-v3 reader table features this module implements (round 10)
-_SUPPORTED_READER_FEATURES = {"deletionVectors", "columnMapping"}
+_SUPPORTED_READER_FEATURES = {
+    "deletionVectors",
+    "columnMapping",
+    "v2Checkpoint",
+}
 
 
 # -- Z85 (the ZeroMQ base85 alphabet Delta uses for DV UUIDs/payloads) --------
@@ -502,13 +510,33 @@ class DeltaLog:
                 return dict(v)
             return v
 
-        for row in tbl.to_pylist():
-            for key in ("protocol", "metaData", "add", "remove", "txn"):
-                if row.get(key) is not None:
-                    act = {
-                        k: demap(v) for k, v in row[key].items()
-                    }
-                    self._apply_action(state, {key: act})
+        def apply_rows(t) -> list[str]:
+            """Apply a checkpoint table's action rows; return the
+            relative paths of any SIDECAR actions (v2 checkpoints)."""
+            sidecars: list[str] = []
+            for row in t.to_pylist():
+                if row.get("sidecar") is not None:
+                    sidecars.append(row["sidecar"]["path"])
+                    continue
+                for key in (
+                    "protocol", "metaData", "add", "remove", "txn"
+                ):
+                    if row.get(key) is not None:
+                        act = {k: demap(v) for k, v in row[key].items()}
+                        self._apply_action(state, {key: act})
+            return sidecars
+
+        # V2 CHECKPOINTS (round 10, the v2Checkpoint table feature):
+        # the top-level file carries checkpointMetadata + protocol/
+        # metaData plus SIDECAR pointers; the file actions live in
+        # _delta_log/_sidecars/<name>.parquet. A checkpointMetadata
+        # column is the discriminator; v1 checkpoints have none.
+        sidecars = apply_rows(tbl)
+        for rel in sidecars:
+            side_path = os.path.join(self.log_dir, "_sidecars", rel)
+            if not os.path.exists(side_path):
+                side_path = os.path.join(self.log_dir, rel)
+            apply_rows(pq.read_table(side_path))
 
     # -- reads ---------------------------------------------------------------
 

@@ -218,17 +218,19 @@ def test_protocol_v3_unknown_features_raise_loudly(spark, root):
                 f.write(json.dumps(a) + "\n")
 
     build({"minReaderVersion": 3, "minWriterVersion": 7,
-           "readerFeatures": ["v2Checkpoint"],
-           "writerFeatures": ["v2Checkpoint"]})
-    with pytest.raises(DeltaProtocolError, match="v2Checkpoint"):
+           "readerFeatures": ["typeWidening"],
+           "writerFeatures": ["typeWidening"]})
+    with pytest.raises(DeltaProtocolError, match="typeWidening"):
         DeltaLog(spark, root).read()
     build({"minReaderVersion": 4, "minWriterVersion": 7})
     with pytest.raises(DeltaProtocolError, match="minReaderVersion 4"):
         DeltaLog(spark, root).read()
     # implemented v3 features alone do NOT raise (empty table reads)
     build({"minReaderVersion": 3, "minWriterVersion": 7,
-           "readerFeatures": ["deletionVectors", "columnMapping"],
-           "writerFeatures": ["deletionVectors", "columnMapping"]})
+           "readerFeatures": ["deletionVectors", "columnMapping",
+                              "v2Checkpoint"],
+           "writerFeatures": ["deletionVectors", "columnMapping",
+                              "v2Checkpoint"]})
     assert DeltaLog(spark, root).read().count() == 0
 
 
@@ -700,3 +702,107 @@ def test_txn_action_idempotent_writes_and_foreign_state(spark, root):
     # a fresh version still appends
     t2.write(_mk(spark, range(30, 35)), txn=("app-a", 2))
     assert t2.read().count() == 35
+
+
+def test_foreign_v2_checkpoint_with_sidecars(spark, root):
+    """A hand-built V2 CHECKPOINT (the v2Checkpoint table feature,
+    default for new Databricks tables): the top-level
+    %020d.checkpoint.<uuid>.parquet holds checkpointMetadata +
+    protocol/metaData + SIDECAR pointers; the add actions live in
+    _delta_log/_sidecars/*.parquet. The reader must reconstruct from
+    the sidecars and keep replaying the post-checkpoint tail."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(os.path.join(root, "_delta_log", "_sidecars"))
+    pq.write_table(
+        pa.table({"k": [1, 2, 3]}), os.path.join(root, "f1.parquet")
+    )
+    pq.write_table(
+        pa.table({"k": [10, 20]}), os.path.join(root, "f2.parquet")
+    )
+    pq.write_table(
+        pa.table({"k": [100]}), os.path.join(root, "f3.parquet")
+    )
+    schema = {"type": "struct", "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}
+    add_struct = pa.struct([
+        ("path", pa.string()),
+        ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ("size", pa.int64()),
+        ("modificationTime", pa.int64()),
+        ("dataChange", pa.bool_()),
+    ])
+    top_schema = pa.schema([
+        ("checkpointMetadata", pa.struct([("version", pa.int64())])),
+        ("protocol", pa.struct([
+            ("minReaderVersion", pa.int32()),
+            ("minWriterVersion", pa.int32()),
+            ("readerFeatures", pa.list_(pa.string())),
+            ("writerFeatures", pa.list_(pa.string())),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("format", pa.struct([("provider", pa.string())])),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+            ("configuration", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("sidecar", pa.struct([
+            ("path", pa.string()),
+            ("sizeInBytes", pa.int64()),
+        ])),
+        ("add", add_struct),
+    ])
+    side_schema = pa.schema([("add", add_struct)])
+
+    def add(path):
+        return {"path": path, "partitionValues": {}, "size": 1,
+                "modificationTime": 0, "dataChange": True}
+
+    # two sidecars, one add each
+    pq.write_table(
+        pa.Table.from_pylist([{"add": add("f1.parquet")}],
+                             schema=side_schema),
+        os.path.join(root, "_delta_log", "_sidecars", "sc1.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist([{"add": add("f2.parquet")}],
+                             schema=side_schema),
+        os.path.join(root, "_delta_log", "_sidecars", "sc2.parquet"),
+    )
+    pq.write_table(
+        pa.Table.from_pylist(
+            [{"checkpointMetadata": {"version": 1}},
+             {"protocol": {
+                 "minReaderVersion": 3, "minWriterVersion": 7,
+                 "readerFeatures": ["v2Checkpoint"],
+                 "writerFeatures": ["v2Checkpoint"]}},
+             {"metaData": {"id": "m",
+                           "format": {"provider": "parquet"},
+                           "schemaString": json.dumps(schema),
+                           "partitionColumns": [],
+                           "configuration": {}}},
+             {"sidecar": {"path": "sc1.parquet", "sizeInBytes": 1}},
+             {"sidecar": {"path": "sc2.parquet", "sizeInBytes": 1}}],
+            schema=top_schema),
+        os.path.join(
+            root, "_delta_log",
+            f"{1:020d}.checkpoint.80a083e8-7026.parquet",
+        ),
+    )
+    with open(os.path.join(root, "_delta_log", "_last_checkpoint"),
+              "w") as f:
+        json.dump({"version": 1, "size": 5}, f)
+    with open(os.path.join(root, "_delta_log", f"{1:020d}.json"),
+              "w") as f:
+        f.write("")
+    # a post-checkpoint tail commit still replays on top
+    with open(os.path.join(root, "_delta_log", f"{2:020d}.json"),
+              "w") as f:
+        f.write(json.dumps({"add": add("f3.parquet")}) + "\n")
+    t = DeltaLog(spark, root)
+    assert sorted(r["k"] for r in t.read().collect()) == [
+        1, 2, 3, 10, 20, 100,
+    ]
+    assert sorted(r["k"] for r in t.read(1).collect()) == [1, 2, 3, 10, 20]
