@@ -327,7 +327,11 @@ class IcebergTable:
     # -- state reconstruction ----------------------------------------------------
 
     def data_files(
-        self, snapshot_id: int | None = None, md: dict | None = None
+        self,
+        snapshot_id: int | None = None,
+        md: dict | None = None,
+        prune: tuple | None = None,
+        minfo: dict | None = None,
     ) -> list[dict]:
         """Live data-file dicts at a snapshot: {path, record_count,
         partition, lower/upper bounds keyed by field id (raw bytes),
@@ -336,15 +340,70 @@ class IcebergTable:
         ``deletes`` list of the positional-delete parquet paths that
         apply to it per the spec's sequence-number rule (a delete file
         applies to data files whose data sequence number is <= the
-        delete file's). EQUALITY deletes (data_file.content == 2)
-        raise loudly — never a misread."""
+        delete file's); EQUALITY deletes (content=2) resolve via their
+        equality_ids per the strict < rule.
+
+        ``prune=(partition_col, lo, hi)``: TWO-LEVEL metadata pruning —
+        manifest-list rows carry per-partition-field value summaries
+        (lower/upper bound, contains_null), so a whole MANIFEST whose
+        summary is disjoint from the range is skipped without ever
+        being opened; at 10^5 manifests this is the plane that keeps
+        planning sub-linear (``minfo`` receives manifests_total /
+        manifests_scanned). Summary-less manifests conservatively
+        read; delete manifests are never summary-pruned."""
         md = md or self.metadata()
         snap = self._snapshot(md, snapshot_id)
         _, manifests = read_avro(self._abs(snap["manifest-list"]))
+        # summary pruning context: position of the pruned column among
+        # the default spec's fields, and its source type for decoding
+        prune_idx = prune_type = None
+        if prune is not None:
+            pcol, plo, phi = prune
+            spec = next(
+                (
+                    s
+                    for s in (md.get("partition-specs") or [])
+                    if s.get("spec-id", 0) == md.get("default-spec-id", 0)
+                ),
+                None,
+            )
+            if spec is not None:
+                for i, pf in enumerate(spec.get("fields", [])):
+                    if (
+                        pf.get("name") == pcol
+                        and pf.get("transform") == "identity"
+                    ):
+                        prune_idx = i
+                        prune_type = next(
+                            f["type"]
+                            for f in self._schema_fields(md)
+                            if f["id"] == pf["source-id"]
+                        )
+        if minfo is not None:
+            minfo["manifests_total"] = len(manifests)
+            minfo["manifests_scanned"] = 0
         out: list[dict] = []
         del_files: list[dict] = []  # position deletes: {path, seq}
         eq_files: list[dict] = []  # equality deletes: {path, seq, ids}
         for mf in manifests:
+            if (
+                prune_idx is not None
+                and int(mf.get("content", 0)) == 0
+                and mf.get("partitions")
+                and prune_idx < len(mf["partitions"])
+            ):
+                summ = mf["partitions"][prune_idx]
+                mn = sv_decode(prune_type, summ.get("lower_bound"))
+                mx = sv_decode(prune_type, summ.get("upper_bound"))
+                if (
+                    mn is not None
+                    and mx is not None
+                    and not summ.get("contains_null")
+                    and (mx < plo or mn > phi)
+                ):
+                    continue  # the whole manifest is disjoint: skip
+            if minfo is not None:
+                minfo["manifests_scanned"] += 1
             mf_seq = int(mf.get("sequence_number") or 0)
             _, entries = read_avro(self._abs(mf["manifest_path"]))
             for e in entries:
@@ -554,7 +613,10 @@ class IcebergTable:
         if fld is None:
             raise KeyError(f"iceberg table {self.root}: no column {col!r}")
         fid, ftype = fld["id"], fld["type"]
-        files = self.data_files(snapshot_id, md)
+        minfo: dict = {}
+        files = self.data_files(
+            snapshot_id, md, prune=(col, lo, hi), minfo=minfo
+        )
         keep, skipped_rows = [], 0
         for fl in files:
             mn = sv_decode(ftype, fl["lower_bounds"].get(fid))
@@ -571,6 +633,7 @@ class IcebergTable:
             "files_total": len(files),
             "files_scanned": len(keep),
             "rows_skipped": skipped_rows,
+            **minfo,
         }
         df = self._read_files(md, keep)
         return df.filter(F.col(col).between(lo, hi)), info
@@ -786,6 +849,28 @@ class IcebergTable:
         added_rows = sum(
             e["data_file"]["record_count"] for e in entries
         )
+        # partition-field value summaries for the manifest-list row
+        # (the two-level pruning plane data_files(prune=...) consumes)
+        summaries = None
+        if partition_by:
+            ptype = ftype_of[partition_by]
+            vals = [
+                e["data_file"]["partition"].get(partition_by)
+                for e in entries
+            ]
+            nn = [v for v in vals if v is not None]
+            summaries = [
+                {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": (
+                        sv_encode(ptype, min(nn)) if nn else None
+                    ),
+                    "upper_bound": (
+                        sv_encode(ptype, max(nn)) if nn else None
+                    ),
+                }
+            ]
         new_mf = {
             "manifest_path": manifest_rel,
             "manifest_length": os.path.getsize(
@@ -802,7 +887,7 @@ class IcebergTable:
             "added_rows_count": added_rows,
             "existing_rows_count": 0,
             "deleted_rows_count": 0,
-            "partitions": None,
+            "partitions": summaries,
         }
         prior_mfs: list[dict] = []
         if not creating and mode == "append":

@@ -258,7 +258,8 @@ def test_foreign_iceberg_reads_without_our_writer(spark, root):
     # bounds skipping off the foreign manifests
     df, info = t.scan("k", 1, 5)
     assert info == {"files_total": 2, "files_scanned": 1,
-                    "rows_skipped": 2}
+                    "rows_skipped": 2, "manifests_total": 1,
+                    "manifests_scanned": 1}
     assert sorted(r["k"] for r in df.collect()) == [1, 2, 3]
 
 
@@ -557,3 +558,30 @@ def test_foreign_iceberg_equality_deletes_read(spark, root):
     )
     # f1's two 'a' rows (seq 1 < 2) drop; f2's 'a' (seq 3 > 2) stays
     assert got == [(2, "b"), (4, "c"), (10, "a")]
+
+
+def test_manifest_list_partition_summary_pruning(spark, root):
+    """Two-level metadata pruning (round 10): a scan on the identity
+    partition column skips WHOLE MANIFESTS via the manifest-list's
+    partition value summaries — the avro manifests of disjoint commits
+    are never opened (pinned via manifests_scanned)."""
+    t = IcebergTable(spark, root)
+
+    def slab(lo, hi):
+        return spark.createDataFrame(
+            [(k, k % 7, k * 2) for k in range(lo, hi)],
+            "pid bigint, g bigint, v bigint",
+        )
+
+    t.write(slab(0, 100), partition_by="pid")        # manifest 1
+    t.write(slab(1000, 1100))                        # manifest 2
+    t.write(slab(5000, 5100))                        # manifest 3
+    df, info = t.scan("pid", 1000, 1099)
+    assert info["manifests_total"] == 3
+    assert info["manifests_scanned"] == 1            # two never opened
+    assert df.count() == 100
+    # a non-partition column prunes files only, never manifests
+    _, info2 = t.scan("v", 0, 10)
+    assert info2["manifests_scanned"] == 3
+    # data integrity across the pruned read
+    assert t.read().count() == 300
