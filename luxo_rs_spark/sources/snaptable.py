@@ -738,6 +738,72 @@ class SnapTable:
         df = self._read_files(m, keep_paths)
         return df.filter(F.col(col).between(lo, hi)), info
 
+    def scan_where_planned(
+        self, preds: list[tuple], version: int | None = None
+    ):
+        """``scan_where`` whose COMPOSED pruning runs as ONE Spark job
+        over the manifest checkpoint (round 10, completing the
+        O(survivors)-driver-memory planning plane): partition equality,
+        min/max range, and Bloom membership evaluate as a single
+        conjunctive filter on ``files_df``'s typed stat columns —
+        however many predicates, the metadata pass is one job and the
+        driver only ever materializes surviving paths. Semantics
+        identical to ``scan_where``."""
+        m = self.manifest(version)
+        fdf = self.files_df(version)
+        cols = set(fdf.columns)
+        keep_cond = F.lit(True)
+        for p in preds:
+            col, op = p[0], p[1]
+            phys = self._physical(m, col)
+            if op in ("=", "between"):
+                lo = p[2]
+                hi = p[2] if op == "=" else p[3]
+                if f"min__{phys}" not in cols:
+                    continue  # no stats: predicate cannot prune
+                keep_cond = keep_cond & (
+                    F.col(f"min__{phys}").isNull()
+                    | (
+                        (F.col(f"max__{phys}") >= lo)
+                        & (F.col(f"min__{phys}") <= hi)
+                    )
+                )
+            elif op == "bloom":
+                if f"bloom__{phys}" not in cols:
+                    continue
+                probes = _bloom_positions(p[2])
+                bits = F.col(f"bloom__{phys}")
+                member = F.lit(True)
+                for b in probes:
+                    member = member & F.array_contains(bits, b)
+                keep_cond = keep_cond & (bits.isNull() | member)
+            else:
+                raise ValueError(f"unknown predicate op {op!r}")
+        agg = fdf.agg(
+            F.count(F.lit(1)).alias("files_total"),
+            F.sum(
+                F.when(~keep_cond, F.col("rows")).otherwise(F.lit(0))
+            ).alias("rows_skipped"),
+        ).first()
+        keep_paths = sorted(
+            r["path"]
+            for r in fdf.filter(keep_cond).select("path").collect()
+        )
+        df = self._read_files(m, keep_paths)
+        cond = F.lit(True)
+        for p in preds:
+            col, op = p[0], p[1]
+            if op == "between":
+                cond = cond & F.col(col).between(p[2], p[3])
+            else:
+                cond = cond & (F.col(col) == p[2])
+        info = {
+            "files_total": agg["files_total"],
+            "files_scanned": len(keep_paths),
+            "rows_skipped": int(agg["rows_skipped"] or 0),
+        }
+        return df.filter(cond), info
+
     # -- column mapping (stable-ID rename/drop/widen; Delta's "name"
     #    mode: data files address columns by immutable PHYSICAL names,
     #    the manifest maps logical -> physical, so rename/drop/widen

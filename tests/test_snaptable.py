@@ -1836,3 +1836,34 @@ def test_delete_keys_dv_scattered_ids(spark, root):
     assert t.read().count() == 400 - 10
     t.delete_keys("k", spark.createDataFrame([], "k bigint"))
     assert t.latest_version() >= v
+
+
+def test_scan_where_planned_matches_driver_composed_scan(spark, root):
+    """scan_where_planned (round 10): the composed partition+range+
+    bloom pruning as ONE Spark job over the manifest checkpoint must
+    return exactly scan_where's files and rows — O(survivors) driver
+    memory for ANY number of predicates."""
+    t = SnapTable(spark, root, checkpoint_threshold=1)  # columnar
+    df = spark.createDataFrame(
+        [
+            (k, ["eu", "us"][k % 2], f"u{k % 13}", k * 3, k // 100)
+            for k in range(400)
+        ],
+        "k bigint, region string, owner string, v bigint, b bigint",
+    )
+    t.create(
+        df, stat_cols=["k"], bucket_col="b",
+        bloom_cols=["owner"], partition_col="region",
+    )
+    preds = [
+        ("region", "=", "eu"),
+        ("k", "between", 100, 299),
+        ("owner", "bloom", "u5"),
+    ]
+    d1, i1 = t.scan_where(preds)
+    d2, i2 = t.scan_where_planned(preds)
+    assert i1 == i2
+    r1 = sorted(r["k"] for r in d1.collect())
+    r2 = sorted(r["k"] for r in d2.collect())
+    assert r1 == r2 and r1  # non-trivial result
+    assert i1["files_scanned"] < i1["files_total"]  # pruning is real
