@@ -1620,10 +1620,29 @@ def _decode_jpeg(content: bytes) -> dict:
         if lossless:
             if samples is None:
                 return
-            if differential and ref_arr is not None:
-                lvl = (ref_arr.astype(np.int64) + samples) & 0xFFFF
+            # subsampled lossless frames store component grids
+            # top-left in `samples`: replicate them up to the frame
+            # size BEFORE the fold (round 10)
+            h_, w_, comps_, llhm, llvm = sof
+            if (llhm, llvm) != (1, 1):
+                planes = []
+                for ci, (_cid, hi, vi, _tq) in enumerate(comps_):
+                    yc = -(-h_ * vi // llvm)
+                    xc = -(-w_ * hi // llhm)
+                    p_ = samples[:yc, :xc, ci]
+                    p_ = np.repeat(
+                        np.repeat(p_, llvm // vi, axis=0),
+                        llhm // hi,
+                        axis=1,
+                    )[:h_, :w_]
+                    planes.append(p_)
+                full = np.stack(planes, axis=-1)
             else:
-                lvl = samples.astype(np.int64) & 0xFFFF
+                full = samples
+            if differential and ref_arr is not None:
+                lvl = (ref_arr.astype(np.int64) + full) & 0xFFFF
+            else:
+                lvl = full.astype(np.int64) & 0xFFFF
             prev_recon = lvl & ((1 << precision) - 1)
             return
         if not coef or geom is None or sof is None:
@@ -1754,14 +1773,15 @@ def _decode_jpeg(content: bytes) -> dict:
                 llvm = max(c[2] for c in comps)
                 if (llhm, llvm) != (1, 1):
                     # round 8: subsampled lossless frames decode (comp
-                    # grids per T.81 A.2, replicated up at the finish);
-                    # inside a hierarchy the residuals would need an
-                    # exact expansion that doesn't exist — still raise
-                    if hier is not None or differential:
-                        raise NotImplementedError(
-                            "subsampled lossless frames inside a "
-                            "hierarchy are not supported"
-                        )
+                    # grids per T.81 A.2, replicated up at the finish).
+                    # Round 10: ALSO inside a hierarchy — differential
+                    # residuals code at the component grid with zero
+                    # prediction, the level fold replicates them up
+                    # before the mod-2^16 add, and modular arithmetic
+                    # keeps every SAMPLED position exact (the stream's
+                    # final full-resolution frame corrects the rest).
+                    # Arithmetic-coded subsampled lossless remains a
+                    # declared boundary (its own raise).
                     for _cid2, hi2, vi2, _tq2 in comps:
                         if llhm % hi2 or llvm % vi2:
                             raise NotImplementedError(
@@ -2383,13 +2403,16 @@ def _decode_lossless_scan_sampled(
     huff,
     restart_interval: int,
     precision: int,
+    differential: bool = False,
 ) -> int:
     """Lossless scan decode for SUBSAMPLED frames (T.81 A.2): the MCU
     carries hi x vi samples per member from each component's OWN grid
     (yc = ceil(h*vi/vmax), xc = ceil(w*hi/hmax)), padded up to whole
     MCUs (pad samples are coded but discarded). Prediction runs on the
-    component grid. Grids land top-left in `samples`; the frame finish
-    replicates them up to full resolution."""
+    component grid; in ``differential`` frames (SOF7 inside a
+    hierarchy, round 10) there is NO prediction — the coded values are
+    the raw mod-2^16 residuals. Grids land top-left in `samples`; the
+    frame finish replicates them up to full resolution."""
     h, w, comps, hmax, vmax = sof
     ns = body[0]
     members = []
@@ -2438,7 +2461,11 @@ def _decode_lossless_scan_sampled(
                         else:
                             diff = _extend(reader.bits(cat), cat)
                         r_, x_ = my * vi + by, mx * hi + bx
-                        pred = _ll_predict2d(g, r_, x_, psel, default)
+                        pred = (
+                            0
+                            if differential
+                            else _ll_predict2d(g, r_, x_, psel, default)
+                        )
                         g[r_, x_] = (pred + diff) & mask
     for m, (ci, _td) in enumerate(members):
         yc = -(-h * comps[ci][2] // vmax)
@@ -2476,7 +2503,7 @@ def _decode_lossless_scan(
     if (_hm, _vm) != (1, 1):  # round 8: subsampled frames (T.81 A.2)
         return _decode_lossless_scan_sampled(
             content, pos, size, body, sof, samples, huff,
-            restart_interval, precision,
+            restart_interval, precision, differential,
         )
     ns = body[0]
     members = []
@@ -5357,11 +5384,19 @@ def _ll_entropy_scan(d16: np.ndarray) -> bytes:
 
 
 def _pixels_to_jpeg_hierarchical(
-    arr: np.ndarray, levels: int = 3, precision: int | None = None
+    arr: np.ndarray, levels: int = 3, precision: int | None = None,
+    residual_subsampling: str = "444",
 ) -> bytes:
     """GENUINE hierarchical-lossless encoder: decimated pyramid
     (levels deep), smallest level as a plain SOF3 frame (predictor 1),
-    each larger level as EXP(1,1) + SOF7 differential frame."""
+    each larger level as EXP(1,1) + SOF7 differential frame.
+
+    ``residual_subsampling="420"`` (3-channel, round 10 — the last
+    lossless corner): INTERMEDIATE differential frames code their
+    chroma residuals at a 4:2:0 component grid (decimated; the decoder
+    fold replicates them up, and modular mod-2^16 arithmetic keeps
+    every sampled position exact); the FINAL full-size frame stays
+    1x1, so the decode is bit-exact end to end regardless."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -5369,6 +5404,11 @@ def _pixels_to_jpeg_hierarchical(
         precision = 8 if arr.dtype == np.uint8 else 16
     if levels < 2:
         raise ValueError("a hierarchy needs at least 2 levels")
+    sub_mid = residual_subsampling == "420" and nc == 3
+    if residual_subsampling not in ("444", "420"):
+        raise NotImplementedError(
+            f"residual subsampling {residual_subsampling!r}"
+        )
     pyr = [arr.astype(np.int64)]
     for _ in range(levels - 1):
         pyr.append(pyr[-1][::2, ::2])
@@ -5378,14 +5418,22 @@ def _pixels_to_jpeg_hierarchical(
         return struct.pack(">HH", marker, len(b) + 2) + b
 
     comps = b"".join(struct.pack("BBB", c + 1, 0x11, 0) for c in range(nc))
+    sub_fac = [(2, 2)] + [(1, 1)] * (nc - 1)
+    comps_sub = b"".join(
+        struct.pack("BBB", c + 1, (hi << 4) | vi, 0)
+        for c, (hi, vi) in enumerate(sub_fac)
+    )
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFDE, struct.pack(">BHHB", precision, h, w, nc) + comps)
     bits, vals = _HUFF_LL
     out += seg(0xFFC4, b"\x00" + bytes(bits) + bytes(vals))
     default = 1 << (precision - 1)
+    out_mask = (1 << precision) - 1
+    codes = _huff_codes(*_HUFF_LL)
     prev: np.ndarray | None = None
     for li, lvl in enumerate(pyr):
         lh, lw = lvl.shape[:2]
+        subsample_this = sub_mid and 0 < li < len(pyr) - 1
         if li == 0:
             d = np.zeros_like(lvl)
             d[:, 1:] = lvl[:, 1:] - lvl[:, :-1]
@@ -5397,15 +5445,72 @@ def _pixels_to_jpeg_hierarchical(
             ref = _jpeg_expand(prev, 1, 1, lh, lw)
             d = lvl - ref
             sofm, psel = 0xFFC7, 0
-        out += seg(sofm, struct.pack(">BHHB", precision, lh, lw, nc) + comps)
+        if not subsample_this:
+            out += seg(
+                sofm, struct.pack(">BHHB", precision, lh, lw, nc) + comps
+            )
+            sos = (
+                bytes([nc])
+                + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
+                + bytes([psel, 0, 0])
+            )
+            out += seg(0xFFDA, sos)
+            out += _ll_entropy_scan(d & 0xFFFF)
+            prev = lvl
+            continue
+        # SUBSAMPLED differential frame: residual grids per component
+        # (decimated), interleaved T.81 A.2 MCU order, zero prediction
+        out += seg(
+            sofm, struct.pack(">BHHB", precision, lh, lw, nc) + comps_sub
+        )
         sos = (
             bytes([nc])
             + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
             + bytes([psel, 0, 0])
         )
         out += seg(0xFFDA, sos)
-        out += _ll_entropy_scan(d & 0xFFFF)
-        prev = lvl
+        mcuy, mcux = -(-lh // 2), -(-lw // 2)
+        padded = []
+        for c, (hi, vi) in enumerate(sub_fac):
+            g = (d[:: 2 // vi, :: 2 // hi, c]) & 0xFFFF
+            gp = np.zeros((mcuy * vi, mcux * hi), dtype=np.int64)
+            gp[: g.shape[0], : g.shape[1]] = g
+            padded.append(gp)
+        writer = _BitWriter()
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for c, (hi, vi) in enumerate(sub_fac):
+                    for by in range(vi):
+                        for bx in range(hi):
+                            v = int(padded[c][my * vi + by, mx * hi + bx])
+                            if v == 32768:
+                                code, ln = codes[16]
+                                writer.write(code, ln)
+                                continue
+                            sd = v - 65536 if v > 32768 else v
+                            cat = abs(sd).bit_length()
+                            code, ln = codes[cat]
+                            writer.write(code, ln)
+                            if cat:
+                                amp = (
+                                    sd
+                                    if sd >= 0
+                                    else sd + (1 << cat) - 1
+                                )
+                                writer.write(amp, cat)
+        out += writer.flush()
+        # mirror the decoder's fold: masked grids replicate up, add to
+        # the reference mod 2^16, mask to P bits
+        planes = []
+        for c, (hi, vi) in enumerate(sub_fac):
+            yc, xc = -(-lh * vi // 2), -(-lw * hi // 2)
+            p_ = padded[c][:yc, :xc] & out_mask
+            p_ = np.repeat(
+                np.repeat(p_, 2 // vi, axis=0), 2 // hi, axis=1
+            )[:lh, :lw]
+            planes.append(p_)
+        full = np.stack(planes, axis=-1)
+        prev = ((ref + full) & 0xFFFF) & out_mask
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -5414,7 +5519,10 @@ def synth_jpeg_hier_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Hierarchical-JPEG synthesis (q425): per doc a 2-4 level lossless
     pyramid (levels = doc_id%3+2) whose full-size pixels tile the md5
     hex of the text — the decoded payload md5 is SQL-recomputable
-    exactly as for q401."""
+    exactly as for q401. Round 10: even doc_ids code their
+    INTERMEDIATE differential frames with 4:2:0 chroma residuals (the
+    closed subsampled-lossless-in-hierarchy corner); decode stays
+    bit-exact, so the oracle is unchanged."""
     import hashlib
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -5435,7 +5543,10 @@ def synth_jpeg_hier_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
                     {
                         "media_id": did,
                         "content": _pixels_to_jpeg_hierarchical(
-                            arr, levels=did % 3 + 2
+                            arr, levels=did % 3 + 2,
+                            residual_subsampling="420"
+                            if did % 2 == 0
+                            else "444",
                         ),
                     }
                 )

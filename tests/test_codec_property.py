@@ -427,3 +427,60 @@ def test_hierarchical_dct_subsampled_differential_color_roundtrip():
             continue
         pos += 2 + size
     assert found
+
+
+def test_hierarchical_lossless_subsampled_residual_roundtrip():
+    """Round 10 — subsampled LOSSLESS frames inside a hierarchy:
+    intermediate SOF7 differential frames carry 4:2:0 chroma residual
+    grids (zero prediction, T.81 A.2 interleave); the final 1x1 frame
+    keeps the stream bit-exact; 8- and 16-bit precisions."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_hierarchical,
+    )
+
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 256, size=(13, 18, 3)).astype(np.uint8)
+    for lv in (3, 4):
+        b = _pixels_to_jpeg_hierarchical(
+            arr, levels=lv, residual_subsampling="420"
+        )
+        got = np.frombuffer(
+            _decode_jpeg(b)["payload"], dtype=np.uint8
+        ).reshape(13, 18, 3)
+        assert np.array_equal(got, arr)
+    a16 = rng.integers(0, 65536, size=(9, 11, 3)).astype(np.uint16)
+    b = _pixels_to_jpeg_hierarchical(
+        a16, levels=3, residual_subsampling="420"
+    )
+    got = np.frombuffer(_decode_jpeg(b)["payload"], dtype="<u2").reshape(
+        9, 11, 3
+    )
+    assert np.array_equal(got, a16)
+    # the intermediate SOF7 really carries 2x2/1x1 factors on the wire
+    import struct
+
+    b = _pixels_to_jpeg_hierarchical(
+        arr, levels=3, residual_subsampling="420"
+    )
+    pos, found = 2, False
+    while pos < len(b) - 4:
+        marker = b[pos + 1]
+        if marker == 0xD9:
+            break
+        size = struct.unpack_from(">H", b, pos + 2)[0]
+        if marker == 0xC7 and b[pos + 9] == 3:
+            if b[pos + 11] == 0x22 and b[pos + 14] == 0x11:
+                found = True
+        if marker == 0xDA:
+            pos += 2 + size
+            while pos < len(b) - 1 and not (
+                b[pos] == 0xFF and b[pos + 1] != 0x00
+                and not (0xD0 <= b[pos + 1] <= 0xD7)
+            ):
+                pos += 1
+            continue
+        pos += 2 + size
+    assert found
