@@ -5641,6 +5641,90 @@ def _arith_get_ll(dec, st: bytearray, c0: int, sbase: int) -> int:
     return -v if sign else v
 
 
+def _decode_lossless_arith_scan_sampled(
+    content: bytes,
+    pos: int,
+    size: int,
+    body: bytes,
+    sof,
+    samples: np.ndarray,
+    dc_cond: dict,
+    restart_interval: int,
+    precision: int,
+    differential: bool = False,
+) -> int:
+    """QM-coded lossless scan for SUBSAMPLED frames (round 10 — the
+    arithmetic twin of _decode_lossless_scan_sampled): T.81 A.2 MCU
+    interleave over each component's OWN grid, (Da, Db) conditioning
+    from per-grid difference history, zero prediction in differential
+    frames. Restart markers in sampled scans stay a loud boundary
+    (mirroring the Huffman convention)."""
+    h, w, comps, hmax, vmax = sof
+    ns = body[0]
+    members = []
+    for i in range(ns):
+        cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+        ci = next(j for j, c in enumerate(comps) if c[0] == cs)
+        members.append((ci, tdta >> 4))
+    psel = body[1 + 2 * ns]
+    pt = body[3 + 2 * ns] & 0x0F
+    default = 1 << (precision - pt - 1)
+    mask = 0xFFFF
+    if restart_interval:
+        raise NotImplementedError(
+            "restart markers in subsampled lossless scans"
+        )
+    if ns > 1:
+        mcuy, mcux = -(-h // vmax), -(-w // hmax)
+        shapes = [(comps[ci][2], comps[ci][1]) for ci, _ in members]
+    else:
+        ci0 = members[0][0]
+        mcuy = -(-h * comps[ci0][2] // vmax)
+        mcux = -(-w * comps[ci0][1] // hmax)
+        shapes = [(1, 1)]
+    grids = [
+        np.zeros((mcuy * vi, mcux * hi), dtype=np.int64)
+        for (vi, hi) in shapes
+    ]
+    diffs = [np.zeros_like(g) for g in grids]
+    dec = _ArithDecoder(content, pos + 2 + size)
+    stats = {td: bytearray(_LL_STAT_BINS) for _, td in members}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for m, (ci, td) in enumerate(members):
+                vi, hi = shapes[m]
+                l, u = dc_cond.get(td, (0, 1))
+                g, dg = grids[m], diffs[m]
+                for by in range(vi):
+                    for bx in range(hi):
+                        r_, x_ = my * vi + by, mx * hi + bx
+                        da = int(dg[r_, x_ - 1]) if x_ > 0 else 0
+                        db = int(dg[r_ - 1, x_]) if r_ > 0 else 0
+                        ca = _arith_ll_classify(da, l, u)
+                        cb = _arith_ll_classify(db, l, u)
+                        c0 = 4 * (5 * cb + ca)
+                        sbase = 129 if cb >= 3 else 100
+                        sd = _arith_get_ll(dec, stats[td], c0, sbase)
+                        pred = (
+                            0
+                            if differential
+                            else _ll_predict2d(g, r_, x_, psel, default)
+                        )
+                        g[r_, x_] = (pred + sd) & mask
+                        dg[r_, x_] = sd
+    out_mask = mask if differential else ((1 << precision) - 1)
+    for m, (ci, _td) in enumerate(members):
+        yc = -(-h * comps[ci][2] // vmax)
+        xc = -(-w * comps[ci][1] // hmax)
+        samples[:yc, :xc, ci] = (grids[m][:yc, :xc] << pt) & out_mask
+    p = dec.marker_pos if dec.marker_pos is not None else dec.bp
+    while p + 1 < len(content) and not (
+        content[p] == 0xFF and content[p + 1] != 0x00
+    ):
+        p += 1
+    return p
+
+
 def _decode_lossless_arith_scan(
     content: bytes,
     pos: int,
@@ -5658,9 +5742,10 @@ def _decode_lossless_arith_scan(
     markers re-prime the coder and reset statistics, prediction, and
     the difference history (mirroring the Huffman convention)."""
     h, w, comps, _hm, _vm = sof
-    if (_hm, _vm) != (1, 1):
-        raise NotImplementedError(
-            "subsampled arithmetic lossless scans are not supported"
+    if (_hm, _vm) != (1, 1):  # round 10: the last lossless corner
+        return _decode_lossless_arith_scan_sampled(
+            content, pos, size, body, sof, samples, dc_cond,
+            restart_interval, precision, differential,
         )
     ns = body[0]
     members = []
@@ -5861,11 +5946,13 @@ def _pixels_to_jpeg_lossless_arith(
 
 
 def _pixels_to_jpeg_hierarchical_arith(
-    arr: np.ndarray, levels: int = 3, precision: int | None = None
+    arr: np.ndarray, levels: int = 3, precision: int | None = None,
+    residual_subsampling: str = "444",
 ) -> bytes:
     """Hierarchical lossless pyramid with ARITHMETIC entropy coding:
     SOF11 base frame + EXP + differential SOF15 frames (the QM twin of
-    _pixels_to_jpeg_hierarchical)."""
+    _pixels_to_jpeg_hierarchical, incl. the round-10
+    ``residual_subsampling='420'`` intermediate-frame mode)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -5873,6 +5960,11 @@ def _pixels_to_jpeg_hierarchical_arith(
         precision = 8 if arr.dtype == np.uint8 else 16
     if levels < 2:
         raise ValueError("a hierarchy needs at least 2 levels")
+    sub_mid = residual_subsampling == "420" and nc == 3
+    if residual_subsampling not in ("444", "420"):
+        raise NotImplementedError(
+            f"residual subsampling {residual_subsampling!r}"
+        )
     pyr = [arr.astype(np.int64)]
     for _ in range(levels - 1):
         pyr.append(pyr[-1][::2, ::2])
@@ -5882,30 +5974,91 @@ def _pixels_to_jpeg_hierarchical_arith(
         return struct.pack(">HH", marker, len(b) + 2) + b
 
     comps = b"".join(struct.pack("BBB", c + 1, 0x11, 0) for c in range(nc))
+    sub_fac = [(2, 2)] + [(1, 1)] * (nc - 1)
+    comps_sub = b"".join(
+        struct.pack("BBB", c + 1, (hi << 4) | vi, 0)
+        for c, (hi, vi) in enumerate(sub_fac)
+    )
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFDE, struct.pack(">BHHB", precision, h, w, nc) + comps)
+    out_mask = (1 << precision) - 1
     prev: np.ndarray | None = None
     for li, lvl in enumerate(pyr):
         lh, lw = lvl.shape[:2]
+        subsample_this = sub_mid and 0 < li < len(pyr) - 1
         if li == 0:
             vals, mode, psel, sofm = lvl, "predict", 1, 0xFFCB
         else:
             out += seg(0xFFDF, bytes([0x11]))
             ref = _jpeg_expand(prev, 1, 1, lh, lw)
             vals, mode, psel, sofm = (lvl - ref) & 0xFFFF, "diff", 0, 0xFFCF
-        out += seg(sofm, struct.pack(">BHHB", precision, lh, lw, nc) + comps)
+        hdr = comps_sub if subsample_this else comps
+        out += seg(sofm, struct.pack(">BHHB", precision, lh, lw, nc) + hdr)
         sos = (
             bytes([nc])
             + b"".join(bytes([c + 1, 0x00]) for c in range(nc))
             + bytes([psel, 0, 0])
         )
         out += seg(0xFFDA, sos)
-        out += _ll_arith_entropy(
-            vals, mode, psel, precision, 0, 0, (0, 1)
-        )
-        prev = lvl
+        if not subsample_this:
+            out += _ll_arith_entropy(
+                vals, mode, psel, precision, 0, 0, (0, 1)
+            )
+            prev = lvl
+            continue
+        # subsampled differential frame: decimated residual grids, MCU
+        # interleave, the decoder's exact context/statistics evolution
+        mcuy, mcux = -(-lh // 2), -(-lw // 2)
+        padded = []
+        for c, (hi, vi) in enumerate(sub_fac):
+            g = vals[:: 2 // vi, :: 2 // hi, c] & 0xFFFF
+            gp = np.zeros((mcuy * vi, mcux * hi), dtype=np.int64)
+            gp[: g.shape[0], : g.shape[1]] = g
+            padded.append(gp)
+        out += _ll_arith_entropy_sampled(padded, sub_fac, mcuy, mcux)
+        planes = []
+        for c, (hi, vi) in enumerate(sub_fac):
+            yc, xc = -(-lh * vi // 2), -(-lw * hi // 2)
+            p_ = padded[c][:yc, :xc] & 0xFFFF
+            p_ = np.repeat(
+                np.repeat(p_, 2 // vi, axis=0), 2 // hi, axis=1
+            )[:lh, :lw]
+            planes.append(p_)
+        full = np.stack(planes, axis=-1)
+        prev = ((ref + full) & 0xFFFF) & out_mask
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _ll_arith_entropy_sampled(
+    padded: list, sub_fac: list, mcuy: int, mcux: int
+) -> bytes:
+    """QM entropy body for a SUBSAMPLED differential lossless frame:
+    per-MCU member interleave over the padded component grids, (Da, Db)
+    conditioning from each grid's own difference history — the exact
+    order/contexts _decode_lossless_arith_scan_sampled replays."""
+    enc = _ArithEncoder()
+    st = bytearray(_LL_STAT_BINS)
+    l, u = 0, 1
+    diffs = [np.zeros_like(g) for g in padded]
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c, (hi, vi) in enumerate(sub_fac):
+                dg = diffs[c]
+                for by in range(vi):
+                    for bx in range(hi):
+                        r_, x_ = my * vi + by, mx * hi + bx
+                        da = int(dg[r_, x_ - 1]) if x_ > 0 else 0
+                        db = int(dg[r_ - 1, x_]) if r_ > 0 else 0
+                        ca = _arith_ll_classify(da, l, u)
+                        cb = _arith_ll_classify(db, l, u)
+                        c0 = 4 * (5 * cb + ca)
+                        sbase = 129 if cb >= 3 else 100
+                        d16 = int(padded[c][r_, x_]) & 0xFFFF
+                        sd = d16 if d16 <= 32768 else d16 - 65536
+                        _arith_put_ll(enc, st, c0, sbase, sd)
+                        dg[r_, x_] = sd
+    return enc.flush()
 
 
 def synth_jpeg_arith_lossless_table(
@@ -5914,7 +6067,9 @@ def synth_jpeg_arith_lossless_table(
     """Arithmetic-lossless synthesis (q426): even doc_ids a flat SOF11
     frame (predictor sweeping doc_id%7+1, restarts on the doc_id%4==3
     lane), odd doc_ids a hierarchical SOF11+SOF15 pyramid (levels
-    doc_id%3+2). Both are lossless, so the decoded payload md5 is the
+    doc_id%3+2; round 10: doc_id%4==1 lanes code intermediate
+    differential frames with 4:2:0 chroma residuals — the subsampled
+    ARITHMETIC lossless corner, closed). Both are lossless, so the decoded payload md5 is the
     tiled md5 hex — SQL-recomputable like q401/q425."""
     import hashlib
 
@@ -5940,7 +6095,10 @@ def synth_jpeg_arith_lossless_table(
                     )
                 else:
                     content = _pixels_to_jpeg_hierarchical_arith(
-                        arr, levels=did % 3 + 2
+                        arr, levels=did % 3 + 2,
+                        residual_subsampling="420"
+                        if did % 4 == 1
+                        else "444",
                     )
                 rows.append({"media_id": did, "content": content})
             yield pd.DataFrame(rows)

@@ -484,3 +484,34 @@ def test_hierarchical_lossless_subsampled_residual_roundtrip():
             continue
         pos += 2 + size
     assert found
+
+
+def test_hierarchical_arith_lossless_subsampled_roundtrip():
+    """Round 10 — the subsampled ARITHMETIC lossless corner: SOF15
+    differential frames with 4:2:0 chroma residual grids, QM-coded
+    with per-grid (Da, Db) conditioning; bit-exact at 8 and 16 bits."""
+    import numpy as np
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_hierarchical_arith,
+    )
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 256, size=(13, 18, 3)).astype(np.uint8)
+    for lv in (3, 4):
+        b = _pixels_to_jpeg_hierarchical_arith(
+            arr, levels=lv, residual_subsampling="420"
+        )
+        got = np.frombuffer(
+            _decode_jpeg(b)["payload"], dtype=np.uint8
+        ).reshape(13, 18, 3)
+        assert np.array_equal(got, arr)
+    a16 = rng.integers(0, 65536, size=(9, 11, 3)).astype(np.uint16)
+    b = _pixels_to_jpeg_hierarchical_arith(
+        a16, levels=3, residual_subsampling="420"
+    )
+    got = np.frombuffer(_decode_jpeg(b)["payload"], dtype="<u2").reshape(
+        9, 11, 3
+    )
+    assert np.array_equal(got, a16)
