@@ -191,6 +191,25 @@ class Engine:
                             self.spark.conf.set(hkey, saved)
         return self
 
+    def read_delta(self, root: str, version: int | None = None) -> DataFrame:
+        """Read a FOREIGN Delta table (round 10): the from-scratch
+        transaction-log reader — protocol 1/2/3 with deletion vectors,
+        column mapping, v1/multi-part/v2 checkpoints — no deltalake
+        package, no Spark Delta connector."""
+        from luxo_rs_spark.sources.deltalog import DeltaLog  # noqa: PLC0415
+
+        return DeltaLog(self.spark, root).read(version)
+
+    def read_iceberg(
+        self, root: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Read a FOREIGN Iceberg v1/v2 table (round 10): the
+        from-scratch metadata + avro manifest reader — position and
+        equality deletes applied, identity partitions injected."""
+        from luxo_rs_spark.sources.iceberg import IcebergTable  # noqa: PLC0415
+
+        return IcebergTable(self.spark, root).read(snapshot_id)
+
     def table(self, name: str) -> DataFrame:
         """Fluent entry point (SURVEY.md §3.2 entry 2)."""
         return self.spark.table(name)
