@@ -515,3 +515,101 @@ def test_hierarchical_arith_lossless_subsampled_roundtrip():
         9, 11, 3
     )
     assert np.array_equal(got, a16)
+
+
+# -- round 10: property batteries for the foreign-format wire codecs -----------
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=64).map(lambda b: b + b"\x00" * ((-len(b)) % 4)))
+def test_z85_roundtrip_property(data):
+    from luxo_rs_spark.sources.deltalog import z85_decode, z85_encode
+
+    assert z85_decode(z85_encode(data)) == data
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 40) - 1),
+        min_size=0,
+        max_size=300,
+    ),
+    st.booleans(),
+)
+def test_roaring_array_roundtrip_property(positions, dense):
+    """Random 64-bit position sets round-trip; the `dense` flag mixes
+    in a >4096-element run to force a BITMAP container."""
+    from luxo_rs_spark.sources.deltalog import (
+        roaring_array_deserialize,
+        roaring_array_serialize,
+    )
+
+    if dense:
+        positions = positions + list(range(100000, 105000))
+    got = roaring_array_deserialize(roaring_array_serialize(positions))
+    assert got == sorted(set(positions))
+
+
+_AVRO_VAL = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(1 << 62), max_value=(1 << 62) - 1),
+        st.text(max_size=20),
+        st.binary(max_size=20),
+    ),
+    lambda children: st.lists(children, max_size=4),
+    max_leaves=8,
+)
+
+
+def _avro_schema_for(v):
+    if v is None:
+        return ["null", "long"]
+    if isinstance(v, bool):
+        return "boolean"
+    if isinstance(v, int):
+        return "long"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, bytes):
+        return "bytes"
+    if isinstance(v, list):
+        inner = _avro_schema_for(v[0]) if v else "long"
+        if inner is None:  # nested heterogeneous list
+            return None
+        # a list is homogeneous only if every member agrees
+        return {"type": "array", "items": inner} if all(
+            _avro_schema_for(x) == inner for x in v
+        ) else None
+    raise AssertionError(v)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_AVRO_VAL, min_size=1, max_size=6), st.booleans())
+def test_avro_container_roundtrip_property(vals, deflate):
+    """Schema-directed avro encode/decode round-trips arbitrary
+    records (fields typed per value, heterogeneous lists skipped),
+    null and deflate codecs."""
+    from luxo_rs_spark.sources.avro_io import read_avro, write_avro
+
+    fields, rec = [], {}
+    for i, v in enumerate(vals):
+        sch = _avro_schema_for(v)
+        if sch is None:
+            continue  # heterogeneous list: not schema-expressible
+        fields.append({"name": f"f{i}", "type": sch})
+        rec[f"f{i}"] = v
+    if not fields:
+        return
+    schema = {"type": "record", "name": "p", "fields": fields}
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".avro") as f:
+        write_avro(
+            f.name, schema, [rec, rec],
+            codec="deflate" if deflate else "null",
+        )
+        _, got = read_avro(f.name)
+    assert got == [rec, rec]
