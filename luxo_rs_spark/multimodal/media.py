@@ -2425,10 +2425,6 @@ def _decode_lossless_scan_sampled(
     default = 1 << (precision - pt - 1)
     mask = (1 << 16) - 1
     out_mask = (1 << precision) - 1
-    if restart_interval:
-        raise NotImplementedError(
-            "restart markers in subsampled lossless scans"
-        )
 
     if ns > 1:
         mcuy, mcux = -(-h // vmax), -(-w // hmax)
@@ -2445,8 +2441,33 @@ def _decode_lossless_scan_sampled(
     ]
 
     reader = _BitReader(content, pos + 2 + size)
+    # restart convention (round 10): byte-align into RSTn every Ri
+    # MCUs, each member's NEXT sample takes the default prediction —
+    # the encoder twin writes the same convention, pinned by tests
+    fresh = [False] * len(members)
+    since_restart = 0
+    rst_expect = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and since_restart
+                and since_restart % restart_interval == 0
+            ):
+                reader.align()
+                p_ = reader.pos
+                if not (
+                    content[p_] == 0xFF
+                    and content[p_ + 1] == 0xD0 + (rst_expect % 8)
+                ):
+                    raise ValueError(
+                        "expected RSTn marker in lossless scan"
+                    )
+                reader.pos = p_ + 2
+                rst_expect += 1
+                fresh = [True] * len(members)
+                since_restart = 0
+            since_restart += 1
             for m, (ci, td) in enumerate(members):
                 vi, hi = shapes[m]
                 table = huff[(0, td)]
@@ -2461,11 +2482,13 @@ def _decode_lossless_scan_sampled(
                         else:
                             diff = _extend(reader.bits(cat), cat)
                         r_, x_ = my * vi + by, mx * hi + bx
-                        pred = (
-                            0
-                            if differential
-                            else _ll_predict2d(g, r_, x_, psel, default)
-                        )
+                        if differential:
+                            pred = 0
+                        elif fresh[m]:
+                            pred = default
+                            fresh[m] = False
+                        else:
+                            pred = _ll_predict2d(g, r_, x_, psel, default)
                         g[r_, x_] = (pred + diff) & mask
     for m, (ci, _td) in enumerate(members):
         yc = -(-h * comps[ci][2] // vmax)
@@ -2712,10 +2735,6 @@ def _pixels_to_jpeg_lossless_sampled(
     h, w, nc = arr.shape
     if len(sampling) != nc:
         raise ValueError("sampling needs one (hi, vi) per component")
-    if restart_interval:
-        raise NotImplementedError(
-            "restart markers in subsampled lossless scans"
-        )
     hmax = max(s[0] for s in sampling)
     vmax = max(s[1] for s in sampling)
     for hi, vi in sampling:
@@ -2735,15 +2754,42 @@ def _pixels_to_jpeg_lossless_sampled(
             g[yc:, :] = g[yc - 1 : yc, :]
         grids.append(g)
 
+    # restart convention for the SAMPLED interleave (round 10, pinned
+    # by round-trip tests like the 1-D path's): every Ri MCUs the
+    # entropy stream byte-aligns into RSTn and each component's NEXT
+    # coded sample takes the default prediction; later samples resume
+    # the normal 2-D neighbor rules
+    scan_bytes = bytearray()
     writer = _BitWriter()
+    fresh = [False] * nc
+    since_restart = 0
+    rst = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if (
+                restart_interval
+                and since_restart
+                and since_restart % restart_interval == 0
+            ):
+                scan_bytes += writer.flush()
+                scan_bytes += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                writer = _BitWriter()
+                fresh = [True] * nc
+                since_restart = 0
+            since_restart += 1
             for c, (hi, vi) in enumerate(sampling):
                 g = grids[c]
                 for by in range(vi):
                     for bx in range(hi):
                         r_, x_ = my * vi + by, mx * hi + bx
-                        pred = _ll_predict2d(g, r_, x_, predictor, default)
+                        if fresh[c]:
+                            pred = default
+                            fresh[c] = False
+                        else:
+                            pred = _ll_predict2d(
+                                g, r_, x_, predictor, default
+                            )
                         d = (int(g[r_, x_]) - pred) & mask
                         if d == 32768:
                             code, ln = codes[16]
@@ -2768,10 +2814,13 @@ def _pixels_to_jpeg_lossless_sampled(
     out += seg(0xFFC3, struct.pack(">BHHB", precision, h, w, nc) + comps)
     bits, vals = _HUFF_LL
     out += seg(0xFFC4, b"\x00" + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([nc]) + b"".join(
         bytes([c + 1, 0x00]) for c in range(nc)
     ) + bytes([predictor, 0, pt])
     out += seg(0xFFDA, sos)
+    out += bytes(scan_bytes)
     out += writer.flush()
     out += b"\xff\xd9"
     return bytes(out)

@@ -613,3 +613,40 @@ def test_avro_container_roundtrip_property(vals, deflate):
         )
         _, got = read_avro(f.name)
     assert got == [rec, rec]
+
+
+def test_subsampled_lossless_restart_markers_roundtrip():
+    """Round 10 — restarts in SUBSAMPLED lossless scans (the last
+    piece of the r9 'in-hierarchy/arithmetic/restart subsampled
+    lossless' trio): byte-aligned RSTn every Ri MCUs, per-component
+    default-prediction reset, encoder/decoder convention pinned by the
+    round trip; arithmetic sampled scans still raise on restarts."""
+    import numpy as np
+    import pytest as _pt
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_jpeg,
+        _pixels_to_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 256, size=(12, 17, 3)).astype(np.uint8)
+    sampling = [(2, 2), (1, 1), (1, 1)]
+    for ri in (1, 3, 7):
+        b = _pixels_to_jpeg_lossless(
+            arr, predictor=4, restart_interval=ri, sampling=sampling
+        )
+        assert b.count(b"\xff\xd0") + sum(
+            b.count(bytes([0xFF, 0xD0 + i])) for i in range(1, 8)
+        ) > 0  # restarts genuinely on the wire
+        got = np.frombuffer(
+            _decode_jpeg(b)["payload"], dtype=np.uint8
+        ).reshape(12, 17, 3)
+        exp = np.zeros_like(arr)
+        for c, (hi, vi) in enumerate(sampling):
+            sy, sx = 2 // vi, 2 // hi
+            sub = arr[::sy, ::sx, c]
+            exp[:, :, c] = np.repeat(
+                np.repeat(sub, sy, axis=0), sx, axis=1
+            )[:12, :17]
+        assert np.array_equal(got, exp)

@@ -3641,12 +3641,17 @@ def test_jpeg_lossless_subsampled_roundtrips():
     # boundaries stay honest
     import pytest as _pt
 
-    with _pt.raises(NotImplementedError, match="restart"):
-        _pixels_to_jpeg_lossless(
-            np.zeros((4, 4, 3), np.uint8),
-            sampling=[(2, 2), (1, 1), (1, 1)],
-            restart_interval=2,
-        )
+    # restarts in subsampled scans round-trip since round 10 (the
+    # boundary is closed; the convention test lives in
+    # tests/test_codec_property.py)
+    from luxo_rs_spark.multimodal.media import _decode_jpeg as _dj
+
+    b = _pixels_to_jpeg_lossless(
+        np.arange(48, dtype=np.uint8).reshape(4, 4, 3),
+        sampling=[(2, 2), (1, 1), (1, 1)],
+        restart_interval=2,
+    )
+    assert _dj(b)["width"] == 4
 
 
 # -- WebP lossless (VP8L) — round 9 -------------------------------------------
