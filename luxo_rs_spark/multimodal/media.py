@@ -8555,6 +8555,8 @@ def _decode_webp(content: bytes) -> dict:
     BMP/PNG/GIF)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ValueError("not a WEBP container")
+    if content[12:16] == b"VP8X":  # extended/animated (round 10)
+        return _decode_webp_anim(content)
     if content[12:16] != b"VP8L":
         raise NotImplementedError(
             "only VP8L (lossless) WebP is implemented; lossy VP8 needs "
@@ -9079,6 +9081,232 @@ def _pixels_to_webp(rgb: "np.ndarray", mode: str = "plain") -> bytes:
     if len(data) % 2:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _le24(v: int) -> bytes:
+    return bytes([v & 0xFF, (v >> 8) & 0xFF, (v >> 16) & 0xFF])
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    c = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        c += b"\x00"
+    return c
+
+
+def _pixels_seq_to_webp_anim(
+    frames: list, modes: list[str] | None = None, duration_ms: int = 40
+) -> bytes:
+    """ANIMATED WebP (round 10): VP8X (animation flag + canvas dims) +
+    ANIM (loop forever) + one ANMF per frame whose payload is a real
+    VP8L lossless bitstream from the round-9 encoder — every frame
+    full-canvas at (0, 0), no blending, so decode is compositing-free
+    and bit-exact."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    h, w = frames[0].shape[:2]
+    modes = modes or ["plain"]
+    chunks = bytearray()
+    vp8x = bytes([0x02]) + b"\x00\x00\x00" + _le24(w - 1) + _le24(h - 1)
+    chunks += _riff_chunk(b"VP8X", vp8x)
+    chunks += _riff_chunk(b"ANIM", struct.pack("<IH", 0xFFFFFFFF, 0))
+    for i, fr in enumerate(frames):
+        if fr.shape[:2] != (h, w):
+            raise ValueError("animation frames must share the canvas")
+        full = _pixels_to_webp(fr, modes[i % len(modes)])
+        vp8l_chunk = full[12:]  # the padded VP8L chunk
+        anmf = (
+            _le24(0)  # frame x / 2
+            + _le24(0)  # frame y / 2
+            + _le24(w - 1)
+            + _le24(h - 1)
+            + _le24(duration_ms)
+            + bytes([0])  # no blend, keep-canvas disposal
+        )
+        chunks += _riff_chunk(b"ANMF", anmf + vp8l_chunk)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(chunks))
+        + b"WEBP"
+        + bytes(chunks)
+    )
+
+
+def _webp_anim_frames(content: bytes):
+    """Extended (VP8X) WebP walk -> (standalone-webp frame list, w, h).
+    Honest subset: every ANMF frame must be full-canvas at (0, 0)
+    (compositing/blending of partial frames raises loudly); lossy VP8
+    frame payloads raise loudly; ALPH/EXIF/XMP/ICCP chunks skip."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
+        raise ValueError("not a WEBP container")
+    if content[12:16] != b"VP8X":
+        raise ValueError("not an extended (VP8X) WEBP")
+    pos = 12
+    canvas_w = canvas_h = None
+    frames: list[bytes] = []
+    while pos + 8 <= len(content):
+        fourcc = content[pos : pos + 4]
+        size = struct.unpack("<I", content[pos + 4 : pos + 8])[0]
+        payload = content[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8X":
+            canvas_w = int.from_bytes(payload[4:7], "little") + 1
+            canvas_h = int.from_bytes(payload[7:10], "little") + 1
+        elif fourcc == b"ANMF":
+            fx = int.from_bytes(payload[0:3], "little") * 2
+            fy = int.from_bytes(payload[3:6], "little") * 2
+            fw = int.from_bytes(payload[6:9], "little") + 1
+            fh = int.from_bytes(payload[9:12], "little") + 1
+            if (fx, fy) != (0, 0) or (fw, fh) != (canvas_w, canvas_h):
+                raise NotImplementedError(
+                    "sub-canvas animation frames (compositing) are "
+                    "not implemented"
+                )
+            sub = payload[16:]
+            sp = 0
+            while sp + 8 <= len(sub):
+                fc = sub[sp : sp + 4]
+                ssz = struct.unpack("<I", sub[sp + 4 : sp + 8])[0]
+                if fc == b"VP8L":
+                    body = sub[sp : sp + 8 + ssz + (ssz & 1)]
+                    frames.append(
+                        b"RIFF"
+                        + struct.pack("<I", 4 + len(body))
+                        + b"WEBP"
+                        + body
+                    )
+                    break
+                if fc == b"VP8 ":
+                    raise NotImplementedError(
+                        "lossy VP8 animation frames are not implemented"
+                    )
+                sp += 8 + ssz + (ssz & 1)  # ALPH etc.: skip
+        elif fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "only VP8L (lossless) WebP is implemented; lossy VP8 "
+                "needs the full DCT/bool-coder stack"
+            )
+        elif fourcc == b"VP8L":
+            # VP8X-wrapped STILL image: one frame
+            body = content[pos : pos + 8 + size + (size & 1)]
+            frames.append(
+                b"RIFF"
+                + struct.pack("<I", 4 + len(body))
+                + b"WEBP"
+                + body
+            )
+        pos += 8 + size + (size & 1)
+    if canvas_w is None:
+        raise ValueError("VP8X chunk missing")
+    return frames, canvas_w, canvas_h
+
+
+def _decode_webp_anim(content: bytes) -> dict:
+    """Animated/extended WebP decode for the generic media pipeline —
+    the AVI convention: geometry from the canvas, frame count in
+    sample_rate, the LAST frame's decoded pixels as the payload."""
+    frames, w, h = _webp_anim_frames(content)
+    if not frames:
+        raise ValueError("extended WEBP has no decodable frames")
+    d = _decode_payload(frames[-1])
+    return {
+        "kind": "video",
+        "width": w,
+        "height": h,
+        "sample_rate": len(frames),
+        "payload": d["payload"],
+    }
+
+
+def sample_webp_anim_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """Animated-WebP frame sampling (the sample_video_frames twin):
+    every stride-th ANMF frame decodes map-side to
+    (media_id, frame_idx, width, height, payload_bytes, payload_md5);
+    no shuffle is introduced."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                frames, _w, _h = _webp_anim_frames(bytes(content))
+                for fi in range(0, len(frames), stride):
+                    d = _decode_payload(frames[fi])
+                    out.append(
+                        {
+                            "media_id": int(mid),
+                            "frame_idx": fi,
+                            "width": d["width"],
+                            "height": d["height"],
+                            "payload_bytes": len(d["payload"]),
+                            "payload_md5": hashlib.md5(
+                                d["payload"]
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "width", "height",
+                    "payload_bytes", "payload_md5",
+                ],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        run,
+        "media_id long, frame_idx int, width int, height int, "
+        "payload_bytes long, payload_md5 string",
+    )
+
+
+def synth_webp_anim_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Animated-WebP synthesis: per doc an animation of doc_id%4+2
+    VP8L frames on a doc_id-derived canvas; frame f's gray pixels tile
+    the md5 hex of the text ROTATED by f characters (the AVI recipe on
+    the q474 pixel convention), modes cycling the encoder feature sets
+    — every sampled frame's payload md5 is recomputable in SQL."""
+    import hashlib
+
+    modes = (
+        "plain", "subtract_green", "palette", "predictor",
+        "color", "cache_lz77",
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                did = int(doc_id)
+                w = did % 12 + 5
+                h = did % 6 + 4
+                hx = hashlib.md5(
+                    (text or "").encode("utf-8")
+                ).hexdigest().encode("ascii")
+                n_frames = did % 4 + 2
+                frames = []
+                need = h * w
+                for f in range(n_frames):
+                    rot = hx[f:] + hx[:f]
+                    idx = np.frombuffer(
+                        (rot * (need // 32 + 1))[:need], dtype=np.uint8
+                    ).reshape(h, w)
+                    frames.append(idx[:, :, None].repeat(3, axis=2))
+                rows.append(
+                    {
+                        "media_id": did,
+                        "content": _pixels_seq_to_webp_anim(
+                            frames,
+                            modes=[modes[(did + f) % len(modes)]
+                                   for f in range(n_frames)],
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", text_col).mapInPandas(
+        gen, "media_id long, content binary"
+    )
 
 
 def synth_webp_table(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -11130,3 +11130,35 @@ SELECT 'dv_accounting',
   CAST((SELECT count(*) FROM dead) AS BIGINT)
 ORDER BY probe
 """
+
+# q485: animated WebP is lossless per frame, so the sampled-frame
+# pipeline is fully SQL-checkable — frame f of doc d tiles md5(text)
+# rotated by f chars under the q474 gray (c,c,c) pixel convention;
+# stride-2 keeps frames 0,2,... of doc_id%4+2 total.
+ORACLE_SQL["q485_webp_anim_frame_sample"] = """
+WITH t AS (
+  SELECT doc_id, md5(text) AS hx,
+         CAST(doc_id % 12 + 5 AS INTEGER) AS w,
+         CAST(doc_id % 6 + 4 AS INTEGER) AS h,
+         CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames
+  FROM documents WHERE doc_id < 200
+), fr AS (
+  SELECT doc_id, w, h,
+         CAST(u.f AS INTEGER) AS frame_idx,
+         substring(hx, CAST(u.f AS INTEGER) + 1)
+           || substring(hx, 1, CAST(u.f AS INTEGER)) AS rot
+  FROM t, unnest(range(0, n_frames, 2)) AS u(f)
+), px AS (
+  SELECT doc_id, w, h, frame_idx,
+         substring(repeat(rot, CAST(h * w / 32 AS INTEGER) + 1),
+                   1, h * w) AS s
+  FROM fr
+)
+SELECT doc_id AS media_id, frame_idx, w AS width, h AS height,
+       CAST(h * w * 3 AS BIGINT) AS payload_bytes,
+       md5(array_to_string(
+             list_transform(range(1, h * w + 1),
+               i -> repeat(substring(s, CAST(i AS INTEGER), 1), 3)),
+             '')) AS payload_md5
+FROM px ORDER BY media_id, frame_idx
+"""

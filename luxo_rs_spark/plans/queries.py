@@ -18693,3 +18693,28 @@ def q484_dedup_dv_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "probe string, a bigint, b bigint"
     ).orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q485 — ANIMATED WebP frame sampling (round 10): VP8X/ANIM/ANMF
+# container walk with real VP8L lossless frame payloads (the round-9
+# encoder per frame, modes cycling), stride-2 map-side frame decode —
+# the video-pipeline twin of q424 on the WebP container family.
+# Lossless end to end, so every sampled frame's payload md5 is a pure
+# function of documents.text (frame f tiles the md5 hex rotated by f).
+# ---------------------------------------------------------------------------
+@query("q485_webp_anim_frame_sample")
+def q485_webp_anim_frame_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from luxo_rs_spark.multimodal.media import (
+        sample_webp_anim_frames,
+        synth_webp_anim_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 200
+    )
+    return sample_webp_anim_frames(
+        synth_webp_anim_table(docs), stride=2
+    ).orderBy("media_id", "frame_idx")

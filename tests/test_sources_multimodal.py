@@ -3862,3 +3862,61 @@ def test_magic_detection_matches_decoder_dispatch(spark):
         sql_expr = DETECT_CONTAINER_SQL.format(c=lit)
         out = con.execute(f"SELECT {sql_expr}").fetchone()[0]
         assert out == want, (want, out)
+
+
+def test_webp_animation_roundtrip_and_boundaries():
+    """Animated WebP (round 10): VP8X/ANIM/ANMF with VP8L frame
+    payloads — per-frame bit-exact decode, last-frame container
+    convention, and the honest boundaries (sub-canvas frames, lossy
+    VP8 frames)."""
+    import struct as st
+
+    import numpy as np
+    import pytest as _pt
+
+    from luxo_rs_spark.multimodal.media import (
+        _decode_payload,
+        _pixels_seq_to_webp_anim,
+        _webp_anim_frames,
+    )
+
+    rng = np.random.default_rng(3)
+    frames = [
+        rng.integers(0, 256, size=(9, 14, 3)).astype(np.uint8)
+        for _ in range(4)
+    ]
+    b = _pixels_seq_to_webp_anim(
+        frames, modes=["plain", "palette", "predictor", "cache_lz77"]
+    )
+    fs, w, h = _webp_anim_frames(b)
+    assert (w, h) == (14, 9) and len(fs) == 4
+    for i, f in enumerate(fs):
+        d = _decode_payload(f)
+        assert d["payload"] == frames[i].tobytes()
+    d = _decode_payload(b)  # the container decode: AVI conventions
+    assert d["kind"] == "video" and d["sample_rate"] == 4
+    assert d["payload"] == frames[-1].tobytes()
+
+    # sub-canvas frame -> loud compositing boundary
+    bad = bytearray(b)
+    # first ANMF payload starts right after its header; frame_width-1
+    # lives at payload offset 6 — shrink it
+    anmf_at = bad.find(b"ANMF")
+    bad[anmf_at + 8 + 6] = 5  # width-1 = 5 != canvas 14
+    with _pt.raises(NotImplementedError, match="compositing"):
+        _webp_anim_frames(bytes(bad))
+
+    # lossy VP8 frame payload -> loud boundary
+    vp8_chunk = b"VP8 " + st.pack("<I", 4) + b"\x00\x00\x00\x00"
+    anmf = (
+        bytes(6) + b"\x0d\x00\x00" + b"\x08\x00\x00" + bytes(3)
+        + bytes([0]) + vp8_chunk
+    )
+    chunks = (
+        b"VP8X" + st.pack("<I", 10)
+        + bytes([0x02]) + bytes(3) + b"\x0d\x00\x00" + b"\x08\x00\x00"
+        + b"ANMF" + st.pack("<I", len(anmf)) + anmf
+    )
+    lossy = b"RIFF" + st.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
+    with _pt.raises(NotImplementedError, match="lossy VP8"):
+        _webp_anim_frames(lossy)
