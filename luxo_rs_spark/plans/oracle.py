@@ -11162,3 +11162,39 @@ SELECT doc_id AS media_id, frame_idx, w AS width, h AS height,
              '')) AS payload_md5
 FROM px ORDER BY media_id, frame_idx
 """
+
+# q486: the migration chain preserves the LIVE state at every hop;
+# the scan probe encodes the skipping arithmetic in its label (one
+# bucket file of four admits [1024, 1535]).
+ORACLE_SQL["q486_cross_format_migration"] = """
+WITH live AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey < 2048 AND o_orderkey NOT BETWEEN 300 AND 899
+)
+SELECT '1_delta_live' AS probe,
+  CAST((SELECT count(*) FROM live) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(cents) FROM live) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT '2_snaptable',
+  CAST((SELECT count(*) FROM live) AS BIGINT),
+  CAST((SELECT sum(cents) FROM live) AS BIGINT)
+UNION ALL
+SELECT '3_iceberg',
+  CAST((SELECT count(*) FROM live) AS BIGINT),
+  CAST((SELECT sum(cents) FROM live) AS BIGINT)
+UNION ALL
+SELECT '4_scan_'
+  || CAST((SELECT count(*) FROM (
+       SELECT k // 512 AS b, min(k) AS mn, max(k) AS mx
+       FROM live GROUP BY b) f
+       WHERE mx >= 1024 AND mn <= 1535) AS VARCHAR)
+  || '_of_'
+  || CAST((SELECT count(DISTINCT k // 512) FROM live) AS VARCHAR),
+  CAST((SELECT count(*) FROM live WHERE k BETWEEN 1024 AND 1535)
+       AS BIGINT),
+  CAST((SELECT sum(cents) FROM live WHERE k BETWEEN 1024 AND 1535)
+       AS BIGINT)
+ORDER BY probe
+"""

@@ -18718,3 +18718,80 @@ def q485_webp_anim_frame_sample(
     return sample_webp_anim_frames(
         synth_webp_anim_table(docs), stride=2
     ).orderBy("media_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# Q486 — cross-format MIGRATION capstone (round 10): a foreign Delta
+# table (with a DV delete in its history) migrates into SnapTable
+# (live rows only — the reader applies the vectors), gains the native
+# skipping layout, and exports back out as an Iceberg v2 table a
+# foreign engine could read — counts/sums equal at every hop and the
+# SnapTable's post-migration scan prunes. The whole chain is a pure
+# function of orders.
+# ---------------------------------------------------------------------------
+@query("q486_cross_format_migration")
+def q486_cross_format_migration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.deltalog import DeltaLog
+    from luxo_rs_spark.sources.iceberg import IcebergTable
+    from luxo_rs_spark.sources.migrate import (
+        delta_to_snaptable,
+        snaptable_to_iceberg,
+    )
+
+    base = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "migrate_q486"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    d_root = os.path.join(base, "delta")
+    s_root = os.path.join(base, "snap")
+    i_root = os.path.join(base, "iceberg")
+
+    orders = load_table(spark, sf_dir, "orders")
+    slab = orders.filter(F.col("o_orderkey") < 2048).select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.expr("o_orderkey div 512").alias("b"),
+    )
+    src = DeltaLog(spark, d_root)
+    src.write(slab)                                   # v0
+    src.delete_where("k", 300, 899, mode="dv")        # v1 (vectors!)
+
+    t = delta_to_snaptable(
+        spark, d_root, s_root, stat_cols=["k"], bucket_col="b"
+    )
+    snaptable_to_iceberg(spark, s_root, i_root)
+
+    def agg_of(df):
+        a = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("c"),
+        ).first()
+        return int(a["n"]), int(a["c"])
+
+    rows = []
+    rows.append(("1_delta_live",) + agg_of(src.read()))
+    rows.append(("2_snaptable",) + agg_of(t.read()))
+    rows.append(
+        ("3_iceberg",) + agg_of(IcebergTable(spark, i_root).read())
+    )
+    # the migrated layout prunes: a scan inside one bucket's range
+    sdf, info = t.scan("k", 1024, 1535)
+    a = sdf.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("c"),
+    ).first()
+    rows.append(
+        (
+            f"4_scan_{info['files_scanned']}_of_{info['files_total']}",
+            int(a["n"]),
+            int(a["c"]),
+        )
+    )
+    return spark.createDataFrame(
+        rows, "probe string, n_rows bigint, sum_cents bigint"
+    ).orderBy("probe")

@@ -585,3 +585,43 @@ def test_manifest_list_partition_summary_pruning(spark, root):
     assert info2["manifests_scanned"] == 3
     # data integrity across the pruned read
     assert t.read().count() == 300
+
+
+def test_cross_format_migration_chain(spark, root):
+    """migrate.py (round 10): foreign Delta (with DVs) -> SnapTable
+    (live rows only, new skipping layout) -> Iceberg export a foreign
+    engine could read; every hop row-identical, both directions
+    covered (iceberg_to_snaptable too)."""
+    import os
+
+    from luxo_rs_spark.sources.deltalog import DeltaLog
+    from luxo_rs_spark.sources.migrate import (
+        delta_to_snaptable,
+        iceberg_to_snaptable,
+        snaptable_to_delta,
+        snaptable_to_iceberg,
+    )
+
+    d_root = os.path.join(root, "delta")
+    s_root = os.path.join(root, "snap")
+    i_root = os.path.join(root, "ice")
+    s2_root = os.path.join(root, "snap2")
+    d2_root = os.path.join(root, "delta2")
+
+    src = DeltaLog(spark, d_root)
+    src.write(_mk(spark, range(200)))
+    src.delete_where("k", 20, 39, mode="dv")
+    live = set(range(200)) - set(range(20, 40))
+
+    t = delta_to_snaptable(
+        spark, d_root, s_root, stat_cols=["k"], bucket_col="v"
+    )
+    assert set(r["k"] for r in t.read().collect()) == live
+    ice = snaptable_to_iceberg(spark, s_root, i_root)
+    assert set(r["k"] for r in ice.read().collect()) == live
+    t2 = iceberg_to_snaptable(
+        spark, i_root, s2_root, stat_cols=["k"]
+    )
+    assert set(r["k"] for r in t2.read().collect()) == live
+    d2 = snaptable_to_delta(spark, s2_root, d2_root)
+    assert set(r["k"] for r in d2.read().collect()) == live
