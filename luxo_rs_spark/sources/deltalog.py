@@ -656,6 +656,40 @@ class DeltaLog:
             out = part if out is None else out.unionByName(part)
         return out
 
+    def changes(self, v_from: int, v_to: int) -> DataFrame:
+        """Row-level CDC between two versions of a FOREIGN Delta table
+        (round 10 — the SnapTable ``changes`` recipe on the public
+        log): file identity is (path, deletionVector uniqueId), so
+        data files are never read when they appear unchanged on both
+        sides; a DV commit surfaces exactly its deleted rows; inserts
+        = (v_to EXCEPT ALL v_from), deletes the reverse, tagged in
+        ``change_type``."""
+        sf = self.snapshot(v_from)
+        st = self.snapshot(v_to)
+
+        def key(a: dict):
+            dv = a.get("deletionVector") or {}
+            return (a["path"], dv.get("pathOrInlineDv", ""),
+                    dv.get("offset"))
+
+        kf = {key(a): a for a in sf["adds"].values()}
+        kt = {key(a): a for a in st["adds"].values()}
+        added = [a for k, a in kt.items() if k not in kf]
+        removed = [a for k, a in kf.items() if k not in kt]
+        # read each side under ITS OWN snapshot state (schema/mapping
+        # may differ; DV application needs the owning adds)
+        a_df = self._read_adds(st, added)
+        r_df = self._read_adds(sf, removed)
+        return (
+            a_df.exceptAll(r_df)
+            .withColumn("change_type", F.lit("insert"))
+            .unionByName(
+                r_df.exceptAll(a_df).withColumn(
+                    "change_type", F.lit("delete")
+                )
+            )
+        )
+
     # -- minimal writer --------------------------------------------------------
 
     def _table_id(self) -> str:

@@ -806,3 +806,30 @@ def test_foreign_v2_checkpoint_with_sidecars(spark, root):
         1, 2, 3, 10, 20, 100,
     ]
     assert sorted(r["k"] for r in t.read(1).collect()) == [1, 2, 3, 10, 20]
+
+
+def test_changes_cdc_between_versions(spark, root):
+    """Row-level CDC over a foreign-format log: appends surface as
+    inserts, DV deletes as exactly their deleted rows, CoW rewrites as
+    delete+insert pairs that net to the real change."""
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, range(50)))                    # v0
+    t.write(_mk(spark, range(50, 80)))                # v1: append
+    by = {
+        r["change_type"]: r["count"]
+        for r in t.changes(0, 1).groupBy("change_type").count().collect()
+    }
+    assert by == {"insert": 30}
+    t.delete_where("k", 10, 14, mode="dv")            # v2: DV delete
+    ch = t.changes(1, 2).collect()
+    assert {r["change_type"] for r in ch} == {"delete"}
+    assert sorted(r["k"] for r in ch) == list(range(10, 15))
+    t.delete_where("k", 60, 64)                       # v3: CoW delete
+    ch = t.changes(2, 3).collect()
+    deletes = sorted(r["k"] for r in ch if r["change_type"] == "delete")
+    inserts = sorted(r["k"] for r in ch if r["change_type"] == "insert")
+    assert deletes == list(range(60, 65)) and inserts == []
+    # full-range CDC nets to the overall difference
+    ch = t.changes(0, 3)
+    assert ch.filter("change_type = 'insert'").count() == 30 - 5
+    assert ch.filter("change_type = 'delete'").count() == 5
