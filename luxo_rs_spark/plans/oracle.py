@@ -11198,3 +11198,50 @@ SELECT '4_scan_'
        AS BIGINT)
 ORDER BY probe
 """
+
+# q487: foreign-Delta CDC replayed — the append's inserts, the DV
+# delete's exact rows, the CoW delete's rows, and the 0->3 net diff.
+ORACLE_SQL["q487_delta_cdc"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 2048
+), ins1 AS (SELECT * FROM base WHERE k % 4 = 3),
+del2 AS (SELECT * FROM base WHERE k BETWEEN 300 AND 899),
+del3 AS (SELECT * FROM base
+         WHERE k BETWEEN 1200 AND 1499
+           AND k NOT BETWEEN 300 AND 899),
+net_del AS (
+  SELECT * FROM base
+  WHERE (k BETWEEN 300 AND 899 OR k BETWEEN 1200 AND 1499)
+    AND k % 4 <> 3
+), net_ins AS (
+  SELECT * FROM ins1
+  WHERE k NOT BETWEEN 300 AND 899 AND k NOT BETWEEN 1200 AND 1499
+)
+SELECT 0 AS from_v, 1 AS to_v, 'insert' AS change_type,
+  CAST((SELECT count(*) FROM ins1) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(k) FROM ins1) AS BIGINT) AS sum_key,
+  CAST((SELECT sum(cents) FROM ins1) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT 1, 2, 'delete',
+  CAST((SELECT count(*) FROM del2) AS BIGINT),
+  CAST((SELECT sum(k) FROM del2) AS BIGINT),
+  CAST((SELECT sum(cents) FROM del2) AS BIGINT)
+UNION ALL
+SELECT 2, 3, 'delete',
+  CAST((SELECT count(*) FROM del3) AS BIGINT),
+  CAST((SELECT sum(k) FROM del3) AS BIGINT),
+  CAST((SELECT sum(cents) FROM del3) AS BIGINT)
+UNION ALL
+SELECT 0, 3, 'delete',
+  CAST((SELECT count(*) FROM net_del) AS BIGINT),
+  CAST((SELECT sum(k) FROM net_del) AS BIGINT),
+  CAST((SELECT sum(cents) FROM net_del) AS BIGINT)
+UNION ALL
+SELECT 0, 3, 'insert',
+  CAST((SELECT count(*) FROM net_ins) AS BIGINT),
+  CAST((SELECT sum(k) FROM net_ins) AS BIGINT),
+  CAST((SELECT sum(cents) FROM net_ins) AS BIGINT)
+ORDER BY from_v, to_v, change_type
+"""

@@ -18795,3 +18795,63 @@ def q486_cross_format_migration(
     return spark.createDataFrame(
         rows, "probe string, n_rows bigint, sum_cents bigint"
     ).orderBy("probe")
+
+
+# ---------------------------------------------------------------------------
+# Q487 — row-level CDC over a FOREIGN Delta log (round 10): the q463
+# recipe on the public format — append, DV delete (the vectored file
+# appears on both sides with its two vector states and nets to exactly
+# the deleted rows), and CoW delete, each diffed by (path, dv) file
+# identity so unchanged files are never read. Every grouped change set
+# is a pure function of orders.
+# ---------------------------------------------------------------------------
+@query("q487_delta_cdc")
+def q487_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.deltalog import DeltaLog
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "deltalog_q487"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2048)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            F.expr("cast(o_orderkey div 512 as string)").alias("bucket"),
+        )
+    )
+    t = DeltaLog(spark, root)
+    t.write(base.filter(F.col("k") % 4 != 3), partition_by=["bucket"])
+    t.write(base.filter(F.col("k") % 4 == 3))          # v1: append
+    t.delete_where("k", 300, 899, mode="dv")           # v2: DV delete
+    t.delete_where("k", 1200, 1499)                    # v3: CoW delete
+
+    def grouped(v_from: int, v_to: int) -> DataFrame:
+        return (
+            t.changes(v_from, v_to)
+            .groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum("k").cast("bigint").alias("sum_key"),
+                F.sum("cents").cast("bigint").alias("sum_cents"),
+            )
+            .select(
+                F.lit(v_from).cast("int").alias("from_v"),
+                F.lit(v_to).cast("int").alias("to_v"),
+                "change_type",
+                "n_rows",
+                "sum_key",
+                "sum_cents",
+            )
+        )
+
+    out = grouped(0, 1)
+    for pair in ((1, 2), (2, 3), (0, 3)):
+        out = out.unionAll(grouped(*pair))
+    return out.orderBy("from_v", "to_v", "change_type")
