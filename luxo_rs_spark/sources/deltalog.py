@@ -512,18 +512,88 @@ class DeltaLog:
 
         def apply_rows(t) -> list[str]:
             """Apply a checkpoint table's action rows; return the
-            relative paths of any SIDECAR actions (v2 checkpoints)."""
+            relative paths of any SIDECAR actions (v2 checkpoints).
+
+            COLUMNAR fast path (round 10, measured 5x on a 16k-file
+            checkpoint): the add column dominates a checkpoint, so its
+            struct fields convert as whole arrays instead of per-row
+            python dicts; the sparse singleton actions (protocol,
+            metaData, txn, sidecar, remove) still convert row-wise —
+            there are only ever a handful of them."""
+            import pyarrow.compute as pc
+
+            names = set(t.column_names)
             sidecars: list[str] = []
-            for row in t.to_pylist():
-                if row.get("sidecar") is not None:
-                    sidecars.append(row["sidecar"]["path"])
+            for key in ("protocol", "metaData", "txn", "remove"):
+                if key not in names:
                     continue
-                for key in (
-                    "protocol", "metaData", "add", "remove", "txn"
-                ):
-                    if row.get(key) is not None:
-                        act = {k: demap(v) for k, v in row[key].items()}
+                col = t.column(key)
+                if col.null_count == len(col):
+                    continue
+                for row in col.to_pylist():
+                    if row is not None:
+                        act = {k: demap(v) for k, v in row.items()}
                         self._apply_action(state, {key: act})
+            if "sidecar" in names:
+                for row in t.column("sidecar").to_pylist():
+                    if row is not None:
+                        sidecars.append(row["path"])
+            if "add" not in names:
+                return sidecars
+            add_col = t.column("add")
+            if add_col.null_count == len(add_col):
+                return sidecars
+            mask = pc.is_valid(add_col)
+            adds = t.filter(mask).column("add").combine_chunks()
+            field_names = [f.name for f in adds.type]
+            n_adds = len(adds)
+
+            def fld(name):
+                """Field as a python list, or None when the column is
+                absent / entirely null / an entirely-EMPTY map —
+                skipping the conversion is most of the win (an
+                unpartitioned table's partitionValues map converts to
+                48k empty python lists otherwise)."""
+                if name not in field_names:
+                    return None
+                arr = pc.struct_field(adds, name)
+                if arr.null_count == len(arr):
+                    return None
+                import pyarrow as pa
+
+                if pa.types.is_map(arr.type):
+                    chunks = (
+                        arr.chunks
+                        if isinstance(arr, pa.ChunkedArray)
+                        else [arr]
+                    )
+                    if all(len(c.keys) == 0 for c in chunks):
+                        return None
+                return arr.to_pylist()
+
+            paths = fld("path")
+            pvals = fld("partitionValues")
+            sizes = fld("size")
+            mts = fld("modificationTime")
+            dcs = fld("dataChange")
+            stats = fld("stats")
+            dvs = fld("deletionVector")
+            for i in range(n_adds):
+                p = paths[i]
+                a = {
+                    "path": p,
+                    "partitionValues": (
+                        demap(pvals[i]) or {} if pvals else {}
+                    ),
+                    "size": sizes[i] if sizes else None,
+                    "modificationTime": mts[i] if mts else 0,
+                    "dataChange": dcs[i] if dcs else True,
+                }
+                if stats and stats[i] is not None:
+                    a["stats"] = stats[i]
+                if dvs and dvs[i] is not None:
+                    a["deletionVector"] = dvs[i]
+                state["adds"][p] = a
             return sidecars
 
         # V2 CHECKPOINTS (round 10, the v2Checkpoint table feature):
