@@ -18855,3 +18855,134 @@ def q487_delta_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pair in ((1, 2), (2, 3), (0, 3)):
         out = out.unionAll(grouped(*pair))
     return out.orderBy("from_v", "to_v", "change_type")
+
+
+# ---------------------------------------------------------------------------
+# Q488 — FOREIGN Delta table as a Structured Streaming source (round
+# 10, sources/deltastream.py): the public-protocol tail. Phase 1
+# drains the live snapshot (v0 create + v1 append + an
+# OPTIMIZE-shaped dataChange=false commit — invisible to the tail,
+# rows counted once). A CoW DELETE then lands; phase 2 drains with
+# skipChangeCommits (the retraction vanishes, the later append
+# flows). A second sink replays ALL history from startingVersion=0 —
+# append-only, so it must equal phase 2's sink exactly. The final row
+# is the live batch read (delete applied). Every phase is a pure
+# function of orders, replayed by the oracle.
+# ---------------------------------------------------------------------------
+@query("q488_delta_stream_tail")
+def q488_delta_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.deltalog import DeltaLog
+    from luxo_rs_spark.sources import deltastream
+
+    base_dir = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "deltastream_q488"
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    root = os.path.join(base_dir, "table")
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1024)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderkey") % 7).cast("int").alias("bucket"),
+        )
+    )
+    t = DeltaLog(spark, root)
+    t.write(base.filter(F.col("k") % 3 != 0), partition_by=["bucket"])
+    t.write(base.filter(F.col("k") % 3 == 0))  # v1: append
+
+    # v2: an OPTIMIZE-shaped commit another engine could write —
+    # compacted file added and live files removed, all
+    # dataChange=false; the tail must not re-deliver a single row
+    s = t.snapshot()
+    live = sorted(s["adds"])
+    compacted_rel = "compacted-q488.parquet"
+    t.read().coalesce(1).select(
+        "k", "cents", "bucket"
+    ).write.parquet(os.path.join(base_dir, "stage_compact"))
+    stage = [
+        f for f in os.listdir(os.path.join(base_dir, "stage_compact"))
+        if f.endswith(".parquet")
+    ][0]
+    shutil.copyfile(
+        os.path.join(base_dir, "stage_compact", stage),
+        os.path.join(root, compacted_rel),
+    )
+    acts = [{"commitInfo": {"operation": "OPTIMIZE"}}]
+    acts.append({"add": {
+        "path": compacted_rel, "partitionValues": {}, "size": 1,
+        "modificationTime": 0, "dataChange": False,
+    }})
+    acts.extend({"remove": {
+        "path": p, "deletionTimestamp": 0, "dataChange": False,
+    }} for p in live)
+    v = t.latest_version() + 1
+    with open(
+        os.path.join(root, "_delta_log", f"{v:020d}.json"), "w"
+    ) as f:
+        for a in acts:
+            f.write(_json.dumps(a) + "\n")
+
+    deltastream.register(spark)
+
+    def drain(out, ckpt, **options):
+        reader = spark.readStream.format("deltastream")
+        for k, val in options.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load(root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out_a = os.path.join(base_dir, "sink_a")
+    ck_a = os.path.join(base_dir, "ckpt_a")
+    drain(out_a, ck_a)  # phase 1: snapshot (base, counted once)
+
+    def stat(phase, df):
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    # pin the file list NOW: the sink grows in phase 2, and a lazy
+    # spark.read.parquet(dir) would see the later files at exec time
+    p1_files = [
+        os.path.join(out_a, f)
+        for f in os.listdir(out_a) if f.endswith(".parquet")
+    ]
+    p1 = stat("p1_snapshot", spark.read.parquet(*p1_files))
+
+    t.delete_where("k", 300, 600)               # v3: CoW delete
+    t.write(                                     # v4: append
+        base.filter(F.col("k") % 5 == 0)
+        .select("k", "cents", "bucket"),
+        partition_by=["bucket"],
+    )
+    drain(out_a, ck_a, skipChangeCommits="true")  # phase 2: tail
+    p2 = stat("p2_tail", spark.read.parquet(out_a))
+
+    out_b = os.path.join(base_dir, "sink_b")
+    drain(  # full-history replay: must equal phase 2's sink
+        out_b, os.path.join(base_dir, "ckpt_b"),
+        startingVersion="0", skipChangeCommits="true",
+    )
+    p3 = stat("p3_replay", spark.read.parquet(out_b))
+    p4 = stat("p4_live", t.read())
+
+    return (
+        p1.unionAll(p2).unionAll(p3).unionAll(p4).orderBy("phase")
+    )
