@@ -11285,3 +11285,44 @@ SELECT 'p4_live',
   CAST((SELECT sum(cents) FROM live) AS BIGINT)
 ORDER BY phase
 """
+
+# q489: the foreign-Iceberg streaming tail replayed — identical
+# algebra to q488 (the two sources share the phase semantics by
+# design): phase 1 = full base (the replace/compaction snapshot adds
+# no rows), phase 2 appends the k%5 slice (the delete snapshot is
+# skipped), the startingSequence=1 replay equals phase 2, the live
+# read applies the position delete.
+ORACLE_SQL["q489_iceberg_stream_tail"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 1024
+), appended AS (
+  SELECT * FROM base WHERE k % 5 = 0
+), tail AS (
+  SELECT * FROM base UNION ALL SELECT * FROM appended
+), live AS (
+  SELECT * FROM base WHERE k NOT BETWEEN 300 AND 600
+  UNION ALL SELECT * FROM appended
+)
+SELECT 'p1_snapshot' AS phase,
+  CAST((SELECT count(*) FROM base) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(k) FROM base) AS BIGINT) AS sum_k,
+  CAST((SELECT sum(cents) FROM base) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT 'p2_tail',
+  CAST((SELECT count(*) FROM tail) AS BIGINT),
+  CAST((SELECT sum(k) FROM tail) AS BIGINT),
+  CAST((SELECT sum(cents) FROM tail) AS BIGINT)
+UNION ALL
+SELECT 'p3_replay',
+  CAST((SELECT count(*) FROM tail) AS BIGINT),
+  CAST((SELECT sum(k) FROM tail) AS BIGINT),
+  CAST((SELECT sum(cents) FROM tail) AS BIGINT)
+UNION ALL
+SELECT 'p4_live',
+  CAST((SELECT count(*) FROM live) AS BIGINT),
+  CAST((SELECT sum(k) FROM live) AS BIGINT),
+  CAST((SELECT sum(cents) FROM live) AS BIGINT)
+ORDER BY phase
+"""

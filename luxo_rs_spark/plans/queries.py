@@ -18986,3 +18986,100 @@ def q488_delta_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p1.unionAll(p2).unionAll(p3).unionAll(p4).orderBy("phase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q489 — FOREIGN Iceberg table as a Structured Streaming source
+# (round 10, sources/icebergstream.py): the q488 recipe on the second
+# foreign format. Phase 1 drains the live snapshot (two appends, then
+# compact() — a `replace` snapshot the tail must NOT re-deliver). A
+# merge-on-read position DELETE lands; phase 2 drains with
+# streaming-skip-delete-snapshots (the retraction vanishes, the later
+# append flows). A second sink replays all history from
+# startingSequence=1 — append-only, equal to phase 2's sink. The
+# final row is the live batch read (delete applied).
+# ---------------------------------------------------------------------------
+@query("q489_iceberg_stream_tail")
+def q489_iceberg_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.iceberg import IcebergTable
+    from luxo_rs_spark.sources import icebergstream
+
+    base_dir = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")),
+        "icebergstream_q489",
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+    root = os.path.join(base_dir, "table")
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1024)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+            (F.col("o_orderkey") % 7).alias("bucket"),
+        )
+    )
+    t = IcebergTable(spark, root)
+    t.write(base.filter(F.col("k") % 3 != 0), partition_by="bucket")
+    t.write(base.filter(F.col("k") % 3 == 0))  # seq 2: append
+    t.compact()  # seq 3: replace — rows unchanged, tail-invisible
+
+    icebergstream.register(spark)
+
+    def drain(out, ckpt, **options):
+        reader = spark.readStream.format("icebergstream")
+        for k, val in options.items():
+            reader = reader.option(k, val)
+        q = (
+            reader.load(root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    out_a = os.path.join(base_dir, "sink_a")
+    ck_a = os.path.join(base_dir, "ckpt_a")
+    drain(out_a, ck_a)  # phase 1: snapshot (base, counted once)
+
+    def stat(phase, df):
+        return df.agg(
+            F.lit(phase).alias("phase"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    # pin the file list NOW: the sink grows in phase 2
+    p1_files = [
+        os.path.join(out_a, f)
+        for f in os.listdir(out_a) if f.endswith(".parquet")
+    ]
+    p1 = stat("p1_snapshot", spark.read.parquet(*p1_files))
+
+    t.delete_where("k", 300, 600)  # seq 4: position delete (MoR)
+    t.write(                       # seq 5: append
+        base.filter(F.col("k") % 5 == 0).select("k", "cents", "bucket")
+    )
+    drain(out_a, ck_a, **{"streaming-skip-delete-snapshots": "true"})
+    p2 = stat("p2_tail", spark.read.parquet(out_a))
+
+    out_b = os.path.join(base_dir, "sink_b")
+    drain(  # full-history replay: must equal phase 2's sink
+        out_b, os.path.join(base_dir, "ckpt_b"),
+        startingSequence="1",
+        **{"streaming-skip-delete-snapshots": "true"},
+    )
+    p3 = stat("p3_replay", spark.read.parquet(out_b))
+    p4 = stat("p4_live", t.read())
+
+    return (
+        p1.unionAll(p2).unionAll(p3).unionAll(p4).orderBy("phase")
+    )

@@ -893,7 +893,7 @@ class IcebergTable:
         if not creating and mode == "append":
             cur = self._snapshot(md, None)
             _, prior_mfs = read_avro(self._abs(cur["manifest-list"]))
-        elif mode not in ("append", "overwrite"):
+        elif mode not in ("append", "overwrite", "replace"):
             raise ValueError(f"unsupported write mode {mode!r}")
         ml_rel = os.path.join(
             "metadata", f"snap-{snap_id:05d}-manifest-list.avro"
@@ -927,6 +927,18 @@ class IcebergTable:
         ) as f:
             f.write(str(meta_version))
         return snap_id
+
+    def compact(self) -> int:
+        """OPTIMIZE: rewrite the live rows (position + equality
+        deletes applied during the read) into fresh data files and
+        commit them as a ``replace`` snapshot — the row set is
+        unchanged, so streaming tails (sources/icebergstream.py) and
+        incremental readers skip it, exactly like a dataChange=false
+        Delta OPTIMIZE. Old data files stay on disk (Iceberg never
+        removes files at commit; expire/vacuum is a separate
+        concern); the new manifest list carries ONLY the rewritten
+        files, dropping the applied delete manifests."""
+        return self.write(self.read(), mode="replace")
 
     def delete_where(self, col: str, lo, hi) -> int:
         """POSITION-DELETE commit (round 10 — Iceberg v2 row-level
