@@ -11326,3 +11326,46 @@ SELECT 'p4_live',
   CAST((SELECT sum(cents) FROM live) AS BIGINT)
 ORDER BY phase
 """
+
+# q490: the retention lifecycle replayed — the row algebra is pure
+# SQL over orders; the file/log accounting is DETERMINISTIC because
+# every lane write is coalesce(1): Delta vacuum removes exactly the
+# overwritten create's 1 data file and the 2 pre-checkpoint commit
+# JSONs; Iceberg expire drops 3 snapshots whose closure is exactly 9
+# files (3 manifest-lists + 2 data manifests + 1 delete manifest +
+# 2 data files + 1 position-delete parquet).
+ORACLE_SQL["q490_foreign_retention"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 1024
+), delta_live AS (
+  SELECT * FROM base
+  WHERE k % 2 = 0 AND k NOT BETWEEN 100 AND 300
+), sevens AS (
+  SELECT * FROM base WHERE k % 7 = 0
+), delta_post AS (
+  SELECT * FROM delta_live UNION ALL SELECT * FROM sevens
+), ice_live AS (
+  SELECT * FROM base WHERE k NOT BETWEEN 100 AND 300
+), ice_post AS (
+  SELECT * FROM ice_live UNION ALL SELECT * FROM sevens
+)
+SELECT 'delta_vacuum' AS probe,
+  CAST(1 AS BIGINT) AS n_removed, CAST(2 AS BIGINT) AS n_meta,
+  CAST((SELECT count(*) FROM delta_live) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(cents) FROM delta_live) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT 'delta_post_append', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+  CAST((SELECT count(*) FROM delta_post) AS BIGINT),
+  CAST((SELECT sum(cents) FROM delta_post) AS BIGINT)
+UNION ALL
+SELECT 'iceberg_expire', CAST(9 AS BIGINT), CAST(3 AS BIGINT),
+  CAST((SELECT count(*) FROM ice_live) AS BIGINT),
+  CAST((SELECT sum(cents) FROM ice_live) AS BIGINT)
+UNION ALL
+SELECT 'iceberg_post_append', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+  CAST((SELECT count(*) FROM ice_post) AS BIGINT),
+  CAST((SELECT sum(cents) FROM ice_post) AS BIGINT)
+ORDER BY probe
+"""

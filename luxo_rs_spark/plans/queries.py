@@ -19083,3 +19083,87 @@ def q489_iceberg_stream_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p1.unionAll(p2).unionAll(p3).unionAll(p4).orderBy("phase")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q490 — foreign-format RETENTION lifecycle (round 10): the
+# maintenance plane of the interop layer. Delta: create -> overwrite
+# -> DV delete -> checkpoint -> vacuum(retain 1) — exactly the
+# overwritten create's data file dies (the DV side-file is retained
+# state), exactly the two pre-checkpoint commit JSONs leave the log,
+# and the table still reads and appends afterwards. Iceberg: create
+# -> append -> MoR position delete -> replace-compaction ->
+# expire_snapshots(retain 1) — the three expired snapshots' whole
+# closure (two manifest-lists + three manifests + two data files +
+# the delete parquet, plus the third manifest-list) is orphaned and
+# removed, the compacted file alone survives. Every write is
+# coalesce(1), so the file accounting is DETERMINISTIC and the
+# oracle replays it as constants alongside the row algebra.
+# ---------------------------------------------------------------------------
+@query("q490_foreign_retention")
+def q490_foreign_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.deltalog import DeltaLog
+    from luxo_rs_spark.sources.iceberg import IcebergTable
+
+    base_dir = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")),
+        "retention_q490",
+    )
+    shutil.rmtree(base_dir, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1024)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    # -- Delta: overwrite + DV delete, then vacuum ---------------------
+    dt = DeltaLog(spark, os.path.join(base_dir, "delta"))
+    dt.write(base.coalesce(1))                                   # v0
+    dt.write(base.filter(F.col("k") % 2 == 0).coalesce(1),
+             mode="overwrite")                                   # v1
+    dt.delete_where("k", 100, 300, mode="dv")                    # v2
+    dt.checkpoint()
+    dstats = dt.vacuum(retain_versions=1)
+
+    def stat(probe, n_removed, n_meta, df):
+        return df.agg(
+            F.lit(probe).alias("probe"),
+            F.lit(int(n_removed)).cast("bigint").alias("n_removed"),
+            F.lit(int(n_meta)).cast("bigint").alias("n_meta"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    p1 = stat(
+        "delta_vacuum",
+        dstats["data_files_removed"], dstats["log_files_removed"],
+        dt.read(),
+    )
+    dt.write(base.filter(F.col("k") % 7 == 0).coalesce(1))       # v3
+    p2 = stat("delta_post_append", 0, 0, dt.read())
+
+    # -- Iceberg: append + MoR delete + compaction, then expire --------
+    it = IcebergTable(spark, os.path.join(base_dir, "iceberg"))
+    it.write(base.filter(F.col("k") % 3 == 0).coalesce(1))       # s1
+    it.write(base.filter(F.col("k") % 3 != 0).coalesce(1))       # s2
+    it.delete_where("k", 100, 300)                               # s3
+    it.write(it.read().coalesce(1), mode="replace")              # s4
+    istats = it.expire_snapshots(retain_last=1)
+
+    p3 = stat(
+        "iceberg_expire",
+        istats["orphans_removed"], istats["expired"], it.read(),
+    )
+    it.write(base.filter(F.col("k") % 7 == 0).coalesce(1))       # s5
+    p4 = stat("iceberg_post_append", 0, 0, it.read())
+
+    return (
+        p1.unionAll(p2).unionAll(p3).unionAll(p4).orderBy("probe")
+    )

@@ -1365,3 +1365,102 @@ class DeltaLog:
         with open(os.path.join(self.log_dir, "_last_checkpoint"), "w") as f:
             json.dump({"version": version, "size": tbl.num_rows}, f)
         return version
+
+    def _dv_abs_path(self, dv: dict) -> str | None:
+        """Absolute side-file path of a deletionVector descriptor
+        (None for inline 'i' vectors)."""
+        st = dv.get("storageType")
+        if st == "p":
+            return dv["pathOrInlineDv"]
+        if st == "u":
+            import uuid as _uuid
+
+            enc = dv["pathOrInlineDv"]
+            prefix, uuid_enc = enc[:-20], enc[-20:]
+            u = _uuid.UUID(bytes=z85_decode(uuid_enc))
+            rel = (prefix + "/" if prefix else "") + (
+                f"deletion_vector_{u}.bin"
+            )
+            return os.path.join(self.root, rel)
+        return None
+
+    def vacuum(
+        self,
+        retain_versions: int = 1,
+        clean_log: bool = True,
+        grace_seconds: float = 0.0,
+    ) -> dict:
+        """Physical file RETENTION (the Delta VACUUM shape, by
+        version count instead of wall-clock): delete every data
+        parquet and DV side-file under the table root that no
+        snapshot of the newest ``retain_versions`` log versions
+        references. Files younger than ``grace_seconds`` are spared —
+        the in-flight-commit valve real VACUUM implements as its
+        retention period (production Delta defaults to 7 days;
+        a concurrent writer's staged-but-uncommitted files must
+        survive). With ``clean_log``, commit JSONs strictly below the
+        newest checkpoint at or below the oldest retained version are
+        removed too (the protocol's log-retention shape — state below
+        the checkpoint reconstructs from it). Time travel below the
+        retained window raises afterwards. Returns
+        {data_files_removed, log_files_removed, retained_versions}."""
+        import time
+
+        vs = self.versions()
+        if not vs:
+            raise FileNotFoundError(
+                f"delta table {self.root}: no log"
+            )
+        retain_versions = max(1, int(retain_versions))
+        keep_vs = vs[-retain_versions:]
+        live: set = set()
+        for v in keep_vs:
+            s = self.snapshot(v)
+            for a in s["adds"].values():
+                live.add(os.path.join(self.root, a["path"]))
+                dv = a.get("deletionVector")
+                if dv:
+                    ap = self._dv_abs_path(dv)
+                    if ap:
+                        live.add(ap)
+        cutoff = time.time() - max(0.0, grace_seconds)
+        removed = 0
+        for root_dir, dirs, fnames in os.walk(self.root):
+            # never touch the log, nor a writer's staging area
+            dirs[:] = [
+                d for d in dirs
+                if d != _LOG_DIR and not d.startswith("_stage")
+            ]
+            for fn in fnames:
+                if not (
+                    fn.endswith(".parquet")
+                    or (
+                        fn.startswith("deletion_vector_")
+                        and fn.endswith(".bin")
+                    )
+                ):
+                    continue
+                ap = os.path.join(root_dir, fn)
+                if ap in live:
+                    continue
+                if os.path.getmtime(ap) > cutoff:
+                    continue  # grace: possibly an in-flight commit
+                os.remove(ap)
+                removed += 1
+        log_removed = 0
+        if clean_log:
+            cp = self._checkpoint_version_at_most(keep_vs[0])
+            if cp is not None:
+                for v in vs:
+                    if v < cp:
+                        os.remove(
+                            os.path.join(
+                                self.log_dir, f"{v:020d}.json"
+                            )
+                        )
+                        log_removed += 1
+        return {
+            "data_files_removed": removed,
+            "log_files_removed": log_removed,
+            "retained_versions": len(keep_vs),
+        }

@@ -928,6 +928,90 @@ class IcebergTable:
             f.write(str(meta_version))
         return snap_id
 
+    def expire_snapshots(
+        self, retain_last: int = 1, delete_orphans: bool = True
+    ) -> dict:
+        """Snapshot RETENTION (the Iceberg maintenance pair
+        expireSnapshots + removeOrphanFiles in one pass): keep the
+        newest ``retain_last`` snapshots of the lineage (always
+        including the current one), drop the rest from the metadata,
+        and — with ``delete_orphans`` — physically remove every
+        manifest-list, manifest, data and delete file referenced ONLY
+        by expired snapshots. The kept-file closure is computed from
+        the RETAINED snapshots' manifests (every entry's path, any
+        status — conservative), so nothing a retained snapshot can
+        reach is ever deleted. Commits a fresh metadata version;
+        time travel to expired snapshot ids raises afterwards.
+        Returns {expired, kept, orphans_removed}."""
+        md = self.metadata()
+        vs = self._metadata_versions()
+        lineage = sorted(
+            self.snapshots(md),
+            key=lambda s: int(s["sequence-number"]),
+        )
+        retain_last = max(1, int(retain_last))
+        keep = lineage[-retain_last:]
+        cur = md.get("current-snapshot-id")
+        if cur is not None and all(
+            s["snapshot-id"] != cur for s in keep
+        ):
+            keep.append(self._snapshot(md, cur))
+        keep_ids = {s["snapshot-id"] for s in keep}
+        expired = [
+            s for s in lineage if s["snapshot-id"] not in keep_ids
+        ]
+        if not expired:
+            return {
+                "expired": 0, "kept": len(keep), "orphans_removed": 0,
+            }
+
+        def closure(snaps: list[dict]) -> set:
+            refs: set = set()
+            for s in snaps:
+                ml = s["manifest-list"]
+                refs.add(ml)
+                _, manifests = read_avro(self._abs(ml))
+                for mf in manifests:
+                    refs.add(mf["manifest_path"])
+                    _, entries = read_avro(
+                        self._abs(mf["manifest_path"])
+                    )
+                    for e in entries:
+                        refs.add(e["data_file"]["file_path"])
+            return refs
+
+        removed = 0
+        if delete_orphans:
+            kept_refs = {self._abs(p) for p in closure(keep)}
+            for p in sorted(closure(expired)):
+                ap = self._abs(p)
+                if ap not in kept_refs and os.path.exists(ap):
+                    os.remove(ap)
+                    removed += 1
+        md2 = dict(md)
+        md2["snapshots"] = keep
+        md2["snapshot-log"] = [
+            entry
+            for entry in md.get("snapshot-log", [])
+            if entry.get("snapshot-id") in keep_ids
+        ]
+        meta_version = vs[-1] + 1
+        path = os.path.join(
+            self.meta_dir, f"v{meta_version}.metadata.json"
+        )
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(md2, f, sort_keys=True)
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as f:
+            f.write(str(meta_version))
+        return {
+            "expired": len(expired),
+            "kept": len(keep),
+            "orphans_removed": removed,
+        }
+
     def compact(self) -> int:
         """OPTIMIZE: rewrite the live rows (position + equality
         deletes applied during the read) into fresh data files and
