@@ -543,10 +543,21 @@ class IcebergTable:
 
         def apply_eq_deletes(part: DataFrame, eq_key: tuple) -> DataFrame:
             for path, ids in eq_key:
+                # the delete file's columns resolve BY FIELD ID too —
+                # an eq-delete written before a rename keeps applying
                 cols = [name_of_id[i] for i in ids]
+                res = self._file_column_resolution(
+                    self._abs(path),
+                    [{"id": i, "name": c} for i, c in zip(ids, cols)],
+                )
                 deld = (
                     self.spark.read.parquet(self._abs(path))
-                    .select(cols)
+                    .select(
+                        [
+                            F.col(phys if phys else c).alias(c)
+                            for phys, c in zip(res, cols)
+                        ]
+                    )
                     .distinct()
                 )
                 part = part.join(F.broadcast(deld), cols, "left_anti")
@@ -557,24 +568,53 @@ class IcebergTable:
         # struct per group (the hive-style read deltalog does)
         spec_fields = self._partition_names(md)
         data_cols = [f.name for f in schema.fields]
+        # per-file column resolution BY PARQUET FIELD ID (schema
+        # evolution: renames are metadata-only, added columns NULL in
+        # older files) — files sharing a resolution read as one group
+        data_field_meta = [
+            fd for fd in self._schema_fields(md)
+            if fd["name"] not in spec_fields
+        ]
+        data_struct_fields = [
+            f for f in schema.fields if f.name not in spec_fields
+        ]
         by_vals: dict[tuple, list] = {}
         for fl in files:
             pkey = tuple(fl["partition"].get(p) for p in spec_fields)
             eq_key = tuple(sorted(fl.get("eq_deletes") or ()))
-            grp = by_vals.setdefault((pkey, eq_key), ([], [False]))
+            res = self._file_column_resolution(
+                self._abs(fl["path"]), data_field_meta
+            )
+            grp = by_vals.setdefault(
+                (pkey, eq_key, res), ([], [False])
+            )
             grp[0].append(self._abs(fl["path"]))
             if os.path.basename(fl["path"]) in del_fnames:
                 grp[1][0] = True
         ptype = {f.name: f.dataType for f in schema.fields}
-        data_schema = T.StructType(
-            [f for f in schema.fields if f.name not in spec_fields]
-        )
         out = None
-        for (pkey, eq_key), (paths, any_del) in sorted(
+        for (pkey, eq_key, res), (paths, any_del) in sorted(
             by_vals.items(), key=lambda kv: str(kv[0])
         ):
-            part = self.spark.read.schema(data_schema).parquet(*paths)
+            read_schema = T.StructType(
+                [
+                    T.StructField(phys, f.dataType, True)
+                    for phys, f in zip(res, data_struct_fields)
+                    if phys
+                ]
+            )
+            part = self.spark.read.schema(read_schema).parquet(*paths)
             part = apply_deletes(part, any_del[0])
+            part = part.select(
+                [
+                    (
+                        F.col(phys).alias(f.name)
+                        if phys
+                        else F.lit(None).cast(f.dataType).alias(f.name)
+                    )
+                    for phys, f in zip(res, data_struct_fields)
+                ]
+            )
             for c, val in zip(spec_fields, pkey):
                 lit = (
                     F.lit(None) if val is None else F.lit(val)
@@ -735,6 +775,20 @@ class IcebergTable:
         fields = self._schema_fields(md)
         fid_of = {f["name"]: f["id"] for f in fields}
         ftype_of = {f["name"]: f["type"] for f in fields}
+
+        # stamp every staged column with its schema FIELD ID (the
+        # spec's column-resolution key, written as parquet field_id):
+        # files stay readable across metadata-only renames
+        df = df.select(
+            [
+                F.col(c).alias(
+                    c, metadata={"parquet.field.id": fid_of[c]}
+                )
+                if c in fid_of
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
 
         seq = int(md.get("last-sequence-number", 0)) + 1
         snap_id = len(self.snapshots(md)) + 1
@@ -928,6 +982,122 @@ class IcebergTable:
             f.write(str(meta_version))
         return snap_id
 
+    def _commit_schema(
+        self, md: dict, new_fields: list[dict],
+        last_column_id: int | None = None,
+    ) -> None:
+        """Append a new schema version (metadata-only commit — no
+        snapshot, no data movement) and point current-schema-id at
+        it."""
+        vs = self._metadata_versions()
+        schemas = list(md.get("schemas", []))
+        new_sid = 1 + max(
+            (int(s.get("schema-id", 0)) for s in schemas), default=-1
+        )
+        schemas.append(
+            {"type": "struct", "schema-id": new_sid,
+             "fields": new_fields}
+        )
+        md2 = dict(md)
+        md2["schemas"] = schemas
+        md2["current-schema-id"] = new_sid
+        if last_column_id is not None:
+            md2["last-column-id"] = last_column_id
+        meta_version = vs[-1] + 1
+        path = os.path.join(
+            self.meta_dir, f"v{meta_version}.metadata.json"
+        )
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(md2, f, sort_keys=True)
+        with open(
+            os.path.join(self.meta_dir, "version-hint.text"), "w"
+        ) as f:
+            f.write(str(meta_version))
+
+    def rename_column(self, old: str, new: str) -> None:
+        """SCHEMA EVOLUTION: rename a column — metadata only. The
+        field KEEPS ITS ID, and data files are resolved by parquet
+        field id (the spec's rule), so every existing file keeps
+        reading and bounds-based skipping keeps working (bounds are
+        keyed by id). Renaming a partition SOURCE column is a loud
+        boundary: historical manifests key their avro partition
+        structs by write-time name (real Iceberg resolves those by
+        avro field id, which this reader does not implement)."""
+        md = self.metadata()
+        fields = [dict(f) for f in self._schema_fields(md)]
+        names = {f["name"] for f in fields}
+        if old not in names:
+            raise KeyError(f"no such column {old!r}")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        fid = next(f["id"] for f in fields if f["name"] == old)
+        specs = md.get("partition-specs") or []
+        spec = next(
+            (
+                s for s in specs
+                if s.get("spec-id", 0) == md.get("default-spec-id", 0)
+            ),
+            None,
+        )
+        if spec is not None and any(
+            pf.get("source-id") == fid for pf in spec.get("fields", [])
+        ):
+            raise IcebergProtocolError(
+                f"renaming partition source column {old!r} is not "
+                "implemented (historical manifests key partition "
+                "values by write-time name)"
+            )
+        for f in fields:
+            if f["name"] == old:
+                f["name"] = new
+        self._commit_schema(md, fields)
+
+    def add_column(self, name: str, type_name: str) -> None:
+        """SCHEMA EVOLUTION: add a column — metadata only. Gets a
+        fresh field id (never reused); files written before the
+        column surface NULLs through the per-file id resolution."""
+        _spark_type(type_name)  # validates the type is implemented
+        md = self.metadata()
+        fields = [dict(f) for f in self._schema_fields(md)]
+        if name in {f["name"] for f in fields}:
+            raise ValueError(f"column {name!r} already exists")
+        new_id = int(md.get("last-column-id", len(fields))) + 1
+        fields.append(
+            {"id": new_id, "name": name, "required": False,
+             "type": type_name}
+        )
+        self._commit_schema(md, fields, last_column_id=new_id)
+
+    def _file_column_resolution(
+        self, abs_path: str, data_fields: list[dict]
+    ) -> tuple:
+        """Resolve one data file's physical column name per schema
+        field, BY PARQUET FIELD ID (the spec's column-resolution
+        rule — renames never rewrite data). Returns a tuple aligned
+        to ``data_fields``: the file's column name, or None when the
+        file predates the column (add_column evolution). Files
+        without any field ids (hand-built foreign files) fall back
+        to name matching."""
+        import pyarrow.parquet as pq
+
+        sch = pq.read_schema(abs_path)
+        id_name: dict[int, str] = {}
+        names = set()
+        for f in sch:
+            names.add(f.name)
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                id_name[int(fid)] = f.name
+        if not id_name:
+            return tuple(
+                fd["name"] if fd["name"] in names else None
+                for fd in data_fields
+            )
+        return tuple(
+            id_name.get(int(fd["id"])) for fd in data_fields
+        )
+
     def expire_snapshots(
         self, retain_last: int = 1, delete_orphans: bool = True
     ) -> dict:
@@ -1116,6 +1286,14 @@ class IcebergTable:
         bad = [c for c in keys.columns if c not in fid_of]
         if bad:
             raise KeyError(f"no such column(s): {bad}")
+        keys = keys.select(  # field ids: rename-safe resolution
+            [
+                F.col(c).alias(
+                    c, metadata={"parquet.field.id": fid_of[c]}
+                )
+                for c in keys.columns
+            ]
+        )
         vs = self._metadata_versions()
         meta_version = vs[-1] + 1
         seq = int(md.get("last-sequence-number", 0)) + 1

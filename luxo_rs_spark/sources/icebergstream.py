@@ -89,8 +89,8 @@ class _IcebergFilePartition(InputPartition):
     stream schema: ("data", name) reads the parquet column, ("part",
     value) injects the manifest's typed partition literal.
     ``pos_deletes`` are applicable position-delete parquet paths;
-    ``eq_deletes`` are (path, [column names]) equality-delete specs,
-    both applied executor-side."""
+    ``eq_deletes`` are (path, [(logical name, delete-file physical
+    name)]) equality-delete specs, both applied executor-side."""
 
     def __init__(self, abs_path: str, columns: list[tuple],
                  pos_deletes: list[str],
@@ -234,8 +234,21 @@ class _IcebergStreamReader(DataSourceStreamReader):
         if not files:
             return [_IcebergFilePartition("", [], [], [])]
         pcols = set(self._t._partition_names(md))
+        fields_meta = self._t._schema_fields(md)
+        name_of_id = {sf["id"]: sf["name"] for sf in fields_meta}
+        id_of_name = {sf["name"]: sf["id"] for sf in fields_meta}
         parts = []
         for fl in files:
+            abs_path = self._t._abs(fl["path"])
+            # schema evolution: columns resolve BY PARQUET FIELD ID
+            # (renames metadata-only; None = file predates the column)
+            data_meta = [
+                {"id": id_of_name[f.name], "name": f.name}
+                for f in self.schema.fields if f.name not in pcols
+            ]
+            res = iter(self._t._file_column_resolution(
+                abs_path, data_meta
+            ))
             columns: list[tuple] = []
             for f in self.schema.fields:
                 if f.name in pcols:
@@ -243,19 +256,27 @@ class _IcebergStreamReader(DataSourceStreamReader):
                         ("part", fl["partition"].get(f.name))
                     )
                 else:
-                    columns.append(("data", f.name))
-            name_of_id = {
-                sf["id"]: sf["name"]
-                for sf in self._t._schema_fields(md)
-            }
+                    columns.append(("data", next(res)))
+            eq_specs = []
+            for p, ids in (fl.get("eq_deletes") or ()):
+                dp = self._t._abs(p)
+                logical = [name_of_id[i] for i in ids]
+                dres = self._t._file_column_resolution(
+                    dp,
+                    [
+                        {"id": i, "name": c}
+                        for i, c in zip(ids, logical)
+                    ],
+                )
+                eq_specs.append((dp, [
+                    (c, phys if phys else c)
+                    for c, phys in zip(logical, dres)
+                ]))
             parts.append(_IcebergFilePartition(
-                self._t._abs(fl["path"]),
+                abs_path,
                 columns,
                 [self._t._abs(p) for p in fl.get("deletes", ())],
-                [
-                    (self._t._abs(p), [name_of_id[i] for i in ids])
-                    for p, ids in (fl.get("eq_deletes") or ())
-                ],
+                eq_specs,
             ))
         return parts
 
@@ -293,11 +314,14 @@ class _IcebergStreamReader(DataSourceStreamReader):
                     dead.add(int(pos))
         idx_of = {nm: i for i, nm in enumerate(names)}
         for dp, eq_cols in partition.eq_deletes:
-            dtbl = pq.read_table(dp, columns=eq_cols)
+            # eq_cols: (logical name, delete-file physical name) pairs
+            dtbl = pq.read_table(
+                dp, columns=[phys for _, phys in eq_cols]
+            )
             gone = set(zip(*(
-                dtbl.column(c).to_pylist() for c in eq_cols
+                dtbl.column(phys).to_pylist() for _, phys in eq_cols
             )))
-            ixs = [idx_of[c] for c in eq_cols]
+            ixs = [idx_of[c] for c, _ in eq_cols]
             for i in range(n):
                 if tuple(cols[j][i] for j in ixs) in gone:
                     dead.add(i)
