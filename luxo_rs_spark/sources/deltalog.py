@@ -428,19 +428,16 @@ class DeltaLog:
     # -- column mapping (physical-name resolution) ----------------------------
 
     def _mapping_mode(self, s: dict) -> str:
-        mode = (s.get("configuration") or {}).get(
+        return (s.get("configuration") or {}).get(
             "delta.columnMapping.mode", "none"
         )
-        if mode == "id":
-            raise DeltaProtocolError(
-                "column mapping mode 'id' (parquet field-id matching) is "
-                "not implemented; 'name' mode is"
-            )
-        return mode
 
     def _phys_of(self, s: dict) -> dict[str, str]:
-        """logical name -> physical (parquet/partitionValues) name."""
-        if self._mapping_mode(s) != "name":
+        """logical name -> physical (parquet/partitionValues) name.
+        Both mapping modes carry physicalName metadata; 'id' mode
+        additionally resolves data-file columns by parquet field id
+        (see _file_column_resolution), with this as the fallback."""
+        if self._mapping_mode(s) not in ("name", "id"):
             return {f.name: f.name for f in s["schema"].fields}
         out = {}
         for fj in s["fields_json"]:
@@ -448,6 +445,49 @@ class DeltaLog:
                 "delta.columnMapping.physicalName", fj["name"]
             )
         return out
+
+    def _mapping_ids(self, s: dict) -> dict[str, int]:
+        """logical name -> delta.columnMapping.id (empty if unset)."""
+        out = {}
+        for fj in s["fields_json"]:
+            mid = (fj.get("metadata") or {}).get(
+                "delta.columnMapping.id"
+            )
+            if mid is not None:
+                out[fj["name"]] = int(mid)
+        return out
+
+    def _file_column_resolution(
+        self, abs_path: str, s: dict, logical_names: list[str]
+    ) -> tuple:
+        """Per-file physical column resolution. 'name'/'none' modes:
+        the static physicalName map. 'id' mode (round 10): the
+        parquet footer's field ids matched against
+        delta.columnMapping.id — the protocol's rule — with
+        physicalName as the fallback for id-less files; None marks a
+        column the file predates."""
+        phys_of = self._phys_of(s)
+        if self._mapping_mode(s) != "id":
+            return tuple(phys_of.get(n, n) for n in logical_names)
+        import pyarrow.parquet as pq
+
+        id_of = self._mapping_ids(s)
+        sch = pq.read_schema(abs_path)
+        id_name: dict[int, str] = {}
+        names = set()
+        for f in sch:
+            names.add(f.name)
+            fid = (f.metadata or {}).get(b"PARQUET:field_id")
+            if fid is not None:
+                id_name[int(fid)] = f.name
+        out = []
+        for n in logical_names:
+            phys = id_name.get(id_of.get(n))
+            if phys is None:
+                p = phys_of.get(n, n)
+                phys = p if p in names else None
+            out.append(phys)
+        return tuple(out)
 
     # -- deletion vectors (descriptor -> deleted positions) -------------------
 
@@ -644,21 +684,20 @@ class DeltaLog:
     def _read_adds(self, s: dict, adds: list[dict]) -> DataFrame:
         schema: T.StructType = s["schema"]
         pcols = s["partition_columns"]
-        phys_of = self._phys_of(s)  # raises on 'id' mode even if empty
+        phys_of = self._phys_of(s)
         if not adds:
             return self.spark.createDataFrame([], schema)
         data_fields = [f for f in schema.fields if f.name not in pcols]
-        # parquet files address columns by PHYSICAL name (column
-        # mapping); the select below aliases back to logical
-        phys_schema = T.StructType(
-            [
-                T.StructField(phys_of[f.name], f.dataType, True)
-                for f in data_fields
-            ]
-        )
-        logical_sel = [
-            F.col(phys_of[f.name]).alias(f.name) for f in data_fields
-        ]
+        data_names = [f.name for f in data_fields]
+
+        # parquet files address columns PHYSICALLY (column mapping):
+        # 'name' mode by physicalName (one static resolution), 'id'
+        # mode per-file by parquet field id — files sharing a
+        # resolution read as one group
+        def res_of(a: dict) -> tuple:
+            return self._file_column_resolution(
+                os.path.join(self.root, a["path"]), s, data_names
+            )
 
         # deletion vectors: deleted (file basename, row position) pairs
         # of the adds being read, decoded once on the driver (bounded by
@@ -675,7 +714,24 @@ class DeltaLog:
                     (fname, p) for p in self._dv_positions(dvd)
                 )
 
-        def read_group(paths: list[str], any_dv: bool) -> DataFrame:
+        def read_group(
+            paths: list[str], any_dv: bool, res: tuple
+        ) -> DataFrame:
+            phys_schema = T.StructType(
+                [
+                    T.StructField(phys, f.dataType, True)
+                    for phys, f in zip(res, data_fields)
+                    if phys
+                ]
+            )
+            logical_sel = [
+                (
+                    F.col(phys).alias(f.name)
+                    if phys
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                )
+                for phys, f in zip(res, data_fields)
+            ]
             part = self.spark.read.schema(phys_schema).parquet(*paths)
             if any_dv and dv_pairs:
                 dvdf = self.spark.createDataFrame(
@@ -699,24 +755,24 @@ class DeltaLog:
                 )
             return part.select(logical_sel)
 
-        if not pcols:
-            paths = [os.path.join(self.root, a["path"]) for a in adds]
-            return read_group(paths, bool(dv_fnames))
         # partition values are spec-mandated STRINGS keyed by PHYSICAL
-        # name: group the files by their partition tuple, inject typed
-        # literal columns
+        # name: group the files by (partition tuple, resolution),
+        # inject typed literal columns
         by_vals: dict[tuple, list] = {}
         for a in adds:
             pv = a.get("partitionValues") or {}
-            key = tuple(pv.get(phys_of[c]) for c in pcols)
+            key = (
+                tuple(pv.get(phys_of[c]) for c in pcols),
+                res_of(a),
+            )
             grp = by_vals.setdefault(key, ([], [False]))
             grp[0].append(os.path.join(self.root, a["path"]))
             if os.path.basename(a["path"]) in dv_fnames:
                 grp[1][0] = True
         ptype = {f.name: f.dataType for f in schema.fields}
         out = None
-        for key, (paths, any_dv) in sorted(by_vals.items()):
-            part = read_group(paths, any_dv[0])
+        for (key, res), (paths, any_dv) in sorted(by_vals.items()):
+            part = read_group(paths, any_dv[0], res)
             for c, val in zip(pcols, key):
                 lit = (
                     F.lit(None) if val is None else F.lit(val)
@@ -923,11 +979,24 @@ class DeltaLog:
             elif mode != "append":
                 raise ValueError(f"unsupported write mode {mode!r}")
             version = vs[-1] + 1
-            if self._mapping_mode(s) == "name":
-                # data files + partitionValues address PHYSICAL names
+            if self._mapping_mode(s) in ("name", "id"):
+                # data files + partitionValues address PHYSICAL names;
+                # the mapping id is stamped as the parquet field id so
+                # 'id'-mode resolution works on our own files
                 phys_of = self._phys_of(s)
+                mids = self._mapping_ids(s)
                 df = df.select(
-                    [F.col(c).alias(phys_of.get(c, c)) for c in df.columns]
+                    [
+                        F.col(c).alias(
+                            phys_of.get(c, c),
+                            metadata=(
+                                {"parquet.field.id": mids[c]}
+                                if c in mids
+                                else {}
+                            ),
+                        )
+                        for c in df.columns
+                    ]
                 )
                 partition_by = [
                     phys_of.get(c, c) for c in (partition_by or [])
@@ -982,10 +1051,18 @@ class DeltaLog:
             ~F.col(col).between(lo, hi)
         )
         part_by = s["partition_columns"] or None
-        if self._mapping_mode(s) == "name":
+        if self._mapping_mode(s) in ("name", "id"):
+            mids = self._mapping_ids(s)
             survivors = survivors.select(
                 [
-                    F.col(c).alias(phys_of.get(c, c))
+                    F.col(c).alias(
+                        phys_of.get(c, c),
+                        metadata=(
+                            {"parquet.field.id": mids[c]}
+                            if c in mids
+                            else {}
+                        ),
+                    )
                     for c in survivors.columns
                 ]
             )
@@ -1148,15 +1225,20 @@ class DeltaLog:
             )
         return version
 
-    def enable_column_mapping(self) -> int:
-        """Upgrade the table to column mapping ``name`` mode: every
-        field's CURRENT name becomes its immutable physical name
-        (existing data files already use it), the configuration gains
-        ``delta.columnMapping.mode=name``, and the protocol rises to
+    def enable_column_mapping(self, mode: str = "name") -> int:
+        """Upgrade the table to column mapping (``mode`` "name" or
+        "id"): every field's CURRENT name becomes its immutable
+        physical name (existing data files already use it), each
+        field gets a mapping id, the configuration gains
+        ``delta.columnMapping.mode``, and the protocol rises to
         reader 2 / writer 5 — the standard in-place upgrade. Renames
-        after this are metadata-only."""
+        after this are metadata-only. In 'id' mode the reader
+        resolves data-file columns by parquet field id (round 10),
+        physicalName fallback for the pre-upgrade id-less files."""
+        if mode not in ("name", "id"):
+            raise ValueError(f"unknown column mapping mode {mode!r}")
         s = self.snapshot()
-        if self._mapping_mode(s) == "name":
+        if self._mapping_mode(s) in ("name", "id"):
             raise ValueError("column mapping already enabled")
         fields = []
         for i, fj in enumerate(s["fields_json"]):
@@ -1167,7 +1249,7 @@ class DeltaLog:
             fj["metadata"] = md
             fields.append(fj)
         conf = dict(s["configuration"])
-        conf["delta.columnMapping.mode"] = "name"
+        conf["delta.columnMapping.mode"] = mode
         conf["delta.columnMapping.maxColumnId"] = str(len(fields))
         actions = [
             {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
@@ -1196,7 +1278,7 @@ class DeltaLog:
         name changes, the physical name — and therefore every data
         file, partition directory, and stats key — stays put."""
         s = self.snapshot()
-        if self._mapping_mode(s) != "name":
+        if self._mapping_mode(s) not in ("name", "id"):
             raise ValueError(
                 "rename requires column mapping (enable_column_mapping)"
             )

@@ -201,9 +201,17 @@ class _DeltaStreamReader(DataSourceStreamReader):
         s = self._log.snapshot(int(end["v"]))
         phys_of = self._log._phys_of(s)
         pcols = set(s["partition_columns"])
+        data_names = [
+            f.name for f in self.schema.fields if f.name not in pcols
+        ]
         parts = []
         for a in adds:
             pv = a.get("partitionValues") or {}
+            # per-file resolution: physicalName ('name' mode) or
+            # parquet field id ('id' mode); None = file predates col
+            res = iter(self._log._file_column_resolution(
+                os.path.join(self.root, a["path"]), s, data_names
+            ))
             columns: list[tuple] = []
             for f in self.schema.fields:
                 if f.name in pcols:
@@ -215,9 +223,7 @@ class _DeltaStreamReader(DataSourceStreamReader):
                         ),
                     ))
                 else:
-                    columns.append(
-                        ("data", phys_of.get(f.name, f.name))
-                    )
+                    columns.append(("data", next(res)))
             dvd = a.get("deletionVector")
             dead = (
                 tuple(self._log._dv_positions(dvd)) if dvd else ()

@@ -691,12 +691,20 @@ class IcebergTable:
         df: DataFrame,
         mode: str = "append",
         partition_by: str | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot (dense integer snapshot
         ids). ``append`` keeps prior manifests; ``overwrite`` starts
         the manifest list fresh. ``partition_by`` declares ONE identity
         partition column (hive-style data layout, values recorded in
-        the manifest partition struct)."""
+        the manifest partition struct).
+
+        ``txn=(app_id, version)`` makes the write IDEMPOTENT: the
+        newest version per app is kept as a ``txn.<app>`` table
+        property (surviving snapshot expiry), and a write at or
+        below the watermark NO-OPS returning the current snapshot id
+        — the exactly-once contract a streaming foreachBatch sink
+        needs (the deltalog txn-action twin on this format)."""
         import shutil
 
         import pyarrow.parquet as pq
@@ -772,6 +780,13 @@ class IcebergTable:
             ]
             if partition_by is None and declared:
                 partition_by = declared[0]
+        if txn is not None and not creating:
+            wm = int(
+                (md.get("properties") or {}).get(f"txn.{txn[0]}", -1)
+            )
+            if wm >= int(txn[1]):
+                # replayed batch: exactly-once no-op
+                return int(md["current-snapshot-id"])
         fields = self._schema_fields(md)
         fid_of = {f["name"]: f["id"] for f in fields}
         ftype_of = {f["name"]: f["type"] for f in fields}
@@ -972,6 +987,10 @@ class IcebergTable:
         md["snapshot-log"] = list(md.get("snapshot-log", [])) + [
             {"snapshot-id": snap_id, "timestamp-ms": 0}
         ]
+        if txn is not None:
+            props = dict(md.get("properties") or {})
+            props[f"txn.{txn[0]}"] = str(int(txn[1]))
+            md["properties"] = props
         path = os.path.join(self.meta_dir, f"v{meta_version}.metadata.json")
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:

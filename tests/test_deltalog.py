@@ -494,12 +494,42 @@ def test_foreign_v3_column_mapping_log(spark, root):
     assert sorted(r["k"] for r in df.collect()) == [1, 2, 3]
 
 
-def test_foreign_column_mapping_id_mode_raises(spark, root):
+def test_foreign_column_mapping_id_mode_reads(spark, root):
+    """Column mapping mode 'id' (round 10 — the r9 loud boundary,
+    now closed): data-file columns resolve by PARQUET FIELD ID
+    matched against delta.columnMapping.id; a file whose column
+    names match NEITHER logical nor physical names still reads,
+    and an id-less file falls back to physicalName."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     os.makedirs(os.path.join(root, "_delta_log"))
+    # file 1: physical names, NO field ids (fallback path)
+    pq.write_table(
+        pa.table({"col-aaa": [1, 2], "col-bbb": ["a", "b"]}),
+        os.path.join(root, "f1.parquet"),
+    )
+    # file 2: arbitrary names, field ids carry the mapping (id path)
+    pq.write_table(
+        pa.Table.from_arrays(
+            [pa.array([3, 4]), pa.array(["c", "d"])],
+            schema=pa.schema([
+                pa.field("xxx", pa.int64(),
+                         metadata={b"PARQUET:field_id": b"1"}),
+                pa.field("yyy", pa.string(),
+                         metadata={b"PARQUET:field_id": b"2"}),
+            ]),
+        ),
+        os.path.join(root, "f2.parquet"),
+    )
     schema = {"type": "struct", "fields": [
         {"name": "k", "type": "long", "nullable": True, "metadata": {
             "delta.columnMapping.id": 1,
-            "delta.columnMapping.physicalName": "col-aaa"}}]}
+            "delta.columnMapping.physicalName": "col-aaa"}},
+        {"name": "s", "type": "string", "nullable": True, "metadata": {
+            "delta.columnMapping.id": 2,
+            "delta.columnMapping.physicalName": "col-bbb"}},
+    ]}
     actions = [
         {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
         {"metaData": {
@@ -507,12 +537,39 @@ def test_foreign_column_mapping_id_mode_raises(spark, root):
             "schemaString": json.dumps(schema),
             "partitionColumns": [],
             "configuration": {"delta.columnMapping.mode": "id"}}},
+        {"add": {"path": "f1.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+        {"add": {"path": "f2.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
     ]
     with open(os.path.join(root, "_delta_log", f"{0:020d}.json"), "w") as f:
         for a in actions:
             f.write(json.dumps(a) + "\n")
-    with pytest.raises(DeltaProtocolError, match="'id'"):
-        DeltaLog(spark, root).read()
+    got = {
+        (r["k"], r["s"]) for r in DeltaLog(spark, root).read().collect()
+    }
+    assert got == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+
+
+def test_id_mode_writer_lifecycle(spark, root):
+    """Our own writer in 'id' mode: upgrade, metadata-only rename,
+    post-rename append (staged files carry parquet field ids), CoW
+    delete — every file resolves by id across the rename."""
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, range(5)))
+    t.enable_column_mapping(mode="id")
+    t.rename_column("s", "label")
+    t.write(
+        spark.createDataFrame(
+            [(100, "x", 7)], "k bigint, label string, v bigint"
+        )
+    )
+    got = {(r["k"], r["label"]) for r in t.read().collect()}
+    assert got == {(k, f"s{k % 5}") for k in range(5)} | {(100, "x")}
+    t.delete_where("k", 0, 2)
+    assert sorted(r["k"] for r in t.read().collect()) == [3, 4, 100]
+    with pytest.raises(ValueError):
+        t.enable_column_mapping()
 
 
 def test_dv_delete_writer_roundtrip_and_stacking(spark, root):

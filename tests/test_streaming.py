@@ -2004,3 +2004,65 @@ def test_deltalog_txn_sink_exactly_once(spark):
     sink(events.limit(5).select(*cols), 0)
     assert table.latest_version() == v and table.read().count() == n
     shutil.rmtree(base, ignore_errors=True)
+
+
+def test_iceberg_txn_sink_exactly_once(spark):
+    """The Iceberg twin of the deltalog txn sink: foreachBatch
+    writing an ICEBERG table with write(txn=...) — kill mid-run,
+    restart from the checkpoint, exact row accounting (the replayed
+    batch no-ops inside the txn.<app> table-property watermark)."""
+    import time
+
+    from luxo_rs_spark.sources.iceberg import IcebergTable
+
+    base = TMP / f"iceberg_txn_{uuid.uuid4().hex[:8]}"
+    src, ckpt, tbl_dir = (
+        str(base / "src"), str(base / "ckpt"), str(base / "tbl")
+    )
+    events = load_table(spark, SF_DIR, "events")
+    events.repartition(6).write.parquet(src)
+
+    table = IcebergTable(spark, tbl_dir)
+    cols = ["event_id", "user_id", "event_type", "value"]
+
+    def sink(batch_df, batch_id):
+        table.write(batch_df, txn=("iceberg-txn-test", int(batch_id)))
+
+    def start(available_now: bool):
+        stream = read_event_stream(spark, src, max_files_per_trigger=1)
+        writer = (
+            stream.select(*cols)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+        )
+        writer = (
+            writer.trigger(availableNow=True)
+            if available_now
+            else writer.trigger(processingTime="0 seconds")
+        )
+        return writer.start()
+
+    q = start(available_now=False)
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if q.lastProgress is not None and q.lastProgress["batchId"] >= 1:
+            break
+        time.sleep(0.1)
+    q.stop()
+    q.awaitTermination(60)
+    q2 = start(available_now=True)
+    q2.awaitTermination(120)
+
+    n = events.count()
+    got = table.read()
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+    # explicit replay no-ops: no new snapshot, no new rows — and the
+    # watermark survives snapshot expiry (it lives in properties)
+    table.expire_snapshots(retain_last=1)
+    snaps = len(table.snapshots())
+    sink(events.limit(5).select(*cols), 0)
+    assert len(table.snapshots()) == snaps
+    assert table.read().count() == n
+    shutil.rmtree(base, ignore_errors=True)
