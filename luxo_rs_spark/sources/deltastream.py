@@ -48,6 +48,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceStreamReader,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql import types as T
 
@@ -258,21 +259,182 @@ class _DeltaStreamReader(DataSourceStreamReader):
         )
 
 
+def _freeze(v):
+    """Hashable stand-in for a row value (the snaptable CDF tail's
+    tag-wrapping — pyarrow yields lists/dicts for array/map cells,
+    which cannot key a Counter)."""
+    if isinstance(v, list):
+        return ("__dl_list__", tuple(_freeze(x) for x in v))
+    if isinstance(v, dict):
+        return ("__dl_map__", tuple(sorted(
+            (k, _freeze(x)) for k, x in v.items()
+        )))
+    if isinstance(v, tuple):
+        return tuple(_freeze(x) for x in v)
+    return v
+
+
+def _thaw(v):
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "__dl_list__":
+        return [_thaw(x) for x in v[1]]
+    if isinstance(v, tuple) and len(v) == 2 and v[0] == "__dl_map__":
+        return {k: _thaw(x) for k, x in v[1]}
+    if isinstance(v, tuple):
+        return tuple(_thaw(x) for x in v)
+    return v
+
+
+class _DeltaCDFStreamReader(SimpleDataSourceStreamReader):
+    """Change-feed tail (``.option("readChangeFeed", "true")`` — the
+    Delta CDF streaming shape) over a FOREIGN log: each micro-batch
+    is the ROW-LEVEL multiset diff between the committed version and
+    the current latest, every row tagged ``change_type`` 'insert' or
+    'delete' (a CoW update surfaces as the delete+insert pair, an
+    OPTIMIZE nets to zero). File identity is (path, DV descriptor),
+    so files unchanged on both sides are NEVER read; each side reads
+    under ITS OWN snapshot state (column mapping / DV application) —
+    the batch ``DeltaLog.changes`` semantics, streamed. Driver-side
+    at micro-batch granularity (the Simple reader contract, same as
+    the snaptable CDF tail); the partition-parallel path is the
+    non-CDF reader above."""
+
+    def __init__(self, options, schema: T.StructType):
+        self.root = options["path"]
+        # schema = (change_type, *table columns)
+        self.fields = list(schema.fields[1:])
+        self._log = DeltaLog(None, self.root)
+
+    def initialOffset(self):
+        return {"v": -1}  # before v0: first batch = all live rows
+
+    def _adds_by_key(self, s: dict | None) -> dict:
+        if s is None:
+            return {}
+
+        def key(a: dict):
+            dv = a.get("deletionVector") or {}
+            return (a["path"], dv.get("pathOrInlineDv", ""),
+                    dv.get("offset"))
+
+        return {key(a): a for a in s["adds"].values()}
+
+    def _file_rows(self, s: dict, a: dict):
+        import pyarrow.parquet as pq
+
+        pcols = set(s["partition_columns"])
+        phys_of = self._log._phys_of(s)
+        data_fields = [f for f in self.fields if f.name not in pcols]
+        ap = os.path.join(self.root, a["path"])
+        res = dict(zip(
+            (f.name for f in data_fields),
+            self._log._file_column_resolution(
+                ap, s, [f.name for f in data_fields]
+            ),
+        ))
+        tbl = pq.read_table(ap)
+        n = tbl.num_rows
+        pv = a.get("partitionValues") or {}
+        cols = []
+        for f in self.fields:
+            if f.name in pcols:
+                cols.append([_typed_partition_value(
+                    pv.get(phys_of.get(f.name, f.name)), f.dataType
+                )] * n)
+            else:
+                phys = res.get(f.name)
+                if phys and phys in tbl.column_names:
+                    cols.append(tbl.column(phys).to_pylist())
+                else:
+                    cols.append([None] * n)
+        dvd = a.get("deletionVector")
+        dead = set(self._log._dv_positions(dvd)) if dvd else ()
+        for i in range(n):
+            if i in dead:
+                continue
+            yield tuple(col[i] for col in cols)
+
+    def _diff_rows(self, v_from: int, v_to: int):
+        from collections import Counter
+
+        if v_to <= v_from:
+            return iter([])  # list-backed: Spark copy()s the iterator
+        s_from = self._log.snapshot(v_from) if v_from >= 0 else None
+        s_to = self._log.snapshot(v_to)
+        kf = self._adds_by_key(s_from)
+        kt = self._adds_by_key(s_to)
+
+        def side(s, own, other):
+            c: Counter = Counter()
+            for k, a in own.items():
+                if k in other:
+                    continue  # unchanged file: cancels unread
+                for r in self._file_rows(s, a):
+                    c[tuple(_freeze(v) for v in r)] += 1
+            return c
+
+        added = side(s_to, kt, kf)
+        removed = side(s_from, kf, kt) if s_from else Counter()
+        out = []
+        for r, n in (added - removed).items():
+            out.extend(
+                [("insert",) + tuple(_thaw(v) for v in r)] * n
+            )
+        for r, n in (removed - added).items():
+            out.extend(
+                [("delete",) + tuple(_thaw(v) for v in r)] * n
+            )
+        return iter(out)
+
+    def read(self, start):
+        vs = self._log.versions()
+        cur = vs[-1] if vs else -1
+        return self._diff_rows(int(start["v"]), cur), {"v": cur}
+
+    def readBetweenOffsets(self, start, end):
+        # deterministic replay: commit files are immutable
+        return self._diff_rows(int(start["v"]), int(end["v"]))
+
+
 class DeltaStreamDataSource(DataSource):
     """spark.readStream.format("deltastream").load(root)
     [.option("startingVersion", N)] [.option("ignoreDeletes", "true")]
-    [.option("skipChangeCommits", "true")]"""
+    [.option("skipChangeCommits", "true")]
+    [.option("readChangeFeed", "true")]"""
 
     @classmethod
     def name(cls):
         return "deltastream"
 
+    def _cdf(self) -> bool:
+        return str(
+            self.options.get("readchangefeed", "")
+        ).lower() == "true"
+
     def schema(self):
         s = DeltaLog(None, self.options["path"]).snapshot()
+        if self._cdf():
+            return T.StructType(
+                [T.StructField("change_type", T.StringType(), False)]
+                + list(s["schema"].fields)
+            )
         return s["schema"]
 
     def streamReader(self, schema):
+        if self._cdf():
+            # routes Spark's reader lookup to simpleStreamReader —
+            # the documented fallback protocol
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={
+                    "feature": "streamReader with readChangeFeed"
+                },
+            )
         return _DeltaStreamReader(self.options, schema)
+
+    def simpleStreamReader(self, schema):
+        return _DeltaCDFStreamReader(self.options, schema)
 
 
 def register(spark) -> None:

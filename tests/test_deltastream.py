@@ -283,3 +283,98 @@ def test_column_mapping_dv_and_typed_partitions(spark, base):
         r["k"] for r in spark.read.parquet(out).select("k").collect()
     }
     assert 100 in ks and len(ks) == len(rows) + 1
+
+
+def _drain_cdf(spark, root, out, ckpt):
+    """Drain the CDF tail; returns {(change_type, k)} multiset as a
+    sorted list."""
+    register(spark)
+    for _ in range(4):
+        before = _sink_ks(spark, out)
+        q = (
+            spark.readStream.format("deltastream")
+            .option("readChangeFeed", "true")
+            .load(root)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        if _sink_ks(spark, out) == before:
+            break
+    return sorted(
+        (r["change_type"], r["k"])
+        for r in spark.read.parquet(out).collect()
+    )
+
+
+def test_cdf_stream_tail(spark, base):
+    """readChangeFeed: inserts for the initial state, exact delete
+    rows for a CoW delete, net-zero for an OPTIMIZE-shaped rewrite,
+    inserts for appends — the batch DeltaLog.changes semantics,
+    streamed exactly-once."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = os.path.join(base, "t")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, range(6)))
+
+    got = _drain_cdf(spark, root, out, ckpt)
+    assert got == [("insert", k) for k in range(6)]
+
+    # CoW delete: exactly the removed rows, tagged delete
+    t.delete_where("k", 2, 3)
+    got = _drain_cdf(spark, root, out, ckpt)
+    assert sorted(g for g in got if g[0] == "delete") == [
+        ("delete", 2), ("delete", 3),
+    ]
+    n_after_delete = len(got)
+
+    # OPTIMIZE-shaped rewrite: rows unchanged -> the diff nets to ZERO
+    s = t.snapshot()
+    live = sorted(s["adds"])
+    rows = spark.read.parquet(*[os.path.join(root, p) for p in live])
+    pq.write_table(
+        pa.Table.from_pandas(rows.toPandas(), preserve_index=False),
+        os.path.join(root, "compacted-cdf.parquet"),
+    )
+    acts = [{"add": {
+        "path": "compacted-cdf.parquet", "partitionValues": {},
+        "size": 1, "modificationTime": 0, "dataChange": False,
+    }}]
+    acts.extend({"remove": {
+        "path": p, "deletionTimestamp": 0, "dataChange": False,
+    }} for p in live)
+    v = t.latest_version() + 1
+    with open(
+        os.path.join(root, "_delta_log", f"{v:020d}.json"), "w"
+    ) as f:
+        for a in acts:
+            f.write(json.dumps(a) + "\n")
+    assert len(_drain_cdf(spark, root, out, ckpt)) == n_after_delete
+
+    # append streams as inserts
+    t.write(_mk(spark, [100]))
+    got = _drain_cdf(spark, root, out, ckpt)
+    assert ("insert", 100) in got
+    assert len(got) == n_after_delete + 1
+
+
+def test_cdf_stream_dv_delete_surfaces_exact_rows(spark, base):
+    root = os.path.join(base, "t")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, range(10)))
+    assert len(_drain_cdf(spark, root, out, ckpt)) == 10
+
+    t.delete_where("k", 4, 6, mode="dv")  # merge-on-read
+    got = _drain_cdf(spark, root, out, ckpt)
+    deletes = sorted(g for g in got if g[0] == "delete")
+    assert deletes == [("delete", 4), ("delete", 5), ("delete", 6)]
+    # no spurious inserts from the DV re-add of the same file
+    assert sum(1 for g in got if g[0] == "insert") == 10
