@@ -210,6 +210,33 @@ class Engine:
 
         return IcebergTable(self.spark, root).read(snapshot_id)
 
+    def stream_delta(self, root: str, **options):
+        """Tail a FOREIGN Delta table as a Structured Streaming
+        source (round 10, sources/deltastream.py): returns the
+        configured DataStreamReader-built streaming DataFrame.
+        Options pass through — startingVersion, ignoreDeletes,
+        skipChangeCommits, readChangeFeed (the Delta names)."""
+        from luxo_rs_spark.sources import deltastream  # noqa: PLC0415
+
+        deltastream.register(self.spark)
+        reader = self.spark.readStream.format("deltastream")
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        return reader.load(root)
+
+    def stream_iceberg(self, root: str, **options):
+        """Tail a FOREIGN Iceberg table as a Structured Streaming
+        source (round 10, sources/icebergstream.py). Options pass
+        through — startingSequence and the streaming-skip-* gates
+        (underscores accepted for the dashed Iceberg option names)."""
+        from luxo_rs_spark.sources import icebergstream  # noqa: PLC0415
+
+        icebergstream.register(self.spark)
+        reader = self.spark.readStream.format("icebergstream")
+        for k, v in options.items():
+            reader = reader.option(k.replace("_", "-"), v)
+        return reader.load(root)
+
     def table(self, name: str) -> DataFrame:
         """Fluent entry point (SURVEY.md §3.2 entry 2)."""
         return self.spark.table(name)

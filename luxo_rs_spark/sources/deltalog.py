@@ -1448,6 +1448,50 @@ class DeltaLog:
             json.dump({"version": version, "size": tbl.num_rows}, f)
         return version
 
+    def history_df(self) -> DataFrame:
+        """The log's commit history as a DataFrame (the SnapTable
+        ``history_df`` twin on the public format): one row per
+        retained commit JSON — version, commitInfo operation (null
+        when the writer logged none), add/remove counts split by
+        dataChange, and the txn appIds the commit carried. Bounded by
+        the retained log, driver-side by construction."""
+        rows = []
+        for v in self.versions():
+            path = os.path.join(self.log_dir, f"{v:020d}.json")
+            with open(path) as f:
+                acts = [json.loads(x) for x in f if x.strip()]
+            op = next(
+                (
+                    a["commitInfo"].get("operation")
+                    for a in acts
+                    if "commitInfo" in a
+                ),
+                None,
+            )
+            adds = [a["add"] for a in acts if "add" in a]
+            removes = [a["remove"] for a in acts if "remove" in a]
+            rows.append((
+                v,
+                op,
+                len(adds),
+                sum(
+                    1 for a in adds if a.get("dataChange", True)
+                ),
+                len(removes),
+                sum(
+                    1 for r in removes if r.get("dataChange", True)
+                ),
+                sorted(
+                    a["txn"]["appId"] for a in acts if "txn" in a
+                ),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "version int, operation string, n_adds int, "
+            "n_data_adds int, n_removes int, n_data_removes int, "
+            "txn_apps array<string>",
+        )
+
     def _dv_abs_path(self, dv: dict) -> str | None:
         """Absolute side-file path of a deletionVector descriptor
         (None for inline 'i' vectors)."""

@@ -890,3 +890,67 @@ def test_changes_cdc_between_versions(spark, root):
     ch = t.changes(0, 3)
     assert ch.filter("change_type = 'insert'").count() == 30 - 5
     assert ch.filter("change_type = 'delete'").count() == 5
+
+
+def test_history_df_over_foreign_log(spark, root):
+    """history_df: one row per commit, operation from commitInfo
+    (null when the foreign writer logged none), dataChange-split
+    counts, txn appIds."""
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, range(4)).coalesce(1))
+    t.write(_mk(spark, range(10, 12)).coalesce(1), txn=("app-h", 3))
+    t.delete_where("k", 0, 1)
+    # a foreign OPTIMIZE-shaped commit with commitInfo
+    v = t.latest_version() + 1
+    with open(
+        os.path.join(root, "_delta_log", f"{v:020d}.json"), "w"
+    ) as f:
+        f.write(json.dumps(
+            {"commitInfo": {"operation": "OPTIMIZE"}}
+        ) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "x.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": False,
+        }}) + "\n")
+
+    h = {r["version"]: r for r in t.history_df().collect()}
+    assert set(h) == {0, 1, 2, 3}
+    assert h[0]["n_data_adds"] == 1 and h[0]["n_removes"] == 0
+    assert h[1]["txn_apps"] == ["app-h"]
+    assert h[2]["n_data_removes"] >= 1  # the CoW delete
+    assert h[3]["operation"] == "OPTIMIZE"
+    assert h[3]["n_adds"] == 1 and h[3]["n_data_adds"] == 0
+
+
+def test_engine_stream_helpers(spark, root):
+    """Engine.stream_delta / stream_iceberg: the readStream
+    conveniences return live streaming DataFrames over foreign
+    tables."""
+    import uuid as _uuid
+
+    from luxo_rs_spark.engine import Engine
+    from luxo_rs_spark.sources.iceberg import IcebergTable
+
+    eng = Engine.__new__(Engine)  # reuse the session fixture's spark
+    eng.spark = spark
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, range(5)).coalesce(1))
+    base = f"/tmp/luxo_engine_stream_{_uuid.uuid4().hex[:8]}"
+    it_root = os.path.join(base, "ice")
+    IcebergTable(spark, it_root).write(
+        _mk(spark, range(3)).coalesce(1)
+    )
+    try:
+        for df in (
+            eng.stream_delta(root),
+            eng.stream_delta(root, readChangeFeed="true"),
+            eng.stream_iceberg(
+                it_root, streaming_skip_delete_snapshots="true"
+            ),
+        ):
+            assert df.isStreaming
+        assert "change_type" in eng.stream_delta(
+            root, readChangeFeed="true"
+        ).columns
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

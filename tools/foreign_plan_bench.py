@@ -179,6 +179,23 @@ def main() -> None:
         sec_tail = timed(lambda: t.snapshot())
         t.checkpoint()
         sec_ckpt = timed(lambda: t.snapshot())
+        # streaming-tail planning (round 10): a catch-up batch over
+        # the LAST commit must be O(commit), flat in table size — the
+        # walk opens only the (start, end] jsons; the bootstrap batch
+        # (first offset) is the one O(table) snapshot
+        from luxo_rs_spark.sources.deltastream import (
+            _DeltaStreamReader,
+        )
+        sr = _DeltaStreamReader(
+            {"path": d_root}, t.snapshot()["schema"]
+        )
+        last = t.latest_version()
+        sec_stream_incr = timed(lambda: sr._batch_adds(
+            {"v": last - 1, "snapshot": False}, {"v": last}
+        ))
+        sec_stream_boot = timed(lambda: sr._batch_adds(
+            {"v": -1, "snapshot": True}, {"v": last}
+        ))
         i_root = os.path.join(WORK, f"ice_{n}")
         n_manifests = 16
         synth_iceberg(i_root, n, n_manifests)
@@ -192,6 +209,8 @@ def main() -> None:
         results["sizes"][str(n)] = {
             "delta_snapshot_tail_sec": round(sec_tail, 4),
             "delta_snapshot_ckpt_sec": round(sec_ckpt, 4),
+            "delta_stream_incr_sec": round(sec_stream_incr, 4),
+            "delta_stream_boot_sec": round(sec_stream_boot, 4),
             "iceberg_plan_all_sec": round(sec_ice_all, 4),
             "iceberg_plan_pruned_sec": round(sec_ice_pruned, 4),
             "iceberg_manifests_opened": minfo.get("manifests_scanned"),
@@ -203,6 +222,8 @@ def main() -> None:
         for k in (
             "delta_snapshot_tail_sec",
             "delta_snapshot_ckpt_sec",
+            "delta_stream_incr_sec",
+            "delta_stream_boot_sec",
             "iceberg_plan_all_sec",
             "iceberg_plan_pruned_sec",
         )
