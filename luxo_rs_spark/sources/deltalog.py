@@ -650,7 +650,46 @@ class DeltaLog:
 
     # -- reads ---------------------------------------------------------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def version_at(self, timestamp_ms: int) -> int:
+        """timestampAsOf resolution (the Delta rule): the NEWEST
+        version whose commit timestamp is <= the asked timestamp —
+        commitInfo.timestamp when the writer logged one, the commit
+        file's mtime otherwise. Raises if the earliest retained
+        commit is already newer."""
+        best = None
+        for v in self.versions():
+            path = os.path.join(self.log_dir, f"{v:020d}.json")
+            ts = None
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    a = json.loads(line)
+                    if "commitInfo" in a:
+                        ts = a["commitInfo"].get("timestamp")
+                        break
+            if ts is None:
+                ts = int(os.path.getmtime(path) * 1000)
+            if ts <= timestamp_ms:
+                best = v  # versions ascend; keep the newest admitted
+        if best is None:
+            raise FileNotFoundError(
+                f"delta table {self.root}: no commit at or before "
+                f"timestamp {timestamp_ms}"
+            )
+        return best
+
+    def read(
+        self,
+        version: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        if timestamp_ms is not None:
+            if version is not None:
+                raise ValueError(
+                    "pass version OR timestamp_ms, not both"
+                )
+            version = self.version_at(timestamp_ms)
         s = self.snapshot(version)
         return self._read_adds(s, list(s["adds"].values()))
 

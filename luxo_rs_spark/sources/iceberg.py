@@ -481,7 +481,33 @@ class IcebergTable:
 
     # -- reads -------------------------------------------------------------------
 
-    def read(self, snapshot_id: int | None = None) -> DataFrame:
+    def snapshot_at(self, timestamp_ms: int) -> int:
+        """as-of-timestamp resolution (the Iceberg rule): the NEWEST
+        snapshot whose snapshot-log timestamp-ms is <= the asked
+        timestamp. Raises if the log starts later."""
+        md = self.metadata()
+        best = None
+        for entry in md.get("snapshot-log", []):
+            if int(entry.get("timestamp-ms", 0)) <= timestamp_ms:
+                best = entry["snapshot-id"]
+        if best is None:
+            raise FileNotFoundError(
+                f"iceberg table {self.root}: no snapshot at or "
+                f"before timestamp {timestamp_ms}"
+            )
+        return best
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        if timestamp_ms is not None:
+            if snapshot_id is not None:
+                raise ValueError(
+                    "pass snapshot_id OR timestamp_ms, not both"
+                )
+            snapshot_id = self.snapshot_at(timestamp_ms)
         md = self.metadata()
         files = self.data_files(snapshot_id, md)
         return self._read_files(md, files)

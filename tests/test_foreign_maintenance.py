@@ -193,3 +193,66 @@ def test_iceberg_expire_retain_two_keeps_time_travel(spark, base):
     ]
     with pytest.raises(FileNotFoundError):
         t.read(snapshot_id=s1)
+
+
+# -- timestamp time travel ----------------------------------------------------
+
+
+def test_delta_timestamp_as_of(spark, base):
+    import json as _json
+    import os as _os
+
+    root = os.path.join(base, "t")
+    t = DeltaLog(spark, root)
+    t.write(_mk(spark, [1]))
+    t.write(_mk(spark, [2]))
+    t.write(_mk(spark, [3]))
+    # stamp commitInfo timestamps the way a foreign writer would:
+    # prepend a commitInfo line per commit json
+    for v, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        p = _os.path.join(root, "_delta_log", f"{v:020d}.json")
+        body = open(p).read()
+        with open(p, "w") as f:
+            f.write(_json.dumps(
+                {"commitInfo": {"operation": "WRITE",
+                                "timestamp": ts}}
+            ) + "\n" + body)
+
+    assert t.version_at(1500) == 0
+    assert t.version_at(2000) == 1
+    assert t.version_at(99999) == 2
+    assert sorted(
+        r["k"] for r in t.read(timestamp_ms=2500).collect()
+    ) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        t.version_at(500)
+    with pytest.raises(ValueError):
+        t.read(version=1, timestamp_ms=2000)
+
+
+def test_iceberg_timestamp_as_of(spark, base):
+    import json as _json
+
+    root = os.path.join(base, "t")
+    t = IcebergTable(spark, root)
+    t.write(_mk(spark, [1]))
+    t.write(_mk(spark, [2]))
+    # stamp snapshot-log timestamps (our writer writes 0; foreign
+    # tables carry real ones)
+    vs = t._metadata_versions()
+    p = os.path.join(t.meta_dir, f"v{vs[-1]}.metadata.json")
+    md = _json.load(open(p))
+    for i, entry in enumerate(md["snapshot-log"]):
+        entry["timestamp-ms"] = (i + 1) * 1000
+    with open(p, "w") as f:
+        _json.dump(md, f)
+
+    assert t.snapshot_at(1500) == md["snapshot-log"][0]["snapshot-id"]
+    assert sorted(
+        r["k"] for r in t.read(timestamp_ms=1500).collect()
+    ) == [1]
+    assert sorted(
+        r["k"] for r in t.read(timestamp_ms=9999).collect()
+    ) == [1, 2]
+    with pytest.raises(FileNotFoundError):
+        t.snapshot_at(500)
