@@ -33,16 +33,20 @@ sources/avro_io.py:
   skipping as sources/snaptable.py, here over a FOREIGN table's
   metadata.
 
-Limitations (declared): data parquet files are matched to the current
-schema BY NAME (Iceberg's field-id parquet matching — needed only
-after column renames — is not implemented; a renamed foreign table
-should be read at the snapshot before the rename).
+Column resolution (later round 10): data parquet files are matched
+to the current schema BY PARQUET FIELD ID (the spec's rule — renames
+are metadata-only; ``rename_column``/``add_column`` are the schema
+evolution commits), with name matching as the fallback for id-less
+hand-built files. Renaming an identity partition SOURCE column
+raises loudly (historical manifests key partition structs by
+write-time name).
 
-The minimal writer (append / overwrite, optional identity partition
-column) exists so the q481 lifecycle lane and the hand-built-foreign
-tests meet in the middle, exactly like deltalog's. Deterministic:
-snapshot ids are dense integers, timestamps pinned 0, the avro sync
-marker is content-derived.
+The minimal writer (append / overwrite / replace-compaction,
+identity partitioning over one or more columns, ``txn`` idempotence
+watermarks) exists so the q481/q489/q490 lifecycle lanes and the
+hand-built-foreign tests meet in the middle, exactly like
+deltalog's. Deterministic: snapshot ids are dense integers,
+timestamps pinned 0, the avro sync marker is content-derived.
 """
 
 from __future__ import annotations
@@ -716,14 +720,15 @@ class IcebergTable:
         self,
         df: DataFrame,
         mode: str = "append",
-        partition_by: str | None = None,
+        partition_by: str | list[str] | None = None,
         txn: tuple[str, int] | None = None,
     ) -> int:
         """Commit ``df`` as a new snapshot (dense integer snapshot
         ids). ``append`` keeps prior manifests; ``overwrite`` starts
-        the manifest list fresh. ``partition_by`` declares ONE identity
-        partition column (hive-style data layout, values recorded in
-        the manifest partition struct).
+        the manifest list fresh. ``partition_by`` declares one or
+        more identity partition columns (hive-style data layout,
+        values recorded in the manifest partition struct — round 10:
+        multi-column specs).
 
         ``txn=(app_id, version)`` makes the write IDEMPOTENT: the
         newest version per app is kept as a ``txn.<app>`` table
@@ -735,6 +740,11 @@ class IcebergTable:
 
         import pyarrow.parquet as pq
 
+        pby = (
+            [partition_by]
+            if isinstance(partition_by, str)
+            else list(partition_by or [])
+        )
         vs = self._metadata_versions()
         creating = not vs
         if creating:
@@ -763,26 +773,23 @@ class IcebergTable:
                 "partition-specs": [
                     {
                         "spec-id": 0,
-                        "fields": (
-                            [
-                                {
-                                    "name": partition_by,
-                                    "transform": "identity",
-                                    "source-id": next(
-                                        f["id"]
-                                        for f in fields
-                                        if f["name"] == partition_by
-                                    ),
-                                    "field-id": 1000,
-                                }
-                            ]
-                            if partition_by
-                            else []
-                        ),
+                        "fields": [
+                            {
+                                "name": c,
+                                "transform": "identity",
+                                "source-id": next(
+                                    f["id"]
+                                    for f in fields
+                                    if f["name"] == c
+                                ),
+                                "field-id": 1000 + i,
+                            }
+                            for i, c in enumerate(pby)
+                        ],
                     }
                 ],
                 "default-spec-id": 0,
-                "last-partition-id": 1000 if partition_by else 999,
+                "last-partition-id": 999 + len(pby),
                 "sort-orders": [{"order-id": 0, "fields": []}],
                 "default-sort-order-id": 0,
                 "snapshots": [],
@@ -804,8 +811,8 @@ class IcebergTable:
                 for f in spec.get("fields", [])
                 if f.get("transform") == "identity"
             ]
-            if partition_by is None and declared:
-                partition_by = declared[0]
+            if not pby and declared:
+                pby = list(declared)
         if txn is not None and not creating:
             wm = int(
                 (md.get("properties") or {}).get(f"txn.{txn[0]}", -1)
@@ -836,11 +843,11 @@ class IcebergTable:
 
         # stage data files
         stage = os.path.join(self.root, f"_stage_{os.getpid():x}")
-        if partition_by:
+        if pby:
             (
-                df.repartition(F.col(partition_by))
+                df.repartition(*[F.col(c) for c in pby])
                 .write.mode("overwrite")
-                .partitionBy(partition_by)
+                .partitionBy(*pby)
                 .parquet(stage)
             )
         else:
@@ -919,20 +926,17 @@ class IcebergTable:
                 i += 1
         shutil.rmtree(stage, ignore_errors=True)
 
-        part_fields = (
-            [
-                {
-                    "name": partition_by,
-                    "avro_type": (
-                        "long"
-                        if ftype_of.get(partition_by) in ("int", "long")
-                        else "string"
-                    ),
-                }
-            ]
-            if partition_by
-            else []
-        )
+        part_fields = [
+            {
+                "name": c,
+                "avro_type": (
+                    "long"
+                    if ftype_of.get(c) in ("int", "long")
+                    else "string"
+                ),
+            }
+            for c in pby
+        ]
         manifest_rel = os.path.join(
             "metadata", f"manifest-{snap_id:05d}.avro"
         )
@@ -947,25 +951,27 @@ class IcebergTable:
         # partition-field value summaries for the manifest-list row
         # (the two-level pruning plane data_files(prune=...) consumes)
         summaries = None
-        if partition_by:
-            ptype = ftype_of[partition_by]
-            vals = [
-                e["data_file"]["partition"].get(partition_by)
-                for e in entries
-            ]
-            nn = [v for v in vals if v is not None]
-            summaries = [
-                {
-                    "contains_null": any(v is None for v in vals),
-                    "contains_nan": None,
-                    "lower_bound": (
-                        sv_encode(ptype, min(nn)) if nn else None
-                    ),
-                    "upper_bound": (
-                        sv_encode(ptype, max(nn)) if nn else None
-                    ),
-                }
-            ]
+        if pby:
+            summaries = []
+            for c in pby:
+                ptype = ftype_of[c]
+                vals = [
+                    e["data_file"]["partition"].get(c)
+                    for e in entries
+                ]
+                nn = [v for v in vals if v is not None]
+                summaries.append(
+                    {
+                        "contains_null": any(v is None for v in vals),
+                        "contains_nan": None,
+                        "lower_bound": (
+                            sv_encode(ptype, min(nn)) if nn else None
+                        ),
+                        "upper_bound": (
+                            sv_encode(ptype, max(nn)) if nn else None
+                        ),
+                    }
+                )
         new_mf = {
             "manifest_path": manifest_rel,
             "manifest_length": os.path.getsize(

@@ -156,3 +156,45 @@ def test_stream_sees_evolved_schema(spark, base):
     assert set(got.columns) == {"k", "label", "w"}
     rows = {(r["k"], r["label"], r["w"]) for r in got.collect()}
     assert rows == {(1, "a", None), (2, "b", None), (3, "c", 33)}
+
+
+def test_multi_column_identity_partitioning(spark, base):
+    """Round 10: multi-column identity partition specs — spec fields
+    1000+i, per-field manifest-list summaries, hive-style nested
+    layout, both columns injected typed on read, and two-level
+    manifest pruning on the FIRST spec field."""
+    root = os.path.join(base, "t")
+    t = IcebergTable(spark, root)
+    df = spark.createDataFrame(
+        [(k, k % 3, ["eu", "us"][k % 2], f"s{k}") for k in range(60)],
+        "k bigint, b bigint, region string, s string",
+    )
+    t.write(df, partition_by=["b", "region"])
+
+    got = t.read()
+    assert set(got.columns) == {"k", "b", "region", "s"}
+    rows = {(r["k"], r["b"], r["region"]) for r in got.collect()}
+    assert rows == {(k, k % 3, ["eu", "us"][k % 2]) for k in range(60)}
+
+    # appends default to the declared multi-column spec
+    t.write(spark.createDataFrame(
+        [(100, 1, "eu", "s100")],
+        "k bigint, b bigint, region string, s string",
+    ))
+    assert t.read().count() == 61
+
+    # pruning on the first spec field: the b=0 scan must admit every
+    # b=0 file (conservative pruning may keep more, never fewer)
+    minfo: dict = {}
+    files = t.data_files(prune=("b", 0, 0), minfo=minfo)
+    assert minfo["manifests_scanned"] <= minfo["manifests_total"]
+    b0 = {
+        fl["path"] for fl in t.data_files()
+        if fl["partition"]["b"] == 0
+    }
+    assert b0 <= {fl["path"] for fl in files}
+    # every file's partition struct carries BOTH fields
+    assert all(
+        set(fl["partition"]) == {"b", "region"}
+        for fl in t.data_files()
+    )
