@@ -11369,3 +11369,33 @@ SELECT 'iceberg_post_append', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
   CAST((SELECT sum(cents) FROM ice_post) AS BIGINT)
 ORDER BY probe
 """
+
+# q491: timestampAsOf replayed — asof_1500 sees only v0 (k%3=0),
+# asof_2000 adds v1 (k%3=1), asof_9999 the full base; the history row
+# is (3 commits, 3 single-file data adds, 3 WRITE operations).
+ORACLE_SQL["q491_delta_timestamp_travel"] = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderkey < 1024
+), v0 AS (SELECT * FROM base WHERE k % 3 = 0),
+v01 AS (SELECT * FROM base WHERE k % 3 IN (0, 1))
+SELECT 'asof_1500' AS probe,
+  CAST((SELECT count(*) FROM v0) AS BIGINT) AS n_rows,
+  CAST((SELECT sum(k) FROM v0) AS BIGINT) AS sum_k,
+  CAST((SELECT sum(cents) FROM v0) AS BIGINT) AS sum_cents
+UNION ALL
+SELECT 'asof_2000',
+  CAST((SELECT count(*) FROM v01) AS BIGINT),
+  CAST((SELECT sum(k) FROM v01) AS BIGINT),
+  CAST((SELECT sum(cents) FROM v01) AS BIGINT)
+UNION ALL
+SELECT 'asof_9999',
+  CAST((SELECT count(*) FROM base) AS BIGINT),
+  CAST((SELECT sum(k) FROM base) AS BIGINT),
+  CAST((SELECT sum(cents) FROM base) AS BIGINT)
+UNION ALL
+SELECT 'history', CAST(3 AS BIGINT), CAST(3 AS BIGINT),
+  CAST(3 AS BIGINT)
+ORDER BY probe
+"""

@@ -19167,3 +19167,74 @@ def q490_foreign_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         p1.unionAll(p2).unionAll(p3).unionAll(p4).orderBy("probe")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q491 — foreign-Delta TIMESTAMP time travel + history audit (round
+# 10): three commits stamped with deterministic commitInfo
+# timestamps (1000/2000/3000 ms — rewritten the way a foreign writer
+# logs them); probes read the table AS OF each timestamp (the Delta
+# timestampAsOf rule: newest commit at or before the asked time) and
+# the final row aggregates history_df (operations, dataChange-split
+# add counts). Pure functions of orders.
+# ---------------------------------------------------------------------------
+@query("q491_delta_timestamp_travel")
+def q491_delta_timestamp_travel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+    import os
+    import shutil
+
+    from luxo_rs_spark.sources.deltalog import DeltaLog
+
+    root = os.path.join(
+        _SINK_ROOT, os.path.basename(sf_dir.rstrip("/")), "deltalog_q491"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 1024)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+    )
+    t = DeltaLog(spark, root)
+    # coalesce(1): one data file per commit, so the history
+    # audit's add counts are deterministic oracle constants
+    t.write(base.filter(F.col("k") % 3 == 0).coalesce(1))   # v0
+    t.write(base.filter(F.col("k") % 3 == 1).coalesce(1))   # v1
+    t.write(base.filter(F.col("k") % 3 == 2).coalesce(1))   # v2
+    for v, ts in ((0, 1000), (1, 2000), (2, 3000)):
+        p = os.path.join(root, "_delta_log", f"{v:020d}.json")
+        body = open(p).read()
+        with open(p, "w") as f:
+            f.write(_json.dumps(
+                {"commitInfo": {"operation": "WRITE", "timestamp": ts}}
+            ) + "\n" + body)
+
+    def probe(label, ts):
+        return t.read(timestamp_ms=ts).agg(
+            F.lit(label).alias("probe"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+
+    hist = t.history_df().agg(
+        F.lit("history").alias("probe"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.col("n_data_adds")).cast("bigint").alias("sum_k"),
+        F.sum(
+            F.when(F.col("operation") == "WRITE", 1).otherwise(0)
+        ).cast("bigint").alias("sum_cents"),
+    )
+    return (
+        probe("asof_1500", 1500)
+        .unionAll(probe("asof_2000", 2000))
+        .unionAll(probe("asof_9999", 9999))
+        .unionAll(hist)
+        .orderBy("probe")
+    )
