@@ -74,6 +74,31 @@ FEATURES_SCHEMA = f"media_id long, kind string, features array<float>"
 FRAMES_SCHEMA = "media_id long, frame_idx int, frame_offset long, frame_bytes long"
 
 
+def spread_docs(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition a synth input to total-core parallelism before a
+    HEAVY Python encode/decode lane (optimization guide §2.5: the
+    documents fixture is a SINGLE parquet row group, so its scan is one
+    task and the whole synth+decode pipeline would otherwise serialize
+    on one core — measured 3.98 s -> 1.52 s for q454 at sf0.1/local[32]).
+    Keyed on ``key`` so the row->partition assignment is deterministic
+    under task retry (guide §2.5's SPARK-38388 note); defaultParallelism
+    tracks the cluster, not a constant, so the shape is scale-adaptive.
+
+    Deliberately OPT-IN per call site, not baked into every synth: a
+    32-task Python stage has a measured ~0.35-0.40 s flat wall cost at
+    local[32] (worker attach + Arrow channel per task — an identity
+    mapInPandas over 32 partitions costs that with zero compute), so
+    spreading only pays where the single-task Python compute exceeds
+    ~1 s (video/FLAC/arith-JPEG/hier-DCT/JPEG-in-TIFF/WebP-anim lanes).
+    Applying it inside the synths regressed the light lanes — q478
+    unions NINE synth outputs over tiny doc slices and went 0.80 ->
+    4.10 s. A finer split is also worse for the heavy lanes themselves
+    (q454 at 128 partitions: 5.0 s — per-task overhead dominates), so
+    total cores is the right grain."""
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(par, key)
+
+
 def synth_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic fake media derived from the documents fixture: the
     doc text bytes become the payload behind a LUXM header. Exercises

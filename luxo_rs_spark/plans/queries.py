@@ -15527,11 +15527,12 @@ def q423_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q424_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.multimodal.media import (
         sample_video_frames,
+        spread_docs,
         synth_avi_table,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return sample_video_frames(synth_avi_table(docs), stride=2).orderBy(
+    return sample_video_frames(synth_avi_table(spread_docs(docs)), stride=2).orderBy(
         "media_id", "frame_idx"
     )
 
@@ -15578,12 +15579,13 @@ def q426_jpeg_arith_lossless_decode(
 ) -> DataFrame:
     from luxo_rs_spark.multimodal.media import (
         decode_media_digest,
+        spread_docs,
         synth_jpeg_arith_lossless_table,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     return decode_media_digest(
-        synth_jpeg_arith_lossless_table(docs)
+        synth_jpeg_arith_lossless_table(spread_docs(docs))
     ).orderBy("media_id")
 
 
@@ -15603,11 +15605,12 @@ def q426_jpeg_arith_lossless_decode(
 def q427_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.multimodal.media import (
         decode_media_pcm_stats,
+        spread_docs,
         synth_flac_table,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return decode_media_pcm_stats(synth_flac_table(docs)).orderBy("media_id")
+    return decode_media_pcm_stats(synth_flac_table(spread_docs(docs))).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -15775,11 +15778,12 @@ def q430_ivf_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q431_jpeg_hier_dct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.multimodal.media import (
         decode_media_digest,
+        spread_docs,
         synth_jpeg_hier_dct_table,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return decode_media_digest(synth_jpeg_hier_dct_table(docs)).orderBy(
+    return decode_media_digest(synth_jpeg_hier_dct_table(spread_docs(docs))).orderBy(
         "media_id"
     )
 
@@ -16095,11 +16099,12 @@ def q436_sql_scripting_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q437_avi_av_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.multimodal.media import (
         demux_avi_av,
+        spread_docs,
         synth_avi_av_table,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    return demux_avi_av(synth_avi_av_table(docs)).orderBy("media_id")
+    return demux_avi_av(synth_avi_av_table(spread_docs(docs))).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -16897,11 +16902,12 @@ def q453_ccitt_g4_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q454_video_shot_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.multimodal.media import (
         detect_video_shots,
+        spread_docs,
         synth_shot_avi_table,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
-    return detect_video_shots(synth_shot_avi_table(docs)).orderBy(
+    return detect_video_shots(synth_shot_avi_table(spread_docs(docs))).orderBy(
         "media_id", "shot_idx"
     )
 
@@ -16971,11 +16977,12 @@ def q456_trained_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q457_jpeg_in_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.multimodal.media import (
         decode_media_digest,
+        spread_docs,
         synth_jpeg_tiff_table,
     )
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return decode_media_digest(synth_jpeg_tiff_table(docs)).orderBy("media_id")
+    return decode_media_digest(synth_jpeg_tiff_table(spread_docs(docs))).orderBy("media_id")
 
 
 # ---------------------------------------------------------------------------
@@ -18709,6 +18716,7 @@ def q485_webp_anim_frame_sample(
 ) -> DataFrame:
     from luxo_rs_spark.multimodal.media import (
         sample_webp_anim_frames,
+        spread_docs,
         synth_webp_anim_table,
     )
 
@@ -18716,7 +18724,7 @@ def q485_webp_anim_frame_sample(
         F.col("doc_id") < 200
     )
     return sample_webp_anim_frames(
-        synth_webp_anim_table(docs), stride=2
+        synth_webp_anim_table(spread_docs(docs)), stride=2
     ).orderBy("media_id", "frame_idx")
 
 
