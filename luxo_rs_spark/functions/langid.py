@@ -58,8 +58,14 @@ def train_char_trigram_lid(
             counts with the fixed-point smoothed log numerator.
     denoms: (lang, t BIGINT, logden_fp BIGINT)    — per-lang totals
             against the GLOBAL train vocabulary V (Laplace)."""
+    # spread before the explode: the single-row-group fixture scan is
+    # one task, and the trigram explode + map-side partial count is the
+    # heavy part of training (guide §2.5; same rationale as scoring)
+    par = docs.sparkSession.sparkContext.defaultParallelism
     tri = docs.select(
-        F.col(lang_col).alias("lang"),
+        F.col(lang_col).alias("lang"), F.col(text_col)
+    ).repartition(par).select(
+        "lang",
         F.explode(char_trigrams(F.col(text_col))).alias("g"),
     )
     model = (
@@ -99,7 +105,17 @@ def score_char_trigram_lid(
     language; emit the argmax. Columns: doc_id, lang (true label),
     pred_lang, n_trigrams, best_score_fp, correct. Ties break to the
     lexicographically smallest language (deterministic)."""
-    inst = docs.select(
+    # spread the instance branch BEFORE the explode (optimization
+    # guide §2.5: the documents fixture is one parquet row group, so
+    # the scan is a single task and the explode -> model join ->
+    # partial aggregation over ~10^6 trigram instances would run on
+    # one core; the repartition shuffles only the tiny (id, text)
+    # rows and is keyed for retry-determinism — at cluster scale the
+    # scan already has many splits and this is a no-op-sized shuffle)
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    inst = docs.select(F.col(id_col), F.col(text_col)).repartition(
+        par, id_col
+    ).select(
         F.col(id_col),
         F.explode(char_trigrams(F.col(text_col))).alias("g"),
     )

@@ -94,8 +94,14 @@ def spread_docs(docs: DataFrame, key: str = "doc_id") -> DataFrame:
     unions NINE synth outputs over tiny doc slices and went 0.80 ->
     4.10 s. A finer split is also worse for the heavy lanes themselves
     (q454 at 128 partitions: 5.0 s — per-task overhead dominates), so
-    total cores is the right grain."""
+    total cores is the right grain.
+
+    Guarded on the CURRENT partition count, so an input that already
+    has scan parallelism (the 100 TB case: thousands of splits) never
+    pays a pointless extra shuffle."""
     par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= par:
+        return docs
     return docs.repartition(par, key)
 
 

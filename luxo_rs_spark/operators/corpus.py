@@ -146,8 +146,13 @@ def contamination_pairs(
         sh = F.when(F.size(w) >= n, F.array_distinct(gram)).otherwise(
             F.array().cast("array<string>")
         )
-        return df.select(
-            F.col(id_col).alias(out_id), words(text_col).alias("__w")
+        # spread before the explode: the fixture scan is one parquet
+        # row group -> one task, and the n-gram explode is the heavy
+        # map work (guide §2.5); the shuffle moves only (id, text)
+        return _spread_corpus(
+            df.select(F.col(id_col).alias(out_id), F.col(text_col))
+        ).select(
+            F.col(out_id), words(text_col).alias("__w")
         ).select(out_id, F.explode(sh).alias("shingle"))
 
     corpus_sh = _sh(corpus, "corpus_id")

@@ -327,7 +327,17 @@ def minhash_neardup_pairs(
     and the verification stage both read it (at cluster scale this is a
     persisted intermediate, not a recompute of the text scan)."""
     sh = shingle_table(df, id_col, text_col, n).cache()
-    sig = minhash_signatures(df, id_col, text_col, n, shingles_df=sh)
+    # the LSH band join reads the signature table through TWO plan
+    # branches (pair sides a and b); without a materialization barrier
+    # each branch re-runs the whole 128-permutation signature pipeline
+    # (measured: the perm-mins stage appears twice with identical
+    # shuffle bytes and dominates q32's profile — ~60% of executor
+    # time). The lazy checkpoint computes signatures once and serves
+    # both branches from blocks (~1 KB/doc — the q270 materialization
+    # pattern; blocks are ContextCleaner-collected on GC).
+    sig = minhash_signatures(
+        df, id_col, text_col, n, shingles_df=sh
+    ).cache()
     cands = lsh_candidate_pairs(sig)
     return jaccard_pairs(
         df, threshold, id_col, text_col, n, candidates=cands, shingles_df=sh

@@ -816,10 +816,23 @@ def semantic_dedup(
         vec_col=vec_col,
         n_rows=n_rows,
     )
+    # spread an under-partitioned input before the pandas-UDF
+    # assignment (guide §2.5: the embeddings fixture is one parquet row
+    # group -> a single-task scan, serializing the whole centroid
+    # assignment on one core); guarded so a well-partitioned table at
+    # cluster scale never pays a pointless shuffle of vector payloads
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par, id_col)
     assigned = ivf_assign(emb, cent, vec_col).select(
         F.col(id_col).alias("id"), F.col("ivf_cluster").alias("cluster"),
         F.col(vec_col).alias("__e"),
     )
+    # three consumers (both pair-join sides + the final flag join) would
+    # otherwise re-run the assignment UDF over the full table three
+    # times inside one action; the lazy checkpoint materializes it once
+    # (the q270 pattern — blocks are ContextCleaner-collected on GC)
+    assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col("id").alias("ia"), F.col("cluster"), F.col("__e").alias("__ea")
     )

@@ -14603,9 +14603,14 @@ def q404_jpeg12_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q405_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from luxo_rs_spark.operators.sketch import cms_estimate, cms_table
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    from luxo_rs_spark.operators.dedup import _spread
+
+    # _spread: the one-row-group fixture scans single-partition, and
+    # the depth-way explode + per-cell hashing in cms_table is the
+    # heavy map stage (guide §2.5); only the key column shuffles
+    li = _spread(load_table(spark, sf_dir, "lineitem").select(
         (F.col("l_partkey") % 500).cast("string").alias("k")
-    )
+    ))
     depth, width = 4, 64
     sketch = cms_table(li, "k", depth=depth, width=width)
     truth = li.groupBy("k").agg(F.count(F.lit(1)).alias("true_cnt"))
@@ -17596,10 +17601,15 @@ def _rake_doc_phrases(docs: DataFrame) -> DataFrame:
 
     from luxo_rs_spark.functions.text import STOPWORDS, words
 
+    from luxo_rs_spark.operators.dedup import _spread
+
     stops = STOPWORDS["en"]
-    docs = docs.filter(
+    # _spread: one-row-group fixture -> single-partition scan, and the
+    # posexplode + per-token regexp below are the heavy map stage
+    # (guide §2.5); the shuffle moves only (doc_id, text) rows
+    docs = _spread(docs.filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
-    ).select("doc_id", "text")
+    ).select("doc_id", "text"))
     tok = docs.select(
         "doc_id", F.posexplode(words(F.col("text"))).alias("pos", "wraw")
     ).select(
