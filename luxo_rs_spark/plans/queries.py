@@ -3869,9 +3869,15 @@ def q133_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q134_winsorize")
 def q134_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.stats import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.agg(
-        F.expr("percentile(l_extendedprice, array(0.01, 0.99))").alias("ps")
+    # distributed exact percentiles (operators/stats.py, round 10):
+    # bit-identical to percentile(l_extendedprice, array(...)) without
+    # its single-task value-map merge+sort (measured 1.6 s alone at
+    # sf0.1 — the dominant cost of this query)
+    bounds = exact_percentiles(
+        li, "l_extendedprice", [0.01, 0.99], out="ps"
     ).select(
         F.element_at("ps", 1).alias("p01"),
         F.element_at("ps", 2).alias("p99"),
@@ -5221,13 +5227,14 @@ def q172_grouped_map_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q173_quartile_bands")
 def q173_quartile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from luxo_rs_spark.operators.stats import exact_percentiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    # ONE percentile accumulator for all three quantiles — the scalar
-    # form builds a fresh 600k-entry count-map per quantile (3x work)
-    bounds = li.agg(
-        F.expr(
-            "percentile(l_extendedprice, array(0.25, 0.50, 0.75))"
-        ).alias("ps")
+    # distributed exact quartiles (operators/stats.py, round 10):
+    # bit-identical to percentile(..., array(0.25, 0.5, 0.75)) without
+    # its single-task value-map merge+sort (1.8 s alone at sf0.1)
+    bounds = exact_percentiles(
+        li, "l_extendedprice", [0.25, 0.50, 0.75], out="ps"
     ).select(
         F.element_at("ps", 1).alias("p25"),
         F.element_at("ps", 2).alias("p50"),
