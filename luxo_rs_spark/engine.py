@@ -49,6 +49,16 @@ DEFAULT_CONFS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE coalescing floor (round 10, guide §2.2/§2.5): the default 1m
+    # floor coalesced CPU-DENSE small shuffles to a handful of tasks —
+    # q270's set-similarity verify read a 4 MB exchange as 3 partitions
+    # and ran 3-wide on a 32-core box (measured 3.25 -> 2.41 s at
+    # 128k). Byte-sized, so it is inert at cluster scale where
+    # coalescing targets the 64 MB advisory size anyway; it only binds
+    # when a shuffle is small, which is exactly when bytes stop being
+    # a proxy for compute. Cheap shuffle-light queries measured
+    # unchanged (within noise) under the lower floor.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "128k",
     # Arrow transfer for pandas UDFs (fnv1a64 etc.)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # deterministic time semantics (matches DuckDB naive-as-UTC)

@@ -10140,6 +10140,14 @@ def q300_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part")
+    # spread the fact before the join chain (guide §2.5): every dim —
+    # orders included at sf0.1 — broadcasts, so without it the whole
+    # scan -> 6 joins -> md5 fingerprint -> partial agg chain runs on
+    # the fixture's single-row-group scan task (profiled: one 2.3 s
+    # task was the entire query)
+    li = li.repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
     wide = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
