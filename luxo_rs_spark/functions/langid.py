@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from luxo_rs_spark.functions.spread import spread
+
 FP = 1_000_000  # fixed-point scale for log counts
 
 #: scoring-join broadcast gate: a counted model at or under this many
@@ -60,11 +62,16 @@ def train_char_trigram_lid(
             against the GLOBAL train vocabulary V (Laplace)."""
     # spread before the explode: the single-row-group fixture scan is
     # one task, and the trigram explode + map-side partial count is the
-    # heavy part of training (guide §2.5; same rationale as scoring)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    tri = docs.select(
-        F.col(lang_col).alias("lang"), F.col(text_col)
-    ).repartition(par).select(
+    # heavy part of training (guide §2.5; same rationale as scoring).
+    # Guarded (no-op on already-parallel scans) and keyed on the TEXT
+    # (the only high-cardinality column here — lang has ~5 values and
+    # would collapse the spread; text hashes evenly and is
+    # retry-deterministic). Counts are integers, so the partition
+    # assignment cannot affect the trained model.
+    tri = spread(
+        docs.select(F.col(lang_col).alias("lang"), F.col(text_col)),
+        text_col,
+    ).select(
         "lang",
         F.explode(char_trigrams(F.col(text_col))).alias("g"),
     )
@@ -111,10 +118,10 @@ def score_char_trigram_lid(
     # partial aggregation over ~10^6 trigram instances would run on
     # one core; the repartition shuffles only the tiny (id, text)
     # rows and is keyed for retry-determinism — at cluster scale the
-    # scan already has many splits and this is a no-op-sized shuffle)
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    inst = docs.select(F.col(id_col), F.col(text_col)).repartition(
-        par, id_col
+    # scan already has many splits and the guard skips the shuffle
+    # entirely)
+    inst = spread(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
     ).select(
         F.col(id_col),
         F.explode(char_trigrams(F.col(text_col))).alias("g"),

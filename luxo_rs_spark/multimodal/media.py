@@ -98,11 +98,11 @@ def spread_docs(docs: DataFrame, key: str = "doc_id") -> DataFrame:
 
     Guarded on the CURRENT partition count, so an input that already
     has scan parallelism (the 100 TB case: thousands of splits) never
-    pays a pointless extra shuffle."""
-    par = docs.sparkSession.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() >= par:
-        return docs
-    return docs.repartition(par, key)
+    pays a pointless extra shuffle. Round 11: delegates to the shared
+    ``functions.spread.spread`` helper (same guard, same key)."""
+    from luxo_rs_spark.functions.spread import spread
+
+    return spread(docs, key)
 
 
 def synth_media_table(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from luxo_rs_spark.functions.fnv1a import fnv1a64_col
+from luxo_rs_spark.functions.spread import spread
 from luxo_rs_spark.functions.text import words
 
 #: 2^64 as a decimal literal — for reinterpreting the signed fnv1a64
@@ -150,7 +151,7 @@ def contamination_pairs(
         # row group -> one task, and the n-gram explode is the heavy
         # map work (guide §2.5); the shuffle moves only (id, text)
         return _spread_corpus(
-            df.select(F.col(id_col).alias(out_id), F.col(text_col))
+            df.select(F.col(id_col).alias(out_id), F.col(text_col)), out_id
         ).select(
             F.col(out_id), words(text_col).alias("__w")
         ).select(out_id, F.explode(sh).alias("shingle"))
@@ -422,11 +423,12 @@ def mixture_weights(
     )
 
 
-def _spread_corpus(df: DataFrame) -> DataFrame:
-    """Repartition to full parallelism before a compute-heavy stage (the
+def _spread_corpus(df: DataFrame, *keys) -> DataFrame:
+    """Guarded keyed spread before a compute-heavy stage (the
     one-row-group fixture trap — see SCALING.md round-2 notes; at real
-    scale the scan already has thousands of splits)."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    scale the scan already has thousands of splits and the guard makes
+    this a no-op instead of a full shuffle of the text payloads)."""
+    return spread(df, *keys)
 
 
 def substring_dup_coverage(
@@ -456,7 +458,7 @@ def substring_dup_coverage(
     distributed approximation (it detects any duplicated span >= n
     words, positionally, which is what the coverage score needs).
     """
-    docs = _spread_corpus(df).withColumn("__w", F.split(text_col, " "))
+    docs = _spread_corpus(df, id_col).withColumn("__w", F.split(text_col, " "))
     grams = F.expr(
         f"case when size(__w) < {n} then array() else"
         f" transform(sequence(1, size(__w) - {n - 1}),"

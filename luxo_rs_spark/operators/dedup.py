@@ -52,6 +52,7 @@ from luxo_rs_spark.functions.fnv1a import (
     fnv1a64_col,
     fnv1a64_int_py,
 )
+from luxo_rs_spark.functions.spread import spread
 from luxo_rs_spark.functions.text import shingles
 
 _U64_PRIME = np.uint64(FNV_PRIME)
@@ -86,7 +87,7 @@ def exact_dedup(
     """Keep one deterministic survivor (min id) per distinct content."""
     h = fnv1a64_col(text_col).alias("__h")
     survivors = (
-        _spread(df)
+        _spread(df, id_col)
         .select(F.col(id_col), h)
         .groupBy("__h")
         .agg(F.min(id_col).alias(id_col))
@@ -100,12 +101,14 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition to full parallelism. The documents fixture arrives as
-    ONE parquet file -> one partition; without this every downstream
-    transform runs single-task. At 100 TB the scan has thousands of
-    splits and this becomes a no-op-sized shuffle of input rows."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+def _spread(df: DataFrame, *keys) -> DataFrame:
+    """Guarded keyed spread — see functions/spread.py. The documents
+    fixture arrives as ONE parquet file -> one partition; without this
+    every downstream transform runs single-task. At 100 TB the scan has
+    thousands of splits and the guard makes this a literal no-op (round
+    11: previously an unconditional repartition, which at scale would
+    have been a full network pass over the text payloads)."""
+    return spread(df, *keys)
 
 
 def shingle_table(
@@ -130,7 +133,7 @@ def shingle_table(
         F.array().cast("array<string>")
     )
     return (
-        _spread(df)
+        _spread(df, id_col)
         .select(F.col(id_col).alias("doc_id"), words(text_col).alias("__w"))
         .select("doc_id", F.explode(sh).alias("shingle"))
     )
@@ -269,7 +272,14 @@ def minhash_signatures(
     # ~P-fold blowup of the Arrow->JVM transfer and shuffle, measured
     # 165 MB -> 5 MB at sf0.1/32 cores). The final JVM MIN agg stays for
     # the docs whose shingles straddle an Arrow batch boundary.
-    par = df.sparkSession.sparkContext.defaultParallelism
+    # This shuffle is algorithmic (colocate each doc's shingles), so it
+    # fires at every scale — but it must never force a wide input DOWN
+    # to defaultParallelism, so the width is max(default, current)
+    # (round-11 scale-safety audit).
+    par = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        sh.rdd.getNumPartitions(),
+    )
     base = sh.repartition(par, "doc_id")
     partial = base.mapInPandas(_perm_partial_mins, _SIG_SCHEMA)
     mins = [F.min(f"m{i}").alias(f"m{i}") for i in range(NUM_PERM)]
@@ -545,7 +555,7 @@ def neardup_clusters(
     """
     if pairs is None:
         pairs = minhash_neardup_pairs(df, threshold, id_col, text_col, n)
-    nodes = _spread(df).select(F.col(id_col).alias("node"))
+    nodes = _spread(df, id_col).select(F.col(id_col).alias("node"))
     if algorithm == "star":
         labels = _cc_star(pairs.select(F.col("da").alias("a"), F.col("db").alias("b")), nodes)
         return labels.select(
@@ -830,7 +840,7 @@ def segment_table(
             " ", F.slice(toks, i * seg_tokens + 1, seg_tokens)
         ),
     )
-    return _spread(df).select(
+    return _spread(df, id_col).select(
         F.col(id_col), F.posexplode(segs).alias("seg_idx", "seg")
     )
 

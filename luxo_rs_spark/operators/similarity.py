@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
+from luxo_rs_spark.functions.spread import spread
 from luxo_rs_spark.functions.vectors import cosine, dot, norm
 
 
@@ -610,10 +611,10 @@ def knn_join(
     )
     # spread the corpus scan: the fixture arrives as one parquet split,
     # which would put the whole pair-scoring loop in a single task; at
-    # real scale the scan has thousands of splits and this is a no-op
-    par = corpus.sparkSession.sparkContext.defaultParallelism
+    # real scale the scan has thousands of splits and the guard skips
+    # the shuffle entirely (round 11: was an unconditional repartition)
     return (
-        corpus.repartition(par).crossJoin(F.broadcast(q))
+        spread(corpus, id_col).crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("qid"))
         .select("qid", F.col(id_col), cosine(F.col(vec_col), F.col("__qe")).alias("sim"))
         .withColumn("rn", w)
@@ -821,9 +822,7 @@ def semantic_dedup(
     # group -> a single-task scan, serializing the whole centroid
     # assignment on one core); guarded so a well-partitioned table at
     # cluster scale never pays a pointless shuffle of vector payloads
-    par = emb.sparkSession.sparkContext.defaultParallelism
-    if emb.rdd.getNumPartitions() < par:
-        emb = emb.repartition(par, id_col)
+    emb = spread(emb, id_col)
     assigned = ivf_assign(emb, cent, vec_col).select(
         F.col(id_col).alias("id"), F.col("ivf_cluster").alias("cluster"),
         F.col(vec_col).alias("__e"),

@@ -52,6 +52,8 @@ from pyspark.sql.types import (
     ShortType,
 )
 
+from luxo_rs_spark.functions.spread import spread
+
 
 def _bucket_and_order(df: DataFrame, value_col: str, bucket_shift: int):
     """(bucket expression, order-key expression) for the value column.
@@ -105,7 +107,6 @@ def exact_percentiles(
         bucket_shift = 6 if isinstance(dt, (DoubleType, FloatType)) else 16
     bkt, key = _bucket_and_order(df, value_col, bucket_shift)
     spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
 
     vals = df.select(
         bkt.alias("__b"), key.alias("__k"), F.col(value_col).alias("__v")
@@ -113,8 +114,7 @@ def exact_percentiles(
     # the fixture tables are single-row-group parquets (one-task scans);
     # spread the narrow (bucket, key, value) rows so both passes
     # parallelize (guide §2.5) — guarded for already-parallel inputs
-    if vals.rdd.getNumPartitions() < par:
-        vals = vals.repartition(par, "__k")
+    vals = spread(vals, "__k")
 
     hist = vals.groupBy("__b").agg(F.count(F.lit(1)).alias("__c"))
     # window over BUCKET rows: bounded by value range >> bucket_shift

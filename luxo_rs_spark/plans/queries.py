@@ -10144,10 +10144,12 @@ def q300_one_big_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders included at sf0.1 — broadcasts, so without it the whole
     # scan -> 6 joins -> md5 fingerprint -> partial agg chain runs on
     # the fixture's single-row-group scan task (profiled: one 2.3 s
-    # task was the entire query)
-    li = li.repartition(
-        spark.sparkContext.defaultParallelism, "l_orderkey"
-    )
+    # task was the entire query). Guarded (round 11): a many-split
+    # fact scan at cluster scale must NOT be force-shuffled down to
+    # defaultParallelism partitions.
+    from luxo_rs_spark.functions.spread import spread
+
+    li = spread(li, "l_orderkey")
     wide = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -17164,11 +17166,12 @@ def _winnow_fps(docs: DataFrame) -> DataFrame:
     # the per-row work is heavy (n md5s + n w-slices) while the input
     # is a handful of small parquet files — ONE cheap repartition of
     # the raw (doc_id, text) rows buys full-cluster parallelism for
-    # the map stage (without it the whole winnow ran in 1 task)
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    # the map stage (without it the whole winnow ran in 1 task);
+    # guarded (round 11): a many-split scan at cluster scale skips it
+    from luxo_rs_spark.functions.spread import spread
+
     return (
-        docs.filter(F.length("text") >= k + w - 1)
-        .repartition(par, "doc_id")
+        spread(docs.filter(F.length("text") >= k + w - 1), "doc_id")
         .select("doc_id", F.expr(harr).alias("h"))
         .select(
             "doc_id",
@@ -17459,9 +17462,19 @@ def q465_winnowing_neardup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # filter (measured: minutes); outer generate infers nothing, and
     # the arrays are never empty (length filter guarantees >= 1
     # window), so the semantics are identical.
-    par = spark.sparkContext.defaultParallelism
+    # NOT the guarded-spread pattern (round 11 audit): this exchange is
+    # a load-bearing materialization barrier, so it must fire at EVERY
+    # scale — but it must never force a many-split scan DOWN to
+    # defaultParallelism either, so the width is max(cluster default,
+    # current scan width): at fixture scale that is the 1 -> 32 spread,
+    # at 100 TB it keeps the scan's own width and only adds the barrier
+    # that the three consumers reuse (one winnow, not three).
+    fps = _winnow_fps(docs)
+    par = max(
+        spark.sparkContext.defaultParallelism, fps.rdd.getNumPartitions()
+    )
     fps0 = (
-        _winnow_fps(docs)
+        fps
         .repartition(par)
         .select("doc_id", F.explode_outer("fps").alias("fp"))
     )
