@@ -55,6 +55,16 @@ from pyspark.sql.types import (
 from luxo_rs_spark.functions.spread import spread
 
 
+#: clamp for the floating bucket id: |q| above 2^62 (including ±Inf)
+#: saturates to the extreme bucket, which keeps the bucket monotone and
+#: avoids double->long overflow; NaN gets its own sentinel ABOVE the
+#: +Inf bucket because Spark's double ordering places NaN greater than
+#: every value, +Inf included (round 11, ADVICE fix: floor(NaN/2^s)
+#: previously landed NaN in bucket 0, sorting it FIRST instead of last)
+_BKT_CLAMP = 1 << 62
+_NAN_BUCKET = (1 << 62) + 1
+
+
 def _bucket_and_order(df: DataFrame, value_col: str, bucket_shift: int):
     """(bucket expression, order-key expression) for the value column.
 
@@ -64,7 +74,9 @@ def _bucket_and_order(df: DataFrame, value_col: str, bucket_shift: int):
     arithmetic shift; DOUBLE/FLOAT use floor(v / 2^shift) — division by
     a power of two only changes the exponent, so it is exact in IEEE
     arithmetic and floor of a double is exact, making the bucket
-    provably monotone — and order by the double itself."""
+    provably monotone — and order by the double itself (whose Spark
+    ordering is -Inf < finite < +Inf < NaN; the bucket expression
+    mirrors it via the clamp + NaN sentinel above)."""
     dt = df.schema[value_col].dataType
     v = F.col(value_col)
     if isinstance(dt, DecimalType):
@@ -81,7 +93,14 @@ def _bucket_and_order(df: DataFrame, value_col: str, bucket_shift: int):
         return F.shiftright(key, bucket_shift), key
     if isinstance(dt, (DoubleType, FloatType)):
         vd = v.cast("double")
-        return F.floor(vd / F.lit(float(1 << bucket_shift))), vd
+        q = vd / F.lit(float(1 << bucket_shift))
+        bkt = (
+            F.when(F.isnan(vd), F.lit(_NAN_BUCKET))
+            .when(q >= F.lit(float(_BKT_CLAMP)), F.lit(_BKT_CLAMP))
+            .when(q <= F.lit(-float(_BKT_CLAMP)), F.lit(-_BKT_CLAMP))
+            .otherwise(F.floor(q))
+        )
+        return bkt, vd
     raise ValueError(
         f"exact_percentiles: unsupported type {dt.simpleString()} "
         "(needs an exactly orderable key)"
@@ -164,15 +183,34 @@ def exact_percentiles(
         .select("__b", "__t.__tag", "__t.__local")
     )
 
-    # selection pass: only the needed buckets' rows are ranked; the
-    # window partitions by bucket, so tasks are bucket-sized
-    needed = vals.withColumnRenamed("__b", "__vb").join(
-        F.broadcast(targets), F.col("__vb") == targets["__b"]
+    # selection pass (round-11 scale hardening): the needed buckets'
+    # rows are COLLAPSED to per-key counts by a distributed aggregation
+    # FIRST (map-side partial agg — no task ever holds a bucket's row
+    # population), so the rank window that follows runs over DISTINCT
+    # keys within one bucket — bounded by the bucket width (2^shift)
+    # for integer/decimal keys, never by row count. Previously a
+    # row_number window ranked the raw rows, whose partition grew
+    # linearly with data (a hot price bucket at 100 TB = one straggler
+    # task). The key containing local rank r is the one whose
+    # cumulative key-count brackets r — same selection, same value.
+    needed = vals.join(
+        F.broadcast(targets.select("__b").distinct()), "__b"
     )
-    w_rank = Window.partitionBy("__b", "__tag").orderBy("__k")
+    per_key = needed.groupBy("__b", "__k").agg(
+        F.count(F.lit(1)).alias("__kc"), F.min("__v").alias("__v")
+    )
+    w_kcum = (
+        Window.partitionBy("__b")
+        .orderBy("__k")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = per_key.withColumn("__kcum", F.sum("__kc").over(w_kcum))
     picked = (
-        needed.withColumn("__rn", F.row_number().over(w_rank))
-        .where(F.col("__rn") == F.col("__local"))
+        ranked.join(F.broadcast(targets), "__b")
+        .where(
+            (F.col("__kcum") >= F.col("__local"))
+            & ((F.col("__kcum") - F.col("__kc")) < F.col("__local"))
+        )
         .select("__tag", F.col("__v").cast("double").alias("__vd"))
     )
     wide = picked.groupBy().agg(
